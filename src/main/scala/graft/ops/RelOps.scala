@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's relational operator vocabulary as small, individually
+  * testable functions (SURVEY.md §2, §7.1 step 2).
+  *
+  * Each function cites the reference occurrence it reproduces. All of
+  * these compile down to built-in Catalyst operators — filters and
+  * projections push into the parquet scan, joins against small
+  * dimensions broadcast, aggregations run partial→final.
+  */
+object RelOps {
+
+  /** P3 — derived column via split + array index
+    * (ref: databricks_notebooks/silver_notebook.py:26). */
+  def deriveSplitHead(df: DataFrame, src: String, sep: String, out: String): DataFrame =
+    df.withColumn(out, split(col(src), sep).getItem(0))
+
+  /** P4 — derived ratio column; Spark `/` on integral types yields
+    * DoubleType, null on divide-by-zero
+    * (ref: databricks_notebooks/silver_notebook.py:34). */
+  def deriveRatio(df: DataFrame, num: String, den: String, out: String): DataFrame =
+    df.withColumn(out, col(num) / col(den))
+
+  /** A1 + P8 + O1 — the silver ad-hoc aggregate: group, sum with alias,
+    * multi-column mixed-direction sort
+    * (ref: databricks_notebooks/silver_notebook.py:47-50). */
+  def adhocAgg(df: DataFrame, keys: Seq[String], valueCol: String, outName: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol)).as(outName))
+      .orderBy(col(keys.head).asc, col(outName).desc)
+
+  /** F1 — empty-with-schema (the `WHERE 1=0` schema trick; Catalyst
+    * folds it to an empty LocalRelation, no file IO)
+    * (ref: databricks_notebooks/gold_dim_branch.py:52-58,
+    *  gold_dim_model.py:53-57). */
+  def emptyWithSchema(df: DataFrame): DataFrame =
+    df.filter(lit(1) === lit(0))
+
+  /** J1 + F2 + F3 — the new/old split: left-outer join source against the
+    * current sink and split on sink-key null-ness
+    * (ref: databricks_notebooks/gold_dim_branch.py:79,92,105).
+    *
+    * Returns (oldRows, newRows): oldRows carry the sink's surrogate key;
+    * newRows are source rows with no sink match. Sink side is broadcast —
+    * dimensions are small relative to the source at any scale where this
+    * pattern is sane.
+    */
+  def newOldSplit(src: DataFrame, sink: DataFrame, naturalKey: String, sinkKey: String)
+      : (DataFrame, DataFrame) = {
+    val joined = src.join(
+      broadcast(sink), src(naturalKey) === sink(naturalKey), "left")
+    val old = joined.filter(sink(sinkKey).isNotNull)
+      .select(src.columns.map(src(_)) :+ sink(sinkKey): _*)
+    val fresh = joined.filter(sink(sinkKey).isNull)
+      .select(src.columns.map(src(_)): _*)
+    (old, fresh)
+  }
+
+  /** Same split expressed with Spark's native semi/anti joins — the
+    * idiomatic form the reference hand-rolls via J1+F2+F3; proven
+    * equivalent in RelOpsSpec. */
+  def newOldSplitNative(src: DataFrame, sink: DataFrame, naturalKey: String)
+      : (DataFrame, DataFrame) = (
+    src.join(broadcast(sink), Seq(naturalKey), "left_semi"),
+    src.join(broadcast(sink), Seq(naturalKey), "left_anti")
+  )
+
+  /** U1 — positional union; the reference arranges both sides to the same
+    * column order first (ref: gold_dim_branch.py:105,145,159). Prefer
+    * [[unionByName]] in new code. */
+  def positionalUnion(a: DataFrame, b: DataFrame): DataFrame = a.union(b)
+
+  /** A3/S12 — global max scalar collected to the driver. This is an
+    * action and a deliberate 1-row barrier (never a full collect)
+    * (ref: gold_dim_branch.py:127-128). Returns `default` on empty/null. */
+  def maxKeyScalar(df: DataFrame, key: String, default: Long): Long = {
+    val r = df.agg(max(col(key).cast("long"))).first()
+    if (r.isNullAt(0)) default else r.getLong(0)
+  }
+
+  /** A2 + F4 — duplicate-key audit: groupBy(key).count.filter("count > 1")
+    * (ref: gold_dim_branch.py:200). Keeps the SQL-string predicate form. */
+  def dupAudit(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).count().filter("count > 1")
+
+  /** P7 — column drop (ref: gold_dim_branch.py:146). */
+  def dropCols(df: DataFrame, cols: String*): DataFrame = df.drop(cols: _*)
+}

@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import graft.merge.Scd1Merge
+import graft.ops.{KeyGenStrategy, RelOps}
+import graft.store.WatermarkStore
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The medallion pipeline re-expressed generically (SURVEY.md §3, §7.1).
+  *
+  * The reference's four dim notebooks are clones differing only in
+  * (natural keys, distinct-source?, key-gen strategy) — here that is ONE
+  * function driven by [[DimSpec]]. Quirks preserved (SURVEY.md §2.7):
+  *  - Q2: only dims with `distinctSource = true` dedup their source;
+  *  - Q3: the SCD1 merge key is the SURROGATE key;
+  *  - Q4: initial-load base is 1, so row_number keys start at 2;
+  *  - Q7: any `incrementalFlag` other than "0" means incremental.
+  */
+final case class DimSpec(
+    name: String,
+    naturalKeys: Seq[String],
+    keyCol: String,
+    distinctSource: Boolean,
+    keyGen: KeyGenStrategy)
+
+object SilverJob {
+
+  /** Bronze→Silver transform (silver_notebook.py:26,34): two derived
+    * columns; the pipeline appends to the silver zone (S6). */
+  def transform(bronze: DataFrame, splitCol: String, sep: String, catCol: String,
+      numCol: String, denCol: String, ratioCol: String): DataFrame =
+    RelOps.deriveRatio(
+      RelOps.deriveSplitHead(bronze, splitCol, sep, catCol),
+      numCol, denCol, ratioCol)
+
+  /** The ad-hoc analytical query (silver_notebook.py:47-50). */
+  def adhocAgg(silver: DataFrame, k1: String, k2: String, v: String, out: String): DataFrame =
+    silver.groupBy(col(k1), col(k2))
+      .agg(sum(col(v)).as(out))
+      .orderBy(col(k1).asc, col(out).desc)
+}
+
+object DimBuilder {
+
+  /** One incremental dim build = one reference gold_dim notebook run
+    * (canonical trace: SURVEY.md §3.3). Returns the updated dim content
+    * (key first, then natural keys) and, when `tablePath` is set,
+    * commits it with the atomic SCD1 upsert.
+    */
+  def build(
+      spark: SparkSession,
+      silver: DataFrame,
+      spec: DimSpec,
+      existing: Option[DataFrame],
+      incrementalFlag: String = "1"): DataFrame = {
+
+    val naturals = spec.naturalKeys
+    val srcAll = silver.select(naturals.map(col): _*)
+    val src = if (spec.distinctSource) srcAll.distinct() else srcAll
+
+    val sink = existing.getOrElse {
+      // F1 schema trick (gold_dim_branch.py:52-58): empty relation with
+      // (key, naturals…) schema — Catalyst folds it, no IO.
+      RelOps.emptyWithSchema(
+        src.withColumn(spec.keyCol, lit(1L)).select(
+          (spec.keyCol +: naturals).map(col): _*))
+    }
+
+    // J1+F2+F3 — new/old split via left-outer join on the natural key.
+    val joined = src.join(broadcast(sink), naturals, "left")
+    val old = joined.filter(col(spec.keyCol).isNotNull)
+    val fresh = joined.filter(col(spec.keyCol).isNull).select(naturals.map(col): _*)
+
+    // A3/S12 — max-key barrier; Q4/Q7 base semantics.
+    val base =
+      if (incrementalFlag == "0") 1L
+      else existing.map(e => RelOps.maxKeyScalar(e, spec.keyCol, 1L)).getOrElse(1L)
+
+    val newKeyed = spec.keyGen.assign(fresh, naturals.head, spec.keyCol, base)
+
+    newKeyed.select((spec.keyCol +: naturals).map(col): _*)
+      .unionByName(old.select((spec.keyCol +: naturals).map(col): _*))
+  }
+
+  /** Build + durable commit (S7/S8): overwrite on initial load,
+    * SCD1-upsert (on the surrogate key — Q3) afterwards. */
+  def buildAndCommit(
+      spark: SparkSession,
+      silver: DataFrame,
+      spec: DimSpec,
+      tablePath: String,
+      incrementalFlag: String = "1"): DataFrame = {
+    val exists = new java.io.File(tablePath).exists()
+    val existing = if (exists) Some(spark.read.parquet(tablePath)) else None
+    val dim = build(spark, silver, spec, existing, incrementalFlag)
+    Scd1Merge.upsert(spark, tablePath, dim, Seq(spec.keyCol))
+    spark.read.parquet(tablePath)
+  }
+}
+
+object FactBuilder {
+
+  /** Fact build (gold_fact.py:34-38,56-59): resolve each foreign key by
+    * left-joining its dim (broadcast — dims are small by construction),
+    * keep measures + surrogate keys, then composite-key upsert (Q8).
+    *
+    * `dims` maps each dim to (dimDf, joinKeys, surrogateKey).
+    */
+  def resolve(
+      silver: DataFrame,
+      measures: Seq[String],
+      dims: Seq[(DataFrame, Seq[String], String)]): DataFrame = {
+    val joined = dims.foldLeft(silver) { case (acc, (dim, keys, _)) =>
+      acc.join(broadcast(dim), keys, "left")
+    }
+    val keep = measures ++ dims.map(_._3)
+    joined.select(keep.map(col): _*)
+  }
+
+  def commit(spark: SparkSession, tablePath: String, fact: DataFrame,
+      surrogateKeys: Seq[String]): Unit =
+    Scd1Merge.upsert(spark, tablePath, fact, surrogateKeys)
+}
+
+object IngestRunner {
+
+  /** One watermark-gated incremental ingest run (SURVEY.md §3.1):
+    * read state → current = max(watermarkCol) → copy rows in
+    * (last, current] to bronze (append) → advance state atomically.
+    * The range predicate is pushed into the source scan by Catalyst
+    * (F5). Returns the number of batches that did work.
+    */
+  def run(
+      spark: SparkSession,
+      source: DataFrame,
+      watermarkCol: String,
+      store: WatermarkStore,
+      bronzeDir: String): Long = {
+    val last = store.read()
+    val cur = source.agg(max(col(watermarkCol).cast("string"))).first().getString(0)
+    if (cur == null || cur <= last) return 0L
+    val batch = source.filter(
+      col(watermarkCol).cast("string") > last &&
+      col(watermarkCol).cast("string") <= cur)
+    batch.write.mode(SaveMode.Append).parquet(bronzeDir)
+    store.advance(cur)
+    1L
+  }
+}

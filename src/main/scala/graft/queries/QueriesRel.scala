@@ -1,0 +1,380 @@
+package graft.queries
+
+import graft.Tables.{cents, table}
+import graft.merge.Scd1Merge
+import graft.ops.{KeyGenStrategy, RelOps}
+import graft.pipeline.IngestRunner
+import graft.store.WatermarkStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SURVEY.md §2 relational operator inventory wired to the driver
+  * testdata, one judged query per operator id, each with a DuckDB twin
+  * in [[oracle]]. Every query ends in a total ORDER BY so result rows
+  * are reproducible independent of partitioning.
+  */
+object QueriesRel {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Drop a managed table AND its warehouse directory. The in-memory
+    * catalog forgets tables between sessions but their directories
+    * persist, which fails the next `saveAsTable` with
+    * LOCATION_ALREADY_EXISTS. */
+  private def dropManaged(s: SparkSession, db: String, tbl: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $db.$tbl")
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(wh, s"$db.db", tbl)
+    if (Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(loc).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- S: scans / sources / sinks ------------------------------------
+    "s1_incremental_ingest" -> ((s, dir) => {
+      // Full watermark loop (S1+F5+S6+S11): three source snapshots replayed
+      // through IngestRunner; bronze must equal the full table at the end.
+      val orders = table(s, dir, "orders")
+        .withColumn("o_date", to_date(col("o_orderdate")))
+      val bronze = tmpDir("graft_bronze")
+      val store = new WatermarkStore(tmpDir("graft_wm"))
+      store.init("0000-00-00")
+      Seq("1997-01-01", "1999-01-01", "9999-12-31").foreach { cut =>
+        val snapshot = orders.filter(col("o_date") <= to_date(lit(cut)))
+        IngestRunner.run(s, snapshot, "o_date", store, bronze)
+      }
+      s.read.parquet(bronze)
+        .select(col("o_orderkey"), col("o_date"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "s2_csv_roundtrip" -> ((s, dir) => {
+      // CSV source semantics (S2): header, RFC-4180 quoting, empty-as-null.
+      val c = table(s, dir, "customer")
+      val csv = tmpDir("graft_csv")
+      c.coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true").csv(csv)
+      s.read.schema(c.schema)
+        .option("header", "true").option("nullValue", "").csv(csv)
+        .orderBy(col("c_custkey"))
+    }),
+    "s3_parquet_scan" -> ((s, dir) =>
+      table(s, dir, "region").orderBy(col("r_regionkey"))),
+    "s4_sql_over_files" -> ((s, dir) =>
+      s.sql(s"SELECT p_partkey, p_name, p_brand FROM parquet.`$dir/part.parquet` ORDER BY p_partkey")),
+    "s5_catalog_scan" -> ((s, dir) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft")
+      dropManaged(s, "graft", "supplier_cat")
+      table(s, dir, "supplier").write.mode("overwrite").saveAsTable("graft.supplier_cat")
+      s.table("graft.supplier_cat").orderBy(col("s_suppkey"))
+    }),
+    "s6_parquet_append_sink" -> ((s, dir) => {
+      val n = table(s, dir, "nation")
+      val out = tmpDir("graft_append")
+      n.filter(col("n_regionkey") < 2).write.mode("append").parquet(out)
+      n.filter(col("n_regionkey") >= 2).write.mode("append").parquet(out)
+      s.read.parquet(out).orderBy(col("n_nationkey"))
+    }),
+    "s7_overwrite_saveastable" -> ((s, dir) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft")
+      dropManaged(s, "graft", "region_cat")
+      val r = table(s, dir, "region")
+      r.limit(2).write.mode("overwrite").saveAsTable("graft.region_cat")
+      r.write.mode("overwrite").saveAsTable("graft.region_cat")
+      s.table("graft.region_cat").orderBy(col("r_regionkey"))
+    }),
+    "s8_scd1_upsert" -> ((s, dir) => {
+      // J3+S8: SCD1 merge on a single key; overlap [10,20) must take the
+      // source's (fresh) value, [0,10) keeps target, [20,25) inserted.
+      val n = table(s, dir, "nation")
+      val target = n.filter(col("n_nationkey") < 20)
+        .select(col("n_nationkey").as("k"), concat(col("n_name"), lit("_old")).as("name"))
+      val source = n.filter(col("n_nationkey") >= 10)
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"))
+      Scd1Merge.merge(target, source, Seq("k")).orderBy(col("k"))
+    }),
+    "s9_s10_catalog_ddl_probe" -> ((s, dir) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_ddl")
+      dropManaged(s, "graft_ddl", "probe")
+      val before = s.catalog.tableExists("graft_ddl.probe")
+      table(s, dir, "region").write.mode("overwrite").saveAsTable("graft_ddl.probe")
+      val after = s.catalog.tableExists("graft_ddl.probe")
+      val dbExists = s.catalog.databaseExists("graft_ddl")
+      s.range(1).select(
+        lit(dbExists).as("db_exists"),
+        lit(before).as("exists_before"),
+        lit(after).as("exists_after"))
+    }),
+    "s12_scalar_collect" -> ((s, dir) => {
+      // A3/S12: a deliberate 1-row driver barrier feeding a literal back
+      // into the plan (ref gold_dim_branch.py:128).
+      val maxKey = RelOps.maxKeyScalar(table(s, dir, "orders"), "o_orderkey", 0L)
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") === lit(maxKey))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_linenumber"))
+    }),
+
+    // ---- P: projections / derived columns ------------------------------
+    "p1_projection" -> ((s, dir) =>
+      table(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+    "p2_qualified_select" -> ((s, dir) => {
+      // Both sides share the column name `custkey`; DF-qualified columns
+      // resolve the ambiguity (ref gold_dim_branch.py:79).
+      val o = table(s, dir, "orders").withColumnRenamed("o_custkey", "custkey")
+      val c = table(s, dir, "customer").withColumnRenamed("c_custkey", "custkey")
+      o.join(c, o("custkey") === c("custkey"), "inner")
+        .select(o("o_orderkey"), o("custkey"), c("c_name"))
+        .orderBy(o("o_orderkey"))
+    }),
+    "p3_split_derive" -> ((s, dir) =>
+      RelOps.deriveSplitHead(table(s, dir, "part"), "p_type", " ", "category")
+        .select(col("p_partkey"), col("category")).orderBy(col("p_partkey"))),
+    "p4_ratio_derive" -> ((s, dir) =>
+      RelOps.deriveRatio(table(s, dir, "part"), "p_retailprice", "p_size", "price_per_size")
+        .select(col("p_partkey"), col("price_per_size")).orderBy(col("p_partkey"))),
+    "p5_lit_add" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), (col("o_orderkey") + lit(1000000L)).as("shifted_key"))
+        .orderBy(col("o_orderkey"))),
+    "p6_lit_alias" -> ((s, dir) =>
+      table(s, dir, "nation").select(lit(1L).as("one"), col("n_name"))
+        .orderBy(col("n_name"))),
+    "p7_drop" -> ((s, dir) =>
+      RelOps.dropCols(table(s, dir, "customer"), "c_acctbal", "c_mktsegment")
+        .orderBy(col("c_custkey"))),
+
+    // ---- F: filters -----------------------------------------------------
+    "f1_empty_schema" -> ((s, dir) =>
+      RelOps.emptyWithSchema(
+        table(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")))),
+    "f2_isnotnull_old" -> ((s, dir) => {
+      val (old, _) = custSplit(s, dir)
+      old.orderBy(col("c_custkey"))
+    }),
+    "f3_isnull_new" -> ((s, dir) => {
+      val (_, fresh) = custSplit(s, dir)
+      fresh.orderBy(col("c_custkey"))
+    }),
+    "f4_sql_string_filter" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .filter("o_totalprice > 150000.0 AND o_orderstatus = 'O'")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))),
+    "f5_watermark_range" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .filter(col("o_orderdate") > to_timestamp(lit("1996-12-31 00:00:00")) &&
+                col("o_orderdate") <= to_timestamp(lit("1997-12-31 00:00:00")))
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- J: joins -------------------------------------------------------
+    "j1_left_outer" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .select(c("c_custkey"), c("c_name"), n("n_name"))
+        .orderBy(c("c_custkey"))
+    }),
+    "j2_4way_join" -> ((s, dir) => {
+      // Fact FK resolution (ref gold_fact.py:34-38): chain of left joins,
+      // small dims broadcast, the orders side a shuffle join.
+      val l = table(s, dir, "lineitem")
+      val p = table(s, dir, "part")
+      val sup = table(s, dir, "supplier")
+      val n = table(s, dir, "nation")
+      val o = table(s, dir, "orders")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left")
+        .join(o, col("l_orderkey") === col("o_orderkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("p_name"), col("s_name"), col("n_name"), col("o_orderstatus"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "j4_composite_merge" -> ((s, dir) => {
+      // S8 on a 4-column composite key (ref gold_fact.py:56-59):
+      // re-ingested rows overwrite measures for the same key tuple
+      // (quirk Q8).
+      val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val l = table(s, dir, "lineitem")
+        .select((keys :+ "l_quantity").map(col): _*)
+      val source = l.filter(col("l_orderkey") % 10 === 0)
+        .withColumn("l_quantity", col("l_quantity") + 100.0)
+      Scd1Merge.merge(l, source, keys)
+        .orderBy(keys.map(col): _*)
+    }),
+
+    // ---- A: aggregations ------------------------------------------------
+    "a1_groupby_sum" -> ((s, dir) =>
+      // The flagship silver ad-hoc aggregate (ref silver_notebook.py:47-50).
+      // Money sums run on exact integer cents — see Tables.sumMoney.
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "a2_dup_audit" -> ((s, dir) =>
+      RelOps.dupAudit(table(s, dir, "orders"), Seq("o_custkey"))
+        .withColumnRenamed("count", "cnt")
+        .orderBy(col("o_custkey"))),
+    "a3_global_max" -> ((s, dir) =>
+      table(s, dir, "orders").agg(max(col("o_orderkey")).as("max_key"))),
+    "a4_global_min" -> ((s, dir) =>
+      table(s, dir, "orders").agg(to_date(min(col("o_orderdate"))).as("min_date"))),
+    "a5_distinct" -> ((s, dir) =>
+      table(s, dir, "customer").select(col("c_mktsegment")).distinct()
+        .orderBy(col("c_mktsegment"))),
+
+    // ---- W/O/U: windows, sort, union -----------------------------------
+    "w1_rownumber_keys" -> ((s, dir) =>
+      // Fidelity-mode surrogate keys: base=1 on initial load so keys
+      // start at 2 (quirk Q4).
+      KeyGenStrategy.GlobalWindow
+        .assign(table(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+          "n_name", "dim_key", 1L)
+        .select(col("dim_key"), col("n_nationkey"), col("n_name"))
+        .orderBy(col("dim_key"))),
+    "w1_scalable_keys" -> ((s, dir) =>
+      // Scale-mode surrogate keys: identical output to w1_rownumber_keys'
+      // strategy but numbered per-partition with prefix-sum offsets.
+      KeyGenStrategy.Scalable
+        .assign(table(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+          "c_name", "dim_key", 1L)
+        .select(col("dim_key"), col("c_custkey"), col("c_name"))
+        .orderBy(col("dim_key"))),
+    "w2_mono_id_structural" -> ((s, dir) => {
+      // monotonically_increasing_id keys are layout-dependent (quirk Q4):
+      // judged structurally — n_keys must equal n_rows.
+      val keyed = KeyGenStrategy.MonotonicId
+        .assign(table(s, dir, "supplier").select(col("s_suppkey")), "s_suppkey", "k", 0L)
+      keyed.agg(count(lit(1)).as("n_rows"), countDistinct(col("k")).as("n_keys"))
+    }),
+    "o1_sort" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"))
+        .orderBy(col("o_date").asc, col("o_totalprice").desc, col("o_orderkey").asc)),
+    "u1_union" -> ((s, dir) => {
+      val (old, fresh) = custSplit(s, dir)
+      RelOps.positionalUnion(fresh, old.drop("dim_key"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  /** Shared J1+F2+F3 fixture: a fake existing dim holds every third
+    * customer; the left-join split classifies the rest as new. */
+  private def custSplit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val src = table(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val sink = table(s, dir, "customer")
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), (col("c_custkey") * 10).as("dim_key"))
+    val joined = src.join(broadcast(sink), Seq("c_custkey"), "left")
+    (joined.filter(col("dim_key").isNotNull),
+     joined.filter(col("dim_key").isNull).select(col("c_custkey"), col("c_name")))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "s1_incremental_ingest" ->
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice FROM orders ORDER BY o_orderkey",
+    "s2_csv_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    "s3_parquet_scan" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "s4_sql_over_files" ->
+      "SELECT p_partkey, p_name, p_brand FROM part ORDER BY p_partkey",
+    "s5_catalog_scan" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "s6_parquet_append_sink" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "s7_overwrite_saveastable" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "s8_scd1_upsert" ->
+      """WITH target AS (SELECT n_nationkey AS k, n_name || '_old' AS name FROM nation WHERE n_nationkey < 20),
+         |source AS (SELECT n_nationkey AS k, n_name AS name FROM nation WHERE n_nationkey >= 10)
+         |SELECT k, name FROM (
+         |  SELECT t.k, t.name FROM target t WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.k = t.k)
+         |  UNION ALL SELECT k, name FROM source) ORDER BY k""".stripMargin,
+    "s9_s10_catalog_ddl_probe" ->
+      "SELECT TRUE AS db_exists, FALSE AS exists_before, TRUE AS exists_after",
+    "s12_scalar_collect" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey = (SELECT max(o_orderkey) FROM orders) ORDER BY l_linenumber",
+    "p1_projection" ->
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+    "p2_qualified_select" ->
+      "SELECT o_orderkey, o_custkey AS custkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey",
+    "p3_split_derive" ->
+      "SELECT p_partkey, split_part(p_type, ' ', 1) AS category FROM part ORDER BY p_partkey",
+    "p4_ratio_derive" ->
+      "SELECT p_partkey, p_retailprice / p_size AS price_per_size FROM part ORDER BY p_partkey",
+    "p5_lit_add" ->
+      "SELECT o_orderkey, o_orderkey + 1000000 AS shifted_key FROM orders ORDER BY o_orderkey",
+    "p6_lit_alias" ->
+      "SELECT CAST(1 AS BIGINT) AS one, n_name FROM nation ORDER BY n_name",
+    "p7_drop" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey",
+    "f1_empty_schema" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders WHERE 1 = 0",
+    "f2_isnotnull_old" ->
+      "SELECT c_custkey, c_name, c_custkey * 10 AS dim_key FROM customer WHERE c_custkey % 3 = 0 ORDER BY c_custkey",
+    "f3_isnull_new" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0 ORDER BY c_custkey",
+    "f4_sql_string_filter" ->
+      "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O' ORDER BY o_orderkey",
+    "f5_watermark_range" ->
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date FROM orders WHERE o_orderdate > TIMESTAMP '1996-12-31 00:00:00' AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00' ORDER BY o_orderkey",
+    "j1_left_outer" ->
+      "SELECT c_custkey, c_name, n_name FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey",
+    "j2_4way_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, p_name, s_name, n_name, o_orderstatus
+         |FROM lineitem
+         |LEFT JOIN part ON l_partkey = p_partkey
+         |LEFT JOIN supplier ON l_suppkey = s_suppkey
+         |LEFT JOIN nation ON s_nationkey = n_nationkey
+         |LEFT JOIN orders ON l_orderkey = o_orderkey
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j4_composite_merge" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem),
+         |s AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity + 100.0 AS l_quantity FROM lineitem WHERE l_orderkey % 10 = 0)
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM (
+         |  SELECT t.* FROM t WHERE NOT EXISTS (
+         |    SELECT 1 FROM s WHERE s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+         |      AND s.l_partkey = t.l_partkey AND s.l_suppkey = t.l_suppkey)
+         |  UNION ALL SELECT * FROM s) ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "a1_groupby_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+         |  SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+         |  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a2_dup_audit" ->
+      "SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey HAVING count(*) > 1 ORDER BY o_custkey",
+    "a3_global_max" ->
+      "SELECT max(o_orderkey) AS max_key FROM orders",
+    "a4_global_min" ->
+      "SELECT CAST(min(o_orderdate) AS DATE) AS min_date FROM orders",
+    "a5_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "w1_rownumber_keys" ->
+      "SELECT 1 + row_number() OVER (ORDER BY n_name) AS dim_key, n_nationkey, n_name FROM nation ORDER BY dim_key",
+    "w1_scalable_keys" ->
+      "SELECT 1 + row_number() OVER (ORDER BY c_name) AS dim_key, c_custkey, c_name FROM customer ORDER BY dim_key",
+    "w2_mono_id_structural" ->
+      "SELECT count(*) AS n_rows, count(*) AS n_keys FROM supplier",
+    "o1_sort" ->
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice FROM orders ORDER BY o_date ASC, o_totalprice DESC, o_orderkey ASC",
+    "u1_union" ->
+      """SELECT c_custkey, c_name FROM (
+         |  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0
+         |  UNION ALL SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0)
+         |ORDER BY c_custkey""".stripMargin
+  )
+}
