@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, language ID, and fingerprinting.
+  *
+  * Everything here is built from codegen'd `sql.functions` (no UDFs), so
+  * each operator stays inside WholeStageCodegen and runs as a single
+  * narrow projection over the scan — no shuffle, scales linearly with
+  * input splits.
+  */
+object TextOps {
+
+  /** Whitespace tokens. The corpus normalizes on single spaces; a regex
+    * split ("\\s+") is equivalent here and either stays codegen'd. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword-ish tokens: letter runs, digit runs, or single
+    * non-space symbols — the usual pre-tokenizer regex shape. */
+  val BpeTokenRe = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenRe), lit(0))
+
+  /** Per-document token counts (whitespace + BPE-ish) and char length. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tok_ws"),
+      size(bpeTokens(col(textCol))).cast("long").as("n_tok_bpe"),
+      length(col(textCol)).cast("long").as("n_chars"))
+
+  /** English-ish stopwords used by the quality score. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Heuristic quality score: token count, stopword hits, stopword
+    * ratio, and mean token length. Ratios are exact int/int double
+    * divisions so results are independent of partitioning. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val stopCnt = size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    docs.select(
+      col(idCol),
+      nTok.as("n_tok"),
+      stopCnt.as("stop_cnt"),
+      (stopCnt.cast("double") / nTok).as("stop_ratio"),
+      (charSum.cast("double") / nTok).as("avg_tok_len"))
+  }
+
+  /** Marker-word profiles for the n-gram/stopword language heuristic.
+    * Keys MUST iterate in alphabetical order — ties resolve to the
+    * alphabetically-first language on both the Spark and oracle side. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "los", "las", "que", "es"),
+    "fr" -> Seq("le", "les", "des", "est", "et"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  /** Language ID: count marker-word hits per language over the token
+    * bag; predict the max-hit language, alphabetically-first on ties. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val hits: Seq[(String, Column)] = LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*))).cast("long")
+    }
+    // lang l wins if its hits >= every later language's hits and beats
+    // (strictly) no earlier language — expressed as a first-match CASE
+    // chain in alphabetical order with >= against the remaining max.
+    val pred = hits.init.zipWithIndex.foldRight(lit(hits.last._1)) {
+      case (((lang, h), i), els) =>
+        val rest = hits.drop(i + 1).map(_._2)
+        when(h >= greatest(rest: _*), lang).otherwise(els)
+    }
+    val hitCols = hits.map { case (lang, h) => h.as(s"hits_$lang") }
+    docs.select(col(idCol) +: hitCols :+ pred.as("pred_lang"): _*)
+  }
+
+  /** Winnowing-style document fingerprint: the minimum MD5 over 5-word
+    * shingles, plus the whole-content MD5. Two documents sharing a
+    * fingerprint very likely share a 5-word run. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = graft.dedup.Dedup.wordShingles(col(textCol), 5)
+    docs.select(
+      col(idCol),
+      array_min(transform(sh, s => md5(s))).as("min_shingle_fp"),
+      md5(col(textCol)).as("content_fp"))
+  }
+
+  /** 60-bit SimHash over the distinct-token bag. Each token hashes to a
+    * 60-bit value (15 hex chars of its MD5); bit j of the SimHash is 1
+    * iff more tokens have bit j set than unset. 60 bits (not 64) keeps
+    * the value inside a signed long on every engine.
+    *
+    * Single hash-aggregation: explode tokens, fold per-bit votes with a
+    * vector-valued agg (sum of +-1 per bit), recombine. One shuffle on
+    * the doc id, partial-aggregated map-side.
+    */
+  val SimhashBits = 60
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = explode(array_distinct(tokens(col(textCol)))).as("tok")
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val votes = (0 until SimhashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val bitsToLong = (0 until SimhashBits)
+      .map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_ + _)
+    docs.select(col(idCol), tok)
+      .withColumn("h", h)
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bitsToLong.as("simhash"))
+  }
+}
