@@ -15,8 +15,7 @@ object QueriesPipeline {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  private def tmpDir(prefix: String): String = graft.Tmp.dir(prefix)
 
   val queries: Map[String, Q] = Map(
     "pipe1_silver_transform" -> ((s, dir) =>

@@ -18,8 +18,7 @@ object QueriesRel {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  private def tmpDir(prefix: String): String = graft.Tmp.dir(prefix)
 
   /** Drop a managed table AND its warehouse directory. The in-memory
     * catalog forgets tables between sessions but their directories

@@ -72,8 +72,10 @@ object TextOps {
     // chain in alphabetical order with >= against the remaining max.
     val pred = hits.init.zipWithIndex.foldRight(lit(hits.last._1)) {
       case (((lang, h), i), els) =>
-        val rest = hits.drop(i + 1).map(_._2)
-        when(h >= greatest(rest: _*), lang).otherwise(els)
+        // greatest() needs >=2 args; reduce returns the lone column as-is
+        // for the singleton tail (the penultimate language).
+        val restMax = hits.drop(i + 1).map(_._2).reduce((a, b) => greatest(a, b))
+        when(h >= restMax, lang).otherwise(els)
     }
     val hitCols = hits.map { case (lang, h) => h.as(s"hits_$lang") }
     docs.select(col(idCol) +: hitCols :+ pred.as("pred_lang"): _*)
