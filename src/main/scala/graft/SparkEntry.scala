@@ -18,9 +18,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.QueriesRel.queries ++
-    graft.queries.QueriesPipeline.queries
+    graft.queries.QueriesPipeline.queries ++
+    graft.queries.QueriesLLM.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.QueriesRel.oracle ++
-    graft.queries.QueriesPipeline.oracle
+    graft.queries.QueriesPipeline.oracle ++
+    graft.queries.QueriesLLM.oracle
 }

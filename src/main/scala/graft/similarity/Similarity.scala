@@ -1,0 +1,116 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Two paths:
+  *  - [[topK]]: exact brute-force cosine — broadcast the (small) query
+  *    set, one pass over the corpus, skew-safe two-stage top-k. The
+  *    judged baseline.
+  *  - [[annTopK]]: random-hyperplane LSH — corpus is bucketed by sign
+  *    bits, queries probe only their buckets, exact re-rank on the
+  *    candidates. The 100 TB path: candidate generation is an equi-join
+  *    on (table, bucket), never a cross join.
+  *
+  * All arithmetic is a sequential left-to-right fold over double-cast
+  * elements (`aggregate`), so the result is bit-identical to any other
+  * engine that sums in array order — required for the DuckDB oracle
+  * hash-compare. Everything is codegen'd `sql.functions`; no UDFs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, in doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sequential-fold squared L2 norm, in doubles. */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** Cosine similarity; null when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Keep the k best rows per key without a single giant per-key sort
+    * partition: stage 1 ranks within (key, salt-of-id) and keeps k per
+    * salt; stage 2 ranks the surviving `salts × k` rows per key. With
+    * few keys and a huge corpus the naive one-stage window puts an
+    * entire corpus-sized partition on one task — the salted pre-filter
+    * bounds every partition at corpus/salts, and stage 2 sees only
+    * `salts × k` rows per key.
+    */
+  def topKPerKey(df: DataFrame, key: Column, orderBy: Seq[Column], k: Int,
+                 saltOn: Column, salts: Int = 32): DataFrame = {
+    val pre = Window.partitionBy(key, pmod(hash(saltOn), lit(salts))).orderBy(orderBy: _*)
+    val fin = Window.partitionBy(key).orderBy(orderBy: _*)
+    df.withColumn("__r1", row_number().over(pre)).filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+      .drop("__r1")
+  }
+
+  /** Exact cosine top-k: every query vector against the full corpus.
+    * `queries` must be small (it is broadcast); the corpus streams
+    * through in one narrow pass. Ties broken by ascending corpus id
+    * so results are total-ordered and engine-independent.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+           k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+    topKPerKey(scored, col("query_id"),
+        Seq(col("cos_sim").desc, col("vec_id").asc), k, saltOn = col("vec_id"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table,
+    * plane, dim): xxhash64 folded into [-1, 1]. Fixed by construction —
+    * no RNG state to ship to executors. */
+  private def hyper(table: Int, plane: Column, d: Column): Column =
+    (pmod(xxhash64(lit(table), plane, d), lit(2000001L)) - 1000000L) / 1000000.0
+
+  /** Sign-bit bucket of `vec` under `bits` hyperplanes of table `t`,
+    * packed into one long. */
+  def lshBucket(vec: Column, t: Int, bits: Int, dim: Int): Column =
+    (0 until bits).map { p =>
+      val dp = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, d) =>
+        acc + element_at(vec, d + 1).cast("double") * hyper(t, lit(p), d))
+      when(dp >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: `tables` independent LSH tables of `bits` sign
+    * bits each. Corpus and queries are bucketed per table; candidates
+    * are the (table, bucket) equi-join, unioned across tables and
+    * deduped; exact cosine re-ranks the candidates. Recall is tuned by
+    * (tables, bits): more tables → higher recall, more bits → fewer
+    * candidates per bucket. The shuffle is `tables × n` short rows —
+    * never n × q pairs.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, tables: Int = 8, bits: Int = 10, dim: Int = 64): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
+      val buckets = array((0 until tables).map(t => lshBucket(col(vecCol), t, bits, dim)): _*)
+      df.select(col(idCol).as(id), col(vecCol).as(vec), posexplode(buckets))
+        .withColumnRenamed("pos", "t").withColumnRenamed("col", "bkt")
+    }
+
+    val cb = bucketed(corpus, "vec_id", "cv")
+    val qb = bucketed(queries, "query_id", "qv")
+    val cands = cb.join(broadcast(qb), Seq("t", "bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cands.select(col("query_id"), col("vec_id"),
+      cosine(col("qv"), col("cv")).as("cos_sim"))
+    topKPerKey(scored, col("query_id"),
+        Seq(col("cos_sim").desc, col("vec_id").asc), k, saltOn = col("vec_id"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+}
