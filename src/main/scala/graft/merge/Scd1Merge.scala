@@ -45,25 +45,70 @@ object Scd1Merge {
       .unionByName(source.select(target.columns.map(col): _*))
   }
 
-  /** Merge + durable commit to a parquet table directory with an atomic
-    * tmp-write-then-swap (never an in-place overwrite: `merged` reads
-    * the very files the commit replaces — self-read hazard, SURVEY.md
-    * §7.5; the swap also stands in for the reference's SQL transaction,
-    * stored_procedure.sql:6).
+  /** Number of hash buckets in the on-disk table layout. Local default;
+    * at scale size it so one bucket is a few hundred MB
+    * (≈ table_bytes / 256 MB) — a small incremental batch then touches
+    * (and rewrites) only its own buckets, not the whole table. */
+  val DefaultNumBuckets = 32
+
+  private val BucketCol = "__bucket"
+
+  private def withBucket(df: DataFrame, keys: Seq[String], numBuckets: Int): DataFrame =
+    df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
+
+  /** Read a bucketed (or legacy flat) table, hiding the layout column. */
+  def readTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val df = spark.read.parquet(tablePath)
+    if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+  }
+
+  /** Merge + durable commit to a hash-bucketed parquet table directory
+    * (`tablePath/__bucket=N/`) rewriting ONLY the buckets the source
+    * batch touches — the replacement for Delta MERGE's matched-file
+    * rewrite. A full-table rewrite per merge is the classic 100 TB
+    * killer: a 1k-row batch into a 100 TB fact would rewrite 100 TB.
+    *
+    * Commit: merged buckets are written to a `.tmp` dir, then each
+    * touched bucket dir is swapped atomically (tmp-move-then-rollback;
+    * never an in-place overwrite — `merged` reads the very files the
+    * commit replaces, the self-read hazard of SURVEY.md §7.5; the swap
+    * also stands in for the reference's SQL transaction,
+    * stored_procedure.sql:6). Per-bucket swap is atomic; cross-bucket
+    * atomicity rests on the documented single-writer assumption.
     */
-  def upsert(spark: SparkSession, tablePath: String, source: DataFrame, keys: Seq[String]): Unit = {
+  def upsert(spark: SparkSession, tablePath: String, source: DataFrame, keys: Seq[String],
+             numBuckets: Int = DefaultNumBuckets): Unit = {
     val dir = Paths.get(tablePath)
+    val bucketed = withBucket(source, keys, numBuckets)
     if (!Files.exists(dir)) {
-      source.write.mode(SaveMode.Overwrite).parquet(tablePath)
+      bucketed.write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tablePath)
       return
     }
+    // Partition pruning: only the source-touched buckets are scanned
+    // from the target, merged, and rewritten.
+    val touched: Seq[Int] = bucketed.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return // empty batch: nothing to merge or rewrite
     val target = spark.read.parquet(tablePath)
-    val merged = merge(target, source, keys)
+      .filter(col(BucketCol).isin(touched: _*))
+    val merged = merge(target, bucketed, keys)
     val tmp = tablePath + ".tmp"
     val old = tablePath + ".old"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap: current -> .old, tmp -> current, drop .old
-    atomicSwap(Paths.get(tmp), dir, Paths.get(old))
+    merged.write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+    Files.createDirectories(Paths.get(old))
+    touched.foreach { b =>
+      val name = s"$BucketCol=$b"
+      val tmpB = Paths.get(tmp, name)
+      val liveB = Paths.get(tablePath, name)
+      if (!Files.exists(tmpB))
+        // every touched bucket holds >=1 source row, so the merged write
+        // must produce its dir; a miss means the write went wrong.
+        throw new IllegalStateException(s"bucket dir missing from merge output: $tmpB")
+      if (Files.exists(liveB)) atomicSwap(tmpB, liveB, Paths.get(old, name))
+      else Files.move(tmpB, liveB, StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteRecursively(Paths.get(tmp))
+    deleteRecursively(Paths.get(old))
   }
 
   private[graft] def atomicSwap(tmp: Path, live: Path, graveyard: Path): Unit = {

@@ -45,14 +45,15 @@ object RelOps {
     * (ref: databricks_notebooks/gold_dim_branch.py:79,92,105).
     *
     * Returns (oldRows, newRows): oldRows carry the sink's surrogate key;
-    * newRows are source rows with no sink match. Sink side is broadcast —
-    * dimensions are small relative to the source at any scale where this
-    * pattern is sane.
+    * newRows are source rows with no sink match. No broadcast hint on
+    * the sink: a dim grows monotonically under SCD1, so a forced hint
+    * bypasses the size check and OOMs at scale — AQE broadcasts while
+    * the sink is actually small.
     */
   def newOldSplit(src: DataFrame, sink: DataFrame, naturalKey: String, sinkKey: String)
       : (DataFrame, DataFrame) = {
     val joined = src.join(
-      broadcast(sink), src(naturalKey) === sink(naturalKey), "left")
+      sink, src(naturalKey) === sink(naturalKey), "left")
     val old = joined.filter(sink(sinkKey).isNotNull)
       .select(src.columns.map(src(_)) :+ sink(sinkKey): _*)
     val fresh = joined.filter(sink(sinkKey).isNull)
@@ -61,12 +62,12 @@ object RelOps {
   }
 
   /** Same split expressed with Spark's native semi/anti joins — the
-    * idiomatic form the reference hand-rolls via J1+F2+F3; proven
-    * equivalent in RelOpsSpec. */
+    * idiomatic form the reference hand-rolls via J1+F2+F3; RelOpsSpec
+    * proves the equivalence. */
   def newOldSplitNative(src: DataFrame, sink: DataFrame, naturalKey: String)
       : (DataFrame, DataFrame) = (
-    src.join(broadcast(sink), Seq(naturalKey), "left_semi"),
-    src.join(broadcast(sink), Seq(naturalKey), "left_anti")
+    src.join(sink, Seq(naturalKey), "left_semi"),
+    src.join(sink, Seq(naturalKey), "left_anti")
   )
 
   /** U1 — positional union; the reference arranges both sides to the same

@@ -53,6 +53,19 @@ object DimBuilder {
       spec: DimSpec,
       existing: Option[DataFrame],
       incrementalFlag: String = "1"): DataFrame = {
+    val (newKeyed, old) = buildParts(spark, silver, spec, existing, incrementalFlag)
+    newKeyed.unionByName(old)
+  }
+
+  /** The new/old split with keys assigned, as separate frames:
+    * (fresh rows with newly-minted keys, matched rows with their
+    * existing keys), both in (key, naturals…) column order. */
+  def buildParts(
+      spark: SparkSession,
+      silver: DataFrame,
+      spec: DimSpec,
+      existing: Option[DataFrame],
+      incrementalFlag: String = "1"): (DataFrame, DataFrame) = {
 
     val naturals = spec.naturalKeys
     val srcAll = silver.select(naturals.map(col): _*)
@@ -67,7 +80,10 @@ object DimBuilder {
     }
 
     // J1+F2+F3 — new/old split via left-outer join on the natural key.
-    val joined = src.join(broadcast(sink), naturals, "left")
+    // No broadcast hint: the sink dim grows monotonically under SCD1, so
+    // a forced broadcast OOMs at scale — AQE picks broadcast while the
+    // dim is genuinely small and switches to shuffle join when it isn't.
+    val joined = src.join(sink, naturals, "left")
     val old = joined.filter(col(spec.keyCol).isNotNull)
     val fresh = joined.filter(col(spec.keyCol).isNull).select(naturals.map(col): _*)
 
@@ -78,12 +94,19 @@ object DimBuilder {
 
     val newKeyed = spec.keyGen.assign(fresh, naturals.head, spec.keyCol, base)
 
-    newKeyed.select((spec.keyCol +: naturals).map(col): _*)
-      .unionByName(old.select((spec.keyCol +: naturals).map(col): _*))
+    (newKeyed.select((spec.keyCol +: naturals).map(col): _*),
+     old.select((spec.keyCol +: naturals).map(col): _*))
   }
 
   /** Build + durable commit (S7/S8): overwrite on initial load,
-    * SCD1-upsert (on the surrogate key — Q3) afterwards. */
+    * SCD1-upsert (on the surrogate key — Q3) afterwards.
+    *
+    * Incremental runs upsert ONLY the freshly-keyed rows: a matched row
+    * carries its existing key and the naturals it was matched on, so it
+    * is byte-identical to what the table already holds — merging it
+    * back is a no-op that would drag every bucket into the rewrite.
+    * Delta's MERGE exploits the same fact by rewriting only matched
+    * files; here only the new rows' hash buckets are rewritten. */
   def buildAndCommit(
       spark: SparkSession,
       silver: DataFrame,
@@ -91,10 +114,11 @@ object DimBuilder {
       tablePath: String,
       incrementalFlag: String = "1"): DataFrame = {
     val exists = new java.io.File(tablePath).exists()
-    val existing = if (exists) Some(spark.read.parquet(tablePath)) else None
-    val dim = build(spark, silver, spec, existing, incrementalFlag)
-    Scd1Merge.upsert(spark, tablePath, dim, Seq(spec.keyCol))
-    spark.read.parquet(tablePath)
+    val existing = if (exists) Some(Scd1Merge.readTable(spark, tablePath)) else None
+    val (newKeyed, old) = buildParts(spark, silver, spec, existing, incrementalFlag)
+    val toCommit = if (existing.isDefined) newKeyed else newKeyed.unionByName(old)
+    Scd1Merge.upsert(spark, tablePath, toCommit, Seq(spec.keyCol))
+    Scd1Merge.readTable(spark, tablePath)
   }
 }
 

@@ -33,8 +33,11 @@ object QueriesPipeline {
       // continuing from max(key), then a replayed batch that must be a
       // no-op (SCD1 idempotency, quirk Q3). Committed through the atomic
       // tmp-swap upsert each time.
+      // Scalable keys: byte-identical to GlobalWindow for unique natural
+      // keys (w1_rownumber_keys pins the fidelity semantics; this entry
+      // runs the scale path — no single-partition WindowExec).
       val spec = DimSpec("dim_customer", Seq("c_custkey", "c_name"), "dim_key",
-        distinctSource = false, keyGen = KeyGenStrategy.GlobalWindow)
+        distinctSource = false, keyGen = KeyGenStrategy.Scalable)
       val path = tmpDir("graft_dim") + "/dim_customer"
       val full = table(s, dir, "customer")
       val batch1 = full.filter(col("c_custkey") <= 1000)
