@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.QueriesRel.queries ++
     graft.queries.QueriesPipeline.queries ++
-    graft.queries.QueriesLLM.queries
+    graft.queries.QueriesLLM.queries ++
+    graft.queries.QueriesStream.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.QueriesRel.oracle ++
     graft.queries.QueriesPipeline.oracle ++
-    graft.queries.QueriesLLM.oracle
+    graft.queries.QueriesLLM.oracle ++
+    graft.queries.QueriesStream.oracle
 }

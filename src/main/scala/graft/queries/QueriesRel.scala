@@ -109,6 +109,23 @@ object QueriesRel {
         lit(before).as("exists_before"),
         lit(after).as("exists_after"))
     }),
+    "s11_watermark_state" -> ((s, dir) => {
+      // Dedicated S11 row: init -> read -> advance -> read, and the
+      // monotonicity guard rejects a regression (WatermarkStore doc).
+      val store = new WatermarkStore(tmpDir("graft_wmstate"))
+      store.init("DT00000")
+      val initial = store.read()
+      store.advance("DT00042")
+      val advanced = store.read()
+      val rejected =
+        try { store.advance("DT00001"); false }
+        catch { case _: IllegalArgumentException => true }
+      s.range(1).select(
+        lit(initial).as("initial"),
+        lit(advanced).as("advanced"),
+        lit(store.read()).as("after_reject"),
+        lit(rejected).as("regression_rejected"))
+    }),
     "s12_scalar_collect" -> ((s, dir) => {
       // A3/S12: a deliberate 1-row driver barrier feeding a literal back
       // into the plan (ref gold_dim_branch.py:128).
@@ -148,6 +165,13 @@ object QueriesRel {
     "p7_drop" -> ((s, dir) =>
       RelOps.dropCols(table(s, dir, "customer"), "c_acctbal", "c_mktsegment")
         .orderBy(col("c_custkey"))),
+
+    "p8_agg_alias" -> ((s, dir) =>
+      // Dedicated P8 row: alias inside agg (ref silver_notebook.py:48).
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg((sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"))
+        .orderBy(col("l_returnflag"))),
 
     // ---- F: filters -----------------------------------------------------
     "f1_empty_schema" -> ((s, dir) =>
@@ -303,6 +327,8 @@ object QueriesRel {
          |  UNION ALL SELECT k, name FROM source) ORDER BY k""".stripMargin,
     "s9_s10_catalog_ddl_probe" ->
       "SELECT TRUE AS db_exists, FALSE AS exists_before, TRUE AS exists_after",
+    "s11_watermark_state" ->
+      "SELECT 'DT00000' AS initial, 'DT00042' AS advanced, 'DT00042' AS after_reject, TRUE AS regression_rejected",
     "s12_scalar_collect" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey = (SELECT max(o_orderkey) FROM orders) ORDER BY l_linenumber",
     "p1_projection" ->
@@ -319,6 +345,8 @@ object QueriesRel {
       "SELECT CAST(1 AS BIGINT) AS one, n_name FROM nation ORDER BY n_name",
     "p7_drop" ->
       "SELECT c_custkey, c_name, c_nationkey FROM customer ORDER BY c_custkey",
+    "p8_agg_alias" ->
+      "SELECT l_returnflag, SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty FROM lineitem GROUP BY 1 ORDER BY l_returnflag",
     "f1_empty_schema" ->
       "SELECT o_orderkey, o_orderstatus FROM orders WHERE 1 = 0",
     "f2_isnotnull_old" ->

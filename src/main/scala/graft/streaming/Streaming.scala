@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.merge.Scd1Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming surface (SURVEY.md §2.6/§7.6): the idiomatic
+  * replacement for the reference's hand-rolled watermark loop is a file
+  * stream + event-time watermark + windowed aggregation, committed by
+  * `foreachBatch` into the same SCD1 upsert the batch pipeline uses.
+  * `Trigger.AvailableNow` drains whatever is in the source directory
+  * and stops — exactly the reference's scheduled-batch semantics
+  * (docs/incremental_load.PNG), but with exactly-once file tracking
+  * from the checkpoint instead of a hand-maintained watermark value.
+  */
+object Streaming {
+
+  /** Schema of the driver's `events` table with `ts` read as raw nanos
+    * (Spark's parquet reader has no TIMESTAMP(NANOS) type; the file
+    * stream reads the INT64 and [[withEventTime]] converts to a µs
+    * timestamp — same truncation DuckDB applies to the column). */
+  val EventsRawSchema =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window aggregation over the event stream: per
+    * (1-hour window, event_type) row counts and an exact money sum.
+    * The caller attaches a source and a sink. */
+  def windowAgg(events: DataFrame, watermarkDelay: String): DataFrame =
+    withEventTime(events)
+      .withWatermark("ets", watermarkDelay)
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Run the windowed aggregation over every parquet file in `srcDir`
+    * with `Trigger.AvailableNow`, upserting each micro-batch's updated
+    * windows into a bucketed table at `outPath` keyed by
+    * (window_start, event_type). Update-mode + upsert keeps windows
+    * that a pure append-mode sink would withhold at end-of-stream
+    * (append only emits windows the watermark has closed; the final
+    * hour would be missing). Returns the committed table.
+    */
+  def runAvailableNow(spark: SparkSession, srcDir: String, outPath: String,
+                      checkpointDir: String, watermarkDelay: String = "1 hour"): DataFrame = {
+    // The source stream reads raw INT64 nanos — requires the legacy
+    // nanos passthrough (runtime conf; scoped to this session).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream.schema(EventsRawSchema).parquet(srcDir)
+    val agg = windowAgg(events, watermarkDelay)
+    val q = agg.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Scd1Merge.upsert(spark, outPath, batch, Seq("window_start", "event_type"))
+      }
+      .start()
+    q.awaitTermination()
+    Scd1Merge.readTable(spark, outPath)
+  }
+}
