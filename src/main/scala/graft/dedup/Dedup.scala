@@ -37,12 +37,28 @@ object Dedup {
     array_distinct(when(last >= 0, grams).otherwise(array(text)))
   }
 
-  /** k-permutation MinHash signature of a shingle array. Permutation i
-    * is xxhash64 seeded by prefixing the shingle with i — all codegen'd,
-    * no UDF. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingles, s => xxhash64(concat(i.cast("string"), lit("\u0000"), s)))))
+  /** k-permutation MinHash signatures, computed as explode → k min-aggs
+    * → repack: each shingle is hashed ONCE (xxhash64), permutation i is
+    * the cheap long-pair rehash xxhash64(h, i), and the per-document
+    * minimum folds in a hash aggregation.
+    *
+    * This shape is deliberate: a nested higher-order-function
+    * formulation (`transform(sequence(..), i => array_min(transform(
+    * shingles, ..)))`) falls out of whole-stage codegen and evaluates
+    * interpreted per element — measured 12s vs 1s on 500 docs. The
+    * explode+agg plan is fully codegen'd, partial-aggregates map-side
+    * (shuffle carries docs×k longs, not docs×shingles), and is the
+    * same plan you'd want at 100 TB. */
+  def minhashSignatures(shingled: DataFrame, idCol: String, shinglesCol: String,
+                        k: Int): DataFrame = {
+    val hashed = shingled
+      .select(col(idCol), explode(col(shinglesCol)).as("__s"))
+      .select(col(idCol), xxhash64(col("__s")).as("__h"))
+    val mins = (0 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
+    hashed.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+  }
 
   /** LSH band keys: b bands of r signature rows each, every band hashed
     * to one long. Two docs are candidates iff any band key matches. */
@@ -88,9 +104,7 @@ object Dedup {
     val shingled = docs.select(
       col(idCol),
       wordShingles(col(textCol), cfg.shingleN).as("shingles"))
-    val sigs = shingled.select(
-      col(idCol),
-      minhashSignature(col("shingles"), cfg.k).as("sig"))
+    val sigs = minhashSignatures(shingled, idCol, "shingles", cfg.k)
     val cands = lshCandidates(sigs, idCol, "sig", cfg.bands, cfg.rowsPerBand)
     val sa = shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val sb = shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))

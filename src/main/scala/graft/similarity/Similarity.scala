@@ -70,20 +70,37 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table,
-    * plane, dim): xxhash64 folded into [-1, 1]. Fixed by construction —
-    * no RNG state to ship to executors. */
-  private def hyper(table: Int, plane: Column, d: Column): Column =
-    (pmod(xxhash64(lit(table), plane, d), lit(2000001L)) - 1000000L) / 1000000.0
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 folded into [-1, 1]. Fixed by construction — no RNG state
+    * to ship to executors. */
+  private def hyper(plane: Int, d: Column): Column =
+    (pmod(xxhash64(lit(plane), d), lit(2000001L)) - 1000000L) / 1000000.0
 
-  /** Sign-bit bucket of `vec` under `bits` hyperplanes of table `t`,
-    * packed into one long. */
-  def lshBucket(vec: Column, t: Int, bits: Int, dim: Int): Column =
-    (0 until bits).map { p =>
-      val dp = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, d) =>
-        acc + element_at(vec, d + 1).cast("double") * hyper(t, lit(p), d))
-      when(dp >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Sign-bit LSH buckets for every vector: `tables` packed bucket ids
+    * per row, one per hash table of `bits` hyperplanes.
+    *
+    * Computed as posexplode → tables×bits sum-aggs → sign-pack, NOT as
+    * a per-row higher-order fold: HOF lambdas evaluate interpreted
+    * outside whole-stage codegen (measured ~7s vs <1s on 500×64-dim
+    * vectors for 64 tables). The explode+agg plan is codegen'd end to
+    * end, partial-aggregates map-side, and scales as n×dim narrow rows.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 tables: Int, bits: Int, outId: String): DataFrame = {
+    val e = df
+      .select(col(idCol).as(outId), posexplode(col(vecCol)))
+      .select(col(outId), col("pos").as("__d"), col("col").cast("double").as("__x"))
+    val dotAggs = for (t <- 0 until tables; p <- 0 until bits)
+      yield sum(col("__x") * hyper(t * bits + p, col("__d"))).as(s"__dp_${t}_$p")
+    val dots = e.groupBy(col(outId)).agg(dotAggs.head, dotAggs.tail: _*)
+    val buckets = array((0 until tables).map { t =>
+      (0 until bits).map { p =>
+        when(col(s"__dp_${t}_$p") >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    dots.select(col(outId), posexplode(buckets))
+      .select(col(outId), col("pos").as("t"), col("col").as("bkt"))
+  }
 
   /** Approximate top-k: `tables` independent LSH tables of `bits` sign
     * bits each. Corpus and queries are bucketed per table; candidates
@@ -95,20 +112,17 @@ object Similarity {
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, tables: Int = 8, bits: Int = 10, dim: Int = 64): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
-      val buckets = array((0 until tables).map(t => lshBucket(col(vecCol), t, bits, dim)): _*)
-      df.select(col(idCol).as(id), col(vecCol).as(vec), posexplode(buckets))
-        .withColumnRenamed("pos", "t").withColumnRenamed("col", "bkt")
-    }
-
-    val cb = bucketed(corpus, "vec_id", "cv")
-    val qb = bucketed(queries, "query_id", "qv")
+    val cb = lshBuckets(corpus, idCol, vecCol, tables, bits, "vec_id")
+    val qb = lshBuckets(queries, idCol, vecCol, tables, bits, "query_id")
     val cands = cb.join(broadcast(qb), Seq("t", "bkt"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qv"), col("cv"))
-      .dropDuplicates("query_id", "vec_id")
-    val scored = cands.select(col("query_id"), col("vec_id"),
-      cosine(col("qv"), col("cv")).as("cos_sim"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val scored = cands
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv")), "vec_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
     topKPerKey(scored, col("query_id"),
         Seq(col("cos_sim").desc, col("vec_id").asc), k, saltOn = col("vec_id"))
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
