@@ -16,12 +16,22 @@ import org.apache.spark.sql.functions._
   *  - Q4: initial-load base is 1, so row_number keys start at 2;
   *  - Q7: any `incrementalFlag` other than "0" means incremental.
   */
+/** @param naturalKeys the JOIN key of the new/old split — the reference
+  *        joins on the id column alone (gold_dim_branch.py:79,
+  *        gold_dim_dealer.py:80: `df_src.Dealer_ID == df_sink.Dealer_ID`)
+  * @param attrs non-key attributes carried into the dim (BranchName,
+  *        DealerName, model_category). Riding outside the join key
+  *        matters: a null attr (31 null DealerNames in the reference
+  *        data) would never equi-join and re-mint keys every batch. */
 final case class DimSpec(
     name: String,
     naturalKeys: Seq[String],
     keyCol: String,
     distinctSource: Boolean,
-    keyGen: KeyGenStrategy)
+    keyGen: KeyGenStrategy,
+    attrs: Seq[String] = Nil) {
+  def cols: Seq[String] = naturalKeys ++ attrs
+}
 
 object SilverJob {
 
@@ -68,7 +78,7 @@ object DimBuilder {
       incrementalFlag: String = "1"): (DataFrame, DataFrame) = {
 
     val naturals = spec.naturalKeys
-    val srcAll = silver.select(naturals.map(col): _*)
+    val srcAll = silver.select(spec.cols.map(col): _*)
     val src = if (spec.distinctSource) srcAll.distinct() else srcAll
 
     val sink = existing.getOrElse {
@@ -76,16 +86,19 @@ object DimBuilder {
       // (key, naturals…) schema — Catalyst folds it, no IO.
       RelOps.emptyWithSchema(
         src.withColumn(spec.keyCol, lit(1L)).select(
-          (spec.keyCol +: naturals).map(col): _*))
+          (spec.keyCol +: spec.cols).map(col): _*))
     }
 
-    // J1+F2+F3 — new/old split via left-outer join on the natural key.
-    // No broadcast hint: the sink dim grows monotonically under SCD1, so
-    // a forced broadcast OOMs at scale — AQE picks broadcast while the
-    // dim is genuinely small and switches to shuffle join when it isn't.
-    val joined = src.join(sink, naturals, "left")
+    // J1+F2+F3 — new/old split via left-outer join on the natural key
+    // ONLY (attrs ride along; the reference joins on the id column,
+    // gold_dim_branch.py:79). No broadcast hint: the sink dim grows
+    // monotonically under SCD1, so a forced broadcast OOMs at scale —
+    // AQE picks broadcast while the dim is genuinely small and switches
+    // to shuffle join when it isn't.
+    val joined = src.join(
+      sink.select((spec.keyCol +: naturals).map(col): _*), naturals, "left")
     val old = joined.filter(col(spec.keyCol).isNotNull)
-    val fresh = joined.filter(col(spec.keyCol).isNull).select(naturals.map(col): _*)
+    val fresh = joined.filter(col(spec.keyCol).isNull).select(spec.cols.map(col): _*)
 
     // A3/S12 — max-key barrier; Q4/Q7 base semantics.
     val base =
@@ -94,8 +107,8 @@ object DimBuilder {
 
     val newKeyed = spec.keyGen.assign(fresh, naturals.head, spec.keyCol, base)
 
-    (newKeyed.select((spec.keyCol +: naturals).map(col): _*),
-     old.select((spec.keyCol +: naturals).map(col): _*))
+    (newKeyed.select((spec.keyCol +: spec.cols).map(col): _*),
+     old.select((spec.keyCol +: spec.cols).map(col): _*))
   }
 
   /** Build + durable commit (S7/S8): overwrite on initial load,
@@ -134,8 +147,10 @@ object FactBuilder {
       silver: DataFrame,
       measures: Seq[String],
       dims: Seq[(DataFrame, Seq[String], String)]): DataFrame = {
+    // No forced broadcast: dims grow without bound under SCD1; AQE
+    // broadcasts the genuinely-small ones at runtime.
     val joined = dims.foldLeft(silver) { case (acc, (dim, keys, _)) =>
-      acc.join(broadcast(dim), keys, "left")
+      acc.join(dim, keys, "left")
     }
     val keep = measures ++ dims.map(_._3)
     joined.select(keep.map(col): _*)

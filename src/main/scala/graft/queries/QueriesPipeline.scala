@@ -1,9 +1,11 @@
 package graft.queries
 
 import graft.Tables.table
+import graft.merge.Scd1Merge
 import graft.ops.KeyGenStrategy
-import graft.pipeline.{DimBuilder, DimSpec, FactBuilder, SilverJob}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.pipeline.{DimBuilder, DimSpec, FactBuilder, IngestRunner, SilverJob}
+import graft.store.WatermarkStore
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -16,6 +18,20 @@ object QueriesPipeline {
   type Q = (SparkSession, String) => DataFrame
 
   private def tmpDir(prefix: String): String = graft.Tmp.dir(prefix)
+
+  /** The reference's sample source, with its quirks handled: explicit
+    * schema (sidesteps the UTF-8 BOM on the header line — the header is
+    * skipped, not parsed), RFC-4180 quotes, empty string -> null
+    * (SURVEY.md §1.1). */
+  private[queries] def readSalesCsv(s: SparkSession): DataFrame =
+    s.read
+      .schema("Branch_ID STRING, Dealer_ID STRING, Model_ID STRING, " +
+        "Revenue BIGINT, Units_Sold BIGINT, Date_ID STRING, " +
+        "Day INT, Month INT, Year INT, " +
+        "BranchName STRING, DealerName STRING, Product_Name STRING")
+      .option("header", "true")
+      .option("nullValue", "")
+      .csv("/root/reference/raw_data/SalesData.csv")
 
   val queries: Map[String, Q] = Map(
     "pipe1_silver_transform" -> ((s, dir) =>
@@ -47,6 +63,58 @@ object QueriesPipeline {
         .orderBy(col("dim_key"))
     }),
 
+    "pipe4_sales_gold" -> ((s, dir) => {
+      // Golden end-to-end replay of the reference's OWN data
+      // (raw_data/SalesData.csv: UTF-8 BOM header, RFC-4180 quoted
+      // commas, 31 empty DealerName -> null) in 3 Date_ID-watermarked
+      // batches: ingest -> silver transform -> 4 dims -> fact, the full
+      // medallion lifecycle per batch. Deviations from the notebooks,
+      // both deliberate: dims dedup their source (the faithful
+      // non-distinct Q2 path and MonotonicId keys are pinned in
+      // PipelineSpec — non-deterministic keys can't be hash-judged) and
+      // dim_date's dead-typo merge branch (Q5) is implemented as the
+      // intended upsert.
+      val root = tmpDir("graft_sales")
+      val raw = readSalesCsv(s)
+      val store = new WatermarkStore(s"$root/wm")
+      store.init("DT00000")
+      val bronze = s"$root/bronze"
+      val silverDir = s"$root/silver"
+      val specs = Seq(
+        DimSpec("dim_branch", Seq("Branch_ID"), "dim_branch_key",
+          distinctSource = true, KeyGenStrategy.Scalable, attrs = Seq("BranchName")),
+        DimSpec("dim_dealer", Seq("Dealer_ID"), "dim_dealer_key",
+          distinctSource = true, KeyGenStrategy.Scalable, attrs = Seq("DealerName")),
+        DimSpec("dim_model", Seq("Model_ID"), "dim_model_key",
+          distinctSource = true, KeyGenStrategy.Scalable, attrs = Seq("model_category")),
+        DimSpec("dim_date", Seq("Date_ID"), "dim_date_key",
+          distinctSource = true, KeyGenStrategy.Scalable))
+      var first = true
+      Seq("DT00400", "DT00800", "DT99999").foreach { cut =>
+        val last = store.read()
+        val snapshot = raw.filter(col("Date_ID") <= lit(cut))
+        if (IngestRunner.run(s, snapshot, "Date_ID", store, bronze) > 0) {
+          val cur = store.read()
+          val batch = s.read.parquet(bronze)
+            .filter(col("Date_ID") > lit(last) && col("Date_ID") <= lit(cur))
+          SilverJob.transform(batch, "Model_ID", "-", "model_category",
+              "Revenue", "Units_Sold", "revenue_per_unit")
+            .write.mode(SaveMode.Append).parquet(silverDir)
+          val silver = s.read.parquet(silverDir)
+          val flag = if (first) "0" else "1" // Q4/Q7 base semantics
+          val dims = specs.map(sp =>
+            sp -> DimBuilder.buildAndCommit(s, silver, sp, s"$root/${sp.name}", flag))
+          val fact = FactBuilder.resolve(silver, Seq("Revenue", "Units_Sold"),
+            dims.map { case (sp, d) => (d, sp.naturalKeys, sp.keyCol) })
+          FactBuilder.commit(s, s"$root/factsales", fact, specs.map(_.keyCol))
+          first = false
+        }
+      }
+      Scd1Merge.readTable(s, s"$root/factsales")
+        .orderBy(col("dim_branch_key"), col("dim_dealer_key"),
+          col("dim_model_key"), col("dim_date_key"))
+    }),
+
     "pipe3_fact_build" -> ((s, dir) => {
       // Fact FK resolution (gold_fact.py:34-38): dims built with
       // deterministic surrogate keys, then broadcast-joined into the
@@ -67,7 +135,44 @@ object QueriesPipeline {
     })
   )
 
+  /** DuckDB twin of one dim's 3-batch incremental key assignment:
+    * batch-1 keys start at 2 (Q4), each later batch continues from the
+    * running max, new rows detected by join-key absence and numbered by
+    * the id column — mirroring DimBuilder + KeyGenStrategy.Scalable. */
+  private def dimOracle(alias: String, key: String, id: String, attrsSel: String): String = {
+    val a = if (attrsSel.isEmpty) "" else s", $attrsSel"
+    s"""${alias}1 AS (SELECT 1 + row_number() OVER (ORDER BY $id) AS $key, $id$a
+       |  FROM (SELECT DISTINCT $id$a FROM r1)),
+       |${alias}2 AS (SELECT (SELECT max($key) FROM ${alias}1) + row_number() OVER (ORDER BY $id) AS $key, $id$a
+       |  FROM (SELECT DISTINCT $id$a FROM r2 WHERE $id NOT IN (SELECT $id FROM ${alias}1))),
+       |${alias}3 AS (SELECT (SELECT max($key) FROM (SELECT $key FROM ${alias}1 UNION ALL SELECT $key FROM ${alias}2)) + row_number() OVER (ORDER BY $id) AS $key, $id$a
+       |  FROM (SELECT DISTINCT $id$a FROM raw
+       |        WHERE $id NOT IN (SELECT $id FROM ${alias}1 UNION ALL SELECT $id FROM ${alias}2))),
+       |$alias AS (SELECT * FROM ${alias}1 UNION ALL SELECT * FROM ${alias}2 UNION ALL SELECT * FROM ${alias}3)""".stripMargin
+  }
+
+  private val SalesGoldOracle =
+    s"""WITH raw AS (
+       |  SELECT Branch_ID, Dealer_ID, Model_ID, Revenue, Units_Sold, Date_ID,
+       |         BranchName, DealerName, split_part(Model_ID, '-', 1) AS model_category
+       |  FROM read_csv('/root/reference/raw_data/SalesData.csv', header=true, nullstr='')),
+       |r1 AS (SELECT * FROM raw WHERE Date_ID <= 'DT00400'),
+       |r2 AS (SELECT * FROM raw WHERE Date_ID <= 'DT00800'),
+       |${dimOracle("dbranch", "dim_branch_key", "Branch_ID", "BranchName")},
+       |${dimOracle("ddealer", "dim_dealer_key", "Dealer_ID", "DealerName")},
+       |${dimOracle("dmodel", "dim_model_key", "Model_ID", "model_category")},
+       |${dimOracle("ddate", "dim_date_key", "Date_ID", "")}
+       |SELECT f.Revenue, f.Units_Sold, b.dim_branch_key, d.dim_dealer_key,
+       |       m.dim_model_key, t.dim_date_key
+       |FROM raw f
+       |LEFT JOIN dbranch b ON f.Branch_ID = b.Branch_ID
+       |LEFT JOIN ddealer d ON f.Dealer_ID = d.Dealer_ID
+       |LEFT JOIN dmodel m ON f.Model_ID = m.Model_ID
+       |LEFT JOIN ddate t ON f.Date_ID = t.Date_ID
+       |ORDER BY dim_branch_key, dim_dealer_key, dim_model_key, dim_date_key""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "pipe4_sales_gold" -> SalesGoldOracle,
     "pipe1_silver_transform" ->
       """SELECT p_partkey, p_brand, split_part(p_type, ' ', 1) AS category,
          |  p_retailprice / p_size AS price_per_size
