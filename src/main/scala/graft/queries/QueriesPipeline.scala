@@ -19,20 +19,6 @@ object QueriesPipeline {
 
   private def tmpDir(prefix: String): String = graft.Tmp.dir(prefix)
 
-  /** The reference's sample source, with its quirks handled: explicit
-    * schema (sidesteps the UTF-8 BOM on the header line — the header is
-    * skipped, not parsed), RFC-4180 quotes, empty string -> null
-    * (SURVEY.md §1.1). */
-  private[queries] def readSalesCsv(s: SparkSession): DataFrame =
-    s.read
-      .schema("Branch_ID STRING, Dealer_ID STRING, Model_ID STRING, " +
-        "Revenue BIGINT, Units_Sold BIGINT, Date_ID STRING, " +
-        "Day INT, Month INT, Year INT, " +
-        "BranchName STRING, DealerName STRING, Product_Name STRING")
-      .option("header", "true")
-      .option("nullValue", "")
-      .csv("/root/reference/raw_data/SalesData.csv")
-
   val queries: Map[String, Q] = Map(
     "pipe1_silver_transform" -> ((s, dir) =>
       // Bronze→Silver (silver_notebook.py:26,34): both derived columns in
@@ -63,57 +49,20 @@ object QueriesPipeline {
         .orderBy(col("dim_key"))
     }),
 
-    "pipe4_sales_gold" -> ((s, dir) => {
+    "pipe4_sales_gold" -> ((s, dir) =>
       // Golden end-to-end replay of the reference's OWN data
       // (raw_data/SalesData.csv: UTF-8 BOM header, RFC-4180 quoted
       // commas, 31 empty DealerName -> null) in 3 Date_ID-watermarked
       // batches: ingest -> silver transform -> 4 dims -> fact, the full
-      // medallion lifecycle per batch. Deviations from the notebooks,
-      // both deliberate: dims dedup their source (the faithful
-      // non-distinct Q2 path and MonotonicId keys are pinned in
-      // PipelineSpec — non-deterministic keys can't be hash-judged) and
-      // dim_date's dead-typo merge branch (Q5) is implemented as the
-      // intended upsert.
-      val root = tmpDir("graft_sales")
-      val raw = readSalesCsv(s)
-      val store = new WatermarkStore(s"$root/wm")
-      store.init("DT00000")
-      val bronze = s"$root/bronze"
-      val silverDir = s"$root/silver"
-      val specs = Seq(
-        DimSpec("dim_branch", Seq("Branch_ID"), "dim_branch_key",
-          distinctSource = true, KeyGenStrategy.Scalable, attrs = Seq("BranchName")),
-        DimSpec("dim_dealer", Seq("Dealer_ID"), "dim_dealer_key",
-          distinctSource = true, KeyGenStrategy.Scalable, attrs = Seq("DealerName")),
-        DimSpec("dim_model", Seq("Model_ID"), "dim_model_key",
-          distinctSource = true, KeyGenStrategy.Scalable, attrs = Seq("model_category")),
-        DimSpec("dim_date", Seq("Date_ID"), "dim_date_key",
-          distinctSource = true, KeyGenStrategy.Scalable))
-      var first = true
-      Seq("DT00400", "DT00800", "DT99999").foreach { cut =>
-        val last = store.read()
-        val snapshot = raw.filter(col("Date_ID") <= lit(cut))
-        if (IngestRunner.run(s, snapshot, "Date_ID", store, bronze) > 0) {
-          val cur = store.read()
-          val batch = s.read.parquet(bronze)
-            .filter(col("Date_ID") > lit(last) && col("Date_ID") <= lit(cur))
-          SilverJob.transform(batch, "Model_ID", "-", "model_category",
-              "Revenue", "Units_Sold", "revenue_per_unit")
-            .write.mode(SaveMode.Append).parquet(silverDir)
-          val silver = s.read.parquet(silverDir)
-          val flag = if (first) "0" else "1" // Q4/Q7 base semantics
-          val dims = specs.map(sp =>
-            sp -> DimBuilder.buildAndCommit(s, silver, sp, s"$root/${sp.name}", flag))
-          val fact = FactBuilder.resolve(silver, Seq("Revenue", "Units_Sold"),
-            dims.map { case (sp, d) => (d, sp.naturalKeys, sp.keyCol) })
-          FactBuilder.commit(s, s"$root/factsales", fact, specs.map(_.keyCol))
-          first = false
-        }
-      }
-      Scd1Merge.readTable(s, s"$root/factsales")
+      // medallion lifecycle per batch (SalesReplay). Deviations from
+      // the notebooks, both deliberate: dims dedup their source (the
+      // faithful non-distinct Q2 path and MonotonicId keys are pinned
+      // in GoldenSalesSpec — non-deterministic keys can't be
+      // hash-judged) and dim_date's dead-typo merge branch (Q5) is
+      // implemented as the intended upsert.
+      graft.pipeline.SalesReplay.run(s, tmpDir("graft_sales"))
         .orderBy(col("dim_branch_key"), col("dim_dealer_key"),
-          col("dim_model_key"), col("dim_date_key"))
-    }),
+          col("dim_model_key"), col("dim_date_key"))),
 
     "pipe3_fact_build" -> ((s, dir) => {
       // Fact FK resolution (gold_fact.py:34-38): dims built with

@@ -48,11 +48,14 @@ object Streaming {
     * hour would be missing). Returns the committed table.
     */
   def runAvailableNow(spark: SparkSession, srcDir: String, outPath: String,
-                      checkpointDir: String, watermarkDelay: String = "1 hour"): DataFrame = {
+                      checkpointDir: String, watermarkDelay: String = "1 hour",
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // The source stream reads raw INT64 nanos — requires the legacy
     // nanos passthrough (runtime conf; scoped to this session).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream.schema(EventsRawSchema).parquet(srcDir)
+    val reader = spark.readStream.schema(EventsRawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val events = reader.parquet(srcDir)
     val agg = windowAgg(events, watermarkDelay)
     val q = agg.writeStream
       .outputMode("update")

@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.KeyGenStrategy
+import graft.pipeline.{DimBuilder, DimSpec}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Pipeline semantics: quirk pins (Q2/Q4/Q7) and the incremental ≡
+  * full-load invariant over random batch splits. */
+class PipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def spec(distinct: Boolean, keyGen: KeyGenStrategy = KeyGenStrategy.Scalable) =
+    DimSpec("dim_t", Seq("nk"), "key", distinctSource = distinct, keyGen = keyGen,
+      attrs = Seq("attr"))
+
+  private def silverOf(rows: Seq[(String, String)]) = rows.toDF("nk", "attr")
+
+  test("Q2: only distinctSource dims dedup — non-distinct keeps duplicate rows with distinct keys") {
+    val silver = silverOf(Seq(("a", "x"), ("a", "x"), ("b", "y")))
+    val dup = DimBuilder.build(spark, silver, spec(distinct = false), None, "0")
+    val ded = DimBuilder.build(spark, silver, spec(distinct = true), None, "0")
+    assert(dup.count() == 3, "non-distinct keeps the duplicate source row")
+    assert(dup.select($"key").distinct().count() == 3, "dup rows get distinct keys")
+    assert(ded.count() == 2)
+  }
+
+  test("Q4: initial-load base is 1, so row_number keys start at 2") {
+    val dim = DimBuilder.build(spark, silverOf(Seq(("a", "x"), ("b", "y"))),
+      spec(distinct = true), None, incrementalFlag = "0")
+    assert(dim.agg(min($"key")).first().getLong(0) == 2L)
+  }
+
+  test("Q7: any flag other than '0' means incremental (continues from max key)") {
+    val existing = Seq((5L, "a", "x")).toDF("key", "nk", "attr")
+    // flag "banana" != "0" -> incremental: base = max(existing.key) = 5
+    val dim = DimBuilder.build(spark, silverOf(Seq(("a", "x"), ("b", "y"))),
+      spec(distinct = true), Some(existing), incrementalFlag = "banana")
+    val newRow = dim.filter($"nk" === "b").first()
+    assert(newRow.getAs[Long]("key") == 6L)
+  }
+
+  test("replaying a batch is a no-op (Q3 upsert idempotency through the table path)") {
+    val path = Tmp.dir("pipe_idem") + "/dim"
+    val silver = silverOf(Seq(("a", "x"), ("b", "y")))
+    val r1 = canon(DimBuilder.buildAndCommit(spark, silver, spec(distinct = true), path, "0"))
+    val r2 = canon(DimBuilder.buildAndCommit(spark, silver, spec(distinct = true), path, "1"))
+    assert(r1 == r2)
+  }
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).getOrElse(sys.error("gen failed"))
+
+  test("incremental load over k batches ≡ one full load (property, 4 seeded cases)") {
+    val rowsGen = Gen.chooseNum(2, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.identifier.map(_.take(8))).map(_.distinct.map(k => (k, s"attr_$k"))))
+    for (seed <- 1L to 4L) {
+      val rows = sample(rowsGen, seed)
+      val nCuts = sample(Gen.chooseNum(1, 4), seed * 7)
+      val batches = rows.grouped(math.max(1, rows.size / nCuts)).toSeq
+
+      // incremental: commit batch by batch
+      val incPath = Tmp.dir(s"pipe_prop_inc$seed") + "/dim"
+      batches.zipWithIndex.foreach { case (b, i) =>
+        DimBuilder.buildAndCommit(spark, silverOf(b), spec(distinct = true), incPath,
+          if (i == 0) "0" else "1")
+      }
+      val inc = graft.merge.Scd1Merge.readTable(spark, incPath)
+
+      // full: one-shot load
+      val fullPath = Tmp.dir(s"pipe_prop_full$seed") + "/dim"
+      DimBuilder.buildAndCommit(spark, silverOf(rows), spec(distinct = true), fullPath, "0")
+      val full = graft.merge.Scd1Merge.readTable(spark, fullPath)
+
+      // natural-key contents identical
+      assert(canon(inc.select($"nk", $"attr")) == canon(full.select($"nk", $"attr")),
+        s"content diverged for seed=$seed")
+      // surrogate keys: a bijection onto a dense range starting at 2,
+      // not necessarily the same assignment (batch order differs)
+      val incKeys = inc.select($"key").collect().map(_.getLong(0)).sorted
+      assert(incKeys.toSeq == (2L until 2L + rows.size).toSeq,
+        s"keys not dense for seed=$seed")
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosine is the sequential-fold double cosine") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 2.0f)),
+                 (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+                 (Array(3.0f, 4.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b").as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+  }
+
+  test("topK returns k best per query with deterministic tie-break") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+    val got = Similarity.topK(emb, q, "vec_id", "embedding", 4)
+    val byQuery = got.groupBy($"query_id").count().collect()
+    assert(byQuery.length == 3 && byQuery.forall(_.getLong(1) == 4L))
+    // ranks are 1..4 and cos_sim non-increasing within each query
+    got.collect().groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 4))
+      val sims = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+      // self-match excluded
+      assert(!rows.exists(r => r.getAs[Long]("vec_id") == r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("annTopK achieves exact recall at the judged parameter point") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val exact = canon(Similarity.topK(emb, q, "vec_id", "embedding", 5)
+      .select($"query_id", $"rank", $"vec_id"))
+    val ann = canon(Similarity.annTopK(emb, q, "vec_id", "embedding", 5,
+        tables = 64, bits = 4, dim = 64)
+      .select($"query_id", $"rank", $"vec_id"))
+    assert(ann == exact)
+  }
+
+  test("annTopK plan has no cartesian product") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val plan = Similarity.annTopK(emb, q, "vec_id", "embedding", 5,
+      tables = 8, bits = 4, dim = 64).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "candidate join must be an equi-join")
+  }
+}

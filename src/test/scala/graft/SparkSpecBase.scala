@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole suite run (SparkSession
+  * .builder.getOrCreate returns the running one), UTC + tiny shuffle
+  * fan-out so plans resemble the Verify configuration. */
+trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSpecBase.session
+
+  /** Rows as sorted string tuples — order- and partitioning-independent
+    * content equality. */
+  def canon(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq
+      .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+      .sortBy(_.mkString(""))
+
+  def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.columns.toSeq == b.columns.toSeq, "column sets differ")
+    assert(canon(a) == canon(b))
+  }
+}
+
+object SparkSpecBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
