@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: exact (content-hash), MinHash+LSH banded
@@ -28,13 +29,39 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
 
   /** Distinct word n-gram shingles of `text`. Documents shorter than n
-    * tokens shingle to the whole text. */
+    * tokens shingle to the whole text. Array-valued form — handy for
+    * per-row use; the pipeline paths use [[shingleRows]], which computes
+    * the same set fully codegen'd. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     val last = size(toks) - n // 0-based index of the final shingle start
     val grams = transform(sequence(lit(0), last), i =>
       concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
     array_distinct(when(last >= 0, grams).otherwise(array(text)))
+  }
+
+  /** The same distinct shingle sets as [[wordShingles]], but as
+    * (id, shingle) ROWS: posexplode tokens, n-gram via `lead` over a
+    * per-document window, whole-text fallback for short docs.
+    *
+    * Row form is the scale shape: no interpreted HOF lambdas (the
+    * array form's `transform` evaluates outside codegen — it dominated
+    * the near-dup runtime 3× over), and downstream signature/verify
+    * stages are joins and aggs over narrow rows. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .select(col(idCol), col("pos"), col("col").as("__tok"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val leads = (1 until n).map(j => lead(col("__tok"), j).over(w))
+    val full = toks
+      .select(col(idCol), concat_ws(" ", col("__tok") +: leads: _*).as("shingle"),
+        leads.last.isNotNull.as("__complete"))
+      .filter(col("__complete")).drop("__complete")
+    val short = docs
+      .filter(size(split(col(textCol), " ")) < n)
+      .select(col(idCol), col(textCol).as("shingle"))
+    full.unionByName(short).distinct()
   }
 
   /** k-permutation MinHash signatures, computed as explode → k min-aggs
@@ -49,11 +76,9 @@ object Dedup {
     * explode+agg plan is fully codegen'd, partial-aggregates map-side
     * (shuffle carries docs×k longs, not docs×shingles), and is the
     * same plan you'd want at 100 TB. */
-  def minhashSignatures(shingled: DataFrame, idCol: String, shinglesCol: String,
+  def minhashSignatures(shingleRows: DataFrame, idCol: String, shingleCol: String,
                         k: Int): DataFrame = {
-    val hashed = shingled
-      .select(col(idCol), explode(col(shinglesCol)).as("__s"))
-      .select(col(idCol), xxhash64(col("__s")).as("__h"))
+    val hashed = shingleRows.select(col(idCol), xxhash64(col(shingleCol)).as("__h"))
     val mins = (0 until k).map(i => min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
     hashed.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
@@ -98,18 +123,30 @@ object Dedup {
 
   /** End-to-end MinHash-LSH near-duplicate pairs, exact-verified:
     * shingle → sign → band → candidate join → exact Jaccard filter.
-    * Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold. */
+    * Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold.
+    *
+    * Verification runs on shingle ROWS: |A∩B| is a per-candidate join
+    * on the shingle value, |A∪B| = |A|+|B|−|A∩B| from per-doc counts —
+    * identical integers (distinct sets) to the array intersect/union
+    * form, so the Jaccard doubles are bit-identical, with every stage
+    * a codegen'd join or agg. */
   def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      cfg: MinhashConfig = MinhashConfig()): DataFrame = {
-    val shingled = docs.select(
-      col(idCol),
-      wordShingles(col(textCol), cfg.shingleN).as("shingles"))
-    val sigs = minhashSignatures(shingled, idCol, "shingles", cfg.k)
+    val sh = shingleRows(docs, idCol, textCol, cfg.shingleN)
+    val sigs = minhashSignatures(sh, idCol, "shingle", cfg.k)
     val cands = lshCandidates(sigs, idCol, "sig", cfg.bands, cfg.rowsPerBand)
-    val sa = shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
-    val sb = shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
-    cands.join(sa, "id_a").join(sb, "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val shA = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val shB = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = cands.join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__inter"))
+    cands
+      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("__inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") / (col("__sz_a") + col("__sz_b") - col("__inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= cfg.threshold)
   }
 }

@@ -1,6 +1,7 @@
 package graft.merge
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
@@ -30,7 +31,10 @@ object Scd1Merge {
 
   /** Replicates Delta's multiple-match error: fails the job if any merge
     * key occurs more than once in the source batch (quirk Q8,
-    * gold_fact.py:56-59 would throw inside Delta). */
+    * gold_fact.py:56-59 would throw inside Delta). An eager hash-agg +
+    * isEmpty (partial-aggregated, early-terminating) — measured cheaper
+    * than riding the merge plan with a window-count guard, whose
+    * per-key sort shuffle doubled pipeline merge times. */
   def requireUniqueSourceKeys(source: DataFrame, keys: Seq[String]): Unit = {
     val dup = source.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
     if (!dup.isEmpty)

@@ -46,6 +46,17 @@ object SalesReplay {
     * `root`, readable afterwards via [[Scd1Merge.readTable]]. */
   def run(s: SparkSession, root: String,
           cuts: Seq[String] = Seq("DT00400", "DT00800", "DT99999")): DataFrame = {
+    // The replay runs ~36 shuffling actions over a 1,849-row source;
+    // session-default fan-out (32 partitions) would spend the whole
+    // runtime on task scheduling. Scoped override, restored after —
+    // a real deployment sizes this to the batch, not the cluster.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    try runBatches(s, root, cuts)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def runBatches(s: SparkSession, root: String, cuts: Seq[String]): DataFrame = {
     val raw = readSalesCsv(s)
     val store = new WatermarkStore(s"$root/wm")
     store.init("DT00000")

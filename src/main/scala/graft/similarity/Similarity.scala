@@ -70,11 +70,15 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded into [-1, 1]. Fixed by construction — no RNG state
-    * to ship to executors. */
-  private def hyper(plane: Int, d: Column): Column =
-    (pmod(xxhash64(lit(plane), d), lit(2000001L)) - 1000000L) / 1000000.0
+  /** Deterministic hyperplane components, one literal array per plane:
+    * seeded PRNG evaluated at PLAN time, so the per-row work is an
+    * array index + multiply instead of a hash call (256 planes × 64
+    * dims × n rows of xxhash64 was the ANN bottleneck). The literals
+    * ship inside the serialized plan — a few KB. */
+  private def hyperPlane(plane: Int, dim: Int): Column = {
+    val rng = new scala.util.Random(0xC0FFEE + plane * 10007L)
+    typedLit(Seq.fill(dim)(rng.nextDouble() * 2 - 1))
+  }
 
   /** Sign-bit LSH buckets for every vector: `tables` packed bucket ids
     * per row, one per hash table of `bits` hyperplanes.
@@ -86,12 +90,13 @@ object Similarity {
     * end, partial-aggregates map-side, and scales as n×dim narrow rows.
     */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
-                 tables: Int, bits: Int, outId: String): DataFrame = {
+                 tables: Int, bits: Int, outId: String, dim: Int): DataFrame = {
     val e = df
       .select(col(idCol).as(outId), posexplode(col(vecCol)))
       .select(col(outId), col("pos").as("__d"), col("col").cast("double").as("__x"))
     val dotAggs = for (t <- 0 until tables; p <- 0 until bits)
-      yield sum(col("__x") * hyper(t * bits + p, col("__d"))).as(s"__dp_${t}_$p")
+      yield sum(col("__x") * element_at(hyperPlane(t * bits + p, dim), col("__d") + 1))
+        .as(s"__dp_${t}_$p")
     val dots = e.groupBy(col(outId)).agg(dotAggs.head, dotAggs.tail: _*)
     val buckets = array((0 until tables).map { t =>
       (0 until bits).map { p =>
@@ -112,8 +117,8 @@ object Similarity {
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, tables: Int = 8, bits: Int = 10, dim: Int = 64): DataFrame = {
-    val cb = lshBuckets(corpus, idCol, vecCol, tables, bits, "vec_id")
-    val qb = lshBuckets(queries, idCol, vecCol, tables, bits, "query_id")
+    val cb = lshBuckets(corpus, idCol, vecCol, tables, bits, "vec_id", dim)
+    val qb = lshBuckets(queries, idCol, vecCol, tables, bits, "query_id", dim)
     val cands = cb.join(broadcast(qb), Seq("t", "bkt"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))

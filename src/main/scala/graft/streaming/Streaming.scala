@@ -53,6 +53,20 @@ object Streaming {
     // The source stream reads raw INT64 nanos — requires the legacy
     // nanos passthrough (runtime conf; scoped to this session).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // State-store partitioning follows spark.sql.shuffle.partitions and
+    // each partition carries per-batch commit overhead; the windowed agg
+    // holds a few thousand keys, so a wide fan-out is pure overhead.
+    // Scoped override, restored after (a fresh checkpoint per run means
+    // the baked-in state partitioning doesn't conflict across runs).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    try runStream(spark, srcDir, outPath, checkpointDir, watermarkDelay, maxFilesPerTrigger)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def runStream(spark: SparkSession, srcDir: String, outPath: String,
+                        checkpointDir: String, watermarkDelay: String,
+                        maxFilesPerTrigger: Option[Int]): DataFrame = {
     val reader = spark.readStream.schema(EventsRawSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val events = reader.parquet(srcDir)

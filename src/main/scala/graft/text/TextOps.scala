@@ -83,14 +83,17 @@ object TextOps {
 
   /** Winnowing-style document fingerprint: the minimum MD5 over 5-word
     * shingles, plus the whole-content MD5. Two documents sharing a
-    * fingerprint very likely share a 5-word run. */
-  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = graft.dedup.Dedup.wordShingles(col(textCol), 5)
-    docs.select(
-      col(idCol),
-      array_min(transform(sh, s => md5(s))).as("min_shingle_fp"),
-      md5(col(textCol)).as("content_fp"))
-  }
+    * fingerprint very likely share a 5-word run.
+    *
+    * Computed as explode → min-agg (codegen'd, map-side partial agg),
+    * not `array_min(transform(...))` — HOF lambdas evaluate interpreted
+    * and cost ~10s on 5k docs. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.dedup.Dedup.shingleRows(docs, idCol, textCol, 5)
+      .groupBy(col(idCol))
+      .agg(min(md5(col("shingle"))).as("min_shingle_fp"))
+      .join(docs.select(col(idCol), md5(col(textCol)).as("content_fp")), idCol)
+      .select(col(idCol), col("min_shingle_fp"), col("content_fp"))
 
   /** 60-bit SimHash over the distinct-token bag. Each token hashes to a
     * 60-bit value (15 hex chars of its MD5); bit j of the SimHash is 1

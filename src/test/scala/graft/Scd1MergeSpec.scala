@@ -28,9 +28,13 @@ class Scd1MergeSpec extends SparkSpecBase {
   test("Q8: duplicate source keys abort the merge (Delta multiple-match parity)") {
     val target = Seq((1L, "a")).toDF("k", "v")
     val dupSource = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
-    assertThrows[IllegalArgumentException] {
+    val e = intercept[IllegalArgumentException] {
       Scd1Merge.merge(target, dupSource, Seq("k"))
     }
+    assert(e.getMessage.contains("duplicate source rows"))
+    // unique keys sail through the same plan
+    val ok = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    assert(Scd1Merge.merge(target, ok, Seq("k")).count() == 2)
   }
 
   private def bucketDirs(path: String): Map[String, Long] =
