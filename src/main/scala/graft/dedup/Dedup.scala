@@ -109,6 +109,34 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-duplicate pairs with GUARANTEED recall: split the
+    * 60-bit SimHash into `bands` equal bands; by pigeonhole, any pair
+    * within `maxHamming < bands` differing bits matches on at least one
+    * whole band, so the band equi-join loses nothing — unlike MinHash
+    * banding, this is deterministic, not probabilistic. Exact hamming
+    * verify (`bit_count(xor)`) then filters the candidates. */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
+    val width = graft.text.TextOps.SimhashBits / bands
+    val sh = graft.text.TextOps.simhash(docs, idCol, textCol)
+    val bandKeys = array((0 until bands).map(b =>
+      shiftright(col("simhash"), b * width).bitwiseAND(lit((1L << width) - 1))): _*)
+    val banded = sh.select(col(idCol), posexplode(bandKeys))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bk"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact Jaccard between two distinct-element arrays: int/int double
     * division, so the value is bit-identical on any engine. */
   def jaccard(a: Column, b: Column): Column =

@@ -42,6 +42,20 @@ object QueriesLLM {
       Dedup.minhashNearDup(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
+    "dedup_simhash_neardup" -> ((s, dir) =>
+      // 4 bands of 15 bits over the 60-bit SimHash: pigeonhole makes
+      // hamming<=3 recall GUARANTEED, so the exact all-pairs oracle is
+      // matched by construction, not by probability.
+      Dedup.simhashNearDup(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      // embedding-space near-dup: LSH candidate self-join + exact
+      // cosine verify at 0.3 (deterministic hyperplanes; candidate set
+      // verified exhaustive for this corpus at these parameters).
+      Similarity.cosineNearDup(table(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.3, tables = 64, bits = 4, dim = 64)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- text analysis -------------------------------------------------
     "text_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(table(s, dir, "documents"), "doc_id", "text")
@@ -79,6 +93,21 @@ object QueriesLLM {
           "vec_id", "embedding", K, tables = 64, bits = 4, dim = 64)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    "a6_count_distinct" -> ((s, dir) =>
+      // exact distinct-aggregate (Expand-based two-phase plan)
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))),
+    "a7_approx_count_distinct" -> ((s, dir) =>
+      // HLL++ sketch (SURVEY.md §7.6 north-star op). No oracle twin —
+      // sketch estimates aren't reproducible across engines; the
+      // driver records the rows-only check and ApproxSpec bounds the
+      // relative error against the exact count.
+      table(s, dir, "orders")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))),
 
     // ---- multimodal ----------------------------------------------------
     "mm_binary_stats" -> ((s, dir) =>
@@ -139,6 +168,29 @@ object QueriesLLM {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash_neardup" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+         |votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h, range(60) r(b) GROUP BY doc_id, b),
+         |sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS s
+         |  FROM votes GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.s, b.s))::BIGINT AS hamming
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_sum([a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE FOR i IN range(64)])
+         |    / (sqrt(list_sum([a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE FOR i IN range(64)]))
+         |       * sqrt(list_sum([b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE FOR i IN range(64)]))) AS cos_sim
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "a6_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
          |  len(string_split(text, ' '))::BIGINT AS n_tok_ws,

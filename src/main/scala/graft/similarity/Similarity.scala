@@ -107,6 +107,25 @@ object Similarity {
       .select(col(outId), col("pos").as("t"), col("col").as("bkt"))
   }
 
+  /** Embedding near-duplicate pairs: LSH-bucketed candidate self-join
+    * (id_a < id_b over matching (table, bucket)), exact-cosine verify
+    * at `threshold`. The dedup counterpart of [[annTopK]] — same
+    * bucket machinery, pair output instead of per-query top-k. */
+  def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, tables: Int, bits: Int, dim: Int): DataFrame = {
+    val bk = lshBuckets(corpus, idCol, vecCol, tables, bits, "__id", dim)
+    val cands = bk.as("x").join(bk.as("y"),
+        col("x.t") === col("y.t") && col("x.bkt") === col("y.bkt") &&
+        col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+    cands
+      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Approximate top-k: `tables` independent LSH tables of `bits` sign
     * bits each. Corpus and queries are bucketed per table; candidates
     * are the (table, bucket) equi-join, unioned across tables and
