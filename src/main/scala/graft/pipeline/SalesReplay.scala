@@ -19,7 +19,13 @@ object SalesReplay {
     * schema (sidesteps the UTF-8 BOM on the header line — the header is
     * skipped, not parsed), RFC-4180 quotes, empty string -> null
     * (SURVEY.md §1.1). */
-  def readSalesCsv(s: SparkSession): DataFrame =
+  def readSalesCsv(s: SparkSession): DataFrame = {
+    // Spark-bug workaround: a pushed CSV filter whose column is pruned
+    // from the required schema (e.g. count() over a join-filtered CSV
+    // lineage) crashes UnivocityParser's OrderedFilters with an
+    // ArrayIndexOutOfBounds. CSV pushdown buys nothing at this volume;
+    // parquet pushdown (the scale path) is unaffected.
+    s.conf.set("spark.sql.csv.filterPushdown.enabled", "false")
     s.read
       .schema("Branch_ID STRING, Dealer_ID STRING, Model_ID STRING, " +
         "Revenue BIGINT, Units_Sold BIGINT, Date_ID STRING, " +
@@ -28,6 +34,7 @@ object SalesReplay {
       .option("header", "true")
       .option("nullValue", "")
       .csv(CsvPath)
+  }
 
   /** Deterministic dim specs (distinct + Scalable keys) — judged; the
     * faithful Q2/MonotonicId variants are pinned in GoldenSalesSpec. */

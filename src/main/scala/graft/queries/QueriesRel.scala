@@ -270,7 +270,7 @@ object QueriesRel {
       // Scale-mode surrogate keys: identical output to w1_rownumber_keys'
       // strategy but numbered per-partition with prefix-sum offsets.
       KeyGenStrategy.Scalable
-        .assign(table(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        .assignPartitioned(table(s, dir, "customer").select(col("c_custkey"), col("c_name")),
           "c_name", "dim_key", 1L)
         .select(col("dim_key"), col("c_custkey"), col("c_name"))
         .orderBy(col("dim_key"))),

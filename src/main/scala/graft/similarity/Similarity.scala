@@ -60,11 +60,15 @@ object Similarity {
     */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
            k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    // norms are projected BELOW the join: one fold per vector, not one
+    // per (query, vector) pair — the pair-level work is the dot alone
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(norm2(col(vecCol))).as("qn"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      sqrt(norm2(col(vecCol))).as("cn"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("qv"), col("cv")).as("cos_sim"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
     topKPerKey(scored, col("query_id"),
         Seq(col("cos_sim").desc, col("vec_id").asc), k, saltOn = col("vec_id"))
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
@@ -119,10 +123,15 @@ object Similarity {
         col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
+    val withNorm = corpus.select(col(idCol), col(vecCol),
+      sqrt(norm2(col(vecCol))).as("__n"))
     cands
-      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
-      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_sim"))
+      .join(withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        col("__n").as("na")), "id_a")
+      .join(withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+        col("__n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -143,10 +152,12 @@ object Similarity {
       .select(col("query_id"), col("vec_id"))
       .distinct()
     val scored = cands
-      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv")), "vec_id")
-      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+        sqrt(norm2(col(vecCol))).as("cn")), "vec_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        sqrt(norm2(col(vecCol))).as("qn"))), "query_id")
       .select(col("query_id"), col("vec_id"),
-        cosine(col("qv"), col("cv")).as("cos_sim"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
     topKPerKey(scored, col("query_id"),
         Seq(col("cos_sim").desc, col("vec_id").asc), k, saltOn = col("vec_id"))
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))

@@ -29,7 +29,9 @@ class SurrogateKeysSpec extends SparkSpecBase {
       val df = keys.toDF("nk").repartition(4)
       val g = KeyGenStrategy.GlobalWindow.assign(df, "nk", "key", base)
         .select($"key", $"nk")
-      val sc = KeyGenStrategy.Scalable.assign(df, "nk", "key", base)
+      // assignPartitioned: exercise the two-pass scale path directly
+      // (plain assign would route these small inputs to the window path)
+      val sc = KeyGenStrategy.Scalable.assignPartitioned(df, "nk", "key", base)
         .select($"key", $"nk")
       assert(canon(g) == canon(sc), s"diverged for seed=$seed n=${keys.size} base=$base")
     }
@@ -37,7 +39,7 @@ class SurrogateKeysSpec extends SparkSpecBase {
 
   test("Scalable keys are dense base+1..base+n in natural-key order") {
     val df = (1 to 100).map(i => f"k$i%03d").toDF("nk").repartition(3)
-    val keyed = KeyGenStrategy.Scalable.assign(df, "nk", "key", 1L)
+    val keyed = KeyGenStrategy.Scalable.assignPartitioned(df, "nk", "key", 1L)
     val rows = keyed.orderBy($"key").collect()
       .map(r => (r.getAs[Long]("key"), r.getAs[String]("nk")))
     assert(rows.map(_._1).toSeq == (2L to 101L))
