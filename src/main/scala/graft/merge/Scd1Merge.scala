@@ -98,7 +98,12 @@ object Scd1Merge {
     val merged = merge(target, bucketed, keys)
     val tmp = tablePath + ".tmp"
     val old = tablePath + ".old"
-    merged.write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+    // repartition on the bucket column before the partitioned write:
+    // without it every shuffle partition spills a sliver into every
+    // bucket dir (partitions × buckets small files); with it each
+    // bucket's data is co-located and lands as ~one file.
+    merged.repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
     Files.createDirectories(Paths.get(old))
     touched.foreach { b =>
       val name = s"$BucketCol=$b"
