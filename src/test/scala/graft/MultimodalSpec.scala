@@ -1,0 +1,47 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def media(texts: (Long, String)*) =
+    Multimodal.asMedia(texts.toDF("doc_id", "text"), "doc_id", "text")
+
+  test("asMedia wraps text as binary payload with typed metadata") {
+    val r = media((1L, "abc")).first()
+    assert(r.getAs[Array[Byte]]("payload").toSeq == "abc".getBytes("UTF-8").toSeq)
+    val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[String]("mime") == "text/plain")
+    assert(meta.getAs[Long]("n_bytes") == 3L)
+  }
+
+  test("binaryStats sniffs magic bytes and fingerprints content") {
+    val r = Multimodal.binaryStats(media((1L, "abcdef"))).first()
+    assert(r.getAs[String]("magic_hex") == "61626364")
+    assert(r.getAs[Long]("n_bytes") == 6L)
+  }
+
+  test("frameSample covers edge cases: exact multiple, short tail, tiny payload") {
+    // stride 4, frameLen 2: 10 bytes -> frames at 0,4,8; last frame is 2 bytes
+    val f = Multimodal.frameSample(media((1L, "0123456789"), (2L, "ab")), 2, 4)
+      .orderBy($"doc_id", $"frame_no").collect()
+    val d1 = f.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 1, 2))
+    assert(d1.map(_.getAs[Long]("frame_bytes")).toSeq == Seq(2L, 2L, 2L))
+    // 2-byte payload -> one frame of 2 bytes
+    val d2 = f.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.length == 1 && d2.head.getAs[Long]("frame_bytes") == 2L)
+  }
+
+  test("decodeStub produces deterministic byte features over typed batches") {
+    val docs = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeStub(
+        Multimodal.asMediaDataset(spark, docs, "doc_id", "text"))
+      .collect().sortBy(_.doc_id)
+    assert(feats(0).n_bytes == 2L && feats(0).head_byte == 'a'.toInt &&
+      feats(0).byte_sum == 'a'.toInt + 'b'.toInt)
+    assert(feats(1).n_bytes == 0L && feats(1).head_byte == -1 && feats(1).byte_sum == 0L)
+  }
+}
