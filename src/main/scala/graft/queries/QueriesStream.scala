@@ -15,6 +15,28 @@ object QueriesStream {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "stream_dedup" -> ((s, dir) => {
+      // Cross-micro-batch exact dedup: the SAME events file lands
+      // twice (two micro-batches via maxFilesPerTrigger=1); state
+      // filters every batch-2 row, so the sink equals one copy.
+      val src = graft.Tmp.dir("graft_sdedup_src")
+      Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(src, "a.parquet"))
+      Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(src, "b.parquet"))
+      val out = graft.Tmp.dir("graft_sdedup_out") + "/dedup"
+      val ckpt = graft.Tmp.dir("graft_sdedup_ckpt")
+      Streaming.runDedupAvailableNow(s, src, out, ckpt,
+          keyCols = Seq("event_id"), maxFilesPerTrigger = Some(1))
+        .orderBy(col("event_id"))
+    }),
+    "stream_sessionize" -> ((s, dir) => {
+      // gaps-and-islands sessionization (30-min inactivity gap) over
+      // the event stream — lag + running-sum windows per user.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+      Streaming.sessionize(ev, gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_id"))
+    }),
     "stream_window_agg" -> ((s, dir) => {
       // Trigger.AvailableNow file stream -> event-time watermark ->
       // 1h tumbling window agg -> foreachBatch SCD1-upsert, then read
@@ -31,6 +53,23 @@ object QueriesStream {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+         |FROM events ORDER BY event_id""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |m AS (SELECT user_id, us,
+         |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+         |       THEN 1 ELSE 0 END AS ns FROM e),
+         |s AS (SELECT user_id, us,
+         |  (sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id FROM m)
+         |SELECT user_id, session_id,
+         |  make_timestamp(min(us)) AS session_start,
+         |  make_timestamp(max(us)) AS session_end,
+         |  count(*) AS n_events
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n_events,

@@ -82,4 +82,58 @@ object Streaming {
     q.awaitTermination()
     Scd1Merge.readTable(spark, outPath)
   }
+
+  /** Streaming exact-dedup: drop duplicate `keyCols` rows ACROSS
+    * micro-batches (state keeps seen keys), appending survivors to a
+    * parquet sink — the streaming face of `Dedup.exactDedup`; the
+    * first arrival of a key wins and later arrivals are filtered by
+    * state. */
+  def runDedupAvailableNow(spark: SparkSession, srcDir: String, outPath: String,
+                           checkpointDir: String, keyCols: Seq[String],
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val reader = spark.readStream.schema(EventsRawSchema)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val events = reader.parquet(srcDir)
+        .select("event_id", "user_id", "event_type", "value")
+      val q = events
+        .dropDuplicates(keyCols)
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .format("parquet")
+        .option("path", outPath)
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outPath)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  /** Per-user sessionization (gaps-and-islands): a new session starts
+    * after `gapMinutes` of inactivity. Timestamps are truncated to µs
+    * BEFORE gap arithmetic so the integers match an engine whose
+    * timestamp type is µs. Batch windowed form: lag + running sum per
+    * user — partitions by user, no global window. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__us", expr("ts div 1000"))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("__us") - col("__prev") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__new")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        timestamp_micros(min(col("__us"))).as("session_start"),
+        timestamp_micros(max(col("__us"))).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
 }
