@@ -49,13 +49,26 @@ object Scd1Merge {
       .unionByName(source.select(target.columns.map(col): _*))
   }
 
-  /** Number of hash buckets in the on-disk table layout. Local default;
-    * at scale size it so one bucket is a few hundred MB
-    * (≈ table_bytes / 256 MB) — a small incremental batch then touches
-    * (and rewrites) only its own buckets, not the whole table. */
+  /** Bucket count used when the caller doesn't choose one. At scale,
+    * pick ≈ table_bytes / 256 MB at create time — NOT from
+    * `optimizedPlan.stats` of the source frame: above a scan (joins,
+    * windows) those estimates explode by orders of magnitude, and an
+    * oversized bucket count shatters a small table into one-row files
+    * (measured 2-3× slower pipeline commits). */
   val DefaultNumBuckets = 32
 
   private val BucketCol = "__bucket"
+
+  /** Bucket-count metadata rides inside the table dir; the leading
+    * underscore keeps Spark's file index from treating it as data. */
+  private def metaPath(tablePath: String): Path =
+    Paths.get(tablePath, "_graft_buckets")
+
+  private def readNumBuckets(tablePath: String): Int = {
+    val p = metaPath(tablePath)
+    if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toInt
+    else DefaultNumBuckets
+  }
 
   private def withBucket(df: DataFrame, keys: Seq[String], numBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
@@ -81,21 +94,34 @@ object Scd1Merge {
     * atomicity rests on the documented single-writer assumption.
     */
   def upsert(spark: SparkSession, tablePath: String, source: DataFrame, keys: Seq[String],
-             numBuckets: Int = DefaultNumBuckets): Unit = {
+             numBuckets: Int = 0): Unit = {
     val dir = Paths.get(tablePath)
-    val bucketed = withBucket(source, keys, numBuckets)
     if (!Files.exists(dir)) {
-      bucketed.write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tablePath)
+      val nb = if (numBuckets > 0) numBuckets else DefaultNumBuckets
+      withBucket(source, keys, nb)
+        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tablePath)
+      Files.write(metaPath(tablePath), nb.toString.getBytes)
       return
     }
-    // Partition pruning: only the source-touched buckets are scanned
-    // from the target, merged, and rewritten.
-    val touched: Seq[Int] = bucketed.select(col(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    val nb = readNumBuckets(tablePath)
+    val bucketed = withBucket(source, keys, nb)
+    // ONE probe job covers both pre-checks: per-bucket (touched set for
+    // partition pruning) and per-key max multiplicity (the Q8
+    // multiple-match error, same semantics as requireUniqueSourceKeys).
+    val probe = bucketed
+      .groupBy(col(BucketCol) +: keys.map(col): _*).agg(count(lit(1)).as("__c"))
+      .groupBy(col(BucketCol)).agg(max(col("__c")).as("__maxc"))
+      .collect()
+    if (probe.exists(_.getLong(1) > 1))
+      throw new IllegalArgumentException(
+        s"SCD1 merge aborted: duplicate source rows for merge key ${keys.mkString(",")}")
+    val touched: Seq[Int] = probe.map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return // empty batch: nothing to merge or rewrite
     val target = spark.read.parquet(tablePath)
       .filter(col(BucketCol).isin(touched: _*))
-    val merged = merge(target, bucketed, keys)
+    // dup check already done by the probe — plain anti-join + union
+    val merged = target.join(bucketed, keys, "left_anti")
+      .unionByName(bucketed.select(target.columns.map(col): _*))
     val tmp = tablePath + ".tmp"
     val old = tablePath + ".old"
     // repartition on the bucket column before the partitioned write:

@@ -49,7 +49,9 @@ class Scd1MergeSpec extends SparkSpecBase {
   test("upsert rewrites only the buckets the source batch touches") {
     val path = Tmp.dir("scd1_bucket") + "/t"
     val initial = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
-    Scd1Merge.upsert(spark, path, initial, Seq("k"))
+    // explicit numBuckets: adaptive sizing would give this tiny table
+    // few buckets; 32 makes the bounded-rewrite assertion sharp
+    Scd1Merge.upsert(spark, path, initial, Seq("k"), numBuckets = 32)
     val before = bucketDirs(path)
     assert(before.size > 10, "initial load should span many buckets")
 
