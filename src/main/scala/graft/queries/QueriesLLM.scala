@@ -72,6 +72,17 @@ object QueriesLLM {
     "text_langid" -> ((s, dir) =>
       TextOps.langId(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "text_normalize" -> ((s, dir) =>
+      TextOps.normalized(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "text_langid_eval" -> ((s, dir) =>
+      // heuristic quality measured against the corpus's ground-truth
+      // lang column: a (truth, prediction) confusion table
+      TextOps.langId(table(s, dir, "documents"), "doc_id", "text")
+        .join(table(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))),
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -227,6 +238,31 @@ object QueriesLLM {
          |       WHEN hits_fr >= hits_zh THEN 'fr'
          |       ELSE 'zh' END AS pred_lang
          |FROM h ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+         |  length(text)::BIGINT AS raw_len,
+         |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))::BIGINT AS norm_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid_eval" ->
+      s"""WITH toks AS ($DocToks),
+         |h AS (SELECT doc_id,
+         |  len(list_filter(t, x -> list_contains(['der','die','das','und','ist'], x)))::BIGINT AS hits_de,
+         |  len(list_filter(t, x -> list_contains(['the','a','of','and','is'], x)))::BIGINT AS hits_en,
+         |  len(list_filter(t, x -> list_contains(['el','los','las','que','es'], x)))::BIGINT AS hits_es,
+         |  len(list_filter(t, x -> list_contains(['le','les','des','est','et'], x)))::BIGINT AS hits_fr,
+         |  len(list_filter(t, x -> list_contains(['de5','shi4','le5','zai4','he2'], x)))::BIGINT AS hits_zh
+         | FROM toks),
+         |pred AS (SELECT doc_id,
+         |  CASE WHEN hits_de >= greatest(hits_en, hits_es, hits_fr, hits_zh) THEN 'de'
+         |       WHEN hits_en >= greatest(hits_es, hits_fr, hits_zh) THEN 'en'
+         |       WHEN hits_es >= greatest(hits_fr, hits_zh) THEN 'es'
+         |       WHEN hits_fr >= hits_zh THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang
+         | FROM h)
+         |SELECT d.lang, p.pred_lang, count(*) AS n
+         |FROM documents d JOIN pred p USING (doc_id)
+         |GROUP BY d.lang, p.pred_lang ORDER BY lang, pred_lang""".stripMargin,
     "text_fingerprint" ->
       s"""WITH toks AS ($DocToks),
          |sh AS (SELECT doc_id, text, ${shingles(5)} AS s FROM toks)

@@ -50,6 +50,17 @@ object TextOps {
       (charSum.cast("double") / nTok).as("avg_tok_len"))
   }
 
+  /** Corpus normalization: lowercase, strip non-alphanumeric symbols,
+    * collapse whitespace runs, trim — the canonical pre-dedup cleanup
+    * pass. Pure codegen'd string expressions. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  def normalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), normalize(col(textCol)).as("norm_text"),
+      length(col(textCol)).cast("long").as("raw_len"),
+      length(normalize(col(textCol))).cast("long").as("norm_len"))
+
   /** Marker-word profiles for the n-gram/stopword language heuristic.
     * Keys MUST iterate in alphabetical order — ties resolve to the
     * alphabetically-first language on both the Spark and oracle side. */
