@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for embedding math (SURVEY.md §7.6's
+  * "custom Expression beats UDF" rung): the built-in route
+  * (`aggregate(zip_with(...))`) evaluates its lambda INTERPRETED per
+  * element — these generate a tight Java loop inside whole-stage
+  * codegen instead.
+  *
+  * Semantics are pinned to the HOF formulation they replace: elements
+  * cast float→double, then a strict sequential left-to-right fold —
+  * the same additions in the same order, so results stay bit-identical
+  * to the DuckDB oracle's `list_sum` over a list comprehension.
+  */
+abstract class FloatVectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> arguments, got ${l.sql} and ${r.sql}")
+  }
+}
+
+/** Sequential-fold dot product of two float vectors, in doubles. */
+case class DotProduct(left: Expression, right: Expression)
+    extends FloatVectorBinaryExpression {
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |}
+         |${ev.value} = dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "vec_dot"
+}
+
+/** Fused cosine similarity: dot and both norms in ONE pass over the
+  * vectors (the composed form reads each array three times). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends FloatVectorBinaryExpression {
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double x = (double) $a.getFloat(i);
+         |  double y = (double) $b.getFloat(i);
+         |  dot += x * y;
+         |  na += x * x;
+         |  nb += y * y;
+         |}
+         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "vec_cosine"
+}
+
+object VectorFunctions {
+  import GraftExpressionBridge.{column, expression}
+
+  /** Codegen'd sequential-fold dot product over `ARRAY<FLOAT>`. */
+  def vecDot(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  /** Codegen'd fused cosine similarity over `ARRAY<FLOAT>`. */
+  def vecCosine(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+}

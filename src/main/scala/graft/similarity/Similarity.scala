@@ -22,19 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays, in doubles. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two float arrays, in doubles —
+    * a native codegen'd Expression (graft.functions.DotProduct); the
+    * HOF form (`aggregate(zip_with(...))`) computes the same doubles
+    * but interpreted per element. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vecDot(a, b)
 
   /** Sequential-fold squared L2 norm, in doubles. */
-  def norm2(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+  def norm2(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity; null when either side has zero norm. */
+  /** Fused single-pass cosine similarity (native Expression). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+    graft.functions.VectorFunctions.vecCosine(a, b)
 
   /** Keep the k best rows per key without a single giant per-key sort
     * partition: stage 1 ranks within (key, salt-of-id) and keeps k per

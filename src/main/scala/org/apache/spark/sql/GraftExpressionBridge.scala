@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ catalyst-Expression bridge for graft's native expressions.
+  *
+  * Spark 4 moved Column onto ColumnNode and made the conversion
+  * helpers (`classic.ExpressionUtils`) private[sql]; third-party
+  * Catalyst extensions conventionally reach them through a shim in the
+  * `org.apache.spark.sql` package (the same technique widely used by
+  * open-source Spark extension libraries). This is the ONLY file that
+  * package-jumps; everything else lives under `graft.*`.
+  */
+object GraftExpressionBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
