@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SQL surface for graft's native expressions, registered through the
+  * standard `SparkSessionExtensions` hook
+  * (`spark.sql.extensions=graft.GraftExtensions`): `vec_dot` and
+  * `vec_cosine` become first-class SQL functions, analyzable and
+  * codegen'd like any built-in. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProduct].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> { args =>
+      require(args.length == 2, "vec_dot takes exactly 2 arguments")
+      DotProduct(args(0), args(1))
+    },
+    "vec_cosine" -> { args =>
+      require(args.length == 2, "vec_cosine takes exactly 2 arguments")
+      CosineSimilarity(args(0), args(1))
+    })
+
+  /** Inject the same functions into an already-running session (the
+    * extensions hook only fires at session build). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      org.apache.spark.sql.GraftExpressionBridge.registerFunction(spark, name, b)
+    }
+}

@@ -126,6 +126,17 @@ object QueriesLLM {
       table(s, dir, "orders")
         .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))),
 
+    "sql_vec_cosine" -> ((s, dir) => {
+      // the native expressions as SQL functions (SparkSessionExtensions
+      // injection path; registered live for the driver's session)
+      graft.GraftExtensions.register(s)
+      table(s, dir, "embeddings").createOrReplaceTempView("emb_sql")
+      s.sql(
+        """SELECT e.vec_id, vec_cosine(e.embedding, q.embedding) AS cos_sim
+          |FROM emb_sql e CROSS JOIN (SELECT embedding FROM emb_sql WHERE vec_id = 0) q
+          |WHERE e.vec_id <> 0 ORDER BY e.vec_id""".stripMargin)
+    }),
+
     // ---- multimodal ----------------------------------------------------
     "mm_binary_stats" -> ((s, dir) =>
       Multimodal.binaryStats(
@@ -279,6 +290,14 @@ object QueriesLLM {
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sim_topk" -> TopkOracle,
     "sim_ann_topk" -> TopkOracle,
+    "sql_vec_cosine" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  list_sum([e.embedding[i+1]::DOUBLE * q.qv[i+1]::DOUBLE FOR i IN range(64)])
+         |  / (sqrt(list_sum([e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE FOR i IN range(64)]))
+         |     * sqrt(list_sum([q.qv[i+1]::DOUBLE * q.qv[i+1]::DOUBLE FOR i IN range(64)]))) AS cos_sim
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> 0 ORDER BY e.vec_id""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id, 'text/plain' AS mime,
          |  octet_length(encode(text))::BIGINT AS n_bytes,
