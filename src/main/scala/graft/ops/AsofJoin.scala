@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Left as-of join — for each left row, the greatest right timestamp
+  * at or before the left row's time, per key. Spark has no native
+  * as-of operator; the usual workarounds (range join + per-key
+  * aggregation, or a windowed full materialization of right rows per
+  * left row) explode at scale.
+  *
+  * This formulation is one union + ONE window pass: tag both sides,
+  * sort within each key by (time, tag) with right rows first on ties
+  * (so a right row at the exact same instant is visible — `>=`
+  * semantics, matching e.g. DuckDB's ASOF JOIN), and carry the last
+  * non-null right time forward. Each side shuffles once on the key;
+  * state per row is O(1). At 100 TB the window partitions by key —
+  * skewed keys salt the same way any windowed op does.
+  */
+object AsofJoin {
+
+  /** @param left      probe side; all its columns are kept
+    * @param right     build side: (keyCols, rightTime) rows
+    * @param keyCols   equality keys
+    * @param leftTime  left event-time column (must be ordering-compatible
+    *                  with rightTime)
+    * @param rightTime right event-time column
+    * @param outCol    name of the appended matched-time column (null
+    *                  when no right row at or before the left time)
+    */
+  def asofLeft(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTime: String, rightTime: String, outCol: String): DataFrame = {
+    val l = left
+      .withColumn("__asof_t", col(leftTime))
+      .withColumn("__tag", lit(1))
+    val r = right
+      .select((keyCols.map(col) :+ col(rightTime).as("__asof_t")): _*)
+      .withColumn("__tag", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__asof_t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(outCol,
+        last(when(col("__tag") === 0, col("__asof_t")), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .drop("__asof_t", "__tag")
+  }
+}

@@ -37,6 +37,24 @@ object QueriesStream {
       Streaming.sessionize(ev, gapMinutes = 30)
         .orderBy(col("user_id"), col("session_id"))
     }),
+    "j5_asof_join" -> ((s, dir) => {
+      // as-of join: each event matched to the latest purchase by the
+      // same user at or before its timestamp — one union + one window
+      // pass, no range join (AsofJoin Scaladoc).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("__us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("__us"))
+      graft.ops.AsofJoin.asofLeft(
+          ev.select(col("event_id"), col("user_id"), col("__us")),
+          purchases, Seq("user_id"), "__us", "__us", "__match")
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("__match")).as("last_purchase_ts"))
+        .orderBy(col("event_id"))
+    }),
     "stream_window_agg" -> ((s, dir) => {
       // Trigger.AvailableNow file stream -> event-time watermark ->
       // 1h tumbling window agg -> foreachBatch SCD1-upsert, then read
@@ -70,6 +88,12 @@ object QueriesStream {
          |  count(*) AS n_events
          |FROM s GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+    "j5_asof_join" ->
+      """SELECT e.event_id, e.user_id, p.ts AS last_purchase_ts
+         |FROM events e ASOF LEFT JOIN
+         |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+         |  ON e.user_id = p.user_id AND e.ts >= p.ts
+         |ORDER BY e.event_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n_events,
