@@ -257,6 +257,15 @@ object QueriesRel {
       table(s, dir, "customer").select(col("c_mktsegment")).distinct()
         .orderBy(col("c_mktsegment"))),
 
+    "a8_rollup" -> ((s, dir) =>
+      // hierarchical subtotals (Expand-based plan); money on exact cents
+      table(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg((sum(cents(col("o_totalprice"))) / 100.0).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // ---- W/O/U: windows, sort, union -----------------------------------
     "w1_rownumber_keys" -> ((s, dir) =>
       // Fidelity-mode surrogate keys: base=1 on initial load so keys
@@ -285,6 +294,13 @@ object QueriesRel {
       table(s, dir, "orders")
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"))
         .orderBy(col("o_date").asc, col("o_totalprice").desc, col("o_orderkey").asc)),
+    "o2_limit_topk" -> ((s, dir) =>
+      // ORDER BY + LIMIT compiles to TakeOrderedAndProject — per-
+      // partition top-k then a k-row merge, never a global sort
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
     "u1_union" -> ((s, dir) => {
       val (old, fresh) = custSplit(s, dir)
       RelOps.positionalUnion(fresh, old.drop("dim_key"))
@@ -398,6 +414,14 @@ object QueriesRel {
       "SELECT count(*) AS n_rows, count(*) AS n_keys FROM supplier",
     "o1_sort" ->
       "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice FROM orders ORDER BY o_date ASC, o_totalprice DESC, o_orderkey ASC",
+    "o2_limit_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "a8_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+         |  count(*) AS n
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "u1_union" ->
       """SELECT c_custkey, c_name FROM (
          |  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0
