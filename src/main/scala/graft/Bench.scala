@@ -12,10 +12,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen compiler, parquet reader, shuffle
     // machinery) so the first measured query isn't charged ~5s of
-    // one-time JVM/session init.
-    spark.read.parquet(s"$sfDir/region.parquet")
+    // one-time JVM/session init. Guarded: a data dir without region
+    // must not abort the whole bench.
+    try spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_regionkey").count()
       .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every row through the FULL plan —

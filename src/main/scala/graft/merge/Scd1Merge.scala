@@ -103,7 +103,29 @@ object Scd1Merge {
       Files.write(metaPath(tablePath), nb.toString.getBytes)
       return
     }
+    // Legacy flat layout (written before bucketing existed): migrate by
+    // merging into a fresh bucketed layout via full rewrite-and-swap —
+    // readTable supports flat tables, so upsert must too.
+    val isBucketed = {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .exists(_.getFileName.toString.startsWith(s"$BucketCol="))
+    }
+    if (!isBucketed) {
+      val nbNew = if (numBuckets > 0) numBuckets else DefaultNumBuckets
+      val merged = merge(readTable(spark, tablePath), source, keys)
+      val tmpFlat = tablePath + ".tmp"
+      withBucket(merged, keys, nbNew)
+        .repartition(col(BucketCol))
+        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmpFlat)
+      atomicSwap(Paths.get(tmpFlat), dir, Paths.get(tablePath + ".old"))
+      Files.write(metaPath(tablePath), nbNew.toString.getBytes)
+      return
+    }
     val nb = readNumBuckets(tablePath)
+    if (numBuckets > 0 && numBuckets != nb)
+      throw new IllegalArgumentException(
+        s"table $tablePath is laid out with $nb buckets; re-bucketing to $numBuckets is not supported in-place")
     val bucketed = withBucket(source, keys, nb)
     // ONE probe job covers both pre-checks: per-bucket (touched set for
     // partition pruning) and per-key max multiplicity (the Q8

@@ -47,7 +47,9 @@ object Multimodal {
       col("meta.mime").as("mime"),
       col("meta.n_bytes").as("n_bytes"),
       hex(substring(col("payload"), 1, 4)).as("magic_hex"),
-      md5(col("payload").cast("string")).as("content_md5"))
+      // md5 over the raw bytes — a string cast would mangle non-UTF-8
+      // media payloads (replacement chars => digest collisions)
+      md5(col("payload")).as("content_md5"))
 
   /** Fixed-stride chunk sampling: every `stride`-th `frameLen`-byte
     * slice of the payload (a video frame-sampler's access pattern).
@@ -55,10 +57,13 @@ object Multimodal {
     * sampled chunk. */
   def frameSample(media: DataFrame, frameLen: Int, stride: Int): DataFrame = {
     val nFrames = floor((col("meta.n_bytes") - 1) / stride) + 1
-    media.select(
-        col("doc_id"),
-        posexplode(transform(sequence(lit(0), (nFrames - 1).cast("int")), i =>
-          substring(col("payload"), (i * stride) + 1, lit(frameLen)))))
+    // empty payload => zero frames: sequence(0, -1) would yield the
+    // DESCENDING array [0, -1] (two phantom frames), so guard on size
+    val frames = when(col("meta.n_bytes") > 0,
+      transform(sequence(lit(0), (nFrames - 1).cast("int")), i =>
+        substring(col("payload"), (i * stride) + 1, lit(frameLen))))
+      .otherwise(array())
+    media.select(col("doc_id"), posexplode(frames))
       .withColumnRenamed("pos", "frame_no")
       .select(col("doc_id"), col("frame_no"),
         hex(substring(col("col"), 1, 8)).as("frame_head_hex"),

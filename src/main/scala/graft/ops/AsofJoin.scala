@@ -36,6 +36,9 @@ object AsofJoin {
       .withColumn("__tag", lit(1))
     val r = right
       .select((keyCols.map(col) :+ col(rightTime).as("__asof_t")): _*)
+      // equi-join semantics: a NULL key matches nothing (SQL/DuckDB
+      // ASOF parity) — window partitioning would group NULLs together
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__tag", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)

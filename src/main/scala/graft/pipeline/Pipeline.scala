@@ -114,12 +114,14 @@ object DimBuilder {
   /** Build + durable commit (S7/S8): overwrite on initial load,
     * SCD1-upsert (on the surrogate key — Q3) afterwards.
     *
-    * Incremental runs upsert ONLY the freshly-keyed rows: a matched row
-    * carries its existing key and the naturals it was matched on, so it
-    * is byte-identical to what the table already holds — merging it
-    * back is a no-op that would drag every bucket into the rewrite.
+    * Incremental runs upsert the freshly-keyed rows plus only those
+    * matched rows whose content CHANGED: an exact-match anti-join of
+    * the matched rows against the stored table drops every row that is
+    * byte-identical to what the table already holds (the common case —
+    * naturals are the join key), while attribute updates for matched
+    * keys still flow through (Delta whenMatchedUpdateAll parity).
     * Delta's MERGE exploits the same fact by rewriting only matched
-    * files; here only the new rows' hash buckets are rewritten. */
+    * files; here only changed rows' hash buckets are rewritten. */
   def buildAndCommit(
       spark: SparkSession,
       silver: DataFrame,
@@ -129,7 +131,10 @@ object DimBuilder {
     val exists = new java.io.File(tablePath).exists()
     val existing = if (exists) Some(Scd1Merge.readTable(spark, tablePath)) else None
     val (newKeyed, old) = buildParts(spark, silver, spec, existing, incrementalFlag)
-    val toCommit = if (existing.isDefined) newKeyed else newKeyed.unionByName(old)
+    val toCommit = existing match {
+      case None    => newKeyed.unionByName(old)
+      case Some(e) => newKeyed.unionByName(old.join(e, old.columns.toSeq, "left_anti"))
+    }
     Scd1Merge.upsert(spark, tablePath, toCommit, Seq(spec.keyCol))
     Scd1Merge.readTable(spark, tablePath)
   }

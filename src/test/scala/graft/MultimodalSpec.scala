@@ -35,6 +35,12 @@ class MultimodalSpec extends SparkSpecBase {
     assert(d2.length == 1 && d2.head.getAs[Long]("frame_bytes") == 2L)
   }
 
+  test("frameSample of an empty payload emits zero frames") {
+    // regression: sequence(0, -1) yields [0, -1] — two phantom frames
+    val f = Multimodal.frameSample(media((1L, "")), 2, 4)
+    assert(f.count() == 0)
+  }
+
   test("decodeStub produces deterministic byte features over typed batches") {
     val docs = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
     val feats = Multimodal.decodeStub(

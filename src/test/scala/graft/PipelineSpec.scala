@@ -49,6 +49,18 @@ class PipelineSpec extends SparkSpecBase {
     assert(r1 == r2)
   }
 
+  test("SCD1 attribute updates for matched keys propagate through buildAndCommit") {
+    val path = Tmp.dir("pipe_scd1attr") + "/dim"
+    DimBuilder.buildAndCommit(spark, silverOf(Seq(("a", "x"), ("b", "y"))),
+      spec(distinct = true), path, "0")
+    // same natural key "a", changed attribute -> whenMatchedUpdateAll parity
+    val after = DimBuilder.buildAndCommit(spark, silverOf(Seq(("a", "x2"))),
+      spec(distinct = true), path, "1")
+    val row = after.filter(col("nk") === "a").first()
+    assert(row.getAs[String]("attr") == "x2", "matched-row attribute update was dropped")
+    assert(after.count() == 2, "unmatched rows must survive the update")
+  }
+
   private def sample[T](g: Gen[T], seed: Long): T =
     g.apply(Gen.Parameters.default, Seed(seed)).getOrElse(sys.error("gen failed"))
 

@@ -81,6 +81,28 @@ class Scd1MergeSpec extends SparkSpecBase {
       Seq(Seq("1", "a"), Seq("2", "b2"), Seq("3", "c")))
   }
 
+  test("upsert migrates a legacy flat (pre-bucketing) table in place") {
+    val path = Tmp.dir("scd1_legacy") + "/t"
+    // simulate a table written before the bucketed layout existed
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.parquet(path)
+    Scd1Merge.upsert(spark, path, Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    assert(canon(Scd1Merge.readTable(spark, path)) ==
+      Seq(Seq("1", "a"), Seq("2", "b2"), Seq("3", "c")))
+    // migrated: next upsert takes the bucketed partial-rewrite path
+    assert(bucketDirs(path).nonEmpty)
+    Scd1Merge.upsert(spark, path, Seq((4L, "d")).toDF("k", "v"), Seq("k"))
+    assert(Scd1Merge.readTable(spark, path).count() == 4)
+  }
+
+  test("explicit numBuckets conflicting with the stored layout is an error") {
+    val path = Tmp.dir("scd1_nbconflict") + "/t"
+    Scd1Merge.upsert(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 8)
+    assertThrows[IllegalArgumentException] {
+      Scd1Merge.upsert(spark, path, Seq((2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 16)
+    }
+  }
+
   test("upsert of an empty batch leaves the table untouched") {
     val path = Tmp.dir("scd1_empty") + "/t"
     Scd1Merge.upsert(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))

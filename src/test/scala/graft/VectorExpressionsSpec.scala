@@ -50,6 +50,14 @@ class VectorExpressionsSpec extends SparkSpecBase {
     assert(df.select(vecCosine($"a", $"b")).first().isNullAt(0))
   }
 
+  test("mismatched vector lengths yield null, not a partial dot") {
+    // HOF parity: zip_with pads with null and the fold propagates it —
+    // a malformed embedding must be detectable, not plausibly wrong
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(vecDot($"a", $"b")).first().isNullAt(0))
+    assert(df.select(vecCosine($"a", $"b")).first().isNullAt(0))
+  }
+
   test("vec_dot / vec_cosine are callable from SQL after registration") {
     GraftExtensions.register(spark)
     vectors.createOrReplaceTempView("vecs")
