@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SessionConfs(spark)
     // Warm the session (codegen compiler, parquet reader, shuffle
     // machinery) so the first measured query isn't charged ~5s of
     // one-time JVM/session init. Guarded: a data dir without region
@@ -30,7 +31,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also land the JSON in a file: the stdout line rides in sbt log
+    // noise, and a scrape miss turns the whole bench into "parsed: null".
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
     spark.stop()
   }
 }

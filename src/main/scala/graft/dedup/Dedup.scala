@@ -28,21 +28,9 @@ object Dedup {
       .groupBy(contentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol))
 
-  /** Distinct word n-gram shingles of `text`. Documents shorter than n
-    * tokens shingle to the whole text. Array-valued form — handy for
-    * per-row use; the pipeline paths use [[shingleRows]], which computes
-    * the same set fully codegen'd. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    val last = size(toks) - n // 0-based index of the final shingle start
-    val grams = transform(sequence(lit(0), last), i =>
-      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-    array_distinct(when(last >= 0, grams).otherwise(array(text)))
-  }
-
-  /** The same distinct shingle sets as [[wordShingles]], but as
-    * (id, shingle) ROWS: posexplode tokens, n-gram via `lead` over a
-    * per-document window, whole-text fallback for short docs.
+  /** Distinct word n-gram shingles of `text` as (id, shingle) ROWS:
+    * posexplode tokens, n-gram via `lead` over a per-document window,
+    * whole-text fallback for documents shorter than n tokens.
     *
     * Row form is the scale shape: no interpreted HOF lambdas (the
     * array form's `transform` evaluates outside codegen — it dominated

@@ -133,7 +133,15 @@ object DimBuilder {
     val (newKeyed, old) = buildParts(spark, silver, spec, existing, incrementalFlag)
     val toCommit = existing match {
       case None    => newKeyed.unionByName(old)
-      case Some(e) => newKeyed.unionByName(old.join(e, old.columns.toSeq, "left_anti"))
+      case Some(e) =>
+        // NULL-SAFE equality (<=>) on every column: plain `=` treats
+        // null ≠ null, so a dim row with a null attribute (31 null
+        // DealerNames in the reference data) would never match its
+        // stored copy and be re-committed — its bucket rewritten — on
+        // every batch forever. Correctness is unaffected (the upsert is
+        // idempotent); at scale it is permanent write amplification.
+        val cond = old.columns.map(c => old(c) <=> e(c)).reduce(_ && _)
+        newKeyed.unionByName(old.join(e, cond, "left_anti"))
     }
     Scd1Merge.upsert(spark, tablePath, toCommit, Seq(spec.keyCol))
     Scd1Merge.readTable(spark, tablePath)

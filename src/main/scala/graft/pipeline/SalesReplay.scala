@@ -20,12 +20,12 @@ object SalesReplay {
     * skipped, not parsed), RFC-4180 quotes, empty string -> null
     * (SURVEY.md §1.1). */
   def readSalesCsv(s: SparkSession): DataFrame = {
-    // Spark-bug workaround: a pushed CSV filter whose column is pruned
-    // from the required schema (e.g. count() over a join-filtered CSV
-    // lineage) crashes UnivocityParser's OrderedFilters with an
-    // ArrayIndexOutOfBounds. CSV pushdown buys nothing at this volume;
-    // parquet pushdown (the scale path) is unaffected.
-    s.conf.set("spark.sql.csv.filterPushdown.enabled", "false")
+    // NOTE: actions over filtered lineages of this frame need
+    // `spark.sql.csv.filterPushdown.enabled=false` (Spark-bug
+    // workaround, see SessionConfs). The conf is NOT set here — graft
+    // entrypoints apply it at session setup, and [[run]] scopes it
+    // defensively; a pure reader mutating session state made the
+    // shared Verify session order-dependent.
     s.read
       .schema("Branch_ID STRING, Dealer_ID STRING, Model_ID STRING, " +
         "Revenue BIGINT, Units_Sold BIGINT, Date_ID STRING, " +
@@ -53,14 +53,26 @@ object SalesReplay {
     * `root`, readable afterwards via [[Scd1Merge.readTable]]. */
   def run(s: SparkSession, root: String,
           cuts: Seq[String] = Seq("DT00400", "DT00800", "DT99999")): DataFrame = {
-    // The replay runs ~36 shuffling actions over a 1,849-row source;
-    // session-default fan-out (32 partitions) would spend the whole
-    // runtime on task scheduling. Scoped override, restored after —
-    // a real deployment sizes this to the batch, not the cluster.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    // Scoped overrides, restored after (every CSV/shuffle action runs
+    // inside this call; the returned frame reads committed parquet):
+    //  - shuffle.partitions: the replay runs ~36 shuffling actions over
+    //    a 1,849-row source; session-default fan-out would spend the
+    //    whole runtime on task scheduling. A real deployment sizes this
+    //    to the batch, not the cluster.
+    //  - csv.filterPushdown: defensive re-assert of the SessionConfs
+    //    workaround so the replay also works in a foreign session.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevCsv = s.conf.getOption("spark.sql.csv.filterPushdown.enabled")
     s.conf.set("spark.sql.shuffle.partitions", 4)
+    s.conf.set("spark.sql.csv.filterPushdown.enabled", "false")
     try runBatches(s, root, cuts)
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevCsv match {
+        case Some(v) => s.conf.set("spark.sql.csv.filterPushdown.enabled", v)
+        case None    => s.conf.unset("spark.sql.csv.filterPushdown.enabled")
+      }
+    }
   }
 
   private def runBatches(s: SparkSession, root: String, cuts: Seq[String]): DataFrame = {

@@ -221,6 +221,27 @@ object QueriesRel {
           col("p_name"), col("s_name"), col("n_name"), col("o_orderstatus"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
+    "j3_surrogate_merge" -> ((s, dir) => {
+      // Dedicated J3 row: SCD1 merge keyed on the SURROGATE key (quirk
+      // Q3), one batch carrying both attribute updates for existing keys
+      // and brand-new keys — through the durable bucketed upsert (not
+      // just the in-memory merge), then read back from the table dir.
+      val n = table(s, dir, "nation")
+      val dim = n.select((col("n_nationkey") + lit(2L)).as("dim_key"),
+        col("n_name").as("name"), col("n_regionkey").as("region"))
+      val path = tmpDir("graft_j3") + "/dim"
+      Scd1Merge.upsert(s, path, dim, Seq("dim_key"))
+      val batch = n.filter(col("n_nationkey") % 5 === 0)
+        .select((col("n_nationkey") + lit(2L)).as("dim_key"),
+          concat(col("n_name"), lit("_v2")).as("name"),
+          col("n_regionkey").as("region"))
+        .unionByName(n.filter(col("n_nationkey") < 3)
+          .select((col("n_nationkey") + lit(100L)).as("dim_key"),
+            concat(col("n_name"), lit("_new")).as("name"),
+            col("n_regionkey").as("region")))
+      Scd1Merge.upsert(s, path, batch, Seq("dim_key"))
+      Scd1Merge.readTable(s, path).orderBy(col("dim_key"))
+    }),
     "j4_composite_merge" -> ((s, dir) => {
       // S8 on a 4-column composite key (ref gold_fact.py:56-59):
       // re-ingested rows overwrite measures for the same key tuple
@@ -383,6 +404,16 @@ object QueriesRel {
          |LEFT JOIN nation ON s_nationkey = n_nationkey
          |LEFT JOIN orders ON l_orderkey = o_orderkey
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j3_surrogate_merge" ->
+      """WITH dim AS (SELECT (n_nationkey + 2)::BIGINT AS dim_key, n_name AS name, n_regionkey AS region FROM nation),
+         |batch AS (
+         |  SELECT (n_nationkey + 2)::BIGINT AS dim_key, n_name || '_v2' AS name, n_regionkey AS region FROM nation WHERE n_nationkey % 5 = 0
+         |  UNION ALL
+         |  SELECT (n_nationkey + 100)::BIGINT AS dim_key, n_name || '_new' AS name, n_regionkey AS region FROM nation WHERE n_nationkey < 3)
+         |SELECT dim_key, name, region FROM (
+         |  SELECT d.* FROM dim d WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.dim_key = d.dim_key)
+         |  UNION ALL SELECT * FROM batch)
+         |ORDER BY dim_key""".stripMargin,
     "j4_composite_merge" ->
       """WITH t AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem),
          |s AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity + 100.0 AS l_quantity FROM lineitem WHERE l_orderkey % 10 = 0)

@@ -31,7 +31,7 @@ object QueriesStream {
     "stream_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization (30-min inactivity gap) over
       // the event stream — lag + running-sum windows per user.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // (nanosAsLong comes from SessionConfs at session setup.)
       val ev = s.read.schema(Streaming.EventsRawSchema)
         .parquet(s"$dir/events.parquet")
       Streaming.sessionize(ev, gapMinutes = 30)
@@ -41,7 +41,6 @@ object QueriesStream {
       // as-of join: each event matched to the latest purchase by the
       // same user at or before its timestamp — one union + one window
       // pass, no range join (AsofJoin Scaladoc).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = s.read.schema(Streaming.EventsRawSchema)
         .parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"),

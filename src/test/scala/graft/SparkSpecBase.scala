@@ -34,6 +34,7 @@ object SparkSpecBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    SessionConfs(s)
     s
   }
 }

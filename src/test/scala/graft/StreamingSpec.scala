@@ -9,7 +9,6 @@ import org.apache.spark.sql.functions._
 class StreamingSpec extends SparkSpecBase {
 
   test("AvailableNow over 2 in-order chunks ≡ batch aggregation") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read
       .schema(Streaming.EventsRawSchema)
       .parquet("/root/testdata/sf0.001/events.parquet")
@@ -33,5 +32,23 @@ class StreamingSpec extends SparkSpecBase {
     assertSameRows(
       got.orderBy(col("window_start"), col("event_type")),
       want.orderBy(col("window_start"), col("event_type")))
+  }
+
+  test("streaming runs leave no session conf mutated (order-independence)") {
+    val before = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.csv.filterPushdown.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    val src = Tmp.dir("conf_src")
+    spark.read.schema(Streaming.EventsRawSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .coalesce(1).write.mode("append").parquet(src)
+    Streaming.runAvailableNow(spark, src,
+      Tmp.dir("conf_out") + "/agg", Tmp.dir("conf_ckpt"))
+    Streaming.runDedupAvailableNow(spark, src,
+      Tmp.dir("conf_dout") + "/dedup", Tmp.dir("conf_dckpt"), Seq("event_id"))
+    graft.pipeline.SalesReplay.run(spark, Tmp.dir("conf_sales"))
+    val after = before.map { case (k, _) => k -> spark.conf.getOption(k) }
+    assert(after == before, "session confs must be restored after each run")
   }
 }
