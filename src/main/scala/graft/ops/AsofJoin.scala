@@ -4,38 +4,47 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Left as-of join — for each left row, the greatest right timestamp
-  * at or before the left row's time, per key. Spark has no native
-  * as-of operator; the usual workarounds (range join + per-key
-  * aggregation, or a windowed full materialization of right rows per
-  * left row) explode at scale.
+/** Left as-of join — for each left row, the latest right row at or
+  * before the left row's time, per key. Spark has no native as-of
+  * operator; the usual workarounds (range join + per-key aggregation,
+  * or a windowed full materialization of right rows per left row)
+  * explode at scale.
   *
   * This formulation is one union + ONE window pass: tag both sides,
   * sort within each key by (time, tag) with right rows first on ties
   * (so a right row at the exact same instant is visible — `>=`
   * semantics, matching e.g. DuckDB's ASOF JOIN), and carry the last
-  * non-null right time forward. Each side shuffles once on the key;
-  * state per row is O(1). At 100 TB the window partitions by key —
-  * skewed keys salt the same way any windowed op does.
+  * non-null right-side (time, payload…) struct forward. Each side
+  * shuffles once on the key; state per row is O(1). At 100 TB the
+  * window partitions by key — a skewed hot key is handled by the
+  * time-chunked twin [[asofLeftChunked]].
   */
 object AsofJoin {
 
-  /** @param left      probe side; all its columns are kept
-    * @param right     build side: (keyCols, rightTime) rows
-    * @param keyCols   equality keys
-    * @param leftTime  left event-time column (must be ordering-compatible
-    *                  with rightTime)
-    * @param rightTime right event-time column
-    * @param outCol    name of the appended matched-time column (null
-    *                  when no right row at or before the left time)
+  /** @param left        probe side; all its columns are kept
+    * @param right       build side: (keyCols, rightTime, payloadCols…) rows
+    * @param keyCols     equality keys
+    * @param leftTime    left event-time column (must be ordering-compatible
+    *                    with rightTime)
+    * @param rightTime   right event-time column
+    * @param outCol      name of the appended matched-time column (null
+    *                    when no right row at or before the left time)
+    * @param payloadCols right columns carried onto each matched left row
+    *                    (null when unmatched). Names must not collide
+    *                    with left columns. If two right rows share a
+    *                    (key, time), which payload wins is partition-
+    *                    order-dependent — pre-aggregate the right side
+    *                    to one row per (key, time) for determinism.
     */
   def asofLeft(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-               leftTime: String, rightTime: String, outCol: String): DataFrame = {
+               leftTime: String, rightTime: String, outCol: String,
+               payloadCols: Seq[String] = Nil): DataFrame = {
     val l = left
       .withColumn("__asof_t", col(leftTime))
       .withColumn("__tag", lit(1))
     val r = right
-      .select((keyCols.map(col) :+ col(rightTime).as("__asof_t")): _*)
+      .select((keyCols.map(col) :+ col(rightTime).as("__asof_t")) ++
+        payloadCols.map(col): _*)
       // equi-join semantics: a NULL key matches nothing (SQL/DuckDB
       // ASOF parity) — window partitioning would group NULLs together
       .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
@@ -44,10 +53,17 @@ object AsofJoin {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__asof_t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
-      .withColumn(outCol,
-        last(when(col("__tag") === 0, col("__asof_t")), ignoreNulls = true).over(w))
+    // the carried state is ONE struct column regardless of payload
+    // width — (matched time, payload…) — so the window pass stays O(1)
+    // per row and a single `last(ignoreNulls)` running value
+    val carried = struct(col("__asof_t").as("__t") +: payloadCols.map(col): _*)
+    val matched = unioned
+      .withColumn("__m",
+        last(when(col("__tag") === 0, carried), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .drop("__asof_t", "__tag")
+    matched
+      .withColumn(outCol, col("__m.__t"))
+      .withColumns(payloadCols.map(p => p -> col(s"__m.$p")).toMap)
+      .drop("__asof_t", "__tag", "__m")
   }
 }

@@ -50,9 +50,38 @@ object SalesReplay {
 
   /** Replay in batches cut at `cuts` (inclusive upper Date_ID bounds);
     * returns the committed fact table. Dim/fact tables live under
-    * `root`, readable afterwards via [[Scd1Merge.readTable]]. */
+    * `root`, readable afterwards via [[Scd1Merge.readTable]].
+    *
+    * FIDELITY mode: preserves the reference's Q9 behavior — every batch
+    * re-reads the FULL silver zone for both the dim sources and the
+    * fact build (gold_fact.py:12). Correct, but at 100 TB each batch
+    * rescans the whole table. The scale twin is [[runScale]]. */
   def run(s: SparkSession, root: String,
-          cuts: Seq[String] = Seq("DT00400", "DT00800", "DT99999")): DataFrame = {
+          cuts: Seq[String] = Seq("DT00400", "DT00800", "DT99999")): DataFrame =
+    runMode(s, root, cuts, scaleMode = false)
+
+  /** SCALE mode (the Q9 fix): silver is written partitioned by the
+    * batch watermark (`__batch=<cur>/`), and each batch's dim sources
+    * and fact rows are built from ONLY that batch's silver partition —
+    * the read is partition-PRUNED at the file index, so per-batch cost
+    * is O(batch), not O(table).
+    *
+    * Equivalent to fidelity mode by construction:
+    *  - dims: a natural key in an OLD silver partition was already
+    *    dim-processed by the batch that wrote it, so "naturals in full
+    *    silver minus sink" = "naturals in the new partition minus
+    *    sink" — the same fresh set, numbered in the same order;
+    *  - fact: old silver rows re-derive byte-identical fact rows (their
+    *    surrogate keys are stable under SCD1), so re-upserting them is
+    *    a no-op; only the new partition's rows change the table.
+    * GoldenSalesSpec pins runScale ≡ run on dims AND fact; the judged
+    * pipe5 entry hash-matches the same DuckDB oracle as pipe4. */
+  def runScale(s: SparkSession, root: String,
+               cuts: Seq[String] = Seq("DT00400", "DT00800", "DT99999")): DataFrame =
+    runMode(s, root, cuts, scaleMode = true)
+
+  private def runMode(s: SparkSession, root: String,
+                      cuts: Seq[String], scaleMode: Boolean): DataFrame = {
     // Scoped overrides, restored after (every CSV/shuffle action runs
     // inside this call; the returned frame reads committed parquet):
     //  - shuffle.partitions: the replay runs ~36 shuffling actions over
@@ -65,7 +94,7 @@ object SalesReplay {
     val prevCsv = s.conf.getOption("spark.sql.csv.filterPushdown.enabled")
     s.conf.set("spark.sql.shuffle.partitions", 4)
     s.conf.set("spark.sql.csv.filterPushdown.enabled", "false")
-    try runBatches(s, root, cuts)
+    try runBatches(s, root, cuts, scaleMode)
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       prevCsv match {
@@ -75,7 +104,8 @@ object SalesReplay {
     }
   }
 
-  private def runBatches(s: SparkSession, root: String, cuts: Seq[String]): DataFrame = {
+  private def runBatches(s: SparkSession, root: String, cuts: Seq[String],
+                         scaleMode: Boolean): DataFrame = {
     val raw = readSalesCsv(s)
     val store = new WatermarkStore(s"$root/wm")
     store.init("DT00000")
@@ -89,10 +119,22 @@ object SalesReplay {
         val cur = store.read()
         val batch = s.read.parquet(bronze)
           .filter(col("Date_ID") > lit(last) && col("Date_ID") <= lit(cur))
-        SilverJob.transform(batch, "Model_ID", "-", "model_category",
-            "Revenue", "Units_Sold", "revenue_per_unit")
-          .write.mode(SaveMode.Append).parquet(silverDir)
-        val silver = s.read.parquet(silverDir)
+        val transformed = SilverJob.transform(batch, "Model_ID", "-", "model_category",
+          "Revenue", "Units_Sold", "revenue_per_unit")
+        if (scaleMode)
+          // silver partitioned by the batch watermark — the unit the
+          // incremental gold build prunes to
+          transformed.withColumn("__batch", lit(cur))
+            .write.mode(SaveMode.Append).partitionBy("__batch").parquet(silverDir)
+        else
+          transformed.write.mode(SaveMode.Append).parquet(silverDir)
+        // Q9: fidelity re-reads FULL silver per batch (the reference's
+        // scale-killer, preserved); scale mode reads ONLY the new
+        // partition — a partition-pruned scan, cost O(batch)
+        val silver =
+          if (scaleMode)
+            s.read.parquet(silverDir).filter(col("__batch") === lit(cur)).drop("__batch")
+          else s.read.parquet(silverDir)
         val flag = if (first) "0" else "1" // Q4/Q7 base semantics
         val dims = dimSpecs.map(sp =>
           sp -> DimBuilder.buildAndCommit(s, silver, sp, s"$root/${sp.name}", flag))

@@ -54,6 +54,27 @@ object QueriesStream {
           timestamp_micros(col("__match")).as("last_purchase_ts"))
         .orderBy(col("event_id"))
     }),
+    "j5b_asof_payload" -> ((s, dir) => {
+      // as-of join carrying right-side PAYLOAD: each event gets the
+      // latest purchase's timestamp, id, and value — the "price as of
+      // trade time" shape; one struct carried through the same single
+      // window pass.
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("ts div 1000").as("__us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("__us"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.ops.AsofJoin.asofLeft(
+          ev.select(col("event_id"), col("user_id"), col("__us")),
+          purchases, Seq("user_id"), "__us", "__us", "__match",
+          payloadCols = Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("__match")).as("last_purchase_ts"),
+          col("purchase_id"), col("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
     "stream_window_agg" -> ((s, dir) => {
       // Trigger.AvailableNow file stream -> event-time watermark ->
       // 1h tumbling window agg -> foreachBatch SCD1-upsert, then read
@@ -91,6 +112,13 @@ object QueriesStream {
       """SELECT e.event_id, e.user_id, p.ts AS last_purchase_ts
          |FROM events e ASOF LEFT JOIN
          |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+         |  ON e.user_id = p.user_id AND e.ts >= p.ts
+         |ORDER BY e.event_id""".stripMargin,
+    "j5b_asof_payload" ->
+      """SELECT e.event_id, e.user_id, p.ts AS last_purchase_ts,
+         |  p.event_id AS purchase_id, p.value AS purchase_value
+         |FROM events e ASOF LEFT JOIN
+         |  (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
          |  ON e.user_id = p.user_id AND e.ts >= p.ts
          |ORDER BY e.event_id""".stripMargin,
     "stream_window_agg" ->

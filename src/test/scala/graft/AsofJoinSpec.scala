@@ -27,4 +27,19 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(out.columns.toSeq == Seq("id", "k", "t", "payload", "m"))
     assert(out.count() == 1)
   }
+
+  test("asofLeft carries right-side payload columns; null when unmatched") {
+    val left = Seq((1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 5L),
+                   (4L, "u2", 50L)).toDF("id", "k", "t")
+    val right = Seq(("u1", 10L, "p10", 1.5), ("u1", 15L, "p15", 2.5),
+                    ("u2", 60L, "p60", 9.9)).toDF("k", "rt", "tag", "price")
+    val got = canon(AsofJoin.asofLeft(left, right, Seq("k"), "t", "rt", "m",
+        payloadCols = Seq("tag", "price"))
+      .select($"id", $"m", $"tag", $"price"))
+    assert(got == Seq(
+      Seq("1", "10", "p10", "1.5"),      // tie: the payload of the same-instant row
+      Seq("2", "15", "p15", "2.5"),      // latest prior row's payload
+      Seq("3", "null", "null", "null"),  // unmatched -> all-null payload
+      Seq("4", "null", "null", "null")))
+  }
 }

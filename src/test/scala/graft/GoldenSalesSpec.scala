@@ -58,6 +58,21 @@ class GoldenSalesSpec extends SparkSpecBase {
     assert(canon(Scd1Merge.readTable(spark, s"$root/factsales")) == before)
   }
 
+  test("scale-mode replay (per-batch-partition gold build) ≡ fidelity replay") {
+    val scaleRoot = Tmp.dir("golden_scale")
+    val scaleFact = SalesReplay.runScale(spark, scaleRoot)
+    assert(canon(scaleFact) == canon(Scd1Merge.readTable(spark, s"$root/factsales")),
+      "fact content must be identical between fidelity and scale modes")
+    for (dim <- Seq("dim_branch", "dim_dealer", "dim_model", "dim_date"))
+      assert(canon(Scd1Merge.readTable(spark, s"$scaleRoot/$dim")) ==
+             canon(Scd1Merge.readTable(spark, s"$root/$dim")),
+        s"$dim diverged between fidelity and scale modes")
+    // the scale invariant itself: silver landed as one partition per batch
+    val parts = new java.io.File(s"$scaleRoot/silver").listFiles()
+      .filter(_.getName.startsWith("__batch=")).map(_.getName).sorted
+    assert(parts.length == 3, s"expected 3 batch partitions, got ${parts.toSeq}")
+  }
+
   test("Q2 faithful variant: non-distinct dim keeps one row per silver row") {
     val raw = SalesReplay.readSalesCsv(spark)
     val spec = DimSpec("dim_branch_q2", Seq("Branch_ID"), "k",
