@@ -1,9 +1,9 @@
 package graft.merge
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
 /** SCD Type-1 upsert without Delta Lake (SURVEY.md §7.3).
   *
@@ -22,10 +22,28 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *  - the merge key is whatever the caller passes (the reference merges
   *    on SURROGATE keys, quirk Q3 — load-bearing for idempotency).
   *
+  * Durable layout — hash-bucketed with a MANIFEST (the poor man's Delta
+  * log). The table dir holds `_graft_manifest` (one atomically-renamed
+  * file naming every live bucket dir) and versioned bucket dirs
+  * `data/b<bucket>_v<version>/`. A merge writes NEW versions of only
+  * the source-touched buckets, then swaps the manifest in one atomic
+  * rename: a reader resolves the manifest first and therefore sees the
+  * whole table entirely pre-commit or entirely post-commit — a crash
+  * between bucket writes is unobservable (the half-written versions are
+  * unreferenced garbage, swept by the next upsert). This closes the
+  * cross-bucket atomicity gap the previous per-bucket-swap commit had;
+  * single WRITER at a time remains assumed (Delta's optimistic
+  * concurrency is out of scope). Readers that resolved the old manifest
+  * can race the immediate GC of replaced versions — production would
+  * age out old versions instead (the standard snapshot-retention dial);
+  * the layout supports that without change.
+  *
   * Scale notes: the anti-join shuffles both sides on the merge keys
   * (or broadcasts the source when it is a small batch — the common
   * incremental case, left to AQE/the broadcast threshold). Nothing here
-  * is driver-bound; the dup check is an aggregate, not a collect.
+  * is driver-bound; the dup check is an aggregate, the touched-bucket
+  * probe collects ≤numBuckets rows, and the manifest is O(numBuckets)
+  * lines.
   */
 object Scd1Merge {
 
@@ -58,74 +76,178 @@ object Scd1Merge {
   val DefaultNumBuckets = 32
 
   private val BucketCol = "__bucket"
+  private val ManifestName = "_graft_manifest"
 
-  /** Bucket-count metadata rides inside the table dir; the leading
-    * underscore keeps Spark's file index from treating it as data. */
-  private def metaPath(tablePath: String): Path =
-    Paths.get(tablePath, "_graft_buckets")
+  /** Live table state: bucket count + bucket → live dir (relative to the
+    * table path). Legacy pre-manifest dirs (`__bucket=N`) are valid
+    * entries — migration is just writing a manifest that names them. */
+  private final case class Manifest(numBuckets: Int, dirs: Map[Int, String])
 
-  private def readNumBuckets(tablePath: String): Int = {
-    val p = metaPath(tablePath)
-    if (Files.exists(p)) new String(Files.readAllBytes(p)).trim.toInt
-    else DefaultNumBuckets
+  /** Injected-failure hook for the crash-consistency spec; "" in
+    * production. Recognized points: "before-manifest" (bucket versions
+    * written, manifest not yet swapped) and "after-manifest" (swapped,
+    * old versions not yet swept). */
+  private[graft] var testFailpoint: String = ""
+  private def failpoint(name: String): Unit =
+    if (testFailpoint == name) {
+      testFailpoint = ""
+      throw new IllegalStateException(s"injected failure at $name")
+    }
+
+  private def manifestPath(tablePath: String): Path =
+    Paths.get(tablePath, ManifestName)
+
+  private def readManifest(tablePath: String): Option[Manifest] = {
+    val p = manifestPath(tablePath)
+    if (!Files.exists(p)) None
+    else {
+      val lines = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+      val nb = lines.head.stripPrefix("nb=").toInt
+      val dirs = lines.tail.map { l =>
+        val Array(b, d) = l.split("\t", 2)
+        b.toInt -> d
+      }.toMap
+      Some(Manifest(nb, dirs))
+    }
+  }
+
+  /** THE commit point: write-to-tmp + atomic rename over the live
+    * manifest. Everything before this is invisible to readers;
+    * everything after is garbage collection. */
+  private def commitManifest(tablePath: String, m: Manifest): Unit = {
+    val body = (s"nb=${m.numBuckets}" +:
+      m.dirs.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" }).mkString("\n")
+    val tmp = Paths.get(tablePath, ManifestName + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, manifestPath(tablePath),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Version of a live dir; legacy `__bucket=N` entries version as -1 so
+    * their first rewrite lands at `data/bN_v0`. */
+  private def versionOf(relDir: String): Int = {
+    val i = relDir.lastIndexOf("_v")
+    if (relDir.startsWith("data/") && i > 0) relDir.substring(i + 2).toInt else -1
+  }
+
+  /** Sweep everything the manifest doesn't reference: replaced bucket
+    * versions whose delete crashed, half-moved versions from a crash
+    * before the manifest swap, stale flat files from a pre-bucketing
+    * migration. Safe under the single-writer assumption. */
+  private def gcUnreferenced(tablePath: String, m: Manifest): Unit = {
+    val referenced = m.dirs.values.toSet
+    val root = Paths.get(tablePath)
+    Files.list(root).iterator().asScala.toSeq.foreach { p =>
+      val name = p.getFileName.toString
+      if (name != ManifestName && name != "data" && !referenced.contains(name))
+        deleteRecursively(p)
+    }
+    val data = root.resolve("data")
+    if (Files.exists(data))
+      Files.list(data).iterator().asScala.toSeq.foreach { p =>
+        if (!referenced.contains(s"data/${p.getFileName}"))
+          deleteRecursively(p)
+      }
   }
 
   private def withBucket(df: DataFrame, keys: Seq[String], numBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
 
-  /** Read a bucketed (or legacy flat) table, hiding the layout column. */
+  /** Read a table in any layout: manifest (resolve live dirs), legacy
+    * `__bucket=N` partitioned, or legacy flat — the layout column never
+    * escapes. */
   def readTable(spark: SparkSession, tablePath: String): DataFrame = {
-    val df = spark.read.parquet(tablePath)
+    val df = readManifest(tablePath) match {
+      case Some(m) =>
+        val dirs = m.dirs.toSeq.sortBy(_._1)
+          .map { case (_, d) => Paths.get(tablePath, d).toString }
+        spark.read.parquet(dirs: _*)
+      case None => spark.read.parquet(tablePath)
+    }
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
 
-  /** Merge + durable commit to a hash-bucketed parquet table directory
-    * (`tablePath/__bucket=N/`) rewriting ONLY the buckets the source
+  /** Move each `__bucket=N` dir under `writtenTo` into the table as
+    * version-`ver` bucket dirs; returns the manifest entries. */
+  private def adoptBucketDirs(tablePath: String, writtenTo: String,
+                              versions: Int => Int): Map[Int, String] = {
+    Files.createDirectories(Paths.get(tablePath, "data"))
+    Files.list(Paths.get(writtenTo)).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
+      .map { d =>
+        val b = d.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+        val rel = s"data/b${b}_v${versions(b)}"
+        Files.move(d, Paths.get(tablePath, rel), StandardCopyOption.ATOMIC_MOVE)
+        b -> rel
+      }.toMap
+  }
+
+  /** Merge + durable commit, rewriting ONLY the buckets the source
     * batch touches — the replacement for Delta MERGE's matched-file
     * rewrite. A full-table rewrite per merge is the classic 100 TB
     * killer: a 1k-row batch into a 100 TB fact would rewrite 100 TB.
-    *
-    * Commit: merged buckets are written to a `.tmp` dir, then each
-    * touched bucket dir is swapped atomically (tmp-move-then-rollback;
-    * never an in-place overwrite — `merged` reads the very files the
-    * commit replaces, the self-read hazard of SURVEY.md §7.5; the swap
-    * also stands in for the reference's SQL transaction,
-    * stored_procedure.sql:6). Per-bucket swap is atomic; cross-bucket
-    * atomicity rests on the documented single-writer assumption.
+    * Commit protocol: see the object Scaladoc (manifest swap).
     */
   def upsert(spark: SparkSession, tablePath: String, source: DataFrame, keys: Seq[String],
              numBuckets: Int = 0): Unit = {
     val dir = Paths.get(tablePath)
     if (!Files.exists(dir)) {
       val nb = if (numBuckets > 0) numBuckets else DefaultNumBuckets
+      val tmp = tablePath + ".tmp"
       withBucket(source, keys, nb)
-        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tablePath)
-      Files.write(metaPath(tablePath), nb.toString.getBytes)
-      return
-    }
-    // Legacy flat layout (written before bucketing existed): migrate by
-    // merging into a fresh bucketed layout via full rewrite-and-swap —
-    // readTable supports flat tables, so upsert must too.
-    val isBucketed = {
-      import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
-        .exists(_.getFileName.toString.startsWith(s"$BucketCol="))
-    }
-    if (!isBucketed) {
-      val nbNew = if (numBuckets > 0) numBuckets else DefaultNumBuckets
-      val merged = merge(readTable(spark, tablePath), source, keys)
-      val tmpFlat = tablePath + ".tmp"
-      withBucket(merged, keys, nbNew)
         .repartition(col(BucketCol))
-        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmpFlat)
-      atomicSwap(Paths.get(tmpFlat), dir, Paths.get(tablePath + ".old"))
-      Files.write(metaPath(tablePath), nbNew.toString.getBytes)
+        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+      val entries = adoptBucketDirs(tablePath, tmp, _ => 0)
+      commitManifest(tablePath, Manifest(nb, entries))
+      deleteRecursively(Paths.get(tmp))
       return
     }
-    val nb = readNumBuckets(tablePath)
+    val manifest = readManifest(tablePath).getOrElse {
+      val isBucketed = Files.list(dir).iterator().asScala
+        .exists(_.getFileName.toString.startsWith(s"$BucketCol="))
+      if (isBucketed) {
+        // Legacy partitioned layout: migration is ONE atomic file write —
+        // a manifest whose entries point at the existing __bucket=N dirs.
+        val legacyMeta = Paths.get(tablePath, "_graft_buckets")
+        val nb =
+          if (Files.exists(legacyMeta))
+            new String(Files.readAllBytes(legacyMeta)).trim.toInt
+          else DefaultNumBuckets
+        val entries = Files.list(dir).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
+          .map { d =>
+            val name = d.getFileName.toString
+            name.stripPrefix(s"$BucketCol=").toInt -> name
+          }.toMap
+        val m = Manifest(nb, entries)
+        commitManifest(tablePath, m)
+        m
+      } else {
+        // Legacy flat (pre-bucketing) layout: full merge-and-rewrite into
+        // the bucketed layout. Readers see the flat table until the
+        // manifest lands, the new one after; the stale flat files are
+        // swept post-commit (or by the next upsert's GC after a crash).
+        val nb = if (numBuckets > 0) numBuckets else DefaultNumBuckets
+        val merged = merge(readTable(spark, tablePath), source, keys)
+        val tmp = tablePath + ".tmp"
+        withBucket(merged, keys, nb)
+          .repartition(col(BucketCol))
+          .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+        val entries = adoptBucketDirs(tablePath, tmp, _ => 0)
+        val m = Manifest(nb, entries)
+        commitManifest(tablePath, m)
+        deleteRecursively(Paths.get(tmp))
+        gcUnreferenced(tablePath, m)
+        return
+      }
+    }
+    val nb = manifest.numBuckets
     if (numBuckets > 0 && numBuckets != nb)
       throw new IllegalArgumentException(
         s"table $tablePath is laid out with $nb buckets; re-bucketing to $numBuckets is not supported in-place")
+    // sweep crash leftovers BEFORE writing new versions so a half-moved
+    // dir from a previous failed commit can't collide with this one
+    gcUnreferenced(tablePath, manifest)
     val bucketed = withBucket(source, keys, nb)
     // ONE probe job covers both pre-checks: per-bucket (touched set for
     // partition pruning) and per-key max multiplicity (the Q8
@@ -139,50 +261,46 @@ object Scd1Merge {
         s"SCD1 merge aborted: duplicate source rows for merge key ${keys.mkString(",")}")
     val touched: Seq[Int] = probe.map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return // empty batch: nothing to merge or rewrite
-    val target = spark.read.parquet(tablePath)
-      .filter(col(BucketCol).isin(touched: _*))
-    // dup check already done by the probe — plain anti-join + union
-    val merged = target.join(bucketed, keys, "left_anti")
-      .unionByName(bucketed.select(target.columns.map(col): _*))
+    // the target is ONLY the touched buckets' live dirs — pruning by
+    // path, no filter needed (a bucket the batch doesn't touch is never
+    // read, never written)
+    val liveTouched = touched.flatMap(b => manifest.dirs.get(b))
+      .map(d => Paths.get(tablePath, d).toString)
+    val merged =
+      if (liveTouched.isEmpty) bucketed // all-new buckets: insert only
+      else {
+        val target = withBucket(spark.read.parquet(liveTouched: _*), keys, nb)
+        // dup check already done by the probe — plain anti-join + union
+        target.join(bucketed, keys, "left_anti")
+          .unionByName(bucketed.select(target.columns.map(col): _*))
+      }
     val tmp = tablePath + ".tmp"
-    val old = tablePath + ".old"
     // repartition on the bucket column before the partitioned write:
     // without it every shuffle partition spills a sliver into every
     // bucket dir (partitions × buckets small files); with it each
     // bucket's data is co-located and lands as ~one file.
     merged.repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
-    Files.createDirectories(Paths.get(old))
     touched.foreach { b =>
-      val name = s"$BucketCol=$b"
-      val tmpB = Paths.get(tmp, name)
-      val liveB = Paths.get(tablePath, name)
-      if (!Files.exists(tmpB))
+      if (!Files.exists(Paths.get(tmp, s"$BucketCol=$b")))
         // every touched bucket holds >=1 source row, so the merged write
         // must produce its dir; a miss means the write went wrong.
-        throw new IllegalStateException(s"bucket dir missing from merge output: $tmpB")
-      if (Files.exists(liveB)) atomicSwap(tmpB, liveB, Paths.get(old, name))
-      else Files.move(tmpB, liveB, StandardCopyOption.ATOMIC_MOVE)
+        throw new IllegalStateException(s"bucket dir missing from merge output: $tmp/$BucketCol=$b")
     }
+    val newVersions = adoptBucketDirs(tablePath, tmp,
+      b => manifest.dirs.get(b).map(versionOf(_) + 1).getOrElse(0))
+    failpoint("before-manifest")
+    val committed = Manifest(nb, manifest.dirs ++ newVersions)
+    commitManifest(tablePath, committed)
+    failpoint("after-manifest")
+    // post-commit sweep: replaced versions + the (now empty) tmp dir
+    touched.foreach(b => manifest.dirs.get(b)
+      .foreach(old => deleteRecursively(Paths.get(tablePath, old))))
     deleteRecursively(Paths.get(tmp))
-    deleteRecursively(Paths.get(old))
-  }
-
-  private[graft] def atomicSwap(tmp: Path, live: Path, graveyard: Path): Unit = {
-    deleteRecursively(graveyard)
-    Files.move(live, graveyard, StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: Throwable => // roll back so the table never vanishes
-        Files.move(graveyard, live, StandardCopyOption.ATOMIC_MOVE)
-        throw e
-    }
-    deleteRecursively(graveyard)
   }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
 }

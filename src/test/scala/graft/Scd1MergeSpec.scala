@@ -37,14 +37,12 @@ class Scd1MergeSpec extends SparkSpecBase {
     assert(Scd1Merge.merge(target, ok, Seq("k")).count() == 2)
   }
 
-  private def bucketDirs(path: String): Map[String, Long] =
-    Files.list(Paths.get(path)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("__bucket="))
-      .map { d =>
-        val newest = Files.list(d).iterator().asScala
-          .map(f => Files.getLastModifiedTime(f).toMillis).max
-        d.getFileName.toString -> newest
-      }.toMap
+  /** Live bucket → dir entries from the manifest: the commit unit —
+    * an entry changes iff its bucket was rewritten. */
+  private def manifestEntries(path: String): Map[String, String] =
+    Files.readAllLines(Paths.get(path, "_graft_manifest")).asScala.toSeq
+      .filter(_.nonEmpty).drop(1)
+      .map { l => val Array(b, d) = l.split("\t", 2); b -> d }.toMap
 
   test("upsert rewrites only the buckets the source batch touches") {
     val path = Tmp.dir("scd1_bucket") + "/t"
@@ -52,22 +50,89 @@ class Scd1MergeSpec extends SparkSpecBase {
     // explicit numBuckets: adaptive sizing would give this tiny table
     // few buckets; 32 makes the bounded-rewrite assertion sharp
     Scd1Merge.upsert(spark, path, initial, Seq("k"), numBuckets = 32)
-    val before = bucketDirs(path)
+    val before = manifestEntries(path)
     assert(before.size > 10, "initial load should span many buckets")
 
-    Thread.sleep(20) // mtime resolution
     val batch = Seq((1L, "v1x"), (501L, "v501x")).toDF("k", "v")
     Scd1Merge.upsert(spark, path, batch, Seq("k"))
-    val after = bucketDirs(path)
+    val after = manifestEntries(path)
 
-    val changed = after.filter { case (d, t) => before.get(d).exists(_ != t) }.keySet
+    val changed = after.filter { case (b, d) => before.get(b).exists(_ != d) }.keySet
     assert(changed.size <= 2, s"a 2-row batch must touch <=2 buckets, rewrote: $changed")
+    assert(after.keySet == before.keySet, "untouched buckets keep their versions")
 
     // content is the merged table
     val got = Scd1Merge.readTable(spark, path)
     assert(got.count() == 1000)
     assert(canon(got.filter($"k".isin(1L, 501L, 2L))) ==
       Seq(Seq("1", "v1x"), Seq("2", "v2"), Seq("501", "v501x")))
+  }
+
+  test("crash BEFORE the manifest swap: reader sees the old table, retry recovers") {
+    val path = Tmp.dir("scd1_kill1") + "/t"
+    Scd1Merge.upsert(spark, path,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), numBuckets = 8)
+    val before = canon(Scd1Merge.readTable(spark, path))
+    val beforeManifest = manifestEntries(path)
+
+    Scd1Merge.testFailpoint = "before-manifest"
+    val batch = Seq((1L, "CRASH"), (50L, "CRASH")).toDF("k", "v")
+    intercept[IllegalStateException] {
+      Scd1Merge.upsert(spark, path, batch, Seq("k"))
+    }
+    // bucket versions were written but never referenced: the table is
+    // byte-for-byte the OLD one — never a mix
+    assert(manifestEntries(path) == beforeManifest)
+    assert(canon(Scd1Merge.readTable(spark, path)) == before)
+
+    // retry (single writer back up): garbage swept, commit completes
+    Scd1Merge.upsert(spark, path, batch, Seq("k"))
+    val got = Scd1Merge.readTable(spark, path)
+    assert(got.count() == 100)
+    assert(canon(got.filter($"k".isin(1L, 50L))) ==
+      Seq(Seq("1", "CRASH"), Seq("50", "CRASH")))
+  }
+
+  test("crash AFTER the manifest swap: reader sees the new table; leftovers swept") {
+    val path = Tmp.dir("scd1_kill2") + "/t"
+    Scd1Merge.upsert(spark, path,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), numBuckets = 8)
+
+    Scd1Merge.testFailpoint = "after-manifest"
+    val batch = Seq((7L, "NEW")).toDF("k", "v")
+    intercept[IllegalStateException] {
+      Scd1Merge.upsert(spark, path, batch, Seq("k"))
+    }
+    // the swap is THE commit point: post-swap crash must expose the new
+    // content even though the replaced version dir was not yet deleted
+    val got = Scd1Merge.readTable(spark, path)
+    assert(got.count() == 100)
+    assert(canon(got.filter($"k" === 7L)) == Seq(Seq("7", "NEW")))
+
+    // next upsert sweeps the unreferenced leftovers and stays correct
+    Scd1Merge.upsert(spark, path, Seq((101L, "X")).toDF("k", "v"), Seq("k"))
+    assert(Scd1Merge.readTable(spark, path).count() == 101)
+    val referenced = manifestEntries(path).values.toSet
+    val onDisk = Files.list(Paths.get(path, "data")).iterator().asScala
+      .map(d => s"data/${d.getFileName}").toSet
+    assert(onDisk == referenced, "every on-disk version dir must be referenced")
+  }
+
+  test("upsert migrates a legacy __bucket= partitioned table via a manifest write") {
+    val path = Tmp.dir("scd1_legacypart") + "/t"
+    // simulate the pre-manifest bucketed layout: partitioned dirs + meta
+    (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+      .withColumn("__bucket", pmod(hash($"k"), lit(8)))
+      .write.partitionBy("__bucket").parquet(path)
+    Files.write(Paths.get(path, "_graft_buckets"), "8".getBytes)
+    Scd1Merge.upsert(spark, path, Seq((1L, "v1x"), (51L, "new")).toDF("k", "v"), Seq("k"))
+    val got = Scd1Merge.readTable(spark, path)
+    assert(got.count() == 51)
+    assert(canon(got.filter($"k".isin(1L, 51L))) ==
+      Seq(Seq("1", "v1x"), Seq("51", "new")))
+    // migrated: live dirs are manifest-tracked; a legacy dir survives
+    // only while its bucket is untouched
+    assert(manifestEntries(path).nonEmpty)
   }
 
   test("upsert inserts new keys and is idempotent across replays") {
@@ -90,7 +155,7 @@ class Scd1MergeSpec extends SparkSpecBase {
     assert(canon(Scd1Merge.readTable(spark, path)) ==
       Seq(Seq("1", "a"), Seq("2", "b2"), Seq("3", "c")))
     // migrated: next upsert takes the bucketed partial-rewrite path
-    assert(bucketDirs(path).nonEmpty)
+    assert(manifestEntries(path).nonEmpty)
     Scd1Merge.upsert(spark, path, Seq((4L, "d")).toDF("k", "v"), Seq("k"))
     assert(Scd1Merge.readTable(spark, path).count() == 4)
   }
@@ -106,8 +171,8 @@ class Scd1MergeSpec extends SparkSpecBase {
   test("upsert of an empty batch leaves the table untouched") {
     val path = Tmp.dir("scd1_empty") + "/t"
     Scd1Merge.upsert(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
-    val before = bucketDirs(path)
+    val before = manifestEntries(path)
     Scd1Merge.upsert(spark, path, Seq.empty[(Long, String)].toDF("k", "v"), Seq("k"))
-    assert(bucketDirs(path) == before)
+    assert(manifestEntries(path) == before)
   }
 }
