@@ -66,4 +66,69 @@ object AsofJoin {
       .withColumns(payloadCols.map(p => p -> col(s"__m.$p")).toMap)
       .drop("__asof_t", "__tag", "__m")
   }
+
+  /** [[asofLeft]] with TIME-CHUNKED two-stage windows — the salting
+    * pattern for per-key ordered scans (a hot key's run otherwise lands
+    * on ONE task). The salt must follow time: a random salt would hide
+    * right rows from later left rows in other salts.
+    *
+    * Stage 1 runs the asofLeft window within (key, chunk = time div
+    * chunkSpan) — every partition is bounded by one key's rows in one
+    * chunk. Stage 2 fills the rows a chunk-local pass can't see (left
+    * rows before their chunk's first right row): the latest right
+    * (time, payload) struct per (key, chunk) — `max_by`, an agg not a
+    * window — is carried forward over per-chunk SUMMARY rows (one per
+    * (key, chunk), O(chunks) shuffle), and a left row with no local
+    * match coalesces to the carry from preceding chunks. Any right row
+    * in an earlier chunk is ≤ its chunk end ≤ the left row's time, so
+    * the fill is exact; output ≡ asofLeft (AsofJoinSpec pins it,
+    * hot-key case included).
+    *
+    * Time columns must be numeric (castable to long, e.g. epoch µs);
+    * `chunkSpan` is in the same unit.
+    */
+  def asofLeftChunked(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                     leftTime: String, rightTime: String, outCol: String,
+                     chunkSpan: Long, payloadCols: Seq[String] = Nil): DataFrame = {
+    val l = left
+      .withColumn("__asof_t", col(leftTime))
+      .withColumn("__tag", lit(1))
+      .withColumn("__chunk", (col("__asof_t").cast("long") / lit(chunkSpan)).cast("long"))
+    val r = right
+      .select((keyCols.map(col) :+ col(rightTime).as("__asof_t")) ++
+        payloadCols.map(col): _*)
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__tag", lit(0))
+      .withColumn("__chunk", (col("__asof_t").cast("long") / lit(chunkSpan)).cast("long"))
+    val carried = struct(col("__asof_t").as("__t") +: payloadCols.map(col): _*)
+
+    // stage 1: the asofLeft pass, bounded per (key, chunk)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val wLoc = Window.partitionBy(keyCols.map(col) :+ col("__chunk"): _*)
+      .orderBy(col("__asof_t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localMatched = unioned
+      .withColumn("__m_loc",
+        last(when(col("__tag") === 0, carried), ignoreNulls = true).over(wLoc))
+      .filter(col("__tag") === 1)
+
+    // stage 2: carry the last right struct across chunks on summary rows
+    val rightSummary = r.groupBy(keyCols.map(col) :+ col("__chunk"): _*)
+      .agg(max_by(carried, col("__asof_t")).as("__last_carry"))
+    val allChunks = l.select(keyCols.map(col) :+ col("__chunk"): _*).distinct()
+      .unionByName(r.select(keyCols.map(col) :+ col("__chunk"): _*).distinct())
+      .distinct()
+    val wChunk = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = allChunks
+      .join(rightSummary, keyCols :+ "__chunk", "left")
+      .withColumn("__m_prev", last(col("__last_carry"), ignoreNulls = true).over(wChunk))
+      .select(keyCols.map(col) :+ col("__chunk") :+ col("__m_prev"): _*)
+
+    localMatched.join(carries, keyCols :+ "__chunk", "left")
+      .withColumn("__m", coalesce(col("__m_loc"), col("__m_prev")))
+      .withColumn(outCol, col("__m.__t"))
+      .withColumns(payloadCols.map(p => p -> col(s"__m.$p")).toMap)
+      .drop("__asof_t", "__tag", "__chunk", "__m", "__m_loc", "__m_prev")
+  }
 }

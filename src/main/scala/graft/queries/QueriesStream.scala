@@ -54,6 +54,36 @@ object QueriesStream {
           timestamp_micros(col("__match")).as("last_purchase_ts"))
         .orderBy(col("event_id"))
     }),
+    "stream_sessionize_scale" -> ((s, dir) => {
+      // the hot-key-safe twin of stream_sessionize: two-stage windows
+      // within (user, 24h-chunk) + O(chunks) boundary stitching —
+      // identical output (same DuckDB oracle), partitions bounded by
+      // one user-day instead of one user's full history.
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+      Streaming.sessionizeChunked(ev, gapMinutes = 30, chunkHours = 24)
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+    "j5c_asof_chunked" -> ((s, dir) => {
+      // the hot-key-safe twin of j5b: as-of with payload via time-
+      // chunked two-stage windows (1-day chunks); same DuckDB oracle.
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("ts div 1000").as("__us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("__us"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.ops.AsofJoin.asofLeftChunked(
+          ev.select(col("event_id"), col("user_id"), col("__us")),
+          purchases, Seq("user_id"), "__us", "__us", "__match",
+          chunkSpan = 24L * 3600 * 1000000,
+          payloadCols = Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("__match")).as("last_purchase_ts"),
+          col("purchase_id"), col("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
     "j5b_asof_payload" -> ((s, dir) => {
       // as-of join carrying right-side PAYLOAD: each event gets the
       // latest purchase's timestamp, id, and value — the "price as of
@@ -90,37 +120,43 @@ object QueriesStream {
     })
   )
 
+  private val SessionizeOracle =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |m AS (SELECT user_id, us,
+      |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+      |       THEN 1 ELSE 0 END AS ns FROM e),
+      |s AS (SELECT user_id, us,
+      |  (sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id FROM m)
+      |SELECT user_id, session_id,
+      |  make_timestamp(min(us)) AS session_start,
+      |  make_timestamp(max(us)) AS session_end,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  private val AsofPayloadOracle =
+    """SELECT e.event_id, e.user_id, p.ts AS last_purchase_ts,
+      |  p.event_id AS purchase_id, p.value AS purchase_value
+      |FROM events e ASOF LEFT JOIN
+      |  (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "stream_sessionize_scale" -> SessionizeOracle,
+    "j5c_asof_chunked" -> AsofPayloadOracle,
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
          |FROM events ORDER BY event_id""".stripMargin,
-    "stream_sessionize" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-         |m AS (SELECT user_id, us,
-         |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
-         |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
-         |       THEN 1 ELSE 0 END AS ns FROM e),
-         |s AS (SELECT user_id, us,
-         |  (sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id FROM m)
-         |SELECT user_id, session_id,
-         |  make_timestamp(min(us)) AS session_start,
-         |  make_timestamp(max(us)) AS session_end,
-         |  count(*) AS n_events
-         |FROM s GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin,
+    "stream_sessionize" -> SessionizeOracle,
     "j5_asof_join" ->
       """SELECT e.event_id, e.user_id, p.ts AS last_purchase_ts
          |FROM events e ASOF LEFT JOIN
          |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
          |  ON e.user_id = p.user_id AND e.ts >= p.ts
          |ORDER BY e.event_id""".stripMargin,
-    "j5b_asof_payload" ->
-      """SELECT e.event_id, e.user_id, p.ts AS last_purchase_ts,
-         |  p.event_id AS purchase_id, p.value AS purchase_value
-         |FROM events e ASOF LEFT JOIN
-         |  (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
-         |  ON e.user_id = p.user_id AND e.ts >= p.ts
-         |ORDER BY e.event_id""".stripMargin,
+    "j5b_asof_payload" -> AsofPayloadOracle,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n_events,

@@ -132,7 +132,11 @@ object Streaming {
     * after `gapMinutes` of inactivity. Timestamps are truncated to µs
     * BEFORE gap arithmetic so the integers match an engine whose
     * timestamp type is µs. Batch windowed form: lag + running sum per
-    * user — partitions by user, no global window. */
+    * user — partitions by user, no global window.
+    *
+    * HOT-KEY HAZARD: one bot user with 10⁸ events puts its whole
+    * ordered run on one task. [[sessionizeChunked]] is the salted twin
+    * — identical output, partitions bounded by (user, time-chunk). */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gapUs = gapMinutes * 60L * 1000000L
@@ -145,6 +149,65 @@ object Streaming {
       .withColumn("__new", when(col("__prev").isNull ||
         col("__us") - col("__prev") > gapUs, 1).otherwise(0))
       .withColumn("session_id", sum(col("__new")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        timestamp_micros(min(col("__us"))).as("session_start"),
+        timestamp_micros(max(col("__us"))).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** [[sessionize]] with TIME-CHUNKED two-stage windows — the salting
+    * pattern for per-key ordered scans, where the salt must follow time
+    * (a random salt would split adjacent events and break gap logic).
+    *
+    * Stage 1 windows within (user, chunk = __us div chunkUs): local
+    * session numbering — every partition is bounded by one user's
+    * events in one time chunk, so a hot key spreads over
+    * span/chunk hours of tasks instead of one.
+    * Stage 2 stitches boundaries on per-(user, chunk) SUMMARY rows
+    * (first/last event time, local session count — tiny: one row per
+    * chunk): chunk c's first session merges with chunk c-1's last iff
+    * the boundary gap ≤ gap, and each chunk's session-id offset is
+    *   base(c) = Σ_{c'<c} nSess(c') − Σ_{c'≤c} merge(c')
+    * (cumulative sessions before, minus every boundary merge so far).
+    * Global id = base(c) + local id reproduces the running-sum
+    * numbering exactly; the summary windows shuffle O(chunks) rows.
+    *
+    * Worst case unbounded by ANY order-based split: all events of one
+    * user at the same instant — no engine parallelizes an ordered run
+    * of identical keys+times.
+    */
+  def sessionizeChunked(events: DataFrame, gapMinutes: Int,
+                        chunkHours: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val chunkUs = chunkHours * 3600L * 1000000L
+    val wLoc = Window.partitionBy(col("user_id"), col("__chunk")).orderBy(col("__us"))
+    val runLoc = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = events
+      .withColumn("__us", expr("ts div 1000"))
+      .withColumn("__chunk", (col("__us") / lit(chunkUs)).cast("long"))
+      .withColumn("__prev", lag(col("__us"), 1).over(wLoc))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("__us") - col("__prev") > gapUs, 1).otherwise(0))
+      .withColumn("__loc_sid", sum(col("__new")).over(runLoc))
+    // per-(user, chunk) summary: O(#chunks) rows per user
+    val summary = local.groupBy(col("user_id"), col("__chunk"))
+      .agg(min(col("__us")).as("__first"), max(col("__us")).as("__last"),
+        max(col("__loc_sid")).as("__nsess"))
+    val wChunk = Window.partitionBy(col("user_id")).orderBy(col("__chunk"))
+    val runChunk = wChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = summary
+      .withColumn("__prev_last", lag(col("__last"), 1).over(wChunk))
+      .withColumn("__merge", when(col("__prev_last").isNotNull &&
+        col("__first") - col("__prev_last") <= gapUs, 1L).otherwise(0L))
+      .withColumn("__base",
+        sum(col("__nsess")).over(runChunk) - col("__nsess")
+          - sum(col("__merge")).over(runChunk))
+      .select(col("user_id"), col("__chunk"), col("__base"))
+    local
+      .join(offsets, Seq("user_id", "__chunk"))
+      .withColumn("session_id", col("__base") + col("__loc_sid"))
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         timestamp_micros(min(col("__us"))).as("session_start"),

@@ -16,4 +16,27 @@ class ApproxSpec extends SparkSpecBase {
     val relErr = math.abs(approx - exact).toDouble / exact
     assert(relErr <= 0.03, s"approx=$approx exact=$exact relErr=$relErr")
   }
+
+  test("ANN recall@5 at PRUNING parameters: measured floors hold (deterministic)") {
+    import graft.similarity.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.topK(emb, queries, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("vec_id"))
+    val nExact = exact.count()
+    // This corpus's neighbors are WEAK (top cos ~0.2, near-random): the
+    // sign-LSH collision rate for a pair at angle θ is (1-θ/π)^bits per
+    // table, so aggressive pruning necessarily sheds recall here.
+    // Measured curve (seeded hyperplanes, fixed data → deterministic):
+    //   (8,10)→0.060   (8,6)→0.384   (16,4)→0.864   (32,4)→0.992
+    // Floors pinned just below the measured values — a regression in
+    // bucketing/probing/re-ranking trips them.
+    for ((t, b, floor) <- Seq((8, 10, 0.05), (8, 6, 0.35), (16, 4, 0.82), (32, 4, 0.95))) {
+      val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", 5,
+        tables = t, bits = b).select(col("query_id"), col("vec_id"))
+      val recall = ann.intersect(exact).count().toDouble / nExact
+      info(f"tables=$t%2d bits=$b%2d recall@5=$recall%.4f (floor $floor)")
+      assert(recall >= floor, f"tables=$t bits=$b recall=$recall%.4f < floor $floor")
+    }
+  }
 }

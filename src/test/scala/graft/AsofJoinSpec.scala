@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.AsofJoin
+import org.apache.spark.sql.functions._
 
 class AsofJoinSpec extends SparkSpecBase {
   import spark.implicits._
@@ -26,6 +27,32 @@ class AsofJoinSpec extends SparkSpecBase {
     val out = AsofJoin.asofLeft(left, right, Seq("k"), "t", "rt", "m")
     assert(out.columns.toSeq == Seq("id", "k", "t", "payload", "m"))
     assert(out.count() == 1)
+  }
+
+  test("asofLeftChunked ≡ asofLeft, with a hot key holding 50% of rows") {
+    val rnd = new scala.util.Random(7)
+    def key(i: Int) = if (i % 2 == 0) "hot" else s"u${rnd.nextInt(20)}"
+    val left = (1 to 4000).map(i => (i.toLong, key(i), rnd.nextInt(800000).toLong))
+      .toDF("id", "k", "t")
+    // right times unique per construction (i*1009): payload pick at a
+    // (key, time) tie is order-dependent, so the fixture avoids ties
+    val right = (1 to 800).map(i => (key(i), i * 1009L, s"p$i", i / 10.0))
+      .toDF("k", "rt", "tag", "price")
+    val chunkSpan = 50000L // ~16 chunks over the time range
+    val plain = AsofJoin.asofLeft(left, right, Seq("k"), "t", "rt", "m",
+      payloadCols = Seq("tag", "price"))
+    val chunked = AsofJoin.asofLeftChunked(left, right, Seq("k"), "t", "rt", "m",
+      chunkSpan = chunkSpan, payloadCols = Seq("tag", "price"))
+    assert(chunked.columns.toSeq.sorted == plain.columns.toSeq.sorted)
+    assertSameRows(chunked.select(plain.columns.map(col): _*), plain)
+    // the scale point: the hot key's biggest (key, chunk) window
+    // partition is a fraction of its full run
+    val hotRows = left.filter(col("k") === "hot").count()
+    val maxGroup = left.withColumn("chunk", (col("t") / chunkSpan).cast("long"))
+      .groupBy(col("k"), col("chunk")).count()
+      .agg(max("count")).first().getLong(0)
+    assert(maxGroup <= hotRows / 8,
+      s"chunking must bound the hot key's partition: max=$maxGroup hot=$hotRows")
   }
 
   test("asofLeft carries right-side payload columns; null when unmatched") {

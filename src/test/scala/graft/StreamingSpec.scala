@@ -34,6 +34,28 @@ class StreamingSpec extends SparkSpecBase {
       want.orderBy(col("window_start"), col("event_type")))
   }
 
+  test("sessionizeChunked ≡ sessionize, with a hot user holding 50% of events") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dayUs = 86400L * 1000000L
+    // hot user: 5000 events over 7 days (avg gap ~2 min => long sessions
+    // crossing chunk boundaries); 20 cold users: 250 events each (avg
+    // gap ~40 min => plenty of genuine session breaks)
+    val rows =
+      (1 to 5000).map(_ => (0L, math.abs(rnd.nextLong()) % (7 * dayUs))) ++
+      (1 to 5000).map(_ => (1L + rnd.nextInt(20), math.abs(rnd.nextLong()) % (7 * dayUs)))
+    val ev = rows.map { case (u, us) => (u, us * 1000L) }.toDF("user_id", "ts")
+    val plain = Streaming.sessionize(ev, gapMinutes = 30)
+    val chunked = Streaming.sessionizeChunked(ev, gapMinutes = 30, chunkHours = 6)
+    assertSameRows(chunked, plain)
+    // the scale point: the hot user's largest (user, chunk) partition is
+    // bounded by a chunk's share, not the full 5000-event history
+    val maxGroup = ev
+      .withColumn("chunk", (expr("ts div 1000") / (6 * 3600L * 1000000L)).cast("long"))
+      .groupBy($"user_id", $"chunk").count().agg(max("count")).first().getLong(0)
+    assert(maxGroup <= 1000, s"6h chunks over 7 days must bound partitions: max=$maxGroup")
+  }
+
   test("streaming runs leave no session conf mutated (order-independence)") {
     val before = Seq("spark.sql.shuffle.partitions",
       "spark.sql.legacy.parquet.nanosAsLong",
