@@ -130,6 +130,37 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** EXACT n-gram Jaccard near-dup pairs — no LSH, no probability: the
+    * candidate generator IS the verifier. An inverted-index self-join
+    * on the shingle value yields each sharing pair WITH its
+    * intersection size in one pass (any pair with J > 0 shares a
+    * shingle, so recall is exhaustive by construction);
+    * |A∪B| = |A|+|B|−|A∩B| comes from per-doc counts.
+    *
+    * Scale shape: shuffles Σ_s df(s)² pair rows — exact-Jaccard's
+    * irreducible cost. Fine when shingles are discriminative (df ≈ 1
+    * for most); a viral boilerplate shingle (df = 10⁶) is the hazard,
+    * and the production guard is prefix filtering or a df cap on
+    * candidate generation — both trade the exhaustive-recall guarantee,
+    * which is why this operator keeps the exact form and the banded
+    * [[minhashNearDup]] exists for corpora where that trade is needed. */
+  def jaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") / (col("__sz_a") + col("__sz_b") - col("__inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Configuration for banded MinHash near-dup. With r=2, b=16 (k=32)
     * a J=0.8 pair is missed with prob (1-0.8^2)^16 ≈ 8e-8 while a
     * J=0.05 background pair becomes a candidate with prob ~0.4%. */

@@ -42,6 +42,14 @@ object QueriesLLM {
       Dedup.minhashNearDup(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      // EXACT n-gram Jaccard via the inverted-index join — judged at a
+      // LOW threshold (0.5) where MinHash banding would shed recall;
+      // here recall is exhaustive by construction (any J>0 pair shares
+      // a shingle), so the exact all-pairs oracle matches identically.
+      Dedup.jaccardNearDup(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
     "dedup_simhash_neardup" -> ((s, dir) =>
       // 4 bands of 15 bits over the 60-bit SimHash: pigeonhole makes
       // hamming<=3 recall GUARANTEED, so the exact all-pairs oracle is
@@ -219,6 +227,14 @@ object QueriesLLM {
          |    len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH toks AS ($DocToks),
+         |sh AS (SELECT doc_id, ${shingles(3)} AS s FROM toks),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_simhash_neardup" ->
       """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),

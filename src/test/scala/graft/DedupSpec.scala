@@ -52,6 +52,17 @@ class DedupSpec extends SparkSpecBase {
       Seq(Seq("1", "2"), Seq("1", "3"), Seq("2", "3"), Seq("4", "5")))
   }
 
+  test("jaccardNearDup equals brute-force all-pairs Jaccard (exact, no LSH)") {
+    val sh = corpus.select($"doc_id", wordShingles($"text", 3).as("s"))
+    val a = sh.select($"doc_id".as("id_a"), $"s".as("sa"))
+    val b = sh.select($"doc_id".as("id_b"), $"s".as("sb"))
+    val brute = a.join(b, $"id_a" < $"id_b")
+      .select($"id_a", $"id_b", Dedup.jaccard($"sa", $"sb").as("jaccard"))
+      .filter($"jaccard" >= 0.3) // low threshold: bands would miss here
+    val got = Dedup.jaccardNearDup(corpus, "doc_id", "text", n = 3, threshold = 0.3)
+    assertSameRows(got.orderBy($"id_a", $"id_b"), brute.orderBy($"id_a", $"id_b"))
+  }
+
   test("wordShingles falls back to whole text below n tokens") {
     val got = spark.sql("SELECT 'a b' AS t")
       .select(wordShingles(col("t"), 3).as("s"))
