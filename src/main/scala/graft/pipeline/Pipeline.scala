@@ -122,12 +122,17 @@ object DimBuilder {
     * keys still flow through (Delta whenMatchedUpdateAll parity).
     * Delta's MERGE exploits the same fact by rewriting only matched
     * files; here only changed rows' hash buckets are rewritten. */
+  /** @param numBuckets create-time bucket count for the backing table
+    *        (0 = Scd1Merge default). Size ≈ table_bytes / 256 MB; small
+    *        dims want few buckets — an oversized count shatters them
+    *        into one-row files and multiplies commit file ops. */
   def buildAndCommit(
       spark: SparkSession,
       silver: DataFrame,
       spec: DimSpec,
       tablePath: String,
-      incrementalFlag: String = "1"): DataFrame = {
+      incrementalFlag: String = "1",
+      numBuckets: Int = 0): DataFrame = {
     val exists = new java.io.File(tablePath).exists()
     val existing = if (exists) Some(Scd1Merge.readTable(spark, tablePath)) else None
     val (newKeyed, old) = buildParts(spark, silver, spec, existing, incrementalFlag)
@@ -143,7 +148,7 @@ object DimBuilder {
         val cond = old.columns.map(c => old(c) <=> e(c)).reduce(_ && _)
         newKeyed.unionByName(old.join(e, cond, "left_anti"))
     }
-    Scd1Merge.upsert(spark, tablePath, toCommit, Seq(spec.keyCol))
+    Scd1Merge.upsert(spark, tablePath, toCommit, Seq(spec.keyCol), numBuckets)
     Scd1Merge.readTable(spark, tablePath)
   }
 }
@@ -170,8 +175,8 @@ object FactBuilder {
   }
 
   def commit(spark: SparkSession, tablePath: String, fact: DataFrame,
-      surrogateKeys: Seq[String]): Unit =
-    Scd1Merge.upsert(spark, tablePath, fact, surrogateKeys)
+      surrogateKeys: Seq[String], numBuckets: Int = 0): Unit =
+    Scd1Merge.upsert(spark, tablePath, fact, surrogateKeys, numBuckets)
 }
 
 object IngestRunner {

@@ -136,11 +136,16 @@ object SalesReplay {
             s.read.parquet(silverDir).filter(col("__batch") === lit(cur)).drop("__batch")
           else s.read.parquet(silverDir)
         val flag = if (first) "0" else "1" // Q4/Q7 base semantics
+        // bucket counts sized to the data (≈ bytes/256 MB): 1,849-row
+        // dims/fact in the default 32 buckets meant 32× the commit file
+        // ops for one-row files — the create-time sizing rule applied
         val dims = dimSpecs.map(sp =>
-          sp -> DimBuilder.buildAndCommit(s, silver, sp, s"$root/${sp.name}", flag))
+          sp -> DimBuilder.buildAndCommit(s, silver, sp, s"$root/${sp.name}", flag,
+            numBuckets = 4))
         val fact = FactBuilder.resolve(silver, Seq("Revenue", "Units_Sold"),
           dims.map { case (sp, d) => (d, sp.naturalKeys, sp.keyCol) })
-        FactBuilder.commit(s, s"$root/factsales", fact, dimSpecs.map(_.keyCol))
+        FactBuilder.commit(s, s"$root/factsales", fact, dimSpecs.map(_.keyCol),
+          numBuckets = 4)
         first = false
       }
     }
