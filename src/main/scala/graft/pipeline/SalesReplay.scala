@@ -130,10 +130,14 @@ object SalesReplay {
           transformed.write.mode(SaveMode.Append).parquet(silverDir)
         // Q9: fidelity re-reads FULL silver per batch (the reference's
         // scale-killer, preserved); scale mode reads ONLY the new
-        // partition — a partition-pruned scan, cost O(batch)
+        // partition — pruned by PATH (the partition dir is addressed
+        // directly, so not even the file listing touches old batches;
+        // `basePath` keeps the partition column decodable), cost
+        // O(batch)
         val silver =
           if (scaleMode)
-            s.read.parquet(silverDir).filter(col("__batch") === lit(cur)).drop("__batch")
+            s.read.option("basePath", silverDir)
+              .parquet(s"$silverDir/__batch=$cur").drop("__batch")
           else s.read.parquet(silverDir)
         val flag = if (first) "0" else "1" // Q4/Q7 base semantics
         // bucket counts sized to the data (≈ bytes/256 MB): 1,849-row

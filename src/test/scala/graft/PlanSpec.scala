@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan pins for the scale claims SCALE.md makes in prose:
+  * filters reach the scan, projections prune the read schema, small
+  * dims broadcast, ORDER BY+LIMIT is a top-k operator (not a global
+  * sort), and the chunked window twins really partition by
+  * (key, chunk). Plan-string checks are deliberately loose (substring
+  * presence) so Spark-version formatting drift doesn't false-alarm. */
+class PlanSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("watermark range filter is PUSHED to the parquet scan (F5)") {
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,150000.0)]"),
+      s"expected pushed filter in:\n$p")
+  }
+
+  test("a 2-column projection prunes the scan's ReadSchema (P1)") {
+    val df = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      s"expected pruned ReadSchema in:\n$p")
+  }
+
+  test("small dim joins broadcast (J1); ORDER BY+LIMIT is TakeOrderedAndProject (O2)") {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val j = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+    assert(plan(j).contains("BroadcastHashJoin"), s"expected broadcast join:\n${plan(j)}")
+    val topk = spark.read.parquet(s"$dir/orders.parquet")
+      .orderBy(col("o_totalprice").desc).limit(10)
+    assert(plan(topk).contains("TakeOrderedAndProject"),
+      s"expected top-k operator, not a global sort:\n${plan(topk)}")
+  }
+
+  test("chunked twins window by (key, chunk), not by key alone") {
+    import spark.implicits._
+    val ev = Seq((1L, 1000000000L)).toDF("user_id", "ts")
+    val p = plan(graft.streaming.Streaming.sessionizeChunked(ev, 30, 6))
+    // the stage-1 window's partition spec must carry the chunk column
+    assert(p.contains("windowspecdefinition(user_id") && p.contains("__chunk"),
+      s"expected (user_id, __chunk) window partitioning:\n$p")
+  }
+  // (WholeStageCodegen placement of the native vec expressions is
+  // already pinned in VectorExpressionsSpec.)
+}
