@@ -143,6 +143,26 @@ object QueriesLLM {
           (col("n_hits").cast("double") / col("n_exact")).as("recall"))
     }),
 
+    "sim_ivf_recall" -> ((s, dir) => {
+      // IVF ANN (geometry-aware inverted-file clustering, the
+      // alternative scale path to LSH): recall@5 probing 4 of 16
+      // learned clusters (~25% of the corpus scanned), hash-pinned in
+      // the oracle like sim_ann_recall — deterministic seeding + Lloyd.
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 50)
+      val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
+        .select(col("query_id"), col("vec_id"))
+      val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", K,
+          nlist = 16, nprobe = 4, iters = 2)
+        .select(col("query_id"), col("vec_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(ivf.intersect(exact).agg(count(lit(1)).as("n_hits")))
+        .select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
+          lit(50L).as("n_queries"), lit(K.toLong).as("k"),
+          col("n_exact"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+    }),
+
     "a6_count_distinct" -> ((s, dir) =>
       // exact distinct-aggregate (Expand-based two-phase plan)
       table(s, dir, "orders")
@@ -339,6 +359,13 @@ object QueriesLLM {
          |  50::BIGINT AS n_queries, 5::BIGINT AS k,
          |  250::BIGINT AS n_exact, 216::BIGINT AS n_hits,
          |  216 / 250.0 AS recall""".stripMargin,
+    // pinned IVF recall at sf0.01: 174 of 250 exact pairs survive
+    // probing 4 of 16 clusters (0.696 @ ~25% of the corpus scanned)
+    "sim_ivf_recall" ->
+      """SELECT 16::BIGINT AS nlist, 4::BIGINT AS nprobe,
+         |  50::BIGINT AS n_queries, 5::BIGINT AS k,
+         |  250::BIGINT AS n_exact, 174::BIGINT AS n_hits,
+         |  174 / 250.0 AS recall""".stripMargin,
     "sql_vec_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,

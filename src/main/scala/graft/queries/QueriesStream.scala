@@ -54,6 +54,25 @@ object QueriesStream {
           timestamp_micros(col("__match")).as("last_purchase_ts"))
         .orderBy(col("event_id"))
     }),
+    "stream_stateful_agg" -> ((s, dir) => {
+      // CUSTOM cross-batch state via flatMapGroupsWithState: per-user
+      // running profile (count, exact money sum, last event time) over
+      // 2 micro-batches (time-split halves, maxFilesPerTrigger=1); the
+      // committed table must equal the batch aggregate — profile
+      // updates are commutative, so chunk order is immaterial.
+      val src = graft.Tmp.dir("graft_state_src")
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+      val cutNs = java.time.Instant.parse("2024-01-15T00:00:00Z")
+        .getEpochSecond * 1000000000L
+      ev.filter(col("ts") < cutNs).coalesce(1).write.mode("append").parquet(src)
+      ev.filter(col("ts") >= cutNs).coalesce(1).write.mode("append").parquet(src)
+      val out = graft.Tmp.dir("graft_state_out") + "/profiles"
+      val ckpt = graft.Tmp.dir("graft_state_ckpt")
+      Streaming.runStatefulAvailableNow(s, src, out, ckpt,
+          maxFilesPerTrigger = Some(1))
+        .orderBy(col("user_id"))
+    }),
     "stream_sessionize_scale" -> ((s, dir) => {
       // the hot-key-safe twin of stream_sessionize: two-stage windows
       // within (user, 24h-chunk) + O(chunks) boundary stitching —
@@ -144,6 +163,11 @@ object QueriesStream {
       |ORDER BY e.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "stream_stateful_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+         |  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+         |  max(ts) AS last_event
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_sessionize_scale" -> SessionizeOracle,
     "j5c_asof_chunked" -> AsofPayloadOracle,
     "stream_dedup" ->

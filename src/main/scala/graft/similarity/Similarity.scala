@@ -134,6 +134,91 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  // ---------- IVF (inverted-file) ANN ----------
+
+  private def centroidCol(cents: Array[Seq[Float]]): Column =
+    typedLit(cents.toSeq)
+
+  /** Nearest-centroid assignment: explode the (plan-literal) centroid
+    * list per row, score with the fused native cosine, keep the argmax
+    * via a struct-max agg (ties → highest cluster id — deterministic).
+    * n×nlist narrow rows, codegen'd end to end. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                cents: Array[Seq[Float]]): DataFrame =
+    corpus.select(col(idCol), col(vecCol))
+      .select(col(idCol), posexplode(centroidCol(cents)),
+        col(vecCol))
+      .select(col(idCol), col("pos"),
+        cosine(col(vecCol), col("col")).as("__score"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__score"), col("pos"))).as("__best"))
+      .select(col(idCol), col("__best.pos").as("__cluster"))
+
+  /** Deterministic IVF coarse quantizer: seed centroids from the nlist
+    * lowest-id vectors (TakeOrdered — cheap, deterministic; Lloyd
+    * iterations wash out the seeding bias), then `iters` rounds of
+    * assign → element-wise mean. Driver round-trips are O(nlist × dim)
+    * per round (the centroid matrix, a few KB) — parallelism-sized,
+    * never data-sized; the per-row work is the same explode→agg shape
+    * as the LSH path. Empty clusters keep their previous centroid. */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, iters: Int): Array[Seq[Float]] = {
+    var cents: Array[Seq[Float]] = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
+      .collect().map(_.getSeq[Float](1))
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(corpus, idCol, vecCol, cents)
+        .join(corpus.select(col(idCol), col(vecCol)), idCol)
+        .select(col("__cluster"), posexplode(col(vecCol)))
+        .groupBy(col("__cluster"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("__m"))
+        .collect()
+      val next = cents.map(_.toArray)
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      cents = next.map(_.toSeq)
+    }
+    cents
+  }
+
+  /** IVF approximate top-k — the geometry-aware alternative to
+    * [[annTopK]]'s random hyperplanes: cluster the corpus around nlist
+    * learned centroids, probe each query's nprobe nearest clusters,
+    * exact-re-rank the candidates. Candidate volume per query is the
+    * probed clusters' share (≈ nprobe/nlist of the corpus, skew aside)
+    * and the probe is an equi-join on the cluster id — never a cross
+    * join. At 100 TB: train on a sample, assignment is one narrow
+    * pass, and the per-cluster candidate lists are the classic
+    * inverted-file layout (bucket-join shape identical to the LSH
+    * path). Recall/cost dial is (nlist, nprobe); nprobe = nlist scans
+    * every cluster and reproduces the exact result. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = ivfTrain(corpus, idCol, vecCol, nlist, iters)
+    val corpusAssign = ivfAssign(corpus, idCol, vecCol, cents)
+      .select(col(idCol).as("vec_id"), col("__cluster"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("__cluster").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol))
+      .select(col("query_id"), posexplode(centroidCol(cents)), col(vecCol))
+      .select(col("query_id"), col("pos").as("__cluster"),
+        cosine(col(vecCol), col("col")).as("__score"))
+      .withColumn("__r", row_number().over(wq)).filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("__cluster"))
+    val cands = corpusAssign.join(broadcast(probes), "__cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = cands
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+        sqrt(norm2(col(vecCol))).as("cn")), "vec_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        sqrt(norm2(col(vecCol))).as("qn"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+    topKPerKey(scored, col("query_id"),
+        Seq(col("cos_sim").desc, col("vec_id").asc), k, saltOn = col("vec_id"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
   /** Approximate top-k: `tables` independent LSH tables of `bits` sign
     * bits each. Corpus and queries are bucketed per table; candidates
     * are the (table, bucket) equi-join, unioned across tables and

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.merge.Scd1Merge
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured-Streaming surface (SURVEY.md §2.6/§7.6): the idiomatic
   * replacement for the reference's hand-rolled watermark loop is a file
@@ -125,6 +125,70 @@ object Streaming {
         .start()
       q.awaitTermination()
       spark.read.parquet(outPath)
+    }
+  }
+
+  /** Cross-batch state carried by [[runStatefulAvailableNow]]: exact
+    * money in integer cents so the running sum is partition- and
+    * batch-order independent. */
+  final case class UserAggState(n: Long, cents: Long, lastUs: Long)
+
+  /** CUSTOM streaming state via `flatMapGroupsWithState` — the API for
+    * aggregations Spark's built-in windowed state can't express (the
+    * built-in path is [[runAvailableNow]]'s watermarked window agg).
+    * Here: a per-user running profile (event count, exact money sum,
+    * last event time) that survives micro-batch boundaries in the state
+    * store and re-emits each updated user per batch; `foreachBatch`
+    * upserts the updates into the bucketed SCD1 table, so the final
+    * table equals the batch aggregate over the same files.
+    *
+    * Scale: state is ONE small row per user key, partitioned by the
+    * shuffle on user_id; per-batch work is O(batch) + O(touched state).
+    * No timeout is set — a production deployment with unbounded keys
+    * sets `GroupStateTimeout` (processing- or event-time) to age out
+    * idle users; bounded-key profiles like this one keep state
+    * key-sized forever.
+    */
+  def runStatefulAvailableNow(spark: SparkSession, srcDir: String, outPath: String,
+                              checkpointDir: String,
+                              maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    withConfs(spark,
+        "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+        "spark.sql.shuffle.partitions" -> "8") {
+      import spark.implicits._
+      val reader = spark.readStream.schema(EventsRawSchema)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val events = reader.parquet(srcDir)
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, Long, Long)]
+      val updated = events.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[UserAggState]) =>
+            val prev = state.getOption.getOrElse(UserAggState(0L, 0L, Long.MinValue))
+            var n = prev.n; var c = prev.cents; var last = prev.lastUs
+            rows.foreach { case (_, us, cents) =>
+              n += 1; c += cents; if (us > last) last = us
+            }
+            val next = UserAggState(n, c, last)
+            state.update(next)
+            Iterator((user, next.n, next.cents, next.lastUs))
+        }
+      val q = updated.toDF("user_id", "n_events", "cents", "last_us")
+        .writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Scd1Merge.upsert(spark, outPath,
+            batch.select(col("user_id"), col("n_events"),
+              (col("cents") / 100.0).as("sum_value"),
+              timestamp_micros(col("last_us")).as("last_event")),
+            Seq("user_id"))
+        }
+        .start()
+      q.awaitTermination()
+      Scd1Merge.readTable(spark, outPath)
     }
   }
 

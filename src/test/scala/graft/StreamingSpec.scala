@@ -34,6 +34,29 @@ class StreamingSpec extends SparkSpecBase {
       want.orderBy(col("window_start"), col("event_type")))
   }
 
+  test("flatMapGroupsWithState profile over 2 chunks ≡ batch aggregate") {
+    val events = spark.read
+      .schema(Streaming.EventsRawSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    val cutNanos = java.time.Instant.parse("2024-01-15T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    val src = Tmp.dir("state_src")
+    events.filter(col("ts") < cutNanos).coalesce(1)
+      .write.mode("append").parquet(src)
+    events.filter(col("ts") >= cutNanos).coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val got = Streaming.runStatefulAvailableNow(spark, src,
+      Tmp.dir("state_out") + "/profiles", Tmp.dir("state_ckpt"),
+      maxFilesPerTrigger = Some(1))
+
+    val want = events.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"),
+      timestamp_micros(max(expr("ts div 1000"))).as("last_event"))
+    assertSameRows(got.orderBy(col("user_id")), want.orderBy(col("user_id")))
+  }
+
   test("sessionizeChunked ≡ sessionize, with a hot user holding 50% of events") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
