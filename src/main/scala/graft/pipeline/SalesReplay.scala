@@ -142,10 +142,21 @@ object SalesReplay {
         val flag = if (first) "0" else "1" // Q4/Q7 base semantics
         // bucket counts sized to the data (≈ bytes/256 MB): 1,849-row
         // dims/fact in the default 32 buckets meant 32× the commit file
-        // ops for one-row files — the create-time sizing rule applied
-        val dims = dimSpecs.map(sp =>
-          sp -> DimBuilder.buildAndCommit(s, silver, sp, s"$root/${sp.name}", flag,
-            numBuckets = 4))
+        // ops for one-row files — the create-time sizing rule applied.
+        // The 4 dim builds run CONCURRENTLY (the reference's ADF
+        // pipeline fans the dim notebooks out as parallel branches):
+        // independent read-only source, disjoint table dirs (the
+        // single-writer-per-table rule holds), and Spark's scheduler
+        // interleaves the jobs — deterministic keys regardless of
+        // completion order.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val dims = Await.result(
+          Future.sequence(dimSpecs.map(sp => Future(
+            sp -> DimBuilder.buildAndCommit(s, silver, sp, s"$root/${sp.name}", flag,
+              numBuckets = 4)))),
+          Duration.Inf)
         val fact = FactBuilder.resolve(silver, Seq("Revenue", "Units_Sold"),
           dims.map { case (sp, d) => (d, sp.naturalKeys, sp.keyCol) })
         FactBuilder.commit(s, s"$root/factsales", fact, dimSpecs.map(_.keyCol),
