@@ -84,11 +84,30 @@ object Dedup {
   /** Candidate pairs from banded signatures: explode bands, equi-join on
     * (band, bandHash), keep id_a < id_b, distinct. This is THE
     * scale-critical step — a shuffle join on band keys, never a
-    * cartesian. */
-  def lshCandidates(sigs: DataFrame, idCol: String, sigCol: String, b: Int, r: Int): DataFrame = {
-    val banded = sigs
+    * cartesian.
+    *
+    * @param maxBandDf viral-band guard (0 = off): a band key shared by
+    *        f documents contributes f²/2 candidate pairs, so one
+    *        boilerplate-heavy key (f = 10⁶) is 5·10¹¹ pairs on one
+    *        task. Capping the band document-frequency drops those keys
+    *        from candidate generation; a true near-dup pair is LOST
+    *        only if every band it matches on is viral — the standard
+    *        production trade (and exact duplicates, the usual cause of
+    *        viral bands, belong to [[exactDedup]] upstream anyway). */
+  def lshCandidates(sigs: DataFrame, idCol: String, sigCol: String, b: Int, r: Int,
+                    maxBandDf: Int = 0): DataFrame = {
+    val banded0 = sigs
       .select(col(idCol), explode(bandKeys(col(sigCol), b, r)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val banded =
+      if (maxBandDf <= 0) banded0
+      else {
+        val ok = banded0.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxBandDf)
+          .select(col("band"), col("bh"))
+        banded0.join(ok, Seq("band", "bh"))
+      }
     val x = banded.as("x")
     val y = banded.as("y")
     x.join(y, col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -163,8 +182,11 @@ object Dedup {
 
   /** Configuration for banded MinHash near-dup. With r=2, b=16 (k=32)
     * a J=0.8 pair is missed with prob (1-0.8^2)^16 ≈ 8e-8 while a
-    * J=0.05 background pair becomes a candidate with prob ~0.4%. */
-  final case class MinhashConfig(shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 2, threshold: Double = 0.8) {
+    * J=0.05 background pair becomes a candidate with prob ~0.4%.
+    * `maxBandDf` (0 = off) enables the viral-band guard — see
+    * [[lshCandidates]]. */
+  final case class MinhashConfig(shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
+                                 threshold: Double = 0.8, maxBandDf: Int = 0) {
     def k: Int = bands * rowsPerBand
   }
 
@@ -181,7 +203,7 @@ object Dedup {
                      cfg: MinhashConfig = MinhashConfig()): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, cfg.shingleN)
     val sigs = minhashSignatures(sh, idCol, "shingle", cfg.k)
-    val cands = lshCandidates(sigs, idCol, "sig", cfg.bands, cfg.rowsPerBand)
+    val cands = lshCandidates(sigs, idCol, "sig", cfg.bands, cfg.rowsPerBand, cfg.maxBandDf)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val shA = sh.select(col(idCol).as("id_a"), col("shingle"))
     val shB = sh.select(col(idCol).as("id_b"), col("shingle"))

@@ -171,10 +171,12 @@ object QueriesLLM {
           count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderstatus"))),
     "a7_approx_count_distinct" -> ((s, dir) =>
-      // HLL++ sketch (SURVEY.md §7.6 north-star op). No oracle twin —
-      // sketch estimates aren't reproducible across engines; the
-      // driver records the rows-only check and ApproxSpec bounds the
-      // relative error against the exact count.
+      // HLL++ sketch (SURVEY.md §7.6 north-star op). DuckDB can't
+      // reproduce Spark's sketch, but the estimate IS deterministic
+      // (fixed hash; register maxima merge commutatively, so any
+      // partitioning gives the same answer) — pinned as a literal
+      // oracle at the driver's correctness SF, like the recall rows.
+      // ApproxSpec additionally bounds the relative error vs exact.
       table(s, dir, "orders")
         .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))),
 
@@ -279,6 +281,9 @@ object QueriesLLM {
     "a6_count_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
          |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // pinned deterministic HLL++ estimate at sf0.01 (exact = 1498;
+    // default rsd 5% sketch) — HllPinSpec guards the pin
+    "a7_approx_count_distinct" -> "SELECT 1400::BIGINT AS approx_cust",
     "text_token_stats" ->
       """SELECT doc_id,
          |  len(string_split(text, ' '))::BIGINT AS n_tok_ws,

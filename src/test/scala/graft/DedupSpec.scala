@@ -63,6 +63,28 @@ class DedupSpec extends SparkSpecBase {
     assertSameRows(got.orderBy($"id_a", $"id_b"), brute.orderBy($"id_a", $"id_b"))
   }
 
+  test("viral-band guard caps candidate volume; non-viral near-dups survive") {
+    import graft.dedup.Dedup.MinhashConfig
+    // 40 exact copies (one viral band-key cluster) + one genuine
+    // near-dup pair + noise
+    val viral = (1L to 40L).map(i => (i, "the same boilerplate text repeated everywhere always"))
+    val pair = Seq(
+      (100L, "completely different text about spark plans and shuffles here"),
+      (101L, "completely different text about spark plans and shuffles there"))
+    val noise = Seq((200L, "an unrelated sentence with no overlap at all whatsoever"))
+    val docs = (viral ++ pair ++ noise).toDF("doc_id", "text")
+    val sh = graft.dedup.Dedup.shingleRows(docs, "doc_id", "text", 3)
+    val sigs = graft.dedup.Dedup.minhashSignatures(sh, "doc_id", "shingle", 32)
+    val unguarded = graft.dedup.Dedup.lshCandidates(sigs, "doc_id", "sig", 16, 2)
+    val guarded = graft.dedup.Dedup.lshCandidates(sigs, "doc_id", "sig", 16, 2, maxBandDf = 10)
+    assert(unguarded.count() >= 40L * 39 / 2, "the viral cluster is quadratic unguarded")
+    assert(guarded.count() < 40L, "the guard must drop the viral band keys")
+    // the genuine near-dup pair's bands have df=2 — it must survive
+    val got = Dedup.minhashNearDup(docs, "doc_id", "text",
+      MinhashConfig(threshold = 0.5, maxBandDf = 10))
+    assert(canon(got.select($"id_a", $"id_b")).contains(Seq("100", "101")))
+  }
+
   test("wordShingles falls back to whole text below n tokens") {
     val got = spark.sql("SELECT 'a b' AS t")
       .select(wordShingles(col("t"), 3).as("s"))
