@@ -43,6 +43,27 @@ class PlanSpec extends SparkSpecBase {
       s"expected top-k operator, not a global sort:\n${plan(topk)}")
   }
 
+  test("watermark range over a date-partitioned source prunes partitions (S1 at scale)") {
+    // SCALE.md's ingest rule: a 100 TB source must be partitioned on
+    // the watermark column so the range predicate prunes at the file
+    // index — pinned here on a partitioned copy of orders
+    val src = Tmp.dir("plan_part_src") + "/orders"
+    spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("o_date", to_date(col("o_orderdate")))
+      .write.partitionBy("o_date").parquet(src)
+    val df = spark.read.parquet(src)
+      .filter(col("o_date") > to_date(lit("1997-06-01")))
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(o_date"),
+      s"expected partition filters in:\n$p")
+    val scanned = df.queryExecution.executedPlan.collectLeaves().head
+      .metrics.get("numFiles")
+    df.count()
+    val total = spark.read.parquet(src).inputFiles.length
+    assert(scanned.exists(_.value < total),
+      s"pruned scan must read fewer than all $total files")
+  }
+
   test("chunked twins window by (key, chunk), not by key alone") {
     import spark.implicits._
     val ev = Seq((1L, 1000000000L)).toDF("user_id", "ts")
