@@ -70,6 +70,33 @@ object Multimodal {
         octet_length(col("col")).cast("long").as("frame_bytes"))
   }
 
+  /** STUB RESIZE — a thumbnailer's access pattern on the opaque bytes:
+    * downsample the payload to ≤ `targetBytes` by taking every
+    * `stride`-th byte (stride = ceil(n/target); payloads already small
+    * enough pass through unchanged). A real image resize decodes
+    * first — this pins the Spark-side contract: binary in, binary out,
+    * metadata updated, all per-row byte arithmetic. The per-row fold is
+    * O(targetBytes) — a BOUNDED constant — which is the one place an
+    * interpreted HOF is acceptable (the no-HOF rule targets folds that
+    * scale with data). */
+  def resizeStub(media: DataFrame, targetBytes: Int): DataFrame = {
+    val n = col("meta.n_bytes")
+    val stride = greatest(lit(1L), ceil(n / lit(targetBytes.toDouble)).cast("long"))
+    val cnt = ceil(n.cast("double") / stride).cast("long")
+    // cnt = 0 => sequence(0,-1) would be the DESCENDING [0,-1]: guard
+    val sampled = when(cnt > 0,
+      transform(sequence(lit(0L), cnt - 1), i =>
+        col("payload").substr((i * stride + 1).cast("int"), lit(1))))
+      .otherwise(array())
+    val thumb = aggregate(sampled, lit(Array.emptyByteArray), (acc, x) => concat(acc, x))
+    media.select(
+      col("doc_id"),
+      n.as("orig_bytes"),
+      stride.as("stride"),
+      octet_length(thumb).cast("long").as("thumb_bytes"),
+      hex(thumb).as("thumb_hex"))
+  }
+
   /** STUB DECODER — deterministic fake. A real deployment swaps the
     * body for an image/audio codec over the same `Iterator` batch
     * shape; the Spark-side contract (typed input row, per-partition

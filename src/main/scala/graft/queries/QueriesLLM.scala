@@ -205,6 +205,14 @@ object QueriesLLM {
       Multimodal.decodeStub(
           Multimodal.asMediaDataset(s, table(s, dir, "documents"), "doc_id", "text"))
         .toDF().orderBy(col("doc_id"))),
+    "mm_resize" -> ((s, dir) =>
+      // thumbnailer access pattern on opaque bytes: stride-downsample
+      // each payload to <=64 bytes (resize-stub contract: binary in,
+      // binary out, metadata updated)
+      Multimodal.resizeStub(
+          Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text"),
+          targetBytes = 64)
+        .orderBy(col("doc_id"))),
     "mm_props_json" -> ((s, dir) =>
       // typed-metadata extraction from a JSON props column (events.props).
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
@@ -396,6 +404,15 @@ object QueriesLLM {
          |  CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substring(text, 1, 1)) END AS head_byte,
          |  list_sum([ascii(text[i+1]) FOR i IN range(length(text))])::BIGINT AS byte_sum
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """WITH p AS (SELECT doc_id, text, length(text)::BIGINT AS n,
+         |    greatest(1, ceil(length(text) / 64.0))::BIGINT AS stride FROM documents)
+         |SELECT doc_id, n AS orig_bytes, stride,
+         |  length(thumb)::BIGINT AS thumb_bytes, hex(encode(thumb)) AS thumb_hex
+         |FROM (SELECT doc_id, n, stride,
+         |  array_to_string([text[i*stride+1] FOR i IN range(ceil(n / stride::DOUBLE)::BIGINT)], '') AS thumb
+         |  FROM p)
+         |ORDER BY doc_id""".stripMargin,
     "mm_props_json" ->
       """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_val
          |FROM events ORDER BY event_id""".stripMargin

@@ -50,4 +50,17 @@ class MultimodalSpec extends SparkSpecBase {
       feats(0).byte_sum == 'a'.toInt + 'b'.toInt)
     assert(feats(1).n_bytes == 0L && feats(1).head_byte == -1 && feats(1).byte_sum == 0L)
   }
+
+  test("resizeStub: short payloads pass through; long ones bound at target") {
+    val docs = Seq((1L, "short"), (2L, "x" * 500), (3L, "")).toDF("doc_id", "text")
+    val got = Multimodal.resizeStub(
+        Multimodal.asMedia(docs, "doc_id", "text"), targetBytes = 64)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("orig_bytes"), r.getAs[Long]("stride"), r.getAs[Long]("thumb_bytes"))))
+      .toMap
+    assert(got(1L) == ((5L, 1L, 5L)), "short payload passes through (stride 1)")
+    val (o2, s2, t2) = got(2L)
+    assert(o2 == 500L && s2 == 8L && t2 <= 64L, s"long payload must bound: $got")
+    assert(got(3L) == ((0L, 1L, 0L)), "empty payload yields an empty thumb")
+  }
 }
