@@ -255,6 +255,34 @@ object QueriesRel {
         .orderBy(keys.map(col): _*)
     }),
 
+    "j6_semi_join" -> ((s, dir) =>
+      // left-semi: customers with at least one open order — the EXISTS
+      // shape (one shuffle, no row multiplication, left columns only)
+      table(s, dir, "customer").join(
+          table(s, dir, "orders").filter(col("o_orderstatus") === "O")
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+    "j7_anti_join" -> ((s, dir) =>
+      // left-anti: customers with NO orders at all — the NOT EXISTS
+      // shape (null-safe by construction, unlike NOT IN)
+      table(s, dir, "customer").join(
+          table(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // ---- U2/U3: set ops beyond positional union -------------------------
+    "u2_except" -> ((s, dir) =>
+      table(s, dir, "customer").select(col("c_custkey"))
+        .except(table(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy(col("c_custkey"))),
+    "u3_intersect" -> ((s, dir) =>
+      table(s, dir, "customer").select(col("c_custkey"))
+        .intersect(table(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy(col("c_custkey"))),
+
     // ---- A: aggregations ------------------------------------------------
     "a1_groupby_sum" -> ((s, dir) =>
       // The flagship silver ad-hoc aggregate (ref silver_notebook.py:47-50).
@@ -278,6 +306,35 @@ object QueriesRel {
       table(s, dir, "customer").select(col("c_mktsegment")).distinct()
         .orderBy(col("c_mktsegment"))),
 
+    "a9_percentile" -> ((s, dir) =>
+      // EXACT percentiles (sort-based Percentile agg, not the GK
+      // sketch): computed over integer cents so the interpolation
+      // arithmetic (a + (b-a)·f on exact integers-as-doubles) is
+      // bit-identical to DuckDB's quantile_cont
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          (expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)") / 100.0)
+            .as("p50"),
+          (expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)") / 100.0)
+            .as("p90"))
+        .orderBy(col("o_orderstatus"))),
+    "a10_pivot" -> ((s, dir) =>
+      // pivot: order counts per (priority, status) as a wide table —
+      // compiles to a single Expand-free conditional aggregation
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))),
+    "a11_cube" -> ((s, dir) =>
+      // CUBE: all 4 grouping combinations in one Expand-based pass
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
     "a8_rollup" -> ((s, dir) =>
       // hierarchical subtotals (Expand-based plan); money on exact cents
       table(s, dir, "orders")
@@ -422,6 +479,37 @@ object QueriesRel {
          |    SELECT 1 FROM s WHERE s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
          |      AND s.l_partkey = t.l_partkey AND s.l_suppkey = t.l_suppkey)
          |  UNION ALL SELECT * FROM s) ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "j6_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+         |ORDER BY c_custkey""".stripMargin,
+    "j7_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |ORDER BY c_custkey""".stripMargin,
+    "u2_except" ->
+      """SELECT c_custkey FROM customer
+         |EXCEPT SELECT o_custkey FROM orders
+         |ORDER BY c_custkey""".stripMargin,
+    "u3_intersect" ->
+      """SELECT c_custkey FROM customer
+         |INTERSECT SELECT o_custkey FROM orders
+         |ORDER BY c_custkey""".stripMargin,
+    "a9_percentile" ->
+      """SELECT o_orderstatus,
+         |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) / 100.0 AS p50,
+         |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) / 100.0 AS p90
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a10_pivot" ->
+      """SELECT o_orderpriority,
+         |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+         |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+         |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a11_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "a1_groupby_sum" ->
       """SELECT l_returnflag, l_linestatus,
          |  SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
