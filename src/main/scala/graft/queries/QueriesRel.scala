@@ -197,6 +197,43 @@ object QueriesRel {
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"))
         .orderBy(col("o_orderkey"))),
 
+    "f6_null_handling" -> ((s, dir) =>
+      // null plumbing: a derived nullable column through coalesce /
+      // nullif / null-aware CASE — the ops every null-attr dim needs
+      table(s, dir, "orders")
+        .withColumn("maybe_price",
+          when(col("o_orderstatus") === "P", lit(null)).otherwise(col("o_totalprice")))
+        .select(col("o_orderkey"),
+          coalesce(col("maybe_price"), lit(-1.0)).as("price_or_default"),
+          nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+          col("maybe_price").isNull.as("is_open"))
+        .orderBy(col("o_orderkey"))),
+    "p9_date_funcs" -> ((s, dir) =>
+      // calendar battery over the watermark column: extract parts,
+      // shift, diff, truncate — all pushed-down-friendly projections
+      table(s, dir, "orders")
+        .withColumn("o_date", to_date(col("o_orderdate")))
+        .select(col("o_orderkey"),
+          year(col("o_date")).as("y"),
+          month(col("o_date")).as("m"),
+          dayofmonth(col("o_date")).as("d"),
+          date_add(col("o_date"), 30).as("plus30"),
+          datediff(to_date(lit("1998-12-31")), col("o_date")).as("days_to_end"),
+          trunc(col("o_date"), "month").as("month_start"))
+        .orderBy(col("o_orderkey"))),
+    "p10_string_funcs" -> ((s, dir) =>
+      // string battery: case, slicing, padding, regex extraction,
+      // search — the silver-transform toolkit beyond split-head
+      table(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_upper"),
+          substring(col("p_name"), 1, 8).as("name_head"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+          regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_head"),
+          instr(col("p_name"), "o").cast("int").as("first_o"),
+          length(col("p_name")).as("name_len"))
+        .orderBy(col("p_partkey"))),
+
     // ---- J: joins -------------------------------------------------------
     "j1_left_outer" -> ((s, dir) => {
       val c = table(s, dir, "customer")
@@ -368,6 +405,42 @@ object QueriesRel {
         .assign(table(s, dir, "supplier").select(col("s_suppkey")), "s_suppkey", "k", 0L)
       keyed.agg(count(lit(1)).as("n_rows"), countDistinct(col("k")).as("n_keys"))
     }),
+    "w3_running_sum" -> ((s, dir) =>
+      // per-customer running money total, ordered by (date, key) so the
+      // frame is total-ordered; cents keep the sum exact
+      table(s, dir, "orders")
+        .withColumn("o_date", to_date(col("o_orderdate")))
+        .withColumn("run_total",
+          (sum(cents(col("o_totalprice")))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_custkey"))
+              .orderBy(col("o_date"), col("o_orderkey"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow)) / 100.0))
+        .select(col("o_orderkey"), col("o_custkey"), col("run_total"))
+        .orderBy(col("o_orderkey"))),
+    "w4_lag_lead" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_date"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("o_date", to_date(col("o_orderdate")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag(col("o_date"), 1).over(w).as("prev_date"),
+          lead(col("o_date"), 1).over(w).as("next_date"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "w5_rank_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "o1_sort" -> ((s, dir) =>
       table(s, dir, "orders")
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"))
@@ -479,6 +552,51 @@ object QueriesRel {
          |    SELECT 1 FROM s WHERE s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
          |      AND s.l_partkey = t.l_partkey AND s.l_suppkey = t.l_suppkey)
          |  UNION ALL SELECT * FROM s) ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "w3_running_sum" ->
+      """SELECT o_orderkey, o_custkey,
+         |  (sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |     OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+         |           ROWS UNBOUNDED PRECEDING)) / 100.0 AS run_total
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "w4_lag_lead" ->
+      """SELECT o_orderkey, o_custkey,
+         |  lag(CAST(o_orderdate AS DATE)) OVER w AS prev_date,
+         |  lead(CAST(o_orderdate AS DATE)) OVER w AS next_date
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+         |ORDER BY o_orderkey""".stripMargin,
+    "w5_rank_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+         |  CAST(rank() OVER w AS INT) AS rnk,
+         |  CAST(dense_rank() OVER w AS INT) AS drnk,
+         |  CAST(ntile(4) OVER w AS INT) AS quartile
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+         |ORDER BY o_orderkey""".stripMargin,
+    "f6_null_handling" ->
+      """SELECT o_orderkey,
+         |  coalesce(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END, -1.0) AS price_or_default,
+         |  nullif(o_orderstatus, 'P') AS status_or_null,
+         |  (CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END) IS NULL AS is_open
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p9_date_funcs" ->
+      """SELECT o_orderkey,
+         |  year(CAST(o_orderdate AS DATE))::INT AS y,
+         |  month(CAST(o_orderdate AS DATE))::INT AS m,
+         |  day(CAST(o_orderdate AS DATE))::INT AS d,
+         |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+         |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')::INT AS days_to_end,
+         |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p10_string_funcs" ->
+      """SELECT p_partkey,
+         |  upper(p_brand) AS brand_upper,
+         |  substring(p_name, 1, 8) AS name_head,
+         |  lpad(p_size::VARCHAR, 4, '0') AS size_padded,
+         |  regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+         |  instr(p_name, 'o')::INT AS first_o,
+         |  length(p_name)::INT AS name_len
+         |FROM part ORDER BY p_partkey""".stripMargin,
     "j6_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
