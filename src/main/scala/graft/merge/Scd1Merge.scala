@@ -155,14 +155,16 @@ object Scd1Merge {
 
   /** Read a table in any layout: manifest (resolve live dirs), legacy
     * `__bucket=N` partitioned, or legacy flat — the layout column never
-    * escapes. */
+    * escapes. `mergeSchema` unions per-file schemas (footer reads, not
+    * data) so buckets written before a schema evolution null-fill the
+    * columns they predate. */
   def readTable(spark: SparkSession, tablePath: String): DataFrame = {
     val df = readManifest(tablePath) match {
       case Some(m) =>
         val dirs = m.dirs.toSeq.sortBy(_._1)
           .map { case (_, d) => Paths.get(tablePath, d).toString }
-        spark.read.parquet(dirs: _*)
-      case None => spark.read.parquet(tablePath)
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(tablePath)
     }
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
@@ -187,9 +189,17 @@ object Scd1Merge {
     * rewrite. A full-table rewrite per merge is the classic 100 TB
     * killer: a 1k-row batch into a 100 TB fact would rewrite 100 TB.
     * Commit protocol: see the object Scaladoc (manifest swap).
+    *
+    * @param evolveSchema Delta `mergeSchema` parity: columns the source
+    *        adds join the table schema (UNTOUCHED buckets keep their
+    *        old files — `readTable` null-fills via parquet schema
+    *        merge, so evolution rewrites nothing it wasn't already
+    *        rewriting); columns the source omits are null-filled on its
+    *        rows. Off by default: a dropped/added column is usually a
+    *        bug, and the strict path fails loudly.
     */
   def upsert(spark: SparkSession, tablePath: String, source: DataFrame, keys: Seq[String],
-             numBuckets: Int = 0): Unit = {
+             numBuckets: Int = 0, evolveSchema: Boolean = false): Unit = {
     val dir = Paths.get(tablePath)
     if (!Files.exists(dir)) {
       val nb = if (numBuckets > 0) numBuckets else DefaultNumBuckets
@@ -269,10 +279,15 @@ object Scd1Merge {
     val merged =
       if (liveTouched.isEmpty) bucketed // all-new buckets: insert only
       else {
-        val target = withBucket(spark.read.parquet(liveTouched: _*), keys, nb)
+        val target = withBucket(
+          spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)
         // dup check already done by the probe — plain anti-join + union
-        target.join(bucketed, keys, "left_anti")
-          .unionByName(bucketed.select(target.columns.map(col): _*))
+        if (evolveSchema)
+          target.join(bucketed, keys, "left_anti")
+            .unionByName(bucketed, allowMissingColumns = true)
+        else
+          target.join(bucketed, keys, "left_anti")
+            .unionByName(bucketed.select(target.columns.map(col): _*))
       }
     val tmp = tablePath + ".tmp"
     // repartition on the bucket column before the partitioned write:

@@ -136,6 +136,23 @@ object QueriesRel {
         .orderBy(col("l_linenumber"))
     }),
 
+    "s13_schema_evolution" -> ((s, dir) => {
+      // Delta mergeSchema parity: a later batch ADDS a column; only its
+      // touched buckets rewrite, and readTable null-fills the rows that
+      // predate the column via parquet schema merge.
+      val n = table(s, dir, "nation")
+      val path = tmpDir("graft_evo") + "/dim"
+      Scd1Merge.upsert(s, path,
+        n.select(col("n_nationkey").as("k"), col("n_name").as("name")),
+        Seq("k"), numBuckets = 4)
+      val batch = n.filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey").as("k"),
+          concat(col("n_name"), lit("_v2")).as("name"),
+          col("n_regionkey").cast("long").as("region"))
+      Scd1Merge.upsert(s, path, batch, Seq("k"), evolveSchema = true)
+      Scd1Merge.readTable(s, path).orderBy(col("k"))
+    }),
+
     // ---- P: projections / derived columns ------------------------------
     "p1_projection" -> ((s, dir) =>
       table(s, dir, "customer").select(col("c_custkey"), col("c_name"))
@@ -552,6 +569,15 @@ object QueriesRel {
          |    SELECT 1 FROM s WHERE s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
          |      AND s.l_partkey = t.l_partkey AND s.l_suppkey = t.l_suppkey)
          |  UNION ALL SELECT * FROM s) ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "s13_schema_evolution" ->
+      """WITH dim AS (SELECT n_nationkey AS k, n_name AS name FROM nation),
+         |b AS (SELECT n_nationkey AS k, n_name || '_v2' AS name, n_regionkey::BIGINT AS region
+         |      FROM nation WHERE n_nationkey < 5)
+         |SELECT k, name, region FROM (
+         |  SELECT d.k, d.name, NULL::BIGINT AS region FROM dim d
+         |  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.k = d.k)
+         |  UNION ALL SELECT * FROM b)
+         |ORDER BY k""".stripMargin,
     "w3_running_sum" ->
       """SELECT o_orderkey, o_custkey,
          |  (sum(CAST(round(o_totalprice * 100) AS BIGINT))

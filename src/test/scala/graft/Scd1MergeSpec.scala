@@ -168,6 +168,27 @@ class Scd1MergeSpec extends SparkSpecBase {
     }
   }
 
+  test("evolveSchema: added column joins the table; untouched buckets null-fill") {
+    val path = Tmp.dir("scd1_evo") + "/t"
+    Scd1Merge.upsert(spark, path,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), numBuckets = 8)
+    val before = manifestEntries(path)
+    val batch = Seq((1L, "v1x", 42L)).toDF("k", "v", "extra")
+    Scd1Merge.upsert(spark, path, batch, Seq("k"), evolveSchema = true)
+    // only the touched bucket rewrote — evolution does NOT rewrite the table
+    val after = manifestEntries(path)
+    assert(after.count { case (b, d) => before.get(b).exists(_ != d) } == 1)
+    val got = Scd1Merge.readTable(spark, path)
+    assert(got.count() == 100)
+    assert(got.filter($"k" === 1L).first().getAs[Long]("extra") == 42L)
+    assert(got.filter($"k" === 2L).first().isNullAt(got.columns.indexOf("extra")),
+      "rows predating the column must null-fill")
+    // strict mode still fails loudly when the source DROPS a column
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Scd1Merge.upsert(spark, path, Seq((3L, 7L)).toDF("k", "extra"), Seq("k"))
+    }
+  }
+
   test("upsert of an empty batch leaves the table untouched") {
     val path = Tmp.dir("scd1_empty") + "/t"
     Scd1Merge.upsert(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
