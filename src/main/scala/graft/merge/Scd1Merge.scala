@@ -208,6 +208,13 @@ object Scd1Merge {
         .repartition(col(BucketCol))
         .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
       val entries = adoptBucketDirs(tablePath, tmp, _ => 0)
+      if (entries.isEmpty) {
+        // empty initial source: create NOTHING — an empty-manifest
+        // table has no schema to read; the table appears when data does
+        deleteRecursively(Paths.get(tmp))
+        deleteRecursively(dir)
+        return
+      }
       commitManifest(tablePath, Manifest(nb, entries))
       deleteRecursively(Paths.get(tmp))
       return
