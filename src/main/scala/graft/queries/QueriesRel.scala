@@ -309,6 +309,28 @@ object QueriesRel {
         .orderBy(keys.map(col): _*)
     }),
 
+    "j8_bucketed_join" -> ((s, dir) => {
+      // co-located join via bucketed tables (the brief's "bucketing for
+      // co-located joins"): both sides bucketBy the join key with the
+      // same count, so the SortMergeJoin reads bucket-aligned files
+      // with NO shuffle on either side (PlanSpec pins the plan shape;
+      // at 100 TB this is the difference between a join that moves
+      // 100 TB and one that moves nothing)
+      s.sql("CREATE DATABASE IF NOT EXISTS graft")
+      dropManaged(s, "graft", "orders_bkt")
+      dropManaged(s, "graft", "customer_bkt")
+      table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft.orders_bkt")
+      table(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft.customer_bkt")
+      s.table("graft.orders_bkt")
+        .join(s.table("graft.customer_bkt"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+        .orderBy(col("o_orderkey"))
+    }),
     "j6_semi_join" -> ((s, dir) =>
       // left-semi: customers with at least one open order — the EXISTS
       // shape (one shuffle, no row multiplication, left columns only)
@@ -623,6 +645,10 @@ object QueriesRel {
          |  instr(p_name, 'o')::INT AS first_o,
          |  length(p_name)::INT AS name_len
          |FROM part ORDER BY p_partkey""".stripMargin,
+    "j8_bucketed_join" ->
+      """SELECT o_orderkey, o_custkey, c_name
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_orderkey""".stripMargin,
     "j6_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')

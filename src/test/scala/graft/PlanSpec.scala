@@ -64,6 +64,34 @@ class PlanSpec extends SparkSpecBase {
       s"pruned scan must read fewer than all $total files")
   }
 
+  test("bucketed tables join WITHOUT a shuffle on either side") {
+    val spark2 = spark
+    spark2.sql("CREATE DATABASE IF NOT EXISTS graft_plan")
+    spark2.sql("DROP TABLE IF EXISTS graft_plan.o_bkt")
+    spark2.sql("DROP TABLE IF EXISTS graft_plan.c_bkt")
+    val wh = java.net.URI.create(spark2.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("o_bkt", "c_bkt")) {
+      val loc = java.nio.file.Paths.get(wh, "graft_plan.db", t)
+      if (java.nio.file.Files.exists(loc)) Tmp.deleteRecursively(loc)
+    }
+    spark2.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("graft_plan.o_bkt")
+    spark2.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+      .write.bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("graft_plan.c_bkt")
+    val prev = spark2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force the merge-join path
+    try {
+      val j = spark2.table("graft_plan.o_bkt")
+        .join(spark2.table("graft_plan.c_bkt"), col("o_custkey") === col("c_custkey"))
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucket-aligned join must not shuffle either side:\n$p")
+    } finally spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("chunked twins window by (key, chunk), not by key alone") {
     import spark.implicits._
     val ev = Seq((1L, 1000000000L)).toDF("user_id", "ts")
