@@ -54,6 +54,24 @@ object QueriesStream {
           timestamp_micros(col("__match")).as("last_purchase_ts"))
         .orderBy(col("event_id"))
     }),
+    "stream_stream_join" -> ((s, dir) => {
+      // watermarked stream-stream inner join (view -> purchase by the
+      // same user within 1h), 2 time-split micro-batches so matches
+      // cross the batch boundary through buffered join state; the
+      // result must equal the batch time-range join.
+      val src = graft.Tmp.dir("graft_ssj_src")
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+      val cutNs = java.time.Instant.parse("2024-01-15T00:00:00Z")
+        .getEpochSecond * 1000000000L
+      ev.filter(col("ts") < cutNs).coalesce(1).write.mode("append").parquet(src)
+      ev.filter(col("ts") >= cutNs).coalesce(1).write.mode("append").parquet(src)
+      val out = graft.Tmp.dir("graft_ssj_out") + "/pairs"
+      val ckpt = graft.Tmp.dir("graft_ssj_ckpt")
+      Streaming.runStreamJoinAvailableNow(s, src, out, ckpt,
+          maxFilesPerTrigger = Some(1))
+        .orderBy(col("view_id"), col("purchase_id"))
+    }),
     "stream_stateful_agg" -> ((s, dir) => {
       // CUSTOM cross-batch state via flatMapGroupsWithState: per-user
       // running profile (count, exact money sum, last event time) over
@@ -163,6 +181,13 @@ object QueriesStream {
       |ORDER BY e.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "stream_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+         |  v.ts AS view_ts, p.ts AS purchase_ts
+         |FROM events v JOIN events p
+         |  ON v.user_id = p.user_id AND v.event_type = 'view' AND p.event_type = 'purchase'
+         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+         |ORDER BY view_id, purchase_id""".stripMargin,
     "stream_stateful_agg" ->
       """SELECT user_id, count(*) AS n_events,
          |  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,

@@ -128,6 +128,51 @@ object Streaming {
     }
   }
 
+  /** Watermarked STREAM-STREAM inner join: views matched to purchases
+    * by the same user within 1 hour. Both sides carry event-time
+    * watermarks and the join condition bounds the time range, so the
+    * state store buffers each side only until the other side's
+    * watermark passes — state is window-sized, not stream-sized (the
+    * unbounded-buffer hazard of an unconstrained stream join). A view
+    * in one micro-batch joins a purchase arriving in a LATER batch via
+    * that buffered state (the spec drives the 2-chunk path). Inner
+    * joins emit eagerly at match time — no end-of-stream withholding.
+    */
+  def runStreamJoinAvailableNow(spark: SparkSession, srcDir: String, outPath: String,
+                                checkpointDir: String,
+                                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    withConfs(spark,
+        "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+        "spark.sql.shuffle.partitions" -> "8") {
+      val reader = spark.readStream.schema(EventsRawSchema)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val base = withEventTime(reader.parquet(srcDir))
+      val views = base.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ets").as("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ets").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("view_id"), col("purchase_id"), col("v_user").as("user_id"),
+          col("view_ts"), col("purchase_ts"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .format("parquet")
+        .option("path", outPath)
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outPath)
+    }
+  }
+
   /** Cross-batch state carried by [[runStatefulAvailableNow]]: exact
     * money in integer cents so the running sum is partition- and
     * batch-order independent. */

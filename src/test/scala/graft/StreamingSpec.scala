@@ -57,6 +57,34 @@ class StreamingSpec extends SparkSpecBase {
     assertSameRows(got.orderBy(col("user_id")), want.orderBy(col("user_id")))
   }
 
+  test("stream-stream join over 2 chunks ≡ batch time-range join") {
+    val events = spark.read
+      .schema(Streaming.EventsRawSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    val cutNanos = java.time.Instant.parse("2024-01-15T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    val src = Tmp.dir("ssj_src")
+    events.filter(col("ts") < cutNanos).coalesce(1).write.mode("append").parquet(src)
+    events.filter(col("ts") >= cutNanos).coalesce(1).write.mode("append").parquet(src)
+    val got = Streaming.runStreamJoinAvailableNow(spark, src,
+      Tmp.dir("ssj_out") + "/pairs", Tmp.dir("ssj_ckpt"),
+      maxFilesPerTrigger = Some(1))
+    val e = Streaming.withEventTime(events)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ets").as("view_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ets").as("purchase_ts"))
+    val want = v.join(p, col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        col("view_ts"), col("purchase_ts"))
+    assertSameRows(
+      got.orderBy(col("view_id"), col("purchase_id")),
+      want.orderBy(col("view_id"), col("purchase_id")))
+  }
+
   test("sessionizeChunked ≡ sessionize, with a hot user holding 50% of events") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
