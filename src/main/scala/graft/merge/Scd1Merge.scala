@@ -64,7 +64,7 @@ object Scd1Merge {
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     requireUniqueSourceKeys(source, keys)
     target.join(source, keys, "left_anti")
-      .unionByName(source.select(target.columns.map(col): _*))
+      .unionByName(source.select(target.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Bucket count used when the caller doesn't choose one. At scale,
@@ -294,7 +294,7 @@ object Scd1Merge {
             .unionByName(bucketed, allowMissingColumns = true)
         else
           target.join(bucketed, keys, "left_anti")
-            .unionByName(bucketed.select(target.columns.map(col): _*))
+            .unionByName(bucketed.select(target.columns.toIndexedSeq.map(col): _*))
       }
     val tmp = tablePath + ".tmp"
     // repartition on the bucket column before the partitioned write:

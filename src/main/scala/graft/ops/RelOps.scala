@@ -55,9 +55,9 @@ object RelOps {
     val joined = src.join(
       sink, src(naturalKey) === sink(naturalKey), "left")
     val old = joined.filter(sink(sinkKey).isNotNull)
-      .select(src.columns.map(src(_)) :+ sink(sinkKey): _*)
+      .select(src.columns.toIndexedSeq.map(src(_)) :+ sink(sinkKey): _*)
     val fresh = joined.filter(sink(sinkKey).isNull)
-      .select(src.columns.map(src(_)): _*)
+      .select(src.columns.toIndexedSeq.map(src(_)): _*)
     (old, fresh)
   }
 
