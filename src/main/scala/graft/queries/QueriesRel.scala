@@ -64,6 +64,21 @@ object QueriesRel {
     }),
     "s3_parquet_scan" -> ((s, dir) =>
       table(s, dir, "region").orderBy(col("r_regionkey"))),
+    "s14_json_roundtrip" -> ((s, dir) => {
+      // JSON-lines source semantics: explicit schema (no sampling-based
+      // inference at scale), null passthrough, full double precision
+      val c = table(s, dir, "customer")
+      val out = tmpDir("graft_json")
+      c.coalesce(1).write.mode("overwrite").json(out)
+      s.read.schema(c.schema).json(out).orderBy(col("c_custkey"))
+    }),
+    "s15_orc_roundtrip" -> ((s, dir) => {
+      // ORC source/sink — the other columnar format a lakehouse ingests
+      val n = table(s, dir, "nation")
+      val out = tmpDir("graft_orc")
+      n.write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(col("n_nationkey"))
+    }),
     "s4_sql_over_files" -> ((s, dir) =>
       s.sql(s"SELECT p_partkey, p_name, p_brand FROM parquet.`$dir/part.parquet` ORDER BY p_partkey")),
     "s5_catalog_scan" -> ((s, dir) => {
@@ -519,6 +534,10 @@ object QueriesRel {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "s4_sql_over_files" ->
       "SELECT p_partkey, p_name, p_brand FROM part ORDER BY p_partkey",
+    "s14_json_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+    "s15_orc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "s5_catalog_scan" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "s6_parquet_append_sink" ->
