@@ -397,6 +397,20 @@ object QueriesRel {
       table(s, dir, "customer").select(col("c_mktsegment")).distinct()
         .orderBy(col("c_mktsegment"))),
 
+    "a13_stats" -> ((s, dir) =>
+      // statistical aggregate family. Floating summation order differs
+      // between Spark's partition-parallel partials and DuckDB's serial
+      // fold, so moments agree only to ~1e-11 relative — both sides
+      // round to 4 decimals (same guard as the money-cents rule: make
+      // the compared value independent of partitioning).
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(avg(col("o_totalprice")), 4).as("avg_price"),
+          round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
+          round(var_samp(col("o_totalprice")), 4).as("var_price"),
+          round(corr(col("o_totalprice"), col("o_custkey")), 4).as("corr_pc"))
+        .orderBy(col("o_orderstatus"))),
     "a9_percentile" -> ((s, dir) =>
       // EXACT percentiles (sort-based Percentile agg, not the GK
       // sketch): computed over integer cents so the interpolation
@@ -684,6 +698,13 @@ object QueriesRel {
       """SELECT c_custkey FROM customer
          |INTERSECT SELECT o_custkey FROM orders
          |ORDER BY c_custkey""".stripMargin,
+    "a13_stats" ->
+      """SELECT o_orderstatus,
+         |  round(avg(o_totalprice), 4) AS avg_price,
+         |  round(stddev_samp(o_totalprice), 4) AS sd_price,
+         |  round(var_samp(o_totalprice), 4) AS var_price,
+         |  round(corr(o_totalprice, o_custkey), 4) AS corr_pc
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "a9_percentile" ->
       """SELECT o_orderstatus,
          |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) / 100.0 AS p50,
