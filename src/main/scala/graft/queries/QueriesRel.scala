@@ -397,6 +397,20 @@ object QueriesRel {
       table(s, dir, "customer").select(col("c_mktsegment")).distinct()
         .orderBy(col("c_mktsegment"))),
 
+    "a14_grouping_sets" -> ((s, dir) => {
+      // arbitrary GROUPING SETS + grouping() markers — the general form
+      // rollup/cube specialize, with subtotal-NULL disambiguated from
+      // data-NULL by the grouping flags
+      table(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+              |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+              |  count(*) AS n
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+              |  g_status, g_prio""".stripMargin)
+    }),
     "a13_stats" -> ((s, dir) =>
       // statistical aggregate family. Floating summation order differs
       // between Spark's partition-parallel partials and DuckDB's serial
@@ -698,6 +712,15 @@ object QueriesRel {
       """SELECT c_custkey FROM customer
          |INTERSECT SELECT o_custkey FROM orders
          |ORDER BY c_custkey""".stripMargin,
+    "a14_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         |  grouping(o_orderstatus)::INT AS g_status,
+         |  grouping(o_orderpriority)::INT AS g_prio,
+         |  count(*) AS n
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+         |  g_status, g_prio""".stripMargin,
     "a13_stats" ->
       """SELECT o_orderstatus,
          |  round(avg(o_totalprice), 4) AS avg_price,
