@@ -2,7 +2,10 @@ package graft.merge
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 /** SCD Type-1 upsert without Delta Lake (SURVEY.md §7.3).
@@ -30,13 +33,30 @@ import scala.jdk.CollectionConverters._
   * rename: a reader resolves the manifest first and therefore sees the
   * whole table entirely pre-commit or entirely post-commit — a crash
   * between bucket writes is unobservable (the half-written versions are
-  * unreferenced garbage, swept by the next upsert). This closes the
-  * cross-bucket atomicity gap the previous per-bucket-swap commit had;
-  * single WRITER at a time remains assumed (Delta's optimistic
-  * concurrency is out of scope). Readers that resolved the old manifest
-  * can race the immediate GC of replaced versions — production would
-  * age out old versions instead (the standard snapshot-retention dial);
-  * the layout supports that without change.
+  * unreferenced garbage, swept by the next upsert). The manifest body is
+  * fsync'd before the rename (and the table dir after it, best-effort),
+  * so the commit survives power loss, not just process crash.
+  *
+  * READER ISOLATION (snapshot retention): a commit does NOT delete the
+  * bucket versions it replaces — the last [[DefaultRetainVersions]]
+  * historical versions per bucket are kept, so a reader that resolved
+  * the OLD manifest (a minutes-long scan on a big cluster) still finds
+  * its files after a concurrent upsert lands. Only versions NEWER than
+  * the live one (crash residue from an uncommitted write) are swept
+  * eagerly. [[vacuum]] is the age-out dial: it drops history beyond a
+  * chosen depth plus pre-migration leftovers. A reader can thus lag the
+  * writer by up to `retainVersions` commits per table before its files
+  * disappear — size the retention to the longest expected scan.
+  *
+  * WRITER MUTUAL EXCLUSION: every mutating entry point (upsert, compact,
+  * vacuum) takes a lease-based lock file (`_graft_lock`, created with
+  * CREATE_NEW — atomic on every real filesystem). A second concurrent
+  * writer fails LOUDLY instead of silently interleaving manifest swaps
+  * (Delta gets the same guarantee from optimistic concurrency). A
+  * crashed writer's lease expires after [[lockLeaseMillis]]; the next
+  * writer takes the stale lock over. The lease must exceed the longest
+  * expected commit — this impl does not heartbeat mid-commit (a
+  * production refinement: re-write the expiry inside long jobs).
   *
   * Scale notes: the anti-join shuffles both sides on the merge keys
   * (or broadcasts the source when it is a small batch — the common
@@ -75,8 +95,21 @@ object Scd1Merge {
     * (measured 2-3× slower pipeline commits). */
   val DefaultNumBuckets = 32
 
+  /** Historical bucket versions kept per bucket after a commit (the
+    * snapshot-retention dial). 1 = a reader may cross ONE concurrent
+    * upsert per table and still materialize its snapshot; raise it when
+    * scans can lag the writer by more commits. [[vacuum]] reclaims. */
+  val DefaultRetainVersions = 1
+
+  /** Writer-lease duration. A writer that dies without releasing its
+    * lock blocks the table until the lease expires; afterwards the next
+    * writer takes over. Must exceed the longest expected commit. */
+  @volatile var lockLeaseMillis: Long = 15L * 60 * 1000
+
   private val BucketCol = "__bucket"
   private val ManifestName = "_graft_manifest"
+  private val LockName = "_graft_lock"
+  private val LegacyMetaName = "_graft_buckets"
 
   /** Live table state: bucket count + bucket → live dir (relative to the
     * table path). Legacy pre-manifest dirs (`__bucket=N`) are valid
@@ -86,13 +119,22 @@ object Scd1Merge {
   /** Injected-failure hook for the crash-consistency spec; "" in
     * production. Recognized points: "before-manifest" (bucket versions
     * written, manifest not yet swapped) and "after-manifest" (swapped,
-    * old versions not yet swept). */
+    * old versions not yet swept) — both also fire in [[compact]] and in
+    * the initial-create / flat-migration first commits. */
   private[graft] var testFailpoint: String = ""
-  private def failpoint(name: String): Unit =
+
+  /** Spec-only interleave hook: runs at the named point INSIDE the
+    * writer's critical section (e.g. a second upsert attempt that must
+    * lose the lock race). Production: empty. */
+  private[graft] var testHooks: Map[String, () => Unit] = Map.empty
+
+  private def failpoint(name: String): Unit = {
+    testHooks.get(name).foreach(_.apply())
     if (testFailpoint == name) {
       testFailpoint = ""
       throw new IllegalStateException(s"injected failure at $name")
     }
+  }
 
   private def manifestPath(tablePath: String): Path =
     Paths.get(tablePath, ManifestName)
@@ -111,17 +153,35 @@ object Scd1Merge {
     }
   }
 
-  /** THE commit point: write-to-tmp + atomic rename over the live
-    * manifest. Everything before this is invisible to readers;
-    * everything after is garbage collection. */
+  /** THE commit point: write-to-tmp + fsync + atomic rename over the
+    * live manifest. The body is forced to disk BEFORE the rename (a
+    * rename can be durable while the data is not — an empty manifest
+    * after power loss would be an unreadable table), and the table dir
+    * entry is forced after it where the platform allows. Everything
+    * before this call is invisible to readers; everything after is
+    * garbage collection. */
   private def commitManifest(tablePath: String, m: Manifest): Unit = {
     val body = (s"nb=${m.numBuckets}" +:
       m.dirs.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" }).mkString("\n")
     val tmp = Paths.get(tablePath, ManifestName + ".tmp")
-    Files.writeString(tmp, body)
+    val ch = FileChannel.open(tmp, StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+    try { ch.write(ByteBuffer.wrap(body.getBytes(UTF_8))); ch.force(true) }
+    finally ch.close()
     Files.move(tmp, manifestPath(tablePath),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    fsyncDir(Paths.get(tablePath))
   }
+
+  /** Directory-entry fsync (makes the rename itself durable). Works on
+    * Linux; best-effort elsewhere — some platforms refuse a read
+    * channel on a directory, in which case commit durability degrades
+    * to process-crash semantics there. */
+  private def fsyncDir(dir: Path): Unit =
+    try {
+      val ch = FileChannel.open(dir, StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: Exception => () }
 
   /** Version of a live dir; legacy `__bucket=N` entries version as -1 so
     * their first rewrite lands at `data/bN_v0`. */
@@ -130,41 +190,166 @@ object Scd1Merge {
     if (relDir.startsWith("data/") && i > 0) relDir.substring(i + 2).toInt else -1
   }
 
-  /** Sweep everything the manifest doesn't reference: replaced bucket
-    * versions whose delete crashed, half-moved versions from a crash
-    * before the manifest swap, stale flat files from a pre-bucketing
-    * migration. Safe under the single-writer assumption. */
-  private def gcUnreferenced(tablePath: String, m: Manifest): Unit = {
-    val referenced = m.dirs.values.toSet
-    val root = Paths.get(tablePath)
-    Files.list(root).iterator().asScala.toSeq.foreach { p =>
-      val name = p.getFileName.toString
-      if (name != ManifestName && name != "data" && !referenced.contains(name))
-        deleteRecursively(p)
-    }
-    val data = root.resolve("data")
+  /** Parse a `data/` entry name as (bucket, version). */
+  private def parseVersionDir(name: String): Option[(Int, Int)] = {
+    val m = "^b(\\d+)_v(\\d+)$".r.findFirstMatchIn(name)
+    m.map(g => (g.group(1).toInt, g.group(2).toInt))
+  }
+
+  /** Sweep `data/` version dirs around the retention window. For a
+    * bucket whose live version is vLive:
+    *  - version > vLive: CRASH RESIDUE (written, never committed) —
+    *    always deleted (also prevents a name collision with the next
+    *    commit's version);
+    *  - vLive - retain <= version < vLive: retained snapshot history
+    *    for lagging readers — kept;
+    *  - version < vLive - retain: aged out — deleted.
+    * Unparseable entries are residue of nothing we wrote — deleted. */
+  private def sweepVersions(tablePath: String, m: Manifest, retain: Int): Unit = {
+    val liveVer: Map[Int, Int] = m.dirs.map { case (b, d) => b -> versionOf(d) }
+    val data = Paths.get(tablePath, "data")
     if (Files.exists(data))
       Files.list(data).iterator().asScala.toSeq.foreach { p =>
-        if (!referenced.contains(s"data/${p.getFileName}"))
-          deleteRecursively(p)
+        val name = p.getFileName.toString
+        if (!m.dirs.values.exists(_ == s"data/$name"))
+          parseVersionDir(name) match {
+            case Some((b, v)) =>
+              val lv = liveVer.getOrElse(b, -1)
+              if (v > lv || v < lv - retain) deleteRecursively(p)
+            case None => deleteRecursively(p)
+          }
       }
   }
 
+  /** Drop unreferenced TOP-LEVEL leftovers: pre-migration flat files,
+    * replaced legacy `__bucket=N` dirs, the legacy bucket-count meta.
+    * These are the previous "version" of a migrated table, retained by
+    * the commit path for reader isolation — only [[vacuum]] calls this. */
+  private def sweepTopLevel(tablePath: String, m: Manifest): Unit = {
+    val referenced = m.dirs.values.toSet
+    Files.list(Paths.get(tablePath)).iterator().asScala.toSeq.foreach { p =>
+      val name = p.getFileName.toString
+      if (name != ManifestName && name != LockName && name != "data" &&
+          !referenced.contains(name))
+        deleteRecursively(p)
+    }
+  }
+
+  /** Reclaim retained history: keep `retain` historical versions per
+    * bucket (0 = live only) and drop pre-migration top-level leftovers.
+    * The age-out complement of the retention every commit leaves
+    * behind. Takes the writer lock — vacuuming under a live writer
+    * would re-create the reader/GC race retention exists to prevent. */
+  def vacuum(tablePath: String, retain: Int = 0): Unit =
+    readManifest(tablePath) match {
+      case None => ()
+      case Some(_) => withLock(tablePath) {
+        readManifest(tablePath).foreach { m =>
+          sweepVersions(tablePath, m, retain)
+          sweepTopLevel(tablePath, m)
+        }
+      }
+    }
+
+  // ---------------- writer lock ----------------
+
+  /** Acquire the table's writer lease. Atomic CREATE_NEW of
+    * `_graft_lock` holding (holder-uuid, expiry-millis). An unexpired
+    * foreign lock throws — loudly, so two writers can never interleave
+    * manifest swaps; an expired (or unreadable: crashed mid-write) one
+    * is taken over, with CREATE_NEW ruling the takeover race. */
+  private def acquireLock(tablePath: String): String = {
+    val p = Paths.get(tablePath, LockName)
+    val id = java.util.UUID.randomUUID().toString
+    var takeovers = 0
+    while (takeovers < 3) {
+      try {
+        Files.write(p, s"$id\t${System.currentTimeMillis() + lockLeaseMillis}".getBytes(UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        return id
+      } catch {
+        case _: FileAlreadyExistsException =>
+          val (holder, expiry) =
+            try {
+              val Array(h, e) = new String(Files.readAllBytes(p), UTF_8).trim.split("\t", 2)
+              (h, e.toLong)
+            } catch { case _: Exception => ("<unreadable>", 0L) }
+          if (System.currentTimeMillis() > expiry) {
+            takeovers += 1
+            Files.deleteIfExists(p) // stale lease: take over and retry
+          } else
+            throw new IllegalStateException(
+              s"table $tablePath is locked by concurrent writer $holder " +
+              s"(lease expires ${java.time.Instant.ofEpochMilli(expiry)}); " +
+              "one writer per table — retry after it commits or its lease expires")
+      }
+    }
+    throw new IllegalStateException(s"could not acquire writer lock for $tablePath")
+  }
+
+  /** Release only OUR lease (the lock may have been taken over after
+    * expiry, or deleted with the dir on empty-create cleanup). */
+  private def releaseLock(tablePath: String, id: String): Unit = {
+    val p = Paths.get(tablePath, LockName)
+    try {
+      if (new String(Files.readAllBytes(p), UTF_8).startsWith(id + "\t"))
+        Files.deleteIfExists(p)
+    } catch { case _: Exception => () }
+  }
+
+  private def withLock[T](tablePath: String)(body: => T): T = {
+    val id = acquireLock(tablePath)
+    try body finally releaseLock(tablePath, id)
+  }
+
+  // ---------------- read path ----------------
+
   private def withBucket(df: DataFrame, keys: Seq[String], numBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
+
+  /** Top-level entries that hold committed legacy data: everything but
+    * the engine's own files, the versioned `data/` area, write residue,
+    * and writer junk Spark itself ignores. */
+  private def listNonInternal(tablePath: String): Seq[Path] =
+    Files.list(Paths.get(tablePath)).iterator().asScala.toSeq.filter { p =>
+      val n = p.getFileName.toString
+      n != "data" && n != ManifestName && n != LockName && n != LegacyMetaName &&
+      n != "_SUCCESS" && !n.startsWith(".") && !n.endsWith(".tmp") && !n.endsWith(".crc")
+    }
+
+  /** Does the table have committed content? An empty dir, or one
+    * holding only the lock / interrupted-first-commit residue, is NOT a
+    * table (the data under `data/` without a manifest was never
+    * committed). */
+  def tableExists(tablePath: String): Boolean =
+    Files.exists(manifestPath(tablePath)) ||
+    (Files.exists(Paths.get(tablePath)) && listNonInternal(tablePath).nonEmpty)
 
   /** Read a table in any layout: manifest (resolve live dirs), legacy
     * `__bucket=N` partitioned, or legacy flat — the layout column never
     * escapes. `mergeSchema` unions per-file schemas (footer reads, not
     * data) so buckets written before a schema evolution null-fill the
-    * columns they predate. */
+    * columns they predate.
+    *
+    * When the manifest is ABSENT, the `data/` dir (if any) is residue
+    * of an interrupted FIRST commit — uncommitted rows that must not be
+    * read (in the flat-migration case they would duplicate every
+    * migrated row). Read-only classification just EXCLUDES it; the next
+    * locked upsert sweeps it. */
   def readTable(spark: SparkSession, tablePath: String): DataFrame = {
     val df = readManifest(tablePath) match {
       case Some(m) =>
         val dirs = m.dirs.toSeq.sortBy(_._1)
           .map { case (_, d) => Paths.get(tablePath, d).toString }
         spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-      case None => spark.read.option("mergeSchema", "true").parquet(tablePath)
+      case None if !Files.exists(Paths.get(tablePath)) =>
+        spark.read.parquet(tablePath) // standard path-not-found error
+      case None =>
+        val entries = listNonInternal(tablePath)
+        if (entries.isEmpty)
+          throw new IllegalStateException(
+            s"table $tablePath has no committed data (interrupted first commit?)")
+        spark.read.option("mergeSchema", "true").parquet(entries.map(_.toString): _*)
     }
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
@@ -188,7 +373,8 @@ object Scd1Merge {
     * batch touches — the replacement for Delta MERGE's matched-file
     * rewrite. A full-table rewrite per merge is the classic 100 TB
     * killer: a 1k-row batch into a 100 TB fact would rewrite 100 TB.
-    * Commit protocol: see the object Scaladoc (manifest swap).
+    * Commit protocol: see the object Scaladoc (manifest swap, writer
+    * lock, version retention).
     *
     * @param evolveSchema Delta `mergeSchema` parity: columns the source
     *        adds join the table schema (UNTOUCHED buckets keep their
@@ -197,74 +383,99 @@ object Scd1Merge {
     *        rewriting); columns the source omits are null-filled on its
     *        rows. Off by default: a dropped/added column is usually a
     *        bug, and the strict path fails loudly.
+    * @param retainVersions historical bucket versions kept for lagging
+    *        readers (see the object Scaladoc).
     */
   def upsert(spark: SparkSession, tablePath: String, source: DataFrame, keys: Seq[String],
-             numBuckets: Int = 0, evolveSchema: Boolean = false): Unit = {
+             numBuckets: Int = 0, evolveSchema: Boolean = false,
+             retainVersions: Int = DefaultRetainVersions): Unit = {
     val dir = Paths.get(tablePath)
-    if (!Files.exists(dir)) {
-      val nb = if (numBuckets > 0) numBuckets else DefaultNumBuckets
-      val tmp = tablePath + ".tmp"
-      withBucket(source, keys, nb)
-        .repartition(col(BucketCol))
-        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
-      val entries = adoptBucketDirs(tablePath, tmp, _ => 0)
-      if (entries.isEmpty) {
-        // empty initial source: create NOTHING — an empty-manifest
-        // table has no schema to read; the table appears when data does
-        deleteRecursively(Paths.get(tmp))
-        deleteRecursively(dir)
-        return
+    Files.createDirectories(dir)
+    withLock(tablePath) {
+      if (readManifest(tablePath).isEmpty) {
+        // data/ (or a stale staging sibling) without a manifest is an
+        // interrupted FIRST commit: sweep it BEFORE layout
+        // classification, or the flat-table branch would read the
+        // uncommitted files — alongside the old flat files in the
+        // migration case, duplicating every row.
+        deleteRecursively(dir.resolve("data"))
+        deleteRecursively(Paths.get(tablePath + ".tmp"))
       }
-      commitManifest(tablePath, Manifest(nb, entries))
-      deleteRecursively(Paths.get(tmp))
-      return
-    }
-    val manifest = readManifest(tablePath).getOrElse {
-      val isBucketed = Files.list(dir).iterator().asScala
-        .exists(_.getFileName.toString.startsWith(s"$BucketCol="))
-      if (isBucketed) {
-        // Legacy partitioned layout: migration is ONE atomic file write —
-        // a manifest whose entries point at the existing __bucket=N dirs.
-        val legacyMeta = Paths.get(tablePath, "_graft_buckets")
-        val nb =
-          if (Files.exists(legacyMeta))
-            new String(Files.readAllBytes(legacyMeta)).trim.toInt
-          else DefaultNumBuckets
-        val entries = Files.list(dir).iterator().asScala.toSeq
-          .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
-          .map { d =>
-            val name = d.getFileName.toString
-            name.stripPrefix(s"$BucketCol=").toInt -> name
-          }.toMap
-        val m = Manifest(nb, entries)
-        commitManifest(tablePath, m)
-        m
-      } else {
-        // Legacy flat (pre-bucketing) layout: full merge-and-rewrite into
-        // the bucketed layout. Readers see the flat table until the
-        // manifest lands, the new one after; the stale flat files are
-        // swept post-commit (or by the next upsert's GC after a crash).
-        val nb = if (numBuckets > 0) numBuckets else DefaultNumBuckets
-        val merged = merge(readTable(spark, tablePath), source, keys)
-        val tmp = tablePath + ".tmp"
-        withBucket(merged, keys, nb)
-          .repartition(col(BucketCol))
-          .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
-        val entries = adoptBucketDirs(tablePath, tmp, _ => 0)
-        val m = Manifest(nb, entries)
-        commitManifest(tablePath, m)
-        deleteRecursively(Paths.get(tmp))
-        gcUnreferenced(tablePath, m)
-        return
+      readManifest(tablePath) match {
+        case Some(m) => upsertCommitted(spark, tablePath, source, keys,
+          numBuckets, evolveSchema, retainVersions, m)
+        case None =>
+          val entries = listNonInternal(tablePath)
+          if (entries.exists(_.getFileName.toString.startsWith(s"$BucketCol="))) {
+            // Legacy partitioned layout: migration is ONE atomic file
+            // write — a manifest whose entries point at the existing
+            // __bucket=N dirs.
+            val legacyMeta = Paths.get(tablePath, LegacyMetaName)
+            val nb =
+              if (Files.exists(legacyMeta))
+                new String(Files.readAllBytes(legacyMeta)).trim.toInt
+              else DefaultNumBuckets
+            val bucketEntries = entries
+              .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
+              .map { d =>
+                val name = d.getFileName.toString
+                name.stripPrefix(s"$BucketCol=").toInt -> name
+              }.toMap
+            val m = Manifest(nb, bucketEntries)
+            commitManifest(tablePath, m)
+            upsertCommitted(spark, tablePath, source, keys,
+              numBuckets, evolveSchema, retainVersions, m)
+          } else if (entries.nonEmpty) {
+            // Legacy flat (pre-bucketing) layout: full merge-and-rewrite
+            // into the bucketed layout. Readers see the flat table until
+            // the manifest lands, the new one after; the stale flat
+            // files are RETAINED for readers mid-scan (vacuum reclaims).
+            val nb = if (numBuckets > 0) numBuckets else DefaultNumBuckets
+            val merged = merge(readTable(spark, tablePath), source, keys)
+            val tmp = tablePath + ".tmp"
+            withBucket(merged, keys, nb)
+              .repartition(col(BucketCol))
+              .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+            val newEntries = adoptBucketDirs(tablePath, tmp, _ => 0)
+            failpoint("before-manifest")
+            commitManifest(tablePath, Manifest(nb, newEntries))
+            deleteRecursively(Paths.get(tmp))
+          } else {
+            // Initial create: empty dir (bar the lock).
+            val nb = if (numBuckets > 0) numBuckets else DefaultNumBuckets
+            val tmp = tablePath + ".tmp"
+            withBucket(source, keys, nb)
+              .repartition(col(BucketCol))
+              .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+            val newEntries = adoptBucketDirs(tablePath, tmp, _ => 0)
+            if (newEntries.isEmpty) {
+              // empty initial source: create NOTHING — an empty-manifest
+              // table has no schema to read; the table appears when data
+              // does (the lock goes down with the dir)
+              deleteRecursively(Paths.get(tmp))
+              deleteRecursively(dir)
+            } else {
+              failpoint("before-manifest")
+              commitManifest(tablePath, Manifest(nb, newEntries))
+              deleteRecursively(Paths.get(tmp))
+            }
+          }
       }
     }
+  }
+
+  /** The established-table merge path (manifest in hand, lock held). */
+  private def upsertCommitted(spark: SparkSession, tablePath: String, source: DataFrame,
+      keys: Seq[String], numBuckets: Int, evolveSchema: Boolean, retainVersions: Int,
+      manifest: Manifest): Unit = {
     val nb = manifest.numBuckets
     if (numBuckets > 0 && numBuckets != nb)
       throw new IllegalArgumentException(
         s"table $tablePath is laid out with $nb buckets; re-bucketing to $numBuckets is not supported in-place")
     // sweep crash leftovers BEFORE writing new versions so a half-moved
     // dir from a previous failed commit can't collide with this one
-    gcUnreferenced(tablePath, manifest)
+    // (retained history stays — it's referenced by lagging readers)
+    sweepVersions(tablePath, manifest, retainVersions)
     val bucketed = withBucket(source, keys, nb)
     // ONE probe job covers both pre-checks: per-bucket (touched set for
     // partition pruning) and per-key max multiplicity (the Q8
@@ -315,13 +526,62 @@ object Scd1Merge {
     val committed = Manifest(nb, manifest.dirs ++ newVersions)
     commitManifest(tablePath, committed)
     failpoint("after-manifest")
-    // post-commit sweep: replaced versions + the (now empty) tmp dir
-    touched.foreach(b => manifest.dirs.get(b)
-      .foreach(old => deleteRecursively(Paths.get(tablePath, old))))
+    // post-commit sweep: ONLY versions beyond the retention window (the
+    // just-replaced version stays for lagging readers) + the tmp dir
+    sweepVersions(tablePath, committed, retainVersions)
     deleteRecursively(Paths.get(tmp))
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  /** Rewrite fragmented buckets (many small files — e.g. written under
+    * `spark.sql.files.maxRecordsPerFile`, or by AQE skew-split) as
+    * coalesced NEW versions through the exact same manifest-swap
+    * commit: content-identical, crash-safe by the same protocol,
+    * reader-isolated by the same retention. The operational tool an
+    * append-heavy 100 TB deployment reaches for first — the stand-in
+    * for Delta OPTIMIZE, minus Z-ordering. Returns the number of
+    * buckets rewritten (0 = nothing fragmented; the commit is skipped
+    * entirely, so compaction is idempotent and cheap to schedule).
+    *
+    * One Spark job regardless of bucket count: fragmented live dirs are
+    * unioned with their bucket id re-attached as a literal, then the
+    * standard repartition-by-bucket write lands each as ~one file. */
+  def compact(spark: SparkSession, tablePath: String,
+              retainVersions: Int = DefaultRetainVersions): Int = {
+    if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
+      s"compact: $tablePath has no manifest (not a committed bucketed table)")
+    withLock(tablePath) { compactLocked(spark, tablePath, retainVersions) }
+  }
+
+  private def compactLocked(spark: SparkSession, tablePath: String,
+                            retainVersions: Int): Int = {
+    val manifest = readManifest(tablePath).get
+    sweepVersions(tablePath, manifest, retainVersions)
+    val frag = manifest.dirs.toSeq.sortBy(_._1).filter { case (_, d) =>
+      Files.list(Paths.get(tablePath, d)).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet")) > 1
+    }
+    if (frag.isEmpty) 0
+    else {
+      val union = frag.map { case (b, d) =>
+          spark.read.parquet(Paths.get(tablePath, d).toString)
+            .withColumn(BucketCol, lit(b)) }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val tmp = tablePath + ".tmp"
+      union.repartition(col(BucketCol))
+        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+      val newVersions = adoptBucketDirs(tablePath, tmp,
+        b => versionOf(manifest.dirs(b)) + 1)
+      failpoint("before-manifest")
+      val committed = Manifest(manifest.numBuckets, manifest.dirs ++ newVersions)
+      commitManifest(tablePath, committed)
+      failpoint("after-manifest")
+      sweepVersions(tablePath, committed, retainVersions)
+      deleteRecursively(Paths.get(tmp))
+      frag.size
+    }
+  }
+
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }

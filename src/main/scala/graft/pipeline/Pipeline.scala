@@ -133,8 +133,11 @@ object DimBuilder {
       tablePath: String,
       incrementalFlag: String = "1",
       numBuckets: Int = 0): DataFrame = {
-    val exists = new java.io.File(tablePath).exists()
-    val existing = if (exists) Some(Scd1Merge.readTable(spark, tablePath)) else None
+    // tableExists, not File.exists: a crashed first commit can leave a
+    // dir holding only uncommitted residue — that is NOT a table
+    val existing =
+      if (Scd1Merge.tableExists(tablePath)) Some(Scd1Merge.readTable(spark, tablePath))
+      else None
     val (newKeyed, old) = buildParts(spark, silver, spec, existing, incrementalFlag)
     val toCommit = existing match {
       case None    => newKeyed.unionByName(old)

@@ -109,13 +109,15 @@ class Scd1MergeSpec extends SparkSpecBase {
     assert(got.count() == 100)
     assert(canon(got.filter($"k" === 7L)) == Seq(Seq("7", "NEW")))
 
-    // next upsert sweeps the unreferenced leftovers and stays correct
+    // next upsert stays correct; retained history (for lagging readers)
+    // is the ONLY unreferenced state left, and vacuum(0) reclaims it
     Scd1Merge.upsert(spark, path, Seq((101L, "X")).toDF("k", "v"), Seq("k"))
     assert(Scd1Merge.readTable(spark, path).count() == 101)
+    Scd1Merge.vacuum(path, retain = 0)
     val referenced = manifestEntries(path).values.toSet
     val onDisk = Files.list(Paths.get(path, "data")).iterator().asScala
       .map(d => s"data/${d.getFileName}").toSet
-    assert(onDisk == referenced, "every on-disk version dir must be referenced")
+    assert(onDisk == referenced, "after vacuum(0) every on-disk version dir is referenced")
   }
 
   test("upsert migrates a legacy __bucket= partitioned table via a manifest write") {
@@ -195,5 +197,154 @@ class Scd1MergeSpec extends SparkSpecBase {
     val before = manifestEntries(path)
     Scd1Merge.upsert(spark, path, Seq.empty[(Long, String)].toDF("k", "v"), Seq("k"))
     assert(manifestEntries(path) == before)
+  }
+
+  // ---------------- reader isolation / retention ----------------
+
+  test("a reader holding the pre-upsert snapshot survives a concurrent upsert") {
+    val path = Tmp.dir("scd1_snap") + "/t"
+    Scd1Merge.upsert(spark, path,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    val before = canon(Scd1Merge.readTable(spark, path))
+    // reader resolves the table (manifest + file listing happen HERE)
+    val snapshot = Scd1Merge.readTable(spark, path)
+    // a concurrent writer replaces every bucket
+    Scd1Merge.upsert(spark, path,
+      (1L to 100L).map(i => (i, s"NEW$i")).toDF("k", "v"), Seq("k"))
+    // the lagging reader materializes AFTER the commit: with the
+    // replaced versions retained, it must see its full OLD snapshot —
+    // not a FileNotFoundException, not a mix
+    assert(canon(snapshot) == before)
+    // a fresh reader sees the new table
+    assert(canon(Scd1Merge.readTable(spark, path).filter($"k" === 1L)) ==
+      Seq(Seq("1", "NEW1")))
+  }
+
+  test("retention keeps exactly the last retainVersions; vacuum ages the rest out") {
+    val path = Tmp.dir("scd1_retain") + "/t"
+    def bucketDirs: Set[String] =
+      Files.list(Paths.get(path, "data")).iterator().asScala
+        .map(_.getFileName.toString).toSet
+    // 3 commits all touching the same single bucket
+    Scd1Merge.upsert(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 1)
+    Scd1Merge.upsert(spark, path, Seq((1L, "b")).toDF("k", "v"), Seq("k"))
+    Scd1Merge.upsert(spark, path, Seq((1L, "c")).toDF("k", "v"), Seq("k"))
+    // live v2 + one retained (v1); v0 aged out by the default window
+    assert(bucketDirs == Set("b0_v2", "b0_v1"))
+    Scd1Merge.vacuum(path, retain = 0)
+    assert(bucketDirs == Set("b0_v2"))
+    assert(canon(Scd1Merge.readTable(spark, path)) == Seq(Seq("1", "c")))
+  }
+
+  // ---------------- writer mutual exclusion ----------------
+
+  test("a second writer interleaving with a commit fails loudly; the holder's commit stands") {
+    val path = Tmp.dir("scd1_lock1") + "/t"
+    Scd1Merge.upsert(spark, path, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    // the loser fires INSIDE the winner's critical section, right
+    // before the manifest swap — the classic interleave that would
+    // lose one writer's buckets without mutual exclusion
+    var loser: Option[Throwable] = None
+    Scd1Merge.testHooks = Map("before-manifest" -> { () =>
+      loser = Some(intercept[IllegalStateException] {
+        Scd1Merge.upsert(spark, path, Seq((2L, "LOSER")).toDF("k", "v"), Seq("k"))
+      })
+    })
+    try Scd1Merge.upsert(spark, path, Seq((1L, "WINNER")).toDF("k", "v"), Seq("k"))
+    finally Scd1Merge.testHooks = Map.empty
+    assert(loser.exists(_.getMessage.contains("locked by concurrent writer")))
+    assert(canon(Scd1Merge.readTable(spark, path)) ==
+      Seq(Seq("1", "WINNER"), Seq("2", "b")))
+    // lock released with the commit: the next writer proceeds
+    Scd1Merge.upsert(spark, path, Seq((3L, "c")).toDF("k", "v"), Seq("k"))
+    assert(Scd1Merge.readTable(spark, path).count() == 3)
+  }
+
+  test("an unexpired foreign lease blocks; an expired one is taken over") {
+    val path = Tmp.dir("scd1_lock2") + "/t"
+    Scd1Merge.upsert(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    val lock = Paths.get(path, "_graft_lock")
+    // live foreign writer (lease far in the future): fail loudly
+    Files.write(lock, s"other-writer\t${System.currentTimeMillis() + 3600000}".getBytes)
+    val e = intercept[IllegalStateException] {
+      Scd1Merge.upsert(spark, path, Seq((1L, "x")).toDF("k", "v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("other-writer"))
+    assert(canon(Scd1Merge.readTable(spark, path)) == Seq(Seq("1", "a")))
+    // crashed writer (lease expired): next writer takes the lock over
+    Files.write(lock, s"dead-writer\t${System.currentTimeMillis() - 1000}".getBytes)
+    Scd1Merge.upsert(spark, path, Seq((1L, "y")).toDF("k", "v"), Seq("k"))
+    assert(canon(Scd1Merge.readTable(spark, path)) == Seq(Seq("1", "y")))
+    assert(!Files.exists(lock), "lease released after commit")
+  }
+
+  // ---------------- interrupted FIRST commits ----------------
+
+  test("crash before the FIRST manifest (initial create): no phantom table, retry clean") {
+    val path = Tmp.dir("scd1_initcrash") + "/t"
+    Scd1Merge.testFailpoint = "before-manifest"
+    intercept[IllegalStateException] {
+      Scd1Merge.upsert(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    }
+    // bucket data landed under data/ but no manifest: that is NOT a
+    // table — not for existence probes, not for readers
+    assert(Files.exists(Paths.get(path, "data")))
+    assert(!Scd1Merge.tableExists(path))
+    intercept[IllegalStateException] { Scd1Merge.readTable(spark, path) }
+    // retry sweeps the residue and commits
+    Scd1Merge.upsert(spark, path, Seq((1L, "a2")).toDF("k", "v"), Seq("k"))
+    assert(canon(Scd1Merge.readTable(spark, path)) == Seq(Seq("1", "a2")))
+  }
+
+  test("crash mid flat-table migration: reader sees the OLD flat table, retry does not duplicate") {
+    val path = Tmp.dir("scd1_migcrash") + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(path)
+    Scd1Merge.testFailpoint = "before-manifest"
+    intercept[IllegalStateException] {
+      Scd1Merge.upsert(spark, path, Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    }
+    // data/ holds the full uncommitted rewrite NEXT TO the flat files —
+    // reading both would duplicate every row; classification must
+    // serve the flat (committed) content only
+    assert(Files.exists(Paths.get(path, "data")))
+    assert(canon(Scd1Merge.readTable(spark, path)) ==
+      Seq(Seq("1", "a"), Seq("2", "b")))
+    // retry migrates for real, exactly once
+    Scd1Merge.upsert(spark, path, Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    assert(canon(Scd1Merge.readTable(spark, path)) ==
+      Seq(Seq("1", "a"), Seq("2", "b2"), Seq("3", "c")))
+  }
+
+  // ---------------- compaction ----------------
+
+  test("compact coalesces fragmented buckets; content identical; kill-point safe") {
+    val path = Tmp.dir("scd1_compact") + "/t"
+    // fragment legitimately: a low maxRecordsPerFile makes the commit
+    // write many small files per bucket (what bounding file sizes on a
+    // real 100 TB table does)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 10)
+    try Scd1Merge.upsert(spark, path,
+      (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val before = canon(Scd1Merge.readTable(spark, path))
+    def files(): Long = Files.walk(Paths.get(path, "data")).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    val fragmented = files()
+    assert(fragmented > 2, s"setup must fragment (got $fragmented files)")
+
+    // kill-point: crash before the manifest swap → table unchanged
+    Scd1Merge.testFailpoint = "before-manifest"
+    intercept[IllegalStateException] { Scd1Merge.compact(spark, path) }
+    assert(canon(Scd1Merge.readTable(spark, path)) == before)
+
+    // real run: both buckets rewrite to ~one file each, content equal
+    assert(Scd1Merge.compact(spark, path) == 2)
+    Scd1Merge.vacuum(path, retain = 0) // count only live files
+    assert(files() == 2, s"expected 1 file per bucket, got ${files()}")
+    assert(canon(Scd1Merge.readTable(spark, path)) == before)
+    // idempotent: nothing fragmented → no commit at all
+    val manifestBefore = manifestEntries(path)
+    assert(Scd1Merge.compact(spark, path) == 0)
+    assert(manifestEntries(path) == manifestBefore)
   }
 }
