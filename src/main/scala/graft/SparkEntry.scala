@@ -27,4 +27,16 @@ object SparkEntry {
     graft.queries.QueriesPipeline.oracle ++
     graft.queries.QueriesLLM.oracle ++
     graft.queries.QueriesStream.oracle
+
+  /** Rows whose oracle is a PINNED LITERAL — a deterministic
+    * self-measurement (sketch estimates, ANN/IVF/near-dup recall)
+    * re-asserted each run and double-guarded by a spec (HllPinSpec,
+    * ApproxSpec floors) — rather than an independent cross-engine
+    * derivation. Kept mechanically legible here so drivers and judges
+    * can separate the two verification classes; Verify dumps it as
+    * `pinned_oracles.json` next to `oracle_sql.json`. Any future pin
+    * must be added here AND get a spec-side floor. */
+  def pinnedOracles: Set[String] =
+    Set("a7_approx_count_distinct", "sim_ann_recall", "sim_ivf_recall",
+        "dedup_embedding_recall")
 }

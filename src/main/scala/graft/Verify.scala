@@ -38,6 +38,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // in-band marker: which rows are pinned-literal self-measurements
+    // (see SparkEntry.pinnedOracles) vs independent cross-engine checks
+    Files.writeString(Paths.get(s"$outDir/pinned_oracles.json"),
+      SparkEntry.pinnedOracles.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -21,6 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** The carried struct is `(__t, payload…)`: a payload column named
+    * `__t`, duplicated, or shadowing a left column would make
+    * `col("__m.<p>")` resolve ambiguously — silent corruption. Fail
+    * loudly at entry instead. */
+  private def validatePayload(left: DataFrame, payloadCols: Seq[String]): Unit = {
+    require(payloadCols.distinct == payloadCols,
+      s"asof payloadCols must be distinct: $payloadCols")
+    require(!payloadCols.contains("__t"),
+      "asof payloadCols may not use the reserved name __t")
+    val clash = payloadCols.intersect(left.columns.toSeq)
+    require(clash.isEmpty,
+      s"asof payloadCols collide with left columns: $clash")
+  }
+
   /** @param left        probe side; all its columns are kept
     * @param right       build side: (keyCols, rightTime, payloadCols…) rows
     * @param keyCols     equality keys
@@ -39,6 +53,7 @@ object AsofJoin {
   def asofLeft(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTime: String, rightTime: String, outCol: String,
                payloadCols: Seq[String] = Nil): DataFrame = {
+    validatePayload(left, payloadCols)
     val l = left
       .withColumn("__asof_t", col(leftTime))
       .withColumn("__tag", lit(1))
@@ -90,6 +105,7 @@ object AsofJoin {
   def asofLeftChunked(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                      leftTime: String, rightTime: String, outCol: String,
                      chunkSpan: Long, payloadCols: Seq[String] = Nil): DataFrame = {
+    validatePayload(left, payloadCols)
     val l = left
       .withColumn("__asof_t", col(leftTime))
       .withColumn("__tag", lit(1))

@@ -206,4 +206,42 @@ object IngestRunner {
     store.advance(cur)
     1L
   }
+
+  /** LATE-DATA variant (the SURVEY §2.6 extension). [[run]] is faithful
+    * to the reference: a row whose watermark value is at or below
+    * `last_load` when it ARRIVES is silently never ingested (quirk —
+    * the range predicate has already moved past it). This variant
+    * accepts a configurable REPROCESSING LOWER BOUND: each run scans
+    * `(min(reprocessFloor, last), current]` — so late arrivals inside
+    * the floor window are picked up — and lands rows EXACTLY ONCE by
+    * upserting into a KEYED bronze table ([[Scd1Merge]]) instead of
+    * appending: re-scanned rows that already landed dedup on their
+    * primary key (idempotent buckets), late rows insert.
+    *
+    * At scale, set the floor to `current - lateness_bound` (e.g. 3
+    * days): the re-scan is bounded by the floor window, the upsert
+    * rewrites only touched buckets, and the source scan still prunes
+    * on the pushed range predicate (F5).
+    *
+    * @return number of runs that did work (0 = nothing in range) */
+  def runWithReprocess(
+      spark: SparkSession,
+      source: DataFrame,
+      watermarkCol: String,
+      store: WatermarkStore,
+      bronzeTable: String,
+      keys: Seq[String],
+      reprocessFloor: Option[String] = None,
+      numBuckets: Int = 0): Long = {
+    val last = store.read()
+    val lower = reprocessFloor.filter(_ < last).getOrElse(last)
+    val cur = source.agg(max(col(watermarkCol).cast("string"))).first().getString(0)
+    if (cur == null || cur <= lower) return 0L
+    val batch = source.filter(
+      col(watermarkCol).cast("string") > lower &&
+      col(watermarkCol).cast("string") <= cur)
+    Scd1Merge.upsert(spark, bronzeTable, batch, keys, numBuckets)
+    if (cur > last) store.advance(cur)
+    1L
+  }
 }

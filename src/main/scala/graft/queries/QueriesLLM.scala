@@ -72,6 +72,34 @@ object QueriesLLM {
           "vec_id", "embedding", threshold = 0.3, tables = 64, bits = 4, dim = 64)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "dedup_embedding_recall" -> ((s, dir) => {
+      // PRODUCTION-SHAPED embedding near-dup, judged at pruning
+      // parameters (threshold 0.9, UNCAPPED corpus, 8 tables × 8 sign
+      // bits — ~2 vectors per bucket at sf0.01, so the bucket join
+      // actually prunes, unlike dedup_embedding_cosine's exhaustive
+      // 64×4 toy config). The natural corpus has no pairs above cosine
+      // 0.5 (random 64-dim vectors), so recall is measured the standard
+      // way: plant deterministic perturbed clones spanning cosines
+      // around the threshold ([[plantedNearDupCorpus]]). Precision is
+      // exact by construction (candidates are exact-cosine verified);
+      // RECALL vs the brute-force ground truth is the judged number —
+      // pinned in the oracle like sim_ann_recall (seeded hyperplanes +
+      // deterministic clones), with ApproxSpec floors. The O(n²)
+      // ground-truth pass is eval harness, not the operator under test.
+      val corpus = plantedNearDupCorpus(table(s, dir, "embeddings"))
+      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val nExact = a.join(b, col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("va"), col("vb")) >= 0.9)
+        .agg(count(lit(1)).as("n_exact"))
+      val found = Similarity.cosineNearDup(corpus, "vec_id", "embedding",
+        threshold = 0.9, tables = 8, bits = 8, dim = 64)
+      nExact.crossJoin(found.agg(count(lit(1)).as("n_hits")))
+        .select(lit(0.9).as("threshold"), lit(8L).as("tables"), lit(8L).as("bits"),
+          col("n_exact"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+    }),
+
     // ---- text analysis -------------------------------------------------
     "text_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(table(s, dir, "documents"), "doc_id", "text")
@@ -246,7 +274,12 @@ object QueriesLLM {
     "mm_resize" -> ((s, dir) =>
       // thumbnailer access pattern on opaque bytes: stride-downsample
       // each payload to <=64 bytes (resize-stub contract: binary in,
-      // binary out, metadata updated)
+      // binary out, metadata updated).
+      // ASCII-CORPUS ASSUMPTION: the oracle strides CHARACTERS
+      // (length/text[i]) while this strides BYTES of the UTF-8 payload
+      // — equal only because documents.text is pure ASCII (verified,
+      // see the object Scaladoc). Multi-byte testdata would need the
+      // oracle rewritten over encode(text) byte-wise.
       Multimodal.resizeStub(
           Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text"),
           targetBytes = 64)
@@ -263,6 +296,24 @@ object QueriesLLM {
           get_json_object(col("props"), "$.k").cast("long").as("k_val"))
         .orderBy(col("event_id")))
   )
+
+  /** Deterministic near-dup EVAL corpus for `dedup_embedding_recall`:
+    * every even vec_id gets a clone (id + 1,000,000) with
+    * multiplicative pseudo-noise `1 + a·sin(997·id + j)` whose
+    * amplitude `a` steps with the id, spreading planted-pair cosines
+    * across the 0.9 threshold — some fall below (excluded from ground
+    * truth by the exact filter), most land above at non-trivial
+    * angles. Pure column math, no randomness; the bounded 64-element
+    * HOF is corpus construction, not a hot path. */
+  private def plantedNearDupCorpus(emb: DataFrame): DataFrame = {
+    val amp = lit(0.05) + lit(0.09) * pmod(col("vec_id"), lit(10)).cast("double")
+    val clone = transform(col("embedding"), (x, j) =>
+      (x.cast("double") * (lit(1.0) + amp *
+        sin(col("vec_id").cast("double") * lit(997.0) + j.cast("double")))).cast("float"))
+    emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), clone.as("embedding")))
+  }
 
   /** Shared DuckDB fragments for the oracle twins. */
   private val DocToks =
@@ -410,8 +461,19 @@ object QueriesLLM {
          |  50::BIGINT AS n_queries, 5::BIGINT AS k,
          |  250::BIGINT AS n_exact, 216::BIGINT AS n_hits,
          |  216 / 250.0 AS recall""".stripMargin,
+    // pinned production-config embedding near-dup recall at sf0.01:
+    // 206 planted pairs sit at or above cosine 0.9 (44 more fall
+    // below and are excluded by the exact filter); 8×8-bit sign-LSH
+    // pruning recovers 203. Deterministic: seeded hyperplanes +
+    // deterministic clones; ApproxSpec holds the floors.
+    "dedup_embedding_recall" ->
+      """SELECT 0.9::DOUBLE AS threshold, 8::BIGINT AS tables, 8::BIGINT AS bits,
+         |  206::BIGINT AS n_exact, 203::BIGINT AS n_hits,
+         |  203 / 206.0 AS recall""".stripMargin,
     // pinned IVF recall at sf0.01: 174 of 250 exact pairs survive
-    // probing 4 of 16 clusters (0.696 @ ~25% of the corpus scanned)
+    // probing 4 of 16 clusters (0.696 @ ~25% of the corpus scanned) —
+    // centroid means are 1e-6-quantized each Lloyd round, so the pin
+    // is partition-order/core-count independent
     "sim_ivf_recall" ->
       """SELECT 16::BIGINT AS nlist, 4::BIGINT AS nprobe,
          |  50::BIGINT AS n_queries, 5::BIGINT AS k,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables.table
-import graft.merge.Scd1Merge
+import graft.merge.{Scd1Merge, Scd2Merge}
 import graft.ops.KeyGenStrategy
 import graft.pipeline.{DimBuilder, DimSpec, FactBuilder, IngestRunner, SilverJob}
 import graft.store.WatermarkStore
@@ -76,6 +76,62 @@ object QueriesPipeline {
         .orderBy(col("dim_branch_key"), col("dim_dealer_key"),
           col("dim_model_key"), col("dim_date_key"))),
 
+    "s16_scd2_dim" -> ((s, dir) => {
+      // SCD2 history dim over 3 batch snapshots of customer: the
+      // mktsegment attribute changes deterministically (batch 2 touches
+      // custkey%3==0, batch 3 touches custkey%5==0, %5 winning where
+      // both apply), so each key's history is 1-3 versioned rows with
+      // (valid_from, valid_to, is_current) intervals. Replayed through
+      // Scd2Merge's close-old + insert-new bucketed commit; judged
+      // against a DuckDB twin that derives the same history with a
+      // lag/lead window over the batch sequence. Batch 3 is also
+      // REPLAYED to pin idempotency (the replay must be a no-op).
+      def seg(seq: Int) = concat(col("c_mktsegment"),
+        when(pmod(col("c_custkey"), lit(5)) === 0 && lit(seq >= 3), lit("+3"))
+          .when(pmod(col("c_custkey"), lit(3)) === 0 && lit(seq >= 2), lit("+2"))
+          .otherwise(lit("")))
+      val path = tmpDir("graft_scd2") + "/dim_customer_hist"
+      val cust = table(s, dir, "customer")
+      for (q <- Seq(1, 2, 3, 3)) // 3 batches + idempotent replay of the last
+        Scd2Merge.upsertBatch(s, path,
+          cust.select(col("c_custkey"), seg(q).as("segment")),
+          Seq("c_custkey"), batchSeq = q.toLong, numBuckets = 4)
+      // explicit column order: the composite-key merge's USING join
+      // rearranges keys first; pin the history-table contract order
+      Scd1Merge.readTable(s, path)
+        .select(col("c_custkey"), col("segment"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
+    "s17_late_reprocess" -> ((s, dir) => {
+      // Late-data reprocessing (SURVEY §2.6 extension), judged: run 1
+      // ingests a snapshot MISSING the "late" rows (o_orderkey%97==0)
+      // and advances the watermark to the max date; the late rows then
+      // arrive with in-the-past dates — the faithful loop would never
+      // see them. Run 2 passes a reprocessing floor below the data's
+      // range: the re-scan picks the late rows up, and the keyed
+      // bronze upsert lands every row EXACTLY ONCE (re-scanned rows
+      // dedup on o_orderkey). Run 3 replays run 2 to pin idempotency.
+      // Oracle: plain batch SQL over ALL rows, each exactly once.
+      val path = tmpDir("graft_late") + "/bronze_orders"
+      val store = new WatermarkStore(tmpDir("graft_late_wm"))
+      store.init("0")
+      val orders = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate"))
+      val onTime = orders.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      IngestRunner.runWithReprocess(s, onTime, "o_orderdate", store, path,
+        keys = Seq("o_orderkey"), numBuckets = 4)
+      for (_ <- 1 to 2) // late rows arrived; reprocess from the floor, then replay
+        IngestRunner.runWithReprocess(s, orders, "o_orderdate", store, path,
+          keys = Seq("o_orderkey"), reprocessFloor = Some("0"), numBuckets = 4)
+      Scd1Merge.readTable(s, path)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "pipe3_fact_build" -> ((s, dir) => {
       // Fact FK resolution (gold_fact.py:34-38): dims built with
       // deterministic surrogate keys, then broadcast-joined into the
@@ -148,6 +204,28 @@ object QueriesPipeline {
          |SELECT dim_key, c_custkey, c_name FROM d1
          |UNION ALL SELECT dim_key, c_custkey, c_name FROM d2
          |ORDER BY dim_key""".stripMargin,
+    "s17_late_reprocess" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "s16_scd2_dim" ->
+      """WITH b AS (
+         |  SELECT c_custkey,
+         |         c_mktsegment || CASE WHEN seq >= 3 AND c_custkey % 5 = 0 THEN '+3'
+         |                              WHEN seq >= 2 AND c_custkey % 3 = 0 THEN '+2'
+         |                              ELSE '' END AS segment,
+         |         seq
+         |  FROM customer CROSS JOIN (VALUES (1),(2),(3)) s(seq)),
+         |m AS (
+         |  SELECT *, lag(segment) OVER (PARTITION BY c_custkey ORDER BY seq) AS prev FROM b),
+         |v AS (
+         |  SELECT c_custkey, segment, seq FROM m
+         |  WHERE prev IS NULL OR prev <> segment),
+         |h AS (
+         |  SELECT c_custkey, segment, seq::BIGINT AS valid_from,
+         |         (lead(seq) OVER (PARTITION BY c_custkey ORDER BY seq))::BIGINT AS valid_to
+         |  FROM v)
+         |SELECT c_custkey, segment, valid_from, valid_to, valid_to IS NULL AS is_current
+         |FROM h ORDER BY c_custkey, valid_from""".stripMargin,
     "pipe3_fact_build" ->
       """WITH dp AS (SELECT 1 + row_number() OVER (ORDER BY p_partkey) AS dim_part_key, p_partkey FROM part),
          |ds AS (SELECT 1 + row_number() OVER (ORDER BY s_suppkey) AS dim_supp_key, s_suppkey FROM supplier)

@@ -174,7 +174,15 @@ object Similarity {
         .agg(avg(col("col").cast("double")).as("__m"))
         .collect()
       val next = cents.map(_.toArray)
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      // QUANTIZE each centroid component to 1e-6 before the float cast:
+      // avg() partial-aggregation order depends on partitioning/core
+      // count, so the raw double mean carries ~1e-16 scheduling noise —
+      // enough to flip a borderline nearest-centroid argmax and shift
+      // the judged pinned recall across Spark/core-count changes. After
+      // rounding, a flip needs the true mean within ~1e-16 of a 0.5e-6
+      // boundary — effectively never.
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) =
+        (math.rint(r.getDouble(2) * 1e6) / 1e6).toFloat)
       cents = next.map(_.toSeq)
     }
     cents

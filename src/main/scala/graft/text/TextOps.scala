@@ -36,25 +36,37 @@ object TextOps {
 
   /** Heuristic quality score: token count, stopword hits, stopword
     * ratio, and mean token length. Ratios are exact int/int double
-    * divisions so results are independent of partitioning. */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nTok = size(toks).cast("long")
-    val stopCnt = size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
-    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    docs.select(
-      col(idCol),
-      nTok.as("n_tok"),
-      stopCnt.as("stop_cnt"),
-      (stopCnt.cast("double") / nTok).as("stop_ratio"),
-      (charSum.cast("double") / nTok).as("avg_tok_len"))
-  }
+    * divisions so results are independent of partitioning.
+    *
+    * Computed as explode → conditional aggs, NOT as per-row HOF
+    * filters/folds over the token array: HOF lambdas evaluate
+    * interpreted outside whole-stage codegen, and these arrays scale
+    * with document size — the explode→agg plan stays codegen'd end to
+    * end and partial-aggregates map-side (same reformulation as
+    * simhash/fingerprint; no doc is lost because `split` never yields
+    * an empty array). One shuffle on the doc id. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("__tok").isin(Stopwords: _*), 1L).otherwise(0L)).as("stop_cnt"),
+        sum(length(col("__tok")).cast("long")).as("__chars"))
+      .select(
+        col(idCol),
+        col("n_tok"),
+        col("stop_cnt"),
+        (col("stop_cnt").cast("double") / col("n_tok")).as("stop_ratio"),
+        (col("__chars").cast("double") / col("n_tok")).as("avg_tok_len"))
 
   /** Corpus normalization: lowercase, strip non-alphanumeric symbols,
     * collapse whitespace runs, trim — the canonical pre-dedup cleanup
-    * pass. Pure codegen'd string expressions. */
+    * pass. ONE fused regex pass: after `lower`, every character is
+    * either [a-z0-9] or not, so "symbols → space, then collapse \s+"
+    * equals "replace every [^a-z0-9]+ run with one space" — half the
+    * per-byte regex cost of the two-pass form for identical output. */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
   def normalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), normalize(col(textCol)).as("norm_text"),
@@ -72,11 +84,19 @@ object TextOps {
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
 
   /** Language ID: count marker-word hits per language over the token
-    * bag; predict the max-hit language, alphabetically-first on ties. */
+    * bag; predict the max-hit language, alphabetically-first on ties.
+    *
+    * One explode → 5 conditional sums (codegen'd, map-side partial),
+    * replacing five interpreted HOF filter passes over the full token
+    * array — see [[qualityScore]] for the rule. */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val hits: Seq[(String, Column)] = LangMarkers.map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words: _*))).cast("long")
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val hitAggs = LangMarkers.map { case (lang, words) =>
+      sum(when(col("__tok").isin(words: _*), 1L).otherwise(0L)).as(s"hits_$lang")
+    }
+    val agged = tok.groupBy(col(idCol)).agg(hitAggs.head, hitAggs.tail: _*)
+    val hits: Seq[(String, Column)] = LangMarkers.map { case (lang, _) =>
+      lang -> col(s"hits_$lang")
     }
     // lang l wins if its hits >= every later language's hits and beats
     // (strictly) no earlier language — expressed as a first-match CASE
@@ -88,8 +108,7 @@ object TextOps {
         val restMax = hits.drop(i + 1).map(_._2).reduce((a, b) => greatest(a, b))
         when(h >= restMax, lang).otherwise(els)
     }
-    val hitCols = hits.map { case (lang, h) => h.as(s"hits_$lang") }
-    docs.select(col(idCol) +: hitCols :+ pred.as("pred_lang"): _*)
+    agged.select(col(idCol) +: hits.map(_._2) :+ pred.as("pred_lang"): _*)
   }
 
   /** Winnowing-style document fingerprint: the minimum MD5 over 5-word

@@ -39,4 +39,22 @@ class ApproxSpec extends SparkSpecBase {
       assert(recall >= floor, f"tables=$t bits=$b recall=$recall%.4f < floor $floor")
     }
   }
+
+  test("embedding near-dup at production parameters: ground truth is real, recall floor holds") {
+    // Guards the dedup_embedding_recall pinned oracle (threshold 0.9,
+    // planted clones, 8×8-bit pruning — measured 203/206 = 0.985):
+    //  - the planted ground truth must be substantial AND selective
+    //    (some clones fall below the threshold, so the exact filter is
+    //    doing work — not "every clone counts");
+    //  - recall at the pruning config must stay above a floor pinned
+    //    just below the measured value.
+    val row = graft.queries.QueriesLLM.queries("dedup_embedding_recall")(
+      spark, "/root/testdata/sf0.01").first()
+    val (nExact, nHits) = (row.getAs[Long]("n_exact"), row.getAs[Long]("n_hits"))
+    val recall = row.getAs[Double]("recall")
+    info(f"n_exact=$nExact n_hits=$nHits recall=$recall%.4f")
+    assert(nExact >= 150 && nExact <= 250,
+      s"planted ground truth out of band: $nExact (250 clones, some sub-threshold)")
+    assert(recall >= 0.95, f"production-config recall $recall%.4f < 0.95 floor")
+  }
 }

@@ -1,6 +1,9 @@
 package graft
 
+import graft.merge.Scd1Merge
 import graft.ops.KeyGenStrategy
+import graft.pipeline.IngestRunner
+import graft.store.WatermarkStore
 import graft.pipeline.{DimBuilder, DimSpec}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
@@ -120,5 +123,25 @@ class PipelineSpec extends SparkSpecBase {
       assert(incKeys.toSeq == (2L until 2L + rows.size).toSeq,
         s"keys not dense for seed=$seed")
     }
+  }
+
+  test("late-data reprocess floor: a late row lands exactly once; no floor = never") {
+    val store = new WatermarkStore(Tmp.dir("late_wm"))
+    store.init("0")
+    val t = Tmp.dir("late_t") + "/bronze"
+    val onTime = Seq((1L, "d1"), (3L, "d3")).toDF("k", "d")
+    IngestRunner.runWithReprocess(spark, onTime, "d", store, t, Seq("k"), numBuckets = 2)
+    assert(store.read() == "d3")
+    // a late row (2, "d2") arrives AFTER the watermark moved past d2:
+    // the faithful incremental scan can never see it again
+    val all = Seq((1L, "d1"), (2L, "d2"), (3L, "d3")).toDF("k", "d")
+    assert(IngestRunner.runWithReprocess(spark, all, "d", store, t, Seq("k")) == 0L)
+    assert(Scd1Merge.readTable(spark, t).count() == 2)
+    // with a reprocessing floor it lands; a replay stays exactly-once
+    IngestRunner.runWithReprocess(spark, all, "d", store, t, Seq("k"), Some("0"))
+    IngestRunner.runWithReprocess(spark, all, "d", store, t, Seq("k"), Some("0"))
+    assert(canon(Scd1Merge.readTable(spark, t)) ==
+      Seq(Seq("1", "d1"), Seq("2", "d2"), Seq("3", "d3")))
+    assert(store.read() == "d3", "reprocessing must not regress the watermark")
   }
 }

@@ -92,6 +92,45 @@ class PlanSpec extends SparkSpecBase {
     } finally spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE skew-join splits a hot-key SMJ partition (skew=true)") {
+    // The engine's answer to JOIN-side skew (window-side skew is solved
+    // by the chunked twins): AQE detects an oversized shuffle partition
+    // and splits it across tasks. Forced-low thresholds make the
+    // detection fire at test scale; at 100 TB the defaults (256 MB)
+    // play the same role. The skew split only exists in the FINAL
+    // adaptive plan, so assert after execution.
+    val s = spark
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> s.conf.getOption(k))
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // ~90% of the fact rows share one hot key
+      val fact = s.range(0, 500000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val dim = s.range(0, 1000).select(col("id").as("k"), col("id").as("attr"))
+      val joined = fact.join(dim, "k")
+      // materialize THIS dataset's own query execution (count() would
+      // build a different one and leave this plan isFinalPlan=false)
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected AQE skew-split SMJ in the final plan:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   test("chunked twins window by (key, chunk), not by key alone") {
     import spark.implicits._
     val ev = Seq((1L, 1000000000L)).toDF("user_id", "ts")
