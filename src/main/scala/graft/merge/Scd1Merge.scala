@@ -110,11 +110,15 @@ object Scd1Merge {
   private val ManifestName = "_graft_manifest"
   private val LockName = "_graft_lock"
   private val LegacyMetaName = "_graft_buckets"
+  private val HistoryDir = "_graft_history"
 
-  /** Live table state: bucket count + bucket → live dir (relative to the
-    * table path). Legacy pre-manifest dirs (`__bucket=N`) are valid
-    * entries — migration is just writing a manifest that names them. */
-  private final case class Manifest(numBuckets: Int, dirs: Map[Int, String])
+  /** Live table state: commit number + bucket count + bucket → live dir
+    * (relative to the table path). Legacy pre-manifest dirs
+    * (`__bucket=N`) are valid entries — migration is just writing a
+    * manifest that names them. `commit` increments per manifest swap;
+    * pre-history manifests parse as commit 0. */
+  private final case class Manifest(numBuckets: Int, dirs: Map[Int, String],
+                                    commit: Int = 0)
 
   /** Injected-failure hook for the crash-consistency spec; "" in
     * production. Recognized points: "before-manifest" (bucket versions
@@ -141,16 +145,20 @@ object Scd1Merge {
 
   private def readManifest(tablePath: String): Option[Manifest] = {
     val p = manifestPath(tablePath)
-    if (!Files.exists(p)) None
-    else {
-      val lines = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
-      val nb = lines.head.stripPrefix("nb=").toInt
-      val dirs = lines.tail.map { l =>
-        val Array(b, d) = l.split("\t", 2)
-        b.toInt -> d
-      }.toMap
-      Some(Manifest(nb, dirs))
-    }
+    if (!Files.exists(p)) None else Some(parseManifest(p))
+  }
+
+  private def parseManifest(p: Path): Manifest = {
+    val lines = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+    val (meta, entries) = lines.partition(l => !l.contains("\t"))
+    val nb = meta.find(_.startsWith("nb=")).get.stripPrefix("nb=").toInt
+    val commit = meta.find(_.startsWith("commit="))
+      .map(_.stripPrefix("commit=").toInt).getOrElse(0)
+    val dirs = entries.map { l =>
+      val Array(b, d) = l.split("\t", 2)
+      b.toInt -> d
+    }.toMap
+    Manifest(nb, dirs, commit)
   }
 
   /** THE commit point: write-to-tmp + fsync + atomic rename over the
@@ -159,10 +167,24 @@ object Scd1Merge {
     * after power loss would be an unreadable table), and the table dir
     * entry is forced after it where the platform allows. Everything
     * before this call is invisible to readers; everything after is
-    * garbage collection. */
-  private def commitManifest(tablePath: String, m: Manifest): Unit = {
-    val body = (s"nb=${m.numBuckets}" +:
+    * garbage collection.
+    *
+    * Each commit also lands a HISTORY copy (`_graft_history/<n>`,
+    * written before the swap — a crash between the two leaves an
+    * unreferenced history file the retry overwrites). History plus
+    * version retention = snapshot reads: [[readTableAt]] resolves an
+    * old commit's manifest against its still-retained bucket dirs.
+    *
+    * Returns the manifest AS COMMITTED (with its commit number) — the
+    * caller must sweep with that, not with its hand-built value, or
+    * the history GC window would compute against commit 0. */
+  private def commitManifest(tablePath: String, m: Manifest): Manifest = {
+    val next = readManifest(tablePath).map(_.commit + 1).getOrElse(1)
+    val body = (s"nb=${m.numBuckets}" +: s"commit=$next" +:
       m.dirs.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" }).mkString("\n")
+    val hist = Paths.get(tablePath, HistoryDir)
+    Files.createDirectories(hist)
+    Files.writeString(hist.resolve(next.toString), body)
     val tmp = Paths.get(tablePath, ManifestName + ".tmp")
     val ch = FileChannel.open(tmp, StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -171,6 +193,7 @@ object Scd1Merge {
     Files.move(tmp, manifestPath(tablePath),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     fsyncDir(Paths.get(tablePath))
+    m.copy(commit = next)
   }
 
   /** Directory-entry fsync (makes the rename itself durable). Works on
@@ -219,6 +242,17 @@ object Scd1Merge {
             case None => deleteRecursively(p)
           }
       }
+    // history manifests follow the same window: newer than live is a
+    // crashed commit's dangling copy, older than live-retain describes
+    // bucket versions that are (or may be) gone
+    val hist = Paths.get(tablePath, HistoryDir)
+    if (Files.exists(hist))
+      Files.list(hist).iterator().asScala.toSeq.foreach { p =>
+        p.getFileName.toString.toIntOption match {
+          case Some(n) if n <= m.commit && n >= m.commit - retain => ()
+          case _ => deleteRecursively(p)
+        }
+      }
   }
 
   /** Drop unreferenced TOP-LEVEL leftovers: pre-migration flat files,
@@ -230,7 +264,7 @@ object Scd1Merge {
     Files.list(Paths.get(tablePath)).iterator().asScala.toSeq.foreach { p =>
       val name = p.getFileName.toString
       if (name != ManifestName && name != LockName && name != "data" &&
-          !referenced.contains(name))
+          name != HistoryDir && !referenced.contains(name))
         deleteRecursively(p)
     }
   }
@@ -314,6 +348,7 @@ object Scd1Merge {
     Files.list(Paths.get(tablePath)).iterator().asScala.toSeq.filter { p =>
       val n = p.getFileName.toString
       n != "data" && n != ManifestName && n != LockName && n != LegacyMetaName &&
+      n != HistoryDir &&
       n != "_SUCCESS" && !n.startsWith(".") && !n.endsWith(".tmp") && !n.endsWith(".crc")
     }
 
@@ -352,6 +387,35 @@ object Scd1Merge {
         spark.read.option("mergeSchema", "true").parquet(entries.map(_.toString): _*)
     }
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+  }
+
+  /** SNAPSHOT (time-travel) read: the table as of `commitsBack` commits
+    * before the live one, resolved through the retained history
+    * manifest against the retained bucket versions. Readable while the
+    * snapshot is inside the retention window — each commit rewrites a
+    * bucket at most once, so `commitsBack <= retainVersions` is always
+    * safe; beyond it the snapshot's manifest has been swept and this
+    * throws loudly (never a silent partial read: the manifest goes
+    * before its files do). `commitsBack = 0` is the live table. */
+  def readTableAt(spark: SparkSession, tablePath: String, commitsBack: Int): DataFrame = {
+    require(commitsBack >= 0, s"commitsBack must be >= 0, got $commitsBack")
+    if (commitsBack == 0) readTable(spark, tablePath)
+    else {
+      val live = readManifest(tablePath).getOrElse(throw new IllegalStateException(
+        s"table $tablePath has no manifest (snapshot reads need the bucketed layout)"))
+      val target = live.commit - commitsBack
+      val p = Paths.get(tablePath, HistoryDir, target.toString)
+      if (target < 1 || !Files.exists(p))
+        throw new IllegalStateException(
+          s"no snapshot $commitsBack commits back of $tablePath (live commit " +
+          s"${live.commit}); it predates the table or was vacuumed — raise " +
+          "retainVersions to keep deeper history")
+      val m = parseManifest(p)
+      val dirs = m.dirs.toSeq.sortBy(_._1)
+        .map { case (_, d) => Paths.get(tablePath, d).toString }
+      val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+    }
   }
 
   /** Move each `__bucket=N` dir under `writtenTo` into the table as
@@ -421,8 +485,7 @@ object Scd1Merge {
                 val name = d.getFileName.toString
                 name.stripPrefix(s"$BucketCol=").toInt -> name
               }.toMap
-            val m = Manifest(nb, bucketEntries)
-            commitManifest(tablePath, m)
+            val m = commitManifest(tablePath, Manifest(nb, bucketEntries))
             upsertCommitted(spark, tablePath, source, keys,
               numBuckets, evolveSchema, retainVersions, m)
           } else if (entries.nonEmpty) {
@@ -523,8 +586,7 @@ object Scd1Merge {
     val newVersions = adoptBucketDirs(tablePath, tmp,
       b => manifest.dirs.get(b).map(versionOf(_) + 1).getOrElse(0))
     failpoint("before-manifest")
-    val committed = Manifest(nb, manifest.dirs ++ newVersions)
-    commitManifest(tablePath, committed)
+    val committed = commitManifest(tablePath, Manifest(nb, manifest.dirs ++ newVersions))
     failpoint("after-manifest")
     // post-commit sweep: ONLY versions beyond the retention window (the
     // just-replaced version stays for lagging readers) + the tmp dir
@@ -572,8 +634,8 @@ object Scd1Merge {
       val newVersions = adoptBucketDirs(tablePath, tmp,
         b => versionOf(manifest.dirs(b)) + 1)
       failpoint("before-manifest")
-      val committed = Manifest(manifest.numBuckets, manifest.dirs ++ newVersions)
-      commitManifest(tablePath, committed)
+      val committed = commitManifest(tablePath,
+        Manifest(manifest.numBuckets, manifest.dirs ++ newVersions))
       failpoint("after-manifest")
       sweepVersions(tablePath, committed, retainVersions)
       deleteRecursively(Paths.get(tmp))

@@ -132,6 +132,33 @@ object QueriesPipeline {
         .orderBy(col("o_orderkey"))
     }),
 
+    "s18_time_travel" -> ((s, dir) => {
+      // SNAPSHOT READS (time travel): three commits to a keyed table —
+      // initial load, an update batch (custkey%7 rows re-segmented),
+      // an insert batch — then the table is read at EVERY commit via
+      // the retained manifest history (readTableAt), each snapshot
+      // tagged. retainVersions=2 keeps both historical versions of
+      // every rewritten bucket, so all three states reconstruct
+      // exactly; the oracle derives the same three states in plain
+      // SQL. This is the judged face of reader isolation: the bytes a
+      // lagging reader would see ARE the snapshot.
+      val path = tmpDir("graft_tt") + "/t"
+      val cust = table(s, dir, "customer")
+      val base = cust.select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      val b1 = base.filter(col("c_custkey") <= 1000)
+      val b2 = b1.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .withColumn("seg", concat(col("seg"), lit("+u")))
+      val b3 = base.filter(col("c_custkey") > 1000)
+      for (b <- Seq(b1, b2, b3))
+        Scd1Merge.upsert(s, path, b, Seq("c_custkey"), numBuckets = 4,
+          retainVersions = 2)
+      Seq(2, 1, 0).map { back =>
+        Scd1Merge.readTableAt(s, path, back)
+          .select(lit(3L - back).as("snapshot"), col("c_custkey"), col("seg"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("snapshot"), col("c_custkey"))
+    }),
+
     "pipe3_fact_build" -> ((s, dir) => {
       // Fact FK resolution (gold_fact.py:34-38): dims built with
       // deterministic surrogate keys, then broadcast-joined into the
@@ -207,6 +234,18 @@ object QueriesPipeline {
     "s17_late_reprocess" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "s18_time_travel" ->
+      """WITH s1 AS (SELECT c_custkey, c_mktsegment AS seg FROM customer WHERE c_custkey <= 1000),
+         |s2 AS (SELECT c_custkey,
+         |         c_mktsegment || CASE WHEN c_custkey % 7 = 0 THEN '+u' ELSE '' END AS seg
+         |       FROM customer WHERE c_custkey <= 1000),
+         |s3 AS (SELECT * FROM s2
+         |       UNION ALL
+         |       SELECT c_custkey, c_mktsegment AS seg FROM customer WHERE c_custkey > 1000)
+         |SELECT 1::BIGINT AS snapshot, * FROM s1
+         |UNION ALL SELECT 2::BIGINT, * FROM s2
+         |UNION ALL SELECT 3::BIGINT, * FROM s3
+         |ORDER BY snapshot, c_custkey""".stripMargin,
     "s16_scd2_dim" ->
       """WITH b AS (
          |  SELECT c_custkey,

@@ -41,7 +41,7 @@ class Scd1MergeSpec extends SparkSpecBase {
     * an entry changes iff its bucket was rewritten. */
   private def manifestEntries(path: String): Map[String, String] =
     Files.readAllLines(Paths.get(path, "_graft_manifest")).asScala.toSeq
-      .filter(_.nonEmpty).drop(1)
+      .filter(_.contains("\t")) // bucket entries; skip nb=/commit= meta lines
       .map { l => val Array(b, d) = l.split("\t", 2); b -> d }.toMap
 
   test("upsert rewrites only the buckets the source batch touches") {
@@ -234,6 +234,29 @@ class Scd1MergeSpec extends SparkSpecBase {
     Scd1Merge.vacuum(path, retain = 0)
     assert(bucketDirs == Set("b0_v2"))
     assert(canon(Scd1Merge.readTable(spark, path)) == Seq(Seq("1", "c")))
+  }
+
+  test("readTableAt reconstructs retained snapshots; vacuumed history throws loudly") {
+    val path = Tmp.dir("scd1_tt") + "/t"
+    Scd1Merge.upsert(spark, path, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      Seq("k"), numBuckets = 1, retainVersions = 2)
+    Scd1Merge.upsert(spark, path, Seq((1L, "a2")).toDF("k", "v"),
+      Seq("k"), retainVersions = 2)
+    Scd1Merge.upsert(spark, path, Seq((3L, "c")).toDF("k", "v"),
+      Seq("k"), retainVersions = 2)
+    assert(canon(Scd1Merge.readTableAt(spark, path, 2)) ==
+      Seq(Seq("1", "a"), Seq("2", "b")))
+    assert(canon(Scd1Merge.readTableAt(spark, path, 1)) ==
+      Seq(Seq("1", "a2"), Seq("2", "b")))
+    assert(canon(Scd1Merge.readTableAt(spark, path, 0)) ==
+      Seq(Seq("1", "a2"), Seq("2", "b"), Seq("3", "c")))
+    // beyond the table's history: loud, never a partial read
+    intercept[IllegalStateException] { Scd1Merge.readTableAt(spark, path, 3) }
+    // vacuum(0) collapses the window to the live commit
+    Scd1Merge.vacuum(path, retain = 0)
+    intercept[IllegalStateException] { Scd1Merge.readTableAt(spark, path, 1) }
+    assert(canon(Scd1Merge.readTableAt(spark, path, 0)) ==
+      Seq(Seq("1", "a2"), Seq("2", "b"), Seq("3", "c")))
   }
 
   // ---------------- writer mutual exclusion ----------------
