@@ -54,9 +54,12 @@ import scala.jdk.CollectionConverters._
   * writer fails LOUDLY instead of silently interleaving manifest swaps
   * (Delta gets the same guarantee from optimistic concurrency). A
   * crashed writer's lease expires after [[lockLeaseMillis]]; the next
-  * writer takes the stale lock over. The lease must exceed the longest
-  * expected commit — this impl does not heartbeat mid-commit (a
-  * production refinement: re-write the expiry inside long jobs).
+  * writer takes the stale lock over. Right before the manifest swap —
+  * i.e. after the long bucket write, the part of a commit that can
+  * outlive a lease — the writer re-validates and extends its lease
+  * ([[refreshLease]]): a writer whose lease was taken over mid-write
+  * ABORTS without touching the manifest, so even a
+  * longer-than-the-lease commit cannot clobber the takeover writer.
   *
   * Scale notes: the anti-join shuffles both sides on the merge keys
   * (or broadcasts the source when it is a small batch — the common
@@ -277,7 +280,7 @@ object Scd1Merge {
   def vacuum(tablePath: String, retain: Int = 0): Unit =
     readManifest(tablePath) match {
       case None => ()
-      case Some(_) => withLock(tablePath) {
+      case Some(_) => withLock(tablePath) { _ =>
         readManifest(tablePath).foreach { m =>
           sweepVersions(tablePath, m, retain)
           sweepTopLevel(tablePath, m)
@@ -331,9 +334,29 @@ object Scd1Merge {
     } catch { case _: Exception => () }
   }
 
-  private def withLock[T](tablePath: String)(body: => T): T = {
+  /** Heartbeat, called right before the manifest swap (i.e. AFTER the
+    * long Spark write — the part of a commit that can outlive a
+    * lease): extend OUR lease, or, if it expired mid-write and another
+    * writer took over, ABORT before touching the manifest — the new
+    * versions stay unreferenced garbage and the takeover writer's
+    * commit wins. Shrinks the lease-overrun corruption window from
+    * "length of the bucket write" to the ms between this check and the
+    * rename. */
+  private def refreshLease(tablePath: String, id: String): Unit = {
+    val p = Paths.get(tablePath, LockName)
+    val holder = try new String(Files.readAllBytes(p), UTF_8)
+      catch { case _: Exception => "" }
+    if (!holder.startsWith(id + "\t"))
+      throw new IllegalStateException(
+        s"writer lease for $tablePath was lost mid-commit (expired and taken " +
+        "over?) — aborting WITHOUT swapping the manifest; raise lockLeaseMillis " +
+        "above the longest commit")
+    Files.write(p, s"$id\t${System.currentTimeMillis() + lockLeaseMillis}".getBytes(UTF_8))
+  }
+
+  private def withLock[T](tablePath: String)(body: String => T): T = {
     val id = acquireLock(tablePath)
-    try body finally releaseLock(tablePath, id)
+    try body(id) finally releaseLock(tablePath, id)
   }
 
   // ---------------- read path ----------------
@@ -455,7 +478,7 @@ object Scd1Merge {
              retainVersions: Int = DefaultRetainVersions): Unit = {
     val dir = Paths.get(tablePath)
     Files.createDirectories(dir)
-    withLock(tablePath) {
+    withLock(tablePath) { leaseId =>
       if (readManifest(tablePath).isEmpty) {
         // data/ (or a stale staging sibling) without a manifest is an
         // interrupted FIRST commit: sweep it BEFORE layout
@@ -467,7 +490,7 @@ object Scd1Merge {
       }
       readManifest(tablePath) match {
         case Some(m) => upsertCommitted(spark, tablePath, source, keys,
-          numBuckets, evolveSchema, retainVersions, m)
+          numBuckets, evolveSchema, retainVersions, m, leaseId)
         case None =>
           val entries = listNonInternal(tablePath)
           if (entries.exists(_.getFileName.toString.startsWith(s"$BucketCol="))) {
@@ -487,7 +510,7 @@ object Scd1Merge {
               }.toMap
             val m = commitManifest(tablePath, Manifest(nb, bucketEntries))
             upsertCommitted(spark, tablePath, source, keys,
-              numBuckets, evolveSchema, retainVersions, m)
+              numBuckets, evolveSchema, retainVersions, m, leaseId)
           } else if (entries.nonEmpty) {
             // Legacy flat (pre-bucketing) layout: full merge-and-rewrite
             // into the bucketed layout. Readers see the flat table until
@@ -501,6 +524,7 @@ object Scd1Merge {
               .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
             val newEntries = adoptBucketDirs(tablePath, tmp, _ => 0)
             failpoint("before-manifest")
+            refreshLease(tablePath, leaseId)
             commitManifest(tablePath, Manifest(nb, newEntries))
             deleteRecursively(Paths.get(tmp))
           } else {
@@ -519,6 +543,7 @@ object Scd1Merge {
               deleteRecursively(dir)
             } else {
               failpoint("before-manifest")
+              refreshLease(tablePath, leaseId)
               commitManifest(tablePath, Manifest(nb, newEntries))
               deleteRecursively(Paths.get(tmp))
             }
@@ -530,7 +555,7 @@ object Scd1Merge {
   /** The established-table merge path (manifest in hand, lock held). */
   private def upsertCommitted(spark: SparkSession, tablePath: String, source: DataFrame,
       keys: Seq[String], numBuckets: Int, evolveSchema: Boolean, retainVersions: Int,
-      manifest: Manifest): Unit = {
+      manifest: Manifest, leaseId: String): Unit = {
     val nb = manifest.numBuckets
     if (numBuckets > 0 && numBuckets != nb)
       throw new IllegalArgumentException(
@@ -586,6 +611,7 @@ object Scd1Merge {
     val newVersions = adoptBucketDirs(tablePath, tmp,
       b => manifest.dirs.get(b).map(versionOf(_) + 1).getOrElse(0))
     failpoint("before-manifest")
+    refreshLease(tablePath, leaseId)
     val committed = commitManifest(tablePath, Manifest(nb, manifest.dirs ++ newVersions))
     failpoint("after-manifest")
     // post-commit sweep: ONLY versions beyond the retention window (the
@@ -611,11 +637,11 @@ object Scd1Merge {
               retainVersions: Int = DefaultRetainVersions): Int = {
     if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
       s"compact: $tablePath has no manifest (not a committed bucketed table)")
-    withLock(tablePath) { compactLocked(spark, tablePath, retainVersions) }
+    withLock(tablePath) { leaseId => compactLocked(spark, tablePath, retainVersions, leaseId) }
   }
 
   private def compactLocked(spark: SparkSession, tablePath: String,
-                            retainVersions: Int): Int = {
+                            retainVersions: Int, leaseId: String): Int = {
     val manifest = readManifest(tablePath).get
     sweepVersions(tablePath, manifest, retainVersions)
     val frag = manifest.dirs.toSeq.sortBy(_._1).filter { case (_, d) =>
@@ -634,6 +660,7 @@ object Scd1Merge {
       val newVersions = adoptBucketDirs(tablePath, tmp,
         b => versionOf(manifest.dirs(b)) + 1)
       failpoint("before-manifest")
+      refreshLease(tablePath, leaseId)
       val committed = commitManifest(tablePath,
         Manifest(manifest.numBuckets, manifest.dirs ++ newVersions))
       failpoint("after-manifest")

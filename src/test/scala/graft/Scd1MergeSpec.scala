@@ -301,6 +301,33 @@ class Scd1MergeSpec extends SparkSpecBase {
     assert(!Files.exists(lock), "lease released after commit")
   }
 
+  test("a lease lost mid-write aborts BEFORE the manifest swap") {
+    val path = Tmp.dir("scd1_lock3") + "/t"
+    Scd1Merge.upsert(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    // simulate lease expiry + takeover while our bucket write ran: at
+    // the before-manifest point, the lock suddenly belongs to another
+    // writer — our commit must abort without swapping
+    val lock = Paths.get(path, "_graft_lock")
+    Scd1Merge.testHooks = Map("before-manifest" -> { () =>
+      Files.write(lock,
+        s"usurper\t${System.currentTimeMillis() + 3600000}".getBytes)
+    })
+    try {
+      val e = intercept[IllegalStateException] {
+        Scd1Merge.upsert(spark, path, Seq((1L, "OVERRUN")).toDF("k", "v"), Seq("k"))
+      }
+      assert(e.getMessage.contains("lost mid-commit"))
+    } finally {
+      Scd1Merge.testHooks = Map.empty
+      Files.deleteIfExists(lock) // the "usurper's" lease
+    }
+    assert(canon(Scd1Merge.readTable(spark, path)) == Seq(Seq("1", "a")),
+      "aborted commit must leave the table untouched")
+    // and the table still works
+    Scd1Merge.upsert(spark, path, Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    assert(Scd1Merge.readTable(spark, path).count() == 2)
+  }
+
   // ---------------- interrupted FIRST commits ----------------
 
   test("crash before the FIRST manifest (initial create): no phantom table, retry clean") {
