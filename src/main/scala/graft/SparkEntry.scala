@@ -37,6 +37,6 @@ object SparkEntry {
     * `pinned_oracles.json` next to `oracle_sql.json`. Any future pin
     * must be added here AND get a spec-side floor. */
   def pinnedOracles: Set[String] =
-    Set("a7_approx_count_distinct", "sim_ann_recall", "sim_ivf_recall",
-        "dedup_embedding_recall")
+    Set("a7_approx_count_distinct", "sim_ann_recall", "sim_ann_multiprobe_recall",
+        "sim_ivf_recall", "dedup_embedding_recall")
 }

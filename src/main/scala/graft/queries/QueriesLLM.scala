@@ -173,6 +173,28 @@ object QueriesLLM {
           (col("n_hits").cast("double") / col("n_exact")).as("recall"))
     }),
 
+    "sim_ann_multiprobe_recall" -> ((s, dir) => {
+      // Multiprobe LSH recall harness, judged: 8 tables of 4 bits with
+      // Hamming-1 probing (5 probes per query-table) — HALF the
+      // corpus-side bucketing work of sim_ann_recall's 16 tables, the
+      // trade that matters at 100 TB (probes grow the broadcast, not
+      // the corpus pass). Pinned like sim_ann_recall; ApproxSpec pins
+      // multiprobe(8×4) > single-probe(8×4) and the floor.
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 50)
+      val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
+        .select(col("query_id"), col("vec_id"))
+      val ann = Similarity.annTopKMultiprobe(emb, q, "vec_id", "embedding", K,
+          tables = 8, bits = 4, dim = 64)
+        .select(col("query_id"), col("vec_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(ann.intersect(exact).agg(count(lit(1)).as("n_hits")))
+        .select(lit(8L).as("tables"), lit(4L).as("bits"), lit(1L).as("probe_hamming"),
+          lit(50L).as("n_queries"), lit(K.toLong).as("k"),
+          col("n_exact"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+    }),
+
     "sim_ivf_recall" -> ((s, dir) => {
       // IVF ANN (geometry-aware inverted-file clustering, the
       // alternative scale path to LSH): recall@5 probing 4 of 16
@@ -461,6 +483,15 @@ object QueriesLLM {
          |  50::BIGINT AS n_queries, 5::BIGINT AS k,
          |  250::BIGINT AS n_exact, 216::BIGINT AS n_hits,
          |  216 / 250.0 AS recall""".stripMargin,
+    // pinned multiprobe recall at sf0.01: Hamming-1 probing recovers
+    // ALL 250 exact pairs at 8×4 bits — half sim_ann_recall's tables
+    // (16×4 single-probe: 216) at unchanged corpus-side cost. The 1.0
+    // is a strong tripwire: any bucketing/probing regression drops it.
+    "sim_ann_multiprobe_recall" ->
+      """SELECT 8::BIGINT AS tables, 4::BIGINT AS bits, 1::BIGINT AS probe_hamming,
+         |  50::BIGINT AS n_queries, 5::BIGINT AS k,
+         |  250::BIGINT AS n_exact, 250::BIGINT AS n_hits,
+         |  250 / 250.0 AS recall""".stripMargin,
     // pinned production-config embedding near-dup recall at sf0.01:
     // 206 planted pairs sit at or above cosine 0.9 (44 more fall
     // below and are excluded by the exact filter); 8×8-bit sign-LSH

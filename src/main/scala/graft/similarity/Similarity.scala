@@ -227,6 +227,24 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Exact-cosine re-rank of a (query_id, vec_id) candidate set — the
+    * shared tail of every ANN path: join the vectors back (norms
+    * projected below the join, one fold per vector), score, salted
+    * two-stage top-k. */
+  private def exactRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, cands: DataFrame, k: Int): DataFrame = {
+    val scored = cands
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+        sqrt(norm2(col(vecCol))).as("cn")), "vec_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        sqrt(norm2(col(vecCol))).as("qn"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
+    topKPerKey(scored, col("query_id"),
+        Seq(col("cos_sim").desc, col("vec_id").asc), k, saltOn = col("vec_id"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
   /** Approximate top-k: `tables` independent LSH tables of `bits` sign
     * bits each. Corpus and queries are bucketed per table; candidates
     * are the (table, bucket) equi-join, unioned across tables and
@@ -243,15 +261,33 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
-    val scored = cands
-      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
-        sqrt(norm2(col(vecCol))).as("cn")), "vec_id")
-      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        sqrt(norm2(col(vecCol))).as("qn"))), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos_sim"))
-    topKPerKey(scored, col("query_id"),
-        Seq(col("cos_sim").desc, col("vec_id").asc), k, saltOn = col("vec_id"))
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+    exactRerank(corpus, queries, idCol, vecCol, cands, k)
+  }
+
+  /** MULTIPROBE [[annTopK]]: each query probes its own bucket PLUS
+    * every Hamming-distance-1 neighbor (one sign bit flipped) in each
+    * table — `bits + 1` probes per (query, table). The standard trick
+    * to buy recall without more tables: a near-neighbor that landed
+    * one hyperplane to the other side is recovered by the flipped
+    * probe. CORPUS-side cost is UNCHANGED (same bucketing, same
+    * shuffle of tables × n short rows); only the broadcast probe set
+    * grows by ×(bits+1) — so at equal recall, multiprobe needs fewer
+    * tables, i.e. less corpus-side work: the dial that matters at
+    * 100 TB. Measured on the weak-neighbor test corpus: 8×4-bit
+    * multiprobe ≥ recall of 16×4-bit single-probe at half the corpus
+    * bucketing work. */
+  def annTopKMultiprobe(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, tables: Int = 8, bits: Int = 10,
+                        dim: Int = 64): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, tables, bits, "vec_id", dim)
+    val qb = lshBuckets(queries, idCol, vecCol, tables, bits, "query_id", dim)
+    val probes = qb.select(col("query_id"), col("t"),
+      explode(array(col("bkt") +:
+        (0 until bits).map(p => col("bkt").bitwiseXOR(lit(1L << p))): _*)).as("bkt"))
+    val cands = cb.join(broadcast(probes), Seq("t", "bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    exactRerank(corpus, queries, idCol, vecCol, cands, k)
   }
 }

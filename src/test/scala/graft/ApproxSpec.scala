@@ -40,6 +40,24 @@ class ApproxSpec extends SparkSpecBase {
     }
   }
 
+  test("multiprobe buys recall without more tables (8×4: 0.696 single → 1.0 multiprobe)") {
+    import graft.similarity.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.topK(emb, queries, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("vec_id"))
+    val nExact = exact.count()
+    val single = Similarity.annTopK(emb, queries, "vec_id", "embedding", 5,
+      tables = 8, bits = 4).select(col("query_id"), col("vec_id"))
+    val multi = Similarity.annTopKMultiprobe(emb, queries, "vec_id", "embedding", 5,
+      tables = 8, bits = 4).select(col("query_id"), col("vec_id"))
+    val rs = single.intersect(exact).count().toDouble / nExact
+    val rm = multi.intersect(exact).count().toDouble / nExact
+    info(f"8x4: single=$rs%.3f multiprobe=$rm%.3f")
+    assert(rm > rs, f"multiprobe ($rm%.3f) must beat single-probe ($rs%.3f) at equal config")
+    assert(rm >= 0.98, f"multiprobe 8x4 recall $rm%.3f < 0.98 floor (measured 1.0)")
+  }
+
   test("embedding near-dup at production parameters: ground truth is real, recall floor holds") {
     // Guards the dedup_embedding_recall pinned oracle (threshold 0.9,
     // planted clones, 8×8-bit pruning — measured 203/206 = 0.985):
