@@ -222,32 +222,48 @@ object Scd1Merge {
     m.map(g => (g.group(1).toInt, g.group(2).toInt))
   }
 
-  /** Sweep `data/` version dirs around the retention window. For a
-    * bucket whose live version is vLive:
-    *  - version > vLive: CRASH RESIDUE (written, never committed) —
-    *    always deleted (also prevents a name collision with the next
-    *    commit's version);
-    *  - vLive - retain <= version < vLive: retained snapshot history
-    *    for lagging readers — kept;
-    *  - version < vLive - retain: aged out — deleted.
-    * Unparseable entries are residue of nothing we wrote — deleted. */
-  private def sweepVersions(tablePath: String, m: Manifest, retain: Int): Unit = {
-    val liveVer: Map[Int, Int] = m.dirs.map { case (b, d) => b -> versionOf(d) }
-    val data = Paths.get(tablePath, "data")
-    if (Files.exists(data))
-      Files.list(data).iterator().asScala.toSeq.foreach { p =>
-        val name = p.getFileName.toString
-        if (!m.dirs.values.exists(_ == s"data/$name"))
-          parseVersionDir(name) match {
-            case Some((b, v)) =>
-              val lv = liveVer.getOrElse(b, -1)
-              if (v > lv || v < lv - retain) deleteRecursively(p)
-            case None => deleteRecursively(p)
-          }
+  /** Next version number for bucket `b`. For a bucket absent from the
+    * live manifest (never existed — or EMPTIED by a [[delete]] whose
+    * old versions are still retained for snapshot readers) continue
+    * after any version dir still on disk, so the new write can't
+    * collide with retained history. */
+  private def nextVersion(tablePath: String, m: Manifest, b: Int): Int =
+    m.dirs.get(b).map(versionOf(_) + 1).getOrElse {
+      val data = Paths.get(tablePath, "data")
+      val existing =
+        if (!Files.exists(data)) Nil
+        else Files.list(data).iterator().asScala.toSeq
+          .flatMap(p => parseVersionDir(p.getFileName.toString))
+          .filter(_._1 == b).map(_._2)
+      if (existing.isEmpty) 0 else existing.max + 1
+    }
+
+  /** Every manifest still in the retention window: the live one plus
+    * history manifests numbered within [commit - retain, commit]. */
+  private def retainedManifests(tablePath: String, live: Manifest,
+                                retain: Int): Seq[Manifest] = {
+    val hist = Paths.get(tablePath, HistoryDir)
+    val hs =
+      if (!Files.exists(hist)) Nil
+      else Files.list(hist).iterator().asScala.toSeq.flatMap { p =>
+        p.getFileName.toString.toIntOption
+          .filter(n => n <= live.commit && n >= live.commit - retain && n != live.commit)
+          .map(_ => parseManifest(p))
       }
-    // history manifests follow the same window: newer than live is a
-    // crashed commit's dangling copy, older than live-retain describes
-    // bucket versions that are (or may be) gone
+    live +: hs
+  }
+
+  /** GC by REACHABILITY: first age the history manifests to the
+    * retention window (newer-than-live = a crashed commit's dangling
+    * copy; older = expired), then delete every `data/` version dir
+    * referenced by NO remaining manifest. Subsumes all the cases in
+    * one rule: crash residue was never referenced; replaced versions
+    * stay exactly as long as a retained manifest names them (including
+    * versions of buckets a [[delete]] emptied out of the live
+    * manifest); aged history loses its manifest FIRST, so a too-deep
+    * [[readTableAt]] always fails loudly rather than partially
+    * resolving. */
+  private def sweepVersions(tablePath: String, m: Manifest, retain: Int): Unit = {
     val hist = Paths.get(tablePath, HistoryDir)
     if (Files.exists(hist))
       Files.list(hist).iterator().asScala.toSeq.foreach { p =>
@@ -256,14 +272,26 @@ object Scd1Merge {
           case _ => deleteRecursively(p)
         }
       }
+    val referenced = retainedManifests(tablePath, m, retain)
+      .flatMap(_.dirs.values).toSet
+    val data = Paths.get(tablePath, "data")
+    if (Files.exists(data))
+      Files.list(data).iterator().asScala.toSeq.foreach { p =>
+        if (!referenced.contains(s"data/${p.getFileName}"))
+          deleteRecursively(p)
+      }
   }
 
   /** Drop unreferenced TOP-LEVEL leftovers: pre-migration flat files,
     * replaced legacy `__bucket=N` dirs, the legacy bucket-count meta.
     * These are the previous "version" of a migrated table, retained by
-    * the commit path for reader isolation — only [[vacuum]] calls this. */
-  private def sweepTopLevel(tablePath: String, m: Manifest): Unit = {
-    val referenced = m.dirs.values.toSet
+    * the commit path for reader isolation — only [[vacuum]] calls
+    * this. Reachability includes retained history manifests, so a
+    * legacy dir a snapshot still references survives a retaining
+    * vacuum. */
+  private def sweepTopLevel(tablePath: String, m: Manifest, retain: Int): Unit = {
+    val referenced = retainedManifests(tablePath, m, retain)
+      .flatMap(_.dirs.values).toSet
     Files.list(Paths.get(tablePath)).iterator().asScala.toSeq.foreach { p =>
       val name = p.getFileName.toString
       if (name != ManifestName && name != LockName && name != "data" &&
@@ -283,7 +311,7 @@ object Scd1Merge {
       case Some(_) => withLock(tablePath) { _ =>
         readManifest(tablePath).foreach { m =>
           sweepVersions(tablePath, m, retain)
-          sweepTopLevel(tablePath, m)
+          sweepTopLevel(tablePath, m, retain)
         }
       }
     }
@@ -439,6 +467,70 @@ object Scd1Merge {
       val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
       if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
     }
+  }
+
+  /** CHANGE DATA FEED between two retained snapshots: every row whose
+    * content changed from `fromCommitsBack` to `toCommitsBack` (0 =
+    * live), tagged `insert` / `update` / `delete` in a `_change_type`
+    * column (update/delete carry the NEW/OLD row respectively — the
+    * Delta CDF convention, minus update_preimage). The downstream
+    * primitive for incremental consumers: instead of re-scanning a
+    * 100 TB table to find what an upsert did, read the delta.
+    *
+    * Scale: the two history manifests name each side's bucket dirs, so
+    * only buckets whose live dir CHANGED between the snapshots are
+    * read at all — cost is O(changed buckets), not O(table); within
+    * them the diff is one full-row EXCEPT (null-safe set semantics) +
+    * a key-level anti/semi join, all shuffled on the merge keys.
+    *
+    * @param keys the table's merge keys (classify changed rows:
+    *             key present on both sides = update) */
+  def readChanges(spark: SparkSession, tablePath: String, keys: Seq[String],
+                  fromCommitsBack: Int, toCommitsBack: Int = 0): DataFrame = {
+    require(fromCommitsBack > toCommitsBack,
+      s"from ($fromCommitsBack commits back) must be older than to ($toCommitsBack)")
+    val live = readManifest(tablePath).getOrElse(throw new IllegalStateException(
+      s"table $tablePath has no manifest (change feeds need the bucketed layout)"))
+    def manifestAt(back: Int): Manifest =
+      if (back == 0) live
+      else {
+        val target = live.commit - back
+        val p = Paths.get(tablePath, HistoryDir, target.toString)
+        if (target < 1 || !Files.exists(p))
+          throw new IllegalStateException(
+            s"no snapshot $back commits back of $tablePath (live commit " +
+            s"${live.commit}); it predates the table or was vacuumed")
+        parseManifest(p)
+      }
+    val from = manifestAt(fromCommitsBack)
+    val to = manifestAt(toCommitsBack)
+    // bucket pruning: a bucket whose live dir is identical in both
+    // manifests holds identical bytes — skip it entirely
+    val changedBuckets = (from.dirs.keySet ++ to.dirs.keySet)
+      .filter(b => from.dirs.get(b) != to.dirs.get(b)).toSeq.sorted
+    def readSide(m: Manifest): DataFrame = {
+      val dirs = changedBuckets.flatMap(m.dirs.get)
+        .map(d => Paths.get(tablePath, d).toString)
+      val df =
+        if (dirs.isEmpty) {
+          val any = m.dirs.values.headOption.getOrElse(
+            throw new IllegalStateException(s"empty manifest for $tablePath"))
+          // no changed buckets: empty frame with the table schema
+          spark.read.parquet(Paths.get(tablePath, any).toString).limit(0)
+        } else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+    }
+    val older = readSide(from)
+    val newer = readSide(to).select(older.columns.toIndexedSeq.map(col): _*)
+    val changedRows = newer.except(older) // inserted or updated (new image)
+    val deletedRows = older.join(newer, keys, "left_anti") // old image, key gone
+    changedRows
+      .join(older.select(keys.map(col): _*).distinct()
+        .withColumn("__was", lit(1)), keys, "left")
+      .withColumn("_change_type",
+        when(col("__was").isNotNull, lit("update")).otherwise(lit("insert")))
+      .drop("__was")
+      .unionByName(deletedRows.withColumn("_change_type", lit("delete")))
   }
 
   /** Move each `__bucket=N` dir under `writtenTo` into the table as
@@ -609,7 +701,7 @@ object Scd1Merge {
         throw new IllegalStateException(s"bucket dir missing from merge output: $tmp/$BucketCol=$b")
     }
     val newVersions = adoptBucketDirs(tablePath, tmp,
-      b => manifest.dirs.get(b).map(versionOf(_) + 1).getOrElse(0))
+      b => nextVersion(tablePath, manifest, b))
     failpoint("before-manifest")
     refreshLease(tablePath, leaseId)
     val committed = commitManifest(tablePath, Manifest(nb, manifest.dirs ++ newVersions))
@@ -618,6 +710,59 @@ object Scd1Merge {
     // just-replaced version stays for lagging readers) + the tmp dir
     sweepVersions(tablePath, committed, retainVersions)
     deleteRecursively(Paths.get(tmp))
+  }
+
+  /** Delta `DELETE FROM ... WHERE` parity: remove every row matching
+    * `predicate`, rewriting ONLY the buckets that hold matching rows
+    * (one bucket-tagged probe scan; ≤numBuckets rows collected). SQL
+    * NULL semantics: a row where the predicate is NULL is KEPT. A
+    * bucket left empty drops out of the manifest entirely. Same commit
+    * protocol as upsert — locked, lease-refreshed, crash-safe,
+    * retention-isolated, history'd (so [[readChanges]] feeds `delete`
+    * rows downstream). Returns the number of rows deleted.
+    *
+    * At 100 TB: cost is one probe scan over live buckets + a rewrite
+    * of matching buckets only. A key-equality predicate could prune
+    * the probe to hashed buckets; kept general — Delta pays the same
+    * scan for arbitrary predicates. */
+  def delete(spark: SparkSession, tablePath: String, keys: Seq[String],
+             predicate: org.apache.spark.sql.Column,
+             retainVersions: Int = DefaultRetainVersions): Long = {
+    if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
+      s"delete: $tablePath has no manifest (legacy tables migrate via upsert first)")
+    withLock(tablePath) { leaseId =>
+      val manifest = readManifest(tablePath).get
+      val nb = manifest.numBuckets
+      sweepVersions(tablePath, manifest, retainVersions)
+      val tagged = withBucket(readTable(spark, tablePath), keys, nb)
+      val probe = tagged.filter(predicate)
+        .groupBy(col(BucketCol)).agg(count(lit(1)).as("__n"))
+        .collect()
+      if (probe.isEmpty) 0L
+      else {
+        val touched = probe.map(_.getInt(0)).toSeq.sorted
+        val nDeleted = probe.map(_.getLong(1)).sum
+        val liveTouched = touched.flatMap(b => manifest.dirs.get(b))
+          .map(d => Paths.get(tablePath, d).toString)
+        val kept = withBucket(
+            spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)
+          .filter(!coalesce(predicate, lit(false)))
+        val tmp = tablePath + ".tmp"
+        kept.repartition(col(BucketCol))
+          .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+        val newVersions = adoptBucketDirs(tablePath, tmp,
+          b => nextVersion(tablePath, manifest, b))
+        val emptied = touched.filterNot(newVersions.contains)
+        failpoint("before-manifest")
+        refreshLease(tablePath, leaseId)
+        val committed = commitManifest(tablePath,
+          Manifest(nb, manifest.dirs -- emptied ++ newVersions))
+        failpoint("after-manifest")
+        sweepVersions(tablePath, committed, retainVersions)
+        deleteRecursively(Paths.get(tmp))
+        nDeleted
+      }
+    }
   }
 
   /** Rewrite fragmented buckets (many small files — e.g. written under

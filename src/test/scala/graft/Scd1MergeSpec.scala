@@ -259,6 +259,37 @@ class Scd1MergeSpec extends SparkSpecBase {
       Seq(Seq("1", "a2"), Seq("2", "b"), Seq("3", "c")))
   }
 
+  test("readChanges tags inserts/updates/deletes between snapshots; unchanged buckets pruned") {
+    val path = Tmp.dir("scd1_cdf") + "/t"
+    Scd1Merge.upsert(spark, path,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      Seq("k"), numBuckets = 4, retainVersions = 2)
+    Scd1Merge.upsert(spark, path, Seq((2L, "b2"), (4L, "d")).toDF("k", "v"),
+      Seq("k"), retainVersions = 2)
+    val feed = Scd1Merge.readChanges(spark, path, Seq("k"), fromCommitsBack = 1)
+      .select("k", "v", "_change_type")
+    assert(canon(feed) == Seq(
+      Seq("2", "b2", "update"),
+      Seq("4", "d", "insert")).sortBy(_.mkString("")))
+    // DELETE: the feed carries the deleted row's OLD image
+    assert(Scd1Merge.delete(spark, path, Seq("k"), $"k" === 3L,
+      retainVersions = 2) == 1L)
+    val feed2 = Scd1Merge.readChanges(spark, path, Seq("k"), fromCommitsBack = 1)
+      .select("k", "v", "_change_type")
+    assert(canon(feed2) == Seq(Seq("3", "c", "delete")))
+    // and the table content reflects the delete; a snapshot read still
+    // reconstructs the pre-delete state
+    assert(canon(Scd1Merge.readTable(spark, path).select("k")) ==
+      Seq(Seq("1"), Seq("2"), Seq("4")))
+    assert(Scd1Merge.readTableAt(spark, path, 1).count() == 4)
+    // NULL predicate rows are kept (SQL DELETE semantics)
+    val path3 = Tmp.dir("scd1_del_null") + "/t"
+    Scd1Merge.upsert(spark, path3,
+      Seq((1L, Some("x")), (2L, Option.empty[String])).toDF("k", "v"), Seq("k"))
+    assert(Scd1Merge.delete(spark, path3, Seq("k"), $"v" =!= "x") == 0L)
+    assert(Scd1Merge.readTable(spark, path3).count() == 2)
+  }
+
   // ---------------- writer mutual exclusion ----------------
 
   test("a second writer interleaving with a commit fails loudly; the holder's commit stands") {
