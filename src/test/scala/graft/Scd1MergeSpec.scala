@@ -267,10 +267,17 @@ class Scd1MergeSpec extends SparkSpecBase {
     Scd1Merge.upsert(spark, path, Seq((2L, "b2"), (4L, "d")).toDF("k", "v"),
       Seq("k"), retainVersions = 2)
     val feed = Scd1Merge.readChanges(spark, path, Seq("k"), fromCommitsBack = 1)
-      .select("k", "v", "_change_type")
-    assert(canon(feed) == Seq(
+    assert(canon(feed.select("k", "v", "_change_type")) == Seq(
       Seq("2", "b2", "update"),
       Seq("4", "d", "insert")).sortBy(_.mkString("")))
+    // manifest-diff pruning: the feed's scans touch ONLY the buckets
+    // commit 2 rewrote (keys 2 and 4 → ≤2 buckets, ×2 sides), never
+    // all 4 buckets' dirs on both sides
+    val scannedDirs = feed.inputFiles
+      .map(f => java.nio.file.Paths.get(new java.net.URI(f)).getParent.getFileName.toString)
+      .toSet
+    assert(scannedDirs.size <= 4,
+      s"feed must read only changed buckets' versions, scanned: $scannedDirs")
     // DELETE: the feed carries the deleted row's OLD image
     assert(Scd1Merge.delete(spark, path, Seq("k"), $"k" === 3L,
       retainVersions = 2) == 1L)
