@@ -483,6 +483,12 @@ object Scd1Merge {
     * them the diff is one full-row EXCEPT (null-safe set semantics) +
     * a key-level anti/semi join, all shuffled on the merge keys.
     *
+    * Schema note: the diff is computed over the OLDER snapshot's
+    * columns (the newer side is projected onto them), so an update
+    * whose only change is in a column added between the snapshots is
+    * not surfaced — evolve-then-diff consumers should diff from the
+    * first post-evolution commit.
+    *
     * @param keys the table's merge keys (classify changed rows:
     *             key present on both sides = update) */
   def readChanges(spark: SparkSession, tablePath: String, keys: Seq[String],
