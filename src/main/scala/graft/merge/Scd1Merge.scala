@@ -657,7 +657,8 @@ object Scd1Merge {
     val nb = manifest.numBuckets
     if (numBuckets > 0 && numBuckets != nb)
       throw new IllegalArgumentException(
-        s"table $tablePath is laid out with $nb buckets; re-bucketing to $numBuckets is not supported in-place")
+        s"table $tablePath is laid out with $nb buckets; an upsert cannot change " +
+        s"that — run Scd1Merge.rebucket(..., $numBuckets) first (a full-rewrite commit)")
     // sweep crash leftovers BEFORE writing new versions so a half-moved
     // dir from a previous failed commit can't collide with this one
     // (retained history stays — it's referenced by lagging readers)
@@ -716,6 +717,47 @@ object Scd1Merge {
     // just-replaced version stays for lagging readers) + the tmp dir
     sweepVersions(tablePath, committed, retainVersions)
     deleteRecursively(Paths.get(tmp))
+  }
+
+  /** Change a table's bucket count in place — the create-time sizing
+    * dial (numBuckets ≈ table_bytes / 256 MB) re-applied as the table
+    * grows: a table created at 1 GB that reaches 100 TB needs its
+    * buckets re-cut or every merge rewrites multi-TB buckets. ONE
+    * full-rewrite commit through the standard protocol (locked,
+    * lease-refreshed, crash-safe): the whole table is re-hashed into
+    * the new bucket space and the manifest swaps wholesale. Old
+    * version dirs stay reachable through retained history — snapshot
+    * reads and lagging readers cross a rebucket like any other
+    * commit. Necessarily O(table) — it is the one operation whose job
+    * is to move every row; schedule it like a compaction. */
+  def rebucket(spark: SparkSession, tablePath: String, keys: Seq[String],
+               newNumBuckets: Int,
+               retainVersions: Int = DefaultRetainVersions): Unit = {
+    require(newNumBuckets > 0, s"newNumBuckets must be positive: $newNumBuckets")
+    if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
+      s"rebucket: $tablePath has no manifest (legacy tables migrate via upsert first)")
+    withLock(tablePath) { leaseId =>
+      val manifest = readManifest(tablePath).get
+      if (newNumBuckets != manifest.numBuckets) {
+        sweepVersions(tablePath, manifest, retainVersions)
+        val full = readTable(spark, tablePath)
+        val tmp = tablePath + ".tmp"
+        withBucket(full, keys, newNumBuckets)
+          .repartition(col(BucketCol))
+          .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+        // version continuity per NEW bucket id: nextVersion consults the
+        // old manifest AND the retained dirs on disk, so re-used ids
+        // can't collide with history
+        val newVersions = adoptBucketDirs(tablePath, tmp,
+          b => nextVersion(tablePath, manifest, b))
+        failpoint("before-manifest")
+        refreshLease(tablePath, leaseId)
+        val committed = commitManifest(tablePath, Manifest(newNumBuckets, newVersions))
+        failpoint("after-manifest")
+        sweepVersions(tablePath, committed, retainVersions)
+        deleteRecursively(Paths.get(tmp))
+      }
+    }
   }
 
   /** Delta `DELETE FROM ... WHERE` parity: remove every row matching

@@ -188,6 +188,26 @@ object QueriesPipeline {
         .orderBy(col("commit"), col("c_custkey"))
     }),
 
+    "s20_rebucket" -> ((s, dir) => {
+      // Bucket-count resizing (the create-time sizing dial re-applied
+      // as a table grows): load at 2 buckets, rebucket to 8 (one
+      // full-rewrite commit through the standard protocol), then keep
+      // upserting at the new layout — content must equal the plain
+      // batch state throughout. The post-rebucket upsert declares
+      // numBuckets=8 explicitly, proving the new layout took.
+      val path = tmpDir("graft_rebkt") + "/t"
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      Scd1Merge.upsert(s, path, c.filter(col("c_custkey") <= 1000),
+        Seq("c_custkey"), numBuckets = 2)
+      Scd1Merge.rebucket(s, path, Seq("c_custkey"), 8)
+      Scd1Merge.upsert(s, path, c.filter(col("c_custkey") > 1000),
+        Seq("c_custkey"), numBuckets = 8)
+      Scd1Merge.readTable(s, path)
+        .select(col("c_custkey"), col("seg"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "pipe3_fact_build" -> ((s, dir) => {
       // Fact FK resolution (gold_fact.py:34-38): dims built with
       // deterministic surrogate keys, then broadcast-joined into the
@@ -277,6 +297,9 @@ object QueriesPipeline {
          |       'delete'
          |FROM customer WHERE c_custkey % 13 = 0
          |ORDER BY commit, c_custkey""".stripMargin,
+    "s20_rebucket" ->
+      """SELECT c_custkey, c_mktsegment AS seg FROM customer
+         |ORDER BY c_custkey""".stripMargin,
     "s18_time_travel" ->
       """WITH s1 AS (SELECT c_custkey, c_mktsegment AS seg FROM customer WHERE c_custkey <= 1000),
          |s2 AS (SELECT c_custkey,

@@ -297,6 +297,31 @@ class Scd1MergeSpec extends SparkSpecBase {
     assert(Scd1Merge.readTable(spark, path3).count() == 2)
   }
 
+  test("rebucket re-cuts the bucket space; content identical; snapshots cross it") {
+    val path = Tmp.dir("scd1_rebkt") + "/t"
+    Scd1Merge.upsert(spark, path,
+      (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"),
+      Seq("k"), numBuckets = 2, retainVersions = 2)
+    val before = canon(Scd1Merge.readTable(spark, path))
+    Scd1Merge.rebucket(spark, path, Seq("k"), 8, retainVersions = 2)
+    val entries = manifestEntries(path)
+    assert(entries.size > 2 && entries.size <= 8,
+      s"expected up to 8 new buckets, got ${entries.size}")
+    assert(canon(Scd1Merge.readTable(spark, path)) == before)
+    // the pre-rebucket snapshot still reconstructs
+    assert(canon(Scd1Merge.readTableAt(spark, path, 1)) == before)
+    // the new layout accepts upserts declared at the new count, and
+    // still rejects a mismatched declaration (pointing at rebucket)
+    Scd1Merge.upsert(spark, path, Seq((201L, "w")).toDF("k", "v"),
+      Seq("k"), numBuckets = 8)
+    assert(Scd1Merge.readTable(spark, path).count() == 201)
+    val e = intercept[IllegalArgumentException] {
+      Scd1Merge.upsert(spark, path, Seq((202L, "x")).toDF("k", "v"),
+        Seq("k"), numBuckets = 2)
+    }
+    assert(e.getMessage.contains("rebucket"))
+  }
+
   // ---------------- writer mutual exclusion ----------------
 
   test("a second writer interleaving with a commit fails loudly; the holder's commit stands") {
