@@ -218,4 +218,63 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= cfg.threshold)
   }
+
+  /** Connected components over an undirected near-dup pair list —
+    * the step that turns PAIRWISE near-dups into DEDUP CLUSTERS
+    * (near-duplication is transitive in intent: A~B and B~C should
+    * drop two of the three, not one of each pair independently).
+    *
+    * Min-label propagation to fixpoint: every node repeatedly adopts
+    * the smallest label among itself and its neighbors. Each round is
+    * one codegen'd join + min-agg shuffled on the node id; labels only
+    * decrease, so convergence is monotone and checked with a count of
+    * changed labels (a 1-row action per round). Rounds needed = graph
+    * diameter — near-dup clusters are shallow (stars/cliques around a
+    * template), so this is small; `maxIter` bounds pathological chains
+    * and fails loudly rather than returning half-merged components.
+    * At 100 TB the same plan holds per round (the large-star/small-star
+    * optimization would cut rounds on adversarial chains; the join
+    * shape is unchanged).
+    *
+    * @return (node, component) — component = min node id reachable. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("__u"), col(bCol).as("__v"))
+      .unionByName(pairs.select(col(bCol).as("__u"), col(aCol).as("__v")))
+      .distinct()
+    var labels = edges.select(col("__u").as("__n")).distinct()
+      .withColumn("__c", col("__n"))
+      .localCheckpoint() // cut the growing lineage per round
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("__n", "__v"), "__v")
+        .groupBy(col("__u").as("__n")).agg(min(col("__c")).as("__nc"))
+      val next = labels.join(neighborMin, Seq("__n"), "left")
+        .select(col("__n"), least(col("__c"), coalesce(col("__nc"), col("__c"))).as("__c"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("__c", "__old"), "__n")
+        .filter(col("__c") =!= col("__old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
+    labels.select(col("__n").as("node"), col("__c").as("component"))
+  }
+
+  /** Cluster-level dedup resolution: every document tagged with its
+    * near-dup component and whether it SURVIVES (min-id per component
+    * — the same survivor rule as [[exactDedup]]). Documents in no pair
+    * are their own singleton component and always survive. */
+  def clusterSurvivors(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+    docs.select(col(idCol))
+      .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("is_survivor", col(idCol) === col("component"))
+  }
 }

@@ -100,6 +100,20 @@ object QueriesLLM {
           (col("n_hits").cast("double") / col("n_exact")).as("recall"))
     }),
 
+    "dedup_components" -> ((s, dir) => {
+      // Pairwise near-dups resolved into CLUSTERS (near-duplication is
+      // transitive in intent: A~B~C keeps one of three, not one per
+      // pair): connected components by min-label propagation over the
+      // judged MinHash pairs, then min-id survivor per component —
+      // every document tagged (component, is_survivor), singletons
+      // surviving trivially. The oracle re-derives the components with
+      // a recursive transitive closure over the same exact pair set.
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minhashNearDup(docs, "doc_id", "text")
+      Dedup.clusterSurvivors(docs, pairs, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- text analysis -------------------------------------------------
     "text_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(table(s, dir, "documents"), "doc_id", "text")
@@ -377,6 +391,22 @@ object QueriesLLM {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE toks AS ($DocToks),
+         |sh AS (SELECT doc_id, ${shingles(3)} AS s FROM toks),
+         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+         |reach(n, m) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u),
+         |lab AS (SELECT n, min(m) AS component FROM reach GROUP BY n)
+         |SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
+         |       d.doc_id = coalesce(l.component, d.doc_id) AS is_survivor
+         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.n
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_simhash_neardup" ->
       """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
          |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),

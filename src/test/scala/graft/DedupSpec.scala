@@ -91,4 +91,24 @@ class DedupSpec extends SparkSpecBase {
       .first().getSeq[String](0)
     assert(got == Seq("a b"))
   }
+
+  test("connectedComponents merges transitive chains; clusterSurvivors keeps min per cluster") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive via 2), island 7-8, singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val comp = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    assert(canon(comp) == Seq(
+      Seq("1", "1"), Seq("2", "1"), Seq("3", "1"),
+      Seq("7", "7"), Seq("8", "7")).sortBy(_.mkString("")))
+    val docs = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id")
+    val surv = graft.dedup.Dedup.clusterSurvivors(docs, pairs, "doc_id")
+    assert(canon(surv) == Seq(
+      Seq("1", "1", "true"), Seq("2", "1", "false"), Seq("3", "1", "false"),
+      Seq("7", "7", "true"), Seq("8", "7", "false"),
+      Seq("9", "9", "true")).sortBy(_.mkString("")))
+    // a long path needs diameter rounds, not 2 — pin convergence
+    val path10 = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp10 = graft.dedup.Dedup.connectedComponents(path10, "id_a", "id_b")
+    assert(comp10.filter($"component" =!= 1L).isEmpty, "all nodes reach label 1")
+  }
 }
