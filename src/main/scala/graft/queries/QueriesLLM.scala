@@ -135,6 +135,29 @@ object QueriesLLM {
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred_lang"))),
+    "text_pii_redact" -> ((s, dir) =>
+      // The synthetic corpus contains no PII, so the judged input
+      // PLANTS it deterministically (an email + IP derived from the
+      // doc id appended to each text) — proving the redactor actually
+      // fires on every row, not that it matched nothing. Both engines
+      // derive the identical input; the redacted output must match.
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.redactPii(concat(col("text"),
+            lit(" contact u"), col("doc_id"), lit("@mail.example.com from 10.0."),
+            pmod(col("doc_id"), lit(256)), lit(".7 or +1 555 010 "),
+            pmod(col("doc_id"), lit(10000)))).as("clean_text"))
+        .orderBy(col("doc_id"))),
+    "text_sample_stratified" -> ((s, dir) =>
+      // Language-rebalanced corpus sampling: keep 40% of en, 70% of de,
+      // 100% of everything else, chosen by an md5 bucket of the doc id
+      // — deterministic, partition-independent, reproducible across
+      // engines (the oracle derives the same buckets in DuckDB).
+      TextOps.stratifiedSample(table(s, dir, "documents"),
+          "doc_id", "lang", Map("en" -> 40, "de" -> 70))
+        .select(col("doc_id"), col("lang"),
+          TextOps.sampleBucket(col("doc_id")).as("bucket"))
+        .orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -488,6 +511,22 @@ object QueriesLLM {
          |SELECT d.lang, p.pred_lang, count(*) AS n
          |FROM documents d JOIN pred p USING (doc_id)
          |GROUP BY d.lang, p.pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "text_pii_redact" ->
+      """SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    text || ' contact u' || doc_id || '@mail.example.com from 10.0.' ||
+         |      (doc_id % 256) || '.7 or +1 555 010 ' || (doc_id % 10000),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |    '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+         |    '(\+|\b)\d[\d -]{7,}\d\b', '[PHONE]', 'g') AS clean_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_sample_stratified" ->
+      """WITH b AS (SELECT doc_id, lang,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket FROM b
+         |WHERE bucket < CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 70 ELSE 100 END
+         |ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       s"""WITH toks AS ($DocToks),
          |sh AS (SELECT doc_id, text, ${shingles(5)} AS s FROM toks)

@@ -111,6 +111,42 @@ object TextOps {
     agged.select(col(idCol) +: hits.map(_._2) :+ pred.as("pred_lang"): _*)
   }
 
+  /** PII redaction — the compliance pass every training-data pipeline
+    * runs before anything else sees the text: emails, IPv4 addresses,
+    * and phone-shaped digit runs replaced by typed placeholders. Three
+    * codegen'd regex passes, linear, no shuffle; patterns kept to the
+    * regex subset whose semantics agree across engines (ASCII word
+    * boundaries, no backrefs) so the op is exactly oracle-checkable. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  // '+' is a non-word char, so `\b\+?` could never match a leading
+  // "+"-prefixed number (no boundary between space and '+') — the
+  // alternation anchors on either the plus itself or a digit boundary
+  val PhoneRe = "(\\+|\\b)\\d[\\d -]{7,}\\d\\b"
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Deterministic stratified sampling: keep a per-stratum percentage
+    * of documents, selected by an md5-derived bucket of the id — NOT
+    * `rand()`: the same row is kept on every engine, every run, every
+    * partitioning, so downstream runs are reproducible and the sample
+    * is exactly oracle-checkable. `rates` maps stratum value → keep
+    * percentage (0-100); absent strata keep everything. The classic
+    * language-rebalancing step of a multilingual corpus build. */
+  def sampleBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"), lit(100))
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Int]): DataFrame = {
+    val rate = rates.foldLeft(lit(100)) { case (els, (v, r)) =>
+      when(col(stratumCol) === v, lit(r)).otherwise(els)
+    }
+    docs.filter(sampleBucket(col(idCol)) < rate)
+  }
+
   /** Winnowing-style document fingerprint: the minimum MD5 over 5-word
     * shingles, plus the whole-content MD5. Two documents sharing a
     * fingerprint very likely share a 5-word run.

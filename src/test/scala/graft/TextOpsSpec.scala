@@ -57,4 +57,29 @@ class TextOpsSpec extends SparkSpecBase {
     assert(r(0).getAs[String]("min_shingle_fp") == r(1).getAs[String]("min_shingle_fp"))
     assert(r(0).getAs[String]("content_fp") == r(1).getAs[String]("content_fp"))
   }
+
+  test("redactPii replaces emails, IPv4s, phone runs; leaves clean text alone") {
+    import graft.text.TextOps
+    val df = Seq("mail a.b@x.co end", "ip 10.1.2.3 here",
+      "call +44 20 7946 0958 now", "clean words only").toDF("t")
+    val out = df.select(TextOps.redactPii($"t").as("r"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("mail [EMAIL] end", "ip [IP] here",
+      "call [PHONE] now", "clean words only"))
+  }
+
+  test("stratifiedSample is deterministic and honors per-stratum rates") {
+    import graft.text.TextOps
+    val docs = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s1 = TextOps.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 40, "de" -> 100))
+    val s2 = TextOps.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 40, "de" -> 100))
+    assertSameRows(s1, s2) // same rows every run — no rand()
+    val en = s1.filter($"lang" === "en").count().toDouble / 1000
+    assert(en > 0.3 && en < 0.5, s"en keep-rate $en should be ~0.40")
+    assert(s1.filter($"lang" === "de").count() == 1000, "absent/100% strata keep all")
+    // every kept row's bucket is below its stratum rate
+    assert(s1.filter($"lang" === "en")
+      .filter(TextOps.sampleBucket($"doc_id") >= 40).isEmpty)
+  }
 }
