@@ -242,6 +242,7 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("__u"), col(bCol).as("__v"))
       .unionByName(pairs.select(col(bCol).as("__u"), col(aCol).as("__v")))
       .distinct()
+      .localCheckpoint() // scanned every round; materialize once
     var labels = edges.select(col("__u").as("__n")).distinct()
       .withColumn("__c", col("__n"))
       .localCheckpoint() // cut the growing lineage per round
@@ -251,12 +252,18 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("__n", "__v"), "__v")
         .groupBy(col("__u").as("__n")).agg(min(col("__c")).as("__nc"))
-      val next = labels.join(neighborMin, Seq("__n"), "left")
-        .select(col("__n"), least(col("__c"), coalesce(col("__nc"), col("__c"))).as("__c"))
+      // the changed flag rides INSIDE the propagated frame: one
+      // materialization per round, and the convergence probe is a
+      // cheap count over the already-checkpointed result instead of a
+      // second label-vs-label join
+      val next = labels.withColumnRenamed("__c", "__old")
+        .join(neighborMin, Seq("__n"), "left")
+        .select(col("__n"),
+          least(col("__old"), coalesce(col("__nc"), col("__old"))).as("__c"),
+          (coalesce(col("__nc"), col("__old")) < col("__old")).as("__chg"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("__c", "__old"), "__n")
-        .filter(col("__c") =!= col("__old")).isEmpty
-      labels = next
+      converged = next.filter(col("__chg")).isEmpty
+      labels = next.drop("__chg")
       iter += 1
     }
     if (!converged)
