@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 object Bench {
+
+  private def gcMillis: Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ > 0).sum
+
+  private def heapPools =
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,19 +29,38 @@ object Bench {
       .groupBy("r_regionkey").count()
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SORTED order: Scala's Map iteration order reshuffles whenever an
+    // entry is added, which made round-over-round per-query comparison
+    // noise (a query "regresses" because it now runs after a heavier
+    // neighbor). Deterministic order keeps the suite-pressure profile
+    // comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Isolate queries from each other's garbage: collect BETWEEN
+      // queries (outside the timer) so a query's measured time and GC
+      // stats reflect the query, not its predecessor's leftover heap.
+      System.gc()
+      heapPools.foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       // noop sink materializes every row through the FULL plan —
       // .count() would let Catalyst drop final sorts (EliminateSorts)
       // and prune projections, timing a cheaper plan than Verify runs.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gcMs = gcMillis - gc0
+      val peakMb = heapPools.map(p =>
+        try p.getPeakUsage.getUsed catch { case _: Throwable => 0L }).sum / (1024 * 1024)
+      (name, sec, gcMs, peakMb)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def jmap(f: ((String, Double, Long, Long)) => String): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_._2.toString)
+    val gcs = jmap(_._3.toString)
+    val peaks = jmap(_._4.toString)
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""gc_ms":$gcs,"peak_heap_mb":$peaks,"sf":"$sfDir"}"""
     println(json)
     // Also land the JSON in a file: the stdout line rides in sbt log
     // noise, and a scrape miss turns the whole bench into "parsed: null".

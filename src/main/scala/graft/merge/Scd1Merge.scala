@@ -109,6 +109,21 @@ object Scd1Merge {
     * writer takes over. Must exceed the longest expected commit. */
   @volatile var lockLeaseMillis: Long = 15L * 60 * 1000
 
+  /** Commit-tax phase accumulator: nanos per named protocol phase,
+    * summed across every commit this JVM runs. Lets the bench separate
+    * protocol cost (lock, sweep, manifest fsync) from query cost
+    * (probe/merge Spark jobs) without a profiler; the overhead is two
+    * nanoTime calls per phase. */
+  private[graft] val phaseNanos =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def resetPhases(): Unit = phaseNanos.clear()
+  private def timed[T](name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    try body
+    finally phaseNanos.merge(name, (System.nanoTime() - t0): java.lang.Long,
+      (a: java.lang.Long, b: java.lang.Long) => a + b)
+  }
+
   private val BucketCol = "__bucket"
   private val ManifestName = "_graft_manifest"
   private val LockName = "_graft_lock"
@@ -185,17 +200,21 @@ object Scd1Merge {
     val next = readManifest(tablePath).map(_.commit + 1).getOrElse(1)
     val body = (s"nb=${m.numBuckets}" +: s"commit=$next" +:
       m.dirs.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" }).mkString("\n")
-    val hist = Paths.get(tablePath, HistoryDir)
-    Files.createDirectories(hist)
-    Files.writeString(hist.resolve(next.toString), body)
+    timed("m-history") {
+      val hist = Paths.get(tablePath, HistoryDir)
+      Files.createDirectories(hist)
+      Files.writeString(hist.resolve(next.toString), body)
+    }
     val tmp = Paths.get(tablePath, ManifestName + ".tmp")
-    val ch = FileChannel.open(tmp, StandardOpenOption.CREATE,
-      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
-    try { ch.write(ByteBuffer.wrap(body.getBytes(UTF_8))); ch.force(true) }
-    finally ch.close()
+    timed("m-fsync-body") {
+      val ch = FileChannel.open(tmp, StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+      try { ch.write(ByteBuffer.wrap(body.getBytes(UTF_8))); ch.force(true) }
+      finally ch.close()
+    }
     Files.move(tmp, manifestPath(tablePath),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    fsyncDir(Paths.get(tablePath))
+    timed("m-fsync-dir") { fsyncDir(Paths.get(tablePath)) }
     m.copy(commit = next)
   }
 
@@ -383,8 +402,8 @@ object Scd1Merge {
   }
 
   private def withLock[T](tablePath: String)(body: String => T): T = {
-    val id = acquireLock(tablePath)
-    try body(id) finally releaseLock(tablePath, id)
+    val id = timed("lock") { acquireLock(tablePath) }
+    try body(id) finally timed("lock") { releaseLock(tablePath, id) }
   }
 
   // ---------------- read path ----------------
@@ -629,10 +648,10 @@ object Scd1Merge {
             // Initial create: empty dir (bar the lock).
             val nb = if (numBuckets > 0) numBuckets else DefaultNumBuckets
             val tmp = tablePath + ".tmp"
-            withBucket(source, keys, nb)
+            timed("create-write") { withBucket(source, keys, nb)
               .repartition(col(BucketCol))
-              .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
-            val newEntries = adoptBucketDirs(tablePath, tmp, _ => 0)
+              .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp) }
+            val newEntries = timed("adopt") { adoptBucketDirs(tablePath, tmp, _ => 0) }
             if (newEntries.isEmpty) {
               // empty initial source: create NOTHING — an empty-manifest
               // table has no schema to read; the table appears when data
@@ -662,61 +681,74 @@ object Scd1Merge {
     // sweep crash leftovers BEFORE writing new versions so a half-moved
     // dir from a previous failed commit can't collide with this one
     // (retained history stays — it's referenced by lagging readers)
-    sweepVersions(tablePath, manifest, retainVersions)
+    timed("sweep-pre") { sweepVersions(tablePath, manifest, retainVersions) }
+    // PERSIST the bucketed source for the life of the commit: its
+    // lineage (often a CSV scan + joins upstream of the pipeline) is
+    // otherwise evaluated THREE times — the probe job, the anti-join
+    // side and the union side of the merge write. Measured ~3× the
+    // per-commit Spark time on the sales replay. MEMORY_AND_DISK spills
+    // rather than OOMs on a huge batch; Delta's MERGE materializes its
+    // source for the same reason (plus a determinism guarantee we
+    // inherit: probe and write see the same rows even if the source
+    // lineage is non-deterministic).
     val bucketed = withBucket(source, keys, nb)
-    // ONE probe job covers both pre-checks: per-bucket (touched set for
-    // partition pruning) and per-key max multiplicity (the Q8
-    // multiple-match error, same semantics as requireUniqueSourceKeys).
-    val probe = bucketed
-      .groupBy(col(BucketCol) +: keys.map(col): _*).agg(count(lit(1)).as("__c"))
-      .groupBy(col(BucketCol)).agg(max(col("__c")).as("__maxc"))
-      .collect()
-    if (probe.exists(_.getLong(1) > 1))
-      throw new IllegalArgumentException(
-        s"SCD1 merge aborted: duplicate source rows for merge key ${keys.mkString(",")}")
-    val touched: Seq[Int] = probe.map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) return // empty batch: nothing to merge or rewrite
-    // the target is ONLY the touched buckets' live dirs — pruning by
-    // path, no filter needed (a bucket the batch doesn't touch is never
-    // read, never written)
-    val liveTouched = touched.flatMap(b => manifest.dirs.get(b))
-      .map(d => Paths.get(tablePath, d).toString)
-    val merged =
-      if (liveTouched.isEmpty) bucketed // all-new buckets: insert only
-      else {
-        val target = withBucket(
-          spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)
-        // dup check already done by the probe — plain anti-join + union
-        if (evolveSchema)
-          target.join(bucketed, keys, "left_anti")
-            .unionByName(bucketed, allowMissingColumns = true)
-        else
-          target.join(bucketed, keys, "left_anti")
-            .unionByName(bucketed.select(target.columns.toIndexedSeq.map(col): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE probe job covers both pre-checks: per-bucket (touched set
+      // for partition pruning) and per-key max multiplicity (the Q8
+      // multiple-match error, same semantics as requireUniqueSourceKeys).
+      val probe = timed("probe") { bucketed
+        .groupBy(col(BucketCol) +: keys.map(col): _*).agg(count(lit(1)).as("__c"))
+        .groupBy(col(BucketCol)).agg(max(col("__c")).as("__maxc"))
+        .collect() }
+      if (probe.exists(_.getLong(1) > 1))
+        throw new IllegalArgumentException(
+          s"SCD1 merge aborted: duplicate source rows for merge key ${keys.mkString(",")}")
+      val touched: Seq[Int] = probe.map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return // empty batch: nothing to merge or rewrite
+      // the target is ONLY the touched buckets' live dirs — pruning by
+      // path, no filter needed (a bucket the batch doesn't touch is
+      // never read, never written)
+      val liveTouched = touched.flatMap(b => manifest.dirs.get(b))
+        .map(d => Paths.get(tablePath, d).toString)
+      val merged =
+        if (liveTouched.isEmpty) bucketed // all-new buckets: insert only
+        else {
+          val target = withBucket(
+            spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)
+          // dup check already done by the probe — plain anti-join + union
+          if (evolveSchema)
+            target.join(bucketed, keys, "left_anti")
+              .unionByName(bucketed, allowMissingColumns = true)
+          else
+            target.join(bucketed, keys, "left_anti")
+              .unionByName(bucketed.select(target.columns.toIndexedSeq.map(col): _*))
+        }
+      val tmp = tablePath + ".tmp"
+      // repartition on the bucket column before the partitioned write:
+      // without it every shuffle partition spills a sliver into every
+      // bucket dir (partitions × buckets small files); with it each
+      // bucket's data is co-located and lands as ~one file.
+      timed("merge-write") { merged.repartition(col(BucketCol))
+        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp) }
+      touched.foreach { b =>
+        if (!Files.exists(Paths.get(tmp, s"$BucketCol=$b")))
+          // every touched bucket holds >=1 source row, so the merged
+          // write must produce its dir; a miss means the write went wrong.
+          throw new IllegalStateException(s"bucket dir missing from merge output: $tmp/$BucketCol=$b")
       }
-    val tmp = tablePath + ".tmp"
-    // repartition on the bucket column before the partitioned write:
-    // without it every shuffle partition spills a sliver into every
-    // bucket dir (partitions × buckets small files); with it each
-    // bucket's data is co-located and lands as ~one file.
-    merged.repartition(col(BucketCol))
-      .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
-    touched.foreach { b =>
-      if (!Files.exists(Paths.get(tmp, s"$BucketCol=$b")))
-        // every touched bucket holds >=1 source row, so the merged write
-        // must produce its dir; a miss means the write went wrong.
-        throw new IllegalStateException(s"bucket dir missing from merge output: $tmp/$BucketCol=$b")
-    }
-    val newVersions = adoptBucketDirs(tablePath, tmp,
-      b => nextVersion(tablePath, manifest, b))
-    failpoint("before-manifest")
-    refreshLease(tablePath, leaseId)
-    val committed = commitManifest(tablePath, Manifest(nb, manifest.dirs ++ newVersions))
-    failpoint("after-manifest")
-    // post-commit sweep: ONLY versions beyond the retention window (the
-    // just-replaced version stays for lagging readers) + the tmp dir
-    sweepVersions(tablePath, committed, retainVersions)
-    deleteRecursively(Paths.get(tmp))
+      val newVersions = timed("adopt") { adoptBucketDirs(tablePath, tmp,
+        b => nextVersion(tablePath, manifest, b)) }
+      failpoint("before-manifest")
+      refreshLease(tablePath, leaseId)
+      val committed = timed("manifest") {
+        commitManifest(tablePath, Manifest(nb, manifest.dirs ++ newVersions)) }
+      failpoint("after-manifest")
+      // post-commit sweep: ONLY versions beyond the retention window
+      // (the just-replaced version stays for lagging readers) + the tmp
+      timed("sweep-post") { sweepVersions(tablePath, committed, retainVersions) }
+      timed("tmp-del") { deleteRecursively(Paths.get(tmp)) }
+    } finally bucketed.unpersist(blocking = false)
   }
 
   /** Change a table's bucket count in place — the create-time sizing
