@@ -320,11 +320,17 @@ object Scd1Merge {
   }
 
   /** Reclaim retained history: keep `retain` historical versions per
-    * bucket (0 = live only) and drop pre-migration top-level leftovers.
-    * The age-out complement of the retention every commit leaves
-    * behind. Takes the writer lock — vacuuming under a live writer
-    * would re-create the reader/GC race retention exists to prevent. */
-  def vacuum(tablePath: String, retain: Int = 0): Unit =
+    * bucket and drop pre-migration top-level leftovers. The age-out
+    * complement of the retention every commit leaves behind. Takes the
+    * writer lock — vacuuming under a live writer would re-create the
+    * reader/GC race retention exists to prevent.
+    *
+    * DEFAULTS to [[DefaultRetainVersions]], matching the commit path:
+    * a routine `vacuum(path)` keeps the reader-isolation window the
+    * commits just paid for. Full reclaim (drop every snapshot, live
+    * only) is the EXPLICIT `retain = 0` — dropping isolation should
+    * never be the accident. */
+  def vacuum(tablePath: String, retain: Int = DefaultRetainVersions): Unit =
     readManifest(tablePath) match {
       case None => ()
       case Some(_) => withLock(tablePath) { _ =>
@@ -401,9 +407,39 @@ object Scd1Merge {
     Files.write(p, s"$id\t${System.currentTimeMillis() + lockLeaseMillis}".getBytes(UTF_8))
   }
 
+  /** Background lease heartbeat for the duration of the critical
+    * section: a daemon thread re-extends OUR lease every lease/3, so a
+    * commit longer than [[lockLeaseMillis]] (a multi-minute bucket
+    * write on a big cluster) never loses its lease while the writer is
+    * actually alive — without the heartbeat the whole write would be
+    * thrown away at the [[refreshLease]] abort, and the table thrashes
+    * under takeover churn. A DEAD writer stops heartbeating, its lease
+    * expires, and takeover proceeds exactly as before; if a takeover
+    * does happen during a stall (e.g. a GC pause longer than the
+    * lease), the heartbeat sees a foreign holder and STOPS WRITING —
+    * never clobbering the takeover writer's lock — and the final
+    * refreshLease check at the manifest swap aborts us safely. */
+  private def withHeartbeat[T](tablePath: String, id: String)(body: => T): T = {
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-lock-heartbeat"); t.setDaemon(true); t
+    })
+    val period = math.max(lockLeaseMillis / 3, 50L)
+    val p = Paths.get(tablePath, LockName)
+    exec.scheduleAtFixedRate(() => {
+      try {
+        val holder = try new String(Files.readAllBytes(p), UTF_8)
+          catch { case _: Exception => "" }
+        if (holder.startsWith(id + "\t"))
+          Files.write(p, s"$id\t${System.currentTimeMillis() + lockLeaseMillis}".getBytes(UTF_8))
+      } catch { case _: Exception => () }
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body finally exec.shutdownNow()
+  }
+
   private def withLock[T](tablePath: String)(body: String => T): T = {
     val id = timed("lock") { acquireLock(tablePath) }
-    try body(id) finally timed("lock") { releaseLock(tablePath, id) }
+    try withHeartbeat(tablePath, id) { body(id) }
+    finally timed("lock") { releaseLock(tablePath, id) }
   }
 
   // ---------------- read path ----------------
@@ -490,11 +526,15 @@ object Scd1Merge {
 
   /** CHANGE DATA FEED between two retained snapshots: every row whose
     * content changed from `fromCommitsBack` to `toCommitsBack` (0 =
-    * live), tagged `insert` / `update` / `delete` in a `_change_type`
-    * column (update/delete carry the NEW/OLD row respectively — the
-    * Delta CDF convention, minus update_preimage). The downstream
-    * primitive for incremental consumers: instead of re-scanning a
-    * 100 TB table to find what an upsert did, read the delta.
+    * live), tagged `insert` / `update` / `update_preimage` / `delete`
+    * in a `_change_type` column — the Delta CDF convention (`update`
+    * carries the new image, Delta's `update_postimage`;
+    * `update_preimage` the old image of the same key, which
+    * reversal-based consumers — e.g. incremental aggregates that
+    * subtract the old row and add the new — need; `delete` the old
+    * image of a vanished key). The downstream primitive for
+    * incremental consumers: instead of re-scanning a 100 TB table to
+    * find what an upsert did, read the delta.
     *
     * Scale: the two history manifests name each side's bucket dirs, so
     * only buckets whose live dir CHANGED between the snapshots are
@@ -549,12 +589,20 @@ object Scd1Merge {
     val newer = readSide(to).select(older.columns.toIndexedSeq.map(col): _*)
     val changedRows = newer.except(older) // inserted or updated (new image)
     val deletedRows = older.join(newer, keys, "left_anti") // old image, key gone
+    // updated keys = changed keys that existed before; their OLD image
+    // is the preimage leg — the older side is already in hand, so this
+    // is one more semi-join over the same pruned bucket reads
+    val updatedKeys = changedRows.select(keys.map(col): _*)
+      .join(older.select(keys.map(col): _*), keys, "left_semi").distinct()
+    val preimages = older.join(updatedKeys, keys, "left_semi")
+      .withColumn("_change_type", lit("update_preimage"))
     changedRows
       .join(older.select(keys.map(col): _*).distinct()
         .withColumn("__was", lit(1)), keys, "left")
       .withColumn("_change_type",
         when(col("__was").isNotNull, lit("update")).otherwise(lit("insert")))
       .drop("__was")
+      .unionByName(preimages)
       .unionByName(deletedRows.withColumn("_change_type", lit("delete")))
   }
 

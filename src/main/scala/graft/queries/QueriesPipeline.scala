@@ -164,8 +164,9 @@ object QueriesPipeline {
       // four commits — load ≤1000, update %7 keys, insert >1000, then
       // DELETE FROM WHERE %13 = 0 — and the judged artifact is the
       // union of every per-commit delta read via readChanges: commit
-      // 2's feed is exactly the updated rows (new image), commit 3's
-      // the inserts, commit 4's the deleted rows (OLD image).
+      // 2's feed is the updated rows as BOTH images (`update` = new,
+      // `update_preimage` = old — the Delta pre/postimage pair),
+      // commit 3's the inserts, commit 4's the deleted rows (OLD image).
       // Manifest-diff bucket pruning makes each read O(changed
       // buckets); the oracle re-derives all three deltas in plain SQL.
       val path = tmpDir("graft_cdf") + "/t"
@@ -286,6 +287,9 @@ object QueriesPipeline {
     "s19_change_feed" ->
       """SELECT 2::BIGINT AS commit, c_custkey,
          |       c_mktsegment || '+u' AS seg, 'update' AS _change_type
+         |FROM customer WHERE c_custkey <= 1000 AND c_custkey % 7 = 0
+         |UNION ALL
+         |SELECT 2::BIGINT, c_custkey, c_mktsegment, 'update_preimage'
          |FROM customer WHERE c_custkey <= 1000 AND c_custkey % 7 = 0
          |UNION ALL
          |SELECT 3::BIGINT, c_custkey, c_mktsegment, 'insert'

@@ -268,8 +268,9 @@ class Scd1MergeSpec extends SparkSpecBase {
       Seq("k"), retainVersions = 2)
     val feed = Scd1Merge.readChanges(spark, path, Seq("k"), fromCommitsBack = 1)
     assert(canon(feed.select("k", "v", "_change_type")) == Seq(
-      Seq("2", "b2", "update"),
-      Seq("4", "d", "insert")).sortBy(_.mkString("")))
+      Seq("2", "b", "update_preimage"), // OLD image of the updated key
+      Seq("2", "b2", "update"),         // new image (Delta postimage)
+      Seq("4", "d", "insert")))
     // manifest-diff pruning: the feed's scans touch ONLY the buckets
     // commit 2 rewrote (keys 2 and 4 → ≤2 buckets, ×2 sides), never
     // all 4 buckets' dirs on both sides
@@ -459,5 +460,50 @@ class Scd1MergeSpec extends SparkSpecBase {
     val manifestBefore = manifestEntries(path)
     assert(Scd1Merge.compact(spark, path) == 0)
     assert(manifestEntries(path) == manifestBefore)
+  }
+
+  test("heartbeat keeps a longer-than-the-lease commit alive; dead writers still expire") {
+    val path = Tmp.dir("scd1_hb") + "/t"
+    Scd1Merge.upsert(spark, path, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    val prevLease = Scd1Merge.lockLeaseMillis
+    Scd1Merge.lockLeaseMillis = 300 // far below the stalled commit below
+    // stall INSIDE the critical section for several lease lengths; a
+    // concurrent writer probing mid-stall must see a LIVE (heartbeat-
+    // extended) lease and fail loudly instead of taking over — without
+    // the heartbeat this exact interleave aborted the outer commit
+    var probed: Option[Throwable] = None
+    Scd1Merge.testHooks = Map("before-manifest" -> { () =>
+      Thread.sleep(1200)
+      probed = Some(intercept[IllegalStateException] {
+        Scd1Merge.upsert(spark, path, Seq((2L, "USURPER")).toDF("k", "v"), Seq("k"))
+      })
+    })
+    try Scd1Merge.upsert(spark, path, Seq((1L, "SLOW")).toDF("k", "v"), Seq("k"))
+    finally { Scd1Merge.testHooks = Map.empty; Scd1Merge.lockLeaseMillis = prevLease }
+    assert(probed.exists(_.getMessage.contains("locked by concurrent writer")),
+      s"mid-stall probe should have been locked out, got $probed")
+    assert(canon(Scd1Merge.readTable(spark, path)) ==
+      Seq(Seq("1", "SLOW"), Seq("2", "b")), "the slow commit must SUCCEED")
+    // a genuinely dead writer has no heartbeat: its stale lease is
+    // still taken over (the takeover path is untouched)
+    val lock = Paths.get(path, "_graft_lock")
+    Files.write(lock, s"dead-writer\t${System.currentTimeMillis() - 1000}".getBytes)
+    Scd1Merge.upsert(spark, path, Seq((3L, "c")).toDF("k", "v"), Seq("k"))
+    assert(Scd1Merge.readTable(spark, path).count() == 3)
+  }
+
+  test("vacuum() default keeps the reader-isolation window; retain=0 is the explicit opt-out") {
+    val path = Tmp.dir("scd1_vacdef") + "/t"
+    Scd1Merge.upsert(spark, path, Seq((1L, "v1")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    Scd1Merge.upsert(spark, path, Seq((1L, "v2")).toDF("k", "v"), Seq("k"))
+    // routine maintenance: the last snapshot must stay readable
+    Scd1Merge.vacuum(path)
+    assert(canon(Scd1Merge.readTableAt(spark, path, 1)) == Seq(Seq("1", "v1")),
+      "default vacuum must not drop the retained snapshot")
+    assert(canon(Scd1Merge.readTable(spark, path)) == Seq(Seq("1", "v2")))
+    // full reclaim is the explicit call
+    Scd1Merge.vacuum(path, retain = 0)
+    intercept[IllegalStateException] { Scd1Merge.readTableAt(spark, path, 1) }
+    assert(canon(Scd1Merge.readTable(spark, path)) == Seq(Seq("1", "v2")))
   }
 }
