@@ -130,13 +130,23 @@ object Scd1Merge {
   private val LegacyMetaName = "_graft_buckets"
   private val HistoryDir = "_graft_history"
 
+  /** Per-column min/max for one bucket version — the data-skipping
+    * unit (Delta records the same per file). Values are stored as
+    * strings; `typ` picks the comparison domain: 'l' integral (incl.
+    * date days / timestamp micros), 'd' floating, 's' UTF-8 string. */
+  private[graft] final case class ColStats(typ: Char, min: String, max: String)
+
   /** Live table state: commit number + bucket count + bucket → live dir
-    * (relative to the table path). Legacy pre-manifest dirs
-    * (`__bucket=N`) are valid entries — migration is just writing a
-    * manifest that names them. `commit` increments per manifest swap;
-    * pre-history manifests parse as commit 0. */
+    * (relative to the table path) + per-bucket column stats for the
+    * tracked columns (merge keys + any declared stats columns; absent
+    * for legacy/migrated buckets — readers treat missing stats as
+    * can-match). Legacy pre-manifest dirs (`__bucket=N`) are valid
+    * entries — migration is just writing a manifest that names them.
+    * `commit` increments per manifest swap; pre-history manifests
+    * parse as commit 0. */
   private final case class Manifest(numBuckets: Int, dirs: Map[Int, String],
-                                    commit: Int = 0)
+                                    commit: Int = 0,
+                                    stats: Map[Int, Map[String, ColStats]] = Map.empty)
 
   /** Injected-failure hook for the crash-consistency spec; "" in
     * production. Recognized points: "before-manifest" (bucket versions
@@ -166,17 +176,37 @@ object Scd1Merge {
     if (!Files.exists(p)) None else Some(parseManifest(p))
   }
 
+  // stats wire format (3rd tab field of a bucket entry):
+  //   col=<typ>:<urlenc(min)>:<urlenc(max)>;col2=...
+  // URL-encoding keeps arbitrary string values clear of the manifest's
+  // separators; absent field = no stats (pre-stats manifests parse).
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, UTF_8)
+  private def statsToField(m: Map[String, ColStats]): String =
+    m.toSeq.sortBy(_._1).map { case (c, st) =>
+      s"${enc(c)}=${st.typ}:${enc(st.min)}:${enc(st.max)}" }.mkString(";")
+  private def statsFromField(f: String): Map[String, ColStats] =
+    f.split(";").iterator.filter(_.nonEmpty).map { part =>
+      val Array(c, v) = part.split("=", 2)
+      val Array(t, mn, mx) = v.split(":", 3)
+      dec(c) -> ColStats(t.head, dec(mn), dec(mx))
+    }.toMap
+
   private def parseManifest(p: Path): Manifest = {
     val lines = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
     val (meta, entries) = lines.partition(l => !l.contains("\t"))
     val nb = meta.find(_.startsWith("nb=")).get.stripPrefix("nb=").toInt
     val commit = meta.find(_.startsWith("commit="))
       .map(_.stripPrefix("commit=").toInt).getOrElse(0)
-    val dirs = entries.map { l =>
-      val Array(b, d) = l.split("\t", 2)
-      b.toInt -> d
-    }.toMap
-    Manifest(nb, dirs, commit)
+    val parsed = entries.map { l =>
+      val fields = l.split("\t", 3)
+      val b = fields(0).toInt
+      (b, fields(1), if (fields.length > 2) statsFromField(fields(2)) else Map.empty[String, ColStats])
+    }
+    Manifest(nb, parsed.map(e => e._1 -> e._2).toMap, commit,
+      parsed.filter(_._3.nonEmpty).map(e => e._1 -> e._3).toMap)
   }
 
   /** THE commit point: write-to-tmp + fsync + atomic rename over the
