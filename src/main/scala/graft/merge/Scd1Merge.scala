@@ -1,7 +1,12 @@
 package graft.merge
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Not, Or}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType, StructType, TimestampType, Decimal}
+import org.apache.spark.unsafe.types.UTF8String
 import java.nio.ByteBuffer
 import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets.UTF_8
@@ -136,17 +141,21 @@ object Scd1Merge {
     * date days / timestamp micros), 'd' floating, 's' UTF-8 string. */
   private[graft] final case class ColStats(typ: Char, min: String, max: String)
 
-  /** Live table state: commit number + bucket count + bucket → live dir
-    * (relative to the table path) + per-bucket column stats for the
-    * tracked columns (merge keys + any declared stats columns; absent
-    * for legacy/migrated buckets — readers treat missing stats as
+  /** Live table state: commit number + bucket count + the merge-key
+    * column list the buckets are hashed on (recorded so readers can
+    * compute a key-equality predicate's bucket without trusting the
+    * caller; empty for legacy manifests) + bucket → live dir (relative
+    * to the table path) + per-bucket column stats for the tracked
+    * columns (merge keys + any declared stats columns; absent for
+    * legacy/migrated buckets — readers treat missing stats as
     * can-match). Legacy pre-manifest dirs (`__bucket=N`) are valid
     * entries — migration is just writing a manifest that names them.
     * `commit` increments per manifest swap; pre-history manifests
     * parse as commit 0. */
   private final case class Manifest(numBuckets: Int, dirs: Map[Int, String],
                                     commit: Int = 0,
-                                    stats: Map[Int, Map[String, ColStats]] = Map.empty)
+                                    stats: Map[Int, Map[String, ColStats]] = Map.empty,
+                                    keys: Seq[String] = Nil)
 
   /** Injected-failure hook for the crash-consistency spec; "" in
     * production. Recognized points: "before-manifest" (bucket versions
@@ -200,13 +209,16 @@ object Scd1Merge {
     val nb = meta.find(_.startsWith("nb=")).get.stripPrefix("nb=").toInt
     val commit = meta.find(_.startsWith("commit="))
       .map(_.stripPrefix("commit=").toInt).getOrElse(0)
+    val keys = meta.find(_.startsWith("keys="))
+      .map(_.stripPrefix("keys=").split(",").iterator.filter(_.nonEmpty).map(dec).toSeq)
+      .getOrElse(Nil)
     val parsed = entries.map { l =>
       val fields = l.split("\t", 3)
       val b = fields(0).toInt
       (b, fields(1), if (fields.length > 2) statsFromField(fields(2)) else Map.empty[String, ColStats])
     }
     Manifest(nb, parsed.map(e => e._1 -> e._2).toMap, commit,
-      parsed.filter(_._3.nonEmpty).map(e => e._1 -> e._3).toMap)
+      parsed.filter(_._3.nonEmpty).map(e => e._1 -> e._3).toMap, keys)
   }
 
   /** THE commit point: write-to-tmp + fsync + atomic rename over the
@@ -228,8 +240,15 @@ object Scd1Merge {
     * the history GC window would compute against commit 0. */
   private def commitManifest(tablePath: String, m: Manifest): Manifest = {
     val next = readManifest(tablePath).map(_.commit + 1).getOrElse(1)
-    val body = (s"nb=${m.numBuckets}" +: s"commit=$next" +:
-      m.dirs.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" }).mkString("\n")
+    val metaLines = Seq(s"nb=${m.numBuckets}", s"commit=$next") ++
+      (if (m.keys.nonEmpty) Seq(s"keys=${m.keys.map(enc).mkString(",")}") else Nil)
+    val body = (metaLines ++
+      m.dirs.toSeq.sortBy(_._1).map { case (b, d) =>
+        m.stats.get(b).filter(_.nonEmpty) match {
+          case Some(st) => s"$b\t$d\t${statsToField(st)}"
+          case None => s"$b\t$d"
+        }
+      }).mkString("\n")
     timed("m-history") {
       val hist = Paths.get(tablePath, HistoryDir)
       Files.createDirectories(hist)
@@ -257,6 +276,290 @@ object Scd1Merge {
       val ch = FileChannel.open(dir, StandardOpenOption.READ)
       try ch.force(true) finally ch.close()
     } catch { case _: Exception => () }
+
+  // ---------------- data-skipping stats (write + prune) ----------------
+
+  /** Column types stats are kept for; anything else is untracked
+    * (absent stats = can-match — pruning can only ever SKIP a bucket
+    * the stats PROVE holds no matching row, never a bucket it is
+    * unsure about). 'l' compares as exact integers (incl. date
+    * epoch-days and timestamp epoch-micros), 'd' as exact decimals,
+    * 's' as UTF-8 bytes — the same binary order Spark's UTF8String
+    * comparisons use, so string pruning agrees with filter results
+    * beyond the BMP. */
+  private def statsTyp(dt: DataType): Option[Char] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => Some('l')
+    case FloatType | DoubleType | _: DecimalType => Some('d')
+    case StringType => Some('s')
+    case _ => None
+  }
+
+  /** External (Row-facing) agg value → the stats wire string in the
+    * typ's comparison domain. */
+  private def statValue(dt: DataType, v: Any): String = (dt, v) match {
+    case (DateType, d: java.sql.Date) => d.toLocalDate.toEpochDay.toString
+    case (DateType, d: java.time.LocalDate) => d.toEpochDay.toString
+    case (TimestampType, t: java.sql.Timestamp) =>
+      val i = t.toInstant; (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case (TimestampType, t: java.time.Instant) =>
+      (t.getEpochSecond * 1000000L + t.getNano / 1000L).toString
+    case _ => v.toString // integral / float / java BigDecimal / string
+  }
+
+  /** One column-pruned agg over a just-written staging dir → per-bucket
+    * min/max for `cols` (all-null columns are skipped for that bucket).
+    * Runs BEFORE the bucket dirs are adopted, so it only ever sees the
+    * buckets this commit rewrites; parquet column pruning keeps the
+    * cost at O(tracked-column bytes of those buckets) — a small slice
+    * of the write that just happened. Delta computes the same per-file
+    * stats inline in its write tasks; a footer-metadata-only pass would
+    * be cheaper still but needs per-type parquet statistics decoding —
+    * this keeps the type handling in Catalyst. */
+  private def bucketStats(spark: SparkSession, stagingDir: String,
+                          cols: Seq[String]): Map[Int, Map[String, ColStats]] = try {
+    val df = spark.read.option("mergeSchema", "true").parquet(stagingDir)
+    val fields = df.schema.fields.toSeq
+      .filter(f => f.name != BucketCol && cols.exists(_.equalsIgnoreCase(f.name)))
+      .flatMap(f => statsTyp(f.dataType).map(t => (f.name, f.dataType, t)))
+    if (fields.isEmpty || !df.columns.contains(BucketCol)) Map.empty
+    else {
+      val aggs = fields.zipWithIndex.flatMap { case ((c, _, _), i) =>
+        Seq(min(col(c)).as(s"mn$i"), max(col(c)).as(s"mx$i")) }
+      val rows = df.groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*).collect()
+      rows.map { r =>
+        val st = fields.zipWithIndex.flatMap { case ((c, dt, t), i) =>
+          (Option(r.getAs[Any](s"mn$i")), Option(r.getAs[Any](s"mx$i"))) match {
+            case (Some(mn), Some(mx)) => Some(c -> ColStats(t, statValue(dt, mn), statValue(dt, mx)))
+            case _ => None
+          }
+        }.toMap
+        r.getAs[Int](BucketCol) -> st
+      }.filter(_._2.nonEmpty).toMap
+    }
+  } catch {
+    // stats are pure optimization: a failed computation (empty staging
+    // dir, exotic type) degrades to an uncommented manifest entry —
+    // absent stats = can-match — never a failed commit
+    case _: Exception => Map.empty
+  }
+
+  private def attrNameOf(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.name)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  /** Attribute name, looking through a VALUE-PRESERVING numeric
+    * widening cast (analysis wraps the narrower column when the
+    * literal is wider, e.g. `intCol > 20.5`). Only exact widenings
+    * are stripped: byte/short/int → long/double and float → double.
+    * long → double is NOT (at 2^53 magnitudes rounding could prune a
+    * bucket that holds a matching row). */
+  private def attrThroughCast(e: Expression): Option[String] = e match {
+    case c: Cast => (c.child.dataType, c.dataType) match {
+      case (ByteType | ShortType | IntegerType, LongType | DoubleType) => attrNameOf(c.child)
+      case (FloatType, DoubleType) => attrNameOf(c.child)
+      case _ => None
+    }
+    case _ => attrNameOf(e)
+  }
+
+  /** Resolve + optimize `predicate` against a (one-bucket) frame of
+    * the table's schema to get a TYPED catalyst condition — coercion
+    * applied, literal-side casts constant-folded. The Column DSL's own
+    * tree is unresolved ColumnNodes in Spark 4 and deliberately not
+    * matched by the pruning rules. None = unextractable (e.g. the
+    * optimizer proved the filter constant) → callers skip pruning. */
+  private[graft] def resolvedPredicate(df: DataFrame, predicate: Column): Option[Expression] =
+    try df.filter(predicate).queryExecution.optimizedPlan.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    } catch { case _: Exception => None }
+
+  private def litBig(l: Literal): Option[java.math.BigDecimal] = l.value match {
+    case b: Byte => Some(java.math.BigDecimal.valueOf(b.toLong))
+    case s: Short => Some(java.math.BigDecimal.valueOf(s.toLong))
+    case i: Int => Some(java.math.BigDecimal.valueOf(i.toLong))
+    case lo: Long => Some(java.math.BigDecimal.valueOf(lo))
+    case f: Float => Some(new java.math.BigDecimal(f.toString))
+    case d: Double => Some(new java.math.BigDecimal(d.toString))
+    case d: Decimal => Some(d.toJavaBigDecimal)
+    case _ => None
+  }
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** (compare(min, v), compare(max, v)) in the stats' domain, or None
+    * when the literal isn't comparable there (type mismatch, null). */
+  private def statBounds(st: ColStats, l: Literal): Option[(Int, Int)] =
+    if (l.value == null) None
+    else st.typ match {
+      case 'l' | 'd' => litBig(l).map { v =>
+        (new java.math.BigDecimal(st.min).compareTo(v),
+         new java.math.BigDecimal(st.max).compareTo(v))
+      }
+      case 's' => l.value match {
+        case u: UTF8String =>
+          val v = u.getBytes
+          Some((cmpBytes(st.min.getBytes(UTF_8), v), cmpBytes(st.max.getBytes(UTF_8), v)))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def statTest(stats: Map[String, ColStats], a: Expression, l: Literal,
+                       op: String): Boolean =
+    (for {
+      name <- attrThroughCast(a)
+      st <- stats.find(_._1.equalsIgnoreCase(name)).map(_._2)
+      bounds <- statBounds(st, l)
+    } yield {
+      val (cmpMin, cmpMax) = bounds
+      op match {
+        case "eq" => cmpMin <= 0 && cmpMax >= 0  // min <= v <= max
+        case "ne" => !(cmpMin == 0 && cmpMax == 0) // only all-v buckets can't hold a != v row
+        case "lt" => cmpMin < 0                  // a row < v exists iff min < v
+        case "le" => cmpMin <= 0
+        case "gt" => cmpMax > 0
+        case "ge" => cmpMax >= 0
+      }
+    }).getOrElse(true)
+
+  /** Can a bucket with these stats hold a row matching `e`?
+    * Recognized shapes: And/Or, the six comparisons and IN between a
+    * bare column and literals (either side), Not(=). Anything else —
+    * arithmetic over the column, UDFs, IsNull (stats cover non-null
+    * values only) — is conservatively can-match. NULL comparisons
+    * match nothing in SQL, so a null literal is simply unprunable
+    * here, never wrong. */
+  private[graft] def canMatch(stats: Map[String, ColStats], e: Expression): Boolean = e match {
+    case And(l, r) => canMatch(stats, l) && canMatch(stats, r)
+    case Or(l, r) => canMatch(stats, l) || canMatch(stats, r)
+    case EqualTo(a, l: Literal) => statTest(stats, a, l, "eq")
+    case EqualTo(l: Literal, a) => statTest(stats, a, l, "eq")
+    case EqualNullSafe(a, l: Literal) if l.value != null => statTest(stats, a, l, "eq")
+    case EqualNullSafe(l: Literal, a) if l.value != null => statTest(stats, a, l, "eq")
+    case LessThan(a, l: Literal) => statTest(stats, a, l, "lt")
+    case LessThan(l: Literal, a) => statTest(stats, a, l, "gt")
+    case LessThanOrEqual(a, l: Literal) => statTest(stats, a, l, "le")
+    case LessThanOrEqual(l: Literal, a) => statTest(stats, a, l, "ge")
+    case GreaterThan(a, l: Literal) => statTest(stats, a, l, "gt")
+    case GreaterThan(l: Literal, a) => statTest(stats, a, l, "lt")
+    case GreaterThanOrEqual(a, l: Literal) => statTest(stats, a, l, "ge")
+    case GreaterThanOrEqual(l: Literal, a) => statTest(stats, a, l, "le")
+    case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => statTest(stats, a, v.asInstanceOf[Literal], "eq"))
+    case InSet(a, hset) => // the optimizer's large-IN form; values are internal
+      try hset.exists(v => statTest(stats, a, Literal(v, a.dataType), "eq"))
+      catch { case _: Exception => true }
+    case Not(EqualTo(a, l: Literal)) => statTest(stats, a, l, "ne")
+    case Not(EqualTo(l: Literal, a)) => statTest(stats, a, l, "ne")
+    case _ => true
+  }
+
+  /** Literal-type → column-type casts where pruning by the cast value
+    * is sound (see [[equalityBucket]]): identical types, numeric ↔
+    * numeric (an overflowing / truncating cast can only arise when no
+    * stored value equals the literal, so the computed bucket may be
+    * "wrong" only for predicates that match nothing — the pruned read
+    * still returns the correct empty result), and the string → date /
+    * timestamp coercion Spark itself applies in comparisons. */
+  private def castSafe(lt: DataType, ct: DataType): Boolean =
+    lt == ct ||
+    (lt.isInstanceOf[NumericType] && ct.isInstanceOf[NumericType]) ||
+    (lt == StringType && (ct == DateType || ct == TimestampType))
+
+  /** EXACT bucket pruning for key-equality predicates: if the
+    * top-level conjuncts pin EVERY merge key to a literal, the only
+    * bucket that can hold a matching row is pmod(hash(keys...), nb) —
+    * computed by evaluating the SAME hash expression the writer uses
+    * (literals cast to the table's column types) over a one-row frame.
+    * This is the pruning lever min/max stats cannot provide in a
+    * hash-bucketed layout: the hash scatters the key domain, so every
+    * bucket's key range spans the table — but the hash itself pins a
+    * point lookup to ONE bucket at any scale. */
+  private def equalityBucket(spark: SparkSession, pred: Expression, m: Manifest,
+                             schema: StructType): Option[Int] = {
+    if (m.keys.isEmpty) return None
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val eqs: Map[String, Literal] = conjuncts(pred).flatMap {
+      case EqualTo(a, l: Literal) => attrThroughCast(a).map(_.toLowerCase -> l)
+      case EqualTo(l: Literal, a) => attrThroughCast(a).map(_.toLowerCase -> l)
+      case _ => None
+    }.toMap
+    try {
+      val lits = m.keys.map { k =>
+        for {
+          l <- eqs.get(k.toLowerCase)
+          if l.value != null
+          f <- schema.fields.find(_.name.equalsIgnoreCase(k))
+          if castSafe(l.dataType, f.dataType)
+          v = CatalystTypeConverters.createToScalaConverter(l.dataType)(l.value)
+          if v != null
+        } yield lit(v).cast(f.dataType)
+      }
+      if (lits.exists(_.isEmpty)) None
+      else {
+        val row = spark.range(1)
+          .select(pmod(hash(lits.map(_.get): _*), lit(m.numBuckets)).as("b"))
+          .head()
+        if (row.isNullAt(0)) None else Some(row.getInt(0))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Diagnostic breadcrumb from the last prune decision on this JVM
+    * (readTableWhere or delete): (buckets read, live buckets total).
+    * Spec- and ops-facing; no correctness path consults it. */
+  @volatile private[graft] var lastPrune: (Int, Int) = (-1, -1)
+
+  /** Filtered read with DATA SKIPPING: resolve the manifest, drop every
+    * bucket the predicate provably cannot match — key-equality hash
+    * pruning plus per-bucket min/max stats — then read only the
+    * survivors with the predicate applied as a normal row-level filter
+    * (parquet row-group stats keep pruning below the bucket level). At
+    * 100 TB this turns a selective read into a metadata decision plus a
+    * few bucket scans instead of a full table scan — Delta data
+    * skipping re-expressed over the manifest. Falls back to a plain
+    * filtered [[readTable]] on legacy layouts (no manifest = no
+    * stats). */
+  def readTableWhere(spark: SparkSession, tablePath: String,
+                     predicate: Column): DataFrame =
+    readManifest(tablePath) match {
+      case Some(m) if m.dirs.nonEmpty =>
+        // one footer read gives the schema the predicate resolves
+        // against and the column types the hash cast needs; a
+        // post-evolution column missing here just skips pruning
+        val anyDir = Paths.get(tablePath, m.dirs.toSeq.minBy(_._1)._2).toString
+        val probeDf = spark.read.parquet(anyDir)
+        val cands = resolvedPredicate(probeDf, predicate) match {
+          case None => m.dirs.keys.toSeq.sorted // unextractable: no pruning
+          case Some(pred) =>
+            val hb = equalityBucket(spark, pred, m, probeDf.schema)
+            m.dirs.keys.toSeq.sorted.filter { b =>
+              hb.forall(_ == b) && canMatch(m.stats.getOrElse(b, Map.empty), pred)
+            }
+        }
+        lastPrune = (cands.size, m.dirs.size)
+        val df =
+          if (cands.isEmpty) spark.read.parquet(anyDir).limit(0)
+          else spark.read.option("mergeSchema", "true")
+            .parquet(cands.map(b => Paths.get(tablePath, m.dirs(b)).toString): _*)
+        val clean = if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+        clean.filter(predicate)
+      case _ => readTable(spark, tablePath).filter(predicate)
+    }
 
   /** Version of a live dir; legacy `__bucket=N` entries version as -1 so
     * their first rewrite lands at `data/bN_v0`. */
@@ -389,19 +692,31 @@ object Scd1Merge {
         return id
       } catch {
         case _: FileAlreadyExistsException =>
-          val (holder, expiry) =
+          // lease writes are atomic renames, so an unreadable lock is
+          // either pre-atomic-format residue or the file vanishing
+          // between exists and read — retry briefly before concluding
+          // anything, never map a transient read to "expired" (that
+          // mapping would let a second writer take over a LIVE lease)
+          def readLease(): Option[(String, Long)] =
             try {
               val Array(h, e) = new String(Files.readAllBytes(p), UTF_8).trim.split("\t", 2)
-              (h, e.toLong)
-            } catch { case _: Exception => ("<unreadable>", 0L) }
-          if (System.currentTimeMillis() > expiry) {
-            takeovers += 1
-            Files.deleteIfExists(p) // stale lease: take over and retry
-          } else
-            throw new IllegalStateException(
-              s"table $tablePath is locked by concurrent writer $holder " +
-              s"(lease expires ${java.time.Instant.ofEpochMilli(expiry)}); " +
-              "one writer per table — retry after it commits or its lease expires")
+              Some((h, e.toLong))
+            } catch { case _: Exception => None }
+          val lease = readLease().orElse { Thread.sleep(50); readLease() }
+            .orElse { Thread.sleep(200); readLease() }
+          lease match {
+            case Some((holder, expiry)) if System.currentTimeMillis() <= expiry =>
+              throw new IllegalStateException(
+                s"table $tablePath is locked by concurrent writer $holder " +
+                s"(lease expires ${java.time.Instant.ofEpochMilli(expiry)}); " +
+                "one writer per table — retry after it commits or its lease expires")
+            case Some(_) => // stale lease: take over and retry
+              takeovers += 1
+              Files.deleteIfExists(p)
+            case None => // persistently unreadable (or deleted mid-read): retry the create
+              takeovers += 1
+              Files.deleteIfExists(p)
+          }
       }
     }
     throw new IllegalStateException(s"could not acquire writer lock for $tablePath")
@@ -425,6 +740,18 @@ object Scd1Merge {
     * commit wins. Shrinks the lease-overrun corruption window from
     * "length of the bucket write" to the ms between this check and the
     * rename. */
+  /** Atomic lease write: tmp + ATOMIC_MOVE, so a concurrent
+    * acquireLock can never observe a half-written (empty) lock file
+    * and misread a LIVE lease as expired (the pre-atomic truncate-
+    * then-write had exactly that window, widened by the periodic
+    * heartbeat). Tmp name carries the holder id — two processes'
+    * lease writes must not stomp each other's tmp. */
+  private def writeLease(p: Path, id: String): Unit = {
+    val tmp = p.resolveSibling(s"$LockName.$id.tmp")
+    Files.write(tmp, s"$id\t${System.currentTimeMillis() + lockLeaseMillis}".getBytes(UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def refreshLease(tablePath: String, id: String): Unit = {
     val p = Paths.get(tablePath, LockName)
     val holder = try new String(Files.readAllBytes(p), UTF_8)
@@ -434,7 +761,7 @@ object Scd1Merge {
         s"writer lease for $tablePath was lost mid-commit (expired and taken " +
         "over?) — aborting WITHOUT swapping the manifest; raise lockLeaseMillis " +
         "above the longest commit")
-    Files.write(p, s"$id\t${System.currentTimeMillis() + lockLeaseMillis}".getBytes(UTF_8))
+    writeLease(p, id)
   }
 
   /** Background lease heartbeat for the duration of the critical
@@ -444,26 +771,47 @@ object Scd1Merge {
     * actually alive — without the heartbeat the whole write would be
     * thrown away at the [[refreshLease]] abort, and the table thrashes
     * under takeover churn. A DEAD writer stops heartbeating, its lease
-    * expires, and takeover proceeds exactly as before; if a takeover
-    * does happen during a stall (e.g. a GC pause longer than the
-    * lease), the heartbeat sees a foreign holder and STOPS WRITING —
-    * never clobbering the takeover writer's lock — and the final
-    * refreshLease check at the manifest swap aborts us safely. */
-  private def withHeartbeat[T](tablePath: String, id: String)(body: => T): T = {
-    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+    * expires, and takeover proceeds exactly as before. If a takeover
+    * happens during a stall (e.g. a GC pause longer than the lease),
+    * the heartbeat's holder check is BEST-EFFORT — the check and the
+    * extending write are not atomic, so a takeover landing exactly
+    * between them can be overwritten; the actual safety net is the
+    * final [[refreshLease]] check at the manifest swap, which aborts
+    * this writer before the manifest is touched.
+    *
+    * Shutdown is race-free w.r.t. [[releaseLock]]: the stop flag is
+    * flipped under the same monitor the heartbeat writes under, so
+    * once the flip lands no further lease write can occur — an
+    * in-flight write either completed before the flip (and is then
+    * released normally) or sees the flag and skips. All tables share
+    * ONE daemon scheduler (per-commit executor churn was measurable
+    * on commit-heavy pipelines). */
+  private lazy val heartbeatExec: java.util.concurrent.ScheduledThreadPoolExecutor = {
+    val e = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
       val t = new Thread(r, "graft-lock-heartbeat"); t.setDaemon(true); t
     })
+    e.setRemoveOnCancelPolicy(true)
+    e
+  }
+
+  private def withHeartbeat[T](tablePath: String, id: String)(body: => T): T = {
     val period = math.max(lockLeaseMillis / 3, 50L)
     val p = Paths.get(tablePath, LockName)
-    exec.scheduleAtFixedRate(() => {
-      try {
-        val holder = try new String(Files.readAllBytes(p), UTF_8)
-          catch { case _: Exception => "" }
-        if (holder.startsWith(id + "\t"))
-          Files.write(p, s"$id\t${System.currentTimeMillis() + lockLeaseMillis}".getBytes(UTF_8))
+    val gate = new Object
+    @volatile var stopped = false
+    val task = heartbeatExec.scheduleAtFixedRate(() => {
+      try gate.synchronized {
+        if (!stopped) {
+          val holder = try new String(Files.readAllBytes(p), UTF_8)
+            catch { case _: Exception => "" }
+          if (holder.startsWith(id + "\t")) writeLease(p, id)
+        }
       } catch { case _: Exception => () }
     }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
-    try body finally exec.shutdownNow()
+    try body finally {
+      gate.synchronized { stopped = true } // waits out any in-flight write
+      task.cancel(false)
+    }
   }
 
   private def withLock[T](tablePath: String)(body: String => T): T = {
@@ -667,10 +1015,20 @@ object Scd1Merge {
     *        bug, and the strict path fails loudly.
     * @param retainVersions historical bucket versions kept for lagging
     *        readers (see the object Scaladoc).
+    * @param statsColumns extra columns (beyond the merge keys, always
+    *        tracked) to record per-bucket min/max for in the manifest —
+    *        the data-skipping dial ([[readTableWhere]] and the
+    *        [[delete]] probe prune on them). Declare the columns
+    *        selective reads filter on (e.g. the fact's date column).
+    *        Only the buckets THIS commit rewrites gain the new
+    *        column's stats (absent stats = can-match, so mixed
+    *        manifests stay correct); a [[rebucket]] or full rewrite
+    *        backfills.
     */
   def upsert(spark: SparkSession, tablePath: String, source: DataFrame, keys: Seq[String],
              numBuckets: Int = 0, evolveSchema: Boolean = false,
-             retainVersions: Int = DefaultRetainVersions): Unit = {
+             retainVersions: Int = DefaultRetainVersions,
+             statsColumns: Seq[String] = Nil): Unit = {
     val dir = Paths.get(tablePath)
     Files.createDirectories(dir)
     withLock(tablePath) { leaseId =>
@@ -685,13 +1043,14 @@ object Scd1Merge {
       }
       readManifest(tablePath) match {
         case Some(m) => upsertCommitted(spark, tablePath, source, keys,
-          numBuckets, evolveSchema, retainVersions, m, leaseId)
+          numBuckets, evolveSchema, retainVersions, statsColumns, m, leaseId)
         case None =>
           val entries = listNonInternal(tablePath)
           if (entries.exists(_.getFileName.toString.startsWith(s"$BucketCol="))) {
             // Legacy partitioned layout: migration is ONE atomic file
             // write — a manifest whose entries point at the existing
-            // __bucket=N dirs.
+            // __bucket=N dirs (hashed on the caller's keys, which the
+            // manifest now records; no stats until buckets rewrite).
             val legacyMeta = Paths.get(tablePath, LegacyMetaName)
             val nb =
               if (Files.exists(legacyMeta))
@@ -703,9 +1062,9 @@ object Scd1Merge {
                 val name = d.getFileName.toString
                 name.stripPrefix(s"$BucketCol=").toInt -> name
               }.toMap
-            val m = commitManifest(tablePath, Manifest(nb, bucketEntries))
+            val m = commitManifest(tablePath, Manifest(nb, bucketEntries, keys = keys))
             upsertCommitted(spark, tablePath, source, keys,
-              numBuckets, evolveSchema, retainVersions, m, leaseId)
+              numBuckets, evolveSchema, retainVersions, statsColumns, m, leaseId)
           } else if (entries.nonEmpty) {
             // Legacy flat (pre-bucketing) layout: full merge-and-rewrite
             // into the bucketed layout. Readers see the flat table until
@@ -717,10 +1076,11 @@ object Scd1Merge {
             withBucket(merged, keys, nb)
               .repartition(col(BucketCol))
               .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+            val stats = timed("stats") { bucketStats(spark, tmp, keys ++ statsColumns) }
             val newEntries = adoptBucketDirs(tablePath, tmp, _ => 0)
             failpoint("before-manifest")
             refreshLease(tablePath, leaseId)
-            commitManifest(tablePath, Manifest(nb, newEntries))
+            commitManifest(tablePath, Manifest(nb, newEntries, stats = stats, keys = keys))
             deleteRecursively(Paths.get(tmp))
           } else {
             // Initial create: empty dir (bar the lock).
@@ -729,6 +1089,7 @@ object Scd1Merge {
             timed("create-write") { withBucket(source, keys, nb)
               .repartition(col(BucketCol))
               .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp) }
+            val stats = timed("stats") { bucketStats(spark, tmp, keys ++ statsColumns) }
             val newEntries = timed("adopt") { adoptBucketDirs(tablePath, tmp, _ => 0) }
             if (newEntries.isEmpty) {
               // empty initial source: create NOTHING — an empty-manifest
@@ -739,7 +1100,7 @@ object Scd1Merge {
             } else {
               failpoint("before-manifest")
               refreshLease(tablePath, leaseId)
-              commitManifest(tablePath, Manifest(nb, newEntries))
+              commitManifest(tablePath, Manifest(nb, newEntries, stats = stats, keys = keys))
               deleteRecursively(Paths.get(tmp))
             }
           }
@@ -747,15 +1108,30 @@ object Scd1Merge {
     }
   }
 
+  /** Caller keys must match the keys the table's buckets are hashed on
+    * (recorded in the manifest since the stats format landed): merging
+    * on different keys would route rows to the wrong buckets and
+    * silently duplicate. Legacy manifests (no keys line) adopt the
+    * caller's keys on their next commit. Order-sensitive — the bucket
+    * hash is. */
+  private def requireSameKeys(tablePath: String, manifest: Manifest, keys: Seq[String]): Unit =
+    if (manifest.keys.nonEmpty &&
+        manifest.keys.map(_.toLowerCase) != keys.map(_.toLowerCase))
+      throw new IllegalArgumentException(
+        s"table $tablePath is bucketed on keys (${manifest.keys.mkString(",")}); " +
+        s"got (${keys.mkString(",")}) — merge keys are fixed at create time " +
+        "(a rebucket with the new keys is the migration path)")
+
   /** The established-table merge path (manifest in hand, lock held). */
   private def upsertCommitted(spark: SparkSession, tablePath: String, source: DataFrame,
       keys: Seq[String], numBuckets: Int, evolveSchema: Boolean, retainVersions: Int,
-      manifest: Manifest, leaseId: String): Unit = {
+      statsColumns: Seq[String], manifest: Manifest, leaseId: String): Unit = {
     val nb = manifest.numBuckets
     if (numBuckets > 0 && numBuckets != nb)
       throw new IllegalArgumentException(
         s"table $tablePath is laid out with $nb buckets; an upsert cannot change " +
         s"that — run Scd1Merge.rebucket(..., $numBuckets) first (a full-rewrite commit)")
+    requireSameKeys(tablePath, manifest, keys)
     // sweep crash leftovers BEFORE writing new versions so a half-moved
     // dir from a previous failed commit can't collide with this one
     // (retained history stays — it's referenced by lagging readers)
@@ -815,12 +1191,17 @@ object Scd1Merge {
           // write must produce its dir; a miss means the write went wrong.
           throw new IllegalStateException(s"bucket dir missing from merge output: $tmp/$BucketCol=$b")
       }
+      // fresh stats for the rewritten buckets; untouched buckets keep
+      // theirs, touched buckets NEVER keep stale ones (a stale range on
+      // a new version could wrongly prune)
+      val newStats = timed("stats") { bucketStats(spark, tmp, keys ++ statsColumns) }
       val newVersions = timed("adopt") { adoptBucketDirs(tablePath, tmp,
         b => nextVersion(tablePath, manifest, b)) }
       failpoint("before-manifest")
       refreshLease(tablePath, leaseId)
       val committed = timed("manifest") {
-        commitManifest(tablePath, Manifest(nb, manifest.dirs ++ newVersions)) }
+        commitManifest(tablePath, Manifest(nb, manifest.dirs ++ newVersions,
+          stats = manifest.stats -- touched ++ newStats, keys = keys)) }
       failpoint("after-manifest")
       // post-commit sweep: ONLY versions beyond the retention window
       // (the just-replaced version stays for lagging readers) + the tmp
@@ -855,6 +1236,11 @@ object Scd1Merge {
         withBucket(full, keys, newNumBuckets)
           .repartition(col(BucketCol))
           .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+        // full rewrite = full stats refresh: every previously-tracked
+        // column (plus the keys) is re-ranged under the new bucketing —
+        // a rebucket BACKFILLS stats declared after a bucket last wrote
+        val tracked = (keys ++ manifest.stats.values.flatMap(_.keySet)).distinct
+        val stats = bucketStats(spark, tmp, tracked)
         // version continuity per NEW bucket id: nextVersion consults the
         // old manifest AND the retained dirs on disk, so re-used ids
         // can't collide with history
@@ -862,7 +1248,8 @@ object Scd1Merge {
           b => nextVersion(tablePath, manifest, b))
         failpoint("before-manifest")
         refreshLease(tablePath, leaseId)
-        val committed = commitManifest(tablePath, Manifest(newNumBuckets, newVersions))
+        val committed = commitManifest(tablePath,
+          Manifest(newNumBuckets, newVersions, stats = stats, keys = keys))
         failpoint("after-manifest")
         sweepVersions(tablePath, committed, retainVersions)
         deleteRecursively(Paths.get(tmp))
@@ -891,34 +1278,66 @@ object Scd1Merge {
     withLock(tablePath) { leaseId =>
       val manifest = readManifest(tablePath).get
       val nb = manifest.numBuckets
+      requireSameKeys(tablePath, manifest, keys)
       sweepVersions(tablePath, manifest, retainVersions)
-      val tagged = withBucket(readTable(spark, tablePath), keys, nb)
-      val probe = tagged.filter(predicate)
-        .groupBy(col(BucketCol)).agg(count(lit(1)).as("__n"))
-        .collect()
-      if (probe.isEmpty) 0L
+      // DATA SKIPPING on the probe: only buckets the predicate can
+      // match are scanned at all — a key-equality delete probes ONE
+      // bucket (hash pruning), a range delete on a tracked stats
+      // column probes only buckets whose [min,max] overlaps. The
+      // general-predicate fallback is the old full probe.
+      val candB = if (manifest.dirs.isEmpty) Nil else {
+        val anyDir = Paths.get(tablePath, manifest.dirs.toSeq.minBy(_._1)._2).toString
+        val probeDf = spark.read.parquet(anyDir)
+        resolvedPredicate(probeDf, predicate) match {
+          case None => manifest.dirs.keys.toSeq.sorted // unextractable: no pruning
+          case Some(pred) =>
+            val hb = equalityBucket(spark, pred, manifest.copy(keys = keys), probeDf.schema)
+            manifest.dirs.keys.toSeq.sorted.filter { b =>
+              hb.forall(_ == b) && canMatch(manifest.stats.getOrElse(b, Map.empty), pred)
+            }
+        }
+      }
+      lastPrune = (candB.size, manifest.dirs.size)
+      if (candB.isEmpty) 0L
       else {
-        val touched = probe.map(_.getInt(0)).toSeq.sorted
-        val nDeleted = probe.map(_.getLong(1)).sum
-        val liveTouched = touched.flatMap(b => manifest.dirs.get(b))
+        val candDirs = candB.flatMap(b => manifest.dirs.get(b))
           .map(d => Paths.get(tablePath, d).toString)
-        val kept = withBucket(
-            spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)
-          .filter(!coalesce(predicate, lit(false)))
-        val tmp = tablePath + ".tmp"
-        kept.repartition(col(BucketCol))
-          .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
-        val newVersions = adoptBucketDirs(tablePath, tmp,
-          b => nextVersion(tablePath, manifest, b))
-        val emptied = touched.filterNot(newVersions.contains)
-        failpoint("before-manifest")
-        refreshLease(tablePath, leaseId)
-        val committed = commitManifest(tablePath,
-          Manifest(nb, manifest.dirs -- emptied ++ newVersions))
-        failpoint("after-manifest")
-        sweepVersions(tablePath, committed, retainVersions)
-        deleteRecursively(Paths.get(tmp))
-        nDeleted
+        val candRead = spark.read.option("mergeSchema", "true").parquet(candDirs: _*)
+        val tagged = withBucket(
+          if (candRead.columns.contains(BucketCol)) candRead.drop(BucketCol) else candRead,
+          keys, nb)
+        val probe = tagged.filter(predicate)
+          .groupBy(col(BucketCol)).agg(count(lit(1)).as("__n"))
+          .collect()
+        if (probe.isEmpty) 0L
+        else {
+          val touched = probe.map(_.getInt(0)).toSeq.sorted
+          val nDeleted = probe.map(_.getLong(1)).sum
+          val liveTouched = touched.flatMap(b => manifest.dirs.get(b))
+            .map(d => Paths.get(tablePath, d).toString)
+          val kept = withBucket(
+              spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)
+            .filter(!coalesce(predicate, lit(false)))
+          val tmp = tablePath + ".tmp"
+          kept.repartition(col(BucketCol))
+            .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+          // kept rows shrink ranges; recompute over whatever the table
+          // was already tracking so pruning stays tight after deletes
+          val tracked = (keys ++ manifest.stats.values.flatMap(_.keySet)).distinct
+          val newStats = bucketStats(spark, tmp, tracked)
+          val newVersions = adoptBucketDirs(tablePath, tmp,
+            b => nextVersion(tablePath, manifest, b))
+          val emptied = touched.filterNot(newVersions.contains)
+          failpoint("before-manifest")
+          refreshLease(tablePath, leaseId)
+          val committed = commitManifest(tablePath,
+            Manifest(nb, manifest.dirs -- emptied ++ newVersions,
+              stats = manifest.stats -- touched ++ newStats, keys = keys))
+          failpoint("after-manifest")
+          sweepVersions(tablePath, committed, retainVersions)
+          deleteRecursively(Paths.get(tmp))
+          nDeleted
+        }
       }
     }
   }
@@ -964,8 +1383,10 @@ object Scd1Merge {
         b => versionOf(manifest.dirs(b)) + 1)
       failpoint("before-manifest")
       refreshLease(tablePath, leaseId)
+      // compaction is content-identical: stats and keys carry through
       val committed = commitManifest(tablePath,
-        Manifest(manifest.numBuckets, manifest.dirs ++ newVersions))
+        Manifest(manifest.numBuckets, manifest.dirs ++ newVersions,
+          stats = manifest.stats, keys = manifest.keys))
       failpoint("after-manifest")
       sweepVersions(tablePath, committed, retainVersions)
       deleteRecursively(Paths.get(tmp))

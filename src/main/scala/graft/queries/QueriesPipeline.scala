@@ -209,6 +209,33 @@ object QueriesPipeline {
         .orderBy(col("c_custkey"))
     }),
 
+    "s21_data_skipping" -> ((s, dir) => {
+      // DATA SKIPPING, judged (Delta file-skipping parity over the
+      // manifest, gold_dim_branch.py:177-184's reliance re-expressed):
+      // orders keyed on o_orderkey with o_orderdate + o_totalprice as
+      // declared stats columns; the judged result is a key-equality
+      // read (hash-pruned to ONE bucket) unioned with a date-range +
+      // price read (min/max-pruned) through readTableWhere. Pruning is
+      // metadata-only — the result must be exactly what a plain filter
+      // over the full table returns, which is what the oracle derives.
+      val path = tmpDir("graft_skip") + "/orders"
+      val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      Scd1Merge.upsert(s, path, o, Seq("o_orderkey"), numBuckets = 16,
+        statsColumns = Seq("o_orderdate", "o_totalprice"))
+      def utcTs(iso: String) = java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse(iso).toInstant(java.time.ZoneOffset.UTC))
+      val eq = Scd1Merge.readTableWhere(s, path, col("o_orderkey") === 7L)
+      val rng = Scd1Merge.readTableWhere(s, path,
+        col("o_orderdate") >= lit(utcTs("1995-01-01T00:00:00")) &&
+        col("o_orderdate") < lit(utcTs("1995-02-01T00:00:00")) &&
+        col("o_totalprice") > lit(200000.0))
+      eq.unionByName(rng)
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "pipe3_fact_build" -> ((s, dir) => {
       // Fact FK resolution (gold_fact.py:34-38): dims built with
       // deterministic surrogate keys, then broadcast-joined into the
@@ -304,6 +331,16 @@ object QueriesPipeline {
     "s20_rebucket" ->
       """SELECT c_custkey, c_mktsegment AS seg FROM customer
          |ORDER BY c_custkey""".stripMargin,
+    "s21_data_skipping" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+         |FROM orders WHERE o_orderkey = 7
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+         |  AND o_totalprice > 200000.0
+         |ORDER BY o_orderkey""".stripMargin,
     "s18_time_travel" ->
       """WITH s1 AS (SELECT c_custkey, c_mktsegment AS seg FROM customer WHERE c_custkey <= 1000),
          |s2 AS (SELECT c_custkey,

@@ -41,8 +41,8 @@ class Scd1MergeSpec extends SparkSpecBase {
     * an entry changes iff its bucket was rewritten. */
   private def manifestEntries(path: String): Map[String, String] =
     Files.readAllLines(Paths.get(path, "_graft_manifest")).asScala.toSeq
-      .filter(_.contains("\t")) // bucket entries; skip nb=/commit= meta lines
-      .map { l => val Array(b, d) = l.split("\t", 2); b -> d }.toMap
+      .filter(_.contains("\t")) // bucket entries; skip nb=/commit=/keys= meta lines
+      .map { l => val f = l.split("\t"); f(0) -> f(1) }.toMap // 3rd field = stats
 
   test("upsert rewrites only the buckets the source batch touches") {
     val path = Tmp.dir("scd1_bucket") + "/t"
