@@ -45,22 +45,33 @@ object Bench {
       // noop sink materializes every row through the FULL plan —
       // .count() would let Catalyst drop final sorts (EliminateSorts)
       // and prune projections, timing a cheaper plan than Verify runs.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      // A failure is RECORDED, not swallowed: a throwing query would
+      // otherwise bench as ~0 s and silently flatter the total.
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case t: Throwable =>
+          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(120)}") }
       val sec = (System.nanoTime() - t0) / 1e9
       val gcMs = gcMillis - gc0
       val peakMb = heapPools.map(p =>
         try p.getPeakUsage.getUsed catch { case _: Throwable => 0L }).sum / (1024 * 1024)
-      (name, sec, gcMs, peakMb)
+      (name, sec, gcMs, peakMb, err)
     }
-    def jmap(f: ((String, Double, Long, Long)) => String): String =
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    def jmap(f: ((String, Double, Long, Long, Option[String])) => String): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = jmap(_._2.toString)
     val gcs = jmap(_._3.toString)
     val peaks = jmap(_._4.toString)
+    val errs = results.collect { case (n, _, _, _, Some(e)) => "\"" + n + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""gc_ms":$gcs,"peak_heap_mb":$peaks,"sf":"$sfDir"}"""
+      s""""gc_ms":$gcs,"peak_heap_mb":$peaks,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // Also land the JSON in a file: the stdout line rides in sbt log
     // noise, and a scrape miss turns the whole bench into "parsed: null".

@@ -15,7 +15,7 @@ object TaxProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("j3_surrogate_merge", "pipe4_sales_gold", "pipe5_sales_gold_scale",
-        "mm_props_json")
+        "mm_props_json", "p10_string_funcs")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

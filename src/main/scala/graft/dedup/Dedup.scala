@@ -116,14 +116,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Last band-skew warning emitted by [[simhashNearDup]] (None = the
+    * most recent call saw no viral band). Spec-observable diagnostic;
+    * the warning also goes to the log. */
+  @volatile private[graft] var lastSimhashSkewWarning: Option[String] = None
+
   /** SimHash near-duplicate pairs with GUARANTEED recall: split the
     * 60-bit SimHash into `bands` equal bands; by pigeonhole, any pair
     * within `maxHamming < bands` differing bits matches on at least one
     * whole band, so the band equi-join loses nothing — unlike MinHash
     * banding, this is deterministic, not probabilistic. Exact hamming
-    * verify (`bit_count(xor)`) then filters the candidates. */
+    * verify (`bit_count(xor)`) then filters the candidates.
+    *
+    * @param warnBandDf skew TRIPWIRE (0 = off): the recall guarantee
+    *        forbids capping viral bands (unlike [[lshCandidates]]'
+    *        `maxBandDf`), so a corpus with a massive exact-duplicate
+    *        cluster makes some band bucket quadratic — f documents on
+    *        one key is f²/2 candidate pairs in one join task. When any
+    *        bucket's document frequency exceeds this threshold the call
+    *        logs a warning (and records it in
+    *        [[lastSimhashSkewWarning]]) pointing at the fix: run
+    *        [[exactDedup]] first — exact duplicates are the usual
+    *        cause — or spend more bands. Costs one small agg job over
+    *        the banded keys at call time; warn-don't-cap keeps the
+    *        pigeonhole guarantee intact. */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                     maxHamming: Int = 3, bands: Int = 4,
+                     warnBandDf: Int = 10000): DataFrame = {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
     val width = graft.text.TextOps.SimhashBits / bands
     val sh = graft.text.TextOps.simhash(docs, idCol, textCol)
@@ -131,6 +150,21 @@ object Dedup {
       shiftright(col("simhash"), b * width).bitwiseAND(lit((1L << width) - 1))): _*)
     val banded = sh.select(col(idCol), posexplode(bandKeys))
       .select(col(idCol), col("pos").as("band"), col("col").as("bk"))
+    lastSimhashSkewWarning = None
+    if (warnBandDf > 0) {
+      val top = banded.groupBy(col("band"), col("bk"))
+        .agg(count(lit(1)).as("__df"))
+        .agg(max(col("__df"))).first()
+      val maxDf = if (top.isNullAt(0)) 0L else top.getLong(0)
+      if (maxDf > warnBandDf) {
+        val msg = s"simhashNearDup: a band bucket holds $maxDf documents " +
+          s"(> warnBandDf=$warnBandDf) — ~${maxDf * maxDf / 2} candidate pairs on one " +
+          "key. Recall guarantee forbids capping; run exactDedup first (exact " +
+          "duplicates are the usual cause) or increase bands."
+        lastSimhashSkewWarning = Some(msg)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      }
+    }
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
@@ -219,57 +253,101 @@ object Dedup {
       .filter(col("jaccard") >= cfg.threshold)
   }
 
+  /** Rounds the most recent [[connectedComponents]] call took to
+    * converge — spec-observable diagnostic for the O(log n) bound. */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
+  /** Per-round materialization for the CC loop: a RELIABLE
+    * `checkpoint()` (HDFS/DFS-backed, survives executor loss — the
+    * posture a 1000-executor cluster needs for a multi-round iterative
+    * job) when the session has a checkpoint dir configured, else
+    * `localCheckpoint()` (executor-local blocks: faster, but an
+    * executor loss kills the lineage-truncated frame). Both are eager,
+    * so each round's result is computed exactly once. */
+  private def pinRound(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Connected components over an undirected near-dup pair list —
     * the step that turns PAIRWISE near-dups into DEDUP CLUSTERS
     * (near-duplication is transitive in intent: A~B and B~C should
     * drop two of the three, not one of each pair independently).
     *
-    * Min-label propagation to fixpoint: every node repeatedly adopts
-    * the smallest label among itself and its neighbors. Each round is
-    * one codegen'd join + min-agg shuffled on the node id; labels only
-    * decrease, so convergence is monotone and checked with a count of
-    * changed labels (a 1-row action per round). Rounds needed = graph
-    * diameter — near-dup clusters are shallow (stars/cliques around a
-    * template), so this is small; `maxIter` bounds pathological chains
-    * and fails loudly rather than returning half-merged components.
-    * At 100 TB the same plan holds per round (the large-star/small-star
-    * optimization would cut rounds on adversarial chains; the join
-    * shape is unchanged).
+    * Alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    *  - large-star: every node's strictly-LARGER neighbors re-attach to
+    *    `min(Γ(u) ∪ {u})`;
+    *  - small-star: every node's smaller-or-equal neighbors (and the
+    *    node itself) re-attach to its minimum neighbor.
+    * Each operation is a groupBy-min + equi-join + distinct — the same
+    * shuffle shape as one propagation round — but the pair HALVES long
+    * chains each round, converging in O(log n) rounds on adversarial
+    * graphs instead of O(diameter) (a 64-node chain: ~6 rounds vs 63).
+    * The fixpoint is a forest of stars whose roots are the component
+    * minima. Convergence is exact: same edge count AND empty
+    * `except` against the previous round (no hash-collision shortcut);
+    * `maxIter` still fails loudly rather than returning half-merged
+    * components — with log-round convergence 25 covers ~2²⁵-node
+    * chains.
+    *
+    * Round state pins through [[pinRound]]: reliable `checkpoint()`
+    * when a checkpoint dir is set (executor-loss-safe on a real
+    * cluster), `localCheckpoint()` otherwise.
     *
     * @return (node, component) — component = min node id reachable. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("__u"), col(bCol).as("__v"))
-      .unionByName(pairs.select(col(bCol).as("__u"), col(aCol).as("__v")))
-      .distinct()
-      .localCheckpoint() // scanned every round; materialize once
-    var labels = edges.select(col("__u").as("__n")).distinct()
-      .withColumn("__c", col("__n"))
-      .localCheckpoint() // cut the growing lineage per round
+    // canonical larger-first orientation; self-loops dropped
+    var edges = pinRound(pairs
+      .select(greatest(col(aCol), col(bCol)).as("__u"),
+              least(col(aCol), col(bCol)).as("__v"))
+      .filter(col("__u") =!= col("__v"))
+      .distinct())
+    var cnt = edges.count()
     var iter = 0
-    var converged = false
+    var converged = cnt == 0L
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("__n", "__v"), "__v")
-        .groupBy(col("__u").as("__n")).agg(min(col("__c")).as("__nc"))
-      // the changed flag rides INSIDE the propagated frame: one
-      // materialization per round, and the convergence probe is a
-      // cheap count over the already-checkpointed result instead of a
-      // second label-vs-label join
-      val next = labels.withColumnRenamed("__c", "__old")
-        .join(neighborMin, Seq("__n"), "left")
-        .select(col("__n"),
-          least(col("__old"), coalesce(col("__nc"), col("__old"))).as("__c"),
-          (coalesce(col("__nc"), col("__old")) < col("__old")).as("__chg"))
-        .localCheckpoint()
-      converged = next.filter(col("__chg")).isEmpty
-      labels = next.drop("__chg")
+      // LARGE-STAR: strictly-larger neighbors of u attach to
+      // m = min(Γ(u) ∪ {u}). Output (v, m) keeps v > m by
+      // construction (m ≤ u < v), so orientation is preserved.
+      val nbrs = edges
+        .unionByName(edges.select(col("__v").as("__u"), col("__u").as("__v")))
+      val lsMin = nbrs.groupBy(col("__u")).agg(min(col("__v")).as("__mv"))
+        .select(col("__u"), least(col("__u"), col("__mv")).as("__m"))
+      val ls = nbrs.join(lsMin, "__u")
+        .filter(col("__v") > col("__u"))
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .distinct()
+      // SMALL-STAR on larger-first edges: group by the larger endpoint
+      // u; its neighbors v are all < u, m = their minimum; v≠m attach
+      // to m and u itself attaches to m. Again every output is
+      // larger-first.
+      val ssMin = ls.groupBy(col("__u")).agg(min(col("__v")).as("__m"))
+      val j = ls.join(ssMin, "__u")
+      val ss = j.filter(col("__v") =!= col("__m"))
+        .select(col("__v").as("__u"), col("__m").as("__v"))
+        .unionByName(j.select(col("__u"), col("__m").as("__v")))
+        .distinct()
+      val next = pinRound(ss)
+      val nextCnt = next.count()
+      converged = nextCnt == cnt && next.except(edges).isEmpty
+      edges = next
+      cnt = nextCnt
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
-    labels.select(col("__n").as("node"), col("__c").as("component"))
+    lastCcRounds = iter
+    // Fixpoint stars: every non-root appears exactly once as the larger
+    // endpoint, pointing at its component minimum; roots (and nodes
+    // whose only pairs were self-loops) label themselves.
+    val labels = edges.select(col("__u").as("node"), col("__v").as("component"))
+    val nodes = pairs.select(col(aCol).as("node"))
+      .unionByName(pairs.select(col(bCol).as("node")))
+      .distinct()
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
   /** Cluster-level dedup resolution: every document tagged with its

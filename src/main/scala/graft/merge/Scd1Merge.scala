@@ -155,7 +155,8 @@ object Scd1Merge {
   private final case class Manifest(numBuckets: Int, dirs: Map[Int, String],
                                     commit: Int = 0,
                                     stats: Map[Int, Map[String, ColStats]] = Map.empty,
-                                    keys: Seq[String] = Nil)
+                                    keys: Seq[String] = Nil,
+                                    batch: String = "")
 
   /** Injected-failure hook for the crash-consistency spec; "" in
     * production. Recognized points: "before-manifest" (bucket versions
@@ -212,13 +213,15 @@ object Scd1Merge {
     val keys = meta.find(_.startsWith("keys="))
       .map(_.stripPrefix("keys=").split(",").iterator.filter(_.nonEmpty).map(dec).toSeq)
       .getOrElse(Nil)
+    val batch = meta.find(_.startsWith("batch="))
+      .map(l => dec(l.stripPrefix("batch="))).getOrElse("")
     val parsed = entries.map { l =>
       val fields = l.split("\t", 3)
       val b = fields(0).toInt
       (b, fields(1), if (fields.length > 2) statsFromField(fields(2)) else Map.empty[String, ColStats])
     }
     Manifest(nb, parsed.map(e => e._1 -> e._2).toMap, commit,
-      parsed.filter(_._3.nonEmpty).map(e => e._1 -> e._3).toMap, keys)
+      parsed.filter(_._3.nonEmpty).map(e => e._1 -> e._3).toMap, keys, batch)
   }
 
   /** THE commit point: write-to-tmp + fsync + atomic rename over the
@@ -241,7 +244,8 @@ object Scd1Merge {
   private def commitManifest(tablePath: String, m: Manifest): Manifest = {
     val next = readManifest(tablePath).map(_.commit + 1).getOrElse(1)
     val metaLines = Seq(s"nb=${m.numBuckets}", s"commit=$next") ++
-      (if (m.keys.nonEmpty) Seq(s"keys=${m.keys.map(enc).mkString(",")}") else Nil)
+      (if (m.keys.nonEmpty) Seq(s"keys=${m.keys.map(enc).mkString(",")}") else Nil) ++
+      (if (m.batch.nonEmpty) Seq(s"batch=${enc(m.batch)}") else Nil)
     val body = (metaLines ++
       m.dirs.toSeq.sortBy(_._1).map { case (b, d) =>
         m.stats.get(b).filter(_.nonEmpty) match {
@@ -1024,11 +1028,23 @@ object Scd1Merge {
     *        column's stats (absent stats = can-match, so mixed
     *        manifests stay correct); a [[rebucket]] or full rewrite
     *        backfills.
+    * @param batchId PIPELINE BATCH STAMP ("" = unstamped): recorded in
+    *        the manifest as the driving watermark/batch id of this
+    *        commit. A multi-table pipeline run stamps every table
+    *        commit with the same id; a crash between two tables leaves
+    *        them stamped differently, which
+    *        `Pipeline.verifyConsistent` detects and names for the
+    *        (idempotent) rerun. An EMPTY batch (no touched buckets)
+    *        still advances the stamp with a manifest-only commit, so
+    *        "this table saw batch X" holds even when X contributed no
+    *        rows. Maintenance commits (delete/compact/rebucket)
+    *        preserve the current stamp.
     */
   def upsert(spark: SparkSession, tablePath: String, source: DataFrame, keys: Seq[String],
              numBuckets: Int = 0, evolveSchema: Boolean = false,
              retainVersions: Int = DefaultRetainVersions,
-             statsColumns: Seq[String] = Nil): Unit = {
+             statsColumns: Seq[String] = Nil,
+             batchId: String = ""): Unit = {
     val dir = Paths.get(tablePath)
     Files.createDirectories(dir)
     withLock(tablePath) { leaseId =>
@@ -1043,7 +1059,7 @@ object Scd1Merge {
       }
       readManifest(tablePath) match {
         case Some(m) => upsertCommitted(spark, tablePath, source, keys,
-          numBuckets, evolveSchema, retainVersions, statsColumns, m, leaseId)
+          numBuckets, evolveSchema, retainVersions, statsColumns, m, leaseId, batchId)
         case None =>
           val entries = listNonInternal(tablePath)
           if (entries.exists(_.getFileName.toString.startsWith(s"$BucketCol="))) {
@@ -1064,7 +1080,7 @@ object Scd1Merge {
               }.toMap
             val m = commitManifest(tablePath, Manifest(nb, bucketEntries, keys = keys))
             upsertCommitted(spark, tablePath, source, keys,
-              numBuckets, evolveSchema, retainVersions, statsColumns, m, leaseId)
+              numBuckets, evolveSchema, retainVersions, statsColumns, m, leaseId, batchId)
           } else if (entries.nonEmpty) {
             // Legacy flat (pre-bucketing) layout: full merge-and-rewrite
             // into the bucketed layout. Readers see the flat table until
@@ -1080,7 +1096,8 @@ object Scd1Merge {
             val newEntries = adoptBucketDirs(tablePath, tmp, _ => 0)
             failpoint("before-manifest")
             refreshLease(tablePath, leaseId)
-            commitManifest(tablePath, Manifest(nb, newEntries, stats = stats, keys = keys))
+            commitManifest(tablePath,
+              Manifest(nb, newEntries, stats = stats, keys = keys, batch = batchId))
             deleteRecursively(Paths.get(tmp))
           } else {
             // Initial create: empty dir (bar the lock).
@@ -1100,7 +1117,8 @@ object Scd1Merge {
             } else {
               failpoint("before-manifest")
               refreshLease(tablePath, leaseId)
-              commitManifest(tablePath, Manifest(nb, newEntries, stats = stats, keys = keys))
+              commitManifest(tablePath,
+                Manifest(nb, newEntries, stats = stats, keys = keys, batch = batchId))
               deleteRecursively(Paths.get(tmp))
             }
           }
@@ -1125,7 +1143,8 @@ object Scd1Merge {
   /** The established-table merge path (manifest in hand, lock held). */
   private def upsertCommitted(spark: SparkSession, tablePath: String, source: DataFrame,
       keys: Seq[String], numBuckets: Int, evolveSchema: Boolean, retainVersions: Int,
-      statsColumns: Seq[String], manifest: Manifest, leaseId: String): Unit = {
+      statsColumns: Seq[String], manifest: Manifest, leaseId: String,
+      batchId: String = ""): Unit = {
     val nb = manifest.numBuckets
     if (numBuckets > 0 && numBuckets != nb)
       throw new IllegalArgumentException(
@@ -1159,7 +1178,17 @@ object Scd1Merge {
         throw new IllegalArgumentException(
           s"SCD1 merge aborted: duplicate source rows for merge key ${keys.mkString(",")}")
       val touched: Seq[Int] = probe.map(_.getInt(0)).toSeq.sorted
-      if (touched.isEmpty) return // empty batch: nothing to merge or rewrite
+      if (touched.isEmpty) {
+        // empty batch: no buckets to merge or rewrite — but a batch
+        // stamp still ADVANCES via a manifest-only commit, so
+        // verifyConsistent can tell "saw batch X, X was empty here"
+        // from "never ran batch X"
+        if (batchId.nonEmpty && batchId != manifest.batch) {
+          refreshLease(tablePath, leaseId)
+          commitManifest(tablePath, manifest.copy(batch = batchId))
+        }
+        return
+      }
       // the target is ONLY the touched buckets' live dirs — pruning by
       // path, no filter needed (a bucket the batch doesn't touch is
       // never read, never written)
@@ -1201,7 +1230,8 @@ object Scd1Merge {
       refreshLease(tablePath, leaseId)
       val committed = timed("manifest") {
         commitManifest(tablePath, Manifest(nb, manifest.dirs ++ newVersions,
-          stats = manifest.stats -- touched ++ newStats, keys = keys)) }
+          stats = manifest.stats -- touched ++ newStats, keys = keys,
+          batch = if (batchId.nonEmpty) batchId else manifest.batch)) }
       failpoint("after-manifest")
       // post-commit sweep: ONLY versions beyond the retention window
       // (the just-replaced version stays for lagging readers) + the tmp
@@ -1249,7 +1279,8 @@ object Scd1Merge {
         failpoint("before-manifest")
         refreshLease(tablePath, leaseId)
         val committed = commitManifest(tablePath,
-          Manifest(newNumBuckets, newVersions, stats = stats, keys = keys))
+          Manifest(newNumBuckets, newVersions, stats = stats, keys = keys,
+            batch = manifest.batch))
         failpoint("after-manifest")
         sweepVersions(tablePath, committed, retainVersions)
         deleteRecursively(Paths.get(tmp))
@@ -1332,7 +1363,8 @@ object Scd1Merge {
           refreshLease(tablePath, leaseId)
           val committed = commitManifest(tablePath,
             Manifest(nb, manifest.dirs -- emptied ++ newVersions,
-              stats = manifest.stats -- touched ++ newStats, keys = keys))
+              stats = manifest.stats -- touched ++ newStats, keys = keys,
+              batch = manifest.batch))
           failpoint("after-manifest")
           sweepVersions(tablePath, committed, retainVersions)
           deleteRecursively(Paths.get(tmp))
@@ -1383,16 +1415,31 @@ object Scd1Merge {
         b => versionOf(manifest.dirs(b)) + 1)
       failpoint("before-manifest")
       refreshLease(tablePath, leaseId)
-      // compaction is content-identical: stats and keys carry through
+      // compaction is content-identical: stats, keys and the batch
+      // stamp carry through
       val committed = commitManifest(tablePath,
         Manifest(manifest.numBuckets, manifest.dirs ++ newVersions,
-          stats = manifest.stats, keys = manifest.keys))
+          stats = manifest.stats, keys = manifest.keys, batch = manifest.batch))
       failpoint("after-manifest")
       sweepVersions(tablePath, committed, retainVersions)
       deleteRecursively(Paths.get(tmp))
       frag.size
     }
   }
+
+  /** The pipeline batch id stamped on the table's live manifest (None:
+    * no manifest, or the table has never been stamped). The read is the
+    * cross-table consistency probe's primitive — see
+    * `Pipeline.verifyConsistent`. */
+  def tableBatchId(tablePath: String): Option[String] =
+    readManifest(tablePath).map(_.batch).filter(_.nonEmpty)
+
+  /** The table's live commit number (None = no manifest). Monotone per
+    * commit; the coordinate [[readChanges]]' `commitsBack` offsets are
+    * relative to, and the id incremental consumers stamp into their
+    * own commits for exactly-once replay. */
+  def tableCommit(tablePath: String): Option[Int] =
+    readManifest(tablePath).map(_.commit)
 
   private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

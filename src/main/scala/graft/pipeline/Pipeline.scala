@@ -126,13 +126,16 @@ object DimBuilder {
     *        (0 = Scd1Merge default). Size ≈ table_bytes / 256 MB; small
     *        dims want few buckets — an oversized count shatters them
     *        into one-row files and multiplies commit file ops. */
+  /** @param batchId pipeline batch stamp recorded on the commit —
+    *        see [[Pipeline.verifyConsistent]] ("" = unstamped). */
   def buildAndCommit(
       spark: SparkSession,
       silver: DataFrame,
       spec: DimSpec,
       tablePath: String,
       incrementalFlag: String = "1",
-      numBuckets: Int = 0): DataFrame = {
+      numBuckets: Int = 0,
+      batchId: String = ""): DataFrame = {
     // tableExists, not File.exists: a crashed first commit can leave a
     // dir holding only uncommitted residue — that is NOT a table
     val existing =
@@ -151,7 +154,8 @@ object DimBuilder {
         val cond = old.columns.map(c => old(c) <=> e(c)).reduce(_ && _)
         newKeyed.unionByName(old.join(e, cond, "left_anti"))
     }
-    Scd1Merge.upsert(spark, tablePath, toCommit, Seq(spec.keyCol), numBuckets)
+    Scd1Merge.upsert(spark, tablePath, toCommit, Seq(spec.keyCol), numBuckets,
+      batchId = batchId)
     Scd1Merge.readTable(spark, tablePath)
   }
 }
@@ -178,8 +182,54 @@ object FactBuilder {
   }
 
   def commit(spark: SparkSession, tablePath: String, fact: DataFrame,
-      surrogateKeys: Seq[String], numBuckets: Int = 0): Unit =
-    Scd1Merge.upsert(spark, tablePath, fact, surrogateKeys, numBuckets)
+      surrogateKeys: Seq[String], numBuckets: Int = 0,
+      batchId: String = ""): Unit =
+    Scd1Merge.upsert(spark, tablePath, fact, surrogateKeys, numBuckets,
+      batchId = batchId)
+}
+
+/** Cross-table batch consistency for a multi-table pipeline run.
+  *
+  * A medallion batch commits several tables in sequence (dims, then the
+  * fact); each commit is atomic per table, but a crash BETWEEN commits
+  * leaves the dims stamped with a batch the fact never saw. Reruns are
+  * idempotent (the reference's own recovery posture — SCD1 re-commits
+  * are content no-ops), so the repair is simply "run the batch again";
+  * what was missing is DETECTING the state and naming the rerun. Every
+  * commit therefore stamps the driving watermark/batch id into the
+  * table manifest ([[graft.merge.Scd1Merge.upsert]]'s `batchId`), and
+  * [[verifyConsistent]] — a metadata-only probe, one manifest read per
+  * table, no data scanned — compares the stamps. */
+final case class ConsistencyReport(
+    head: Option[String],
+    stamps: Map[String, Option[String]],
+    behind: Seq[String]) {
+  /** True iff every probed table is stamped with the head batch. */
+  def consistent: Boolean = behind.isEmpty
+}
+
+object Pipeline {
+
+  /** Probe each table's manifest batch stamp and report which tables
+    * are BEHIND the head (maximum) stamp — those are the tables whose
+    * batch commit was lost to a crash; rerunning the head batch
+    * repairs them idempotently. Batch ids must be lexicographically
+    * monotone across runs (watermark strings and zero-padded sequence
+    * numbers are; the reference's Date_ID watermarks are). A table
+    * with no manifest or no stamp yet counts as behind any head.
+    *
+    * O(tables) manifest reads; nothing is locked — run it at pipeline
+    * start (detect + repair before ingesting new data) or from a
+    * monitor. */
+  def verifyConsistent(tablePaths: Seq[String]): ConsistencyReport = {
+    val stamps = tablePaths.map(p => p -> Scd1Merge.tableBatchId(p))
+    val head = stamps.flatMap(_._2).maxOption
+    val behind = head match {
+      case None => Nil
+      case Some(h) => stamps.collect { case (p, s) if !s.contains(h) => p }
+    }
+    ConsistencyReport(head, stamps.toMap, behind)
+  }
 }
 
 object IngestRunner {

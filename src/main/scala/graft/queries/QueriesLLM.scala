@@ -333,12 +333,9 @@ object QueriesLLM {
     "mm_resize" -> ((s, dir) =>
       // thumbnailer access pattern on opaque bytes: stride-downsample
       // each payload to <=64 bytes (resize-stub contract: binary in,
-      // binary out, metadata updated).
-      // ASCII-CORPUS ASSUMPTION: the oracle strides CHARACTERS
-      // (length/text[i]) while this strides BYTES of the UTF-8 payload
-      // — equal only because documents.text is pure ASCII (verified,
-      // see the object Scaladoc). Multi-byte testdata would need the
-      // oracle rewritten over encode(text) byte-wise.
+      // binary out, metadata updated). The oracle strides the BYTES of
+      // encode(text) — same arithmetic as this side on any UTF-8
+      // corpus, no ASCII assumption.
       Multimodal.resizeStub(
           Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text"),
           targetBytes = 64)
@@ -620,15 +617,20 @@ object QueriesLLM {
          |  CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substring(text, 1, 1)) END AS head_byte,
          |  list_sum([ascii(text[i+1]) FOR i IN range(length(text))])::BIGINT AS byte_sum
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // BYTE-wise oracle (no ASCII-corpus assumption): strides the hex
+    // dump of encode(text) two hex chars per byte, exactly matching the
+    // Spark side's byte arithmetic on any UTF-8 content. coalesce: an
+    // empty payload's array_to_string([]) is NULL in DuckDB but Spark's
+    // hex('') is ''.
     "mm_resize" ->
-      """WITH p AS (SELECT doc_id, text, length(text)::BIGINT AS n,
-         |    greatest(1, ceil(length(text) / 64.0))::BIGINT AS stride FROM documents)
+      """WITH p AS (SELECT doc_id, hex(encode(text)) AS h,
+         |    octet_length(encode(text))::BIGINT AS n,
+         |    greatest(1, ceil(octet_length(encode(text)) / 64.0))::BIGINT AS stride FROM documents)
          |SELECT doc_id, n AS orig_bytes, stride,
-         |  length(thumb)::BIGINT AS thumb_bytes, hex(encode(thumb)) AS thumb_hex
-         |FROM (SELECT doc_id, n, stride,
-         |  array_to_string([text[i*stride+1] FOR i IN range(ceil(n / stride::DOUBLE)::BIGINT)], '') AS thumb
-         |  FROM p)
-         |ORDER BY doc_id""".stripMargin,
+         |  ceil(n / stride::DOUBLE)::BIGINT AS thumb_bytes,
+         |  coalesce(array_to_string([h[(i*stride)*2+1:(i*stride)*2+2]
+         |    FOR i IN range(ceil(n / stride::DOUBLE)::BIGINT)], ''), '') AS thumb_hex
+         |FROM p ORDER BY doc_id""".stripMargin,
     "mm_props_json" ->
       """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_val
          |FROM events ORDER BY event_id""".stripMargin

@@ -111,4 +111,60 @@ class DedupSpec extends SparkSpecBase {
     val comp10 = graft.dedup.Dedup.connectedComponents(path10, "id_a", "id_b")
     assert(comp10.filter($"component" =!= 1L).isEmpty, "all nodes reach label 1")
   }
+
+  test("connectedComponents converges in O(log n) rounds on an adversarial chain") {
+    // a 128-node path has diameter 127: min-label propagation would
+    // need 127 rounds; alternating large/small-star contraction halves
+    // chains per round. maxIter=10 makes the log bound BE the test —
+    // reversed edge order and shuffled ids so orientation does not
+    // accidentally help.
+    val chain = (1L to 127L).map(i => (i, i + 1)).reverse.toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 10)
+    assert(comp.count() == 128)
+    assert(comp.filter($"component" =!= 1L).isEmpty, "all chain nodes reach label 1")
+    assert(Dedup.lastCcRounds <= 10,
+      s"expected O(log n) rounds, took ${Dedup.lastCcRounds}")
+  }
+
+  test("connectedComponents survives self-loops and duplicate/reversed pairs") {
+    val pairs = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    assert(canon(comp) == Seq(
+      Seq("1", "1"), Seq("2", "1"), Seq("3", "3"), Seq("5", "5"))
+      .sortBy(_.mkString("")))
+  }
+
+  test("connectedComponents takes the reliable-checkpoint path when a dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      assert(canon(comp) == Seq(
+        Seq("1", "1"), Seq("2", "1"), Seq("3", "1"),
+        Seq("7", "7"), Seq("8", "7")).sortBy(_.mkString("")))
+      // the reliable path actually wrote DFS-backed checkpoint data
+      val wrote = java.nio.file.Files.walk(dir).anyMatch(p =>
+        java.nio.file.Files.isRegularFile(p))
+      assert(wrote, "checkpoint dir should contain materialized round state")
+    } finally {
+      // restore the localCheckpoint default for the rest of the suite
+      spark.sparkContext.setCheckpointDir(null)
+      graft.merge.Scd1Merge.deleteRecursively(dir)
+    }
+  }
+
+  test("simhashNearDup warns on a viral band bucket; small corpora stay quiet") {
+    // 30 exact copies = one band bucket with df=30 in every band
+    val viral = (1L to 30L).map(i => (i, "the same boilerplate text repeated everywhere always"))
+    val rest = Seq((100L, "completely different text about spark plans and shuffles here"))
+    val docs = (viral ++ rest).toDF("doc_id", "text")
+    Dedup.simhashNearDup(docs, "doc_id", "text", warnBandDf = 10).count()
+    assert(Dedup.lastSimhashSkewWarning.exists(_.contains("exactDedup")),
+      "planted duplicate cluster must trip the skew tripwire")
+    Dedup.simhashNearDup(corpus, "doc_id", "text", warnBandDf = 10).count()
+    assert(Dedup.lastSimhashSkewWarning.isEmpty,
+      "a skew-free corpus must not warn")
+  }
 }

@@ -144,4 +144,47 @@ class PipelineSpec extends SparkSpecBase {
       Seq(Seq("1", "d1"), Seq("2", "d2"), Seq("3", "d3")))
     assert(store.read() == "d3", "reprocessing must not regress the watermark")
   }
+
+  test("batch stamps detect a dims-ahead-of-fact crash and name the idempotent rerun") {
+    import graft.pipeline.Pipeline
+    val base = graft.Tmp.dir("graft_batch_spec")
+    val dimT = base + "/dim"
+    val factT = base + "/fact"
+    def commitDim(rows: Seq[(Long, String)], batch: String): Unit =
+      Scd1Merge.upsert(spark, dimT, rows.toDF("k", "v"), Seq("k"),
+        numBuckets = 2, batchId = batch)
+    def commitFact(rows: Seq[(Long, Long)], batch: String): Unit =
+      Scd1Merge.upsert(spark, factT, rows.toDF("fk", "k"), Seq("fk"),
+        numBuckets = 2, batchId = batch)
+    // batch 1 lands fully
+    commitDim(Seq((1L, "a")), "B0001")
+    commitFact(Seq((10L, 1L)), "B0001")
+    assert(Pipeline.verifyConsistent(Seq(dimT, factT)).consistent)
+    // batch 2: dim commits, the fact commit DIES mid-protocol
+    commitDim(Seq((2L, "b")), "B0002")
+    Scd1Merge.testFailpoint = "before-manifest"
+    intercept[IllegalStateException] { commitFact(Seq((20L, 2L)), "B0002") }
+    val torn = Pipeline.verifyConsistent(Seq(dimT, factT))
+    assert(!torn.consistent)
+    assert(torn.head.contains("B0002"))
+    assert(torn.behind == Seq(factT), "the fact table must be named as the rerun")
+    assert(torn.stamps(factT).contains("B0001"), "the fact is still at batch 1")
+    // repair = rerun batch 2 start-to-finish; both legs are idempotent
+    commitDim(Seq((2L, "b")), "B0002") // content no-op, stamp already B0002
+    commitFact(Seq((20L, 2L)), "B0002")
+    val repaired = Pipeline.verifyConsistent(Seq(dimT, factT))
+    assert(repaired.consistent && repaired.head.contains("B0002"))
+    assert(canon(Scd1Merge.readTable(spark, factT)) ==
+      Seq(Seq("10", "1"), Seq("20", "2")))
+    // an EMPTY batch still advances the stamp (manifest-only commit),
+    // so "saw batch X, X was empty here" differs from "never ran X"
+    commitDim(Seq((3L, "c")), "B0003")
+    commitFact(Nil, "B0003")
+    assert(Pipeline.verifyConsistent(Seq(dimT, factT)).consistent)
+    assert(canon(Scd1Merge.readTable(spark, factT)) ==
+      Seq(Seq("10", "1"), Seq("20", "2")), "the empty-batch stamp must not change data")
+    // maintenance preserves the stamp
+    Scd1Merge.compact(spark, factT)
+    assert(Scd1Merge.tableBatchId(factT).contains("B0003"))
+  }
 }
