@@ -36,7 +36,14 @@ object Dedup {
     * array form's `transform` evaluates outside codegen — it dominated
     * the near-dup runtime 3× over), and downstream signature/verify
     * stages are joins and aggs over narrow rows. */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    gramRows(docs, idCol, textCol, n).distinct()
+
+  /** NON-distinct word n-gram rows — every gram occurrence, duplicates
+    * preserved (the input to intra-document repetition stats; [[
+    * shingleRows]] is this plus `distinct`). Same plan shape: posexplode
+    * + per-document `lead` window, whole-text fallback for short docs. */
+  def gramRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = docs
       .select(col(idCol), posexplode(split(col(textCol), " ")))
       .select(col(idCol), col("pos"), col("col").as("__tok"))
@@ -49,7 +56,7 @@ object Dedup {
     val short = docs
       .filter(size(split(col(textCol), " ")) < n)
       .select(col(idCol), col(textCol).as("shingle"))
-    full.unionByName(short).distinct()
+    full.unionByName(short)
   }
 
   /** k-permutation MinHash signatures, computed as explode → k min-aggs
@@ -238,6 +245,15 @@ object Dedup {
     val sh = shingleRows(docs, idCol, textCol, cfg.shingleN)
     val sigs = minhashSignatures(sh, idCol, "shingle", cfg.k)
     val cands = lshCandidates(sigs, idCol, "sig", cfg.bands, cfg.rowsPerBand, cfg.maxBandDf)
+    verifyJaccard(cands, sh, idCol, cfg.threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against shingle rows:
+    * |A∩B| via a per-candidate join on the shingle value, |A∪B| from
+    * per-document counts — the shared tail of every banded near-dup
+    * variant. Values are exact int/int double divisions. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, idCol: String,
+                            threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val shA = sh.select(col(idCol).as("id_a"), col("shingle"))
     val shB = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -250,7 +266,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("__inter").cast("double") / (col("__sz_a") + col("__sz_b") - col("__inter")))
           .as("jaccard"))
-      .filter(col("jaccard") >= cfg.threshold)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** INCREMENTAL near-dup: MinHash-banded candidates restricted to pairs
+    * involving at least one NEW document (`isNew`, a predicate over the
+    * docs frame) — the shape every continuously-ingesting corpus needs:
+    * the already-deduped corpus is never compared against itself again.
+    *
+    * The candidate join probes the full banded index with ONLY the new
+    * side (`banded ⋈ bandedNew`), so the pair volume is proportional to
+    * the batch, not the corpus; corpus×corpus collisions are never
+    * materialized, let alone verified. At 100 TB the corpus-side
+    * signatures/bands come from a persisted signature table maintained
+    * per batch (one narrow projection per ingest) rather than the
+    * recompute this self-contained form does — the join shape and
+    * guarantees (same miss probability as [[minhashNearDup]], exact
+    * verification) are identical either way. */
+  def minhashNearDupIncremental(docs: DataFrame, idCol: String, textCol: String,
+                                isNew: Column,
+                                cfg: MinhashConfig = MinhashConfig()): DataFrame = {
+    val flagged = docs.withColumn("__new", isNew)
+    val sh = shingleRows(flagged, idCol, textCol, cfg.shingleN)
+    val sigs = minhashSignatures(sh, idCol, "shingle", cfg.k)
+      .join(flagged.select(col(idCol), col("__new")), idCol)
+    val banded = sigs
+      .select(col(idCol), col("__new"), explode(bandKeys(col("sig"), cfg.bands, cfg.rowsPerBand)).as("bk"))
+      .select(col(idCol), col("__new"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val bandedNew = banded.filter(col("__new")).drop("__new")
+    val cands = banded.drop("__new").as("x")
+      .join(bandedNew.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("id_a"),
+        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("id_b"))
+      .distinct()
+    verifyJaccard(cands, sh, idCol, cfg.threshold)
   }
 
   /** Rounds the most recent [[connectedComponents]] call took to

@@ -161,6 +161,39 @@ object QueriesLLM {
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "text_repetition" -> ((s, dir) =>
+      // Intra-document repetition (the self-near-dup boilerplate
+      // filter): total vs distinct bigram counts, repeated fraction.
+      TextOps.repetitionStats(table(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))),
+    "text_rarity" -> ((s, dir) =>
+      // Corpus-frequency rarity profile (integer-exact perplexity
+      // proxy): mean corpus token frequency + hapax count per doc.
+      TextOps.rarityStats(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "text_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: docs sharing any 5-gram with the
+      // deterministic "benchmark" subset (doc_id ≡ 0 mod 101) are
+      // flagged. Gram-value equi-join against the broadcast benchmark
+      // set — the contains-scan-free shape that holds at corpus scale.
+      val docs = table(s, dir, "documents")
+      TextOps.decontaminate(docs, docs.filter(pmod(col("doc_id"), lit(101)) === 0),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+    "text_pack_sequences" -> ((s, dir) =>
+      // Token-budget sharding: global running token count over doc-id
+      // order via per-partition prefix sums (no single-partition
+      // window); pack = floor(tokens-before / 512).
+      TextOps.packSequences(table(s, dir, "documents"), "doc_id", "text", budget = 512L)
+        .orderBy(col("doc_id"))),
+    "dedup_incremental_neardup" -> ((s, dir) =>
+      // Incremental corpus dedup: banded candidates restricted to pairs
+      // touching the "new batch" (doc_id ≡ 0 mod 5) — the corpus is
+      // never self-joined; exact-Jaccard verified like the full run.
+      Dedup.minhashNearDupIncremental(table(s, dir, "documents"), "doc_id", "text",
+          isNew = pmod(col("doc_id"), lit(5)) === 0)
+        .orderBy(col("id_a"), col("id_b"))),
     "text_simhash" -> ((s, dir) =>
       TextOps.simhash(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -538,6 +571,47 @@ object QueriesLLM {
          |  FROM h, range(60) r(b) GROUP BY doc_id, b)
          |SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH toks AS ($DocToks),
+         |g AS (SELECT doc_id, CASE WHEN len(t) >= 2
+         |  THEN [array_to_string(t[i+1:i+2], ' ') FOR i IN range(len(t)-1)]
+         |  ELSE [text] END AS gs FROM toks)
+         |SELECT doc_id, len(gs)::BIGINT AS n_grams,
+         |  len(list_distinct(gs))::BIGINT AS n_distinct,
+         |  1 - len(list_distinct(gs))::DOUBLE / len(gs) AS rep_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "text_rarity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok)
+         |SELECT doc_id, count(*)::BIGINT AS n_tok, sum(cnt)::BIGINT AS sum_freq,
+         |  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+         |  sum(cnt)::DOUBLE / count(*) AS avg_tok_freq
+         |FROM tok JOIN freq USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      s"""WITH toks AS ($DocToks),
+         |sh AS (SELECT doc_id, ${shingles(5)} AS s FROM toks),
+         |bm AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 101 = 0),
+         |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |h AS (SELECT doc_id, count(*) AS n_hits FROM g JOIN bm USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+         |  coalesce(h.n_hits, 0) > 0 AS is_contaminated
+         |FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |  sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT doc_id, n_tok, ((cum - n_tok) // 512)::BIGINT AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "dedup_incremental_neardup" ->
+      s"""WITH toks AS ($DocToks),
+         |sh AS (SELECT doc_id, ${shingles(3)} AS s FROM toks),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.8 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+         |ORDER BY id_a, id_b""".stripMargin,
     "sim_topk" -> TopkOracle,
     "sim_ann_topk" -> TopkOracle,
     // pinned recall at the driver's correctness SF (0.01): 216 of the

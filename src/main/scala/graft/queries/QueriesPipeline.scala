@@ -338,6 +338,43 @@ object QueriesPipeline {
         .orderBy(col("o_custkey"))
     }),
 
+    "pipe8_incremental_dedup" -> ((s, dir) => {
+      // INCREMENTAL EXACT DEDUP AS A MAINTAINED TABLE: the seen-hash
+      // set every continuously-ingesting corpus keeps — batches arrive
+      // (membership by doc_id mod 3, nonempty at every SF), each batch
+      // hashes its texts, anti-joins the PERSISTED seen table (one
+      // metadata-pruned read, no corpus rescan), and commits only the
+      // genuinely-new hashes through the crash-safe batch-stamped
+      // protocol. First-seen wins (not global min-id): the oracle
+      // re-derives survivor = min (batch, doc_id) per hash. A replay of
+      // the last batch proves idempotence — the anti-join leaves
+      // nothing, the commit is a manifest-only stamp advance, and the
+      // row count is unchanged (the `rerun_noop` literal).
+      val path = tmpDir("graft_incdd") + "/seen_hashes"
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      def batch(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      for (i <- 0 until 3) {
+        val fresh =
+          if (i == 0) batch(i)
+          else batch(i).join(Scd1Merge.readTable(s, path).select(col("content_hash")),
+            Seq("content_hash"), "left_anti")
+        Scd1Merge.upsert(s, path, fresh, Seq("content_hash"), numBuckets = 8,
+          batchId = f"B${i + 1}%04d")
+      }
+      val before = Scd1Merge.readTable(s, path).count()
+      val replay = batch(2).join(Scd1Merge.readTable(s, path).select(col("content_hash")),
+        Seq("content_hash"), "left_anti")
+      val replayEmpty = replay.isEmpty
+      Scd1Merge.upsert(s, path, replay, Seq("content_hash"), batchId = "B0003")
+      val after = Scd1Merge.readTable(s, path).count()
+      Scd1Merge.readTable(s, path)
+        .select(col("content_hash"), col("doc_id"),
+          lit(replayEmpty && before == after).as("rerun_noop"))
+        .orderBy(col("content_hash"))
+    }),
+
     "pipe3_fact_build" -> ((s, dir) => {
       // Fact FK resolution (gold_fact.py:34-38): dims built with
       // deterministic surrogate keys, then broadcast-joined into the
@@ -493,6 +530,13 @@ object QueriesPipeline {
          |  WHERE NOT (o_orderkey % 13 = 0 OR o_custkey % 11 = 0))
          |SELECT o_custkey, sum(cents)::BIGINT AS sum_cents, count(*) AS n_orders
          |FROM o GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "pipe8_incremental_dedup" ->
+      """WITH r AS (SELECT sha256(text) AS content_hash, doc_id,
+         |    row_number() OVER (PARTITION BY sha256(text)
+         |                       ORDER BY doc_id % 3, doc_id) AS rn
+         |  FROM documents)
+         |SELECT content_hash, doc_id, TRUE AS rerun_noop
+         |FROM r WHERE rn = 1 ORDER BY content_hash""".stripMargin,
     "pipe3_fact_build" ->
       """WITH dp AS (SELECT 1 + row_number() OVER (ORDER BY p_partkey) AS dim_part_key, p_partkey FROM part),
          |ds AS (SELECT 1 + row_number() OVER (ORDER BY s_suppkey) AS dim_supp_key, s_suppkey FROM supplier)

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -160,6 +161,106 @@ object TextOps {
       .agg(min(md5(col("shingle"))).as("min_shingle_fp"))
       .join(docs.select(col(idCol), md5(col(textCol)).as("content_fp")), idCol)
       .select(col(idCol), col("min_shingle_fp"), col("content_fp"))
+
+  /** Intra-document repetition: total vs distinct n-gram counts and the
+    * repeated fraction `1 − distinct/total` — the standard filter for
+    * boilerplate/spam documents that repeat the same phrases (a
+    * near-dup of itself). Uses NON-distinct gram rows
+    * ([[graft.dedup.Dedup.gramRows]]); one hash-agg on the doc id,
+    * partial-aggregated map-side, ratios exact int/int divisions.
+    * Documents shorter than n tokens fall back to the whole text as
+    * one gram (ratio 0), matching the shingle fallback. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame =
+    graft.dedup.Dedup.gramRows(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("shingle")).as("n_distinct"))
+      .select(col(idCol), col("n_grams"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_grams")).as("rep_ratio"))
+
+  /** Corpus-frequency rarity profile — the cheap perplexity proxy: per
+    * document, the mean corpus frequency of its tokens and its hapax
+    * count (tokens occurring exactly once corpus-wide). Rare-token-heavy
+    * documents are candidate noise/garble; all-common documents are
+    * candidate boilerplate.
+    *
+    * Two hash-aggs and one equi-join on the token value (vocabulary-
+    * sized right side — Zipf keeps it tiny relative to the corpus, and
+    * AQE broadcasts it when it fits). All counters are integers; the
+    * single final division is int/int, so values are bit-identical on
+    * any engine — deliberately NOT a floating mean-log-prob, whose
+    * unordered double sum would be partitioning-dependent. */
+  def rarityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val freq = tok.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+    tok.join(freq, "__tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("__cnt")).as("sum_freq"),
+        sum(when(col("__cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(idCol), col("n_tok"), col("sum_freq"), col("n_hapax"),
+        (col("sum_freq").cast("double") / col("n_tok")).as("avg_tok_freq"))
+  }
+
+  /** Benchmark decontamination — the train/test-overlap gate every
+    * training-data pipeline runs: flag documents sharing any word
+    * n-gram with a benchmark/eval set. Candidate generation is an
+    * equi-join on the gram VALUE against the (small, broadcast)
+    * benchmark gram set — never a containment scan of every document
+    * against every benchmark entry; at 100 TB the corpus side is one
+    * shingle projection and the join probes a broadcast hash table.
+    * Returns every document with its matched-gram count and flag. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5): DataFrame = {
+    val bmGrams = broadcast(
+      graft.dedup.Dedup.shingleRows(benchmark, idCol, textCol, n)
+        .select(col("shingle")).distinct())
+    val hits = graft.dedup.Dedup.shingleRows(docs, idCol, textCol, n)
+      .join(bmGrams, "shingle")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("is_contaminated", col("n_hits") > 0)
+  }
+
+  /** Token-budget sharding for training-shard assembly: documents in id
+    * order are assigned to packs of ~`budget` tokens each —
+    * `pack_id = ⌊(running token count before this doc) / budget⌋`.
+    * Deterministic and boundary-straddling (a doc whose tokens cross a
+    * boundary belongs to the pack its first token falls in); strict
+    * caps would split documents, which is a tokenizer-side concern.
+    *
+    * Scale shape mirrors [[graft.ops.KeyGenStrategy.Scalable]]: range-
+    * repartition + sort by id, per-partition running sums, and a tiny
+    * per-partition total aggregate whose prefix sums broadcast back as
+    * offsets — a global running sum with NO single-partition window.
+    * The `localCheckpoint` pins the sample-based range partitioning so
+    * the totals pass and the cumsum pass see identical partitions. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = docs
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = sorted.groupBy($"__pid").agg(sum($"n_tok").as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefix = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val prefixDf = broadcast(prefix.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy($"__pid").orderBy(col(idCol))
+    sorted
+      .withColumn("__cum", sum($"n_tok").over(w))
+      .join(prefixDf, "__pid")
+      .select(col(idCol), col("n_tok"),
+        floor(($"__off" + $"__cum" - $"n_tok") / lit(budget)).cast("long").as("pack_id"))
+  }
 
   /** 60-bit SimHash over the distinct-token bag. Each token hashes to a
     * 60-bit value (15 hex chars of its MD5); bit j of the SimHash is 1

@@ -167,4 +167,20 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.lastSimhashSkewWarning.isEmpty,
       "a skew-free corpus must not warn")
   }
+
+  test("minhashNearDupIncremental equals the full run restricted to new-touching pairs") {
+    val isNew = $"doc_id" >= 4L
+    val cfg = Dedup.MinhashConfig(threshold = 0.5)
+    val full = Dedup.minhashNearDup(corpus, "doc_id", "text", cfg)
+      .filter($"id_a" >= 4L || $"id_b" >= 4L)
+    val inc = Dedup.minhashNearDupIncremental(corpus, "doc_id", "text", isNew, cfg)
+    assertSameRows(inc.orderBy($"id_a", $"id_b"), full.orderBy($"id_a", $"id_b"))
+    // corpus-only pairs are genuinely excluded, not filtered post-hoc:
+    // 1~2 (both old) is found by the full run but never generated here
+    assert(Dedup.minhashNearDup(corpus, "doc_id", "text", cfg)
+      .filter($"id_a" === 1L && $"id_b" === 2L).count() == 1)
+    assert(inc.filter($"id_a" === 1L && $"id_b" === 2L).isEmpty)
+    // pairs between two NEW docs are still found (4~5 are near-dups)
+    assert(inc.filter($"id_a" === 4L && $"id_b" === 5L).count() == 1)
+  }
 }

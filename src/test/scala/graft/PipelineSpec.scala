@@ -20,6 +20,30 @@ class PipelineSpec extends SparkSpecBase {
 
   private def silverOf(rows: Seq[(String, String)]) = rows.toDF("nk", "attr")
 
+  test("incremental dedup table: first-seen hash wins, replays are no-ops") {
+    // the pipe8 shape distilled: later batches never replace an existing
+    // hash (anti-join before commit), even when they carry a SMALLER id
+    val path = Tmp.dir("graft_incdd_spec") + "/seen"
+    def commit(batch: Seq[(Long, String)], id: String): Unit = {
+      val hashed = batch.toDF("doc_id", "text")
+        .groupBy(sha2($"text", 256).as("content_hash"))
+        .agg(min($"doc_id").as("doc_id"))
+      val fresh =
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) hashed
+        else hashed.join(Scd1Merge.readTable(spark, path).select($"content_hash"),
+          Seq("content_hash"), "left_anti")
+      Scd1Merge.upsert(spark, path, fresh, Seq("content_hash"), numBuckets = 2,
+        batchId = id)
+    }
+    commit(Seq(10L -> "dup text", 11L -> "only b1"), "B0001")
+    commit(Seq(5L -> "dup text", 12L -> "only b2"), "B0002") // 5 < 10 but loses
+    val got = Scd1Merge.readTable(spark, path)
+      .select($"doc_id").orderBy($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L, 11L, 12L), "first-seen batch keeps the hash")
+    commit(Seq(5L -> "dup text", 12L -> "only b2"), "B0002") // full replay
+    assert(Scd1Merge.readTable(spark, path).count() == 3, "replay adds nothing")
+  }
+
   test("Q2: only distinctSource dims dedup — non-distinct keeps duplicate rows with distinct keys") {
     val silver = silverOf(Seq(("a", "x"), ("a", "x"), ("b", "y")))
     val dup = DimBuilder.build(spark, silver, spec(distinct = false), None, "0")

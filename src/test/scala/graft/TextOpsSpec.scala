@@ -82,4 +82,73 @@ class TextOpsSpec extends SparkSpecBase {
     assert(s1.filter($"lang" === "en")
       .filter(TextOps.sampleBucket($"doc_id") >= 40).isEmpty)
   }
+
+  test("repetitionStats: total vs distinct bigrams and the repeated fraction") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+      (2L, "x y z"),       // 2 total, 2 distinct -> ratio 0
+      (3L, "solo")         // < 2 tokens: whole-text fallback, 1/1, ratio 0
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(docs, "doc_id", "text", n = 2)
+      .orderBy($"doc_id").collect()
+    assert(r(0).getAs[Long]("n_grams") == 5L)
+    assert(r(0).getAs[Long]("n_distinct") == 2L)
+    assert(r(0).getAs[Double]("rep_ratio") == 1.0 - 2.0 / 5.0)
+    assert(r(1).getAs[Double]("rep_ratio") == 0.0)
+    assert(r(2).getAs[Long]("n_grams") == 1L)
+    assert(r(2).getAs[Double]("rep_ratio") == 0.0)
+  }
+
+  test("rarityStats: corpus token frequencies, hapax counts, exact mean") {
+    val docs = Seq(
+      (1L, "the the rare"),  // 'the' corpus count 3, 'rare' 1
+      (2L, "the common")     // 'common' 1
+    ).toDF("doc_id", "text")
+    val r = TextOps.rarityStats(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(r(0).getAs[Long]("n_tok") == 3L)
+    assert(r(0).getAs[Long]("sum_freq") == 3L + 3L + 1L)
+    assert(r(0).getAs[Long]("n_hapax") == 1L)
+    assert(r(0).getAs[Double]("avg_tok_freq") == 7.0 / 3.0)
+    assert(r(1).getAs[Long]("sum_freq") == 3L + 1L)
+    assert(r(1).getAs[Long]("n_hapax") == 1L)
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),       // benchmark doc
+      (2L, "prefix alpha beta gamma delta epsilon suffix"), // contains bm 5-gram
+      (3L, "alpha beta gamma zeta eta theta iota"), // shares no complete 5-gram
+      (4L, "totally unrelated words without overlap anywhere")
+    ).toDF("doc_id", "text")
+    val r = TextOps.decontaminate(docs, docs.filter($"doc_id" === 1L),
+        "doc_id", "text", n = 5)
+      .orderBy($"doc_id").collect()
+    assert(r.map(_.getAs[Boolean]("is_contaminated")).toSeq ==
+      Seq(true, true, false, false))
+    assert(r(0).getAs[Long]("n_hits") == 1L)
+    assert(r(1).getAs[Long]("n_hits") == 1L)
+    assert(r(3).getAs[Long]("n_hits") == 0L)
+  }
+
+  test("packSequences matches the single-window running sum exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 500L)
+      .map(i => (i, Seq.fill((i % 17 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.packSequences(docs, "doc_id", "text", budget = 64L)
+    val naive = docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+      .withColumn("__cum", sum($"n_tok").over(
+        Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"doc_id", $"n_tok",
+        floor(($"__cum" - $"n_tok") / 64L).cast("long").as("pack_id"))
+    assertSameRows(got.orderBy($"doc_id"), naive.orderBy($"doc_id"))
+    // packs fill to ~the budget: every pack but the last holds >= budget
+    // tokens counting its straddling tail doc
+    val packs = got.groupBy($"pack_id").agg(sum($"n_tok").as("t"))
+      .orderBy($"pack_id").collect()
+    assert(packs.length > 3)
+    assert(packs.dropRight(1).forall(_.getAs[Long]("t") >= 64L - 17L))
+  }
 }
