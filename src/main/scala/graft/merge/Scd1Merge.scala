@@ -7,6 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast,
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType, StructType, TimestampType, Decimal}
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import java.nio.ByteBuffer
 import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets.UTF_8
@@ -310,17 +313,103 @@ object Scd1Merge {
     case _ => v.toString // integral / float / java BigDecimal / string
   }
 
-  /** One column-pruned agg over a just-written staging dir → per-bucket
-    * min/max for `cols` (all-null columns are skipped for that bucket).
-    * Runs BEFORE the bucket dirs are adopted, so it only ever sees the
-    * buckets this commit rewrites; parquet column pruning keeps the
-    * cost at O(tracked-column bytes of those buckets) — a small slice
-    * of the write that just happened. Delta computes the same per-file
-    * stats inline in its write tasks; a footer-metadata-only pass would
-    * be cheaper still but needs per-type parquet statistics decoding —
-    * this keeps the type handling in Catalyst. */
+  /** Per-bucket min/max for `cols` over a just-written staging dir.
+    *
+    * Primary path: the PARQUET FOOTERS — a driver-side metadata pass,
+    * NO Spark job (the write that just happened already computed
+    * row-group statistics; re-aggregating the data was a measured
+    * ~20-25% tax on every commit). This is Delta's actual design: stats
+    * ride the write, the log commit only transcribes them.
+    *
+    * Fallback: any tracked column the footers could NOT bound in some
+    * bucket that holds live values (INT96 timestamps — Spark's legacy
+    * default writer form carries no stats — NaN-suppressed floats,
+    * exotic types) is re-ranged by ONE column-pruned agg job over just
+    * those columns; tables whose tracked columns are all
+    * footer-boundable (the common case: integer/string merge keys)
+    * never pay a job.
+    *
+    * Correctness posture is strictly conservative either way: a
+    * bucket/column gets stats only when provably bounded; anything
+    * else stays absent = can-match. Parquet's own string truncation
+    * (prefix min / incremented max) only ever WIDENS the range, so
+    * pruning stays sound. All-null row groups legitimately contribute
+    * no bound (the agg ignores nulls the same way). */
   private def bucketStats(spark: SparkSession, stagingDir: String,
                           cols: Seq[String]): Map[Int, Map[String, ColStats]] = try {
+    val root = Paths.get(stagingDir)
+    if (!Files.isDirectory(root) || cols.isEmpty) Map.empty
+    else {
+      val hconf = spark.sessionState.newHadoopConf()
+      val prefix = BucketCol + "="
+      val poisoned = scala.collection.mutable.Set.empty[String]
+      val footer = Files.list(root).iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
+        .flatMap { bdir =>
+          val b = bdir.getFileName.toString.substring(prefix.length).toInt
+          // per-column fold across every row group of every file:
+          // Some((typ, mn, mx)) = bounded so far; None = poisoned
+          val acc = scala.collection.mutable.Map.empty[String, Option[(Char, String, String)]]
+          Files.list(bdir).iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach { f =>
+              val rdr = ParquetFileReader.open(
+                HadoopInputFile.fromPath(new HadoopPath(f.toUri), hconf))
+              try {
+                rdr.getFooter.getBlocks.asScala.foreach { blk =>
+                  blk.getColumns.asScala.foreach { cc =>
+                    val name = cc.getPath.toDotString
+                    if (cols.exists(_.equalsIgnoreCase(name)) && name != BucketCol &&
+                        !acc.get(name).contains(None)) {
+                      val st = cc.getStatistics
+                      val allNull = st != null && !st.hasNonNullValue &&
+                        st.isNumNullsSet && st.getNumNulls == cc.getValueCount
+                      if (allNull) () // no values -> no bound needed
+                      else decodeFooterStats(cc.getPrimitiveType, st) match {
+                        case Some((t, mn, mx)) =>
+                          acc(name) = acc.get(name).flatten match {
+                            case Some((t0, mn0, mx0)) =>
+                              Some((t0,
+                                if (wireLt(t0, mn, mn0)) mn else mn0,
+                                if (wireLt(t0, mx0, mx)) mx else mx0))
+                            case None => Some((t, mn, mx))
+                          }
+                        case None => acc(name) = None // live values, no usable bound
+                      }
+                    }
+                  }
+                }
+              } finally rdr.close()
+            }
+          poisoned ++= acc.collect { case (c, None) => c }
+          val st = acc.toMap.collect { case (c, Some((t, mn, mx))) =>
+            c -> ColStats(t, mn, mx) }
+          if (st.isEmpty) None else Some(b -> st)
+        }.toMap
+      if (poisoned.isEmpty) footer
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"bucketStats: footer-unboundable columns ${poisoned.mkString(",")} in " +
+            s"$stagingDir — running the pruned agg fallback")
+        val agg = timed("stats-agg") { aggBucketStats(spark, stagingDir, poisoned.toSeq) }
+        // agg fills exactly the footer-unboundable columns; footer
+        // bounds win everywhere else
+        (footer.keySet ++ agg.keySet).iterator.map { b =>
+          b -> (agg.getOrElse(b, Map.empty) ++ footer.getOrElse(b, Map.empty))
+        }.filter(_._2.nonEmpty).toMap
+      }
+    }
+  } catch {
+    // stats are pure optimization: a failed computation (empty staging
+    // dir, exotic layout) degrades to an uncommented manifest entry —
+    // absent stats = can-match — never a failed commit
+    case _: Exception => Map.empty
+  }
+
+  /** The agg-job form (one column-pruned groupBy over the staging dir),
+    * now only the fallback for footer-unboundable columns. */
+  private def aggBucketStats(spark: SparkSession, stagingDir: String,
+                             cols: Seq[String]): Map[Int, Map[String, ColStats]] = {
     val df = spark.read.option("mergeSchema", "true").parquet(stagingDir)
     val fields = df.schema.fields.toSeq
       .filter(f => f.name != BucketCol && cols.exists(_.equalsIgnoreCase(f.name)))
@@ -340,11 +429,76 @@ object Scd1Merge {
         r.getAs[Int](BucketCol) -> st
       }.filter(_._2.nonEmpty).toMap
     }
-  } catch {
-    // stats are pure optimization: a failed computation (empty staging
-    // dir, exotic type) degrades to an uncommented manifest entry —
-    // absent stats = can-match — never a failed commit
-    case _: Exception => Map.empty
+  }
+
+  /** Stage `df` bucket-partitioned under `tmp`. The repartition
+    * co-locates each bucket so it lands as ~one file instead of
+    * partitions × buckets shards. */
+  private def stageWrite(df: DataFrame, tmp: String): Unit =
+    df.repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+
+  /** Footer statistics → the stats wire domain ([[statValue]] parity):
+    * 'l' integers (dates epoch-days, timestamps epoch-micros), 'd'
+    * decimal strings, 's' UTF-8 strings. None = unsupported, treated as
+    * unbounded. INT96 timestamps carry no footer stats — SessionConfs
+    * writes TIMESTAMP_MICROS so table files never hit that. */
+  private def decodeFooterStats(pt: org.apache.parquet.schema.PrimitiveType,
+      st: org.apache.parquet.column.statistics.Statistics[_]): Option[(Char, String, String)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import LogicalTypeAnnotation.{DateLogicalTypeAnnotation, DecimalLogicalTypeAnnotation,
+      StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation, TimeUnit}
+    if (st == null || !st.hasNonNullValue) return None
+    def dec(unscaled: java.math.BigInteger, scale: Int): String =
+      new java.math.BigDecimal(unscaled, scale).toString
+    (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+      case (INT32, _: DateLogicalTypeAnnotation) =>
+        Some(('l', st.genericGetMin.toString, st.genericGetMax.toString))
+      case (INT32, d: DecimalLogicalTypeAnnotation) =>
+        Some(('d',
+          dec(java.math.BigInteger.valueOf(st.genericGetMin.asInstanceOf[Integer].longValue), d.getScale),
+          dec(java.math.BigInteger.valueOf(st.genericGetMax.asInstanceOf[Integer].longValue), d.getScale)))
+      case (INT32, _) =>
+        Some(('l', st.genericGetMin.toString, st.genericGetMax.toString))
+      case (INT64, ts: TimestampLogicalTypeAnnotation) => ts.getUnit match {
+        case TimeUnit.MICROS =>
+          Some(('l', st.genericGetMin.toString, st.genericGetMax.toString))
+        case TimeUnit.MILLIS =>
+          Some(('l', (st.genericGetMin.asInstanceOf[java.lang.Long] * 1000L).toString,
+            (st.genericGetMax.asInstanceOf[java.lang.Long] * 1000L).toString))
+        case _ => None // NANOS: not readable as TimestampType here anyway
+      }
+      case (INT64, d: DecimalLogicalTypeAnnotation) =>
+        Some(('d',
+          dec(java.math.BigInteger.valueOf(st.genericGetMin.asInstanceOf[java.lang.Long]), d.getScale),
+          dec(java.math.BigInteger.valueOf(st.genericGetMax.asInstanceOf[java.lang.Long]), d.getScale)))
+      case (INT64, _) =>
+        Some(('l', st.genericGetMin.toString, st.genericGetMax.toString))
+      case (FLOAT, _) | (DOUBLE, _) =>
+        Some(('d', st.genericGetMin.toString, st.genericGetMax.toString))
+      case (BINARY, _: StringLogicalTypeAnnotation) =>
+        Some(('s',
+          st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+          st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+      case (BINARY, d: DecimalLogicalTypeAnnotation) =>
+        Some(('d',
+          dec(new java.math.BigInteger(st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes), d.getScale),
+          dec(new java.math.BigInteger(st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes), d.getScale)))
+      case (FIXED_LEN_BYTE_ARRAY, d: DecimalLogicalTypeAnnotation) =>
+        Some(('d',
+          dec(new java.math.BigInteger(st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes), d.getScale),
+          dec(new java.math.BigInteger(st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes), d.getScale)))
+      case _ => None // INT96, BOOLEAN, raw binary, ...
+    }
+  }
+
+  /** Strict less-than in a stats wire domain (used to fold bounds
+    * across row groups/files; same orders the pruning compares with). */
+  private def wireLt(t: Char, a: String, b: String): Boolean = t match {
+    case 'l' => a.toLong < b.toLong
+    case 'd' => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
+    case _   => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
   }
 
   private def attrNameOf(e: Expression): Option[String] = e match {
@@ -1089,9 +1243,7 @@ object Scd1Merge {
             val nb = if (numBuckets > 0) numBuckets else DefaultNumBuckets
             val merged = merge(readTable(spark, tablePath), source, keys)
             val tmp = tablePath + ".tmp"
-            withBucket(merged, keys, nb)
-              .repartition(col(BucketCol))
-              .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+            stageWrite(withBucket(merged, keys, nb), tmp)
             val stats = timed("stats") { bucketStats(spark, tmp, keys ++ statsColumns) }
             val newEntries = adoptBucketDirs(tablePath, tmp, _ => 0)
             failpoint("before-manifest")
@@ -1103,9 +1255,7 @@ object Scd1Merge {
             // Initial create: empty dir (bar the lock).
             val nb = if (numBuckets > 0) numBuckets else DefaultNumBuckets
             val tmp = tablePath + ".tmp"
-            timed("create-write") { withBucket(source, keys, nb)
-              .repartition(col(BucketCol))
-              .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp) }
+            timed("create-write") { stageWrite(withBucket(source, keys, nb), tmp) }
             val stats = timed("stats") { bucketStats(spark, tmp, keys ++ statsColumns) }
             val newEntries = timed("adopt") { adoptBucketDirs(tablePath, tmp, _ => 0) }
             if (newEntries.isEmpty) {
@@ -1212,8 +1362,7 @@ object Scd1Merge {
       // without it every shuffle partition spills a sliver into every
       // bucket dir (partitions × buckets small files); with it each
       // bucket's data is co-located and lands as ~one file.
-      timed("merge-write") { merged.repartition(col(BucketCol))
-        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp) }
+      timed("merge-write") { stageWrite(merged, tmp) }
       touched.foreach { b =>
         if (!Files.exists(Paths.get(tmp, s"$BucketCol=$b")))
           // every touched bucket holds >=1 source row, so the merged
@@ -1263,9 +1412,7 @@ object Scd1Merge {
         sweepVersions(tablePath, manifest, retainVersions)
         val full = readTable(spark, tablePath)
         val tmp = tablePath + ".tmp"
-        withBucket(full, keys, newNumBuckets)
-          .repartition(col(BucketCol))
-          .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+        stageWrite(withBucket(full, keys, newNumBuckets), tmp)
         // full rewrite = full stats refresh: every previously-tracked
         // column (plus the keys) is re-ranged under the new bucketing —
         // a rebucket BACKFILLS stats declared after a bucket last wrote
@@ -1350,8 +1497,7 @@ object Scd1Merge {
               spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)
             .filter(!coalesce(predicate, lit(false)))
           val tmp = tablePath + ".tmp"
-          kept.repartition(col(BucketCol))
-            .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+          stageWrite(kept, tmp)
           // kept rows shrink ranges; recompute over whatever the table
           // was already tracking so pruning stays tight after deletes
           val tracked = (keys ++ manifest.stats.values.flatMap(_.keySet)).distinct
@@ -1409,8 +1555,7 @@ object Scd1Merge {
             .withColumn(BucketCol, lit(b)) }
         .reduce(_.unionByName(_, allowMissingColumns = true))
       val tmp = tablePath + ".tmp"
-      union.repartition(col(BucketCol))
-        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+      stageWrite(union, tmp)
       val newVersions = adoptBucketDirs(tablePath, tmp,
         b => versionOf(manifest.dirs(b)) + 1)
       failpoint("before-manifest")

@@ -28,6 +28,24 @@ object QueriesStream {
           keyCols = Seq("event_id"), maxFilesPerTrigger = Some(1))
         .orderBy(col("event_id"))
     }),
+    "stream_dedup_persistent" -> ((s, dir) => {
+      // PERSISTENT streaming dedup: same duplicated source as
+      // stream_dedup, but the seen-key state is the batch-stamped
+      // bucketed TABLE, not the checkpoint's private store — per
+      // micro-batch: in-batch dedup, anti-join the table, commit only
+      // new keys. foreachBatch retries are absorbed by the anti-join
+      // (the table is exactly-once under an at-least-once driver);
+      // StreamingSpec replays a batch to pin that.
+      val src = graft.Tmp.dir("graft_spdedup_src")
+      Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(src, "a.parquet"))
+      Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(src, "b.parquet"))
+      val out = graft.Tmp.dir("graft_spdedup_out") + "/seen"
+      val ckpt = graft.Tmp.dir("graft_spdedup_ckpt")
+      Streaming.runDedupPersistentAvailableNow(s, src, out, ckpt,
+          keyCols = Seq("event_id"), maxFilesPerTrigger = Some(1))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
     "stream_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization (30-min inactivity gap) over
       // the event stream — lag + running-sum windows per user.
@@ -196,6 +214,9 @@ object QueriesStream {
     "stream_sessionize_scale" -> SessionizeOracle,
     "j5c_asof_chunked" -> AsofPayloadOracle,
     "stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+         |FROM events ORDER BY event_id""".stripMargin,
+    "stream_dedup_persistent" ->
       """SELECT event_id, user_id, event_type, value
          |FROM events ORDER BY event_id""".stripMargin,
     "stream_sessionize" -> SessionizeOracle,

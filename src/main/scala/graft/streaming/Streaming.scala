@@ -128,6 +128,63 @@ object Streaming {
     }
   }
 
+  /** One micro-batch of the PERSISTENT streaming dedup sink: dedup
+    * within the batch, anti-join the persisted seen-key table, commit
+    * only genuinely-new keys through the batch-stamped protocol.
+    *
+    * This sink is IDEMPOTENT — `foreachBatch` is at-least-once (a batch
+    * re-runs after a failure), and a re-run's anti-join finds every key
+    * already present and commits nothing, so the TABLE is exactly-once.
+    * The append-file sink of [[runDedupAvailableNow]] can't say that: a
+    * retried batch appends its rows twice. The state is also not the
+    * checkpoint's private `dropDuplicates` store (unbounded, lost with
+    * the checkpoint): it's the readable, vacuumable seen-table that
+    * batch ingest ([[graft.queries.QueriesPipeline]] pipe8) shares. */
+  def dedupSinkBatch(spark: SparkSession, outPath: String, batch: DataFrame,
+                     keyCols: Seq[String], batchId: String,
+                     numBuckets: Int = 8): Unit = {
+    val uniq = batch.dropDuplicates(keyCols)
+    val exists = Scd1Merge.tableExists(outPath)
+    val fresh =
+      if (exists)
+        uniq.join(Scd1Merge.readTable(spark, outPath).select(keyCols.map(col): _*),
+          keyCols, "left_anti")
+      else uniq
+    // numBuckets sizes the CREATE only; later commits follow the manifest
+    Scd1Merge.upsert(spark, outPath, fresh, keyCols,
+      numBuckets = if (exists) 0 else numBuckets, batchId = batchId)
+  }
+
+  /** Streaming exact-dedup into a PERSISTED seen-key table: the
+    * streaming face of incremental corpus dedup ([[dedupSinkBatch]] per
+    * micro-batch). Survives restarts with a fresh checkpoint (the table
+    * is the state), tolerates foreachBatch retries (anti-join
+    * idempotence), and the output is immediately queryable through the
+    * same manifest protocol as every other table. */
+  def runDedupPersistentAvailableNow(spark: SparkSession, srcDir: String,
+                                     outPath: String, checkpointDir: String,
+                                     keyCols: Seq[String],
+                                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    withConfs(spark,
+        "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+        "spark.sql.shuffle.partitions" -> "8") {
+      val reader = spark.readStream.schema(EventsRawSchema)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val events = reader.parquet(srcDir)
+        .select("event_id", "user_id", "event_type", "value")
+      val q = events.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          dedupSinkBatch(spark, outPath, batch, keyCols, f"S$id%06d")
+        }
+        .start()
+      q.awaitTermination()
+      Scd1Merge.readTable(spark, outPath)
+    }
+  }
+
   /** Watermarked STREAM-STREAM inner join: views matched to purchases
     * by the same user within 1 hour. Both sides carry event-time
     * watermarks and the join condition bounds the time range, so the

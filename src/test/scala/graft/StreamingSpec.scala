@@ -107,6 +107,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(maxGroup <= 1000, s"6h chunks over 7 days must bound partitions: max=$maxGroup")
   }
 
+  test("persistent dedup sink: a replayed micro-batch commits nothing (exactly-once table)") {
+    import spark.implicits._
+    val out = Tmp.dir("pdedup_out") + "/seen"
+    val b1 = Seq((1L, 10L, "view", 1.0), (2L, 11L, "purchase", 2.0),
+        (1L, 10L, "view", 1.0)) // in-batch duplicate
+      .toDF("event_id", "user_id", "event_type", "value")
+    val b2 = Seq((2L, 11L, "purchase", 2.0), (3L, 12L, "view", 3.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    Streaming.dedupSinkBatch(spark, out, b1, Seq("event_id"), "S000001", numBuckets = 2)
+    Streaming.dedupSinkBatch(spark, out, b2, Seq("event_id"), "S000002")
+    val once = graft.merge.Scd1Merge.readTable(spark, out)
+    assert(once.count() == 3, "in-batch + cross-batch dups collapse")
+    // at-least-once driver: batch 2 re-runs after a "failure"
+    Streaming.dedupSinkBatch(spark, out, b2, Seq("event_id"), "S000002")
+    val twice = graft.merge.Scd1Merge.readTable(spark, out)
+    assert(twice.count() == 3, "a replayed batch must commit nothing")
+    assert(twice.filter(col("event_id") === 3L).count() == 1)
+  }
+
   test("streaming runs leave no session conf mutated (order-independence)") {
     val before = Seq("spark.sql.shuffle.partitions",
       "spark.sql.legacy.parquet.nanosAsLong",
