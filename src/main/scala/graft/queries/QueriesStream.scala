@@ -4,6 +4,7 @@ import graft.streaming.Streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Structured-Streaming surface as judged queries. The stream result
   * must equal the batch answer over the same files, so the DuckDB twin
@@ -45,6 +46,36 @@ object QueriesStream {
           keyCols = Seq("event_id"), maxFilesPerTrigger = Some(1))
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))
+    }),
+    "stream_incremental_agg" -> ((s, dir) => {
+      // STREAMING MATERIALIZED VIEW: per-user revenue maintained from
+      // the base table's change feed across 2 micro-batches — chunk A
+      // inserts the odd events, chunk B inserts the evens AND replays
+      // the %14==7 events with bumped cents (an UPDATE through the
+      // keyed base upsert). The aggregate moves by exactly the signed
+      // delta; the oracle recomputes from the final base state, so a
+      // double-counted update or missed preimage breaks the hash.
+      val src = graft.Tmp.dir("graft_sincagg_src")
+      val root = graft.Tmp.dir("graft_sincagg")
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val a = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+      val b = ev.filter(pmod(col("event_id"), lit(2)) === 0).unionByName(
+        ev.filter(pmod(col("event_id"), lit(14)) === 7)
+          .withColumn("cents", col("cents") + 100L))
+      stageChunk(a, src, "a")
+      stageChunk(b, src, "b")
+      Streaming.runIncrementalAggAvailableNow(s, src,
+          "event_id BIGINT, user_id BIGINT, cents BIGINT",
+          root + "/base", root + "/agg", graft.Tmp.dir("graft_sincagg_ckpt"),
+          baseKeys = Seq("event_id"),
+          spec = graft.pipeline.IncrementalAgg.AggSpec(
+            Seq("user_id"), Seq("cents" -> "sum_cents"), "n_events"),
+          maxFilesPerTrigger = Some(1))
+        .select(col("user_id"), col("sum_cents"), col("n_events"))
+        .orderBy(col("user_id"))
     }),
     "stream_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization (30-min inactivity gap) over
@@ -175,6 +206,21 @@ object QueriesStream {
     })
   )
 
+  /** Write `df` as ONE parquet file named `<name>.parquet` under
+    * `srcDir` — in-order chunk staging for the file-stream sources
+    * (later copies get later mtimes, and the name is the path-order
+    * tiebreak, so chunk order is deterministic). */
+  private def stageChunk(df: org.apache.spark.sql.DataFrame, srcDir: String,
+                         name: String): Unit = {
+    val tmp = graft.Tmp.dir(s"graft_chunk_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val f = Files.list(Paths.get(tmp)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+    Files.move(f, Paths.get(srcDir, s"$name.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private val SessionizeOracle =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
       |m AS (SELECT user_id, us,
@@ -219,6 +265,13 @@ object QueriesStream {
     "stream_dedup_persistent" ->
       """SELECT event_id, user_id, event_type, value
          |FROM events ORDER BY event_id""".stripMargin,
+    "stream_incremental_agg" ->
+      """WITH ev AS (SELECT event_id, user_id,
+         |    CAST(round(value * 100) AS BIGINT)
+         |      + CASE WHEN event_id % 14 = 7 THEN 100 ELSE 0 END AS cents
+         |  FROM events)
+         |SELECT user_id, sum(cents)::BIGINT AS sum_cents, count(*) AS n_events
+         |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_sessionize" -> SessionizeOracle,
     "j5_asof_join" ->
       """SELECT e.event_id, e.user_id, p.ts AS last_purchase_ts

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.merge.Scd1Merge
+import graft.pipeline.IncrementalAgg
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -182,6 +183,50 @@ object Streaming {
         .start()
       q.awaitTermination()
       Scd1Merge.readTable(spark, outPath)
+    }
+  }
+
+  /** Streaming MATERIALIZED VIEW: each micro-batch lands in the keyed
+    * base table through the stamped upsert, then the aggregate table is
+    * maintained from the base's CHANGE FEED
+    * ([[graft.pipeline.IncrementalAgg]]) — the base is never rescanned
+    * after bootstrap, and updates net out through the signed delta
+    * algebra (+new/−preimage), so a re-ingested key adjusts its group
+    * by exactly the difference.
+    *
+    * Exactly-once under foreachBatch's at-least-once contract: the
+    * base upsert is keyed (a replayed batch rewrites identical
+    * content), and the replay's change feed is all same-value updates,
+    * whose +new/−preimage deltas cancel to zero — the aggregate is
+    * unmoved. Both tables stay queryable mid-stream through their
+    * manifests. */
+  def runIncrementalAggAvailableNow(spark: SparkSession, srcDir: String,
+      schemaDDL: String, basePath: String, aggPath: String,
+      checkpointDir: String, baseKeys: Seq[String],
+      spec: graft.pipeline.IncrementalAgg.AggSpec, numBuckets: Int = 8,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
+      val reader = spark.readStream.schema(schemaDDL)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val rows = reader.parquet(srcDir)
+      val q = rows.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val exists = Scd1Merge.tableExists(basePath)
+          Scd1Merge.upsert(spark, basePath, batch, baseKeys,
+            numBuckets = if (exists) 0 else numBuckets, batchId = f"S$id%06d")
+          if (!Scd1Merge.tableExists(aggPath))
+            IncrementalAgg.bootstrap(spark, aggPath,
+              Scd1Merge.readTable(spark, basePath), spec,
+              numBuckets = numBuckets, batchId = f"S$id%06d")
+          else
+            IncrementalAgg.applyChanges(spark, aggPath, basePath, baseKeys, spec)
+        }
+        .start()
+      q.awaitTermination()
+      Scd1Merge.readTable(spark, aggPath)
     }
   }
 
