@@ -139,6 +139,25 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("windowspecdefinition(user_id") && p.contains("__chunk"),
       s"expected (user_id, __chunk) window partitioning:\n$p")
   }
+  test("decontaminate probes the benchmark gram set via a broadcast join") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"w$i x y z q r s t u v")).toDF("doc_id", "text")
+    val p = plan(graft.text.TextOps.decontaminate(
+      docs, docs.filter($"doc_id" === 1L), "doc_id", "text", n = 5))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast, not shuffle:\n$p")
+  }
+
+  test("packSequences has NO single-partition exchange (global cumsum via prefix sums)") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
+    val got = graft.text.TextOps.packSequences(docs, "doc_id", "text", budget = 64L)
+    val p = plan(got)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the running sum must not serialize through one partition:\n$p")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"the cumsum window must partition by __pid:\n$p")
+  }
   // (WholeStageCodegen placement of the native vec expressions is
   // already pinned in VectorExpressionsSpec.)
 }
