@@ -181,6 +181,13 @@ object QueriesLLM {
           "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
     }),
+    "text_mix_rebalance" -> ((s, dir) =>
+      // Corpus mixing to target language proportions over a
+      // half-corpus budget: per-stratum keep-rates derived from the
+      // stratum counts (integer-exact), sampled by md5 bucket.
+      TextOps.mixCorpus(table(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15))
+        .orderBy(col("doc_id"))),
     "text_pack_sequences" -> ((s, dir) =>
       // Token-budget sharding: global running token count over doc-id
       // order via per-partition prefix sums (no single-partition
@@ -597,6 +604,17 @@ object QueriesLLM {
          |SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
          |  coalesce(h.n_hits, 0) > 0 AS is_contaminated
          |FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_mix_rebalance" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |t AS (SELECT count(*) // 2 AS budget FROM documents),
+         |r AS (SELECT lang, least(100,
+         |    (CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 15 WHEN 'es' THEN 15
+         |               WHEN 'fr' THEN 15 WHEN 'zh' THEN 15 ELSE 0 END * budget) // cnt)::BIGINT AS rate
+         |  FROM c, t)
+         |SELECT d.doc_id, d.lang, r.rate
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < r.rate
+         |ORDER BY d.doc_id""".stripMargin,
     "text_pack_sequences" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
          |c AS (SELECT doc_id, n_tok,

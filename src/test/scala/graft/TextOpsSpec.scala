@@ -131,6 +131,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(r(3).getAs[Long]("n_hits") == 0L)
   }
 
+  test("mixCorpus derives integer-exact keep-rates, capping at availability") {
+    val docs = (1L to 100L).map(i => (i, if (i <= 80) "a" else "b"))
+      .toDF("doc_id", "stratum")
+    // budget = 50; rate_a = floor(50*50/80) = 31, rate_b = min(100, 125) = 100
+    val got = TextOps.mixCorpus(docs, "doc_id", "stratum", Map("a" -> 50, "b" -> 50))
+    val rates = got.select($"stratum", $"rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates == Map("a" -> 31L, "b" -> 100L))
+    assert(got.filter($"stratum" === "b").count() == 20, "capped stratum keeps all")
+    // deterministic: same rows every run
+    assertSameRows(got, TextOps.mixCorpus(docs, "doc_id", "stratum",
+      Map("a" -> 50, "b" -> 50)))
+    // unlisted strata get share 0 -> dropped
+    val none = TextOps.mixCorpus(docs, "doc_id", "stratum", Map("b" -> 100))
+    assert(none.filter($"stratum" === "a").isEmpty)
+  }
+
   test("packSequences matches the single-window running sum exactly") {
     import org.apache.spark.sql.expressions.Window
     val docs = (1L to 500L)
