@@ -419,4 +419,25 @@ object Dedup {
         coalesce(col("component"), col(idCol)).as("component"))
       .withColumn("is_survivor", col(idCol) === col("component"))
   }
+
+  /** QUALITY-AWARE survivor selection: per near-dup component keep the
+    * maximum-`quality` document (ties resolve to the minimum id) — the
+    * production policy when near-dups differ in extraction quality and
+    * "first crawled" is the wrong thing to keep. One struct-max agg per
+    * component ((quality, −id) compares field-wise, so the tie-break
+    * rides the same shuffle) plus a component-keyed equi-join —
+    * no window, no sort. */
+  def clusterSurvivorsBy(docs: DataFrame, pairs: DataFrame, idCol: String,
+                         quality: Column): DataFrame = {
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+    val tagged = docs.select(col(idCol), quality.cast("long").as("quality"))
+      .join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val best = tagged.groupBy(col("component"))
+      .agg(max(struct(col("quality"), (-col(idCol)).as("__negid"))).as("__best"))
+    tagged.join(best, "component")
+      .withColumn("is_survivor",
+        col("quality") === col("__best.quality") && col(idCol) === -col("__best.__negid"))
+      .select(col(idCol), col("component"), col("quality"), col("is_survivor"))
+  }
 }

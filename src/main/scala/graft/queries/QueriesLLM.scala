@@ -114,6 +114,19 @@ object QueriesLLM {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_quality_survivor" -> ((s, dir) => {
+      // Quality-aware cluster resolution: per component keep the
+      // LONGEST document (ties -> min id) instead of the min-id — the
+      // policy when near-dups differ in extraction quality. Same exact
+      // MinHash pair set as dedup_components; the oracle re-derives the
+      // components via recursive closure and picks survivors with a
+      // (quality DESC, id) window.
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minhashNearDup(docs, "doc_id", "text")
+      Dedup.clusterSurvivorsBy(docs, pairs, "doc_id", length(col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- text analysis -------------------------------------------------
     "text_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(table(s, dir, "documents"), "doc_id", "text")
@@ -467,6 +480,25 @@ object QueriesLLM {
          |       d.doc_id = coalesce(l.component, d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN lab l ON d.doc_id = l.n
          |ORDER BY d.doc_id""".stripMargin,
+    "dedup_quality_survivor" ->
+      s"""WITH RECURSIVE toks AS ($DocToks),
+         |sh AS (SELECT doc_id, ${shingles(3)} AS s FROM toks),
+         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+         |reach(n, m) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u),
+         |lab AS (SELECT n, min(m) AS component FROM reach GROUP BY n),
+         |t AS (SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
+         |        length(d.text)::BIGINT AS quality
+         |      FROM documents d LEFT JOIN lab l ON d.doc_id = l.n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY component
+         |        ORDER BY quality DESC, doc_id) AS rn FROM t)
+         |SELECT doc_id, component, quality, rn = 1 AS is_survivor
+         |FROM r ORDER BY doc_id""".stripMargin,
     "dedup_simhash_neardup" ->
       """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
          |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),

@@ -168,6 +168,19 @@ class DedupSpec extends SparkSpecBase {
       "a skew-free corpus must not warn")
   }
 
+  test("clusterSurvivorsBy keeps the max-quality doc per component, min id on ties") {
+    val docs = Seq(
+      (1L, "aa"), (2L, "aaaa"), (3L, "aaaa"), // cluster {1,2,3}: 2 wins (len 4, tie -> min id)
+      (9L, "solo")                            // singleton survives
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterSurvivorsBy(docs, pairs, "doc_id", length($"text"))
+      .orderBy($"doc_id").collect()
+    assert(got.map(r => r.getLong(0) -> r.getBoolean(3)).toSeq ==
+      Seq(1L -> false, 2L -> true, 3L -> false, 9L -> true))
+    assert(got.forall(r => if (r.getLong(0) == 9L) r.getLong(1) == 9L else r.getLong(1) == 1L))
+  }
+
   test("minhashNearDupIncremental equals the full run restricted to new-touching pairs") {
     val isNew = $"doc_id" >= 4L
     val cfg = Dedup.MinhashConfig(threshold = 0.5)
