@@ -149,10 +149,19 @@ object Dedup {
     *        pigeonhole guarantee intact. */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3, bands: Int = 4,
-                     warnBandDf: Int = 10000): DataFrame = {
+                     warnBandDf: Int = 10000): DataFrame =
+    simhashBandedPairs(graft.text.TextOps.simhash(docs, idCol, textCol),
+      idCol, maxHamming, bands, warnBandDf)
+
+  /** The band-join + exact-hamming-verify core over an (id, simhash)
+    * frame — shared by the token form above and the multimodal
+    * byte-chunk form. Same pigeonhole recall guarantee and skew
+    * tripwire. */
+  private[graft] def simhashBandedPairs(sh: DataFrame, idCol: String,
+                                        maxHamming: Int, bands: Int,
+                                        warnBandDf: Int): DataFrame = {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
     val width = graft.text.TextOps.SimhashBits / bands
-    val sh = graft.text.TextOps.simhash(docs, idCol, textCol)
     val bandKeys = array((0 until bands).map(b =>
       shiftright(col("simhash"), b * width).bitwiseAND(lit((1L << width) - 1))): _*)
     val banded = sh.select(col(idCol), posexplode(bandKeys))

@@ -70,6 +70,34 @@ object Multimodal {
         octet_length(col("col")).cast("long").as("frame_bytes"))
   }
 
+  /** MULTIMODAL NEAR-DUP: 60-bit SimHash over the payload's distinct
+    * byte-chunk bag (non-overlapping `chunkLen`-byte slices, compared
+    * through their hex dump — byte-exact on any content, no text
+    * assumption), banded with the same pigeonhole guarantee as the
+    * text form: any pair within `maxHamming` differing bits matches on
+    * at least one whole band, so recall is deterministic. This is the
+    * content-level dedup a media corpus runs BEFORE decode — byte-bag
+    * similarity catches re-encoded containers, truncated re-uploads,
+    * and metadata-stripped copies of the same payload without touching
+    * a codec (pixel-level perceptual hashing would slot into the same
+    * banding, downstream of [[decodeStub]]'s batch shape).
+    * Returns (id_a, id_b, hamming). */
+  def mediaSimhashNearDup(media: DataFrame, chunkLen: Int = 8,
+                          maxHamming: Int = 3, bands: Int = 4,
+                          warnBandDf: Int = 10000): DataFrame = {
+    val nChunks = (floor((col("meta.n_bytes") - 1) / chunkLen) + 1).cast("int")
+    // empty payload => sequence(0,-1) is the DESCENDING [0,-1]: guard
+    val idx = when(col("meta.n_bytes") > 0,
+      sequence(lit(0), nChunks - 1)).otherwise(array())
+    val chunkRows = media
+      .select(col("doc_id"), hex(col("payload")).as("__hex"), explode(idx).as("__i"))
+      .select(col("doc_id"),
+        col("__hex").substr(col("__i") * (chunkLen * 2) + 1, lit(chunkLen * 2)).as("__el"))
+      .distinct()
+    val sh = graft.text.TextOps.simhashOfRows(chunkRows, "doc_id", "__el")
+    graft.dedup.Dedup.simhashBandedPairs(sh, "doc_id", maxHamming, bands, warnBandDf)
+  }
+
   /** STUB RESIZE — a thumbnailer's access pattern on the opaque bytes:
     * downsample the payload to ≤ `targetBytes` by taking every
     * `stride`-th byte (stride = ceil(n/target); payloads already small

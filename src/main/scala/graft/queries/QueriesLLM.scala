@@ -383,6 +383,15 @@ object QueriesLLM {
       Multimodal.decodeStub(
           Multimodal.asMediaDataset(s, table(s, dir, "documents"), "doc_id", "text"))
         .toDF().orderBy(col("doc_id"))),
+    "mm_simhash_neardup" -> ((s, dir) =>
+      // Content-level media near-dup BEFORE decode: SimHash over the
+      // payload's distinct byte-chunk bag (hex-dump slicing — byte
+      // exact on any content), banded with guaranteed hamming<=3
+      // recall like the text form. Catches re-encoded/truncated/
+      // metadata-stripped copies without a codec.
+      Multimodal.mediaSimhashNearDup(
+          Multimodal.asMedia(table(s, dir, "documents"), "doc_id", "text"))
+        .orderBy(col("id_a"), col("id_b"))),
     "mm_resize" -> ((s, dir) =>
       // thumbnailer access pattern on opaque bytes: stride-downsample
       // each payload to <=64 bytes (resize-stub contract: binary in,
@@ -755,6 +764,22 @@ object QueriesLLM {
          |  coalesce(array_to_string([h[(i*stride)*2+1:(i*stride)*2+2]
          |    FOR i IN range(ceil(n / stride::DOUBLE)::BIGINT)], ''), '') AS thumb_hex
          |FROM p ORDER BY doc_id""".stripMargin,
+    "mm_simhash_neardup" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text))::BIGINT AS n FROM documents),
+         |ch AS (SELECT DISTINCT doc_id, hx[(i*16+1):(i*16+16)] AS el
+         |  FROM (SELECT doc_id, hx, unnest(range((n-1)//8 + 1)) AS i
+         |        FROM m WHERE n > 0)),
+         |hh AS (SELECT doc_id, ('0x' || substr(md5(el), 1, 15))::BIGINT AS h FROM ch),
+         |votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM hh, range(60) r(b) GROUP BY doc_id, b),
+         |sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS s
+         |  FROM votes GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    bit_count(xor(a.s, b.s))::BIGINT AS hamming
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "mm_props_json" ->
       """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_val
          |FROM events ORDER BY event_id""".stripMargin

@@ -299,16 +299,24 @@ object TextOps {
     * the doc id, partial-aggregated map-side.
     */
   val SimhashBits = 60
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = explode(array_distinct(tokens(col(textCol)))).as("tok")
-    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashOfRows(
+      docs.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("__el")),
+      idCol, "__el")
+
+  /** SimHash over arbitrary ELEMENT ROWS (id, element-string): the
+    * vote-fold core shared by the token form above and the multimodal
+    * byte-chunk form ([[graft.multimodal.Multimodal.mediaSimhash]]).
+    * One hash aggregation, map-side partial. */
+  def simhashOfRows(rows: DataFrame, idCol: String, elCol: String): DataFrame = {
+    val h = conv(substring(md5(col(elCol)), 1, 15), 16, 10).cast("long")
     val votes = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
     val bitsToLong = (0 until SimhashBits)
       .map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
       .reduce(_ + _)
-    docs.select(col(idCol), tok)
+    rows
       .withColumn("h", h)
       .groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)

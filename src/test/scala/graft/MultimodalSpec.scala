@@ -63,4 +63,27 @@ class MultimodalSpec extends SparkSpecBase {
     assert(o2 == 500L && s2 == 8L && t2 <= 64L, s"long payload must bound: $got")
     assert(got(3L) == ((0L, 1L, 0L)), "empty payload yields an empty thumb")
   }
+
+  test("mediaSimhashNearDup pairs identical and block-reordered payloads, not distinct ones") {
+    // 16 distinct 8-byte blocks; doc 3 carries the SAME blocks reordered
+    // — the re-muxed-container case: identical chunk bag => identical
+    // simhash => hamming 0, deterministically (no vote margins in play)
+    val blocks = (0 until 16).map(i => f"blk${i}%02dxx")
+    val base = blocks.mkString
+    val reordered = (blocks.drop(8) ++ blocks.take(8)).mkString
+    val docs = Seq(
+      (1L, base),
+      (2L, base),      // identical bytes -> hamming 0
+      (3L, reordered), // same chunk bag  -> hamming 0
+      (4L, "completely different content with nothing shared at all here xyz")
+    ).toDF("doc_id", "text")
+    val got = Multimodal.mediaSimhashNearDup(
+        Multimodal.asMedia(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming")).toMap
+    assert(got.get((1L, 2L)).contains(0L), s"identical payloads must pair at 0: $got")
+    assert(got.get((1L, 3L)).contains(0L) && got.get((2L, 3L)).contains(0L),
+      s"block-reordered payload (same chunk bag) must pair at 0: $got")
+    assert(!got.keySet.exists { case (a, b) => b == 4L || a == 4L },
+      s"distinct content must not pair: $got")
+  }
 }
