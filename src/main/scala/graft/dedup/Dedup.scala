@@ -230,6 +230,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT n-gram CONTAINMENT pairs — the asymmetric cousin of
+    * [[jaccardNearDup]]: containment(A→B) = |A∩B| / |A| ≥ threshold
+    * flags A as (near-)contained in B, which catches TRUNCATED COPIES
+    * (a 10%-length excerpt of B has Jaccard ≈ 0.1 against it — invisible
+    * to any symmetric threshold — but containment 1.0). Same
+    * inverted-index join and the same irreducible Σ df² cost as the
+    * Jaccard form; only the final division differs, so both directions
+    * of every sharing pair emit from ONE pass (id_small < id_big per
+    * row, each row carries both containments, filtered on either). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") / col("__sz_a")).as("containment_a_in_b"),
+        (col("__inter").cast("double") / col("__sz_b")).as("containment_b_in_a"))
+      .filter(col("containment_a_in_b") >= threshold ||
+        col("containment_b_in_a") >= threshold)
+  }
+
   /** Configuration for banded MinHash near-dup. With r=2, b=16 (k=32)
     * a J=0.8 pair is missed with prob (1-0.8^2)^16 ≈ 8e-8 while a
     * J=0.05 background pair becomes a candidate with prob ~0.4%.

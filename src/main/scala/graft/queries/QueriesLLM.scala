@@ -114,6 +114,14 @@ object QueriesLLM {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_containment" -> ((s, dir) =>
+      // Asymmetric containment |A∩B|/|A|: catches truncated copies a
+      // symmetric Jaccard threshold misses (a short excerpt of B has
+      // tiny Jaccard but containment ~1). Judged at 0.6 so the corpus
+      // yields both directions; exhaustive recall by construction.
+      Dedup.containmentPairs(table(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))),
     "dedup_quality_survivor" -> ((s, dir) => {
       // Quality-aware cluster resolution: per component keep the
       // LONGEST document (ties -> min id) instead of the min-id — the
@@ -489,6 +497,16 @@ object QueriesLLM {
          |       d.doc_id = coalesce(l.component, d.doc_id) AS is_survivor
          |FROM documents d LEFT JOIN lab l ON d.doc_id = l.n
          |ORDER BY d.doc_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH toks AS ($DocToks),
+         |sh AS (SELECT doc_id, ${shingles(3)} AS s FROM toks),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment_a_in_b,
+         |    len(list_intersect(a.s, b.s))::DOUBLE / len(b.s) AS containment_b_in_a
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, containment_a_in_b, containment_b_in_a FROM pairs
+         |WHERE containment_a_in_b >= 0.6 OR containment_b_in_a >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_quality_survivor" ->
       s"""WITH RECURSIVE toks AS ($DocToks),
          |sh AS (SELECT doc_id, ${shingles(3)} AS s FROM toks),

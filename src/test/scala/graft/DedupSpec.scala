@@ -168,6 +168,24 @@ class DedupSpec extends SparkSpecBase {
       "a skew-free corpus must not warn")
   }
 
+  test("containmentPairs flags a truncated copy that symmetric Jaccard misses") {
+    val full = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 8).map(i => s"w$i").mkString(" ") // first 20%
+    val docs = Seq((1L, excerpt), (2L, full),
+      (3L, "entirely unrelated words with zero shingle overlap anywhere at all"))
+      .toDF("doc_id", "text")
+    // excerpt: 6 trigrams, all inside full's 38 -> containment 1.0,
+    // Jaccard 6/38 = 0.158
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect()
+    assert(cont.length == 1)
+    assert(cont.head.getLong(0) == 1L && cont.head.getLong(1) == 2L)
+    assert(cont.head.getAs[Double]("containment_a_in_b") == 1.0)
+    assert(cont.head.getAs[Double]("containment_b_in_a") == 6.0 / 38.0)
+    assert(Dedup.jaccardNearDup(docs, "doc_id", "text", n = 3, threshold = 0.5).isEmpty,
+      "the same pair is invisible to a symmetric 0.5 threshold")
+  }
+
   test("clusterSurvivorsBy keeps the max-quality doc per component, min id on ties") {
     val docs = Seq(
       (1L, "aa"), (2L, "aaaa"), (3L, "aaaa"), // cluster {1,2,3}: 2 wins (len 4, tie -> min id)
