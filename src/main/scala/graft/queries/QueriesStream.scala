@@ -77,6 +77,24 @@ object QueriesStream {
         .select(col("user_id"), col("sum_cents"), col("n_events"))
         .orderBy(col("user_id"))
     }),
+    "w6_session_window" -> ((s, dir) => {
+      // Spark's NATIVE session_window operator (the built-in
+      // merge-on-gap aggregation the hand-rolled gaps-and-islands
+      // twins reproduce): 30-min gap sessions per user, one
+      // aggregation, mergeable session state. Window end = last event
+      // + gap and the boundary is END-EXCLUSIVE (an event exactly
+      // 30 min after the previous starts a NEW session) — the oracle
+      // mirrors both.
+      val ev = Streaming.withEventTime(
+        s.read.schema(Streaming.EventsRawSchema).parquet(s"$dir/events.parquet"))
+      ev.groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
     "stream_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization (30-min inactivity gap) over
       // the event stream — lag + running-sum windows per user.
@@ -265,6 +283,19 @@ object QueriesStream {
     "stream_dedup_persistent" ->
       """SELECT event_id, user_id, event_type, value
          |FROM events ORDER BY event_id""".stripMargin,
+    "w6_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |m AS (SELECT user_id, us,
+         |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+         |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+         |       THEN 1 ELSE 0 END AS ns FROM e),
+         |s AS (SELECT user_id, us,
+         |  (sum(ns) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING))::BIGINT AS sid FROM m)
+         |SELECT user_id, make_timestamp(min(us)) AS session_start,
+         |  make_timestamp(max(us) + 1800000000) AS session_end,
+         |  count(*) AS n_events
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
     "stream_incremental_agg" ->
       """WITH ev AS (SELECT event_id, user_id,
          |    CAST(round(value * 100) AS BIGINT)
