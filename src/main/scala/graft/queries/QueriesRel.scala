@@ -346,6 +346,22 @@ object QueriesRel {
         .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
         .orderBy(col("o_orderkey"))
     }),
+    "j9_range_join" -> ((s, dir) => {
+      // interval join via BIN-BUCKETED equi-join (RangeJoin.binned):
+      // orders matched to OVERLAPPING price bands — the naive theta
+      // join is O(|L|x|R|) nested-loop/cartesian; binning quantizes
+      // the value domain so only bin-colocated candidates materialize,
+      // shuffle-parallel like any equi-join, exact predicate re-check.
+      val bands = table(s, dir, "region").select(
+        col("r_regionkey").as("band_id"),
+        (col("r_regionkey") * 100000.0).as("lo"),
+        (col("r_regionkey") * 100000.0 + 150000.0).as("hi"))
+      graft.ops.RangeJoin.binned(
+          table(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", bands, "lo", "hi", binWidth = 50000.0)
+        .select(col("o_orderkey"), col("band_id"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"), col("band_id"))
+    }),
     "j6_semi_join" -> ((s, dir) =>
       // left-semi: customers with at least one open order — the EXISTS
       // shape (one shuffle, no row multiplication, left columns only)
@@ -692,6 +708,12 @@ object QueriesRel {
          |  instr(p_name, 'o')::INT AS first_o,
          |  length(p_name)::INT AS name_len
          |FROM part ORDER BY p_partkey""".stripMargin,
+    "j9_range_join" ->
+      """SELECT o.o_orderkey, r.r_regionkey AS band_id, o.o_totalprice
+         |FROM orders o JOIN region r
+         |  ON o.o_totalprice >= r.r_regionkey * 100000.0
+         | AND o.o_totalprice <  r.r_regionkey * 100000.0 + 150000.0
+         |ORDER BY o_orderkey, band_id""".stripMargin,
     "j8_bucketed_join" ->
       """SELECT o_orderkey, o_custkey, c_name
          |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -53,4 +53,27 @@ class RelOpsSpec extends SparkSpecBase {
     assert(RelOps.maxKeyScalar(df, "k", 7L) == 7L)
     assert(RelOps.maxKeyScalar(Seq((41L, "x")).toDF("k", "v"), "k", 7L) == 41L)
   }
+
+  test("RangeJoin.binned equals the naive theta join, boundaries included") {
+    import graft.ops.RangeJoin
+    // values straddle bin boundaries; intervals overlap, sit exactly on
+    // bin edges, and include v == lo (in) and v == hi (out) cases
+    val left = (0L to 400L by 7L).map(v => (v, v.toDouble)).toDF("id", "v")
+    val right = Seq(
+      (1L, 0.0, 100.0),    // bin-aligned
+      (2L, 50.0, 250.0),   // overlaps band 1, crosses bins
+      (3L, 99.0, 101.0),   // narrow, straddles a bin edge
+      (4L, 350.0, 350.0)   // empty interval [350, 350): matches nothing
+    ).toDF("band", "lo", "hi")
+    val got = RangeJoin.binned(left, "v", right, "lo", "hi", binWidth = 100.0)
+    val want = RangeJoin.naive(left, "v", right, "lo", "hi")
+    assertSameRows(got.orderBy($"id", $"band"), want.orderBy($"id", $"band"))
+    assert(got.filter($"band" === 4L).isEmpty)
+    assert(got.filter($"v" === 0.0 && $"band" === 1L).count() == 1, "v == lo is in")
+    assert(got.filter($"v" === 245.0 && $"band" === 2L).count() == 1)
+    // the bin join is an EQUI join — no nested-loop/cartesian operator
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"bin key must drive an equi-join:\n$plan")
+  }
 }
