@@ -107,6 +107,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(maxGroup <= 1000, s"6h chunks over 7 days must bound partitions: max=$maxGroup")
   }
 
+  test("native session_window sessions match the gaps-and-islands form") {
+    val ev = spark.read.schema(Streaming.EventsRawSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    val native = Streaming.withEventTime(ev)
+      .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+    val rolled = Streaming.sessionize(ev, gapMinutes = 30)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    // same sessions: identical (user, start, count) triples — ends
+    // differ by design (native end = last event + gap)
+    assertSameRows(native.orderBy(col("user_id"), col("session_start")),
+      rolled.orderBy(col("user_id"), col("session_start")))
+  }
+
   test("persistent dedup sink: a replayed micro-batch commits nothing (exactly-once table)") {
     import spark.implicits._
     val out = Tmp.dir("pdedup_out") + "/seen"
