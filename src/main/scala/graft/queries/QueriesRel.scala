@@ -346,6 +346,19 @@ object QueriesRel {
         .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
         .orderBy(col("o_orderkey"))
     }),
+    "j10_full_outer" -> ((s, dir) =>
+      // FULL OUTER: the reconciliation-join shape — BOTH null-extended
+      // legs provably fire (orders restricted to custkey > 300 vs
+      // customers <= 500: matched 301-500, order-side-unmatched > 500,
+      // customer-side-unmatched <= 300); one shuffle.
+      table(s, dir, "orders")
+        .filter(col("o_custkey") > 300)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(table(s, dir, "customer")
+            .filter(col("c_custkey") <= 500)
+            .select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"), "full_outer")
+        .orderBy(col("o_orderkey"), col("c_custkey"))),
     "j9_range_join" -> ((s, dir) => {
       // interval join via BIN-BUCKETED equi-join (RangeJoin.binned):
       // orders matched to OVERLAPPING price bands — the naive theta
@@ -708,6 +721,13 @@ object QueriesRel {
          |  instr(p_name, 'o')::INT AS first_o,
          |  length(p_name)::INT AS name_len
          |FROM part ORDER BY p_partkey""".stripMargin,
+    "j10_full_outer" ->
+      """SELECT o_orderkey, o_custkey, c_custkey, c_name
+         |FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey > 300) o
+         |FULL OUTER JOIN
+         |  (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500) c
+         |  ON o_custkey = c_custkey
+         |ORDER BY o_orderkey, c_custkey""".stripMargin,
     "j9_range_join" ->
       """SELECT o.o_orderkey, r.r_regionkey AS band_id, o.o_totalprice
          |FROM orders o JOIN region r
