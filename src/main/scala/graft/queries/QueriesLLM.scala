@@ -215,6 +215,13 @@ object QueriesLLM {
       // window); pack = floor(tokens-before / 512).
       TextOps.packSequences(table(s, dir, "documents"), "doc_id", "text", budget = 512L)
         .orderBy(col("doc_id"))),
+    "text_chunk_windows" -> ((s, dir) =>
+      // Overlapping character-window chunking (split-long-docs for a
+      // training context window): 200-char windows every 150 chars,
+      // chunk identity as md5 — one explode, no shuffle.
+      TextOps.chunkWindows(table(s, dir, "documents"), "doc_id", "text",
+          width = 200, stride = 150)
+        .orderBy(col("doc_id"), col("chunk_ix"))),
     "dedup_incremental_neardup" -> ((s, dir) =>
       // Incremental corpus dedup: banded candidates restricted to pairs
       // touching the "new batch" (doc_id ≡ 0 mod 5) — the corpus is
@@ -680,6 +687,14 @@ object QueriesLLM {
          |  sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
          |SELECT doc_id, n_tok, ((cum - n_tok) // 512)::BIGINT AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    "text_chunk_windows" ->
+      """WITH n AS (SELECT doc_id, text,
+         |    1 + (greatest(length(text) - 200, 0) + 149) // 150 AS nch FROM documents),
+         |e AS (SELECT doc_id, text, unnest(range(nch)) AS chunk_ix FROM n)
+         |SELECT doc_id, chunk_ix::BIGINT AS chunk_ix,
+         |  length(substr(text, (chunk_ix * 150 + 1)::INT, 200))::BIGINT AS chunk_len,
+         |  md5(substr(text, (chunk_ix * 150 + 1)::INT, 200)) AS chunk_md5
+         |FROM e ORDER BY doc_id, chunk_ix""".stripMargin,
     "dedup_incremental_neardup" ->
       s"""WITH toks AS ($DocToks),
          |sh AS (SELECT doc_id, ${shingles(3)} AS s FROM toks),

@@ -289,6 +289,35 @@ object TextOps {
         floor(($"__off" + $"__cum" - $"n_tok") / lit(budget)).cast("long").as("pack_id"))
   }
 
+  /** Overlapping character-window chunking — the split-long-documents
+    * step of training-shard assembly (fixed-size pieces for a context
+    * window; the overlap keeps boundary context in exactly one extra
+    * chunk). Windows of `width` chars every `stride` chars:
+    * `n = 1 + ceil(max(len − width, 0) / stride)` chunks, chunk i =
+    * `substr(text, i·stride + 1, width)` (the last may be short; a doc
+    * shorter than `width` is one whole-doc chunk). Offsets count
+    * CODEPOINTS — identical on any script in Spark and ANSI SQL.
+    * Chunk identity is carried as md5, so chunk-level exact dedup
+    * (the usual next step) is one hash-agg away without re-shipping
+    * chunk text.
+    *
+    * Scale shape: one codegen'd projection + explode, linear in output
+    * volume, NO shuffle — the chunk multiplier is bounded by
+    * len/stride per doc, never corpus-quadratic. */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   width: Int = 200, stride: Int = 150): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    val len = length(col(textCol))
+    val nChunks = (lit(1) +
+      floor((greatest(len - width, lit(0)) + (stride - 1)) / lit(stride))).cast("int")
+    val chunk = col(textCol).substr(col("__ix") * stride + 1, lit(width))
+    docs.select(col(idCol), col(textCol),
+        explode(sequence(lit(0), nChunks - 1)).as("__ix"))
+      .select(col(idCol), col("__ix").cast("long").as("chunk_ix"),
+        length(chunk).cast("long").as("chunk_len"),
+        md5(chunk).as("chunk_md5"))
+  }
+
   /** 60-bit SimHash over the distinct-token bag. Each token hashes to a
     * 60-bit value (15 hex chars of its MD5); bit j of the SimHash is 1
     * iff more tokens have bit j set than unset. 60 bits (not 64) keeps

@@ -168,4 +168,38 @@ class TextOpsSpec extends SparkSpecBase {
     assert(packs.length > 3)
     assert(packs.dropRight(1).forall(_.getAs[Long]("t") >= 64L - 17L))
   }
+
+  test("chunkWindows: boundaries, overlap, and codepoint (not byte) offsets") {
+    // codepoint-exact reference: slice by code points, md5 the UTF-8 bytes
+    def cpSub(s: String, start: Int, len: Int): String = {
+      val cps = s.codePoints().toArray
+      if (start >= cps.length) ""
+      else new String(cps, start, math.min(len, cps.length - start))
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val short = "ab"                      // < width: one whole-doc chunk
+    val exact = "x" * 10                  // == width: still one chunk
+    val two = "y" * 11                    // width+1: second chunk is the tail
+    val cjk = "世界" * 9          // 18 3-byte chars: byte math would misalign
+    val docs = Seq((1L, short), (2L, exact), (3L, two), (4L, cjk))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkWindows(docs, "doc_id", "text", width = 10, stride = 6)
+      .orderBy($"doc_id", $"chunk_ix")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = Seq((1L, short), (2L, exact), (3L, two), (4L, cjk)).flatMap {
+      case (id, s) =>
+        val len = s.codePoints().count().toInt
+        val n = 1 + math.ceil(math.max(len - 10, 0) / 6.0).toInt
+        (0 until n).map { i =>
+          val c = cpSub(s, i * 6, 10)
+          (id, i.toLong, c.codePoints().count(), md5hex(c))
+        }
+    }
+    assert(got.toSeq == want)
+    // adjacent chunks overlap by width - stride codepoints
+    assert(cpSub(two, 6, 10) == "y" * 5) // tail chunk shorter than width
+    assert(got.count(_._1 == 4L) == 3)   // 18 chars -> ceil(8/6)+1 = 3 chunks
+  }
 }
