@@ -158,6 +158,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("windowspecdefinition(__pid"),
       s"the cumsum window must partition by __pid:\n$p")
   }
+  test("chunkWindows is a pure scan->project->explode: NO exchange at all") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, "x" * 500)).toDF("doc_id", "text")
+    val got = graft.text.TextOps.chunkWindows(docs, "doc_id", "text")
+    val p = plan(got)
+    assert(!p.contains("Exchange"),
+      s"chunking must be shuffle-free (linear explode over the scan):\n$p")
+    assert(p.contains("Generate explode"), s"expected an explode Generate:\n$p")
+  }
+
   // (WholeStageCodegen placement of the native vec expressions is
   // already pinned in VectorExpressionsSpec.)
 }
