@@ -222,6 +222,13 @@ object QueriesLLM {
       TextOps.chunkWindows(table(s, dir, "documents"), "doc_id", "text",
           width = 200, stride = 150)
         .orderBy(col("doc_id"), col("chunk_ix"))),
+    "dedup_passage_boilerplate" -> ((s, dir) =>
+      // Chunk-level dedup: passages recurring across >=2 distinct
+      // documents (template/boilerplate text doc-level dedup misses) —
+      // one explode + one hash-agg on the chunk md5.
+      TextOps.boilerplatePassages(table(s, dir, "documents"), "doc_id", "text",
+          width = 200, minDocs = 2)
+        .orderBy(col("chunk_md5"))),
     "dedup_incremental_neardup" -> ((s, dir) =>
       // Incremental corpus dedup: banded candidates restricted to pairs
       // touching the "new batch" (doc_id ≡ 0 mod 5) — the corpus is
@@ -695,6 +702,15 @@ object QueriesLLM {
          |  length(substr(text, (chunk_ix * 150 + 1)::INT, 200))::BIGINT AS chunk_len,
          |  md5(substr(text, (chunk_ix * 150 + 1)::INT, 200)) AS chunk_md5
          |FROM e ORDER BY doc_id, chunk_ix""".stripMargin,
+    "dedup_passage_boilerplate" ->
+      """WITH n AS (SELECT doc_id, text,
+         |    1 + (greatest(length(text) - 200, 0) + 199) // 200 AS nch FROM documents),
+         |e AS (SELECT doc_id, text, unnest(range(nch)) AS chunk_ix FROM n),
+         |c AS (SELECT doc_id, md5(substr(text, (chunk_ix * 200 + 1)::INT, 200)) AS chunk_md5 FROM e)
+         |SELECT chunk_md5, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_occ, min(doc_id) AS first_doc
+         |FROM c GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_md5""".stripMargin,
     "dedup_incremental_neardup" ->
       s"""WITH toks AS ($DocToks),
          |sh AS (SELECT doc_id, ${shingles(3)} AS s FROM toks),

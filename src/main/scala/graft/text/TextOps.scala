@@ -318,6 +318,29 @@ object TextOps {
         md5(chunk).as("chunk_md5"))
   }
 
+  /** Cross-document boilerplate passage detection — chunk-level dedup,
+    * the repeated-passage filter of web-corpus pipelines (headers,
+    * licence blocks, navigation text recur across documents while the
+    * documents themselves are NOT near-dups; doc-level dedup can't see
+    * them). Non-overlapping `width`-char windows ([[chunkWindows]]
+    * with stride = width), grouped by chunk md5: a passage appearing
+    * in ≥ `minDocs` distinct documents is flagged with its document
+    * count, occurrence count, and first carrier.
+    *
+    * Scale shape: the chunk stream is linear in corpus size and the
+    * md5 group-by is ONE hash-agg (partial-aggregated map-side —
+    * uniform keys by construction, hot keys bounded by true
+    * boilerplate frequency and only ever counted, never join-fanned).
+    * No all-pairs anything. */
+  def boilerplatePassages(docs: DataFrame, idCol: String, textCol: String,
+                          width: Int = 200, minDocs: Int = 2): DataFrame =
+    chunkWindows(docs, idCol, textCol, width, stride = width)
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+
   /** 60-bit SimHash over the distinct-token bag. Each token hashes to a
     * 60-bit value (15 hex chars of its MD5); bit j of the SimHash is 1
     * iff more tokens have bit j set than unset. 60 bits (not 64) keeps

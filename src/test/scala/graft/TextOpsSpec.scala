@@ -202,4 +202,25 @@ class TextOpsSpec extends SparkSpecBase {
     assert(cpSub(two, 6, 10) == "y" * 5) // tail chunk shorter than width
     assert(got.count(_._1 == 4L) == 3)   // 18 chars -> ceil(8/6)+1 = 3 chunks
   }
+
+  test("boilerplatePassages flags the cross-doc passage, not unique text") {
+    val header = "A" * 10 // one full window of shared boilerplate
+    val docs = Seq(
+      (1L, header + "unique-one"),   // header chunk + unique tail chunk
+      (2L, header + "unique-twoo"),
+      (3L, header + "unique-3"),
+      (4L, "entirely original text") // no shared window
+    ).toDF("doc_id", "text")
+    val got = TextOps.boilerplatePassages(docs, "doc_id", "text",
+        width = 10, minDocs = 2)
+      .collect()
+    assert(got.length == 1) // only the header window recurs
+    val r = got.head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_occ") == 3L)
+    assert(r.getAs[Long]("first_doc") == 1L)
+    // raising the bar above the carrier count empties the result
+    assert(TextOps.boilerplatePassages(docs, "doc_id", "text",
+      width = 10, minDocs = 4).isEmpty)
+  }
 }
