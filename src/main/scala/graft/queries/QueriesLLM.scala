@@ -192,6 +192,13 @@ object QueriesLLM {
       // proxy): mean corpus token frequency + hapax count per doc.
       TextOps.rarityStats(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "text_perplexity" -> ((s, dir) =>
+      // Corpus-trained bigram-LM cross-entropy (the CCNet-style
+      // quality filter). Per-bigram log terms are quantized to integer
+      // micro-nats before the per-doc sum, so the doubles are
+      // partitioning- and libm-independent (TextOps Scaladoc).
+      TextOps.bigramCrossEntropy(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "text_decontaminate" -> ((s, dir) => {
       // Benchmark decontamination: docs sharing any 5-gram with the
       // deterministic "benchmark" subset (doc_id ≡ 0 mod 101) are
@@ -668,6 +675,20 @@ object QueriesLLM {
          |  sum(cnt)::DOUBLE / count(*) AS avg_tok_freq
          |FROM tok JOIN freq USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_perplexity" ->
+      s"""WITH toks AS ($DocToks),
+         |big AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+         |        FROM toks WHERE len(t) >= 2),
+         |cb AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+         |cu AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+         |v AS (SELECT count(DISTINCT tok) AS vs
+         |      FROM (SELECT unnest(t) AS tok FROM toks)),
+         |lp AS (SELECT doc_id,
+         |         CAST(round(-ln((c12 + 1.0) / (c1 + 1.0 * vs)) * 1e6) AS BIGINT) AS lpq
+         |       FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1), v)
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |  sum(lpq)::DOUBLE / count(*) / 1e6 AS xent
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       s"""WITH toks AS ($DocToks),
          |sh AS (SELECT doc_id, ${shingles(5)} AS s FROM toks),

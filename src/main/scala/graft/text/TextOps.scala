@@ -203,6 +203,53 @@ object TextOps {
         (col("sum_freq").cast("double") / col("n_tok")).as("avg_tok_freq"))
   }
 
+  /** Corpus-trained bigram-LM cross-entropy — the real (CCNet-style)
+    * perplexity quality filter, not the integer proxy ([[rarityStats]]):
+    * train add-k-smoothed bigram counts over the WHOLE corpus, then
+    * score each document by its mean negative log-probability
+    * `xent = -(1/N) Σ ln((c(w1,w2)+k) / (c(w1)+k·V))`. High-xent docs
+    * are garble, low-xent docs boilerplate — both filter targets.
+    *
+    * Float determinism: a raw double sum over bigrams would be
+    * partial-agg-order dependent AND libm-dependent (Spark's
+    * `Math.log` vs another engine's `std::log` differ in the last
+    * ulp). Each per-bigram log term is therefore quantized to integer
+    * micro-nats (`round(-ln(p)·1e6) AS BIGINT`) BEFORE the per-doc
+    * sum — integer addition is exactly commutative, so the result is
+    * partitioning-independent, and the 1e-6 grid absorbs sub-ulp libm
+    * disagreement. The one division at the end has exact integer
+    * operands.
+    *
+    * Scale shape, 100 TB: the bigram projection is a per-doc window
+    * (partitioned by doc id — no global window); the count-model
+    * tables are two hash-aggs over it, Zipf-small relative to the
+    * corpus; scoring is two equi-joins (the unigram side broadcasts
+    * under AQE) plus a 1-row vocabulary cross-join; the final agg is
+    * map-side-combinable integers. Documents with fewer than two
+    * tokens have no bigrams and are excluded (matching the oracle). */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                         k: Double = 1.0): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))))
+      .select(col(idCol), col("pos"), col("col").as("__w1"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val big = toks
+      .withColumn("__w2", lead(col("__w1"), 1).over(w))
+      .filter(col("__w2").isNotNull)
+      .select(col(idCol), col("__w1"), col("__w2"))
+    val cb = big.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
+    val cu = big.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = toks.agg(countDistinct(col("__w1")).as("__v"))
+    big.join(cb, Seq("__w1", "__w2")).join(cu, Seq("__w1")).crossJoin(vocab)
+      .select(col(idCol),
+        round(-log((col("__c12") + lit(k)) / (col("__c1") + lit(k) * col("__v"))) * lit(1e6))
+          .cast("long").as("__lpq"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lpq")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__s").cast("double") / col("n_bigrams") / lit(1e6)).as("xent"))
+  }
+
   /** Benchmark decontamination — the train/test-overlap gate every
     * training-data pipeline runs: flag documents sharing any word
     * n-gram with a benchmark/eval set. Candidate generation is an

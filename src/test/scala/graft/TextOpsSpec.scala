@@ -223,4 +223,21 @@ class TextOpsSpec extends SparkSpecBase {
     assert(TextOps.boilerplatePassages(docs, "doc_id", "text",
       width = 10, minDocs = 4).isEmpty)
   }
+
+  test("bigramCrossEntropy matches the hand-computed add-1 model") {
+    import spark.implicits._
+    // corpus: "a b a b", "a b", "c" -> c(a,b)=3, c(b,a)=1,
+    // prefix counts a=3, b=1, vocab {a,b,c} -> V=3
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val got = TextOps.bigramCrossEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val lpAB = math.round(-math.log((3 + 1.0) / (3 + 3.0)) * 1e6) // micro-nats
+    val lpBA = math.round(-math.log((1 + 1.0) / (1 + 3.0)) * 1e6)
+    // doc 3 has no bigrams and is excluded
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(got(0).getAs[Long]("n_bigrams") == 3L)
+    assert(got(0).getAs[Double]("xent") == (2 * lpAB + lpBA).toDouble / 3 / 1e6)
+    assert(got(1).getAs[Long]("n_bigrams") == 1L)
+    assert(got(1).getAs[Double]("xent") == lpAB.toDouble / 1 / 1e6)
+  }
 }
