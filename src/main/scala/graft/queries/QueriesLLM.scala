@@ -199,6 +199,12 @@ object QueriesLLM {
       // partitioning- and libm-independent (TextOps Scaladoc).
       TextOps.bigramCrossEntropy(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "text_bm25_topk" -> ((s, dir) =>
+      // Keyword search: BM25 top-20 for a 3-term query, micro-unit-
+      // quantized scores, id tie-break (total order both engines).
+      TextOps.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "merge", "spark"), k = 20)
+        .orderBy(col("score").desc, col("doc_id"))),
     "text_decontaminate" -> ((s, dir) => {
       // Benchmark decontamination: docs sharing any 5-gram with the
       // deterministic "benchmark" subset (doc_id ≡ 0 mod 101) are
@@ -689,6 +695,23 @@ object QueriesLLM {
          |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
          |  sum(lpq)::DOUBLE / count(*) / 1e6 AS xent
          |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bm25_topk" ->
+      s"""WITH toks AS ($DocToks),
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |dl AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n_docs, sum(dlen) AS tot FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+         |       WHERE tok IN ('vector', 'merge', 'spark') GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |sc AS (SELECT doc_id, CAST(round(
+         |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |         ((tf * (1.2 + 1.0)) /
+         |          (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / (tot::DOUBLE / n_docs)))) * 1e6)
+         |       AS BIGINT) AS s
+         |       FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), st)
+         |SELECT doc_id, sum(s)::DOUBLE / 1e6 AS score
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "text_decontaminate" ->
       s"""WITH toks AS ($DocToks),
          |sh AS (SELECT doc_id, ${shingles(5)} AS s FROM toks),

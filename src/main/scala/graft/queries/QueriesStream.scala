@@ -95,6 +95,20 @@ object QueriesStream {
           col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
     }),
+    "a15_funnel" -> ((s, dir) => {
+      // Ordered funnel view -> click -> purchase: per-user earliest
+      // strictly-after step times + furthest stage, via stacked
+      // conditional window-mins over ONE user partitioning (Funnel
+      // Scaladoc). Exact integer µs both sides (DuckDB truncates
+      // ns-parquet to µs — the events-table convention).
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("ts div 1000"))
+      graft.ops.Funnel.funnel(ev, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     "stream_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization (30-min inactivity gap) over
       // the event stream — lag + running-sum windows per user.
@@ -263,6 +277,26 @@ object QueriesStream {
       |ORDER BY e.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a15_funnel" ->
+      """WITH t1 AS (SELECT user_id,
+         |    min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS ts_view
+         |  FROM events GROUP BY user_id),
+         |t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS ts_click
+         |  FROM events e JOIN t1 USING (user_id)
+         |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.ts_view
+         |  GROUP BY e.user_id),
+         |t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS ts_purchase
+         |  FROM events e JOIN t2 USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.ts_click
+         |  GROUP BY e.user_id)
+         |SELECT u.user_id, t1.ts_view, t2.ts_click, t3.ts_purchase,
+         |  (CASE WHEN t1.ts_view IS NOT NULL THEN 1 ELSE 0 END
+         |   + CASE WHEN t2.ts_click IS NOT NULL THEN 1 ELSE 0 END
+         |   + CASE WHEN t3.ts_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stage
+         |FROM (SELECT DISTINCT user_id FROM events) u
+         |LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+         |LEFT JOIN t3 USING (user_id)
+         |ORDER BY u.user_id""".stripMargin,
     "stream_stream_join" ->
       """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
          |  v.ts AS view_ts, p.ts AS purchase_ts

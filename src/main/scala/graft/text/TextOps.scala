@@ -250,6 +250,46 @@ object TextOps {
         (col("__s").cast("double") / col("n_bigrams") / lit(1e6)).as("xent"))
   }
 
+  /** BM25 top-k retrieval (Lucene/Okapi scoring) for a literal term
+    * query over the corpus — the classic keyword-search ranking:
+    * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf(t) = ln(1 + (N−df+0.5)/(df+0.5))`.
+    *
+    * Same float-determinism discipline as [[bigramCrossEntropy]]: each
+    * per-term score quantizes to integer micro-units before the
+    * per-doc sum, and every double expression is structured
+    * identically to the oracle so the single final division is over
+    * exact integers. Ranking ties break on the id column, so the
+    * top-k set is total-order deterministic.
+    *
+    * Scale shape, 100 TB: token stream filtered to the query terms
+    * BEFORE any aggregation (the tf table is query-sized, not
+    * corpus-sized); doc lengths are one map-side-combinable agg;
+    * corpus stats ride a 1-row cross-join; the final top-k is
+    * `orderBy.limit` = TakeOrdered (per-partition heaps + driver
+    * merge of k rows, no global sort shuffle). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("__dlen"))
+    val stats = dl.agg(count(lit(1)).as("__n_docs"), sum(col("__dlen")).as("__tot"))
+    val tf = tok.filter(col("__tok").isin(terms: _*))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val avgdl = col("__tot").cast("double") / col("__n_docs")
+    val idf = log((col("__n_docs") - col("__df") + lit(0.5)) /
+      (col("__df") + lit(0.5)) + lit(1.0))
+    val tfPart = (col("__tf") * (lit(k1) + lit(1.0))) /
+      (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dlen") / avgdl))
+    tf.join(dfreq, Seq("__tok")).join(dl, Seq(idCol)).crossJoin(stats)
+      .select(col(idCol), round(idf * tfPart * lit(1e6)).cast("long").as("__s"))
+      .groupBy(col(idCol))
+      .agg((sum(col("__s")).cast("double") / lit(1e6)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Benchmark decontamination — the train/test-overlap gate every
     * training-data pipeline runs: flag documents sharing any word
     * n-gram with a benchmark/eval set. Candidate generation is an

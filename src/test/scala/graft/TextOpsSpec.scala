@@ -240,4 +240,20 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got(1).getAs[Long]("n_bigrams") == 1L)
     assert(got(1).getAs[Double]("xent") == lpAB.toDouble / 1 / 1e6)
   }
+
+  test("bm25TopK ranks by tf, penalizes length, caps at k") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x y"),              // highest tf, short
+      (2L, "x y y y"),              // tf=1, same length
+      (3L, "x " + ("y " * 40).trim), // tf=1, long (length-penalized)
+      (4L, "y y y y")               // no hit -> absent
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, "doc_id", "text", Seq("x"), k = 3).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    val sc = got.map(_.getAs[Double]("score"))
+    assert(sc(0) > sc(1) && sc(1) > sc(2))
+    assert(TextOps.bm25TopK(docs, "doc_id", "text", Seq("x"), k = 2)
+      .count() == 2)
+  }
 }
