@@ -90,4 +90,30 @@ object RelOps {
 
   /** P7 — column drop (ref: gold_dim_branch.py:146). */
   def dropCols(df: DataFrame, cols: String*): DataFrame = df.drop(cols: _*)
+
+  /** Salted equi-join — the manual skew-breaker for a hot-keyed LEFT
+    * side joining a right side too big to broadcast: the left salts by
+    * a deterministic hash of `saltOn` (any unique-ish column), the
+    * right replicates every row across all `salts`, and the join key
+    * grows by the salt — so one hot key's rows spread over `salts`
+    * shuffle partitions instead of one straggler task. Semantics are
+    * exactly the unsalted join for `inner`/`left`/`left_semi` (each
+    * left row carries ONE salt and meets the full right side there);
+    * right/full-outer would multiply unmatched right rows and is
+    * rejected. Cost: right side ×salts — the standard trade.
+    *
+    * At 100 TB prefer AQE's skew-join split when it applies (sort-merge
+    * post-shuffle); this operator is the plan-stable fallback AND the
+    * only option when the skewed agg/join shape AQE won't rewrite
+    * (e.g. a broadcast-ineligible hot-key join feeding a window). */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     saltOn: Column, salts: Int = 16,
+                     joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer", "left_semi").contains(joinType),
+      s"salted join undefined for $joinType (right rows are replicated)")
+    val l = left.withColumn("__salt", pmod(hash(saltOn), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -340,6 +340,27 @@ object QueriesLLM {
           (col("n_hits").cast("double") / col("n_exact")).as("recall"))
     }),
 
+    "sim_pq_recall" -> ((s, dir) => {
+      // Product-quantization ADC (the memory-scale ANN path: 64 floats
+      // -> 4 codes; the scan never touches vectors): recall@5 of the
+      // 4×16 codebook with 4k-candidate exact re-rank, hash-pinned
+      // like sim_ivf_recall — deterministic seeding + quantized Lloyd
+      // + quantized approx distances.
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 50)
+      val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
+        .select(col("query_id"), col("vec_id"))
+      val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding", K,
+          m = 8, ksub = 16, iters = 2, dim = 64, candFactor = 8)
+        .select(col("query_id"), col("vec_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(pq.intersect(exact).agg(count(lit(1)).as("n_hits")))
+        .select(lit(8L).as("m"), lit(16L).as("ksub"),
+          lit(50L).as("n_queries"), lit(K.toLong).as("k"),
+          col("n_exact"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+    }),
+
     "a6_count_distinct" -> ((s, dir) =>
       // exact distinct-aggregate (Expand-based two-phase plan)
       table(s, dir, "orders")
@@ -802,6 +823,16 @@ object QueriesLLM {
          |  50::BIGINT AS n_queries, 5::BIGINT AS k,
          |  250::BIGINT AS n_exact, 174::BIGINT AS n_hits,
          |  174 / 250.0 AS recall""".stripMargin,
+    // PINNED literal (see SparkEntry.pinnedOracles): PQ-ADC recall@5,
+    // 8×16 codebook, 40-candidate exact re-rank (0.708 ~ IVF's 0.696
+    // at 1/8 the stored bytes) — deterministic seeding, 1e-6-quantized
+    // Lloyd means, 1e-9-quantized ADC distances make the pin
+    // partition-order/core-count independent; ApproxSpec floors it.
+    "sim_pq_recall" ->
+      """SELECT 8::BIGINT AS m, 16::BIGINT AS ksub,
+         |  50::BIGINT AS n_queries, 5::BIGINT AS k,
+         |  250::BIGINT AS n_exact, 177::BIGINT AS n_hits,
+         |  177 / 250.0 AS recall""".stripMargin,
     "sql_vec_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,

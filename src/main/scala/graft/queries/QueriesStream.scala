@@ -118,6 +118,24 @@ object QueriesStream {
       Streaming.sessionize(ev, gapMinutes = 30)
         .orderBy(col("user_id"), col("session_id"))
     }),
+    "j11_skew_salted" -> ((s, dir) => {
+      // Salted skew join (RelOps.saltedEquiJoin): events (hot-key left)
+      // ⟕ customer replicated across 16 salts, then a per-segment
+      // rollup. Content must equal the plain unsalted left join — the
+      // oracle derives it that way; user 0 has no customer row, so the
+      // null-extended leg provably fires.
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"))
+      val c = graft.Tables.table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("seg"))
+      graft.ops.RelOps.saltedEquiJoin(ev, c, Seq("user_id"),
+          saltOn = col("event_id"), salts = 16, joinType = "left")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("seg"))
+    }),
     "j5_asof_join" -> ((s, dir) => {
       // as-of join: each event matched to the latest purchase by the
       // same user at or before its timestamp — one union + one window
@@ -277,6 +295,11 @@ object QueriesStream {
       |ORDER BY e.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "j11_skew_salted" ->
+      """SELECT c.c_mktsegment AS seg, count(*) AS n_events,
+         |  count(DISTINCT e.user_id) AS n_users
+         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a15_funnel" ->
       """WITH t1 AS (SELECT user_id,
          |    min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS ts_view

@@ -264,6 +264,106 @@ object Similarity {
     exactRerank(corpus, queries, idCol, vecCol, cands, k)
   }
 
+  // ---- product quantization ------------------------------------------
+
+  /** Nearest-codeword assignment in ONE subspace, L2 metric (PQ is a
+    * Euclidean quantizer): explode the plan-literal codebook, score
+    * `‖v‖² + ‖c‖² − 2·v·c` with the native fold, keep the argmin via a
+    * struct-min agg (ties → lowest code — deterministic). */
+  private def l2Assign(df: DataFrame, idCol: String, svCol: String,
+                       cents: Array[Seq[Float]]): DataFrame =
+    df.select(col(idCol), posexplode(centroidCol(cents)), col(svCol))
+      .select(col(idCol), col("pos"),
+        (norm2(col(svCol)) + norm2(col("col"))
+          - lit(2.0) * dot(col(svCol), col("col"))).as("__d2"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__d2"), col("pos"))).as("__best"))
+      .select(col(idCol), col("__best.pos").as("__code"))
+
+  /** Deterministic PQ codebook training: split `dim` into `m`
+    * subspaces of dim/m, and k-means each independently (seed = the
+    * ksub lowest-id subvectors; Lloyd means 1e-6-quantized exactly as
+    * [[ivfTrain]] — same partial-agg-noise argument). Driver state is
+    * O(m × ksub × dim/m) = one codebook matrix, KBs. At 100 TB train
+    * on a sample; encoding (below) is the full-corpus pass. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int, iters: Int, dim: Int): Array[Array[Seq[Float]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    (0 until m).toArray.map { sub =>
+      val sv = corpus.select(col(idCol),
+        slice(col(vecCol), sub * dsub + 1, dsub).as("__sv"))
+      var cents: Array[Seq[Float]] = sv.orderBy(col(idCol)).limit(ksub)
+        .collect().map(_.getSeq[Float](1))
+      for (_ <- 0 until iters) {
+        val means = l2Assign(sv, idCol, "__sv", cents)
+          .join(sv, idCol)
+          .select(col("__code"), posexplode(col("__sv")))
+          .groupBy(col("__code"), col("pos"))
+          .agg(avg(col("col").cast("double")).as("__m"))
+          .collect()
+        val next = cents.map(_.toArray)
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) =
+          (math.rint(r.getDouble(2) * 1e6) / 1e6).toFloat)
+        cents = next.map(_.toSeq)
+      }
+      cents
+    }
+  }
+
+  /** PQ-encode the corpus: per vector, the argmin codeword id in each
+    * subspace — m narrow explode→agg passes over slices, all codegen'd,
+    * output m short rows per vector (the inverted-code layout the ADC
+    * join consumes). 64 floats compress to m codes — the 100 TB play:
+    * the scan phase never touches the original vectors. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Seq[Float]]], dim: Int): DataFrame = {
+    val m = books.length
+    val dsub = dim / m
+    (0 until m).map { sub =>
+      l2Assign(corpus.select(col(idCol),
+          slice(col(vecCol), sub * dsub + 1, dsub).as("__sv")),
+        idCol, "__sv", books(sub))
+        .select(col(idCol).as("vec_id"), lit(sub).as("sub"),
+          col("__code").as("code"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query
+    * precomputes its distance table d²(q_sub, codeword) for every
+    * (subspace, codeword) — a q×m×ksub broadcast — and the scan is a
+    * broadcast equi-join on (sub, code) against the corpus codes plus
+    * a map-side-combinable per-(query, vector) sum. Approx distances
+    * are 1e-9-quantized to longs so candidate ranking is partial-agg-
+    * order independent; the top `candFactor·k` approx candidates per
+    * query are exact-cosine re-ranked ([[exactRerank]]). Corpus-side
+    * work is m code rows per vector — no vector data moves until the
+    * rerank, and the rerank touches only candidates. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, m: Int = 4, ksub: Int = 16, iters: Int = 2, dim: Int = 64,
+             candFactor: Int = 4): DataFrame = {
+    val books = pqTrain(corpus, idCol, vecCol, m, ksub, iters, dim)
+    val dsub = dim / m
+    val codes = pqEncode(corpus, idCol, vecCol, books, dim)
+    val dt = (0 until m).map { sub =>
+      queries.select(col(idCol).as("query_id"),
+          slice(col(vecCol), sub * dsub + 1, dsub).as("__sv"))
+        .select(col("query_id"), posexplode(centroidCol(books(sub))), col("__sv"))
+        .select(col("query_id"), lit(sub).as("sub"), col("pos").as("code"),
+          (norm2(col("__sv")) + norm2(col("col"))
+            - lit(2.0) * dot(col("__sv"), col("col"))).as("__d2"))
+    }.reduce(_ unionByName _)
+    val approx = codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("__d2")) * lit(1e9)).cast("long").as("__adq"))
+    val cands = topKPerKey(approx, col("query_id"),
+        Seq(col("__adq").asc, col("vec_id").asc), k * candFactor,
+        saltOn = col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(corpus, queries, idCol, vecCol, cands, k)
+  }
+
   /** MULTIPROBE [[annTopK]]: each query probes its own bucket PLUS
     * every Hamming-distance-1 neighbor (one sign bit flipped) in each
     * table — `bits + 1` probes per (query, table). The standard trick

@@ -76,4 +76,27 @@ class RelOpsSpec extends SparkSpecBase {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"bin key must drive an equi-join:\n$plan")
   }
+
+  test("saltedEquiJoin equals the unsalted join and actually spreads the hot key") {
+    import spark.implicits._
+    import graft.ops.RelOps
+    // key 7 is hot: 500 of 520 left rows
+    val left = spark.range(0, 500).select(col("id"), lit(7L).as("k"))
+      .unionByName(spark.range(500, 520).select(col("id"), (col("id") % 5).as("k")))
+    val right = Seq((7L, "hot"), (1L, "one"), (2L, "two")).toDF("k", "v")
+    for (jt <- Seq("inner", "left")) {
+      val got = RelOps.saltedEquiJoin(left, right, Seq("k"),
+        saltOn = col("id"), salts = 8, joinType = jt)
+      val want = left.join(right, Seq("k"), jt)
+      assertSameRows(got.orderBy("id"), want.orderBy("id"))
+    }
+    // the hot key's left rows really occupy many salt values
+    val nSalts = left.filter($"k" === 7L)
+      .select(pmod(hash(col("id")), lit(8)).as("s")).distinct().count()
+    assert(nSalts == 8, s"hot key spread over $nSalts salts, want all 8")
+    // replication is rejected where it would break semantics
+    intercept[IllegalArgumentException] {
+      RelOps.saltedEquiJoin(left, right, Seq("k"), col("id"), 8, "full_outer")
+    }
+  }
 }

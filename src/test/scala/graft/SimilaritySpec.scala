@@ -83,4 +83,32 @@ class SimilaritySpec extends SparkSpecBase {
       tables = 8, bits = 4, dim = 64).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "candidate join must be an equi-join")
   }
+
+  test("pqEncode emits one in-range code per (vector, subspace)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 1, dim = 64)
+    assert(books.length == 4 && books.forall(_.length == 8)
+      && books.forall(_.forall(_.length == 16)))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books, dim = 64)
+    val n = emb.count()
+    assert(codes.count() == 4 * n)
+    assert(codes.groupBy($"vec_id").count().filter($"count" =!= 4).isEmpty)
+    assert(codes.filter($"code" < 0 || $"code" >= 8).isEmpty)
+  }
+
+  test("pqTopK surfaces an exact duplicate at rank 1 (rerank is exact)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // plant an exact clone of vector 3 under a fresh id
+    val clone = emb.filter($"vec_id" === 3)
+      .select(lit(900000L).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.unionByName(clone)
+    val q = emb.filter($"vec_id" === 3)
+    val top = Similarity.pqTopK(corpus, q, "vec_id", "embedding", 5,
+        m = 8, ksub = 16, iters = 2, dim = 64, candFactor = 8)
+      .filter($"rank" === 1).collect()
+    assert(top.length == 1)
+    assert(top.head.getAs[Long]("vec_id") == 900000L)
+    assert(math.abs(top.head.getAs[Double]("cos_sim") - 1.0) < 1e-12)
+  }
 }
