@@ -438,6 +438,17 @@ object Scd1Merge {
     df.repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
 
+  /** [[stageWrite]] with a within-bucket sort: buckets may share a
+    * shuffle partition, so the sort leads with the bucket id — each
+    * written file (one per bucket value via partitionBy) comes out
+    * ordered by `sortExprs`, which is what tightens its parquet
+    * row-group stats. */
+  private def stageWriteSorted(df: DataFrame, sortExprs: Seq[Column],
+                               tmp: String): Unit =
+    df.repartition(col(BucketCol))
+      .sortWithinPartitions(col(BucketCol) +: sortExprs: _*)
+      .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
+
   /** Footer statistics → the stats wire domain ([[statValue]] parity):
     * 'l' integers (dates epoch-days, timestamps epoch-micros), 'd'
     * decimal strings, 's' UTF-8 strings. None = unsupported, treated as
@@ -1432,6 +1443,61 @@ object Scd1Merge {
         sweepVersions(tablePath, committed, retainVersions)
         deleteRecursively(Paths.get(tmp))
       }
+    }
+  }
+
+  /** Within-bucket CLUSTERING maintenance — Delta `OPTIMIZE ZORDER BY`
+    * re-expressed for the hash-bucketed layout. Bucket ASSIGNMENT stays
+    * the key hash (upsert locality is untouched), but each bucket's
+    * rows are rewritten sorted by `sortCols` — multi-column sorts can
+    * interleave via a Morton code ([[graft.store.ZOrder]]) so EVERY
+    * clustering column gets locality, not just the leading one. The
+    * payoff is the pruning level BELOW the manifest: bucket-level
+    * min/max on a non-key column cannot prune (the key hash scatters
+    * every column's domain across all buckets), but within a sorted
+    * bucket each parquet ROW GROUP covers a narrow range, so a pushed
+    * range predicate skips most of the bucket's bytes from footer
+    * stats alone. One full-rewrite commit through the standard
+    * protocol (locked, lease-refreshed, crash-safe, history-retained);
+    * stats refresh for all tracked columns and start tracking the
+    * clustering columns. O(table) like [[rebucket]] — schedule it like
+    * a compaction, e.g. after N merge commits dilute the clustering.
+    *
+    * @param zOrderBits >0 with 2+ sortCols sorts by the interleaved
+    *        Morton code at that per-column bit depth; 0 sorts
+    *        lexicographically. */
+  def recluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
+                zOrderBits: Int = 0,
+                retainVersions: Int = DefaultRetainVersions): Unit = {
+    require(sortCols.nonEmpty, "recluster needs at least one clustering column")
+    if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
+      s"recluster: $tablePath has no manifest (not a committed bucketed table)")
+    withLock(tablePath) { leaseId =>
+      val manifest = readManifest(tablePath).get
+      require(manifest.keys.nonEmpty,
+        s"recluster: $tablePath manifest predates key tracking — run one upsert first")
+      sweepVersions(tablePath, manifest, retainVersions)
+      val full = readTable(spark, tablePath)
+      val sortExprs =
+        if (zOrderBits > 0 && sortCols.size > 1)
+          Seq(graft.store.ZOrder.zvalue(full, sortCols, zOrderBits))
+        else sortCols.map(col)
+      val tmp = tablePath + ".tmp"
+      stageWriteSorted(withBucket(full, manifest.keys, manifest.numBuckets),
+        sortExprs, tmp)
+      val tracked =
+        (manifest.keys ++ manifest.stats.values.flatMap(_.keySet) ++ sortCols).distinct
+      val stats = timed("stats") { bucketStats(spark, tmp, tracked) }
+      val newVersions = adoptBucketDirs(tablePath, tmp,
+        b => nextVersion(tablePath, manifest, b))
+      failpoint("before-manifest")
+      refreshLease(tablePath, leaseId)
+      val committed = commitManifest(tablePath,
+        Manifest(manifest.numBuckets, newVersions, stats = stats,
+          keys = manifest.keys, batch = manifest.batch))
+      failpoint("after-manifest")
+      sweepVersions(tablePath, committed, retainVersions)
+      deleteRecursively(Paths.get(tmp))
     }
   }
 

@@ -263,6 +263,31 @@ object QueriesPipeline {
           max(col("l_extendedprice")).as("max_price"))
     }),
 
+    "s23_recluster" -> ((s, dir) => {
+      // WITHIN-BUCKET Z-ORDER MAINTENANCE (Delta OPTIMIZE ZORDER BY
+      // over the hash-bucketed layout): lineitem upserted on its
+      // composite key, reclustered by (l_partkey, l_suppkey) Morton
+      // order through the standard commit protocol, then answered
+      // FROM THE RECLUSTERED TABLE via the stats read path with a
+      // two-column range predicate. Content must equal the plain
+      // filter over the source; row-group tightening is pinned by
+      // ReclusterSpec.
+      val path = tmpDir("graft_recluster") + "/li"
+      val li = table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      Scd1Merge.upsert(s, path, li, Seq("l_orderkey", "l_linenumber"),
+        numBuckets = 8)
+      Scd1Merge.recluster(s, path, Seq("l_partkey", "l_suppkey"),
+        zOrderBits = 5)
+      Scd1Merge.readTableWhere(s, path,
+          col("l_partkey").between(100L, 300L) && col("l_suppkey") <= 60L)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+    }),
+
     "pipe6_batch_recovery" -> ((s, dir) => {
       // CROSS-TABLE BATCH CONSISTENCY (VERDICT r5 ask #8), judged:
       // a two-table pipeline (customer dim -> orders fact) runs batch
@@ -509,6 +534,11 @@ object QueriesPipeline {
          |FROM lineitem
          |WHERE l_orderkey BETWEEN 1000 AND 3000
          |  AND l_partkey BETWEEN 50 AND 250""".stripMargin,
+    "s23_recluster" ->
+      """SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+         |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey <= 60""".stripMargin,
     "s18_time_travel" ->
       """WITH s1 AS (SELECT c_custkey, c_mktsegment AS seg FROM customer WHERE c_custkey % 2 = 1),
          |s2 AS (SELECT c_custkey,

@@ -467,6 +467,44 @@ object QueriesRel {
           (expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)") / 100.0)
             .as("p90"))
         .orderBy(col("o_orderstatus"))),
+    "a16_outlier_iqr" -> ((s, dir) => {
+      // IQR outlier screen (Tukey fences) per status: exact-cents
+      // quantiles (bit-identical interpolation, the a9 argument), 1.5×
+      // fences, then a broadcast join back for the flag counts — the
+      // data-profiling gate a training pipeline runs on numeric
+      // columns. Two passes, both map-side-combinable; the stats side
+      // is group-cardinality-sized.
+      val o = table(s, dir, "orders").select(col("o_orderstatus").as("st"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      val stats = o.groupBy(col("st")).agg(
+          expr("percentile(c, 0.25)").as("q1"),
+          expr("percentile(c, 0.75)").as("q3"))
+        .select(col("st"), col("q1"), col("q3"),
+          (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+          (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+      val counts = o.join(broadcast(stats), "st")
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c") < col("lo") || col("c") > col("hi"), 1L)
+            .otherwise(0L)).as("n_out"))
+      stats.join(counts, "st")
+        .select(col("st"), (col("q1") / 100.0).as("q1"), (col("q3") / 100.0).as("q3"),
+          (col("lo") / 100.0).as("lo"), (col("hi") / 100.0).as("hi"),
+          col("n"), col("n_out"))
+        .orderBy(col("st"))
+    }),
+    "a17_histogram" -> ((s, dir) =>
+      // equi-width histogram (20 × 30k bins, top bin clamped) — the
+      // profiling staple; one hash-agg, bin arithmetic is a single
+      // deterministic floor-divide.
+      table(s, dir, "orders")
+        .select(least(floor(col("o_totalprice") / lit(30000.0)), lit(19L)).as("bin"),
+          col("o_totalprice"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("bin"))),
     "a10_pivot" -> ((s, dir) =>
       // pivot: order counts per (priority, status) as a wide table —
       // compiles to a single Expand-free conditional aggregation
@@ -775,6 +813,23 @@ object QueriesRel {
          |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) / 100.0 AS p50,
          |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) / 100.0 AS p90
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a16_outlier_iqr" ->
+      """WITH c AS (SELECT o_orderstatus AS st,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+         |s AS (SELECT st, quantile_cont(c, 0.25) AS q1, quantile_cont(c, 0.75) AS q3
+         |      FROM c GROUP BY st),
+         |b AS (SELECT st, q1, q3, q1 - 1.5 * (q3 - q1) AS lo,
+         |             q3 + 1.5 * (q3 - q1) AS hi FROM s),
+         |n AS (SELECT c.st, count(*) AS n,
+         |        sum(CASE WHEN c.c < b.lo OR c.c > b.hi THEN 1 ELSE 0 END)::BIGINT AS n_out
+         |      FROM c JOIN b USING (st) GROUP BY c.st)
+         |SELECT b.st, b.q1 / 100.0 AS q1, b.q3 / 100.0 AS q3,
+         |  b.lo / 100.0 AS lo, b.hi / 100.0 AS hi, n.n, n.n_out
+         |FROM b JOIN n USING (st) ORDER BY b.st""".stripMargin,
+    "a17_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 30000.0), 19.0) AS BIGINT) AS bin,
+         |  count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "a10_pivot" ->
       """SELECT o_orderpriority,
          |  count(*) FILTER (o_orderstatus = 'F') AS "F",
