@@ -31,6 +31,12 @@ object GraftExtensions {
     "vec_cosine" -> { args =>
       require(args.length == 2, "vec_cosine takes exactly 2 arguments")
       CosineSimilarity(args(0), args(1))
+    },
+    // aggregate: the analyzer wraps a bare AggregateFunction in its
+    // AggregateExpression, same as the built-in sum/avg builders
+    "vec_sum" -> { args =>
+      require(args.length == 1, "vec_sum takes exactly 1 argument")
+      graft.functions.VecSum(args(0))
     })
 
   /** Inject the same functions into an already-running session (the

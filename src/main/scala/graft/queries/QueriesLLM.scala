@@ -389,6 +389,24 @@ object QueriesLLM {
           |WHERE e.vec_id <> 0 ORDER BY e.vec_id""".stripMargin)
     }),
 
+    "sql_vec_centroid" -> ((s, dir) => {
+      // per-label mean embedding (class centroids) through the native
+      // vec_sum TypedImperativeAggregate: ONE dim-length accumulator
+      // per label instead of posexplode's rows×dim multiplication
+      // through the hash map — the centroid shape k-means/IVF training
+      // and per-class embedding profiles run at corpus scale. The tiny
+      // posexplode here unpacks nlabels result rows only. Rounded to 6
+      // decimals on both sides (the a13_stats float-summation guard).
+      graft.GraftExtensions.register(s)
+      table(s, dir, "embeddings").createOrReplaceTempView("emb_cent")
+      s.sql(
+        """SELECT label, pos, round(sv / n, 6) AS m, n AS n_vecs
+          |FROM (SELECT label, vec_sum(embedding) AS sarr, count(*) AS n
+          |      FROM emb_cent GROUP BY label)
+          |LATERAL VIEW posexplode(sarr) t AS pos, sv
+          |ORDER BY label, pos""".stripMargin)
+    }),
+
     "p11_explode_tokens" -> ((s, dir) =>
       // Generate (posexplode) over a sliced token array — the lateral
       // row-expansion operator every shingle/ngram path builds on
@@ -841,6 +859,13 @@ object QueriesLLM {
          |     * sqrt(list_sum([q.qv[i+1]::DOUBLE * q.qv[i+1]::DOUBLE FOR i IN range(64)]))) AS cos_sim
          |FROM embeddings e CROSS JOIN q
          |WHERE e.vec_id <> 0 ORDER BY e.vec_id""".stripMargin,
+    "sql_vec_centroid" ->
+      """SELECT label,
+         |  i AS pos,
+         |  round(sum(embedding[i + 1]::DOUBLE) / count(*), 6) AS m,
+         |  count(*) AS n_vecs
+         |FROM embeddings, range(64) r(i)
+         |GROUP BY label, i ORDER BY label, i""".stripMargin,
     "p11_explode_tokens" ->
       """SELECT doc_id, CAST(i AS INT) AS pos, t3[i+1] AS tok
          |FROM (SELECT doc_id, string_split(text, ' ')[1:3] AS t3 FROM documents), range(3) r(i)

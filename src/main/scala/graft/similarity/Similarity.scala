@@ -157,32 +157,43 @@ object Similarity {
   /** Deterministic IVF coarse quantizer: seed centroids from the nlist
     * lowest-id vectors (TakeOrdered — cheap, deterministic; Lloyd
     * iterations wash out the seeding bias), then `iters` rounds of
-    * assign → element-wise mean. Driver round-trips are O(nlist × dim)
-    * per round (the centroid matrix, a few KB) — parallelism-sized,
-    * never data-sized; the per-row work is the same explode→agg shape
-    * as the LSH path. Empty clusters keep their previous centroid. */
+    * assign → element-wise mean via the native [[graft.functions.VecSum]]
+    * aggregate: ONE dim-length accumulator per cluster instead of the
+    * posexplode → `groupBy(cluster, pos)` shape, which multiplied the
+    * aggregated row count by dim (768× on production embeddings).
+    * Driver round-trips are O(nlist × dim) per round (the centroid
+    * matrix, a few KB) — parallelism-sized, never data-sized. Empty
+    * clusters keep their previous centroid. */
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
                nlist: Int, iters: Int): Array[Seq[Float]] = {
     var cents: Array[Seq[Float]] = corpus
       .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
       .collect().map(_.getSeq[Float](1))
     for (_ <- 0 until iters) {
-      val means = ivfAssign(corpus, idCol, vecCol, cents)
+      val sums = ivfAssign(corpus, idCol, vecCol, cents)
         .join(corpus.select(col(idCol), col(vecCol)), idCol)
-        .select(col("__cluster"), posexplode(col(vecCol)))
-        .groupBy(col("__cluster"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("__m"))
+        .groupBy(col("__cluster"))
+        .agg(graft.functions.VectorAggregates.vecSum(col(vecCol)).as("__s"),
+          count(lit(1)).as("__n"))
         .collect()
       val next = cents.map(_.toArray)
       // QUANTIZE each centroid component to 1e-6 before the float cast:
-      // avg() partial-aggregation order depends on partitioning/core
+      // partial-aggregation merge order depends on partitioning/core
       // count, so the raw double mean carries ~1e-16 scheduling noise —
       // enough to flip a borderline nearest-centroid argmax and shift
       // the judged pinned recall across Spark/core-count changes. After
       // rounding, a flip needs the true mean within ~1e-16 of a 0.5e-6
       // boundary — effectively never.
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) =
-        (math.rint(r.getDouble(2) * 1e6) / 1e6).toFloat)
+      sums.foreach { r =>
+        val s = r.getSeq[Double](1)
+        val n = r.getLong(2).toDouble
+        val tgt = next(r.getInt(0))
+        var i = 0
+        while (i < tgt.length) {
+          tgt(i) = (math.rint(s(i) / n * 1e6) / 1e6).toFloat
+          i += 1
+        }
+      }
       cents = next.map(_.toSeq)
     }
     cents
