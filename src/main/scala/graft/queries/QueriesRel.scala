@@ -359,6 +359,26 @@ object QueriesRel {
             .select(col("c_custkey"), col("c_name")),
           col("o_custkey") === col("c_custkey"), "full_outer")
         .orderBy(col("o_orderkey"), col("c_custkey"))),
+    "j12_bloom_prune" -> ((s, dir) => {
+      // bloom-pruned join (BloomJoin Scaladoc): lineitem probes a
+      // bloom sketch of the URGENT orders' keys BEFORE its shuffle —
+      // the regime where the build side's key set out-sizes a
+      // broadcast hash relation but its sketch is ~MBs. Result ≡ the
+      // plain join by construction (false positives die in the exact
+      // join); the oracle derives it that way. Exact-cents revenue.
+      val urgent = table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_returnflag"),
+          col("l_extendedprice"))
+      graft.ops.BloomJoin.bloomPrunedJoin(li, urgent, Seq("o_orderkey"),
+          expectedItems = 10000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.sumMoney(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
     "j9_range_join" -> ((s, dir) => {
       // interval join via BIN-BUCKETED equi-join (RangeJoin.binned):
       // orders matched to OVERLAPPING price bands — the naive theta
@@ -766,6 +786,13 @@ object QueriesRel {
          |  (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500) c
          |  ON o_custkey = c_custkey
          |ORDER BY o_orderkey, c_custkey""".stripMargin,
+    "j12_bloom_prune" ->
+      """SELECT l.l_returnflag,
+         |  count(*) AS n,
+         |  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderpriority = '1-URGENT'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j9_range_join" ->
       """SELECT o.o_orderkey, r.r_regionkey AS band_id, o.o_totalprice
          |FROM orders o JOIN region r

@@ -109,6 +109,35 @@ object QueriesStream {
         .orderBy(col("user_id"))
     }),
 
+    "a18_cohort_retention" -> ((s, dir) => {
+      // daily cohort retention matrix (DN retention) — the product-
+      // analytics staple: cohort = date of each user's FIRST event;
+      // cell (cohort, offset) = distinct users active offset days
+      // later. Two hash aggs + one equi-join, all keyed by user_id
+      // (the same shuffle key reused end-to-end); cohort sizes are a
+      // date-cardinality frame, broadcast back. Counts are integer-
+      // exact — no float ratio in the judged row. Dates are
+      // ns-truncation-proof (both engines agree on the DATE of a
+      // µs-vs-ns timestamp).
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort_day"))
+      val daily = ev.distinct()
+      val cells = daily.join(firsts, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active")) // daily is distinct per (user, d)
+      val sizes = firsts.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_size"))
+      cells.join(broadcast(sizes), "cohort_day")
+        .select(col("cohort_day"), col("day_offset"), col("n_active"),
+          col("cohort_size"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     "stream_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization (30-min inactivity gap) over
       // the event stream — lag + running-sum windows per user.
@@ -300,6 +329,16 @@ object QueriesStream {
          |  count(DISTINCT e.user_id) AS n_users
          |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a18_cohort_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         |f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id),
+         |a AS (SELECT f.cohort_day,
+         |        CAST(e.d - f.cohort_day AS INT) AS day_offset,
+         |        count(*) AS n_active
+         |      FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+         |s AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1)
+         |SELECT a.cohort_day, a.day_offset, a.n_active, s.cohort_size
+         |FROM a JOIN s USING (cohort_day) ORDER BY 1, 2""".stripMargin,
     "a15_funnel" ->
       """WITH t1 AS (SELECT user_id,
          |    min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS ts_view
