@@ -159,7 +159,17 @@ object Scd1Merge {
                                     commit: Int = 0,
                                     stats: Map[Int, Map[String, ColStats]] = Map.empty,
                                     keys: Seq[String] = Nil,
-                                    batch: String = "")
+                                    batch: String = "",
+                                    // within-bucket clustering state (recluster):
+                                    // the declared sort spec + the set of live DIR
+                                    // NAMES written clustered. Dir names are
+                                    // versioned, so any commit that rewrites a
+                                    // bucket invalidates its marker for free —
+                                    // carriers (upsert/delete/compact) just copy
+                                    // these fields through.
+                                    clusterCols: Seq[String] = Nil,
+                                    clusterZBits: Int = 0,
+                                    clustered: Set[String] = Set.empty)
 
   /** Injected-failure hook for the crash-consistency spec; "" in
     * production. Recognized points: "before-manifest" (bucket versions
@@ -218,13 +228,22 @@ object Scd1Merge {
       .getOrElse(Nil)
     val batch = meta.find(_.startsWith("batch="))
       .map(l => dec(l.stripPrefix("batch="))).getOrElse("")
+    val clusterCols = meta.find(_.startsWith("clustercols="))
+      .map(_.stripPrefix("clustercols=").split(",").iterator
+        .filter(_.nonEmpty).map(dec).toSeq).getOrElse(Nil)
+    val clusterZBits = meta.find(_.startsWith("clusterzbits="))
+      .map(_.stripPrefix("clusterzbits=").toInt).getOrElse(0)
+    val clustered = meta.find(_.startsWith("clustered="))
+      .map(_.stripPrefix("clustered=").split(",").iterator
+        .filter(_.nonEmpty).map(dec).toSet).getOrElse(Set.empty[String])
     val parsed = entries.map { l =>
       val fields = l.split("\t", 3)
       val b = fields(0).toInt
       (b, fields(1), if (fields.length > 2) statsFromField(fields(2)) else Map.empty[String, ColStats])
     }
     Manifest(nb, parsed.map(e => e._1 -> e._2).toMap, commit,
-      parsed.filter(_._3.nonEmpty).map(e => e._1 -> e._3).toMap, keys, batch)
+      parsed.filter(_._3.nonEmpty).map(e => e._1 -> e._3).toMap, keys, batch,
+      clusterCols, clusterZBits, clustered)
   }
 
   /** THE commit point: write-to-tmp + fsync + atomic rename over the
@@ -248,7 +267,15 @@ object Scd1Merge {
     val next = readManifest(tablePath).map(_.commit + 1).getOrElse(1)
     val metaLines = Seq(s"nb=${m.numBuckets}", s"commit=$next") ++
       (if (m.keys.nonEmpty) Seq(s"keys=${m.keys.map(enc).mkString(",")}") else Nil) ++
-      (if (m.batch.nonEmpty) Seq(s"batch=${enc(m.batch)}") else Nil)
+      (if (m.batch.nonEmpty) Seq(s"batch=${enc(m.batch)}") else Nil) ++
+      (if (m.clusterCols.nonEmpty)
+        Seq(s"clustercols=${m.clusterCols.map(enc).mkString(",")}",
+          s"clusterzbits=${m.clusterZBits}") else Nil) ++ {
+        // prune stale markers at write time: only LIVE dirs can be clustered
+        val live = m.clustered.intersect(m.dirs.values.toSet)
+        if (live.nonEmpty)
+          Seq(s"clustered=${live.toSeq.sorted.map(enc).mkString(",")}") else Nil
+      }
     val body = (metaLines ++
       m.dirs.toSeq.sortBy(_._1).map { case (b, d) =>
         m.stats.get(b).filter(_.nonEmpty) match {
@@ -1389,7 +1416,8 @@ object Scd1Merge {
       failpoint("before-manifest")
       refreshLease(tablePath, leaseId)
       val committed = timed("manifest") {
-        commitManifest(tablePath, Manifest(nb, manifest.dirs ++ newVersions,
+        commitManifest(tablePath, manifest.copy(numBuckets = nb,
+          dirs = manifest.dirs ++ newVersions,
           stats = manifest.stats -- touched ++ newStats, keys = keys,
           batch = if (batchId.nonEmpty) batchId else manifest.batch)) }
       failpoint("after-manifest")
@@ -1437,8 +1465,8 @@ object Scd1Merge {
         failpoint("before-manifest")
         refreshLease(tablePath, leaseId)
         val committed = commitManifest(tablePath,
-          Manifest(newNumBuckets, newVersions, stats = stats, keys = keys,
-            batch = manifest.batch))
+          manifest.copy(numBuckets = newNumBuckets, dirs = newVersions,
+            stats = stats, keys = keys))
         failpoint("after-manifest")
         sweepVersions(tablePath, committed, retainVersions)
         deleteRecursively(Paths.get(tmp))
@@ -1457,18 +1485,27 @@ object Scd1Merge {
     * every column's domain across all buckets), but within a sorted
     * bucket each parquet ROW GROUP covers a narrow range, so a pushed
     * range predicate skips most of the bucket's bytes from footer
-    * stats alone. One full-rewrite commit through the standard
-    * protocol (locked, lease-refreshed, crash-safe, history-retained);
-    * stats refresh for all tracked columns and start tracking the
-    * clustering columns. O(table) like [[rebucket]] — schedule it like
-    * a compaction, e.g. after N merge commits dilute the clustering.
+    * stats alone. One commit through the standard protocol (locked,
+    * lease-refreshed, crash-safe, history-retained); stats refresh for
+    * all tracked columns and start tracking the clustering columns.
+    *
+    * With `dirtyOnly = false` this is O(table) like [[rebucket]]. With
+    * `dirtyOnly = true` it is INCREMENTAL — the manifest records which
+    * live dirs were written clustered under the current spec, and only
+    * buckets rewritten since (by upsert/delete/compact, whose fresh
+    * dir names fall out of the marker set automatically) are re-sorted.
+    * That makes steady-state maintenance O(churn), not O(table):
+    * schedule `recluster(dirtyOnly = true)` after every N merge
+    * commits the way Delta schedules incremental OPTIMIZE. Returns the
+    * number of buckets rewritten (0 = everything already clustered; the
+    * commit is skipped, so it is idempotent and cheap to schedule).
     *
     * @param zOrderBits >0 with 2+ sortCols sorts by the interleaved
     *        Morton code at that per-column bit depth; 0 sorts
     *        lexicographically. */
   def recluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
-                zOrderBits: Int = 0,
-                retainVersions: Int = DefaultRetainVersions): Unit = {
+                zOrderBits: Int = 0, dirtyOnly: Boolean = false,
+                retainVersions: Int = DefaultRetainVersions): Int = {
     require(sortCols.nonEmpty, "recluster needs at least one clustering column")
     if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
       s"recluster: $tablePath has no manifest (not a committed bucketed table)")
@@ -1476,28 +1513,53 @@ object Scd1Merge {
       val manifest = readManifest(tablePath).get
       require(manifest.keys.nonEmpty,
         s"recluster: $tablePath manifest predates key tracking — run one upsert first")
-      sweepVersions(tablePath, manifest, retainVersions)
-      val full = readTable(spark, tablePath)
-      val sortExprs =
-        if (zOrderBits > 0 && sortCols.size > 1)
-          Seq(graft.store.ZOrder.zvalue(full, sortCols, zOrderBits))
-        else sortCols.map(col)
-      val tmp = tablePath + ".tmp"
-      stageWriteSorted(withBucket(full, manifest.keys, manifest.numBuckets),
-        sortExprs, tmp)
-      val tracked =
-        (manifest.keys ++ manifest.stats.values.flatMap(_.keySet) ++ sortCols).distinct
-      val stats = timed("stats") { bucketStats(spark, tmp, tracked) }
-      val newVersions = adoptBucketDirs(tablePath, tmp,
-        b => nextVersion(tablePath, manifest, b))
-      failpoint("before-manifest")
-      refreshLease(tablePath, leaseId)
-      val committed = commitManifest(tablePath,
-        Manifest(manifest.numBuckets, newVersions, stats = stats,
-          keys = manifest.keys, batch = manifest.batch))
-      failpoint("after-manifest")
-      sweepVersions(tablePath, committed, retainVersions)
-      deleteRecursively(Paths.get(tmp))
+      // dirty = live dirs NOT marked clustered under THIS spec. The
+      // markers are dir names, and every rewriting commit mints new
+      // dir names, so upsert/delete/compact invalidate markers with
+      // zero bookkeeping of their own. A spec change dirties all.
+      val sameSpec = manifest.clusterCols == sortCols &&
+        manifest.clusterZBits == zOrderBits
+      val dirty = manifest.dirs.toSeq.sortBy(_._1).filter { case (_, d) =>
+        !(dirtyOnly && sameSpec && manifest.clustered.contains(d)) }
+      if (dirty.isEmpty) 0
+      else {
+        sweepVersions(tablePath, manifest, retainVersions)
+        // bucket ids re-attached as literals (the compact read shape) —
+        // only dirty buckets are read, sorted, and rewritten
+        val src = dirty.map { case (b, d) =>
+            spark.read.parquet(Paths.get(tablePath, d).toString)
+              .withColumn(BucketCol, lit(b)) }
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        val sortExprs =
+          if (zOrderBits > 0 && sortCols.size > 1)
+            // bin boundaries are estimated over the rows being rewritten;
+            // footer-stat pruning only depends on each FILE's own
+            // ordering, so per-run boundary drift is harmless
+            Seq(graft.store.ZOrder.zvalue(src.drop(BucketCol), sortCols, zOrderBits))
+          else sortCols.map(col)
+        val tmp = tablePath + ".tmp"
+        stageWriteSorted(src, sortExprs, tmp)
+        val tracked =
+          (manifest.keys ++ manifest.stats.values.flatMap(_.keySet) ++ sortCols).distinct
+        val stats = timed("stats") { bucketStats(spark, tmp, tracked) }
+        val newVersions = adoptBucketDirs(tablePath, tmp,
+          b => nextVersion(tablePath, manifest, b))
+        failpoint("before-manifest")
+        refreshLease(tablePath, leaseId)
+        val committed = commitManifest(tablePath,
+          manifest.copy(dirs = manifest.dirs ++ newVersions,
+            stats = manifest.stats -- dirty.map(_._1) ++ stats,
+            clusterCols = sortCols, clusterZBits = zOrderBits,
+            // survivors (clean dirs under the same spec — empty on a
+            // spec change, where every bucket is dirty) + this rewrite
+            clustered = manifest.clustered
+              .intersect((manifest.dirs -- dirty.map(_._1)).values.toSet)
+              ++ newVersions.values))
+        failpoint("after-manifest")
+        sweepVersions(tablePath, committed, retainVersions)
+        deleteRecursively(Paths.get(tmp))
+        dirty.size
+      }
     }
   }
 
@@ -1574,9 +1636,9 @@ object Scd1Merge {
           failpoint("before-manifest")
           refreshLease(tablePath, leaseId)
           val committed = commitManifest(tablePath,
-            Manifest(nb, manifest.dirs -- emptied ++ newVersions,
-              stats = manifest.stats -- touched ++ newStats, keys = keys,
-              batch = manifest.batch))
+            manifest.copy(numBuckets = nb,
+              dirs = manifest.dirs -- emptied ++ newVersions,
+              stats = manifest.stats -- touched ++ newStats, keys = keys))
           failpoint("after-manifest")
           sweepVersions(tablePath, committed, retainVersions)
           deleteRecursively(Paths.get(tmp))
@@ -1629,8 +1691,7 @@ object Scd1Merge {
       // compaction is content-identical: stats, keys and the batch
       // stamp carry through
       val committed = commitManifest(tablePath,
-        Manifest(manifest.numBuckets, manifest.dirs ++ newVersions,
-          stats = manifest.stats, keys = manifest.keys, batch = manifest.batch))
+        manifest.copy(dirs = manifest.dirs ++ newVersions))
       failpoint("after-manifest")
       sweepVersions(tablePath, committed, retainVersions)
       deleteRecursively(Paths.get(tmp))

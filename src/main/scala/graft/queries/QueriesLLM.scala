@@ -142,6 +142,26 @@ object QueriesLLM {
     "text_quality" -> ((s, dir) =>
       TextOps.qualityScore(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "text_topk_per_stratum" -> ((s, dir) => {
+      // corpus curation: keep the 20 best docs PER LANGUAGE by an
+      // integer-exact quality score (stopword density ×1e6, floor-
+      // divided — no float anywhere in the ranking key, so the order
+      // is engine- and partitioning-independent; doc_id breaks ties).
+      // Ranking goes through the salted two-stage topKPerKey — with
+      // 5 strata over a 100 TB corpus, a naive per-lang window puts
+      // corpus/5 rows in ONE task; the salt bounds every partition.
+      val docs = table(s, dir, "documents")
+      val scored = TextOps.qualityScore(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text")
+        .select(col("doc_id"),
+          expr("stop_cnt * 1000000 DIV n_tok").as("score"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      Similarity.topKPerKey(scored, col("lang"),
+          Seq(col("score").desc, col("doc_id").asc), k = 20,
+          saltOn = col("doc_id"))
+        .select(col("lang"), col("rank"), col("doc_id"), col("score"))
+        .orderBy(col("lang"), col("rank"))
+    }),
     "text_langid" -> ((s, dir) =>
       TextOps.langId(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -632,6 +652,18 @@ object QueriesLLM {
          |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in'], x)))::DOUBLE / len(t) AS stop_ratio,
          |  list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) AS avg_tok_len
          |FROM toks ORDER BY doc_id""".stripMargin,
+    "text_topk_per_stratum" ->
+      s"""WITH toks AS ($DocToks),
+         |q AS (SELECT doc_id,
+         |    (len(list_filter(t, x -> list_contains(['the','a','of','and','to','in'], x)))::BIGINT
+         |     * 1000000) // len(t)::BIGINT AS score
+         |  FROM toks),
+         |r AS (SELECT d.lang, q.doc_id, q.score,
+         |    row_number() OVER (PARTITION BY d.lang
+         |                       ORDER BY q.score DESC, q.doc_id) AS rank
+         |  FROM q JOIN documents d USING (doc_id))
+         |SELECT lang, rank, doc_id, score FROM r
+         |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
     "text_langid" ->
       s"""WITH toks AS ($DocToks),
          |h AS (SELECT doc_id,

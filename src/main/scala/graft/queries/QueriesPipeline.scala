@@ -280,6 +280,13 @@ object QueriesPipeline {
         numBuckets = 8)
       Scd1Merge.recluster(s, path, Seq("l_partkey", "l_suppkey"),
         zOrderBits = 5)
+      // a delete rewrites (and so un-clusters) SOME buckets; the
+      // dirty-only maintenance pass re-sorts just those (manifest
+      // markers — see recluster), the rest keep their sorted files
+      Scd1Merge.delete(s, path, Seq("l_orderkey", "l_linenumber"),
+        col("l_orderkey") <= 100)
+      Scd1Merge.recluster(s, path, Seq("l_partkey", "l_suppkey"),
+        zOrderBits = 5, dirtyOnly = true)
       Scd1Merge.readTableWhere(s, path,
           col("l_partkey").between(100L, 300L) && col("l_suppkey") <= 60L)
         .agg(count(lit(1)).as("n_rows"),
@@ -538,7 +545,8 @@ object QueriesPipeline {
       """SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty,
          |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
          |FROM lineitem
-         |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey <= 60""".stripMargin,
+         |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey <= 60
+         |  AND l_orderkey > 100""".stripMargin,
     "s18_time_travel" ->
       """WITH s1 AS (SELECT c_custkey, c_mktsegment AS seg FROM customer WHERE c_custkey % 2 = 1),
          |s2 AS (SELECT c_custkey,

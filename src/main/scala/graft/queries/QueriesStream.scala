@@ -109,6 +109,27 @@ object QueriesStream {
         .orderBy(col("user_id"))
     }),
 
+    "a19_sliding_window" -> ((s, dir) => {
+      // batch sliding-window rollup: 2-hour windows every 30 minutes
+      // over the event stream via Spark's native window() — each event
+      // Expands into duration/slide = 4 cells BEFORE the hash agg, the
+      // documented cost dial of sliding windows (half the slide, twice
+      // the agg input); windows with no events don't exist, which the
+      // oracle mirrors with an inner range-join against the aligned
+      // start series. Exact integer counts; epoch-aligned boundaries
+      // agree across engines (UTC session, µs-truncated events).
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+        .select(timestamp_micros(expr("ts div 1000")).as("ets"),
+          col("user_id"))
+      ev.groupBy(window(col("ets"), "2 hours", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"), col("n_events"), col("n_users"))
+        .orderBy(col("w_start"))
+    }),
+
     "a18_cohort_retention" -> ((s, dir) => {
       // daily cohort retention matrix (DN retention) — the product-
       // analytics staple: cohort = date of each user's FIRST event;
@@ -329,6 +350,19 @@ object QueriesStream {
          |  count(DISTINCT e.user_id) AS n_users
          |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a19_sliding_window" ->
+      """WITH b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+         |starts AS (SELECT unnest(generate_series(
+         |    to_timestamp(CAST(floor(epoch(lo) / 1800) * 1800 AS BIGINT) - 5400),
+         |    to_timestamp(CAST(floor(epoch(hi) / 1800) * 1800 AS BIGINT)),
+         |    INTERVAL 30 MINUTE)) AS w_start FROM b)
+         |SELECT s.w_start::TIMESTAMP AS w_start,
+         |  (s.w_start + INTERVAL 2 HOUR)::TIMESTAMP AS w_end,
+         |  count(*) AS n_events,
+         |  count(DISTINCT e.user_id) AS n_users
+         |FROM starts s JOIN events e
+         |  ON e.ts >= s.w_start AND e.ts < s.w_start + INTERVAL 2 HOUR
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "a18_cohort_retention" ->
       """WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
          |f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id),

@@ -56,6 +56,27 @@ class ReclusterSpec extends SparkSpecBase {
     assert(canon(Scd1Merge.readTable(spark, path)) == before)
   }
 
+  test("dirtyOnly reclusters only buckets diluted since the last pass") {
+    val path = Tmp.dir("recluster_inc") + "/t"
+    Scd1Merge.upsert(spark, path, src, Seq("id"), numBuckets = 8)
+    // full pass clusters all 8; a second dirty-only pass is a no-op
+    assert(Scd1Merge.recluster(spark, path, Seq("x")) == 8)
+    assert(Scd1Merge.recluster(spark, path, Seq("x"), dirtyOnly = true) == 0)
+    // an upsert touching a FEW keys dirties only their buckets
+    val delta = spark.range(0, 3)
+      .select(col("id"), lit(999L).as("x"), lit(999L).as("y"))
+    Scd1Merge.upsert(spark, path, delta, Seq("id"))
+    val rewrote = Scd1Merge.recluster(spark, path, Seq("x"), dirtyOnly = true)
+    assert(rewrote >= 1 && rewrote <= 3, s"rewrote $rewrote of 8 buckets")
+    assert(Scd1Merge.recluster(spark, path, Seq("x"), dirtyOnly = true) == 0)
+    // a SPEC change dirties everything despite the markers
+    assert(Scd1Merge.recluster(spark, path, Seq("y"), dirtyOnly = true) == 8)
+    // content stays exact throughout
+    val expect = canon(src.filter(col("id") >= 3)
+      .unionByName(delta))
+    assert(canon(Scd1Merge.readTable(spark, path)) == expect)
+  }
+
   test("recluster tightens row-group footprints; z-order covers both columns") {
     val hc = spark.sparkContext.hadoopConfiguration
     val oldBlock = hc.get("parquet.block.size")
