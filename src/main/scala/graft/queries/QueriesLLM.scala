@@ -142,6 +142,29 @@ object QueriesLLM {
     "text_quality" -> ((s, dir) =>
       TextOps.qualityScore(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "text_tfidf_topterms" -> ((s, dir) => {
+      // per-document characteristic terms: top-3 by an integer-exact
+      // tf/df proxy (tf ×1e6 floor-div df — rank-equivalent to
+      // tf·idf's core and free of float log; term breaks ties). The
+      // tok-keyed df join is the text_rarity shape (vocab-sized right
+      // side, fan-out bounded by distinct doc-term rows); the per-doc
+      // window partitions by doc_id — bounded by document length,
+      // never corpus-sized.
+      val tf = table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok").asc)
+      tf.join(dfreq, "tok")
+        .select(col("doc_id"), col("tok"),
+          expr("tf * 1000000 DIV df").as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
     "text_topk_per_stratum" -> ((s, dir) => {
       // corpus curation: keep the 20 best docs PER LANGUAGE by an
       // integer-exact quality score (stopword density ×1e6, floor-
@@ -652,6 +675,18 @@ object QueriesLLM {
          |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in'], x)))::DOUBLE / len(t) AS stop_ratio,
          |  list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) AS avg_tok_len
          |FROM toks ORDER BY doc_id""".stripMargin,
+    "text_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |             FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id, tok, (tf * 1000000) // df AS score
+         |       FROM tf JOIN df USING (tok)),
+         |r AS (SELECT doc_id, tok, score, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+         |      FROM sc)
+         |SELECT doc_id, rank, tok, score FROM r
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "text_topk_per_stratum" ->
       s"""WITH toks AS ($DocToks),
          |q AS (SELECT doc_id,

@@ -17,6 +17,27 @@ class ApproxSpec extends SparkSpecBase {
     assert(relErr <= 0.03, s"approx=$approx exact=$exact relErr=$relErr")
   }
 
+  test("approx_percentile rank error obeys the n/accuracy bound; tighter accuracy tightens it") {
+    val o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select(col("o_totalprice").as("x"))
+    val n = o.count()
+    def maxRankErr(accuracy: Int): Double = {
+      val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      val vs = o.agg(expr(
+          s"approx_percentile(x, array(${ps.mkString(", ")}), $accuracy)").as("v"))
+        .head.getSeq[Double](0)
+      val aggs = ps.zip(vs).map { case (p, v) =>
+        sum(when(col("x") <= v, 1L).otherwise(0L)).as(s"r_$p") }
+      val r = o.agg(aggs.head, aggs.tail: _*).head
+      ps.indices.map(i => math.abs(r.getLong(i) - ps(i) * n)).max
+    }
+    val loose = maxRankErr(50)
+    val tight = maxRankErr(5000)
+    assert(loose <= n / 50.0 + 1, s"accuracy 50: rank err $loose > ${n / 50.0}")
+    assert(tight <= n / 5000.0 + 1, s"accuracy 5000: rank err $tight")
+    assert(tight <= loose, "higher accuracy must not be worse")
+  }
+
   test("ANN recall@5 at PRUNING parameters: measured floors hold (deterministic)") {
     import graft.similarity.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
