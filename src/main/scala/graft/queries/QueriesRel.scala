@@ -634,6 +634,21 @@ object QueriesRel {
           ntile(4).over(w).as("quartile"))
         .orderBy(col("o_orderkey"))
     }),
+    "w7_percent_rank_cume" -> ((s, dir) => {
+      // distribution window family: percent_rank / cume_dist — the
+      // remaining ranking primitives (relative standing within a
+      // group; both are rank arithmetic over the same single window
+      // sort, no extra pass). Ratios are exact small-int divisions —
+      // deterministic bit patterns on both engines.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("o_orderkey"))
+    }),
 
     "o1_sort" -> ((s, dir) =>
       table(s, dir, "orders")
@@ -779,6 +794,13 @@ object QueriesRel {
          |  CAST(ntile(4) OVER w AS INT) AS quartile
          |FROM orders
          |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+         |ORDER BY o_orderkey""".stripMargin,
+    "w7_percent_rank_cume" ->
+      """SELECT o_orderkey, o_orderstatus,
+         |  percent_rank() OVER w AS pr,
+         |  cume_dist() OVER w AS cd
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
          |ORDER BY o_orderkey""".stripMargin,
     "f6_null_handling" ->
       """SELECT o_orderkey,

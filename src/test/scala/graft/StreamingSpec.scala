@@ -34,6 +34,38 @@ class StreamingSpec extends SparkSpecBase {
       want.orderBy(col("window_start"), col("event_type")))
   }
 
+  test("watermark drops a late-only batch two triggers past its event time") {
+    // Spark's one-sided guarantee, both sides pinned: late input is
+    // filtered against the PREVIOUS batch's watermark, so clones
+    // arriving 2 batches after day 1 (watermark long past noon) MUST
+    // drop — the committed table equals the legit-rows aggregate,
+    // poison values (+1000) would corrupt sums on any leak.
+    val ev = spark.read.schema(Streaming.EventsRawSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    def ns(iso: String) = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
+    val d1 = ev.filter(col("ts") < ns("2024-01-02T00:00:00Z"))
+    val d2 = ev.filter(col("ts") >= ns("2024-01-02T00:00:00Z") &&
+      col("ts") < ns("2024-01-03T00:00:00Z"))
+    val late = d1.filter(col("ts") >= ns("2024-01-01T12:00:00Z") &&
+        col("ts") < ns("2024-01-01T13:00:00Z"))
+      .withColumn("event_id", col("event_id") + 1000000000L)
+      .withColumn("value", col("value") + 1000.0)
+    assert(late.count() > 0, "fixture must plant real late rows")
+    val src = Tmp.dir("late_src")
+    d1.coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    d2.coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    late.coalesce(1).write.mode("append").parquet(src)
+    val got = Streaming.runAvailableNow(spark, src,
+      Tmp.dir("late_out") + "/agg", Tmp.dir("late_ckpt"),
+      watermarkDelay = "1 hour", maxFilesPerTrigger = Some(1))
+    val want = Streaming.windowAgg(d1.unionByName(d2), "1 hour")
+    assertSameRows(
+      got.orderBy(col("window_start"), col("event_type")),
+      want.orderBy(col("window_start"), col("event_type")))
+  }
+
   test("flatMapGroupsWithState profile over 2 chunks ≡ batch aggregate") {
     val events = spark.read
       .schema(Streaming.EventsRawSchema)
