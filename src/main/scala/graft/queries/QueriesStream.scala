@@ -286,6 +286,32 @@ object QueriesStream {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "stream_checkpoint_resume" -> ((s, dir) => {
+      // CHECKPOINT RESUME — the scheduled-incremental-run shape (the
+      // reference's watermark loop, re-expressed as AvailableNow runs
+      // sharing one checkpoint): run 1 drains day 1 and stops; day 2
+      // lands; run 2 reuses the checkpoint, so its source offsets skip
+      // day 1 ENTIRELY (no reprocessing, no duplicate aggregation
+      // into the upsert sink) and the window state carries across
+      // process restarts. Committed table must equal the one-shot
+      // batch aggregate over both days.
+      val src = graft.Tmp.dir("graft_resume_src")
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+      def ns(iso: String) = java.time.Instant.parse(iso)
+        .getEpochSecond * 1000000000L
+      val d1 = ev.filter(col("ts") < ns("2024-01-02T00:00:00Z"))
+      val d2 = ev.filter(col("ts") >= ns("2024-01-02T00:00:00Z") &&
+        col("ts") < ns("2024-01-03T00:00:00Z"))
+      val out = graft.Tmp.dir("graft_resume_out") + "/win"
+      val ckpt = graft.Tmp.dir("graft_resume_ckpt")
+      d1.coalesce(1).write.mode("append").parquet(src)
+      Streaming.runAvailableNow(s, src, out, ckpt, "1 hour")
+      d2.coalesce(1).write.mode("append").parquet(src)
+      Streaming.runAvailableNow(s, src, out, ckpt, "1 hour")
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     "stream_stateful_agg" -> ((s, dir) => {
       // CUSTOM cross-batch state via flatMapGroupsWithState: per-user
       // running profile (count, exact money sum, last event time) over
@@ -513,6 +539,13 @@ object QueriesStream {
          |  ON e.user_id = p.user_id AND e.ts >= p.ts
          |ORDER BY e.event_id""".stripMargin,
     "j5b_asof_payload" -> AsofPayloadOracle,
+    "stream_checkpoint_resume" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  count(*) AS n_events,
+         |  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+         |FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+         |GROUP BY 1, 2
+         |ORDER BY window_start, event_type""".stripMargin,
     "stream_late_drop" ->
       // the LEGITIMATE first-two-days rows only: the planted late
       // clones must leave no trace in the committed table

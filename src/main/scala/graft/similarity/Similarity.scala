@@ -307,15 +307,25 @@ object Similarity {
       var cents: Array[Seq[Float]] = sv.orderBy(col(idCol)).limit(ksub)
         .collect().map(_.getSeq[Float](1))
       for (_ <- 0 until iters) {
-        val means = l2Assign(sv, idCol, "__sv", cents)
+        // element-wise sums via the native VecSum aggregate (one
+        // dsub-length buffer per code) — same rewire as ivfTrain
+        val sums = l2Assign(sv, idCol, "__sv", cents)
           .join(sv, idCol)
-          .select(col("__code"), posexplode(col("__sv")))
-          .groupBy(col("__code"), col("pos"))
-          .agg(avg(col("col").cast("double")).as("__m"))
+          .groupBy(col("__code"))
+          .agg(graft.functions.VectorAggregates.vecSum(col("__sv")).as("__s"),
+            count(lit(1)).as("__n"))
           .collect()
         val next = cents.map(_.toArray)
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) =
-          (math.rint(r.getDouble(2) * 1e6) / 1e6).toFloat)
+        sums.foreach { r =>
+          val sArr = r.getSeq[Double](1)
+          val n = r.getLong(2).toDouble
+          val tgt = next(r.getInt(0))
+          var i = 0
+          while (i < tgt.length) {
+            tgt(i) = (math.rint(sArr(i) / n * 1e6) / 1e6).toFloat
+            i += 1
+          }
+        }
         cents = next.map(_.toSeq)
       }
       cents
