@@ -161,9 +161,12 @@ object QueriesStream {
       // daily cohort retention matrix (DN retention) — the product-
       // analytics staple: cohort = date of each user's FIRST event;
       // cell (cohort, offset) = distinct users active offset days
-      // later. Two hash aggs + one equi-join, all keyed by user_id
-      // (the same shuffle key reused end-to-end); cohort sizes are a
-      // date-cardinality frame, broadcast back. Counts are integer-
+      // later. Plan (audited): the per-user first-seen agg is user-
+      // cardinality-sized and BROADCASTS onto the (user, day) distinct
+      // — the events-sized side shuffles ONCE; cohort sizes are a
+      // date-cardinality frame, broadcast back. Beyond broadcastable
+      // user counts this degrades to a user_id-keyed shuffle join —
+      // still aggregate-sized, never events×days. Counts are integer-
       // exact — no float ratio in the judged row. Dates are
       // ns-truncation-proof (both engines agree on the DATE of a
       // µs-vs-ns timestamp).
