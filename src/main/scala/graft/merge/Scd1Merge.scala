@@ -1578,9 +1578,44 @@ object Scd1Merge {
     * scan for arbitrary predicates. */
   def delete(spark: SparkSession, tablePath: String, keys: Seq[String],
              predicate: org.apache.spark.sql.Column,
+             retainVersions: Int = DefaultRetainVersions): Long =
+    rewriteWhere(spark, tablePath, keys, predicate, retainVersions, "delete",
+      (live, pred) => live.filter(!coalesce(pred, lit(false))))
+
+  /** Delta `UPDATE ... SET` parity: apply `set` expressions to every
+    * row matching `predicate`, rewriting ONLY the buckets that hold
+    * matching rows (the [[delete]] probe — stats-pruned the same way).
+    * SQL NULL semantics: a NULL predicate leaves the row unchanged.
+    * Merge keys cannot be SET (a key change moves a row across
+    * buckets — that is a delete + insert, i.e. an upsert, by
+    * construction). Same commit protocol; the change feed sees the
+    * rewritten rows as updates with preimages. Returns rows updated. */
+  def update(spark: SparkSession, tablePath: String, keys: Seq[String],
+             predicate: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column],
              retainVersions: Int = DefaultRetainVersions): Long = {
+    require(set.nonEmpty, "update needs at least one SET column")
+    val clash = set.keySet.map(_.toLowerCase)
+      .intersect(keys.map(_.toLowerCase).toSet)
+    require(clash.isEmpty,
+      s"update cannot SET merge key(s) ${clash.mkString(",")} — " +
+      "a key change is a delete + insert (use upsert)")
+    rewriteWhere(spark, tablePath, keys, predicate, retainVersions, "update",
+      (live, pred) => set.foldLeft(live) { case (df, (c, v)) =>
+        df.withColumn(c, when(coalesce(pred, lit(false)), v).otherwise(col(c)))
+      })
+  }
+
+  /** Shared bucket-rewrite engine under [[delete]] and [[update]]:
+    * stats-pruned candidate probe, matched-bucket rewrite via
+    * `rewrite(liveRows, predicate)`, standard commit. Returns the
+    * matched-row count (0 = no commit at all). */
+  private def rewriteWhere(spark: SparkSession, tablePath: String,
+      keys: Seq[String], predicate: org.apache.spark.sql.Column,
+      retainVersions: Int, opName: String,
+      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
-      s"delete: $tablePath has no manifest (legacy tables migrate via upsert first)")
+      s"$opName: $tablePath has no manifest (legacy tables migrate via upsert first)")
     withLock(tablePath) { leaseId =>
       val manifest = readManifest(tablePath).get
       val nb = manifest.numBuckets
@@ -1618,16 +1653,16 @@ object Scd1Merge {
         if (probe.isEmpty) 0L
         else {
           val touched = probe.map(_.getInt(0)).toSeq.sorted
-          val nDeleted = probe.map(_.getLong(1)).sum
+          val nMatched = probe.map(_.getLong(1)).sum
           val liveTouched = touched.flatMap(b => manifest.dirs.get(b))
             .map(d => Paths.get(tablePath, d).toString)
-          val kept = withBucket(
-              spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)
-            .filter(!coalesce(predicate, lit(false)))
+          val kept = rewrite(withBucket(
+              spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb),
+            predicate)
           val tmp = tablePath + ".tmp"
           stageWrite(kept, tmp)
-          // kept rows shrink ranges; recompute over whatever the table
-          // was already tracking so pruning stays tight after deletes
+          // rewritten rows move ranges; recompute over whatever the
+          // table was already tracking so pruning stays tight
           val tracked = (keys ++ manifest.stats.values.flatMap(_.keySet)).distinct
           val newStats = bucketStats(spark, tmp, tracked)
           val newVersions = adoptBucketDirs(tablePath, tmp,
@@ -1642,7 +1677,7 @@ object Scd1Merge {
           failpoint("after-manifest")
           sweepVersions(tablePath, committed, retainVersions)
           deleteRecursively(Paths.get(tmp))
-          nDeleted
+          nMatched
         }
       }
     }

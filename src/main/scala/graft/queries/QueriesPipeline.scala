@@ -162,6 +162,27 @@ object QueriesPipeline {
         .orderBy(col("snapshot"), col("c_custkey"))
     }),
 
+    "s26_update" -> ((s, dir) => {
+      // Delta `UPDATE ... SET` parity: open orders get a 10% price
+      // uplift IN PLACE — the stats-pruned delete probe finds matching
+      // buckets, only those rewrite, keys are immutable (spec pins the
+      // key-SET rejection). Exact-cents rollup proves updated and
+      // untouched populations; the x1.1 double multiply is one IEEE op
+      // on both engines, so cents round identically.
+      val path = tmpDir("graft_update") + "/ord"
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Scd1Merge.upsert(s, path, o, Seq("o_orderkey"), numBuckets = 8)
+      Scd1Merge.update(s, path, Seq("o_orderkey"),
+        col("o_orderstatus") === "O",
+        Map("o_totalprice" -> col("o_totalprice") * 1.1))
+      Scd1Merge.readTable(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.sumMoney(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "s19_change_feed" -> ((s, dir) => {
       // CHANGE DATA FEED over the snapshot history (Delta CDF parity):
       // four commits — load ≤1000, update %7 keys, insert >1000, then
@@ -505,6 +526,12 @@ object QueriesPipeline {
     "s17_late_reprocess" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "s26_update" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         |  sum(CAST(round(CASE WHEN o_orderstatus = 'O'
+         |        THEN o_totalprice * 1.1 ELSE o_totalprice END * 100) AS BIGINT)) / 100.0
+         |    AS total
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "s19_change_feed" ->
       """SELECT 2::BIGINT AS commit, c_custkey,
          |       c_mktsegment || '+u' AS seg, 'update' AS _change_type

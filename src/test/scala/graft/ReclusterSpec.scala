@@ -77,6 +77,18 @@ class ReclusterSpec extends SparkSpecBase {
     assert(canon(Scd1Merge.readTable(spark, path)) == expect)
   }
 
+  test("change feed across a recluster commit is empty (maintenance is CDF-invisible)") {
+    // readChanges diffs CONTENT over changed-dir buckets, so a
+    // content-identical maintenance rewrite must emit zero rows —
+    // downstream incremental consumers never see phantom updates
+    // from OPTIMIZE-class commits.
+    val path = Tmp.dir("recluster_cdf") + "/t"
+    Scd1Merge.upsert(spark, path, src.limit(5000), Seq("id"), numBuckets = 4)
+    Scd1Merge.recluster(spark, path, Seq("x"))
+    val feed = Scd1Merge.readChanges(spark, path, Seq("id"), fromCommitsBack = 1)
+    assert(feed.count() == 0)
+  }
+
   test("recluster tightens row-group footprints; z-order covers both columns") {
     val hc = spark.sparkContext.hadoopConfiguration
     val oldBlock = hc.get("parquet.block.size")

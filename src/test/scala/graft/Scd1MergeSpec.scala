@@ -298,6 +298,34 @@ class Scd1MergeSpec extends SparkSpecBase {
     assert(Scd1Merge.readTable(spark, path3).count() == 2)
   }
 
+  test("update applies SET to matching rows only; keys immutable; NULL predicate = no-op; CDF sees preimages") {
+    val path = Tmp.dir("scd1_upd") + "/t"
+    Scd1Merge.upsert(spark, path,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L), (4L, Option.empty[String].orNull, 40L))
+        .toDF("k", "grp", "amt"),
+      Seq("k"), numBuckets = 4, retainVersions = 2)
+    // two rows match; NULL grp row (predicate NULL) untouched
+    assert(Scd1Merge.update(spark, path, Seq("k"), $"grp" === "a",
+      Map("amt" -> ($"amt" + 1000L)), retainVersions = 2) == 2L)
+    assert(canon(Scd1Merge.readTable(spark, path).select("k", "amt")) == Seq(
+      Seq("1", "1010"), Seq("2", "20"), Seq("3", "1030"), Seq("4", "40")))
+    // the change feed carries pre/post images of exactly the updated keys
+    val feed = Scd1Merge.readChanges(spark, path, Seq("k"), fromCommitsBack = 1)
+      .select("k", "amt", "_change_type")
+    assert(canon(feed) == Seq(
+      Seq("1", "10", "update_preimage"), Seq("1", "1010", "update"),
+      Seq("3", "1030", "update"), Seq("3", "30", "update_preimage")))
+    // SETting a merge key is a loud error, not a silent bucket scatter
+    intercept[IllegalArgumentException] {
+      Scd1Merge.update(spark, path, Seq("k"), lit(true), Map("k" -> lit(9L)))
+    }
+    // no matching rows -> no commit (version unchanged)
+    val before = Scd1Merge.tableCommit(path)
+    assert(Scd1Merge.update(spark, path, Seq("k"), $"grp" === "zzz",
+      Map("amt" -> lit(0L))) == 0L)
+    assert(Scd1Merge.tableCommit(path) == before)
+  }
+
   test("rebucket re-cuts the bucket space; content identical; snapshots cross it") {
     val path = Tmp.dir("scd1_rebkt") + "/t"
     Scd1Merge.upsert(spark, path,
