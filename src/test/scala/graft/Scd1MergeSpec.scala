@@ -494,14 +494,18 @@ class Scd1MergeSpec extends SparkSpecBase {
     val path = Tmp.dir("scd1_hb") + "/t"
     Scd1Merge.upsert(spark, path, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
     val prevLease = Scd1Merge.lockLeaseMillis
-    Scd1Merge.lockLeaseMillis = 300 // far below the stalled commit below
+    // far below the stalled commit below, but with ~2 s of scheduler-
+    // starvation tolerance (lease − period): the 300 ms/1.2 s version
+    // of this test flaked once under full-suite load when the daemon
+    // heartbeat thread starved past the lease
+    Scd1Merge.lockLeaseMillis = 3000
     // stall INSIDE the critical section for several lease lengths; a
     // concurrent writer probing mid-stall must see a LIVE (heartbeat-
     // extended) lease and fail loudly instead of taking over — without
     // the heartbeat this exact interleave aborted the outer commit
     var probed: Option[Throwable] = None
     Scd1Merge.testHooks = Map("before-manifest" -> { () =>
-      Thread.sleep(1200)
+      Thread.sleep(7000)
       probed = Some(intercept[IllegalStateException] {
         Scd1Merge.upsert(spark, path, Seq((2L, "USURPER")).toDF("k", "v"), Seq("k"))
       })
