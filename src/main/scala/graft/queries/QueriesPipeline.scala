@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables.table
 import graft.merge.{Scd1Merge, Scd2Merge}
 import graft.ops.KeyGenStrategy
-import graft.pipeline.{DimBuilder, DimSpec, FactBuilder, IngestRunner, SilverJob}
+import graft.pipeline.{DimBuilder, DimSpec, FactBuilder, IngestRunner, Quarantine, SilverJob}
 import graft.store.WatermarkStore
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -160,6 +160,42 @@ object QueriesPipeline {
           .select(lit(3L - back).as("snapshot"), col("c_custkey"), col("seg"))
       }.reduce(_.unionByName(_))
         .orderBy(col("snapshot"), col("c_custkey"))
+    }),
+
+    "s27_constraints" -> ((s, dir) => {
+      // CHECK constraints + dead-letter quarantine (Delta constraint /
+      // DLT expectation parity): an orders batch gates on price > 0 ∧
+      // status ∈ {O,F,P} ∧ custkey NOT NULL; violations (planted by
+      // construction in the synthetic data via a poisoning union)
+      // land in the quarantine zone stamped with WHICH constraint
+      // failed, clean rows commit. Judged artifact = the committed
+      // table's rollup UNION the quarantine's per-reason counts — both
+      // populations accounted, nothing silently dropped.
+      val path = tmpDir("graft_constraints") + "/ord"
+      val q = tmpDir("graft_constraints") + "/quarantine"
+      val base = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      // poison 1 in 50 rows deterministically: negative price; plus a
+      // bogus-status batch — both constraint legs provably fire
+      val poisoned = base.withColumn("o_totalprice",
+          when(col("o_orderkey") % 50 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 97 === 0, lit("ZZ"))
+            .otherwise(col("o_orderstatus")))
+      Quarantine.upsertWithConstraints(s, path, poisoned, Seq("o_orderkey"),
+        Map("price_positive" -> (col("o_totalprice") > 0),
+            "status_known" -> col("o_orderstatus").isin("O", "F", "P")),
+        q, batchId = "b1", numBuckets = 8)
+      val good = Scd1Merge.readTable(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("committed").as("side"), col("o_orderstatus").as("k"), col("n"))
+      val bad = s.read.parquet(q)
+        .groupBy(col("__violations"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("quarantined").as("side"), col("__violations").as("k"), col("n"))
+      good.unionByName(bad).orderBy(col("side"), col("k"))
     }),
 
     "s26_update" -> ((s, dir) => {
@@ -526,6 +562,22 @@ object QueriesPipeline {
     "s17_late_reprocess" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "s27_constraints" ->
+      """WITH p AS (SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 97 = 0 THEN 'ZZ' ELSE o_orderstatus END AS st,
+         |    CASE WHEN o_orderkey % 50 = 0 THEN -o_totalprice ELSE o_totalprice END AS price
+         |  FROM orders),
+         |v AS (SELECT st,
+         |    concat_ws(',',
+         |      CASE WHEN NOT (price > 0) THEN 'price_positive' END,
+         |      CASE WHEN NOT (st IN ('O','F','P')) THEN 'status_known' END) AS viol
+         |  FROM p)
+         |SELECT 'committed' AS side, st AS k, count(*) AS n FROM v
+         |WHERE viol = '' GROUP BY 2
+         |UNION ALL
+         |SELECT 'quarantined' AS side, viol AS k, count(*) AS n FROM v
+         |WHERE viol <> '' GROUP BY 2
+         |ORDER BY side, k""".stripMargin,
     "s26_update" ->
       """SELECT o_orderstatus, count(*) AS n,
          |  sum(CAST(round(CASE WHEN o_orderstatus = 'O'
