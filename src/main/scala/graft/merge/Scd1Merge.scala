@@ -682,35 +682,63 @@ object Scd1Merge {
     * hash-bucketed layout: the hash scatters the key domain, so every
     * bucket's key range spans the table — but the hash itself pins a
     * point lookup to ONE bucket at any scale. */
+  /** Max key-tuple combinations an IN-list prune will hash; beyond
+    * this the stats path still applies, hash pruning just opts out. */
+  private val MaxInPruneCombos = 128
+
+  /** Hash pruning generalized to IN-lists: if every merge key is
+    * pinned by the top-level conjuncts to a literal (EqualTo) or a
+    * literal LIST (In), the candidate buckets are the hashes of the
+    * value tuples' cross product — a batched point lookup reads only
+    * its keys' buckets at any scale. One Spark job over a local
+    * combo frame (≤ [[MaxInPruneCombos]] rows), never per-combo. */
   private def equalityBucket(spark: SparkSession, pred: Expression, m: Manifest,
-                             schema: StructType): Option[Int] = {
+                             schema: StructType): Option[Set[Int]] = {
     if (m.keys.isEmpty) return None
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    val eqs: Map[String, Literal] = conjuncts(pred).flatMap {
-      case EqualTo(a, l: Literal) => attrThroughCast(a).map(_.toLowerCase -> l)
-      case EqualTo(l: Literal, a) => attrThroughCast(a).map(_.toLowerCase -> l)
+    val eqs: Map[String, Seq[Literal]] = conjuncts(pred).flatMap {
+      case EqualTo(a, l: Literal) => attrThroughCast(a).map(_.toLowerCase -> Seq(l))
+      case EqualTo(l: Literal, a) => attrThroughCast(a).map(_.toLowerCase -> Seq(l))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        attrThroughCast(a).map(_.toLowerCase -> vs.map(_.asInstanceOf[Literal]))
       case _ => None
     }.toMap
     try {
-      val lits = m.keys.map { k =>
+      // per key: the candidate literal columns (None = key unpinned or
+      // a value unprunable -> no hash pruning at all)
+      val perKey: Seq[Option[Seq[Column]]] = m.keys.map { k =>
         for {
-          l <- eqs.get(k.toLowerCase)
-          if l.value != null
+          ls <- eqs.get(k.toLowerCase)
           f <- schema.fields.find(_.name.equalsIgnoreCase(k))
-          if castSafe(l.dataType, f.dataType)
-          v = CatalystTypeConverters.createToScalaConverter(l.dataType)(l.value)
-          if v != null
-        } yield lit(v).cast(f.dataType)
+          if ls.forall(l => l.value != null && castSafe(l.dataType, f.dataType))
+          cols = ls.map { l =>
+            val v = CatalystTypeConverters.createToScalaConverter(l.dataType)(l.value)
+            if (v == null) return None
+            lit(v).cast(f.dataType)
+          }
+        } yield cols
       }
-      if (lits.exists(_.isEmpty)) None
+      if (perKey.exists(_.isEmpty)) None
       else {
-        val row = spark.range(1)
-          .select(pmod(hash(lits.map(_.get): _*), lit(m.numBuckets)).as("b"))
-          .head()
-        if (row.isNullAt(0)) None else Some(row.getInt(0))
+        val lists = perKey.map(_.get)
+        if (lists.map(_.size.toLong).product > MaxInPruneCombos) None
+        else {
+          val combos = lists.foldLeft(Seq(Seq.empty[Column])) { (acc, vs) =>
+            acc.flatMap(prefix => vs.map(prefix :+ _))
+          }
+          val structs = combos.map(c => struct(c: _*))
+          val n = m.keys.size
+          val buckets = spark.range(1)
+            .select(explode(array(structs: _*)).as("__t"))
+            .select(pmod(hash((1 to n).map(i => col(s"__t.col$i")): _*),
+              lit(m.numBuckets)).as("b"))
+            .collect().iterator
+            .filterNot(_.isNullAt(0)).map(_.getInt(0)).toSet
+          Some(buckets)
+        }
       }
     } catch { case _: Exception => None }
   }
@@ -744,7 +772,7 @@ object Scd1Merge {
           case Some(pred) =>
             val hb = equalityBucket(spark, pred, m, probeDf.schema)
             m.dirs.keys.toSeq.sorted.filter { b =>
-              hb.forall(_ == b) && canMatch(m.stats.getOrElse(b, Map.empty), pred)
+              hb.forall(_.contains(b)) && canMatch(m.stats.getOrElse(b, Map.empty), pred)
             }
         }
         lastPrune = (cands.size, m.dirs.size)
@@ -1634,7 +1662,7 @@ object Scd1Merge {
           case Some(pred) =>
             val hb = equalityBucket(spark, pred, manifest.copy(keys = keys), probeDf.schema)
             manifest.dirs.keys.toSeq.sorted.filter { b =>
-              hb.forall(_ == b) && canMatch(manifest.stats.getOrElse(b, Map.empty), pred)
+              hb.forall(_.contains(b)) && canMatch(manifest.stats.getOrElse(b, Map.empty), pred)
             }
         }
       }

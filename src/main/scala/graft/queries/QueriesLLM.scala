@@ -142,6 +142,33 @@ object QueriesLLM {
     "text_quality" -> ((s, dir) =>
       TextOps.qualityScore(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "pipe9_corpus_curation" -> ((s, dir) => {
+      // END-TO-END CORPUS BUILD — the showcase composite: normalize →
+      // exact-dedup on the normalized text (min-id survivor) → quality
+      // gate (≥10 tokens) → language rebalance (deterministic
+      // md5-bucket sampling at declared rates) → token-budget packing
+      // into ~512-token training shards. Every stage is the judged
+      // operator it reuses (text_normalize / dedup_exact /
+      // text_sample_stratified / text_pack_sequences), chained the way
+      // a real corpus pipeline chains them; the oracle replays the
+      // whole chain in SQL. Scale: two hash-aggs, one broadcast-free
+      // equi-join on doc_id, the no-single-partition prefix-sum pack —
+      // nothing quadratic, nothing driver-sized.
+      val docs = table(s, dir, "documents")
+      val norm = docs.select(col("doc_id"), col("lang"),
+        TextOps.normalize(col("text")).as("norm"))
+      val survivors = norm
+        .groupBy(Dedup.contentHash(col("norm")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val kept = norm.join(survivors, "doc_id")
+      val gated = kept.filter(size(TextOps.tokens(col("norm"))) >= 10)
+      val balanced = TextOps.stratifiedSample(gated, "doc_id", "lang",
+        Map("en" -> 50, "de" -> 90, "es" -> 90, "fr" -> 90, "zh" -> 100))
+      TextOps.packSequences(balanced, "doc_id", "norm", budget = 512)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("pack_id"))
+    }),
     "text_tfidf_topterms" -> ((s, dir) => {
       // per-document characteristic terms: top-3 by an integer-exact
       // tf/df proxy (tf ×1e6 floor-div df — rank-equivalent to
@@ -675,6 +702,26 @@ object QueriesLLM {
          |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in'], x)))::DOUBLE / len(t) AS stop_ratio,
          |  list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) AS avg_tok_len
          |FROM toks ORDER BY doc_id""".stripMargin,
+    "pipe9_corpus_curation" ->
+      """WITH norm AS (SELECT doc_id, lang,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+         |         '\s+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY sha256(norm)),
+         |kept AS (SELECT n.* FROM norm n JOIN surv USING (doc_id)),
+         |gated AS (SELECT * FROM kept WHERE len(string_split(norm, ' ')) >= 10),
+         |bal AS (SELECT * FROM gated
+         |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 <
+         |    CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 90 WHEN 'es' THEN 90
+         |              WHEN 'fr' THEN 90 WHEN 'zh' THEN 100 ELSE 100 END),
+         |toks AS (SELECT doc_id, len(string_split(norm, ' '))::BIGINT AS n_tok FROM bal),
+         |packs AS (SELECT doc_id, n_tok,
+         |    ((sum(n_tok) OVER (ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 512)::BIGINT
+         |      AS pack_id
+         |  FROM toks)
+         |SELECT pack_id, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+         |FROM packs GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_tfidf_topterms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |             FROM documents),

@@ -84,6 +84,14 @@ class StatsSkippingSpec extends SparkSpecBase {
     val all = Scd1Merge.readTableWhere(spark, path, pmod(col("k"), lit(100)) === 37)
     assert(Scd1Merge.lastPrune._1 == Scd1Merge.lastPrune._2)
     assertSameRows(all, full.filter(pmod(col("k"), lit(100)) === 37))
+    // IN-list: the batched point lookup reads only its keys' buckets
+    val in = Scd1Merge.readTableWhere(spark, path, col("k").isin(3L, 137L, 400L))
+    assert(Scd1Merge.lastPrune._1 <= 3, s"prune=${Scd1Merge.lastPrune}")
+    assertSameRows(in, full.filter(col("k").isin(3L, 137L, 400L)))
+    // oversized IN-list: hash pruning opts out, content still right
+    val big = (1L to 200L)
+    val inBig = Scd1Merge.readTableWhere(spark, path, col("k").isin(big: _*))
+    assertSameRows(inBig, full.filter(col("k").isin(big: _*)))
   }
 
   /** Stats column whose per-bucket ranges are disjoint BY CONSTRUCTION:
