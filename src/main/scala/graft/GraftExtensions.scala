@@ -37,6 +37,16 @@ object GraftExtensions {
     "vec_sum" -> { args =>
       require(args.length == 1, "vec_sum takes exactly 1 argument")
       graft.functions.VecSum(args(0))
+    },
+    "approx_top_k" -> { args =>
+      require(args.length == 2, "approx_top_k takes exactly 2 arguments")
+      val cap = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case e if e.foldable => e.eval().asInstanceOf[Number].intValue
+        case _ => throw new IllegalArgumentException(
+          "approx_top_k: capacity must be a literal integer")
+      }
+      graft.functions.ApproxTopK(args(0), cap)
     })
 
   /** Inject the same functions into an already-running session (the

@@ -142,6 +142,33 @@ object QueriesLLM {
     "text_quality" -> ((s, dir) =>
       TextOps.qualityScore(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "a21_heavy_hitters" -> ((s, dir) => {
+      // EXACT distributed heavy hitters (tokens with freq > n/65) via
+      // the two-phase sketch plan: (1) one scan folds every partition
+      // into a fixed 64-entry Misra–Gries summary (native
+      // TypedImperativeAggregate, ObjectHashAggregate — the shuffle
+      // carries partitions×64 entries, not the vocabulary) whose
+      // survival guarantee makes the ≤64 candidates a SUPERSET of all
+      // true heavy hitters; (2) an exact recount over the broadcast
+      // candidate set. No full-vocabulary shuffle anywhere — at 100 TB
+      // the naive groupBy-count-sort aggregates billions of distinct
+      // tokens; this plan's state is capacity-bounded at any scale.
+      // The driver round-trip between phases is sketch-sized (≤64
+      // rows), the s12/a3 barrier posture.
+      import s.implicits._
+      val cap = 64
+      val toks = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val r = toks.agg(
+        graft.functions.SketchAggregates.approxTopK(col("tok"), cap).as("sk"),
+        count(lit(1)).as("n")).head
+      val n = r.getLong(1)
+      val cands = r.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+      toks.join(broadcast(cands.toDF("tok")), "tok")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (cap + 1) > n) // MG survival threshold
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
     "pipe9_corpus_curation" -> ((s, dir) => {
       // END-TO-END CORPUS BUILD — the showcase composite: normalize →
       // exact-dedup on the normalized text (min-id survivor) → quality
@@ -702,6 +729,12 @@ object QueriesLLM {
          |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in'], x)))::DOUBLE / len(t) AS stop_ratio,
          |  list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) AS avg_tok_len
          |FROM toks ORDER BY doc_id""".stripMargin,
+    "a21_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM toks),
+         |c AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok)
+         |SELECT tok, cnt FROM c, tot WHERE cnt * 65 > n
+         |ORDER BY cnt DESC, tok""".stripMargin,
     "pipe9_corpus_curation" ->
       """WITH norm AS (SELECT doc_id, lang,
          |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
