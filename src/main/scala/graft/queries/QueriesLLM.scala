@@ -142,6 +142,16 @@ object QueriesLLM {
     "text_quality" -> ((s, dir) =>
       TextOps.qualityScore(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "dedup_substring_ranges" -> ((s, dir) =>
+      // exact duplicated-substring spans (40-char windows) per doc —
+      // the range-cut dedup primitive; see Dedup.duplicateRanges for
+      // the linear-explode + 8-byte-hash-shuffle + per-doc-islands
+      // plan. Oracle groups the RAW substrings, so a pass also
+      // certifies the xxhash64 window fingerprint collision-free on
+      // this corpus.
+      Dedup.duplicateRanges(table(s, dir, "documents"), "doc_id", "text",
+          minLen = 40)
+        .orderBy(col("doc_id"), col("dup_start"))),
     "a21_heavy_hitters" -> ((s, dir) => {
       // EXACT distributed heavy hitters (tokens with freq > n/65) via
       // the two-phase sketch plan: (1) one scan folds every partition
@@ -729,6 +739,18 @@ object QueriesLLM {
          |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in'], x)))::DOUBLE / len(t) AS stop_ratio,
          |  list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) AS avg_tok_len
          |FROM toks ORDER BY doc_id""".stripMargin,
+    "dedup_substring_ranges" ->
+      """WITH pos AS (SELECT doc_id, text,
+         |    unnest(generate_series(1, length(text) - 39)) AS pos
+         |  FROM documents WHERE length(text) >= 40),
+         |sh AS (SELECT doc_id, pos, substr(text, pos, 40) AS sh FROM pos),
+         |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1),
+         |dp AS (SELECT doc_id, pos FROM sh JOIN dup USING (sh)),
+         |isl AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dp)
+         |SELECT doc_id, min(pos) AS dup_start, max(pos) + 39 AS dup_end
+         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, dup_start""".stripMargin,
     "a21_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
          |tot AS (SELECT count(*)::BIGINT AS n FROM toks),

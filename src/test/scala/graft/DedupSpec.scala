@@ -37,6 +37,39 @@ class DedupSpec extends SparkSpecBase {
     assert(got.filter($"doc_id" === 1L).count() == 1)
   }
 
+  test("duplicateRanges finds exact shared-substring spans, merged maximally") {
+    // A: [0-9 block][30 shared chars][tail]; B: [different head][same 30
+    // shared chars][different tail]; C: no 10-char window repeated.
+    val shared = "SHARED-BLOCK-OF-THIRTY-CHARS!!"
+    assert(shared.length == 30)
+    val docs = Seq(
+      (1L, "aaaaaaaaaa" + shared + "bbbbbbbbbb"),
+      (2L, "cccccccccc" + shared + "dddddddddd"),
+      (3L, "unique text with no repeats anywhere at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateRanges(docs, "doc_id", "text", minLen = 10)
+      .orderBy($"doc_id", $"dup_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // the 30 shared chars = starts 11..31 of each doc (1-based), i.e.
+    // one maximal island [11, 31+10-1=40] per doc; doc 3 absent
+    assert(got.toSeq == Seq((1L, 11, 40), (2L, 11, 40)))
+  }
+
+  test("duplicateRanges: within-document repetition counts as duplication") {
+    val docs = Seq(
+      (1L, "xxxxxxxxxxZZZxxxxxxxxxx"), // "xxxxxxxxxx" occurs twice in ONE doc
+      (2L, "totally unrelated words")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateRanges(docs, "doc_id", "text", minLen = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.forall(_._1 == 1L) && got.nonEmpty)
+  }
+
+  test("duplicateRanges: docs shorter than the window never explode or error") {
+    val docs = Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "text")
+    assert(Dedup.duplicateRanges(docs, "doc_id", "text", minLen = 10).count() == 0)
+  }
+
   test("minhashNearDup equals brute-force all-pairs Jaccard at the threshold") {
     val sh = corpus.select($"doc_id", wordShingles($"text", 3).as("s"))
     val a = sh.select($"doc_id".as("id_a"), $"s".as("sa"))
