@@ -798,21 +798,24 @@ object Scd1Merge {
     m.map(g => (g.group(1).toInt, g.group(2).toInt))
   }
 
-  /** Next version number for bucket `b`. For a bucket absent from the
-    * live manifest (never existed — or EMPTIED by a [[delete]] whose
-    * old versions are still retained for snapshot readers) continue
-    * after any version dir still on disk, so the new write can't
-    * collide with retained history. */
-  private def nextVersion(tablePath: String, m: Manifest, b: Int): Int =
-    m.dirs.get(b).map(versionOf(_) + 1).getOrElse {
-      val data = Paths.get(tablePath, "data")
-      val existing =
-        if (!Files.exists(data)) Nil
-        else Files.list(data).iterator().asScala.toSeq
-          .flatMap(p => parseVersionDir(p.getFileName.toString))
-          .filter(_._1 == b).map(_._2)
-      if (existing.isEmpty) 0 else existing.max + 1
-    }
+  /** Next version number for bucket `b`: one past the MAX of the live
+    * manifest's version and any version dir still on disk. The disk
+    * scan is not just for buckets absent from the manifest (never
+    * existed, or EMPTIED by a [[delete]] whose old versions are still
+    * retained): after a [[restore]] the live manifest deliberately
+    * references OLD versions while newer retained dirs coexist on
+    * disk — continuing from the manifest alone would collide the next
+    * rewrite with retained history. */
+  private def nextVersion(tablePath: String, m: Manifest, b: Int): Int = {
+    val data = Paths.get(tablePath, "data")
+    val onDisk =
+      if (!Files.exists(data)) Nil
+      else Files.list(data).iterator().asScala.toSeq
+        .flatMap(p => parseVersionDir(p.getFileName.toString))
+        .filter(_._1 == b).map(_._2)
+    val floor = m.dirs.get(b).map(versionOf).toSeq ++ onDisk
+    if (floor.isEmpty) 0 else floor.max + 1
+  }
 
   /** Every manifest still in the retention window: the live one plus
     * history manifests numbered within [commit - retain, commit]. */
@@ -1759,6 +1762,53 @@ object Scd1Merge {
       sweepVersions(tablePath, committed, retainVersions)
       deleteRecursively(Paths.get(tmp))
       frag.size
+    }
+  }
+
+  /** Delta `RESTORE TABLE ... TO VERSION` parity: make the live state
+    * the snapshot `commitsBack` commits back, committed as a NEW
+    * commit — history only ever advances, so a restore is itself
+    * restorable (and visible in the commit log), never a rewind of the
+    * commit counter. ZERO data movement: the restored manifest simply
+    * re-references the snapshot's still-retained bucket version dirs
+    * (reachability GC keeps anything the live manifest names, however
+    * old), so restoring a 100 TB table is one manifest swap, not a
+    * copy. The change feed across the restore commit is the honest
+    * reverse diff (rows the undone commits inserted surface as
+    * `delete`, their updates as updates back to the old image) —
+    * incremental consumers roll back like any other commit.
+    * Restoring past the retention window fails loudly (the snapshot's
+    * manifest or its dirs are gone); raise `retainVersions` on the
+    * table's writers to keep a deeper undo horizon.
+    * Returns the new live commit number. */
+  def restore(tablePath: String, commitsBack: Int,
+              retainVersions: Int = DefaultRetainVersions,
+              batchId: String = ""): Int = {
+    require(commitsBack >= 1, s"restore needs commitsBack >= 1, got $commitsBack")
+    if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
+      s"restore: $tablePath has no manifest (not a committed bucketed table)")
+    withLock(tablePath) { leaseId =>
+      val live = readManifest(tablePath).get
+      val target = live.commit - commitsBack
+      val hp = Paths.get(tablePath, HistoryDir, target.toString)
+      if (target < 1 || !Files.exists(hp))
+        throw new IllegalStateException(
+          s"no snapshot $commitsBack commits back of $tablePath (live commit " +
+          s"${live.commit}); it predates the table or was vacuumed — raise " +
+          "retainVersions to keep a deeper restore horizon")
+      val m = parseManifest(hp)
+      val missing = m.dirs.values.filterNot(d => Files.exists(Paths.get(tablePath, d)))
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"restore: snapshot $target of $tablePath references swept bucket " +
+          s"dir(s) ${missing.mkString(",")} — vacuumed past the restore point")
+      failpoint("before-manifest")
+      refreshLease(tablePath, leaseId)
+      val committed = commitManifest(tablePath, m.copy(
+        batch = if (batchId.nonEmpty) batchId else s"restore-to-commit-$target"))
+      failpoint("after-manifest")
+      sweepVersions(tablePath, committed, retainVersions)
+      committed.commit
     }
   }
 

@@ -219,6 +219,69 @@ object QueriesPipeline {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "s24_delete" -> ((s, dir) => {
+      // Delta `DELETE FROM` parity as a first-class judged entry (the
+      // delete engine already drives pipe7/pipe8 and the specs; this is
+      // its standalone face): load orders, DELETE WHERE %13 = 0 (the
+      // stats-pruned probe scans only buckets the predicate can match,
+      // only matched buckets rewrite), then a key-equality delete that
+      // hash-prunes to exactly ONE bucket. Judged artifact = exact-cents
+      // rollup of the survivors — deleted and untouched populations both
+      // accounted.
+      val path = tmpDir("graft_delete") + "/ord"
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Scd1Merge.upsert(s, path, o, Seq("o_orderkey"), numBuckets = 8)
+      Scd1Merge.delete(s, path, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(13)) === 0)
+      Scd1Merge.delete(s, path, Seq("o_orderkey"), col("o_orderkey") === 32L)
+      Scd1Merge.readTable(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.sumMoney(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "s28_restore" -> ((s, dir) => {
+      // RESTORE TO VERSION (Delta RESTORE parity): three commits — load
+      // odd keys, update the %7 subset (+u), insert the evens — then
+      // restore 2 commits back to the initial state as a NEW commit:
+      // zero data movement, one manifest swap re-referencing the
+      // retained bucket versions (restoring a 100 TB table costs the
+      // same swap). Judged artifact = (a) the change feed ACROSS the
+      // restore commit — the honest reverse diff: b3's inserts come
+      // back as deletes, b2's updates as updates back to the old
+      // image — and (b) the final state after a post-restore upsert
+      // (+r on the %5 keys), proving the restored table is live and
+      // writable. The oracle re-derives both legs in plain SQL.
+      val path = tmpDir("graft_restore") + "/t"
+      val base = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      val b1 = base.filter(pmod(col("c_custkey"), lit(2)) === 1)
+      val b2 = b1.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .withColumn("seg", concat(col("seg"), lit("+u")))
+      val b3 = base.filter(pmod(col("c_custkey"), lit(2)) === 0)
+      for (b <- Seq(b1, b2, b3))
+        Scd1Merge.upsert(s, path, b, Seq("c_custkey"), numBuckets = 4,
+          retainVersions = 3)
+      Scd1Merge.restore(path, commitsBack = 2, retainVersions = 3)
+      val b4 = b1.filter(pmod(col("c_custkey"), lit(5)) === 0)
+        .withColumn("seg", concat(col("seg"), lit("+r")))
+      Scd1Merge.upsert(s, path, b4, Seq("c_custkey"), numBuckets = 4,
+        retainVersions = 3)
+      // commits: 1=b1 2=b2 3=b3 4=restore 5=b4 — the restore diff is
+      // (2 back → 1 back); offsets resolved AFTER b4 so no laziness
+      // races against the post-restore rewrite
+      val feed = Scd1Merge.readChanges(s, path, Seq("c_custkey"), 2, 1)
+        .select(lit("restore_feed").as("part"), col("c_custkey"), col("seg"),
+          col("_change_type").as("change"))
+      val fin = Scd1Merge.readTable(s, path)
+        .select(lit("final").as("part"), col("c_custkey"), col("seg"),
+          lit("").as("change"))
+      feed.unionByName(fin)
+        .orderBy(col("part"), col("c_custkey"), col("change"))
+    }),
+
     "s19_change_feed" -> ((s, dir) => {
       // CHANGE DATA FEED over the snapshot history (Delta CDF parity):
       // four commits — load ≤1000, update %7 keys, insert >1000, then
@@ -584,6 +647,26 @@ object QueriesPipeline {
          |        THEN o_totalprice * 1.1 ELSE o_totalprice END * 100) AS BIGINT)) / 100.0
          |    AS total
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s24_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+         |FROM orders WHERE o_orderkey % 13 <> 0 AND o_orderkey <> 32
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s28_restore" ->
+      """SELECT 'restore_feed' AS part, c_custkey, c_mktsegment AS seg,
+         |       'update' AS change
+         |FROM customer WHERE c_custkey % 2 = 1 AND c_custkey % 7 = 0
+         |UNION ALL
+         |SELECT 'restore_feed', c_custkey, c_mktsegment || '+u', 'update_preimage'
+         |FROM customer WHERE c_custkey % 2 = 1 AND c_custkey % 7 = 0
+         |UNION ALL
+         |SELECT 'restore_feed', c_custkey, c_mktsegment, 'delete'
+         |FROM customer WHERE c_custkey % 2 = 0
+         |UNION ALL
+         |SELECT 'final', c_custkey,
+         |  c_mktsegment || CASE WHEN c_custkey % 5 = 0 THEN '+r' ELSE '' END, ''
+         |FROM customer WHERE c_custkey % 2 = 1
+         |ORDER BY part, c_custkey, change""".stripMargin,
     "s19_change_feed" ->
       """SELECT 2::BIGINT AS commit, c_custkey,
          |       c_mktsegment || '+u' AS seg, 'update' AS _change_type

@@ -538,4 +538,44 @@ class Scd1MergeSpec extends SparkSpecBase {
     intercept[IllegalStateException] { Scd1Merge.readTableAt(spark, path, 1) }
     assert(canon(Scd1Merge.readTable(spark, path)) == Seq(Seq("1", "v2")))
   }
+
+  test("restore rewinds state as a NEW commit; table stays live; feed is the reverse diff") {
+    val path = Tmp.dir("scd1_restore") + "/t"
+    Scd1Merge.upsert(spark, path, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      Seq("k"), numBuckets = 2, retainVersions = 3)
+    Scd1Merge.upsert(spark, path, Seq((1L, "a2")).toDF("k", "v"),
+      Seq("k"), retainVersions = 3)
+    Scd1Merge.upsert(spark, path, Seq((3L, "c")).toDF("k", "v"),
+      Seq("k"), retainVersions = 3)
+    // restore to commit 1: content rewinds, commit counter ADVANCES
+    assert(Scd1Merge.restore(path, commitsBack = 2, retainVersions = 3) == 4)
+    assert(canon(Scd1Merge.readTable(spark, path)) ==
+      Seq(Seq("1", "a"), Seq("2", "b")))
+    assert(Scd1Merge.tableCommit(path).contains(4))
+    assert(Scd1Merge.tableBatchId(path).contains("restore-to-commit-1"))
+    // the feed across the restore commit is the reverse diff of the
+    // undone commits: 3's insert comes back as a delete, 2's update
+    // as an update back to the old image
+    assert(canon(Scd1Merge.readChanges(spark, path, Seq("k"), 1)
+        .select("k", "v", "_change_type")) == Seq(
+      Seq("1", "a", "update"), Seq("1", "a2", "update_preimage"),
+      Seq("3", "c", "delete")))
+    // restored table is live: a further upsert works and snapshots hold
+    Scd1Merge.upsert(spark, path, Seq((2L, "b2")).toDF("k", "v"),
+      Seq("k"), retainVersions = 3)
+    assert(canon(Scd1Merge.readTable(spark, path)) ==
+      Seq(Seq("1", "a"), Seq("2", "b2")))
+    assert(canon(Scd1Merge.readTableAt(spark, path, 1)) ==
+      Seq(Seq("1", "a"), Seq("2", "b")))
+    // crash BEFORE the restore's manifest swap: live state untouched
+    Scd1Merge.testFailpoint = "before-manifest"
+    intercept[IllegalStateException] { Scd1Merge.restore(path, 1) }
+    assert(canon(Scd1Merge.readTable(spark, path)) ==
+      Seq(Seq("1", "a"), Seq("2", "b2")))
+    // restoring past the retention horizon fails loudly
+    Scd1Merge.vacuum(path, retain = 0)
+    intercept[IllegalStateException] { Scd1Merge.restore(path, 1) }
+    assert(canon(Scd1Merge.readTable(spark, path)) ==
+      Seq(Seq("1", "a"), Seq("2", "b2")))
+  }
 }
