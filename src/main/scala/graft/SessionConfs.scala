@@ -10,19 +10,18 @@ import org.apache.spark.sql.SparkSession
   */
 object SessionConfs {
 
-  /**  - `nanosAsLong`: the driver's `events` table stores `ts` as
-    *    parquet TIMESTAMP(NANOS), which Spark's vectorized reader only
-    *    admits as a raw INT64 via this legacy flag. Affects nothing
-    *    else — every other judged input is nanos-free.
-    *  - `csv.filterPushdown` off: Spark-bug workaround — a pushed CSV
+  /**  - `csv.filterPushdown` off: Spark-bug workaround — a pushed CSV
     *    filter whose column is pruned from the required schema (e.g.
     *    `count()` over a join-filtered CSV lineage) crashes
     *    UnivocityParser's OrderedFilters with an ArrayIndexOutOfBounds.
     *    CSV pushdown buys nothing at this volume; parquet pushdown (the
     *    scale path) is unaffected.
+    *
+    * (The driver's `events.ts` column is µs-precision TIMESTAMP, read
+    * natively — the former TIMESTAMP(NANOS)/`nanosAsLong` workaround is
+    * gone with the testdata schema that needed it.)
     */
   def apply(spark: SparkSession): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.csv.filterPushdown.enabled", "false")
   }
 }

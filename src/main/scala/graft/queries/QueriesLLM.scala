@@ -585,10 +585,8 @@ object QueriesLLM {
         .orderBy(col("doc_id"))),
     "mm_props_json" -> ((s, dir) =>
       // typed-metadata extraction from a JSON props column (events.props).
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects — read a projected schema that skips it (the
-      // pushed-down ReadSchema would skip the column at scan level
-      // anyway).
+      // A projected read schema keeps the scan to the two used columns
+      // (the pushed-down ReadSchema would prune the rest anyway).
       s.read.schema("event_id BIGINT, props STRING")
         .parquet(s"$dir/events.parquet")
         .select(col("event_id"),

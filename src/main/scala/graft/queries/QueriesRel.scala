@@ -566,6 +566,28 @@ object QueriesRel {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
+    "a22_mode" -> ((s, dir) => {
+      // per-group MODE (most frequent value, ties → smallest value):
+      // phase 1 is one map-side-combinable hash-agg over (group, value)
+      // — the only pass that sees data-sized input; phase 2 picks the
+      // argmax over the tiny (groups × distinct-values) count table via
+      // one struct-max agg (count, reverse-rank proxy): no window, no
+      // second shuffle of the base data. The tie-break rides the same
+      // struct compare by negating on the count and using min on the
+      // value via a two-level max_by.
+      val counts = table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .groupBy(col("o_orderstatus"))
+        // min_by on (−cnt, value): the struct compares field-wise, so
+        // this is argmax-count with ties going to the smallest value —
+        // one agg, no window.
+        .agg(min_by(col("o_orderpriority"),
+          struct((-col("cnt")).as("neg"), col("o_orderpriority").as("v")))
+          .as("mode_priority"))
+        .orderBy(col("o_orderstatus"))
+    }),
     "a8_rollup" -> ((s, dir) =>
       // hierarchical subtotals (Expand-based plan); money on exact cents
       table(s, dir, "orders")
@@ -632,6 +654,24 @@ object QueriesRel {
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"),
           ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "w8_first_last" -> ((s, dir) => {
+      // value-window family: first_value / last_value / nth_value. The
+      // default window frame ends at CURRENT ROW, which makes
+      // last_value degenerate (≡ current row) — both sides pin the
+      // full-partition frame explicitly so the semantics judged are
+      // the ones a user actually wants (cheapest/priciest/runner-up
+      // order per customer). One window sort, three O(1) frame reads.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_orderkey")).over(w).as("cheapest_key"),
+          last(col("o_orderkey")).over(w).as("priciest_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_cheapest_key"))
         .orderBy(col("o_orderkey"))
     }),
     "w7_percent_rank_cume" -> ((s, dir) => {
@@ -795,6 +835,25 @@ object QueriesRel {
          |FROM orders
          |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
          |ORDER BY o_orderkey""".stripMargin,
+    "w8_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+         |  first_value(o_orderkey) OVER w AS cheapest_key,
+         |  last_value(o_orderkey) OVER w AS priciest_key,
+         |  nth_value(o_orderkey, 2) OVER w AS second_cheapest_key
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |ORDER BY o_orderkey""".stripMargin,
+    "a22_mode" ->
+      """WITH counts AS (
+         |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         |  FROM orders GROUP BY 1, 2),
+         |r AS (SELECT o_orderstatus, o_orderpriority,
+         |  row_number() OVER (PARTITION BY o_orderstatus
+         |                     ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+         |  FROM counts)
+         |SELECT o_orderstatus, o_orderpriority AS mode_priority
+         |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "w7_percent_rank_cume" ->
       """SELECT o_orderkey, o_orderstatus,
          |  percent_rank() OVER w AS pr,

@@ -99,11 +99,11 @@ object QueriesStream {
       // Ordered funnel view -> click -> purchase: per-user earliest
       // strictly-after step times + furthest stage, via stacked
       // conditional window-mins over ONE user partitioning (Funnel
-      // Scaladoc). Exact integer µs both sides (DuckDB truncates
-      // ns-parquet to µs — the events-table convention).
+      // Scaladoc). Exact integer µs both sides (unix_micros here,
+      // epoch_us in the oracle — the µs-TIMESTAMP events convention).
       val ev = s.read.schema(Streaming.EventsRawSchema)
         .parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("ts div 1000"))
+        .withColumn("ts", unix_micros(col("ts")))
       graft.ops.Funnel.funnel(ev, "user_id", "event_type", "ts",
           Seq("view", "click", "purchase"))
         .orderBy(col("user_id"))
@@ -122,7 +122,7 @@ object QueriesStream {
       val ev = s.read.schema(Streaming.EventsRawSchema)
         .parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+          to_date(col("ts")).as("d"))
       ev.write.partitionBy("d").mode("overwrite").parquet(path)
       ev.filter(col("d") === lit("2024-01-05").cast("date") &&
           col("event_type") === "purchase")
@@ -147,7 +147,7 @@ object QueriesStream {
       // agree across engines (UTC session, µs-truncated events).
       val ev = s.read.schema(Streaming.EventsRawSchema)
         .parquet(s"$dir/events.parquet")
-        .select(timestamp_micros(expr("ts div 1000")).as("ets"),
+        .select(col("ts").as("ets"),
           col("user_id"))
       ev.groupBy(window(col("ets"), "2 hours", "30 minutes"))
         .agg(count(lit(1)).as("n_events"),
@@ -173,7 +173,7 @@ object QueriesStream {
       val ev = s.read.schema(Streaming.EventsRawSchema)
         .parquet(s"$dir/events.parquet")
         .select(col("user_id"),
-          to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+          to_date(col("ts")).as("d"))
       val firsts = ev.groupBy(col("user_id"))
         .agg(min(col("d")).as("cohort_day"))
       val daily = ev.distinct()
@@ -192,7 +192,6 @@ object QueriesStream {
     "stream_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization (30-min inactivity gap) over
       // the event stream — lag + running-sum windows per user.
-      // (nanosAsLong comes from SessionConfs at session setup.)
       val ev = s.read.schema(Streaming.EventsRawSchema)
         .parquet(s"$dir/events.parquet")
       Streaming.sessionize(ev, gapMinutes = 30)
@@ -223,7 +222,7 @@ object QueriesStream {
       val ev = s.read.schema(Streaming.EventsRawSchema)
         .parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("__us"))
+          unix_micros(col("ts")).as("__us"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("__us"))
       graft.ops.AsofJoin.asofLeft(
@@ -241,10 +240,9 @@ object QueriesStream {
       val src = graft.Tmp.dir("graft_ssj_src")
       val ev = s.read.schema(Streaming.EventsRawSchema)
         .parquet(s"$dir/events.parquet")
-      val cutNs = java.time.Instant.parse("2024-01-15T00:00:00Z")
-        .getEpochSecond * 1000000000L
-      ev.filter(col("ts") < cutNs).coalesce(1).write.mode("append").parquet(src)
-      ev.filter(col("ts") >= cutNs).coalesce(1).write.mode("append").parquet(src)
+      val cut = lit(java.time.Instant.parse("2024-01-15T00:00:00Z"))
+      ev.filter(col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+      ev.filter(col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
       val out = graft.Tmp.dir("graft_ssj_out") + "/pairs"
       val ckpt = graft.Tmp.dir("graft_ssj_ckpt")
       Streaming.runStreamJoinAvailableNow(s, src, out, ckpt,
@@ -268,13 +266,12 @@ object QueriesStream {
       val src = graft.Tmp.dir("graft_late_src")
       val ev = s.read.schema(Streaming.EventsRawSchema)
         .parquet(s"$dir/events.parquet")
-      def ns(iso: String) = java.time.Instant.parse(iso)
-        .getEpochSecond * 1000000000L
-      val d1 = ev.filter(col("ts") < ns("2024-01-02T00:00:00Z"))
-      val d2 = ev.filter(col("ts") >= ns("2024-01-02T00:00:00Z") &&
-        col("ts") < ns("2024-01-03T00:00:00Z"))
-      val late = d1.filter(col("ts") >= ns("2024-01-01T12:00:00Z") &&
-          col("ts") < ns("2024-01-01T13:00:00Z"))
+      def at(iso: String) = lit(java.time.Instant.parse(iso))
+      val d1 = ev.filter(col("ts") < at("2024-01-02T00:00:00Z"))
+      val d2 = ev.filter(col("ts") >= at("2024-01-02T00:00:00Z") &&
+        col("ts") < at("2024-01-03T00:00:00Z"))
+      val late = d1.filter(col("ts") >= at("2024-01-01T12:00:00Z") &&
+          col("ts") < at("2024-01-01T13:00:00Z"))
         .withColumn("event_id", col("event_id") + 1000000000L)
         .withColumn("value", col("value") + 1000.0)
       // three writes = three files = three micro-batches
@@ -301,11 +298,10 @@ object QueriesStream {
       val src = graft.Tmp.dir("graft_resume_src")
       val ev = s.read.schema(Streaming.EventsRawSchema)
         .parquet(s"$dir/events.parquet")
-      def ns(iso: String) = java.time.Instant.parse(iso)
-        .getEpochSecond * 1000000000L
-      val d1 = ev.filter(col("ts") < ns("2024-01-02T00:00:00Z"))
-      val d2 = ev.filter(col("ts") >= ns("2024-01-02T00:00:00Z") &&
-        col("ts") < ns("2024-01-03T00:00:00Z"))
+      def at(iso: String) = lit(java.time.Instant.parse(iso))
+      val d1 = ev.filter(col("ts") < at("2024-01-02T00:00:00Z"))
+      val d2 = ev.filter(col("ts") >= at("2024-01-02T00:00:00Z") &&
+        col("ts") < at("2024-01-03T00:00:00Z"))
       val out = graft.Tmp.dir("graft_resume_out") + "/win"
       val ckpt = graft.Tmp.dir("graft_resume_ckpt")
       d1.coalesce(1).write.mode("append").parquet(src)
@@ -324,10 +320,9 @@ object QueriesStream {
       val src = graft.Tmp.dir("graft_state_src")
       val ev = s.read.schema(Streaming.EventsRawSchema)
         .parquet(s"$dir/events.parquet")
-      val cutNs = java.time.Instant.parse("2024-01-15T00:00:00Z")
-        .getEpochSecond * 1000000000L
-      ev.filter(col("ts") < cutNs).coalesce(1).write.mode("append").parquet(src)
-      ev.filter(col("ts") >= cutNs).coalesce(1).write.mode("append").parquet(src)
+      val cut = lit(java.time.Instant.parse("2024-01-15T00:00:00Z"))
+      ev.filter(col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+      ev.filter(col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
       val out = graft.Tmp.dir("graft_state_out") + "/profiles"
       val ckpt = graft.Tmp.dir("graft_state_ckpt")
       Streaming.runStatefulAvailableNow(s, src, out, ckpt,
@@ -350,7 +345,7 @@ object QueriesStream {
       val ev = s.read.schema(Streaming.EventsRawSchema)
         .parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), expr("ts div 1000").as("__us"))
+          col("value"), unix_micros(col("ts")).as("__us"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("__us"),
           col("event_id").as("purchase_id"), col("value").as("purchase_value"))
@@ -372,7 +367,7 @@ object QueriesStream {
       val ev = s.read.schema(Streaming.EventsRawSchema)
         .parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), expr("ts div 1000").as("__us"))
+          col("value"), unix_micros(col("ts")).as("__us"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("__us"),
           col("event_id").as("purchase_id"), col("value").as("purchase_value"))

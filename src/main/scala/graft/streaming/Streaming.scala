@@ -17,15 +17,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
-  /** Schema of the driver's `events` table with `ts` read as raw nanos
-    * (Spark's parquet reader has no TIMESTAMP(NANOS) type; the file
-    * stream reads the INT64 and [[withEventTime]] converts to a µs
-    * timestamp — same truncation DuckDB applies to the column). */
+  /** Schema of the driver's `events` table: `ts` is a µs-precision
+    * TIMESTAMP (UTC session), read natively — integer-exact gap/as-of
+    * arithmetic derives µs via `unix_micros` where needed. */
   val EventsRawSchema =
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
 
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    df.withColumn("ets", col("ts"))
 
   /** Tumbling-window aggregation over the event stream: per
     * (1-hour window, event_type) row counts and an exact money sum.
@@ -51,18 +50,14 @@ object Streaming {
   def runAvailableNow(spark: SparkSession, srcDir: String, outPath: String,
                       checkpointDir: String, watermarkDelay: String = "1 hour",
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    // Scoped overrides, both restored after the stream drains (the whole
-    // source→sink lifecycle completes inside this call; the returned
-    // frame reads the committed nanos-free output table, so nothing lazy
-    // escapes that needs either conf):
-    //  - nanosAsLong: the source stream reads raw INT64(NANOS) parquet.
-    //  - shuffle.partitions: state-store partitioning follows it and
-    //    each partition carries per-batch commit overhead; the windowed
-    //    agg holds a few thousand keys, so a wide fan-out is pure
-    //    overhead. A fresh checkpoint per run means the baked-in state
-    //    partitioning doesn't conflict across runs.
+    // Scoped override, restored after the stream drains (the whole
+    // source→sink lifecycle completes inside this call):
+    // state-store partitioning follows shuffle.partitions and each
+    // partition carries per-batch commit overhead; the windowed agg
+    // holds a few thousand keys, so a wide fan-out is pure overhead. A
+    // fresh checkpoint per run means the baked-in state partitioning
+    // doesn't conflict across runs.
     withConfs(spark,
-        "spark.sql.legacy.parquet.nanosAsLong" -> "true",
         "spark.sql.shuffle.partitions" -> "8") {
       runStream(spark, srcDir, outPath, checkpointDir, watermarkDelay, maxFilesPerTrigger)
     }
@@ -109,7 +104,6 @@ object Streaming {
                            checkpointDir: String, keyCols: Seq[String],
                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     withConfs(spark,
-        "spark.sql.legacy.parquet.nanosAsLong" -> "true",
         "spark.sql.shuffle.partitions" -> "8") {
       val reader = spark.readStream.schema(EventsRawSchema)
       maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -167,7 +161,6 @@ object Streaming {
                                      keyCols: Seq[String],
                                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     withConfs(spark,
-        "spark.sql.legacy.parquet.nanosAsLong" -> "true",
         "spark.sql.shuffle.partitions" -> "8") {
       val reader = spark.readStream.schema(EventsRawSchema)
       maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -244,7 +237,6 @@ object Streaming {
                                 checkpointDir: String,
                                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     withConfs(spark,
-        "spark.sql.legacy.parquet.nanosAsLong" -> "true",
         "spark.sql.shuffle.partitions" -> "8") {
       val reader = spark.readStream.schema(EventsRawSchema)
       maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -300,13 +292,12 @@ object Streaming {
                               checkpointDir: String,
                               maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     withConfs(spark,
-        "spark.sql.legacy.parquet.nanosAsLong" -> "true",
         "spark.sql.shuffle.partitions" -> "8") {
       import spark.implicits._
       val reader = spark.readStream.schema(EventsRawSchema)
       maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
       val events = reader.parquet(srcDir)
-        .select(col("user_id"), expr("ts div 1000").as("us"),
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
           round(col("value") * 100).cast("long").as("cents"))
         .as[(Long, Long, Long)]
       val updated = events.groupByKey(_._1)
@@ -355,7 +346,7 @@ object Streaming {
     val run = Window.partitionBy(col("user_id")).orderBy(col("__us"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
-      .withColumn("__us", expr("ts div 1000"))
+      .withColumn("__us", unix_micros(col("ts")))
       .withColumn("__prev", lag(col("__us"), 1).over(w))
       .withColumn("__new", when(col("__prev").isNull ||
         col("__us") - col("__prev") > gapUs, 1).otherwise(0))
@@ -396,7 +387,7 @@ object Streaming {
     val wLoc = Window.partitionBy(col("user_id"), col("__chunk")).orderBy(col("__us"))
     val runLoc = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = events
-      .withColumn("__us", expr("ts div 1000"))
+      .withColumn("__us", unix_micros(col("ts")))
       .withColumn("__chunk", (col("__us") / lit(chunkUs)).cast("long"))
       .withColumn("__prev", lag(col("__us"), 1).over(wLoc))
       .withColumn("__new", when(col("__prev").isNull ||

@@ -133,7 +133,8 @@ class PlanSpec extends SparkSpecBase {
 
   test("chunked twins window by (key, chunk), not by key alone") {
     import spark.implicits._
-    val ev = Seq((1L, 1000000000L)).toDF("user_id", "ts")
+    val ev = Seq((1L, 1000000000L)).toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
     val p = plan(graft.streaming.Streaming.sessionizeChunked(ev, 30, 6))
     // the stage-1 window's partition spec must carry the chunk column
     assert(p.contains("windowspecdefinition(user_id") && p.contains("__chunk"),

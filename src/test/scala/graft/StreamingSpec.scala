@@ -15,13 +15,12 @@ class StreamingSpec extends SparkSpecBase {
 
     // split on event time; write chunks in order so the second batch
     // never carries data older than the first batch's watermark
-    val cutNanos = java.time.Instant.parse("2024-01-15T00:00:00Z")
-      .getEpochSecond * 1000000000L
+    val cut = lit(java.time.Instant.parse("2024-01-15T00:00:00Z"))
     val src = Tmp.dir("stream_src")
-    events.filter(col("ts") < cutNanos).coalesce(1)
+    events.filter(col("ts") < cut).coalesce(1)
       .write.mode("append").parquet(src)
     Thread.sleep(1100) // distinct mtimes => deterministic file order
-    events.filter(col("ts") >= cutNanos).coalesce(1)
+    events.filter(col("ts") >= cut).coalesce(1)
       .write.mode("append").parquet(src)
 
     val got = Streaming.runAvailableNow(spark, src,
@@ -42,12 +41,12 @@ class StreamingSpec extends SparkSpecBase {
     // poison values (+1000) would corrupt sums on any leak.
     val ev = spark.read.schema(Streaming.EventsRawSchema)
       .parquet("/root/testdata/sf0.001/events.parquet")
-    def ns(iso: String) = java.time.Instant.parse(iso).getEpochSecond * 1000000000L
-    val d1 = ev.filter(col("ts") < ns("2024-01-02T00:00:00Z"))
-    val d2 = ev.filter(col("ts") >= ns("2024-01-02T00:00:00Z") &&
-      col("ts") < ns("2024-01-03T00:00:00Z"))
-    val late = d1.filter(col("ts") >= ns("2024-01-01T12:00:00Z") &&
-        col("ts") < ns("2024-01-01T13:00:00Z"))
+    def at(iso: String) = lit(java.time.Instant.parse(iso))
+    val d1 = ev.filter(col("ts") < at("2024-01-02T00:00:00Z"))
+    val d2 = ev.filter(col("ts") >= at("2024-01-02T00:00:00Z") &&
+      col("ts") < at("2024-01-03T00:00:00Z"))
+    val late = d1.filter(col("ts") >= at("2024-01-01T12:00:00Z") &&
+        col("ts") < at("2024-01-01T13:00:00Z"))
       .withColumn("event_id", col("event_id") + 1000000000L)
       .withColumn("value", col("value") + 1000.0)
     assert(late.count() > 0, "fixture must plant real late rows")
@@ -70,12 +69,11 @@ class StreamingSpec extends SparkSpecBase {
     val events = spark.read
       .schema(Streaming.EventsRawSchema)
       .parquet("/root/testdata/sf0.001/events.parquet")
-    val cutNanos = java.time.Instant.parse("2024-01-15T00:00:00Z")
-      .getEpochSecond * 1000000000L
+    val cut = lit(java.time.Instant.parse("2024-01-15T00:00:00Z"))
     val src = Tmp.dir("state_src")
-    events.filter(col("ts") < cutNanos).coalesce(1)
+    events.filter(col("ts") < cut).coalesce(1)
       .write.mode("append").parquet(src)
-    events.filter(col("ts") >= cutNanos).coalesce(1)
+    events.filter(col("ts") >= cut).coalesce(1)
       .write.mode("append").parquet(src)
 
     val got = Streaming.runStatefulAvailableNow(spark, src,
@@ -85,7 +83,7 @@ class StreamingSpec extends SparkSpecBase {
     val want = events.groupBy(col("user_id")).agg(
       count(lit(1)).as("n_events"),
       (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"),
-      timestamp_micros(max(expr("ts div 1000"))).as("last_event"))
+      max(col("ts")).as("last_event"))
     assertSameRows(got.orderBy(col("user_id")), want.orderBy(col("user_id")))
   }
 
@@ -93,11 +91,10 @@ class StreamingSpec extends SparkSpecBase {
     val events = spark.read
       .schema(Streaming.EventsRawSchema)
       .parquet("/root/testdata/sf0.001/events.parquet")
-    val cutNanos = java.time.Instant.parse("2024-01-15T00:00:00Z")
-      .getEpochSecond * 1000000000L
+    val cut = lit(java.time.Instant.parse("2024-01-15T00:00:00Z"))
     val src = Tmp.dir("ssj_src")
-    events.filter(col("ts") < cutNanos).coalesce(1).write.mode("append").parquet(src)
-    events.filter(col("ts") >= cutNanos).coalesce(1).write.mode("append").parquet(src)
+    events.filter(col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    events.filter(col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
     val got = Streaming.runStreamJoinAvailableNow(spark, src,
       Tmp.dir("ssj_out") + "/pairs", Tmp.dir("ssj_ckpt"),
       maxFilesPerTrigger = Some(1))
@@ -127,14 +124,15 @@ class StreamingSpec extends SparkSpecBase {
     val rows =
       (1 to 5000).map(_ => (0L, math.abs(rnd.nextLong()) % (7 * dayUs))) ++
       (1 to 5000).map(_ => (1L + rnd.nextInt(20), math.abs(rnd.nextLong()) % (7 * dayUs)))
-    val ev = rows.map { case (u, us) => (u, us * 1000L) }.toDF("user_id", "ts")
+    val ev = rows.toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
     val plain = Streaming.sessionize(ev, gapMinutes = 30)
     val chunked = Streaming.sessionizeChunked(ev, gapMinutes = 30, chunkHours = 6)
     assertSameRows(chunked, plain)
     // the scale point: the hot user's largest (user, chunk) partition is
     // bounded by a chunk's share, not the full 5000-event history
     val maxGroup = ev
-      .withColumn("chunk", (expr("ts div 1000") / (6 * 3600L * 1000000L)).cast("long"))
+      .withColumn("chunk", (unix_micros(col("ts")) / (6 * 3600L * 1000000L)).cast("long"))
       .groupBy($"user_id", $"chunk").count().agg(max("count")).first().getLong(0)
     assert(maxGroup <= 1000, s"6h chunks over 7 days must bound partitions: max=$maxGroup")
   }
@@ -176,7 +174,6 @@ class StreamingSpec extends SparkSpecBase {
 
   test("streaming runs leave no session conf mutated (order-independence)") {
     val before = Seq("spark.sql.shuffle.partitions",
-      "spark.sql.legacy.parquet.nanosAsLong",
       "spark.sql.csv.filterPushdown.enabled")
       .map(k => k -> spark.conf.getOption(k))
     val src = Tmp.dir("conf_src")
