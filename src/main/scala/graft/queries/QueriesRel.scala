@@ -690,6 +690,34 @@ object QueriesRel {
         .orderBy(col("o_orderkey"))
     }),
 
+    "j13_dpp" -> ((s, dir) => {
+      // DYNAMIC PARTITION PRUNING — the star-schema scan killer at
+      // 100 TB: the fact is laid out partitioned by month, the filter
+      // lives on a DIM attribute (label), and the months to scan are
+      // only known after filtering the dim — a static planner must
+      // read every partition. Spark's DPP inserts a runtime subquery:
+      // the broadcast dim's join keys become a partition filter on the
+      // fact scan, so 12 of ~80 month directories are read (PlanSpec
+      // pins the dynamicpruningexpression in the scan). The dim is
+      // MATERIALIZED through parquet so label⇒month is data, not an
+      // expression Catalyst could fold statically.
+      val base = tmpDir("graft_dpp")
+      val factPath = base + "/fact"
+      val dimPath = base + "/dim"
+      val orders = table(s, dir, "orders")
+        .withColumn("d_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      orders.write.partitionBy("d_month").mode("overwrite").parquet(factPath)
+      orders.select(col("d_month")).distinct()
+        .withColumn("label", concat(lit("M-"), col("d_month")))
+        .write.mode("overwrite").parquet(dimPath)
+      val fact = s.read.parquet(factPath)
+      val dim = s.read.parquet(dimPath).filter(col("label").startsWith("M-1995"))
+      fact.join(broadcast(dim), "d_month")
+        .groupBy(col("d_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))) / 100.0).as("revenue"))
+        .orderBy(col("d_month"))
+    }),
     "o1_sort" -> ((s, dir) =>
       table(s, dir, "orders")
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"))
@@ -835,6 +863,13 @@ object QueriesRel {
          |FROM orders
          |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
          |ORDER BY o_orderkey""".stripMargin,
+    "j13_dpp" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS d_month,
+         |  count(*) AS n_orders,
+         |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+         |FROM orders
+         |WHERE strftime(o_orderdate, '%Y-%m') LIKE '1995-%'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "w8_first_last" ->
       """SELECT o_orderkey, o_custkey,
          |  first_value(o_orderkey) OVER w AS cheapest_key,

@@ -131,6 +131,18 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("j13_dpp fact scan carries a runtime dynamicpruning partition filter") {
+    // the star-schema scan killer: the months to read are only known
+    // after filtering the dim on its label ATTRIBUTE, so a static
+    // planner reads all ~80 month partitions — DPP must inject the
+    // broadcast dim's keys as a runtime partition filter on the fact
+    val df = graft.queries.QueriesRel.queries("j13_dpp")(spark, dir)
+    df.collect() // materialize THIS dataset's adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression partition filter on the fact scan:\n$p")
+  }
+
   test("chunked twins window by (key, chunk), not by key alone") {
     import spark.implicits._
     val ev = Seq((1L, 1000000000L)).toDF("user_id", "us")
