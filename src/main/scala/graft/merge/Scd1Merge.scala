@@ -1345,6 +1345,112 @@ object Scd1Merge {
     }
   }
 
+  /** FULL MERGE surface — Delta `MERGE ... WHEN MATCHED [AND cond]
+    * THEN DELETE` parity, in the CDC-apply shape: the source carries an
+    * operation column (`opCol`), rows tagged `delete` remove their key
+    * from the table, every other row upserts (update-or-insert), ALL IN
+    * ONE crash-safe commit through the standard protocol (lock, lease,
+    * manifest swap, retention, batch stamp). The change feed across the
+    * commit tags the three populations `update`/`insert`/`delete`
+    * (CdcSpec pins it).
+    *
+    * Scale is the upsert's: ONE probe job finds touched buckets +
+    * multiplicity, only touched buckets are read or rewritten (pruned
+    * by PATH), a bucket whose rows are all deleted drops from the
+    * manifest (its old versions stay readable through retention). A key
+    * appearing twice in one batch — including delete + upsert of the
+    * SAME key — is the Delta multiple-match error: resolve upstream,
+    * the merge cannot know which wins.
+    *
+    * A delete for a key the table doesn't hold is a no-op (row
+    * vanishes in the anti-join), matching MERGE: an unmatched
+    * WHEN MATCHED DELETE clause fires nothing. */
+  def applyCdc(spark: SparkSession, tablePath: String, source: DataFrame,
+               keys: Seq[String], opCol: String = "_op",
+               numBuckets: Int = 0,
+               retainVersions: Int = DefaultRetainVersions,
+               statsColumns: Seq[String] = Nil,
+               batchId: String = ""): Unit = {
+    require(source.columns.contains(opCol),
+      s"applyCdc: source must carry the operation column '$opCol'")
+    if (readManifest(tablePath).isEmpty) {
+      // no committed target: deletes have nothing to match (MERGE
+      // no-op); the surviving rows create the table
+      upsert(spark, tablePath, source.filter(col(opCol) =!= "delete").drop(opCol),
+        keys, numBuckets, retainVersions = retainVersions,
+        statsColumns = statsColumns, batchId = batchId)
+      return
+    }
+    withLock(tablePath) { leaseId =>
+      val manifest = readManifest(tablePath).get
+      val nb = manifest.numBuckets
+      requireSameKeys(tablePath, manifest, keys)
+      sweepVersions(tablePath, manifest, retainVersions)
+      val bucketed = withBucket(source, keys, nb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val probe = bucketed
+          .groupBy(col(BucketCol) +: keys.map(col): _*)
+          .agg(count(lit(1)).as("__c"),
+            // does this key carry a NON-delete row (per bucket below:
+            // such buckets MUST produce an output dir — write tripwire)
+            max(when(col(opCol) === "delete", 0).otherwise(1)).as("__up"))
+          .groupBy(col(BucketCol)).agg(max(col("__c")).as("__maxc"),
+            max(col("__up")).as("__hasup"))
+          .collect()
+        if (probe.exists(_.getLong(1) > 1))
+          throw new IllegalArgumentException(
+            "merge aborted: a key appears in more than one source row " +
+            s"(incl. delete+upsert of the same key) for keys ${keys.mkString(",")}")
+        val touched: Seq[Int] = probe.map(_.getInt(0)).toSeq.sorted
+        if (touched.isEmpty) {
+          if (batchId.nonEmpty && batchId != manifest.batch) {
+            refreshLease(tablePath, leaseId)
+            commitManifest(tablePath, manifest.copy(batch = batchId))
+          }
+          return
+        }
+        val mustWrite = probe.filter(_.getInt(2) == 1).map(_.getInt(0)).toSet
+        val liveTouched = touched.flatMap(b => manifest.dirs.get(b))
+          .map(d => Paths.get(tablePath, d).toString)
+        val upserts = bucketed.filter(col(opCol) =!= "delete")
+        val merged =
+          if (liveTouched.isEmpty) upserts.drop(opCol)
+          else {
+            val target = withBucket(
+              spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)
+            // ONE anti-join on ALL source keys (delete keys and upsert
+            // keys alike drop the old image), then the new images land
+            target.join(bucketed, keys, "left_anti")
+              .unionByName(upserts.select(target.columns.toIndexedSeq.map(col): _*))
+          }
+        val tmp = tablePath + ".tmp"
+        stageWrite(merged, tmp)
+        mustWrite.foreach { b =>
+          if (!Files.exists(Paths.get(tmp, s"$BucketCol=$b")))
+            throw new IllegalStateException(
+              s"bucket dir missing from merge output: $tmp/$BucketCol=$b")
+        }
+        // a touched bucket with NO output dir was emptied by deletes —
+        // it leaves the manifest (old versions stay within retention)
+        val emptied = touched.filterNot(b =>
+          Files.exists(Paths.get(tmp, s"$BucketCol=$b")))
+        val newStats = bucketStats(spark, tmp, keys ++ statsColumns)
+        val newVersions = adoptBucketDirs(tablePath, tmp,
+          b => nextVersion(tablePath, manifest, b))
+        failpoint("before-manifest")
+        refreshLease(tablePath, leaseId)
+        val committed = commitManifest(tablePath, manifest.copy(numBuckets = nb,
+          dirs = manifest.dirs -- emptied ++ newVersions,
+          stats = manifest.stats -- touched ++ newStats, keys = keys,
+          batch = if (batchId.nonEmpty) batchId else manifest.batch))
+        failpoint("after-manifest")
+        sweepVersions(tablePath, committed, retainVersions)
+        deleteRecursively(Paths.get(tmp))
+      } finally bucketed.unpersist(blocking = false)
+    }
+  }
+
   /** Caller keys must match the keys the table's buckets are hashed on
     * (recorded in the manifest since the stats format landed): merging
     * on different keys would route rows to the wrong buckets and
@@ -1808,6 +1914,50 @@ object Scd1Merge {
         batch = if (batchId.nonEmpty) batchId else s"restore-to-commit-$target"))
       failpoint("after-manifest")
       sweepVersions(tablePath, committed, retainVersions)
+      committed.commit
+    }
+  }
+
+  /** SHALLOW CLONE — Delta `CREATE TABLE ... SHALLOW CLONE` parity:
+    * a new independent table at `dstPath` whose first commit references
+    * the source's CURRENT bucket version dirs by symlink — O(buckets)
+    * metadata, ZERO data copied, however large the source. The clone
+    * carries the source's keys/stats/cluster state, so data skipping
+    * and key-pruned lookups work immediately.
+    *
+    * DIVERGENCE IS COPY-ON-WRITE: a later upsert/delete on the clone
+    * rewrites only the buckets it touches into clone-local version
+    * dirs (version numbering continues past the linked names, so no
+    * collision) and the clone's GC deletes at most the SYMLINK entries
+    * it owns — `deleteRecursively` never follows links, so the
+    * source's files are untouchable from the clone. Writes on the
+    * SOURCE are equally invisible to the clone (its manifest pins the
+    * cloned versions).
+    *
+    * Retention caveat (same as Delta's): the clone's references are
+    * invisible to the source's reachability GC — a source `vacuum` or
+    * rewrite that sweeps a still-referenced version dir breaks the
+    * clone's read of that bucket. Clones share the source's retention
+    * discipline, they don't extend it.
+    *
+    * Returns the clone's first commit number (always 1). */
+  def cloneShallow(srcPath: String, dstPath: String,
+                   batchId: String = ""): Int = {
+    val src = readManifest(srcPath).getOrElse(throw new IllegalStateException(
+      s"cloneShallow: $srcPath has no manifest (not a committed bucketed table)"))
+    if (readManifest(dstPath).isDefined) throw new IllegalStateException(
+      s"cloneShallow: $dstPath is already a committed table")
+    Files.createDirectories(Paths.get(dstPath, "data"))
+    withLock(dstPath) { _ =>
+      src.dirs.values.foreach { d =>
+        val link = Paths.get(dstPath, d)
+        Files.createDirectories(link.getParent)
+        if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          Files.createSymbolicLink(link,
+            Paths.get(srcPath, d).toAbsolutePath.normalize)
+      }
+      val committed = commitManifest(dstPath, src.copy(
+        batch = if (batchId.nonEmpty) batchId else s"clone@${src.commit}"))
       committed.commit
     }
   }

@@ -690,6 +690,63 @@ object QueriesRel {
         .orderBy(col("o_orderkey"))
     }),
 
+    "s30_merge_cdc" -> ((s, dir) => {
+      // FULL MERGE surface (Delta WHEN MATCHED DELETE parity): one
+      // CDC batch carrying updates (k%5=0 → name_v2), inserts
+      // (k+100 for k<3) and deletes (10<=k<15) applies in ONE
+      // crash-safe commit — Scd1Merge.applyCdc. The judged frame is
+      // the post-merge table; CdcSpec pins single-commit atomicity,
+      // emptied-bucket handling and the change-feed tags.
+      val n = table(s, dir, "nation")
+      val dim = n.select(col("n_nationkey").as("k"),
+        col("n_name").as("name"), col("n_regionkey").as("region"))
+      val path = tmpDir("graft_cdc30") + "/dim"
+      Scd1Merge.upsert(s, path, dim, Seq("k"))
+      val cdc = n.filter(col("n_nationkey") % 5 === 0 && col("n_nationkey") < 10)
+        .select(col("n_nationkey").as("k"),
+          concat(col("n_name"), lit("_v2")).as("name"),
+          col("n_regionkey").as("region"), lit("update").as("_op"))
+        .unionByName(n.filter(col("n_nationkey") < 3)
+          .select((col("n_nationkey") + lit(100L)).cast("int").as("k"),
+            concat(col("n_name"), lit("_new")).as("name"),
+            col("n_regionkey").as("region"), lit("insert").as("_op")))
+        .unionByName(n.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 15)
+          .select(col("n_nationkey").as("k"), col("n_name").as("name"),
+            col("n_regionkey").as("region"), lit("delete").as("_op")))
+      Scd1Merge.applyCdc(s, path, cdc, Seq("k"))
+      Scd1Merge.readTable(s, path).orderBy(col("k"))
+    }),
+    "s29_shallow_clone" -> ((s, dir) => {
+      // SHALLOW CLONE (Delta CLONE parity): zero-copy table fork. The
+      // clone's first commit symlinks the source's bucket versions
+      // (O(buckets) metadata); the divergence batch then copy-on-write
+      // rewrites only the clone buckets it touches. The judged frame
+      // carries BOTH post-divergence states side-tagged — the clone
+      // shows the merge, the source must read back bit-identical to
+      // its pre-clone content (isolation both ways). CloneSpec pins
+      // the zero-copy mechanics (symlinked dirs, file sharing,
+      // source-safe GC).
+      val n = table(s, dir, "nation")
+      val dim = n.select(col("n_nationkey").as("k"),
+        col("n_name").as("name"), col("n_regionkey").as("region"))
+      val root = tmpDir("graft_clone29")
+      val srcT = root + "/src"; val cloneT = root + "/clone"
+      Scd1Merge.upsert(s, srcT, dim, Seq("k"))
+      Scd1Merge.cloneShallow(srcT, cloneT)
+      val batch = n.filter(col("n_nationkey") % 5 === 0)
+        .select(col("n_nationkey").as("k"),
+          concat(col("n_name"), lit("_v2")).as("name"),
+          col("n_regionkey").as("region"))
+        .unionByName(n.filter(col("n_nationkey") < 3)
+          .select((col("n_nationkey") + lit(100L)).cast("int").as("k"),
+            concat(col("n_name"), lit("_new")).as("name"),
+            col("n_regionkey").as("region")))
+      Scd1Merge.upsert(s, cloneT, batch, Seq("k"))
+      Scd1Merge.readTable(s, cloneT).withColumn("side", lit("clone"))
+        .unionByName(
+          Scd1Merge.readTable(s, srcT).withColumn("side", lit("source")))
+        .orderBy(col("side"), col("k"))
+    }),
     "j13_dpp" -> ((s, dir) => {
       // DYNAMIC PARTITION PRUNING — the star-schema scan killer at
       // 100 TB: the fact is laid out partitioned by month, the filter
@@ -863,6 +920,34 @@ object QueriesRel {
          |FROM orders
          |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
          |ORDER BY o_orderkey""".stripMargin,
+    "s30_merge_cdc" ->
+      """WITH dim AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation),
+         |ups AS (
+         |  SELECT n_nationkey AS k, n_name || '_v2' AS name, n_regionkey AS region
+         |  FROM nation WHERE n_nationkey % 5 = 0 AND n_nationkey < 10
+         |  UNION ALL
+         |  SELECT n_nationkey + 100 AS k, n_name || '_new' AS name, n_regionkey AS region
+         |  FROM nation WHERE n_nationkey < 3),
+         |dels AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 15)
+         |SELECT k, name, region FROM (
+         |  SELECT d.* FROM dim d
+         |  WHERE NOT EXISTS (SELECT 1 FROM ups u WHERE u.k = d.k)
+         |    AND NOT EXISTS (SELECT 1 FROM dels x WHERE x.k = d.k)
+         |  UNION ALL SELECT * FROM ups)
+         |ORDER BY k""".stripMargin,
+    "s29_shallow_clone" ->
+      """WITH dim AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation),
+         |batch AS (
+         |  SELECT n_nationkey AS k, n_name || '_v2' AS name, n_regionkey AS region FROM nation WHERE n_nationkey % 5 = 0
+         |  UNION ALL
+         |  SELECT n_nationkey + 100 AS k, n_name || '_new' AS name, n_regionkey AS region FROM nation WHERE n_nationkey < 3),
+         |clone AS (
+         |  SELECT d.* FROM dim d WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.k = d.k)
+         |  UNION ALL SELECT * FROM batch)
+         |SELECT k, name, region, side FROM (
+         |  SELECT *, 'clone' AS side FROM clone
+         |  UNION ALL SELECT *, 'source' AS side FROM dim)
+         |ORDER BY side, k""".stripMargin,
     "j13_dpp" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS d_month,
          |  count(*) AS n_orders,
