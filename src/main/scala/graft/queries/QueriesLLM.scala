@@ -142,6 +142,12 @@ object QueriesLLM {
     "text_quality" -> ((s, dir) =>
       TextOps.qualityScore(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "text_gopher_gates" -> ((s, dir) =>
+      // the composite quality-rule GATE (Gopher/C4 battery): per-rule
+      // booleans + keep, all integer cross-multiplications — see
+      // TextOps.gopherGates for the rule list and the explode→agg plan
+      TextOps.gopherGates(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "dedup_substring_ranges" -> ((s, dir) =>
       // exact duplicated-substring spans (40-char windows) per doc —
       // the range-cut dedup primitive; see Dedup.duplicateRanges for
@@ -366,6 +372,15 @@ object QueriesLLM {
       Similarity.topK(emb, emb.filter(col("vec_id") < NQueries),
           "vec_id", "embedding", K)
         .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_knn_graph" -> ((s, dir) => {
+      // exact MUTUAL k-NN graph (the dedup/cluster precursor): edge
+      // kept iff each endpoint ranks in the other's top-k. Directed
+      // pass = one broadcast corpus scan; mutuality = an edge-sized
+      // canonical semi-join. ANN is the >10^5-vector path (Scaladoc).
+      val emb = table(s, dir, "embeddings")
+      Similarity.knnGraph(emb, "vec_id", "embedding", K)
+        .orderBy(col("id_a"), col("id_b"))
     }),
     "sim_ann_topk" -> ((s, dir) => {
       // LSH-bucketed ANN. Deterministic (hash-derived hyperplanes);
@@ -737,6 +752,34 @@ object QueriesLLM {
          |  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in'], x)))::DOUBLE / len(t) AS stop_ratio,
          |  list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) AS avg_tok_len
          |FROM toks ORDER BY doc_id""".stripMargin,
+    "text_gopher_gates" ->
+      s"""WITH toks AS ($DocToks),
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_tok,
+         |    sum(length(tok))::BIGINT AS chars,
+         |    sum(CASE WHEN regexp_matches(tok, '[A-Za-z]') THEN 1 ELSE 0 END)::BIGINT AS alpha,
+         |    count(DISTINCT CASE WHEN tok IN ('the','a','of','and','to','in') THEN tok END)::BIGINT AS stopd
+         |  FROM tok GROUP BY doc_id),
+         |d AS (SELECT doc_id,
+         |    len(string_split(text, chr(10)))::BIGINT AS lines,
+         |    len(regexp_extract_all(text, '(^|\n)[-*] '))::BIGINT AS bullets,
+         |    ((length(text) - length(replace(text, '#', '')))
+         |     + (length(text) - length(replace(text, '…', ''))))::BIGINT AS syms
+         |  FROM documents)
+         |SELECT a.doc_id, a.n_tok,
+         |  (a.n_tok >= 5 AND a.n_tok <= 100000) AS rule_words,
+         |  (a.chars >= a.n_tok * 3 AND a.chars <= a.n_tok * 10) AS rule_word_len,
+         |  (d.syms * 10 <= a.n_tok) AS rule_symbols,
+         |  (d.bullets * 10 <= d.lines * 9) AS rule_bullets,
+         |  (a.alpha * 5 >= a.n_tok * 4) AS rule_alpha,
+         |  (a.stopd >= 2) AS rule_stopwords,
+         |  ((a.n_tok >= 5 AND a.n_tok <= 100000)
+         |   AND (a.chars >= a.n_tok * 3 AND a.chars <= a.n_tok * 10)
+         |   AND (d.syms * 10 <= a.n_tok)
+         |   AND (d.bullets * 10 <= d.lines * 9)
+         |   AND (a.alpha * 5 >= a.n_tok * 4)
+         |   AND (a.stopd >= 2)) AS keep
+         |FROM agg a JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_substring_ranges" ->
       """WITH pos AS (SELECT doc_id, text,
          |    unnest(generate_series(1, length(text) - 39)) AS pos
@@ -971,6 +1014,17 @@ object QueriesLLM {
          |WHERE jaccard >= 0.8 AND (id_a % 5 = 0 OR id_b % 5 = 0)
          |ORDER BY id_a, id_b""".stripMargin,
     "sim_topk" -> TopkOracle,
+    "sim_knn_graph" ->
+      s"""WITH c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+         |s AS (SELECT query_id, vec_id, $CosSim AS cos_sim FROM c, q WHERE vec_id <> query_id),
+         |r AS (SELECT query_id, vec_id, cos_sim,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM s),
+         |knn AS (SELECT query_id AS src, vec_id AS dst, cos_sim FROM r WHERE rank <= $K)
+         |SELECT a.src AS id_a, a.dst AS id_b, a.cos_sim
+         |FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+         |WHERE a.src < a.dst
+         |ORDER BY id_a, id_b""".stripMargin,
     "sim_ann_topk" -> TopkOracle,
     // pinned recall at the driver's correctness SF (0.01): 216 of the
     // 250 exact (query, neighbor) pairs survive 16×4-bit LSH pruning —

@@ -249,6 +249,26 @@ object QueriesStream {
           maxFilesPerTrigger = Some(1))
         .orderBy(col("view_id"), col("purchase_id"))
     }),
+    "stream_stream_left_join" -> ((s, dir) => {
+      // watermarked stream-stream LEFT OUTER join: matches emit
+      // eagerly; a view with no purchase inside its 1h window emits
+      // null-extended ONLY once the watermark proves no match can
+      // still arrive (view_ts + window < final watermark = max ts −
+      // 1h delay). Views younger than that boundary are withheld at
+      // end of stream — correctness under possible late data — and
+      // the oracle mirrors the boundary exactly.
+      val src = graft.Tmp.dir("graft_sslj_src")
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+      val cut = lit(java.time.Instant.parse("2024-01-15T00:00:00Z"))
+      ev.filter(col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+      ev.filter(col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+      val out = graft.Tmp.dir("graft_sslj_out") + "/pairs"
+      val ckpt = graft.Tmp.dir("graft_sslj_ckpt")
+      Streaming.runStreamLeftJoinAvailableNow(s, src, out, ckpt,
+          maxFilesPerTrigger = Some(1))
+        .orderBy(col("view_id"), col("purchase_id"))
+    }),
     "stream_late_drop" -> ((s, dir) => {
       // WATERMARK LATE-DATA DROP, judged: batches stream day 1, then
       // day 2, then a late-only batch of day-1-noon clones (shifted
@@ -495,6 +515,25 @@ object QueriesStream {
          |FROM events v JOIN events p
          |  ON v.user_id = p.user_id AND v.event_type = 'view' AND p.event_type = 'purchase'
          | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+         |ORDER BY view_id, purchase_id""".stripMargin,
+    "stream_stream_left_join" ->
+      // matched pairs emit unconditionally; unmatched views only once
+      // provably past hope: view_ts + 1h window + 1h watermark delay
+      // before the final watermark anchor max(ts)
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+         |  v.ts AS view_ts, p.ts AS purchase_ts
+         |FROM events v JOIN events p
+         |  ON v.user_id = p.user_id AND v.event_type = 'view' AND p.event_type = 'purchase'
+         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+         |UNION ALL
+         |SELECT v.event_id, CAST(NULL AS BIGINT), v.user_id, v.ts,
+         |  CAST(NULL AS TIMESTAMP)
+         |FROM events v
+         |WHERE v.event_type = 'view'
+         |  AND NOT EXISTS (SELECT 1 FROM events p
+         |    WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+         |      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+         |  AND v.ts + INTERVAL 2 HOUR < (SELECT max(ts) FROM events)
          |ORDER BY view_id, purchase_id""".stripMargin,
     "stream_stateful_agg" ->
       """SELECT user_id, count(*) AS n_events,

@@ -73,6 +73,32 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Exact MUTUAL k-NN graph over the corpus — the edge structure
+    * under density-based dedup/clustering (an edge survives iff each
+    * endpoint is in the OTHER's k nearest by cosine, ties by id; the
+    * mutual filter prunes hub nodes' one-way fans). One directed
+    * top-k pass ([[topK]] with the corpus as its own query set) + a
+    * canonicalized semi-join for mutuality — the directed edge list
+    * is n×k rows, so the mutual check is edge-sized, never pair-sized.
+    *
+    * SCALE: the exact directed pass broadcasts the corpus against
+    * itself — O(n²) compute, the right tool to ~10⁵ vectors. Past
+    * that, build the directed list with [[annTopK]] /
+    * [[annTopKMultiprobe]] (bucketed candidates + exact re-rank) and
+    * reuse the same mutual filter; recall then follows the ANN
+    * parameters (pinned by the sim_ann_recall harness). */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    val directed = topK(corpus, corpus, idCol, vecCol, k)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"),
+        col("cos_sim"))
+    val ab = directed.filter(col("src") < col("dst"))
+    val ba = directed.filter(col("src") > col("dst"))
+      .select(col("dst").as("src"), col("src").as("dst"))
+    ab.join(ba, Seq("src", "dst"), "left_semi")
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("cos_sim"))
+  }
+
   /** Deterministic hyperplane components, one literal array per plane:
     * seeded PRNG evaluated at PLAN time, so the per-row work is an
     * array index + multiply instead of a hash call (256 planes × 64

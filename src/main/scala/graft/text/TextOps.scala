@@ -60,6 +60,56 @@ object TextOps {
         (col("stop_cnt").cast("double") / col("n_tok")).as("stop_ratio"),
         (col("__chars").cast("double") / col("n_tok")).as("avg_tok_len"))
 
+  /** Gopher/C4-style composite quality GATE: the rule battery a corpus
+    * build runs doc-by-doc, each rule surfaced as its own boolean (so
+    * downstream can audit WHICH rule killed a doc — the flags are the
+    * product, not just the keep bit):
+    *
+    *  - `rule_words`:     word count within [minWords, maxWords]
+    *  - `rule_word_len`:  mean word length in [3, 10] chars
+    *  - `rule_symbols`:   symbol chars (# and …) ≤ 10% of words
+    *  - `rule_bullets`:   ≤ 90% of lines start with a bullet (- or *)
+    *  - `rule_alpha`:     ≥ 80% of words contain a letter
+    *  - `rule_stopwords`: ≥ 2 DISTINCT common stopwords present
+    *  - `keep`:           every rule passes
+    *
+    * All thresholds are integer cross-multiplications (10·sym ≤ n_tok,
+    * 5·alpha ≥ 4·n_tok, …) — no float ratios, so the gate is exactly
+    * oracle-checkable and partitioning-independent. Shape: doc-level
+    * line/symbol counts ride the one explode→agg pass the other text
+    * ops use (codegen'd conditional sums, map-side partials, one
+    * shuffle on the doc id). */
+  def gopherGates(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 5, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val perDoc = docs.select(col(idCol),
+      size(split(t, "\n")).cast("long").as("__lines"),
+      regexp_count(t, lit("(^|\n)[-*] ")).cast("long").as("__bullets"),
+      ((length(t) - length(replace(t, lit("#"), lit("")))) +
+       (length(t) - length(replace(t, lit("…"), lit(""))))).cast("long").as("__syms"),
+      explode(tokens(t)).as("__tok"))
+    val agged = perDoc.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tok"),
+      sum(length(col("__tok")).cast("long")).as("__chars"),
+      sum(when(col("__tok").rlike("[A-Za-z]"), 1L).otherwise(0L)).as("__alpha"),
+      countDistinct(when(col("__tok").isin(Stopwords: _*), col("__tok"))).as("__stopd"),
+      max(col("__lines")).as("__lines"),
+      max(col("__bullets")).as("__bullets"),
+      max(col("__syms")).as("__syms"))
+    val rules = Seq(
+      "rule_words" -> (col("n_tok") >= minWords && col("n_tok") <= maxWords),
+      "rule_word_len" -> (col("__chars") >= col("n_tok") * 3 &&
+        col("__chars") <= col("n_tok") * 10),
+      "rule_symbols" -> (col("__syms") * 10 <= col("n_tok")),
+      "rule_bullets" -> (col("__bullets") * 10 <= col("__lines") * 9),
+      "rule_alpha" -> (col("__alpha") * 5 >= col("n_tok") * 4),
+      "rule_stopwords" -> (col("__stopd") >= 2))
+    agged.select(
+      col(idCol) +: col("n_tok") +:
+      rules.map { case (n, c) => c.as(n) } :+
+      rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
   /** Corpus normalization: lowercase, strip non-alphanumeric symbols,
     * collapse whitespace runs, trim — the canonical pre-dedup cleanup
     * pass. ONE fused regex pass: after `lower`, every character is

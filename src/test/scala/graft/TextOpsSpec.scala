@@ -241,6 +241,36 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got(1).getAs[Double]("xent") == lpAB.toDouble / 1 / 1e6)
   }
 
+  test("gopherGates: each rule fires on its planted pathological doc") {
+    import spark.implicits._
+    val good = "the cat of every house and the dog agree to live in peace"
+    val docs = Seq(
+      (1L, good),                                     // passes everything
+      (2L, "too short"),                              // rule_words (< 5)
+      (3L, "the of incomprehensibilities " +
+        "extraordinarily " * 20),                     // rule_word_len (mean > 10)
+      (4L, "the of # # # # word # # # # # # " +
+        "# # # # # # # # # # # # # # # #"),           // rule_symbols
+      (5L, (1 to 10).map(i => s"- the item $i of")
+        .mkString("\n")),                             // rule_bullets (all lines)
+      (6L, "the of 1 2 3 4 5 6 7 8 9 10 11 12"),      // rule_alpha (digit words)
+      (7L, "cats dogs birds fish horses goats sheep") // rule_stopwords (0 distinct)
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherGates(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def flags(i: Int): Seq[Boolean] =
+      Seq("rule_words", "rule_word_len", "rule_symbols", "rule_bullets",
+        "rule_alpha", "rule_stopwords", "keep").map(got(i).getAs[Boolean])
+    assert(flags(0).forall(identity), s"clean doc must pass all: ${flags(0)}")
+    // each planted doc fails (at least) its targeted rule and keep
+    assert(!got(1).getAs[Boolean]("rule_words") && !got(1).getAs[Boolean]("keep"))
+    assert(!got(2).getAs[Boolean]("rule_word_len") && !got(2).getAs[Boolean]("keep"))
+    assert(!got(3).getAs[Boolean]("rule_symbols") && !got(3).getAs[Boolean]("keep"))
+    assert(!got(4).getAs[Boolean]("rule_bullets") && !got(4).getAs[Boolean]("keep"))
+    assert(!got(5).getAs[Boolean]("rule_alpha") && !got(5).getAs[Boolean]("keep"))
+    assert(!got(6).getAs[Boolean]("rule_stopwords") && !got(6).getAs[Boolean]("keep"))
+  }
+
   test("bm25TopK ranks by tf, penalizes length, caps at k") {
     import spark.implicits._
     val docs = Seq(
