@@ -1962,6 +1962,29 @@ object Scd1Merge {
     }
   }
 
+  /** COMMIT HISTORY — `DESCRIBE HISTORY` parity: one row per RETAINED
+    * commit (the audit/debug surface; how far back it reaches follows
+    * the table's `retainVersions` — history manifests age out with
+    * their bucket versions, so the log never points at unreadable
+    * state). Columns: commit number, the stamped batch id (pipeline
+    * provenance), bucket count, live-bucket count. Metadata-only: an
+    * O(retained-commits) driver read of the history manifests, no data
+    * touched. */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    val live = readManifest(tablePath).getOrElse(throw new IllegalStateException(
+      s"history: $tablePath has no manifest (not a committed bucketed table)"))
+    val hist = Paths.get(tablePath, HistoryDir)
+    val rows =
+      (if (!Files.exists(hist)) Seq(live)
+       else Files.list(hist).iterator().asScala.toSeq
+         .flatMap(p => p.getFileName.toString.toIntOption
+           .filter(_ <= live.commit).map(_ => parseManifest(p))))
+        .sortBy(_.commit)
+    import spark.implicits._
+    rows.map(m => (m.commit, m.batch, m.numBuckets, m.dirs.size))
+      .toDF("commit", "batch_id", "num_buckets", "n_live_buckets")
+  }
+
   /** The pipeline batch id stamped on the table's live manifest (None:
     * no manifest, or the table has never been stamped). The read is the
     * cross-table consistency probe's primitive — see

@@ -382,6 +382,24 @@ object QueriesLLM {
       Similarity.knnGraph(emb, "vec_id", "embedding", K)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "sim_knn_graph_ann_recall" -> ((s, dir) => {
+      // the kNN graph's SCALE path judged as a recall pin: mutual
+      // graph rebuilt from LSH candidates only (bucket self-join,
+      // never all-pairs) vs the exact graph's edge set — deterministic
+      // (seeded hyperplanes, fixed data), measured at sf0.01 and
+      // pinned in the oracle; ApproxSpec holds the floor.
+      val emb = table(s, dir, "embeddings")
+      val exact = Similarity.knnGraph(emb, "vec_id", "embedding", K)
+        .select(col("id_a"), col("id_b"))
+      val ann = Similarity.knnGraphAnn(emb, "vec_id", "embedding", K,
+          tables = 16, bits = 4, dim = 64)
+        .select(col("id_a"), col("id_b"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(ann.intersect(exact).agg(count(lit(1)).as("n_hits")))
+        .select(lit(16L).as("tables"), lit(4L).as("bits"),
+          lit(K.toLong).as("k"), col("n_exact"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+    }),
     "sim_ann_topk" -> ((s, dir) => {
       // LSH-bucketed ANN. Deterministic (hash-derived hyperplanes);
       // (tables=64, bits=4) was measured to give exact recall on this
@@ -1030,6 +1048,13 @@ object QueriesLLM {
     // 250 exact (query, neighbor) pairs survive 16×4-bit LSH pruning —
     // measured once, deterministic thereafter (ApproxSpec holds the
     // parameter-sweep floors)
+    // pinned at sf0.01: 827 of the exact mutual graph's 921 edges
+    // survive the 16×4-bit candidate pruning — deterministic; a
+    // bucketing/top-k/mutual-filter regression shifts n_hits
+    "sim_knn_graph_ann_recall" ->
+      """SELECT 16::BIGINT AS tables, 4::BIGINT AS bits, 5::BIGINT AS k,
+         |  921::BIGINT AS n_exact, 827::BIGINT AS n_hits,
+         |  827 / 921.0 AS recall""".stripMargin,
     "sim_ann_recall" ->
       """SELECT 16::BIGINT AS tables, 4::BIGINT AS bits,
          |  50::BIGINT AS n_queries, 5::BIGINT AS k,

@@ -690,6 +690,66 @@ object QueriesRel {
         .orderBy(col("o_orderkey"))
     }),
 
+    "s31_compact_maintenance" -> ((s, dir) => {
+      // compaction as a judged MAINTENANCE op: a bounded-file-size
+      // commit (maxRecordsPerFile, what a real 100 TB writer sets)
+      // fragments every bucket into many small files; compact
+      // coalesces each fragmented bucket through the standard
+      // crash-safe commit; the judged artifact is the content-identity
+      // invariant. The conf is scoped and restored (no session leak).
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal"))
+      val path = tmpDir("graft_compact31") + "/t"
+      val key = "spark.sql.files.maxRecordsPerFile"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "50")
+      try Scd1Merge.upsert(s, path, c, Seq("k"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      val rewrote = Scd1Merge.compact(s, path)
+      if (rewrote == 0) throw new IllegalStateException(
+        "compaction fixture must fragment at least one bucket")
+      Scd1Merge.readTable(s, path).orderBy(col("k"))
+    }),
+    "s32_history" -> ((s, dir) => {
+      // DESCRIBE HISTORY parity: three stamped commits, then the
+      // metadata-only commit log (commit, batch id, bucket counts) —
+      // the audit surface a pipeline debugger reads before any data.
+      // retainVersions=5 keeps all three in the log for the fixture;
+      // production depth follows the table's retention dial.
+      val n = table(s, dir, "nation")
+      val dim = n.select(col("n_nationkey").as("k"), col("n_name").as("name"))
+      val path = tmpDir("graft_hist32") + "/t"
+      Scd1Merge.upsert(s, path, dim, Seq("k"), numBuckets = 4,
+        retainVersions = 5, batchId = "B1")
+      Scd1Merge.upsert(s, path,
+        dim.filter(col("k") % 5 === 0)
+          .withColumn("name", concat(col("name"), lit("_v2"))),
+        Seq("k"), retainVersions = 5, batchId = "B2")
+      Scd1Merge.upsert(s, path,
+        dim.filter(col("k") < 3).withColumn("k", col("k") + lit(100).cast("int")),
+        Seq("k"), retainVersions = 5, batchId = "B3")
+      Scd1Merge.history(s, path).orderBy(col("commit"))
+    }),
+    "j14_existence_join" -> ((s, dir) => {
+      // EXISTENCE join — the marked semi-join (Spark's ExistenceJoin
+      // physical type): every left row survives, carrying a boolean
+      // for whether a match EXISTS, instead of being filtered (j6) or
+      // duplicated (j1). One shuffle, no fan-out on multi-match right
+      // sides — the shape behind `CASE WHEN EXISTS(...)` projections.
+      val o = table(s, dir, "orders")
+      o.createOrReplaceTempView("j14_orders")
+      table(s, dir, "lineitem").createOrReplaceTempView("j14_lineitem")
+      s.sql("""
+        SELECT o_orderkey, o_orderstatus,
+          EXISTS(SELECT 1 FROM j14_lineitem l
+                 WHERE l.l_orderkey = j14_orders.o_orderkey
+                   AND l.l_quantity > 45.0) AS has_bulk_line
+        FROM j14_orders ORDER BY o_orderkey""")
+    }),
     "s30_merge_cdc" -> ((s, dir) => {
       // FULL MERGE surface (Delta WHEN MATCHED DELETE parity): one
       // CDC batch carrying updates (k%5=0 → name_v2), inserts
@@ -920,6 +980,19 @@ object QueriesRel {
          |FROM orders
          |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
          |ORDER BY o_orderkey""".stripMargin,
+    "s31_compact_maintenance" ->
+      "SELECT c_custkey AS k, c_name AS name, c_acctbal FROM customer ORDER BY k",
+    "s32_history" ->
+      """SELECT * FROM (VALUES
+         |  (1, 'B1', 4, 4), (2, 'B2', 4, 4), (3, 'B3', 4, 4))
+         |  t(commit, batch_id, num_buckets, n_live_buckets)
+         |ORDER BY commit""".stripMargin,
+    "j14_existence_join" ->
+      """SELECT o_orderkey, o_orderstatus,
+         |  EXISTS(SELECT 1 FROM lineitem l
+         |         WHERE l.l_orderkey = orders.o_orderkey
+         |           AND l.l_quantity > 45.0) AS has_bulk_line
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "s30_merge_cdc" ->
       """WITH dim AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation),
          |ups AS (

@@ -99,6 +99,43 @@ object Similarity {
       .select(col("src").as("id_a"), col("dst").as("id_b"), col("cos_sim"))
   }
 
+  /** The >10⁵-vector path of [[knnGraph]]: mutual k-NN over LSH
+    * CANDIDATES — bucket self-join (never all-pairs), exact cosine on
+    * candidate pairs only, per-node top-k over each node's candidate
+    * set (salted two-stage), then the same edge-sized mutual filter.
+    * Recall follows (tables, bits) exactly as in the ANN top-k
+    * harness; the sim_knn_graph_ann_recall row pins it against the
+    * exact graph at the judged SF, ApproxSpec holds the floor. */
+  def knnGraphAnn(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, tables: Int, bits: Int, dim: Int): DataFrame = {
+    val bk = lshBuckets(corpus, idCol, vecCol, tables, bits, "__id", dim)
+    val cands = bk.as("x").join(bk.as("y"),
+        col("x.t") === col("y.t") && col("x.bkt") === col("y.bkt") &&
+        col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+    val withNorm = corpus.select(col(idCol), col(vecCol),
+      sqrt(norm2(col(vecCol))).as("__n"))
+    val scored = cands
+      .join(withNorm.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        col("__n").as("na")), "id_a")
+      .join(withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+        col("__n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+    val directed = scored
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos_sim"))
+      .unionByName(scored
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos_sim")))
+    val topk = topKPerKey(directed, col("src"),
+      Seq(col("cos_sim").desc, col("dst").asc), k, saltOn = col("dst"))
+    val ab = topk.filter(col("src") < col("dst"))
+    val ba = topk.filter(col("src") > col("dst"))
+      .select(col("dst").as("src"), col("src").as("dst"))
+    ab.join(ba, Seq("src", "dst"), "left_semi")
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("cos_sim"))
+  }
+
   /** Deterministic hyperplane components, one literal array per plane:
     * seeded PRNG evaluated at PLAN time, so the per-row work is an
     * array index + multiply instead of a hash call (256 planes × 64

@@ -61,6 +61,20 @@ class ApproxSpec extends SparkSpecBase {
     }
   }
 
+  test("ANN mutual-kNN graph recall floor holds (16×4: measured 0.898)") {
+    import graft.similarity.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Similarity.knnGraph(emb, "vec_id", "embedding", 5)
+      .select(col("id_a"), col("id_b"))
+    val nExact = exact.count()
+    val ann = Similarity.knnGraphAnn(emb, "vec_id", "embedding", 5,
+        tables = 16, bits = 4, dim = 64)
+      .select(col("id_a"), col("id_b"))
+    val recall = ann.intersect(exact).count().toDouble / nExact
+    info(f"mutual-kNN ANN recall=$recall%.4f (floor 0.85)")
+    assert(recall >= 0.85, f"graph recall $recall%.4f < 0.85 floor (measured 0.898)")
+  }
+
   test("multiprobe buys recall without more tables (8×4: 0.696 single → 1.0 multiprobe)") {
     import graft.similarity.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
