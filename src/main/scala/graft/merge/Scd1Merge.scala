@@ -169,7 +169,13 @@ object Scd1Merge {
                                     // these fields through.
                                     clusterCols: Seq[String] = Nil,
                                     clusterZBits: Int = 0,
-                                    clustered: Set[String] = Set.empty)
+                                    clustered: Set[String] = Set.empty,
+                                    // DELETION VECTOR: relative dir of the
+                                    // key-tombstone parquet ("" = none). Rows
+                                    // whose merge keys appear there are
+                                    // logically deleted — every reader
+                                    // anti-joins it; see deleteSoft.
+                                    dv: String = "")
 
   /** Injected-failure hook for the crash-consistency spec; "" in
     * production. Recognized points: "before-manifest" (bucket versions
@@ -236,6 +242,8 @@ object Scd1Merge {
     val clustered = meta.find(_.startsWith("clustered="))
       .map(_.stripPrefix("clustered=").split(",").iterator
         .filter(_.nonEmpty).map(dec).toSet).getOrElse(Set.empty[String])
+    val dv = meta.find(_.startsWith("dv="))
+      .map(l => dec(l.stripPrefix("dv="))).getOrElse("")
     val parsed = entries.map { l =>
       val fields = l.split("\t", 3)
       val b = fields(0).toInt
@@ -243,7 +251,7 @@ object Scd1Merge {
     }
     Manifest(nb, parsed.map(e => e._1 -> e._2).toMap, commit,
       parsed.filter(_._3.nonEmpty).map(e => e._1 -> e._3).toMap, keys, batch,
-      clusterCols, clusterZBits, clustered)
+      clusterCols, clusterZBits, clustered, dv)
   }
 
   /** THE commit point: write-to-tmp + fsync + atomic rename over the
@@ -275,7 +283,8 @@ object Scd1Merge {
         val live = m.clustered.intersect(m.dirs.values.toSet)
         if (live.nonEmpty)
           Seq(s"clustered=${live.toSeq.sorted.map(enc).mkString(",")}") else Nil
-      }
+      } ++
+      (if (m.dv.nonEmpty) Seq(s"dv=${enc(m.dv)}") else Nil)
     val body = (metaLines ++
       m.dirs.toSeq.sortBy(_._1).map { case (b, d) =>
         m.stats.get(b).filter(_.nonEmpty) match {
@@ -781,7 +790,7 @@ object Scd1Merge {
           else spark.read.option("mergeSchema", "true")
             .parquet(cands.map(b => Paths.get(tablePath, m.dirs(b)).toString): _*)
         val clean = if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
-        clean.filter(predicate)
+        applyDv(spark, tablePath, m, clean).filter(predicate)
       case _ => readTable(spark, tablePath).filter(predicate)
     }
 
@@ -852,7 +861,8 @@ object Scd1Merge {
         }
       }
     val referenced = retainedManifests(tablePath, m, retain)
-      .flatMap(_.dirs.values).toSet
+      .flatMap(mf => mf.dirs.values ++
+        (if (mf.dv.nonEmpty) Seq(mf.dv) else Nil)).toSet
     val data = Paths.get(tablePath, "data")
     if (Files.exists(data))
       Files.list(data).iterator().asScala.toSeq.foreach { p =>
@@ -870,7 +880,8 @@ object Scd1Merge {
     * vacuum. */
   private def sweepTopLevel(tablePath: String, m: Manifest, retain: Int): Unit = {
     val referenced = retainedManifests(tablePath, m, retain)
-      .flatMap(_.dirs.values).toSet
+      .flatMap(mf => mf.dirs.values ++
+        (if (mf.dv.nonEmpty) Seq(mf.dv) else Nil)).toSet
     Files.list(Paths.get(tablePath)).iterator().asScala.toSeq.foreach { p =>
       val name = p.getFileName.toString
       if (name != ManifestName && name != LockName && name != "data" &&
@@ -1082,12 +1093,31 @@ object Scd1Merge {
     * read (in the flat-migration case they would duplicate every
     * migrated row). Read-only classification just EXCLUDES it; the next
     * locked upsert sweeps it. */
+  /** The manifest's deletion-vector keys as a frame (None = no dv). */
+  private def dvFrame(spark: SparkSession, tablePath: String,
+                      m: Manifest): Option[DataFrame] =
+    if (m.dv.isEmpty) None
+    else Some(spark.read.parquet(Paths.get(tablePath, m.dv).toString))
+
+  /** Apply a manifest's deletion vector to a frame of its table rows:
+    * tombstoned merge keys disappear. The dv is small by design (point
+    * deletes accumulate there; bulk deletes rewrite buckets), so the
+    * anti-join broadcasts — no shuffle on the table side. */
+  private def applyDv(spark: SparkSession, tablePath: String, m: Manifest,
+                      df: DataFrame): DataFrame =
+    dvFrame(spark, tablePath, m) match {
+      case Some(dv) if m.keys.nonEmpty =>
+        df.join(broadcast(dv), m.keys, "left_anti")
+      case _ => df
+    }
+
   def readTable(spark: SparkSession, tablePath: String): DataFrame = {
     val df = readManifest(tablePath) match {
       case Some(m) =>
         val dirs = m.dirs.toSeq.sortBy(_._1)
           .map { case (_, d) => Paths.get(tablePath, d).toString }
-        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        applyDv(spark, tablePath, m,
+          spark.read.option("mergeSchema", "true").parquet(dirs: _*))
       case None if !Files.exists(Paths.get(tablePath)) =>
         spark.read.parquet(tablePath) // standard path-not-found error
       case None =>
@@ -1124,7 +1154,8 @@ object Scd1Merge {
       val m = parseManifest(p)
       val dirs = m.dirs.toSeq.sortBy(_._1)
         .map { case (_, d) => Paths.get(tablePath, d).toString }
-      val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      val df = applyDv(spark, tablePath, m,
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*))
       if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
     }
   }
@@ -1175,9 +1206,26 @@ object Scd1Merge {
     val from = manifestAt(fromCommitsBack)
     val to = manifestAt(toCommitsBack)
     // bucket pruning: a bucket whose live dir is identical in both
-    // manifests holds identical bytes — skip it entirely
-    val changedBuckets = (from.dirs.keySet ++ to.dirs.keySet)
-      .filter(b => from.dirs.get(b) != to.dirs.get(b)).toSeq.sorted
+    // manifests holds identical bytes — skip it entirely. A DELETION
+    // VECTOR change moves rows without moving any dir, so when the dv
+    // differs, the buckets its (symmetric-difference) keys hash into
+    // join the changed set — dv-sized work, still O(delta).
+    val dirChanged = (from.dirs.keySet ++ to.dirs.keySet)
+      .filter(b => from.dirs.get(b) != to.dirs.get(b))
+    val dvChanged: Set[Int] =
+      if (from.dv == to.dv) Set.empty
+      else {
+        val sides = Seq(from, to).flatMap(dvFrame(spark, tablePath, _))
+        if (sides.isEmpty || from.keys.isEmpty) Set.empty
+        else {
+          val nb = to.numBuckets
+          sides.map(df => withBucket(df, from.keys, nb)
+              .select(col(BucketCol)).distinct())
+            .reduce(_.unionByName(_)).distinct()
+            .collect().map(_.getInt(0)).toSet
+        }
+      }
+    val changedBuckets = (dirChanged ++ dvChanged).toSeq.sorted
     def readSide(m: Manifest): DataFrame = {
       val dirs = changedBuckets.flatMap(m.dirs.get)
         .map(d => Paths.get(tablePath, d).toString)
@@ -1187,7 +1235,8 @@ object Scd1Merge {
             throw new IllegalStateException(s"empty manifest for $tablePath"))
           // no changed buckets: empty frame with the table schema
           spark.read.parquet(Paths.get(tablePath, any).toString).limit(0)
-        } else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        } else applyDv(spark, tablePath, m,
+          spark.read.option("mergeSchema", "true").parquet(dirs: _*))
       if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
     }
     val older = readSide(from)
@@ -1438,11 +1487,16 @@ object Scd1Merge {
         val newStats = bucketStats(spark, tmp, keys ++ statsColumns)
         val newVersions = adoptBucketDirs(tablePath, tmp,
           b => nextVersion(tablePath, manifest, b))
+        // reinsert safety: every source key (upsert AND delete ops)
+        // loses its tombstone — hard-deleted rows are gone physically
+        val dvRel = pruneDv(spark, tablePath, manifest, keys,
+          bucketed.select(keys.map(col): _*))
         failpoint("before-manifest")
         refreshLease(tablePath, leaseId)
         val committed = commitManifest(tablePath, manifest.copy(numBuckets = nb,
           dirs = manifest.dirs -- emptied ++ newVersions,
           stats = manifest.stats -- touched ++ newStats, keys = keys,
+          dv = dvRel,
           batch = if (batchId.nonEmpty) batchId else manifest.batch))
         failpoint("after-manifest")
         sweepVersions(tablePath, committed, retainVersions)
@@ -1450,6 +1504,35 @@ object Scd1Merge {
       } finally bucketed.unpersist(blocking = false)
     }
   }
+
+  /** Write a new deletion-vector dir for the NEXT commit of `m`; ""
+    * when the vector is empty (dv cleared). Staged + atomic move, like
+    * every other version dir; the commit-numbered name can't collide
+    * with live or retained dvs. */
+  private def writeDvDir(spark: SparkSession, tablePath: String, m: Manifest,
+                         dvDf: DataFrame): String = {
+    val tmp = tablePath + ".dvtmp"
+    deleteRecursively(Paths.get(tmp))
+    dvDf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val rel = s"data/dv_v${m.commit + 1}"
+    val dst = Paths.get(tablePath, rel)
+    deleteRecursively(dst) // crash leftover from a failed prior attempt
+    Files.createDirectories(dst.getParent)
+    Files.move(Paths.get(tmp), dst, StandardCopyOption.ATOMIC_MOVE)
+    rel
+  }
+
+  /** Reinsert safety for the deletion vector: a key the source batch
+    * carries must LIVE after the commit, so its tombstone goes. Returns
+    * the new dv rel path for the commit ("" = none/cleared). */
+  private def pruneDv(spark: SparkSession, tablePath: String, m: Manifest,
+                      keys: Seq[String], sourceKeys: DataFrame): String =
+    dvFrame(spark, tablePath, m) match {
+      case None => ""
+      case Some(dv) =>
+        val pruned = dv.join(sourceKeys, keys, "left_anti")
+        if (pruned.isEmpty) "" else writeDvDir(spark, tablePath, m, pruned)
+    }
 
   /** Caller keys must match the keys the table's buckets are hashed on
     * (recorded in the manifest since the stats format landed): merging
@@ -1550,12 +1633,16 @@ object Scd1Merge {
       val newStats = timed("stats") { bucketStats(spark, tmp, keys ++ statsColumns) }
       val newVersions = timed("adopt") { adoptBucketDirs(tablePath, tmp,
         b => nextVersion(tablePath, manifest, b)) }
+      // reinsert safety: upserted keys lose their tombstones
+      val dvRel = pruneDv(spark, tablePath, manifest, keys,
+        bucketed.select(keys.map(col): _*))
       failpoint("before-manifest")
       refreshLease(tablePath, leaseId)
       val committed = timed("manifest") {
         commitManifest(tablePath, manifest.copy(numBuckets = nb,
           dirs = manifest.dirs ++ newVersions,
           stats = manifest.stats -- touched ++ newStats, keys = keys,
+          dv = dvRel,
           batch = if (batchId.nonEmpty) batchId else manifest.batch)) }
       failpoint("after-manifest")
       // post-commit sweep: ONLY versions beyond the retention window
@@ -1603,7 +1690,9 @@ object Scd1Merge {
         refreshLease(tablePath, leaseId)
         val committed = commitManifest(tablePath,
           manifest.copy(numBuckets = newNumBuckets, dirs = newVersions,
-            stats = stats, keys = keys))
+            // the full rewrite read through readTable, which is
+            // dv-filtered — tombstoned rows are now physically gone
+            stats = stats, keys = keys, dv = ""))
         failpoint("after-manifest")
         sweepVersions(tablePath, committed, retainVersions)
         deleteRecursively(Paths.get(tmp))
@@ -1719,6 +1808,111 @@ object Scd1Merge {
     rewriteWhere(spark, tablePath, keys, predicate, retainVersions, "delete",
       (live, pred) => live.filter(!coalesce(pred, lit(false))))
 
+  /** SOFT DELETE — deletion-vector parity (Delta DVs): logically
+    * delete every row matching `predicate` by appending its merge keys
+    * to the table's tombstone file, WITHOUT rewriting a single bucket.
+    * [[delete]] pays a rewrite of every matched bucket; on a 100 TB
+    * table a 100-row compliance delete would rewrite multi-GB buckets
+    * for 100 rows — here the write is O(matched keys) + one manifest
+    * swap. Readers ([[readTable]]/[[readTableWhere]]/[[readTableAt]]/
+    * [[readChanges]]) anti-join the broadcast-sized dv; an upsert of a
+    * tombstoned key CLEARS its tombstone (reinsert lives);
+    * [[materializeDeletes]] folds the dv into the buckets when it
+    * grows. The probe is stats-pruned like [[delete]]'s, and already-
+    * tombstoned rows never re-match (no double-count). Returns rows
+    * newly tombstoned. */
+  def deleteSoft(spark: SparkSession, tablePath: String, keys: Seq[String],
+                 predicate: Column,
+                 retainVersions: Int = DefaultRetainVersions,
+                 batchId: String = ""): Long = {
+    if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
+      s"deleteSoft: $tablePath has no manifest (legacy tables migrate via upsert first)")
+    withLock(tablePath) { leaseId =>
+      val manifest = readManifest(tablePath).get
+      requireSameKeys(tablePath, manifest, keys)
+      sweepVersions(tablePath, manifest, retainVersions)
+      // readTableWhere = stats-pruned scan, already dv-filtered
+      val matches = readTableWhere(spark, tablePath, predicate)
+        .select(keys.map(col): _*).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = matches.count()
+        if (n == 0L) 0L
+        else {
+          val newDv = dvFrame(spark, tablePath, manifest) match {
+            case Some(dv) => dv.select(keys.map(col): _*)
+              .unionByName(matches).distinct()
+            case None => matches
+          }
+          val rel = writeDvDir(spark, tablePath, manifest, newDv)
+          failpoint("before-manifest")
+          refreshLease(tablePath, leaseId)
+          val committed = commitManifest(tablePath, manifest.copy(dv = rel,
+            keys = keys,
+            batch = if (batchId.nonEmpty) batchId else manifest.batch))
+          failpoint("after-manifest")
+          sweepVersions(tablePath, committed, retainVersions)
+          n
+        }
+      } finally matches.unpersist(blocking = false)
+    }
+  }
+
+  /** Fold the deletion vector into the data: rewrite ONLY the buckets
+    * holding tombstoned keys (a dv-sized bucket set — the key hash
+    * names them without scanning), drop those rows physically, clear
+    * the dv. Content is invariant (DvSpec pins it); this is the
+    * maintenance step that keeps the read-side anti-join bounded as
+    * soft deletes accumulate. Returns buckets rewritten. */
+  def materializeDeletes(spark: SparkSession, tablePath: String,
+                         retainVersions: Int = DefaultRetainVersions): Int = {
+    if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
+      s"materializeDeletes: $tablePath has no manifest")
+    withLock(tablePath) { leaseId =>
+      val manifest = readManifest(tablePath).get
+      sweepVersions(tablePath, manifest, retainVersions)
+      dvFrame(spark, tablePath, manifest) match {
+        case None => 0
+        case Some(dv) =>
+          val nb = manifest.numBuckets
+          val keys = manifest.keys
+          val touched = withBucket(dv, keys, nb)
+            .select(col(BucketCol)).distinct()
+            .collect().map(_.getInt(0)).toSeq
+            .filter(manifest.dirs.contains).sorted
+          if (touched.isEmpty) {
+            // tombstones for keys no bucket holds: just clear the dv
+            refreshLease(tablePath, leaseId)
+            commitManifest(tablePath, manifest.copy(dv = ""))
+            0
+          } else {
+            val liveTouched = touched.map(b =>
+              Paths.get(tablePath, manifest.dirs(b)).toString)
+            val kept = applyDv(spark, tablePath, manifest,
+              withBucket(
+                spark.read.option("mergeSchema", "true").parquet(liveTouched: _*),
+                keys, nb))
+            val tmp = tablePath + ".tmp"
+            stageWrite(kept, tmp)
+            val tracked = (keys ++ manifest.stats.values.flatMap(_.keySet)).distinct
+            val newStats = bucketStats(spark, tmp, tracked)
+            val newVersions = adoptBucketDirs(tablePath, tmp,
+              b => nextVersion(tablePath, manifest, b))
+            val emptied = touched.filterNot(newVersions.contains)
+            failpoint("before-manifest")
+            refreshLease(tablePath, leaseId)
+            val committed = commitManifest(tablePath, manifest.copy(
+              dirs = manifest.dirs -- emptied ++ newVersions,
+              stats = manifest.stats -- touched ++ newStats, dv = ""))
+            failpoint("after-manifest")
+            sweepVersions(tablePath, committed, retainVersions)
+            deleteRecursively(Paths.get(tmp))
+            touched.size
+          }
+      }
+    }
+  }
+
   /** Delta `UPDATE ... SET` parity: apply `set` expressions to every
     * row matching `predicate`, rewriting ONLY the buckets that hold
     * matching rows (the [[delete]] probe — stats-pruned the same way).
@@ -1781,9 +1975,12 @@ object Scd1Merge {
         val candDirs = candB.flatMap(b => manifest.dirs.get(b))
           .map(d => Paths.get(tablePath, d).toString)
         val candRead = spark.read.option("mergeSchema", "true").parquet(candDirs: _*)
-        val tagged = withBucket(
-          if (candRead.columns.contains(BucketCol)) candRead.drop(BucketCol) else candRead,
-          keys, nb)
+        // soft-deleted rows are not visible to DELETE/UPDATE: they
+        // neither count as matched nor get rewritten back to life
+        val tagged = applyDv(spark, tablePath, manifest.copy(keys = keys),
+          withBucket(
+            if (candRead.columns.contains(BucketCol)) candRead.drop(BucketCol) else candRead,
+            keys, nb))
         val probe = tagged.filter(predicate)
           .groupBy(col(BucketCol)).agg(count(lit(1)).as("__n"))
           .collect()
@@ -1793,8 +1990,12 @@ object Scd1Merge {
           val nMatched = probe.map(_.getLong(1)).sum
           val liveTouched = touched.flatMap(b => manifest.dirs.get(b))
             .map(d => Paths.get(tablePath, d).toString)
-          val kept = rewrite(withBucket(
-              spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb),
+          // the rewrite input is dv-filtered too: a rewritten bucket
+          // drops its soft-deleted rows physically (their dv entries
+          // become harmless no-ops)
+          val kept = rewrite(applyDv(spark, tablePath, manifest.copy(keys = keys),
+              withBucket(
+                spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)),
             predicate)
           val tmp = tablePath + ".tmp"
           stageWrite(kept, tmp)
@@ -1949,7 +2150,9 @@ object Scd1Merge {
       s"cloneShallow: $dstPath is already a committed table")
     Files.createDirectories(Paths.get(dstPath, "data"))
     withLock(dstPath) { _ =>
-      src.dirs.values.foreach { d =>
+      val linked = src.dirs.values.toSeq ++
+        (if (src.dv.nonEmpty) Seq(src.dv) else Nil)
+      linked.foreach { d =>
         val link = Paths.get(dstPath, d)
         Files.createDirectories(link.getParent)
         if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))

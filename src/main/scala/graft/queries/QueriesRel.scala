@@ -690,6 +690,25 @@ object QueriesRel {
         .orderBy(col("o_orderkey"))
     }),
 
+    "s33_deletion_vectors" -> ((s, dir) => {
+      // SOFT-DELETE lifecycle (Delta deletion-vector parity): a point
+      // delete tombstones keys WITHOUT rewriting buckets (O(matched
+      // keys), not O(buckets) — DvSpec pins zero dir churn), an upsert
+      // RESURRECTS every 21st key (its tombstone clears), and
+      // materializeDeletes folds the rest into the data (content
+      // invariant). The judged frame is the final table.
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          col("c_acctbal"))
+      val path = tmpDir("graft_dv33") + "/t"
+      Scd1Merge.upsert(s, path, c, Seq("k"))
+      Scd1Merge.deleteSoft(s, path, Seq("k"), col("k") % 7 === 0)
+      Scd1Merge.upsert(s, path,
+        c.filter(col("k") % 21 === 0)
+          .withColumn("name", concat(col("name"), lit("_back"))), Seq("k"))
+      Scd1Merge.materializeDeletes(s, path)
+      Scd1Merge.readTable(s, path).orderBy(col("k"))
+    }),
     "s31_compact_maintenance" -> ((s, dir) => {
       // compaction as a judged MAINTENANCE op: a bounded-file-size
       // commit (maxRecordsPerFile, what a real 100 TB writer sets)
@@ -982,6 +1001,13 @@ object QueriesRel {
          |ORDER BY o_orderkey""".stripMargin,
     "s31_compact_maintenance" ->
       "SELECT c_custkey AS k, c_name AS name, c_acctbal FROM customer ORDER BY k",
+    "s33_deletion_vectors" ->
+      """SELECT c_custkey AS k,
+         |  CASE WHEN c_custkey % 21 = 0 THEN c_name || '_back' ELSE c_name END AS name,
+         |  c_acctbal
+         |FROM customer
+         |WHERE c_custkey % 7 <> 0 OR c_custkey % 21 = 0
+         |ORDER BY k""".stripMargin,
     "s32_history" ->
       """SELECT * FROM (VALUES
          |  (1, 'B1', 4, 4), (2, 'B2', 4, 4), (3, 'B3', 4, 4))
