@@ -175,7 +175,14 @@ object Scd1Merge {
                                     // whose merge keys appear there are
                                     // logically deleted — every reader
                                     // anti-joins it; see deleteSoft.
-                                    dv: String = "")
+                                    dv: String = "",
+                                    // COLUMN MAPPING: physical (as written in
+                                    // parquet) → logical (what users see) for
+                                    // columns renamed WITHOUT rewriting data;
+                                    // identity entries are never stored. Keys
+                                    // and stats are tracked physical; see
+                                    // renameColumn.
+                                    colmap: Map[String, String] = Map.empty)
 
   /** Injected-failure hook for the crash-consistency spec; "" in
     * production. Recognized points: "before-manifest" (bucket versions
@@ -244,6 +251,10 @@ object Scd1Merge {
         .filter(_.nonEmpty).map(dec).toSet).getOrElse(Set.empty[String])
     val dv = meta.find(_.startsWith("dv="))
       .map(l => dec(l.stripPrefix("dv="))).getOrElse("")
+    val colmap = meta.find(_.startsWith("colmap="))
+      .map(_.stripPrefix("colmap=").split(",").iterator.filter(_.nonEmpty).map { e =>
+        val Array(p, l) = e.split(":", 2); dec(p) -> dec(l)
+      }.toMap).getOrElse(Map.empty[String, String])
     val parsed = entries.map { l =>
       val fields = l.split("\t", 3)
       val b = fields(0).toInt
@@ -251,7 +262,7 @@ object Scd1Merge {
     }
     Manifest(nb, parsed.map(e => e._1 -> e._2).toMap, commit,
       parsed.filter(_._3.nonEmpty).map(e => e._1 -> e._3).toMap, keys, batch,
-      clusterCols, clusterZBits, clustered, dv)
+      clusterCols, clusterZBits, clustered, dv, colmap)
   }
 
   /** THE commit point: write-to-tmp + fsync + atomic rename over the
@@ -284,7 +295,11 @@ object Scd1Merge {
         if (live.nonEmpty)
           Seq(s"clustered=${live.toSeq.sorted.map(enc).mkString(",")}") else Nil
       } ++
-      (if (m.dv.nonEmpty) Seq(s"dv=${enc(m.dv)}") else Nil)
+      (if (m.dv.nonEmpty) Seq(s"dv=${enc(m.dv)}") else Nil) ++
+      (if (m.colmap.nonEmpty)
+        Seq(s"colmap=${m.colmap.toSeq.sortBy(_._1)
+          .map { case (p, l) => s"${enc(p)}:${enc(l)}" }.mkString(",")}")
+       else Nil)
     val body = (metaLines ++
       m.dirs.toSeq.sortBy(_._1).map { case (b, d) =>
         m.stats.get(b).filter(_.nonEmpty) match {
@@ -773,24 +788,34 @@ object Scd1Merge {
       case Some(m) if m.dirs.nonEmpty =>
         // one footer read gives the schema the predicate resolves
         // against and the column types the hash cast needs; a
-        // post-evolution column missing here just skips pruning
+        // post-evolution column missing here just skips pruning.
+        // The predicate speaks LOGICAL names; the probe frame is
+        // logicalized so it RESOLVES, and the optimizer then pushes
+        // the filter below the rename Project, rewriting its
+        // attributes to PHYSICAL names — so the pruning math runs
+        // against the physical manifest/schema unchanged. (If a
+        // predicate defeats pushdown, names stay logical, nothing
+        // matches, and pruning degrades conservatively to all
+        // buckets.)
         val anyDir = Paths.get(tablePath, m.dirs.toSeq.minBy(_._1)._2).toString
-        val probeDf = spark.read.parquet(anyDir)
+        val raw = spark.read.parquet(anyDir)
+        val probeDf = logicalize(raw, m)
         val cands = resolvedPredicate(probeDf, predicate) match {
           case None => m.dirs.keys.toSeq.sorted // unextractable: no pruning
           case Some(pred) =>
-            val hb = equalityBucket(spark, pred, m, probeDf.schema)
+            val hb = equalityBucket(spark, pred, m, raw.schema)
             m.dirs.keys.toSeq.sorted.filter { b =>
               hb.forall(_.contains(b)) && canMatch(m.stats.getOrElse(b, Map.empty), pred)
             }
         }
         lastPrune = (cands.size, m.dirs.size)
         val df =
-          if (cands.isEmpty) spark.read.parquet(anyDir).limit(0)
-          else spark.read.option("mergeSchema", "true")
-            .parquet(cands.map(b => Paths.get(tablePath, m.dirs(b)).toString): _*)
+          if (cands.isEmpty) logicalize(spark.read.parquet(anyDir), m).limit(0)
+          else logicalize(applyDv(spark, tablePath, m,
+            spark.read.option("mergeSchema", "true")
+              .parquet(cands.map(b => Paths.get(tablePath, m.dirs(b)).toString): _*)), m)
         val clean = if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
-        applyDv(spark, tablePath, m, clean).filter(predicate)
+        clean.filter(predicate)
       case _ => readTable(spark, tablePath).filter(predicate)
     }
 
@@ -1111,13 +1136,37 @@ object Scd1Merge {
       case _ => df
     }
 
+  // ---- column mapping (rename without rewrite) -----------------------
+  // Parquet files keep their PHYSICAL column names forever; the
+  // manifest's colmap renames them to the LOGICAL view at read time.
+  // Keys, stats and deletion vectors are tracked physical (they live
+  // next to the files); user-facing frames, predicates and source
+  // batches are logical and translate at the API boundary.
+
+  /** physical frame → logical view. */
+  private def logicalize(df: DataFrame, m: Manifest): DataFrame =
+    m.colmap.foldLeft(df) { case (d, (p, l)) =>
+      if (d.columns.contains(p)) d.withColumnRenamed(p, l) else d }
+
+  /** logical frame (a source batch) → physical write names. */
+  private def physicalize(df: DataFrame, m: Manifest): DataFrame =
+    m.colmap.foldLeft(df) { case (d, (p, l)) =>
+      if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d }
+
+  private def physicalOf(m: Manifest, logical: String): String =
+    m.colmap.collectFirst {
+      case (p, l) if l.equalsIgnoreCase(logical) => p }.getOrElse(logical)
+
+  private def logicalOf(m: Manifest, physical: String): String =
+    m.colmap.getOrElse(physical, physical)
+
   def readTable(spark: SparkSession, tablePath: String): DataFrame = {
     val df = readManifest(tablePath) match {
       case Some(m) =>
         val dirs = m.dirs.toSeq.sortBy(_._1)
           .map { case (_, d) => Paths.get(tablePath, d).toString }
-        applyDv(spark, tablePath, m,
-          spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+        logicalize(applyDv(spark, tablePath, m,
+          spark.read.option("mergeSchema", "true").parquet(dirs: _*)), m)
       case None if !Files.exists(Paths.get(tablePath)) =>
         spark.read.parquet(tablePath) // standard path-not-found error
       case None =>
@@ -1154,8 +1203,9 @@ object Scd1Merge {
       val m = parseManifest(p)
       val dirs = m.dirs.toSeq.sortBy(_._1)
         .map { case (_, d) => Paths.get(tablePath, d).toString }
-      val df = applyDv(spark, tablePath, m,
-        spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+      // the snapshot's OWN colmap: schema history time-travels with it
+      val df = logicalize(applyDv(spark, tablePath, m,
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)), m)
       if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
     }
   }
@@ -1239,25 +1289,31 @@ object Scd1Merge {
           spark.read.option("mergeSchema", "true").parquet(dirs: _*))
       if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
     }
+    // the diff runs over PHYSICAL columns (stable across renames — a
+    // pure-rename commit moves no dirs and surfaces no rows); the
+    // OUTPUT logicalizes with the NEWER side's map. A diff spanning a
+    // materializing rewrite (rebucket) falls under the same
+    // evolve-then-diff caveat as added columns.
+    val pk = keys.map(physicalOf(to, _))
     val older = readSide(from)
     val newer = readSide(to).select(older.columns.toIndexedSeq.map(col): _*)
     val changedRows = newer.except(older) // inserted or updated (new image)
-    val deletedRows = older.join(newer, keys, "left_anti") // old image, key gone
+    val deletedRows = older.join(newer, pk, "left_anti") // old image, key gone
     // updated keys = changed keys that existed before; their OLD image
     // is the preimage leg — the older side is already in hand, so this
     // is one more semi-join over the same pruned bucket reads
-    val updatedKeys = changedRows.select(keys.map(col): _*)
-      .join(older.select(keys.map(col): _*), keys, "left_semi").distinct()
-    val preimages = older.join(updatedKeys, keys, "left_semi")
+    val updatedKeys = changedRows.select(pk.map(col): _*)
+      .join(older.select(pk.map(col): _*), pk, "left_semi").distinct()
+    val preimages = older.join(updatedKeys, pk, "left_semi")
       .withColumn("_change_type", lit("update_preimage"))
-    changedRows
-      .join(older.select(keys.map(col): _*).distinct()
-        .withColumn("__was", lit(1)), keys, "left")
+    logicalize(changedRows
+      .join(older.select(pk.map(col): _*).distinct()
+        .withColumn("__was", lit(1)), pk, "left")
       .withColumn("_change_type",
         when(col("__was").isNotNull, lit("update")).otherwise(lit("insert")))
       .drop("__was")
       .unionByName(preimages)
-      .unionByName(deletedRows.withColumn("_change_type", lit("delete")))
+      .unionByName(deletedRows.withColumn("_change_type", lit("delete"))), to)
   }
 
   /** Move each `__bucket=N` dir under `writtenTo` into the table as
@@ -1433,13 +1489,16 @@ object Scd1Merge {
     withLock(tablePath) { leaseId =>
       val manifest = readManifest(tablePath).get
       val nb = manifest.numBuckets
-      requireSameKeys(tablePath, manifest, keys)
+      // logical → physical at the boundary (no-ops without a colmap)
+      val pkeys = keys.map(physicalOf(manifest, _))
+      val psource = physicalize(source, manifest)
+      requireSameKeys(tablePath, manifest, pkeys)
       sweepVersions(tablePath, manifest, retainVersions)
-      val bucketed = withBucket(source, keys, nb)
+      val bucketed = withBucket(psource, pkeys, nb)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val probe = bucketed
-          .groupBy(col(BucketCol) +: keys.map(col): _*)
+          .groupBy(col(BucketCol) +: pkeys.map(col): _*)
           .agg(count(lit(1)).as("__c"),
             // does this key carry a NON-delete row (per bucket below:
             // such buckets MUST produce an output dir — write tripwire)
@@ -1467,10 +1526,10 @@ object Scd1Merge {
           if (liveTouched.isEmpty) upserts.drop(opCol)
           else {
             val target = withBucket(
-              spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)
+              spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), pkeys, nb)
             // ONE anti-join on ALL source keys (delete keys and upsert
             // keys alike drop the old image), then the new images land
-            target.join(bucketed, keys, "left_anti")
+            target.join(bucketed, pkeys, "left_anti")
               .unionByName(upserts.select(target.columns.toIndexedSeq.map(col): _*))
           }
         val tmp = tablePath + ".tmp"
@@ -1484,18 +1543,19 @@ object Scd1Merge {
         // it leaves the manifest (old versions stay within retention)
         val emptied = touched.filterNot(b =>
           Files.exists(Paths.get(tmp, s"$BucketCol=$b")))
-        val newStats = bucketStats(spark, tmp, keys ++ statsColumns)
+        val newStats = bucketStats(spark, tmp,
+          pkeys ++ statsColumns.map(physicalOf(manifest, _)))
         val newVersions = adoptBucketDirs(tablePath, tmp,
           b => nextVersion(tablePath, manifest, b))
         // reinsert safety: every source key (upsert AND delete ops)
         // loses its tombstone — hard-deleted rows are gone physically
-        val dvRel = pruneDv(spark, tablePath, manifest, keys,
-          bucketed.select(keys.map(col): _*))
+        val dvRel = pruneDv(spark, tablePath, manifest, pkeys,
+          bucketed.select(pkeys.map(col): _*))
         failpoint("before-manifest")
         refreshLease(tablePath, leaseId)
         val committed = commitManifest(tablePath, manifest.copy(numBuckets = nb,
           dirs = manifest.dirs -- emptied ++ newVersions,
-          stats = manifest.stats -- touched ++ newStats, keys = keys,
+          stats = manifest.stats -- touched ++ newStats, keys = pkeys,
           dv = dvRel,
           batch = if (batchId.nonEmpty) batchId else manifest.batch))
         failpoint("after-manifest")
@@ -1548,11 +1608,16 @@ object Scd1Merge {
         s"got (${keys.mkString(",")}) — merge keys are fixed at create time " +
         "(a rebucket with the new keys is the migration path)")
 
-  /** The established-table merge path (manifest in hand, lock held). */
-  private def upsertCommitted(spark: SparkSession, tablePath: String, source: DataFrame,
-      keys: Seq[String], numBuckets: Int, evolveSchema: Boolean, retainVersions: Int,
+  /** The established-table merge path (manifest in hand, lock held).
+    * `keys0`/`source0` are the caller's LOGICAL view; they translate
+    * to physical names here (no-ops without a colmap). */
+  private def upsertCommitted(spark: SparkSession, tablePath: String, source0: DataFrame,
+      keys0: Seq[String], numBuckets: Int, evolveSchema: Boolean, retainVersions: Int,
       statsColumns: Seq[String], manifest: Manifest, leaseId: String,
       batchId: String = ""): Unit = {
+    val keys = keys0.map(physicalOf(manifest, _))
+    val source = physicalize(source0, manifest)
+    val statsColumnsP = statsColumns.map(physicalOf(manifest, _))
     val nb = manifest.numBuckets
     if (numBuckets > 0 && numBuckets != nb)
       throw new IllegalArgumentException(
@@ -1630,7 +1695,7 @@ object Scd1Merge {
       // fresh stats for the rewritten buckets; untouched buckets keep
       // theirs, touched buckets NEVER keep stale ones (a stale range on
       // a new version could wrongly prune)
-      val newStats = timed("stats") { bucketStats(spark, tmp, keys ++ statsColumns) }
+      val newStats = timed("stats") { bucketStats(spark, tmp, keys ++ statsColumnsP) }
       val newVersions = timed("adopt") { adoptBucketDirs(tablePath, tmp,
         b => nextVersion(tablePath, manifest, b)) }
       // reinsert safety: upserted keys lose their tombstones
@@ -1678,8 +1743,11 @@ object Scd1Merge {
         stageWrite(withBucket(full, keys, newNumBuckets), tmp)
         // full rewrite = full stats refresh: every previously-tracked
         // column (plus the keys) is re-ranged under the new bucketing —
-        // a rebucket BACKFILLS stats declared after a bucket last wrote
-        val tracked = (keys ++ manifest.stats.values.flatMap(_.keySet)).distinct
+        // a rebucket BACKFILLS stats declared after a bucket last wrote.
+        // Tracked names translate to logical: the rewrite materialized
+        // the colmap, so logical IS physical in the new files.
+        val tracked = (keys ++ manifest.stats.values.flatMap(_.keySet)
+          .map(logicalOf(manifest, _))).distinct
         val stats = bucketStats(spark, tmp, tracked)
         // version continuity per NEW bucket id: nextVersion consults the
         // old manifest AND the retained dirs on disk, so re-used ids
@@ -1691,8 +1759,9 @@ object Scd1Merge {
         val committed = commitManifest(tablePath,
           manifest.copy(numBuckets = newNumBuckets, dirs = newVersions,
             // the full rewrite read through readTable, which is
-            // dv-filtered — tombstoned rows are now physically gone
-            stats = stats, keys = keys, dv = ""))
+            // dv-filtered AND logicalized — tombstoned rows are gone
+            // and renames MATERIALIZE (files now carry logical names)
+            stats = stats, keys = keys, dv = "", colmap = Map.empty))
         failpoint("after-manifest")
         sweepVersions(tablePath, committed, retainVersions)
         deleteRecursively(Paths.get(tmp))
@@ -1729,16 +1798,20 @@ object Scd1Merge {
     * @param zOrderBits >0 with 2+ sortCols sorts by the interleaved
     *        Morton code at that per-column bit depth; 0 sorts
     *        lexicographically. */
-  def recluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
+  def recluster(spark: SparkSession, tablePath: String, sortCols0: Seq[String],
                 zOrderBits: Int = 0, dirtyOnly: Boolean = false,
                 retainVersions: Int = DefaultRetainVersions): Int = {
-    require(sortCols.nonEmpty, "recluster needs at least one clustering column")
+    require(sortCols0.nonEmpty, "recluster needs at least one clustering column")
     if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
       s"recluster: $tablePath has no manifest (not a committed bucketed table)")
     withLock(tablePath) { leaseId =>
-      val manifest = readManifest(tablePath).get
-      require(manifest.keys.nonEmpty,
+      val manifest0 = readManifest(tablePath).get
+      require(manifest0.keys.nonEmpty,
         s"recluster: $tablePath manifest predates key tracking — run one upsert first")
+      // caller sort columns are LOGICAL; files (and the clusterCols
+      // spec recorded alongside them) are physical
+      val sortCols = sortCols0.map(physicalOf(manifest0, _))
+      val manifest = manifest0
       // dirty = live dirs NOT marked clustered under THIS spec. The
       // markers are dir names, and every rewriting commit mints new
       // dir names, so upsert/delete/compact invalidate markers with
@@ -1808,6 +1881,45 @@ object Scd1Merge {
     rewriteWhere(spark, tablePath, keys, predicate, retainVersions, "delete",
       (live, pred) => live.filter(!coalesce(pred, lit(false))))
 
+  /** RENAME a column WITHOUT rewriting data — Delta column-mapping
+    * parity: on a 100 TB table a rename is ONE manifest swap; the
+    * parquet files keep their physical names forever and every read
+    * path presents the logical view ([[readTable]] and friends
+    * logicalize; upsert/CDC/delete/update translate logical sources,
+    * keys and predicates back to physical at the boundary). Merge KEYS
+    * rename like any column — the bucket hash runs on values, not
+    * names. Snapshot reads time-travel the SCHEMA too: a
+    * [[readTableAt]] before the rename shows the old name (each
+    * snapshot carries its own map). A full rewrite ([[rebucket]])
+    * MATERIALIZES the mapping: files get the logical names and the map
+    * clears. `oldName` is the current LOGICAL name. */
+  def renameColumn(spark: SparkSession, tablePath: String,
+                   oldName: String, newName: String,
+                   retainVersions: Int = DefaultRetainVersions): Unit = {
+    if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
+      s"renameColumn: $tablePath has no manifest (not a committed bucketed table)")
+    withLock(tablePath) { leaseId =>
+      val manifest = readManifest(tablePath).get
+      val anyDir = manifest.dirs.toSeq.sortBy(_._1).headOption.map(_._2)
+        .getOrElse(throw new IllegalStateException(
+          s"renameColumn: $tablePath has no live buckets"))
+      val logicalCols = logicalize(
+        spark.read.parquet(Paths.get(tablePath, anyDir).toString), manifest)
+        .columns.filterNot(_ == BucketCol).toSeq
+      require(logicalCols.exists(_.equalsIgnoreCase(oldName)),
+        s"renameColumn: no column '$oldName' (have: ${logicalCols.mkString(",")})")
+      require(!logicalCols.exists(_.equalsIgnoreCase(newName)),
+        s"renameColumn: column '$newName' already exists")
+      val physical = physicalOf(manifest, oldName)
+      val newMap =
+        if (physical.equalsIgnoreCase(newName)) manifest.colmap - physical
+        else manifest.colmap - physical + (physical -> newName)
+      refreshLease(tablePath, leaseId)
+      val committed = commitManifest(tablePath, manifest.copy(colmap = newMap))
+      sweepVersions(tablePath, committed, retainVersions)
+    }
+  }
+
   /** SOFT DELETE — deletion-vector parity (Delta DVs): logically
     * delete every row matching `predicate` by appending its merge keys
     * to the table's tombstone file, WITHOUT rewriting a single bucket.
@@ -1829,18 +1941,21 @@ object Scd1Merge {
       s"deleteSoft: $tablePath has no manifest (legacy tables migrate via upsert first)")
     withLock(tablePath) { leaseId =>
       val manifest = readManifest(tablePath).get
-      requireSameKeys(tablePath, manifest, keys)
+      val pkeys = keys.map(physicalOf(manifest, _))
+      requireSameKeys(tablePath, manifest, pkeys)
       sweepVersions(tablePath, manifest, retainVersions)
-      // readTableWhere = stats-pruned scan, already dv-filtered
-      val matches = readTableWhere(spark, tablePath, predicate)
-        .select(keys.map(col): _*).distinct()
+      // readTableWhere = stats-pruned scan, already dv-filtered; its
+      // rows are LOGICAL — the dv stores PHYSICAL key names
+      val matches = physicalize(
+          readTableWhere(spark, tablePath, predicate)
+            .select(keys.map(col): _*).distinct(), manifest)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = matches.count()
         if (n == 0L) 0L
         else {
           val newDv = dvFrame(spark, tablePath, manifest) match {
-            case Some(dv) => dv.select(keys.map(col): _*)
+            case Some(dv) => dv.select(pkeys.map(col): _*)
               .unionByName(matches).distinct()
             case None => matches
           }
@@ -1848,7 +1963,7 @@ object Scd1Merge {
           failpoint("before-manifest")
           refreshLease(tablePath, leaseId)
           val committed = commitManifest(tablePath, manifest.copy(dv = rel,
-            keys = keys,
+            keys = pkeys,
             batch = if (batchId.nonEmpty) batchId else manifest.batch))
           failpoint("after-manifest")
           sweepVersions(tablePath, committed, retainVersions)
@@ -1950,20 +2065,27 @@ object Scd1Merge {
     withLock(tablePath) { leaseId =>
       val manifest = readManifest(tablePath).get
       val nb = manifest.numBuckets
-      requireSameKeys(tablePath, manifest, keys)
+      val pkeys = keys.map(physicalOf(manifest, _))
+      requireSameKeys(tablePath, manifest, pkeys)
       sweepVersions(tablePath, manifest, retainVersions)
       // DATA SKIPPING on the probe: only buckets the predicate can
       // match are scanned at all — a key-equality delete probes ONE
       // bucket (hash pruning), a range delete on a tracked stats
       // column probes only buckets whose [min,max] overlaps. The
-      // general-predicate fallback is the old full probe.
+      // general-predicate fallback is the old full probe. The
+      // predicate speaks LOGICAL names; the logicalized probe frame
+      // resolves it and filter pushdown rewrites the attributes to
+      // physical names (readTableWhere's rule), so the pruning math
+      // runs against the physical manifest/schema.
+      val pm = manifest.copy(keys = pkeys)
       val candB = if (manifest.dirs.isEmpty) Nil else {
         val anyDir = Paths.get(tablePath, manifest.dirs.toSeq.minBy(_._1)._2).toString
-        val probeDf = spark.read.parquet(anyDir)
+        val raw = spark.read.parquet(anyDir)
+        val probeDf = logicalize(raw, manifest)
         resolvedPredicate(probeDf, predicate) match {
           case None => manifest.dirs.keys.toSeq.sorted // unextractable: no pruning
           case Some(pred) =>
-            val hb = equalityBucket(spark, pred, manifest.copy(keys = keys), probeDf.schema)
+            val hb = equalityBucket(spark, pred, pm, raw.schema)
             manifest.dirs.keys.toSeq.sorted.filter { b =>
               hb.forall(_.contains(b)) && canMatch(manifest.stats.getOrElse(b, Map.empty), pred)
             }
@@ -1976,11 +2098,13 @@ object Scd1Merge {
           .map(d => Paths.get(tablePath, d).toString)
         val candRead = spark.read.option("mergeSchema", "true").parquet(candDirs: _*)
         // soft-deleted rows are not visible to DELETE/UPDATE: they
-        // neither count as matched nor get rewritten back to life
-        val tagged = applyDv(spark, tablePath, manifest.copy(keys = keys),
+        // neither count as matched nor get rewritten back to life.
+        // dv applies on the PHYSICAL frame, then the logical view is
+        // what the predicate and the rewrite callback see.
+        val tagged = logicalize(applyDv(spark, tablePath, manifest.copy(keys = pkeys),
           withBucket(
             if (candRead.columns.contains(BucketCol)) candRead.drop(BucketCol) else candRead,
-            keys, nb))
+            pkeys, nb)), manifest)
         val probe = tagged.filter(predicate)
           .groupBy(col(BucketCol)).agg(count(lit(1)).as("__n"))
           .collect()
@@ -1993,15 +2117,17 @@ object Scd1Merge {
           // the rewrite input is dv-filtered too: a rewritten bucket
           // drops its soft-deleted rows physically (their dv entries
           // become harmless no-ops)
-          val kept = rewrite(applyDv(spark, tablePath, manifest.copy(keys = keys),
-              withBucket(
-                spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)),
+          val kept = rewrite(logicalize(
+              applyDv(spark, tablePath, manifest.copy(keys = pkeys),
+                withBucket(
+                  spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), pkeys, nb)),
+              manifest),
             predicate)
           val tmp = tablePath + ".tmp"
-          stageWrite(kept, tmp)
+          stageWrite(physicalize(kept, manifest), tmp)
           // rewritten rows move ranges; recompute over whatever the
           // table was already tracking so pruning stays tight
-          val tracked = (keys ++ manifest.stats.values.flatMap(_.keySet)).distinct
+          val tracked = (pkeys ++ manifest.stats.values.flatMap(_.keySet)).distinct
           val newStats = bucketStats(spark, tmp, tracked)
           val newVersions = adoptBucketDirs(tablePath, tmp,
             b => nextVersion(tablePath, manifest, b))
@@ -2011,7 +2137,7 @@ object Scd1Merge {
           val committed = commitManifest(tablePath,
             manifest.copy(numBuckets = nb,
               dirs = manifest.dirs -- emptied ++ newVersions,
-              stats = manifest.stats -- touched ++ newStats, keys = keys))
+              stats = manifest.stats -- touched ++ newStats, keys = pkeys))
           failpoint("after-manifest")
           sweepVersions(tablePath, committed, retainVersions)
           deleteRecursively(Paths.get(tmp))

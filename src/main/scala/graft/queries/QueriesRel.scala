@@ -690,6 +690,33 @@ object QueriesRel {
         .orderBy(col("o_orderkey"))
     }),
 
+    "s34_column_rename" -> ((s, dir) => {
+      // COLUMN MAPPING lifecycle (Delta rename-without-rewrite
+      // parity): rename two columns — one of them the MERGE KEY —
+      // with zero data movement (one manifest swap each; RenameSpec
+      // pins no dir churn + physical names in files), then merge a
+      // batch speaking the NEW names. The judged frame reads back
+      // through the mapping.
+      val n = table(s, dir, "nation")
+      val dim = n.select(col("n_nationkey").as("k"),
+        col("n_name").as("name"), col("n_regionkey").as("region"))
+      val path = tmpDir("graft_ren34") + "/t"
+      Scd1Merge.upsert(s, path, dim, Seq("k"))
+      Scd1Merge.renameColumn(s, path, "name", "label")
+      Scd1Merge.renameColumn(s, path, "k", "nation_id")
+      val batch = n.filter(col("n_nationkey") % 5 === 0)
+        .select(col("n_nationkey").as("nation_id"),
+          concat(col("n_name"), lit("_v2")).as("label"),
+          col("n_regionkey").as("region"))
+        .unionByName(n.filter(col("n_nationkey") < 3)
+          .select((col("n_nationkey") + lit(100L)).cast("int").as("nation_id"),
+            concat(col("n_name"), lit("_new")).as("label"),
+            col("n_regionkey").as("region")))
+      Scd1Merge.upsert(s, path, batch, Seq("nation_id"))
+      Scd1Merge.readTable(s, path)
+        .select(col("nation_id"), col("label"), col("region"))
+        .orderBy(col("nation_id"))
+    }),
     "s33_deletion_vectors" -> ((s, dir) => {
       // SOFT-DELETE lifecycle (Delta deletion-vector parity): a point
       // delete tombstones keys WITHOUT rewriting buckets (O(matched
@@ -716,14 +743,23 @@ object QueriesRel {
       // coalesces each fragmented bucket through the standard
       // crash-safe commit; the judged artifact is the content-identity
       // invariant. The conf is scoped and restored (no session leak).
+      // The fixture slice is SF-capped so the planted fragmentation
+      // (files ∝ rows/50) doesn't scale the BENCH cost with data
+      // volume — the op under test is the commit machinery, not the
+      // row count.
       val c = table(s, dir, "customer")
+        .filter(col("c_custkey") <= 1000)
         .select(col("c_custkey").as("k"), col("c_name").as("name"),
           col("c_acctbal"))
       val path = tmpDir("graft_compact31") + "/t"
       val key = "spark.sql.files.maxRecordsPerFile"
       val prev = s.conf.getOption(key)
-      s.conf.set(key, "50")
-      try Scd1Merge.upsert(s, path, c, Seq("k"))
+      // 4 explicit buckets + a 20-row file cap: ≥2 files per bucket
+      // from sf0.001's 150 rows up — the fixture fragments at EVERY
+      // judged/benched SF (32 default buckets at sf0.01 left buckets
+      // under a 50-row cap and nothing fragmented)
+      s.conf.set(key, "20")
+      try Scd1Merge.upsert(s, path, c, Seq("k"), numBuckets = 4)
       finally prev match {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
@@ -1000,7 +1036,17 @@ object QueriesRel {
          |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
          |ORDER BY o_orderkey""".stripMargin,
     "s31_compact_maintenance" ->
-      "SELECT c_custkey AS k, c_name AS name, c_acctbal FROM customer ORDER BY k",
+      "SELECT c_custkey AS k, c_name AS name, c_acctbal FROM customer WHERE c_custkey <= 1000 ORDER BY k",
+    "s34_column_rename" ->
+      """WITH dim AS (SELECT n_nationkey AS nation_id, n_name AS label, n_regionkey AS region FROM nation),
+         |batch AS (
+         |  SELECT n_nationkey AS nation_id, n_name || '_v2' AS label, n_regionkey AS region FROM nation WHERE n_nationkey % 5 = 0
+         |  UNION ALL
+         |  SELECT n_nationkey + 100 AS nation_id, n_name || '_new' AS label, n_regionkey AS region FROM nation WHERE n_nationkey < 3)
+         |SELECT nation_id, label, region FROM (
+         |  SELECT d.* FROM dim d WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.nation_id = d.nation_id)
+         |  UNION ALL SELECT * FROM batch)
+         |ORDER BY nation_id""".stripMargin,
     "s33_deletion_vectors" ->
       """SELECT c_custkey AS k,
          |  CASE WHEN c_custkey % 21 = 0 THEN c_name || '_back' ELSE c_name END AS name,
