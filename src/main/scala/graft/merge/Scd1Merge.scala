@@ -1881,6 +1881,37 @@ object Scd1Merge {
     rewriteWhere(spark, tablePath, keys, predicate, retainVersions, "delete",
       (live, pred) => live.filter(!coalesce(pred, lit(false))))
 
+  /** GENERATED COLUMNS (Delta parity): each `generated` entry is a
+    * column DEFINED by an expression over the other source columns —
+    * absent from a batch, it is computed; present, it is VALIDATED
+    * (one count per supplied column, null-safe compare) and a
+    * contradiction fails the whole batch loudly — a generated column
+    * that silently disagrees with its definition poisons every
+    * downstream consumer that assumes the invariant (the usual victim:
+    * a partition/stats column derived from an event time). Compute
+    * happens in the batch's plan (codegen'd, no extra pass); then the
+    * standard upsert commit. */
+  def upsertGenerated(spark: SparkSession, tablePath: String, source: DataFrame,
+                      keys: Seq[String], generated: Map[String, Column],
+                      numBuckets: Int = 0,
+                      retainVersions: Int = DefaultRetainVersions,
+                      statsColumns: Seq[String] = Nil,
+                      batchId: String = ""): Unit = {
+    val prepared = generated.foldLeft(source) { case (df, (name, expr)) =>
+      if (!df.columns.exists(_.equalsIgnoreCase(name))) df.withColumn(name, expr)
+      else {
+        val bad = df.filter(!(col(name) <=> expr)).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"upsertGenerated: $bad row(s) contradict generated column " +
+          s"'$name' — supplied values must equal the defining expression")
+        df
+      }
+    }
+    upsert(spark, tablePath, prepared, keys, numBuckets,
+      retainVersions = retainVersions, statsColumns = statsColumns,
+      batchId = batchId)
+  }
+
   /** RENAME a column WITHOUT rewriting data — Delta column-mapping
     * parity: on a 100 TB table a rename is ONE manifest swap; the
     * parquet files keep their physical names forever and every read

