@@ -102,6 +102,25 @@ object AsofJoin {
     * Time columns must be numeric (castable to long, e.g. epoch µs);
     * `chunkSpan` is in the same unit.
     */
+  /** FORWARD as-of: each left row matched to the EARLIEST right row
+    * with time AT OR AFTER its own ("next maintenance window",
+    * "first response after the alert"). Implemented by time NEGATION
+    * over [[asofLeft]] — latest(−t ≤ −t_e) ⇔ earliest(t ≥ t_e) — so
+    * the forward form inherits the backward one's single window pass,
+    * null-key semantics and payload carry verbatim. */
+  def asofLeftForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      leftTime: String, rightTime: String, outCol: String,
+                      payloadCols: Seq[String] = Nil): DataFrame = {
+    val l = left.withColumn("__fwd_neg", -col(leftTime))
+    val r = right.withColumn("__fwd_neg", -col(rightTime))
+      .drop(rightTime)
+    asofLeft(l.drop(leftTime), r, keyCols, "__fwd_neg", "__fwd_neg", outCol,
+        payloadCols)
+      .withColumn(outCol, -col(outCol))
+      .withColumn(leftTime, -col("__fwd_neg"))
+      .drop("__fwd_neg")
+  }
+
   def asofLeftChunked(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                      leftTime: String, rightTime: String, outCol: String,
                      chunkSpan: Long, payloadCols: Seq[String] = Nil): DataFrame = {

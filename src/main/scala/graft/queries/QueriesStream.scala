@@ -215,6 +215,24 @@ object QueriesStream {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("seg"))
     }),
+    "j15_asof_forward" -> ((s, dir) => {
+      // FORWARD as-of: each event matched to the EARLIEST purchase by
+      // the same user AT OR AFTER its timestamp ("first response
+      // after") — time negation over the backward as-of, same single
+      // window pass (AsofJoin.asofLeftForward).
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("__us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("__us"))
+      graft.ops.AsofJoin.asofLeftForward(
+          ev.select(col("event_id"), col("user_id"), col("__us")),
+          purchases, Seq("user_id"), "__us", "__us", "__match")
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("__match")).as("next_purchase_ts"))
+        .orderBy(col("event_id"))
+    }),
     "j5_asof_join" -> ((s, dir) => {
       // as-of join: each event matched to the latest purchase by the
       // same user at or before its timestamp — one union + one window
@@ -569,6 +587,12 @@ object QueriesStream {
          |SELECT user_id, sum(cents)::BIGINT AS sum_cents, count(*) AS n_events
          |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_sessionize" -> SessionizeOracle,
+    "j15_asof_forward" ->
+      """SELECT e.event_id, e.user_id, p.ts AS next_purchase_ts
+         |FROM events e ASOF LEFT JOIN
+         |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+         |  ON e.user_id = p.user_id AND e.ts <= p.ts
+         |ORDER BY e.event_id""".stripMargin,
     "j5_asof_join" ->
       """SELECT e.event_id, e.user_id, p.ts AS last_purchase_ts
          |FROM events e ASOF LEFT JOIN
