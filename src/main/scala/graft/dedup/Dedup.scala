@@ -62,6 +62,36 @@ object Dedup {
       .select(col(idCol), col("dup_start"), col("dup_end"))
   }
 
+  /** APPLY range cuts — the second half of range-cut dedup (Lee et
+    * al.): excise every duplicated span [[duplicateRanges]] found,
+    * keeping the complement segments stitched in order. Ranges arrive
+    * as merged non-overlapping islands, so the stitch is one bounded
+    * fold over a FEW ranges per doc (sanctioned bounded-operand HOF —
+    * the per-byte work already happened in the linear fingerprint
+    * pass); docs with no duplicated span pass through untouched via
+    * the left join. */
+  def cutRanges(docs: DataFrame, idCol: String, textCol: String,
+                minLen: Int): DataFrame = {
+    val ranges = duplicateRanges(docs, idCol, textCol, minLen)
+    val byDoc = ranges.groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("dup_start"), col("dup_end")))).as("__rs"))
+    val t = col(textCol)
+    val stitched = aggregate(col("__rs"),
+      struct(lit(1L).as("p"), lit("").as("acc")),
+      (st, r) => struct(
+        (r.getField("dup_end") + 1L).as("p"),
+        concat(st.getField("acc"),
+          t.substr(st.getField("p").cast("int"),
+            (r.getField("dup_start") - st.getField("p")).cast("int"))).as("acc")),
+      st => concat(st.getField("acc"),
+        t.substr(st.getField("p").cast("int"),
+          (length(t) - st.getField("p") + 1).cast("int"))))
+    docs.join(byDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__rs").isNull, t).otherwise(stitched).as("cut_text"))
+  }
+
   /** Exact dedup: keep the minimum-id row per distinct text. A single
     * hash aggregation on the content hash (map-side partial agg, one
     * shuffle); no window, no sort. */

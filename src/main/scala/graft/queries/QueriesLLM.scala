@@ -177,6 +177,14 @@ object QueriesLLM {
       Dedup.duplicateRanges(table(s, dir, "documents"), "doc_id", "text",
           minLen = 40)
         .orderBy(col("doc_id"), col("dup_start"))),
+    "text_range_cut" -> ((s, dir) =>
+      // APPLY the duplicated-span cuts (the judged ranges entry finds
+      // them): every 40-char-window duplicate span excised, complement
+      // segments stitched in order — Dedup.cutRanges; the oracle
+      // rebuilds the complement with a lag-window over the same ranges
+      Dedup.cutRanges(table(s, dir, "documents"), "doc_id", "text",
+          minLen = 40)
+        .orderBy(col("doc_id"))),
     "a21_heavy_hitters" -> ((s, dir) => {
       // EXACT distributed heavy hitters (tokens with freq > n/65) via
       // the two-phase sketch plan: (1) one scan folds every partition
@@ -834,6 +842,36 @@ object QueriesLLM {
          |   AND (a.alpha * 5 >= a.n_tok * 4)
          |   AND (a.stopd >= 2)) AS keep
          |FROM agg a JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_range_cut" ->
+      """WITH pos AS (SELECT doc_id, text,
+         |    unnest(generate_series(1, length(text) - 39)) AS pos
+         |  FROM documents WHERE length(text) >= 40),
+         |sh AS (SELECT doc_id, pos, substr(text, pos, 40) AS sh FROM pos),
+         |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1),
+         |dp AS (SELECT doc_id, pos FROM sh JOIN dup USING (sh)),
+         |isl AS (SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dp),
+         |ranges AS (SELECT doc_id, min(pos) AS dup_start, max(pos) + 39 AS dup_end
+         |  FROM isl GROUP BY doc_id, grp),
+         |seg AS (
+         |  SELECT doc_id,
+         |    lag(dup_end, 1, 0) OVER (PARTITION BY doc_id ORDER BY dup_start) + 1 AS s,
+         |    dup_start - 1 AS e
+         |  FROM ranges
+         |  UNION ALL
+         |  SELECT doc_id, max(dup_end) + 1 AS s, NULL AS e
+         |  FROM ranges GROUP BY doc_id),
+         |pieces AS (SELECT g.doc_id, g.s,
+         |    substr(d.text, g.s::INT,
+         |      CASE WHEN g.e IS NULL THEN length(d.text) - g.s + 1
+         |           ELSE g.e - g.s + 1 END::INT) AS piece
+         |  FROM seg g JOIN documents d USING (doc_id)),
+         |stitched AS (SELECT doc_id, string_agg(piece, '' ORDER BY s) AS cut_text
+         |  FROM pieces GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(st.cut_text, d.text) AS cut_text
+         |FROM documents d LEFT JOIN stitched st USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_substring_ranges" ->
       """WITH pos AS (SELECT doc_id, text,
          |    unnest(generate_series(1, length(text) - 39)) AS pos
