@@ -585,13 +585,15 @@ object QueriesRel {
         .orderBy(col("o_orderstatus"))
     }),
     "a23_regression_slope" -> ((s, dir) => {
-      // per-group OLS trend (price drift per priority class): slope /
-      // intercept from the five CLOSED-FORM sums — n, Σx, Σy, Σxy,
-      // Σx² — each an EXACT integer aggregate (days × cents), combined
-      // by one final double formula written identically in the oracle,
-      // so partition order can't move a bit. The sums stay under 2^53
-      // at judged SFs; at true 100 TB scale the same shape runs on
-      // per-partition Welford/decimal accumulators.
+      // per-group OLS trend (price drift per priority class): slope
+      // from the five CLOSED-FORM sums — n, Σx, Σy, Σxy, Σx² — each an
+      // EXACT integer aggregate (days × cents), combined by one final
+      // double formula written identically in the oracle, so partition
+      // order can't move a bit. Every sum casts to double BEFORE the
+      // combination: n·Σxy overflows int64 already at sf0.1 (the
+      // error-honest bench caught it), while the double path is exact
+      // until the sums themselves pass 2^53; past that scale the same
+      // shape runs on per-partition Welford/decimal accumulators.
       val o = table(s, dir, "orders")
         .select(col("o_orderpriority"),
           datediff(to_date(col("o_orderdate")),
@@ -603,8 +605,10 @@ object QueriesRel {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"))
         .select(col("o_orderpriority"), col("n"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-           (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          ((col("n").cast("double") * col("sxy").cast("double")
+             - col("sx").cast("double") * col("sy").cast("double")) /
+           (col("n").cast("double") * col("sxx").cast("double")
+             - col("sx").cast("double") * col("sx").cast("double")))
             .as("slope_cents_per_day"))
         .orderBy(col("o_orderpriority"))
     }),
@@ -1199,7 +1203,10 @@ object QueriesRel {
          |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
          |  FROM b GROUP BY 1)
          |SELECT o_orderpriority, n,
-         |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
          |    AS slope_cents_per_day
          |FROM agg ORDER BY o_orderpriority""".stripMargin,
     "a22_mode" ->

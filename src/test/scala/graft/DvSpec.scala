@@ -104,6 +104,15 @@ class DvSpec extends SparkSpecBase {
     assert(Scd1Merge.readTable(spark, path).count() == 40) // 39 + 1 new
   }
 
+  test("the dv anti-join broadcasts (no table-side shuffle to read a tombstoned table)") {
+    val path = loaded()
+    Scd1Merge.deleteSoft(spark, path, Seq("k"), col("k") === 1L)
+    val p = Scd1Merge.readTable(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected a broadcast left-anti dv join:\n$p")
+  }
+
   test("hard delete and update do not see soft-deleted rows") {
     val path = loaded()
     Scd1Merge.deleteSoft(spark, path, Seq("k"), col("k") === 2L)

@@ -143,6 +143,29 @@ class PlanSpec extends SparkSpecBase {
       s"expected a dynamicpruningexpression partition filter on the fact scan:\n$p")
   }
 
+  test("knnGraph's directed pass broadcasts the query side (corpus never shuffles)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.similarity.Similarity.knnGraph(emb, "vec_id", "embedding", 3))
+    // the scoring join is non-equi (id != id) against an explicitly
+    // broadcast query set -> BroadcastNestedLoopJoin by design: one
+    // narrow corpus pass, no corpus-side exchange before scoring
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the broadcast scoring join:\n$p")
+  }
+
+  test("gopherGates is one explode→agg pass (2 exchanges: the distinct-agg pair, both on doc_id)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.text.TextOps.gopherGates(docs, "doc_id", "text"))
+    // countDistinct(stopwords) makes this Spark's standard two-phase
+    // distinct aggregation — two doc_id-keyed exchanges over
+    // AGGREGATED rows, never a second pass over the token stream; any
+    // third exchange would mean the rule math left the agg
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected the distinct-agg exchange pair, got $exchanges:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global-partition stage belongs in a per-doc gate:\n$p")
+  }
+
   test("chunked twins window by (key, chunk), not by key alone") {
     import spark.implicits._
     val ev = Seq((1L, 1000000000L)).toDF("user_id", "us")
