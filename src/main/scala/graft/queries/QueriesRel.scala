@@ -971,6 +971,28 @@ object QueriesRel {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)),
+    "u4_union_evolution" -> ((s, dir) => {
+      // schema-drift union: unionByName(allowMissingColumns) aligns BY
+      // NAME and null-fills each side's absent columns — the
+      // batch-combining primitive under schema evolution (positional
+      // union silently mismatches reordered/added fields).
+      val a = table(s, dir, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"))
+      val b = table(s, dir, "region")
+        .select((col("r_regionkey") + 100).cast("int").as("k"),
+          col("r_name").as("name"), lit("region").as("origin"))
+      a.unionByName(b, allowMissingColumns = true).orderBy(col("k"))
+    }),
+    "a25_bool_aggs" -> ((s, dir) =>
+      // boolean aggregate family: count_if / bool_and / bool_or — the
+      // predicate-rollup primitives (data-quality dashboards run on
+      // these); map-side-combinable single hash-agg
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count_if(col("o_totalprice") > 200000.0).as("n_big"),
+          bool_and(col("o_totalprice") > 900.0).as("all_over_900"),
+          bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"))
+        .orderBy(col("o_orderstatus"))),
     "u1_union" -> ((s, dir) => {
       val (old, fresh) = custSplit(s, dir)
       RelOps.positionalUnion(fresh, old.drop("dim_key"))
@@ -1193,6 +1215,17 @@ object QueriesRel {
          |  ('O', 1456::BIGINT), ('P', 1439::BIGINT))
          |  t(o_orderstatus, approx_cust)
          |ORDER BY o_orderstatus""".stripMargin,
+    "u4_union_evolution" ->
+      """SELECT n_nationkey AS k, n_name AS name, NULL AS origin FROM nation
+         |UNION ALL
+         |SELECT r_regionkey + 100 AS k, r_name AS name, 'region' AS origin FROM region
+         |ORDER BY k""".stripMargin,
+    "a25_bool_aggs" ->
+      """SELECT o_orderstatus,
+         |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+         |  bool_and(o_totalprice > 900.0) AS all_over_900,
+         |  bool_or(o_totalprice > 400000.0) AS any_over_400k
+         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "a23_regression_slope" ->
       """WITH b AS (SELECT o_orderpriority,
          |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))::BIGINT AS x,
