@@ -1567,16 +1567,27 @@ object Scd1Merge {
 
   /** Write a new deletion-vector dir for the NEXT commit of `m`; ""
     * when the vector is empty (dv cleared). Staged + atomic move, like
-    * every other version dir; the commit-numbered name can't collide
-    * with live or retained dvs. */
+    * every other version dir. Naming is collision-proof the same way
+    * [[nextVersion]] is for bucket dirs: one past the max `dv_vN` on
+    * disk (floored by the commit counter) — a commit-numbered name
+    * alone would collide on a CLONED table, whose symlinked dv keeps
+    * its SOURCE-numbered name while the clone's commit counter restarts
+    * at 1; deleting that "leftover" pre-commit would corrupt the
+    * still-live manifest. Crash leftovers from a failed prior attempt
+    * are unreferenced and get reaped by the reachability sweep. */
   private def writeDvDir(spark: SparkSession, tablePath: String, m: Manifest,
                          dvDf: DataFrame): String = {
     val tmp = tablePath + ".dvtmp"
     deleteRecursively(Paths.get(tmp))
     dvDf.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val rel = s"data/dv_v${m.commit + 1}"
+    val data = Paths.get(tablePath, "data")
+    val onDisk =
+      if (!Files.exists(data)) Nil
+      else Files.list(data).iterator().asScala.toSeq.flatMap(p =>
+        "^dv_v(\\d+)$".r.findFirstMatchIn(p.getFileName.toString)
+          .map(_.group(1).toInt))
+    val rel = s"data/dv_v${(m.commit +: onDisk).max + 1}"
     val dst = Paths.get(tablePath, rel)
-    deleteRecursively(dst) // crash leftover from a failed prior attempt
     Files.createDirectories(dst.getParent)
     Files.move(Paths.get(tmp), dst, StandardCopyOption.ATOMIC_MOVE)
     rel
@@ -1615,6 +1626,20 @@ object Scd1Merge {
       keys0: Seq[String], numBuckets: Int, evolveSchema: Boolean, retainVersions: Int,
       statsColumns: Seq[String], manifest: Manifest, leaseId: String,
       batchId: String = ""): Unit = {
+    // A source column literally named after a colmap PHYSICAL key (the
+    // API boundary is logical; physical names are reserved by renames)
+    // would collide when physicalize renames the logical column onto
+    // it — duplicate columns, and on read logicalize would present the
+    // new column's data under the OLD logical name. Reject loudly.
+    source0.columns.foreach { c =>
+      manifest.colmap.foreach { case (p, l) =>
+        if (c.equalsIgnoreCase(p) && !c.equalsIgnoreCase(l))
+          throw new IllegalArgumentException(
+            s"upsert: source column '$c' collides with the physical name " +
+            s"of renamed column '$l' — physical names are reserved until a " +
+            "rebucket materializes the mapping")
+      }
+    }
     val keys = keys0.map(physicalOf(manifest, _))
     val source = physicalize(source0, manifest)
     val statsColumnsP = statsColumns.map(physicalOf(manifest, _))
@@ -1942,6 +1967,21 @@ object Scd1Merge {
       require(!logicalCols.exists(_.equalsIgnoreCase(newName)),
         s"renameColumn: column '$newName' already exists")
       val physical = physicalOf(manifest, oldName)
+      // The colmap must stay injective over physical AND logical names:
+      // reusing a name that still exists PHYSICALLY in the files (or as
+      // another colmap key) would make logicalize/physicalize fold
+      // ambiguous — old physical data would silently surface under the
+      // new logical name. Renaming a column back to its OWN physical
+      // name is the one allowed case (the map entry just clears).
+      val physicalCols = spark.read
+        .parquet(Paths.get(tablePath, anyDir).toString)
+        .columns.filterNot(_ == BucketCol)
+      val clash = (physicalCols ++ manifest.colmap.keys)
+        .exists(c => c.equalsIgnoreCase(newName) && !c.equalsIgnoreCase(physical))
+      require(!clash,
+        s"renameColumn: '$newName' is still a PHYSICAL column name in the " +
+        "table's files — renames never rewrite data, so physical names are " +
+        "reserved forever (a rebucket materializes the mapping and frees them)")
       val newMap =
         if (physical.equalsIgnoreCase(newName)) manifest.colmap - physical
         else manifest.colmap - physical + (physical -> newName)
@@ -1997,6 +2037,52 @@ object Scd1Merge {
             keys = pkeys,
             batch = if (batchId.nonEmpty) batchId else manifest.batch))
           failpoint("after-manifest")
+          sweepVersions(tablePath, committed, retainVersions)
+          n
+        }
+      } finally matches.unpersist(blocking = false)
+    }
+  }
+
+  /** Keyed soft delete: tombstone exactly the keys in `keyFrame` —
+    * the CDC-APPLY primitive (a change feed names deleted KEYS, not a
+    * predicate). Unlike collecting keys into an `isin` literal, the
+    * frame stays distributed: one semi-join against the table bounds
+    * the dv to keys that actually live (stats/bucket pruning applies),
+    * then the usual dv append + manifest swap — O(delta) end to end,
+    * no driver materialization at any delete-set size. */
+  def deleteSoftKeys(spark: SparkSession, tablePath: String, keys: Seq[String],
+                     keyFrame: DataFrame,
+                     retainVersions: Int = DefaultRetainVersions,
+                     batchId: String = ""): Long = {
+    if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
+      s"deleteSoftKeys: $tablePath has no manifest (legacy tables migrate via upsert first)")
+    withLock(tablePath) { leaseId =>
+      val manifest = readManifest(tablePath).get
+      val pkeys = keys.map(physicalOf(manifest, _))
+      requireSameKeys(tablePath, manifest, pkeys)
+      sweepVersions(tablePath, manifest, retainVersions)
+      // live keys only: tombstoning a key no bucket holds would bloat
+      // the dv with dead weight every reader anti-joins against
+      val matches = physicalize(
+          readTable(spark, tablePath).select(keys.map(col): _*)
+            .join(keyFrame.select(keys.map(col): _*).distinct(), keys, "left_semi"),
+          manifest)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = matches.count()
+        if (n == 0L) 0L
+        else {
+          val newDv = dvFrame(spark, tablePath, manifest) match {
+            case Some(dv) => dv.select(pkeys.map(col): _*)
+              .unionByName(matches).distinct()
+            case None => matches
+          }
+          val rel = writeDvDir(spark, tablePath, manifest, newDv)
+          refreshLease(tablePath, leaseId)
+          val committed = commitManifest(tablePath, manifest.copy(dv = rel,
+            keys = pkeys,
+            batch = if (batchId.nonEmpty) batchId else manifest.batch))
           sweepVersions(tablePath, committed, retainVersions)
           n
         }
@@ -2316,6 +2402,19 @@ object Scd1Merge {
           Files.createSymbolicLink(link,
             Paths.get(srcPath, d).toAbsolutePath.normalize)
       }
+      // We do NOT hold the source's lock, so a concurrent source commit
+      // + retention sweep can GC a referenced version dir between the
+      // manifest read and the links landing (createSymbolicLink succeeds
+      // on a missing target). Verify every link RESOLVES before the
+      // clone manifest commits — fail loudly now rather than dangle
+      // until read time.
+      linked.foreach { d =>
+        val link = Paths.get(dstPath, d)
+        if (!Files.exists(link)) // follows the link: target must exist
+          throw new IllegalStateException(
+            s"cloneShallow: source version dir '$d' was garbage-collected " +
+            s"under us (concurrent commit + sweep on $srcPath) — retry")
+      }
       val committed = commitManifest(dstPath, src.copy(
         batch = if (batchId.nonEmpty) batchId else s"clone@${src.commit}"))
       committed.commit
@@ -2360,7 +2459,12 @@ object Scd1Merge {
     readManifest(tablePath).map(_.commit)
 
   private[graft] def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
+    // NOFOLLOW on the guard: a DANGLING symlink (a clone link whose
+    // source target was vacuumed) reports follow-exists=false but must
+    // still be deleted, or clone GC would strand dead entries under
+    // `data/` forever. Files.walk does not follow links, so a live
+    // symlink is removed as a link — never descended into.
+    if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
 }

@@ -5,6 +5,7 @@ import graft.ops.{KeyGenStrategy, RelOps}
 import graft.store.WatermarkStore
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The medallion pipeline re-expressed generically (SURVEY.md §3, §7.1).
   *
@@ -206,6 +207,93 @@ final case class ConsistencyReport(
     behind: Seq[String]) {
   /** True iff every probed table is stamped with the head batch. */
   def consistent: Boolean = behind.isEmpty
+}
+
+/** PIPELINE-LEVEL ATOMIC PUBLISH (VERDICT r7 ask #3): one pointer file
+  * covering every member table's commit, flipped by a single atomic
+  * rename AFTER all the batch's member commits land. [[Pipeline
+  * .verifyConsistent]] detects a torn batch; this PREVENTS readers from
+  * ever observing one: a reader that resolves tables through
+  * [[readPublished]] sees the last published (commit-pinned) set — a
+  * crash between member commits leaves the pointer at the previous
+  * batch, so the half-landed state is invisible until the rerun
+  * completes and re-publishes.
+  *
+  * The pin is a SNAPSHOT read ([[Scd1Merge.readTableAt]]), so member
+  * tables' `retainVersions` must cover the publish lag (commits landed
+  * since the last publish) — the same retention contract snapshots and
+  * change feeds already carry; a too-deep pin fails loudly, never
+  * partially. Publishing is metadata-only: O(tables) manifest reads +
+  * one file rename, no data touched. */
+object Publish {
+  private val PointerName = "_pipeline_manifest"
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Pin every member table's CURRENT live commit into the pipeline
+    * pointer — the batch's one commit point. Returns the pinned
+    * (name → commit) map. */
+  def publish(root: String, tables: Map[String, String],
+              batchId: String = ""): Map[String, Int] = {
+    val pins = tables.map { case (name, path) =>
+      val c = Scd1Merge.tableCommit(path).getOrElse(
+        throw new IllegalStateException(
+          s"publish: member table '$name' ($path) has no manifest — " +
+          "all member commits must land before the batch publishes"))
+      (name, path, c)
+    }.toSeq
+    val body = (s"batch=${enc(batchId)}" +:
+      pins.sortBy(_._1).map { case (n, p, c) => s"${enc(n)}\t${enc(p)}\t$c" })
+      .mkString("\n")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val tmp = java.nio.file.Paths.get(root, PointerName + ".tmp")
+    // fsync body before the rename — the pointer IS the pipeline's
+    // commit record; an empty file after power loss would unpublish
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, PointerName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    pins.map(p => p._1 -> p._3).toMap
+  }
+
+  /** The published set: (batchId, name → (path, pinned commit)); None =
+    * never published. */
+  def published(root: String): Option[(String, Map[String, (String, Int)])] = {
+    val p = java.nio.file.Paths.get(root, PointerName)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val lines = java.nio.file.Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+      val batch = lines.find(_.startsWith("batch=")).map(l => dec(l.stripPrefix("batch="))).getOrElse("")
+      val pins = lines.filter(_.contains("\t")).map { l =>
+        val Array(n, path, c) = l.split("\t", 3)
+        dec(n) -> (dec(path), c.toInt)
+      }.toMap
+      Some((batch, pins))
+    }
+  }
+
+  /** Snapshot-read member `name` AT its published commit: later member
+    * commits (including a torn batch's half) are invisible until the
+    * next publish. */
+  def readPublished(spark: SparkSession, root: String, name: String): DataFrame = {
+    val (_, pins) = published(root).getOrElse(throw new IllegalStateException(
+      s"readPublished: $root has no pipeline manifest (nothing published)"))
+    val (path, pinned) = pins.getOrElse(name, throw new IllegalArgumentException(
+      s"readPublished: '$name' is not a member of the published set (${pins.keys.mkString(",")})"))
+    val live = Scd1Merge.tableCommit(path).getOrElse(throw new IllegalStateException(
+      s"readPublished: member table '$name' ($path) lost its manifest"))
+    Scd1Merge.readTableAt(spark, path, live - pinned)
+  }
 }
 
 object Pipeline {

@@ -389,6 +389,24 @@ object QueriesLLM {
       Dedup.minhashNearDupIncremental(table(s, dir, "documents"), "doc_id", "text",
           isNew = pmod(col("doc_id"), lit(5)) === 0)
         .orderBy(col("id_a"), col("id_b"))),
+    "pipe12_dedup_index" -> ((s, dir) => {
+      // PERSISTED signature index (VERDICT r7 ask #2): the corpus
+      // (doc_id % 5 != 0) is signed ONCE into a bucketed signature
+      // table; the new batch (doc_id % 5 == 0) is signed, merged, and
+      // probed against the index — the corpus text is never
+      // re-shingled (DedupSpec pins the scan shape and the
+      // candidates-only verify). Pair set ≡ dedup_incremental_neardup
+      // on the same data, so the oracle is the same SQL.
+      val docs = table(s, dir, "documents")
+      val idx = graft.Tmp.dir("graft_sigidx") + "/sig_index"
+      Dedup.signatureIndexUpdate(s, idx,
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+        batchId = "corpus@1")
+      Dedup.minhashNearDupIndexed(s, idx, docs,
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+          batchId = "batch@2")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "text_simhash" -> ((s, dir) =>
       TextOps.simhash(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -815,18 +833,27 @@ object QueriesLLM {
          |  list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) AS avg_tok_len
          |FROM toks ORDER BY doc_id""".stripMargin,
     "text_gopher_gates" ->
+      // LEFT JOIN from documents (not inner on the token agg) so a
+      // null-text doc still emits a row with keep=false — mirrors the
+      // explode_outer no-drop contract in TextOps.gopherGates.
       s"""WITH toks AS ($DocToks),
          |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_tok,
-         |    sum(length(tok))::BIGINT AS chars,
+         |agg0 AS (SELECT doc_id, count(tok)::BIGINT AS n_tok,
+         |    coalesce(sum(length(tok)), 0)::BIGINT AS chars,
          |    sum(CASE WHEN regexp_matches(tok, '[A-Za-z]') THEN 1 ELSE 0 END)::BIGINT AS alpha,
          |    count(DISTINCT CASE WHEN tok IN ('the','a','of','and','to','in') THEN tok END)::BIGINT AS stopd
          |  FROM tok GROUP BY doc_id),
+         |agg AS (SELECT dd.doc_id,
+         |    coalesce(a.n_tok, 0)::BIGINT AS n_tok,
+         |    coalesce(a.chars, 0)::BIGINT AS chars,
+         |    coalesce(a.alpha, 0)::BIGINT AS alpha,
+         |    coalesce(a.stopd, 0)::BIGINT AS stopd
+         |  FROM documents dd LEFT JOIN agg0 a USING (doc_id)),
          |d AS (SELECT doc_id,
-         |    len(string_split(text, chr(10)))::BIGINT AS lines,
-         |    len(regexp_extract_all(text, '(^|\n)[-*] '))::BIGINT AS bullets,
-         |    ((length(text) - length(replace(text, '#', '')))
-         |     + (length(text) - length(replace(text, '…', ''))))::BIGINT AS syms
+         |    coalesce(len(string_split(text, chr(10))), 0)::BIGINT AS lines,
+         |    coalesce(len(regexp_extract_all(text, '(^|\n)[-*] ')), 0)::BIGINT AS bullets,
+         |    coalesce((length(text) - length(replace(text, '#', '')))
+         |     + (length(text) - length(replace(text, '…', ''))), 0)::BIGINT AS syms
          |  FROM documents)
          |SELECT a.doc_id, a.n_tok,
          |  (a.n_tok >= 5 AND a.n_tok <= 100000) AS rule_words,
@@ -1097,6 +1124,17 @@ object QueriesLLM {
          |FROM c GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY chunk_md5""".stripMargin,
     "dedup_incremental_neardup" ->
+      s"""WITH toks AS ($DocToks),
+         |sh AS (SELECT doc_id, ${shingles(3)} AS s FROM toks),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.8 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+         |ORDER BY id_a, id_b""".stripMargin,
+    "pipe12_dedup_index" ->
+      // index-backed probe ≡ the self-contained incremental run: same
+      // banded recall, same exact-Jaccard integers, same pair set
       s"""WITH toks AS ($DocToks),
          |sh AS (SELECT doc_id, ${shingles(3)} AS s FROM toks),
          |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

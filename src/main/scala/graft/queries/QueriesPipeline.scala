@@ -446,12 +446,16 @@ object QueriesPipeline {
         ords.filter(batchCond),
         measures = Seq("o_orderkey", "o_totalprice"),
         dims = Seq((Scd1Merge.readTable(s, dimPath), Seq("c_custkey"), "dim_key")))
-      // batch B0001: dim + fact both commit
+      // batch B0001: dim + fact both commit, then the batch PUBLISHES
+      // (one atomic pointer flip covering both tables — r7 ask #3)
+      import graft.pipeline.Publish
       DimBuilder.buildAndCommit(s, cust.filter(inB1), spec,
         dimPath, incrementalFlag = "0", batchId = "B0001")
       FactBuilder.commit(s, factPath, factOf(inB1),
         Seq("o_orderkey"), batchId = "B0001")
       val r1 = Pipeline.verifyConsistent(Seq(dimPath, factPath))
+      Publish.publish(base, Map("dim" -> dimPath, "fact" -> factPath), "B0001")
+      val dimRowsB1 = Scd1Merge.readTable(s, dimPath).count()
       // batch B0002: dim commits, fact commit dies mid-protocol
       DimBuilder.buildAndCommit(s, cust, spec, dimPath, batchId = "B0002")
       Scd1Merge.testFailpoint = "before-manifest"
@@ -461,16 +465,25 @@ object QueriesPipeline {
         catch { case _: IllegalStateException => true }
         finally Scd1Merge.testFailpoint = "" // never leak into later queries
       val r2 = Pipeline.verifyConsistent(Seq(dimPath, factPath))
-      // repair = rerun batch B0002 start to finish (idempotent)
+      // PREVENTION, not just detection: a reader resolving through the
+      // pipeline pointer mid-crash still sees the OLD consistent set —
+      // the dim's B0002 commit is pinned away, the fact never moved
+      val isolated =
+        Publish.readPublished(s, base, "dim").count() == dimRowsB1 &&
+        Publish.published(base).exists(_._1 == "B0001")
+      // repair = rerun batch B0002 start to finish (idempotent), then
+      // the rerun publishes — the only moment B0002 becomes visible
       DimBuilder.buildAndCommit(s, cust, spec, dimPath, batchId = "B0002")
       FactBuilder.commit(s, factPath, factOf(!inB1),
         Seq("o_orderkey"), batchId = "B0002")
       val r3 = Pipeline.verifyConsistent(Seq(dimPath, factPath))
-      Scd1Merge.readTable(s, factPath)
+      Publish.publish(base, Map("dim" -> dimPath, "fact" -> factPath), "B0002")
+      Publish.readPublished(s, base, "fact")
         .select(col("o_orderkey"), col("dim_key"), col("o_totalprice"),
           lit(r1.consistent).as("b1_consistent"),
           lit(crashed && r2.behind == Seq(factPath) &&
             r2.head.contains("B0002")).as("crash_detected"),
+          lit(isolated).as("publish_isolated"),
           lit(r3.consistent).as("repaired_consistent"))
         .orderBy(col("o_orderkey"))
     }),
@@ -747,7 +760,8 @@ object QueriesPipeline {
          |  FROM customer WHERE c_custkey % 3 = 2),
          |d AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
          |SELECT o_orderkey, dim_key, o_totalprice,
-         |  TRUE AS b1_consistent, TRUE AS crash_detected, TRUE AS repaired_consistent
+         |  TRUE AS b1_consistent, TRUE AS crash_detected,
+         |  TRUE AS publish_isolated, TRUE AS repaired_consistent
          |FROM orders LEFT JOIN d ON o_custkey = c_custkey
          |ORDER BY o_orderkey""".stripMargin,
     "pipe7_incremental_agg" ->

@@ -87,15 +87,19 @@ object TextOps {
       regexp_count(t, lit("(^|\n)[-*] ")).cast("long").as("__bullets"),
       ((length(t) - length(replace(t, lit("#"), lit("")))) +
        (length(t) - length(replace(t, lit("…"), lit(""))))).cast("long").as("__syms"),
-      explode(tokens(t)).as("__tok"))
+      // explode_outer: `split` never yields an empty array, but a NULL
+      // text explodes to no rows with plain explode — the doc would
+      // vanish from the gate output entirely, when a gate's contract is
+      // flags for EVERY doc (null docs are exactly the ones to flag).
+      explode_outer(tokens(t)).as("__tok"))
     val agged = perDoc.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_tok"),
-      sum(length(col("__tok")).cast("long")).as("__chars"),
+      count(col("__tok")).as("n_tok"), // non-null tokens; 0 for a null doc
+      coalesce(sum(length(col("__tok")).cast("long")), lit(0L)).as("__chars"),
       sum(when(col("__tok").rlike("[A-Za-z]"), 1L).otherwise(0L)).as("__alpha"),
       countDistinct(when(col("__tok").isin(Stopwords: _*), col("__tok"))).as("__stopd"),
-      max(col("__lines")).as("__lines"),
-      max(col("__bullets")).as("__bullets"),
-      max(col("__syms")).as("__syms"))
+      coalesce(max(col("__lines")), lit(0L)).as("__lines"),
+      coalesce(max(col("__bullets")), lit(0L)).as("__bullets"),
+      coalesce(max(col("__syms")), lit(0L)).as("__syms"))
     val rules = Seq(
       "rule_words" -> (col("n_tok") >= minWords && col("n_tok") <= maxWords),
       "rule_word_len" -> (col("__chars") >= col("n_tok") * 3 &&

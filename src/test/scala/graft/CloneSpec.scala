@@ -89,6 +89,32 @@ class CloneSpec extends SparkSpecBase {
       "the clone's manifest pins the cloned versions; source writes must not leak in")
   }
 
+  test("clone dv naming never collides with the symlinked source dv (snapshot intact)") {
+    import spark.implicits._
+    val (src, dst) = freshPair()
+    load(src) // src commit 1
+    // src commit 2: soft-delete 5 keys -> src gets a dv under a
+    // SOURCE-numbered name (dv_v2). The clone symlinks it but restarts
+    // its own commit counter at 1, so a commit-numbered dv name on the
+    // clone's next upsert would compute the SAME dv_v2 and clobber the
+    // live/snapshot-referenced vector.
+    Scd1Merge.deleteSoft(spark, src, Seq("k"), col("k") < 5)
+    assert(Scd1Merge.readTable(spark, src).count() == 35)
+    Scd1Merge.cloneShallow(src, dst) // clone commit 1, dv = symlink
+    // clone commit 2: reinsert a TOMBSTONED key -> the pruned dv (4
+    // keys) must land under a FRESH name, not overwrite the old one
+    val batch = Seq((3L, "resurrected", 0)).toDF("k", "name", "region")
+    Scd1Merge.upsert(spark, dst, batch, Seq("k"))
+    assert(Scd1Merge.readTable(spark, dst).count() == 36,
+      "live clone read: k=3 reinserted, 4 keys still tombstoned")
+    // the snapshot BEFORE the reinsert still sees 35 rows — under the
+    // collision it would read the pruned vector and resurrect k=3
+    assert(Scd1Merge.readTableAt(spark, dst, 1).count() == 35,
+      "clone snapshot pre-reinsert must still apply the 5-key dv")
+    // and the SOURCE's dv was never touched
+    assert(Scd1Merge.readTable(spark, src).count() == 35)
+  }
+
   test("cloning a non-table or onto an existing table fails loudly") {
     val (src, dst) = freshPair()
     intercept[IllegalStateException] { Scd1Merge.cloneShallow(src, dst) }

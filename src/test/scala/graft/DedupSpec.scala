@@ -247,4 +247,40 @@ class DedupSpec extends SparkSpecBase {
     // pairs between two NEW docs are still found (4~5 are near-dups)
     assert(inc.filter($"id_a" === 4L && $"id_b" === 5L).count() == 1)
   }
+
+  test("persisted signature index: probe equals the incremental run; corpus never re-shingled") {
+    val idx = Tmp.dir("sigidx_spec") + "/sig_index"
+    val cfg = Dedup.MinhashConfig(threshold = 0.5)
+    val isNew = $"doc_id" >= 4L
+    val oldDocs = corpus.filter(!isNew)
+    val newDocs = corpus.filter(isNew)
+    // ingest 1: sign the corpus once
+    Dedup.signatureIndexUpdate(spark, idx, oldDocs, "doc_id", "text", cfg,
+      batchId = "corpus@1")
+    assert(graft.merge.Scd1Merge.readTable(spark, idx).count() == 3)
+    // ingest 2: sign + merge the batch, probe, verify candidates only
+    val got = Dedup.minhashNearDupIndexed(spark, idx, corpus, newDocs,
+      "doc_id", "text", cfg, batchId = "batch@2")
+    val want = Dedup.minhashNearDupIncremental(corpus, "doc_id", "text", isNew, cfg)
+    assertSameRows(got.orderBy($"id_a", $"id_b"), want.orderBy($"id_a", $"id_b"))
+    // the no-recompute pins:
+    // (a) the candidate stage reads ONLY the signature table — its scan
+    //     has no text column to shingle (structural) and its input
+    //     files all live under the index path
+    val candFiles = Dedup.indexedCandidates(spark, idx,
+      newDocs.select($"doc_id"), "doc_id", cfg).inputFiles
+    assert(candFiles.nonEmpty && candFiles.forall(_.contains("sig_index")),
+      s"candidates must come from the persisted index alone: ${candFiles.toSeq}")
+    // (b) verification re-shingled only candidate docs, not the corpus
+    val (indexRows, shingled) = Dedup.lastIndexedStats
+    assert(indexRows == 7, "index holds corpus + merged batch")
+    assert(shingled < 7 && shingled > 0,
+      s"verify must re-shingle candidates only, got $shingled of 7 docs")
+    // (c) the index survives for ingest 3: replaying batch 2 upserts
+    //     identical rows (idempotent by content), commit count advances
+    val before = graft.merge.Scd1Merge.readTable(spark, idx).count()
+    Dedup.signatureIndexUpdate(spark, idx, newDocs, "doc_id", "text", cfg,
+      batchId = "batch@2retry")
+    assert(graft.merge.Scd1Merge.readTable(spark, idx).count() == before)
+  }
 }

@@ -180,10 +180,12 @@ class PipelineSpec extends SparkSpecBase {
     def commitFact(rows: Seq[(Long, Long)], batch: String): Unit =
       Scd1Merge.upsert(spark, factT, rows.toDF("fk", "k"), Seq("fk"),
         numBuckets = 2, batchId = batch)
-    // batch 1 lands fully
+    // batch 1 lands fully, then PUBLISHES (atomic pointer over both)
+    import graft.pipeline.Publish
     commitDim(Seq((1L, "a")), "B0001")
     commitFact(Seq((10L, 1L)), "B0001")
     assert(Pipeline.verifyConsistent(Seq(dimT, factT)).consistent)
+    Publish.publish(base, Map("dim" -> dimT, "fact" -> factT), "B0001")
     // batch 2: dim commits, the fact commit DIES mid-protocol
     commitDim(Seq((2L, "b")), "B0002")
     Scd1Merge.testFailpoint = "before-manifest"
@@ -193,12 +195,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(torn.head.contains("B0002"))
     assert(torn.behind == Seq(factT), "the fact table must be named as the rerun")
     assert(torn.stamps(factT).contains("B0001"), "the fact is still at batch 1")
+    // PREVENTION: a reader mid-crash resolving through the pipeline
+    // pointer sees the OLD consistent set — dim WITHOUT the B0002 row,
+    // fact at batch 1 — while a direct readTable already sees the torn
+    // dim. The half-landed batch is unobservable through the pointer.
+    assert(canon(Scd1Merge.readTable(spark, dimT)) ==
+      Seq(Seq("1", "a"), Seq("2", "b")), "direct read IS torn (dim ahead)")
+    assert(canon(Publish.readPublished(spark, base, "dim")) ==
+      Seq(Seq("1", "a")), "published read pins the pre-crash dim")
+    assert(canon(Publish.readPublished(spark, base, "fact")) ==
+      Seq(Seq("10", "1")))
+    assert(Publish.published(base).exists(_._1 == "B0001"))
     // repair = rerun batch 2 start-to-finish; both legs are idempotent
     commitDim(Seq((2L, "b")), "B0002") // content no-op, stamp already B0002
     commitFact(Seq((20L, 2L)), "B0002")
     val repaired = Pipeline.verifyConsistent(Seq(dimT, factT))
     assert(repaired.consistent && repaired.head.contains("B0002"))
     assert(canon(Scd1Merge.readTable(spark, factT)) ==
+      Seq(Seq("10", "1"), Seq("20", "2")))
+    // the rerun republishes: B0002 becomes visible through the pointer
+    // only now, as one flip
+    Publish.publish(base, Map("dim" -> dimT, "fact" -> factT), "B0002")
+    assert(canon(Publish.readPublished(spark, base, "dim")) ==
+      Seq(Seq("1", "a"), Seq("2", "b")))
+    assert(canon(Publish.readPublished(spark, base, "fact")) ==
       Seq(Seq("10", "1"), Seq("20", "2")))
     // an EMPTY batch still advances the stamp (manifest-only commit),
     // so "saw batch X, X was empty here" differs from "never ran X"

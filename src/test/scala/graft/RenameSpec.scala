@@ -123,4 +123,26 @@ class RenameSpec extends SparkSpecBase {
     assert(Scd1Merge.readTable(spark, path).columns.toSeq
       == Seq("k", "name", "region"))
   }
+
+  test("reserved PHYSICAL names stay unusable: rename and evolving upsert reject them") {
+    val path = loaded()
+    Scd1Merge.renameColumn(spark, path, "name", "label")
+    // 'name' is gone LOGICALLY but lives physically in every file —
+    // renaming another column onto it would make the colmap fold
+    // ambiguous (old 'name' data would surface under the new column)
+    intercept[IllegalArgumentException] {
+      Scd1Merge.renameColumn(spark, path, "region", "name")
+    }
+    // same reservation on the write path: an evolving upsert must not
+    // introduce a source column named after a colmap physical key
+    intercept[IllegalArgumentException] {
+      Scd1Merge.upsert(spark, path,
+        Seq((3L, "x", 3, "smuggled")).toDF("k", "label", "region", "name"),
+        Seq("k"), evolveSchema = true)
+    }
+    // the table is untouched by both rejections
+    val got = Scd1Merge.readTable(spark, path)
+    assert(got.columns.toSeq == Seq("k", "label", "region"))
+    assert(got.count() == 40)
+  }
 }

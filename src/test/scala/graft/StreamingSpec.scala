@@ -172,6 +172,106 @@ class StreamingSpec extends SparkSpecBase {
     assert(twice.filter(col("event_id") === 3L).count() == 1)
   }
 
+  test("ChangeStream: crash between sink and offset redelivers the SAME batch id; stamped sink absorbs it") {
+    import spark.implicits._
+    import graft.merge.Scd1Merge
+    import graft.streaming.ChangeStream
+    val root = Tmp.dir("cs_replay")
+    val up = root + "/up"; val down = root + "/down"; val ckpt = root + "/ckpt"
+    val K = Seq("k")
+    Scd1Merge.upsert(spark, up,
+      (0 until 20).map(i => (i.toLong, s"v$i")).toDF("k", "v"), K,
+      numBuckets = 4, retainVersions = 8)
+    val sink = ChangeStream.upsertSink(spark, down, K)
+    assert(ChangeStream.runAvailableNow(spark, up, K, ckpt)(sink) == 1)
+    Scd1Merge.upsert(spark, up, Seq((3L, "V3'"), (100L, "new")).toDF("k", "v"), K,
+      retainVersions = 8)
+    // run the pending commit, then simulate "crash before offset
+    // advance" by rewinding the offset file and triggering again: the
+    // batch is REDELIVERED under the same id and must commit nothing
+    assert(ChangeStream.runAvailableNow(spark, up, K, ckpt)(sink) == 1)
+    val commitsAfter = Scd1Merge.tableCommit(down).get
+    val state = canon(Scd1Merge.readTable(spark, down))
+    java.nio.file.Files.write(java.nio.file.Paths.get(ckpt, "offset"),
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(ChangeStream.runAvailableNow(spark, up, K, ckpt)(sink) == 1,
+      "the rewound batch is redelivered")
+    assert(Scd1Merge.tableCommit(down).get == commitsAfter,
+      "a redelivered batch must land ZERO new commits (stamp match)")
+    assert(canon(Scd1Merge.readTable(spark, down)) == state)
+    assert(Scd1Merge.readTable(spark, down).filter(col("k") === 3L)
+      .select("v").first().getString(0) == "V3'")
+  }
+
+  test("ChangeStream: a crash between the upsert and delete legs resumes without double-apply") {
+    import spark.implicits._
+    import graft.merge.Scd1Merge
+    import graft.streaming.ChangeStream
+    val root = Tmp.dir("cs_twoleg")
+    val up = root + "/up"; val down = root + "/down"; val ckpt = root + "/ckpt"
+    val K = Seq("k")
+    Scd1Merge.upsert(spark, up,
+      (0 until 20).map(i => (i.toLong, i.toLong * 10)).toDF("k", "x"), K,
+      numBuckets = 4, retainVersions = 8)
+    val sink = ChangeStream.upsertSink(spark, down, K)
+    assert(ChangeStream.runAvailableNow(spark, up, K, ckpt)(sink) == 1)
+    // ONE upstream window carrying both legs: an update and a delete
+    // (two upstream commits, consumed as one net batch)
+    Scd1Merge.upsert(spark, up, Seq((5L, 555L)).toDF("k", "x"), K,
+      retainVersions = 8)
+    Scd1Merge.deleteSoft(spark, up, K, col("k") === 7L, retainVersions = 8)
+    // crash simulation: apply ONLY the upsert leg by hand under the
+    // half stamp, as if the sink died before its delete leg
+    val live = Scd1Merge.tableCommit(up).get
+    val changes = Scd1Merge.readChanges(spark, up, K,
+      fromCommitsBack = live - 1, toCommitsBack = 0)
+    val batchId = ChangeStream.batchIdFor(live)
+    Scd1Merge.upsert(spark, down,
+      changes.filter(col("_change_type").isin("insert", "update"))
+        .drop("_change_type"), K, batchId = batchId + ":u")
+    // ...offset never advanced, so the trigger redelivers: the upsert
+    // leg must be SKIPPED (half stamp) and the delete leg applied
+    val downCommits = Scd1Merge.tableCommit(down).get
+    assert(ChangeStream.runAvailableNow(spark, up, K, ckpt,
+      maxCommitsPerBatch = 2)(sink) == 1)
+    assert(Scd1Merge.tableCommit(down).get == downCommits + 1,
+      "resume must land exactly the missing delete commit")
+    val got = Scd1Merge.readTable(spark, down)
+    assert(got.count() == 19, "k=7 deleted")
+    assert(got.filter(col("k") === 5L).select("x").first().getLong(0) == 555L)
+    assert(got.filter(col("k") === 7L).isEmpty)
+  }
+
+  test("ChangeStream: maxCommitsPerBatch pages commits; net-effect collapse is exact") {
+    import spark.implicits._
+    import graft.merge.Scd1Merge
+    import graft.streaming.ChangeStream
+    val root = Tmp.dir("cs_paging")
+    val up = root + "/up"
+    val K = Seq("k")
+    Scd1Merge.upsert(spark, up,
+      (0 until 10).map(i => (i.toLong, "a")).toDF("k", "v"), K,
+      numBuckets = 2, retainVersions = 8)
+    // consumer A sees the snapshot now (offset 1); then 4 commits land
+    val ckptA = root + "/ckptA"; val downA = root + "/downA"
+    val sinkA = ChangeStream.upsertSink(spark, downA, K)
+    ChangeStream.runAvailableNow(spark, up, K, ckptA)(sinkA)
+    Scd1Merge.upsert(spark, up, Seq((3L, "b")).toDF("k", "v"), K, retainVersions = 8)
+    Scd1Merge.upsert(spark, up, Seq((3L, "c"), (20L, "n")).toDF("k", "v"), K,
+      retainVersions = 8)
+    Scd1Merge.deleteSoft(spark, up, K, col("k") === 20L, retainVersions = 8)
+    Scd1Merge.upsert(spark, up, Seq((4L, "d")).toDF("k", "v"), K, retainVersions = 8)
+    // page through them 2 commits per batch: 2 batches, same final
+    // state as the upstream table
+    assert(ChangeStream.runAvailableNow(spark, up, K, ckptA,
+      maxCommitsPerBatch = 2)(sinkA) == 2)
+    assert(canon(Scd1Merge.readTable(spark, downA)) ==
+      canon(Scd1Merge.readTable(spark, up)),
+      "paged consumption must converge to the upstream state")
+    assert(Scd1Merge.readTable(spark, downA).filter(col("k") === 20L).isEmpty,
+      "a key inserted then deleted upstream stays deleted downstream")
+  }
+
   test("streaming runs leave no session conf mutated (order-independence)") {
     val before = Seq("spark.sql.shuffle.partitions",
       "spark.sql.csv.filterPushdown.enabled")
