@@ -182,7 +182,12 @@ object Scd1Merge {
                                     // identity entries are never stored. Keys
                                     // and stats are tracked physical; see
                                     // renameColumn.
-                                    colmap: Map[String, String] = Map.empty)
+                                    colmap: Map[String, String] = Map.empty,
+                                    // DROPPED COLUMNS: physical names removed
+                                    // from the logical view WITHOUT rewriting
+                                    // data (dropColumn). Files keep the bytes;
+                                    // readers filter, writers reject reuse.
+                                    dropped: Set[String] = Set.empty)
 
   /** Injected-failure hook for the crash-consistency spec; "" in
     * production. Recognized points: "before-manifest" (bucket versions
@@ -255,6 +260,9 @@ object Scd1Merge {
       .map(_.stripPrefix("colmap=").split(",").iterator.filter(_.nonEmpty).map { e =>
         val Array(p, l) = e.split(":", 2); dec(p) -> dec(l)
       }.toMap).getOrElse(Map.empty[String, String])
+    val dropped = meta.find(_.startsWith("dropped="))
+      .map(_.stripPrefix("dropped=").split(",").iterator
+        .filter(_.nonEmpty).map(dec).toSet).getOrElse(Set.empty[String])
     val parsed = entries.map { l =>
       val fields = l.split("\t", 3)
       val b = fields(0).toInt
@@ -262,7 +270,7 @@ object Scd1Merge {
     }
     Manifest(nb, parsed.map(e => e._1 -> e._2).toMap, commit,
       parsed.filter(_._3.nonEmpty).map(e => e._1 -> e._3).toMap, keys, batch,
-      clusterCols, clusterZBits, clustered, dv, colmap)
+      clusterCols, clusterZBits, clustered, dv, colmap, dropped)
   }
 
   /** THE commit point: write-to-tmp + fsync + atomic rename over the
@@ -299,6 +307,9 @@ object Scd1Merge {
       (if (m.colmap.nonEmpty)
         Seq(s"colmap=${m.colmap.toSeq.sortBy(_._1)
           .map { case (p, l) => s"${enc(p)}:${enc(l)}" }.mkString(",")}")
+       else Nil) ++
+      (if (m.dropped.nonEmpty)
+        Seq(s"dropped=${m.dropped.toSeq.sorted.map(enc).mkString(",")}")
        else Nil)
     val body = (metaLines ++
       m.dirs.toSeq.sortBy(_._1).map { case (b, d) =>
@@ -1143,10 +1154,15 @@ object Scd1Merge {
   // next to the files); user-facing frames, predicates and source
   // batches are logical and translate at the API boundary.
 
-  /** physical frame → logical view. */
-  private def logicalize(df: DataFrame, m: Manifest): DataFrame =
-    m.colmap.foldLeft(df) { case (d, (p, l)) =>
+  /** physical frame → logical view: dropped columns vanish first
+    * (their bytes stay in the files — a drop is manifest-only), then
+    * renames apply. */
+  private def logicalize(df: DataFrame, m: Manifest): DataFrame = {
+    val undropped = m.dropped.foldLeft(df) { (d, p) =>
+      if (d.columns.contains(p)) d.drop(p) else d }
+    m.colmap.foldLeft(undropped) { case (d, (p, l)) =>
       if (d.columns.contains(p)) d.withColumnRenamed(p, l) else d }
+  }
 
   /** logical frame (a source batch) → physical write names. */
   private def physicalize(df: DataFrame, m: Manifest): DataFrame =
@@ -1159,6 +1175,22 @@ object Scd1Merge {
 
   private def logicalOf(m: Manifest, physical: String): String =
     m.colmap.getOrElse(physical, physical)
+
+  /** Align a physicalized source batch to the target FILE schema for a
+    * positional-safe unionByName: a DROPPED column still lives in the
+    * old files but is absent from the narrowed logical source — it
+    * null-fills with the file's type (new rows carry no value for it;
+    * readers filter it anyway). Any other missing column stays a loud
+    * unresolved-column error, exactly as before. */
+  private def alignForUnion(src: DataFrame, target: DataFrame,
+                            dropped: Set[String]): DataFrame = {
+    val have = src.columns.toSet
+    src.select(target.columns.toIndexedSeq.map { c =>
+      if (have.contains(c)) col(c)
+      else if (dropped.contains(c)) lit(null).cast(target.schema(c).dataType).as(c)
+      else col(c)
+    }: _*)
+  }
 
   def readTable(spark: SparkSession, tablePath: String): DataFrame = {
     val df = readManifest(tablePath) match {
@@ -1530,7 +1562,7 @@ object Scd1Merge {
             // ONE anti-join on ALL source keys (delete keys and upsert
             // keys alike drop the old image), then the new images land
             target.join(bucketed, pkeys, "left_anti")
-              .unionByName(upserts.select(target.columns.toIndexedSeq.map(col): _*))
+              .unionByName(alignForUnion(upserts, target, manifest.dropped))
           }
         val tmp = tablePath + ".tmp"
         stageWrite(merged, tmp)
@@ -1639,6 +1671,15 @@ object Scd1Merge {
             s"of renamed column '$l' — physical names are reserved until a " +
             "rebucket materializes the mapping")
       }
+      // Same reservation for DROPPED columns: the bytes are still in
+      // the files under that physical name, so re-adding it via schema
+      // evolution would resurrect the old data under the new column on
+      // mergeSchema reads. A rebucket frees the name.
+      if (manifest.dropped.exists(_.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(
+          s"upsert: source column '$c' matches a DROPPED column's physical " +
+          "name — dropped names are reserved until a rebucket materializes " +
+          "the drop")
     }
     val keys = keys0.map(physicalOf(manifest, _))
     val source = physicalize(source0, manifest)
@@ -1703,7 +1744,7 @@ object Scd1Merge {
               .unionByName(bucketed, allowMissingColumns = true)
           else
             target.join(bucketed, keys, "left_anti")
-              .unionByName(bucketed.select(target.columns.toIndexedSeq.map(col): _*))
+              .unionByName(alignForUnion(bucketed, target, manifest.dropped))
         }
       val tmp = tablePath + ".tmp"
       // repartition on the bucket column before the partitioned write:
@@ -1772,6 +1813,7 @@ object Scd1Merge {
         // Tracked names translate to logical: the rewrite materialized
         // the colmap, so logical IS physical in the new files.
         val tracked = (keys ++ manifest.stats.values.flatMap(_.keySet)
+          .filterNot(manifest.dropped.contains)
           .map(logicalOf(manifest, _))).distinct
         val stats = bucketStats(spark, tmp, tracked)
         // version continuity per NEW bucket id: nextVersion consults the
@@ -1786,7 +1828,8 @@ object Scd1Merge {
             // the full rewrite read through readTable, which is
             // dv-filtered AND logicalized — tombstoned rows are gone
             // and renames MATERIALIZE (files now carry logical names)
-            stats = stats, keys = keys, dv = "", colmap = Map.empty))
+            stats = stats, keys = keys, dv = "", colmap = Map.empty,
+            dropped = Set.empty))
         failpoint("after-manifest")
         sweepVersions(tablePath, committed, retainVersions)
         deleteRecursively(Paths.get(tmp))
@@ -1976,7 +2019,7 @@ object Scd1Merge {
       val physicalCols = spark.read
         .parquet(Paths.get(tablePath, anyDir).toString)
         .columns.filterNot(_ == BucketCol)
-      val clash = (physicalCols ++ manifest.colmap.keys)
+      val clash = (physicalCols ++ manifest.colmap.keys ++ manifest.dropped)
         .exists(c => c.equalsIgnoreCase(newName) && !c.equalsIgnoreCase(physical))
       require(!clash,
         s"renameColumn: '$newName' is still a PHYSICAL column name in the " +
@@ -1987,6 +2030,51 @@ object Scd1Merge {
         else manifest.colmap - physical + (physical -> newName)
       refreshLease(tablePath, leaseId)
       val committed = commitManifest(tablePath, manifest.copy(colmap = newMap))
+      sweepVersions(tablePath, committed, retainVersions)
+    }
+  }
+
+  /** DROP a column WITHOUT rewriting data — the other half of column
+    * mapping (Delta `ALTER TABLE DROP COLUMN` under column-mapping
+    * mode): on a 100 TB table a drop is ONE manifest swap. The parquet
+    * files keep the bytes forever; every read path filters the column
+    * out ([[logicalize]]), so live reads, stats-pruned reads, change
+    * feeds and the streaming source all present the narrowed schema.
+    * Snapshot reads TIME-TRAVEL the schema: a [[readTableAt]] before
+    * the drop still shows the column (each snapshot carries its own
+    * dropped set). The physical name stays RESERVED — re-adding a
+    * same-named column via schema evolution is rejected loudly (the
+    * old bytes would resurrect under it on mergeSchema reads) — until
+    * a [[rebucket]] materializes the narrow schema and frees it.
+    * Merge keys and declared cluster columns cannot drop. `name` is
+    * the current LOGICAL name. */
+  def dropColumn(spark: SparkSession, tablePath: String, name: String,
+                 retainVersions: Int = DefaultRetainVersions): Unit = {
+    if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
+      s"dropColumn: $tablePath has no manifest (not a committed bucketed table)")
+    withLock(tablePath) { leaseId =>
+      val manifest = readManifest(tablePath).get
+      val anyDir = manifest.dirs.toSeq.sortBy(_._1).headOption.map(_._2)
+        .getOrElse(throw new IllegalStateException(
+          s"dropColumn: $tablePath has no live buckets"))
+      val logicalCols = logicalize(
+        spark.read.parquet(Paths.get(tablePath, anyDir).toString), manifest)
+        .columns.filterNot(_ == BucketCol).toSeq
+      require(logicalCols.exists(_.equalsIgnoreCase(name)),
+        s"dropColumn: no column '$name' (have: ${logicalCols.mkString(",")})")
+      val physical = physicalOf(manifest, name)
+      require(!manifest.keys.exists(_.equalsIgnoreCase(physical)),
+        s"dropColumn: '$name' is a merge key — keys are fixed at create " +
+        "time (a rebucket with new keys is the migration path)")
+      require(!manifest.clusterCols.exists(_.equalsIgnoreCase(name)),
+        s"dropColumn: '$name' is a declared cluster column — change the " +
+        "cluster spec (recluster) before dropping it")
+      require(logicalCols.size > 1,
+        s"dropColumn: '$name' is the table's only column")
+      refreshLease(tablePath, leaseId)
+      val committed = commitManifest(tablePath, manifest.copy(
+        dropped = manifest.dropped + physical,
+        colmap = manifest.colmap - physical))
       sweepVersions(tablePath, committed, retainVersions)
     }
   }

@@ -155,6 +155,20 @@ object QueriesLLM {
     }),
 
     // ---- text analysis -------------------------------------------------
+    "text_bpe_tokens" -> ((s, dir) => {
+      // deterministic trained-merges BPE (VERDICT r7 ask #4): training
+      // is one corpus word-frequency agg + a driver pass over the Zipf
+      // head; the encode touches each DISTINCT word once (broadcast
+      // merge ranks, typed mapPartitions). At sf0.01 the trained
+      // merges equal Bpe.PinnedMerges — the oracle's recursive-CTE
+      // replay input — and BpeSpec re-derives the pin each run, so a
+      // testdata regeneration fails loudly instead of desyncing this
+      // row.
+      val docs = table(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, "text")
+      graft.text.Bpe.tokenStats(s, docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
     "text_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -818,6 +832,45 @@ object QueriesLLM {
     // pinned deterministic HLL++ estimate at sf0.01 (exact = 1498;
     // default rsd 5% sketch) — HllPinSpec guards the pin
     "a7_approx_count_distinct" -> "SELECT 1400::BIGINT AS approx_cust",
+    // BPE: the recursive CTE replays the EXACT encode step (merge the
+    // first occurrence of the min-rank adjacent pair until fixpoint)
+    // over the pinned merge table — identical token sequences by
+    // construction; the pieces string is space-delimited with sentinel
+    // boundaries so substring matches are piece-aligned.
+    "text_bpe_tokens" ->
+      s"""WITH RECURSIVE merges(rank, l, r) AS (
+         |  SELECT * FROM (VALUES ${graft.text.Bpe.mergeValuesSql(graft.text.Bpe.PinnedMerges)}) m(rank, l, r)),
+         |w0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+         |vocab AS (SELECT DISTINCT w FROM w0),
+         |init AS (SELECT w, ' ' || array_to_string(regexp_split_to_array(w, ''), ' ') || ' ' AS s FROM vocab),
+         |enc AS (
+         |  SELECT w, s FROM init
+         |  UNION ALL
+         |  SELECT e.w,
+         |    substr(e.s, 1, b.pos - 1) || ' ' || b.l || b.r || ' ' ||
+         |      substr(e.s, b.pos + length(' ' || b.l || ' ' || b.r || ' '))
+         |  FROM enc e
+         |  JOIN LATERAL (
+         |    SELECT m.l, m.r, position(' '||m.l||' '||m.r||' ' IN e.s) AS pos
+         |    FROM merges m
+         |    WHERE position(' '||m.l||' '||m.r||' ' IN e.s) > 0
+         |    ORDER BY m.rank LIMIT 1
+         |  ) b ON true),
+         |fin AS (
+         |  SELECT w, string_split(trim(s), ' ') AS toks FROM enc e
+         |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+         |                    WHERE position(' '||m.l||' '||m.r||' ' IN e.s) > 0)),
+         |st AS (SELECT w, len(toks) AS n_tok,
+         |         list_max(list_transform(toks, t -> len(t))) AS max_len FROM fin)
+         |SELECT d.doc_id,
+         |  count(w0.w) AS n_words,
+         |  CAST(coalesce(sum(st.n_tok), 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(max(st.max_len), 0) AS INTEGER) AS max_tok_len
+         |FROM documents d
+         |LEFT JOIN w0 ON w0.doc_id = d.doc_id
+         |LEFT JOIN st ON st.w = w0.w
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
          |  len(string_split(text, ' '))::BIGINT AS n_tok_ws,

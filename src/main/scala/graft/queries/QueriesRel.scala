@@ -760,6 +760,31 @@ object QueriesRel {
           col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
+    "s36_column_drop" -> ((s, dir) => {
+      // COLUMN DROP lifecycle (Delta drop-without-rewrite parity, the
+      // other half of column mapping): drop a column with ZERO data
+      // movement (one manifest swap — DropSpec pins no dir churn, the
+      // bytes still physically in the files, and the pre-drop snapshot
+      // still SHOWING the column), then rename a survivor and merge a
+      // batch speaking the narrowed post-rename schema. Re-adding the
+      // dropped name is rejected until a rebucket frees it (DropSpec).
+      val sup = table(s, dir, "supplier")
+      val dim = sup.select(col("s_suppkey").as("k"),
+        col("s_name").as("name"), col("s_nationkey").as("nation"),
+        col("s_acctbal"))
+      val path = tmpDir("graft_drop36") + "/t"
+      Scd1Merge.upsert(s, path, dim, Seq("k"))
+      Scd1Merge.dropColumn(s, path, "nation")
+      Scd1Merge.renameColumn(s, path, "s_acctbal", "balance")
+      val batch = sup.filter(col("s_suppkey") % 3 === 0)
+        .select(col("s_suppkey").as("k"),
+          concat(col("s_name"), lit("_v2")).as("name"),
+          col("s_acctbal").as("balance"))
+      Scd1Merge.upsert(s, path, batch, Seq("k"))
+      Scd1Merge.readTable(s, path)
+        .select(col("k"), col("name"), col("balance"))
+        .orderBy(col("k"))
+    }),
     "s34_column_rename" -> ((s, dir) => {
       // COLUMN MAPPING lifecycle (Delta rename-without-rewrite
       // parity): rename two columns — one of them the MERGE KEY —
@@ -1133,6 +1158,15 @@ object QueriesRel {
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
          |  strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "s36_column_drop" ->
+      """WITH dim AS (SELECT s_suppkey AS k, s_name AS name, s_acctbal AS balance FROM supplier),
+         |batch AS (
+         |  SELECT s_suppkey AS k, s_name || '_v2' AS name, s_acctbal AS balance
+         |  FROM supplier WHERE s_suppkey % 3 = 0)
+         |SELECT k, name, balance FROM (
+         |  SELECT d.* FROM dim d WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.k = d.k)
+         |  UNION ALL SELECT * FROM batch)
+         |ORDER BY k""".stripMargin,
     "s34_column_rename" ->
       """WITH dim AS (SELECT n_nationkey AS nation_id, n_name AS label, n_regionkey AS region FROM nation),
          |batch AS (
