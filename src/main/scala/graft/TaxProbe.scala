@@ -15,7 +15,11 @@ object TaxProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("j3_surrogate_merge", "pipe4_sales_gold", "pipe5_sales_gold_scale",
-        "mm_props_json", "p10_string_funcs")
+        "mm_props_json", "p10_string_funcs",
+        // round-7 verdict ask #6: the heaviest new lifecycle entries,
+        // pre-answering next round's suite-pressure questions
+        "s33_deletion_vectors", "stream_late_drop", "stream_checkpoint_resume",
+        "sim_pq_recall", "sim_knn_graph_ann_recall", "stream_dedup")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

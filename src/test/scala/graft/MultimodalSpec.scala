@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaCodec, Multimodal}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpecBase {
@@ -41,14 +41,20 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f.count() == 0)
   }
 
-  test("decodeStub produces deterministic byte features over typed batches") {
-    val docs = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
-    val feats = Multimodal.decodeStub(
-        Multimodal.asMediaDataset(spark, docs, "doc_id", "text"))
+  test("decodeMedia parses synthesized payloads over typed batches, errors included") {
+    val docs = Seq((2L, 20L), (3L, 100L), (0L, 5L)).toDF("doc_id", "n_chars")
+    val got = Multimodal.decodeMedia(
+        Multimodal.synthesizeMedia(spark, docs, "doc_id", "n_chars"))
       .collect().sortBy(_.doc_id)
-    assert(feats(0).n_bytes == 2L && feats(0).head_byte == 'a'.toInt &&
-      feats(0).byte_sum == 'a'.toInt + 'b'.toInt)
-    assert(feats(1).n_bytes == 0L && feats(1).head_byte == -1 && feats(1).byte_sum == 0L)
+    // id 0: % 97 == 0 -> truncated -> error row
+    assert(got(0).kind == "error" && got(0).n_bytes == 6L &&
+      got(0).width.isEmpty && got(0).sample_rate.isEmpty)
+    // id 2 (even): BMP 21 x 3
+    assert(got(1).kind == "image" && got(1).width.contains(21) &&
+      got(1).height.contains(3) && got(1).n_bytes == 54L + MediaCodec.BmpStub)
+    // id 3 (odd): WAV rate 11000, dataSize 2148 -> 2148*1000/22000 ms
+    assert(got(2).kind == "audio" && got(2).sample_rate.contains(11000) &&
+      got(2).duration_ms.contains(2148L * 1000L / 22000L))
   }
 
   test("resizeStub: short payloads pass through; long ones bound at target") {
