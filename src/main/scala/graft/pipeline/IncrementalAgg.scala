@@ -91,6 +91,24 @@ object IncrementalAgg {
       return
     }
     val changes = Scd1Merge.readChanges(spark, basePath, baseKeys, fromBack, toBack)
+    applyChangesFrame(spark, aggPath, changes, spec, numBuckets, stamp)
+  }
+
+  /** The feed-application core over an ALREADY-READ change frame —
+    * what a [[graft.streaming.ChangeStream]] consumer calls per
+    * delivered batch (the decoupled silver→gold chain: the gold job
+    * never touches the base table, only its delivered feed).
+    * Exactly-once by the same stamp contract as [[applyChanges]]:
+    * a batch whose stamp matches the aggregate's only re-runs the
+    * idempotent tombstone sweep. */
+  def applyChangesFrame(spark: SparkSession, aggPath: String,
+                        changes: DataFrame, spec: AggSpec,
+                        numBuckets: Int = 0, stamp: String = ""): Unit = {
+    require(stamp.nonEmpty, "applyChangesFrame needs a batch stamp")
+    if (Scd1Merge.tableBatchId(aggPath).contains(stamp)) {
+      sweepTombstones(spark, aggPath, spec)
+      return
+    }
     val sign = when(col("_change_type").isin("insert", "update"), lit(1L))
       .otherwise(lit(-1L))
     val delta = changes

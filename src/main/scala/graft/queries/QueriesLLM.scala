@@ -382,6 +382,18 @@ object QueriesLLM {
       // window); pack = floor(tokens-before / 512).
       TextOps.packSequences(table(s, dir, "documents"), "doc_id", "text", budget = 512L)
         .orderBy(col("doc_id"))),
+    "text_pack_bpe" -> ((s, dir) => {
+      // the BPE wire-up of pack_sequences (VERDICT r7 ask #4 tail):
+      // shard budgets computed in TRAINED-MERGES BPE tokens — the
+      // family an LLM pipeline actually bills — through the same
+      // no-single-partition prefix-sum pack core.
+      val docs = table(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, "text")
+      val counts = graft.text.Bpe.tokenStats(s, docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens").as("n_tok"))
+      TextOps.packByTokens(counts, "doc_id", budget = 512L)
+        .orderBy(col("doc_id"))
+    }),
     "text_chunk_windows" -> ((s, dir) =>
       // Overlapping character-window chunking (split-long-docs for a
       // training context window): 200-char windows every 150 chars,
@@ -734,6 +746,36 @@ object QueriesLLM {
        |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Shared BPE-encode CTE chain (through per-word token stats `st` +
+    * doc→word rows `w0`): the recursive replay of Bpe.encodeWord over
+    * the pinned merge table — used by text_bpe_tokens and
+    * text_pack_bpe. */
+  private val BpeEncodeCte =
+    s"""WITH RECURSIVE merges(rank, l, r) AS (
+       |  SELECT * FROM (VALUES ${graft.text.Bpe.mergeValuesSql(graft.text.Bpe.PinnedMerges)}) m(rank, l, r)),
+       |w0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+       |vocab AS (SELECT DISTINCT w FROM w0),
+       |init AS (SELECT w, ' ' || array_to_string(regexp_split_to_array(w, ''), ' ') || ' ' AS s FROM vocab),
+       |enc AS (
+       |  SELECT w, s FROM init
+       |  UNION ALL
+       |  SELECT e.w,
+       |    substr(e.s, 1, b.pos - 1) || ' ' || b.l || b.r || ' ' ||
+       |      substr(e.s, b.pos + length(' ' || b.l || ' ' || b.r || ' '))
+       |  FROM enc e
+       |  JOIN LATERAL (
+       |    SELECT m.l, m.r, position(' '||m.l||' '||m.r||' ' IN e.s) AS pos
+       |    FROM merges m
+       |    WHERE position(' '||m.l||' '||m.r||' ' IN e.s) > 0
+       |    ORDER BY m.rank LIMIT 1
+       |  ) b ON true),
+       |fin AS (
+       |  SELECT w, string_split(trim(s), ' ') AS toks FROM enc e
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+       |                    WHERE position(' '||m.l||' '||m.r||' ' IN e.s) > 0)),
+       |st AS (SELECT w, len(toks) AS n_tok,
+       |         list_max(list_transform(toks, t -> len(t))) AS max_len FROM fin)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id
@@ -848,30 +890,7 @@ object QueriesLLM {
     // construction; the pieces string is space-delimited with sentinel
     // boundaries so substring matches are piece-aligned.
     "text_bpe_tokens" ->
-      s"""WITH RECURSIVE merges(rank, l, r) AS (
-         |  SELECT * FROM (VALUES ${graft.text.Bpe.mergeValuesSql(graft.text.Bpe.PinnedMerges)}) m(rank, l, r)),
-         |w0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
-         |vocab AS (SELECT DISTINCT w FROM w0),
-         |init AS (SELECT w, ' ' || array_to_string(regexp_split_to_array(w, ''), ' ') || ' ' AS s FROM vocab),
-         |enc AS (
-         |  SELECT w, s FROM init
-         |  UNION ALL
-         |  SELECT e.w,
-         |    substr(e.s, 1, b.pos - 1) || ' ' || b.l || b.r || ' ' ||
-         |      substr(e.s, b.pos + length(' ' || b.l || ' ' || b.r || ' '))
-         |  FROM enc e
-         |  JOIN LATERAL (
-         |    SELECT m.l, m.r, position(' '||m.l||' '||m.r||' ' IN e.s) AS pos
-         |    FROM merges m
-         |    WHERE position(' '||m.l||' '||m.r||' ' IN e.s) > 0
-         |    ORDER BY m.rank LIMIT 1
-         |  ) b ON true),
-         |fin AS (
-         |  SELECT w, string_split(trim(s), ' ') AS toks FROM enc e
-         |  WHERE NOT EXISTS (SELECT 1 FROM merges m
-         |                    WHERE position(' '||m.l||' '||m.r||' ' IN e.s) > 0)),
-         |st AS (SELECT w, len(toks) AS n_tok,
-         |         list_max(list_transform(toks, t -> len(t))) AS max_len FROM fin)
+      s"""$BpeEncodeCte
          |SELECT d.doc_id,
          |  count(w0.w) AS n_words,
          |  CAST(coalesce(sum(st.n_tok), 0) AS BIGINT) AS n_tokens,
@@ -881,6 +900,21 @@ object QueriesLLM {
          |LEFT JOIN st ON st.w = w0.w
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // BPE-budget packing: the same per-doc BPE token counts feed the
+    // prefix-sum pack formula text_pack_sequences uses for whitespace
+    // tokens — shard budgets in the token family the pipeline bills in
+    "text_pack_bpe" ->
+      s"""$BpeEncodeCte,
+         |doc AS (
+         |  SELECT d.doc_id, CAST(coalesce(sum(st.n_tok), 0) AS BIGINT) AS n_tok
+         |  FROM documents d
+         |  LEFT JOIN w0 ON w0.doc_id = d.doc_id
+         |  LEFT JOIN st ON st.w = w0.w
+         |  GROUP BY d.doc_id),
+         |c AS (SELECT doc_id, n_tok,
+         |  sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM doc)
+         |SELECT doc_id, n_tok, ((cum - n_tok) // 512)::BIGINT AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
          |  len(string_split(text, ' '))::BIGINT AS n_tok_ws,

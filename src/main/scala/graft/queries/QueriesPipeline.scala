@@ -526,6 +526,57 @@ object QueriesPipeline {
         .orderBy(col("o_custkey"))
     }),
 
+    "pipe13_stream_medallion" -> ((s, dir) => {
+      // STREAMING MEDALLION CHAIN — the reference's architecture
+      // (bronze→silver→gold as SEPARATE jobs, silver_notebook.py:59-62
+      // → gold_fact.py:12) as a DECOUPLED table-to-table streaming
+      // chain: the gold job consumes the silver TABLE's commit stream
+      // (ChangeStream — stream_table_source's source) and maintains
+      // its aggregate from the delivered feed alone
+      // (IncrementalAgg.applyChangesFrame) — silver is never rescanned
+      // after the first snapshot batch, offsets are durable, and a
+      // replayed trigger delivers nothing (pinned in-row). Five silver
+      // commits: three ingest batches, a group-MOVING update (%17 →
+      // status 'X': −old +new through the preimage algebra), a delete
+      // (%23); gold syncs after each. The oracle recomputes from the
+      // final silver state in plain SQL, so any drift in the chain —
+      // missed commit, double-applied batch, broken preimage — breaks
+      // the hash.
+      import graft.pipeline.IncrementalAgg
+      import graft.pipeline.IncrementalAgg.AggSpec
+      import graft.streaming.ChangeStream
+      val base = tmpDir("graft_medallion")
+      val silver = base + "/silver_orders"
+      val gold = base + "/gold_by_status"
+      val ckpt = base + "/gold_ckpt"
+      val spec = AggSpec(Seq("o_orderstatus"), Seq("cents" -> "sum_cents"), "n_orders")
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def syncGold(): Int =
+        ChangeStream.runAvailableNow(s, silver, Seq("o_orderkey"), ckpt) {
+          (changes, bid) =>
+            IncrementalAgg.applyChangesFrame(s, gold, changes, spec,
+              numBuckets = 4, stamp = bid)
+        }
+      for (m <- 0 to 2) {
+        Scd1Merge.upsert(s, silver,
+          o.filter(pmod(col("o_orderkey"), lit(3)) === m),
+          Seq("o_orderkey"), numBuckets = 8)
+        syncGold()
+      }
+      Scd1Merge.update(s, silver, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(17)) === 0,
+        Map("o_orderstatus" -> lit("X")))
+      syncGold()
+      Scd1Merge.delete(s, silver, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(23)) === 0)
+      val replayNoop = syncGold() >= 1 && syncGold() == 0
+      Scd1Merge.readTable(s, gold)
+        .select(col("o_orderstatus"), col("sum_cents"), col("n_orders"),
+          lit(replayNoop).as("replay_noop"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "pipe8_incremental_dedup" -> ((s, dir) => {
       // INCREMENTAL EXACT DEDUP AS A MAINTAINED TABLE: the seen-hash
       // set every continuously-ingesting corpus keeps — batches arrive
@@ -764,6 +815,14 @@ object QueriesPipeline {
          |  TRUE AS publish_isolated, TRUE AS repaired_consistent
          |FROM orders LEFT JOIN d ON o_custkey = c_custkey
          |ORDER BY o_orderkey""".stripMargin,
+    "pipe13_stream_medallion" ->
+      """WITH f AS (
+         |  SELECT CASE WHEN o_orderkey % 17 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderkey % 23 <> 0)
+         |SELECT o_orderstatus, CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  count(*) AS n_orders, true AS replay_noop
+         |FROM f GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "pipe7_incremental_agg" ->
       """WITH o AS (
          |  SELECT o_orderkey, o_custkey,

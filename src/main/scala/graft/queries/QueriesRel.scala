@@ -702,6 +702,26 @@ object QueriesRel {
           ntile(4).over(w).as("quartile"))
         .orderBy(col("o_orderkey"))
     }),
+    "w9_range_frame" -> ((s, dir) => {
+      // RANGE-frame window (the value-distance frame class, distinct
+      // from every ROWS frame already judged): per customer, a rolling
+      // 30-day revenue sum keyed by ORDER DATE distance — RANGE frames
+      // include peers (same-day orders see the same sum), which no
+      // ROWS frame can express. Day = integer epoch-days and money =
+      // integer cents, so the rolling sum is bit-exact on both
+      // engines. One window sort per customer partition.
+      import org.apache.spark.sql.expressions.Window
+      val o = table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-30, 0)
+      o.select(col("o_orderkey"), col("o_custkey"), col("day"),
+          sum(col("cents")).over(w).as("cents_30d"))
+        .orderBy(col("o_orderkey"))
+    }),
     "w8_first_last" -> ((s, dir) => {
       // value-window family: first_value / last_value / nth_value. The
       // default window frame ends at CURRENT ROW, which makes
@@ -1013,6 +1033,22 @@ object QueriesRel {
           col("r_name").as("name"), lit("region").as("origin"))
       a.unionByName(b, allowMissingColumns = true).orderBy(col("k"))
     }),
+    "a26_unpivot" -> ((s, dir) =>
+      // UNPIVOT / melt — the inverse of a10_pivot and the missing
+      // reshape primitive: four lineitem measures become (measure,
+      // value) rows via one Expand projection (no shuffle, no join);
+      // the deterministic id slice keeps the judged artifact
+      // row-bounded at any SF
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))),
     "a25_bool_aggs" -> ((s, dir) =>
       // boolean aggregate family: count_if / bool_and / bool_or — the
       // predicate-rollup primitives (data-quality dashboards run on
@@ -1245,6 +1281,25 @@ object QueriesRel {
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          |ORDER BY o_orderkey""".stripMargin,
+    "w9_range_frame" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+         |  (epoch_us(o_orderdate) // 86400000000)::BIGINT AS day,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+         |SELECT o_orderkey, o_custkey, day,
+         |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_30d
+         |FROM o ORDER BY o_orderkey""".stripMargin,
+    "a26_unpivot" ->
+      """WITH s AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
+         |SELECT l_orderkey, l_linenumber, measure, value FROM (
+         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM s
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM s
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM s
+         |  UNION ALL
+         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM s)
+         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     // pinned deterministic HLL estimates at sf0.01 (exact distinct
     // custkeys: 1500 total; per-status exacts within 5% of the pins) —
     // hash-based and order-independent, so stable across runs;

@@ -407,12 +407,23 @@ object TextOps {
     * The `localCheckpoint` pins the sample-based range partitioning so
     * the totals pass and the cumsum pass see identical partitions. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    budget: Long): DataFrame = {
-    val spark = docs.sparkSession
+                    budget: Long): DataFrame =
+    packByTokens(
+      docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tok")),
+      idCol, budget)
+
+  /** The packing core over any per-doc token-count frame (`idCol`,
+    * `n_tok`) — the whitespace counter above and the trained-merges
+    * BPE counter ([[graft.text.Bpe.tokenStats]]) both feed it, so the
+    * shard budget is computed in whatever token family the training
+    * pipeline actually bills in. */
+  def packByTokens(tokCounts: DataFrame, idCol: String,
+                   budget: Long): DataFrame = {
+    val spark = tokCounts.sparkSession
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
-    val sorted = docs
-      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tok"))
+    val sorted = tokCounts
+      .select(col(idCol), col("n_tok").cast("long").as("n_tok"))
       .repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(col(idCol))
       .withColumn("__pid", spark_partition_id())

@@ -231,4 +231,42 @@ class PipelineSpec extends SparkSpecBase {
     Scd1Merge.compact(spark, factT)
     assert(Scd1Merge.tableBatchId(factT).contains("B0003"))
   }
+
+  test("medallion chain: offset-loss redelivery is absorbed by batch stamps") {
+    // the pipe13 crash case: the gold job applies a feed batch but dies
+    // BEFORE its consumer offset advances (simulated by restoring the
+    // offset file) — the redelivered batches carry the same stamps, so
+    // re-syncing changes nothing and the chain converges to recompute
+    import graft.pipeline.IncrementalAgg
+    import graft.pipeline.IncrementalAgg.AggSpec
+    import graft.streaming.ChangeStream
+    import java.nio.file.{Files, Paths}
+    val base = Tmp.dir("graft_medallion_spec")
+    val silver = base + "/silver"
+    val gold = base + "/gold"
+    val ckpt = base + "/ckpt"
+    val aspec = AggSpec(Seq("g"), Seq("v" -> "sum_v"), "n")
+    def syncGold(): Int =
+      ChangeStream.runAvailableNow(spark, silver, Seq("k"), ckpt) {
+        (changes, bid) =>
+          IncrementalAgg.applyChangesFrame(spark, gold, changes, aspec,
+            numBuckets = 2, stamp = bid)
+      }
+    Scd1Merge.upsert(spark, silver,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "g", "v"),
+      Seq("k"), numBuckets = 2)
+    assert(syncGold() == 1)
+    val offsetFile = Paths.get(ckpt, "offset")
+    val saved = Files.readAllBytes(offsetFile)
+    Scd1Merge.upsert(spark, silver,
+      Seq((2L, "b", 25L), (3L, "a", 5L)).toDF("k", "g", "v"), Seq("k"))
+    assert(syncGold() == 1)
+    val applied = canon(Scd1Merge.readTable(spark, gold))
+    Files.write(offsetFile, saved) // crash before the offset advanced
+    assert(syncGold() == 1, "redelivery must re-run the batch")
+    assert(canon(Scd1Merge.readTable(spark, gold)) == applied,
+      "stamped redelivery must change nothing")
+    val expect = Seq(Seq("a", "15", "2"), Seq("b", "25", "1"))
+    assert(applied.map(_.take(3)) == expect, s"got $applied")
+  }
 }
