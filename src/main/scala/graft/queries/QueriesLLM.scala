@@ -100,6 +100,26 @@ object QueriesLLM {
           (col("n_hits").cast("double") / col("n_exact")).as("recall"))
     }),
 
+    "graph_pagerank" -> ((s, dir) => {
+      // GRAPH AUTHORITY over the entity graph: PageRank on the
+      // symmetrized supplier↔part incidence graph from lineitem (an
+      // undirected bipartite graph, so no dangling nodes by
+      // construction). Fixed-point INTEGER arithmetic makes the judged
+      // compare exact cross-engine — the oracle is the same recurrence
+      // unrolled as ten chained CTEs, generated from one shared
+      // definition (PageRank.oracleSql). Ten supersteps of
+      // join-aggregate rounds with per-round lineage pins — the
+      // iterative-graph workload class (components, label propagation,
+      // influence) on the engine's shuffle machinery.
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val e0 = li.select(col("l_suppkey").as("src"),
+        (col("l_partkey") + 100000L).as("dst")).distinct()
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.PageRank.pageRank(edges, "src", "dst")
+        .orderBy(col("node"))
+    }),
+
     "dedup_components" -> ((s, dir) => {
       // Pairwise near-dups resolved into CLUSTERS (near-duplication is
       // transitive in intent: A~B~C keeps one of three, not one per
@@ -777,6 +797,10 @@ object QueriesLLM {
        |         list_max(list_transform(toks, t -> len(t))) AS max_len FROM fin)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "graph_pagerank" ->
+      graft.graph.PageRank.oracleSql(
+        """SELECT l_suppkey AS src, l_partkey + 100000 AS dst FROM lineitem
+          |UNION SELECT l_partkey + 100000, l_suppkey FROM lineitem""".stripMargin),
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id
          |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,

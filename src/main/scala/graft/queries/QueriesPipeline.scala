@@ -526,6 +526,64 @@ object QueriesPipeline {
         .orderBy(col("o_custkey"))
     }),
 
+    "pipe14_incremental_join_mv" -> ((s, dir) => {
+      // INCREMENTAL JOIN-MV (delta-rule view maintenance, the step up
+      // from pipe7's single-table aggregate): the star-schema gold
+      // view γ_{custkey, Σcents}(lineitem ⋈ orders) maintained from
+      // the two tables' CHANGE FEEDS via the exact bilinear rule
+      // Δ(F⋈D) = ΔF⋈D_new ∪ F_old⋈ΔD (IncrementalJoinAgg). The run
+      // exercises both legs: a fact batch that inserts the even
+      // orders' lines AND re-prices %13==3 lines (+50, preimage
+      // algebra), then a dim batch that MOVES %10==1 orders to a new
+      // custkey (+10000) — every affected line's mass must migrate
+      // between groups without a rescan of either base table. The
+      // oracle recomputes the view from the final base states; any
+      // missed preimage, double-applied delta, or unmoved group
+      // breaks the hash.
+      import graft.pipeline.IncrementalAgg.AggSpec
+      import graft.pipeline.IncrementalJoinAgg
+      val base = tmpDir("graft_joinmv")
+      val factP = base + "/fact_lineitem"
+      val dimP = base + "/dim_orders"
+      val mv = base + "/mv_by_custkey"
+      val R = 5
+      val spec = AggSpec(Seq("custkey"), Seq("cents" -> "sum_cents"), "n_lines")
+      // the synthetic lineitem is NOT unique on (orderkey, linenumber)
+      // — pre-aggregate to a line-level fact so the merge key is
+      // genuine (the oracle mirrors the same grouping)
+      val li = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val ord = table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("custkey"))
+      val FK = Seq("l_orderkey", "l_linenumber")
+      val DK = Seq("o_orderkey")
+      Scd1Merge.upsert(s, factP,
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 1), FK,
+        numBuckets = 8, retainVersions = R)
+      Scd1Merge.upsert(s, dimP, ord, DK, numBuckets = 4, retainVersions = R)
+      IncrementalJoinAgg.bootstrap(s, mv,
+        Scd1Merge.readTable(s, factP), Scd1Merge.readTable(s, dimP),
+        "l_orderkey", "o_orderkey", spec, numBuckets = 4, batchId = "boot")
+      Scd1Merge.upsert(s, factP,
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 0 ||
+            pmod(col("l_orderkey"), lit(13)) === 3)
+          .withColumn("cents", col("cents") +
+            when(pmod(col("l_orderkey"), lit(13)) === 3, 50L).otherwise(0L)),
+        FK, retainVersions = R)
+      IncrementalJoinAgg.applyChanges(s, mv, factP, FK, dimP, DK,
+        "l_orderkey", "o_orderkey", spec, factBack = Some((1, 0)))
+      Scd1Merge.upsert(s, dimP,
+        ord.filter(pmod(col("o_orderkey"), lit(10)) === 1)
+          .withColumn("custkey", col("custkey") + 10000L),
+        DK, retainVersions = R)
+      IncrementalJoinAgg.applyChanges(s, mv, factP, FK, dimP, DK,
+        "l_orderkey", "o_orderkey", spec, dimBack = Some((1, 0)))
+      Scd1Merge.readTable(s, mv)
+        .select(col("custkey"), col("sum_cents"), col("n_lines"))
+        .orderBy(col("custkey"))
+    }),
+
     "pipe13_stream_medallion" -> ((s, dir) => {
       // STREAMING MEDALLION CHAIN — the reference's architecture
       // (bronze→silver→gold as SEPARATE jobs, silver_notebook.py:59-62
@@ -815,6 +873,23 @@ object QueriesPipeline {
          |  TRUE AS publish_isolated, TRUE AS repaired_consistent
          |FROM orders LEFT JOIN d ON o_custkey = c_custkey
          |ORDER BY o_orderkey""".stripMargin,
+    "pipe14_incremental_join_mv" ->
+      """WITH fact0 AS (
+         |  SELECT l_orderkey,
+         |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM lineitem GROUP BY l_orderkey, l_linenumber),
+         |fact AS (
+         |  SELECT l_orderkey, cents
+         |    + CASE WHEN l_orderkey % 13 = 3 THEN 50 ELSE 0 END AS cents
+         |  FROM fact0),
+         |dim AS (
+         |  SELECT o_orderkey,
+         |    o_custkey + CASE WHEN o_orderkey % 10 = 1 THEN 10000 ELSE 0 END AS custkey
+         |  FROM orders)
+         |SELECT d.custkey, CAST(sum(f.cents) AS BIGINT) AS sum_cents,
+         |  count(*) AS n_lines
+         |FROM fact f JOIN dim d ON f.l_orderkey = d.o_orderkey
+         |GROUP BY d.custkey ORDER BY d.custkey""".stripMargin,
     "pipe13_stream_medallion" ->
       """WITH f AS (
          |  SELECT CASE WHEN o_orderkey % 17 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,

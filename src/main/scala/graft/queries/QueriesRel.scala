@@ -780,6 +780,41 @@ object QueriesRel {
           col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
+    "s37_vacuum" -> ((s, dir) => {
+      // VACUUM lifecycle (Delta VACUUM + retention parity): four
+      // stamped commits retained at depth 5 give time travel to every
+      // prior state; vacuum at retain=1 then reclaims the aged-out
+      // snapshots' version dirs under the writer lock while the live
+      // state and the 1-commit isolation window stay readable. The
+      // judged output is the post-vacuum live state — reclamation must
+      // be INVISIBLE to current readers; VacuumSpec pins the
+      // reclamation itself (bytes actually freed, pre-retention
+      // snapshots now fail loudly, retained ones byte-identical). At
+      // 100 TB this is the storage-cost dial: retention is paid per
+      // commit, vacuum is when you stop paying.
+      val n = table(s, dir, "nation")
+      val dim = n.select(col("n_nationkey").as("k"), col("n_name").as("name"))
+      val path = tmpDir("graft_vac37") + "/t"
+      Scd1Merge.upsert(s, path, dim, Seq("k"), numBuckets = 4,
+        retainVersions = 5, batchId = "B1")
+      Scd1Merge.upsert(s, path,
+        dim.filter(col("k") % 5 === 0)
+          .withColumn("name", concat(col("name"), lit("_v2"))),
+        Seq("k"), retainVersions = 5, batchId = "B2")
+      Scd1Merge.upsert(s, path,
+        dim.filter(col("k") < 3).withColumn("k", col("k") + lit(100).cast("int")),
+        Seq("k"), retainVersions = 5, batchId = "B3")
+      Scd1Merge.deleteSoft(s, path, Seq("k"), col("k") % 3 === 0,
+        retainVersions = 5)
+      // the deep snapshot reads pre-vacuum, and the live + 1-back
+      // isolation window must survive the vacuum itself
+      assert(Scd1Merge.readTableAt(s, path, 3).count() == n.count(),
+        "pre-vacuum: the commit-1 snapshot must be readable")
+      Scd1Merge.vacuum(path, retain = 1)
+      Scd1Merge.readTableAt(s, path, 1).count()
+      Scd1Merge.readTable(s, path)
+        .select(col("k"), col("name")).orderBy(col("k"))
+    }),
     "s36_column_drop" -> ((s, dir) => {
       // COLUMN DROP lifecycle (Delta drop-without-rewrite parity, the
       // other half of column mapping): drop a column with ZERO data
@@ -1199,6 +1234,18 @@ object QueriesRel {
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
          |  strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "s37_vacuum" ->
+      // final state: B2 bumps %5==0 names, B3 inserts k+100 for k<3
+      // (with their ORIGINAL names — the bump predates those keys),
+      // the soft delete removes k%3==0; vacuum changes nothing a
+      // current reader sees
+      """WITH state AS (
+         |  SELECT n_nationkey AS k,
+         |    CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_v2' ELSE n_name END AS name
+         |  FROM nation
+         |  UNION ALL
+         |  SELECT n_nationkey + 100 AS k, n_name FROM nation WHERE n_nationkey < 3)
+         |SELECT k, name FROM state WHERE k % 3 <> 0 ORDER BY k""".stripMargin,
     "s36_column_drop" ->
       """WITH dim AS (SELECT s_suppkey AS k, s_name AS name, s_acctbal AS balance FROM supplier),
          |batch AS (

@@ -463,6 +463,30 @@ object QueriesStream {
         .select(col("o_orderkey"), col("o_custkey"), col("cents"), col("status"))
         .orderBy(col("o_orderkey"))
     }),
+    "stream_static_join" -> ((s, dir) => {
+      // STREAM-STATIC enrichment join (the stateless member of the
+      // streaming-join family): events stream in two micro-batches
+      // (maxFilesPerTrigger=1) and each batch inner-joins the STATIC
+      // customer dim with a broadcast hint — no state store, no
+      // watermark, append sink. The oracle is the batch join over the
+      // same rows: stream-static must be indistinguishable from batch
+      // because the dim never changes mid-run.
+      val src = graft.Tmp.dir("graft_ssj_src")
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+      stageChunk(ev.filter(pmod(col("event_id"), lit(2)) === 1), src, "a")
+      stageChunk(ev.filter(pmod(col("event_id"), lit(2)) === 0), src, "b")
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val out = graft.Tmp.dir("graft_ssj_out") + "/enriched"
+      val ckpt = graft.Tmp.dir("graft_ssj_ckpt")
+      Streaming.runStreamStaticJoinAvailableNow(s, src, dim,
+          "user_id", "c_custkey", out, ckpt, maxFilesPerTrigger = Some(1))
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy(col("event_id"))
+    }),
     "stream_window_agg" -> ((s, dir) => {
       // Trigger.AvailableNow file stream -> event-time watermark ->
       // 1h tumbling window agg -> foreachBatch SCD1-upsert, then read
@@ -661,6 +685,12 @@ object QueriesStream {
          |FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
          |GROUP BY 1, 2
          |ORDER BY window_start, event_type""".stripMargin,
+    "stream_static_join" ->
+      """SELECT e.event_id, e.event_type,
+         |  CAST(round(e.value * 100) AS BIGINT) AS cents,
+         |  c.c_name, c.c_mktsegment
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |ORDER BY e.event_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n_events,

@@ -267,6 +267,41 @@ object Streaming {
     }
   }
 
+  /** STREAM-STATIC enrichment join — the stateless third member of the
+    * streaming-join family: each micro-batch of the event stream joins
+    * a STATIC dimension frame. Spark plans this per-batch with no
+    * state store and no watermark (only the stream side grows; the dim
+    * is a fixed snapshot re-resolved each batch), so an inner join of
+    * an append stream is itself append-only — a plain file sink, no
+    * foreachBatch. The static side carries an explicit `broadcast()`
+    * hint: at production event volume the dim lookup must never
+    * shuffle the stream — a dim too big to broadcast would be
+    * pre-bucketed on the join key instead (the bucketed-table join,
+    * PlanSpec's exchange-free shape). */
+  def runStreamStaticJoinAvailableNow(spark: SparkSession, srcDir: String,
+                                      staticDim: DataFrame, joinKey: String,
+                                      dimKey: String, outPath: String,
+                                      checkpointDir: String,
+                                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    withConfs(spark,
+        "spark.sql.shuffle.partitions" -> "8") {
+      val reader = spark.readStream.schema(EventsRawSchema)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val events = reader.parquet(srcDir)
+      val joined = events.join(broadcast(staticDim),
+        events(joinKey) === staticDim(dimKey))
+      val q = joined.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .format("parquet")
+        .option("path", outPath)
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outPath)
+    }
+  }
+
   /** Watermarked stream-stream LEFT OUTER join — the reconciliation
     * face of [[runStreamJoinAvailableNow]]: every view emits, matched
     * eagerly at match time, or null-extended once the watermark proves

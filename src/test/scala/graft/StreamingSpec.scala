@@ -272,6 +272,33 @@ class StreamingSpec extends SparkSpecBase {
       "a key inserted then deleted upstream stays deleted downstream")
   }
 
+  test("stream-static join over 2 micro-batches ≡ batch broadcast join") {
+    val events = spark.read
+      .schema(Streaming.EventsRawSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val src = Tmp.dir("ssj_src")
+    events.filter(pmod(col("event_id"), lit(2)) === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    events.filter(pmod(col("event_id"), lit(2)) === 0).coalesce(1)
+      .write.mode("append").parquet(src)
+    val out = Tmp.dir("ssj_out") + "/enriched"
+    val got = Streaming.runStreamStaticJoinAvailableNow(spark, src, dim,
+      "user_id", "c_custkey", out, Tmp.dir("ssj_ckpt"),
+      maxFilesPerTrigger = Some(1))
+    // two micro-batches really happened: the append sink holds >= 2 files
+    assert(got.inputFiles.length >= 2,
+      s"expected one sink file per micro-batch, got ${got.inputFiles.length}")
+    val want = events.join(broadcast(dim),
+      events("user_id") === dim("c_custkey"))
+    val cols = Seq("event_id", "event_type", "c_name", "c_mktsegment")
+    assertSameRows(
+      got.select(cols.map(col): _*).orderBy(col("event_id"), col("c_name")),
+      want.select(cols.map(col): _*).orderBy(col("event_id"), col("c_name")))
+  }
+
   test("streaming runs leave no session conf mutated (order-independence)") {
     val before = Seq("spark.sql.shuffle.partitions",
       "spark.sql.csv.filterPushdown.enabled")
