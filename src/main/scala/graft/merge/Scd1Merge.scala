@@ -375,6 +375,74 @@ object Scd1Merge {
     case _ => v.toString // integral / float / java BigDecimal / string
   }
 
+  /** `statsColumns` entries prefixed `bloom:` request a per-bucket
+    * BLOOM FILTER over the column instead of min/max — the
+    * point-lookup complement: min/max prunes RANGES but is useless on
+    * high-cardinality columns whose values interleave across buckets
+    * (hashes, ids, names — every bucket's range covers every probe).
+    * The bloom entry rides the same manifest stats field as a
+    * pseudo-column (`bloom:<col>` → typ 'b', bitmap in `min`,
+    * "m,k,type" in `max`) and [[canMatch]] vetoes equality/IN probes
+    * whose hash the bitmap provably never saw — at 100 TB a point
+    * lookup on a bloomed column reads ~1 bucket instead of all of
+    * them. ~1.4 KiB of manifest per bucket per column
+    * ([[graft.functions.BloomUtil.DefaultBits]]). */
+  val BloomTag = "bloom:"
+  private def isBloomCol(c: String): Boolean =
+    c.regionMatches(true, 0, BloomTag, 0, BloomTag.length)
+  private def bloomInner(c: String): String = c.substring(BloomTag.length)
+
+  /** Stats for `cols` over a just-written staging dir: min/max for
+    * plain entries, bloom bitmaps for `bloom:`-tagged ones, merged
+    * per bucket. */
+  private def bucketStats(spark: SparkSession, stagingDir: String,
+                          cols: Seq[String]): Map[Int, Map[String, ColStats]] = {
+    val (bloomCols, mmCols) = cols.distinct.partition(isBloomCol)
+    val mm = bucketMinMaxStats(spark, stagingDir, mmCols)
+    if (bloomCols.isEmpty) mm
+    else {
+      val bl = bloomBucketStats(spark, stagingDir, bloomCols.map(bloomInner))
+      (mm.keySet ++ bl.keySet).iterator.map { b =>
+        b -> (mm.getOrElse(b, Map.empty) ++ bl.getOrElse(b, Map.empty))
+      }.filter(_._2.nonEmpty).toMap
+    }
+  }
+
+  /** Per-bucket bloom bitmaps: ONE ObjectHashAggregate job over the
+    * staging dir — `xxhash64(col)` (codegen'd builtin) feeding the
+    * fixed-size [[graft.functions.BloomAgg]] bitmap per (bucket,
+    * column). The driver collects `buckets × cols` KiB-sized bitmaps,
+    * never data. Same conservative posture as min/max: any failure or
+    * absent column degrades to no-stats = can-match. */
+  private def bloomBucketStats(spark: SparkSession, stagingDir: String,
+                               inner: Seq[String]): Map[Int, Map[String, ColStats]] = try {
+    import org.apache.spark.sql.GraftExpressionBridge
+    val df = spark.read.option("mergeSchema", "true").parquet(stagingDir)
+    val fields = df.schema.fields.toSeq
+      .filter(f => f.name != BucketCol && inner.exists(_.equalsIgnoreCase(f.name)))
+    if (fields.isEmpty || !df.columns.contains(BucketCol)) Map.empty
+    else {
+      val aggs = fields.zipWithIndex.map { case (f, i) =>
+        GraftExpressionBridge.column(
+          graft.functions.BloomAgg(
+            GraftExpressionBridge.expression(xxhash64(col(f.name))))
+            .toAggregateExpression()).as(s"bl$i") }
+      val rows = df.groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*).collect()
+      rows.map { r =>
+        val st = fields.zipWithIndex.flatMap { case (f, i) =>
+          Option(r.getAs[Array[Byte]](s"bl$i")).map { bytes =>
+            (BloomTag + f.name) -> ColStats('b',
+              java.util.Base64.getEncoder.encodeToString(bytes),
+              s"${graft.functions.BloomUtil.DefaultBits}," +
+                s"${graft.functions.BloomUtil.DefaultProbes},${f.dataType.catalogString}") }
+        }.toMap
+        r.getAs[Int](BucketCol) -> st
+      }.filter(_._2.nonEmpty).toMap
+    }
+  } catch {
+    case _: Exception => Map.empty
+  }
+
   /** Per-bucket min/max for `cols` over a just-written staging dir.
     *
     * Primary path: the PARQUET FOOTERS — a driver-side metadata pass,
@@ -397,8 +465,8 @@ object Scd1Merge {
     * (prefix min / incremented max) only ever WIDENS the range, so
     * pruning stays sound. All-null row groups legitimately contribute
     * no bound (the agg ignores nulls the same way). */
-  private def bucketStats(spark: SparkSession, stagingDir: String,
-                          cols: Seq[String]): Map[Int, Map[String, ColStats]] = try {
+  private def bucketMinMaxStats(spark: SparkSession, stagingDir: String,
+                                cols: Seq[String]): Map[Int, Map[String, ColStats]] = try {
     val root = Paths.get(stagingDir)
     if (!Files.isDirectory(root) || cols.isEmpty) Map.empty
     else {
@@ -647,10 +715,11 @@ object Scd1Merge {
     }
 
   private def statTest(stats: Map[String, ColStats], a: Expression, l: Literal,
-                       op: String): Boolean =
-    (for {
-      name <- attrThroughCast(a)
-      st <- stats.find(_._1.equalsIgnoreCase(name)).map(_._2)
+                       op: String): Boolean = {
+    val name = attrThroughCast(a)
+    val minmaxOk = (for {
+      n <- name
+      st <- stats.find(_._1.equalsIgnoreCase(n)).map(_._2)
       bounds <- statBounds(st, l)
     } yield {
       val (cmpMin, cmpMax) = bounds
@@ -663,6 +732,42 @@ object Scd1Merge {
         case "ge" => cmpMax >= 0
       }
     }).getOrElse(true)
+    // bloom can only strengthen an EQUALITY verdict (range ops can't
+    // consult a membership filter)
+    minmaxOk && (op != "eq" || name.forall(n => bloomTest(stats, n, l)))
+  }
+
+  /** Can a bucket's bloom stats hold `col = literal`? Absent or
+    * unparseable bloom = can-match (the universal stats posture). The
+    * literal is cast to the column's WRITTEN type (carried in the
+    * wire's `max` field) before hashing — xxhash64 is type-sensitive,
+    * and the probe must hash exactly what the write-side agg hashed;
+    * an uncastable literal degrades to can-match, never a wrong
+    * prune. */
+  private def bloomTest(stats: Map[String, ColStats], name: String,
+                        l: Literal): Boolean =
+    stats.find(_._1.equalsIgnoreCase(BloomTag + name)).map(_._2) match {
+      case Some(st) if st.typ == 'b' =>
+        try {
+          val Array(m, k, t) = st.max.split(",", 3)
+          if (l.value == null) true
+          else {
+            val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(t)
+            val casted = Cast(l, dt, Some("UTC")).eval(null)
+            if (casted == null) true
+            else {
+              val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+                Seq(Literal.create(casted, dt))).eval(null).asInstanceOf[Long]
+              graft.functions.BloomUtil.test(
+                graft.functions.BloomUtil.fromBytes(
+                  java.util.Base64.getDecoder.decode(st.min)),
+                m.toInt, k.toInt, h)
+            }
+          }
+        } catch { case _: Exception => true }
+      case _ => true
+    }
 
   /** Can a bucket with these stats hold a row matching `e`?
     * Recognized shapes: And/Or, the six comparisons and IN between a
@@ -1384,10 +1489,13 @@ object Scd1Merge {
     *        the data-skipping dial ([[readTableWhere]] and the
     *        [[delete]] probe prune on them). Declare the columns
     *        selective reads filter on (e.g. the fact's date column).
-    *        Only the buckets THIS commit rewrites gain the new
-    *        column's stats (absent stats = can-match, so mixed
-    *        manifests stay correct); a [[rebucket]] or full rewrite
-    *        backfills.
+    *        A `bloom:`-prefixed entry (`bloom:content_hash`) records a
+    *        per-bucket BLOOM FILTER instead — the point-lookup dial
+    *        for high-cardinality columns whose value ranges overlap
+    *        every bucket (see [[BloomTag]]). Only the buckets THIS
+    *        commit rewrites gain the new column's stats (absent stats
+    *        = can-match, so mixed manifests stay correct); a
+    *        [[rebucket]] or full rewrite backfills.
     * @param batchId PIPELINE BATCH STAMP ("" = unstamped): recorded in
     *        the manifest as the driving watermark/batch id of this
     *        commit. A multi-table pipeline run stamps every table
@@ -1683,7 +1791,9 @@ object Scd1Merge {
     }
     val keys = keys0.map(physicalOf(manifest, _))
     val source = physicalize(source0, manifest)
-    val statsColumnsP = statsColumns.map(physicalOf(manifest, _))
+    val statsColumnsP = statsColumns.map(c =>
+      if (isBloomCol(c)) BloomTag + physicalOf(manifest, bloomInner(c))
+      else physicalOf(manifest, c))
     val nb = manifest.numBuckets
     if (numBuckets > 0 && numBuckets != nb)
       throw new IllegalArgumentException(
@@ -1813,8 +1923,10 @@ object Scd1Merge {
         // Tracked names translate to logical: the rewrite materialized
         // the colmap, so logical IS physical in the new files.
         val tracked = (keys ++ manifest.stats.values.flatMap(_.keySet)
-          .filterNot(manifest.dropped.contains)
-          .map(logicalOf(manifest, _))).distinct
+          .filterNot(c => manifest.dropped.contains(
+            if (isBloomCol(c)) bloomInner(c) else c))
+          .map(c => if (isBloomCol(c)) BloomTag + logicalOf(manifest, bloomInner(c))
+                    else logicalOf(manifest, c))).distinct
         val stats = bucketStats(spark, tmp, tracked)
         // version continuity per NEW bucket id: nextVersion consults the
         // old manifest AND the retained dirs on disk, so re-used ids

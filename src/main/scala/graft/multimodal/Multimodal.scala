@@ -120,6 +120,60 @@ object MediaCodec {
         Some(dataSize.toLong * 1000L / byteRate))
     } else err
   }
+
+  /** A 24bpp BMP whose [[BmpStub]] pixel bytes carry a deterministic
+    * per-image TEXTURE, `P(i) = (w·(i+3) + h·(i²+1)) mod 256` — unlike
+    * [[bmp]]'s flat ramp (which a mean-threshold hash collapses to one
+    * class), distinct (w, h) produce distinct bit patterns, so the
+    * perceptual-hash fixture has real variety. Header layout identical
+    * to [[bmp]]. */
+  def bmpTextured(width: Int, height: Int): Array[Byte] = {
+    val out = bmp(width, height)
+    var i = 0
+    while (i < BmpStub) {
+      out(54 + i) = ((width * (i + 3) + height * (i * i + 1)) % 256).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** AVERAGE-HASH (aHash) of a BMP's first [[BmpStub]] PIXEL bytes,
+    * read from the byte payload alone (magic sniff + the header's
+    * pixel-array offset — never a synth formula): bit_i = pixel_i >
+    * floor(mean). Returned as four 16-bit BAND keys (bits [0,16),
+    * [16,32), [32,48), [48,64)) plus the popcount — band equality is
+    * the pigeonhole join key for hamming≤3 near-dup exactly like the
+    * text SimHash path, and 16-bit values stay exact in every engine
+    * (a full 64-bit hash would need unsigned shifts the oracle can't
+    * express safely). None for anything that is not a complete BMP
+    * with 64 readable pixel bytes. */
+  def phashBmp(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte ||
+        rdLe32(bytes, 14) != 40) return None
+    val off = rdLe32(bytes, 10)
+    if (off < 54 || bytes.length < off + BmpStub) return None
+    val px = new Array[Int](BmpStub)
+    var i = 0
+    var sum = 0
+    while (i < BmpStub) { px(i) = bytes(off + i) & 0xff; sum += px(i); i += 1 }
+    val mean = sum / BmpStub
+    var b0 = 0; var b1 = 0; var b2 = 0; var b3 = 0; var nSet = 0
+    i = 0
+    while (i < BmpStub) {
+      if (px(i) > mean) {
+        nSet += 1
+        val bit = 1 << (i & 15)
+        (i >> 4) match {
+          case 0 => b0 |= bit
+          case 1 => b1 |= bit
+          case 2 => b2 |= bit
+          case _ => b3 |= bit
+        }
+      }
+      i += 1
+    }
+    Some((b0, b1, b2, b3, nSet))
+  }
 }
 
 /** Multimodal-column operators: treat image/audio/video as opaque
@@ -273,6 +327,39 @@ object Multimodal {
                 (nChars % 2048).toInt + 2048))
         if (id % 97 == 0) full.copy(payload = full.payload.take(6)) else full
       }
+  }
+
+  /** Textured-BMP fixture for the perceptual-hash path: EVERY document
+    * becomes a [[MediaCodec.bmpTextured]] bitmap with the same (w, h)
+    * formulas as [[synthesizeMedia]]'s image leg, and the same %97
+    * truncation leg the parser must survive. */
+  def synthesizeTexturedImages(spark: SparkSession, docs: DataFrame,
+                               idCol: String, nCharsCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val full = MediaRow(id, "image/bmp",
+          MediaCodec.bmpTextured((nChars % 317).toInt + 1, (id % 211).toInt + 1))
+        if (id % 97 == 0) full.copy(payload = full.payload.take(6)) else full
+      }
+  }
+
+  /** Per-image perceptual hash over the byte payloads — the image
+    * dedup fingerprint (aHash band keys, [[MediaCodec.phashBmp]]).
+    * Unparseable payloads are dropped (fingerprinting is a candidate
+    * generator; the error AUDIT is [[decodeMedia]]'s job). Same
+    * `mapPartitions` batch shape as the decoder — one pass, no
+    * shuffle; downstream near-dup joins band keys exactly like the
+    * SimHash text path. */
+  def imagePhash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.phashBmp(r.payload).map { case (b0, b1, b2, b3, nSet) =>
+          (r.doc_id, b0, b1, b2, b3, nSet) }
+      }
+    }.toDF("doc_id", "b0", "b1", "b2", "b3", "n_set")
   }
 
   /** Typed view of [[asMedia]] for the decode path. */

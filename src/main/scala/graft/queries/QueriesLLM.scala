@@ -698,6 +698,23 @@ object QueriesLLM {
           Multimodal.synthesizeMedia(s, table(s, dir, "documents"),
             "doc_id", "n_chars"))
         .toDF().orderBy(col("doc_id"))),
+    "mm_phash" -> ((s, dir) =>
+      // PERCEPTUAL IMAGE HASH over DECODED PIXELS (the dedup
+      // fingerprint one level deeper than mm_simhash_neardup's raw
+      // byte bag): every document becomes a textured BMP, the parser
+      // walks the header to the pixel array and mean-thresholds the
+      // 8×8 gray block into aHash BAND keys — the image analogue of
+      // text SimHash, band equality being the pigeonhole near-dup
+      // join. The oracle recomputes the bands from the texture
+      // formulas over the raw table, while MediaCodecSpec pins the
+      // parser on golden and hand-mutated BYTES (flip one pixel byte,
+      // the hash moves) — so the judged row proves formula↔bytes↔hash
+      // agree end to end. The %97 truncated payloads drop (candidate
+      // generation; the error audit is mm_decode's).
+      Multimodal.imagePhash(
+          Multimodal.synthesizeTexturedImages(s, table(s, dir, "documents"),
+            "doc_id", "n_chars"))
+        .orderBy(col("doc_id"))),
     "mm_simhash_neardup" -> ((s, dir) =>
       // Content-level media near-dup BEFORE decode: SimHash over the
       // payload's distinct byte-chunk bag (hex-dump slicing — byte
@@ -1377,6 +1394,29 @@ object QueriesLLM {
     // fixture formulas over the raw table (BMP 54+64 header+stub bytes,
     // WAV 44+32; duration = declared dataSize*1000 // byteRate at mono
     // 16-bit). The Spark side parses the actual bytes.
+    "mm_phash" ->
+      // the texture formula P(i) = (w·(i+3) + h·(i²+1)) mod 256 and the
+      // aHash threshold (bit = p > floor(mean)) replayed in SQL; band
+      // j packs bits [16j, 16j+16) little-endian — all values ≤ 2^16,
+      // exact in every engine
+      """WITH img AS (
+         |  SELECT doc_id, (n_chars % 317) + 1 AS w, (doc_id % 211) + 1 AS h
+         |  FROM documents WHERE doc_id % 97 <> 0),
+         |px AS (
+         |  SELECT doc_id, i, (w * (i + 3) + h * (i * i + 1)) % 256 AS p
+         |  FROM img, generate_series(0, 63) AS t(i)),
+         |m AS (SELECT doc_id, SUM(p) // 64 AS mean FROM px GROUP BY doc_id),
+         |bits AS (
+         |  SELECT px.doc_id, px.i,
+         |    CASE WHEN px.p > m.mean THEN 1 ELSE 0 END AS b
+         |  FROM px JOIN m ON px.doc_id = m.doc_id)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN i < 16 THEN b * (1 << i) ELSE 0 END) AS INT) AS b0,
+         |  CAST(SUM(CASE WHEN i >= 16 AND i < 32 THEN b * (1 << (i - 16)) ELSE 0 END) AS INT) AS b1,
+         |  CAST(SUM(CASE WHEN i >= 32 AND i < 48 THEN b * (1 << (i - 32)) ELSE 0 END) AS INT) AS b2,
+         |  CAST(SUM(CASE WHEN i >= 48 THEN b * (1 << (i - 48)) ELSE 0 END) AS INT) AS b3,
+         |  CAST(SUM(b) AS INT) AS n_set
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id,
          |  CASE WHEN doc_id % 97 = 0 THEN 'error'

@@ -780,6 +780,29 @@ object QueriesRel {
           col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
+    "s38_bloom_skipping" -> ((s, dir) => {
+      // BLOOM FILE-SKIPPING (the point-lookup complement of s21's
+      // min/max): a `bloom:`-tagged stats column writes a per-bucket
+      // bloom bitmap at commit time, and equality probes veto buckets
+      // whose bitmap provably never saw the literal's hash. The probe
+      // column is md5(custkey) — uniformly distributed, so every
+      // bucket's min/max RANGE covers every probe and range stats
+      // prune NOTHING; the bloom turns the same point lookup into ~1
+      // bucket read out of 8 (`bloom_pruned` witnesses lastPrune,
+      // deterministic because the bitmaps are). At 100 TB this is the
+      // needle-in-haystack dial: content-hash / id lookups on columns
+      // a hash-bucketed layout cannot key-prune.
+      val c = table(s, dir, "customer")
+      val dim = c.select(col("c_custkey").as("k"), col("c_name"),
+        md5(col("c_custkey").cast("string")).as("tag"))
+      val path = tmpDir("graft_bloom38") + "/t"
+      Scd1Merge.upsert(s, path, dim, Seq("k"), numBuckets = 8,
+        statsColumns = Seq(Scd1Merge.BloomTag + "tag"))
+      val hit = Scd1Merge.readTableWhere(s, path, col("tag") === md5(lit("73")))
+        .select(col("k"), col("c_name"), col("tag"))
+      val pruned = Scd1Merge.lastPrune._1 < Scd1Merge.lastPrune._2
+      hit.withColumn("bloom_pruned", lit(pruned)).orderBy(col("k"))
+    }),
     "s37_vacuum" -> ((s, dir) => {
       // VACUUM lifecycle (Delta VACUUM + retention parity): four
       // stamped commits retained at depth 5 give time travel to every
@@ -1234,6 +1257,12 @@ object QueriesRel {
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
          |  strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "s38_bloom_skipping" ->
+      """SELECT c_custkey AS k, c_name,
+         |  md5(CAST(c_custkey AS VARCHAR)) AS tag, true AS bloom_pruned
+         |FROM customer
+         |WHERE md5(CAST(c_custkey AS VARCHAR)) = md5('73')
+         |ORDER BY k""".stripMargin,
     "s37_vacuum" ->
       // final state: B2 bumps %5==0 names, B3 inserts k+100 for k<3
       // (with their ORIGINAL names — the bump predates those keys),

@@ -73,4 +73,45 @@ class MediaCodecSpec extends AnyFunSuite {
     val zw = MediaCodec.bmp(1, 1)
     zw(18) = 0; assert(MediaCodec.decode(6L, zw).kind == "error")
   }
+
+  /** Independent in-test aHash straight over the byte array — the
+    * parser must agree with BYTES, wherever the header says the pixels
+    * live, never with the texture formula. */
+  private def refPhash(bytes: Array[Byte]): (Int, Int, Int, Int, Int) = {
+    val off = (bytes(10) & 0xff) | ((bytes(11) & 0xff) << 8) |
+      ((bytes(12) & 0xff) << 16) | ((bytes(13) & 0xff) << 24)
+    val px = (0 until 64).map(i => bytes(off + i) & 0xff)
+    val mean = px.sum / 64
+    val bands = new Array[Int](4)
+    var n = 0
+    px.zipWithIndex.foreach { case (p, i) =>
+      if (p > mean) { n += 1; bands(i >> 4) |= 1 << (i & 15) } }
+    (bands(0), bands(1), bands(2), bands(3), n)
+  }
+
+  test("phashBmp agrees with an independent byte-level aHash and tracks byte edits") {
+    val b = MediaCodec.bmpTextured(37, 101)
+    assert(MediaCodec.phashBmp(b).contains(refPhash(b)))
+    // force ONE pixel byte to the opposite side of the mean: the
+    // parser must see it (pixel 0 is above the mean in this texture —
+    // zeroing it clears bit 0)
+    val mutated = b.clone()
+    mutated(54) = 0x00.toByte
+    assert(MediaCodec.phashBmp(mutated).contains(refPhash(mutated)))
+    assert(MediaCodec.phashBmp(mutated) != MediaCodec.phashBmp(b),
+      "a pixel edit must move the hash — else the parser isn't reading bytes")
+    // a NON-STANDARD pixel offset (padding between header and pixels):
+    // the parser must follow the header field, not assume 54
+    val shifted = new Array[Byte](b.length + 10)
+    System.arraycopy(b, 0, shifted, 0, 54)
+    System.arraycopy(b, 54, shifted, 64, b.length - 54)
+    shifted(10) = 64 // pixel-array offset field -> 64
+    assert(MediaCodec.phashBmp(shifted).contains(refPhash(shifted)))
+    assert(MediaCodec.phashBmp(shifted) == MediaCodec.phashBmp(b),
+      "same pixels behind a padded header must hash identically")
+    // truncated/corrupt payloads yield None, never throw
+    assert(MediaCodec.phashBmp(b.take(6)).isEmpty)
+    assert(MediaCodec.phashBmp(b.take(60)).isEmpty)
+    assert(MediaCodec.phashBmp(Array.fill[Byte](200)('x'.toByte)).isEmpty)
+  }
 }
