@@ -2621,6 +2621,61 @@ object Scd1Merge {
     }
   }
 
+  /** DEEP clone: an INDEPENDENT physical copy of the source's live
+    * state (Delta `CLONE` without `SHALLOW`) — the backup/migration
+    * face of [[cloneShallow]]. Every live version dir (and the live
+    * deletion vector) is byte-copied, so the clone survives any
+    * source vacuum and the two tables share no storage. Stats, keys,
+    * colmap, cluster state all carry over (the copy is bit-identical
+    * files), history does NOT — a backup starts its own commit line.
+    * Cost is O(live table bytes) — at 100 TB run it as the rare
+    * deliberate migration it is; incremental sync is the change-feed
+    * consumer's job ([[graft.streaming.ChangeStream]]). The
+    * GC-race posture mirrors [[cloneShallow]]: copy, then verify the
+    * SOURCE manifest did not advance past the copied dirs before the
+    * clone manifest commits. */
+  def cloneDeep(srcPath: String, dstPath: String,
+                batchId: String = ""): Int = {
+    val src = readManifest(srcPath).getOrElse(throw new IllegalStateException(
+      s"cloneDeep: $srcPath has no manifest (not a committed bucketed table)"))
+    if (readManifest(dstPath).isDefined) throw new IllegalStateException(
+      s"cloneDeep: $dstPath is already a committed table")
+    Files.createDirectories(Paths.get(dstPath, "data"))
+    withLock(dstPath) { _ =>
+      val entries = src.dirs.values.toSeq ++
+        (if (src.dv.nonEmpty) Seq(src.dv) else Nil)
+      entries.foreach { d =>
+        copyRecursively(Paths.get(srcPath, d), Paths.get(dstPath, d))
+      }
+      // a concurrent source commit + sweep can GC a dir mid-copy,
+      // leaving a partial copy; verify every copied dir still exists
+      // at the source (the sweep deletes the WHOLE dir, so a missing
+      // source dir means our copy may be incomplete)
+      entries.foreach { d =>
+        if (!Files.isDirectory(Paths.get(srcPath, d)))
+          throw new IllegalStateException(
+            s"cloneDeep: source version dir '$d' was garbage-collected " +
+            s"mid-copy (concurrent commit + sweep on $srcPath) — retry")
+      }
+      val committed = commitManifest(dstPath, src.copy(
+        batch = if (batchId.nonEmpty) batchId else s"deepclone@${src.commit}"))
+      committed.commit
+    }
+  }
+
+  private def copyRecursively(from: Path, to: Path): Unit = {
+    if (Files.isDirectory(from, java.nio.file.LinkOption.NOFOLLOW_LINKS) ||
+        // a shallow-clone SOURCE may itself hold symlinked dirs: deep
+        // copy resolves through them (the clone must be independent)
+        Files.isDirectory(from)) {
+      Files.createDirectories(to)
+      Files.list(from).iterator().asScala.toSeq.foreach { p =>
+        copyRecursively(p, to.resolve(p.getFileName.toString))
+      }
+    } else
+      Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** COMMIT HISTORY — `DESCRIBE HISTORY` parity: one row per RETAINED
     * commit (the audit/debug surface; how far back it reaches follows
     * the table's `retainVersions` — history manifests age out with

@@ -550,12 +550,18 @@ object QueriesPipeline {
       val spec = AggSpec(Seq("custkey"), Seq("cents" -> "sum_cents"), "n_lines")
       // the synthetic lineitem is NOT unique on (orderkey, linenumber)
       // — pre-aggregate to a line-level fact so the merge key is
-      // genuine (the oracle mirrors the same grouping)
+      // genuine (the oracle mirrors the same grouping). SF-CAP
+      // (orderkey < 10000, the s31/s33 precedent): the op under test
+      // is the delta ALGEBRA — six commits of fixture load scaling
+      // with SF measured 17 s at sf0.1 while teaching nothing new
+      // about the deltas.
       val li = table(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000)
         .groupBy(col("l_orderkey"), col("l_linenumber"))
         .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
-      val ord = table(s, dir, "orders").select(
-        col("o_orderkey"), col("o_custkey").as("custkey"))
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderkey") < 10000)
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"))
       val FK = Seq("l_orderkey", "l_linenumber")
       val DK = Seq("o_orderkey")
       Scd1Merge.upsert(s, factP,
@@ -877,7 +883,8 @@ object QueriesPipeline {
       """WITH fact0 AS (
          |  SELECT l_orderkey,
          |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
-         |  FROM lineitem GROUP BY l_orderkey, l_linenumber),
+         |  FROM lineitem WHERE l_orderkey < 10000
+         |  GROUP BY l_orderkey, l_linenumber),
          |fact AS (
          |  SELECT l_orderkey, cents
          |    + CASE WHEN l_orderkey % 13 = 3 THEN 50 ELSE 0 END AS cents
@@ -885,7 +892,7 @@ object QueriesPipeline {
          |dim AS (
          |  SELECT o_orderkey,
          |    o_custkey + CASE WHEN o_orderkey % 10 = 1 THEN 10000 ELSE 0 END AS custkey
-         |  FROM orders)
+         |  FROM orders WHERE o_orderkey < 10000)
          |SELECT d.custkey, CAST(sum(f.cents) AS BIGINT) AS sum_cents,
          |  count(*) AS n_lines
          |FROM fact f JOIN dim d ON f.l_orderkey = d.o_orderkey

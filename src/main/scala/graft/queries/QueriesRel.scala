@@ -780,6 +780,61 @@ object QueriesRel {
           col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
+    "w10_gap_fill" -> ((s, dir) => {
+      // TIME-SERIES GAP FILL + FORWARD FILL (the warehouse
+      // densification op): per-user hourly revenue series over each
+      // user's own [min, max] hour span — `sequence` + explode
+      // generates the grid (no driver loop, no cross join), a left
+      // join marks the gaps, and `last(_, ignoreNulls)` over a
+      // per-user ordered frame carries the previous hour's value
+      // forward. Window is PARTITIONED by user — no global-window
+      // single-partition hazard; output is O(users × span), the op's
+      // inherent size. The oracle mirrors with generate_series +
+      // last_value IGNORE NULLS.
+      import org.apache.spark.sql.expressions.Window
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val span = e.groupBy(col("user_id"))
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      val grid = span.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("hour"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(e, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          last(col("cents"), ignoreNulls = true).over(w).as("cents_filled"),
+          col("cents").isNull.as("is_gap"))
+        .orderBy(col("user_id"), col("hour"))
+    }),
+    "s39_deep_clone" -> ((s, dir) => {
+      // DEEP CLONE (Delta full CLONE parity, the backup face of s29's
+      // shallow): byte-copy the live state, then prove INDEPENDENCE —
+      // the clone takes its own writes while the source is mutated
+      // and vacuumed to live-only underneath it. A shallow clone
+      // would be left with dangling links by that vacuum (its
+      // documented retention contract); the deep clone reads its own
+      // bytes. DeepCloneSpec pins no-symlinks, isolation in both
+      // directions, and survival of a full source vacuum.
+      val sup = table(s, dir, "supplier")
+      val dim = sup.select(col("s_suppkey").as("k"),
+        col("s_name").as("name"), col("s_acctbal").as("bal"))
+      val base = tmpDir("graft_deep39")
+      val srcT = base + "/src"; val dstT = base + "/backup"
+      Scd1Merge.upsert(s, srcT, dim, Seq("k"), numBuckets = 4)
+      Scd1Merge.upsert(s, srcT,
+        dim.filter(col("k") % 4 === 0).withColumn("bal", col("bal") + 1.0),
+        Seq("k"))
+      Scd1Merge.cloneDeep(srcT, dstT)
+      Scd1Merge.upsert(s, dstT,
+        dim.filter(col("k") % 7 === 0)
+          .withColumn("name", concat(col("name"), lit("_bk"))), Seq("k"))
+      Scd1Merge.delete(s, srcT, Seq("k"), col("k") % 2 === 0)
+      Scd1Merge.vacuum(srcT, retain = 0)
+      Scd1Merge.readTable(s, dstT)
+        .select(col("k"), col("name"), col("bal")).orderBy(col("k"))
+    }),
     "s38_bloom_skipping" -> ((s, dir) => {
       // BLOOM FILE-SKIPPING (the point-lookup complement of s21's
       // min/max): a `bloom:`-tagged stats column writes a per-bucket
@@ -1257,6 +1312,33 @@ object QueriesRel {
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
          |  strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "w10_gap_fill" ->
+      """WITH e AS (
+         |  SELECT user_id, date_trunc('hour', ts) AS hour,
+         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+         |         FROM e GROUP BY 1),
+         |grid AS (
+         |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         |  FROM span)
+         |SELECT g.user_id, g.hour,
+         |  last_value(e.cents IGNORE NULLS) OVER (
+         |    PARTITION BY g.user_id ORDER BY g.hour
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled,
+         |  e.cents IS NULL AS is_gap
+         |FROM grid g LEFT JOIN e ON g.user_id = e.user_id AND g.hour = e.hour
+         |ORDER BY g.user_id, g.hour""".stripMargin,
+    "s39_deep_clone" ->
+      // clone state: bal+1 where k%4==0 (source commit 2), then the
+      // CLONE-side batch rebuilds k%7==0 rows from the ORIGINAL dim
+      // (name gains _bk, bal reverts); the source's later delete and
+      // full vacuum must be invisible here
+      """SELECT s_suppkey AS k,
+         |  CASE WHEN s_suppkey % 7 = 0 THEN s_name || '_bk' ELSE s_name END AS name,
+         |  s_acctbal + CASE WHEN s_suppkey % 4 = 0 AND s_suppkey % 7 <> 0
+         |              THEN 1.0 ELSE 0.0 END AS bal
+         |FROM supplier ORDER BY k""".stripMargin,
     "s38_bloom_skipping" ->
       """SELECT c_custkey AS k, c_name,
          |  md5(CAST(c_custkey AS VARCHAR)) AS tag, true AS bloom_pruned
