@@ -235,8 +235,28 @@ object Scd1Merge {
       dec(c) -> ColStats(t.head, dec(mn), dec(mx))
     }.toMap
 
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(UTF_8)).map("%02x".format(_)).mkString
+
   private def parseManifest(p: Path): Manifest = {
-    val lines = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+    val all = Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+    // INTEGRITY: every manifest written since the sum line landed ends
+    // with `sum=<sha256>` over the other lines. The atomic-rename +
+    // fsync commit already rules out torn writes; the checksum catches
+    // what that can't — bit rot, filesystem bugs, hand edits — and
+    // fails LOUDLY instead of silently misreading bucket paths (a
+    // corrupt dir name reads as missing data; a corrupt stats range
+    // as a wrong prune). Absent sum = pre-checksum manifest, accepted.
+    all.find(_.startsWith("sum=")).foreach { sl =>
+      val expect = sl.stripPrefix("sum=")
+      val got = sha256Hex(all.filterNot(_.startsWith("sum=")).mkString("\n"))
+      if (got != expect) throw new IllegalStateException(
+        s"manifest integrity check FAILED for $p: stored sum $expect, " +
+        s"computed $got — the file is corrupt (bit rot, fs bug, or hand " +
+        "edit); restore from _graft_history")
+    }
+    val lines = all.filterNot(_.startsWith("sum="))
     val (meta, entries) = lines.partition(l => !l.contains("\t"))
     val nb = meta.find(_.startsWith("nb=")).get.stripPrefix("nb=").toInt
     val commit = meta.find(_.startsWith("commit="))
@@ -311,13 +331,15 @@ object Scd1Merge {
       (if (m.dropped.nonEmpty)
         Seq(s"dropped=${m.dropped.toSeq.sorted.map(enc).mkString(",")}")
        else Nil)
-    val body = (metaLines ++
+    val body0 = (metaLines ++
       m.dirs.toSeq.sortBy(_._1).map { case (b, d) =>
         m.stats.get(b).filter(_.nonEmpty) match {
           case Some(st) => s"$b\t$d\t${statsToField(st)}"
           case None => s"$b\t$d"
         }
       }).mkString("\n")
+    // integrity sum over everything above it (see parseManifest)
+    val body = body0 + "\nsum=" + sha256Hex(body0)
     timed("m-history") {
       val hist = Paths.get(tablePath, HistoryDir)
       Files.createDirectories(hist)

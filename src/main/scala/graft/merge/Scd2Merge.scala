@@ -84,4 +84,73 @@ object Scd2Merge {
     Scd1Merge.upsert(spark, tablePath, closes.unionByName(inserts),
       mergeKeys, numBuckets)
   }
+
+  /** Apply one CDC batch (a [[Scd1Merge.readChanges]] /
+    * [[graft.streaming.ChangeStream]] frame) to the SCD2 history —
+    * the medallion chain's "silver CDC feeds the gold history dim"
+    * leg, which [[upsertBatch]]'s full-snapshot contract cannot
+    * express: a change feed names only the keys that MOVED, and it
+    * carries DELETES.
+    *
+    *  - insert/update rows version exactly like a batch snapshot of
+    *    the changed keys (diffed against current, so a replayed
+    *    no-op feed commits nothing);
+    *  - delete rows CLOSE the current version with no successor —
+    *    the key's history simply ends, and a later re-insert opens a
+    *    fresh version;
+    *  - update_preimage rows are ignored (the current SCD2 row IS
+    *    the preimage).
+    *
+    * One commit for closes + inserts, same (naturalKeys, valid_from)
+    * idempotency and bucket-partial rewrite as the snapshot path. */
+  def applyChanges(spark: SparkSession, tablePath: String, changes: DataFrame,
+                   naturalKeys: Seq[String], batchSeq: Long,
+                   numBuckets: Int = 0): Unit = {
+    val attrs = changes.columns.toSeq
+      .filterNot(c => naturalKeys.contains(c) || c == "_change_type")
+    val mergeKeys = naturalKeys :+ ValidFrom
+    def versioned(rows: DataFrame, from: Column): DataFrame =
+      rows.select((naturalKeys ++ attrs).map(col) :+
+        from.cast("bigint").as(ValidFrom) :+
+        lit(null).cast("bigint").as(ValidTo) :+
+        lit(true).as(IsCurrent): _*)
+    val ups = changes.filter(col("_change_type").isin("insert", "update"))
+      .select((naturalKeys ++ attrs).map(col): _*)
+    val dels = changes.filter(col("_change_type") === "delete")
+      .select(naturalKeys.map(col): _*)
+
+    if (!Scd1Merge.tableExists(tablePath)) {
+      // feed from an empty upstream: deletes have nothing to close
+      Scd1Merge.upsert(spark, tablePath, versioned(ups, lit(batchSeq)),
+        mergeKeys, numBuckets)
+      return
+    }
+    val current = Scd1Merge.readTable(spark, tablePath).filter(col(IsCurrent))
+    val cur = current.select(
+      naturalKeys.map(col) ++
+      (col(ValidFrom).as("__c_from") +: attrs.map(a => col(a).as(s"__c_$a"))): _*)
+    val changedUps = ups.join(cur, naturalKeys, "left")
+      .filter(col("__c_from").isNull ||
+        attrs.map(a => !(col(a) <=> col(s"__c_$a"))).reduce(_ || _))
+    val delCur = current.join(dels, naturalKeys, "left_semi")
+    if (changedUps.isEmpty && delCur.isEmpty) return
+    val maxFrom = current.agg(max(col(ValidFrom))).first().getLong(0)
+    require(batchSeq > maxFrom,
+      s"SCD2 batch sequence must advance: got $batchSeq, table is at $maxFrom")
+    val inserts = versioned(changedUps, lit(batchSeq))
+    val closesUp = changedUps.filter(col("__c_from").isNotNull).select(
+      naturalKeys.map(col) ++
+      attrs.map(a => col(s"__c_$a").as(a)) :+
+      col("__c_from").as(ValidFrom) :+
+      lit(batchSeq).cast("bigint").as(ValidTo) :+
+      lit(false).as(IsCurrent): _*)
+    val closesDel = delCur.select(
+      (naturalKeys ++ attrs).map(col) :+
+      col(ValidFrom) :+
+      lit(batchSeq).cast("bigint").as(ValidTo) :+
+      lit(false).as(IsCurrent): _*)
+    Scd1Merge.upsert(spark, tablePath,
+      closesUp.unionByName(closesDel).unionByName(inserts),
+      mergeKeys, numBuckets)
+  }
 }

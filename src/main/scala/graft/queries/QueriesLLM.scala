@@ -100,6 +100,28 @@ object QueriesLLM {
           (col("n_hits").cast("double") / col("n_exact")).as("recall"))
     }),
 
+    "text_corpus_report" -> ((s, dir) => {
+      // DATASET CARD in one pass: the per-source corpus profile every
+      // training-data release ships (doc counts, exact-dup rate via
+      // content hash, token volume, language spread, length bounds) —
+      // one grouped aggregation over a single scan, all integer-exact.
+      // At 100 TB this is the report you run before and after every
+      // curation stage; everything here is partial-aggregatable, so it
+      // costs one shuffle of |sources| × constant rows.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("source"), col("lang"), col("n_chars"),
+          sha2(col("text"), 256).as("h"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_unique"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dup"),
+          sum(col("n_tok")).as("sum_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("source"))
+    }),
     "graph_pagerank" -> ((s, dir) => {
       // GRAPH AUTHORITY over the entity graph: PageRank on the
       // symmetrized supplier↔part incidence graph from lineitem (an
@@ -814,6 +836,14 @@ object QueriesLLM {
        |         list_max(list_transform(toks, t -> len(t))) AS max_len FROM fin)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_corpus_report" ->
+      """SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT sha256(text)) AS n_unique,
+         |  count(*) - count(DISTINCT sha256(text)) AS n_dup,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "graph_pagerank" ->
       graft.graph.PageRank.oracleSql(
         """SELECT l_suppkey AS src, l_partkey + 100000 AS dst FROM lineitem

@@ -526,6 +526,54 @@ object QueriesPipeline {
         .orderBy(col("o_custkey"))
     }),
 
+    "pipe15_cdc_scd2" -> ((s, dir) => {
+      // CDC FEEDS THE HISTORY DIM: the upstream SCD1 dim's commit
+      // stream (ChangeStream) maintains a downstream SCD2 history
+      // table (Scd2Merge.applyChanges) — the medallion leg a
+      // full-snapshot SCD2 load cannot express, because a change feed
+      // names only the moved keys and carries DELETES. Four upstream
+      // commits: snapshot, %5 rename (close+reopen), %9 hard delete
+      // (close with NO successor), %18 re-insert (a fresh version
+      // after the history ended). batchSeq = the delivered commit
+      // number, so validity intervals ARE commit numbers and a
+      // replayed trigger delivers nothing. The oracle derives every
+      // key's version set from the rules; a missed close, phantom
+      // successor, or re-opened delete breaks the hash.
+      import graft.merge.Scd2Merge
+      import graft.streaming.ChangeStream
+      val root = tmpDir("graft_cdcscd2")
+      val up = root + "/dim_customer"; val hist = root + "/dim_history"
+      val ckpt = root + "/ckpt"
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("name"))
+      val K = Seq("k")
+      def sync(): Int =
+        ChangeStream.runAvailableNow(s, up, K, ckpt) { (changes, bid) =>
+          Scd2Merge.applyChanges(s, hist, changes, K,
+            batchSeq = bid.split("@")(1).toLong, numBuckets = 4)
+        }
+      Scd1Merge.upsert(s, up, c, K, numBuckets = 4, retainVersions = 8)
+      sync()
+      Scd1Merge.upsert(s, up,
+        c.filter(col("k") % 5 === 0)
+          .withColumn("name", concat(col("name"), lit("_v2"))),
+        K, retainVersions = 8)
+      sync()
+      Scd1Merge.delete(s, up, K, col("k") % 9 === 0, retainVersions = 8)
+      sync()
+      Scd1Merge.upsert(s, up,
+        c.filter(col("k") % 18 === 0)
+          .withColumn("name", concat(col("name"), lit("_back"))),
+        K, retainVersions = 8)
+      val delivered = sync()
+      assert(delivered == 1 && sync() == 0,
+        "the replayed trigger must deliver nothing")
+      Scd1Merge.readTable(s, hist)
+        .select(col("k"), col("name"), col("valid_from"), col("valid_to"),
+          col("is_current"))
+        .orderBy(col("k"), col("valid_from"))
+    }),
+
     "pipe14_incremental_join_mv" -> ((s, dir) => {
       // INCREMENTAL JOIN-MV (delta-rule view maintenance, the step up
       // from pipe7's single-table aggregate): the star-schema gold
@@ -879,6 +927,28 @@ object QueriesPipeline {
          |  TRUE AS publish_isolated, TRUE AS repaired_consistent
          |FROM orders LEFT JOIN d ON o_custkey = c_custkey
          |ORDER BY o_orderkey""".stripMargin,
+    "pipe15_cdc_scd2" ->
+      // version rules per key k: v1 lives [1, 2) if renamed at c2,
+      // else [1, 3) if deleted at c3, else open; the rename's v2
+      // lives [2, 3) if deleted, else open; %18 keys (all deleted —
+      // 18 is a multiple of 9) reopen at c4. CASE without ELSE = NULL
+      // = still current.
+      """WITH c AS (SELECT c_custkey AS k, c_name AS name FROM customer),
+         |v1 AS (SELECT k, name, 1 AS valid_from,
+         |         CASE WHEN k % 5 = 0 THEN 2 WHEN k % 9 = 0 THEN 3 END AS valid_to
+         |       FROM c),
+         |v2 AS (SELECT k, name || '_v2' AS name, 2 AS valid_from,
+         |         CASE WHEN k % 9 = 0 THEN 3 END AS valid_to
+         |       FROM c WHERE k % 5 = 0),
+         |v3 AS (SELECT k, name || '_back' AS name, 4 AS valid_from,
+         |         NULL AS valid_to
+         |       FROM c WHERE k % 18 = 0)
+         |SELECT k, name, CAST(valid_from AS BIGINT) AS valid_from,
+         |  CAST(valid_to AS BIGINT) AS valid_to,
+         |  valid_to IS NULL AS is_current
+         |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+         |      UNION ALL SELECT * FROM v3)
+         |ORDER BY k, valid_from""".stripMargin,
     "pipe14_incremental_join_mv" ->
       """WITH fact0 AS (
          |  SELECT l_orderkey,

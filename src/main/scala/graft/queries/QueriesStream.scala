@@ -433,7 +433,12 @@ object QueriesStream {
       val root = graft.Tmp.dir("graft_stsrc")
       val up = root + "/up"; val down = root + "/down"
       val ckpt = root + "/ckpt"
+      // SF-CAP (orderkey < 10000, the s31/s33/pipe14 precedent): the
+      // judged object is commit-stream DELIVERY — TaxProbe isolated
+      // this at 15-17 s at sf0.1, ~all of it the seven full-orders
+      // commits' load, none of it teaching anything about delivery
       val orders = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 10000)
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice") * 100).cast("long").as("cents"),
           col("o_orderstatus").as("status"))
@@ -462,6 +467,26 @@ object QueriesStream {
       Scd1Merge.readTable(s, down)
         .select(col("o_orderkey"), col("o_custkey"), col("cents"), col("status"))
         .orderBy(col("o_orderkey"))
+    }),
+    "stream_dedup_watermarked" -> ((s, dir) => {
+      // BOUNDED-STATE streaming dedup (dropDuplicatesWithinWatermark —
+      // the scale fix for stream_dedup's grow-forever seen-key state):
+      // the same events file lands twice; batch 2's clones are either
+      // inside the 1-hour watermark horizon (deduped by the retained
+      // keys) or behind it (late data, dropped by the watermark
+      // contract) — the sink equals one copy either way, while state
+      // holds only the horizon's keys (StreamingSpec pins the bound
+      // via the state-store row counter).
+      val src = graft.Tmp.dir("graft_swdedup_src")
+      Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(src, "a.parquet"))
+      Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(src, "b.parquet"))
+      val out = graft.Tmp.dir("graft_swdedup_out") + "/dedup"
+      val ckpt = graft.Tmp.dir("graft_swdedup_ckpt")
+      Streaming.runDedupWithinWatermarkAvailableNow(s, src, out, ckpt,
+          keyCols = Seq("event_id"), maxFilesPerTrigger = Some(1))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .orderBy(col("event_id"))
     }),
     "stream_static_join" -> ((s, dir) => {
       // STREAM-STATIC enrichment join (the stateless member of the
@@ -685,6 +710,11 @@ object QueriesStream {
          |FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
          |GROUP BY 1, 2
          |ORDER BY window_start, event_type""".stripMargin,
+    "stream_dedup_watermarked" ->
+      // event_id is unique within the file, so one copy = all rows
+      """SELECT event_id, user_id, event_type,
+         |  CAST(round(value * 100) AS BIGINT) AS cents
+         |FROM events ORDER BY event_id""".stripMargin,
     "stream_static_join" ->
       """SELECT e.event_id, e.event_type,
          |  CAST(round(e.value * 100) AS BIGINT) AS cents,
@@ -707,6 +737,7 @@ object QueriesStream {
          |  o_orderstatus AS status
          |FROM orders
          |WHERE o_orderstatus IN ('O', 'F') AND o_orderkey % 7 <> 0
+         |  AND o_orderkey < 10000
          |ORDER BY o_orderkey""".stripMargin
   )
 }

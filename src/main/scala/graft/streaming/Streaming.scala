@@ -267,6 +267,55 @@ object Streaming {
     }
   }
 
+  /** FINAL state-store row count of the last
+    * [[runDedupWithinWatermarkAvailableNow]] run — the steady-state
+    * bound that separates this from unbounded plain-dedup state.
+    * Final, not max: watermark-driven eviction lags one micro-batch
+    * (batch N evicts with batch N−1's watermark), so the first
+    * batch's pre-eviction count is transient, while the last
+    * progress event shows what the store RETAINS. */
+  @volatile private[graft] var lastDedupStateRows: Long = -1L
+
+  /** BOUNDED-STATE streaming dedup — `dropDuplicatesWithinWatermark`:
+    * the scale fix for [[runDedupAvailableNow]], whose seen-key state
+    * grows FOREVER (every key ever seen — the classic streaming-dedup
+    * OOM at production volume). Here keys are only held until the
+    * event-time watermark passes them: duplicates arriving within the
+    * `delay` horizon dedup exactly, older arrivals are late data (the
+    * watermark contract drops them anyway), and state is bounded by
+    * the key-arrival rate × delay window regardless of stream
+    * lifetime. The right default for at-least-once transport dedup,
+    * where duplicates arrive seconds apart, not days; the PERSISTED
+    * table form ([[runDedupPersistentAvailableNow]]) remains the
+    * answer when the dedup horizon must be unbounded. */
+  def runDedupWithinWatermarkAvailableNow(spark: SparkSession, srcDir: String,
+                                          outPath: String, checkpointDir: String,
+                                          keyCols: Seq[String],
+                                          delay: String = "1 hour",
+                                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    withConfs(spark,
+        "spark.sql.shuffle.partitions" -> "8") {
+      val reader = spark.readStream.schema(EventsRawSchema)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val events = withEventTime(reader.parquet(srcDir))
+        .withWatermark("ets", delay)
+      val dedup = events.dropDuplicatesWithinWatermark(keyCols)
+      val q = dedup.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpointDir)
+        .format("parquet")
+        .option("path", outPath)
+        .start()
+      q.awaitTermination()
+      lastDedupStateRows = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .getOrElse(-1L)
+      spark.read.parquet(outPath)
+    }
+  }
+
   /** STREAM-STATIC enrichment join — the stateless third member of the
     * streaming-join family: each micro-batch of the event stream joins
     * a STATIC dimension frame. Spark plans this per-batch with no

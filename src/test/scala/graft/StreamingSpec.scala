@@ -272,6 +272,29 @@ class StreamingSpec extends SparkSpecBase {
       "a key inserted then deleted upstream stays deleted downstream")
   }
 
+  test("watermarked dedup: state stays horizon-bounded while the sink dedups exactly") {
+    val events = spark.read
+      .schema(Streaming.EventsRawSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    val total = events.count()
+    val src = Tmp.dir("swd_src")
+    events.coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    events.coalesce(1).write.mode("append").parquet(src) // full clone batch
+    val got = Streaming.runDedupWithinWatermarkAvailableNow(spark, src,
+      Tmp.dir("swd_out") + "/dedup", Tmp.dir("swd_ckpt"),
+      keyCols = Seq("event_id"), maxFilesPerTrigger = Some(1))
+    assert(got.count() == total, "clones must leave exactly one copy")
+    // THE scale claim: after eviction catches up, the store RETAINS
+    // only the watermark horizon's keys, not every key ever seen (the
+    // spread of event times is ~weeks vs a 1-hour delay — plain
+    // dropDuplicates state retains `total` forever)
+    val state = Streaming.lastDedupStateRows
+    assert(state >= 0, "state metrics must be observed")
+    assert(state < total / 5,
+      s"retained state must be horizon-bounded: held $state of $total keys")
+  }
+
   test("stream-static join over 2 micro-batches ≡ batch broadcast join") {
     val events = spark.read
       .schema(Streaming.EventsRawSchema)
