@@ -116,4 +116,25 @@ object RelOps {
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Generic per-column table profiler (rows / nulls / exact distinct /
+    * min / max per column) in ONE scan: each `(name, rendering)` pair
+    * becomes a `(column, value)` row via an explode over a literal map,
+    * then one hash aggregation keyed by column name — |cols| groups
+    * regardless of table size, every measure partial-aggregatable
+    * (`count(distinct)` expands map-side; the shuffle carries group
+    * states, never rows). The caller chooses the string rendering per
+    * column (e.g. decimal-quantized doubles) so min/max/distinct are
+    * engine- and partitioning-independent. Null values survive the map
+    * (only map KEYS must be non-null), so `n_nulls` is exact. */
+  def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val mapArgs = cols.flatMap { case (n, c) => Seq(lit(n), c.cast("string")) }
+    df.select(explode(map(mapArgs: _*)).as(Seq("column", "value")))
+      .groupBy(col("column"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("value")).as("n_distinct"),
+        min(col("value")).as("min_val"),
+        max(col("value")).as("max_val"))
+  }
 }

@@ -375,6 +375,24 @@ object QueriesLLM {
         .select(col("doc_id"), col("lang"),
           TextOps.sampleBucket(col("doc_id")).as("bucket"))
         .orderBy(col("doc_id"))),
+    "text_sample_weighted" -> ((s, dir) =>
+      // Weighted (PPS) corpus sampling, weight = n_chars, target 50
+      // picks: systematic integer-stride selection — deterministic and
+      // BIGINT-exact where the textbook exponential-key reservoir
+      // would hinge on cross-engine libm floats. See TextOps.ppsSample
+      // for the prefix-sum scale shape (no single-partition window).
+      TextOps.ppsSample(table(s, dir, "documents"), "doc_id", "n_chars",
+          k = 50)
+        .orderBy(col("doc_id"))),
+    "dedup_fuzzy_names" -> ((s, dir) =>
+      // Entity-resolution fuzzy matching: all distinct part-name pairs
+      // within Levenshtein distance 2, found by a bigram inverted-index
+      // join whose count-filtering bound makes recall PROVABLY total
+      // (see Dedup.fuzzyPairs), then exact-verified. The oracle brute-
+      // forces all pairs, so a pass certifies the candidate generation
+      // lost nothing.
+      Dedup.fuzzyPairs(table(s, dir, "part"), "p_name", maxDist = 2)
+        .orderBy(col("name_a"), col("name_b"))),
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -1186,6 +1204,23 @@ object QueriesLLM {
          |SELECT doc_id, lang, bucket FROM b
          |WHERE bucket < CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 70 ELSE 100 END
          |ORDER BY doc_id""".stripMargin,
+    "text_sample_weighted" ->
+      """WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+        |  FROM documents WHERE n_chars > 0),
+        |c AS (SELECT doc_id, w, sum(w) OVER (ORDER BY doc_id) AS cum FROM w),
+        |s AS (SELECT greatest(1, CAST(sum(w) AS BIGINT) // 50) AS stride FROM w)
+        |SELECT doc_id, w AS weight,
+        |  CAST(cum // stride - (cum - w) // stride AS BIGINT) AS n_picks
+        |FROM c, s
+        |WHERE cum // stride - (cum - w) // stride >= 1
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_fuzzy_names" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  levenshtein(a.name, b.name) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
     "text_fingerprint" ->
       s"""WITH toks AS ($DocToks),
          |sh AS (SELECT doc_id, text, ${shingles(5)} AS s FROM toks)

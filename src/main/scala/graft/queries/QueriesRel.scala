@@ -1146,6 +1146,30 @@ object QueriesRel {
           col("r_name").as("name"), lit("region").as("origin"))
       a.unionByName(b, allowMissingColumns = true).orderBy(col("k"))
     }),
+    "a27_profile" -> ((s, dir) => {
+      // Generic per-column table profiler (the data-quality dataset
+      // card for relational tables, text_corpus_report's cousin):
+      // count / nulls / exact distinct / min / max for every lineitem
+      // column in ONE scan — an explode over a column→string map turns
+      // 16 per-column aggregations into one 10-group hash agg (Expand
+      // ×2 for the exact distinct; all measures partial-aggregatable,
+      // the shuffle carries group states, never rows). Doubles profile
+      // through a decimal(18,2) rendering so min/max/distinct are
+      // engine-independent strings; at 100 TB this is the same one
+      // scan — profiling cost never exceeds one pass over the table.
+      graft.ops.RelOps.profile(table(s, dir, "lineitem"), Seq(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_partkey" -> col("l_partkey"),
+        "l_suppkey" -> col("l_suppkey"),
+        "l_linenumber" -> col("l_linenumber"),
+        "l_quantity" -> col("l_quantity").cast("decimal(18,2)"),
+        "l_extendedprice" -> col("l_extendedprice").cast("decimal(18,2)"),
+        "l_discount" -> col("l_discount").cast("decimal(18,2)"),
+        "l_returnflag" -> col("l_returnflag"),
+        "l_linestatus" -> col("l_linestatus"),
+        "l_shipdate" -> col("l_shipdate")))
+        .orderBy(col("column"))
+    }),
     "a26_unpivot" -> ((s, dir) =>
       // UNPIVOT / melt — the inverse of a10_pivot and the missing
       // reshape primitive: four lineitem measures become (measure,
@@ -1447,6 +1471,23 @@ object QueriesRel {
          |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
          |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_30d
          |FROM o ORDER BY o_orderkey""".stripMargin,
+    "a27_profile" ->
+      """WITH p AS (
+         |  SELECT 'l_orderkey' AS "column", CAST(l_orderkey AS VARCHAR) AS value FROM lineitem
+         |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_quantity', CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_extendedprice', CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_discount', CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+         |  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+         |  UNION ALL SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR) FROM lineitem)
+         |SELECT "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+         |  min(value) AS min_val, max(value) AS max_val
+         |FROM p GROUP BY "column" ORDER BY "column"""".stripMargin,
     "a26_unpivot" ->
       """WITH s AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
          |SELECT l_orderkey, l_linenumber, measure, value FROM (

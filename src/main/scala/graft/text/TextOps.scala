@@ -441,6 +441,55 @@ object TextOps {
         floor(($"__off" + $"__cum" - $"n_tok") / lit(budget)).cast("long").as("pack_id"))
   }
 
+  /** Weighted (probability-proportional-to-size) corpus sampling via
+    * SYSTEMATIC selection: lay the documents on a line in id order,
+    * each occupying `weight` units, and pick every `stride`-th unit
+    * where `stride = floor(total_weight / k)` — a doc is selected
+    * `floor(cum/stride) − floor((cum−w)/stride)` times (≥ 1 copy when
+    * picked; heavy docs with `w ≥ stride` are picked proportionally
+    * often, the PPS property). This is the deterministic, INTEGER-EXACT
+    * alternative to the A-ES exponential-key weighted reservoir: A-ES
+    * orders by `−ln(u)/w`, whose libm floats cannot bit-match across
+    * engines, while this plan is pure `BIGINT` division — identical
+    * everywhere, reproducible across runs and partitionings. The
+    * pipeline use is token-budget-proportional subsampling (weight =
+    * chars/tokens ⇒ the sample preserves the token mix, not doc
+    * counts).
+    *
+    * Scale shape = [[packByTokens]]: range-repartition + sort by id,
+    * per-partition running sums, tiny per-partition totals collected
+    * once (O(partitions) driver round-trip — the s12 barrier posture)
+    * and re-broadcast as offsets. No single-partition window, no
+    * global sort of the data itself. All arithmetic is `div` on longs,
+    * so the plan survives totals past 2^53 where a double-based
+    * cumulative sum silently loses picks. */
+  def ppsSample(docs: DataFrame, idCol: String, weightCol: String,
+                k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val w0 = docs.select(col(idCol), col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = w0.groupBy($"__pid").agg(sum($"w").as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val stride = math.max(1L, totals.map(_._2).sum / k)
+    val prefix = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val prefixDf = broadcast(prefix.toSeq.toDF("__pid", "__off"))
+    val win = Window.partitionBy($"__pid").orderBy(col(idCol))
+    w0.withColumn("__cum", sum($"w").over(win))
+      .join(prefixDf, "__pid")
+      .withColumn("__c", $"__off" + $"__cum")
+      .withColumn("n_picks",
+        expr(s"__c div ${stride}L") - expr(s"(__c - w) div ${stride}L"))
+      .filter($"n_picks" >= 1)
+      .select(col(idCol), $"w".as("weight"), $"n_picks")
+  }
+
   /** Overlapping character-window chunking — the split-long-documents
     * step of training-shard assembly (fixed-size pieces for a context
     * window; the overlap keeps boundary context in exactly one extra

@@ -283,4 +283,36 @@ class DedupSpec extends SparkSpecBase {
       batchId = "batch@2retry")
     assert(graft.merge.Scd1Merge.readTable(spark, idx).count() == before)
   }
+
+  test("fuzzyPairs equals brute-force levenshtein, including short-string pairs") {
+    // planted vocabulary exercising every recall regime:
+    //  - "kitten"/"sitten" (dist 1) and "kitten"/"sitting" (dist 3 — out)
+    //  - "cat"/"bat" (dist 1, len 3): share NO bigram — only the
+    //    short-bucket cross join can find this pair
+    //  - "cat"/"cart" (dist 1, lens 3/4): also below the gram bound
+    //  - "abcdef"/"ghijkl" (dist 6): shares nothing, stays out
+    //  - "red gear"/"red bear" (dist 2): found via shared grams
+    val names = Seq("kitten", "sitten", "sitting", "cat", "bat", "cart",
+      "abcdef", "ghijkl", "red gear", "red bear", "red gear")
+      .toDF("name")
+    val got = Dedup.fuzzyPairs(names, "name", maxDist = 2)
+      .orderBy("name_a", "name_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // brute force over the distinct vocabulary
+    val vocab = names.distinct().collect().map(_.getString(0))
+    val want = (for {
+      a <- vocab; b <- vocab if a < b
+      d = {
+        val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        dp(a.length)(b.length)
+      } if d <= 2
+    } yield (a, b, d)).sorted
+    assert(got.toSeq == want.toSeq)
+    assert(got.exists(p => p._1 == "bat" && p._2 == "cat")) // short bucket fired
+    assert(!got.exists(p => p._1 == "kitten" && p._2 == "sitting")) // dist 3 excluded
+  }
 }

