@@ -642,6 +642,55 @@ object Dedup {
       .select(col(idCol), col("component"), col("quality"), col("is_survivor"))
   }
 
+  /** CONTENT-DEFINED CHUNKING (the FastCDC/rsync primitive,
+    * re-expressed relationally) + chunk-level dedup: cut each document
+    * after every position whose trailing `w`-char window hashes to
+    * `0 mod m` (plus a forced cut at end-of-doc), emit the chunks
+    * between cuts, and count each chunk's copies corpus-wide.
+    *
+    * WHY content-defined instead of fixed-stride ([[graft.text.TextOps
+    * .chunkWindows]]): boundaries depend only on LOCAL content, so an
+    * insertion or deletion re-chunks just the windows it touches —
+    * every later chunk keeps its identity, and chunk-level dedup
+    * (shared boilerplate, quoted passages, mirrored pages) survives
+    * local edits that shift every fixed-stride frame. Average chunk
+    * length is `m` chars; `w` sets boundary context.
+    *
+    * Plan: explode boundary CANDIDATE positions (O(total chars),
+    * narrow, codegen'd — the duplicateRanges posture), filter by the
+    * window hash, close each doc with its final position, then one
+    * per-doc `lag` window (doc-sized partitions) turns the sorted cut
+    * list into (start, len) chunk spans, and one hash-agg on the chunk
+    * md5 counts copies. The judged twin replays the identical md5
+    * arithmetic in DuckDB; a production corpus would swap the md5
+    * boundary test for `xxhash64 & (m-1)` — same plan, cheaper hash —
+    * at the cost of the cross-engine oracle. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                w: Int = 8, mod: Int = 32): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("__t"),
+      length(col(textCol)).as("__len")).filter(col("__len") >= 1)
+    val inner = base.filter(col("__len") > w)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(w), col("__len") - 1)).as("p"))
+      .filter(pmod(
+        conv(substring(md5(expr(s"substring(__t, p - ${w - 1}, $w)")), 1, 8),
+          16, 10).cast("long"), lit(mod)) === 0)
+    val ends = inner.select(col(idCol), col("__t"), col("p"))
+      .unionByName(base.select(col(idCol), col("__t"), col("__len").as("p")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val chunks = ends
+      .withColumn("chunk_start",
+        (coalesce(lag(col("p"), 1).over(win), lit(0)) + 1).cast("long"))
+      .withColumn("chunk_len", (col("p") - col("chunk_start") + 1).cast("long"))
+      .withColumn("chunk_md5", md5(expr("substring(__t, chunk_start, chunk_len)")))
+      .select(col(idCol), col("chunk_start"), col("chunk_len"), col("chunk_md5"))
+    val counts = chunks.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"))
+    chunks.join(counts, "chunk_md5")
+      .select(col(idCol), col("chunk_start"), col("chunk_len"),
+        col("chunk_md5"), col("n_copies"))
+  }
+
   /** Fuzzy string matching (entity-resolution dedup): all UNORDERED
     * pairs of distinct `strCol` values within Levenshtein distance
     * `maxDist` — the near-dup primitive for short strings (names,

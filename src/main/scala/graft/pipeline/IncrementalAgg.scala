@@ -46,11 +46,13 @@ object IncrementalAgg {
     * Call once when the aggregate table does not yet exist; every
     * later base commit is an [[applyChanges]]. */
   def bootstrap(spark: SparkSession, aggPath: String, base: DataFrame,
-                spec: AggSpec, numBuckets: Int = 0, batchId: String = ""): Unit = {
+                spec: AggSpec, numBuckets: Int = 0, batchId: String = "",
+                retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit = {
     val exprs = spec.sums.map(p => sum(col(p._1)).as(p._2)) :+
       count(lit(1)).as(spec.countName)
     val aggd = base.groupBy(spec.groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
     Scd1Merge.upsert(spark, aggPath, aggd, spec.groupCols, numBuckets,
+      retainVersions = retainVersions,
       statsColumns = Seq(spec.countName), batchId = batchId)
   }
 
@@ -81,17 +83,19 @@ object IncrementalAgg {
   def applyChanges(spark: SparkSession, aggPath: String, basePath: String,
                    baseKeys: Seq[String], spec: AggSpec,
                    fromBack: Int = 1, toBack: Int = 0,
-                   numBuckets: Int = 0, batchId: String = ""): Unit = {
+                   numBuckets: Int = 0, batchId: String = "",
+                   retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit = {
     val baseCommit = Scd1Merge.tableCommit(basePath).getOrElse(
       throw new IllegalStateException(s"applyChanges: $basePath has no manifest")) - toBack
     val stamp = if (batchId.nonEmpty) batchId else f"base-commit-$baseCommit%09d"
     if (Scd1Merge.tableBatchId(aggPath).contains(stamp)) {
       // already applied — finish a possibly-interrupted tombstone sweep
-      sweepTombstones(spark, aggPath, spec)
+      sweepTombstones(spark, aggPath, spec, retainVersions)
       return
     }
     val changes = Scd1Merge.readChanges(spark, basePath, baseKeys, fromBack, toBack)
-    applyChangesFrame(spark, aggPath, changes, spec, numBuckets, stamp)
+    applyChangesFrame(spark, aggPath, changes, spec, numBuckets, stamp,
+      retainVersions)
   }
 
   /** The feed-application core over an ALREADY-READ change frame —
@@ -103,21 +107,24 @@ object IncrementalAgg {
     * idempotent tombstone sweep. */
   def applyChangesFrame(spark: SparkSession, aggPath: String,
                         changes: DataFrame, spec: AggSpec,
-                        numBuckets: Int = 0, stamp: String = ""): Unit = {
+                        numBuckets: Int = 0, stamp: String = "",
+                        retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit = {
     require(stamp.nonEmpty, "applyChangesFrame needs a batch stamp")
     if (Scd1Merge.tableBatchId(aggPath).contains(stamp)) {
-      sweepTombstones(spark, aggPath, spec)
+      sweepTombstones(spark, aggPath, spec, retainVersions)
       return
     }
     val sign = when(col("_change_type").isin("insert", "update"), lit(1L))
       .otherwise(lit(-1L))
+    // `sums` may be empty (pure maintained COUNT — the multiplicity
+    // layer of IncrementalDistinct); the count expr is always present
+    val deltaExprs = spec.sums.map(p =>
+      sum(col("__sign") * col(p._1)).as(p._2)) :+
+      sum(col("__sign")).as(spec.countName)
     val delta = changes
       .withColumn("__sign", sign)
       .groupBy(spec.groupCols.map(col): _*)
-      .agg(
-        sum(col("__sign") * col(spec.sums.head._1)).as(spec.sums.head._2),
-        (spec.sums.tail.map(p => sum(col("__sign") * col(p._1)).as(p._2)) :+
-          sum(col("__sign")).as(spec.countName)): _*)
+      .agg(deltaExprs.head, deltaExprs.tail: _*)
     val valueCols = spec.sums.map(_._2) :+ spec.countName
     val merged =
       if (!Scd1Merge.tableExists(aggPath)) delta
@@ -131,17 +138,19 @@ object IncrementalAgg {
             (coalesce(col(s"c.$v"), lit(0L)) + col(s"d.$v")).as(v)): _*)
       }
     Scd1Merge.upsert(spark, aggPath, merged, spec.groupCols, numBuckets,
+      retainVersions = retainVersions,
       statsColumns = Seq(spec.countName), batchId = stamp)
-    sweepTombstones(spark, aggPath, spec)
+    sweepTombstones(spark, aggPath, spec, retainVersions)
   }
 
   /** Remove zero-count tombstone rows. Idempotent; the count-column
     * stats prune the probe to buckets whose count range reaches 0. */
   private def sweepTombstones(spark: SparkSession, aggPath: String,
-                              spec: AggSpec): Unit =
+                              spec: AggSpec,
+                              retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit =
     if (Scd1Merge.tableExists(aggPath)) {
       Scd1Merge.delete(spark, aggPath, spec.groupCols,
-        col(spec.countName) === 0L)
+        col(spec.countName) === 0L, retainVersions)
       ()
     }
 }

@@ -375,6 +375,16 @@ object QueriesLLM {
         .select(col("doc_id"), col("lang"),
           TextOps.sampleBucket(col("doc_id")).as("bucket"))
         .orderBy(col("doc_id"))),
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      // Content-defined chunking + chunk dedup (Dedup.cdcChunks): cuts
+      // where the 8-char window hash ≡ 0 mod 32, so boundaries — and
+      // therefore chunk identities — survive local edits that shift
+      // every fixed-stride frame. n_copies counts each chunk
+      // corpus-wide; the oracle replays the identical md5 boundary
+      // arithmetic in SQL.
+      Dedup.cdcChunks(table(s, dir, "documents"), "doc_id", "text",
+          w = 8, mod = 32)
+        .orderBy(col("doc_id"), col("chunk_start"))),
     "text_sample_weighted" -> ((s, dir) =>
       // Weighted (PPS) corpus sampling, weight = n_chars, target 50
       // picks: systematic integer-stride selection — deterministic and
@@ -1204,6 +1214,25 @@ object QueriesLLM {
          |SELECT doc_id, lang, bucket FROM b
          |WHERE bucket < CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 70 ELSE 100 END
          |ORDER BY doc_id""".stripMargin,
+    "dedup_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE length(text) >= 1),
+        |cand AS (SELECT doc_id, text, unnest(generate_series(8, len - 1)) AS p
+        |  FROM d WHERE len > 8),
+        |cuts AS (SELECT doc_id, text, p FROM cand
+        |  WHERE ('0x' || substr(md5(substr(text, p - 7, 8)), 1, 8))::BIGINT % 32 = 0
+        |  UNION ALL SELECT doc_id, text, len AS p FROM d),
+        |ch0 AS (SELECT doc_id, text, p,
+        |    coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1 AS cs
+        |  FROM cuts),
+        |ch AS (SELECT doc_id, CAST(cs AS BIGINT) AS chunk_start,
+        |    CAST(p - cs + 1 AS BIGINT) AS chunk_len,
+        |    md5(substr(text, cs, p - cs + 1)) AS chunk_md5
+        |  FROM ch0)
+        |SELECT c.doc_id, c.chunk_start, c.chunk_len, c.chunk_md5, n.n_copies
+        |FROM ch c JOIN (SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies
+        |                FROM ch GROUP BY chunk_md5) n USING (chunk_md5)
+        |ORDER BY doc_id, chunk_start""".stripMargin,
     "text_sample_weighted" ->
       """WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w
         |  FROM documents WHERE n_chars > 0),

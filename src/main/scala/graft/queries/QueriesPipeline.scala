@@ -638,6 +638,58 @@ object QueriesPipeline {
         .orderBy(col("custkey"))
     }),
 
+    "pipe16_incremental_distinct_mv" -> ((s, dir) => {
+      // COUNT(DISTINCT) VIEW MAINTENANCE — the canonical aggregate
+      // IncrementalAgg's abelian contract REFUSES (a deleted value
+      // only lowers the count if it was the group's last copy),
+      // maintained exactly by composing two abelian layers: a
+      // (supp, part)-keyed multiplicity table whose zero-count
+      // tombstone sweep is the last-copy-died detector, and a
+      // distinct-count table fed by the MULT table's own change feed
+      // (insert = value born +1, delete = value died −1, update =
+      // multiplicity move, nets 0). See IncrementalDistinct. The run
+      // exercises every transition: bootstrap on odd orders, a value
+      // MOVE (part%5==0 → part+1: possible death of the old value AND
+      // birth of the new, same batch), an insert wave (evens), then a
+      // delete that decrements multiplicities (%13 orders) and kills
+      // whole groups (%11 supps). Same SF-cap as pipe14 (orderkey <
+      // 10000): the judged object is the transition algebra, not
+      // fixture load. The oracle recomputes COUNT(DISTINCT) from the
+      // final base state; a missed last-copy death, an undead value,
+      // or a double-counted birth breaks the hash.
+      import graft.pipeline.IncrementalDistinct
+      import graft.pipeline.IncrementalDistinct.Spec
+      val base = tmpDir("graft_dcmv")
+      val baseT = base + "/fact_lines"
+      val multT = base + "/mult_supp_part"
+      val dcT = base + "/dc_by_supp"
+      val FK = Seq("l_orderkey", "l_linenumber")
+      // line-level base keyed on (orderkey, linenumber) — the synthetic
+      // lineitem is not unique on that pair (pipe14 precedent)
+      val li = table(s, dir, "lineitem").filter(col("l_orderkey") < 10000)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_suppkey")).as("supp"), min(col("l_partkey")).as("part"))
+      val spec = Spec(Seq("supp"), "part")
+      val b1 = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+      Scd1Merge.upsert(s, baseT, b1, FK, numBuckets = 8)
+      IncrementalDistinct.bootstrap(s, multT, dcT,
+        Scd1Merge.readTable(s, baseT), spec, numBuckets = 4)
+      val b2 = b1.filter(pmod(col("part"), lit(5)) === 0)
+        .withColumn("part", col("part") + 1L)
+      val b3 = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+      for (b <- Seq(b2, b3)) {
+        Scd1Merge.upsert(s, baseT, b, FK)
+        IncrementalDistinct.applyChanges(s, multT, dcT, baseT, FK, spec)
+      }
+      Scd1Merge.delete(s, baseT, FK,
+        pmod(col("l_orderkey"), lit(13)) === 0 ||
+        pmod(col("supp"), lit(11)) === 0)
+      IncrementalDistinct.applyChanges(s, multT, dcT, baseT, FK, spec)
+      Scd1Merge.readTable(s, dcT)
+        .select(col("supp"), col("n_distinct"))
+        .orderBy(col("supp"))
+    }),
+
     "pipe13_stream_medallion" -> ((s, dir) => {
       // STREAMING MEDALLION CHAIN — the reference's architecture
       // (bronze→silver→gold as SEPARATE jobs, silver_notebook.py:59-62
@@ -949,6 +1001,21 @@ object QueriesPipeline {
          |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2
          |      UNION ALL SELECT * FROM v3)
          |ORDER BY k, valid_from""".stripMargin,
+    "pipe16_incremental_distinct_mv" ->
+      """WITH b0 AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(min(l_suppkey) AS BIGINT) AS supp,
+         |    CAST(min(l_partkey) AS BIGINT) AS part
+         |  FROM lineitem WHERE l_orderkey < 10000
+         |  GROUP BY l_orderkey, l_linenumber),
+         |b AS (
+         |  SELECT supp,
+         |    part + CASE WHEN l_orderkey % 2 = 1 AND part % 5 = 0
+         |                THEN 1 ELSE 0 END AS part
+         |  FROM b0
+         |  WHERE NOT (l_orderkey % 13 = 0 OR supp % 11 = 0))
+         |SELECT supp, CAST(count(DISTINCT part) AS BIGINT) AS n_distinct
+         |FROM b GROUP BY supp ORDER BY supp""".stripMargin,
     "pipe14_incremental_join_mv" ->
       """WITH fact0 AS (
          |  SELECT l_orderkey,

@@ -284,6 +284,44 @@ class DedupSpec extends SparkSpecBase {
     assert(graft.merge.Scd1Merge.readTable(spark, idx).count() == before)
   }
 
+  test("cdcChunks: chunks tile the doc exactly; boundaries survive a local edit") {
+    val a = ("the quick brown fox jumps over the lazy dog and then " * 8).trim
+    // local edit near the FRONT; everything after it is byte-identical
+    val b = "XYZ " + a
+    val docs = Seq((1L, a), (2L, b), (3L, "tiny")).toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(docs, "doc_id", "text", w = 8, mod = 16)
+      .orderBy($"doc_id", $"chunk_start").collect()
+    // chunks TILE each document: contiguous, gap-free, full-cover
+    for ((id, t) <- Seq(1L -> a, 2L -> b, 3L -> "tiny")) {
+      val ch = got.filter(_.getLong(0) == id)
+        .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(ch.head._1 == 1L)
+      assert(ch.last._1 + ch.last._2 - 1 == t.length)
+      ch.sliding(2).foreach {
+        case Array(x, y) => assert(x._1 + x._2 == y._1); case _ => ()
+      }
+      // chunk md5s really are of the tile substrings
+      ch.foreach { case (s0, l, h) =>
+        val sub = t.substring(s0.toInt - 1, (s0 + l - 1).toInt)
+        assert(h == java.security.MessageDigest.getInstance("MD5")
+          .digest(sub.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }
+    }
+    // EDIT STABILITY (the content-defined property): past the edited
+    // prefix, doc 2 re-synchronizes onto doc 1's chunk sequence — the
+    // shared suffix chunks hash-match, so n_copies ≥ 2 there. With a
+    // fixed-stride chunker ZERO chunks would survive the 4-char shift.
+    val h1 = got.filter(_.getLong(0) == 1L).map(_.getString(3)).toSet
+    val h2 = got.filter(_.getLong(0) == 2L).map(_.getString(3)).toSet
+    val shared = h1.intersect(h2)
+    assert(shared.size >= (h1.size * 3) / 4,
+      s"only ${shared.size}/${h1.size} chunks survived the edit")
+    assert(got.filter(r => shared.contains(r.getString(3)))
+      .forall(_.getLong(4) >= 2L))
+    // a doc shorter than the window is one whole-doc chunk
+    assert(got.count(_.getLong(0) == 3L) == 1)
+  }
+
   test("fuzzyPairs equals brute-force levenshtein, including short-string pairs") {
     // planted vocabulary exercising every recall regime:
     //  - "kitten"/"sitten" (dist 1) and "kitten"/"sitting" (dist 3 — out)
