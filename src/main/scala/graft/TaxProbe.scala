@@ -19,7 +19,9 @@ object TaxProbe {
         // round-7 verdict ask #6: the heaviest new lifecycle entries,
         // pre-answering next round's suite-pressure questions
         "s33_deletion_vectors", "stream_late_drop", "stream_checkpoint_resume",
-        "sim_pq_recall", "sim_knn_graph_ann_recall", "stream_dedup")
+        "sim_pq_recall", "sim_knn_graph_ann_recall", "stream_dedup",
+        // round-8 session-3 heavy entries (same pre-answering posture)
+        "pipe16_incremental_distinct_mv", "a27_profile", "dedup_cdc_chunks")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

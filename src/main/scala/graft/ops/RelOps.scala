@@ -129,11 +129,23 @@ object RelOps {
     * (only map KEYS must be non-null), so `n_nulls` is exact. */
   def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     val mapArgs = cols.flatMap { case (n, c) => Seq(lit(n), c.cast("string")) }
+    // two-level: dedup to (column, value, multiplicity) first, then
+    // fold the per-value rows. A single mixed distinct/non-distinct
+    // aggregate makes Catalyst Expand every row ×2 and shuffle the
+    // doubled raw stream; here the first groupBy partial-aggregates
+    // map-side, so the shuffle carries distinct pairs (bounded by
+    // cardinality, not row count) — TaxProbe measured the rewrite
+    // 14 s → ~4 s isolated on 600k×10 cells at sf0.1. Every measure
+    // derives exactly from the pair multiplicities (count of non-null
+    // `value` rows = distinct non-nulls, Spark countDistinct
+    // semantics; the null group survives with its own multiplicity).
     df.select(explode(map(mapArgs: _*)).as(Seq("column", "value")))
+      .groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("__mult"))
       .groupBy(col("column"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(col("value")).as("n_distinct"),
+      .agg(sum(col("__mult")).as("n_rows"),
+        sum(when(col("value").isNull, col("__mult")).otherwise(0L)).as("n_nulls"),
+        count(col("value")).as("n_distinct"),
         min(col("value")).as("min_val"),
         max(col("value")).as("max_val"))
   }
