@@ -664,7 +664,15 @@ object Dedup {
     * md5 counts copies. The judged twin replays the identical md5
     * arithmetic in DuckDB; a production corpus would swap the md5
     * boundary test for `xxhash64 & (m-1)` — same plan, cheaper hash —
-    * at the cost of the cross-engine oracle. */
+    * at the cost of the cross-engine oracle.
+    *
+    * PER-DOCUMENT size bound: `explode(sequence(w, len-1))` builds the
+    * candidate-position array IN MEMORY per row before exploding, and
+    * the per-doc `lag` window makes one document one task — so a
+    * single multi-GB document is both a memory spike and a straggler.
+    * Cap document length upstream (split giants with
+    * [[graft.text.TextOps.chunkWindows]] first, then CDC within the
+    * splits); typical web/corpus docs (≤ a few MB) are fine. */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 w: Int = 8, mod: Int = 32): DataFrame = {
     val base = docs.select(col(idCol), col(textCol).as("__t"),

@@ -126,8 +126,16 @@ object RelOps {
     * states, never rows). The caller chooses the string rendering per
     * column (e.g. decimal-quantized doubles) so min/max/distinct are
     * engine- and partitioning-independent. Null values survive the map
-    * (only map KEYS must be non-null), so `n_nulls` is exact. */
-  def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    * (only map KEYS must be non-null), so `n_nulls` is exact.
+    *
+    * Columns named in `numericCols` get NUMERIC min/max: the extreme is
+    * picked by the double value of the rendering, not by lexicographic
+    * string order (which reports '10.00' < '2.00'); the reported value
+    * stays the caller's string rendering. All other columns order
+    * lexicographically — correct for ISO dates and the intended
+    * behavior for free-form strings. */
+  def profile(df: DataFrame, cols: Seq[(String, Column)],
+              numericCols: Set[String] = Set.empty): DataFrame = {
     val mapArgs = cols.flatMap { case (n, c) => Seq(lit(n), c.cast("string")) }
     // two-level: dedup to (column, value, multiplicity) first, then
     // fold the per-value rows. A single mixed distinct/non-distinct
@@ -139,6 +147,19 @@ object RelOps {
     // derives exactly from the pair multiplicities (count of non-null
     // `value` rows = distinct non-nulls, Spark countDistinct
     // semantics; the null group survives with its own multiplicity).
+    // min/max ordering key: a (double, string) struct — numeric columns
+    // compare by the parsed double (string field only tie-breaks equal
+    // values), everything else by a constant double then the string.
+    // Struct comparison is field-lexicographic, so ONE uniform agg
+    // expression serves both families; null values are excluded the
+    // SQL way (the whole struct is null, min/max skip it). Computed on
+    // the DEDUPED pairs, so the extra struct costs O(cardinality).
+    val isNum =
+      if (numericCols.isEmpty) lit(false)
+      else col("column").isin(numericCols.toSeq: _*)
+    val ordKey = when(isNum, col("value").cast("double")).otherwise(lit(0.0))
+    val sortable = when(col("value").isNotNull,
+      struct(ordKey.as("o"), col("value").as("v")))
     df.select(explode(map(mapArgs: _*)).as(Seq("column", "value")))
       .groupBy(col("column"), col("value"))
       .agg(count(lit(1)).as("__mult"))
@@ -146,7 +167,7 @@ object RelOps {
       .agg(sum(col("__mult")).as("n_rows"),
         sum(when(col("value").isNull, col("__mult")).otherwise(0L)).as("n_nulls"),
         count(col("value")).as("n_distinct"),
-        min(col("value")).as("min_val"),
-        max(col("value")).as("max_val"))
+        min(sortable).getField("v").as("min_val"),
+        max(sortable).getField("v").as("max_val"))
   }
 }

@@ -80,11 +80,19 @@ object IncrementalAgg {
     * consumption with the consumed offset stored transactionally in
     * the consumer's own commit.
     */
+  /** @param rowFilter predicate applied to the change frame before the
+    *   delta fold — rows failing it contribute NOTHING to the aggregate
+    *   (their preimage/postimage signs drop together per-row, so a
+    *   filtered update nets exactly the visible transition: old row
+    *   passed + new fails = −old; old failed + new passes = +new).
+    *   [[IncrementalDistinct]] uses it to give NULL values SQL
+    *   COUNT(DISTINCT) semantics. */
   def applyChanges(spark: SparkSession, aggPath: String, basePath: String,
                    baseKeys: Seq[String], spec: AggSpec,
                    fromBack: Int = 1, toBack: Int = 0,
                    numBuckets: Int = 0, batchId: String = "",
-                   retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit = {
+                   retainVersions: Int = Scd1Merge.DefaultRetainVersions,
+                   rowFilter: org.apache.spark.sql.Column = lit(true)): Unit = {
     val baseCommit = Scd1Merge.tableCommit(basePath).getOrElse(
       throw new IllegalStateException(s"applyChanges: $basePath has no manifest")) - toBack
     val stamp = if (batchId.nonEmpty) batchId else f"base-commit-$baseCommit%09d"
@@ -94,6 +102,7 @@ object IncrementalAgg {
       return
     }
     val changes = Scd1Merge.readChanges(spark, basePath, baseKeys, fromBack, toBack)
+      .filter(rowFilter)
     applyChangesFrame(spark, aggPath, changes, spec, numBuckets, stamp,
       retainVersions)
   }

@@ -65,7 +65,14 @@ object IncrementalDistinct {
   def bootstrap(spark: SparkSession, multPath: String, dcPath: String,
                 base: DataFrame, spec: Spec, numBuckets: Int = 0,
                 retainVersions: Int = MultRetain): Unit = {
-    IncrementalAgg.bootstrap(spark, multPath, base, multSpec(spec), numBuckets,
+    // NULL values never enter the mult layer (here and in
+    // [[applyChanges]]'s rowFilter): SQL COUNT(DISTINCT) ignores NULL,
+    // and a NULL would otherwise both inflate dc by one phantom value
+    // and land NULL in a Scd1Merge key column (mult is keyed on
+    // group+value).
+    IncrementalAgg.bootstrap(spark, multPath,
+      base.filter(org.apache.spark.sql.functions.col(spec.valueCol).isNotNull),
+      multSpec(spec), numBuckets,
       retainVersions = retainVersions)
     val multCommit = Scd1Merge.tableCommit(multPath).getOrElse(0)
     IncrementalAgg.bootstrap(spark, dcPath,
@@ -82,7 +89,8 @@ object IncrementalDistinct {
                    fromBack: Int = 1, toBack: Int = 0,
                    retainVersions: Int = MultRetain): Unit = {
     IncrementalAgg.applyChanges(spark, multPath, basePath, baseKeys,
-      multSpec(spec), fromBack, toBack, retainVersions = retainVersions)
+      multSpec(spec), fromBack, toBack, retainVersions = retainVersions,
+      rowFilter = org.apache.spark.sql.functions.col(spec.valueCol).isNotNull)
     val multNow = Scd1Merge.tableCommit(multPath).getOrElse(0).toLong
     val dcSeen = Scd1Merge.tableBatchId(dcPath)
       .collect { case s if s.startsWith("base-commit-") =>

@@ -1155,7 +1155,9 @@ object QueriesRel {
       // ×2 for the exact distinct; all measures partial-aggregatable,
       // the shuffle carries group states, never rows). Doubles profile
       // through a decimal(18,2) rendering so min/max/distinct are
-      // engine-independent strings; at 100 TB this is the same one
+      // engine-independent strings; numeric columns declare themselves
+      // so their extremes order NUMERICALLY ('2.00' < '10.00'), not
+      // lexicographically; at 100 TB this is the same one
       // scan — profiling cost never exceeds one pass over the table.
       graft.ops.RelOps.profile(table(s, dir, "lineitem"), Seq(
         "l_orderkey" -> col("l_orderkey"),
@@ -1167,7 +1169,9 @@ object QueriesRel {
         "l_discount" -> col("l_discount").cast("decimal(18,2)"),
         "l_returnflag" -> col("l_returnflag"),
         "l_linestatus" -> col("l_linestatus"),
-        "l_shipdate" -> col("l_shipdate")))
+        "l_shipdate" -> col("l_shipdate")),
+        numericCols = Set("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"))
         .orderBy(col("column"))
     }),
     "a26_unpivot" -> ((s, dir) =>
@@ -1486,7 +1490,12 @@ object QueriesRel {
          |SELECT "column", CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
          |  CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
-         |  min(value) AS min_val, max(value) AS max_val
+         |  CASE WHEN "column" IN ('l_orderkey','l_partkey','l_suppkey',
+         |      'l_linenumber','l_quantity','l_extendedprice','l_discount')
+         |    THEN arg_min(value, TRY_CAST(value AS DOUBLE)) ELSE min(value) END AS min_val,
+         |  CASE WHEN "column" IN ('l_orderkey','l_partkey','l_suppkey',
+         |      'l_linenumber','l_quantity','l_extendedprice','l_discount')
+         |    THEN arg_max(value, TRY_CAST(value AS DOUBLE)) ELSE max(value) END AS max_val
          |FROM p GROUP BY "column" ORDER BY "column"""".stripMargin,
     "a26_unpivot" ->
       """WITH s AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)

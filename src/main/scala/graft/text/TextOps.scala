@@ -465,6 +465,7 @@ object TextOps {
     * cumulative sum silently loses picks. */
   def ppsSample(docs: DataFrame, idCol: String, weightCol: String,
                 k: Int): DataFrame = {
+    require(k >= 1, s"ppsSample: k must be >= 1, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions

@@ -56,6 +56,42 @@ class IncrementalDistinctSpec extends SparkSpecBase {
     assert(Scd1Merge.readTable(spark, d).filter($"g" === "a").count() == 0)
   }
 
+  test("NULL values follow SQL COUNT(DISTINCT): ignored at bootstrap and through every transition") {
+    val dir = graft.Tmp.dir("graft_incdc_null")
+    val t = dir + "/base"
+    val m = dir + "/mult"
+    val d = dir + "/dc"
+    def row(k: Long, g: String, v: java.lang.Long) = (k, g, v)
+    def sync(): Unit =
+      IncrementalDistinct.applyChanges(spark, m, d, t, Seq("k"), dSpec)
+    def check(): Unit = assertSameRows(
+      Scd1Merge.readTable(spark, d).select($"g", $"n_distinct").orderBy($"g"),
+      Scd1Merge.readTable(spark, t)
+        .groupBy($"g").agg(countDistinct($"v").as("n_distinct"))
+        .filter($"n_distinct" > 0).orderBy($"g"))
+
+    // bootstrap with NULLs present: a={1, null}, b={null} — b must be
+    // ABSENT from dc (its countDistinct is 0 — no live values), not 1
+    Scd1Merge.upsert(spark, t,
+      Seq(row(1L, "a", 1L), row(2L, "a", null), row(3L, "b", null))
+        .toDF("k", "g", "v"),
+      Seq("k"), numBuckets = 2)
+    IncrementalDistinct.bootstrap(spark, m, d,
+      Scd1Merge.readTable(spark, t), dSpec, numBuckets = 2)
+    check()
+    assert(Scd1Merge.readTable(spark, d).filter($"g" === "b").count() == 0)
+
+    // null→value birth (k=3: b gains its first real value)
+    Scd1Merge.upsert(spark, t, Seq(row(3L, "b", 9L)).toDF("k", "g", "v"), Seq("k"))
+    sync(); check()
+    // value→null death of a's only copy of 1
+    Scd1Merge.upsert(spark, t, Seq(row(1L, "a", null)).toDF("k", "g", "v"), Seq("k"))
+    sync(); check()
+    // deleting a pure-null row changes nothing
+    Scd1Merge.delete(spark, t, Seq("k"), $"k" === 2L)
+    sync(); check()
+  }
+
   test("crash between mult and dc commits: next sync catches dc up over the gap") {
     val dir = graft.Tmp.dir("graft_incdc_crash")
     val t = dir + "/base"

@@ -122,4 +122,24 @@ class RelOpsSpec extends SparkSpecBase {
       ("id", 4L, 0L, 4L, "1", "4"),
       ("s", 4L, 2L, 2L, "a", "b")))
   }
+
+  test("profile numericCols orders extremes numerically, not lexicographically") {
+    import spark.implicits._
+    // '10.00' < '2.00' lexicographically and '9996' > '10000' — the
+    // classic string-profiler lie; declared numeric columns must report
+    // the NUMERIC extremes (still as the caller's rendering)
+    val df = Seq((10000L, 10.0), (9996L, 2.0), (9999L, 7.5))
+      .toDF("k", "v")
+    val got = RelOps.profile(df, Seq(
+        "k" -> col("k"),
+        "v" -> col("v").cast("decimal(18,2)")),
+        numericCols = Set("k", "v"))
+      .orderBy("column")
+      .collect().map(r => (r.getString(0), r.getString(4), r.getString(5)))
+    assert(got.toSeq == Seq(("k", "9996", "10000"), ("v", "2.00", "10.00")))
+    // undeclared columns keep lexicographic order (ISO dates, strings)
+    val lex = RelOps.profile(df, Seq("k" -> col("k")))
+      .collect().map(r => (r.getString(4), r.getString(5))).head
+    assert(lex == ("10000", "9999"))
+  }
 }
