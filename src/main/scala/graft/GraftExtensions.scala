@@ -5,19 +5,26 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-/** SQL surface for graft's native expressions, registered through the
-  * standard `SparkSessionExtensions` hook
-  * (`spark.sql.extensions=graft.GraftExtensions`): `vec_dot` and
-  * `vec_cosine` become first-class SQL functions, analyzable and
-  * codegen'd like any built-in. */
+/** SQL surface for graft, registered through the standard
+  * `SparkSessionExtensions` hook
+  * (`spark.sql.extensions=graft.GraftExtensions`):
+  *  - functions: `vec_dot`/`vec_cosine`/`vec_sum`/`approx_top_k`
+  *    become first-class SQL functions, analyzable and codegen'd like
+  *    any built-in;
+  *  - parser: [[graft.sql.GraftSqlParser]] routes `MERGE INTO` /
+  *    `UPDATE` / `DELETE` statements on graft tables onto the
+  *    [[graft.merge.Scd1Merge]] engine (the SQL DML surface —
+  *    `graft.sql.GraftDml` documents the supported forms). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[DotProduct].getName, name),
         builder))
     }
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+  }
 }
 
 object GraftExtensions {

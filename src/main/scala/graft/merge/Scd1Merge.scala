@@ -2735,6 +2735,15 @@ object Scd1Merge {
   def tableCommit(tablePath: String): Option[Int] =
     readManifest(tablePath).map(_.commit)
 
+  /** The table's merge keys as LOGICAL names (colmap applied) — what
+    * every public API on this object accepts. None = no manifest;
+    * empty = legacy manifest that predates the keys line. The SQL DML
+    * surface ([[graft.sql.GraftDml]]) resolves `MERGE INTO`/`UPDATE`/
+    * `DELETE` statements against these, so SQL users never have to
+    * restate what the table already knows. */
+  def tableKeys(tablePath: String): Option[Seq[String]] =
+    readManifest(tablePath).map(m => m.keys.map(logicalOf(m, _)))
+
   private[graft] def deleteRecursively(p: Path): Unit =
     // NOFOLLOW on the guard: a DANGLING symlink (a clone link whose
     // source target was vacuumed) reports follow-exists=false but must

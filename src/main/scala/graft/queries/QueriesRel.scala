@@ -1064,6 +1064,46 @@ object QueriesRel {
       Scd1Merge.applyCdc(s, path, cdc, Seq("k"))
       Scd1Merge.readTable(s, path).orderBy(col("k"))
     }),
+    "sql_merge" -> ((s, dir) => {
+      // SQL DML surface — the s30 batch driven ENTIRELY from SQL text:
+      // `MERGE INTO` in the CDC-apply shape (conditional DELETE +
+      // UPDATE SET * + INSERT *), then an UPDATE and a DELETE
+      // statement, all parsed by Spark's own grammar and routed onto
+      // Scd1Merge by graft.sql.GraftDml (GraftSqlParser is the
+      // injectParser hook for extension-built sessions; GraftSql.sql
+      // is the live-session twin used here). Merge keys come from the
+      // table's own manifest — SQL never restates them. The final
+      // state must hash-match the DuckDB re-derivation, i.e. the SQL
+      // path is bit-identical to the API path (GraftSqlSpec pins the
+      // API twins statement by statement).
+      val n = table(s, dir, "nation")
+      val dim = n.select(col("n_nationkey").as("k"),
+        col("n_name").as("name"), col("n_regionkey").as("region"))
+      val path = graft.Tmp.dir("graft_sqldml") + "/dim"
+      Scd1Merge.upsert(s, path, dim, Seq("k"))
+      n.filter(col("n_nationkey") % 5 === 0 && col("n_nationkey") < 10)
+        .select(col("n_nationkey").as("k"),
+          concat(col("n_name"), lit("_v2")).as("name"),
+          col("n_regionkey").as("region"), lit("update").as("_op"))
+        .unionByName(n.filter(col("n_nationkey") < 3)
+          .select((col("n_nationkey") + lit(100L)).cast("int").as("k"),
+            concat(col("n_name"), lit("_new")).as("name"),
+            col("n_regionkey").as("region"), lit("insert").as("_op")))
+        .unionByName(n.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 15)
+          .select(col("n_nationkey").as("k"), col("n_name").as("name"),
+            col("n_regionkey").as("region"), lit("delete").as("_op")))
+        .createOrReplaceTempView("sql_merge_cdc_src")
+      graft.sql.GraftSql.sql(s,
+        s"""MERGE INTO graft.`$path` t USING sql_merge_cdc_src s ON t.k = s.k
+           |WHEN MATCHED AND s._op = 'delete' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      graft.sql.GraftSql.sql(s,
+        s"UPDATE graft.`$path` SET name = concat(name, '_upd') WHERE k >= 100")
+      graft.sql.GraftSql.sql(s,
+        s"DELETE FROM graft.`$path` WHERE k >= 15 AND k < 20")
+      Scd1Merge.readTable(s, path).orderBy(col("k"))
+    }),
     "s29_shallow_clone" -> ((s, dir) => {
       // SHALLOW CLONE (Delta CLONE parity): zero-copy table fork. The
       // clone's first commit symlinks the source's bucket versions
@@ -1437,6 +1477,27 @@ object QueriesRel {
          |  WHERE NOT EXISTS (SELECT 1 FROM ups u WHERE u.k = d.k)
          |    AND NOT EXISTS (SELECT 1 FROM dels x WHERE x.k = d.k)
          |  UNION ALL SELECT * FROM ups)
+         |ORDER BY k""".stripMargin,
+    "sql_merge" ->
+      """WITH dim AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation),
+         |ups AS (
+         |  SELECT n_nationkey AS k, n_name || '_v2' AS name, n_regionkey AS region
+         |  FROM nation WHERE n_nationkey % 5 = 0 AND n_nationkey < 10
+         |  UNION ALL
+         |  SELECT n_nationkey + 100 AS k, n_name || '_new' AS name, n_regionkey AS region
+         |  FROM nation WHERE n_nationkey < 3),
+         |dels AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey >= 10 AND n_nationkey < 15),
+         |merged AS (
+         |  SELECT k, name, region FROM (
+         |    SELECT d.* FROM dim d
+         |    WHERE NOT EXISTS (SELECT 1 FROM ups u WHERE u.k = d.k)
+         |      AND NOT EXISTS (SELECT 1 FROM dels x WHERE x.k = d.k)
+         |    UNION ALL SELECT * FROM ups)),
+         |updated AS (
+         |  SELECT k, CASE WHEN k >= 100 THEN name || '_upd' ELSE name END AS name, region
+         |  FROM merged)
+         |SELECT k, name, region FROM updated
+         |WHERE NOT (k >= 15 AND k < 20)
          |ORDER BY k""".stripMargin,
     "s29_shallow_clone" ->
       """WITH dim AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation),

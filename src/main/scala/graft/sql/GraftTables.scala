@@ -1,0 +1,42 @@
+package graft.sql
+
+import graft.merge.Scd1Merge
+
+/** Name → path registry for graft tables addressed from SQL.
+  *
+  * Two addressing modes, resolved by [[pathOf]]:
+  *  - `graft`.`<path>` — by path, no registration needed (the Delta
+  *    ``delta.`/path``` convention; the backtick-quoted path is one
+  *    identifier part).
+  *  - a registered short name — `GraftTables.register("dim_branch",
+  *    path)` then `MERGE INTO dim_branch ...`.
+  *
+  * JVM-global (a ConcurrentHashMap), mirroring how the engine itself
+  * addresses tables by path rather than through a session catalog; a
+  * name that collides with a catalog table would shadow it for DML
+  * statements only, so pick distinct names. */
+object GraftTables {
+  private val reg = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def register(name: String, path: String): Unit =
+    reg.put(name.toLowerCase, path)
+
+  def unregister(name: String): Unit = reg.remove(name.toLowerCase)
+
+  /** Resolve a (possibly multipart) SQL identifier to a graft table
+    * path. None = not a graft table (the statement is Spark's). */
+  def pathOf(parts: Seq[String]): Option[String] = parts match {
+    case Seq(ns, p) if ns.equalsIgnoreCase("graft") => Some(p)
+    case Seq(one) => Option(reg.get(one.toLowerCase))
+    case _ => None
+  }
+
+  /** The table's merge keys, required present: DML on a graft table
+    * needs the manifest's key line (every table the engine created has
+    * one; a legacy pre-keys manifest migrates on its next API upsert). */
+  private[sql] def keysOf(path: String): Seq[String] =
+    Scd1Merge.tableKeys(path).filter(_.nonEmpty).getOrElse(
+      throw new IllegalStateException(
+        s"graft DML: $path has no manifest merge keys — not a graft table, " +
+        "or a legacy manifest (run one API upsert to migrate)"))
+}

@@ -23,4 +23,20 @@ object GraftExpressionBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Parse SQL text with the session's OWN parser (which may itself be
+    * a [[graft.sql.GraftSqlParser]] on an extension-built session) —
+    * the live-session entry point for graft's SQL DML surface, where
+    * `sessionState` is private[sql]. */
+  def parsePlan(spark: SparkSession,
+                sqlText: String): catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+      .parsePlan(sqlText)
+
+  /** LogicalPlan → DataFrame (`Dataset.ofRows` is private[sql]).
+    * Commands execute EAGERLY here — the standard Spark contract for
+    * DML statements. */
+  def ofRows(spark: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

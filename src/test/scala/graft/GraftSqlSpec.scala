@@ -1,0 +1,187 @@
+package graft
+
+import graft.merge.Scd1Merge
+import graft.sql.{GraftSql, GraftTables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL DML ≡ Scala API: every statement form the parser routes must
+  * produce the bit-identical table state its API twin does, and every
+  * rejected form must fail loudly — never silently run the wrong
+  * merge. */
+class GraftSqlSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def dim(n: Int) =
+    (0 until n).map(i => (i.toLong, s"name_$i", (i % 5).toLong))
+      .toDF("k", "name", "region")
+
+  private def mkTable(tag: String, n: Int = 20): String = {
+    val path = graft.Tmp.dir(s"graft_sql_$tag") + "/t"
+    Scd1Merge.upsert(spark, path, dim(n), Seq("k"), numBuckets = 4)
+    path
+  }
+
+  test("DELETE FROM SQL == API delete, returns num_affected_rows") {
+    val sqlT = mkTable("del_sql"); val apiT = mkTable("del_api")
+    val got = GraftSql.sql(spark,
+      s"DELETE FROM graft.`$sqlT` WHERE k >= 10 AND region = 2")
+    Scd1Merge.delete(spark, apiT, Seq("k"), $"k" >= 10 && $"region" === 2)
+    assert(got.as[Long].head() == 2L) // k=12, k=17
+    assertSameRows(Scd1Merge.readTable(spark, sqlT).orderBy($"k"),
+      Scd1Merge.readTable(spark, apiT).orderBy($"k"))
+  }
+
+  test("UPDATE SET SQL == API update; WHERE optional; keys cannot be SET") {
+    val sqlT = mkTable("upd_sql"); val apiT = mkTable("upd_api")
+    val got = GraftSql.sql(spark,
+      s"UPDATE graft.`$sqlT` SET name = concat(name, '_v2'), region = region + 10 WHERE k < 5")
+    Scd1Merge.update(spark, apiT, Seq("k"), $"k" < 5,
+      Map("name" -> concat($"name", lit("_v2")), "region" -> ($"region" + 10)))
+    assert(got.as[Long].head() == 5L)
+    assertSameRows(Scd1Merge.readTable(spark, sqlT).orderBy($"k"),
+      Scd1Merge.readTable(spark, apiT).orderBy($"k"))
+    // no WHERE = all rows
+    val all = GraftSql.sql(spark, s"UPDATE graft.`$sqlT` SET region = 0")
+    assert(all.as[Long].head() == 20L)
+    assert(Scd1Merge.readTable(spark, sqlT)
+      .filter($"region" =!= 0).count() == 0)
+    // merge keys are immutable under UPDATE
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"UPDATE graft.`$sqlT` SET k = k + 1")
+    }
+  }
+
+  test("MERGE upsert form == API upsert; registered short names work") {
+    val sqlT = mkTable("mrg_sql"); val apiT = mkTable("mrg_api")
+    val batch = Seq((3L, "three_v2", 30L), (100L, "hundred", 0L))
+      .toDF("k", "name", "region")
+    batch.createOrReplaceTempView("mrg_batch")
+    GraftTables.register("mrg_target", sqlT)
+    GraftSql.sql(spark,
+      """MERGE INTO mrg_target AS t USING mrg_batch AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    GraftTables.unregister("mrg_target")
+    Scd1Merge.upsert(spark, apiT, batch, Seq("k"))
+    assertSameRows(Scd1Merge.readTable(spark, sqlT).orderBy($"k"),
+      Scd1Merge.readTable(spark, apiT).orderBy($"k"))
+  }
+
+  test("MERGE CDC form (MATCHED AND op DELETE / UPDATE * / INSERT *) == applyCdc") {
+    val sqlT = mkTable("cdc_sql"); val apiT = mkTable("cdc_api")
+    // op-tagged source: source-only column consumed by the AND cond,
+    // dropped by the target projection
+    val cdc = Seq(
+      (1L, "one_v2", 10L, "update"),
+      (100L, "new", 0L, "insert"),
+      (5L, "five", 1L, "delete"),
+      (999L, "ghost", 0L, "delete") // delete of an absent key: no-op
+    ).toDF("k", "name", "region", "_op")
+    cdc.createOrReplaceTempView("cdc_batch")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$sqlT` t USING cdc_batch s ON t.k = s.k
+         |WHEN MATCHED AND s._op = 'delete' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    Scd1Merge.applyCdc(spark, apiT,
+      cdc.withColumn("_op",
+        when($"_op" === "delete", "delete").otherwise("upsert")),
+      Seq("k"))
+    assertSameRows(Scd1Merge.readTable(spark, sqlT).orderBy($"k"),
+      Scd1Merge.readTable(spark, apiT).orderBy($"k"))
+    assert(Scd1Merge.readTable(spark, sqlT).filter($"k" === 5).count() == 0)
+  }
+
+  test("MERGE single-clause forms: delete-matched, update-only, insert-only") {
+    val t1 = mkTable("one_del")
+    Seq((2L, "x", 0L), (999L, "x", 0L)).toDF("k", "name", "region")
+      .createOrReplaceTempView("del_keys")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$t1` t USING del_keys s ON t.k = s.k
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val left = Scd1Merge.readTable(spark, t1)
+    assert(left.count() == 19 && left.filter($"k" === 2).count() == 0)
+
+    val t2 = mkTable("one_upd")
+    Seq((3L, "three_v2", 0L), (500L, "absent", 0L))
+      .toDF("k", "name", "region").createOrReplaceTempView("upd_rows")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$t2` t USING upd_rows s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val afterUpd = Scd1Merge.readTable(spark, t2)
+    assert(afterUpd.count() == 20) // no insert of k=500
+    assert(afterUpd.filter($"k" === 3).select("name").as[String].head() == "three_v2")
+
+    val t3 = mkTable("one_ins")
+    Seq((3L, "SHOULD_NOT_LAND", 0L), (500L, "landed", 0L))
+      .toDF("k", "name", "region").createOrReplaceTempView("ins_rows")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$t3` t USING ins_rows s ON t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val afterIns = Scd1Merge.readTable(spark, t3)
+    assert(afterIns.count() == 21)
+    assert(afterIns.filter($"k" === 3).select("name").as[String].head() == "name_3")
+    assert(afterIns.filter($"k" === 500).select("name").as[String].head() == "landed")
+  }
+
+  test("loud rejections: wrong ON keys, per-column SET in MERGE, non-graft passthrough") {
+    val t = mkTable("rej")
+    dim(3).createOrReplaceTempView("rej_src")
+    // ON clause not the table's merge keys
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$t` t USING rej_src s ON t.name = s.name
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e1.getMessage.contains("merge keys"))
+    // per-column SET inside MERGE is not offered
+    val e2 = intercept[UnsupportedOperationException] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$t` t USING rej_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET name = s.name""".stripMargin)
+    }
+    assert(e2.getMessage.contains("Supported forms"))
+    // a non-graft DML statement is NOT intercepted: Spark's own error
+    // surfaces (table does not exist / does not support DML), proving
+    // passthrough rather than a graft-side hijack
+    intercept[Exception] {
+      GraftSql.sql(spark, "DELETE FROM totally_unknown_table WHERE 1=1")
+    }
+    // ...and plain queries route through untouched
+    assert(GraftSql.sql(spark, "SELECT 1 AS one").as[Int].head() == 1)
+  }
+
+  test("extension-built session: spark.sql() runs graft DML via injectParser") {
+    val t = mkTable("ext")
+    // building a SECOND session against the same SparkContext with the
+    // extensions applied (getOrCreate only applies extensions to a NEW
+    // session, so the default must be cleared first and restored after)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val n = s2.sql(s"DELETE FROM graft.`$t` WHERE k >= 15")
+      assert(n.collect().map(_.getLong(0)).head == 5L)
+      s2.sql(s"UPDATE graft.`$t` SET name = 'flat' WHERE k = 0")
+      // MERGE through spark.sql too
+      s2.range(2).selectExpr("id + 100 AS k", "'ins' AS name", "0L AS region")
+        .createOrReplaceTempView("ext_src")
+      s2.sql(
+        s"""MERGE INTO graft.`$t` t USING ext_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+    val after = Scd1Merge.readTable(spark, t)
+    assert(after.count() == 17) // 20 - 5 deleted + 2 inserted
+    assert(after.filter($"k" === 0).select("name").as[String].head() == "flat")
+    assert(after.filter($"k" === 101).count() == 1)
+  }
+}
