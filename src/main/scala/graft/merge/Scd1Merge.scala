@@ -187,7 +187,18 @@ object Scd1Merge {
                                     // from the logical view WITHOUT rewriting
                                     // data (dropColumn). Files keep the bytes;
                                     // readers filter, writers reject reuse.
-                                    dropped: Set[String] = Set.empty)
+                                    dropped: Set[String] = Set.empty,
+                                    // COMMIT WALL TIME (epoch millis), stamped
+                                    // by commitManifest itself — carriers never
+                                    // copy it through. 0 = pre-timestamp
+                                    // manifest. Powers TIMESTAMP AS OF reads
+                                    // (readTableAtTime) and age-based vacuum.
+                                    ts: Long = 0L)
+
+  /** Injectable wall clock (commit timestamps, age-based vacuum
+    * cutoffs) — specs pin time-travel/retention boundaries without
+    * sleeping; production is real time. */
+  private[graft] var clockMillis: () => Long = () => System.currentTimeMillis()
 
   /** Injected-failure hook for the crash-consistency spec; "" in
     * production. Recognized points: "before-manifest" (bucket versions
@@ -283,6 +294,8 @@ object Scd1Merge {
     val dropped = meta.find(_.startsWith("dropped="))
       .map(_.stripPrefix("dropped=").split(",").iterator
         .filter(_.nonEmpty).map(dec).toSet).getOrElse(Set.empty[String])
+    val ts = meta.find(_.startsWith("ts="))
+      .map(_.stripPrefix("ts=").toLong).getOrElse(0L)
     val parsed = entries.map { l =>
       val fields = l.split("\t", 3)
       val b = fields(0).toInt
@@ -290,7 +303,7 @@ object Scd1Merge {
     }
     Manifest(nb, parsed.map(e => e._1 -> e._2).toMap, commit,
       parsed.filter(_._3.nonEmpty).map(e => e._1 -> e._3).toMap, keys, batch,
-      clusterCols, clusterZBits, clustered, dv, colmap, dropped)
+      clusterCols, clusterZBits, clustered, dv, colmap, dropped, ts)
   }
 
   /** THE commit point: write-to-tmp + fsync + atomic rename over the
@@ -312,7 +325,8 @@ object Scd1Merge {
     * the history GC window would compute against commit 0. */
   private def commitManifest(tablePath: String, m: Manifest): Manifest = {
     val next = readManifest(tablePath).map(_.commit + 1).getOrElse(1)
-    val metaLines = Seq(s"nb=${m.numBuckets}", s"commit=$next") ++
+    val now = clockMillis()
+    val metaLines = Seq(s"nb=${m.numBuckets}", s"commit=$next", s"ts=$now") ++
       (if (m.keys.nonEmpty) Seq(s"keys=${m.keys.map(enc).mkString(",")}") else Nil) ++
       (if (m.batch.nonEmpty) Seq(s"batch=${enc(m.batch)}") else Nil) ++
       (if (m.clusterCols.nonEmpty)
@@ -355,7 +369,7 @@ object Scd1Merge {
     Files.move(tmp, manifestPath(tablePath),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     timed("m-fsync-dir") { fsyncDir(Paths.get(tablePath)) }
-    m.copy(commit = next)
+    m.copy(commit = next, ts = now)
   }
 
   /** Directory-entry fsync (makes the rename itself durable). Works on
@@ -1075,6 +1089,40 @@ object Scd1Merge {
       }
     }
 
+  /** AGE-based vacuum — Delta's `VACUUM ... RETAIN n HOURS`: keep
+    * every snapshot whose commit stamp is within the window, reclaim
+    * older ones. This is the operational dial ("keep 7 days of
+    * history") where [[vacuum]]'s version count is the mechanical one;
+    * commits are consecutively numbered, so the time window translates
+    * EXACTLY to a version-count window against the live commit and the
+    * reclaim reuses the reachability sweep verbatim — one GC rule,
+    * two coordinates. The live snapshot always survives, however old.
+    * Metadata-only scan to pick the cutoff (O(retained commits), no
+    * data read before the sweep). */
+  def vacuumRetainHours(tablePath: String, hours: Double): Unit = {
+    require(hours >= 0, s"vacuumRetainHours: hours must be >= 0, got $hours")
+    readManifest(tablePath) match {
+      case None => ()
+      case Some(_) => withLock(tablePath) { _ =>
+        readManifest(tablePath).foreach { live =>
+          val cutoff = clockMillis() - (hours * 3600 * 1000).toLong
+          val hist = Paths.get(tablePath, HistoryDir)
+          val keptCommits =
+            if (!Files.exists(hist)) Nil
+            else Files.list(hist).iterator().asScala.toSeq
+              .flatMap(p => p.getFileName.toString.toIntOption
+                .filter(_ <= live.commit)
+                .map(n => (n, parseManifest(p).ts)))
+              .filter(_._2 >= cutoff).map(_._1)
+          val oldestKept = (live.commit +: keptCommits).min
+          val retain = live.commit - oldestKept
+          sweepVersions(tablePath, live, retain)
+          sweepTopLevel(tablePath, live, retain)
+        }
+      }
+    }
+  }
+
   // ---------------- writer lock ----------------
 
   /** Acquire the table's writer lease. Atomic CREATE_NEW of
@@ -1359,13 +1407,59 @@ object Scd1Merge {
           s"no snapshot $commitsBack commits back of $tablePath (live commit " +
           s"${live.commit}); it predates the table or was vacuumed — raise " +
           "retainVersions to keep deeper history")
-      val m = parseManifest(p)
-      val dirs = m.dirs.toSeq.sortBy(_._1)
-        .map { case (_, d) => Paths.get(tablePath, d).toString }
-      // the snapshot's OWN colmap: schema history time-travels with it
-      val df = logicalize(applyDv(spark, tablePath, m,
-        spark.read.option("mergeSchema", "true").parquet(dirs: _*)), m)
-      if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+      readSnapshot(spark, tablePath, parseManifest(p))
+    }
+  }
+
+  /** Materialize a retained manifest's snapshot (the snapshot's OWN
+    * colmap applies: schema history time-travels with it). */
+  private def readSnapshot(spark: SparkSession, tablePath: String,
+                           m: Manifest): DataFrame = {
+    val dirs = m.dirs.toSeq.sortBy(_._1)
+      .map { case (_, d) => Paths.get(tablePath, d).toString }
+    val df = logicalize(applyDv(spark, tablePath, m,
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)), m)
+    if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+  }
+
+  /** `TIMESTAMP AS OF` read: the table as it stood AT wall time
+    * `tsMillis` — the youngest retained commit whose stamp is ≤ the
+    * target (commit number breaks clock-skew ties; commit timestamps
+    * come from the writer's clock at manifest-swap time, the Delta
+    * convention). How operators actually reference snapshots — "the
+    * table as of last night's run" — where [[readTableAt]]'s
+    * commit-count coordinate needs the reader to know how many commits
+    * happened since. Loud when `tsMillis` predates the oldest retained
+    * commit (vacuumed or before table creation) — never a silent
+    * nearest-fit. Metadata cost: one O(retained-commits) driver listing
+    * of the history manifests; data cost identical to any snapshot
+    * read. Pre-timestamp manifests (ts=0) only resolve through their
+    * own epoch — practically: re-committed tables adopt stamps on
+    * their next write. */
+  def readTableAtTime(spark: SparkSession, tablePath: String,
+                      tsMillis: Long): DataFrame = {
+    val live = readManifest(tablePath).getOrElse(throw new IllegalStateException(
+      s"table $tablePath has no manifest (snapshot reads need the bucketed layout)"))
+    if (tsMillis >= live.ts) readTable(spark, tablePath)
+    else {
+      val hist = Paths.get(tablePath, HistoryDir)
+      val retained =
+        if (!Files.exists(hist)) Nil
+        else Files.list(hist).iterator().asScala.toSeq
+          .flatMap(p => p.getFileName.toString.toIntOption
+            .filter(_ < live.commit).map(_ => parseManifest(p)))
+      val candidate = retained.filter(_.ts <= tsMillis)
+        .sortBy(m => (m.ts, m.commit)).lastOption
+      candidate match {
+        case Some(m) => readSnapshot(spark, tablePath, m)
+        case None => throw new IllegalStateException(
+          s"no retained snapshot of $tablePath at or before " +
+          s"${java.time.Instant.ofEpochMilli(tsMillis)} (oldest retained: " +
+          retained.sortBy(_.commit).headOption
+            .map(m => s"commit ${m.commit} @ ${java.time.Instant.ofEpochMilli(m.ts)}")
+            .getOrElse("none") +
+          ") — it predates the table or was vacuumed; raise retention")
+      }
     }
   }
 
@@ -2717,8 +2811,11 @@ object Scd1Merge {
            .filter(_ <= live.commit).map(_ => parseManifest(p))))
         .sortBy(_.commit)
     import spark.implicits._
-    rows.map(m => (m.commit, m.batch, m.numBuckets, m.dirs.size))
-      .toDF("commit", "batch_id", "num_buckets", "n_live_buckets")
+    // commit_ts: wall-time stamp (epoch millis; 0 = pre-timestamp
+    // manifest) — the TIMESTAMP AS OF coordinate readTableAtTime
+    // resolves against
+    rows.map(m => (m.commit, m.batch, m.numBuckets, m.dirs.size, m.ts))
+      .toDF("commit", "batch_id", "num_buckets", "n_live_buckets", "commit_ts")
   }
 
   /** The pipeline batch id stamped on the table's live manifest (None:

@@ -1020,7 +1020,44 @@ object QueriesRel {
       Scd1Merge.upsert(s, path,
         dim.filter(col("k") < 3).withColumn("k", col("k") + lit(100).cast("int")),
         Seq("k"), retainVersions = 5, batchId = "B3")
-      Scd1Merge.history(s, path).orderBy(col("commit"))
+      // commit_ts is wall time — projected out of the judged frame
+      // (the cross-engine hash can't pin a clock); s40_time_travel_ts
+      // judges the timestamps' RESOLUTION behavior instead
+      Scd1Merge.history(s, path)
+        .select(col("commit"), col("batch_id"), col("num_buckets"),
+          col("n_live_buckets"))
+        .orderBy(col("commit"))
+    }),
+    "s40_time_travel_ts" -> ((s, dir) => {
+      // TIMESTAMP AS OF — the operator-facing time-travel coordinate
+      // (readTableAtTime): two stamped commits, then a read AT a wall
+      // time strictly between them must materialize the FIRST commit's
+      // snapshot (identical to readTableAt(commitsBack=1)), while the
+      // live read shows the second. The probe time is commit-2's stamp
+      // minus 1 ms; the sleep guarantees the two stamps differ so the
+      // probe lands strictly inside the window. Judged frame carries
+      // both sides tagged — resolution correctness AND live divergence
+      // in one hash. Metadata cost of resolution: one driver listing
+      // of retained history manifests, no data read until the winner
+      // is known.
+      val n = table(s, dir, "nation")
+      val dim = n.select(col("n_nationkey").as("k"),
+        col("n_name").as("name"), col("n_regionkey").as("region"))
+      val path = graft.Tmp.dir("graft_tt40") + "/dim"
+      Scd1Merge.upsert(s, path, dim, Seq("k"), numBuckets = 4)
+      Thread.sleep(5) // commit stamps are millis; force ts2 > ts1
+      Scd1Merge.upsert(s, path,
+        dim.filter(col("k") % 5 === 0)
+          .withColumn("name", concat(col("name"), lit("_v2"))),
+        Seq("k"))
+      val ts2 = Scd1Merge.history(s, path)
+        .filter(col("commit") === 2).select(col("commit_ts"))
+        .first().getLong(0)
+      val asOf = Scd1Merge.readTableAtTime(s, path, ts2 - 1)
+      val live = Scd1Merge.readTableAtTime(s, path, ts2)
+      asOf.withColumn("side", lit("asof"))
+        .unionByName(live.withColumn("side", lit("live")))
+        .orderBy(col("side"), col("k"))
     }),
     "j14_existence_join" -> ((s, dir) => {
       // EXISTENCE join — the marked semi-join (Spark's ExistenceJoin
@@ -1457,6 +1494,15 @@ object QueriesRel {
          |  (1, 'B1', 4, 4), (2, 'B2', 4, 4), (3, 'B3', 4, 4))
          |  t(commit, batch_id, num_buckets, n_live_buckets)
          |ORDER BY commit""".stripMargin,
+    "s40_time_travel_ts" ->
+      """WITH dim AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation),
+         |live AS (
+         |  SELECT k, CASE WHEN k % 5 = 0 THEN name || '_v2' ELSE name END AS name, region
+         |  FROM dim)
+         |SELECT k, name, region, side FROM (
+         |  SELECT *, 'asof' AS side FROM dim
+         |  UNION ALL SELECT *, 'live' AS side FROM live)
+         |ORDER BY side, k""".stripMargin,
     "j14_existence_join" ->
       """SELECT o_orderkey, o_orderstatus,
          |  EXISTS(SELECT 1 FROM lineitem l
