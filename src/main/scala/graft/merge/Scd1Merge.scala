@@ -193,7 +193,22 @@ object Scd1Merge {
                                     // copy it through. 0 = pre-timestamp
                                     // manifest. Powers TIMESTAMP AS OF reads
                                     // (readTableAtTime) and age-based vacuum.
-                                    ts: Long = 0L)
+                                    ts: Long = 0L,
+                                    // CONCURRENCY FOOTPRINT, derived by
+                                    // commitManifest itself (diff vs the
+                                    // previous manifest — carriers never copy
+                                    // it): the buckets THIS commit rewrote,
+                                    // whether that set is recorded at all
+                                    // (false = pre-footprint manifest:
+                                    // conservative conflict), and whether
+                                    // table-wide metadata (dv, colmap, drops,
+                                    // keys, bucket count, cluster spec)
+                                    // changed — a metadata change conflicts
+                                    // with EVERY concurrent writer. Read by
+                                    // upsertConcurrent's rebase check.
+                                    touched: Set[Int] = Set.empty,
+                                    touchedKnown: Boolean = false,
+                                    metaChange: Boolean = false)
 
   /** Injectable wall clock (commit timestamps, age-based vacuum
     * cutoffs) — specs pin time-travel/retention boundaries without
@@ -296,6 +311,11 @@ object Scd1Merge {
         .filter(_.nonEmpty).map(dec).toSet).getOrElse(Set.empty[String])
     val ts = meta.find(_.startsWith("ts="))
       .map(_.stripPrefix("ts=").toLong).getOrElse(0L)
+    val touchedLine = meta.find(_.startsWith("touched="))
+    val touched = touchedLine
+      .map(_.stripPrefix("touched=").split(",").iterator
+        .filter(_.nonEmpty).map(_.toInt).toSet).getOrElse(Set.empty[Int])
+    val metaChange = meta.exists(_.startsWith("metachange="))
     val parsed = entries.map { l =>
       val fields = l.split("\t", 3)
       val b = fields(0).toInt
@@ -303,7 +323,8 @@ object Scd1Merge {
     }
     Manifest(nb, parsed.map(e => e._1 -> e._2).toMap, commit,
       parsed.filter(_._3.nonEmpty).map(e => e._1 -> e._3).toMap, keys, batch,
-      clusterCols, clusterZBits, clustered, dv, colmap, dropped, ts)
+      clusterCols, clusterZBits, clustered, dv, colmap, dropped, ts,
+      touched, touchedLine.isDefined, metaChange)
   }
 
   /** THE commit point: write-to-tmp + fsync + atomic rename over the
@@ -324,9 +345,24 @@ object Scd1Merge {
     * caller must sweep with that, not with its hand-built value, or
     * the history GC window would compute against commit 0. */
   private def commitManifest(tablePath: String, m: Manifest): Manifest = {
-    val next = readManifest(tablePath).map(_.commit + 1).getOrElse(1)
+    val prev = readManifest(tablePath)
+    val next = prev.map(_.commit + 1).getOrElse(1)
     val now = clockMillis()
-    val metaLines = Seq(s"nb=${m.numBuckets}", s"commit=$next", s"ts=$now") ++
+    // concurrency footprint: derived HERE by diffing against the
+    // manifest being replaced, so every commit path records it without
+    // knowing about concurrency at all
+    val touched: Set[Int] = prev match {
+      case None => m.dirs.keySet
+      case Some(p) =>
+        (p.dirs.keySet ++ m.dirs.keySet).filter(b => p.dirs.get(b) != m.dirs.get(b))
+    }
+    val metaChange = prev.exists(p =>
+      p.dv != m.dv || p.colmap != m.colmap || p.dropped != m.dropped ||
+      p.keys.map(_.toLowerCase) != m.keys.map(_.toLowerCase) ||
+      p.numBuckets != m.numBuckets || p.clusterCols != m.clusterCols)
+    val metaLines = Seq(s"nb=${m.numBuckets}", s"commit=$next", s"ts=$now",
+      s"touched=${touched.toSeq.sorted.mkString(",")}") ++
+      (if (metaChange) Seq("metachange=1") else Nil) ++
       (if (m.keys.nonEmpty) Seq(s"keys=${m.keys.map(enc).mkString(",")}") else Nil) ++
       (if (m.batch.nonEmpty) Seq(s"batch=${enc(m.batch)}") else Nil) ++
       (if (m.clusterCols.nonEmpty)
@@ -369,7 +405,8 @@ object Scd1Merge {
     Files.move(tmp, manifestPath(tablePath),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     timed("m-fsync-dir") { fsyncDir(Paths.get(tablePath)) }
-    m.copy(commit = next, ts = now)
+    m.copy(commit = next, ts = now,
+      touched = touched, touchedKnown = true, metaChange = metaChange)
   }
 
   /** Directory-entry fsync (makes the rename itself durable). Works on
@@ -1085,9 +1122,31 @@ object Scd1Merge {
         readManifest(tablePath).foreach { m =>
           sweepVersions(tablePath, m, retain)
           sweepTopLevel(tablePath, m, retain)
+          sweepStaleStaging(tablePath)
         }
       }
     }
+
+  /** Reclaim abandoned staging siblings (`<table>.tmp*`) left by a
+    * CRASHED writer. Age-guarded well past the lock lease so a LIVE
+    * optimistic writer's unlocked staging (which by design exists
+    * while vacuum holds the lock) is never swept from under it; a
+    * staging older than that belongs to a dead process — the lease
+    * would have expired long before. */
+  private def sweepStaleStaging(tablePath: String): Unit = {
+    val dir = Paths.get(tablePath).toAbsolutePath
+    val parent = dir.getParent
+    if (parent == null || !Files.exists(parent)) return
+    val prefix = dir.getFileName.toString + ".tmp"
+    val cutoff = clockMillis() - math.max(lockLeaseMillis * 4, 3600L * 1000)
+    Files.list(parent).iterator().asScala.toSeq.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith(prefix) &&
+          (try Files.getLastModifiedTime(p).toMillis < cutoff
+           catch { case _: Exception => false }))
+        deleteRecursively(p)
+    }
+  }
 
   /** AGE-based vacuum — Delta's `VACUUM ... RETAIN n HOURS`: keep
     * every snapshot whose commit stamp is within the window, reclaim
@@ -1265,6 +1324,37 @@ object Scd1Merge {
 
   private def withLock[T](tablePath: String)(body: String => T): T = {
     val id = timed("lock") { acquireLock(tablePath) }
+    try withHeartbeat(tablePath, id) { body(id) }
+    finally timed("lock") { releaseLock(tablePath, id) }
+  }
+
+  /** Lock acquisition that WAITS (bounded, exponential backoff) on a
+    * live foreign lease instead of failing — the optimistic-commit
+    * posture: by the time a writer reaches the lock its expensive
+    * Spark work is already staged, and the holder's critical section
+    * is short (adopt + manifest swap), so waiting is the right move
+    * where the pessimistic path's fail-loudly protects a full
+    * merge-under-lock. */
+  private def acquireLockWait(tablePath: String, timeoutMillis: Long): String = {
+    val deadline = System.currentTimeMillis() + timeoutMillis
+    var backoff = 25L
+    while (true) {
+      try return acquireLock(tablePath)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+               e.getMessage.contains("locked by concurrent writer") =>
+          if (System.currentTimeMillis() >= deadline) throw e
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 1000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def withLockWait[T](tablePath: String, timeoutMillis: Long)
+                             (body: String => T): T = {
+    val id = timed("lock") { acquireLockWait(tablePath, timeoutMillis) }
     try withHeartbeat(tablePath, id) { body(id) }
     finally timed("lock") { releaseLock(tablePath, id) }
   }
@@ -1704,6 +1794,176 @@ object Scd1Merge {
           }
       }
     }
+  }
+
+  /** OPTIMISTIC upsert — Delta's optimistic concurrency control for
+    * the established-table merge: the expensive work (probe, merge
+    * read, staged bucket write, stats) runs entirely OUTSIDE the
+    * writer lock against a snapshot manifest; the lock is taken only
+    * for the short commit (adopt + manifest swap), WAITING on a
+    * concurrent holder instead of failing. If other writers committed
+    * in between, the commit REBASES onto the new manifest when every
+    * intervening commit's recorded bucket footprint (`touched=` line,
+    * diffed by commitManifest itself) is disjoint from this writer's
+    * touched set and no table-wide metadata changed — the staged
+    * buckets are then still exactly right, because disjointness means
+    * the bucket dirs this merge read are byte-identical in the new
+    * manifest. Overlap (or an unrecorded/metadata-changing intervening
+    * commit, or history swept past the gap) throws
+    * `ConcurrentModificationException` and discards the staging —
+    * never a silent lost update.
+    *
+    * This is what lets maintenance (compact/recluster/vacuum of cold
+    * buckets) run beside ingest at 100 TB without babysitting
+    * schedules: logically-disjoint transactions serialize; only true
+    * write-write conflicts surface. The pessimistic [[upsert]] stays
+    * the default — its merge work happens under the lock, so it needs
+    * no conflict reasoning at all.
+    *
+    * Scope: established manifest tables, strict schema (no
+    * `evolveSchema` — schema changes are table-wide by nature and
+    * belong on the pessimistic path). Reader isolation across a
+    * concurrent winner's sweep is the standard retention contract:
+    * with the default `retainVersions ≥ 1` the dirs this writer reads
+    * survive one concurrent commit; an overlapping rewrite would
+    * conflict at the lock anyway.
+    *
+    * Crash residue: an abandoned staging dir (`<table>.tmp-<id>`) is
+    * unreferenced garbage, reclaimed by [[vacuum]] once older than the
+    * lock lease. */
+  def upsertConcurrent(spark: SparkSession, tablePath: String, source0: DataFrame,
+                       keys0: Seq[String],
+                       retainVersions: Int = DefaultRetainVersions,
+                       statsColumns: Seq[String] = Nil,
+                       batchId: String = "",
+                       lockWaitMillis: Long = 60000L): Unit = {
+    val m0 = readManifest(tablePath).getOrElse(throw new IllegalStateException(
+      s"upsertConcurrent: $tablePath has no manifest — create/migrate the " +
+      "table with upsert first (initial commits are table-wide by nature)"))
+    // same reserved-name guards as the pessimistic path
+    source0.columns.foreach { c =>
+      m0.colmap.foreach { case (p, l) =>
+        if (c.equalsIgnoreCase(p) && !c.equalsIgnoreCase(l))
+          throw new IllegalArgumentException(
+            s"upsert: source column '$c' collides with the physical name " +
+            s"of renamed column '$l' — physical names are reserved until a " +
+            "rebucket materializes the mapping")
+      }
+      if (m0.dropped.exists(_.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(
+          s"upsert: source column '$c' matches a DROPPED column's physical " +
+          "name — dropped names are reserved until a rebucket materializes " +
+          "the drop")
+    }
+    val keys = keys0.map(physicalOf(m0, _))
+    val source = physicalize(source0, m0)
+    val statsColumnsP = statsColumns.map(c =>
+      if (isBloomCol(c)) BloomTag + physicalOf(m0, bloomInner(c))
+      else physicalOf(m0, c))
+    val nb = m0.numBuckets
+    requireSameKeys(tablePath, m0, keys)
+    val bucketed = withBucket(source, keys, nb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probe = timed("probe") { bucketed
+        .groupBy(col(BucketCol) +: keys.map(col): _*).agg(count(lit(1)).as("__c"))
+        .groupBy(col(BucketCol)).agg(max(col("__c")).as("__maxc"))
+        .collect() }
+      if (probe.exists(_.getLong(1) > 1))
+        throw new IllegalArgumentException(
+          s"SCD1 merge aborted: duplicate source rows for merge key ${keys.mkString(",")}")
+      val touchedB = probe.map(_.getInt(0)).toSet
+      if (touchedB.isEmpty) {
+        // empty batch: the stamp still advances, via a short locked
+        // metadata commit (trivially conflict-free)
+        if (batchId.nonEmpty)
+          withLockWait(tablePath, lockWaitMillis) { leaseId =>
+            val m1 = readManifest(tablePath).get
+            if (batchId != m1.batch) {
+              refreshLease(tablePath, leaseId)
+              commitManifest(tablePath, m1.copy(batch = batchId))
+            }
+          }
+        return
+      }
+      // ---- UNLOCKED work phase: merge + stage against the snapshot ----
+      val liveTouched = touchedB.toSeq.sorted.flatMap(b => m0.dirs.get(b))
+        .map(d => Paths.get(tablePath, d).toString)
+      val merged =
+        if (liveTouched.isEmpty) bucketed
+        else {
+          val target = withBucket(
+            spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)
+          target.join(bucketed, keys, "left_anti")
+            .unionByName(alignForUnion(bucketed, target, m0.dropped))
+        }
+      // UNIQUE staging sibling: concurrent writers must never share
+      // the pessimistic path's fixed `<table>.tmp`
+      val tmp = tablePath + ".tmp-" +
+        java.util.UUID.randomUUID().toString.substring(0, 8)
+      timed("merge-write") { stageWrite(merged, tmp) }
+      touchedB.foreach { b =>
+        if (!Files.exists(Paths.get(tmp, s"$BucketCol=$b")))
+          throw new IllegalStateException(
+            s"bucket dir missing from merge output: $tmp/$BucketCol=$b")
+      }
+      val newStats = timed("stats") { bucketStats(spark, tmp, keys ++ statsColumnsP) }
+      failpoint("optimistic-staged")
+      // ---- LOCKED commit phase: conflict check, rebase, swap ----
+      try {
+        withLockWait(tablePath, lockWaitMillis) { leaseId =>
+          val m1 = readManifest(tablePath).getOrElse(throw new IllegalStateException(
+            s"upsertConcurrent: $tablePath manifest vanished mid-commit"))
+          if (m1.commit != m0.commit) {
+            def conflict(why: String): Nothing =
+              throw new java.util.ConcurrentModificationException(
+                s"upsertConcurrent conflict on $tablePath: $why (this " +
+                s"writer read commit ${m0.commit}, live is ${m1.commit}) — " +
+                "re-run the upsert against the current table")
+            // every intervening commit's footprint, youngest = live
+            val intervening = ((m0.commit + 1) to m1.commit).map { n =>
+              if (n == m1.commit) m1
+              else {
+                val p = Paths.get(tablePath, HistoryDir, n.toString)
+                if (!Files.exists(p)) conflict(
+                  s"history for intervening commit $n was already swept")
+                parseManifest(p)
+              }
+            }
+            intervening.foreach { mf =>
+              if (!mf.touchedKnown) conflict(
+                s"intervening commit ${mf.commit} predates footprint recording")
+              if (mf.metaChange) conflict(
+                s"intervening commit ${mf.commit} changed table-wide metadata")
+              val overlap = mf.touched.intersect(touchedB)
+              if (overlap.nonEmpty) conflict(
+                s"intervening commit ${mf.commit} rewrote bucket(s) " +
+                s"${overlap.toSeq.sorted.mkString(",")} this merge also touches")
+            }
+            // belt-and-braces: the footprint chain proved these, but a
+            // mismatch here would corrupt the table — verify directly
+            if (m1.numBuckets != nb || m1.dv != m0.dv ||
+                m1.colmap != m0.colmap || m1.dropped != m0.dropped)
+              conflict("table-wide metadata differs from the snapshot read")
+          }
+          val base = readManifest(tablePath).get
+          val newVersions = timed("adopt") { adoptBucketDirs(tablePath, tmp,
+            b => nextVersion(tablePath, base, b)) }
+          val dvRel = pruneDv(spark, tablePath, base, keys,
+            bucketed.select(keys.map(col): _*))
+          failpoint("before-manifest")
+          refreshLease(tablePath, leaseId)
+          val committed = timed("manifest") {
+            commitManifest(tablePath, base.copy(
+              dirs = base.dirs ++ newVersions,
+              stats = base.stats -- touchedB ++ newStats, keys = keys,
+              dv = dvRel,
+              batch = if (batchId.nonEmpty) batchId else base.batch)) }
+          failpoint("after-manifest")
+          timed("sweep-post") { sweepVersions(tablePath, committed, retainVersions) }
+        }
+      } finally deleteRecursively(Paths.get(tmp))
+    } finally bucketed.unpersist(blocking = false)
   }
 
   /** FULL MERGE surface — Delta `MERGE ... WHEN MATCHED [AND cond]

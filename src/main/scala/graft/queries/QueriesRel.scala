@@ -1028,6 +1028,41 @@ object QueriesRel {
           col("n_live_buckets"))
         .orderBy(col("commit"))
     }),
+    "s41_concurrent_upsert" -> ((s, dir) => {
+      // OPTIMISTIC CONCURRENCY — two writers, one table, no lost
+      // update and no spurious failure: writer B stages its merge
+      // UNLOCKED against the snapshot manifest; inside B's window
+      // writer A commits an upsert to DISJOINT buckets; B's commit
+      // detects the intervening commit via the manifest's recorded
+      // bucket footprint (touched= line), proves disjointness, and
+      // REBASES onto A's manifest — both land, serialized as A then B
+      // (commit numbers 2 and 3). The interleave is forced with the
+      // engine's deterministic hook so the judged artifact is stable;
+      // OptimisticConcurrencySpec drives the same machinery with real
+      // parallel threads and pins the overlap/metadata conflict paths.
+      // This is what lets compaction run beside ingest at 100 TB.
+      val n = table(s, dir, "nation")
+      val dim = n.select(col("n_nationkey").as("k"),
+        col("n_name").as("name"), col("n_regionkey").as("region"))
+      val path = graft.Tmp.dir("graft_occ41") + "/dim"
+      Scd1Merge.upsert(s, path, dim, Seq("k"), numBuckets = 4)
+      // nationkeys 1 and 2 land in different buckets of 4 (pinned by
+      // the same hash the engine buckets with)
+      val aBatch = dim.filter(col("k") === 1)
+        .withColumn("name", concat(col("name"), lit("_A")))
+      val bBatch = dim.filter(col("k") === 2)
+        .withColumn("name", concat(col("name"), lit("_B")))
+      Scd1Merge.testHooks = Map("optimistic-staged" -> { () =>
+        Scd1Merge.testHooks = Map.empty
+        Scd1Merge.upsert(s, path, aBatch, Seq("k"))
+      })
+      try Scd1Merge.upsertConcurrent(s, path, bBatch, Seq("k"))
+      finally Scd1Merge.testHooks = Map.empty
+      if (!Scd1Merge.tableCommit(path).contains(3))
+        throw new IllegalStateException(
+          s"expected 3 commits (create, A, B-rebased), got ${Scd1Merge.tableCommit(path)}")
+      Scd1Merge.readTable(s, path).orderBy(col("k"))
+    }),
     "s40_time_travel_ts" -> ((s, dir) => {
       // TIMESTAMP AS OF — the operator-facing time-travel coordinate
       // (readTableAtTime): two stamped commits, then a read AT a wall
@@ -1494,6 +1529,13 @@ object QueriesRel {
          |  (1, 'B1', 4, 4), (2, 'B2', 4, 4), (3, 'B3', 4, 4))
          |  t(commit, batch_id, num_buckets, n_live_buckets)
          |ORDER BY commit""".stripMargin,
+    "s41_concurrent_upsert" ->
+      """SELECT n_nationkey AS k,
+         |  CASE WHEN n_nationkey = 1 THEN n_name || '_A'
+         |       WHEN n_nationkey = 2 THEN n_name || '_B'
+         |       ELSE n_name END AS name,
+         |  n_regionkey AS region
+         |FROM nation ORDER BY k""".stripMargin,
     "s40_time_travel_ts" ->
       """WITH dim AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation),
          |live AS (
