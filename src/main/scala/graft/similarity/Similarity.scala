@@ -474,4 +474,152 @@ object Similarity {
       .distinct()
     exactRerank(corpus, queries, idCol, vecCol, cands, k)
   }
+
+  // ---------- persisted embedding-space index ----------
+  // The pipe12 pattern (Dedup.signatureIndexUpdate) applied to
+  // embeddings: sign/assign each vector ONCE, persist the tiny index
+  // rows through the batch-stamped commit protocol, and let every
+  // later probe read the index instead of re-hashing the corpus. For
+  // a continuously-ingesting embedded corpus at 100 TB this is the
+  // difference between O(batch) and O(corpus) per ingest.
+
+  /** (index rows read, new rows signed, candidate vectors fetched) for
+    * the most recent [[embeddingIndexedNearDup]] — spec-observable
+    * proof that a probe re-hashes only the NEW batch and fetches only
+    * CANDIDATE vectors, never the corpus. */
+  @volatile private[graft] var lastEmbIndexStats: (Long, Long, Long) = (0L, 0L, 0L)
+
+  /** Persisted sign-LSH bucket index, update leg: hash `newVecs` (the
+    * expensive vector pass) and merge the (id, t, bkt) rows into a
+    * bucketed index table keyed on (id, table). One narrow commit per
+    * ingest; hyperplanes are deterministic (hash-derived), so rows
+    * signed in different batches share the same geometry. */
+  def embeddingIndexUpdate(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, newVecs: DataFrame,
+                           idCol: String, vecCol: String,
+                           tables: Int, bits: Int, dim: Int,
+                           batchId: String = ""): Unit = {
+    val bk = lshBuckets(newVecs, idCol, vecCol, tables, bits, idCol, dim)
+    graft.merge.Scd1Merge.upsert(spark, indexPath, bk, Seq(idCol, "t"),
+      batchId = batchId)
+  }
+
+  /** INDEX-BACKED embedding near-dup — [[cosineNearDup]] restricted to
+    * pairs touching the new batch, with the corpus leg served entirely
+    * by the persisted bucket table:
+    *
+    *  1. UPDATE: hash the new batch only; merge into the index.
+    *  2. PROBE: bucket-equality join of the full index against the new
+    *    side's (batch-sized, broadcast) index rows — zero corpus-side
+    *    hashing, zero corpus shuffle.
+    *  3. VERIFY: exact cosine needs vectors, so fetch ONLY the
+    *    candidate ids' vectors from `corpus` (a candidate-sized
+    *    semi-join, recorded in [[lastEmbIndexStats]]).
+    *
+    * Pair set and cos_sim doubles ≡ [[cosineNearDup]] over the whole
+    * corpus filtered to pairs with a new endpoint (same hyperplanes,
+    * same fused-cosine verify) — SimilaritySpec pins the equivalence. */
+  def embeddingIndexedNearDup(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, corpus: DataFrame,
+                              newVecs: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, tables: Int, bits: Int,
+                              dim: Int, batchId: String = ""): DataFrame = {
+    embeddingIndexUpdate(spark, indexPath, newVecs, idCol, vecCol,
+      tables, bits, dim, batchId)
+    val idx = graft.merge.Scd1Merge.readTable(spark, indexPath)
+    val newIdx = idx.join(broadcast(newVecs.select(col(idCol))), Seq(idCol), "left_semi")
+    val cands = idx.as("x")
+      .join(broadcast(newIdx).as("y"),
+        col("x.t") === col("y.t") && col("x.bkt") === col("y.bkt") &&
+        col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("id_a"),
+        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("id_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val candIds = cands.select(col("id_a").as(idCol))
+        .unionByName(cands.select(col("id_b").as(idCol))).distinct()
+      val candVecs = corpus.join(broadcast(candIds), Seq(idCol), "left_semi")
+        .select(col(idCol), col(vecCol), sqrt(norm2(col(vecCol))).as("__n"))
+      lastEmbIndexStats = (idx.count(), newVecs.count(), candVecs.count())
+      val verified = cands
+        .join(candVecs.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+          col("__n").as("na")), "id_a")
+        .join(candVecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+          col("__n").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+      verified.localCheckpoint(true)
+    } finally cands.unpersist(blocking = false)
+  }
+
+  /** Persisted IVF index, build leg: train the coarse quantizer ONCE,
+    * persist BOTH halves through the commit protocol — the centroid
+    * codebook (nlist tiny rows) and the corpus cluster-assignment
+    * table (one int per vector) — so later ingests and probes never
+    * re-train or re-assign the corpus. */
+  def ivfIndexBuild(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, corpus: DataFrame,
+                    idCol: String, vecCol: String,
+                    nlist: Int = 16, iters: Int = 2,
+                    batchId: String = ""): Unit = {
+    import spark.implicits._
+    val cents = ivfTrain(corpus, idCol, vecCol, nlist, iters)
+    val centDf = cents.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("__cluster", "centroid")
+    graft.merge.Scd1Merge.upsert(spark, s"$indexPath/centroids", centDf,
+      Seq("__cluster"), numBuckets = 1, batchId = batchId)
+    graft.merge.Scd1Merge.upsert(spark, s"$indexPath/assign",
+      ivfAssign(corpus, idCol, vecCol, cents), Seq(idCol), batchId = batchId)
+  }
+
+  /** The persisted codebook, collected (nlist × dim floats — KB). */
+  private def ivfIndexCentroids(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String): Array[Seq[Float]] =
+    graft.merge.Scd1Merge.readTable(spark, s"$indexPath/centroids")
+      .orderBy(col("__cluster")).collect()
+      .map(_.getSeq[Float](1))
+
+  /** Persisted IVF index, update leg: assign ONLY the new batch
+    * against the trained codebook and merge — the corpus assignment
+    * table is never recomputed ([[graft.similarity]] spec pins the
+    * batch-2 shape). */
+  def ivfIndexUpdate(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, newVecs: DataFrame,
+                     idCol: String, vecCol: String,
+                     batchId: String = ""): Unit = {
+    val cents = ivfIndexCentroids(spark, indexPath)
+    graft.merge.Scd1Merge.upsert(spark, s"$indexPath/assign",
+      ivfAssign(newVecs, idCol, vecCol, cents), Seq(idCol), batchId = batchId)
+  }
+
+  /** IVF top-k served FROM the persisted index: queries rank the
+    * persisted codebook for their nprobe clusters, candidates come
+    * from the persisted assignment table (bucket-pruned scan of int
+    * pairs — no vector math on the corpus side), and only candidate
+    * vectors are fetched for the exact re-rank. Identical output to
+    * [[ivfTopK]] built fresh with the same parameters — the persisted
+    * codebook is the float-exact same matrix the trainer produced. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, corpus: DataFrame,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = ivfIndexCentroids(spark, indexPath)
+    val corpusAssign = graft.merge.Scd1Merge
+      .readTable(spark, s"$indexPath/assign")
+      .select(col(idCol).as("vec_id"), col("__cluster"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("__cluster").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol))
+      .select(col("query_id"), posexplode(centroidCol(cents)), col(vecCol))
+      .select(col("query_id"), col("pos").as("__cluster"),
+        cosine(col(vecCol), col("col")).as("__score"))
+      .withColumn("__r", row_number().over(wq)).filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("__cluster"))
+    val cands = corpusAssign.join(broadcast(probes), "__cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(corpus, queries, idCol, vecCol, cands, k)
+  }
 }

@@ -111,4 +111,62 @@ class SimilaritySpec extends SparkSpecBase {
     assert(top.head.getAs[Long]("vec_id") == 900000L)
     assert(math.abs(top.head.getAs[Double]("cos_sim") - 1.0) < 1e-12)
   }
+
+  test("persisted LSH index: probe == full cosineNearDup restricted to new endpoints; corpus never re-hashed") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 200)
+    val corpusSide = emb.filter(pmod($"vec_id", lit(5)) =!= 0)
+    val batch = emb.filter(pmod($"vec_id", lit(5)) === 0)
+    val idx = Tmp.dir("simidx_spec") + "/emb_index"
+    Similarity.embeddingIndexUpdate(spark, idx, corpusSide,
+      "vec_id", "embedding", tables = 32, bits = 4, dim = 64, batchId = "c@1")
+    val got = Similarity.embeddingIndexedNearDup(spark, idx, emb, batch,
+      "vec_id", "embedding", threshold = 0.3, tables = 32, bits = 4, dim = 64,
+      batchId = "b@2")
+    val full = Similarity.cosineNearDup(emb, "vec_id", "embedding",
+        threshold = 0.3, tables = 32, bits = 4, dim = 64)
+      .filter(pmod($"id_a", lit(5)) === 0 || pmod($"id_b", lit(5)) === 0)
+    assertSameRows(got.orderBy("id_a", "id_b"), full.orderBy("id_a", "id_b"))
+    // scan-shape pins: the probe hashed ONLY the new batch, and fetched
+    // at most candidate-many vectors — never the corpus
+    val (idxRows, signed, candVecs) = Similarity.lastEmbIndexStats
+    assert(signed == batch.count(), "only the new batch gets hashed")
+    assert(idxRows == emb.count() * 32, "index holds one row per (id, table)")
+    assert(candVecs <= emb.count(), "verification fetches candidates, not the corpus")
+  }
+
+  test("persisted IVF index: indexed probe == fresh ivfTopK; batch update assigns only new rows") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val idx = Tmp.dir("ivfidx_spec") + "/ivf"
+    Similarity.ivfIndexBuild(spark, idx, emb, "vec_id", "embedding",
+      nlist = 8, iters = 2, batchId = "b@1")
+    val indexed = Similarity.ivfTopKIndexed(spark, idx, emb, q,
+      "vec_id", "embedding", 5, nprobe = 3)
+    val fresh = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 3, iters = 2)
+    assertSameRows(indexed.orderBy("query_id", "rank"),
+      fresh.orderBy("query_id", "rank"))
+    // incremental update: new vectors join the assignment table against
+    // the TRAINED codebook; the corpus rows are not re-assigned (their
+    // table rows are byte-identical), and the merged table equals a
+    // one-shot assignment of the union under the same centroids
+    val newVecs = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 800000L).as("vec_id"), $"embedding")
+    val assignBefore = graft.merge.Scd1Merge
+      .readTable(spark, s"$idx/assign").filter($"vec_id" < 800000L)
+      .orderBy("vec_id").collect().toSeq
+    Similarity.ivfIndexUpdate(spark, idx, newVecs, "vec_id", "embedding",
+      batchId = "b@2")
+    val after = graft.merge.Scd1Merge.readTable(spark, s"$idx/assign")
+    assert(after.count() == emb.count() + 3)
+    assert(after.filter($"vec_id" < 800000L).orderBy("vec_id")
+      .collect().toSeq == assignBefore, "corpus assignments untouched by the batch")
+    // the new rows' clusters match what the trained codebook says
+    val cents = graft.merge.Scd1Merge.readTable(spark, s"$idx/centroids")
+      .orderBy("__cluster").collect().map(_.getSeq[Float](1))
+    assertSameRows(
+      after.filter($"vec_id" >= 800000L).orderBy("vec_id"),
+      Similarity.ivfAssign(newVecs, "vec_id", "embedding", cents).orderBy("vec_id"))
+  }
 }
