@@ -741,6 +741,86 @@ object QueriesPipeline {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "pipe18_stream_star" -> ((s, dir) => {
+      // THE FULL STAR SCHEMA AS DECOUPLED STREAMING JOBS (VERDICT r8
+      // ask #5): the reference's gold layer (4 dim notebooks + fact,
+      // gold_fact.py:34-38) re-architected so silver is a bucketed
+      // TABLE and every gold job — each dim AND the fact — is an
+      // independent ChangeStream consumer with its OWN durable
+      // checkpoint. Per silver commit: each dim consumer receives the
+      // delta (first delivery = the snapshot), mints surrogate keys
+      // for unseen naturals (delta ≡ full-silver build — a natural in
+      // an older batch was keyed when it arrived, the runScale
+      // argument); the fact consumer then resolves FKs against the
+      // incrementally-maintained dim TABLES and composite-merges. No
+      // job ever rescans silver (O(delta) per trigger); offsets are
+      // durable per consumer, so any job can lag and catch up
+      // independently. Final fact state must hash-match the pipe4
+      // fidelity replay's DuckDB oracle, and a replayed trigger on
+      // EVERY consumer must deliver nothing (enforced in-query).
+      import graft.pipeline.SalesReplay
+      import graft.streaming.ChangeStream
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevCsv = s.conf.getOption("spark.sql.csv.filterPushdown.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      s.conf.set("spark.sql.csv.filterPushdown.enabled", "false")
+      try {
+        val root = tmpDir("graft_star18")
+        val silverT = root + "/silver"
+        val naturals = Seq("Branch_ID", "Dealer_ID", "Model_ID", "Date_ID")
+        val raw = SalesReplay.readSalesCsv(s)
+        def syncDims(): Int = SalesReplay.dimSpecs.map { sp =>
+          ChangeStream.runAvailableNow(s, silverT, naturals,
+            s"$root/ckpt_${sp.name}") { (changes, bid) =>
+            val newRows = changes
+              .filter(col("_change_type").isin("insert", "update"))
+              .drop("_change_type")
+            val first = !Scd1Merge.tableExists(s"$root/${sp.name}")
+            DimBuilder.buildAndCommit(s, newRows, sp, s"$root/${sp.name}",
+              incrementalFlag = if (first) "0" else "1", numBuckets = 4,
+              batchId = bid)
+            ()
+          }
+        }.sum
+        def syncFact(): Int =
+          ChangeStream.runAvailableNow(s, silverT, naturals,
+            s"$root/ckpt_fact") { (changes, bid) =>
+            val newRows = changes
+              .filter(col("_change_type").isin("insert", "update"))
+              .drop("_change_type")
+            val dims = SalesReplay.dimSpecs.map(sp =>
+              (sp, Scd1Merge.readTable(s, s"$root/${sp.name}")))
+            val fact = FactBuilder.resolve(newRows, Seq("Revenue", "Units_Sold"),
+              dims.map { case (sp, d) => (d, sp.naturalKeys, sp.keyCol) })
+            FactBuilder.commit(s, s"$root/factsales", fact,
+              SalesReplay.dimSpecs.map(_.keyCol), numBuckets = 4, batchId = bid)
+          }
+        var last = "DT00000"
+        Seq("DT00400", "DT00800", "DT99999").foreach { cut =>
+          val batch = raw.filter(col("Date_ID") > lit(last) && col("Date_ID") <= lit(cut))
+          val transformed = SilverJob.transform(batch, "Model_ID", "-",
+            "model_category", "Revenue", "Units_Sold", "revenue_per_unit")
+          Scd1Merge.upsert(s, silverT, transformed, naturals, numBuckets = 4,
+            batchId = s"wm@$cut")
+          syncDims(); syncFact()
+          last = cut
+        }
+        // exactly-once: a replayed trigger on every consumer delivers 0
+        val replayed = syncDims() + syncFact()
+        if (replayed != 0) throw new IllegalStateException(
+          s"replayed triggers must deliver nothing, got $replayed batches")
+        Scd1Merge.readTable(s, s"$root/factsales")
+          .orderBy(col("dim_branch_key"), col("dim_dealer_key"),
+            col("dim_model_key"), col("dim_date_key"))
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevCsv match {
+          case Some(v) => s.conf.set("spark.sql.csv.filterPushdown.enabled", v)
+          case None => s.conf.unset("spark.sql.csv.filterPushdown.enabled")
+        }
+      }
+    }),
+
     "pipe8_incremental_dedup" -> ((s, dir) => {
       // INCREMENTAL EXACT DEDUP AS A MAINTAINED TABLE: the seen-hash
       // set every continuously-ingesting corpus keeps — batches arrive
@@ -836,6 +916,10 @@ object QueriesPipeline {
 
   val oracle: Map[String, String] = Map(
     "pipe4_sales_gold" -> SalesGoldOracle,
+    // the streaming star schema must land the SAME final state as the
+    // batch fidelity replay — identical key assignment (delta ≡ full
+    // silver for dim naturals), identical FK resolution
+    "pipe18_stream_star" -> SalesGoldOracle,
     "pipe5_sales_gold_scale" -> SalesGoldOracle,
     "pipe1_silver_transform" ->
       """SELECT p_partkey, p_brand, split_part(p_type, ' ', 1) AS category,
