@@ -23,7 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[DotProduct].getName, name),
         builder))
     }
-    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new graft.sql.GraftSqlParser(delegate, () => session))
   }
 }
 

@@ -1028,6 +1028,31 @@ object QueriesRel {
           col("n_live_buckets"))
         .orderBy(col("commit"))
     }),
+    "sql_time_travel" -> ((s, dir) => {
+      // SQL READ surface + time travel: graft relations resolve inside
+      // plain SQL text (GraftDml.resolveRelations — SELECT, joins,
+      // subqueries, MERGE sources all work), and `VERSION AS OF`
+      // resolves the commit snapshot through the same retained-history
+      // machinery as readTableAt. One statement unions the VERSION AS
+      // OF 1 snapshot against the live table — the SQL spelling of the
+      // s40 shape, judged against the same two-sided oracle. The spec
+      // covers TIMESTAMP AS OF and the maintenance statements
+      // (VACUUM/OPTIMIZE/DESCRIBE HISTORY).
+      val n = table(s, dir, "nation")
+      val dim = n.select(col("n_nationkey").as("k"),
+        col("n_name").as("name"), col("n_regionkey").as("region"))
+      val path = graft.Tmp.dir("graft_sqltt") + "/dim"
+      Scd1Merge.upsert(s, path, dim, Seq("k"), numBuckets = 4)
+      Scd1Merge.upsert(s, path,
+        dim.filter(col("k") % 5 === 0)
+          .withColumn("name", concat(col("name"), lit("_v2"))),
+        Seq("k"))
+      graft.sql.GraftSql.sql(s,
+        s"""SELECT k, name, region, 'asof' AS side FROM graft.`$path` VERSION AS OF 1
+           |UNION ALL
+           |SELECT k, name, region, 'live' AS side FROM graft.`$path`
+           |ORDER BY side, k""".stripMargin)
+    }),
     "s41_concurrent_upsert" -> ((s, dir) => {
       // OPTIMISTIC CONCURRENCY — two writers, one table, no lost
       // update and no spurious failure: writer B stages its merge
@@ -1529,6 +1554,15 @@ object QueriesRel {
          |  (1, 'B1', 4, 4), (2, 'B2', 4, 4), (3, 'B3', 4, 4))
          |  t(commit, batch_id, num_buckets, n_live_buckets)
          |ORDER BY commit""".stripMargin,
+    "sql_time_travel" ->
+      """WITH dim AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation),
+         |live AS (
+         |  SELECT k, CASE WHEN k % 5 = 0 THEN name || '_v2' ELSE name END AS name, region
+         |  FROM dim)
+         |SELECT k, name, region, side FROM (
+         |  SELECT *, 'asof' AS side FROM dim
+         |  UNION ALL SELECT *, 'live' AS side FROM live)
+         |ORDER BY side, k""".stripMargin,
     "s41_concurrent_upsert" ->
       """SELECT n_nationkey AS k,
          |  CASE WHEN n_nationkey = 1 THEN n_name || '_A'

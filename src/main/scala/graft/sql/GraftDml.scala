@@ -2,12 +2,12 @@ package graft.sql
 
 import graft.merge.Scd1Merge
 import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
 
 /** SQL DML surface for graft tables — `MERGE INTO` / `UPDATE` /
   * `DELETE` statements routed onto the [[Scd1Merge]] engine, closing
@@ -41,6 +41,15 @@ import org.apache.spark.sql.types.LongType
   * else would silently not be the bucketed merge the engine runs —
   * rejected loudly instead).
   *
+  * READ surface: graft relations resolve anywhere a table can appear
+  * (`SELECT`/joins/subqueries/MERGE sources), including time travel —
+  * `FOR TIMESTAMP AS OF '<ts>'` → [[Scd1Merge.readTableAtTime]] and
+  * `FOR VERSION AS OF <commit>` → the commit snapshot. MAINTENANCE
+  * statements (`VACUUM ... [RETAIN n HOURS]`, `OPTIMIZE ... [ZORDER
+  * BY (...)]`, `DESCRIBE HISTORY ...`) are matched pre-parse (Spark's
+  * grammar has no rule for them — the Delta extension-grammar
+  * pattern, reduced to three regexes).
+  *
   * Supported MERGE forms (everything else fails loudly, naming the
   * restriction — never a silent semantic drift):
   *  - `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
@@ -64,10 +73,12 @@ import org.apache.spark.sql.types.LongType
   */
 object GraftDml {
 
-  /** Swap a parsed DML plan for a graft command when (and only when)
-    * the target resolves to a graft table. None = not ours: hand the
-    * plan back to Spark untouched. */
-  def rewrite(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+  /** Swap a parsed DML plan for a graft command when the target
+    * resolves to a graft table, and resolve graft relation REFERENCES
+    * (`SELECT ... FROM graft.`/path`` — including `VERSION AS OF` /
+    * `TIMESTAMP AS OF` time travel) anywhere else in the plan. None =
+    * not ours: hand the plan back to Spark untouched. */
+  def rewrite(spark: SparkSession, plan: LogicalPlan): Option[LogicalPlan] = plan match {
     case d: DeleteFromTable =>
       targetPath(d.table).map { path =>
         GraftDeleteCommand(path, toColumn(d.condition))
@@ -81,9 +92,118 @@ object GraftDml {
           u.condition.map(toColumn).getOrElse(lit(true)))
       }
     case m: MergeIntoTable =>
-      targetPath(m.targetTable).map { path => translateMerge(m, path) }
-    case _ => None
+      targetPath(m.targetTable).map { path => translateMerge(spark, m, path) }
+    case other =>
+      val resolved = resolveRelations(spark, other)
+      if (resolved.fastEquals(other)) None else Some(resolved)
   }
+
+  /** Replace every graft relation reference in `plan` with the table
+    * read's logical plan (the manifest-resolved, dv-applied,
+    * colmap-logicalized view — exactly what the Scala API reads), so
+    * graft tables join, aggregate, and subquery like any other
+    * relation. `TIMESTAMP AS OF <ts>` routes to [[Scd1Merge
+    * .readTableAtTime]] and `VERSION AS OF <commit>` to the
+    * commit-count snapshot — the SQL spelling of the time-travel
+    * coordinates. */
+  private[sql] def resolveRelations(spark: SparkSession,
+                                    plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case tt: RelationTimeTravel =>
+        (tt.relation match {
+          case r: UnresolvedRelation => GraftTables.pathOf(r.multipartIdentifier)
+          case _ => None
+        }) match {
+          case Some(path) => timeTravelPlan(spark, path, tt.timestamp, tt.version)
+          case None => tt
+        }
+      case r: UnresolvedRelation
+          if GraftTables.pathOf(r.multipartIdentifier).isDefined =>
+        GraftExpressionBridge.planOf(Scd1Merge.readTable(spark,
+          GraftTables.pathOf(r.multipartIdentifier).get))
+    }
+
+  private def timeTravelPlan(spark: SparkSession, path: String,
+                             timestamp: Option[Expression],
+                             version: Option[String]): LogicalPlan =
+    (timestamp, version) match {
+      case (Some(ts), _) =>
+        GraftExpressionBridge.planOf(
+          Scd1Merge.readTableAtTime(spark, path, tsMillisOf(ts)))
+      case (_, Some(v)) =>
+        val target = v.toLong
+        val live = Scd1Merge.tableCommit(path).getOrElse(
+          throw new IllegalStateException(s"$path has no manifest")).toLong
+        if (target > live) throw new IllegalStateException(
+          s"VERSION AS OF $target: $path is at commit $live")
+        GraftExpressionBridge.planOf(
+          Scd1Merge.readTableAt(spark, path, (live - target).toInt))
+      case _ => throw new IllegalStateException(
+        "time travel clause carried neither timestamp nor version")
+    }
+
+  /** Epoch millis of a (foldable) `TIMESTAMP AS OF` expression: a
+    * timestamp/castable string is interpreted in UTC (graft
+    * entrypoints pin the session to UTC), an integer literal is taken
+    * as epoch millis directly. */
+  private def tsMillisOf(e: Expression): Long = {
+    require(e.foldable, s"TIMESTAMP AS OF must be a literal, got ${e.sql}")
+    val v = e.eval(null)
+    e.dataType match {
+      case TimestampType => v.asInstanceOf[Long] / 1000L
+      case LongType | IntegerType => v.asInstanceOf[Number].longValue
+      case StringType =>
+        val s = v.toString.trim.replace(' ', 'T')
+        val ldt =
+          if (s.contains("T")) java.time.LocalDateTime.parse(s)
+          else java.time.LocalDate.parse(s).atStartOfDay()
+        ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case dt => throw new IllegalStateException(
+        s"unsupported TIMESTAMP AS OF type $dt")
+    }
+  }
+
+  // ---- maintenance statements (not in Spark's grammar) --------------
+  // VACUUM / OPTIMIZE [ZORDER BY] / DESCRIBE HISTORY, matched on the
+  // raw SQL text BEFORE delegation (Spark's parser has no rule for
+  // them) — the same pre-parse hook pattern Delta's extension grammar
+  // uses, except a 3-statement regex suffices here. A table token that
+  // is NOT a graft table falls through to Spark's parser and fails
+  // with its normal syntax error — never a silent success.
+
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+(\S+|graft\s*\.\s*`[^`]*`)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+(\S+|graft\s*\.\s*`[^`]*`)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+(\S+|graft\s*\.\s*`[^`]*`)\s*;?\s*$""".r
+
+  private def parseTableToken(tok: String): Option[String] = {
+    val t = tok.trim
+    val g = "(?is)^graft\\s*\\.\\s*`([^`]+)`$".r
+    t match {
+      case g(p) => Some(p)
+      case _ if t.matches("[A-Za-z_][A-Za-z0-9_]*") => GraftTables.pathOf(Seq(t))
+      case _ => None
+    }
+  }
+
+  /** The maintenance mini-grammar; None = not a maintenance statement
+    * (or not a graft table) — delegate to Spark. */
+  def maintenanceStatement(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case VacuumRe(tok, hours) =>
+        parseTableToken(tok).map(p =>
+          GraftVacuumCommand(p, Option(hours).map(_.toDouble)))
+      case OptimizeRe(tok, zcols) =>
+        parseTableToken(tok).map(p =>
+          GraftOptimizeCommand(p, Option(zcols).toSeq.flatMap(
+            _.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty))))
+      case HistoryRe(tok) =>
+        parseTableToken(tok).map(GraftDescribeHistoryCommand)
+      case _ => None
+    }
 
   /** Resolve a DML target plan to a graft table path: an (optionally
     * aliased) relation named either `graft`.`<path>` or a
@@ -129,7 +249,8 @@ object GraftDml {
       "either clause alone. Per-column SET inside MERGE and NOT MATCHED " +
       "BY SOURCE are not offered — use the UPDATE statement / the Scala API.")
 
-  private def translateMerge(m: MergeIntoTable, path: String): LogicalPlan = {
+  private def translateMerge(spark: SparkSession, m: MergeIntoTable,
+                             path: String): LogicalPlan = {
     if (m.notMatchedBySourceActions.nonEmpty)
       unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
     val onKeys = keyEqualities(m.mergeCondition).getOrElse(unsupported(
@@ -153,9 +274,56 @@ object GraftDml {
     if (m.withSchemaEvolution && mode != "upsert")
       unsupported("WITH SCHEMA EVOLUTION is only supported on the pure " +
         "UPDATE SET * / INSERT * form")
-    GraftMergeCommand(path, m.sourceTable, onKeys, mode, deleteCond,
-      m.withSchemaEvolution)
+    // the USING side may itself reference graft tables (or time-travel
+    // reads of them) — resolve before the command captures the plan
+    GraftMergeCommand(path, resolveRelations(spark, m.sourceTable),
+      onKeys, mode, deleteCond, m.withSchemaEvolution)
   }
+}
+
+/** `VACUUM <graft table> [RETAIN n HOURS]` — count-retention default
+  * or the age-based sweep. */
+case class GraftVacuumCommand(path: String, retainHours: Option[Double])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    retainHours match {
+      case Some(h) => Scd1Merge.vacuumRetainHours(path, h)
+      case None => Scd1Merge.vacuum(path)
+    }
+    Nil
+  }
+}
+
+/** `OPTIMIZE <graft table> [ZORDER BY (cols)]` — bucket compaction,
+  * or a declared-clustering rewrite when ZORDER columns are named
+  * (multi-column = Z-order bits; single column = plain sort). Returns
+  * the number of buckets rewritten (the Delta OPTIMIZE metric). */
+case class GraftOptimizeCommand(path: String, zorderCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_buckets_rewritten", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n =
+      if (zorderCols.isEmpty) Scd1Merge.compact(spark, path)
+      else Scd1Merge.recluster(spark, path, zorderCols,
+        zOrderBits = if (zorderCols.length > 1) 8 else 0)
+    Seq(Row(n.toLong))
+  }
+}
+
+/** `DESCRIBE HISTORY <graft table>` — the commit log
+  * ([[Scd1Merge.history]]) as a SQL result set. */
+case class GraftDescribeHistoryCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("commit", IntegerType, nullable = false)(),
+    AttributeReference("batch_id", StringType, nullable = true)(),
+    AttributeReference("num_buckets", IntegerType, nullable = false)(),
+    AttributeReference("n_live_buckets", IntegerType, nullable = false)(),
+    AttributeReference("commit_ts", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Scd1Merge.history(spark, path).orderBy(col("commit")).collect().toSeq
 }
 
 /** `DELETE FROM <graft table> WHERE ...` — [[Scd1Merge.delete]] with
@@ -245,9 +413,12 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
   * this is for sessions that were built without the extension (the
   * Verify/Bench/driver contract). */
 object GraftSql {
-  def sql(spark: SparkSession, sqlText: String): DataFrame = {
-    val parsed = GraftExpressionBridge.parsePlan(spark, sqlText)
-    GraftExpressionBridge.ofRows(spark,
-      GraftDml.rewrite(parsed).getOrElse(parsed))
-  }
+  def sql(spark: SparkSession, sqlText: String): DataFrame =
+    GraftDml.maintenanceStatement(sqlText) match {
+      case Some(cmd) => GraftExpressionBridge.ofRows(spark, cmd)
+      case None =>
+        val parsed = GraftExpressionBridge.parsePlan(spark, sqlText)
+        GraftExpressionBridge.ofRows(spark,
+          GraftDml.rewrite(spark, parsed).getOrElse(parsed))
+    }
 }

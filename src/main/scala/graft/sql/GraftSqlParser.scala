@@ -17,12 +17,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * come for free) — intercepting the PLAN instead of the text is what
   * keeps this parser 30 lines and un-driftable from Spark's SQL
   * dialect. */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(delegate: ParserInterface,
+                     session: () => org.apache.spark.sql.SparkSession)
+    extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan = {
-    val plan = delegate.parsePlan(sqlText)
-    GraftDml.rewrite(plan).getOrElse(plan)
-  }
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftDml.maintenanceStatement(sqlText).getOrElse {
+      val plan = delegate.parsePlan(sqlText)
+      GraftDml.rewrite(session(), plan).getOrElse(plan)
+    }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

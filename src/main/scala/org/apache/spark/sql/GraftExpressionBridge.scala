@@ -39,4 +39,9 @@ object GraftExpressionBridge {
   def ofRows(spark: SparkSession,
              plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** DataFrame → its logical plan (private[sql] on classic.Dataset);
+    * how graft table reads splice into parsed SQL plans. */
+  def planOf(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical
 }

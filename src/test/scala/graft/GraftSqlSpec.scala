@@ -153,6 +153,81 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(GraftSql.sql(spark, "SELECT 1 AS one").as[Int].head() == 1)
   }
 
+  test("SELECT over graft tables: bare reads, joins, subqueries, MERGE sources") {
+    val t = mkTable("sel", 10)
+    GraftTables.register("sel_t", t)
+    try {
+      // bare read
+      assert(GraftSql.sql(spark, s"SELECT count(*) AS n FROM graft.`$t`")
+        .as[Long].head() == 10L)
+      // registered name + aggregation
+      val agg = GraftSql.sql(spark,
+        "SELECT region, count(*) AS n FROM sel_t GROUP BY region ORDER BY region")
+      assert(agg.count() == 5)
+      // self-join through two graft references
+      val joined = GraftSql.sql(spark,
+        s"""SELECT a.k FROM graft.`$t` a JOIN sel_t b ON a.k = b.k
+           |WHERE a.region = 0 ORDER BY a.k""".stripMargin)
+      assert(joined.as[Long].collect().toSeq == Seq(0L, 5L))
+      // graft table as a MERGE source
+      val t2 = mkTable("sel_dst", 3)
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$t2` d USING (SELECT * FROM sel_t WHERE k >= 3) s
+           |ON d.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(Scd1Merge.readTable(spark, t2).count() == 10)
+    } finally GraftTables.unregister("sel_t")
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF resolve snapshots") {
+    var now = 50000L
+    Scd1Merge.clockMillis = () => now
+    try {
+      val t = graft.Tmp.dir("graft_sql_tt") + "/t"
+      Scd1Merge.upsert(spark, t, dim(5), Seq("k"), numBuckets = 2,
+        retainVersions = 5)
+      now = 60000L
+      Scd1Merge.upsert(spark, t,
+        Seq((0L, "zero_v2", 9L)).toDF("k", "name", "region"),
+        Seq("k"), retainVersions = 5)
+      val v1 = GraftSql.sql(spark,
+        s"SELECT name FROM graft.`$t` VERSION AS OF 1 WHERE k = 0")
+      assert(v1.as[String].head() == "name_0")
+      val v2 = GraftSql.sql(spark,
+        s"SELECT name FROM graft.`$t` VERSION AS OF 2 WHERE k = 0")
+      assert(v2.as[String].head() == "zero_v2")
+      // epoch-millis literal between the commits -> commit 1
+      val ts = GraftSql.sql(spark,
+        s"SELECT name FROM graft.`$t` TIMESTAMP AS OF 55000 WHERE k = 0")
+      assert(ts.as[String].head() == "name_0")
+    } finally Scd1Merge.clockMillis = () => System.currentTimeMillis()
+  }
+
+  test("maintenance statements: OPTIMIZE, ZORDER, DESCRIBE HISTORY, VACUUM RETAIN") {
+    val t = mkTable("maint", 20)
+    // fragment a bucket with a second commit, then OPTIMIZE compacts
+    Scd1Merge.upsert(spark, t,
+      Seq((100L, "x", 0L), (101L, "y", 1L)).toDF("k", "name", "region"), Seq("k"))
+    val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY graft.`$t`")
+    assert(hist.columns.toSeq == Seq("commit", "batch_id", "num_buckets",
+      "n_live_buckets", "commit_ts"))
+    assert(hist.count() == 2)
+    val n = GraftSql.sql(spark, s"OPTIMIZE graft.`$t`")
+    assert(n.columns.toSeq == Seq("num_buckets_rewritten"))
+    // ZORDER route: recluster by a declared column
+    GraftSql.sql(spark, s"OPTIMIZE graft.`$t` ZORDER BY (region)")
+    assertSameRows(
+      Scd1Merge.readTable(spark, t).orderBy("k"),
+      dim(20).unionByName(
+        Seq((100L, "x", 0L), (101L, "y", 1L)).toDF("k", "name", "region"))
+        .orderBy("k"))
+    // VACUUM with RETAIN window parses and runs (age-based sweep)
+    GraftSql.sql(spark, s"VACUUM graft.`$t` RETAIN 168 HOURS")
+    GraftSql.sql(spark, s"VACUUM graft.`$t`")
+    assert(Scd1Merge.readTable(spark, t).count() == 22)
+  }
+
   test("extension-built session: spark.sql() runs graft DML via injectParser") {
     val t = mkTable("ext")
     // building a SECOND session against the same SparkContext with the
@@ -175,6 +250,11 @@ class GraftSqlSpec extends SparkSpecBase {
         s"""MERGE INTO graft.`$t` t USING ext_src s ON t.k = s.k
            |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // the read surface works through plain spark.sql too
+      assert(s2.sql(s"SELECT count(*) AS n FROM graft.`$t`")
+        .collect()(0).getLong(0) == 17L)
+      // history spans RETAINED commits (default retention 1 -> 2 rows)
+      assert(s2.sql(s"DESCRIBE HISTORY graft.`$t`").count() == 2)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
