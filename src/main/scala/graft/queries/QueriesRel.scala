@@ -1028,6 +1028,28 @@ object QueriesRel {
           col("n_live_buckets"))
         .orderBy(col("commit"))
     }),
+    "sql_ctas_insert" -> ((s, dir) => {
+      // SQL creation + write surface: CREATE GRAFT TABLE ... KEYS (...)
+      // AS SELECT (the one graft-specific statement — merge keys are
+      // create-time properties standard CTAS has no slot for), then
+      // INSERT INTO with keyed-upsert-by-name semantics (k>=15 rows
+      // replaced/inserted; a blind Delta-style append would break the
+      // one-row-per-key invariant — documented divergence). The spec
+      // covers INSERT OVERWRITE and the exists/duplicate rejections.
+      val n = table(s, dir, "nation")
+      n.createOrReplaceTempView("sql_ctas_nation")
+      val path = graft.Tmp.dir("graft_sqlctas") + "/t"
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT TABLE graft.`$path` KEYS (k) BUCKETS 4 AS
+           |SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region
+           |FROM sql_ctas_nation WHERE n_nationkey < 20""".stripMargin)
+      graft.sql.GraftSql.sql(s,
+        s"""INSERT INTO graft.`$path`
+           |SELECT n_nationkey AS k, concat(n_name, '_ins') AS name,
+           |       n_regionkey AS region
+           |FROM sql_ctas_nation WHERE n_nationkey >= 15""".stripMargin)
+      Scd1Merge.readTable(s, path).orderBy(col("k"))
+    }),
     "sql_time_travel" -> ((s, dir) => {
       // SQL READ surface + time travel: graft relations resolve inside
       // plain SQL text (GraftDml.resolveRelations — SELECT, joins,
@@ -1554,6 +1576,11 @@ object QueriesRel {
          |  (1, 'B1', 4, 4), (2, 'B2', 4, 4), (3, 'B3', 4, 4))
          |  t(commit, batch_id, num_buckets, n_live_buckets)
          |ORDER BY commit""".stripMargin,
+    "sql_ctas_insert" ->
+      """SELECT n_nationkey AS k,
+         |  CASE WHEN n_nationkey >= 15 THEN n_name || '_ins' ELSE n_name END AS name,
+         |  n_regionkey AS region
+         |FROM nation ORDER BY k""".stripMargin,
     "sql_time_travel" ->
       """WITH dim AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation),
          |live AS (

@@ -93,6 +93,15 @@ object GraftDml {
       }
     case m: MergeIntoTable =>
       targetPath(m.targetTable).map { path => translateMerge(spark, m, path) }
+    case i: InsertIntoStatement =>
+      targetPath(i.table).map { path =>
+        if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)
+          throw new UnsupportedOperationException(
+            "graft INSERT: PARTITION specs and explicit column lists are " +
+            "not supported — graft tables are hash-bucketed by merge key " +
+            "and insert BY NAME")
+        GraftInsertCommand(path, resolveRelations(spark, i.query), i.overwrite)
+      }
     case other =>
       val resolved = resolveRelations(spark, other)
       if (resolved.fastEquals(other)) None else Some(resolved)
@@ -171,6 +180,9 @@ object GraftDml {
   // is NOT a graft table falls through to Spark's parser and fails
   // with its normal syntax error — never a silent success.
 
+  private val CreateRe =
+    ("""(?is)^\s*CREATE\s+GRAFT\s+TABLE\s+(\S+|graft\s*\.\s*`[^`]*`)""" +
+     """\s+KEYS\s*\(([^)]*)\)(?:\s+BUCKETS\s+(\d+))?\s+AS\s+(.+)$""").r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(\S+|graft\s*\.\s*`[^`]*`)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$""".r
   private val OptimizeRe =
@@ -189,9 +201,23 @@ object GraftDml {
   }
 
   /** The maintenance mini-grammar; None = not a maintenance statement
-    * (or not a graft table) — delegate to Spark. */
+    * (or not a graft table) — delegate to Spark. `CREATE GRAFT TABLE
+    * <tbl> KEYS (k1, ...) [BUCKETS n] AS <select>` is the one
+    * graft-specific creation statement: the merge keys (and optional
+    * bucket count) are create-time table properties the standard CTAS
+    * grammar has no slot for. */
   def maintenanceStatement(sqlText: String): Option[LogicalPlan] =
     sqlText match {
+      case CreateRe(tok, keys, buckets, select) =>
+        // CREATE addresses a table that does not exist yet, so the
+        // path form is required (a registered name implies existence)
+        // unless the name was pre-registered deliberately
+        parseTableToken(tok).map { p =>
+          GraftCreateTableCommand(p,
+            keys.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty).toSeq,
+            Option(buckets).map(_.toInt).getOrElse(0), select)
+        }
       case VacuumRe(tok, hours) =>
         parseTableToken(tok).map(p =>
           GraftVacuumCommand(p, Option(hours).map(_.toDouble)))
@@ -278,6 +304,49 @@ object GraftDml {
     // reads of them) — resolve before the command captures the plan
     GraftMergeCommand(path, resolveRelations(spark, m.sourceTable),
       onKeys, mode, deleteCond, m.withSchemaEvolution)
+  }
+}
+
+/** `INSERT INTO <graft table> <query>` — KEYED-UPSERT semantics, by
+  * name: graft tables are bucketed by merge key, so a blind
+  * file-append (Delta's INSERT) would break the one-row-per-key
+  * invariant every reader and merge depends on; instead the batch
+  * merges (existing keys replaced, new keys inserted — duplicate keys
+  * WITHIN the batch are the usual loud multiple-match error).
+  * `INSERT OVERWRITE` replaces the table's content: delete-all then
+  * merge, two commits through the standard protocol. */
+case class GraftInsertCommand(path: String, query: LogicalPlan,
+                              overwrite: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keys = GraftTables.keysOf(path)
+    val target = Scd1Merge.readTable(spark, path)
+    val src = GraftExpressionBridge.ofRows(spark, query)
+      .select(target.columns.toIndexedSeq.map(col): _*)
+    if (overwrite) Scd1Merge.delete(spark, path, keys, lit(true))
+    Scd1Merge.upsert(spark, path, src, keys)
+    Nil
+  }
+}
+
+/** `CREATE GRAFT TABLE <tbl> KEYS (...) [BUCKETS n] AS <select>` —
+  * the creation statement: the select text parses through the full
+  * graft SQL surface at run time (so graft relations and time travel
+  * work in the AS query), and the result commits as a new bucketed
+  * table keyed as declared. Fails loudly if the table exists. */
+case class GraftCreateTableCommand(path: String, keys: Seq[String],
+                                   numBuckets: Int, selectSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(keys.nonEmpty, "CREATE GRAFT TABLE needs at least one key")
+    if (Scd1Merge.tableExists(path))
+      throw new IllegalStateException(
+        s"CREATE GRAFT TABLE: $path already exists")
+    Scd1Merge.upsert(spark, path, GraftSql.sql(spark, selectSql), keys,
+      numBuckets)
+    Nil
   }
 }
 

@@ -228,6 +228,36 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(Scd1Merge.readTable(spark, t).count() == 22)
   }
 
+  test("CREATE GRAFT TABLE AS SELECT and INSERT INTO (keyed upsert / overwrite)") {
+    val src = mkTable("ctas_src", 12)
+    val dst = graft.Tmp.dir("graft_sql_ctas") + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE GRAFT TABLE graft.`$dst` KEYS (k) BUCKETS 2 AS
+         |SELECT k, name, region FROM graft.`$src` WHERE k < 8""".stripMargin)
+    assert(Scd1Merge.readTable(spark, dst).count() == 8)
+    assert(Scd1Merge.tableKeys(dst).contains(Seq("k")))
+    // creating over an existing table is loud
+    intercept[IllegalStateException] {
+      GraftSql.sql(spark,
+        s"CREATE GRAFT TABLE graft.`$dst` KEYS (k) AS SELECT 1L AS k, 'x' AS name, 0L AS region")
+    }
+    // INSERT INTO = keyed upsert by name: k=7 replaced, k=8,9 inserted
+    GraftSql.sql(spark,
+      s"""INSERT INTO graft.`$dst`
+         |SELECT k, concat(name, '_ins') AS name, region FROM graft.`$src`
+         |WHERE k >= 7 AND k < 10""".stripMargin)
+    val t = Scd1Merge.readTable(spark, dst)
+    assert(t.count() == 10)
+    assert(t.filter($"k" === 7).select("name").as[String].head() == "name_7_ins")
+    assert(t.filter($"k" === 3).select("name").as[String].head() == "name_3")
+    // INSERT OVERWRITE replaces content
+    GraftSql.sql(spark,
+      s"INSERT OVERWRITE graft.`$dst` SELECT k, name, region FROM graft.`$src` WHERE k >= 10")
+    val after = Scd1Merge.readTable(spark, dst)
+    assert(after.count() == 2)
+    assert(after.select("k").as[Long].collect().sorted.toSeq == Seq(10L, 11L))
+  }
+
   test("extension-built session: spark.sql() runs graft DML via injectParser") {
     val t = mkTable("ext")
     // building a SECOND session against the same SparkContext with the
