@@ -117,6 +117,46 @@ object RelOps {
     l.join(r, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** JOIN-KEY SKEW REPORT — the diagnostic behind every salting/AQE
+    * decision this engine documents (saltedEquiJoin, the sessionize
+    * time-chunking, degree-ordered triangles): per-key multiplicities
+    * summarized as exact count quantiles + the top-N heavy hitters +
+    * the max/avg skew ratio, in one keyed aggregation.
+    *
+    * Output: `topN` rows (key rendering, its count, its rank) each
+    * carrying the table-level summary columns (n_keys, n_rows,
+    * max_cnt, p50/p90/p99_cnt, skew_ratio) — one frame a pipeline
+    * can assert on ("skew_ratio < 20 or salt").
+    *
+    * Scale: ONE shuffle on the key for the counts; the summary is a
+    * single-row aggregate over |keys| rows; the heavy hitters are a
+    * global TakeOrdered (no full sort — Spark plans orderBy+limit as
+    * TakeOrderedAndProject); the exact percentiles run on the
+    * counts frame (|keys| rows, orders of magnitude below the table).
+    * Deterministic: ties rank by the key rendering ascending. */
+  def skewReport(df: DataFrame, keyCols: Seq[String], topN: Int = 5): DataFrame = {
+    require(keyCols.nonEmpty && topN >= 1, "skewReport needs keys and topN >= 1")
+    val keyRender = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    val counts = df.select(keyRender.as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+    val summary = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"),
+      expr("percentile(cnt, 0.5)").as("p50_cnt"),
+      expr("percentile(cnt, 0.9)").as("p90_cnt"),
+      expr("percentile(cnt, 0.99)").as("p99_cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("key").asc)))
+    top.crossJoin(summary)
+      .withColumn("skew_ratio",
+        col("max_cnt") / (col("n_rows").cast("double") / col("n_keys")))
+      .select(col("rank"), col("key"), col("cnt"), col("n_keys"), col("n_rows"),
+        col("max_cnt"), col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+        col("skew_ratio"))
+  }
+
   /** Generic per-column table profiler (rows / nulls / exact distinct /
     * min / max per column) in ONE scan: each `(name, rendering)` pair
     * becomes a `(column, value)` row via an explode over a literal map,

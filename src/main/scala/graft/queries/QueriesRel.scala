@@ -1028,6 +1028,30 @@ object QueriesRel {
           col("n_live_buckets"))
         .orderBy(col("commit"))
     }),
+    "sql_alter_restore" -> ((s, dir) => {
+      // SQL DDL + RESTORE surface: ALTER TABLE RENAME COLUMN rides the
+      // engine's column mapping (metadata-only — no data rewritten),
+      // an UPDATE then mutates through the renamed schema, RESTORE TO
+      // VERSION rolls the table back to the post-rename/pre-update
+      // snapshot (Delta RESTORE parity — a new commit referencing the
+      // retained versions), and DROP COLUMN narrows the logical view.
+      // Final state: original names under the renamed label column,
+      // region gone — all five statements pure SQL text.
+      val n = table(s, dir, "nation")
+      val dim = n.select(col("n_nationkey").as("k"),
+        col("n_name").as("name"), col("n_regionkey").as("region"))
+      val path = graft.Tmp.dir("graft_sqlddl") + "/dim"
+      Scd1Merge.upsert(s, path, dim, Seq("k"), numBuckets = 4)
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE graft.`$path` RENAME COLUMN name TO label")
+      graft.sql.GraftSql.sql(s,
+        s"UPDATE graft.`$path` SET label = 'CLOBBERED' WHERE k < 10")
+      graft.sql.GraftSql.sql(s,
+        s"RESTORE TABLE graft.`$path` TO VERSION AS OF 2")
+      graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE graft.`$path` DROP COLUMN region")
+      Scd1Merge.readTable(s, path).orderBy(col("k"))
+    }),
     "sql_ctas_insert" -> ((s, dir) => {
       // SQL creation + write surface: CREATE GRAFT TABLE ... KEYS (...)
       // AS SELECT (the one graft-specific statement — merge keys are
@@ -1305,6 +1329,15 @@ object QueriesRel {
           col("r_name").as("name"), lit("region").as("origin"))
       a.unionByName(b, allowMissingColumns = true).orderBy(col("k"))
     }),
+    "a28_skew_report" -> ((s, dir) =>
+      // join-key skew diagnostic — the measurement behind every
+      // salting/AQE decision (saltedEquiJoin's Scaladoc, sessionize
+      // time-chunking, degree-ordered triangles): exact per-key count
+      // quantiles, top-5 heavy hitters, max/avg skew ratio, in one
+      // keyed agg + a |keys|-row percentile pass + a TakeOrdered.
+      graft.ops.RelOps.skewReport(table(s, dir, "lineitem"),
+          Seq("l_suppkey"), topN = 5)
+        .orderBy(col("rank"))),
     "a27_profile" -> ((s, dir) => {
       // Generic per-column table profiler (the data-quality dataset
       // card for relational tables, text_corpus_report's cousin):
@@ -1576,6 +1609,9 @@ object QueriesRel {
          |  (1, 'B1', 4, 4), (2, 'B2', 4, 4), (3, 'B3', 4, 4))
          |  t(commit, batch_id, num_buckets, n_live_buckets)
          |ORDER BY commit""".stripMargin,
+    "sql_alter_restore" ->
+      """SELECT n_nationkey AS k, n_name AS label
+         |FROM nation ORDER BY k""".stripMargin,
     "sql_ctas_insert" ->
       """SELECT n_nationkey AS k,
          |  CASE WHEN n_nationkey >= 15 THEN n_name || '_ins' ELSE n_name END AS name,
@@ -1685,6 +1721,18 @@ object QueriesRel {
          |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
          |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_30d
          |FROM o ORDER BY o_orderkey""".stripMargin,
+    "a28_skew_report" ->
+      """WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*)::BIGINT AS cnt
+         |  FROM lineitem GROUP BY 1),
+         |s AS (SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows,
+         |  max(cnt)::BIGINT AS max_cnt,
+         |  quantile_cont(cnt, 0.5) AS p50_cnt, quantile_cont(cnt, 0.9) AS p90_cnt,
+         |  quantile_cont(cnt, 0.99) AS p99_cnt FROM c),
+         |t AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank
+         |  FROM c QUALIFY rank <= 5)
+         |SELECT rank, key, cnt, n_keys, n_rows, max_cnt, p50_cnt, p90_cnt, p99_cnt,
+         |  max_cnt / (n_rows / n_keys::DOUBLE) AS skew_ratio
+         |FROM t, s ORDER BY rank""".stripMargin,
     "a27_profile" ->
       """WITH p AS (
          |  SELECT 'l_orderkey' AS "column", CAST(l_orderkey AS VARCHAR) AS value FROM lineitem

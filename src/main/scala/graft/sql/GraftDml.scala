@@ -93,6 +93,16 @@ object GraftDml {
       }
     case m: MergeIntoTable =>
       targetPath(m.targetTable).map { path => translateMerge(spark, m, path) }
+    case rc: RenameColumn =>
+      targetPath(rc.table).map { path =>
+        GraftAlterCommand(path, "rename",
+          Seq(singleField(rc.column), rc.newName))
+      }
+    case dc: DropColumns =>
+      targetPath(dc.table).map { path =>
+        GraftAlterCommand(path, "drop",
+          dc.columnsToDrop.map(singleField))
+      }
     case i: InsertIntoStatement =>
       targetPath(i.table).map { path =>
         if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty)
@@ -189,6 +199,9 @@ object GraftDml {
     """(?is)^\s*OPTIMIZE\s+(\S+|graft\s*\.\s*`[^`]*`)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(\S+|graft\s*\.\s*`[^`]*`)\s*;?\s*$""".r
+  private val RestoreRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\S+|graft\s*\.\s*`[^`]*`)\s+TO\s+""" +
+     """(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+))\s*;?\s*$""").r
 
   private def parseTableToken(tok: String): Option[String] = {
     val t = tok.trim
@@ -228,6 +241,10 @@ object GraftDml {
               .filter(_.nonEmpty))))
       case HistoryRe(tok) =>
         parseTableToken(tok).map(GraftDescribeHistoryCommand)
+      case RestoreRe(tok, version, ts) =>
+        parseTableToken(tok).map(p =>
+          GraftRestoreCommand(p, Option(version).map(_.toLong),
+            Option(ts).map(_.stripPrefix("'").stripSuffix("'"))))
       case _ => None
     }
 
@@ -236,8 +253,16 @@ object GraftDml {
     * [[GraftTables]]-registered short name. */
   private def targetPath(p: LogicalPlan): Option[String] = p match {
     case r: UnresolvedRelation => GraftTables.pathOf(r.multipartIdentifier)
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      GraftTables.pathOf(t.multipartIdentifier)
     case s: SubqueryAlias => targetPath(s.child)
     case _ => None
+  }
+
+  private def singleField(f: org.apache.spark.sql.catalyst.analysis.FieldName): String = {
+    if (f.name.length != 1) throw new UnsupportedOperationException(
+      s"graft ALTER: nested fields are not supported (${f.name.mkString(".")})")
+    f.name.head
   }
 
   /** Unresolved parser expressions → Column, with alias qualifiers
@@ -378,6 +403,55 @@ case class GraftOptimizeCommand(path: String, zorderCols: Seq[String])
       else Scd1Merge.recluster(spark, path, zorderCols,
         zOrderBits = if (zorderCols.length > 1) 8 else 0)
     Seq(Row(n.toLong))
+  }
+}
+
+/** `ALTER TABLE <graft table> RENAME COLUMN a TO b` / `DROP COLUMN c`
+  * — metadata-only schema evolution through the engine's column
+  * mapping (no data rewritten; physical names stay reserved until a
+  * rebucket, exactly as the Scala API documents). */
+case class GraftAlterCommand(path: String, op: String, args: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    op match {
+      case "rename" => Scd1Merge.renameColumn(spark, path, args(0), args(1))
+      case "drop" => args.foreach(Scd1Merge.dropColumn(spark, path, _))
+    }
+    Nil
+  }
+}
+
+/** `RESTORE [TABLE] <graft table> TO VERSION AS OF n | TIMESTAMP AS OF
+  * '<ts>'` — Delta RESTORE parity: roll the live table back to a
+  * retained snapshot (a new commit referencing the old versions;
+  * history after it stays readable). Timestamp resolves like
+  * TIMESTAMP AS OF reads — youngest retained commit ≤ the target. */
+case class GraftRestoreCommand(path: String, version: Option[Long],
+                               ts: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val live = Scd1Merge.tableCommit(path).getOrElse(
+      throw new IllegalStateException(s"RESTORE: $path has no manifest")).toLong
+    val target: Long = version.getOrElse {
+      val t = ts.get.trim.replace(' ', 'T')
+      val millis =
+        if (t.matches("\\d+")) t.toLong
+        else (if (t.contains("T")) java.time.LocalDateTime.parse(t)
+              else java.time.LocalDate.parse(t).atStartOfDay())
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      val cands = Scd1Merge.history(spark, path)
+        .select(col("commit"), col("commit_ts")).collect()
+        .filter(_.getLong(1) <= millis)
+      if (cands.isEmpty) throw new IllegalStateException(
+        s"RESTORE: no retained snapshot of $path at or before $t")
+      cands.map(_.getInt(0)).max.toLong
+    }
+    if (target > live || target < 1) throw new IllegalStateException(
+      s"RESTORE: version $target out of range (live commit $live)")
+    if (target < live) Scd1Merge.restore(path, (live - target).toInt)
+    Nil
   }
 }
 

@@ -258,6 +258,54 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(after.select("k").as[Long].collect().sorted.toSeq == Seq(10L, 11L))
   }
 
+  test("SQL DELETE inherits hash pruning: a key-equality predicate probes ONE bucket") {
+    val t = mkTable("prune", 40)
+    GraftSql.sql(spark, s"DELETE FROM graft.`$t` WHERE k = 7")
+    assert(Scd1Merge.lastPrune._1 == 1,
+      s"key-equality SQL delete must probe one bucket, got ${Scd1Merge.lastPrune}")
+    assert(Scd1Merge.readTable(spark, t).count() == 39)
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN and RESTORE (version + timestamp)") {
+    var now = 100000L
+    Scd1Merge.clockMillis = () => now
+    try {
+      val t = graft.Tmp.dir("graft_sql_ddl") + "/t"
+      Scd1Merge.upsert(spark, t, dim(6), Seq("k"), numBuckets = 2,
+        retainVersions = 5)
+      // rename through the column mapping (metadata-only)
+      GraftSql.sql(spark, s"ALTER TABLE graft.`$t` RENAME COLUMN name TO label")
+      assert(Scd1Merge.readTable(spark, t).columns.toSeq ==
+        Seq("k", "label", "region"))
+      // second data commit after the rename
+      now = 200000L
+      GraftSql.sql(spark,
+        s"UPDATE graft.`$t` SET label = 'changed' WHERE k = 0")
+      assert(Scd1Merge.readTable(spark, t)
+        .filter($"k" === 0).select("label").as[String].head() == "changed")
+      // RESTORE to the pre-update version (rename survives: commit 2
+      // IS the renamed schema)
+      GraftSql.sql(spark, s"RESTORE graft.`$t` TO VERSION AS OF 2")
+      assert(Scd1Merge.readTable(spark, t)
+        .filter($"k" === 0).select("label").as[String].head() == "name_0")
+      // drop a column (metadata-only)
+      GraftSql.sql(spark, s"ALTER TABLE graft.`$t` DROP COLUMN region")
+      assert(Scd1Merge.readTable(spark, t).columns.toSeq == Seq("k", "label"))
+      // RESTORE TO TIMESTAMP: resolve by commit stamp
+      val t2 = graft.Tmp.dir("graft_sql_rst2") + "/t"
+      now = 300000L
+      Scd1Merge.upsert(spark, t2, dim(3), Seq("k"), numBuckets = 2,
+        retainVersions = 5)
+      now = 400000L
+      Scd1Merge.upsert(spark, t2,
+        Seq((0L, "v2", 0L)).toDF("k", "name", "region"), Seq("k"),
+        retainVersions = 5)
+      GraftSql.sql(spark, s"RESTORE TABLE graft.`$t2` TO TIMESTAMP AS OF 350000")
+      assert(Scd1Merge.readTable(spark, t2)
+        .filter($"k" === 0).select("name").as[String].head() == "name_0")
+    } finally Scd1Merge.clockMillis = () => System.currentTimeMillis()
+  }
+
   test("extension-built session: spark.sql() runs graft DML via injectParser") {
     val t = mkTable("ext")
     // building a SECOND session against the same SparkContext with the

@@ -123,6 +123,23 @@ class RelOpsSpec extends SparkSpecBase {
       ("s", 4L, 2L, 2L, "a", "b")))
   }
 
+  test("skewReport: planted hot key tops the hitters with the exact skew ratio") {
+    import spark.implicits._
+    // 3 cold keys x 10 rows + 1 hot key x 70 rows: avg = 100/4 = 25,
+    // skew = 70/25 = 2.8 exactly
+    val df = ((1 to 3).flatMap(k => Seq.fill(10)(k.toLong)) ++
+      Seq.fill(70)(99L)).toDF("k")
+    val got = RelOps.skewReport(df, Seq("k"), topN = 2)
+      .orderBy("rank").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[String]("key") == "99" && got(0).getAs[Long]("cnt") == 70L)
+    assert(got(0).getAs[Long]("n_keys") == 4L && got(0).getAs[Long]("n_rows") == 100L)
+    assert(got(0).getAs[Double]("skew_ratio") == 2.8)
+    assert(got(0).getAs[Double]("p50_cnt") == 10.0)
+    // deterministic tie-break on the key rendering
+    assert(got(1).getAs[String]("key") == "1" && got(1).getAs[Long]("cnt") == 10L)
+  }
+
   test("profile numericCols orders extremes numerically, not lexicographically") {
     import spark.implicits._
     // '10.00' < '2.00' lexicographically and '9996' > '10000' — the
