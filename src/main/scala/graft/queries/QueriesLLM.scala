@@ -688,6 +688,33 @@ object QueriesLLM {
           (col("n_hits").cast("double") / col("n_exact")).as("recall"))
     }),
 
+    "sim_pca_recall" -> ((s, dir) => {
+      // PCA-reduced ANN (learned GLOBAL geometry — the third member
+      // of the reduction family next to LSH's random hyperplanes and
+      // IVF's learned partitions): project L2-normalized vectors onto
+      // the top-16 principal components (one explode→agg moment pass
+      // + a driver-side Jacobi eigensolve over the KB-sized 64×64
+      // covariance), generate candidates by reduced-space dot product
+      // (cost cut dim/d = 4×; the reduced vectors are the
+      // memory-budget dial), exact-re-rank in full space. Recall@5 vs
+      // the exact top-k pinned like sim_ivf_recall — deterministic via
+      // 1e-9-quantized covariance, 1e-6-quantized components with
+      // sign fixing, and 1e-6-quantized projections.
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 50)
+      val model = Similarity.pcaTrain(emb, "vec_id", "embedding", d = 16)
+      val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
+        .select(col("query_id"), col("vec_id"))
+      val pca = Similarity.pcaTopK(emb, q, "vec_id", "embedding", K, model,
+          candFactor = 8)
+        .select(col("query_id"), col("vec_id"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(pca.intersect(exact).agg(count(lit(1)).as("n_hits")))
+        .select(lit(16L).as("d"), lit(8L).as("cand_factor"),
+          lit(50L).as("n_queries"), lit(K.toLong).as("k"),
+          col("n_exact"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+    }),
     "sim_pq_recall" -> ((s, dir) => {
       // Product-quantization ADC (the memory-scale ANN path: 64 floats
       // -> 4 codes; the scan never touches vectors): recall@5 of the
@@ -1534,6 +1561,16 @@ object QueriesLLM {
          |  50::BIGINT AS n_queries, 5::BIGINT AS k,
          |  250::BIGINT AS n_exact, 174::BIGINT AS n_hits,
          |  174 / 250.0 AS recall""".stripMargin,
+    // PINNED literal: PCA-reduced recall@5 — 16 of 64 dims keeps
+    // 177/250 exact pairs (0.708 ~ PQ's 0.708, IVF's 0.696) at a 4×
+    // reduced-space scoring cost cut; deterministic via quantized
+    // covariance/components/projections (verified stable across core
+    // counts); ApproxSpec floors it
+    "sim_pca_recall" ->
+      """SELECT 16::BIGINT AS d, 8::BIGINT AS cand_factor,
+         |  50::BIGINT AS n_queries, 5::BIGINT AS k,
+         |  250::BIGINT AS n_exact, 177::BIGINT AS n_hits,
+         |  177 / 250.0 AS recall""".stripMargin,
     // PINNED literal (see SparkEntry.pinnedOracles): PQ-ADC recall@5,
     // 8×16 codebook, 40-candidate exact re-rank (0.708 ~ IVF's 0.696
     // at 1/8 the stored bytes) — deterministic seeding, 1e-6-quantized

@@ -489,6 +489,164 @@ object Similarity {
     * CANDIDATE vectors, never the corpus. */
   @volatile private[graft] var lastEmbIndexStats: (Long, Long, Long) = (0L, 0L, 0L)
 
+  // ---------- PCA-reduced ANN ----------
+  // Dimensionality reduction as a similarity scale path: project
+  // L2-normalized vectors onto the top-d principal components, run the
+  // candidate search in d dims (d ≪ dim: candidate scoring cost drops
+  // by dim/d, and the reduced vectors fit memory budgets full vectors
+  // blow), exact-re-rank candidates in full space. Complements LSH
+  // (random geometry) and IVF (learned partitions) with learned
+  // GLOBAL geometry; the reduced space can also feed either of them.
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (driver
+    * math: n ≤ a few hundred — the covariance is dim×dim, KB-sized).
+    * Returns (eigenvalues, eigenvectors as rows, i.e. result._2(k) is
+    * the k-th eigenvector), unsorted. Deterministic for deterministic
+    * input (fixed sweep order, fixed tolerances). */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    // v starts as identity; columns accumulate the eigenvectors
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (off() > 1e-20 && sweep < 100) {
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = app - t * apq
+            a(q)(q) = aqq + t * apq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var k = 0
+            while (k < n) {
+              if (k != p && k != q) {
+                val akp = a(k)(p); val akq = a(k)(q)
+                a(k)(p) = c * akp - s * akq; a(p)(k) = a(k)(p)
+                a(k)(q) = s * akp + c * akq; a(q)(k) = a(k)(q)
+              }
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val values = Array.tabulate(n)(i => a(i)(i))
+    val vectors = Array.tabulate(n)(k => Array.tabulate(n)(i => v(i)(k)))
+    (values, vectors)
+  }
+
+  /** PCA model: component j is `components(j)` (a dim-length unit
+    * vector); vectors are L2-normalized then centered on `mean` before
+    * projection — the standard prep so reduced dot products
+    * approximate full-space cosine. */
+  final case class PcaModel(mean: Seq[Double], components: Seq[Seq[Double]])
+
+  /** Train the top-`d` principal components of the L2-normalized
+    * corpus. ONE explode→agg pass builds the dim×dim moment matrix
+    * (n × dim² narrow codegen'd rows — at 100 TB train on a sample,
+    * the estimate converges long before the corpus does); the
+    * eigensolve runs on the driver over a KB-sized matrix.
+    * Covariance entries are 1e-9-quantized and components
+    * 1e-6-quantized (the ivfTrain posture) so partial-agg merge order
+    * can never flip a component; component SIGN is fixed by making
+    * the largest-magnitude entry positive. */
+  def pcaTrain(corpus: DataFrame, idCol: String, vecCol: String,
+               d: Int): PcaModel = {
+    val n = corpus.count().toDouble
+    val e = corpus
+      .select(col(vecCol), sqrt(norm2(col(vecCol))).as("__n"))
+      .select(posexplode(col(vecCol)).as(Seq("i", "__x0")), col("__n"), col(vecCol))
+      .select(col("i"), (col("__x0") / col("__n")).as("xi"), col(vecCol), col("__n"))
+    val meanRows = e.groupBy(col("i")).agg(sum(col("xi")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dim = meanRows.size
+    val mean = Array.tabulate(dim)(i => math.rint(meanRows(i) / n * 1e9) / 1e9)
+    val prods = e
+      .select(col("i"), col("xi"), posexplode(col(vecCol)).as(Seq("j", "__y0")), col("__n"))
+      .select(col("i"), col("j"), (col("xi") * col("__y0") / col("__n")).as("xy"))
+      .groupBy(col("i"), col("j")).agg(sum(col("xy")).as("s"))
+      .collect()
+    val cov = Array.ofDim[Double](dim, dim)
+    prods.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      cov(i)(j) = math.rint((r.getDouble(2) / n - mean(i) * mean(j)) * 1e9) / 1e9
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    val top = values.zipWithIndex.sortBy { case (v, i) => (-v, i) }.take(d)
+    val comps = top.map { case (_, k) =>
+      val raw = vectors(k)
+      val lead = raw.indices.maxBy(i => (math.abs(raw(i)), -i))
+      val sgn = if (raw(lead) < 0) -1.0 else 1.0
+      raw.map(x => math.rint(x * sgn * 1e6) / 1e6).toSeq
+    }
+    PcaModel(mean.toSeq, comps.toSeq)
+  }
+
+  /** Project onto the model: one posexplode → d sum-aggs (the
+    * lshBuckets plan shape — codegen'd, map-side partial), output an
+    * ARRAY<DOUBLE> of length d, 1e-6-quantized so candidate ordering
+    * is partition-order-independent. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 model: PcaModel, outId: String): DataFrame = {
+    val e = df
+      .select(col(idCol).as(outId), col(vecCol), sqrt(norm2(col(vecCol))).as("__n"))
+      .select(col(outId), posexplode(col(vecCol)).as(Seq("__d", "__x0")), col("__n"))
+      .select(col(outId), col("__d"),
+        (col("__x0") / col("__n") -
+          element_at(typedLit(model.mean), col("__d") + 1)).as("__x"))
+    val aggs = model.components.indices.map(j =>
+      sum(col("__x") * element_at(typedLit(model.components(j)), col("__d") + 1))
+        .as(s"__p$j"))
+    e.groupBy(col(outId)).agg(aggs.head, aggs.tail: _*)
+      .select(col(outId), array(model.components.indices.map(j =>
+        (round(col(s"__p$j") * 1e6) / 1e6)): _*).as("pvec"))
+  }
+
+  /** PCA-reduced ANN top-k: candidates = the `candFactor × k` best
+    * reduced-space dot products per query (the centered-normalized
+    * projection makes reduced dot ≈ full cosine up to the truncated
+    * tail), exact full-space re-rank on those. Corpus-side candidate
+    * scoring touches d-length vectors only — the dim/d cost cut that
+    * makes reduced-space search the memory-bound regime's dial. */
+  def pcaTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, model: PcaModel,
+              candFactor: Int = 8): DataFrame = {
+    val cp = pcaProject(corpus, idCol, vecCol, model, "vec_id")
+    val qp = pcaProject(queries, idCol, vecCol, model, "query_id")
+      .withColumnRenamed("pvec", "qvec")
+    val scored = cp.join(broadcast(qp), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("pvec").cast("array<float>"),
+          col("qvec").cast("array<float>")).as("__ps"))
+    val cands = topKPerKey(
+        scored, col("query_id"), Seq(col("__ps").desc, col("vec_id").asc),
+        candFactor * k, saltOn = col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(corpus, queries, idCol, vecCol, cands, k)
+  }
+
   /** Persisted sign-LSH bucket index, update leg: hash `newVecs` (the
     * expensive vector pass) and merge the (id, t, bkt) rows into a
     * bucketed index table keyed on (id, table). One narrow commit per

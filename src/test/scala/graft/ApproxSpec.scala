@@ -132,6 +132,30 @@ class ApproxSpec extends SparkSpecBase {
     assert(recall >= 0.68, f"pq recall $recall%.4f < 0.68 floor (measured 0.708)")
   }
 
+  test("PCA-reduced recall@5 floor holds; more components monotonically help") {
+    import graft.similarity.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.topK(emb, queries, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("vec_id"))
+    val nExact = exact.count()
+    // Measured (quantized covariance/components/projections, stable
+    // across core counts): d=8 → lower, d=16 cf=8 → 0.708 (judged pin)
+    def recallAt(d: Int): Double = {
+      val model = Similarity.pcaTrain(emb, "vec_id", "embedding", d)
+      Similarity.pcaTopK(emb, queries, "vec_id", "embedding", 5, model,
+          candFactor = 8)
+        .select(col("query_id"), col("vec_id"))
+        .intersect(exact).count().toDouble / nExact
+    }
+    val r16 = recallAt(16)
+    val r8 = recallAt(8)
+    info(f"pca d=16 recall@5=$r16%.4f ; d=8 recall@5=$r8%.4f")
+    assert(r16 >= 0.68, f"pca d=16 recall $r16%.4f < 0.68 floor (measured 0.708)")
+    assert(r16 >= r8 - 0.02,
+      f"more components must not lose recall: d=16 $r16%.4f vs d=8 $r8%.4f")
+  }
+
   test("embedding near-dup at production parameters: ground truth is real, recall floor holds") {
     // Guards the dedup_embedding_recall pinned oracle (threshold 0.9,
     // planted clones, 8×8-bit pruning — measured 203/206 = 0.985):

@@ -112,6 +112,62 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(top.head.getAs[Double]("cos_sim") - 1.0) < 1e-12)
   }
 
+  test("jacobiEigen recovers eigenpairs of a rotated diagonal matrix") {
+    // A = R diag(3,1) R^T with R = 45-degree rotation: eigenvalues
+    // {3, 1}, eigenvectors (1,1)/sqrt2 and (1,-1)/sqrt2
+    val a = Array(Array(2.0, 1.0), Array(1.0, 2.0)) // eigen {3,1}
+    val (values, vectors) = Similarity.jacobiEigen(a)
+    val pairs = values.zip(vectors).sortBy(-_._1)
+    assert(math.abs(pairs(0)._1 - 3.0) < 1e-10)
+    assert(math.abs(pairs(1)._1 - 1.0) < 1e-10)
+    // A v = lambda v for both
+    pairs.foreach { case (l, v) =>
+      val av = Array(a(0)(0) * v(0) + a(0)(1) * v(1),
+        a(1)(0) * v(0) + a(1)(1) * v(1))
+      assert(math.abs(av(0) - l * v(0)) < 1e-9 &&
+        math.abs(av(1) - l * v(1)) < 1e-9)
+    }
+    // 4x4 with a known spectral gap: A v = lambda v holds across the board
+    val b = Array(
+      Array(4.0, 1.0, 0.0, 0.5), Array(1.0, 3.0, 0.2, 0.0),
+      Array(0.0, 0.2, 2.0, 0.1), Array(0.5, 0.0, 0.1, 1.0))
+    val (bv, bw) = Similarity.jacobiEigen(b)
+    bv.zip(bw).foreach { case (l, v) =>
+      (0 until 4).foreach { i =>
+        val avi = (0 until 4).map(j => b(i)(j) * v(j)).sum
+        assert(math.abs(avi - l * v(i)) < 1e-8)
+      }
+    }
+  }
+
+  test("pcaTrain finds a planted 2D subspace; pcaTopK recall with exact re-rank") {
+    import spark.implicits._
+    // planted rank-2 data in 8 dims: x = a*e0 + b*e1 + 0.01 noise
+    val rows = (0 until 300).map { i =>
+      val a = math.sin(i * 1.7) * 3; val b = math.cos(i * 2.3) * 2
+      val v = Array.tabulate(8)(d =>
+        (if (d == 0) a else if (d == 1) b else 0.0) +
+          0.01 * math.sin(i * 0.91 + d)).map(_.toFloat)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Similarity.pcaTrain(df, "vec_id", "embedding", d = 2)
+    // the top-2 components live (almost) entirely in the e0/e1 plane
+    model.components.foreach { c =>
+      val planar = c(0) * c(0) + c(1) * c(1)
+      assert(planar > 0.95, s"component leaks out of the planted plane: $c")
+    }
+    // reduced-space candidates + exact re-rank recover the exact top-k
+    // on low-rank data (the truncated tail is the 0.01 noise)
+    val q = df.filter($"vec_id" < 5)
+    val exact = Similarity.topK(df, q, "vec_id", "embedding", 5)
+      .select($"query_id", $"vec_id")
+    val pca = Similarity.pcaTopK(df, q, "vec_id", "embedding", 5, model)
+      .select($"query_id", $"vec_id")
+    val hits = pca.intersect(exact).count()
+    assert(hits >= 23, s"pca recall too low on planted low-rank data: $hits/25")
+  }
+
   test("persisted LSH index: probe == full cosineNearDup restricted to new endpoints; corpus never re-hashed") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter($"vec_id" < 200)
