@@ -338,8 +338,11 @@ object GraftDml {
   * invariant every reader and merge depends on; instead the batch
   * merges (existing keys replaced, new keys inserted — duplicate keys
   * WITHIN the batch are the usual loud multiple-match error).
-  * `INSERT OVERWRITE` replaces the table's content: delete-all then
-  * merge, two commits through the standard protocol. */
+  * `INSERT OVERWRITE` replaces the table's content ATOMICALLY in one
+  * commit (Delta parity — readers see old content or new, never the
+  * emptied middle): the replacement rows ride as upserts and every
+  * existing key absent from them rides as a delete, through one
+  * applyCdc commit. */
 case class GraftInsertCommand(path: String, query: LogicalPlan,
                               overwrite: Boolean)
     extends LeafRunnableCommand {
@@ -349,8 +352,15 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
     val target = Scd1Merge.readTable(spark, path)
     val src = GraftExpressionBridge.ofRows(spark, query)
       .select(target.columns.toIndexedSeq.map(col): _*)
-    if (overwrite) Scd1Merge.delete(spark, path, keys, lit(true))
-    Scd1Merge.upsert(spark, path, src, keys)
+    if (!overwrite) Scd1Merge.upsert(spark, path, src, keys)
+    else {
+      val opCol = "__graft_sql_op"
+      val vanished = target.join(src.select(keys.map(col): _*), keys, "left_anti")
+        .withColumn(opCol, lit("delete"))
+      Scd1Merge.applyCdc(spark, path,
+        src.withColumn(opCol, lit("upsert")).unionByName(vanished),
+        keys, opCol = opCol)
+    }
     Nil
   }
 }

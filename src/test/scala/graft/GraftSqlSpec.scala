@@ -250,12 +250,16 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(t.count() == 10)
     assert(t.filter($"k" === 7).select("name").as[String].head() == "name_7_ins")
     assert(t.filter($"k" === 3).select("name").as[String].head() == "name_3")
-    // INSERT OVERWRITE replaces content
+    // INSERT OVERWRITE replaces content in ONE atomic commit (readers
+    // never see the emptied middle state)
+    val commitBefore = Scd1Merge.tableCommit(dst).get
     GraftSql.sql(spark,
       s"INSERT OVERWRITE graft.`$dst` SELECT k, name, region FROM graft.`$src` WHERE k >= 10")
     val after = Scd1Merge.readTable(spark, dst)
     assert(after.count() == 2)
     assert(after.select("k").as[Long].collect().sorted.toSeq == Seq(10L, 11L))
+    assert(Scd1Merge.tableCommit(dst).contains(commitBefore + 1),
+      "overwrite must be exactly one commit")
   }
 
   test("SQL DELETE inherits hash pruning: a key-equality predicate probes ONE bucket") {
