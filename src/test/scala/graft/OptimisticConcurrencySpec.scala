@@ -127,6 +127,58 @@ class OptimisticConcurrencySpec extends SparkSpecBase {
     assert(Scd1Merge.tableCommit(path).contains(3))
   }
 
+  test("ingest rebases over a concurrent COMPACTION of other buckets; overlap still conflicts") {
+    // the OCC headline use-case: maintenance beside ingest. Build a
+    // table whose buckets are fragmented (record-cap write), then
+    // un-fragment the ingest bucket so compaction provably won't touch
+    // it; compaction runs INSIDE the ingest's staged window.
+    def fragmented(tag: String): String = {
+      val path = Tmp.dir(s"graft_occ_$tag") + "/t"
+      val key = "spark.sql.files.maxRecordsPerFile"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "5")
+      try Scd1Merge.upsert(spark, path,
+        (0L until 40L).map(i => (i, s"name_$i")).toDF("k", "v"),
+        Seq("k"), numBuckets = NB, retainVersions = 3)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      path
+    }
+    val path = fragmented("compact")
+    val ingestKeys = keysIn(0).take(3)
+    // commit 2: rewrite bucket 0 normally -> single file, nothing for
+    // compact to do there
+    Scd1Merge.upsert(spark, path, batch(ingestKeys.take(1), "pre"), Seq("k"))
+    Scd1Merge.testHooks = Map("optimistic-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      val rewrote = Scd1Merge.compact(spark, path)
+      assert(rewrote >= 1, "compaction must rewrite the fragmented buckets")
+    })
+    try Scd1Merge.upsertConcurrent(spark, path, batch(ingestKeys, "B"), Seq("k"))
+    finally Scd1Merge.testHooks = Map.empty
+    val t = Scd1Merge.readTable(spark, path)
+    ingestKeys.foreach { k =>
+      assert(t.filter($"k" === k).select("v").as[String].head() == s"B_$k") }
+    assert(t.count() == 40)
+    assert(Scd1Merge.tableCommit(path).contains(4)) // create, pre, compact, B
+
+    // ...and ingest INTO a bucket the compaction rewrote conflicts
+    val path2 = fragmented("compact2")
+    val clashKeys = keysIn(1).take(2) // bucket 1 stays fragmented
+    Scd1Merge.testHooks = Map("optimistic-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      Scd1Merge.compact(spark, path2)
+      ()
+    })
+    val e =
+      try intercept[java.util.ConcurrentModificationException] {
+        Scd1Merge.upsertConcurrent(spark, path2, batch(clashKeys, "B"), Seq("k"))
+      } finally Scd1Merge.testHooks = Map.empty
+    assert(e.getMessage.contains("rewrote bucket"))
+  }
+
   test("serial upsertConcurrent (no contention) behaves exactly like upsert") {
     val pathO = build("serial_o"); val pathP = build("serial_p")
     val ks = keysIn(0).take(2) ++ keysIn(3).take(2)
