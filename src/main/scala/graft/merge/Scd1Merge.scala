@@ -1171,7 +1171,21 @@ object Scd1Merge {
             else Files.list(hist).iterator().asScala.toSeq
               .flatMap(p => p.getFileName.toString.toIntOption
                 .filter(_ <= live.commit)
-                .map(n => (n, parseManifest(p).ts)))
+                .map { n =>
+                  // A pre-timestamp manifest (ts=0, legacy build) has
+                  // UNKNOWN age, not infinite age: fall back to the
+                  // manifest file's mtime, and if even that is
+                  // unreadable, retain — the conservative direction
+                  // (same posture as touchedKnown=false → conflict).
+                  // Mapping unknown→0 would silently reclaim every
+                  // legacy snapshot on the first age-based vacuum.
+                  val recorded = parseManifest(p).ts
+                  val ts =
+                    if (recorded > 0) recorded
+                    else (try Files.getLastModifiedTime(p).toMillis
+                          catch { case _: Exception => Long.MaxValue })
+                  (n, ts)
+                })
               .filter(_._2 >= cutoff).map(_._1)
           val oldestKept = (live.commit +: keptCommits).min
           val retain = live.commit - oldestKept

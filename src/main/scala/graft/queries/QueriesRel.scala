@@ -1056,10 +1056,13 @@ object QueriesRel {
       // SQL creation + write surface: CREATE GRAFT TABLE ... KEYS (...)
       // AS SELECT (the one graft-specific statement — merge keys are
       // create-time properties standard CTAS has no slot for), then
-      // INSERT INTO with keyed-upsert-by-name semantics (k>=15 rows
-      // replaced/inserted; a blind Delta-style append would break the
-      // one-row-per-key invariant — documented divergence). The spec
-      // covers INSERT OVERWRITE and the exists/duplicate rejections.
+      // INSERT INTO ... BY NAME with keyed-upsert semantics (k>=15
+      // rows replaced/inserted; a blind Delta-style append would break
+      // the one-row-per-key invariant). BY NAME is the REQUIRED
+      // opt-in spelling — plain INSERT INTO text is rejected loudly so
+      // standard-SQL expectations are never silently diverged from.
+      // The spec covers INSERT OVERWRITE and the exists/duplicate/
+      // plain-INSERT rejections.
       val n = table(s, dir, "nation")
       n.createOrReplaceTempView("sql_ctas_nation")
       val path = graft.Tmp.dir("graft_sqlctas") + "/t"
@@ -1068,7 +1071,7 @@ object QueriesRel {
            |SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region
            |FROM sql_ctas_nation WHERE n_nationkey < 20""".stripMargin)
       graft.sql.GraftSql.sql(s,
-        s"""INSERT INTO graft.`$path`
+        s"""INSERT INTO graft.`$path` BY NAME
            |SELECT n_nationkey AS k, concat(n_name, '_ins') AS name,
            |       n_regionkey AS region
            |FROM sql_ctas_nation WHERE n_nationkey >= 15""".stripMargin)
@@ -1133,6 +1136,37 @@ object QueriesRel {
         throw new IllegalStateException(
           s"expected 3 commits (create, A, B-rebased), got ${Scd1Merge.tableCommit(path)}")
       Scd1Merge.readTable(s, path).orderBy(col("k"))
+    }),
+    "s42_partitioned_table" -> ((s, dir) => {
+      // PARTITION-COLUMN layout (the r9 verdict's #1 scale gap): a
+      // month-partitioned orders fact through the FULL commit
+      // protocol — parent manifest over per-partition child graft
+      // tables (PartitionedTable). Initial load lands every 1995-and-
+      // earlier month; the incremental batch INSERTS three new 1996
+      // partitions and UPDATES one existing one (cents+1 into
+      // 1995-06) — routed per partition, untouched partitions' files
+      // never rewritten (spec pins child commits + inputFiles). The
+      // judged frame is a partition-PRUNED read: months 1995-05..07
+      // discarded-by-path vs the ~80 live partitions before any
+      // stats/bloom consult — the layout the engine's own j13_dpp
+      // demo previously had to build from bare parquet.
+      val o = table(s, dir, "orders")
+      val fact = o.select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val path = graft.Tmp.dir("graft_part42") + "/fact"
+      val keys = Seq("o_month", "o_orderkey")
+      graft.merge.PartitionedTable.upsert(s, path,
+        fact.filter(col("o_month") < "1996-01"), keys, "o_month",
+        numBuckets = 2)
+      val batch = fact.filter(col("o_month").between("1996-01", "1996-03"))
+        .unionByName(fact.filter(col("o_month") === "1995-06")
+          .withColumn("cents", col("cents") + 1))
+      graft.merge.PartitionedTable.upsert(s, path, batch, keys, "o_month")
+      graft.merge.PartitionedTable.readTableWhere(s, path,
+          col("o_month").between("1995-05", "1995-07"))
+        .orderBy(col("o_orderkey"))
     }),
     "s40_time_travel_ts" -> ((s, dir) => {
       // TIMESTAMP AS OF — the operator-facing time-travel coordinate
@@ -1245,6 +1279,36 @@ object QueriesRel {
         s"UPDATE graft.`$path` SET name = concat(name, '_upd') WHERE k >= 100")
       graft.sql.GraftSql.sql(s,
         s"DELETE FROM graft.`$path` WHERE k >= 15 AND k < 20")
+      Scd1Merge.readTable(s, path).orderBy(col("k"))
+    }),
+    "sql_merge_full" -> ((s, dir) => {
+      // FULL MERGE clause surface: column-level UPDATE SET whose value
+      // references BOTH frames (t.name / s.name — the qualifier
+      // binding the r9 advisor flagged as silently collapsing),
+      // conditional clauses in first-match-wins order, INSERT with an
+      // explicit column list + literal, and WHEN NOT MATCHED BY SOURCE
+      // DELETE — the whole combination lowered onto ONE applyCdc
+      // commit (GraftMergeCommand: single full-outer join, per-clause
+      // when-chain). The oracle re-derives the three populations
+      // (matched / source-only / target-only) relationally in DuckDB.
+      val n = table(s, dir, "nation")
+      val dim = n.select(col("n_nationkey").as("k"),
+        col("n_name").as("name"), col("n_regionkey").as("region"))
+      val path = graft.Tmp.dir("graft_sqlmergefull") + "/dim"
+      Scd1Merge.upsert(s, path, dim, Seq("k"), numBuckets = 4)
+      n.filter(col("n_nationkey") % 3 === 0 && col("n_nationkey") < 15)
+        .select(col("n_nationkey").as("k"),
+          concat(col("n_name"), lit("_m")).as("name"))
+        .unionByName(n.filter(col("n_nationkey") < 2)
+          .select((col("n_nationkey") + lit(200L)).cast("int").as("k"),
+            concat(col("n_name"), lit("_new")).as("name")))
+        .createOrReplaceTempView("sql_merge_full_src")
+      graft.sql.GraftSql.sql(s,
+        s"""MERGE INTO graft.`$path` t USING sql_merge_full_src s ON t.k = s.k
+           |WHEN MATCHED AND t.region < 2 THEN UPDATE SET name = concat(t.name, '+', s.name)
+           |WHEN MATCHED THEN UPDATE SET region = t.region + 10
+           |WHEN NOT MATCHED THEN INSERT (k, name, region) VALUES (s.k, s.name, 77)
+           |WHEN NOT MATCHED BY SOURCE AND t.k >= 20 THEN DELETE""".stripMargin)
       Scd1Merge.readTable(s, path).orderBy(col("k"))
     }),
     "s29_shallow_clone" -> ((s, dir) => {
@@ -1626,6 +1690,18 @@ object QueriesRel {
          |  SELECT *, 'asof' AS side FROM dim
          |  UNION ALL SELECT *, 'live' AS side FROM live)
          |ORDER BY side, k""".stripMargin,
+    "s42_partitioned_table" ->
+      """WITH fact AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |merged AS (
+         |  SELECT o_month, o_orderkey,
+         |    CASE WHEN o_month = '1995-06' THEN cents + 1 ELSE cents END AS cents
+         |  FROM fact WHERE o_month <= '1996-03')
+         |SELECT o_month, o_orderkey, cents FROM merged
+         |WHERE o_month BETWEEN '1995-05' AND '1995-07'
+         |ORDER BY o_orderkey""".stripMargin,
     "s41_concurrent_upsert" ->
       """SELECT n_nationkey AS k,
          |  CASE WHEN n_nationkey = 1 THEN n_name || '_A'
@@ -1683,6 +1759,26 @@ object QueriesRel {
          |  FROM merged)
          |SELECT k, name, region FROM updated
          |WHERE NOT (k >= 15 AND k < 20)
+         |ORDER BY k""".stripMargin,
+    "sql_merge_full" ->
+      """WITH dim AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation),
+         |src AS (
+         |  SELECT n_nationkey AS k, n_name || '_m' AS name
+         |  FROM nation WHERE n_nationkey % 3 = 0 AND n_nationkey < 15
+         |  UNION ALL
+         |  SELECT n_nationkey + 200 AS k, n_name || '_new' AS name
+         |  FROM nation WHERE n_nationkey < 2)
+         |SELECT k, name, region FROM (
+         |  SELECT d.k,
+         |    CASE WHEN d.region < 2 THEN d.name || '+' || s.name ELSE d.name END AS name,
+         |    CASE WHEN d.region < 2 THEN d.region ELSE d.region + 10 END AS region
+         |  FROM dim d JOIN src s ON d.k = s.k
+         |  UNION ALL
+         |  SELECT s.k, s.name, 77 AS region FROM src s
+         |  WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.k = s.k)
+         |  UNION ALL
+         |  SELECT d.k, d.name, d.region FROM dim d
+         |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.k = d.k) AND d.k < 20)
          |ORDER BY k""".stripMargin,
     "s29_shallow_clone" ->
       """WITH dim AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation),

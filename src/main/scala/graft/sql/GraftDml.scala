@@ -50,26 +50,31 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampT
   * grammar has no rule for them — the Delta extension-grammar
   * pattern, reduced to three regexes).
   *
-  * Supported MERGE forms (everything else fails loudly, naming the
-  * restriction — never a silent semantic drift):
-  *  - `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
-  *    → [[Scd1Merge.upsert]] (optionally `WITH SCHEMA EVOLUTION`).
-  *  - `WHEN MATCHED AND <cond> THEN DELETE WHEN MATCHED THEN UPDATE
-  *    SET * WHEN NOT MATCHED THEN INSERT *` → [[Scd1Merge.applyCdc]]
-  *    (the CDC-apply shape; `<cond>` speaks source columns).
-  *  - `WHEN MATCHED THEN DELETE` (alone) → all-delete [[Scd1Merge
-  *    .applyCdc]] (delete exactly the target keys the source carries).
-  *  - `WHEN MATCHED THEN UPDATE SET *` (alone) → update-only: source
-  *    semi-joined to the target's live keys, then upsert.
-  *  - `WHEN NOT MATCHED THEN INSERT *` (alone) → insert-only: source
-  *    anti-joined, then upsert.
-  * Per-column `UPDATE SET c = expr` inside MERGE and `WHEN NOT
-  * MATCHED BY SOURCE` are not offered (use the UPDATE statement /
-  * [[Scd1Merge.deleteSoft]]).
+  * MERGE supports the full Spark/Delta clause surface with standard
+  * SQL semantics (first matching clause wins within each group):
+  *  - `WHEN MATCHED [AND cond] THEN UPDATE SET * | UPDATE SET c =
+  *    expr, ... | DELETE` — conditions and per-column expressions may
+  *    reference BOTH frames via the statement aliases (`t.x`, `s.x`);
+  *    unqualified names resolve if unambiguous, else fail loudly.
+  *  - `WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols)
+  *    VALUES (...)` — unmatched source rows insert REGARDLESS of any
+  *    matched-clause delete condition (Delta parity: the delete
+  *    condition only ever applies to matched rows).
+  *  - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... |
+  *    DELETE` — the anti-join sweep, in the same single commit.
+  * The pure `UPDATE SET * / INSERT *` form routes to [[Scd1Merge
+  * .upsert]] (optionally `WITH SCHEMA EVOLUTION`); every other
+  * combination lowers onto ONE [[Scd1Merge.applyCdc]] commit built
+  * from a single target×source join. The ON clause must be exactly
+  * the key-equality conjunction, and a key appearing twice in the
+  * source stays the loud Delta multiple-match error.
   *
   * At 100 TB nothing changes: the commands are thin routing — cost
   * and plan shape are exactly the Scala API's (probe-pruned bucket
-  * rewrites, stats/hash skipping on UPDATE/DELETE predicates).
+  * rewrites, stats/hash skipping on UPDATE/DELETE predicates). A
+  * MERGE without BY SOURCE clauses joins the source `right_outer`
+  * (the target side prunes to matched keys); BY SOURCE inherently
+  * sweeps the whole table — same as Delta.
   */
 object GraftDml {
 
@@ -81,15 +86,16 @@ object GraftDml {
   def rewrite(spark: SparkSession, plan: LogicalPlan): Option[LogicalPlan] = plan match {
     case d: DeleteFromTable =>
       targetPath(d.table).map { path =>
-        GraftDeleteCommand(path, toColumn(d.condition))
+        GraftDeleteCommand(path, toColumn(d.condition, topAlias(d.table)))
       }
     case u: UpdateTable =>
       targetPath(u.table).map { path =>
+        val aliases = topAlias(u.table)
         val set = u.assignments.map { a =>
-          attrName(a.key) -> toColumn(a.value)
+          attrName(a.key, aliases) -> toColumn(a.value, aliases)
         }
         GraftUpdateCommand(path, set,
-          u.condition.map(toColumn).getOrElse(lit(true)))
+          u.condition.map(toColumn(_, aliases)).getOrElse(lit(true)))
       }
     case m: MergeIntoTable =>
       targetPath(m.targetTable).map { path => translateMerge(spark, m, path) }
@@ -110,6 +116,19 @@ object GraftDml {
             "graft INSERT: PARTITION specs and explicit column lists are " +
             "not supported — graft tables are hash-bucketed by merge key " +
             "and insert BY NAME")
+        // Plain `INSERT INTO` on a graft table would silently REPLACE
+        // rows whose merge key already exists (keyed-upsert, the
+        // one-row-per-key invariant) — non-standard semantics behind
+        // standard SQL text. Require the explicit `BY NAME` spelling
+        // as the opt-in; `INSERT OVERWRITE` (full atomic replace) has
+        // no such divergence and stays accepted as-is.
+        if (!i.overwrite && !i.byName)
+          throw new UnsupportedOperationException(
+            "graft INSERT INTO is a KEYED UPSERT by name (rows whose merge " +
+            "key exists are replaced, not appended — the one-row-per-key " +
+            "invariant), which diverges from SQL append semantics. Spell it " +
+            "`INSERT INTO ... BY NAME <query>` to opt in explicitly, or use " +
+            "INSERT OVERWRITE / MERGE INTO.")
         GraftInsertCommand(path, resolveRelations(spark, i.query), i.overwrite)
       }
     case other =>
@@ -265,18 +284,39 @@ object GraftDml {
     f.name.head
   }
 
-  /** Unresolved parser expressions → Column, with alias qualifiers
-    * stripped: the engine evaluates conditions against ONE frame (the
-    * target's logical view for UPDATE/DELETE, the source batch for
-    * MERGE cond), where the SQL alias does not exist. Column names in
-    * a single-table DML statement are unambiguous without it. */
-  private def toColumn(e: Expression): Column =
+  /** The name(s) a statement's table leg can be referenced by: the
+    * outermost `AS alias` when present (SQL scoping — an alias shadows
+    * the base name), else the relation identifier's last part. */
+  private def topAlias(p: LogicalPlan): Set[String] = p match {
+    case s: SubqueryAlias => Set(s.alias.toLowerCase)
+    case r: UnresolvedRelation => Set(r.multipartIdentifier.last.toLowerCase)
+    case _ => Set.empty
+  }
+
+  /** Unresolved parser expressions → Column for the SINGLE-table
+    * statements (UPDATE/DELETE): a qualifier is stripped only when it
+    * IS the statement's table alias/name — any other multi-part
+    * reference is kept verbatim (it is a struct-field path, or a
+    * genuine unresolvable that Spark's analyzer reports loudly).
+    * Blindly stripping every head part would silently rebind
+    * `other.x` / collapse `address.city` to `city`. */
+  private def toColumn(e: Expression, aliases: Set[String]): Column =
     GraftExpressionBridge.column(e.transform {
-      case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+          aliases.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(a.nameParts.tail)
     })
 
-  private def attrName(e: Expression): String = e match {
-    case a: UnresolvedAttribute => a.nameParts.last
+  private def attrName(e: Expression, aliases: Set[String]): String = e match {
+    case a: UnresolvedAttribute =>
+      val parts =
+        if (a.nameParts.length > 1 &&
+            aliases.contains(a.nameParts.head.toLowerCase)) a.nameParts.tail
+        else a.nameParts
+      if (parts.length != 1) throw new UnsupportedOperationException(
+        s"graft DML: nested-field assignment is not supported " +
+        s"(${a.nameParts.mkString(".")})")
+      parts.head
     case other => throw new UnsupportedOperationException(
       s"graft DML: expected a column reference, got ${other.sql}")
   }
@@ -294,43 +334,97 @@ object GraftDml {
 
   private def unsupported(what: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft MERGE: $what. Supported forms: " +
-      "[WHEN MATCHED AND cond THEN DELETE] WHEN MATCHED THEN UPDATE SET * " +
-      "WHEN NOT MATCHED THEN INSERT *; WHEN MATCHED THEN DELETE alone; " +
-      "either clause alone. Per-column SET inside MERGE and NOT MATCHED " +
-      "BY SOURCE are not offered — use the UPDATE statement / the Scala API.")
+      s"graft MERGE: $what. Supported: WHEN MATCHED [AND cond] THEN " +
+      "UPDATE SET * | SET c = expr, ... | DELETE; WHEN NOT MATCHED " +
+      "[AND cond] THEN INSERT * | INSERT (cols) VALUES (...); WHEN NOT " +
+      "MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... | DELETE.")
 
   private def translateMerge(spark: SparkSession, m: MergeIntoTable,
                              path: String): LogicalPlan = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
     val onKeys = keyEqualities(m.mergeCondition).getOrElse(unsupported(
       s"ON clause must be the key-equality conjunction, got ${m.mergeCondition.sql}"))
-    // matched actions, in source order (SQL first-match-wins):
-    //   optional conditional DELETE, then at most one unconditional
-    //   UPDATE SET * / DELETE
-    val (mode, deleteCond) = (m.matchedActions.toList, m.notMatchedActions.toList) match {
-      case (UpdateStarAction(None) :: Nil, InsertStarAction(None) :: Nil) =>
-        ("upsert", None)
-      case (DeleteAction(Some(c)) :: UpdateStarAction(None) :: Nil,
-            InsertStarAction(None) :: Nil) =>
-        ("cdc", Some(toColumn(c)))
-      case (DeleteAction(None) :: Nil, Nil) => ("delete_matched", None)
-      case (UpdateStarAction(None) :: Nil, Nil) => ("update_only", None)
-      case (Nil, InsertStarAction(None) :: Nil) => ("insert_only", None)
-      case _ => unsupported("unsupported WHEN-clause combination " +
-        s"(matched: ${m.matchedActions.mkString(", ")}; " +
-        s"not matched: ${m.notMatchedActions.mkString(", ")})")
-    }
-    if (m.withSchemaEvolution && mode != "upsert")
-      unsupported("WITH SCHEMA EVOLUTION is only supported on the pure " +
-        "UPDATE SET * / INSERT * form")
+    val tgtAliases = topAlias(m.targetTable)
+    val srcAliases = topAlias(m.sourceTable)
     // the USING side may itself reference graft tables (or time-travel
     // reads of them) — resolve before the command captures the plan
-    GraftMergeCommand(path, resolveRelations(spark, m.sourceTable),
-      onKeys, mode, deleteCond, m.withSchemaEvolution)
+    val src = resolveRelations(spark, m.sourceTable)
+
+    // SET/INSERT assignment list → (target column name, value expr).
+    // UPDATE clauses must not assign merge keys (immutable — a key
+    // change is a delete+insert, not an update); an INSERT column list
+    // must assign EVERY key (a null-key row can never be merged).
+    def assigns(as: Seq[Assignment], isInsert: Boolean): Seq[(String, Expression)] = {
+      val named = as.map { a =>
+        val name = a.key match {
+          case u: UnresolvedAttribute =>
+            val parts =
+              if (u.nameParts.length > 1 &&
+                  tgtAliases.contains(u.nameParts.head.toLowerCase)) u.nameParts.tail
+              else u.nameParts
+            if (parts.length != 1) unsupported(
+              s"nested-field assignment (${u.nameParts.mkString(".")})")
+            parts.head
+          case other => unsupported(s"SET/INSERT target must be a column, got ${other.sql}")
+        }
+        name -> a.value
+      }
+      if (!isInsert)
+        named.find(n => onKeys.exists(_.equalsIgnoreCase(n._1))).foreach { n =>
+          throw new IllegalArgumentException(
+            s"graft MERGE: merge key '${n._1}' cannot be assigned by UPDATE")
+        }
+      else
+        onKeys.find(k => !named.exists(_._1.equalsIgnoreCase(k))).foreach { k =>
+          throw new IllegalArgumentException(
+            s"graft MERGE: INSERT column list must assign merge key '$k'")
+        }
+      named
+    }
+
+    (m.matchedActions.toList, m.notMatchedActions.toList,
+     m.notMatchedBySourceActions.toList) match {
+      // the pure upsert form keeps its dedicated path — bit-parity
+      // with the API upsert, and the only form schema evolution rides
+      case (UpdateStarAction(None) :: Nil, InsertStarAction(None) :: Nil, Nil) =>
+        GraftMergeUpsertCommand(path, src, onKeys, m.withSchemaEvolution)
+      case (matched, notMatched, bySource) =>
+        if (m.withSchemaEvolution)
+          unsupported("WITH SCHEMA EVOLUTION is only supported on the pure " +
+            "UPDATE SET * / INSERT * form")
+        val clauses: Seq[MergeClause] =
+          matched.map {
+            case DeleteAction(c) => MergeClause("matched", "delete", c, None)
+            case UpdateStarAction(c) => MergeClause("matched", "update", c, None)
+            case UpdateAction(c, as, _) =>
+              MergeClause("matched", "update", c, Some(assigns(as, isInsert = false)))
+            case other => unsupported(s"unsupported WHEN MATCHED action $other")
+          } ++ notMatched.map {
+            case InsertStarAction(c) => MergeClause("notMatched", "insert", c, None)
+            case InsertAction(c, as) =>
+              MergeClause("notMatched", "insert", c, Some(assigns(as, isInsert = true)))
+            case other => unsupported(s"unsupported WHEN NOT MATCHED action $other")
+          } ++ bySource.map {
+            case DeleteAction(c) => MergeClause("bySource", "delete", c, None)
+            case UpdateAction(c, as, _) =>
+              MergeClause("bySource", "update", c, Some(assigns(as, isInsert = false)))
+            case other =>
+              unsupported(s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
+          }
+        if (clauses.isEmpty) unsupported("MERGE with no WHEN clauses")
+        GraftMergeCommand(path, src, onKeys, clauses, tgtAliases, srcAliases)
+    }
   }
 }
+
+/** One translated MERGE WHEN-clause. `group` is `matched` /
+  * `notMatched` / `bySource`; `kind` is `update` / `delete` /
+  * `insert`; `set` None means `SET *` / `INSERT *`. Conditions and
+  * values stay unresolved parser expressions — [[GraftMergeCommand]]
+  * resolves them against the joined frame at run time, when both
+  * schemas are known. */
+case class MergeClause(group: String, kind: String,
+                       cond: Option[Expression],
+                       set: Option[Seq[(String, Expression)]])
 
 /** `INSERT INTO <graft table> <query>` — KEYED-UPSERT semantics, by
   * name: graft tables are bucketed by merge key, so a blind
@@ -505,16 +599,59 @@ case class GraftUpdateCommand(path: String, set: Seq[(String, Column)],
   }
 }
 
-/** `MERGE INTO <graft table> USING <source> ON <keys> WHEN ...` —
-  * routed per [[GraftDml]]'s supported forms. The source plan is any
-  * query Spark can run (table, view, subquery); it is projected onto
-  * the target's columns (extra source columns — e.g. a CDC op tag
-  * consumed by the MATCHED AND condition — are dropped, missing ones
-  * are a loud analysis error from the projection). */
+/** The pure `WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+  * INSERT *` MERGE — routed straight to [[Scd1Merge.upsert]] (the
+  * only form `WITH SCHEMA EVOLUTION` rides). The source is projected
+  * onto the target's columns BY NAME; extra source columns drop,
+  * missing ones are a loud analysis error. */
+case class GraftMergeUpsertCommand(path: String, source: LogicalPlan,
+                                   onKeys: Seq[String],
+                                   evolveSchema: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keys = GraftTables.keysOf(path)
+    require(onKeys.map(_.toLowerCase).toSet == keys.map(_.toLowerCase).toSet,
+      s"graft MERGE: ON clause keys (${onKeys.mkString(",")}) must be exactly " +
+      s"the table's merge keys (${keys.mkString(",")})")
+    val target = Scd1Merge.readTable(spark, path)
+    val src = GraftExpressionBridge.ofRows(spark, source)
+    val aligned =
+      if (evolveSchema) src
+      else src.select(target.columns.toIndexedSeq.map(col): _*)
+    Scd1Merge.upsert(spark, path, aligned, keys, evolveSchema = evolveSchema)
+    Nil
+  }
+}
+
+/** The general MERGE: any combination of MATCHED / NOT MATCHED / NOT
+  * MATCHED BY SOURCE clauses with standard SQL semantics, lowered
+  * onto ONE [[Scd1Merge.applyCdc]] commit.
+  *
+  * HOW: one join of target × source on the merge keys — `right_outer`
+  * when no BY SOURCE clause needs the unmatched target rows (the
+  * common case; the target side prunes to matched keys), `full_outer`
+  * otherwise (the BY SOURCE sweep is inherently whole-table, as in
+  * Delta). Each row lands in exactly one group (matched / source-only
+  * / target-only, decided by key-side nullness — merge keys are
+  * non-null by engine invariant); within its group the FIRST clause
+  * whose condition holds wins (SQL clause order), rows no clause
+  * claims are untouched. The op column tags delete vs upsert and
+  * [[Scd1Merge.applyCdc]] applies the whole batch in one crash-safe
+  * commit — including the Delta multiple-match error when a key
+  * appears twice.
+  *
+  * NAME RESOLUTION mirrors SQL scoping at run time, schema-aware:
+  * `t.x` / `s.x` bind to the statement aliases (so a condition like
+  * `t.updated_at < s.updated_at` compares the two frames, never a
+  * silently self-compared single frame); unqualified names resolve to
+  * whichever frame uniquely holds them IN THE CLAUSE'S SCOPE (INSERT
+  * values see only the source, BY SOURCE clauses only the target) and
+  * fail loudly when ambiguous or out of scope. Deeper parts are
+  * struct-field paths. */
 case class GraftMergeCommand(path: String, source: LogicalPlan,
-                             onKeys: Seq[String], mode: String,
-                             deleteCond: Option[Column],
-                             evolveSchema: Boolean)
+                             onKeys: Seq[String], clauses: Seq[MergeClause],
+                             tgtAliases: Set[String], srcAliases: Set[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
 
@@ -524,38 +661,99 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
       s"graft MERGE: ON clause keys (${onKeys.mkString(",")}) must be exactly " +
       s"the table's merge keys (${keys.mkString(",")})")
     val target = Scd1Merge.readTable(spark, path)
-    val src = GraftExpressionBridge.ofRows(spark, source)
-    // project the source onto the target schema BY NAME — `INSERT *` /
-    // `UPDATE SET *` semantics; the delete condition (if any) is
-    // evaluated on the full source row first, so it may reference
-    // source-only columns (the CDC op tag)
-    def aligned(df: DataFrame): DataFrame =
-      df.select(target.columns.toIndexedSeq.map(col): _*)
-    mode match {
-      case "upsert" =>
-        Scd1Merge.upsert(spark, path, aligned(src), keys,
-          evolveSchema = evolveSchema)
-      case "cdc" =>
-        val opCol = "__graft_sql_op"
-        val tagged = src.withColumn(opCol,
-          when(coalesce(deleteCond.get, lit(false)), lit("delete"))
-            .otherwise(lit("upsert")))
-        Scd1Merge.applyCdc(spark, path,
-          tagged.select((target.columns.toIndexedSeq.map(col) :+ col(opCol)): _*),
-          keys, opCol = opCol)
-      case "delete_matched" =>
-        val opCol = "__graft_sql_op"
-        Scd1Merge.applyCdc(spark, path,
-          aligned(src).withColumn(opCol, lit("delete")), keys, opCol = opCol)
-      case "update_only" =>
-        Scd1Merge.upsert(spark, path,
-          aligned(src).join(target.select(keys.map(col): _*), keys, "left_semi"),
-          keys)
-      case "insert_only" =>
-        Scd1Merge.upsert(spark, path,
-          aligned(src).join(target.select(keys.map(col): _*), keys, "left_anti"),
-          keys)
+    // fresh exprIds per side so a source that reads the SAME graft
+    // table (self-merge) still disambiguates
+    val tgtDf = target.alias("__graft_merge_t")
+    val srcDf = GraftExpressionBridge.ofRows(spark, source)
+      .alias("__graft_merge_s")
+    val hasBySource = clauses.exists(_.group == "bySource")
+    val joinCond = keys.map(k => tgtDf(k) === srcDf(k)).reduce(_ && _)
+    val joined = tgtDf.join(srcDf, joinCond,
+      if (hasBySource) "full_outer" else "right_outer")
+    val groupPred = Map(
+      "matched" -> (tgtDf(keys.head).isNotNull && srcDf(keys.head).isNotNull),
+      "notMatched" -> tgtDf(keys.head).isNull,
+      "bySource" -> srcDf(keys.head).isNull)
+
+    val tCols = target.columns.map(_.toLowerCase).toSet
+    val sCols = srcDf.columns.map(_.toLowerCase).toSet
+    def resolveAttr(parts: Seq[String], allowT: Boolean, allowS: Boolean): Column = {
+      def fieldPath(base: Column, rest: Seq[String]): Column =
+        rest.foldLeft(base)(_.getField(_))
+      def outOfScope(which: String): Nothing =
+        throw new IllegalArgumentException(
+          s"graft MERGE: '${parts.mkString(".")}' references the $which, " +
+          "which is not in scope in this clause (INSERT values see only " +
+          "the source; NOT MATCHED BY SOURCE clauses see only the target)")
+      val head = parts.head.toLowerCase
+      if (parts.length > 1 && tgtAliases.contains(head)) {
+        if (!allowT) outOfScope("target")
+        fieldPath(tgtDf(parts(1)), parts.drop(2))
+      } else if (parts.length > 1 && srcAliases.contains(head)) {
+        if (!allowS) outOfScope("source")
+        fieldPath(srcDf(parts(1)), parts.drop(2))
+      } else {
+        val inT = allowT && tCols.contains(head)
+        val inS = allowS && sCols.contains(head)
+        if (inT && inS) throw new IllegalArgumentException(
+          s"graft MERGE: ambiguous column '${parts.mkString(".")}' — both " +
+          "frames hold it; qualify with the target/source alias")
+        else if (inT) fieldPath(tgtDf(parts.head), parts.tail)
+        else if (inS) fieldPath(srcDf(parts.head), parts.tail)
+        else if (!allowT && tCols.contains(head)) outOfScope("target")
+        else if (!allowS && sCols.contains(head)) outOfScope("source")
+        else throw new IllegalArgumentException(
+          s"graft MERGE: cannot resolve '${parts.mkString(".")}'")
+      }
     }
+    def xlate(e: Expression, allowT: Boolean, allowS: Boolean): Column =
+      GraftExpressionBridge.column(e.transform {
+        case a: UnresolvedAttribute => GraftExpressionBridge.expression(resolveAttr(a.nameParts, allowT, allowS))
+      })
+    // (target in scope, source in scope) per clause group
+    def scopes(cl: MergeClause): (Boolean, Boolean) =
+      (cl.group != "notMatched", cl.group != "bySource")
+
+    val tagCol = "__graft_merge_tag"
+    val opCol = "__graft_sql_op"
+    // first-match-wins: one when-chain in clause order (groups are
+    // disjoint, so cross-group order is irrelevant)
+    val tag = clauses.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (cl, i)) =>
+        val (at, as) = scopes(cl)
+        val c = cl.cond.map(e => coalesce(xlate(e, at, as), lit(false)))
+          .getOrElse(lit(true))
+        acc.when(groupPred(cl.group) && c, lit(i.toString))
+    }.otherwise(lit("keep"))
+
+    def clauseValue(cl: MergeClause, c: String): Column = {
+      val (at, as) = scopes(cl)
+      lazy val assigned = cl.set.flatMap(_.collectFirst {
+        case (n, v) if n.equalsIgnoreCase(c) => xlate(v, at, as)
+      })
+      (cl.kind, cl.set) match {
+        case ("delete", _) => tgtDf(c)
+        case ("update", None) | ("insert", None) => srcDf(c) // SET * / INSERT *
+        case ("update", Some(_)) => assigned.getOrElse(tgtDf(c))
+        case ("insert", Some(_)) => assigned.getOrElse(lit(null)) // SQL: unassigned → NULL
+      }
+    }
+    val valueCols = target.schema.fields.toIndexedSeq.map { f =>
+      val c = f.name
+      clauses.zipWithIndex.foldLeft(when(lit(false), lit(null))) {
+        case (acc, (cl, i)) =>
+          acc.when(col(tagCol) === i.toString, clauseValue(cl, c))
+      }.otherwise(tgtDf(c)).cast(f.dataType).as(c)
+    }
+    val opVal = clauses.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (cl, i)) =>
+        acc.when(col(tagCol) === i.toString,
+          lit(if (cl.kind == "delete") "delete" else "upsert"))
+    }
+    val batch = joined.withColumn(tagCol, tag)
+      .filter(col(tagCol) =!= "keep")
+      .select(valueCols :+ opVal.as(opCol): _*)
+    Scd1Merge.applyCdc(spark, path, batch, keys, opCol = opCol)
     Nil
   }
 }

@@ -24,9 +24,18 @@ object GraftTables {
   def unregister(name: String): Unit = reg.remove(name.toLowerCase)
 
   /** Resolve a (possibly multipart) SQL identifier to a graft table
-    * path. None = not a graft table (the statement is Spark's). */
+    * path. None = not a graft table (the statement is Spark's).
+    *
+    * The `graft.` namespace is only claimed when the second part is
+    * PATH-LIKE (contains a `/`) or an actual graft manifest exists at
+    * it — mirroring Delta, whose convention claims ``delta.`/path```
+    * not every table in a database that happens to be named `delta`. A
+    * real catalog database called `graft` therefore stays reachable:
+    * `graft.sometable` falls through to Spark's resolver instead of
+    * being hijacked into a "no manifest" failure. */
   def pathOf(parts: Seq[String]): Option[String] = parts match {
-    case Seq(ns, p) if ns.equalsIgnoreCase("graft") => Some(p)
+    case Seq(ns, p) if ns.equalsIgnoreCase("graft") &&
+        (p.contains("/") || Scd1Merge.tableExists(p)) => Some(p)
     case Seq(one) => Option(reg.get(one.toLowerCase))
     case _ => None
   }

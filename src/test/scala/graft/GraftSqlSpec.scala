@@ -76,7 +76,12 @@ class GraftSqlSpec extends SparkSpecBase {
       (1L, "one_v2", 10L, "update"),
       (100L, "new", 0L, "insert"),
       (5L, "five", 1L, "delete"),
-      (999L, "ghost", 0L, "delete") // delete of an absent key: no-op
+      // delete-tag on an ABSENT key: SQL semantics say the matched-
+      // clause condition never applies to unmatched rows — this row
+      // falls through to WHEN NOT MATCHED THEN INSERT * and INSERTS
+      // (Delta parity; routing it to a delete no-op would silently
+      // diverge from the identical SQL on Delta)
+      (999L, "ghost", 0L, "delete")
     ).toDF("k", "name", "region", "_op")
     cdc.createOrReplaceTempView("cdc_batch")
     GraftSql.sql(spark,
@@ -84,13 +89,16 @@ class GraftSqlSpec extends SparkSpecBase {
          |WHEN MATCHED AND s._op = 'delete' THEN DELETE
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // API twin of the SQL semantics: delete only where MATCHED
     Scd1Merge.applyCdc(spark, apiT,
       cdc.withColumn("_op",
-        when($"_op" === "delete", "delete").otherwise("upsert")),
+        when($"_op" === "delete" && $"k" < 20, "delete").otherwise("upsert")),
       Seq("k"))
     assertSameRows(Scd1Merge.readTable(spark, sqlT).orderBy($"k"),
       Scd1Merge.readTable(spark, apiT).orderBy($"k"))
     assert(Scd1Merge.readTable(spark, sqlT).filter($"k" === 5).count() == 0)
+    assert(Scd1Merge.readTable(spark, sqlT).filter($"k" === 999)
+      .select("name").as[String].head() == "ghost")
   }
 
   test("MERGE single-clause forms: delete-matched, update-only, insert-only") {
@@ -125,7 +133,77 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(afterIns.filter($"k" === 500).select("name").as[String].head() == "landed")
   }
 
-  test("loud rejections: wrong ON keys, per-column SET in MERGE, non-graft passthrough") {
+  test("MERGE column-level SET: both-frame refs bind correctly; conditions order first-match-wins") {
+    val t = mkTable("colset", 10)
+    // source carries a fresher name for even keys, staler for odd ones
+    Seq((2L, "two_new", 20L, 5L), (3L, "three_stale", 30L, -1L),
+        (100L, "hundred", 0L, 9L))
+      .toDF("k", "name", "region", "ver")
+      .createOrReplaceTempView("colset_src")
+    // t.ver does not exist — the guard condition compares a TARGET
+    // column with a SOURCE column; region proxies the target version.
+    // Before the qualifier fix this would silently become region <
+    // region (always false) on the source frame.
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$t` t USING colset_src s ON t.k = s.k
+         |WHEN MATCHED AND t.region < s.ver THEN UPDATE SET name = concat(t.name, '->', s.name), region = s.region
+         |WHEN MATCHED THEN UPDATE SET region = -1
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val r = Scd1Merge.readTable(spark, t)
+    // k=2: target region 2 < s.ver 5 → first clause: name concat, region 20
+    assert(r.filter($"k" === 2).select("name").as[String].head() == "name_2->two_new")
+    assert(r.filter($"k" === 2).select("region").as[Long].head() == 20L)
+    // k=3: target region 3 > s.ver -1 → second clause: region -1, name kept
+    assert(r.filter($"k" === 3).select("name").as[String].head() == "name_3")
+    assert(r.filter($"k" === 3).select("region").as[Long].head() == -1L)
+    // k=100 inserts via INSERT * (ver dropped)
+    assert(r.filter($"k" === 100).select("name").as[String].head() == "hundred")
+    // untouched rows stay
+    assert(r.count() == 11)
+    assert(r.filter($"k" === 7).select("name").as[String].head() == "name_7")
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE (DELETE + UPDATE) and INSERT column list, one commit") {
+    val t = mkTable("bysrc", 10)
+    val commitBefore = Scd1Merge.tableCommit(t).get
+    Seq((3L, "three_v2"), (50L, "fifty"))
+      .toDF("k", "name").createOrReplaceTempView("bysrc_src")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$t` t USING bysrc_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET name = s.name
+         |WHEN NOT MATCHED THEN INSERT (k, name, region) VALUES (s.k, s.name, 99)
+         |WHEN NOT MATCHED BY SOURCE AND t.k >= 8 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.k >= 6 THEN UPDATE SET name = 'stale'""".stripMargin)
+    val r = Scd1Merge.readTable(spark, t)
+    // matched update: k=3
+    assert(r.filter($"k" === 3).select("name").as[String].head() == "three_v2")
+    // insert list: k=50 with region literal
+    assert(r.filter($"k" === 50).select("region").as[Long].head() == 99L)
+    // by-source delete: k=8,9 gone (k=3 matched, survives)
+    assert(r.filter($"k" >= 8 && $"k" < 50).count() == 0)
+    // by-source conditional update, first-match-wins: k=6,7 stale
+    assert(r.filter($"name" === "stale").select("k").as[Long].collect().sorted
+      .toSeq == Seq(6L, 7L))
+    // untouched: k=0..5 except 3
+    assert(r.filter($"k" === 1).select("name").as[String].head() == "name_1")
+    assert(r.count() == 9) // 10 - 2 deleted + 1 inserted
+    // the whole clause set landed as ONE commit
+    assert(Scd1Merge.tableCommit(t).contains(commitBefore + 1))
+  }
+
+  test("MERGE general path keeps the multiple-match error") {
+    val t = mkTable("mm", 5)
+    Seq((2L, "a", 0L), (2L, "b", 1L)).toDF("k", "name", "region")
+      .createOrReplaceTempView("mm_src")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$t` t USING mm_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET name = s.name""".stripMargin)
+    }
+    assert(e.getMessage.contains("more than one source row"))
+  }
+
+  test("loud rejections: wrong ON keys, key assignment, scope errors, non-graft passthrough") {
     val t = mkTable("rej")
     dim(3).createOrReplaceTempView("rej_src")
     // ON clause not the table's merge keys
@@ -136,13 +214,36 @@ class GraftSqlSpec extends SparkSpecBase {
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     assert(e1.getMessage.contains("merge keys"))
-    // per-column SET inside MERGE is not offered
-    val e2 = intercept[UnsupportedOperationException] {
+    // UPDATE may not assign a merge key
+    val e2 = intercept[IllegalArgumentException] {
       GraftSql.sql(spark,
         s"""MERGE INTO graft.`$t` t USING rej_src s ON t.k = s.k
-           |WHEN MATCHED THEN UPDATE SET name = s.name""".stripMargin)
+           |WHEN MATCHED THEN UPDATE SET k = s.k + 1""".stripMargin)
     }
-    assert(e2.getMessage.contains("Supported forms"))
+    assert(e2.getMessage.contains("cannot be assigned"))
+    // an INSERT column list must assign every merge key
+    val e3 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$t` t USING rej_src s ON t.k = s.k
+           |WHEN NOT MATCHED THEN INSERT (name) VALUES (s.name)""".stripMargin)
+    }
+    assert(e3.getMessage.contains("must assign merge key"))
+    // unqualified reference held by BOTH frames is ambiguous, loudly
+    val e4 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$t` t USING rej_src s ON t.k = s.k
+           |WHEN MATCHED AND name = 'x' THEN DELETE""".stripMargin)
+    }
+    assert(e4.getMessage.contains("ambiguous"))
+    // a target-qualified reference in an INSERT value is out of scope
+    // (the target row does not exist for a NOT MATCHED source row) —
+    // must fail loudly, never silently bind to the source frame
+    val e5 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$t` t USING rej_src s ON t.k = s.k
+           |WHEN NOT MATCHED THEN INSERT (k, name, region) VALUES (s.k, t.name, s.region)""".stripMargin)
+    }
+    assert(e5.getMessage.contains("not in scope"))
     // a non-graft DML statement is NOT intercepted: Spark's own error
     // surfaces (table does not exist / does not support DML), proving
     // passthrough rather than a graft-side hijack
@@ -241,9 +342,18 @@ class GraftSqlSpec extends SparkSpecBase {
       GraftSql.sql(spark,
         s"CREATE GRAFT TABLE graft.`$dst` KEYS (k) AS SELECT 1L AS k, 'x' AS name, 0L AS region")
     }
-    // INSERT INTO = keyed upsert by name: k=7 replaced, k=8,9 inserted
+    // plain INSERT INTO text is REJECTED loudly: its graft semantics
+    // would be a keyed upsert (replace-on-key), not the SQL append a
+    // user reading standard INSERT expects — the BY NAME spelling is
+    // the explicit opt-in
+    val eIns = intercept[UnsupportedOperationException] {
+      GraftSql.sql(spark,
+        s"INSERT INTO graft.`$dst` SELECT k, name, region FROM graft.`$src` WHERE k = 7")
+    }
+    assert(eIns.getMessage.contains("BY NAME"))
+    // INSERT INTO ... BY NAME = keyed upsert: k=7 replaced, k=8,9 inserted
     GraftSql.sql(spark,
-      s"""INSERT INTO graft.`$dst`
+      s"""INSERT INTO graft.`$dst` BY NAME
          |SELECT k, concat(name, '_ins') AS name, region FROM graft.`$src`
          |WHERE k >= 7 AND k < 10""".stripMargin)
     val t = Scd1Merge.readTable(spark, dst)
