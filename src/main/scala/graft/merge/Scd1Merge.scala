@@ -1592,9 +1592,18 @@ object Scd1Merge {
     * first post-evolution commit.
     *
     * @param keys the table's merge keys (classify changed rows:
-    *             key present on both sides = update) */
-  def readChanges(spark: SparkSession, tablePath: String, keys: Seq[String],
-                  fromCommitsBack: Int, toCommitsBack: Int = 0): DataFrame = {
+    *             key present on both sides = update)
+    * @param bucketFilter restrict the feed to these changed buckets
+    *        (ChangeStream's rate-limit paging); None = all changed */
+  /** The (older, newer, changed-bucket) window behind a change feed:
+    * resolves both retained snapshots and computes the buckets whose
+    * content can differ — dir moves plus deletion-vector hash
+    * spillover. Public face [[changedBucketIds]] lets a consumer SIZE
+    * a commit's feed (metadata-only, no data read) before deciding how
+    * to page it. */
+  private def changeWindow(spark: SparkSession, tablePath: String,
+                           fromCommitsBack: Int,
+                           toCommitsBack: Int): (Manifest, Manifest, Seq[Int]) = {
     require(fromCommitsBack > toCommitsBack,
       s"from ($fromCommitsBack commits back) must be older than to ($toCommitsBack)")
     val live = readManifest(tablePath).getOrElse(throw new IllegalStateException(
@@ -1632,7 +1641,35 @@ object Scd1Merge {
             .collect().map(_.getInt(0)).toSet
         }
       }
-    val changedBuckets = (dirChanged ++ dvChanged).toSeq.sorted
+    (from, to, (dirChanged ++ dvChanged).toSeq.sorted)
+  }
+
+  /** Buckets whose content changed between two retained snapshots —
+    * the metadata-only sizing probe for feed consumers. */
+  def changedBucketIds(spark: SparkSession, tablePath: String,
+                       fromCommitsBack: Int, toCommitsBack: Int = 0): Seq[Int] =
+    changeWindow(spark, tablePath, fromCommitsBack, toCommitsBack)._3
+
+  /** Live bucket count / live bucket ids — public metadata accessors
+    * (feed paging, ops). */
+  def tableNumBuckets(tablePath: String): Option[Int] =
+    readManifest(tablePath).map(_.numBuckets)
+  def liveBucketIds(tablePath: String): Seq[Int] =
+    readManifest(tablePath).map(_.dirs.keys.toSeq.sorted).getOrElse(Nil)
+
+  def readChanges(spark: SparkSession, tablePath: String, keys: Seq[String],
+                  fromCommitsBack: Int, toCommitsBack: Int = 0,
+                  bucketFilter: Option[Set[Int]] = None): DataFrame = {
+    val (from, to, changed0) =
+      changeWindow(spark, tablePath, fromCommitsBack, toCommitsBack)
+    // an explicit filter (ChangeStream's maxBucketsPerTrigger paging)
+    // narrows the feed to a subset of the changed buckets — keys hash
+    // to exactly one bucket, so paging by bucket partitions the
+    // commit's key space with no overlap between pages
+    val changedBuckets = bucketFilter match {
+      case Some(f) => changed0.filter(f)
+      case None => changed0
+    }
     def readSide(m: Manifest): DataFrame = {
       val dirs = changedBuckets.flatMap(m.dirs.get)
         .map(d => Paths.get(tablePath, d).toString)
@@ -1928,38 +1965,7 @@ object Scd1Merge {
         withLockWait(tablePath, lockWaitMillis) { leaseId =>
           val m1 = readManifest(tablePath).getOrElse(throw new IllegalStateException(
             s"upsertConcurrent: $tablePath manifest vanished mid-commit"))
-          if (m1.commit != m0.commit) {
-            def conflict(why: String): Nothing =
-              throw new java.util.ConcurrentModificationException(
-                s"upsertConcurrent conflict on $tablePath: $why (this " +
-                s"writer read commit ${m0.commit}, live is ${m1.commit}) — " +
-                "re-run the upsert against the current table")
-            // every intervening commit's footprint, youngest = live
-            val intervening = ((m0.commit + 1) to m1.commit).map { n =>
-              if (n == m1.commit) m1
-              else {
-                val p = Paths.get(tablePath, HistoryDir, n.toString)
-                if (!Files.exists(p)) conflict(
-                  s"history for intervening commit $n was already swept")
-                parseManifest(p)
-              }
-            }
-            intervening.foreach { mf =>
-              if (!mf.touchedKnown) conflict(
-                s"intervening commit ${mf.commit} predates footprint recording")
-              if (mf.metaChange) conflict(
-                s"intervening commit ${mf.commit} changed table-wide metadata")
-              val overlap = mf.touched.intersect(touchedB)
-              if (overlap.nonEmpty) conflict(
-                s"intervening commit ${mf.commit} rewrote bucket(s) " +
-                s"${overlap.toSeq.sorted.mkString(",")} this merge also touches")
-            }
-            // belt-and-braces: the footprint chain proved these, but a
-            // mismatch here would corrupt the table — verify directly
-            if (m1.numBuckets != nb || m1.dv != m0.dv ||
-                m1.colmap != m0.colmap || m1.dropped != m0.dropped)
-              conflict("table-wide metadata differs from the snapshot read")
-          }
+          checkFootprints(tablePath, m0, m1, touchedB, "upsertConcurrent")
           val base = readManifest(tablePath).get
           val newVersions = timed("adopt") { adoptBucketDirs(tablePath, tmp,
             b => nextVersion(tablePath, base, b)) }
@@ -1978,6 +1984,51 @@ object Scd1Merge {
         }
       } finally deleteRecursively(Paths.get(tmp))
     } finally bucketed.unpersist(blocking = false)
+  }
+
+  /** The REBASE DECISION shared by every optimistic writer: given the
+    * snapshot this writer staged against (`m0`), the live manifest at
+    * commit time (`m1`) and the buckets this writer rewrote, walk
+    * every intervening commit's recorded footprint (`touched=` line)
+    * and prove DISJOINTNESS — then the staged buckets can simply land
+    * on top of the live manifest. Any overlap, any table-wide
+    * metadata change, any pre-footprint commit, any swept history →
+    * loud ConcurrentModificationException (the conservative
+    * direction: when the footprint cannot be proven safe, the writer
+    * re-runs). */
+  private def checkFootprints(tablePath: String, m0: Manifest, m1: Manifest,
+                              touchedB: Set[Int], opName: String): Unit = {
+    if (m1.commit == m0.commit) return
+    def conflict(why: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"$opName conflict on $tablePath: $why (this " +
+        s"writer read commit ${m0.commit}, live is ${m1.commit}) — " +
+        s"re-run the $opName against the current table")
+    // every intervening commit's footprint, youngest = live
+    val intervening = ((m0.commit + 1) to m1.commit).map { n =>
+      if (n == m1.commit) m1
+      else {
+        val p = Paths.get(tablePath, HistoryDir, n.toString)
+        if (!Files.exists(p)) conflict(
+          s"history for intervening commit $n was already swept")
+        parseManifest(p)
+      }
+    }
+    intervening.foreach { mf =>
+      if (!mf.touchedKnown) conflict(
+        s"intervening commit ${mf.commit} predates footprint recording")
+      if (mf.metaChange) conflict(
+        s"intervening commit ${mf.commit} changed table-wide metadata")
+      val overlap = mf.touched.intersect(touchedB)
+      if (overlap.nonEmpty) conflict(
+        s"intervening commit ${mf.commit} rewrote bucket(s) " +
+        s"${overlap.toSeq.sorted.mkString(",")} this $opName also touches")
+    }
+    // belt-and-braces: the footprint chain proved these, but a
+    // mismatch here would corrupt the table — verify directly
+    if (m1.numBuckets != m0.numBuckets || m1.dv != m0.dv ||
+        m1.colmap != m0.colmap || m1.dropped != m0.dropped)
+      conflict("table-wide metadata differs from the snapshot read")
   }
 
   /** FULL MERGE surface — Delta `MERGE ... WHEN MATCHED [AND cond]
@@ -2757,6 +2808,212 @@ object Scd1Merge {
       (live, pred) => set.foldLeft(live) { case (df, (c, v)) =>
         df.withColumn(c, when(coalesce(pred, lit(false)), v).otherwise(col(c)))
       })
+  }
+
+  /** OPTIMISTIC [[delete]] — the footprint-rebase protocol extended
+    * from [[upsertConcurrent]] to predicate rewrites: probe + rewrite
+    * + stage run UNLOCKED against the snapshot manifest; the short
+    * locked commit walks intervening footprints and REBASES when they
+    * are bucket-disjoint (a long predicate delete lands beside a
+    * concurrent ingest to other buckets — both commit), conflicts
+    * loudly on overlap. Returns rows deleted. */
+  def deleteConcurrent(spark: SparkSession, tablePath: String,
+                       keys: Seq[String],
+                       predicate: org.apache.spark.sql.Column,
+                       retainVersions: Int = DefaultRetainVersions,
+                       lockWaitMillis: Long = 60000L): Long =
+    rewriteWhereOptimistic(spark, tablePath, keys, predicate, retainVersions,
+      "deleteConcurrent", lockWaitMillis,
+      (live, pred) => live.filter(!coalesce(pred, lit(false))))
+
+  /** OPTIMISTIC [[update]] — same protocol as [[deleteConcurrent]].
+    * Returns rows updated. */
+  def updateConcurrent(spark: SparkSession, tablePath: String,
+                       keys: Seq[String],
+                       predicate: org.apache.spark.sql.Column,
+                       set: Map[String, org.apache.spark.sql.Column],
+                       retainVersions: Int = DefaultRetainVersions,
+                       lockWaitMillis: Long = 60000L): Long = {
+    require(set.nonEmpty, "update needs at least one SET column")
+    val clash = set.keySet.map(_.toLowerCase)
+      .intersect(keys.map(_.toLowerCase).toSet)
+    require(clash.isEmpty,
+      s"update cannot SET merge key(s) ${clash.mkString(",")} — " +
+      "a key change is a delete + insert (use upsert)")
+    rewriteWhereOptimistic(spark, tablePath, keys, predicate, retainVersions,
+      "updateConcurrent", lockWaitMillis,
+      (live, pred) => set.foldLeft(live) { case (df, (c, v)) =>
+        df.withColumn(c, when(coalesce(pred, lit(false)), v).otherwise(col(c)))
+      })
+  }
+
+  /** OPTIMISTIC [[applyCdc]] — a CDC batch (upserts + deletes) staged
+    * unlocked against the snapshot, committed with the footprint
+    * rebase. The dv is pruned against the LIVE manifest inside the
+    * lock (reinsert safety holds across the rebase; the metadata
+    * check already proved the dv unchanged since the snapshot). */
+  def applyCdcConcurrent(spark: SparkSession, tablePath: String,
+                         source: DataFrame, keys0: Seq[String],
+                         opCol: String = "_op",
+                         retainVersions: Int = DefaultRetainVersions,
+                         batchId: String = "",
+                         lockWaitMillis: Long = 60000L): Unit = {
+    require(source.columns.contains(opCol),
+      s"applyCdc: source must carry the operation column '$opCol'")
+    val m0 = readManifest(tablePath).getOrElse(throw new IllegalStateException(
+      s"applyCdcConcurrent: $tablePath has no manifest — create the table " +
+      "with upsert first"))
+    val nb = m0.numBuckets
+    val pkeys = keys0.map(physicalOf(m0, _))
+    val psource = physicalize(source, m0)
+    requireSameKeys(tablePath, m0, pkeys)
+    val bucketed = withBucket(psource, pkeys, nb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probe = bucketed
+        .groupBy(col(BucketCol) +: pkeys.map(col): _*)
+        .agg(count(lit(1)).as("__c"),
+          max(when(col(opCol) === "delete", 0).otherwise(1)).as("__up"))
+        .groupBy(col(BucketCol)).agg(max(col("__c")).as("__maxc"),
+          max(col("__up")).as("__hasup"))
+        .collect()
+      if (probe.exists(_.getLong(1) > 1))
+        throw new IllegalArgumentException(
+          "merge aborted: a key appears in more than one source row " +
+          s"(incl. delete+upsert of the same key) for keys ${keys0.mkString(",")}")
+      val touched: Set[Int] = probe.map(_.getInt(0)).toSet
+      if (touched.isEmpty) return
+      val mustWrite = probe.filter(_.getInt(2) == 1).map(_.getInt(0)).toSet
+      // ---- UNLOCKED work phase against the snapshot ----
+      val liveTouched = touched.toSeq.sorted.flatMap(b => m0.dirs.get(b))
+        .map(d => Paths.get(tablePath, d).toString)
+      val upserts = bucketed.filter(col(opCol) =!= "delete")
+      val merged =
+        if (liveTouched.isEmpty) upserts.drop(opCol)
+        else {
+          val target = withBucket(
+            spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), pkeys, nb)
+          target.join(bucketed, pkeys, "left_anti")
+            .unionByName(alignForUnion(upserts, target, m0.dropped))
+        }
+      val tmp = tablePath + ".tmp-" +
+        java.util.UUID.randomUUID().toString.substring(0, 8)
+      stageWrite(merged, tmp)
+      mustWrite.foreach { b =>
+        if (!Files.exists(Paths.get(tmp, s"$BucketCol=$b")))
+          throw new IllegalStateException(
+            s"bucket dir missing from merge output: $tmp/$BucketCol=$b")
+      }
+      val emptied = touched.filterNot(b =>
+        Files.exists(Paths.get(tmp, s"$BucketCol=$b")))
+      val newStats = bucketStats(spark, tmp, pkeys)
+      failpoint("optimistic-staged")
+      // ---- LOCKED commit: footprint rebase, adopt, swap ----
+      try {
+        withLockWait(tablePath, lockWaitMillis) { leaseId =>
+          val m1 = readManifest(tablePath).getOrElse(throw new IllegalStateException(
+            s"applyCdcConcurrent: $tablePath manifest vanished mid-commit"))
+          checkFootprints(tablePath, m0, m1, touched, "applyCdcConcurrent")
+          val base = readManifest(tablePath).get
+          val newVersions = adoptBucketDirs(tablePath, tmp,
+            b => nextVersion(tablePath, base, b))
+          val dvRel = pruneDv(spark, tablePath, base, pkeys,
+            bucketed.select(pkeys.map(col): _*))
+          failpoint("before-manifest")
+          refreshLease(tablePath, leaseId)
+          val committed = commitManifest(tablePath, base.copy(
+            dirs = base.dirs -- emptied ++ newVersions,
+            stats = base.stats -- touched ++ newStats, keys = pkeys,
+            dv = dvRel,
+            batch = if (batchId.nonEmpty) batchId else base.batch))
+          failpoint("after-manifest")
+          sweepVersions(tablePath, committed, retainVersions)
+        }
+      } finally deleteRecursively(Paths.get(tmp))
+    } finally bucketed.unpersist(blocking = false)
+  }
+
+  /** The optimistic twin of [[rewriteWhere]]: candidate pruning,
+    * probe, rewrite and staging all run UNLOCKED against the snapshot
+    * manifest (retention keeps the snapshot's files readable under a
+    * concurrent writer); the locked phase is [[checkFootprints]] +
+    * dir adoption + manifest swap. Anything the footprint chain
+    * cannot prove disjoint conflicts loudly — including a concurrent
+    * rewrite of the same buckets, which the pessimistic path would
+    * have serialized. */
+  private def rewriteWhereOptimistic(spark: SparkSession, tablePath: String,
+      keys: Seq[String], predicate: org.apache.spark.sql.Column,
+      retainVersions: Int, opName: String, lockWaitMillis: Long,
+      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
+    val m0 = readManifest(tablePath).getOrElse(throw new IllegalStateException(
+      s"$opName: $tablePath has no manifest (legacy tables migrate via upsert first)"))
+    val nb = m0.numBuckets
+    val pkeys = keys.map(physicalOf(m0, _))
+    requireSameKeys(tablePath, m0, pkeys)
+    val pm = m0.copy(keys = pkeys)
+    // ---- UNLOCKED: prune, probe, rewrite, stage (snapshot m0) ----
+    val candB = if (m0.dirs.isEmpty) Nil else {
+      val anyDir = Paths.get(tablePath, m0.dirs.toSeq.minBy(_._1)._2).toString
+      val raw = spark.read.parquet(anyDir)
+      val probeDf = logicalize(raw, m0)
+      resolvedPredicate(probeDf, predicate) match {
+        case None => m0.dirs.keys.toSeq.sorted
+        case Some(pred) =>
+          val hb = equalityBucket(spark, pred, pm, raw.schema)
+          m0.dirs.keys.toSeq.sorted.filter { b =>
+            hb.forall(_.contains(b)) && canMatch(m0.stats.getOrElse(b, Map.empty), pred)
+          }
+      }
+    }
+    lastPrune = (candB.size, m0.dirs.size)
+    if (candB.isEmpty) return 0L
+    val candDirs = candB.flatMap(b => m0.dirs.get(b))
+      .map(d => Paths.get(tablePath, d).toString)
+    val candRead = spark.read.option("mergeSchema", "true").parquet(candDirs: _*)
+    val tagged = logicalize(applyDv(spark, tablePath, pm,
+      withBucket(
+        if (candRead.columns.contains(BucketCol)) candRead.drop(BucketCol) else candRead,
+        pkeys, nb)), m0)
+    val probe = tagged.filter(predicate)
+      .groupBy(col(BucketCol)).agg(count(lit(1)).as("__n"))
+      .collect()
+    if (probe.isEmpty) return 0L
+    val touched = probe.map(_.getInt(0)).toSeq.sorted
+    val nMatched = probe.map(_.getLong(1)).sum
+    val liveTouched = touched.flatMap(b => m0.dirs.get(b))
+      .map(d => Paths.get(tablePath, d).toString)
+    val kept = rewrite(logicalize(
+        applyDv(spark, tablePath, pm,
+          withBucket(
+            spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), pkeys, nb)),
+        m0),
+      predicate)
+    val tmp = tablePath + ".tmp-" +
+      java.util.UUID.randomUUID().toString.substring(0, 8)
+    stageWrite(physicalize(kept, m0), tmp)
+    val tracked = (pkeys ++ m0.stats.values.flatMap(_.keySet)).distinct
+    val newStats = bucketStats(spark, tmp, tracked)
+    failpoint("optimistic-staged")
+    // ---- LOCKED commit: footprint rebase, adopt, swap ----
+    try {
+      withLockWait(tablePath, lockWaitMillis) { leaseId =>
+        val m1 = readManifest(tablePath).getOrElse(throw new IllegalStateException(
+          s"$opName: $tablePath manifest vanished mid-commit"))
+        checkFootprints(tablePath, m0, m1, touched.toSet, opName)
+        val base = readManifest(tablePath).get
+        val newVersions = adoptBucketDirs(tablePath, tmp,
+          b => nextVersion(tablePath, base, b))
+        val emptied = touched.filterNot(newVersions.contains)
+        failpoint("before-manifest")
+        refreshLease(tablePath, leaseId)
+        val committed = commitManifest(tablePath,
+          base.copy(dirs = base.dirs -- emptied ++ newVersions,
+            stats = base.stats -- touched ++ newStats, keys = pkeys))
+        failpoint("after-manifest")
+        sweepVersions(tablePath, committed, retainVersions)
+      }
+    } finally deleteRecursively(Paths.get(tmp))
+    nMatched
   }
 
   /** Shared bucket-rewrite engine under [[delete]] and [[update]]:

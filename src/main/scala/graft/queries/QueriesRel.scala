@@ -1137,6 +1137,27 @@ object QueriesRel {
           s"expected 3 commits (create, A, B-rebased), got ${Scd1Merge.tableCommit(path)}")
       Scd1Merge.readTable(s, path).orderBy(col("k"))
     }),
+    "s43_dsv2_read" -> ((s, dir) => {
+      // DATASOURCE V2 surface: the same dim read through Spark's
+      // standard connector API — spark.read.format("graft").load —
+      // on a vanilla session (TableProvider via META-INF/services,
+      // execution through the V1Scan bridge, the JDBC-source
+      // pattern). The filter pushes through the DSv2 scan into the
+      // engine's manifest-level pruning (GraftDsv2Spec pins
+      // lastPrune + the PushedFilters plan line); the projection
+      // prunes columns before the scan materializes. Must hash-match
+      // the plain relational oracle — DSv2 is a doorway, never a
+      // semantic.
+      val n = table(s, dir, "nation")
+      val dim = n.select(col("n_nationkey").as("k"),
+        col("n_name").as("name"), col("n_regionkey").as("region"))
+      val path = graft.Tmp.dir("graft_dsv2q") + "/dim"
+      Scd1Merge.upsert(s, path, dim, Seq("k"), numBuckets = 4)
+      s.read.format("graft").load(path)
+        .filter(col("region") < 3 && col("k") >= 2)
+        .select(col("k"), col("name"))
+        .orderBy(col("k"))
+    }),
     "s42_partitioned_table" -> ((s, dir) => {
       // PARTITION-COLUMN layout (the r9 verdict's #1 scale gap): a
       // month-partitioned orders fact through the FULL commit
@@ -1690,6 +1711,11 @@ object QueriesRel {
          |  SELECT *, 'asof' AS side FROM dim
          |  UNION ALL SELECT *, 'live' AS side FROM live)
          |ORDER BY side, k""".stripMargin,
+    "s43_dsv2_read" ->
+      """SELECT n_nationkey AS k, n_name AS name
+         |FROM nation
+         |WHERE n_regionkey < 3 AND n_nationkey >= 2
+         |ORDER BY k""".stripMargin,
     "s42_partitioned_table" ->
       """WITH fact AS (
          |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,

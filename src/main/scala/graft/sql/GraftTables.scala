@@ -23,6 +23,12 @@ object GraftTables {
 
   def unregister(name: String): Unit = reg.remove(name.toLowerCase)
 
+  /** Registered short names (the catalog listing surface). */
+  def registered: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    reg.keySet().asScala.toSeq
+  }
+
   /** Resolve a (possibly multipart) SQL identifier to a graft table
     * path. None = not a graft table (the statement is Spark's).
     *

@@ -62,15 +62,51 @@ object ChangeStream {
     * `commit` — stable across redeliveries, so sinks can stamp it. */
   def batchIdFor(commit: Int): String = s"cdf@$commit"
 
+  /** Sub-commit progress for bucket-paged delivery: `(target commit,
+    * pages fully applied)`. Lives beside the offset file; cleared when
+    * the commit's last page lands and the main offset advances. */
+  private def pagesApplied(checkpointDir: String, target: Int): Int = {
+    val p = Paths.get(checkpointDir, "suboffset")
+    if (!Files.exists(p)) 0
+    else new String(Files.readAllBytes(p), UTF_8).trim.split(":", 2) match {
+      case Array(t, g) if t.toInt == target => g.toInt
+      case _ => 0 // progress belongs to an older, fully-applied commit
+    }
+  }
+
+  private def advancePages(checkpointDir: String, target: Int, pages: Int): Unit = {
+    Files.createDirectories(Paths.get(checkpointDir))
+    val tmp = Paths.get(checkpointDir, "suboffset.tmp")
+    Files.write(tmp, s"$target:$pages".getBytes(UTF_8))
+    Files.move(tmp, Paths.get(checkpointDir, "suboffset"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Consume every commit of `tablePath` past this checkpoint's offset,
     * AvailableNow-style: batches of up to `maxCommitsPerBatch` commits,
     * in commit order, `sink(changes, batchId)` per batch, offset
     * advanced after each. `changes` carries the table's logical columns
     * plus `_change_type` (`insert`/`update`/`update_preimage`/
     * `delete`). Returns the number of batches delivered (0 = caught
-    * up — a replayed trigger commits nothing). */
+    * up — a replayed trigger commits nothing).
+    *
+    * ADMISSION CONTROL (`maxBucketsPerTrigger` > 0): the
+    * `maxFilesPerTrigger` dial for table feeds. A backfill commit
+    * touching every bucket would otherwise arrive as ONE giant
+    * micro-batch; with a limit, each commit's bucket-pruned feed is
+    * PAGED `maxBucketsPerTrigger` buckets at a time — and the initial
+    * snapshot pages the same way over the live buckets. Ordering and
+    * exactly-once survive paging: keys hash to exactly one bucket, so
+    * pages partition the commit's key space (no key spans two pages);
+    * each page gets a stable derived batch id (`cdf@<c>#<page>`) a
+    * stamping sink dedupes on redelivery, and durable sub-commit
+    * progress (`suboffset`) resumes a crashed drain mid-commit.
+    * Commits are paged one at a time (`maxCommitsPerBatch` is
+    * capped to 1 while a bucket limit is set — mixing both dials
+    * would interleave key spaces across commits). */
   def runAvailableNow(spark: SparkSession, tablePath: String, keys: Seq[String],
-                      checkpointDir: String, maxCommitsPerBatch: Int = 1)(
+                      checkpointDir: String, maxCommitsPerBatch: Int = 1,
+                      maxBucketsPerTrigger: Int = 0)(
                       sink: (DataFrame, String) => Unit): Int = {
     require(maxCommitsPerBatch >= 1, "maxCommitsPerBatch must be >= 1")
     val live = Scd1Merge.tableCommit(tablePath).getOrElse(
@@ -82,24 +118,58 @@ object ChangeStream {
       // a NEW consumer starts from the full live snapshot in one batch
       // (commit-by-commit replay from 1 would need unbounded history);
       // an established one pages through commits
-      val target = if (o == 0) live else math.min(o + maxCommitsPerBatch, live)
-      val changes =
-        if (o == 0)
-          Scd1Merge.readTable(spark, tablePath)
-            .withColumn("_change_type", lit("insert"))
-        else
-          Scd1Merge.readChanges(spark, tablePath, keys,
+      val target =
+        if (o == 0) live
+        else if (maxBucketsPerTrigger > 0) o + 1
+        else math.min(o + maxCommitsPerBatch, live)
+      def deliver(changes: DataFrame, batchId: String): Unit = {
+        // persist for the sink's lifetime: a change feed is join-heavy
+        // lineage and a sink typically splits it (emptiness probes +
+        // upsert leg + delete leg = up to 3 evaluations otherwise)
+        val pinned = changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try sink(pinned, batchId)
+        finally pinned.unpersist(blocking = false)
+        batches += 1
+      }
+      if (maxBucketsPerTrigger <= 0) {
+        deliver(
+          if (o == 0)
+            Scd1Merge.readTable(spark, tablePath)
+              .withColumn("_change_type", lit("insert"))
+          else
+            Scd1Merge.readChanges(spark, tablePath, keys,
+              fromCommitsBack = live - o, toCommitsBack = live - target),
+          batchIdFor(target))
+      } else {
+        val pageBuckets: Seq[Int] =
+          if (o == 0) Scd1Merge.liveBucketIds(tablePath)
+          else Scd1Merge.changedBucketIds(spark, tablePath,
             fromCommitsBack = live - o, toCommitsBack = live - target)
-      // persist for the sink's lifetime: a change feed is join-heavy
-      // lineage and a sink typically splits it (emptiness probes +
-      // upsert leg + delete leg = up to 3 evaluations otherwise)
-      val pinned = changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try sink(pinned, batchIdFor(target))
-      finally pinned.unpersist(blocking = false)
+        val nb = Scd1Merge.tableNumBuckets(tablePath).get
+        val pages = pageBuckets.grouped(maxBucketsPerTrigger).toSeq
+        pages.zipWithIndex.drop(pagesApplied(checkpointDir, target))
+          .foreach { case (page, i) =>
+            val changes =
+              if (o == 0)
+                // the engine's own bucket hash routes each key to one
+                // page — the same pmod(hash(keys), nb) the table is laid
+                // out with
+                Scd1Merge.readTable(spark, tablePath)
+                  .filter(pmod(hash(keys.map(col): _*), lit(nb))
+                    .isin(page: _*))
+                  .withColumn("_change_type", lit("insert"))
+              else
+                Scd1Merge.readChanges(spark, tablePath, keys,
+                  fromCommitsBack = live - o, toCommitsBack = live - target,
+                  bucketFilter = Some(page.toSet))
+            deliver(changes, s"${batchIdFor(target)}#$i")
+            advancePages(checkpointDir, target, i + 1)
+          }
+      }
       advanceOffset(checkpointDir, target)
       o = target
-      batches += 1
     }
+    Files.deleteIfExists(Paths.get(checkpointDir, "suboffset"))
     batches
   }
 

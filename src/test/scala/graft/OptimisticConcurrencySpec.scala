@@ -179,6 +179,115 @@ class OptimisticConcurrencySpec extends SparkSpecBase {
     assert(e.getMessage.contains("rewrote bucket"))
   }
 
+  test("predicate DELETE rebases over a concurrent ingest to other buckets; both commit") {
+    val path = build("delbase")
+    val victims = keysIn(0).take(2)
+    val ingest = keysIn(1).take(3)
+    // the delete stages against commit 1; INSIDE its unlocked window
+    // an ingest lands in a DIFFERENT bucket — the delete's footprint
+    // check proves disjointness and rebases on top
+    Scd1Merge.testHooks = Map("optimistic-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      Scd1Merge.upsert(spark, path, batch(ingest, "A"), Seq("k"))
+    })
+    val n =
+      try Scd1Merge.deleteConcurrent(spark, path, Seq("k"),
+        $"k".isin(victims: _*))
+      finally Scd1Merge.testHooks = Map.empty
+    assert(n == 2)
+    val t = Scd1Merge.readTable(spark, path)
+    assert(t.count() == 38)
+    victims.foreach(k => assert(t.filter($"k" === k).count() == 0))
+    ingest.foreach { k =>
+      assert(t.filter($"k" === k).select("v").as[String].head() == s"A_$k") }
+    assert(Scd1Merge.tableCommit(path).contains(3)) // create + ingest + delete
+  }
+
+  test("predicate DELETE overlapping a concurrent commit conflicts; winner intact") {
+    val path = build("delclash")
+    val b0 = keysIn(0)
+    Scd1Merge.testHooks = Map("optimistic-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      Scd1Merge.upsert(spark, path, batch(b0.take(1), "A"), Seq("k"))
+    })
+    val e =
+      try intercept[java.util.ConcurrentModificationException] {
+        Scd1Merge.deleteConcurrent(spark, path, Seq("k"),
+          $"k".isin(b0.take(3): _*)) // same bucket 0
+      } finally Scd1Merge.testHooks = Map.empty
+    assert(e.getMessage.contains("rewrote bucket"))
+    val t = Scd1Merge.readTable(spark, path)
+    assert(t.count() == 40) // nothing deleted
+    assert(t.filter($"k" === b0.head).select("v").as[String].head() == s"A_${b0.head}")
+    // no staging residue
+    val leftovers = Files.list(Paths.get(path).getParent).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains(".tmp-")).toSeq
+    assert(leftovers.isEmpty, s"staging residue: $leftovers")
+  }
+
+  test("predicate UPDATE rebases over a disjoint concurrent ingest") {
+    val path = build("updbase")
+    val victims = keysIn(2).take(2)
+    val ingest = keysIn(3).take(2)
+    Scd1Merge.testHooks = Map("optimistic-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      Scd1Merge.upsert(spark, path, batch(ingest, "A"), Seq("k"))
+    })
+    val n =
+      try Scd1Merge.updateConcurrent(spark, path, Seq("k"),
+        $"k".isin(victims: _*), Map("v" -> concat($"v", lit("_upd"))))
+      finally Scd1Merge.testHooks = Map.empty
+    assert(n == 2)
+    val t = Scd1Merge.readTable(spark, path)
+    victims.foreach { k =>
+      assert(t.filter($"k" === k).select("v").as[String].head() == s"name_${k}_upd") }
+    ingest.foreach { k =>
+      assert(t.filter($"k" === k).select("v").as[String].head() == s"A_$k") }
+    // serial parity: the optimistic update equals the pessimistic one
+    val twin = build("updtwin")
+    Scd1Merge.update(spark, twin, Seq("k"),
+      $"k".isin(victims: _*), Map("v" -> concat($"v", lit("_upd"))))
+    assertSameRows(
+      t.filter(!$"k".isin(ingest: _*)).orderBy("k"),
+      Scd1Merge.readTable(spark, twin)
+        .filter(!$"k".isin(ingest: _*)).orderBy("k"))
+  }
+
+  test("applyCdcConcurrent: CDC batch (upsert + delete) lands beside a disjoint ingest") {
+    val path = build("cdcbase")
+    val cdcKeys = keysIn(0).take(2) // update one, delete one — bucket 0
+    val ingest = keysIn(1).take(2)
+    val cdc = Seq((cdcKeys(0), "cdc_upd", "upsert"),
+      (cdcKeys(1), "gone", "delete")).toDF("k", "v", "_op")
+    Scd1Merge.testHooks = Map("optimistic-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      Scd1Merge.upsert(spark, path, batch(ingest, "A"), Seq("k"))
+    })
+    try Scd1Merge.applyCdcConcurrent(spark, path, cdc, Seq("k"))
+    finally Scd1Merge.testHooks = Map.empty
+    val t = Scd1Merge.readTable(spark, path)
+    assert(t.count() == 39)
+    assert(t.filter($"k" === cdcKeys(0)).select("v").as[String].head() == "cdc_upd")
+    assert(t.filter($"k" === cdcKeys(1)).count() == 0)
+    ingest.foreach { k =>
+      assert(t.filter($"k" === k).select("v").as[String].head() == s"A_$k") }
+    assert(Scd1Merge.tableCommit(path).contains(3))
+
+    // ...and an overlapping intervening commit still conflicts
+    val path2 = build("cdcclash")
+    val clash = keysIn(0).take(2)
+    Scd1Merge.testHooks = Map("optimistic-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      Scd1Merge.upsert(spark, path2, batch(clash.take(1), "A"), Seq("k"))
+    })
+    val e =
+      try intercept[java.util.ConcurrentModificationException] {
+        Scd1Merge.applyCdcConcurrent(spark, path2,
+          Seq((clash(1), "x", "upsert")).toDF("k", "v", "_op"), Seq("k"))
+      } finally Scd1Merge.testHooks = Map.empty
+    assert(e.getMessage.contains("rewrote bucket"))
+  }
+
   test("serial upsertConcurrent (no contention) behaves exactly like upsert") {
     val pathO = build("serial_o"); val pathP = build("serial_p")
     val ks = keysIn(0).take(2) ++ keysIn(3).take(2)

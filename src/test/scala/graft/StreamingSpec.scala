@@ -272,6 +272,66 @@ class StreamingSpec extends SparkSpecBase {
       "a key inserted then deleted upstream stays deleted downstream")
   }
 
+  test("ChangeStream: maxBucketsPerTrigger pages a backfill commit; equals the unlimited run; crash resumes") {
+    import spark.implicits._
+    import graft.merge.Scd1Merge
+    import graft.streaming.ChangeStream
+    val root = Tmp.dir("cs_bucketpage")
+    val up = root + "/up"
+    val K = Seq("k")
+    // 64 keys over 8 buckets — every bucket populated
+    Scd1Merge.upsert(spark, up,
+      (0 until 64).map(i => (i.toLong, "a")).toDF("k", "v"), K,
+      numBuckets = 8, retainVersions = 8)
+    // the INITIAL SNAPSHOT pages too: 8 live buckets / limit 2 = 4 batches
+    val ckptL = root + "/ckptL"; val downL = root + "/downL"
+    val sinkL = ChangeStream.upsertSink(spark, downL, K)
+    assert(ChangeStream.runAvailableNow(spark, up, K, ckptL,
+      maxBucketsPerTrigger = 2)(sinkL) == 4)
+    assert(canon(Scd1Merge.readTable(spark, downL)) ==
+      canon(Scd1Merge.readTable(spark, up)))
+    // a BACKFILL commit touching every bucket — the giant-micro-batch
+    // case admission control exists for
+    Scd1Merge.upsert(spark, up,
+      (0 until 64).map(i => (i.toLong, "b")).toDF("k", "v"), K,
+      retainVersions = 8)
+    // unlimited twin consumer for the equality pin
+    val ckptU = root + "/ckptU"; val downU = root + "/downU"
+    val sinkU = ChangeStream.upsertSink(spark, downU, K)
+    ChangeStream.runAvailableNow(spark, up, K, ckptU)(sinkU)
+    // the 8-bucket commit drains in exactly 4 limited batches...
+    assert(ChangeStream.runAvailableNow(spark, up, K, ckptL,
+      maxBucketsPerTrigger = 2)(sinkL) == 4)
+    // ...and the paged consumer's final state equals the unlimited run
+    assert(canon(Scd1Merge.readTable(spark, downL)) ==
+      canon(Scd1Merge.readTable(spark, downU)))
+    assert(canon(Scd1Merge.readTable(spark, downL)) ==
+      canon(Scd1Merge.readTable(spark, up)))
+    // CRASH MID-DRAIN: two pages land, the third throws; the durable
+    // sub-commit offset resumes the remaining pages without
+    // double-applying the first two
+    Scd1Merge.upsert(spark, up,
+      (0 until 64 by 2).map(i => (i.toLong, "c")).toDF("k", "v"), K,
+      retainVersions = 8)
+    var delivered = 0
+    val crashing: (org.apache.spark.sql.DataFrame, String) => Unit =
+      (df, id) => {
+        if (delivered == 2) throw new RuntimeException("simulated crash")
+        delivered += 1
+        sinkL(df, id)
+      }
+    intercept[RuntimeException] {
+      ChangeStream.runAvailableNow(spark, up, K, ckptL,
+        maxBucketsPerTrigger = 1)(crashing)
+    }
+    val resumed = ChangeStream.runAvailableNow(spark, up, K, ckptL,
+      maxBucketsPerTrigger = 1)(sinkL)
+    assert(resumed >= 1, "resume must drain the remaining pages")
+    assert(canon(Scd1Merge.readTable(spark, downL)) ==
+      canon(Scd1Merge.readTable(spark, up)),
+      "crash + resume must converge to the upstream state")
+  }
+
   test("watermarked dedup: state stays horizon-bounded while the sink dedups exactly") {
     val events = spark.read
       .schema(Streaming.EventsRawSchema)
