@@ -39,7 +39,7 @@ object SparkEntry {
   def pinnedOracles: Set[String] =
     Set("a7_approx_count_distinct", "sim_ann_recall", "sim_ann_multiprobe_recall",
         "sim_ivf_recall", "sim_ivf_indexed_recall", "sim_pq_recall",
-        "sim_pca_recall", "dedup_embedding_recall",
+        "sim_pca_recall", "sim_ivfpq_recall", "dedup_embedding_recall",
         "a20_approx_quantile", "sim_knn_graph_ann_recall",
         "a24_sketch_rollup")
 }

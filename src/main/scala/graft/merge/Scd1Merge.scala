@@ -208,7 +208,18 @@ object Scd1Merge {
                                     // upsertConcurrent's rebase check.
                                     touched: Set[Int] = Set.empty,
                                     touchedKnown: Boolean = false,
-                                    metaChange: Boolean = false)
+                                    metaChange: Boolean = false,
+                                    // WIDENED TYPES: physical column →
+                                    // catalog type for columns whose
+                                    // files legitimately hold BOTH a
+                                    // narrow and a widened numeric type
+                                    // (int→long, float→double — a
+                                    // widening upsert rewrites only its
+                                    // touched buckets). Readers resolve
+                                    // the mixed files against this map
+                                    // (mergedRead); absent = plain
+                                    // parquet mergeSchema.
+                                    widened: Map[String, String] = Map.empty)
 
   /** Injectable wall clock (commit timestamps, age-based vacuum
     * cutoffs) — specs pin time-travel/retention boundaries without
@@ -316,6 +327,10 @@ object Scd1Merge {
       .map(_.stripPrefix("touched=").split(",").iterator
         .filter(_.nonEmpty).map(_.toInt).toSet).getOrElse(Set.empty[Int])
     val metaChange = meta.exists(_.startsWith("metachange="))
+    val widened = meta.find(_.startsWith("widened="))
+      .map(_.stripPrefix("widened=").split(",").iterator.filter(_.nonEmpty).map { e =>
+        val Array(c, t) = e.split(":", 2); dec(c) -> dec(t)
+      }.toMap).getOrElse(Map.empty[String, String])
     val parsed = entries.map { l =>
       val fields = l.split("\t", 3)
       val b = fields(0).toInt
@@ -324,7 +339,7 @@ object Scd1Merge {
     Manifest(nb, parsed.map(e => e._1 -> e._2).toMap, commit,
       parsed.filter(_._3.nonEmpty).map(e => e._1 -> e._3).toMap, keys, batch,
       clusterCols, clusterZBits, clustered, dv, colmap, dropped, ts,
-      touched, touchedLine.isDefined, metaChange)
+      touched, touchedLine.isDefined, metaChange, widened)
   }
 
   /** THE commit point: write-to-tmp + fsync + atomic rename over the
@@ -359,7 +374,8 @@ object Scd1Merge {
     val metaChange = prev.exists(p =>
       p.dv != m.dv || p.colmap != m.colmap || p.dropped != m.dropped ||
       p.keys.map(_.toLowerCase) != m.keys.map(_.toLowerCase) ||
-      p.numBuckets != m.numBuckets || p.clusterCols != m.clusterCols)
+      p.numBuckets != m.numBuckets || p.clusterCols != m.clusterCols ||
+      p.widened != m.widened)
     val metaLines = Seq(s"nb=${m.numBuckets}", s"commit=$next", s"ts=$now",
       s"touched=${touched.toSeq.sorted.mkString(",")}") ++
       (if (metaChange) Seq("metachange=1") else Nil) ++
@@ -380,6 +396,10 @@ object Scd1Merge {
        else Nil) ++
       (if (m.dropped.nonEmpty)
         Seq(s"dropped=${m.dropped.toSeq.sorted.map(enc).mkString(",")}")
+       else Nil) ++
+      (if (m.widened.nonEmpty)
+        Seq(s"widened=${m.widened.toSeq.sortBy(_._1)
+          .map { case (c, t) => s"${enc(c)}:${enc(t)}" }.mkString(",")}")
        else Nil)
     val body0 = (metaLines ++
       m.dirs.toSeq.sortBy(_._1).map { case (b, d) =>
@@ -1001,8 +1021,8 @@ object Scd1Merge {
         val df =
           if (cands.isEmpty) logicalize(spark.read.parquet(anyDir), m).limit(0)
           else logicalize(applyDv(spark, tablePath, m,
-            spark.read.option("mergeSchema", "true")
-              .parquet(cands.map(b => Paths.get(tablePath, m.dirs(b)).toString): _*)), m)
+            mergedRead(spark, m,
+              cands.map(b => Paths.get(tablePath, m.dirs(b)).toString))), m)
         val clean = if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
         clean.filter(predicate)
       case _ => readTable(spark, tablePath).filter(predicate)
@@ -1455,6 +1475,96 @@ object Scd1Merge {
   private def logicalOf(m: Manifest, physical: String): String =
     m.colmap.getOrElse(physical, physical)
 
+  // ---------------- numeric type widening ----------------
+  // Delta type-widening parity: a later batch may carry a WIDER
+  // numeric type for an existing measure (byte→short→int→long,
+  // float→double). The union coerces, so only the batch's touched
+  // buckets rewrite wide — narrow files in untouched buckets stay on
+  // disk, which plain parquet mergeSchema refuses to reconcile. The
+  // manifest's `widened` map records the wide type and [[mergedRead]]
+  // reads the mixed files under one explicit schema (Spark's parquet
+  // reader upcasts int32→int64 / float→double natively).
+
+  private val widenRank: Map[DataType, Int] = Map(
+    ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+
+  /** The wider of two numeric types within a widening chain; None =
+    * not reconcilable by widening (callers fall back to loud errors). */
+  private def widerOf(a: DataType, b: DataType): Option[DataType] =
+    if (a == b) Some(a)
+    else (widenRank.get(a), widenRank.get(b)) match {
+      case (Some(x), Some(y)) => Some(if (x >= y) a else b)
+      case _ => (a, b) match {
+        case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+        case _ => None
+      }
+    }
+
+  /** Merge two file schemas, widening reconcilable numeric conflicts
+    * (the mergeSchema we need once widened types exist). */
+  private def mergeWiden(a: StructType, b: StructType): StructType = {
+    val fields = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.StructField]()
+    (a.fields ++ b.fields).foreach { f =>
+      fields.get(f.name.toLowerCase) match {
+        case None => fields(f.name.toLowerCase) = f
+        case Some(e) if e.dataType == f.dataType => ()
+        case Some(e) => widerOf(e.dataType, f.dataType) match {
+          case Some(w) => fields(e.name.toLowerCase) =
+            e.copy(dataType = w, nullable = e.nullable || f.nullable)
+          case None => throw new IllegalStateException(
+            s"irreconcilable file types for column '${f.name}': " +
+            s"${e.dataType.catalogString} vs ${f.dataType.catalogString}")
+        }
+      }
+    }
+    StructType(fields.values.toSeq)
+  }
+
+  /** The standard multi-dir table read: plain parquet mergeSchema
+    * until the table has widened columns, then an EXPLICIT widened
+    * schema (driver-side footer merge + the manifest's recorded wide
+    * types — recorded, so a pruned read of all-narrow buckets still
+    * presents the wide type). */
+  private def mergedRead(spark: SparkSession, m: Manifest,
+                         dirs: Seq[String]): DataFrame =
+    if (m.widened.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    else {
+      val fileSchema = dirs.map(d => spark.read.parquet(d).schema)
+        .reduce(mergeWiden)
+      val schema = StructType(fileSchema.fields.map { f =>
+        m.widened.collectFirst { case (c, t) if c.equalsIgnoreCase(f.name) =>
+          f.copy(dataType = org.apache.spark.sql.types.DataType.fromDDL(t))
+        }.getOrElse(f)
+      })
+      spark.read.schema(schema).parquet(dirs: _*)
+    }
+
+  /** New widened-type entries a source batch introduces against the
+    * touched file schema. MERGE KEYS CANNOT WIDEN: the bucket hash is
+    * type-sensitive (hash(5: Int) ≠ hash(5: Long)), so a widened key
+    * would silently re-route every row — rejected loudly; cast the
+    * source key to the table's key type instead. */
+  private def widenedBy(target: StructType, source: StructType,
+                        keys: Seq[String]): Map[String, String] =
+    target.fields.flatMap { f =>
+      source.fields.find(_.name.equalsIgnoreCase(f.name)).flatMap { s =>
+        if (s.dataType == f.dataType) None
+        else widerOf(s.dataType, f.dataType) match {
+          case Some(w) if w != f.dataType =>
+            if (keys.exists(_.equalsIgnoreCase(f.name)))
+              throw new IllegalArgumentException(
+                s"cannot widen merge key '${f.name}' " +
+                s"(${f.dataType.catalogString} → ${s.dataType.catalogString}): " +
+                "the bucket hash is type-sensitive — cast the source key to " +
+                "the table's type, or rebucket to migrate")
+            Some(f.name -> w.catalogString)
+          case _ => None // equal, source narrower (union casts up), or
+                         // irreconcilable (the union's loud error)
+        }
+      }
+    }.toMap
+
   /** Align a physicalized source batch to the target FILE schema for a
     * positional-safe unionByName: a DROPPED column still lives in the
     * old files but is absent from the narrowed logical source — it
@@ -1477,7 +1587,7 @@ object Scd1Merge {
         val dirs = m.dirs.toSeq.sortBy(_._1)
           .map { case (_, d) => Paths.get(tablePath, d).toString }
         logicalize(applyDv(spark, tablePath, m,
-          spark.read.option("mergeSchema", "true").parquet(dirs: _*)), m)
+          mergedRead(spark, m, dirs)), m)
       case None if !Files.exists(Paths.get(tablePath)) =>
         spark.read.parquet(tablePath) // standard path-not-found error
       case None =>
@@ -1522,7 +1632,7 @@ object Scd1Merge {
     val dirs = m.dirs.toSeq.sortBy(_._1)
       .map { case (_, d) => Paths.get(tablePath, d).toString }
     val df = logicalize(applyDv(spark, tablePath, m,
-      spark.read.option("mergeSchema", "true").parquet(dirs: _*)), m)
+      mergedRead(spark, m, dirs)), m)
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
 
@@ -1680,7 +1790,7 @@ object Scd1Merge {
           // no changed buckets: empty frame with the table schema
           spark.read.parquet(Paths.get(tablePath, any).toString).limit(0)
         } else applyDv(spark, tablePath, m,
-          spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+          mergedRead(spark, m, dirs))
       if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
     }
     // the diff runs over PHYSICAL columns (stable across renames — a
@@ -1940,14 +2050,18 @@ object Scd1Merge {
       // ---- UNLOCKED work phase: merge + stage against the snapshot ----
       val liveTouched = touchedB.toSeq.sorted.flatMap(b => m0.dirs.get(b))
         .map(d => Paths.get(tablePath, d).toString)
-      val merged =
-        if (liveTouched.isEmpty) bucketed
-        else {
-          val target = withBucket(
-            spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)
+      val targetOpt =
+        if (liveTouched.isEmpty) None
+        else Some(withBucket(mergedRead(spark, m0, liveTouched), keys, nb))
+      val widenedNew = targetOpt
+        .map(t => widenedBy(t.schema, bucketed.schema, keys))
+        .getOrElse(Map.empty[String, String])
+      val merged = targetOpt match {
+        case None => bucketed
+        case Some(target) =>
           target.join(bucketed, keys, "left_anti")
             .unionByName(alignForUnion(bucketed, target, m0.dropped))
-        }
+      }
       // UNIQUE staging sibling: concurrent writers must never share
       // the pessimistic path's fixed `<table>.tmp`
       val tmp = tablePath + ".tmp-" +
@@ -1978,6 +2092,7 @@ object Scd1Merge {
               dirs = base.dirs ++ newVersions,
               stats = base.stats -- touchedB ++ newStats, keys = keys,
               dv = dvRel,
+              widened = base.widened ++ widenedNew,
               batch = if (batchId.nonEmpty) batchId else base.batch)) }
           failpoint("after-manifest")
           timed("sweep-post") { sweepVersions(tablePath, committed, retainVersions) }
@@ -2027,7 +2142,8 @@ object Scd1Merge {
     // belt-and-braces: the footprint chain proved these, but a
     // mismatch here would corrupt the table — verify directly
     if (m1.numBuckets != m0.numBuckets || m1.dv != m0.dv ||
-        m1.colmap != m0.colmap || m1.dropped != m0.dropped)
+        m1.colmap != m0.colmap || m1.dropped != m0.dropped ||
+        m1.widened != m0.widened)
       conflict("table-wide metadata differs from the snapshot read")
   }
 
@@ -2103,16 +2219,20 @@ object Scd1Merge {
         val liveTouched = touched.flatMap(b => manifest.dirs.get(b))
           .map(d => Paths.get(tablePath, d).toString)
         val upserts = bucketed.filter(col(opCol) =!= "delete")
-        val merged =
-          if (liveTouched.isEmpty) upserts.drop(opCol)
-          else {
-            val target = withBucket(
-              spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), pkeys, nb)
+        val targetOpt =
+          if (liveTouched.isEmpty) None
+          else Some(withBucket(mergedRead(spark, manifest, liveTouched), pkeys, nb))
+        val widenedNew = targetOpt
+          .map(t => widenedBy(t.schema, upserts.schema, pkeys))
+          .getOrElse(Map.empty[String, String])
+        val merged = targetOpt match {
+          case None => upserts.drop(opCol)
+          case Some(target) =>
             // ONE anti-join on ALL source keys (delete keys and upsert
             // keys alike drop the old image), then the new images land
             target.join(bucketed, pkeys, "left_anti")
               .unionByName(alignForUnion(upserts, target, manifest.dropped))
-          }
+        }
         val tmp = tablePath + ".tmp"
         stageWrite(merged, tmp)
         mustWrite.foreach { b =>
@@ -2138,6 +2258,7 @@ object Scd1Merge {
           dirs = manifest.dirs -- emptied ++ newVersions,
           stats = manifest.stats -- touched ++ newStats, keys = pkeys,
           dv = dvRel,
+          widened = manifest.widened ++ widenedNew,
           batch = if (batchId.nonEmpty) batchId else manifest.batch))
         failpoint("after-manifest")
         sweepVersions(tablePath, committed, retainVersions)
@@ -2284,11 +2405,19 @@ object Scd1Merge {
       // never read, never written)
       val liveTouched = touched.flatMap(b => manifest.dirs.get(b))
         .map(d => Paths.get(tablePath, d).toString)
-      val merged =
-        if (liveTouched.isEmpty) bucketed // all-new buckets: insert only
-        else {
-          val target = withBucket(
-            spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), keys, nb)
+      val targetOpt =
+        if (liveTouched.isEmpty) None // all-new buckets: insert only
+        else Some(withBucket(mergedRead(spark, manifest, liveTouched), keys, nb))
+      // numeric type widening (int→long / float→double): accepted in
+      // BOTH modes — the union writes the touched buckets wide and the
+      // manifest records the wide type so readers reconcile the
+      // narrow files in untouched buckets (mergedRead)
+      val widenedNew = targetOpt
+        .map(t => widenedBy(t.schema, bucketed.schema, keys))
+        .getOrElse(Map.empty[String, String])
+      val merged = targetOpt match {
+        case None => bucketed
+        case Some(target) =>
           // dup check already done by the probe — plain anti-join + union
           if (evolveSchema)
             target.join(bucketed, keys, "left_anti")
@@ -2296,7 +2425,7 @@ object Scd1Merge {
           else
             target.join(bucketed, keys, "left_anti")
               .unionByName(alignForUnion(bucketed, target, manifest.dropped))
-        }
+      }
       val tmp = tablePath + ".tmp"
       // repartition on the bucket column before the partitioned write:
       // without it every shuffle partition spills a sliver into every
@@ -2325,6 +2454,7 @@ object Scd1Merge {
           dirs = manifest.dirs ++ newVersions,
           stats = manifest.stats -- touched ++ newStats, keys = keys,
           dv = dvRel,
+          widened = manifest.widened ++ widenedNew,
           batch = if (batchId.nonEmpty) batchId else manifest.batch)) }
       failpoint("after-manifest")
       // post-commit sweep: ONLY versions beyond the retention window
@@ -2762,9 +2892,7 @@ object Scd1Merge {
             val liveTouched = touched.map(b =>
               Paths.get(tablePath, manifest.dirs(b)).toString)
             val kept = applyDv(spark, tablePath, manifest,
-              withBucket(
-                spark.read.option("mergeSchema", "true").parquet(liveTouched: _*),
-                keys, nb))
+              withBucket(mergedRead(spark, manifest, liveTouched), keys, nb))
             val tmp = tablePath + ".tmp"
             stageWrite(kept, tmp)
             val tracked = (keys ++ manifest.stats.values.flatMap(_.keySet)).distinct
@@ -2888,14 +3016,18 @@ object Scd1Merge {
       val liveTouched = touched.toSeq.sorted.flatMap(b => m0.dirs.get(b))
         .map(d => Paths.get(tablePath, d).toString)
       val upserts = bucketed.filter(col(opCol) =!= "delete")
-      val merged =
-        if (liveTouched.isEmpty) upserts.drop(opCol)
-        else {
-          val target = withBucket(
-            spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), pkeys, nb)
+      val targetOpt =
+        if (liveTouched.isEmpty) None
+        else Some(withBucket(mergedRead(spark, m0, liveTouched), pkeys, nb))
+      val widenedNew = targetOpt
+        .map(t => widenedBy(t.schema, upserts.schema, pkeys))
+        .getOrElse(Map.empty[String, String])
+      val merged = targetOpt match {
+        case None => upserts.drop(opCol)
+        case Some(target) =>
           target.join(bucketed, pkeys, "left_anti")
             .unionByName(alignForUnion(upserts, target, m0.dropped))
-        }
+      }
       val tmp = tablePath + ".tmp-" +
         java.util.UUID.randomUUID().toString.substring(0, 8)
       stageWrite(merged, tmp)
@@ -2925,6 +3057,7 @@ object Scd1Merge {
             dirs = base.dirs -- emptied ++ newVersions,
             stats = base.stats -- touched ++ newStats, keys = pkeys,
             dv = dvRel,
+            widened = base.widened ++ widenedNew,
             batch = if (batchId.nonEmpty) batchId else base.batch))
           failpoint("after-manifest")
           sweepVersions(tablePath, committed, retainVersions)
@@ -2969,7 +3102,7 @@ object Scd1Merge {
     if (candB.isEmpty) return 0L
     val candDirs = candB.flatMap(b => m0.dirs.get(b))
       .map(d => Paths.get(tablePath, d).toString)
-    val candRead = spark.read.option("mergeSchema", "true").parquet(candDirs: _*)
+    val candRead = mergedRead(spark, m0, candDirs)
     val tagged = logicalize(applyDv(spark, tablePath, pm,
       withBucket(
         if (candRead.columns.contains(BucketCol)) candRead.drop(BucketCol) else candRead,
@@ -2984,8 +3117,7 @@ object Scd1Merge {
       .map(d => Paths.get(tablePath, d).toString)
     val kept = rewrite(logicalize(
         applyDv(spark, tablePath, pm,
-          withBucket(
-            spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), pkeys, nb)),
+          withBucket(mergedRead(spark, m0, liveTouched), pkeys, nb)),
         m0),
       predicate)
     val tmp = tablePath + ".tmp-" +
@@ -3060,7 +3192,7 @@ object Scd1Merge {
       else {
         val candDirs = candB.flatMap(b => manifest.dirs.get(b))
           .map(d => Paths.get(tablePath, d).toString)
-        val candRead = spark.read.option("mergeSchema", "true").parquet(candDirs: _*)
+        val candRead = mergedRead(spark, manifest, candDirs)
         // soft-deleted rows are not visible to DELETE/UPDATE: they
         // neither count as matched nor get rewritten back to life.
         // dv applies on the PHYSICAL frame, then the logical view is
@@ -3083,8 +3215,7 @@ object Scd1Merge {
           // become harmless no-ops)
           val kept = rewrite(logicalize(
               applyDv(spark, tablePath, manifest.copy(keys = pkeys),
-                withBucket(
-                  spark.read.option("mergeSchema", "true").parquet(liveTouched: _*), pkeys, nb)),
+                withBucket(mergedRead(spark, manifest, liveTouched), pkeys, nb)),
               manifest),
             predicate)
           val tmp = tablePath + ".tmp"

@@ -736,6 +736,43 @@ object QueriesLLM {
           (col("n_hits").cast("double") / col("n_exact")).as("recall"))
     }),
 
+    "sim_ivfpq_recall" -> ((s, dir) => {
+      // IVF-PQ FUSION (IVFADC — the composite that makes
+      // billion-vector ANN fit in memory): IVF picks the cells (same
+      // 16/4 geometry as sim_ivf_recall, so the scanned-cell budget is
+      // EQUAL), PQ compresses what is scanned — residual codes, m=16
+      // ints per candidate instead of 64 floats, one shared codebook
+      // over pooled residuals. At (m=16, candFactor=16) the fused
+      // recall EQUALS IVF-flat's 0.696 pin — the full-fidelity scan
+      // reproduced from codes, with 4000 of 6221 candidate vectors
+      // ever fetched. The model + code rows are PERSISTED
+      // through the commit protocol (ivfPqIndexBuild, the pipe17
+      // posture) and the probe reads the committed index. The judged
+      // row carries the scanned-candidate ACCOUNTING next to the
+      // pinned recall: n_scanned approx pairs ranked by ADC, n_reranked
+      // (= candFactor·k per query) vectors ever fetched — the proof
+      // the scan stayed code-sized. ApproxSpec floors the recall and
+      // pins n_reranked ≪ n_scanned.
+      val emb = table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 50)
+      val idx = graft.Tmp.dir("graft_ivfpq") + "/index"
+      Similarity.ivfPqIndexBuild(s, idx, emb, "vec_id", "embedding",
+        nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64, batchId = "B1")
+      val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
+        .select(col("query_id"), col("vec_id"))
+      val fused = Similarity.ivfPqTopKIndexed(s, idx, emb, q,
+          "vec_id", "embedding", K, nprobe = 4, dim = 64, candFactor = 16)
+        .select(col("query_id"), col("vec_id"))
+      val (scanned, reranked) = Similarity.lastIvfPqScanned
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(fused.intersect(exact).agg(count(lit(1)).as("n_hits")))
+        .select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
+          lit(16L).as("m"), lit(16L).as("ksub"),
+          lit(scanned).as("n_scanned"), lit(reranked).as("n_reranked"),
+          col("n_exact"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+    }),
+
     "a6_count_distinct" -> ((s, dir) =>
       // exact distinct-aggregate (Expand-based two-phase plan)
       table(s, dir, "orders")
@@ -1581,6 +1618,20 @@ object QueriesLLM {
          |  50::BIGINT AS n_queries, 5::BIGINT AS k,
          |  250::BIGINT AS n_exact, 177::BIGINT AS n_hits,
          |  177 / 250.0 AS recall""".stripMargin,
+    // PINNED literal: IVF-PQ fused (IVFADC) recall@5 — SAME 174/250
+    // as sim_ivf_recall at the same probed cells (nlist 16, nprobe 4):
+    // the residual-code scan loses nothing at m=16/candFactor=16,
+    // while reading 16 ints per candidate instead of 64 floats and
+    // fetching 4000 of the 6221 scanned candidates. n_scanned and
+    // n_reranked are the accounting columns (deterministic: quantized
+    // Lloyd + quantized ADC); ApproxSpec floors the recall and pins
+    // reranked < scanned.
+    "sim_ivfpq_recall" ->
+      """SELECT 16::BIGINT AS nlist, 4::BIGINT AS nprobe,
+         |  16::BIGINT AS m, 16::BIGINT AS ksub,
+         |  6221::BIGINT AS n_scanned, 4000::BIGINT AS n_reranked,
+         |  250::BIGINT AS n_exact, 174::BIGINT AS n_hits,
+         |  174 / 250.0 AS recall""".stripMargin,
     "sql_vec_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id,

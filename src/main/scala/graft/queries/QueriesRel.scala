@@ -152,19 +152,32 @@ object QueriesRel {
     }),
 
     "s13_schema_evolution" -> ((s, dir) => {
-      // Delta mergeSchema parity: a later batch ADDS a column; only its
-      // touched buckets rewrite, and readTable null-fills the rows that
-      // predate the column via parquet schema merge.
+      // Delta mergeSchema parity: a later batch ADDS a column (only its
+      // touched buckets rewrite; readTable null-fills older rows), and
+      // a third batch WIDENS a measure int→long (Delta type-widening
+      // parity, r9 ask #8): the touched buckets rewrite wide, the
+      // untouched buckets keep their narrow files, and the manifest's
+      // widened map lets every reader present one BIGINT column over
+      // the mixed files (mergedRead). WideningSpec pins the mechanics
+      // (old buckets readable, snapshots narrow, key widening
+      // rejected); the judged frame carries the widened value range a
+      // 32-bit pop could not hold.
       val n = table(s, dir, "nation")
       val path = tmpDir("graft_evo") + "/dim"
       Scd1Merge.upsert(s, path,
-        n.select(col("n_nationkey").as("k"), col("n_name").as("name")),
+        n.select(col("n_nationkey").as("k"), col("n_name").as("name"),
+          col("n_regionkey").cast("int").as("pop")),
         Seq("k"), numBuckets = 4)
       val batch = n.filter(col("n_nationkey") < 5)
         .select(col("n_nationkey").as("k"),
           concat(col("n_name"), lit("_v2")).as("name"),
+          col("n_regionkey").cast("int").as("pop"),
           col("n_regionkey").cast("long").as("region"))
       Scd1Merge.upsert(s, path, batch, Seq("k"), evolveSchema = true)
+      val widen = n.filter(col("n_nationkey") >= 20)
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"),
+          (col("n_regionkey").cast("long") + lit(10000000000L)).as("pop"))
+      Scd1Merge.upsert(s, path, widen, Seq("k"), evolveSchema = true)
       Scd1Merge.readTable(s, path).orderBy(col("k"))
     }),
 
@@ -1582,14 +1595,12 @@ object QueriesRel {
          |      AND s.l_partkey = t.l_partkey AND s.l_suppkey = t.l_suppkey)
          |  UNION ALL SELECT * FROM s) ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "s13_schema_evolution" ->
-      """WITH dim AS (SELECT n_nationkey AS k, n_name AS name FROM nation),
-         |b AS (SELECT n_nationkey AS k, n_name || '_v2' AS name, n_regionkey::BIGINT AS region
-         |      FROM nation WHERE n_nationkey < 5)
-         |SELECT k, name, region FROM (
-         |  SELECT d.k, d.name, NULL::BIGINT AS region FROM dim d
-         |  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.k = d.k)
-         |  UNION ALL SELECT * FROM b)
-         |ORDER BY k""".stripMargin,
+      """SELECT n_nationkey AS k,
+         |  CASE WHEN n_nationkey < 5 THEN n_name || '_v2' ELSE n_name END AS name,
+         |  CASE WHEN n_nationkey >= 20 THEN n_regionkey::BIGINT + 10000000000
+         |       ELSE n_regionkey::BIGINT END AS pop,
+         |  CASE WHEN n_nationkey < 5 THEN n_regionkey::BIGINT ELSE NULL END AS region
+         |FROM nation ORDER BY k""".stripMargin,
     "w3_running_sum" ->
       """SELECT o_orderkey, o_custkey,
          |  (sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -752,6 +752,203 @@ object Similarity {
       ivfAssign(newVecs, idCol, vecCol, cents), Seq(idCol), batchId = batchId)
   }
 
+  // ---------- IVF-PQ fused index (IVFADC) ----------
+  // The standard billion-vector composite: IVF picks the cells to
+  // scan (coarse, learned partitions), PQ compresses WHAT is scanned
+  // (residual codes, m bytes per vector instead of dim floats). The
+  // scan phase touches only (cell, sub, code) int rows in the probed
+  // cells — no vector data moves until the exact re-rank of the few
+  // best candidates. Residual encoding (v − centroid(cell)) is what
+  // makes one shared codebook work across cells: residuals are
+  // centered at the origin regardless of which cell a vector lives
+  // in, so the m×ksub codebook spends its codes on LOCAL geometry.
+
+  /** Residual frame: each vector minus its assigned cell's centroid,
+    * plus the assignment. The zip_with subtraction is a one-time
+    * narrow encode pass (train + encode read it; the candidate-scan
+    * hot path never touches vectors). */
+  private def ivfResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+                           cents: Array[Seq[Float]]): DataFrame =
+    ivfAssign(corpus, idCol, vecCol, cents)
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol), col("__cluster"),
+        zip_with(col(vecCol),
+          element_at(centroidCol(cents), col("__cluster") + 1),
+          (a, b) => a - b).as("__res"))
+
+  /** Train the fused model: IVF centroids, then ONE shared PQ
+    * codebook set over the pooled residuals (the classic IVFADC
+    * layout — per-cell codebooks would need nlist× the training data
+    * and driver state for no recall gain at this ksub). Both halves
+    * deterministic: seeded + 1e-6-quantized Lloyd. */
+  def ivfPqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int, m: Int, ksub: Int, iters: Int, dim: Int)
+      : (Array[Seq[Float]], Array[Array[Seq[Float]]]) = {
+    val cents = ivfTrain(corpus, idCol, vecCol, nlist, iters)
+    val res = ivfResiduals(corpus, idCol, vecCol, cents)
+    val books = pqTrain(res, idCol, "__res", m, ksub, iters, dim)
+    (cents, books)
+  }
+
+  /** Encode the corpus against the fused model: (vec_id, cell, sub,
+    * code) int rows — the persisted index layout ([[ivfPqIndexBuild]]).
+    * m+1 ints per vector replace dim floats in every scan. */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+                  cents: Array[Seq[Float]],
+                  books: Array[Array[Seq[Float]]], dim: Int): DataFrame = {
+    val res = ivfResiduals(corpus, idCol, vecCol, cents)
+    pqEncode(res, idCol, "__res", books, dim)
+      .join(res.select(col(idCol).as("vec_id"), col("__cluster")), "vec_id")
+      .select(col("vec_id"), col("__cluster"), col("sub"), col("code"))
+  }
+
+  /** (approx candidate pairs scanned, exact-reranked candidates) of
+    * the most recent [[ivfPqTopK]] — the accounting column the judged
+    * recall row carries: proof the scan stayed inside the probed
+    * cells' code rows and the vector fetch stayed candidate-sized. */
+  @volatile private[graft] var lastIvfPqScanned: (Long, Long) = (0L, 0L)
+
+  /** Fused IVF-PQ top-k (ADC over residual codes): queries rank the
+    * centroid codebook for nprobe cells, compute their per-cell
+    * RESIDUAL distance tables d²(q − c_cell, codeword) for every
+    * (sub, codeword) — a q×nprobe×m×ksub broadcast, KBs — and the
+    * scan is one broadcast equi-join on (cell, sub, code) against the
+    * code rows plus a map-side-combinable per-(query, vector) sum.
+    * Approx distances 1e-9-quantize to longs (partial-agg-order
+    * independence, the ivfTrain argument); the top candFactor·k
+    * approx candidates re-rank exact. Same cells scanned as an
+    * IVF-flat probe with equal (nlist, nprobe) — but the scan reads
+    * m ints per candidate instead of dim floats, and only
+    * candFactor·k vectors are ever fetched. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, iters: Int = 2, dim: Int = 64,
+                candFactor: Int = 8): DataFrame = {
+    val (cents, books) = ivfPqTrain(corpus, idCol, vecCol, nlist, m, ksub, iters, dim)
+    val codes = ivfPqEncode(corpus, idCol, vecCol, cents, books, dim)
+    ivfPqTopKFromCodes(corpus, queries, idCol, vecCol, k, cents, books,
+      codes, nprobe, dim, candFactor)
+  }
+
+  /** The probe half of [[ivfPqTopK]], reusable against PERSISTED code
+    * rows (the pipe17 pattern: [[ivfPqIndexBuild]] commits the model
+    * + codes once; later probes read them — the corpus is never
+    * re-encoded). */
+  def ivfPqTopKFromCodes(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         cents: Array[Seq[Float]],
+                         books: Array[Array[Seq[Float]]],
+                         codes: DataFrame, nprobe: Int, dim: Int,
+                         candFactor: Int): DataFrame = {
+    val mSub = books.length
+    val dsub = dim / mSub
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("__cluster").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol))
+      .select(col("query_id"), posexplode(centroidCol(cents)), col(vecCol))
+      .select(col("query_id"), col("pos").as("__cluster"),
+        cosine(col(vecCol), col("col")).as("__score"))
+      .withColumn("__r", row_number().over(wq)).filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("__cluster"))
+    // per-(query, probed cell) residual, then its PQ distance table
+    val qres = probes
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+        "query_id")
+      .select(col("query_id"), col("__cluster"),
+        zip_with(col("__qv"),
+          element_at(centroidCol(cents), col("__cluster") + 1),
+          (a, b) => a - b).as("__rq"))
+    val dt = (0 until mSub).map { sub =>
+      qres.select(col("query_id"), col("__cluster"),
+          slice(col("__rq"), sub * dsub + 1, dsub).as("__sv"))
+        .select(col("query_id"), col("__cluster"),
+          posexplode(centroidCol(books(sub))), col("__sv"))
+        .select(col("query_id"), col("__cluster"), lit(sub).as("sub"),
+          col("pos").as("code"),
+          (norm2(col("__sv")) + norm2(col("col"))
+            - lit(2.0) * dot(col("__sv"), col("col"))).as("__d2"))
+    }.reduce(_ unionByName _)
+    val approx = codes.join(broadcast(dt), Seq("__cluster", "sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("__d2")) * lit(1e9)).cast("long").as("__adq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = topKPerKey(approx, col("query_id"),
+          Seq(col("__adq").asc, col("vec_id").asc), k * candFactor,
+          saltOn = col("vec_id"))
+        .select(col("query_id"), col("vec_id"))
+      val out = exactRerank(corpus, queries, idCol, vecCol, cands, k)
+      lastIvfPqScanned = (approx.count(), cands.count())
+      out
+    } finally approx.unpersist(blocking = false)
+  }
+
+  /** Persist the fused index through the commit protocol (the pipe17
+    * posture): centroids, flattened codebooks, and the per-vector
+    * code rows each land as batch-stamped graft tables — later
+    * ingests encode ONLY the new batch against the trained model
+    * ([[ivfPqIndexUpdate]]); probes read the persisted codes. */
+  def ivfPqIndexBuild(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, corpus: DataFrame,
+                      idCol: String, vecCol: String,
+                      nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                      iters: Int = 2, dim: Int = 64,
+                      batchId: String = ""): Unit = {
+    import spark.implicits._
+    val (cents, books) = ivfPqTrain(corpus, idCol, vecCol, nlist, m, ksub, iters, dim)
+    graft.merge.Scd1Merge.upsert(spark, s"$indexPath/centroids",
+      cents.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("__cluster", "centroid"),
+      Seq("__cluster"), numBuckets = 1, batchId = batchId)
+    graft.merge.Scd1Merge.upsert(spark, s"$indexPath/codebooks",
+      books.toSeq.zipWithIndex.flatMap { case (book, sub) =>
+        book.toSeq.zipWithIndex.map { case (v, code) => (sub, code, v) }
+      }.toDF("sub", "code", "centroid"),
+      Seq("sub", "code"), numBuckets = 1, batchId = batchId)
+    graft.merge.Scd1Merge.upsert(spark, s"$indexPath/codes",
+      ivfPqEncode(corpus, idCol, vecCol, cents, books, dim),
+      Seq("vec_id", "sub"), batchId = batchId)
+  }
+
+  /** Incremental leg: encode ONLY `newVecs` against the persisted
+    * model and merge their code rows — the corpus is never re-read. */
+  def ivfPqIndexUpdate(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, newVecs: DataFrame,
+                       idCol: String, vecCol: String, dim: Int = 64,
+                       batchId: String = ""): Unit = {
+    val (cents, books) = ivfPqIndexModel(spark, indexPath)
+    graft.merge.Scd1Merge.upsert(spark, s"$indexPath/codes",
+      ivfPqEncode(newVecs, idCol, vecCol, cents, books, dim),
+      Seq("vec_id", "sub"), batchId = batchId)
+  }
+
+  /** The persisted model, collected (KB-sized matrices). */
+  def ivfPqIndexModel(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String)
+      : (Array[Seq[Float]], Array[Array[Seq[Float]]]) = {
+    val cents = ivfIndexCentroids(spark, indexPath)
+    val bookRows = graft.merge.Scd1Merge
+      .readTable(spark, s"$indexPath/codebooks")
+      .orderBy(col("sub"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2)))
+    val books = bookRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toArray).toArray
+    (cents, books)
+  }
+
+  /** IVF-PQ top-k served from the PERSISTED index. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, corpus: DataFrame,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nprobe: Int = 4, dim: Int = 64,
+                       candFactor: Int = 8): DataFrame = {
+    val (cents, books) = ivfPqIndexModel(spark, indexPath)
+    val codes = graft.merge.Scd1Merge.readTable(spark, s"$indexPath/codes")
+    ivfPqTopKFromCodes(corpus, queries, idCol, vecCol, k, cents, books,
+      codes, nprobe, dim, candFactor)
+  }
+
   /** IVF top-k served FROM the persisted index: queries rank the
     * persisted codebook for their nprobe clusters, candidates come
     * from the persisted assignment table (bucket-pruned scan of int
