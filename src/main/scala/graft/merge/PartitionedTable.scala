@@ -306,6 +306,40 @@ object PartitionedTable {
     }
   }
 
+  /** FULL atomic replacement (DSv2 truncate-overwrite / Delta
+    * `mode("overwrite")` parity): partitions present in the batch are
+    * replaced via [[overwritePartitions]]' child-commit shape, and the
+    * SAME parent swap pins ONLY those partitions — every partition
+    * absent from the batch drops (a metadata-only removal; its tree
+    * stays for lagging readers until [[vacuum]]). Readers see the old
+    * table or the new one, never a mixture. */
+  def overwriteTable(spark: SparkSession, tablePath: String,
+                     source: DataFrame): Unit = {
+    val m = requireTable(tablePath)
+    withPLock(tablePath) {
+      val touched = source.select(col(m.partCol)).distinct().collect()
+        .map(r => render(r.get(0))).sorted
+      val opCol = "__graft_part_op"
+      val newPins = touched.map { v =>
+        val rel = partitionDirName(v)
+        val childPath = Paths.get(tablePath, rel).toString
+        val sub = source.filter(col(m.partCol) === typedLit(v, m.partType))
+        if (Scd1Merge.tableExists(childPath)) {
+          val target = Scd1Merge.readTable(spark, childPath)
+          val vanished = target
+            .join(sub.select(m.keys.map(col): _*), m.keys, "left_anti")
+            .withColumn(opCol, lit("delete"))
+          Scd1Merge.applyCdc(spark, childPath,
+            sub.withColumn(opCol, lit("upsert")).unionByName(vanished),
+            m.keys, opCol = opCol)
+        } else Scd1Merge.upsert(spark, childPath, sub, m.keys, m.numBuckets)
+        v -> (rel, Scd1Merge.tableCommit(childPath).get)
+      }.toMap
+      val live = readPManifest(tablePath).get
+      commitPManifest(tablePath, live.copy(parts = newPins))
+    }
+  }
+
   /** Delete whole partitions by predicate ON THE PARTITION COLUMN —
     * a pure metadata commit (no data read or written): matching
     * partitions drop from the parent manifest; their trees stay on
@@ -523,6 +557,98 @@ object PartitionedTable {
           rm(p)
         }
       }
+    }
+  }
+
+  /** Table metadata accessors (SQL/DSv2 routing). */
+  def tableKeys(tablePath: String): Option[Seq[String]] =
+    readPManifest(tablePath).map(_.keys)
+  def partitionColumn(tablePath: String): Option[String] =
+    readPManifest(tablePath).map(_.partCol)
+
+  /** Metadata-only aggregates over the partitioned layout: every
+    * pinned child must answer ([[Scd1Merge.statsAggregate]]'s bail
+    * rules per child), then counts sum and extremes fold across
+    * children — still zero data files, O(partitions × buckets) driver
+    * metadata. None = some child can't answer → real scan. */
+  private[graft] def statsAggregate(spark: SparkSession, tablePath: String,
+      specs: Seq[(String, String)]): Option[Seq[Any]] =
+    readPManifest(tablePath).flatMap { m =>
+      val perChild = m.parts.toSeq.map { case (_, (rel, _)) =>
+        Scd1Merge.statsAggregate(spark,
+          Paths.get(tablePath, rel).toString, specs)
+      }
+      if (perChild.exists(_.isEmpty)) None
+      else if (perChild.isEmpty)
+        // no partitions: COUNT = 0, extremes NULL
+        Some(specs.map { case ("count", _) => 0L.asInstanceOf[Any]; case _ => null })
+      else Some(specs.indices.map { i =>
+        val col = perChild.map(_.get(i))
+        specs(i) match {
+          case ("count", _) => col.map(_.asInstanceOf[Long]).sum.asInstanceOf[Any]
+          case (op, _) =>
+            val nonNull = col.filter(_ != null)
+            if (nonNull.isEmpty) null
+            else {
+              def lt(a: Any, b: Any): Boolean =
+                a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+              if (op == "min") nonNull.reduce((a, b) => if (lt(a, b)) a else b)
+              else nonNull.reduce((a, b) => if (lt(a, b)) b else a)
+            }
+        }
+      })
+    }
+
+  /** Predicate DELETE with partition pruning FIRST: only partitions
+    * the partition-column conjuncts can match are visited at all
+    * (each through the child's own stats-pruned bucket rewrite), then
+    * one parent swap re-pins the changed children. The 100 TB shape:
+    * `DELETE WHERE month = X AND ...` touches exactly one child tree.
+    * Returns rows deleted. */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+                  predicate: Column): Long = {
+    val m = requireTable(tablePath)
+    withPLock(tablePath) {
+      val keep = matchingPartitions(spark, tablePath, m, predicate).toSet
+      lastPartitionPrune = (keep.size, m.parts.size)
+      var n = 0L
+      val newPins = m.parts.map { case (v, (rel, pin)) =>
+        if (!keep(v)) v -> (rel, pin)
+        else {
+          val childPath = Paths.get(tablePath, rel).toString
+          n += Scd1Merge.delete(spark, childPath, m.keys, predicate)
+          v -> (rel, Scd1Merge.tableCommit(childPath).get)
+        }
+      }
+      val live = readPManifest(tablePath).get
+      commitPManifest(tablePath, live.copy(parts = newPins))
+      n
+    }
+  }
+
+  /** Predicate UPDATE with partition pruning first — the
+    * [[deleteWhere]] shape over [[Scd1Merge.update]]. The partition
+    * column itself cannot be SET (it is a merge key; a partition move
+    * is a delete + insert). Returns rows updated. */
+  def updateWhere(spark: SparkSession, tablePath: String,
+                  predicate: Column,
+                  set: Map[String, Column]): Long = {
+    val m = requireTable(tablePath)
+    withPLock(tablePath) {
+      val keep = matchingPartitions(spark, tablePath, m, predicate).toSet
+      lastPartitionPrune = (keep.size, m.parts.size)
+      var n = 0L
+      val newPins = m.parts.map { case (v, (rel, pin)) =>
+        if (!keep(v)) v -> (rel, pin)
+        else {
+          val childPath = Paths.get(tablePath, rel).toString
+          n += Scd1Merge.update(spark, childPath, m.keys, predicate, set)
+          v -> (rel, Scd1Merge.tableCommit(childPath).get)
+        }
+      }
+      val live = readPManifest(tablePath).get
+      commitPManifest(tablePath, live.copy(parts = newPins))
+      n
     }
   }
 

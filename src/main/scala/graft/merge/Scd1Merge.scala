@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Not, Or}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType, StructType, TimestampType, Decimal}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType, StructType, TimestampNTZType, TimestampType, Decimal}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.hadoop.fs.{Path => HadoopPath}
 import org.apache.parquet.hadoop.ParquetFileReader
@@ -450,7 +450,8 @@ object Scd1Merge {
     * comparisons use, so string pruning agrees with filter results
     * beyond the BMP. */
   private def statsTyp(dt: DataType): Option[Char] = dt match {
-    case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => Some('l')
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => Some('l')
     case FloatType | DoubleType | _: DecimalType => Some('d')
     case StringType => Some('s')
     case _ => None
@@ -465,6 +466,12 @@ object Scd1Merge {
       val i = t.toInstant; (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
     case (TimestampType, t: java.time.Instant) =>
       (t.getEpochSecond * 1000000L + t.getNano / 1000L).toString
+    case (TimestampNTZType, t: java.time.LocalDateTime) =>
+      // NTZ wall-clock → epoch-micros AS IF UTC: the same convention
+      // Spark's internal Long encoding (and so the filter literals
+      // statBounds compares against) uses for timestamp_ntz.
+      val i = t.toInstant(java.time.ZoneOffset.UTC)
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
     case _ => v.toString // integral / float / java BigDecimal / string
   }
 
@@ -484,6 +491,16 @@ object Scd1Merge {
   private def isBloomCol(c: String): Boolean =
     c.regionMatches(true, 0, BloomTag, 0, BloomTag.length)
   private def bloomInner(c: String): String = c.substring(BloomTag.length)
+
+  /** Reserved stats pseudo-column: the bucket's EXACT row count, read
+    * off the parquet footers in the same metadata pass as min/max
+    * (`ColStats('n', count, "")`). Never matches a real predicate
+    * column (the `__` prefix is reserved — [[BucketCol]] precedent),
+    * so pruning code skips it; [[statsAggregate]] sums it to answer
+    * `COUNT(*)` as a driver-side manifest read — at 100 TB a bare
+    * count touches ZERO data files. Absent on pre-r10 buckets →
+    * conservative bail to a real scan. */
+  private[graft] val RowsKey = "__rows"
 
   /** Stats for `cols` over a just-written staging dir: min/max for
     * plain entries, bloom bitmaps for `bloom:`-tagged ones, merged
@@ -573,6 +590,7 @@ object Scd1Merge {
           // per-column fold across every row group of every file:
           // Some((typ, mn, mx)) = bounded so far; None = poisoned
           val acc = scala.collection.mutable.Map.empty[String, Option[(Char, String, String)]]
+          var bucketRows = 0L
           Files.list(bdir).iterator().asScala.toSeq
             .filter(_.getFileName.toString.endsWith(".parquet"))
             .foreach { f =>
@@ -580,6 +598,7 @@ object Scd1Merge {
                 HadoopInputFile.fromPath(new HadoopPath(f.toUri), hconf))
               try {
                 rdr.getFooter.getBlocks.asScala.foreach { blk =>
+                  bucketRows += blk.getRowCount
                   blk.getColumns.asScala.foreach { cc =>
                     val name = cc.getPath.toDotString
                     if (cols.exists(_.equalsIgnoreCase(name)) && name != BucketCol &&
@@ -607,7 +626,9 @@ object Scd1Merge {
           poisoned ++= acc.collect { case (c, None) => c }
           val st = acc.toMap.collect { case (c, Some((t, mn, mx))) =>
             c -> ColStats(t, mn, mx) }
-          if (st.isEmpty) None else Some(b -> st)
+          // the exact row count always rides (footers carry it even
+          // when no column is boundable) — COUNT(*) pushdown fuel
+          Some(b -> (st + (RowsKey -> ColStats('n', bucketRows.toString, ""))))
         }.toMap
       if (poisoned.isEmpty) footer
       else {
@@ -1579,6 +1600,115 @@ object Scd1Merge {
       else if (dropped.contains(c)) lit(null).cast(target.schema(c).dataType).as(c)
       else col(c)
     }: _*)
+  }
+
+  /** Observability: Some(values) when the last [[statsAggregate]] call
+    * answered from the manifest alone (spec-facing, like [[lastPrune]]). */
+  @volatile private[graft] var lastStatsAgg: Option[Seq[Any]] = None
+
+  /** METADATA-ONLY aggregates: answer `COUNT(*)` / `MIN(col)` /
+    * `MAX(col)` from the manifest's per-bucket stats without touching
+    * ONE data file — the DSv2 aggregate-pushdown fuel (the JDBC
+    * source's `SupportsPushDownAggregates` posture, re-expressed over
+    * the manifest). At 100 TB a bare `SELECT count(*) FROM fact` is a
+    * driver-side manifest read instead of a 100 TB scan.
+    *
+    * `specs` entries: `("count","")`, `("min",col)`, `("max",col)`.
+    * Returns None — caller falls back to a real scan — unless EVERY
+    * spec is provably answerable:
+    *  - a deletion vector makes counts and extremes stale → bail;
+    *  - count needs the [[RowsKey]] footer count on every live bucket
+    *    (absent on pre-r10 buckets → bail);
+    *  - min/max need a stats bound on every NON-EMPTY bucket, and only
+    *    numeric/date/timestamp/decimal columns qualify — parquet
+    *    footer STRING stats may be truncated bounds (prefix min /
+    *    incremented max), real values only for the other domains;
+    *  - an all-null column in a non-empty bucket records no bound and
+    *    is indistinguishable from missing stats → bail (conservative).
+    * Results decode to the table's LOGICAL schema types (column
+    * mapping translated, widened types honored). */
+  private[graft] def statsAggregate(spark: SparkSession, tablePath: String,
+      specs: Seq[(String, String)]): Option[Seq[Any]] = {
+    lastStatsAgg = None
+    val out = try {
+      readManifest(tablePath).flatMap { m =>
+        if (m.dv.nonEmpty || specs.isEmpty) None
+        else {
+          lazy val schema = readTable(spark, tablePath).schema
+          def bucketStatsOf(b: Int): Map[String, ColStats] =
+            m.stats.getOrElse(b, Map.empty)
+          def rowsOf(b: Int): Option[Long] =
+            bucketStatsOf(b).get(RowsKey).map(_.min.toLong)
+          def minMaxSafe(dt: DataType): Boolean = dt match {
+            case ByteType | ShortType | IntegerType | LongType | DateType |
+                 TimestampType | TimestampNTZType | FloatType | DoubleType |
+                 _: DecimalType => true
+            case _ => false
+          }
+          def decode(dt: DataType, typ: Char, v: String): Option[Any] = (dt, typ) match {
+            case (ByteType, 'l') => Some(v.toLong.toByte)
+            case (ShortType, 'l') => Some(v.toLong.toShort)
+            case (IntegerType, 'l') => Some(v.toLong.toInt)
+            case (LongType, 'l') => Some(v.toLong)
+            case (DateType, 'l') =>
+              Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.toLong)))
+            case (TimestampType, 'l') =>
+              val us = v.toLong
+              val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+              t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+              Some(t)
+            case (TimestampNTZType, 'l') =>
+              val us = v.toLong
+              Some(java.time.LocalDateTime.ofEpochSecond(
+                Math.floorDiv(us, 1000000L),
+                (Math.floorMod(us, 1000000L) * 1000L).toInt,
+                java.time.ZoneOffset.UTC))
+            case (FloatType, 'd') => Some(v.toFloat)
+            case (DoubleType, 'd') => Some(v.toDouble)
+            case (_: DecimalType, 'd') => Some(new java.math.BigDecimal(v))
+            case _ => None
+          }
+          val buckets = m.dirs.keys.toSeq.sorted
+          val vals: Seq[Option[Any]] = specs.map {
+            case ("count", _) =>
+              val per = buckets.map(rowsOf)
+              if (per.exists(_.isEmpty)) None
+              else Some(per.flatten.sum.asInstanceOf[Any])
+            case (op, logical) if op == "min" || op == "max" =>
+              val phys = physicalOf(m, logical)
+              schema.fields.find(_.name.equalsIgnoreCase(logical)).flatMap { fld =>
+                if (!minMaxSafe(fld.dataType)) None
+                else {
+                  val per: Seq[Option[Option[ColStats]]] = buckets.map { b =>
+                    val st = bucketStatsOf(b)
+                    st.find(_._1.equalsIgnoreCase(phys)).map(_._2) match {
+                      case Some(c) => Some(Some(c))
+                      case None if rowsOf(b).contains(0L) => Some(None) // empty bucket
+                      case None => None                                 // unbounded → bail
+                    }
+                  }
+                  if (per.exists(_.isEmpty)) None
+                  else {
+                    val bounds = per.flatten.flatten
+                    if (bounds.isEmpty) Some(null) // empty table: SQL MIN/MAX = NULL
+                    else {
+                      val typ = bounds.head.typ
+                      val wire =
+                        if (op == "min") bounds.map(_.min).reduce((a, b) => if (wireLt(typ, a, b)) a else b)
+                        else bounds.map(_.max).reduce((a, b) => if (wireLt(typ, a, b)) b else a)
+                      decode(fld.dataType, typ, wire)
+                    }
+                  }
+                }
+              }
+            case _ => None
+          }
+          if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
+        }
+      }
+    } catch { case _: Exception => None }
+    lastStatsAgg = out
+    out
   }
 
   def readTable(spark: SparkSession, tablePath: String): DataFrame = {

@@ -1150,6 +1150,98 @@ object QueriesRel {
           s"expected 3 commits (create, A, B-rebased), got ${Scd1Merge.tableCommit(path)}")
       Scd1Merge.readTable(s, path).orderBy(col("k"))
     }),
+    "sql_partitioned" -> ((s, dir) => {
+      // SQL surface over the PARTITIONED layout — a SQL-only user
+      // runs the full two-level lifecycle: CREATE ... PARTITIONED BY
+      // (the partition column is a merge key, enforced), INSERT BY
+      // NAME routed per partition, UPDATE and DELETE that prune whole
+      // partitions BY PATH before any child stats consult
+      // (GraftSqlSpec pins lastPartitionPrune == 1/N for both), and
+      // the read resolving through the same graft.`path` doorway.
+      // SHOW PARTITIONS / dynamic INSERT OVERWRITE / the MERGE upsert
+      // form are spec-covered.
+      val o = table(s, dir, "orders")
+      o.createOrReplaceTempView("sqlpart_orders")
+      val path = graft.Tmp.dir("graft_sqlpart") + "/fact"
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT TABLE graft.`$path` KEYS (o_month, o_orderkey)
+           |BUCKETS 2 PARTITIONED BY (o_month) AS
+           |SELECT date_format(o_orderdate, 'yyyy-MM') AS o_month, o_orderkey,
+           |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |FROM sqlpart_orders
+           |WHERE o_orderdate >= DATE'1995-01-01' AND o_orderdate < DATE'1995-07-01'""".stripMargin)
+      graft.sql.GraftSql.sql(s,
+        s"""INSERT INTO graft.`$path` BY NAME
+           |SELECT date_format(o_orderdate, 'yyyy-MM') AS o_month, o_orderkey,
+           |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |FROM sqlpart_orders
+           |WHERE o_orderdate >= DATE'1995-07-01' AND o_orderdate < DATE'1995-08-01'""".stripMargin)
+      graft.sql.GraftSql.sql(s,
+        s"UPDATE graft.`$path` SET cents = cents + 1 WHERE o_month = '1995-03'")
+      graft.sql.GraftSql.sql(s,
+        s"DELETE FROM graft.`$path` WHERE o_month = '1995-02' AND cents % 10 = 0")
+      graft.sql.GraftSql.sql(s,
+        s"SELECT o_month, o_orderkey, cents FROM graft.`$path` ORDER BY o_orderkey")
+    }),
+    "s45_agg_pushdown" -> ((s, dir) => {
+      // METADATA-ONLY AGGREGATES (DSv2 SupportsPushDownAggregates,
+      // the JDBC-source interface answered from the MANIFEST): an
+      // unfiltered COUNT(*)/MIN/MAX over a graft table resolves at
+      // plan time from the per-bucket footer stats the commits
+      // already recorded — ZERO data files read, at 100 TB a bare
+      // count is a driver-side manifest read instead of a full scan.
+      // The `require` pins that the plan really took the metadata
+      // path (lastStatsAgg observability hook); GraftDsv2Spec pins
+      // every conservative-bail face (filters, strings, deletion
+      // vectors, grouping → real scan, same answers).
+      val l = table(s, dir, "lineitem").filter(col("l_orderkey") <= 20000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_shipdate"))
+      val path = graft.Tmp.dir("graft_aggpush") + "/t"
+      Scd1Merge.upsert(s, path, l, Seq("l_orderkey", "l_linenumber"),
+        numBuckets = 8, statsColumns = Seq("l_quantity", "l_shipdate"))
+      Scd1Merge.lastStatsAgg = None
+      val r = s.read.format("graft").load(path).agg(
+        count(lit(1)).as("cnt"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).as("min_sd"), max(col("l_shipdate")).as("max_sd"))
+      r.queryExecution.executedPlan // force planning (pushdown decides here)
+      require(Scd1Merge.lastStatsAgg.isDefined,
+        "agg pushdown must answer from the manifest, not a scan")
+      r
+    }),
+    "s44_dsv2_write" -> ((s, dir) => {
+      // DATASOURCE V2 WRITE surface: the standard writer API drives
+      // the full engine write path on a vanilla session —
+      // `df.write.format("graft").option("keys",...).option(
+      // "partitionBy",...).save` CREATES a partitioned graft table
+      // (child commit protocol, parent pin swap), and a second
+      // `mode("append")` batch lands as the KEYED UPSERT the graft
+      // invariant requires (Hudi's documented append-as-upsert
+      // posture for keyed tables): replaced keys replaced, new keys
+      // inserted — including a brand-new partition. The read back is
+      // the DSv2 scan. Must hash-match the pure-SQL merge oracle —
+      // the writer API is a doorway, never a semantic.
+      val c = table(s, dir, "customer")
+      val b1 = c.filter(col("c_custkey") <= 500).select(
+        col("c_mktsegment").as("seg"), col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val path = graft.Tmp.dir("graft_dsv2w") + "/fact"
+      b1.write.format("graft")
+        .option("keys", "seg,k").option("buckets", "2")
+        .option("partitionBy", "seg")
+        .mode("append").save(path)
+      val b2 = b1.filter(col("k") % 7 === 0)
+        .withColumn("cents", col("cents") + 5)
+        .unionByName(b1.filter(col("k") % 13 === 0).select(
+          lit("SEG_NEW").as("seg"), (col("k") + 100000).as("k"),
+          lit(4242L).as("cents")))
+      b2.write.format("graft").mode("append").save(path)
+      s.read.format("graft").load(path)
+        .select(col("seg"), col("k"), col("cents"))
+        .orderBy(col("seg"), col("k"))
+    }),
     "s43_dsv2_read" -> ((s, dir) => {
       // DATASOURCE V2 surface: the same dim read through Spark's
       // standard connector API — spark.read.format("graft").load —
@@ -1722,6 +1814,42 @@ object QueriesRel {
          |  SELECT *, 'asof' AS side FROM dim
          |  UNION ALL SELECT *, 'live' AS side FROM live)
          |ORDER BY side, k""".stripMargin,
+    "sql_partitioned" ->
+      """WITH fact AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders
+         |  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-08-01'),
+         |upd AS (
+         |  SELECT o_month, o_orderkey,
+         |    CASE WHEN o_month = '1995-03' THEN cents + 1 ELSE cents END AS cents
+         |  FROM fact)
+         |SELECT o_month, o_orderkey, cents FROM upd
+         |WHERE NOT (o_month = '1995-02' AND cents % 10 = 0)
+         |ORDER BY o_orderkey""".stripMargin,
+    "s45_agg_pushdown" ->
+      """SELECT count(*) AS cnt,
+         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |  min(l_shipdate) AS min_sd, max(l_shipdate) AS max_sd
+         |FROM lineitem WHERE l_orderkey <= 20000""".stripMargin,
+    "s44_dsv2_write" ->
+      """WITH b1 AS (
+         |  SELECT c_mktsegment AS seg, c_custkey AS k,
+         |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+         |  FROM customer WHERE c_custkey <= 500),
+         |b2 AS (
+         |  SELECT seg, k, cents + 5 AS cents FROM b1 WHERE k % 7 = 0
+         |  UNION ALL
+         |  SELECT 'SEG_NEW' AS seg, k + 100000 AS k,
+         |         CAST(4242 AS BIGINT) AS cents
+         |  FROM b1 WHERE k % 13 = 0)
+         |SELECT seg, k, cents FROM b2
+         |UNION ALL
+         |SELECT seg, k, cents FROM b1
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM b2 WHERE b2.seg = b1.seg AND b2.k = b1.k)
+         |ORDER BY seg, k""".stripMargin,
     "s43_dsv2_read" ->
       """SELECT n_nationkey AS k, n_name AS name
          |FROM nation

@@ -468,6 +468,41 @@ object QueriesStream {
         .select(col("o_orderkey"), col("o_custkey"), col("cents"), col("status"))
         .orderBy(col("o_orderkey"))
     }),
+    "stream_graft_sink" -> ((s, dir) => {
+      // THE TABLE AS A STREAMING SINK (write-side twin of
+      // stream_table_source): `df.writeStream.format("graft")` with NO
+      // foreachBatch glue — the standard streaming writer API drives
+      // the engine's committed write path (GraftSink via the V1
+      // StreamSinkProvider seam). Two micro-batches
+      // (maxFilesPerTrigger=1, mtime-ordered files) land as
+      // exactly-once keyed upserts: the second batch's overlapping
+      // keys REPLACE the first's (last-write-wins by arrival), new
+      // keys insert — one live row per key, the graft invariant.
+      // GraftSinkSpec pins the replay-skip, Complete-mode replacement,
+      // and partitionBy-layout faces.
+      val root = graft.Tmp.dir("graft_gsink")
+      val src = root + "/src"; val out = root + "/t"
+      val ev = s.read.schema(Streaming.EventsRawSchema)
+        .parquet(s"$dir/events.parquet")
+        .filter(col("event_id") < 20000)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      ev.filter(col("event_id") % 3 =!= 0)
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100) // distinct mtimes => deterministic batch order
+      ev.filter(col("event_id") % 2 === 0)
+        .withColumn("cents", col("cents") + 1000L)
+        .coalesce(1).write.mode("append").parquet(src)
+      val q = s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("graft")
+        .option("keys", "event_id").option("buckets", "4")
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+      graft.merge.Scd1Merge.readTable(s, out).orderBy(col("event_id"))
+    }),
     "stream_dedup_watermarked" -> ((s, dir) => {
       // BOUNDED-STATE streaming dedup (dropDuplicatesWithinWatermark —
       // the scale fix for stream_dedup's grow-forever seen-key state):
@@ -738,6 +773,21 @@ object QueriesStream {
          |FROM orders
          |WHERE o_orderstatus IN ('O', 'F') AND o_orderkey % 7 <> 0
          |  AND o_orderkey < 10000
-         |ORDER BY o_orderkey""".stripMargin
+         |ORDER BY o_orderkey""".stripMargin,
+    "stream_graft_sink" ->
+      // last-write-wins by batch arrival: batch2 (event_id % 2 = 0,
+      // cents + 1000) overrides batch1 (event_id % 3 <> 0)
+      """WITH ev AS (
+         |  SELECT event_id, user_id, event_type,
+         |         CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_id < 20000),
+         |b1 AS (SELECT * FROM ev WHERE event_id % 3 <> 0),
+         |b2 AS (SELECT event_id, user_id, event_type, cents + 1000 AS cents
+         |       FROM ev WHERE event_id % 2 = 0)
+         |SELECT * FROM b2
+         |UNION ALL
+         |SELECT * FROM b1 WHERE NOT EXISTS (
+         |  SELECT 1 FROM b2 WHERE b2.event_id = b1.event_id)
+         |ORDER BY event_id""".stripMargin
   )
 }

@@ -1,16 +1,22 @@
 package graft.sources
 
-import graft.merge.Scd1Merge
+import graft.merge.{PartitionedTable, Scd1Merge}
 import graft.sql.GraftTables
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, TableScan}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, TableScan}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -45,9 +51,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * At 100 TB nothing changes vs the library path: pruning decisions
   * are manifest metadata on the driver; executors read only surviving
   * buckets' parquet. */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider with StreamSinkProvider {
   override def shortName(): String = "graft"
   override def supportsExternalMetadata(): Boolean = true
+
+  /** STREAMING SINK doorway: `df.writeStream.format("graft")
+    * .option("keys", ...).start(path)` — every micro-batch lands
+    * through the engine's committed write path (see [[GraftSink]]).
+    * `DataStreamWriter` routes tables without `STREAMING_WRITE`
+    * capability to this V1 `StreamSinkProvider` fallback — the same
+    * public seam the V1 file sinks use. `.partitionBy(col)` on the
+    * writer creates/targets the partitioned layout. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft: a table path is required — writeStream.format(\"graft\").start(<path>)"))
+    require(partitionColumns.size <= 1,
+      "graft sink: at most ONE partition column (the partitioned " +
+      s"layout is single-column); got ${partitionColumns.mkString(",")}")
+    new GraftSink(path, parameters, partitionColumns.headOption, outputMode)
+  }
 
   private def pathOf(m: java.util.Map[String, String]): String = {
     val p = m.get("path")
@@ -56,24 +80,179 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Scd1Merge.readTable(SparkSession.active, pathOf(options)).schema
+  /** The doorway `df.write.format("graft").mode(...).save(path)`
+    * ACTUALLY routes through: `DataFrameWriter` sends every
+    * `V1_BATCH_WRITE` table to the V1 save path
+    * (`SaveIntoDataSourceCommand`), which requires
+    * `CreatableRelationProvider` — the same dual-interface shape
+    * Spark's own JDBC source ships. Semantics are [[GraftDsv2.write]]:
+    * append = keyed upsert, overwrite = full atomic replacement — or
+    * DYNAMIC partition overwrite when the write carries
+    * `option("partitionOverwriteMode", "dynamic")` or the session
+    * sets `spark.sql.sources.partitionOverwriteMode=dynamic` (the
+    * file-source convention, honored here for partitioned tables). */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft: a table path is required — df.write.format(\"graft\").save(<path>)"))
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val spark = data.sparkSession
+    val dynamic = parameters.getOrElse("partitionOverwriteMode",
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static"))
+      .equalsIgnoreCase("dynamic")
+    mode match {
+      case SaveMode.Append =>
+        GraftDsv2.write(spark, path, data, opts, GraftDsv2.Append)
+      case SaveMode.Overwrite =>
+        GraftDsv2.write(spark, path, data, opts,
+          if (dynamic) GraftDsv2.DynamicOverwrite else GraftDsv2.Truncate)
+      case SaveMode.ErrorIfExists =>
+        if (GraftDsv2.exists(path)) throw new IllegalStateException(
+          s"graft write: a graft table already exists at $path " +
+          "(SaveMode.ErrorIfExists)")
+        GraftDsv2.write(spark, path, data, opts, GraftDsv2.Append)
+      case SaveMode.Ignore =>
+        if (!GraftDsv2.exists(path))
+          GraftDsv2.write(spark, path, data, opts, GraftDsv2.Append)
+    }
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = GraftDsv2.readOf(spark, path).schema
+    }
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = pathOf(options)
+    if (!GraftDsv2.exists(path) && options.containsKey("keys"))
+      // CREATE-pending write (`df.write.format("graft").option("keys",
+      // ...).mode("append").save(newPath)`): no manifest to infer from
+      // yet — the table advertises ACCEPT_ANY_SCHEMA and the first
+      // insert creates it with the batch's schema.
+      new StructType()
+    else GraftDsv2.readOf(SparkSession.active, path).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new GraftDsv2Table(pathOf(properties), schema)
+    new GraftDsv2Table(pathOf(properties), schema,
+      options = new CaseInsensitiveStringMap(properties))
 }
 
-/** A graft table as a DSv2 `Table`: batch-readable, schema from the
-  * live manifest (column mapping + drops already applied). */
-class GraftDsv2Table(path: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+/** A graft table as a DSv2 `Table`: batch-readable AND batch-writable,
+  * schema from the live manifest (column mapping + drops already
+  * applied).
+  *
+  * WRITE semantics (the write-twin of the `V1Scan` bridge — execution
+  * reuses the engine's committed write paths wholesale through
+  * `V1Write`/`InsertableRelation`, the same public fallback Spark's
+  * JDBC source uses):
+  *  - append → KEYED UPSERT on the manifest's merge keys (the graft
+  *    table invariant is one live row per key; Apache Hudi's
+  *    `mode("append")` documents the same upsert-by-default
+  *    semantics for keyed tables). Multiple batch rows per key stay
+  *    the loud multiple-match error.
+  *  - `mode("overwrite")` / `writeTo(...).truncateAndAppend` → FULL
+  *    atomic replacement (Delta parity: readers see old or new
+  *    content, never a gap) — flat tables via one applyCdc commit,
+  *    partitioned tables via one parent swap whose pin set is exactly
+  *    the batch's partitions.
+  *  - DYNAMIC partition overwrite (partitions present in the batch
+  *    replaced, others untouched) rides `mode("overwrite")` +
+  *    `option("partitionOverwriteMode", "dynamic")` (or the session
+  *    conf) — the file-source convention. `writeTo(...)
+  *    .overwritePartitions()` is declined at analysis (Spark has no
+  *    V1 fallback exec for dynamic overwrite, and a silent
+  *    truncate-downgrade would drop untouched partitions).
+  *  - a write to a path with NO manifest CREATES the table; the batch
+  *    must carry `option("keys", "k1,k2")` (+ optional `buckets`,
+  *    `partitionBy`) — creation without declared merge keys is a loud
+  *    error, never a guessed key. */
+class GraftDsv2Table(path: String, tableSchema: StructType,
+                     options: CaseInsensitiveStringMap =
+                       CaseInsensitiveStringMap.empty())
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = tableSchema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def capabilities(): java.util.Set[TableCapability] = {
+    // no OVERWRITE_DYNAMIC: Spark ships no V1 fallback exec for
+    // dynamic overwrite, so advertising it would fail at runtime
+    // instead of a loud analysis error; the path writer honors
+    // partitionOverwriteMode=dynamic instead
+    val caps = java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+    if (tableSchema.isEmpty)
+      // create-pending: schema comes from the first written batch
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(path, options, info)
+}
+
+/** A graft table as a Structured Streaming SINK — the write-side
+  * completion of the table-as-stream source (ChangeStream): a user
+  * streams INTO graft tables with the standard API, no foreachBatch
+  * glue.
+  *
+  * Semantics per output mode:
+  *  - Append / Update → KEYED UPSERT of the micro-batch (the graft
+  *    invariant; Update mode's changed-rows-only delivery is exactly
+  *    an upsert feed).
+  *  - Complete → full atomic replacement per trigger (the mode
+  *    re-delivers the whole result table).
+  *
+  * EXACTLY-ONCE: checkpoint replay after a crash re-delivers the same
+  * micro-batch (same offsets), and a keyed upsert / full replacement
+  *  of identical rows is naturally idempotent — replay converges to
+  * the same table state. Flat tables additionally stamp the manifest
+  * with `stream:<queryId>:<batchId>` and SKIP a batch whose stamp is
+  * already live (zero rewrite on replay; StreamingSinkSpec pins the
+  * skip). First batch CREATES the table from writer options/
+  * partitionBy, same rules as the batch writer. */
+class GraftSink(path: String, parameters: Map[String, String],
+                partitionBy: Option[String], outputMode: OutputMode)
+    extends Sink {
+  override def name(): String = s"graft.`$path`"
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val queryId = Option(
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId")).getOrElse("")
+    val stamp = s"stream:$queryId:$batchId"
+    if (Scd1Merge.tableBatchId(path).contains(stamp)) return // replayed batch
+    val batch = org.apache.spark.sql.GraftExpressionBridge.materializedBatch(data)
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(
+        parameters ++ partitionBy.map("partitionBy" -> _)).asJava)
+    val mode =
+      if (outputMode == OutputMode.Complete()) GraftDsv2.Truncate
+      else GraftDsv2.Append
+    GraftDsv2.write(spark, path, batch, opts, mode, batchId = stamp)
+  }
+}
+
+/** Write-mode capture: Spark signals truncate-overwrite /
+  * dynamic-partition-overwrite through builder mixins; the build
+  * result is a `V1Write` whose `InsertableRelation` routes to the
+  * engine (see [[GraftDsv2.write]]). */
+class GraftWriteBuilder(path: String, options: CaseInsensitiveStringMap,
+                        info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var mode: GraftDsv2.WriteMode = GraftDsv2.Append
+  override def truncate(): WriteBuilder = { mode = GraftDsv2.Truncate; this }
+  override def build(): Write = {
+    val m = mode
+    new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit =
+            GraftDsv2.write(data.sparkSession, path, data, options, m)
+        }
+    }
+  }
 }
 
 /** Pushdown surface: filters Spark offers are split into the
@@ -83,9 +262,10 @@ class GraftDsv2Table(path: String, tableSchema: StructType)
   * projection before the scan runs. */
 class GraftScanBuilder(path: String, fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var aggResult: Option[(StructType, Seq[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) =
@@ -96,7 +276,68 @@ class GraftScanBuilder(path: String, fullSchema: StructType)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftV1Scan(path, pushed, required)
+
+  /** AGGREGATE pushdown (the JDBC source's interface, answered from
+    * the MANIFEST): an unfiltered, ungrouped `COUNT(*)` / `MIN` /
+    * `MAX` plan resolves at plan time from per-bucket footer stats —
+    * zero data files at any scale. Pushdown is COMPLETE (the values
+    * are final, never partial), and strictly conservative: any
+    * filter, grouping, other function, deletion vector, string
+    * column, or stats gap declines the push and the normal scan
+    * runs. */
+  private def planAgg(agg: Aggregation): Option[(StructType, Seq[Any])] = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 =>
+          Some(f.fieldNames()(0))
+        case _ => None
+      }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count", ""))
+      case m: Min => fieldOf(m.column).map(("min", _))
+      case m: Max => fieldOf(m.column).map(("max", _))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return None
+    val sp = specs.flatten
+    GraftDsv2.statsAggOf(SparkSession.active, path, sp).map { vs =>
+      val fields = sp.map {
+        case ("count", _) =>
+          types.StructField("count(*)", types.LongType, nullable = false)
+        case (op, c) =>
+          val dt = fullSchema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+          types.StructField(s"$op($c)", dt, nullable = true)
+      }
+      (StructType(fields.toArray), vs)
+    }
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    aggResult = planAgg(agg)
+    aggResult.isDefined
+  }
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (aggResult.isEmpty) aggResult = planAgg(agg)
+    aggResult.isDefined
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) => new GraftAggScan(schema, values)
+    case None => new GraftV1Scan(path, pushed, required)
+  }
+}
+
+/** The metadata-answered aggregate as a one-row scan. */
+class GraftAggScan(aggSchema: StructType, values: Seq[Any]) extends V1Scan {
+  override def readSchema(): StructType = aggSchema
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = aggSchema
+      override def buildScan(): RDD[Row] =
+        context.sparkContext.parallelize(Seq(Row(values: _*)), 1)
+    }.asInstanceOf[T]
 }
 
 /** The scan: executes through the engine reader via the `V1Scan`
@@ -116,8 +357,8 @@ class GraftV1Scan(path: String, filters: Array[Filter],
         val spark = context.sparkSession
         val base = filters.flatMap(GraftDsv2.filterToColumn)
           .reduceOption(_ && _) match {
-          case Some(pred) => Scd1Merge.readTableWhere(spark, path, pred)
-          case None => Scd1Merge.readTable(spark, path)
+          case Some(pred) => GraftDsv2.readWhereOf(spark, path, pred)
+          case None => GraftDsv2.readOf(spark, path)
         }
         val projected =
           if (required.isEmpty) base.select() // count(*): zero columns
@@ -128,6 +369,106 @@ class GraftV1Scan(path: String, filters: Array[Filter],
 }
 
 private[sources] object GraftDsv2 {
+  /** Layout dispatch: flat bucketed table or partitioned parent —
+    * ONE format/catalog doorway serves both. A partitioned read with
+    * pushed filters prunes whole partitions by PATH before the
+    * children's stats/bloom pruning runs. */
+  def readOf(spark: SparkSession, path: String) =
+    if (PartitionedTable.tableExists(path)) PartitionedTable.readTable(spark, path)
+    else Scd1Merge.readTable(spark, path)
+  def readWhereOf(spark: SparkSession, path: String, pred: Column) =
+    if (PartitionedTable.tableExists(path)) PartitionedTable.readTableWhere(spark, path, pred)
+    else Scd1Merge.readTableWhere(spark, path, pred)
+  def exists(path: String): Boolean =
+    PartitionedTable.tableExists(path) || Scd1Merge.tableExists(path)
+  def statsAggOf(spark: SparkSession, path: String,
+                 specs: Seq[(String, String)]): Option[Seq[Any]] =
+    if (PartitionedTable.tableExists(path))
+      PartitionedTable.statsAggregate(spark, path, specs)
+    else Scd1Merge.statsAggregate(spark, path, specs)
+
+  sealed trait WriteMode
+  case object Append extends WriteMode            // keyed upsert
+  case object Truncate extends WriteMode          // full atomic replace
+  case object DynamicOverwrite extends WriteMode  // touched partitions only
+
+  /** DSv2 write routing. Creation on a manifest-less path requires
+    * `option("keys", ...)`; existing tables take their keys/layout
+    * from the manifest (write options can NOT change them — silently
+    * honoring a different key list would corrupt bucket routing, so
+    * conflicting options are rejected). */
+  def write(spark: SparkSession, path: String, data: DataFrame,
+            options: CaseInsensitiveStringMap, mode: WriteMode,
+            batchId: String = ""): Unit = {
+    def optKeys: Option[Seq[String]] = Option(options.get("keys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    if (!exists(path)) {
+      val keys = optKeys.getOrElse(throw new IllegalArgumentException(
+        s"graft write: $path has no graft table — creating one needs " +
+        "explicit merge keys: .option(\"keys\", \"k1,k2\") " +
+        "(+ optional .option(\"buckets\", n) / .option(\"partitionBy\", col))"))
+      val buckets = Option(options.get("buckets")).map(_.toInt).getOrElse(0)
+      Option(options.get("partitionBy")) match {
+        case Some(pc) =>
+          PartitionedTable.upsert(spark, path, data, keys, pc, buckets,
+            batchId = batchId)
+        case None => Scd1Merge.upsert(spark, path, data, keys, buckets,
+          batchId = batchId)
+      }
+    } else if (PartitionedTable.tableExists(path)) {
+      val keys = PartitionedTable.tableKeys(path).get
+      optKeys.foreach(k => require(
+        k.map(_.toLowerCase).toSet == keys.map(_.toLowerCase).toSet,
+        s"graft write: table keys are ${keys.mkString(",")}, " +
+        s"option gave ${k.mkString(",")}"))
+      val pcol = PartitionedTable.partitionColumn(path).get
+      val src = alignByName(spark, path, data)
+      mode match {
+        case Append => PartitionedTable.upsert(spark, path, src, keys, pcol,
+          batchId = batchId)
+        case Truncate => PartitionedTable.overwriteTable(spark, path, src)
+        case DynamicOverwrite =>
+          PartitionedTable.overwritePartitions(spark, path, src)
+      }
+    } else {
+      val keys = Scd1Merge.tableKeys(path).filter(_.nonEmpty).getOrElse(
+        throw new IllegalStateException(
+          s"graft write: $path has no manifest merge keys"))
+      optKeys.foreach(k => require(
+        k.map(_.toLowerCase).toSet == keys.map(_.toLowerCase).toSet,
+        s"graft write: table keys are ${keys.mkString(",")}, " +
+        s"option gave ${k.mkString(",")}"))
+      val src = alignByName(spark, path, data)
+      mode match {
+        case Append => Scd1Merge.upsert(spark, path, src, keys,
+          batchId = batchId)
+        case Truncate =>
+          // full atomic replacement: replacement rows upsert, vanished
+          // keys delete, ONE applyCdc commit (readers never see the
+          // emptied middle) — the INSERT OVERWRITE lowering
+          val opCol = "__graft_dsv2_op"
+          val target = Scd1Merge.readTable(spark, path)
+          val vanished = target
+            .join(src.select(keys.map(col): _*), keys, "left_anti")
+            .withColumn(opCol, lit("delete"))
+          Scd1Merge.applyCdc(spark, path,
+            src.withColumn(opCol, lit("upsert")).unionByName(vanished),
+            keys, opCol = opCol, batchId = batchId)
+        case DynamicOverwrite => throw new UnsupportedOperationException(
+          s"graft write: $path is not partitioned — overwritePartitions " +
+          "needs a PARTITIONED BY table; use truncate-overwrite")
+      }
+    }
+  }
+
+  /** Align the batch to the live table schema BY NAME — a missing
+    * column is a loud AnalysisException from the select, never a
+    * silent null-fill (catalog-routed INSERTs arrive pre-resolved to
+    * table column names, so this is a no-op there). */
+  private def alignByName(spark: SparkSession, path: String,
+                          data: DataFrame): DataFrame =
+    data.select(readOf(spark, path).columns.toIndexedSeq.map(col): _*)
+
   /** DSv2 `Filter` → engine predicate. None = unconvertible (stays a
     * residual filter Spark applies itself — pruning degrades
     * conservatively, correctness never depends on this map). */
@@ -172,7 +513,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def resolve(ident: Identifier): Option[String] =
     GraftTables.pathOf(Seq(ident.name()))
       .orElse(Some(ident.name()).filter(_.contains("/")))
-      .filter(Scd1Merge.tableExists)
+      .filter(GraftDsv2.exists)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
@@ -184,7 +525,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val path = resolve(ident).getOrElse(throw new NoSuchTableException(ident))
     new GraftDsv2Table(path,
-      Scd1Merge.readTable(SparkSession.active, path).schema)
+      GraftDsv2.readOf(SparkSession.active, path).schema)
   }
 
   override def tableExists(ident: Identifier): Boolean =

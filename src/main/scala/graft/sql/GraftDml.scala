@@ -157,8 +157,11 @@ object GraftDml {
         }
       case r: UnresolvedRelation
           if GraftTables.pathOf(r.multipartIdentifier).isDefined =>
-        GraftExpressionBridge.planOf(Scd1Merge.readTable(spark,
-          GraftTables.pathOf(r.multipartIdentifier).get))
+        val path = GraftTables.pathOf(r.multipartIdentifier).get
+        GraftExpressionBridge.planOf(
+          if (graft.merge.PartitionedTable.tableExists(path))
+            graft.merge.PartitionedTable.readTable(spark, path)
+          else Scd1Merge.readTable(spark, path))
     }
 
   private def timeTravelPlan(spark: SparkSession, path: String,
@@ -211,7 +214,10 @@ object GraftDml {
 
   private val CreateRe =
     ("""(?is)^\s*CREATE\s+GRAFT\s+TABLE\s+(\S+|graft\s*\.\s*`[^`]*`)""" +
-     """\s+KEYS\s*\(([^)]*)\)(?:\s+BUCKETS\s+(\d+))?\s+AS\s+(.+)$""").r
+     """\s+KEYS\s*\(([^)]*)\)(?:\s+BUCKETS\s+(\d+))?""" +
+     """(?:\s+PARTITIONED\s+BY\s*\(\s*([^)]+?)\s*\))?\s+AS\s+(.+)$""").r
+  private val ShowPartitionsRe =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+(\S+|graft\s*\.\s*`[^`]*`)\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(\S+|graft\s*\.\s*`[^`]*`)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$""".r
   private val OptimizeRe =
@@ -240,7 +246,7 @@ object GraftDml {
     * grammar has no slot for. */
   def maintenanceStatement(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case CreateRe(tok, keys, buckets, select) =>
+      case CreateRe(tok, keys, buckets, partCol, select) =>
         // CREATE addresses a table that does not exist yet, so the
         // path form is required (a registered name implies existence)
         // unless the name was pre-registered deliberately
@@ -248,8 +254,11 @@ object GraftDml {
           GraftCreateTableCommand(p,
             keys.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
               .filter(_.nonEmpty).toSeq,
-            Option(buckets).map(_.toInt).getOrElse(0), select)
+            Option(buckets).map(_.toInt).getOrElse(0), select,
+            Option(partCol).map(_.trim.stripPrefix("`").stripSuffix("`")))
         }
+      case ShowPartitionsRe(tok) =>
+        parseTableToken(tok).map(GraftShowPartitionsCommand)
       case VacuumRe(tok, hours) =>
         parseTableToken(tok).map(p =>
           GraftVacuumCommand(p, Option(hours).map(_.toDouble)))
@@ -442,6 +451,19 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
+    import graft.merge.PartitionedTable
+    if (PartitionedTable.tableExists(path)) {
+      // partitioned target: BY NAME insert = partition-routed upsert;
+      // OVERWRITE = dynamic partition overwrite (partitions present in
+      // the batch replaced wholesale, others untouched — Spark's
+      // partitionOverwriteMode=dynamic convention)
+      val pkeys = PartitionedTable.tableKeys(path).get
+      val pcol = PartitionedTable.partitionColumn(path).get
+      val src0 = GraftExpressionBridge.ofRows(spark, query)
+      if (!overwrite) PartitionedTable.upsert(spark, path, src0, pkeys, pcol)
+      else PartitionedTable.overwritePartitions(spark, path, src0)
+      return Nil
+    }
     val keys = GraftTables.keysOf(path)
     val target = Scd1Merge.readTable(spark, path)
     val src = GraftExpressionBridge.ofRows(spark, query)
@@ -465,17 +487,42 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
   * work in the AS query), and the result commits as a new bucketed
   * table keyed as declared. Fails loudly if the table exists. */
 case class GraftCreateTableCommand(path: String, keys: Seq[String],
-                                   numBuckets: Int, selectSql: String)
+                                   numBuckets: Int, selectSql: String,
+                                   partCol: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     require(keys.nonEmpty, "CREATE GRAFT TABLE needs at least one key")
-    if (Scd1Merge.tableExists(path))
+    if (Scd1Merge.tableExists(path) ||
+        graft.merge.PartitionedTable.tableExists(path))
       throw new IllegalStateException(
         s"CREATE GRAFT TABLE: $path already exists")
-    Scd1Merge.upsert(spark, path, GraftSql.sql(spark, selectSql), keys,
-      numBuckets)
+    partCol match {
+      case Some(pc) =>
+        // PARTITIONED BY: the two-level layout — partition dirs over
+        // bucketed children; the partition column must be a key
+        // (PartitionedTable enforces and explains)
+        graft.merge.PartitionedTable.upsert(spark, path,
+          GraftSql.sql(spark, selectSql), keys, pc, numBuckets)
+      case None =>
+        Scd1Merge.upsert(spark, path, GraftSql.sql(spark, selectSql), keys,
+          numBuckets)
+    }
     Nil
+  }
+}
+
+/** `SHOW PARTITIONS <graft table>` — the partition inventory (value,
+  * pinned child commit, live child commit). */
+case class GraftShowPartitionsCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("pinned_commit", IntegerType, nullable = false)(),
+    AttributeReference("live_commit", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = graft.merge.PartitionedTable.partitions(spark, path)
+    df.collect().map(r => Row(r.get(0).toString, r.getInt(1), r.getInt(2))).toSeq
   }
 }
 
@@ -485,6 +532,12 @@ case class GraftVacuumCommand(path: String, retainHours: Option[Double])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
+    if (graft.merge.PartitionedTable.tableExists(path)) {
+      // per-child vacuum + unreferenced-tree reclaim; the RETAIN
+      // window maps onto child version counts the same way
+      graft.merge.PartitionedTable.vacuum(path)
+      return Nil
+    }
     retainHours match {
       case Some(h) => Scd1Merge.vacuumRetainHours(path, h)
       case None => Scd1Merge.vacuum(path)
@@ -502,6 +555,12 @@ case class GraftOptimizeCommand(path: String, zorderCols: Seq[String])
   override val output: Seq[Attribute] =
     Seq(AttributeReference("num_buckets_rewritten", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    if (graft.merge.PartitionedTable.tableExists(path)) {
+      if (zorderCols.nonEmpty) throw new UnsupportedOperationException(
+        "graft OPTIMIZE ZORDER on a partitioned table: recluster the " +
+        "children via the Scala API (per-partition clustering specs)")
+      return Seq(Row(graft.merge.PartitionedTable.compact(spark, path).toLong))
+    }
     val n =
       if (zorderCols.isEmpty) Scd1Merge.compact(spark, path)
       else Scd1Merge.recluster(spark, path, zorderCols,
@@ -581,6 +640,10 @@ case class GraftDeleteCommand(path: String, condition: Column)
   override val output: Seq[Attribute] =
     Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    if (graft.merge.PartitionedTable.tableExists(path))
+      // partition pruning first, then each child's stats-pruned rewrite
+      return Seq(Row(
+        graft.merge.PartitionedTable.deleteWhere(spark, path, condition)))
     val keys = GraftTables.keysOf(path)
     Seq(Row(Scd1Merge.delete(spark, path, keys, condition)))
   }
@@ -594,6 +657,9 @@ case class GraftUpdateCommand(path: String, set: Seq[(String, Column)],
   override val output: Seq[Attribute] =
     Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    if (graft.merge.PartitionedTable.tableExists(path))
+      return Seq(Row(graft.merge.PartitionedTable.updateWhere(
+        spark, path, condition, set.toMap)))
     val keys = GraftTables.keysOf(path)
     Seq(Row(Scd1Merge.update(spark, path, keys, condition, set.toMap)))
   }
@@ -610,6 +676,24 @@ case class GraftMergeUpsertCommand(path: String, source: LogicalPlan,
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
+    import graft.merge.PartitionedTable
+    if (PartitionedTable.tableExists(path)) {
+      // partitioned target: the upsert form IS the partition-routed
+      // upsert (schema evolution not offered on the partitioned
+      // layout — evolve the children via the Scala API)
+      if (evolveSchema) throw new UnsupportedOperationException(
+        "graft MERGE WITH SCHEMA EVOLUTION is not offered on partitioned tables")
+      val keys = PartitionedTable.tableKeys(path).get
+      require(onKeys.map(_.toLowerCase).toSet == keys.map(_.toLowerCase).toSet,
+        s"graft MERGE: ON clause keys (${onKeys.mkString(",")}) must be exactly " +
+        s"the table's merge keys (${keys.mkString(",")})")
+      val target = PartitionedTable.readTable(spark, path)
+      val src = GraftExpressionBridge.ofRows(spark, source)
+        .select(target.columns.toIndexedSeq.map(col): _*)
+      PartitionedTable.upsert(spark, path, src, keys,
+        PartitionedTable.partitionColumn(path).get)
+      return Nil
+    }
     val keys = GraftTables.keysOf(path)
     require(onKeys.map(_.toLowerCase).toSet == keys.map(_.toLowerCase).toSet,
       s"graft MERGE: ON clause keys (${onKeys.mkString(",")}) must be exactly " +
@@ -656,6 +740,11 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
   override val output: Seq[Attribute] = Nil
 
   override def run(spark: SparkSession): Seq[Row] = {
+    if (graft.merge.PartitionedTable.tableExists(path))
+      throw new UnsupportedOperationException(
+        "graft MERGE with conditional/per-column/BY SOURCE clauses is not " +
+        "offered on partitioned tables yet — use the pure UPDATE SET * / " +
+        "INSERT * form, or the UPDATE/DELETE statements (partition-pruned)")
     val keys = GraftTables.keysOf(path)
     require(onKeys.map(_.toLowerCase).toSet == keys.map(_.toLowerCase).toSet,
       s"graft MERGE: ON clause keys (${onKeys.mkString(",")}) must be exactly " +

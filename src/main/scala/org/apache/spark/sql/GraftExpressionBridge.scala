@@ -44,4 +44,16 @@ object GraftExpressionBridge {
     * how graft table reads splice into parsed SQL plans. */
   def planOf(df: DataFrame): catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical
+
+  /** Materialize a streaming micro-batch frame as a standalone BATCH
+    * frame over the same physical rows (`internalCreateDataFrame` is
+    * private[sql]). The V1 `Sink.addBatch` contract hands a frame
+    * wired to the running incremental execution; joining it against
+    * the sink's own target table needs a plain batch plan — the same
+    * re-wrap Spark's built-in V1 sinks perform. */
+  def materializedBatch(df: DataFrame): DataFrame = {
+    val s = df.sparkSession.asInstanceOf[classic.SparkSession]
+    s.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd, df.schema)
+  }
 }

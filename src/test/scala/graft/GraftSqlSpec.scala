@@ -420,6 +420,64 @@ class GraftSqlSpec extends SparkSpecBase {
     } finally Scd1Merge.clockMillis = () => System.currentTimeMillis()
   }
 
+  test("partitioned SQL lifecycle: CREATE PARTITIONED BY, BY NAME insert, pruned UPDATE/DELETE, SHOW PARTITIONS, overwrite, MERGE upsert") {
+    import graft.merge.PartitionedTable
+    (0 until 40).map(i => (s"p${i % 4}", i.toLong, i.toLong * 10))
+      .toDF("part", "k", "cents").createOrReplaceTempView("psrc")
+    val t = graft.Tmp.dir("graft_sql_part") + "/t"
+    GraftSql.sql(spark,
+      s"""CREATE GRAFT TABLE graft.`$t` KEYS (part, k) BUCKETS 2
+         |PARTITIONED BY (part) AS SELECT * FROM psrc WHERE part <> 'p3'""".stripMargin)
+    assert(PartitionedTable.partitions(spark, t).count() == 3)
+    // BY NAME insert routes to partitions (incl. a brand-new one)
+    GraftSql.sql(spark,
+      s"INSERT INTO graft.`$t` BY NAME SELECT * FROM psrc WHERE part = 'p3'")
+    assert(GraftSql.sql(spark, s"SELECT count(*) AS n FROM graft.`$t`")
+      .as[Long].head() == 40L)
+    // UPDATE prunes to ONE partition by path
+    val nU = GraftSql.sql(spark,
+      s"UPDATE graft.`$t` SET cents = cents + 1 WHERE part = 'p1'")
+    assert(nU.as[Long].head() == 10L)
+    assert(PartitionedTable.lastPartitionPrune == (1, 4),
+      s"UPDATE must prune to 1/4 partitions, got ${PartitionedTable.lastPartitionPrune}")
+    // DELETE prunes too
+    val nD = GraftSql.sql(spark,
+      s"DELETE FROM graft.`$t` WHERE part = 'p0' AND k >= 20")
+    assert(nD.as[Long].head() == 5L)
+    assert(PartitionedTable.lastPartitionPrune == (1, 4))
+    // SHOW PARTITIONS lists the inventory
+    val shown = GraftSql.sql(spark, s"SHOW PARTITIONS graft.`$t`")
+    assert(shown.columns.toSeq == Seq("partition", "pinned_commit", "live_commit"))
+    assert(shown.count() == 4)
+    // MERGE upsert form routes per partition
+    Seq(("p2", 2L, 999L), ("p2", 100L, 1L)).toDF("part", "k", "cents")
+      .createOrReplaceTempView("pmerge")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$t` t USING pmerge s ON t.part = s.part AND t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(GraftSql.sql(spark,
+      s"SELECT cents FROM graft.`$t` WHERE part = 'p2' AND k = 2")
+      .as[Long].head() == 999L)
+    // dynamic INSERT OVERWRITE replaces only the partitions present
+    GraftSql.sql(spark,
+      s"INSERT OVERWRITE graft.`$t` SELECT 'p1' AS part, 7::LONG AS k, 0::LONG AS cents")
+    val after = PartitionedTable.readTable(spark, t)
+    assert(after.filter($"part" === "p1").count() == 1)
+    assert(after.filter($"part" === "p0").count() == 5) // untouched
+    // the general MERGE form is declined loudly on partitioned targets
+    val e = intercept[UnsupportedOperationException] {
+      GraftSql.sql(spark,
+        s"""MERGE INTO graft.`$t` t USING pmerge s ON t.part = s.part AND t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET cents = s.cents""".stripMargin)
+    }
+    assert(e.getMessage.contains("partitioned"))
+    // the partition column cannot be SET (it is a merge key)
+    intercept[Exception] {
+      GraftSql.sql(spark, s"UPDATE graft.`$t` SET part = 'x' WHERE k = 1")
+    }
+  }
+
   test("extension-built session: spark.sql() runs graft DML via injectParser") {
     val t = mkTable("ext")
     // building a SECOND session against the same SparkContext with the
