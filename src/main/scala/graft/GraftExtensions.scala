@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectParser((session, delegate) =>
       new graft.sql.GraftSqlParser(delegate, () => session))
+    // DSv2 graft dims under the broadcast threshold auto-broadcast
+    // (the V1ScanWrapper stats gap — see GraftAutoBroadcast)
+    ext.injectPreCBORule(_ => graft.plans.GraftAutoBroadcast)
   }
 }
 

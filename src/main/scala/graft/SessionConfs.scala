@@ -23,5 +23,12 @@ object SessionConfs {
     */
   def apply(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.csv.filterPushdown.enabled", "false")
+    // live-session twin of the extensions' injectPreCBORule: graft
+    // DSv2 dims under the broadcast threshold auto-broadcast (the
+    // V1ScanWrapper stats gap — GraftAutoBroadcast Scaladoc)
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.GraftAutoBroadcast))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.GraftAutoBroadcast
   }
 }

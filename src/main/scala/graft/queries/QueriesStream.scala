@@ -468,6 +468,48 @@ object QueriesStream {
         .select(col("o_orderkey"), col("o_custkey"), col("cents"), col("status"))
         .orderBy(col("o_orderkey"))
     }),
+    "stream_graft_source" -> ((s, dir) => {
+      // THE TABLE'S CHANGE FEED THROUGH THE STANDARD STREAMING API:
+      // `spark.readStream.format("graft")` (GraftSource — V1 Source
+      // over commit-counter offsets, batches = O(changed buckets)
+      // readChanges, engine-checkpointed). Trigger 1 delivers the
+      // initial snapshot tagged `insert`; an update commit lands; the
+      // SAME checkpoint's trigger 2 delivers exactly the
+      // update/update_preimage pairs. The judged frame is the FULL
+      // FEED — the oracle derives every tagged row from the orders
+      // table, so the _change_type semantics themselves are
+      // hash-checked. GraftSourceSpec pins paging, caught-up silence,
+      // and the source→sink standard-API mirror chain.
+      import graft.merge.Scd1Merge
+      import org.apache.spark.sql.streaming.Trigger
+      val root = graft.Tmp.dir("graft_gsrc")
+      val up = root + "/up"; val feedDir = root + "/feed"
+      val ckpt = root + "/ckpt"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 10000 && col("o_orderstatus") === "O")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // retention >= consumer lag in commits (the CDF+VACUUM contract)
+      Scd1Merge.upsert(s, up, orders, Seq("o_orderkey"), numBuckets = 4,
+        retainVersions = 4)
+      def drain(): Unit = {
+        val q = s.readStream.format("graft").load(up)
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(feedDir); () }
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      Scd1Merge.upsert(s, up,
+        orders.filter(pmod(col("o_orderkey"), lit(10)) === 1)
+          .withColumn("cents", col("cents") + 100L), Seq("o_orderkey"),
+        retainVersions = 4)
+      drain()
+      s.read.parquet(feedDir)
+        .orderBy(col("o_orderkey"), col("_change_type"))
+    }),
     "stream_graft_sink" -> ((s, dir) => {
       // THE TABLE AS A STREAMING SINK (write-side twin of
       // stream_table_source): `df.writeStream.format("graft")` with NO
@@ -774,6 +816,20 @@ object QueriesStream {
          |WHERE o_orderstatus IN ('O', 'F') AND o_orderkey % 7 <> 0
          |  AND o_orderkey < 10000
          |ORDER BY o_orderkey""".stripMargin,
+    "stream_graft_source" ->
+      // the full feed: every O row tagged insert (original cents) plus
+      // the %10==1 keys' update_preimage (original) and update (+100)
+      """WITH o AS (
+         |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderkey < 10000 AND o_orderstatus = 'O')
+         |SELECT o_orderkey, cents, 'insert' AS _change_type FROM o
+         |UNION ALL
+         |SELECT o_orderkey, cents, 'update_preimage' AS _change_type
+         |FROM o WHERE o_orderkey % 10 = 1
+         |UNION ALL
+         |SELECT o_orderkey, cents + 100 AS cents, 'update' AS _change_type
+         |FROM o WHERE o_orderkey % 10 = 1
+         |ORDER BY o_orderkey, _change_type""".stripMargin,
     "stream_graft_sink" ->
       // last-write-wins by batch arrival: batch2 (event_id % 2 = 0,
       // cents + 1000) overrides batch1 (event_id % 3 <> 0)

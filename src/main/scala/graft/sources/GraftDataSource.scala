@@ -9,12 +9,12 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics => V2Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, TableScan}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types
 import org.apache.spark.sql.types.StructType
@@ -52,9 +52,34 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * are manifest metadata on the driver; executors read only surviving
   * buckets' parquet. */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider with StreamSinkProvider {
+    with CreatableRelationProvider with StreamSinkProvider
+    with StreamSourceProvider {
   override def shortName(): String = "graft"
   override def supportsExternalMetadata(): Boolean = true
+
+  /** STREAMING SOURCE doorway: `spark.readStream.format("graft")
+    * .load(path)` → the table's change-data feed (see [[GraftSource]]
+    * — commit-counter offsets, O(changed buckets) batches).
+    * `DataStreamReader` routes tables without streaming-read
+    * capabilities to this V1 `StreamSourceProvider` fallback. */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graft", GraftSource.schemaOf(SparkSession.active,
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "graft: a table path is required — readStream.format(\"graft\").load(<path>)"))))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft: a table path is required — readStream.format(\"graft\").load(<path>)"))
+    require(!PartitionedTable.tableExists(path),
+      "graft stream read: partitioned tables are not streamable yet — " +
+      "stream the child tables, or use the flat layout for feed sources")
+    new GraftSource(SparkSession.active, path, metadataPath,
+      parameters.get("maxCommitsPerTrigger").map(_.trim.toInt))
+  }
 
   /** STREAMING SINK doorway: `df.writeStream.format("graft")
     * .option("keys", ...).start(path)` — every micro-batch lands
@@ -67,10 +92,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft: a table path is required — writeStream.format(\"graft\").start(<path>)"))
-    require(partitionColumns.size <= 1,
-      "graft sink: at most ONE partition column (the partitioned " +
-      s"layout is single-column); got ${partitionColumns.mkString(",")}")
-    new GraftSink(path, parameters, partitionColumns.headOption, outputMode)
+    new GraftSink(path, parameters,
+      Some(partitionColumns.mkString(",")).filter(_.nonEmpty), outputMode)
   }
 
   private def pathOf(m: java.util.Map[String, String]): String = {
@@ -130,7 +153,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       // yet — the table advertises ACCEPT_ANY_SCHEMA and the first
       // insert creates it with the batch's schema.
       new StructType()
-    else GraftDsv2.readOf(SparkSession.active, path).schema
+    else GraftDsv2.asOfRead(SparkSession.active, path, options)
+      // time travel resolves the SNAPSHOT's schema (column mapping
+      // history travels with the manifest)
+      .getOrElse(GraftDsv2.readOf(SparkSession.active, path)).schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -188,7 +214,7 @@ class GraftDsv2Table(path: String, tableSchema: StructType,
     caps
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, tableSchema)
+    new GraftScanBuilder(path, tableSchema, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, options, info)
 }
@@ -260,14 +286,20 @@ class GraftWriteBuilder(path: String, options: CaseInsensitiveStringMap,
   * bloom pruning AND apply row-level, so accepting them fully is
   * sound) and a residual Spark keeps. Column pruning narrows the
   * projection before the scan runs. */
-class GraftScanBuilder(path: String, fullSchema: StructType)
+class GraftScanBuilder(path: String, fullSchema: StructType,
+                       readOptions: CaseInsensitiveStringMap =
+                         CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var aggResult: Option[(StructType, Seq[Any])] = None
+  private val asOf = GraftDsv2.hasAsOf(readOptions)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // a time-traveled scan takes no pushdown: snapshot manifests are
+    // resolved by the engine's snapshot readers, filters stay residual
+    if (asOf) return filters
     val (ok, residual) =
       filters.partition(f => GraftDsv2.filterToColumn(f).isDefined)
     pushed = ok
@@ -286,7 +318,7 @@ class GraftScanBuilder(path: String, fullSchema: StructType)
     * column, or stats gap declines the push and the normal scan
     * runs. */
   private def planAgg(agg: Aggregation): Option[(StructType, Seq[Any])] = {
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    if (asOf || pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case f: NamedReference if f.fieldNames.length == 1 =>
@@ -323,7 +355,8 @@ class GraftScanBuilder(path: String, fullSchema: StructType)
 
   override def build(): Scan = aggResult match {
     case Some((schema, values)) => new GraftAggScan(schema, values)
-    case None => new GraftV1Scan(path, pushed, required)
+    case None => new GraftV1Scan(path, pushed, required,
+      asOfOptions = if (asOf) Some(readOptions) else None)
   }
 }
 
@@ -346,8 +379,28 @@ class GraftAggScan(aggSchema: StructType, values: Seq[Any]) extends V1Scan {
   * exact frame `readTableWhere` builds — pruned buckets, deletion
   * vectors, column mapping and all. */
 class GraftV1Scan(path: String, filters: Array[Filter],
-                  required: StructType) extends V1Scan {
+                  required: StructType,
+                  asOfOptions: Option[CaseInsensitiveStringMap] = None)
+    extends V1Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** Manifest-derived estimates (live scans only — snapshots report
+    * unknown): the honest numbers that let the CBO auto-broadcast a
+    * small dim. Not refined by pushed filters — an over-estimate can
+    * only withhold a broadcast, never produce a wrong plan. */
+  override def estimateStatistics(): V2Statistics =
+    new V2Statistics {
+      private val (rows, bytes) =
+        if (asOfOptions.isDefined) (None, None)
+        else GraftDsv2.estimateStats(SparkSession.active, path)
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytes.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
     new BaseRelation with TableScan {
@@ -355,10 +408,13 @@ class GraftV1Scan(path: String, filters: Array[Filter],
       override def schema: StructType = required
       override def buildScan(): RDD[Row] = {
         val spark = context.sparkSession
-        val base = filters.flatMap(GraftDsv2.filterToColumn)
-          .reduceOption(_ && _) match {
-          case Some(pred) => GraftDsv2.readWhereOf(spark, path, pred)
-          case None => GraftDsv2.readOf(spark, path)
+        val base = asOfOptions match {
+          case Some(opts) => GraftDsv2.asOfRead(spark, path, opts).get
+          case None => filters.flatMap(GraftDsv2.filterToColumn)
+            .reduceOption(_ && _) match {
+            case Some(pred) => GraftDsv2.readWhereOf(spark, path, pred)
+            case None => GraftDsv2.readOf(spark, path)
+          }
         }
         val projected =
           if (required.isEmpty) base.select() // count(*): zero columns
@@ -386,6 +442,66 @@ private[sources] object GraftDsv2 {
     if (PartitionedTable.tableExists(path))
       PartitionedTable.statsAggregate(spark, path, specs)
     else Scd1Merge.statsAggregate(spark, path, specs)
+
+  /** TIME TRAVEL through the reader options (Delta's spelling):
+    * `option("versionAsOf", <commit>)` — absolute commit number, the
+    * SQL `VERSION AS OF` coordinate — or `option("timestampAsOf",
+    * "<yyyy-MM-dd HH:mm:ss | epoch-millis>")`. None = no time-travel
+    * option present (live read). A time-traveled scan takes NO
+    * pushdown (filters stay residual, aggregates bail) — snapshot
+    * manifests are resolved by the engine's own readers. */
+  def asOfRead(spark: SparkSession, path: String,
+               options: CaseInsensitiveStringMap): Option[DataFrame] = {
+    val v = Option(options.get("versionAsOf"))
+    val t = Option(options.get("timestampAsOf"))
+    require(v.isEmpty || t.isEmpty,
+      "graft read: specify either versionAsOf or timestampAsOf, not both")
+    v.map { s =>
+      val target = s.trim.toLong
+      if (PartitionedTable.tableExists(path)) {
+        val live = PartitionedTable.tableCommit(path).get
+        require(target >= 1 && target <= live,
+          s"versionAsOf $target: $path is at commit $live")
+        PartitionedTable.readTableAt(spark, path, (live - target).toInt)
+      } else {
+        val live = Scd1Merge.tableCommit(path).getOrElse(
+          throw new IllegalStateException(s"$path has no graft manifest"))
+        require(target >= 1 && target <= live,
+          s"versionAsOf $target: $path is at commit $live")
+        Scd1Merge.readTableAt(spark, path, (live - target).toInt)
+      }
+    }.orElse(t.map { s =>
+      val millis = s.trim.toLongOption.getOrElse(
+        java.sql.Timestamp.valueOf(s.trim).getTime)
+      if (PartitionedTable.tableExists(path))
+        throw new UnsupportedOperationException(
+          "graft read: timestampAsOf on a partitioned table is not " +
+          "supported yet — use versionAsOf (parent commit numbers)")
+      Scd1Merge.readTableAtTime(spark, path, millis)
+    })
+  }
+
+  def hasAsOf(options: CaseInsensitiveStringMap): Boolean =
+    options.containsKey("versionAsOf") || options.containsKey("timestampAsOf")
+
+  /** Manifest-derived CBO estimates for [[GraftV1Scan]]'s
+    * `SupportsReportStatistics`: rows from the exact per-bucket
+    * footer counts when cleanly answerable (a deletion vector or
+    * pre-count buckets → unknown), bytes from a driver walk of the
+    * live data files. The size estimate is what lets Spark
+    * AUTO-broadcast a small graft dim under
+    * `spark.sql.autoBroadcastJoinThreshold` — without it a DSv2
+    * relation defaults to an effectively-infinite size and every
+    * join shuffles. */
+  def estimateStats(spark: SparkSession, path: String): (Option[Long], Option[Long]) = {
+    val rows = statsAggOf(spark, path, Seq(("count", "")))
+      .map(_.head.asInstanceOf[Long])
+    val bytes =
+      if (PartitionedTable.tableExists(path))
+        PartitionedTable.tableDataBytes(path)
+      else Scd1Merge.tableDataBytes(path)
+    (rows, bytes)
+  }
 
   sealed trait WriteMode
   case object Append extends WriteMode            // keyed upsert

@@ -56,4 +56,15 @@ object GraftExpressionBridge {
     s.internalCreateDataFrame(
       df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd, df.schema)
   }
+
+  /** Wrap a batch frame as a STREAMING one — the V1 `Source.getBatch`
+    * contract (the returned frame must report `isStreaming = true` or
+    * MicroBatchExecution rejects it). The RDD is lazy: rows compute
+    * when the micro-batch runs, not here. */
+  def streamingBatch(df: DataFrame): DataFrame = {
+    val s = df.sparkSession.asInstanceOf[classic.SparkSession]
+    s.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
 }

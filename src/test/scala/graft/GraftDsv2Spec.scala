@@ -281,6 +281,62 @@ class GraftDsv2Spec extends SparkSpecBase {
     assert((r.getLong(0), r.getLong(1)) == (30L, 29L))
   }
 
+  test("versionAsOf / timestampAsOf options time-travel the format read") {
+    val path = graft.Tmp.dir("graft_dsv2_asof") + "/t"
+    val v1 = (0 until 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Scd1Merge.upsert(spark, path, v1, Seq("k"), numBuckets = 2)
+    Thread.sleep(15)
+    val tBetween = System.currentTimeMillis()
+    Thread.sleep(15)
+    Scd1Merge.upsert(spark, path,
+      Seq((3L, "NEW"), (100L, "added")).toDF("k", "v"), Seq("k"))
+    // versionAsOf = absolute commit (the SQL VERSION AS OF coordinate)
+    assertSameRows(
+      spark.read.format("graft").option("versionAsOf", "1").load(path).orderBy("k"),
+      v1.orderBy("k"))
+    assertSameRows(
+      spark.read.format("graft").option("versionAsOf", "2").load(path).orderBy("k"),
+      Scd1Merge.readTable(spark, path).orderBy("k"))
+    // timestampAsOf resolves the youngest commit at or before the stamp
+    assertSameRows(
+      spark.read.format("graft")
+        .option("timestampAsOf", tBetween.toString).load(path).orderBy("k"),
+      v1.orderBy("k"))
+    intercept[Exception] {
+      spark.read.format("graft").option("versionAsOf", "1")
+        .option("timestampAsOf", "0").load(path).collect()
+    }
+    intercept[Exception] {
+      spark.read.format("graft").option("versionAsOf", "99").load(path).collect()
+    }
+  }
+
+  test("manifest stats reach the CBO: a small dim AUTO-broadcasts, no hint") {
+    val dim = mkTable("cbo", 30)
+    // the probe side is too big to broadcast itself (range stats =
+    // 8 bytes x 5M >> 10MB threshold), so a BroadcastHashJoin can only
+    // come from the DIM side's manifest-derived size estimate
+    val big = spark.range(0, 5000000).selectExpr("id % 30 as k", "id as payload")
+    val d = spark.read.format("graft").load(dim)
+    val j = big.join(d, "k")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected an auto-broadcast from reported stats:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+    assert(j.count() == 5000000)
+    // the estimate itself: exact rows, real bytes (the optimizer holds
+    // the V1ScanWrapper — unwrap to the engine scan)
+    val scan = j.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        (r.scan match {
+          case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper => w.v1Scan
+          case s => s
+        }).asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+    }.get.estimateStatistics()
+    assert(scan.numRows().getAsLong == 30L)
+    assert(scan.sizeInBytes().getAsLong > 0)
+  }
+
   test("aggregate pushdown covers date/timestamp/ntz/double extremes exactly") {
     val path = graft.Tmp.dir("graft_dsv2_aggty") + "/t"
     val df = (0 until 24).map { i =>
