@@ -75,12 +75,22 @@ object PartitionedTable {
 
   // ---------------- parent manifest ----------------
 
-  /** value → (relative child dir, pinned child commit); values are the
-    * canonical string rendering of the partition column. */
+  /** composite key → (relative child dir, pinned child commit); the
+    * key is the partition columns' canonical renderings, URL-encoded
+    * and "/"-joined ([[keyOf]]/[[valsOf]] — enc escapes "/", so the
+    * separator is unambiguous). Single-column tables are the
+    * one-element case; legacy single-`pcol` manifests parse into it
+    * transparently. */
   private final case class PManifest(commit: Int, ts: Long,
-                                     partCol: String, partType: DataType,
+                                     partCols: Seq[String],
+                                     partTypes: Seq[DataType],
                                      keys: Seq[String], numBuckets: Int,
                                      parts: Map[String, (String, Int)])
+
+  /** Composite partition key from per-column canonical renderings. */
+  private def keyOf(vals: Seq[String]): String = vals.map(enc).mkString("/")
+  private def valsOf(key: String): Seq[String] =
+    key.split("/", -1).toSeq.map(dec)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -110,14 +120,28 @@ object PartitionedTable {
       body.find(_.startsWith(k + "=")).map(_.stripPrefix(k + "="))
     val entries = body.filter(l => l.nonEmpty && !l.contains("=") || l.contains("\t"))
       .filter(_.contains("\t")).map { l =>
+        // the stored key text IS the composite key (enc-joined) —
+        // no dec here; legacy single-col entries (enc(v)) are the
+        // one-element composite for free
         val Array(v, d, c) = l.split("\t", 3)
-        dec(v) -> (dec(d), c.toInt)
+        v -> (dec(d), c.toInt)
       }
+    // new form: pcols=/ptypes= (comma-joined, enc'd); legacy single
+    // pcol=/ptype= parses into the one-element lists
+    val pcols = meta("pcols")
+      .map(_.split(",").iterator.filter(_.nonEmpty).map(dec).toSeq)
+      .orElse(meta("pcol").map(c => Seq(dec(c))))
+      .getOrElse(sys.error(s"no pcol(s) in $p"))
+    val ptypes = meta("ptypes")
+      .map(_.split(",").iterator.filter(_.nonEmpty).map(t =>
+        org.apache.spark.sql.types.DataType.fromDDL(dec(t))).toSeq)
+      .orElse(meta("ptype").map(t =>
+        Seq(org.apache.spark.sql.types.DataType.fromDDL(t))))
+      .getOrElse(Seq(StringType))
     PManifest(
       meta("pcommit").map(_.toInt).getOrElse(1),
       meta("ts").map(_.toLong).getOrElse(0L),
-      dec(meta("pcol").getOrElse(sys.error(s"no pcol in $p"))),
-      org.apache.spark.sql.types.DataType.fromDDL(meta("ptype").getOrElse("string")),
+      pcols, ptypes,
       meta("keys").map(_.split(",").iterator.filter(_.nonEmpty).map(dec).toSeq)
         .getOrElse(Nil),
       meta("nb").map(_.toInt).getOrElse(0),
@@ -135,11 +159,13 @@ object PartitionedTable {
     val next = readPManifest(tablePath).map(_.commit + 1).getOrElse(1)
     val now = Scd1Merge.clockMillis()
     val body0 = (Seq(
-      s"pcommit=$next", s"ts=$now", s"pcol=${enc(m.partCol)}",
-      s"ptype=${m.partType.sql}", s"keys=${m.keys.map(enc).mkString(",")}",
+      s"pcommit=$next", s"ts=$now",
+      s"pcols=${m.partCols.map(enc).mkString(",")}",
+      s"ptypes=${m.partTypes.map(t => enc(t.sql)).mkString(",")}",
+      s"keys=${m.keys.map(enc).mkString(",")}",
       s"nb=${m.numBuckets}") ++
       m.parts.toSeq.sortBy(_._1).map { case (v, (d, c)) =>
-        s"${enc(v)}\t${enc(d)}\t$c" }).mkString("\n")
+        s"$v\t${enc(d)}\t$c" }).mkString("\n")
     val body = body0 + "\nsum=" + sha256Hex(body0)
     val hist = Paths.get(tablePath, PHistoryDir)
     Files.createDirectories(hist)
@@ -211,7 +237,14 @@ object PartitionedTable {
     case other => other.toString
   }
 
-  private def partitionDirName(v: String): String = "p=" + enc(v)
+  /** Child dir for a composite partition: single-column keeps the
+    * legacy `p=<enc(v)>` name (existing tables read on); multi-column
+    * is the flat Hive-ish `<enc(c1)>=<enc(v1)>,<enc(c2)>=<enc(v2)>`
+    * (enc escapes "," and "=", so the separators are unambiguous). */
+  private def partitionDirName(m: PManifest, vals: Seq[String]): String =
+    if (m.partCols.size == 1) "p=" + enc(vals.head)
+    else m.partCols.zip(vals)
+      .map { case (c, v) => s"${enc(c)}=${enc(v)}" }.mkString(",")
 
   private def supportedPartType(dt: DataType): Boolean = dt match {
     case StringType | DateType => true
@@ -222,6 +255,18 @@ object PartitionedTable {
 
   /** Typed literal back from the canonical rendering. */
   private def typedLit(v: String, dt: DataType): Column = lit(v).cast(dt)
+
+  /** The composite-key equality predicate for one partition. */
+  private def partEq(m: PManifest, vals: Seq[String]): Column =
+    m.partCols.zip(m.partTypes).zip(vals).map { case ((c, t), v) =>
+      col(c) === typedLit(v, t) }.reduce(_ && _)
+
+  /** Distinct partition-value tuples of `source`, rendered — the
+    * touched-partition set (KB-sized: one row per partition). */
+  private def touchedKeys(source: DataFrame, m: PManifest): Seq[Seq[String]] =
+    source.select(m.partCols.map(col): _*).distinct().collect()
+      .map(r => m.partCols.indices.map(i => render(r.get(i))))
+      .toSeq.sortBy(keyOf)
 
   // ---------------- write path ----------------
 
@@ -235,41 +280,65 @@ object PartitionedTable {
              keys: Seq[String], partCol: String,
              numBuckets: Int = 0,
              statsColumns: Seq[String] = Nil,
-             batchId: String = ""): Unit = {
-    require(keys.exists(_.equalsIgnoreCase(partCol)),
-      s"partition column '$partCol' must be one of the merge keys " +
-      s"(${keys.mkString(",")}): partition routing is only a correct merge " +
-      "when a key cannot move between partitions")
-    val dt = source.schema.fields
-      .find(_.name.equalsIgnoreCase(partCol))
-      .map(_.dataType)
-      .getOrElse(throw new IllegalArgumentException(
-        s"partition column '$partCol' not in source schema"))
-    require(supportedPartType(dt),
-      s"partition column type ${dt.sql} is not supported (use string, " +
-      "integral, or date — types whose rendering round-trips exactly)")
+             batchId: String = ""): Unit =
+    upsertMulti(spark, tablePath, source, keys, splitCols(partCol),
+      numBuckets, statsColumns, batchId)
+
+  /** `"a,b"` — the writer-option / SQL `PARTITIONED BY (a, b)`
+    * spelling — into column names. */
+  private def splitCols(s: String): Seq[String] =
+    s.split(",").iterator.map(_.trim.stripPrefix("`").stripSuffix("`"))
+      .filter(_.nonEmpty).toSeq
+
+  /** Multi-column partition-routed upsert — one child per DISTINCT
+    * (c1, …, cn) tuple. EVERY partition column must be a merge key
+    * (same argument as single-column: a key's partition is part of
+    * its identity). */
+  def upsertMulti(spark: SparkSession, tablePath: String, source: DataFrame,
+                  keys: Seq[String], partCols: Seq[String],
+                  numBuckets: Int = 0,
+                  statsColumns: Seq[String] = Nil,
+                  batchId: String = ""): Unit = {
+    require(partCols.nonEmpty, "PARTITIONED BY needs at least one column")
+    partCols.foreach { pc =>
+      require(keys.exists(_.equalsIgnoreCase(pc)),
+        s"partition column '$pc' must be one of the merge keys " +
+        s"(${keys.mkString(",")}): partition routing is only a correct merge " +
+        "when a key cannot move between partitions")
+    }
+    val dts = partCols.map { pc =>
+      val dt = source.schema.fields.find(_.name.equalsIgnoreCase(pc))
+        .map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column '$pc' not in source schema"))
+      require(supportedPartType(dt),
+        s"partition column '$pc' type ${dt.sql} is not supported (use " +
+        "string, integral, or date — types whose rendering round-trips exactly)")
+      dt
+    }
     withPLock(tablePath) {
       val existing = readPManifest(tablePath)
       existing.foreach { m =>
-        require(m.partCol.equalsIgnoreCase(partCol),
-          s"table is partitioned by '${m.partCol}', got '$partCol'")
+        require(m.partCols.map(_.toLowerCase) == partCols.map(_.toLowerCase),
+          s"table is partitioned by (${m.partCols.mkString(",")}), " +
+          s"got (${partCols.mkString(",")})")
         require(m.keys.map(_.toLowerCase).toSet == keys.map(_.toLowerCase).toSet,
           s"table keys are ${m.keys.mkString(",")}, got ${keys.mkString(",")}")
       }
-      val touched = source.select(col(partCol)).distinct().collect()
-        .map(r => render(r.get(0))).sorted
       val nb = existing.map(_.numBuckets).filter(_ > 0)
         .orElse(Some(numBuckets)).get
-      val newPins = touched.map { v =>
-        val rel = partitionDirName(v)
+      val base = existing.getOrElse(
+        PManifest(0, 0L, partCols, dts, keys, nb, Map.empty))
+      val newPins = touchedKeys(source, base).map { vals =>
+        val key = keyOf(vals)
+        val rel = base.parts.get(key).map(_._1)
+          .getOrElse(partitionDirName(base, vals))
         val childPath = Paths.get(tablePath, rel).toString
-        val sub = source.filter(col(partCol) === typedLit(v, dt))
+        val sub = source.filter(partEq(base, vals))
         Scd1Merge.upsert(spark, childPath, sub, keys, nb,
           statsColumns = statsColumns, batchId = batchId)
-        v -> (rel, Scd1Merge.tableCommit(childPath).get)
+        key -> (rel, Scd1Merge.tableCommit(childPath).get)
       }.toMap
-      val base = existing.getOrElse(
-        PManifest(0, 0L, partCol, dt, keys, nb, Map.empty))
       commitPManifest(tablePath, base.copy(parts = base.parts ++ newPins))
     }
   }
@@ -283,27 +352,36 @@ object PartitionedTable {
                           source: DataFrame): Unit = {
     val m = requireTable(tablePath)
     withPLock(tablePath) {
-      val touched = source.select(col(m.partCol)).distinct().collect()
-        .map(r => render(r.get(0))).sorted
-      val opCol = "__graft_part_op"
-      val newPins = touched.map { v =>
-        val rel = partitionDirName(v)
-        val childPath = Paths.get(tablePath, rel).toString
-        val sub = source.filter(col(m.partCol) === typedLit(v, m.partType))
-        if (Scd1Merge.tableExists(childPath)) {
-          val target = Scd1Merge.readTable(spark, childPath)
-          val vanished = target
-            .join(sub.select(m.keys.map(col): _*), m.keys, "left_anti")
-            .withColumn(opCol, lit("delete"))
-          Scd1Merge.applyCdc(spark, childPath,
-            sub.withColumn(opCol, lit("upsert")).unionByName(vanished),
-            m.keys, opCol = opCol)
-        } else Scd1Merge.upsert(spark, childPath, sub, m.keys, m.numBuckets)
-        v -> (rel, Scd1Merge.tableCommit(childPath).get)
-      }.toMap
+      val newPins = replaceTouched(spark, tablePath, m, source)
       val live = readPManifest(tablePath).get
       commitPManifest(tablePath, live.copy(parts = live.parts ++ newPins))
     }
+  }
+
+  /** Replace every partition PRESENT in the batch wholesale (its
+    * existing keys absent from the batch delete in the same child
+    * commit) and return the new pins — the shared core of dynamic
+    * and full overwrite. */
+  private def replaceTouched(spark: SparkSession, tablePath: String,
+      m: PManifest, source: DataFrame): Map[String, (String, Int)] = {
+    val opCol = "__graft_part_op"
+    touchedKeys(source, m).map { vals =>
+      val key = keyOf(vals)
+      val rel = m.parts.get(key).map(_._1)
+        .getOrElse(partitionDirName(m, vals))
+      val childPath = Paths.get(tablePath, rel).toString
+      val sub = source.filter(partEq(m, vals))
+      if (Scd1Merge.tableExists(childPath)) {
+        val target = Scd1Merge.readTable(spark, childPath)
+        val vanished = target
+          .join(sub.select(m.keys.map(col): _*), m.keys, "left_anti")
+          .withColumn(opCol, lit("delete"))
+        Scd1Merge.applyCdc(spark, childPath,
+          sub.withColumn(opCol, lit("upsert")).unionByName(vanished),
+          m.keys, opCol = opCol)
+      } else Scd1Merge.upsert(spark, childPath, sub, m.keys, m.numBuckets)
+      key -> (rel, Scd1Merge.tableCommit(childPath).get)
+    }.toMap
   }
 
   /** FULL atomic replacement (DSv2 truncate-overwrite / Delta
@@ -317,24 +395,7 @@ object PartitionedTable {
                      source: DataFrame): Unit = {
     val m = requireTable(tablePath)
     withPLock(tablePath) {
-      val touched = source.select(col(m.partCol)).distinct().collect()
-        .map(r => render(r.get(0))).sorted
-      val opCol = "__graft_part_op"
-      val newPins = touched.map { v =>
-        val rel = partitionDirName(v)
-        val childPath = Paths.get(tablePath, rel).toString
-        val sub = source.filter(col(m.partCol) === typedLit(v, m.partType))
-        if (Scd1Merge.tableExists(childPath)) {
-          val target = Scd1Merge.readTable(spark, childPath)
-          val vanished = target
-            .join(sub.select(m.keys.map(col): _*), m.keys, "left_anti")
-            .withColumn(opCol, lit("delete"))
-          Scd1Merge.applyCdc(spark, childPath,
-            sub.withColumn(opCol, lit("upsert")).unionByName(vanished),
-            m.keys, opCol = opCol)
-        } else Scd1Merge.upsert(spark, childPath, sub, m.keys, m.numBuckets)
-        v -> (rel, Scd1Merge.tableCommit(childPath).get)
-      }.toMap
+      val newPins = replaceTouched(spark, tablePath, m, source)
       val live = readPManifest(tablePath).get
       commitPManifest(tablePath, live.copy(parts = newPins))
     }
@@ -383,7 +444,8 @@ object PartitionedTable {
     if (parts.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField(m.partCol, m.partType))))
+        StructType(m.partCols.zip(m.partTypes)
+          .map { case (c, t) => StructField(c, t) }))
     parts.map { case (_, (rel, pin)) => childRead(spark, tablePath, rel, pin) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -424,14 +486,21 @@ object PartitionedTable {
       case And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
+    val pset = m.partCols.map(_.toLowerCase).toSet
     val conjs = Scd1Merge.resolvedPredicate(probe, predicate).toSeq
       .flatMap(split)
       .filter(c => c.references.nonEmpty &&
-        c.references.map(_.name.toLowerCase).toSet == Set(m.partCol.toLowerCase))
+        c.references.map(_.name.toLowerCase).toSet.subsetOf(pset))
     if (conjs.isEmpty) return values
     import spark.implicits._
-    val frame = values.toDF("__pv")
-      .select(col("__pv"), col("__pv").cast(m.partType).as(m.partCol))
+    // one row per partition carrying every partition column TYPED —
+    // conjuncts over any subset of the partition columns evaluate
+    // with Spark's own semantics (keys decode driver-side: KB-sized)
+    val frame0 = values.map(k => (k, valsOf(k))).toDF("__pv", "__vals")
+    val frame = m.partCols.zip(m.partTypes).zipWithIndex
+      .foldLeft(frame0) { case (df, ((c, t), i)) =>
+        df.withColumn(c, element_at(col("__vals"), i + 1).cast(t))
+      }.drop("__vals")
     val kept = conjs.foldLeft(frame) { (df, c) =>
       // the resolved conjunct's attributes carry the probe frame's
       // exprIds — rebind by NAME against the value frame
@@ -441,6 +510,7 @@ object PartitionedTable {
     }
     kept.select(col("__pv")).as[String].collect().toSeq
   }
+
 
   /** Filtered read with PARTITION PRUNING: whole child trees the
     * partition-column conjuncts rule out are discarded by PATH — no
@@ -486,7 +556,9 @@ object PartitionedTable {
   def readTablePartitions(spark: SparkSession, tablePath: String,
                           partValues: DataFrame): DataFrame = {
     val m = requireTable(tablePath)
-    val wanted = partValues.distinct().collect().map(r => render(r.get(0))).toSet
+    // one column per partition column, same order as PARTITIONED BY
+    val wanted = partValues.distinct().collect()
+      .map(r => keyOf((0 until r.length).map(i => render(r.get(i))))).toSet
     val keep = m.parts.filter(p => wanted(p._1))
     lastPartitionPrune = (keep.size, m.parts.size)
     if (keep.isEmpty) return (m.parts.toSeq.sortBy(_._1).headOption match {
@@ -503,10 +575,16 @@ object PartitionedTable {
   def partitions(spark: SparkSession, tablePath: String): DataFrame = {
     import spark.implicits._
     val m = requireTable(tablePath)
-    m.parts.toSeq.sortBy(_._1).map { case (v, (rel, pin)) =>
-      (v, pin,
+    val rows = m.parts.toSeq.sortBy(_._1).map { case (k, (rel, pin)) =>
+      (valsOf(k), pin,
         Scd1Merge.tableCommit(Paths.get(tablePath, rel).toString).getOrElse(0))
-    }.toDF(m.partCol + "_value", "pinned_commit", "live_commit")
+    }
+    val base = rows.toDF("__vals", "pinned_commit", "live_commit")
+    m.partCols.zipWithIndex.foldLeft(base) { case (df, (c, i)) =>
+      df.withColumn(c + "_value", element_at(col("__vals"), i + 1))
+    }.drop("__vals")
+      .select((m.partCols.map(c => col(c + "_value")) ++
+        Seq(col("pinned_commit"), col("live_commit"))): _*)
   }
 
   // ---------------- maintenance ----------------
@@ -548,7 +626,9 @@ object PartitionedTable {
             .flatMap(p => parse(p).parts.values.map(_._1)).toSet)
       Files.list(Paths.get(tablePath)).iterator().asScala.toSeq.foreach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith("p=") && !referenced.contains(n)) {
+        // partition dirs: legacy "p=<v>" or multi-col "<c>=<v>,..." —
+        // anything with "=" that is not an internal "_graft_*" file
+        if (n.contains("=") && !n.startsWith("_") && !referenced.contains(n)) {
           def rm(x: Path): Unit = {
             if (Files.isDirectory(x))
               Files.list(x).iterator().asScala.toSeq.foreach(rm)
@@ -564,7 +644,18 @@ object PartitionedTable {
   def tableKeys(tablePath: String): Option[Seq[String]] =
     readPManifest(tablePath).map(_.keys)
   def partitionColumn(tablePath: String): Option[String] =
-    readPManifest(tablePath).map(_.partCol)
+    readPManifest(tablePath).map(_.partCols.mkString(","))
+  def partitionColumns(tablePath: String): Option[Seq[String]] =
+    readPManifest(tablePath).map(_.partCols)
+  def tableCommit(tablePath: String): Option[Int] =
+    readPManifest(tablePath).map(_.commit)
+  /** Live data bytes across pinned children — the partitioned twin of
+    * [[Scd1Merge.tableDataBytes]] (CBO size estimate fuel). */
+  private[graft] def tableDataBytes(tablePath: String): Option[Long] =
+    readPManifest(tablePath).map(_.parts.values.map { case (rel, _) =>
+      Scd1Merge.tableDataBytes(
+        Paths.get(tablePath, rel).toString).getOrElse(0L)
+    }.sum)
 
   /** Metadata-only aggregates over the partitioned layout: every
     * pinned child must answer ([[Scd1Merge.statsAggregate]]'s bail

@@ -219,7 +219,15 @@ object Scd1Merge {
                                     // the mixed files against this map
                                     // (mergedRead); absent = plain
                                     // parquet mergeSchema.
-                                    widened: Map[String, String] = Map.empty)
+                                    widened: Map[String, String] = Map.empty,
+                                    // CHECK CONSTRAINTS: name → SQL
+                                    // boolean expression over LOGICAL
+                                    // columns; every write validates
+                                    // incoming/post-image rows (SQL
+                                    // CHECK semantics: NULL passes,
+                                    // FALSE rejects the whole commit).
+                                    // See addConstraint.
+                                    constraints: Map[String, String] = Map.empty)
 
   /** Injectable wall clock (commit timestamps, age-based vacuum
     * cutoffs) — specs pin time-travel/retention boundaries without
@@ -331,6 +339,10 @@ object Scd1Merge {
       .map(_.stripPrefix("widened=").split(",").iterator.filter(_.nonEmpty).map { e =>
         val Array(c, t) = e.split(":", 2); dec(c) -> dec(t)
       }.toMap).getOrElse(Map.empty[String, String])
+    val constraints = meta.find(_.startsWith("constraints="))
+      .map(_.stripPrefix("constraints=").split(",").iterator.filter(_.nonEmpty).map { e =>
+        val Array(n, x) = e.split(":", 2); dec(n) -> dec(x)
+      }.toMap).getOrElse(Map.empty[String, String])
     val parsed = entries.map { l =>
       val fields = l.split("\t", 3)
       val b = fields(0).toInt
@@ -339,7 +351,7 @@ object Scd1Merge {
     Manifest(nb, parsed.map(e => e._1 -> e._2).toMap, commit,
       parsed.filter(_._3.nonEmpty).map(e => e._1 -> e._3).toMap, keys, batch,
       clusterCols, clusterZBits, clustered, dv, colmap, dropped, ts,
-      touched, touchedLine.isDefined, metaChange, widened)
+      touched, touchedLine.isDefined, metaChange, widened, constraints)
   }
 
   /** THE commit point: write-to-tmp + fsync + atomic rename over the
@@ -375,7 +387,7 @@ object Scd1Merge {
       p.dv != m.dv || p.colmap != m.colmap || p.dropped != m.dropped ||
       p.keys.map(_.toLowerCase) != m.keys.map(_.toLowerCase) ||
       p.numBuckets != m.numBuckets || p.clusterCols != m.clusterCols ||
-      p.widened != m.widened)
+      p.widened != m.widened || p.constraints != m.constraints)
     val metaLines = Seq(s"nb=${m.numBuckets}", s"commit=$next", s"ts=$now",
       s"touched=${touched.toSeq.sorted.mkString(",")}") ++
       (if (metaChange) Seq("metachange=1") else Nil) ++
@@ -400,6 +412,10 @@ object Scd1Merge {
       (if (m.widened.nonEmpty)
         Seq(s"widened=${m.widened.toSeq.sortBy(_._1)
           .map { case (c, t) => s"${enc(c)}:${enc(t)}" }.mkString(",")}")
+       else Nil) ++
+      (if (m.constraints.nonEmpty)
+        Seq(s"constraints=${m.constraints.toSeq.sortBy(_._1)
+          .map { case (n, x) => s"${enc(n)}:${enc(x)}" }.mkString(",")}")
        else Nil)
     val body0 = (metaLines ++
       m.dirs.toSeq.sortBy(_._1).map { case (b, d) =>
@@ -1738,6 +1754,24 @@ object Scd1Merge {
     * safe; beyond it the snapshot's manifest has been swept and this
     * throws loudly (never a silent partial read: the manifest goes
     * before its files do). `commitsBack = 0` is the live table. */
+  /** Total bytes of the LIVE buckets' data files — a driver-side
+    * metadata walk (O(files), no Spark job), the size half of the
+    * DSv2 scan's `SupportsReportStatistics` answer. Feeding Spark's
+    * CBO the real table size is what makes a small graft dim
+    * AUTO-broadcast under the join threshold at any scale — without
+    * it DSv2 relations default to an effectively-infinite estimate
+    * and every join plans as a shuffle. */
+  private[graft] def tableDataBytes(tablePath: String): Option[Long] =
+    readManifest(tablePath).map { m =>
+      m.dirs.values.map { d =>
+        val p = Paths.get(tablePath, d)
+        if (!Files.exists(p)) 0L
+        else Files.list(p).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size(_)).sum
+      }.sum
+    }
+
   def readTableAt(spark: SparkSession, tablePath: String, commitsBack: Int): DataFrame = {
     require(commitsBack >= 0, s"commitsBack must be >= 0, got $commitsBack")
     if (commitsBack == 0) readTable(spark, tablePath)
@@ -2131,6 +2165,7 @@ object Scd1Merge {
     val m0 = readManifest(tablePath).getOrElse(throw new IllegalStateException(
       s"upsertConcurrent: $tablePath has no manifest — create/migrate the " +
       "table with upsert first (initial commits are table-wide by nature)"))
+    enforceConstraints(spark, tablePath, m0, source0, "upsertConcurrent")
     // same reserved-name guards as the pessimistic path
     source0.columns.foreach { c =>
       m0.colmap.foreach { case (p, l) =>
@@ -2315,6 +2350,10 @@ object Scd1Merge {
     }
     withLock(tablePath) { leaseId =>
       val manifest = readManifest(tablePath).get
+      // CHECK constraints see the rows ENTERING the table: the
+      // upsert-tagged legs (deletes remove rows — nothing to check)
+      enforceConstraints(spark, tablePath, manifest,
+        source.filter(col(opCol) =!= "delete").drop(opCol), "applyCdc")
       val nb = manifest.numBuckets
       // logical → physical at the boundary (no-ops without a colmap)
       val pkeys = keys.map(physicalOf(manifest, _))
@@ -2458,6 +2497,7 @@ object Scd1Merge {
       keys0: Seq[String], numBuckets: Int, evolveSchema: Boolean, retainVersions: Int,
       statsColumns: Seq[String], manifest: Manifest, leaseId: String,
       batchId: String = ""): Unit = {
+    enforceConstraints(spark, tablePath, manifest, source0, "upsert")
     // A source column literally named after a colmap PHYSICAL key (the
     // API boundary is logical; physical names are reserved by renames)
     // would collide when physicalize renames the logical column onto
@@ -2805,6 +2845,90 @@ object Scd1Merge {
     * snapshot carries its own map). A full rewrite ([[rebucket]])
     * MATERIALIZES the mapping: files get the logical names and the map
     * clears. `oldName` is the current LOGICAL name. */
+  /** Validate `rows` (the caller's LOGICAL view) against the table's
+    * CHECK constraints — SQL CHECK semantics: a row passes when the
+    * expression is TRUE or NULL; one FALSE row rejects the WHOLE
+    * commit, loudly, with the constraint name and up to 3 offending
+    * rows. Cost: ONE aggregation job over the incoming batch
+    * validates every constraint together (reads never pay, and the
+    * batch is delta-sized — at 100 TB the scan that must not happen
+    * is the table, not the batch). */
+  private def enforceConstraints(spark: SparkSession, tablePath: String,
+      manifest: Manifest, rows: DataFrame, op: String): Unit = {
+    if (manifest.constraints.isEmpty) return
+    val cs = manifest.constraints.toSeq.sortBy(_._1)
+    def violated(x: String): Column = !coalesce(expr(x), lit(true))
+    val counts = rows.agg(
+      count(when(violated(cs.head._2), 1)).as("c0"),
+      cs.tail.zipWithIndex.map { case ((_, x), i) =>
+        count(when(violated(x), 1)).as(s"c${i + 1}") }: _*).collect().head
+    cs.zipWithIndex.foreach { case ((n, x), i) =>
+      val c = counts.getLong(i)
+      if (c > 0) {
+        val sample = rows.filter(violated(x)).limit(3).collect().mkString("; ")
+        throw new IllegalStateException(
+          s"$op: CHECK constraint '$n' ($x) violated by $c row(s) at " +
+          s"$tablePath — e.g. $sample")
+      }
+    }
+  }
+
+  /** ADD a CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT`
+    * parity): the expression — any deterministic SQL boolean over
+    * LOGICAL column names; NOT NULL is spelled `col IS NOT NULL` —
+    * must hold on ALL existing rows first (one table scan, the price
+    * Delta documents for the same statement), then the constraint
+    * commits into the manifest as a metadata swap. Every subsequent
+    * write validates its delta-sized batch; a violation rejects the
+    * whole commit before anything lands. Concurrent writers staged
+    * against the pre-constraint manifest conflict via the commit's
+    * `metaChange` footprint — no unvalidated row can slip in beside
+    * the ADD. */
+  def addConstraint(spark: SparkSession, tablePath: String,
+                    name: String, exprSql: String,
+                    retainVersions: Int = DefaultRetainVersions): Unit = {
+    require(name.nonEmpty && !name.exists(c => c == ',' || c == ':'),
+      s"addConstraint: name '$name' must be non-empty, without ',' or ':'")
+    if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
+      s"addConstraint: $tablePath has no manifest (not a committed bucketed table)")
+    withLock(tablePath) { leaseId =>
+      val manifest = readManifest(tablePath).get
+      require(!manifest.constraints.keys.exists(_.equalsIgnoreCase(name)),
+        s"addConstraint: constraint '$name' already exists on $tablePath")
+      enforceConstraints(spark, tablePath,
+        manifest.copy(constraints = Map(name -> exprSql)),
+        readTable(spark, tablePath), "addConstraint(existing rows)")
+      refreshLease(tablePath, leaseId)
+      val committed = commitManifest(tablePath,
+        manifest.copy(constraints = manifest.constraints + (name -> exprSql)))
+      sweepVersions(tablePath, committed, retainVersions)
+    }
+  }
+
+  /** DROP a CHECK constraint — a pure metadata swap. Loud when the
+    * name is unknown (a silently-ignored drop would leave the caller
+    * believing enforcement stopped). */
+  def dropConstraint(spark: SparkSession, tablePath: String, name: String,
+                     retainVersions: Int = DefaultRetainVersions): Unit = {
+    if (readManifest(tablePath).isEmpty) throw new IllegalStateException(
+      s"dropConstraint: $tablePath has no manifest (not a committed bucketed table)")
+    withLock(tablePath) { leaseId =>
+      val manifest = readManifest(tablePath).get
+      val key = manifest.constraints.keys.find(_.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"dropConstraint: no constraint '$name' on $tablePath " +
+          s"(have: ${manifest.constraints.keys.toSeq.sorted.mkString(",") })"))
+      refreshLease(tablePath, leaseId)
+      val committed = commitManifest(tablePath,
+        manifest.copy(constraints = manifest.constraints - key))
+      sweepVersions(tablePath, committed, retainVersions)
+    }
+  }
+
+  /** Live constraints: name → SQL expression. */
+  def tableConstraints(tablePath: String): Map[String, String] =
+    readManifest(tablePath).map(_.constraints).getOrElse(Map.empty)
+
   def renameColumn(spark: SparkSession, tablePath: String,
                    oldName: String, newName: String,
                    retainVersions: Int = DefaultRetainVersions): Unit = {
@@ -3062,11 +3186,63 @@ object Scd1Merge {
     require(clash.isEmpty,
       s"update cannot SET merge key(s) ${clash.mkString(",")} — " +
       "a key change is a delete + insert (use upsert)")
+    val aset = alignSetTypes(spark, tablePath, set, "update")
+    enforceUpdatePostImage(spark, tablePath, predicate, aset, "update")
     rewriteWhere(spark, tablePath, keys, predicate, retainVersions, "update",
-      (live, pred) => set.foldLeft(live) { case (df, (c, v)) =>
+      (live, pred) => aset.foldLeft(live) { case (df, (c, v)) =>
         df.withColumn(c, when(coalesce(pred, lit(false)), v).otherwise(col(c)))
       })
   }
+
+  /** SET type alignment: an UPDATE whose SET expression silently
+    * changes a column's TYPE would write mixed-typed files into
+    * rewritten buckets that the reader then cannot merge with
+    * untouched ones (CANNOT_MERGE_SCHEMAS — a corrupted-table face,
+    * found the hard way). SQL store-assignment semantics apply
+    * instead: a value whose type UP-casts losslessly to the column's
+    * type (int literal into a bigint column — `Cast.canUpCast`) is
+    * cast implicitly; anything lossy (long→int, double→long,
+    * string→numeric) is rejected loudly BEFORE any rewrite — an
+    * explicit cast or a widening upsert is the supported spelling.
+    * Schema-only (`limit(0)` + analysis) — no Spark job. */
+  private def alignSetTypes(spark: SparkSession, tablePath: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      op: String): Map[String, org.apache.spark.sql.Column] = {
+    val live = readTable(spark, tablePath)
+    val post = set.foldLeft(live.limit(0)) { case (df, (c, v)) =>
+      df.withColumn(c, v) }
+    set.map { case (c, v) =>
+      val from = post.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+      val to = live.schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+      (from, to) match {
+        case (Some(f), Some(t)) if f == t => c -> v
+        case (Some(f), Some(t))
+            if org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f, t) =>
+          c -> v.cast(t) // store assignment: widen the VALUE to the column
+        case (Some(f), Some(t)) => throw new IllegalArgumentException(
+          s"$op: SET changes column '$c' from ${t.sql} to ${f.sql} — cast " +
+          s"the expression back to ${t.sql}, or widen the column via an " +
+          "upsert (int→long / float→double)")
+        case _ => c -> v // new/unmatched column: downstream resolution is loud
+      }
+    }
+  }
+
+  /** UPDATE-family constraint pre-check: the POST-image of the
+    * matched rows must satisfy the table's CHECK constraints BEFORE
+    * any bucket rewrites (one pruned read of the matched rows —
+    * delta-sized for selective predicates; nothing at all without
+    * constraints). */
+  private def enforceUpdatePostImage(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column], op: String): Unit =
+    readManifest(tablePath).filter(_.constraints.nonEmpty).foreach { m =>
+      val matched = readTableWhere(spark, tablePath, predicate)
+        .filter(coalesce(predicate, lit(false)))
+      val post = set.foldLeft(matched) { case (df, (c, v)) =>
+        df.withColumn(c, v) }
+      enforceConstraints(spark, tablePath, m, post, op)
+    }
 
   /** OPTIMISTIC [[delete]] — the footprint-rebase protocol extended
     * from [[upsertConcurrent]] to predicate rewrites: probe + rewrite
@@ -3098,9 +3274,11 @@ object Scd1Merge {
     require(clash.isEmpty,
       s"update cannot SET merge key(s) ${clash.mkString(",")} — " +
       "a key change is a delete + insert (use upsert)")
+    val aset = alignSetTypes(spark, tablePath, set, "updateConcurrent")
+    enforceUpdatePostImage(spark, tablePath, predicate, aset, "updateConcurrent")
     rewriteWhereOptimistic(spark, tablePath, keys, predicate, retainVersions,
       "updateConcurrent", lockWaitMillis,
-      (live, pred) => set.foldLeft(live) { case (df, (c, v)) =>
+      (live, pred) => aset.foldLeft(live) { case (df, (c, v)) =>
         df.withColumn(c, when(coalesce(pred, lit(false)), v).otherwise(col(c)))
       })
   }
@@ -3121,6 +3299,8 @@ object Scd1Merge {
     val m0 = readManifest(tablePath).getOrElse(throw new IllegalStateException(
       s"applyCdcConcurrent: $tablePath has no manifest — create the table " +
       "with upsert first"))
+    enforceConstraints(spark, tablePath, m0,
+      source.filter(col(opCol) =!= "delete").drop(opCol), "applyCdcConcurrent")
     val nb = m0.numBuckets
     val pkeys = keys0.map(physicalOf(m0, _))
     val psource = physicalize(source, m0)

@@ -1183,6 +1183,42 @@ object QueriesRel {
       graft.sql.GraftSql.sql(s,
         s"SELECT o_month, o_orderkey, cents FROM graft.`$path` ORDER BY o_orderkey")
     }),
+    "s46_constraints" -> ((s, dir) => {
+      // CHECK CONSTRAINTS (Delta ALTER TABLE ADD CONSTRAINT parity):
+      // data-quality enforcement at the COMMIT boundary. ADD validates
+      // every existing row (one scan); after that every write
+      // validates its own DELTA-SIZED batch — at 100 TB the thing
+      // that must never rescan is the table, and it doesn't. One
+      // violating row rejects the WHOLE batch before anything lands
+      // (the in-row requires pin both the loud error and the
+      // unchanged commit counter); valid upserts and a post-image-
+      // validated UPDATE then proceed under the live constraint.
+      // ConstraintsSpec pins NULL-passes, CDC-delete exemption,
+      // concurrent-path enforcement, and the SQL statements.
+      val n = table(s, dir, "nation")
+      val path = graft.Tmp.dir("graft_constraints") + "/t"
+      val base = n.select(col("n_nationkey").as("k"),
+        col("n_name").as("name"), col("n_regionkey").as("region"))
+      Scd1Merge.upsert(s, path, base, Seq("k"), numBuckets = 2)
+      Scd1Merge.addConstraint(s, path, "region_range", "region BETWEEN 0 AND 4")
+      val before = Scd1Merge.tableCommit(path).get
+      val rejected = try {
+        Scd1Merge.upsert(s, path,
+          base.limit(3).withColumn("region", lit(99).cast("int")), Seq("k"))
+        false
+      } catch {
+        case e: IllegalStateException => e.getMessage.contains("region_range")
+      }
+      require(rejected, "a violating batch must reject loudly")
+      require(Scd1Merge.tableCommit(path).contains(before),
+        "a rejected batch must not commit")
+      Scd1Merge.upsert(s, path,
+        base.filter(col("k") < 3)
+          .withColumn("name", concat(col("name"), lit("_v2"))), Seq("k"))
+      Scd1Merge.update(s, path, Seq("k"), col("k") === 10,
+        Map("region" -> lit(0).cast("int")))
+      Scd1Merge.readTable(s, path).orderBy(col("k"))
+    }),
     "s45_agg_pushdown" -> ((s, dir) => {
       // METADATA-ONLY AGGREGATES (DSv2 SupportsPushDownAggregates,
       // the JDBC-source interface answered from the MANIFEST): an
@@ -1827,6 +1863,11 @@ object QueriesRel {
          |SELECT o_month, o_orderkey, cents FROM upd
          |WHERE NOT (o_month = '1995-02' AND cents % 10 = 0)
          |ORDER BY o_orderkey""".stripMargin,
+    "s46_constraints" ->
+      """SELECT n_nationkey AS k,
+         |  CASE WHEN n_nationkey < 3 THEN n_name || '_v2' ELSE n_name END AS name,
+         |  CASE WHEN n_nationkey = 10 THEN 0 ELSE n_regionkey END AS region
+         |FROM nation ORDER BY k""".stripMargin,
     "s45_agg_pushdown" ->
       """SELECT count(*) AS cnt,
          |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,

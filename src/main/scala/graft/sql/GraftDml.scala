@@ -227,6 +227,12 @@ object GraftDml {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\S+|graft\s*\.\s*`[^`]*`)\s+TO\s+""" +
      """(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+))\s*;?\s*$""").r
+  private val AddConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\S+|graft\s*\.\s*`[^`]*`)\s+ADD\s+""" +
+     """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val DropConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\S+|graft\s*\.\s*`[^`]*`)\s+DROP\s+""" +
+     """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
 
   private def parseTableToken(tok: String): Option[String] = {
     val t = tok.trim
@@ -273,6 +279,12 @@ object GraftDml {
         parseTableToken(tok).map(p =>
           GraftRestoreCommand(p, Option(version).map(_.toLong),
             Option(ts).map(_.stripPrefix("'").stripSuffix("'"))))
+      case AddConstraintRe(tok, name, check) =>
+        parseTableToken(tok).map(p =>
+          GraftConstraintCommand(p, name.trim, Some(check.trim)))
+      case DropConstraintRe(tok, name) =>
+        parseTableToken(tok).map(p =>
+          GraftConstraintCommand(p, name.trim, None))
       case _ => None
     }
 
@@ -580,6 +592,25 @@ case class GraftAlterCommand(path: String, op: String, args: Seq[String])
     op match {
       case "rename" => Scd1Merge.renameColumn(spark, path, args(0), args(1))
       case "drop" => args.foreach(Scd1Merge.dropColumn(spark, path, _))
+    }
+    Nil
+  }
+}
+
+/** `ALTER TABLE <graft table> ADD CONSTRAINT <name> CHECK (<expr>)` /
+  * `DROP CONSTRAINT <name>` — Delta's constraint statements on the
+  * engine's [[Scd1Merge.addConstraint]]/[[Scd1Merge.dropConstraint]]:
+  * ADD validates every existing row first (one scan, loud on
+  * violation), then every write validates its own delta-sized batch;
+  * DROP is a metadata swap, loud on an unknown name. */
+case class GraftConstraintCommand(path: String, name: String,
+                                  check: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    check match {
+      case Some(x) => Scd1Merge.addConstraint(spark, path, name, x)
+      case None => Scd1Merge.dropConstraint(spark, path, name)
     }
     Nil
   }

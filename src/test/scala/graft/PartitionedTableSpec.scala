@@ -197,4 +197,90 @@ class PartitionedTableSpec extends SparkSpecBase {
     }
     assert(e4.getMessage.contains("NULL"))
   }
+
+  private def mmFact(months: Seq[String], regions: Seq[String]): DataFrame =
+    months.flatMap(m => regions.flatMap(r => (0 until 5).map(i =>
+      (m, r, s"$m$r#$i".hashCode.toLong & 0xffffff, (i + 1).toLong))))
+      .toDF("month", "region", "id", "cents")
+      .dropDuplicates("month", "region", "id")
+
+  test("multi-column PARTITIONED BY (month, region): routing, parity, per-tuple children") {
+    val path = graft.Tmp.dir("ptab_multi") + "/t"
+    val base = mmFact(Seq("2024-01", "2024-02"), Seq("EU", "US"))
+    val mkeys = Seq("month", "region", "id")
+    PartitionedTable.upsert(spark, path, base, mkeys, "month,region", numBuckets = 2)
+    assertSameRows(
+      PartitionedTable.readTable(spark, path).orderBy("month", "region", "id"),
+      base.orderBy("month", "region", "id"))
+    // one child per (month, region) tuple
+    assert(PartitionedTable.partitions(spark, path).count() == 4)
+    val cols = PartitionedTable.partitions(spark, path).columns.toSeq
+    assert(cols.take(2) == Seq("month_value", "region_value"))
+    // an incremental batch touches ONLY its tuple's child files
+    val before = PartitionedTable.readTable(spark, path).inputFiles.toSet
+    PartitionedTable.upsert(spark, path,
+      Seq(("2024-02", "EU", 999999L, 7L)).toDF("month", "region", "id", "cents"),
+      mkeys, "month,region")
+    val after = PartitionedTable.readTable(spark, path).inputFiles.toSet
+    val changed = (after -- before) ++ (before -- after)
+    assert(changed.nonEmpty && changed.forall(f =>
+      f.contains("month") && f.contains("2024-02") && f.contains("EU")),
+      s"only the touched tuple's child may change: $changed")
+  }
+
+  test("multi-column pruning: conjuncts over any SUBSET of the partition columns prune by path") {
+    val path = graft.Tmp.dir("ptab_multi_prune") + "/t"
+    val base = mmFact(Seq("2024-01", "2024-02", "2024-03"), Seq("EU", "US"))
+    PartitionedTable.upsert(spark, path, base,
+      Seq("month", "region", "id"), "month,region", numBuckets = 2)
+    // both columns pinned → exactly one of 6 children
+    val r1 = PartitionedTable.readTableWhere(spark, path,
+      col("month") === "2024-02" && col("region") === "EU")
+    assert(r1.count() == base.filter($"month" === "2024-02" && $"region" === "EU").count())
+    assert(PartitionedTable.lastPartitionPrune == (1, 6),
+      s"got ${PartitionedTable.lastPartitionPrune}")
+    // one column only → that column's slice (2 of 6)
+    val r2 = PartitionedTable.readTableWhere(spark, path, col("month") === "2024-03")
+    assert(r2.count() == base.filter($"month" === "2024-03").count())
+    assert(PartitionedTable.lastPartitionPrune == (2, 6))
+    // region-only (the SECOND column) prunes too — 3 of 6
+    val r3 = PartitionedTable.readTableWhere(spark, path,
+      col("region") === "US" && col("cents") > 1L)
+    assert(r3.count() == base.filter($"region" === "US" && $"cents" > 1L).count())
+    assert(PartitionedTable.lastPartitionPrune == (3, 6))
+    // UPDATE/DELETE prune the same way
+    PartitionedTable.updateWhere(spark, path,
+      col("month") === "2024-01" && col("region") === "US",
+      Map("cents" -> ($"cents" + 100L)))
+    assert(PartitionedTable.lastPartitionPrune == (1, 6))
+    assertSameRows(
+      PartitionedTable.readTable(spark, path).orderBy("month", "region", "id"),
+      base.withColumn("cents",
+        when($"month" === "2024-01" && $"region" === "US", $"cents" + 100L)
+          .otherwise($"cents"))
+        .orderBy("month", "region", "id"))
+  }
+
+  test("multi-column: dynamic overwrite per tuple; spec drift and non-key columns reject") {
+    val path = graft.Tmp.dir("ptab_multi_ow") + "/t"
+    val base = mmFact(Seq("2024-01"), Seq("EU", "US"))
+    val mkeys = Seq("month", "region", "id")
+    PartitionedTable.upsert(spark, path, base, mkeys, "month,region")
+    PartitionedTable.overwritePartitions(spark,
+      path, Seq(("2024-01", "EU", 1L, 42L)).toDF("month", "region", "id", "cents"))
+    val now = PartitionedTable.readTable(spark, path)
+    assert(now.filter($"region" === "EU").count() == 1)   // replaced wholesale
+    assert(now.filter($"region" === "US").count() == 5)   // untouched
+    // partition spec drift is loud
+    val e = intercept[Exception] {
+      PartitionedTable.upsert(spark, path, base, mkeys, "month")
+    }
+    assert(e.getMessage.contains("partitioned by"))
+    // every partition column must be a merge key
+    val e2 = intercept[Exception] {
+      PartitionedTable.upsert(spark, graft.Tmp.dir("ptab_multi_bad") + "/t",
+        base, Seq("month", "id"), "month,region")
+    }
+    assert(e2.getMessage.contains("region"))
+  }
 }
