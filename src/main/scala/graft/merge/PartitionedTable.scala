@@ -85,7 +85,15 @@ object PartitionedTable {
                                      partCols: Seq[String],
                                      partTypes: Seq[DataType],
                                      keys: Seq[String], numBuckets: Int,
-                                     parts: Map[String, (String, Int)])
+                                     parts: Map[String, (String, Int)],
+                                     // parent-level CHECK constraints:
+                                     // validated once per batch BEFORE
+                                     // any child write (new children
+                                     // inherit enforcement for free —
+                                     // the check never lives in the
+                                     // children)
+                                     constraints: Map[String, String] =
+                                       Map.empty)
 
   /** Composite partition key from per-column canonical renderings. */
   private def keyOf(vals: Seq[String]): String = vals.map(enc).mkString("/")
@@ -145,7 +153,11 @@ object PartitionedTable {
       meta("keys").map(_.split(",").iterator.filter(_.nonEmpty).map(dec).toSeq)
         .getOrElse(Nil),
       meta("nb").map(_.toInt).getOrElse(0),
-      entries.toMap)
+      entries.toMap,
+      meta("constraints")
+        .map(_.split(",").iterator.filter(_.nonEmpty).map { e =>
+          val Array(n, x) = e.split(":", 2); dec(n) -> dec(x)
+        }.toMap).getOrElse(Map.empty))
   }
 
   private def readPManifest(tablePath: String): Option[PManifest] = {
@@ -164,6 +176,10 @@ object PartitionedTable {
       s"ptypes=${m.partTypes.map(t => enc(t.sql)).mkString(",")}",
       s"keys=${m.keys.map(enc).mkString(",")}",
       s"nb=${m.numBuckets}") ++
+      (if (m.constraints.nonEmpty)
+        Seq(s"constraints=${m.constraints.toSeq.sortBy(_._1)
+          .map { case (n, x) => s"${enc(n)}:${enc(x)}" }.mkString(",")}")
+       else Nil) ++
       m.parts.toSeq.sortBy(_._1).map { case (v, (d, c)) =>
         s"$v\t${enc(d)}\t$c" }).mkString("\n")
     val body = body0 + "\nsum=" + sha256Hex(body0)
@@ -329,6 +345,10 @@ object PartitionedTable {
         .orElse(Some(numBuckets)).get
       val base = existing.getOrElse(
         PManifest(0, 0L, partCols, dts, keys, nb, Map.empty))
+      // parent-level CHECK constraints: ONE validation of the whole
+      // batch before any child write (children never carry the check)
+      Scd1Merge.enforceCheck(spark, tablePath, base.constraints,
+        source, "upsert(partitioned)")
       val newPins = touchedKeys(source, base).map { vals =>
         val key = keyOf(vals)
         val rel = base.parts.get(key).map(_._1)
@@ -364,6 +384,8 @@ object PartitionedTable {
     * and full overwrite. */
   private def replaceTouched(spark: SparkSession, tablePath: String,
       m: PManifest, source: DataFrame): Map[String, (String, Int)] = {
+    Scd1Merge.enforceCheck(spark, tablePath, m.constraints,
+      source, "overwrite(partitioned)")
     val opCol = "__graft_part_op"
     touchedKeys(source, m).map { vals =>
       val key = keyOf(vals)
@@ -461,6 +483,31 @@ object PartitionedTable {
     require(Files.exists(h),
       s"no retained parent manifest for commit $n of $tablePath")
     readAt(spark, tablePath, parse(h))
+  }
+
+  /** `TIMESTAMP AS OF` read over the parent history: the youngest
+    * retained parent manifest whose commit stamp is ≤ the target
+    * (commit number breaks ties — the [[Scd1Merge.readTableAtTime]]
+    * convention), children read at that parent's pin set. Loud when
+    * the target predates the oldest retained parent. */
+  def readTableAtTime(spark: SparkSession, tablePath: String,
+                      tsMillis: Long): DataFrame = {
+    val live = requireTable(tablePath)
+    if (tsMillis >= live.ts) return readAt(spark, tablePath, live)
+    val hist = Paths.get(tablePath, PHistoryDir)
+    val retained =
+      if (!Files.exists(hist)) Nil
+      else Files.list(hist).iterator().asScala.toSeq
+        .flatMap(p => p.getFileName.toString.toIntOption
+          .filter(_ < live.commit).map(_ => parse(p)))
+    retained.filter(_.ts <= tsMillis).sortBy(m => (m.ts, m.commit))
+      .lastOption match {
+      case Some(m) => readAt(spark, tablePath, m)
+      case None => throw new IllegalStateException(
+        s"no retained parent snapshot of $tablePath at or before " +
+        s"$tsMillis (oldest retained is newer, or was vacuumed — " +
+        "raise parent retention)")
+    }
   }
 
   /** Partitions of `m` whose value satisfies the partition-column
@@ -725,6 +772,15 @@ object PartitionedTable {
                   predicate: Column,
                   set: Map[String, Column]): Long = {
     val m = requireTable(tablePath)
+    if (m.constraints.nonEmpty) {
+      // parent-level post-image pre-check (pruned, matched rows only)
+      val matched = readTableWhere(spark, tablePath, predicate)
+        .filter(coalesce(predicate, lit(false)))
+      val post = set.foldLeft(matched) { case (df, (c, v)) =>
+        df.withColumn(c, v) }
+      Scd1Merge.enforceCheck(spark, tablePath, m.constraints, post,
+        "updateWhere(partitioned)")
+    }
     withPLock(tablePath) {
       val keep = matchingPartitions(spark, tablePath, m, predicate).toSet
       lastPartitionPrune = (keep.size, m.parts.size)
@@ -742,6 +798,47 @@ object PartitionedTable {
       n
     }
   }
+
+  /** Parent-level CHECK constraint (the partitioned twin of
+    * [[Scd1Merge.addConstraint]]): validated once per incoming batch
+    * before ANY child write, so new partitions inherit enforcement
+    * automatically — the check never lives in the children. ADD
+    * validates all existing rows first (one partitioned scan). */
+  def addConstraint(spark: SparkSession, tablePath: String,
+                    name: String, exprSql: String): Unit = {
+    require(name.nonEmpty && !name.exists(c => c == ',' || c == ':'),
+      s"addConstraint: name '$name' must be non-empty, without ',' or ':'")
+    requireTable(tablePath)
+    withPLock(tablePath) {
+      val live = readPManifest(tablePath).get
+      require(!live.constraints.keys.exists(_.equalsIgnoreCase(name)),
+        s"addConstraint: constraint '$name' already exists on $tablePath")
+      Scd1Merge.enforceCheck(spark, tablePath, Map(name -> exprSql),
+        readAt(spark, tablePath, live), "addConstraint(existing rows)")
+      commitPManifest(tablePath,
+        live.copy(constraints = live.constraints + (name -> exprSql)))
+    }
+  }
+
+  /** Drop a parent-level constraint — loud on an unknown name. */
+  def dropConstraint(spark: SparkSession, tablePath: String,
+                     name: String): Unit = {
+    requireTable(tablePath)
+    withPLock(tablePath) {
+      val live = readPManifest(tablePath).get
+      val key = live.constraints.keys.find(_.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"dropConstraint: no constraint '$name' on $tablePath " +
+          s"(have: ${live.constraints.keys.toSeq.sorted.mkString(",")})"))
+      commitPManifest(tablePath,
+        live.copy(constraints = live.constraints - key))
+    }
+  }
+
+  def tableConstraints(tablePath: String): Map[String, String] =
+    readPManifest(tablePath).map(_.constraints).getOrElse(Map.empty)
+  def lastCommitTs(tablePath: String): Option[Long] =
+    readPManifest(tablePath).map(_.ts).filter(_ > 0)
 
   /** Parent commit log: commit, ts, partition count — the partitioned
     * twin of [[Scd1Merge.history]]. */

@@ -1986,6 +1986,23 @@ object Scd1Merge {
 
   /** Move each `__bucket=N` dir under `writtenTo` into the table as
     * version-`ver` bucket dirs; returns the manifest entries. */
+  /** A DELETE that empties EVERY live bucket must not leave the table
+    * dir-less: [[stageWrite]]'s dynamic `partitionBy` writes zero
+    * files for an empty frame, and a manifest with no dirs breaks
+    * every reader on parquet schema inference. Keep ONE
+    * schema-bearing empty bucket file instead — a plain
+    * (non-partitioned) single-task write, whose partition 0 always
+    * emits a footer-only parquet file even with zero rows. Returns
+    * the (bucket, relDir) manifest entry. */
+  private def stageEmptyBucket(tablePath: String, physical: DataFrame,
+                               bucket: Int, version: Int): (Int, String) = {
+    val rel = s"data/b${bucket}_v$version"
+    physical.drop(BucketCol).limit(0).coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(Paths.get(tablePath, rel).toString)
+    bucket -> rel
+  }
+
   private def adoptBucketDirs(tablePath: String, writtenTo: String,
                               versions: Int => Int): Map[Int, String] = {
     Files.createDirectories(Paths.get(tablePath, "data"))
@@ -2854,9 +2871,15 @@ object Scd1Merge {
     * batch is delta-sized — at 100 TB the scan that must not happen
     * is the table, not the batch). */
   private def enforceConstraints(spark: SparkSession, tablePath: String,
-      manifest: Manifest, rows: DataFrame, op: String): Unit = {
-    if (manifest.constraints.isEmpty) return
-    val cs = manifest.constraints.toSeq.sortBy(_._1)
+      manifest: Manifest, rows: DataFrame, op: String): Unit =
+    enforceCheck(spark, tablePath, manifest.constraints, rows, op)
+
+  /** The check itself, shared with the partitioned layout's
+    * parent-level constraints. */
+  private[merge] def enforceCheck(spark: SparkSession, label: String,
+      constraints: Map[String, String], rows: DataFrame, op: String): Unit = {
+    if (constraints.isEmpty) return
+    val cs = constraints.toSeq.sortBy(_._1)
     def violated(x: String): Column = !coalesce(expr(x), lit(true))
     val counts = rows.agg(
       count(when(violated(cs.head._2), 1)).as("c0"),
@@ -2868,7 +2891,7 @@ object Scd1Merge {
         val sample = rows.filter(violated(x)).limit(3).collect().mkString("; ")
         throw new IllegalStateException(
           s"$op: CHECK constraint '$n' ($x) violated by $c row(s) at " +
-          s"$tablePath — e.g. $sample")
+          s"$label — e.g. $sample")
       }
     }
   }
@@ -3446,10 +3469,16 @@ object Scd1Merge {
         val newVersions = adoptBucketDirs(tablePath, tmp,
           b => nextVersion(tablePath, base, b))
         val emptied = touched.filterNot(newVersions.contains)
+        val dirs1 = base.dirs -- emptied ++ newVersions
+        val finalDirs =
+          if (dirs1.nonEmpty) dirs1
+          else Map(stageEmptyBucket(tablePath,
+            physicalize(kept, m0), touched.head,
+            nextVersion(tablePath, base, touched.head)))
         failpoint("before-manifest")
         refreshLease(tablePath, leaseId)
         val committed = commitManifest(tablePath,
-          base.copy(dirs = base.dirs -- emptied ++ newVersions,
+          base.copy(dirs = finalDirs,
             stats = base.stats -- touched ++ newStats, keys = pkeys))
         failpoint("after-manifest")
         sweepVersions(tablePath, committed, retainVersions)
@@ -3537,11 +3566,17 @@ object Scd1Merge {
           val newVersions = adoptBucketDirs(tablePath, tmp,
             b => nextVersion(tablePath, manifest, b))
           val emptied = touched.filterNot(newVersions.contains)
+          val dirs1 = manifest.dirs -- emptied ++ newVersions
+          val finalDirs =
+            if (dirs1.nonEmpty) dirs1
+            else Map(stageEmptyBucket(tablePath,
+              physicalize(kept, manifest), touched.head,
+              nextVersion(tablePath, manifest, touched.head)))
           failpoint("before-manifest")
           refreshLease(tablePath, leaseId)
           val committed = commitManifest(tablePath,
             manifest.copy(numBuckets = nb,
-              dirs = manifest.dirs -- emptied ++ newVersions,
+              dirs = finalDirs,
               stats = manifest.stats -- touched ++ newStats, keys = pkeys))
           failpoint("after-manifest")
           sweepVersions(tablePath, committed, retainVersions)
@@ -3796,6 +3831,10 @@ object Scd1Merge {
     * `Pipeline.verifyConsistent`. */
   def tableBatchId(tablePath: String): Option[String] =
     readManifest(tablePath).map(_.batch).filter(_.nonEmpty)
+
+  /** Wall time of the live commit (None = no manifest / pre-ts). */
+  def lastCommitTs(tablePath: String): Option[Long] =
+    readManifest(tablePath).map(_.ts).filter(_ > 0)
 
   /** The table's live commit number (None = no manifest). Monotone per
     * commit; the coordinate [[readChanges]]' `commitsBack` offsets are

@@ -1183,6 +1183,75 @@ object QueriesRel {
       graft.sql.GraftSql.sql(s,
         s"SELECT o_month, o_orderkey, cents FROM graft.`$path` ORDER BY o_orderkey")
     }),
+    "s48_multipart" -> ((s, dir) => {
+      // MULTI-COLUMN partition layout: (month, priority-class) tuple
+      // partitions over the orders fact — the composite layout a real
+      // warehouse uses (date × tenant/class). Every DML statement
+      // prunes by PATH on whatever SUBSET of the partition columns its
+      // predicate pins: the priority-only UPDATE touches exactly the
+      // four (month, '1') children; the fully-pinned DELETE touches
+      // ONE of twenty. The in-row requires pin both prune fractions
+      // against counts derived from the data itself (SF-independent);
+      // PartitionedTableSpec pins routing, drift rejection and
+      // per-tuple overwrite.
+      import graft.merge.PartitionedTable
+      val o = table(s, dir, "orders")
+      val fact = o.select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+          substring(col("o_orderpriority"), 1, 1).as("prio"),
+          col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("m").between("1995-01", "1995-04"))
+      val path = graft.Tmp.dir("graft_part48") + "/fact"
+      val keys = Seq("m", "prio", "o_orderkey")
+      PartitionedTable.upsertMulti(s, path, fact, keys, Seq("m", "prio"),
+        numBuckets = 2)
+      val parts = fact.select("m", "prio").distinct().count().toInt
+      val prio1 = fact.filter(col("prio") === "1")
+        .select("m").distinct().count().toInt
+      PartitionedTable.updateWhere(s, path, col("prio") === "1",
+        Map("cents" -> (col("cents") + 1)))
+      require(PartitionedTable.lastPartitionPrune == (prio1, parts),
+        s"priority-only conjunct must prune by path to its slice: " +
+        s"${PartitionedTable.lastPartitionPrune} vs ($prio1, $parts)")
+      PartitionedTable.deleteWhere(s, path,
+        col("m") === "1995-02" && col("prio") === "3" &&
+          col("o_orderkey") % 2 === 0)
+      require(PartitionedTable.lastPartitionPrune == (1, parts),
+        "a fully-pinned tuple must prune to ONE partition")
+      PartitionedTable.readTableWhere(s, path,
+          col("m").between("1995-02", "1995-03"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "s47_describe_detail" -> ((s, dir) => {
+      // DESCRIBE DETAIL (Delta's statement): ONE metadata row per
+      // table answered ENTIRELY from manifests — layout, merge keys,
+      // bucket/partition shape, exact row count via the
+      // SupportsPushDownAggregates stats path, live constraints. At
+      // 100 TB this is the difference between a catalog UI rendering
+      // instantly and a full scan per table card. Judged frame:
+      // the deterministic columns for a flat AND a partitioned
+      // table (location/ts/bytes projected out — wall-clock and
+      // encoder-version carriers, pinned instead by GraftSqlSpec).
+      val n = table(s, dir, "nation")
+      val flat = graft.Tmp.dir("graft_detail") + "/flat"
+      Scd1Merge.upsert(s, flat,
+        n.select(col("n_nationkey").as("k"), col("n_name").as("name")),
+        Seq("k"), numBuckets = 3)
+      Scd1Merge.addConstraint(s, flat, "kpos", "k >= 0")
+      val o = table(s, dir, "orders")
+      val part = graft.Tmp.dir("graft_detail") + "/part"
+      graft.merge.PartitionedTable.upsert(s, part,
+        o.select(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+          col("o_orderkey")).filter(col("o_month") < "1993-01"),
+        Seq("o_month", "o_orderkey"), "o_month", numBuckets = 2)
+      val cols = Seq("format", "merge_keys", "num_buckets",
+        "partition_columns", "num_partitions", "num_rows", "constraints")
+      graft.sql.GraftSql.sql(s, s"DESCRIBE DETAIL graft.`$flat`")
+        .unionByName(graft.sql.GraftSql.sql(s, s"DESCRIBE DETAIL graft.`$part`"))
+        .select(cols.map(col): _*)
+        .orderBy(col("format"))
+    }),
     "s46_constraints" -> ((s, dir) => {
       // CHECK CONSTRAINTS (Delta ALTER TABLE ADD CONSTRAINT parity):
       // data-quality enforcement at the COMMIT boundary. ADD validates
@@ -1863,6 +1932,41 @@ object QueriesRel {
          |SELECT o_month, o_orderkey, cents FROM upd
          |WHERE NOT (o_month = '1995-02' AND cents % 10 = 0)
          |ORDER BY o_orderkey""".stripMargin,
+    "s48_multipart" ->
+      """WITH fact AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS m,
+         |         substr(o_orderpriority, 1, 1) AS prio,
+         |         o_orderkey,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders
+         |  WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-04'),
+         |upd AS (
+         |  SELECT m, prio, o_orderkey,
+         |         CASE WHEN prio = '1' THEN cents + 1 ELSE cents END AS cents
+         |  FROM fact),
+         |del AS (
+         |  SELECT * FROM upd
+         |  WHERE NOT (m = '1995-02' AND prio = '3' AND o_orderkey % 2 = 0))
+         |SELECT m, prio, o_orderkey, cents FROM del
+         |WHERE m BETWEEN '1995-02' AND '1995-03'
+         |ORDER BY o_orderkey""".stripMargin,
+    "s47_describe_detail" ->
+      """SELECT 'graft' AS format, 'k' AS merge_keys,
+         |  CAST(3 AS INTEGER) AS num_buckets,
+         |  CAST(NULL AS VARCHAR) AS partition_columns,
+         |  CAST(NULL AS INTEGER) AS num_partitions,
+         |  (SELECT count(*) FROM nation) AS num_rows,
+         |  'kpos CHECK (k >= 0)' AS constraints
+         |UNION ALL
+         |SELECT 'graft/partitioned', 'o_month,o_orderkey',
+         |  CAST(NULL AS INTEGER), 'o_month',
+         |  CAST((SELECT count(DISTINCT strftime(o_orderdate, '%Y-%m'))
+         |        FROM orders
+         |        WHERE strftime(o_orderdate, '%Y-%m') < '1993-01') AS INTEGER),
+         |  (SELECT count(*) FROM orders
+         |   WHERE strftime(o_orderdate, '%Y-%m') < '1993-01'),
+         |  CAST(NULL AS VARCHAR)
+         |ORDER BY format""".stripMargin,
     "s46_constraints" ->
       """SELECT n_nationkey AS k,
          |  CASE WHEN n_nationkey < 3 THEN n_name || '_v2' ELSE n_name END AS name,

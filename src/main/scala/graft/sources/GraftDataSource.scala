@@ -424,7 +424,7 @@ class GraftV1Scan(path: String, filters: Array[Filter],
     }.asInstanceOf[T]
 }
 
-private[sources] object GraftDsv2 {
+private[graft] object GraftDsv2 {
   /** Layout dispatch: flat bucketed table or partitioned parent —
     * ONE format/catalog doorway serves both. A partitioned read with
     * pushed filters prunes whole partitions by PATH before the
@@ -474,10 +474,8 @@ private[sources] object GraftDsv2 {
       val millis = s.trim.toLongOption.getOrElse(
         java.sql.Timestamp.valueOf(s.trim).getTime)
       if (PartitionedTable.tableExists(path))
-        throw new UnsupportedOperationException(
-          "graft read: timestampAsOf on a partitioned table is not " +
-          "supported yet — use versionAsOf (parent commit numbers)")
-      Scd1Merge.readTableAtTime(spark, path, millis)
+        PartitionedTable.readTableAtTime(spark, path, millis)
+      else Scd1Merge.readTableAtTime(spark, path, millis)
     })
   }
 

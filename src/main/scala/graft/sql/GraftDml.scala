@@ -224,6 +224,8 @@ object GraftDml {
     """(?is)^\s*OPTIMIZE\s+(\S+|graft\s*\.\s*`[^`]*`)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+(\S+|graft\s*\.\s*`[^`]*`)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+(\S+|graft\s*\.\s*`[^`]*`)\s*;?\s*$""".r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\S+|graft\s*\.\s*`[^`]*`)\s+TO\s+""" +
      """(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+))\s*;?\s*$""").r
@@ -275,6 +277,8 @@ object GraftDml {
               .filter(_.nonEmpty))))
       case HistoryRe(tok) =>
         parseTableToken(tok).map(GraftDescribeHistoryCommand)
+      case DetailRe(tok) =>
+        parseTableToken(tok).map(GraftDescribeDetailCommand)
       case RestoreRe(tok, version, ts) =>
         parseTableToken(tok).map(p =>
           GraftRestoreCommand(p, Option(version).map(_.toLong),
@@ -534,7 +538,12 @@ case class GraftShowPartitionsCommand(path: String)
     AttributeReference("live_commit", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val df = graft.merge.PartitionedTable.partitions(spark, path)
-    df.collect().map(r => Row(r.get(0).toString, r.getInt(1), r.getInt(2))).toSeq
+    // multi-column layouts carry one value column per partition
+    // column before (pinned_commit, live_commit) — render "/"-joined
+    val n = df.columns.length
+    df.collect().map(r => Row(
+      (0 until n - 2).map(i => String.valueOf(r.get(i))).mkString("/"),
+      r.getInt(n - 2), r.getInt(n - 1))).toSeq
   }
 }
 
@@ -608,9 +617,12 @@ case class GraftConstraintCommand(path: String, name: String,
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    check match {
-      case Some(x) => Scd1Merge.addConstraint(spark, path, name, x)
-      case None => Scd1Merge.dropConstraint(spark, path, name)
+    import graft.merge.PartitionedTable
+    (check, PartitionedTable.tableExists(path)) match {
+      case (Some(x), true) => PartitionedTable.addConstraint(spark, path, name, x)
+      case (Some(x), false) => Scd1Merge.addConstraint(spark, path, name, x)
+      case (None, true) => PartitionedTable.dropConstraint(spark, path, name)
+      case (None, false) => Scd1Merge.dropConstraint(spark, path, name)
     }
     Nil
   }
@@ -651,6 +663,64 @@ case class GraftRestoreCommand(path: String, version: Option[Long],
 
 /** `DESCRIBE HISTORY <graft table>` — the commit log
   * ([[Scd1Merge.history]]) as a SQL result set. */
+/** `DESCRIBE DETAIL <graft table>` — one row of table metadata
+  * (Delta's statement), answered ENTIRELY from manifests: layout,
+  * merge keys, bucket count, partition columns and count, live
+  * commit, last-commit wall time, exact row count when the footer
+  * stats can answer it (NULL otherwise — the s45 bail rules), data
+  * bytes, and the live CHECK constraints. Zero data files read. */
+case class GraftDescribeDetailCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("merge_keys", StringType, nullable = false)(),
+    AttributeReference("num_buckets", IntegerType, nullable = true)(),
+    AttributeReference("partition_columns", StringType, nullable = true)(),
+    AttributeReference("num_partitions", IntegerType, nullable = true)(),
+    AttributeReference("commit", IntegerType, nullable = false)(),
+    AttributeReference("last_commit_ts", LongType, nullable = true)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("size_bytes", LongType, nullable = true)(),
+    AttributeReference("constraints", StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.merge.PartitionedTable
+    val partitioned = PartitionedTable.tableExists(path)
+    val keys =
+      if (partitioned) PartitionedTable.tableKeys(path).getOrElse(Nil)
+      else Scd1Merge.tableKeys(path).getOrElse(Nil)
+    val rows = graft.sources.GraftDsv2
+      .statsAggOf(spark, path, Seq(("count", "")))
+      .map(_.head.asInstanceOf[Long])
+    val (bytes, commit) =
+      if (partitioned)
+        (PartitionedTable.tableDataBytes(path),
+         PartitionedTable.tableCommit(path).getOrElse(0))
+      else (Scd1Merge.tableDataBytes(path),
+        Scd1Merge.tableCommit(path).getOrElse(0))
+    val constraints =
+      (if (partitioned) PartitionedTable.tableConstraints(path)
+       else Scd1Merge.tableConstraints(path))
+        .toSeq.sortBy(_._1).map { case (n, x) => s"$n CHECK ($x)" }
+    Seq(Row(
+      if (partitioned) "graft/partitioned" else "graft",
+      path,
+      keys.mkString(","),
+      if (partitioned) null
+      else Scd1Merge.tableNumBuckets(path).map(Integer.valueOf).orNull,
+      if (partitioned) PartitionedTable.partitionColumn(path).orNull else null,
+      if (partitioned)
+        Integer.valueOf(PartitionedTable.partitions(spark, path).count().toInt)
+      else null,
+      commit,
+      (if (partitioned) PartitionedTable.lastCommitTs(path)
+       else Scd1Merge.lastCommitTs(path)).map(java.lang.Long.valueOf).orNull,
+      rows.map(java.lang.Long.valueOf).orNull,
+      bytes.map(java.lang.Long.valueOf).orNull,
+      if (constraints.isEmpty) null else constraints.mkString("; ")))
+  }
+}
+
 case class GraftDescribeHistoryCommand(path: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

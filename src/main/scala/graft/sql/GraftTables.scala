@@ -41,7 +41,8 @@ object GraftTables {
     * being hijacked into a "no manifest" failure. */
   def pathOf(parts: Seq[String]): Option[String] = parts match {
     case Seq(ns, p) if ns.equalsIgnoreCase("graft") &&
-        (p.contains("/") || Scd1Merge.tableExists(p)) => Some(p)
+        (p.contains("/") || Scd1Merge.tableExists(p) ||
+         graft.merge.PartitionedTable.tableExists(p)) => Some(p)
     case Seq(one) => Option(reg.get(one.toLowerCase))
     case _ => None
   }

@@ -514,4 +514,68 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(after.filter($"k" === 0).select("name").as[String].head() == "flat")
     assert(after.filter($"k" === 101).count() == 1)
   }
+
+  test("SQL multi-column PARTITIONED BY (m, r): create, subset-pruned DML, SHOW PARTITIONS") {
+    val path = graft.Tmp.dir("sql_multipart") + "/t"
+    (0 until 40).map(i => (s"2024-0${i % 2 + 1}", if (i % 4 < 2) "EU" else "US",
+        i.toLong, i.toLong * 10))
+      .toDF("m", "r", "id", "cents").createOrReplaceTempView("mp_src")
+    graft.sql.GraftSql.sql(spark,
+      s"""CREATE GRAFT TABLE graft.`$path` KEYS (m, r, id) BUCKETS 2
+         |PARTITIONED BY (m, r) AS SELECT * FROM mp_src""".stripMargin)
+    assert(graft.merge.PartitionedTable.partitions(spark, path).count() == 4)
+    val shown = graft.sql.GraftSql.sql(spark, s"SHOW PARTITIONS graft.`$path`")
+    assert(shown.select("partition").as[String].collect().sorted.toSeq ==
+      Seq("2024-01/EU", "2024-01/US", "2024-02/EU", "2024-02/US"))
+    // a one-column conjunct prunes to that column's slice (2 of 4)
+    graft.sql.GraftSql.sql(spark,
+      s"UPDATE graft.`$path` SET cents = cents + 1 WHERE r = 'EU'")
+    assert(graft.merge.PartitionedTable.lastPartitionPrune == (2, 4))
+    // both columns pinned → one of 4
+    graft.sql.GraftSql.sql(spark,
+      s"DELETE FROM graft.`$path` WHERE m = '2024-01' AND r = 'US' AND id % 2 = 0")
+    assert(graft.merge.PartitionedTable.lastPartitionPrune == (1, 4))
+    val got = graft.sql.GraftSql.sql(spark,
+      s"SELECT * FROM graft.`$path` ORDER BY id")
+    val want = spark.table("mp_src")
+      .withColumn("cents", when($"r" === "EU", $"cents" + 1).otherwise($"cents"))
+      .filter(!($"m" === "2024-01" && $"r" === "US" && $"id" % 2 === 0))
+    assertSameRows(got, want.orderBy("id"))
+  }
+
+  test("DESCRIBE DETAIL: manifest-only metadata row for flat and partitioned tables") {
+    val flat = graft.Tmp.dir("sql_detail") + "/flat"
+    Scd1Merge.upsert(spark,
+      flat, (1 to 12).map(i => (i.toLong, s"v$i")).toDF("k", "v"), Seq("k"),
+      numBuckets = 3)
+    Scd1Merge.addConstraint(spark, flat, "kpos", "k > 0")
+    val d = graft.sql.GraftSql.sql(spark, s"DESCRIBE DETAIL graft.`$flat`")
+      .collect().head
+    assert(d.getAs[String]("format") == "graft")
+    assert(d.getAs[String]("merge_keys") == "k")
+    assert(d.getAs[Int]("num_buckets") == 3)
+    assert(d.getAs[Long]("num_rows") == 12L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[String]("constraints") == "kpos CHECK (k > 0)")
+    val part = graft.Tmp.dir("sql_detail") + "/part"
+    graft.merge.PartitionedTable.upsert(spark, part,
+      Seq(("a", 1L, 1L), ("b", 2L, 2L)).toDF("p", "id", "n"),
+      Seq("p", "id"), "p")
+    val dp = graft.sql.GraftSql.sql(spark, s"DESCRIBE DETAIL graft.`$part`")
+      .collect().head
+    assert(dp.getAs[String]("format") == "graft/partitioned")
+    assert(dp.getAs[String]("partition_columns") == "p")
+    assert(dp.getAs[Int]("num_partitions") == 2)
+    assert(dp.getAs[Long]("num_rows") == 2L)
+    // ALTER CONSTRAINT routes to the PARENT level on partitioned tables
+    graft.sql.GraftSql.sql(spark,
+      s"ALTER TABLE graft.`$part` ADD CONSTRAINT npos CHECK (n > 0)")
+    assert(graft.merge.PartitionedTable.tableConstraints(part) == Map("npos" -> "n > 0"))
+    intercept[Exception] {
+      graft.sql.GraftSql.sql(spark,
+        s"INSERT INTO graft.`$part` BY NAME SELECT 'c' p, CAST(3 AS BIGINT) id, CAST(-1 AS BIGINT) n")
+    }
+    graft.sql.GraftSql.sql(spark, s"ALTER TABLE graft.`$part` DROP CONSTRAINT npos")
+    assert(graft.merge.PartitionedTable.tableConstraints(part).isEmpty)
+  }
 }

@@ -198,6 +198,69 @@ class PartitionedTableSpec extends SparkSpecBase {
     assert(e4.getMessage.contains("NULL"))
   }
 
+  test("parent-level CHECK constraints: batch-validated once, new partitions inherit") {
+    val path = graft.Tmp.dir("ptab_constraints") + "/t"
+    val base = fact(Seq("2024-01", "2024-02"))
+    PartitionedTable.upsert(spark, path, base, keys, "month", numBuckets = 2)
+    PartitionedTable.addConstraint(spark, path, "pos", "cents > 0")
+    assert(PartitionedTable.tableConstraints(path) == Map("pos" -> "cents > 0"))
+    // violating ADD is loud against existing rows
+    intercept[IllegalStateException] {
+      PartitionedTable.addConstraint(spark, path, "big", "cents > 100000")
+    }
+    // a violating batch rejects BEFORE any child write — including a
+    // batch that would have CREATED a new partition
+    val before = PartitionedTable.partitions(spark, path).count()
+    intercept[IllegalStateException] {
+      PartitionedTable.upsert(spark, path,
+        Seq(("2024-09", 1L, -5L)).toDF("month", "id", "cents"), keys, "month")
+    }
+    assert(PartitionedTable.partitions(spark, path).count() == before,
+      "the rejected batch must not create its partition")
+    // a NEW partition from a valid batch is still constraint-guarded
+    PartitionedTable.upsert(spark, path,
+      Seq(("2024-09", 1L, 5L)).toDF("month", "id", "cents"), keys, "month")
+    intercept[IllegalStateException] {
+      PartitionedTable.upsert(spark, path,
+        Seq(("2024-09", 2L, -1L)).toDF("month", "id", "cents"), keys, "month")
+    }
+    // UPDATE post-image validates; overwrite validates; DROP frees
+    intercept[IllegalStateException] {
+      PartitionedTable.updateWhere(spark, path, col("month") === "2024-01",
+        Map("cents" -> (col("cents") - 100000L)))
+    }
+    intercept[IllegalStateException] {
+      PartitionedTable.overwritePartitions(spark, path,
+        Seq(("2024-02", 1L, -9L)).toDF("month", "id", "cents"))
+    }
+    PartitionedTable.dropConstraint(spark, path, "pos")
+    PartitionedTable.upsert(spark, path,
+      Seq(("2024-09", 3L, -1L)).toDF("month", "id", "cents"), keys, "month")
+    assert(PartitionedTable.readTable(spark, path).filter($"cents" < 0).count() == 1)
+  }
+
+  test("timestampAsOf resolves the parent history (library + format read)") {
+    val path = graft.Tmp.dir("ptab_ts") + "/t"
+    val v1 = fact(Seq("2024-01"))
+    PartitionedTable.upsert(spark, path, v1, keys, "month", numBuckets = 2)
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    PartitionedTable.upsert(spark, path, fact(Seq("2024-02")), keys, "month")
+    assertSameRows(
+      PartitionedTable.readTableAtTime(spark, path, between)
+        .orderBy("month", "id"),
+      v1.orderBy("month", "id"))
+    assertSameRows(
+      spark.read.format("graft")
+        .option("timestampAsOf", between.toString).load(path)
+        .orderBy("month", "id"),
+      v1.orderBy("month", "id"))
+    intercept[IllegalStateException] {
+      PartitionedTable.readTableAtTime(spark, path, 1L)
+    }
+  }
+
   private def mmFact(months: Seq[String], regions: Seq[String]): DataFrame =
     months.flatMap(m => regions.flatMap(r => (0 until 5).map(i =>
       (m, r, s"$m$r#$i".hashCode.toLong & 0xffffff, (i + 1).toLong))))

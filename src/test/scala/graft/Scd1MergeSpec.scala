@@ -578,4 +578,26 @@ class Scd1MergeSpec extends SparkSpecBase {
     assert(canon(Scd1Merge.readTable(spark, path)) ==
       Seq(Seq("1", "a"), Seq("2", "b2")))
   }
+
+  test("a DELETE that empties EVERY bucket keeps a readable, re-writable table") {
+    val path = graft.Tmp.dir("scd1_empty") + "/t"
+    Scd1Merge.upsert(spark, path,
+      (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v"), Seq("k"),
+      numBuckets = 4)
+    assert(Scd1Merge.delete(spark, path, Seq("k"), lit(true)) == 20L)
+    // empty but schema-bearing: count, filter, and schema all work
+    val empty = Scd1Merge.readTable(spark, path)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("k", "v"))
+    assert(Scd1Merge.readTableWhere(spark, path, $"k" > 5).count() == 0L)
+    // time travel still reaches the pre-delete snapshot
+    assert(Scd1Merge.readTableAt(spark, path, 1).count() == 20L)
+    // the table stays writable: a fresh upsert re-populates
+    Scd1Merge.upsert(spark, path, Seq((7L, "back")).toDF("k", "v"), Seq("k"))
+    assert(canon(Scd1Merge.readTable(spark, path)) == Seq(Seq("7", "back")))
+    // the optimistic path hits the same edge
+    assert(Scd1Merge.deleteConcurrent(spark, path, Seq("k"), lit(true)) == 1L)
+    assert(Scd1Merge.readTable(spark, path).count() == 0L)
+    assert(Scd1Merge.readTable(spark, path).columns.toSeq == Seq("k", "v"))
+  }
 }
