@@ -2,7 +2,7 @@ package graft.merge
 
 import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, DateType, StringType, StructField, StructType}
 import java.nio.ByteBuffer
@@ -237,6 +237,68 @@ object PartitionedTable {
     try body finally Files.deleteIfExists(p)
   }
 
+  // ---------------- partition specs (identity + derived) ----------
+
+  /** A partition-column spec: either a plain column (IDENTITY — the
+    * partition value IS the column) or a DERIVED transform over a
+    * source column, Iceberg-style "hidden partitioning": `month(c)` /
+    * `year(c)` / `day(c)` truncate a date or timestamp merge key to a
+    * rendered period, `bucket(n, c)` hashes a key into n stable
+    * buckets. The spelled form is what the user writes in
+    * `PARTITIONED BY (...)` and what the parent manifest records.
+    *
+    * Derived values live ONLY in the path and the parent manifest —
+    * children store the real columns, so the table schema never
+    * grows a maintenance column the user didn't declare (the
+    * reference's bronze zone materializes its `Date_ID` batch dirs
+    * as data columns; hidden partitioning is what a 100 TB fact
+    * wants instead: `WHERE order_ts BETWEEN x AND y` prunes month
+    * partitions by PATH with no month column anywhere in the data).
+    *
+    * The SOURCE column must be a merge key — the identity-spec
+    * argument verbatim: a key's derived partition value can never
+    * change, so partition-routed merges stay correct. */
+  private[graft] sealed trait PartSpec { def spelled: String; def srcCol: String }
+  private[graft] final case class IdentitySpec(srcCol: String) extends PartSpec {
+    def spelled: String = srcCol
+  }
+  private[graft] final case class TruncSpec(unit: String, srcCol: String)
+      extends PartSpec {
+    def spelled: String = s"$unit($srcCol)"
+  }
+  private[graft] final case class BucketSpec(n: Int, srcCol: String)
+      extends PartSpec {
+    def spelled: String = s"bucket($n,$srcCol)"
+  }
+
+  private val TruncRe =
+    """(?i)^(month|year|day)\s*\(\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\)$""".r
+  private val BucketRe =
+    """(?i)^bucket\s*\(\s*(\d+)\s*,\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\)$""".r
+
+  private[graft] def parseSpec(s: String): PartSpec = s.trim match {
+    case TruncRe(u, c) => TruncSpec(u.toLowerCase, c)
+    case BucketRe(n, c) =>
+      require(n.toInt > 0, s"bucket($n, $c): bucket count must be positive")
+      BucketSpec(n.toInt, c)
+    case t => IdentitySpec(t.stripPrefix("`").stripSuffix("`"))
+  }
+
+  /** The derived partition value as a Column over the source frame —
+    * used both to route rows (filter per touched partition) and to
+    * enumerate a batch's touched partitions. Renderings are chosen to
+    * SORT like the source (`yyyy-MM` etc.), so range predicates on
+    * the rendered value mean what they look like. */
+  private def specExpr(sp: PartSpec): Column = sp match {
+    case IdentitySpec(c) => col(c)
+    case TruncSpec("month", c) => date_format(col(c), "yyyy-MM")
+    case TruncSpec("year", c) => date_format(col(c), "yyyy")
+    case TruncSpec("day", c) => date_format(col(c), "yyyy-MM-dd")
+    case TruncSpec(u, c) => throw new IllegalArgumentException(
+      s"unknown partition transform $u($c)")
+    case BucketSpec(n, c) => pmod(hash(col(c)), lit(n)).cast("int")
+  }
+
   // ---------------- value rendering ----------------
 
   /** Canonical string rendering of a partition value — doubles as the
@@ -272,17 +334,26 @@ object PartitionedTable {
   /** Typed literal back from the canonical rendering. */
   private def typedLit(v: String, dt: DataType): Column = lit(v).cast(dt)
 
-  /** The composite-key equality predicate for one partition. */
+  /** The composite-key equality predicate for one partition —
+    * identity columns compare directly, derived columns compare the
+    * TRANSFORM's value (`date_format(ts,'yyyy-MM') = '1995-06'`). */
   private def partEq(m: PManifest, vals: Seq[String]): Column =
-    m.partCols.zip(m.partTypes).zip(vals).map { case ((c, t), v) =>
-      col(c) === typedLit(v, t) }.reduce(_ && _)
+    m.partCols.map(parseSpec).zip(m.partTypes).zip(vals)
+      .map { case ((sp, t), v) => specExpr(sp) === typedLit(v, t) }
+      .reduce(_ && _)
 
   /** Distinct partition-value tuples of `source`, rendered — the
-    * touched-partition set (KB-sized: one row per partition). */
-  private def touchedKeys(source: DataFrame, m: PManifest): Seq[Seq[String]] =
-    source.select(m.partCols.map(col): _*).distinct().collect()
-      .map(r => m.partCols.indices.map(i => render(r.get(i))))
+    * touched-partition set (KB-sized: one row per partition; derived
+    * specs evaluate their transform here, so a batch's partitions
+    * are known without any extra column in the data). */
+  private def touchedKeys(source: DataFrame, m: PManifest): Seq[Seq[String]] = {
+    val specs = m.partCols.map(parseSpec)
+    source.select(specs.zipWithIndex.map { case (sp, i) =>
+        specExpr(sp).as(s"__p$i") }: _*)
+      .distinct().collect()
+      .map(r => specs.indices.map(i => render(r.get(i))))
       .toSeq.sortBy(keyOf)
+  }
 
   // ---------------- write path ----------------
 
@@ -301,10 +372,23 @@ object PartitionedTable {
       numBuckets, statsColumns, batchId)
 
   /** `"a,b"` — the writer-option / SQL `PARTITIONED BY (a, b)`
-    * spelling — into column names. */
-  private def splitCols(s: String): Seq[String] =
-    s.split(",").iterator.map(_.trim.stripPrefix("`").stripSuffix("`"))
+    * spelling — into column specs. Paren-aware: `bucket(4,c)` is one
+    * spec, not two. */
+  private def splitCols(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach { ch =>
+      if (ch == ',' && depth == 0) { out += cur.toString; cur.clear() }
+      else {
+        if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+        cur += ch
+      }
+    }
+    out += cur.toString
+    out.iterator.map(_.trim.stripPrefix("`").stripSuffix("`"))
       .filter(_.nonEmpty).toSeq
+  }
 
   /** Multi-column partition-routed upsert — one child per DISTINCT
     * (c1, …, cn) tuple. EVERY partition column must be a merge key
@@ -316,26 +400,44 @@ object PartitionedTable {
                   statsColumns: Seq[String] = Nil,
                   batchId: String = ""): Unit = {
     require(partCols.nonEmpty, "PARTITIONED BY needs at least one column")
-    partCols.foreach { pc =>
-      require(keys.exists(_.equalsIgnoreCase(pc)),
-        s"partition column '$pc' must be one of the merge keys " +
-        s"(${keys.mkString(",")}): partition routing is only a correct merge " +
-        "when a key cannot move between partitions")
+    val specs = partCols.map(parseSpec)
+    specs.foreach { sp =>
+      require(keys.exists(_.equalsIgnoreCase(sp.srcCol)),
+        s"partition column '${sp.spelled}': source '${sp.srcCol}' must be one " +
+        s"of the merge keys (${keys.mkString(",")}): partition routing is " +
+        "only a correct merge when a key cannot move between partitions")
     }
-    val dts = partCols.map { pc =>
-      val dt = source.schema.fields.find(_.name.equalsIgnoreCase(pc))
+    val dts = specs.map { sp =>
+      val dt = source.schema.fields.find(_.name.equalsIgnoreCase(sp.srcCol))
         .map(_.dataType)
         .getOrElse(throw new IllegalArgumentException(
-          s"partition column '$pc' not in source schema"))
-      require(supportedPartType(dt),
-        s"partition column '$pc' type ${dt.sql} is not supported (use " +
-        "string, integral, or date — types whose rendering round-trips exactly)")
-      dt
+          s"partition column '${sp.spelled}': source '${sp.srcCol}' not in " +
+          "source schema"))
+      sp match {
+        case IdentitySpec(pc) =>
+          require(supportedPartType(dt),
+            s"partition column '$pc' type ${dt.sql} is not supported (use " +
+            "string, integral, or date — types whose rendering round-trips " +
+            "exactly)")
+          dt
+        case TruncSpec(u, c) =>
+          require(dt == DateType ||
+              dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+              dt == org.apache.spark.sql.types.TimestampNTZType,
+            s"$u($c) needs a date or timestamp source column, got ${dt.sql}")
+          StringType // rendered period ("1995-06") — sorts like the source
+        case BucketSpec(_, c) =>
+          require(supportedPartType(dt),
+            s"bucket($c) needs a string, integral, or date source, got ${dt.sql}")
+          org.apache.spark.sql.types.IntegerType
+      }
     }
     withPLock(tablePath) {
       val existing = readPManifest(tablePath)
       existing.foreach { m =>
-        require(m.partCols.map(_.toLowerCase) == partCols.map(_.toLowerCase),
+        // compare canonical spec spellings (whitespace/backtick-proof)
+        require(m.partCols.map(c => parseSpec(c).spelled.toLowerCase) ==
+            specs.map(_.spelled.toLowerCase),
           s"table is partitioned by (${m.partCols.mkString(",")}), " +
           s"got (${partCols.mkString(",")})")
         require(m.keys.map(_.toLowerCase).toSet == keys.map(_.toLowerCase).toSet,
@@ -344,7 +446,7 @@ object PartitionedTable {
       val nb = existing.map(_.numBuckets).filter(_ > 0)
         .orElse(Some(numBuckets)).get
       val base = existing.getOrElse(
-        PManifest(0, 0L, partCols, dts, keys, nb, Map.empty))
+        PManifest(0, 0L, specs.map(_.spelled), dts, keys, nb, Map.empty))
       // parent-level CHECK constraints: ONE validation of the whole
       // batch before any child write (children never carry the check)
       Scd1Merge.enforceCheck(spark, tablePath, base.constraints,
@@ -533,29 +635,125 @@ object PartitionedTable {
       case And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
-    val pset = m.partCols.map(_.toLowerCase).toSet
-    val conjs = Scd1Merge.resolvedPredicate(probe, predicate).toSeq
+    val specs = m.partCols.map(parseSpec)
+    val identSet = specs.collect { case IdentitySpec(c) => c.toLowerCase }.toSet
+    // derived specs indexed by SOURCE column — conjuncts the user
+    // writes on the real column (`WHERE order_ts >= X`) prune the
+    // hidden layout through these
+    val bySrc: Map[String, Seq[(PartSpec, Int)]] = specs.zipWithIndex
+      .collect { case (sp, i) if !sp.isInstanceOf[IdentitySpec] => (sp, i) }
+      .groupBy(_._1.srcCol.toLowerCase)
+    val conjsAll = Scd1Merge.resolvedPredicate(probe, predicate).toSeq
       .flatMap(split)
-      .filter(c => c.references.nonEmpty &&
-        c.references.map(_.name.toLowerCase).toSet.subsetOf(pset))
-    if (conjs.isEmpty) return values
     import spark.implicits._
-    // one row per partition carrying every partition column TYPED —
-    // conjuncts over any subset of the partition columns evaluate
-    // with Spark's own semantics (keys decode driver-side: KB-sized)
+    // one row per partition: identity columns TYPED under their real
+    // names (conjuncts rebind by name), derived specs contribute the
+    // partition value plus src-domain interval bounds — so pruning
+    // always evaluates with Spark's own expression semantics
     val frame0 = values.map(k => (k, valsOf(k))).toDF("__pv", "__vals")
-    val frame = m.partCols.zip(m.partTypes).zipWithIndex
-      .foldLeft(frame0) { case (df, ((c, t), i)) =>
-        df.withColumn(c, element_at(col("__vals"), i + 1).cast(t))
-      }.drop("__vals")
-    val kept = conjs.foldLeft(frame) { (df, c) =>
-      // the resolved conjunct's attributes carry the probe frame's
-      // exprIds — rebind by NAME against the value frame
-      df.filter(GraftExpressionBridge.column(c.transform {
-        case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
-      }))
+    var frame = frame0
+    specs.zip(m.partTypes).zipWithIndex.foreach { case ((sp, t), i) =>
+      val v = element_at(col("__vals"), i + 1).cast(t)
+      val srcType = probe.schema.fields
+        .find(_.name.equalsIgnoreCase(sp.srcCol)).map(_.dataType)
+      sp match {
+        case IdentitySpec(c) => frame = frame.withColumn(c, v)
+        case TruncSpec(u, _) =>
+          // [lo, hix) — the period's half-open interval in the SOURCE
+          // domain (hix = next period start, exact for exclusive
+          // bounds; a kept-on-boundary partition is conservative)
+          val lo = u match {
+            case "month" => to_date(concat(v, lit("-01")))
+            case "year" => to_date(concat(v, lit("-01-01")))
+            case _ => to_date(v)
+          }
+          val hix = u match {
+            case "month" => add_months(lo, 1)
+            case "year" => add_months(lo, 12)
+            case _ => date_add(lo, 1)
+          }
+          frame = frame
+            .withColumn(s"__lo_$i", srcType.map(lo.cast(_)).getOrElse(lo))
+            .withColumn(s"__hix_$i", srcType.map(hix.cast(_)).getOrElse(hix))
+        case BucketSpec(_, _) =>
+          frame = frame.withColumn(s"__bv_$i", v)
+      }
     }
+    frame = frame.drop("__vals")
+    val preds: Seq[Column] = conjsAll.flatMap { c =>
+      val refs = c.references.map(_.name.toLowerCase).toSet
+      if (refs.nonEmpty && refs.subsetOf(identSet))
+        // the resolved conjunct's attributes carry the probe frame's
+        // exprIds — rebind by NAME against the value frame
+        Some(GraftExpressionBridge.column(c.transform {
+          case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+        }))
+      else if (refs.size == 1 && bySrc.contains(refs.head))
+        derivedPruning(c, bySrc(refs.head))
+      else None // conservative: conjunct can't prune
+    }
+    if (preds.isEmpty) return values
+    val kept = preds.foldLeft(frame)(_.filter(_))
     kept.select(col("__pv")).as[String].collect().toSeq
+  }
+
+  /** Map a conjunct on a derived spec's SOURCE column onto a
+    * partition-value predicate — the inclusive-projection step of
+    * hidden partitioning. Trunc specs prune ranges/equality/IN via
+    * interval overlap with `[lo, hix)`; bucket specs prune equality/
+    * IN by hashing the literal. Shapes beyond (attr op literal) keep
+    * the partition (None = no pruning — NEVER over-prunes). */
+  private def derivedPruning(conj: Expression,
+      specs: Seq[(PartSpec, Int)]): Option[Column] = {
+    def L(l: Literal): Column = GraftExpressionBridge.column(l)
+    // normalize to (op, literals) with the attribute on the left
+    val shape: Option[(String, Seq[Literal])] = conj match {
+      case EqualTo(_: AttributeReference, l: Literal) => Some(("eq", Seq(l)))
+      case EqualTo(l: Literal, _: AttributeReference) => Some(("eq", Seq(l)))
+      case EqualNullSafe(_: AttributeReference, l: Literal) => Some(("eq", Seq(l)))
+      case EqualNullSafe(l: Literal, _: AttributeReference) => Some(("eq", Seq(l)))
+      case GreaterThan(_: AttributeReference, l: Literal) => Some(("gt", Seq(l)))
+      case GreaterThan(l: Literal, _: AttributeReference) => Some(("lt", Seq(l)))
+      case GreaterThanOrEqual(_: AttributeReference, l: Literal) => Some(("gte", Seq(l)))
+      case GreaterThanOrEqual(l: Literal, _: AttributeReference) => Some(("lte", Seq(l)))
+      case LessThan(_: AttributeReference, l: Literal) => Some(("lt", Seq(l)))
+      case LessThan(l: Literal, _: AttributeReference) => Some(("gt", Seq(l)))
+      case LessThanOrEqual(_: AttributeReference, l: Literal) => Some(("lte", Seq(l)))
+      case LessThanOrEqual(l: Literal, _: AttributeReference) => Some(("gte", Seq(l)))
+      case In(_: AttributeReference, ls) if ls.forall(_.isInstanceOf[Literal]) =>
+        Some(("eq", ls.map(_.asInstanceOf[Literal])))
+      case InSet(a: AttributeReference, vs) =>
+        Some(("eq", vs.toSeq.map(v => Literal.create(v, a.dataType))))
+      case _ => None
+    }
+    shape.flatMap { case (op, lits) =>
+      val per: Seq[Column] = specs.flatMap { case (sp, i) =>
+        sp match {
+          case TruncSpec(_, _) =>
+            val lo = col(s"__lo_$i"); val hix = col(s"__hix_$i")
+            op match {
+              case "eq" => Some(lits.map(l => lo <= L(l) && L(l) < hix)
+                .reduce(_ || _))
+              case "gt" | "gte" => Some(hix > L(lits.head))
+              case "lt" => Some(lo < L(lits.head))
+              case "lte" => Some(lo <= L(lits.head))
+              case _ => None
+            }
+          case BucketSpec(n, _) =>
+            // hash(literal) is only the row's bucket when the types
+            // MATCH — the optimizer coerced the literal to the source
+            // column's type before this shape matched, so it does
+            op match {
+              case "eq" => Some(lits.map(l =>
+                  col(s"__bv_$i") === pmod(hash(L(l)), lit(n)).cast("int"))
+                .reduce(_ || _))
+              case _ => None
+            }
+          case IdentitySpec(_) => None
+        }
+      }
+      if (per.isEmpty) None else Some(per.reduce(_ && _))
+    }
   }
 
 

@@ -1368,6 +1368,38 @@ object QueriesRel {
         .select(col("k"), col("name"))
         .orderBy(col("k"))
     }),
+    "s49_hidden_partitions" -> ((s, dir) => {
+      // HIDDEN PARTITIONING (Iceberg-style derived partition columns):
+      // the fact is partitioned by month(o_orderdate) — a TRANSFORM
+      // of a merge key, with NO month column anywhere in the data —
+      // and the user's plain date-range predicate prunes whole month
+      // partitions by PATH (inclusive projection: the range overlaps
+      // each month's half-open interval) before any stats/bloom
+      // consult. s42's layout needed a materialized o_month column; a
+      // 100 TB fact keyed (o_orderkey, o_orderdate) gets the same
+      // layout from the date it already has — the in-row require pins
+      // the scan to exactly the 3 predicate months out of the table's
+      // full month inventory.
+      val o = table(s, dir, "orders")
+      val fact = o.select(col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val path = graft.Tmp.dir("graft_hp49") + "/fact"
+      val keys = Seq("o_orderkey", "o_orderdate")
+      graft.merge.PartitionedTable.upsert(s, path,
+        fact.filter(col("o_orderdate") < "1996-01-01"), keys,
+        "month(o_orderdate)", numBuckets = 2)
+      // the incremental quarter lands three NEW month partitions
+      graft.merge.PartitionedTable.upsert(s, path,
+        fact.filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1996-04-01"), keys, "month(o_orderdate)")
+      val pruned = graft.merge.PartitionedTable.readTableWhere(s, path,
+        col("o_orderdate") >= "1995-05-01" &&
+        col("o_orderdate") < "1995-08-01")
+      val (kept, total) = graft.merge.PartitionedTable.lastPartitionPrune
+      require(kept == 3 && total > 12,
+        s"hidden partition pruning must confine the scan: $kept/$total")
+      pruned.orderBy(col("o_orderkey"))
+    }),
     "s42_partitioned_table" -> ((s, dir) => {
       // PARTITION-COLUMN layout (the r9 verdict's #1 scale gap): a
       // month-partitioned orders fact through the FULL commit
@@ -2000,6 +2032,13 @@ object QueriesRel {
          |FROM nation
          |WHERE n_regionkey < 3 AND n_nationkey >= 2
          |ORDER BY k""".stripMargin,
+    "s49_hidden_partitions" ->
+      """SELECT o_orderkey, o_orderdate,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |FROM orders
+         |WHERE o_orderdate >= DATE '1995-05-01'
+         |  AND o_orderdate < DATE '1995-08-01'
+         |ORDER BY o_orderkey""".stripMargin,
     "s42_partitioned_table" ->
       """WITH fact AS (
          |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,

@@ -215,7 +215,9 @@ object GraftDml {
   private val CreateRe =
     ("""(?is)^\s*CREATE\s+GRAFT\s+TABLE\s+(\S+|graft\s*\.\s*`[^`]*`)""" +
      """\s+KEYS\s*\(([^)]*)\)(?:\s+BUCKETS\s+(\d+))?""" +
-     """(?:\s+PARTITIONED\s+BY\s*\(\s*([^)]+?)\s*\))?\s+AS\s+(.+)$""").r
+     // the column list admits one nesting level of parens, so derived
+     // partition transforms — `month(ts)`, `bucket(16, k)` — parse
+     """(?:\s+PARTITIONED\s+BY\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*\))?\s+AS\s+(.+)$""").r
   private val ShowPartitionsRe =
     """(?is)^\s*SHOW\s+PARTITIONS\s+(\S+|graft\s*\.\s*`[^`]*`)\s*;?\s*$""".r
   private val VacuumRe =

@@ -543,6 +543,37 @@ class GraftSqlSpec extends SparkSpecBase {
     assertSameRows(got, want.orderBy("id"))
   }
 
+  test("SQL hidden partitioning: CREATE PARTITIONED BY (month(d)), source-column-pruned DML") {
+    import graft.merge.PartitionedTable
+    val path = graft.Tmp.dir("sql_hidden") + "/t"
+    Seq("2024-01-05", "2024-02-10", "2024-03-15", "2024-04-01")
+      .zipWithIndex.flatMap { case (d, p) => (0 until 10).map(i =>
+        (java.sql.Date.valueOf(d), (p * 100 + i).toLong, i.toLong * 10)) }
+      .toDF("d", "id", "cents").createOrReplaceTempView("hp_src")
+    graft.sql.GraftSql.sql(spark,
+      s"""CREATE GRAFT TABLE graft.`$path` KEYS (id, d) BUCKETS 2
+         |PARTITIONED BY (month(d)) AS SELECT * FROM hp_src""".stripMargin)
+    assert(PartitionedTable.partitions(spark, path)
+      .select("month(d)_value").as[String].collect().sorted.toSeq ==
+      Seq("2024-01", "2024-02", "2024-03", "2024-04"))
+    // no derived column in the data
+    assert(graft.sql.GraftSql.sql(spark, s"SELECT * FROM graft.`$path`")
+      .columns.sorted.toSeq == Seq("cents", "d", "id"))
+    // DML with a plain date predicate prunes by the derived interval
+    val nU = graft.sql.GraftSql.sql(spark,
+      s"UPDATE graft.`$path` SET cents = cents + 1 " +
+      "WHERE d >= DATE '2024-02-01' AND d < DATE '2024-03-01'")
+    assert(nU.as[Long].head() == 10L)
+    assert(PartitionedTable.lastPartitionPrune == (1, 4),
+      s"UPDATE must prune to 1/4 months, got ${PartitionedTable.lastPartitionPrune}")
+    val nD = graft.sql.GraftSql.sql(spark,
+      s"DELETE FROM graft.`$path` WHERE d = DATE '2024-04-01'")
+    assert(nD.as[Long].head() == 10L)
+    assert(PartitionedTable.lastPartitionPrune == (1, 4))
+    assert(graft.sql.GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM graft.`$path`").as[Long].head() == 30L)
+  }
+
   test("DESCRIBE DETAIL: manifest-only metadata row for flat and partitioned tables") {
     val flat = graft.Tmp.dir("sql_detail") + "/flat"
     Scd1Merge.upsert(spark,
