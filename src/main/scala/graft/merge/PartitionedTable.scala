@@ -2,7 +2,7 @@ package graft.merge
 
 import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, DateType, StringType, StructField, StructType}
 import java.nio.ByteBuffer
@@ -525,16 +525,22 @@ object PartitionedTable {
     }
   }
 
-  /** Delete whole partitions by predicate ON THE PARTITION COLUMN —
-    * a pure metadata commit (no data read or written): matching
-    * partitions drop from the parent manifest; their trees stay on
-    * disk for lagging readers until [[vacuum]]. */
+  /** Delete whole partitions by predicate ON THE PARTITION LAYOUT —
+    * a pure metadata commit (no data read or written): partitions
+    * where the predicate provably holds for EVERY row drop from the
+    * parent manifest; their trees stay on disk for lagging readers
+    * until [[vacuum]]. CONTAINMENT polarity ([[containedPartitions]]):
+    * a conjunct that cannot decide whole partitions — non-partition
+    * columns, hash buckets, a mid-period range bound — is rejected
+    * loudly instead of silently widening the drop set (the can-match
+    * projection reads use would drop EVERY partition for a
+    * non-partition predicate). */
   def dropPartitionsWhere(spark: SparkSession, tablePath: String,
                           predicate: Column): Int = {
     val m = requireTable(tablePath)
     withPLock(tablePath) {
       val live = readPManifest(tablePath).get
-      val dropped = matchingPartitions(spark, tablePath, live, predicate)
+      val dropped = containedPartitions(spark, tablePath, live, predicate)
       if (dropped.nonEmpty)
         commitPManifest(tablePath, live.copy(parts = live.parts -- dropped))
       dropped.size
@@ -579,12 +585,7 @@ object PartitionedTable {
   def readTableAt(spark: SparkSession, tablePath: String,
                   commitsBack: Int): DataFrame = {
     val live = requireTable(tablePath)
-    if (commitsBack == 0) return readAt(spark, tablePath, live)
-    val n = live.commit - commitsBack
-    val h = Paths.get(tablePath, PHistoryDir, n.toString)
-    require(Files.exists(h),
-      s"no retained parent manifest for commit $n of $tablePath")
-    readAt(spark, tablePath, parse(h))
+    readAt(spark, tablePath, parentAt(tablePath, live, commitsBack))
   }
 
   /** `TIMESTAMP AS OF` read over the parent history: the youngest
@@ -610,6 +611,62 @@ object PartitionedTable {
         s"$tsMillis (oldest retained is newer, or was vacuumed — " +
         "raise parent retention)")
     }
+  }
+
+  /** Parent manifest `commitsBack` parent commits ago (0 = live) —
+    * the [[readTableAt]] resolution, shared with the change feed. */
+  private def parentAt(tablePath: String, live: PManifest,
+                       commitsBack: Int): PManifest = {
+    if (commitsBack == 0) return live
+    val n = live.commit - commitsBack
+    val h = Paths.get(tablePath, PHistoryDir, n.toString)
+    require(n >= 1 && Files.exists(h),
+      s"no retained parent manifest for commit $n of $tablePath " +
+      s"(live ${live.commit}); it predates the table or was vacuumed")
+    parse(h)
+  }
+
+  /** CHANGE-DATA FEED over the partitioned layout — the flat-table
+    * [[Scd1Merge.readChanges]] contract (`_change_type` = insert /
+    * update / update_preimage / delete) lifted through the parent pin
+    * set: the two parent manifests are diffed PER PARTITION, and only
+    * partitions whose pinned child commit moved are read at all —
+    * each through the child's own O(changed buckets) diff. A
+    * partition NEW between the snapshots contributes its full pinned
+    * snapshot as inserts; a DROPPED partition contributes its rows as
+    * deletes (metadata-only drops still surface the data change a
+    * consumer must apply). At 100 TB an incremental parent commit
+    * touches O(few) partitions — feed cost tracks the delta, never
+    * the table. */
+  def readChanges(spark: SparkSession, tablePath: String,
+                  fromCommitsBack: Int, toCommitsBack: Int = 0): DataFrame = {
+    require(fromCommitsBack > toCommitsBack,
+      s"from ($fromCommitsBack commits back) must be older than to ($toCommitsBack)")
+    val live = requireTable(tablePath)
+    val mFrom = parentAt(tablePath, live, fromCommitsBack)
+    val mTo = parentAt(tablePath, live, toCommitsBack)
+    val keysAll = (mFrom.parts.keySet ++ mTo.parts.keySet).toSeq.sorted
+    val legs: Seq[DataFrame] = keysAll.flatMap { k =>
+      (mFrom.parts.get(k), mTo.parts.get(k)) match {
+        case (Some(f), Some(t)) if f == t => None // untouched partition
+        case (Some((_, pinF)), Some((relT, pinT))) =>
+          val childPath = Paths.get(tablePath, relT).toString
+          val liveC = Scd1Merge.tableCommit(childPath).getOrElse(pinT)
+          Some(Scd1Merge.readChanges(spark, childPath, live.keys,
+            fromCommitsBack = liveC - pinF, toCommitsBack = liveC - pinT))
+        case (None, Some((relT, pinT))) =>
+          Some(childRead(spark, tablePath, relT, pinT)
+            .withColumn("_change_type", lit("insert")))
+        case (Some((relF, pinF)), None) =>
+          Some(childRead(spark, tablePath, relF, pinF)
+            .withColumn("_change_type", lit("delete")))
+        case (None, None) => None
+      }
+    }
+    if (legs.isEmpty)
+      readAt(spark, tablePath, mTo).limit(0)
+        .withColumn("_change_type", lit("insert")).limit(0)
+    else legs.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Partitions of `m` whose value satisfies the partition-column
@@ -645,13 +702,35 @@ object PartitionedTable {
       .groupBy(_._1.srcCol.toLowerCase)
     val conjsAll = Scd1Merge.resolvedPredicate(probe, predicate).toSeq
       .flatMap(split)
+    val frame = valueFrame(spark, m, specs, probe, values)
+    val preds: Seq[Column] = conjsAll.flatMap { c =>
+      val refs = c.references.map(_.name.toLowerCase).toSet
+      if (refs.nonEmpty && refs.subsetOf(identSet))
+        // the resolved conjunct's attributes carry the probe frame's
+        // exprIds — rebind by NAME against the value frame
+        Some(GraftExpressionBridge.column(c.transform {
+          case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+        }))
+      else if (refs.size == 1 && bySrc.contains(refs.head))
+        derivedPruning(c, bySrc(refs.head))
+      else None // conservative: conjunct can't prune
+    }
+    if (preds.isEmpty) return values
     import spark.implicits._
-    // one row per partition: identity columns TYPED under their real
-    // names (conjuncts rebind by name), derived specs contribute the
-    // partition value plus src-domain interval bounds — so pruning
-    // always evaluates with Spark's own expression semantics
-    val frame0 = values.map(k => (k, valsOf(k))).toDF("__pv", "__vals")
-    var frame = frame0
+    preds.foldLeft(frame)(_.filter(_))
+      .select(col("__pv")).as[String].collect().toSeq
+  }
+
+  /** One row per partition: identity columns TYPED under their real
+    * names (conjuncts rebind by name), derived specs contribute the
+    * partition value plus src-domain interval bounds — so pruning
+    * always evaluates with Spark's own expression semantics
+    * (KB-sized: one row per partition). */
+  private def valueFrame(spark: SparkSession, m: PManifest,
+      specs: Seq[PartSpec], probe: DataFrame,
+      values: Seq[String]): DataFrame = {
+    import spark.implicits._
+    var frame = values.map(k => (k, valsOf(k))).toDF("__pv", "__vals")
     specs.zip(m.partTypes).zipWithIndex.foreach { case ((sp, t), i) =>
       val v = element_at(col("__vals"), i + 1).cast(t)
       val srcType = probe.schema.fields
@@ -679,22 +758,110 @@ object PartitionedTable {
           frame = frame.withColumn(s"__bv_$i", v)
       }
     }
-    frame = frame.drop("__vals")
-    val preds: Seq[Column] = conjsAll.flatMap { c =>
+    frame.drop("__vals")
+  }
+
+  /** Partitions where `predicate` provably holds for EVERY possible
+    * row — the whole-partition-DROP projection. OPPOSITE polarity to
+    * [[matchingPartitions]]: a pruned READ may conservatively
+    * over-KEEP, but a metadata drop must never over-DROP, so every
+    * conjunct must be exactly decidable on the partition layout —
+    * identity conjuncts evaluate exactly on the value frame, trunc
+    * ranges map through FULL-interval containment, and anything else
+    * (non-partition columns, bucket specs, equality on month/year) is
+    * REJECTED loudly instead of silently widening the drop set. */
+  private def containedPartitions(spark: SparkSession, tablePath: String,
+      m: PManifest, predicate: Column): Seq[String] = {
+    val values = m.parts.keys.toSeq.sorted
+    if (values.isEmpty) return values
+    val probe = m.parts.toSeq.sortBy(_._1).head match {
+      case (_, (rel, pin)) => childRead(spark, tablePath, rel, pin)
+    }
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    val specs = m.partCols.map(parseSpec)
+    val identSet = specs.collect { case IdentitySpec(c) => c.toLowerCase }.toSet
+    val bySrc: Map[String, Seq[(PartSpec, Int)]] = specs.zipWithIndex
+      .collect { case (sp, i) if !sp.isInstanceOf[IdentitySpec] => (sp, i) }
+      .groupBy(_._1.srcCol.toLowerCase)
+    val layoutCols = identSet ++ bySrc.keySet
+    val conjsAll = Scd1Merge.resolvedPredicate(probe, predicate).toSeq
+      .flatMap(split)
+      // the optimizer's implied IS NOT NULL on a layout column is
+      // trivially true (partition sources are non-null merge keys)
+      .filterNot {
+        case IsNotNull(a: AttributeReference) =>
+          layoutCols.contains(a.name.toLowerCase)
+        case _ => false
+      }
+    require(conjsAll.nonEmpty,
+      "dropPartitionsWhere: predicate did not resolve to any conjunct — " +
+      "to clear the whole table use overwriteTable with an empty batch")
+    val preds: Seq[Column] = conjsAll.map { c =>
       val refs = c.references.map(_.name.toLowerCase).toSet
       if (refs.nonEmpty && refs.subsetOf(identSet))
-        // the resolved conjunct's attributes carry the probe frame's
-        // exprIds — rebind by NAME against the value frame
-        Some(GraftExpressionBridge.column(c.transform {
+        GraftExpressionBridge.column(c.transform {
           case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
-        }))
+        })
       else if (refs.size == 1 && bySrc.contains(refs.head))
-        derivedPruning(c, bySrc(refs.head))
-      else None // conservative: conjunct can't prune
+        derivedContainment(c, bySrc(refs.head)).getOrElse(
+          throw new IllegalArgumentException(
+            s"dropPartitionsWhere: conjunct ${c.sql} on derived partition " +
+            "source is not whole-partition decidable (use ranges on a " +
+            "trunc-partitioned column, or deleteWhere for row-level deletes)"))
+      else throw new IllegalArgumentException(
+        s"dropPartitionsWhere: conjunct ${c.sql} does not decide whole " +
+        "partitions — it references non-partition columns (use deleteWhere " +
+        "for row-level deletes)")
     }
-    if (preds.isEmpty) return values
-    val kept = preds.foldLeft(frame)(_.filter(_))
-    kept.select(col("__pv")).as[String].collect().toSeq
+    val frame = valueFrame(spark, m, specs, probe, values)
+    import spark.implicits._
+    preds.foldLeft(frame)(_.filter(_))
+      .select(col("__pv")).as[String].collect().toSeq
+  }
+
+  /** Containment twin of [[derivedPruning]]: the conjunct must hold
+    * for the WHOLE `[lo, hix)` interval. Date sources get exact
+    * closed-bound handling (`d <= last-day` drops the month);
+    * timestamps use the conservative open form. */
+  private def derivedContainment(conj: Expression,
+      specs: Seq[(PartSpec, Int)]): Option[Column] = {
+    def L(l: Literal): Column = GraftExpressionBridge.column(l)
+    val shape: Option[(String, Literal)] = conj match {
+      case GreaterThan(_: AttributeReference, l: Literal) => Some(("gt", l))
+      case GreaterThan(l: Literal, _: AttributeReference) => Some(("lt", l))
+      case GreaterThanOrEqual(_: AttributeReference, l: Literal) => Some(("gte", l))
+      case GreaterThanOrEqual(l: Literal, _: AttributeReference) => Some(("lte", l))
+      case LessThan(_: AttributeReference, l: Literal) => Some(("lt", l))
+      case LessThan(l: Literal, _: AttributeReference) => Some(("gt", l))
+      case LessThanOrEqual(_: AttributeReference, l: Literal) => Some(("lte", l))
+      case LessThanOrEqual(l: Literal, _: AttributeReference) => Some(("gte", l))
+      case EqualTo(_: AttributeReference, l: Literal) => Some(("eq", l))
+      case EqualTo(l: Literal, _: AttributeReference) => Some(("eq", l))
+      case _ => None
+    }
+    shape.flatMap { case (op, l) =>
+      val per: Seq[Option[Column]] = specs.map {
+        case (TruncSpec(u, _), i) =>
+          val lo = col(s"__lo_$i"); val hix = col(s"__hix_$i")
+          val isDate = l.dataType == DateType
+          op match {
+            case "lt" => Some(hix <= L(l))
+            case "lte" =>
+              Some(if (isDate) hix <= date_add(L(l), 1) else hix <= L(l))
+            case "gt" =>
+              Some(if (isDate) lo > L(l) else lo > L(l))
+            case "gte" => Some(lo >= L(l))
+            case "eq" if u == "day" && isDate => Some(lo === L(l))
+            case _ => None
+          }
+        case _ => None // bucket/identity: never whole-partition decidable here
+      }
+      val got = per.flatten
+      if (got.isEmpty) None else Some(got.reduce(_ && _))
+    }
   }
 
   /** Map a conjunct on a derived spec's SOURCE column onto a

@@ -1368,6 +1368,40 @@ object QueriesRel {
         .select(col("k"), col("name"))
         .orderBy(col("k"))
     }),
+    "s50_partitioned_cdf" -> ((s, dir) => {
+      // CHANGE-DATA FEED over the PARTITIONED layout: the flat
+      // table's tagged diff (s19) lifted through the parent pin set —
+      // only partitions whose pinned child commit moved are read at
+      // all. The lifecycle exercises every leg: an updated month
+      // (update + update_preimage from the child's O(changed buckets)
+      // diff), a NEW month partition (full snapshot as inserts), and
+      // a month dropped by a metadata-only whole-partition drop
+      // (containment-checked — surfaced as deletes so a downstream
+      // consumer can apply it). Hidden month(o_orderdate)
+      // partitioning: the feed machinery and the derived layout
+      // compose. At 100 TB a parent commit touches O(few) partitions;
+      // the feed reads exactly those.
+      val o = table(s, dir, "orders")
+      val fact = o.select(col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val path = graft.Tmp.dir("graft_cdf50") + "/fact"
+      val keys = Seq("o_orderkey", "o_orderdate")
+      import graft.merge.PartitionedTable
+      def slice(lo: String, hi: String) =
+        fact.filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      PartitionedTable.upsert(s, path, slice("1995-01-01", "1995-04-01"),
+        keys, "month(o_orderdate)", numBuckets = 2)
+      PartitionedTable.upsert(s, path,
+        slice("1995-02-01", "1995-03-01").withColumn("cents", col("cents") + 1)
+          .unionByName(slice("1995-04-01", "1995-05-01")),
+        keys, "month(o_orderdate)")
+      val nDropped = PartitionedTable.dropPartitionsWhere(s, path,
+        col("o_orderdate") < "1995-02-01")
+      require(nDropped == 1,
+        s"expected to drop exactly the January partition, got $nDropped")
+      PartitionedTable.readChanges(s, path, fromCommitsBack = 2)
+        .orderBy(col("_change_type"), col("o_orderkey"))
+    }),
     "s49_hidden_partitions" -> ((s, dir) => {
       // HIDDEN PARTITIONING (Iceberg-style derived partition columns):
       // the fact is partitioned by month(o_orderdate) — a TRANSFORM
@@ -2032,6 +2066,24 @@ object QueriesRel {
          |FROM nation
          |WHERE n_regionkey < 3 AND n_nationkey >= 2
          |ORDER BY k""".stripMargin,
+    "s50_partitioned_cdf" ->
+      """WITH fact AS (
+         |  SELECT o_orderkey, o_orderdate,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |feb AS (SELECT * FROM fact WHERE o_orderdate >= DATE '1995-02-01'
+         |  AND o_orderdate < DATE '1995-03-01'),
+         |jan AS (SELECT * FROM fact WHERE o_orderdate >= DATE '1995-01-01'
+         |  AND o_orderdate < DATE '1995-02-01'),
+         |apr AS (SELECT * FROM fact WHERE o_orderdate >= DATE '1995-04-01'
+         |  AND o_orderdate < DATE '1995-05-01')
+         |SELECT o_orderkey, o_orderdate, cents + 1 AS cents,
+         |  'update' AS _change_type FROM feb
+         |UNION ALL SELECT o_orderkey, o_orderdate, cents,
+         |  'update_preimage' FROM feb
+         |UNION ALL SELECT o_orderkey, o_orderdate, cents, 'insert' FROM apr
+         |UNION ALL SELECT o_orderkey, o_orderdate, cents, 'delete' FROM jan
+         |ORDER BY _change_type, o_orderkey""".stripMargin,
     "s49_hidden_partitions" ->
       """SELECT o_orderkey, o_orderdate,
          |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents

@@ -74,9 +74,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       parameters: Map[String, String]): Source = {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft: a table path is required — readStream.format(\"graft\").load(<path>)"))
-    require(!PartitionedTable.tableExists(path),
-      "graft stream read: partitioned tables are not streamable yet — " +
-      "stream the child tables, or use the flat layout for feed sources")
+    // both layouts stream: flat tables on their commit counter,
+    // partitioned tables on the PARENT counter (GraftSource dispatches)
     new GraftSource(SparkSession.active, path, metadataPath,
       parameters.get("maxCommitsPerTrigger").map(_.trim.toInt))
   }

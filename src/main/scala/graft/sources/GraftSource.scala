@@ -38,10 +38,27 @@ class GraftSource(spark: SparkSession, path: String,
                   metadataPath: String,
                   maxCommitsPerTrigger: Option[Int])
     extends Source with SupportsTriggerAvailableNow {
-  private def live: Long = Scd1Merge.tableCommit(path).getOrElse(0).toLong
-  private val keys: Seq[String] = Scd1Merge.tableKeys(path)
-    .filter(_.nonEmpty).getOrElse(throw new IllegalStateException(
-      s"graft stream read: $path has no manifest merge keys"))
+  // one seam serves BOTH layouts: flat tables stream their commit
+  // counter, partitioned tables stream the PARENT commit counter (a
+  // parent commit = one atomic multi-partition batch; its feed diffs
+  // only the partitions whose pins moved — see
+  // [[graft.merge.PartitionedTable.readChanges]])
+  private val partitioned = graft.merge.PartitionedTable.tableExists(path)
+  private def live: Long =
+    (if (partitioned) graft.merge.PartitionedTable.tableCommit(path)
+     else Scd1Merge.tableCommit(path)).getOrElse(0).toLong
+  private def snapshotAt(back: Int): DataFrame =
+    if (partitioned) graft.merge.PartitionedTable.readTableAt(spark, path, back)
+    else Scd1Merge.readTableAt(spark, path, back)
+  private def changes(fromBack: Int, toBack: Int): DataFrame =
+    if (partitioned)
+      graft.merge.PartitionedTable.readChanges(spark, path, fromBack, toBack)
+    else Scd1Merge.readChanges(spark, path, keys, fromBack, toBack)
+  private val keys: Seq[String] =
+    (if (partitioned) graft.merge.PartitionedTable.tableKeys(path)
+     else Scd1Merge.tableKeys(path))
+      .filter(_.nonEmpty).getOrElse(throw new IllegalStateException(
+        s"graft stream read: $path has no manifest merge keys"))
 
   override val schema: StructType = GraftSource.schemaOf(spark, path)
 
@@ -93,11 +110,9 @@ class GraftSource(spark: SparkSession, path: String,
       if (startC <= 0)
         // initial snapshot AT the offered commit (commits may have
         // landed since getOffset — the retained manifest pins it)
-        Scd1Merge.readTableAt(spark, path, (cur - endC).toInt)
+        snapshotAt((cur - endC).toInt)
           .withColumn("_change_type", lit("insert"))
-      else Scd1Merge.readChanges(spark, path, keys,
-        fromCommitsBack = (cur - startC).toInt,
-        toCommitsBack = (cur - endC).toInt)
+      else changes((cur - startC).toInt, (cur - endC).toInt)
     GraftExpressionBridge.streamingBatch(
       out.select(schema.fieldNames.toIndexedSeq.map(col): _*))
   }
@@ -106,10 +121,16 @@ class GraftSource(spark: SparkSession, path: String,
 }
 
 object GraftSource {
-  /** Feed schema: the table's logical columns + `_change_type`. */
-  def schemaOf(spark: SparkSession, path: String): StructType = StructType(
-    Scd1Merge.readTable(spark, path).schema.fields :+
+  /** Feed schema: the table's logical columns + `_change_type` —
+    * either layout. */
+  def schemaOf(spark: SparkSession, path: String): StructType = {
+    val base =
+      if (graft.merge.PartitionedTable.tableExists(path))
+        graft.merge.PartitionedTable.readTable(spark, path)
+      else Scd1Merge.readTable(spark, path)
+    StructType(base.schema.fields :+
       StructField("_change_type", StringType, nullable = false))
+  }
 }
 
 /** Offset in the table's commit-counter domain (json = the number). */
