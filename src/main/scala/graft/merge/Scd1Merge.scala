@@ -2121,11 +2121,17 @@ object Scd1Merge {
             val stats = timed("stats") { bucketStats(spark, tmp, keys ++ statsColumns) }
             val newEntries = timed("adopt") { adoptBucketDirs(tablePath, tmp, _ => 0) }
             if (newEntries.isEmpty) {
-              // empty initial source: create NOTHING — an empty-manifest
-              // table has no schema to read; the table appears when data
-              // does (the lock goes down with the dir)
+              // empty initial source: CREATE the table anyway — one
+              // schema-bearing empty bucket (the emptied-by-DELETE
+              // posture) so `CREATE ... AS SELECT ... WHERE 1=0` and
+              // the create-then-COPY-INTO flow read/merge immediately
               deleteRecursively(Paths.get(tmp))
-              deleteRecursively(dir)
+              val entry = stageEmptyBucket(tablePath,
+                withBucket(source, keys, nb), 0, 0)
+              failpoint("before-manifest")
+              refreshLease(tablePath, leaseId)
+              commitManifest(tablePath,
+                Manifest(nb, Map(entry), keys = keys, batch = batchId))
             } else {
               failpoint("before-manifest")
               refreshLease(tablePath, leaseId)

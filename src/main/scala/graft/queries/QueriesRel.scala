@@ -1065,6 +1065,48 @@ object QueriesRel {
         s"ALTER TABLE graft.`$path` DROP COLUMN region")
       Scd1Merge.readTable(s, path).orderBy(col("k"))
     }),
+    "sql_copy_into" -> ((s, dir) => {
+      // COPY INTO — idempotent FILE-LEVEL ingest (Delta's statement;
+      // the lakehouse spelling of the reference's watermark-directory
+      // loop): the landing dir accumulates files across three runs —
+      // run 1 loads the two staged files, a verbatim re-run loads
+      // NOTHING (the loaded-files log), and after one more file lands
+      // the third run loads exactly it. The in-row requires pin all
+      // three file counts; rows ride the keyed upsert, so the crash
+      // window between data commit and log append replays as a no-op.
+      val o = table(s, dir, "orders")
+      val fact = o.select(col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val root = graft.Tmp.dir("graft_copy")
+      val in = java.nio.file.Paths.get(root, "in")
+      java.nio.file.Files.createDirectories(in)
+      def stage(df: DataFrame, name: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val t = java.nio.file.Paths.get(root, "stage_" + name)
+        df.coalesce(1).write.parquet(t.toString)
+        val part = java.nio.file.Files.list(t).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.move(part, in.resolve(name + ".parquet"))
+      }
+      def slice(lo: String, hi: String) =
+        fact.filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      stage(slice("1995-01-01", "1995-03-01"), "f1")
+      stage(slice("1995-03-01", "1995-04-01"), "f2")
+      val t = root + "/t"
+      Scd1Merge.upsert(s, t, fact.limit(0), Seq("o_orderkey"), numBuckets = 4)
+      def copy(): (Long, Long) = {
+        val r = graft.sql.GraftSql.sql(s,
+          s"COPY INTO graft.`$t` FROM '$in' FILEFORMAT = PARQUET")
+          .collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+      val r1 = copy(); val r2 = copy()
+      stage(slice("1995-04-01", "1995-05-01"), "f3")
+      val r3 = copy()
+      require(r1._1 == 2 && r2 == ((0L, 0L)) && r3._1 == 1,
+        s"COPY INTO file-level idempotence broken: $r1 / $r2 / $r3")
+      Scd1Merge.readTable(s, t).orderBy(col("o_orderkey"))
+    }),
     "sql_ctas_insert" -> ((s, dir) => {
       // SQL creation + write surface: CREATE GRAFT TABLE ... KEYS (...)
       // AS SELECT (the one graft-specific statement — merge keys are
@@ -1971,6 +2013,13 @@ object QueriesRel {
     "sql_alter_restore" ->
       """SELECT n_nationkey AS k, n_name AS label
          |FROM nation ORDER BY k""".stripMargin,
+    "sql_copy_into" ->
+      """SELECT o_orderkey, o_orderdate,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |FROM orders
+         |WHERE o_orderdate >= DATE '1995-01-01'
+         |  AND o_orderdate < DATE '1995-05-01'
+         |ORDER BY o_orderkey""".stripMargin,
     "sql_ctas_insert" ->
       """SELECT n_nationkey AS k,
          |  CASE WHEN n_nationkey >= 15 THEN n_name || '_ins' ELSE n_name END AS name,

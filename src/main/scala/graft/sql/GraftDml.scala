@@ -237,6 +237,11 @@ object GraftDml {
   private val DropConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(\S+|graft\s*\.\s*`[^`]*`)\s+DROP\s+""" +
      """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+(\S+|graft\s*\.\s*`[^`]*`)\s+FROM\s+'([^']+)'""" +
+     """\s+FILEFORMAT\s*=\s*([A-Za-z]+)""" +
+     """(?:\s+PATTERN\s*=\s*'([^']+)')?""" +
+     """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?\s*;?\s*$""").r
 
   private def parseTableToken(tok: String): Option[String] = {
     val t = tok.trim
@@ -291,6 +296,16 @@ object GraftDml {
       case DropConstraintRe(tok, name) =>
         parseTableToken(tok).map(p =>
           GraftConstraintCommand(p, name.trim, None))
+      case CopyIntoRe(tok, src, fmt, pattern, fopts) =>
+        parseTableToken(tok).map { p =>
+          val opts = Option(fopts).toSeq.flatMap(
+            _.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+              val Array(k, v) = kv.split("=", 2).map(
+                _.trim.stripPrefix("'").stripSuffix("'"))
+              k -> v
+            }).toMap
+          GraftCopyIntoCommand(p, src, fmt, Option(pattern), opts)
+        }
       case _ => None
     }
 
@@ -452,6 +467,105 @@ object GraftDml {
 case class MergeClause(group: String, kind: String,
                        cond: Option[Expression],
                        set: Option[Seq[(String, Expression)]])
+
+/** `COPY INTO <graft table> FROM '<dir>' FILEFORMAT = CSV|JSON|PARQUET|ORC
+  *   [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', ...)]` —
+  * idempotent FILE-LEVEL ingest (Delta's statement; the lakehouse
+  * spelling of the reference's watermark-directory loop,
+  * incremental_loading.py:70-81): every file under the source
+  * directory loads AT MOST ONCE, tracked in a loaded-files log next
+  * to the table's manifests, so re-running the statement after new
+  * files land loads exactly the new files and a verbatim re-run
+  * loads nothing. Rows land through the table's KEYED UPSERT (the
+  * graft INSERT posture), which closes the crash window without a
+  * two-phase protocol: a crash between the data commit and the log
+  * append replays as a rewrite of the same keys — exactly-once
+  * EFFECT, the same argument the partitioned parent swap uses.
+  *
+  * 100 TB: listing + log diff are driver metadata on file COUNT; the
+  * load itself reads only the fresh files (delta-sized), and lands
+  * through partition-routed/bucket-pruned merges. Returns one row
+  * (files_loaded, rows_loaded). */
+case class GraftCopyIntoCommand(path: String, srcDir: String,
+    format: String, pattern: Option[String],
+    formatOptions: Map[String, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_loaded", LongType, nullable = false)(),
+    AttributeReference("rows_loaded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.merge.PartitionedTable
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val fmt = format.toLowerCase
+    require(Seq("csv", "json", "parquet", "orc").contains(fmt),
+      s"COPY INTO: FILEFORMAT $format not supported (csv/json/parquet/orc)")
+    require(Scd1Merge.tableExists(path) || PartitionedTable.tableExists(path),
+      s"COPY INTO: $path is not a graft table (CREATE GRAFT TABLE first)")
+    val dir = Paths.get(srcDir)
+    require(Files.isDirectory(dir),
+      s"COPY INTO: source '$srcDir' is not a directory")
+    val matcher = pattern.map(g => dir.getFileSystem.getPathMatcher("glob:" + g))
+    val listed = Files.walk(dir).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filter { p =>
+        val n = p.getFileName.toString
+        !n.startsWith(".") && !n.startsWith("_")
+      }
+      .filter(p => matcher.forall(_.matches(dir.relativize(p))))
+      .map(_.toAbsolutePath.toString).toSeq.sorted
+    val logPath = Paths.get(path, "_graft_copy_log")
+    val already: Set[String] =
+      if (Files.exists(logPath)) Files.readAllLines(logPath).asScala.toSet
+      else Set.empty
+    val fresh = listed.filterNot(already)
+    if (fresh.isEmpty) return Seq(Row(0L, 0L))
+    val reader = formatOptions.foldLeft(spark.read.format(fmt)) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    val df0 = reader.load(fresh: _*)
+    val rows = df0.count()
+    // align BY NAME onto the target schema with store-assignment
+    // up-casts only (an int CSV inference loads into a bigint column;
+    // a lossy cast is rejected loudly BEFORE anything lands — the
+    // same posture as UPDATE's SET types)
+    val targetSchema =
+      (if (PartitionedTable.tableExists(path))
+         PartitionedTable.readTable(spark, path)
+       else Scd1Merge.readTable(spark, path)).schema
+    val aligned = targetSchema.fields.toIndexedSeq.map { f =>
+      val srcF = df0.schema.fields.find(_.name.equalsIgnoreCase(f.name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"COPY INTO: source files have no column '${f.name}' " +
+          s"(have: ${df0.columns.mkString(",")})"))
+      if (srcF.dataType == f.dataType) col(f.name)
+      else {
+        require(org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(srcF.dataType, f.dataType),
+          s"COPY INTO: column '${f.name}' type ${srcF.dataType.sql} does " +
+          s"not up-cast losslessly to the table's ${f.dataType.sql}")
+        col(f.name).cast(f.dataType).as(f.name)
+      }
+    }
+    val df = df0.select(aligned: _*)
+    if (PartitionedTable.tableExists(path)) {
+      val pkeys = PartitionedTable.tableKeys(path).get
+      val pcol = PartitionedTable.partitionColumn(path).get
+      PartitionedTable.upsert(spark, path, df, pkeys, pcol)
+    } else {
+      Scd1Merge.upsert(spark, path, df, GraftTables.keysOf(path))
+    }
+    // log AFTER the data commit (crash in between → idempotent redo);
+    // atomic tmp+move so a concurrent reader never sees a torn log
+    val tmp = Paths.get(path, "_graft_copy_log.tmp")
+    Files.write(tmp, (already.toSeq.sorted ++ fresh).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, logPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Seq(Row(fresh.size.toLong, rows))
+  }
+}
 
 /** `INSERT INTO <graft table> <query>` — KEYED-UPSERT semantics, by
   * name: graft tables are bucketed by merge key, so a blind

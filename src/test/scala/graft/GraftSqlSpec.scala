@@ -574,6 +574,43 @@ class GraftSqlSpec extends SparkSpecBase {
       s"SELECT count(*) AS n FROM graft.`$path`").as[Long].head() == 30L)
   }
 
+  test("COPY INTO: file-level idempotence, PATTERN, FORMAT_OPTIONS, up-cast alignment") {
+    import java.nio.file.{Files, Paths}
+    val root = graft.Tmp.dir("sql_copy")
+    val in = Paths.get(root, "in")
+    Files.createDirectories(in)
+    Files.writeString(in.resolve("a.csv"), "k,v\n1,one\n2,two\n")
+    Files.writeString(in.resolve("b.csv"), "k,v\n3,three\n")
+    Files.writeString(in.resolve("skip.txt"), "k,v\n99,ignored\n")
+    val t = root + "/t"
+    Scd1Merge.upsert(spark, t, Seq((0L, "zero")).toDF("k", "v"), Seq("k"),
+      numBuckets = 2)
+    def copy(): (Long, Long) = {
+      val r = graft.sql.GraftSql.sql(spark,
+        s"COPY INTO graft.`$t` FROM '$in' FILEFORMAT = CSV " +
+        "PATTERN = '*.csv' " +
+        "FORMAT_OPTIONS ('header' = 'true', 'inferSchema' = 'true')")
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    // run 1: both csvs (skip.txt excluded by PATTERN), int k up-casts
+    assert(copy() == ((2L, 3L)))
+    // verbatim re-run: the log skips everything
+    assert(copy() == ((0L, 0L)))
+    // a late file loads alone; rows ride the keyed upsert (k=1 replaced)
+    Files.writeString(in.resolve("c.csv"), "k,v\n1,uno\n9,nine\n")
+    assert(copy() == ((1L, 2L)))
+    val got = graft.sql.GraftSql.sql(spark,
+      s"SELECT k, v FROM graft.`$t` ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((0L, "zero"), (1L, "uno"), (2L, "two"),
+      (3L, "three"), (9L, "nine")), got.toString)
+    // a lossy alignment is rejected loudly before anything lands
+    Files.writeString(in.resolve("d.csv"), "k,v\nnot_a_number,x\n")
+    val e = intercept[IllegalArgumentException] { copy() }
+    assert(e.getMessage.contains("up-cast"), e.getMessage)
+  }
+
   test("DESCRIBE DETAIL: manifest-only metadata row for flat and partitioned tables") {
     val flat = graft.Tmp.dir("sql_detail") + "/flat"
     Scd1Merge.upsert(spark,

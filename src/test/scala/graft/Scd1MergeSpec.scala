@@ -420,6 +420,17 @@ class Scd1MergeSpec extends SparkSpecBase {
     assert(Scd1Merge.readTable(spark, path).count() == 2)
   }
 
+  test("CREATE from an empty source: schema-bearing table, readable and upsertable") {
+    val path = Tmp.dir("scd1_emptycreate") + "/t"
+    Scd1Merge.upsert(spark, path,
+      Seq((1L, "a")).toDF("k", "v").limit(0), Seq("k"), numBuckets = 3)
+    assert(Scd1Merge.tableExists(path))
+    val t = Scd1Merge.readTable(spark, path)
+    assert(t.columns.toSeq == Seq("k", "v") && t.count() == 0)
+    Scd1Merge.upsert(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    assert(canon(Scd1Merge.readTable(spark, path)) == Seq(Seq("1", "a")))
+  }
+
   // ---------------- interrupted FIRST commits ----------------
 
   test("crash before the FIRST manifest (initial create): no phantom table, retry clean") {
