@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DSv2 graft dims under the broadcast threshold auto-broadcast
     // (the V1ScanWrapper stats gap — see GraftAutoBroadcast)
     ext.injectPreCBORule(_ => graft.plans.GraftAutoBroadcast)
+    // aggregates over a base table answer from its registered,
+    // FRESH incremental MV (GraftMvRewrite Scaladoc has the gates)
+    ext.injectOptimizerRule(_ => graft.plans.GraftMvRewrite)
   }
 }
 

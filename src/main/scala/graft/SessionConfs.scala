@@ -30,5 +30,11 @@ object SessionConfs {
           .contains(graft.plans.GraftAutoBroadcast))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.GraftAutoBroadcast
+    // live-session twin of the extensions' injectOptimizerRule:
+    // MV query rewrite (no-op until an MV is registered)
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.GraftMvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.GraftMvRewrite
   }
 }

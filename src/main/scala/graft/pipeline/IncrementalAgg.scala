@@ -56,6 +56,22 @@ object IncrementalAgg {
       statsColumns = Seq(spec.countName), batchId = batchId)
   }
 
+  /** [[bootstrap]] from the base TABLE (not a free frame), stamping
+    * the aggregate with the base commit it captured — the stamp
+    * [[applyChanges]] writes and [[graft.plans.GraftMvRewrite]]'s
+    * freshness gate checks. Use this form when the aggregate is a
+    * registered MV: a bare bootstrap carries no stamp, so the rewrite
+    * (correctly) refuses to trust it. */
+  def bootstrapFrom(spark: SparkSession, aggPath: String, basePath: String,
+                    spec: AggSpec, numBuckets: Int = 0,
+                    retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit = {
+    val commit = Scd1Merge.tableCommit(basePath).getOrElse(
+      throw new IllegalStateException(s"bootstrapFrom: $basePath has no manifest"))
+    bootstrap(spark, aggPath, Scd1Merge.readTable(spark, basePath), spec,
+      numBuckets, batchId = f"base-commit-$commit%09d",
+      retainVersions = retainVersions)
+  }
+
   /** Apply one commit range of the base table's change feed to the
     * aggregate table. `fromBack`/`toBack` follow
     * [[Scd1Merge.readChanges]] (1, 0 = the latest base commit).

@@ -821,6 +821,73 @@ object QueriesPipeline {
       }
     }),
 
+    "pipe19_mv_rewrite" -> ((s, dir) => {
+      // TRANSPARENT MV QUERY REWRITE (GraftMvRewrite), judged: the
+      // user's plain aggregate over the BASE table is answered from
+      // the O(delta)-maintained aggregate table — query text never
+      // changes, the optimizer swaps the scan when (and only when)
+      // the MV is provably FRESH. Base lifecycle mirrors
+      // pipe7_incremental_agg (load, measure update, insert, group-
+      // killing delete); the MV here carries a 2-level group
+      // (priority, custkey) and the judged query ROLLS UP to priority
+      // — sum/count re-aggregate, avg lowers to sum/sum. In-row
+      // requires pin the mechanism: the stale window (base commit not
+      // yet folded) must read the BASE, the fresh query must read
+      // ONLY the MV's files; the DuckDB oracle recomputes the answer
+      // from the final base content, so a rewrite that lied about
+      // values would break the hash.
+      import graft.pipeline.IncrementalAgg
+      import graft.pipeline.IncrementalAgg.AggSpec
+      import graft.plans.GraftMvRewrite
+      val root = tmpDir("graft_mvrw")
+      val ordT = root + "/orders"; val mvT = root + "/mv"
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val spec = AggSpec(Seq("o_orderpriority", "o_custkey"),
+        Seq("cents" -> "sum_cents"), "n_orders")
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def q(): DataFrame =
+        Scd1Merge.readTable(s, ordT).groupBy(col("o_orderpriority"))
+          .agg(sum(col("cents")).as("sum_cents"),
+            count(lit(1)).as("n_orders"), avg(col("cents")).as("avg_raw"))
+          .select(col("o_orderpriority"), col("sum_cents"),
+            col("n_orders"), round(col("avg_raw"), 4).as("avg_cents"))
+          .orderBy(col("o_orderpriority"))
+      val b1 = o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      Scd1Merge.upsert(s, ordT, b1, Seq("o_orderkey"), numBuckets = 8)
+      IncrementalAgg.bootstrapFrom(s, mvT, ordT, spec, numBuckets = 4)
+      GraftMvRewrite.register(ordT, mvT, spec)
+      val b2 = b1.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("cents", col("cents") + 100L)
+      Scd1Merge.upsert(s, ordT, b2, Seq("o_orderkey"))
+      // STALE WINDOW: the unfolded commit must route the query to the base
+      val stale = scansOf(q())
+      require(stale.nonEmpty && stale.forall(_.contains(ordT + "/")),
+        s"stale MV answered the query: $stale")
+      IncrementalAgg.applyChanges(s, mvT, ordT, Seq("o_orderkey"), spec)
+      val b3 = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      Scd1Merge.upsert(s, ordT, b3, Seq("o_orderkey"))
+      IncrementalAgg.applyChanges(s, mvT, ordT, Seq("o_orderkey"), spec)
+      Scd1Merge.delete(s, ordT, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(13)) === 0 || pmod(col("o_custkey"), lit(11)) === 0)
+      IncrementalAgg.applyChanges(s, mvT, ordT, Seq("o_orderkey"), spec)
+      // FRESH: the same query text now reads ONLY the MV's files
+      val out = q()
+      val fresh = scansOf(out)
+      require(fresh.nonEmpty && fresh.forall(_.contains(mvT + "/")),
+        s"fresh MV did not answer the query: $fresh")
+      out
+    }),
+
     "pipe8_incremental_dedup" -> ((s, dir) => {
       // INCREMENTAL EXACT DEDUP AS A MAINTAINED TABLE: the seen-hash
       // set every continuously-ingesting corpus keeps — batches arrive
@@ -1135,6 +1202,17 @@ object QueriesPipeline {
          |  WHERE NOT (o_orderkey % 13 = 0 OR o_custkey % 11 = 0))
          |SELECT o_custkey, sum(cents)::BIGINT AS sum_cents, count(*) AS n_orders
          |FROM o GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "pipe19_mv_rewrite" ->
+      """WITH o AS (
+         |  SELECT o_orderkey, o_custkey, o_orderpriority,
+         |    CAST(round(o_totalprice * 100) AS BIGINT)
+         |      + CASE WHEN o_orderkey % 2 = 1 AND o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS cents
+         |  FROM orders
+         |  WHERE NOT (o_orderkey % 13 = 0 OR o_custkey % 11 = 0))
+         |SELECT o_orderpriority, sum(cents)::BIGINT AS sum_cents,
+         |  count(*) AS n_orders,
+         |  round(sum(cents)::DOUBLE / count(*), 4) AS avg_cents
+         |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "pipe8_incremental_dedup" ->
       """WITH r AS (SELECT sha256(text) AS content_hash, doc_id,
          |    row_number() OVER (PARTITION BY sha256(text)

@@ -1,0 +1,157 @@
+package graft
+
+import graft.merge.Scd1Merge
+import graft.pipeline.IncrementalAgg
+import graft.pipeline.IncrementalAgg.AggSpec
+import graft.plans.GraftMvRewrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The MV query-rewrite rule (GraftMvRewrite): soundness gates, the
+  * roll-up algebra, and the observability hooks. Every positive case
+  * asserts BOTH that the answer equals a from-base recompute AND that
+  * the optimized plan actually reads the MV's files (a rewrite that
+  * silently didn't fire would still pass a value-only check). */
+class MvRewriteSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def scanPaths(df: DataFrame): Seq[String] = {
+    df.queryExecution.optimizedPlan.collectLeaves()
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten
+  }
+
+  private def readsOnly(df: DataFrame, dir: String): Boolean = {
+    val ps = scanPaths(df)
+    ps.nonEmpty && ps.forall(_.contains(dir + "/"))
+  }
+
+  private def fixture(): (String, String, AggSpec) = {
+    val root = Tmp.dir("mv_rewrite")
+    val base = root + "/base"; val mv = root + "/mv"
+    val rows = (1L to 400L).map(i =>
+      (i, s"g${i % 7}", s"p${i % 3}", i * 10 + i % 5))
+      .toDF("id", "g", "p", "cents")
+    Scd1Merge.upsert(spark, base, rows, Seq("id"), numBuckets = 4)
+    val spec = AggSpec(Seq("g", "p"), Seq("cents" -> "sum_cents"), "n")
+    IncrementalAgg.bootstrapFrom(spark, mv, base, spec, numBuckets = 2)
+    GraftMvRewrite.register(base, mv, spec)
+    (base, mv, spec)
+  }
+
+  test("full-group and roll-up aggregates rewrite onto the MV; values match a recompute") {
+    val (base, mv, _) = fixture()
+    try {
+      val b = Scd1Merge.readTable(spark, base)
+      val full = b.groupBy($"g", $"p").agg(
+        sum($"cents").as("sc"), count(lit(1)).as("n"))
+      assert(readsOnly(full, mv), s"full-group plan reads ${scanPaths(full)}")
+      val rollup = b.groupBy($"g").agg(
+        sum($"cents").as("sc"), count(lit(1)).as("n"), avg($"cents").as("a"))
+      assert(readsOnly(rollup, mv))
+      val global = b.agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+      assert(readsOnly(global, mv))
+      // values: compare against a recompute with the rule disabled
+      GraftMvRewrite.unregister(base)
+      assertSameRows(full.orderBy("g", "p"),
+        b.groupBy($"g", $"p").agg(sum($"cents").as("sc"),
+          count(lit(1)).as("n")).orderBy("g", "p"))
+      assertSameRows(rollup.orderBy("g"),
+        b.groupBy($"g").agg(sum($"cents").as("sc"), count(lit(1)).as("n"),
+          avg($"cents").as("a")).orderBy("g"))
+      assertSameRows(global, b.agg(sum($"cents").as("sc"),
+        count(lit(1)).as("n")))
+    } finally GraftMvRewrite.unregister(base)
+  }
+
+  test("freshness gate: a base commit not yet applied disables the rewrite; applying re-enables it") {
+    val (base, mv, spec) = fixture()
+    try {
+      def q = Scd1Merge.readTable(spark, base).groupBy($"g")
+        .agg(sum($"cents").as("sc"))
+      assert(readsOnly(q, mv))
+      // new base commit → MV stale → the query reads the BASE (fresh data)
+      Scd1Merge.upsert(spark, base,
+        Seq((9001L, "g1", "p1", 77L)).toDF("id", "g", "p", "cents"), Seq("id"))
+      assert(readsOnly(q, base), "stale MV must not answer the query")
+      assert(canon(q.filter($"g" === "g1")).nonEmpty)
+      // fold the commit in → rewrite resumes, new row included
+      IncrementalAgg.applyChanges(spark, mv, base, Seq("id"), spec)
+      val fresh = q
+      assert(readsOnly(fresh, mv))
+      GraftMvRewrite.unregister(base)
+      assertSameRows(fresh.orderBy("g"), Scd1Merge.readTable(spark, base)
+        .groupBy($"g").agg(sum($"cents").as("sc")).orderBy("g"))
+    } finally GraftMvRewrite.unregister(base)
+  }
+
+  test("soundness fall-throughs: filters, distinct, count(col), expressions, time travel, ungrouped columns") {
+    val (base, mv, _) = fixture()
+    try {
+      val b = Scd1Merge.readTable(spark, base)
+      // WHERE between scan and aggregate
+      assert(readsOnly(b.filter($"cents" > 100)
+        .groupBy($"g").agg(sum($"cents").as("s")), base))
+      // DISTINCT aggregate
+      assert(readsOnly(b.groupBy($"g")
+        .agg(countDistinct($"p").as("d")), base))
+      // count(col) counts non-nulls — not answerable from the MV
+      assert(readsOnly(b.groupBy($"g").agg(count($"cents").as("c")), base))
+      // computed measure
+      assert(readsOnly(b.groupBy($"g")
+        .agg(sum($"cents" * 2).as("s")), base))
+      // unregistered aggregate function
+      assert(readsOnly(b.groupBy($"g").agg(max($"cents").as("m")), base))
+      // group by a non-MV column
+      assert(readsOnly(b.groupBy($"id").agg(sum($"cents").as("s")), base))
+      // time travel: same shape, older file set — never rewritten
+      Scd1Merge.upsert(spark, base,
+        Seq((9002L, "g2", "p2", 5L)).toDF("id", "g", "p", "cents"), Seq("id"))
+      val old = Scd1Merge.readTableAt(spark, base, 1)
+        .groupBy($"g").agg(sum($"cents").as("s"))
+      assert(readsOnly(old, base))
+    } finally GraftMvRewrite.unregister(base)
+  }
+
+  test("stamp survives group-killing deletes and tombstone sweeps; wrapped aggregates rewrite") {
+    // the pipe19 lifecycle in miniature: a delete that kills whole
+    // groups makes applyChanges commit zero-count tombstones AND
+    // sweep them with a second (stamp-preserving) delete commit — the
+    // freshness stamp must survive both, and a collapsed projection
+    // (round over avg folded INTO the Aggregate) must still lower
+    val (base, mv, spec) = fixture()
+    try {
+      def q = Scd1Merge.readTable(spark, base).groupBy($"g")
+        .agg(sum($"cents").as("sc"), count(lit(1)).as("n"), avg($"cents").as("a"))
+        .select($"g", $"sc", $"n", round($"a", 4).as("ar"))
+      Scd1Merge.delete(spark, base, Seq("id"), $"g" === "g3")
+      IncrementalAgg.applyChanges(spark, mv, base, Seq("id"), spec)
+      assert(readsOnly(q, mv))
+      GraftMvRewrite.unregister(base)
+      assertSameRows(q.orderBy("g"), Scd1Merge.readTable(spark, base)
+        .groupBy($"g").agg(sum($"cents").as("sc"), count(lit(1)).as("n"),
+          avg($"cents").as("a"))
+        .select($"g", $"sc", $"n", round($"a", 4).as("ar")).orderBy("g"))
+    } finally GraftMvRewrite.unregister(base)
+  }
+
+  test("rewrite survives parent operators: sort and HAVING keep the MV plan and the answer") {
+    val (base, mv, _) = fixture()
+    try {
+      val q = Scd1Merge.readTable(spark, base).groupBy($"g")
+        .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+        .filter($"n" > 10).orderBy($"sc".desc)
+      assert(readsOnly(q, mv))
+      GraftMvRewrite.unregister(base)
+      assertSameRows(q, Scd1Merge.readTable(spark, base).groupBy($"g")
+        .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+        .filter($"n" > 10).orderBy($"sc".desc))
+    } finally GraftMvRewrite.unregister(base)
+  }
+}
