@@ -652,8 +652,23 @@ object PartitionedTable {
         case (Some((_, pinF)), Some((relT, pinT))) =>
           val childPath = Paths.get(tablePath, relT).toString
           val liveC = Scd1Merge.tableCommit(childPath).getOrElse(pinT)
-          Some(Scd1Merge.readChanges(spark, childPath, live.keys,
-            fromCommitsBack = liveC - pinF, toCommitsBack = liveC - pinT))
+          if (pinF < pinT)
+            Some(Scd1Merge.readChanges(spark, childPath, live.keys,
+              fromCommitsBack = liveC - pinF, toCommitsBack = liveC - pinT))
+          else {
+            // REVERSE window — a parent RESTORE moved the pin
+            // backward: the forward child diff pinT→pinF, inverted
+            // (inserts⇄deletes, updates swap with their preimages) —
+            // same O(changed buckets) cost, and exactly the feed a
+            // downstream consumer must apply to follow the restore
+            val fwd = Scd1Merge.readChanges(spark, childPath, live.keys,
+              fromCommitsBack = liveC - pinT, toCommitsBack = liveC - pinF)
+            Some(fwd.withColumn("_change_type",
+              when(col("_change_type") === "insert", lit("delete"))
+                .when(col("_change_type") === "delete", lit("insert"))
+                .when(col("_change_type") === "update", lit("update_preimage"))
+                .otherwise(lit("update"))))
+          }
         case (None, Some((relT, pinT))) =>
           Some(childRead(spark, tablePath, relT, pinT)
             .withColumn("_change_type", lit("insert")))
@@ -1204,6 +1219,81 @@ object PartitionedTable {
     readPManifest(tablePath).map(_.constraints).getOrElse(Map.empty)
   def lastCommitTs(tablePath: String): Option[Long] =
     readPManifest(tablePath).map(_.ts).filter(_ > 0)
+
+  /** RESTORE — roll the live table back to the parent snapshot
+    * `commitsBack` parent commits ago AS A NEW PARENT COMMIT (the
+    * flat-table [[Scd1Merge.restore]] contract: the table stays
+    * live, history after the restore point stays readable, and the
+    * change feed across the restore is the reverse diff). A restore
+    * is O(partitions) driver METADATA — the old pin set re-commits
+    * forward; no child table is touched and no data moves, which is
+    * exactly what makes it a sane operation on a 100 TB fact. Every
+    * pinned child snapshot is validated STILL READABLE before the
+    * swap ([[Scd1Merge.snapshotReadable]] — manifest retained, dirs
+    * unswept); a child vacuumed past its pin fails loudly with the
+    * partition named and the live table untouched (all-or-nothing).
+    * Partitions created AFTER the restore point simply drop out of
+    * the pin set (their child dirs stay on disk, unreferenced — the
+    * same posture as [[dropPartitionsWhere]]'s metadata-only drop). */
+  def restore(tablePath: String, commitsBack: Int): Int = {
+    require(commitsBack >= 1, s"restore needs commitsBack >= 1, got $commitsBack")
+    withPLock(tablePath) {
+      val live = requireTable(tablePath)
+      val target = parentAt(tablePath, live, commitsBack)
+      target.parts.toSeq.sortBy(_._1).foreach { case (k, (rel, pin)) =>
+        val childPath = Paths.get(tablePath, rel).toString
+        val problem = Scd1Merge.tableCommit(childPath) match {
+          case None => Some("child table has no manifest")
+          case Some(liveC) => Scd1Merge.snapshotReadable(childPath, liveC - pin)
+        }
+        problem.foreach(r => throw new IllegalStateException(
+          s"restore: partition ${valsOf(k).mkString("/")} cannot serve " +
+          s"pinned child commit $pin — $r (raise child retention to keep " +
+          "a deeper restore horizon)"))
+      }
+      commitPManifest(tablePath, target).commit
+    }
+  }
+
+  /** SHALLOW CLONE of the whole partitioned table — each child cloned
+    * AT ITS PINNED COMMIT ([[Scd1Merge.cloneShallow]]'s symlinked
+    * zero-copy fork; the pin, not child-live, so a crash residue
+    * where a child ran ahead of the parent swap can never leak into
+    * the clone), then one parent manifest pinning every clone at its
+    * first commit. O(partitions × buckets) metadata, zero data
+    * copied. Same retention caveat as the flat clone: the source's
+    * GC cannot see the clone's references. */
+  def cloneShallow(srcPath: String, dstPath: String): Int =
+    cloneWith(srcPath, dstPath, deep = false)
+
+  /** DEEP CLONE — the independent physical backup: every child's
+    * pinned snapshot byte-copied ([[Scd1Merge.cloneDeep]]), immune to
+    * source vacuum, sharing no storage. O(live table bytes). */
+  def cloneDeep(srcPath: String, dstPath: String): Int =
+    cloneWith(srcPath, dstPath, deep = true)
+
+  private def cloneWith(srcPath: String, dstPath: String,
+                        deep: Boolean): Int = {
+    val src = requireTable(srcPath)
+    if (tableExists(dstPath)) throw new IllegalStateException(
+      s"clone: $dstPath is already a partitioned table")
+    withPLock(dstPath) {
+      val parts = src.parts.toSeq.sortBy(_._1).map { case (k, (rel, pin)) =>
+        val childSrc = Paths.get(srcPath, rel).toString
+        val childDst = Paths.get(dstPath, rel).toString
+        val liveC = Scd1Merge.tableCommit(childSrc).getOrElse(
+          throw new IllegalStateException(
+            s"clone: partition ${valsOf(k).mkString("/")} has no child manifest"))
+        val c =
+          if (deep) Scd1Merge.cloneDeep(childSrc, childDst,
+            commitsBack = liveC - pin)
+          else Scd1Merge.cloneShallow(childSrc, childDst,
+            commitsBack = liveC - pin)
+        k -> (rel, c)
+      }.toMap
+      commitPManifest(dstPath, src.copy(parts = parts)).commit
+    }
+  }
 
   /** Parent commit log: commit, ts, partition count — the partitioned
     * twin of [[Scd1Merge.history]]. */

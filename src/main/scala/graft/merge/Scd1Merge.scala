@@ -3660,6 +3660,33 @@ object Scd1Merge {
     * manifest or its dirs are gone); raise `retainVersions` on the
     * table's writers to keep a deeper undo horizon.
     * Returns the new live commit number. */
+  /** Metadata-only probe that the snapshot `commitsBack` commits ago
+    * is still FULLY readable: its history manifest is retained and
+    * every bucket dir it references is unswept. `None` = readable;
+    * `Some(reason)` = the loud explanation. The partitioned parent's
+    * restore validates every child pin through this BEFORE committing
+    * anything (all-or-nothing: a half-validated restore never swaps). */
+  private[graft] def snapshotReadable(tablePath: String,
+                                      commitsBack: Int): Option[String] =
+    readManifest(tablePath) match {
+      case None => Some(s"$tablePath has no manifest")
+      case Some(_) if commitsBack == 0 => None
+      case Some(live) =>
+        val target = live.commit - commitsBack
+        val hp = Paths.get(tablePath, HistoryDir, target.toString)
+        if (target < 1 || !Files.exists(hp))
+          Some(s"snapshot $target of $tablePath predates the table or " +
+            "was vacuumed")
+        else {
+          val missing = parseManifest(hp).dirs.values
+            .filterNot(d => Files.exists(Paths.get(tablePath, d)))
+          if (missing.nonEmpty)
+            Some(s"snapshot $target of $tablePath references swept " +
+              s"bucket dir(s) ${missing.mkString(",")}")
+          else None
+        }
+    }
+
   def restore(tablePath: String, commitsBack: Int,
               retainVersions: Int = DefaultRetainVersions,
               batchId: String = ""): Int = {
@@ -3714,10 +3741,30 @@ object Scd1Merge {
     * discipline, they don't extend it.
     *
     * Returns the clone's first commit number (always 1). */
+  /** The source manifest `commitsBack` commits ago (0 = live) — the
+    * clone-at-snapshot resolution shared by both clone flavors; loud
+    * when the snapshot was vacuumed. The partitioned parent clones
+    * each child AT ITS PIN through this (a crash can leave a child
+    * ahead of the parent's pin; cloning child-live would leak the
+    * unreferenced residue into the clone). */
+  private def manifestBack(tablePath: String, commitsBack: Int,
+                           op: String): Manifest = {
+    val live = readManifest(tablePath).getOrElse(throw new IllegalStateException(
+      s"$op: $tablePath has no manifest (not a committed bucketed table)"))
+    if (commitsBack == 0) live
+    else {
+      val target = live.commit - commitsBack
+      val hp = Paths.get(tablePath, HistoryDir, target.toString)
+      if (target < 1 || !Files.exists(hp)) throw new IllegalStateException(
+        s"$op: no snapshot $commitsBack commits back of $tablePath " +
+        s"(live commit ${live.commit}); it predates the table or was vacuumed")
+      parseManifest(hp)
+    }
+  }
+
   def cloneShallow(srcPath: String, dstPath: String,
-                   batchId: String = ""): Int = {
-    val src = readManifest(srcPath).getOrElse(throw new IllegalStateException(
-      s"cloneShallow: $srcPath has no manifest (not a committed bucketed table)"))
+                   batchId: String = "", commitsBack: Int = 0): Int = {
+    val src = manifestBack(srcPath, commitsBack, "cloneShallow")
     if (readManifest(dstPath).isDefined) throw new IllegalStateException(
       s"cloneShallow: $dstPath is already a committed table")
     Files.createDirectories(Paths.get(dstPath, "data"))
@@ -3764,9 +3811,8 @@ object Scd1Merge {
     * SOURCE manifest did not advance past the copied dirs before the
     * clone manifest commits. */
   def cloneDeep(srcPath: String, dstPath: String,
-                batchId: String = ""): Int = {
-    val src = readManifest(srcPath).getOrElse(throw new IllegalStateException(
-      s"cloneDeep: $srcPath has no manifest (not a committed bucketed table)"))
+                batchId: String = "", commitsBack: Int = 0): Int = {
+    val src = manifestBack(srcPath, commitsBack, "cloneDeep")
     if (readManifest(dstPath).isDefined) throw new IllegalStateException(
       s"cloneDeep: $dstPath is already a committed table")
     Files.createDirectories(Paths.get(dstPath, "data"))

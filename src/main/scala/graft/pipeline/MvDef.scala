@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import graft.pipeline.IncrementalAgg.AggSpec
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+
+/** PERSISTED materialized-view definition — the `_graft_mv` file next
+  * to the MV table's manifests, recording WHAT the MV maintains
+  * (base table, group columns, summed measures, count column). This
+  * is what makes the SQL MV lifecycle durable: `REFRESH MATERIALIZED
+  * VIEW` in a NEW session reads the definition back, folds the base
+  * commits the MV has not seen, and re-registers the query-rewrite
+  * rule — no Scala-side state survives the session, the definition
+  * does. Written atomically (tmp + move) like every other graft
+  * metadata file. */
+object MvDef {
+
+  final case class Def(basePath: String, baseKeys: Seq[String], spec: AggSpec)
+
+  private val FileName = "_graft_mv"
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  def write(mvPath: String, d: Def): Unit = {
+    val body = Seq(
+      s"base=${enc(d.basePath)}",
+      s"keys=${d.baseKeys.map(enc).mkString(",")}",
+      s"groups=${d.spec.groupCols.map(enc).mkString(",")}",
+      s"sums=${d.spec.sums.map { case (m, o) => s"${enc(m)}:${enc(o)}" }.mkString(",")}",
+      s"count=${enc(d.spec.countName)}").mkString("\n")
+    val tmp = Paths.get(mvPath, FileName + ".tmp")
+    Files.createDirectories(tmp.getParent)
+    Files.write(tmp, body.getBytes(UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, Paths.get(mvPath, FileName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def read(mvPath: String): Option[Def] = {
+    val p = Paths.get(mvPath, FileName)
+    if (!Files.exists(p)) return None
+    val kv = Files.readString(p).split("\n").iterator
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    def list(k: String): Seq[String] =
+      kv.getOrElse(k, "").split(",").iterator.filter(_.nonEmpty).map(dec).toSeq
+    val sums = kv.getOrElse("sums", "").split(",").iterator
+      .filter(_.nonEmpty).map { s =>
+        val Array(m, o) = s.split(":", 2); (dec(m), dec(o))
+      }.toSeq
+    Some(Def(dec(kv("base")), list("keys"),
+      AggSpec(list("groups"), sums, dec(kv("count")))))
+  }
+}

@@ -1132,6 +1132,65 @@ object QueriesRel {
            |FROM sql_ctas_nation WHERE n_nationkey >= 15""".stripMargin)
       Scd1Merge.readTable(s, path).orderBy(col("k"))
     }),
+    "sql_mv_lifecycle" -> ((s, dir) => {
+      // SQL-ONLY MV LIFECYCLE: CREATE GRAFT MATERIALIZED VIEW
+      // bootstraps the O(delta)-maintained aggregate (IncrementalAgg),
+      // PERSISTS the definition (_graft_mv), and arms the transparent
+      // query rewrite (GraftMvRewrite); the user's plain GROUP BY over
+      // the 100 TB base then reads the MV — until a base commit the
+      // MV has not folded, which routes the SAME query text back to
+      // the base (fresh data beats fast data); REFRESH MATERIALIZED
+      // VIEW folds the missed commit O(delta) and re-arms. In-row
+      // requires pin the routing at each step; the oracle recomputes
+      // the final answer from the base content, so a rewrite that
+      // lied about values breaks the hash.
+      val o = table(s, dir, "orders")
+      o.createOrReplaceTempView("sql_mv_orders")
+      val root = graft.Tmp.dir("graft_sqlmv")
+      val base = root + "/fact"; val mv = root + "/mv"
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT TABLE graft.`$base` KEYS (o_orderkey) BUCKETS 4 AS
+           |SELECT o_orderkey, o_orderpriority,
+           |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |FROM sql_mv_orders WHERE o_orderkey % 3 != 0""".stripMargin)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS
+           |SELECT o_orderpriority, sum(cents) AS sum_cents,
+           |  count(*) AS n_orders
+           |FROM graft.`$base` GROUP BY o_orderpriority""".stripMargin)
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def q(): DataFrame = graft.sql.GraftSql.sql(s,
+        s"""SELECT o_orderpriority, sum(cents) AS sum_cents,
+           |  count(*) AS n_orders
+           |FROM graft.`$base`
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      require(scansOf(q()).forall(_.contains(mv + "/")),
+        "a fresh CREATE must arm the rewrite")
+      // late data: the %3 rows land (with a visible marker) — the MV
+      // is now STALE and must not answer
+      graft.sql.GraftSql.sql(s,
+        s"""INSERT INTO graft.`$base` BY NAME
+           |SELECT o_orderkey, o_orderpriority,
+           |  CAST(round(o_totalprice * 100) AS BIGINT) + 50 AS cents
+           |FROM sql_mv_orders WHERE o_orderkey % 3 = 0""".stripMargin)
+      require(scansOf(q()).forall(_.contains(base + "/")),
+        "a stale MV must route back to the base")
+      val r = graft.sql.GraftSql.sql(s,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").collect().head
+      require(r.getLong(1) == 1L, s"refresh must fold exactly 1 commit: $r")
+      val out = q()
+      require(scansOf(out).forall(_.contains(mv + "/")),
+        "a refreshed MV must answer again")
+      out
+    }),
     "sql_time_travel" -> ((s, dir) => {
       // SQL READ surface + time travel: graft relations resolve inside
       // plain SQL text (GraftDml.resolveRelations — SELECT, joins,
@@ -1475,6 +1534,57 @@ object QueriesRel {
       require(kept == 3 && total > 12,
         s"hidden partition pruning must confine the scan: $kept/$total")
       pruned.orderBy(col("o_orderkey"))
+    }),
+    "s51_partitioned_restore" -> ((s, dir) => {
+      // RESTORE + reverse change feed on the PARTITIONED layout: a
+      // bad batch (corrupted cents into 1995-02 + a whole new
+      // 1995-08 partition) is rolled back by SQL RESTORE — an
+      // O(partitions) parent-level PIN REWIND committed forward (no
+      // child table touched, no data moved: the only restore shape
+      // that is sane on a 100 TB fact). The in-row requires pin the
+      // mechanism: the restore lands as a NEW parent commit, the
+      // cross-restore change feed is the REVERSE diff (the bad
+      // partition's rows surface as deletes, the corrupted rows as
+      // updates back to their pre-image), and the table stays live
+      // for the next ingest (1995-09 lands after the restore).
+      import graft.merge.PartitionedTable
+      val o = table(s, dir, "orders")
+      val fact = o.select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("o_month").between("1995-01", "1995-09"))
+      val path = graft.Tmp.dir("graft_part51") + "/fact"
+      val keys = Seq("o_month", "o_orderkey")
+      PartitionedTable.upsert(s, path,
+        fact.filter(col("o_month") <= "1995-06"), keys, "o_month",
+        numBuckets = 2)
+      PartitionedTable.upsert(s, path,
+        fact.filter(col("o_month") === "1995-07")
+          .unionByName(fact.filter(col("o_month") === "1995-03")
+            .withColumn("cents", col("cents") + 5)), keys, "o_month")
+      // the BAD batch: corrupted measures + a partition that should
+      // never have landed
+      PartitionedTable.upsert(s, path,
+        fact.filter(col("o_month") === "1995-08")
+          .unionByName(fact.filter(col("o_month") === "1995-02")
+            .withColumn("cents", col("cents") + 999999L)), keys, "o_month")
+      graft.sql.GraftSql.sql(s,
+        s"RESTORE TABLE graft.`$path` TO VERSION AS OF 2").collect()
+      require(PartitionedTable.tableCommit(path).contains(4),
+        "restore must land as a NEW parent commit")
+      val feed = PartitionedTable.readChanges(s, path, 1, 0)
+        .groupBy(col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n08 = fact.filter(col("o_month") === "1995-08").count()
+      val n02 = fact.filter(col("o_month") === "1995-02").count()
+      require(feed.getOrElse("delete", 0L) == n08 &&
+        feed.getOrElse("update", 0L) == n02,
+        s"reverse feed shape wrong: $feed (want delete=$n08 update=$n02)")
+      // life goes on: the next month lands on the restored line
+      PartitionedTable.upsert(s, path,
+        fact.filter(col("o_month") === "1995-09"), keys, "o_month")
+      PartitionedTable.readTable(s, path).orderBy(col("o_orderkey"))
     }),
     "s42_partitioned_table" -> ((s, dir) => {
       // PARTITION-COLUMN layout (the r9 verdict's #1 scale gap): a
@@ -2025,6 +2135,15 @@ object QueriesRel {
          |  CASE WHEN n_nationkey >= 15 THEN n_name || '_ins' ELSE n_name END AS name,
          |  n_regionkey AS region
          |FROM nation ORDER BY k""".stripMargin,
+    "sql_mv_lifecycle" ->
+      """WITH f AS (
+         |  SELECT o_orderpriority,
+         |    CAST(round(o_totalprice * 100) AS BIGINT)
+         |      + CASE WHEN o_orderkey % 3 = 0 THEN 50 ELSE 0 END AS cents
+         |  FROM orders)
+         |SELECT o_orderpriority, sum(cents)::BIGINT AS sum_cents,
+         |  count(*) AS n_orders
+         |FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "sql_time_travel" ->
       """WITH dim AS (SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation),
          |live AS (
@@ -2139,6 +2258,17 @@ object QueriesRel {
          |FROM orders
          |WHERE o_orderdate >= DATE '1995-05-01'
          |  AND o_orderdate < DATE '1995-08-01'
+         |ORDER BY o_orderkey""".stripMargin,
+    "s51_partitioned_restore" ->
+      """WITH fact AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders
+         |  WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-09')
+         |SELECT o_month, o_orderkey,
+         |  CASE WHEN o_month = '1995-03' THEN cents + 5 ELSE cents END AS cents
+         |FROM fact
+         |WHERE o_month <= '1995-07' OR o_month = '1995-09'
          |ORDER BY o_orderkey""".stripMargin,
     "s42_partitioned_table" ->
       """WITH fact AS (

@@ -237,6 +237,12 @@ object GraftDml {
   private val DropConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(\S+|graft\s*\.\s*`[^`]*`)\s+DROP\s+""" +
      """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+  private val CreateMvRe =
+    ("""(?is)^\s*CREATE\s+GRAFT\s+MATERIALIZED\s+VIEW\s+""" +
+     """(\S+|graft\s*\.\s*`[^`]*`)(?:\s+BUCKETS\s+(\d+))?\s+AS\s+(.+)$""").r
+  private val RefreshMvRe =
+    ("""(?is)^\s*REFRESH\s+(?:GRAFT\s+)?MATERIALIZED\s+VIEW\s+""" +
+     """(\S+|graft\s*\.\s*`[^`]*`)\s*;?\s*$""").r
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+(\S+|graft\s*\.\s*`[^`]*`)\s+FROM\s+'([^']+)'""" +
      """\s+FILEFORMAT\s*=\s*([A-Za-z]+)""" +
@@ -296,6 +302,11 @@ object GraftDml {
       case DropConstraintRe(tok, name) =>
         parseTableToken(tok).map(p =>
           GraftConstraintCommand(p, name.trim, None))
+      case CreateMvRe(tok, buckets, select) =>
+        parseTableToken(tok).map(p => GraftCreateMvCommand(p,
+          Option(buckets).map(_.toInt).getOrElse(0), select.trim))
+      case RefreshMvRe(tok) =>
+        parseTableToken(tok).map(GraftRefreshMvCommand)
       case CopyIntoRe(tok, src, fmt, pattern, fopts) =>
         parseTableToken(tok).map { p =>
           val opts = Option(fopts).toSeq.flatMap(
@@ -644,6 +655,127 @@ case class GraftCreateTableCommand(path: String, keys: Seq[String],
   }
 }
 
+/** `CREATE GRAFT MATERIALIZED VIEW <mv> [BUCKETS n] AS SELECT g1...,
+  * sum(m) AS s..., count(*) AS c FROM graft.`<base>` GROUP BY g1...`
+  * — the SQL face of the incrementally-maintained aggregate
+  * ([[graft.pipeline.IncrementalAgg]]) + transparent query rewrite
+  * ([[graft.plans.GraftMvRewrite]]): bootstraps the aggregate from
+  * the base's CURRENT snapshot (stamped with the base commit it
+  * captured), persists the definition (`_graft_mv` — so a NEW
+  * session's REFRESH knows what to maintain), and registers the
+  * rewrite so plain aggregates over the base answer from the MV.
+  *
+  * The AS query must be EXACTLY the maintainable algebra — bare group
+  * columns (unaliased: the rewrite matches them by name on both
+  * sides), `sum(col) AS alias` measures, and ONE `count(*) AS alias`
+  * (the group-liveness ledger deletion maintenance needs). Anything
+  * else — avg, min/max, DISTINCT, expressions, joins, filters — is
+  * rejected LOUDLY with the reason: avg rewrites automatically from
+  * sum+count at query time; min/max are not self-maintainable under
+  * deletes; a filtered MV would silently disagree with the unfiltered
+  * base queries the rewrite matches. */
+case class GraftCreateMvCommand(path: String, numBuckets: Int,
+                                selectSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.pipeline.{IncrementalAgg, MvDef}
+    import graft.pipeline.IncrementalAgg.AggSpec
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+    def bad(why: String): Nothing =
+      throw new IllegalArgumentException(s"CREATE GRAFT MATERIALIZED VIEW: $why")
+    if (Scd1Merge.tableExists(path)) bad(s"$path already exists")
+    val baseRefs = "(?is)FROM\\s+graft\\s*\\.\\s*`([^`]+)`".r
+      .findAllMatchIn(selectSql).map(_.group(1)).toSeq
+    if (baseRefs.size != 1) bad("the AS query must read exactly one graft " +
+      "table (FROM graft.`<path>`); found " + baseRefs.size)
+    val basePath = baseRefs.head
+    if (!Scd1Merge.tableExists(basePath)) bad(s"base $basePath is not a " +
+      "graft table (partitioned bases are not maintainable yet)")
+    val baseKeys = Scd1Merge.tableKeys(basePath).getOrElse(Nil)
+    if (baseKeys.isEmpty) bad(s"base $basePath records no merge keys")
+    val agg = GraftSql.sql(spark, selectSql).queryExecution.analyzed match {
+      case a: Aggregate => a
+      case _ => bad("the AS query must be a plain GROUP BY aggregate " +
+        "over the base (no joins, filters, or post-aggregate projections)")
+    }
+    val groupNames = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case e => bad(s"group expression '${e.sql}' is not a bare column — " +
+        "group by the base columns directly (the rewrite matches them by name)")
+    }
+    var sums = Seq.empty[(String, String)]
+    var countName: Option[String] = None
+    agg.aggregateExpressions.foreach {
+      case a: AttributeReference if groupNames.contains(a.name) => ()
+      case al @ Alias(ae: AggregateExpression, _) =>
+        if (ae.isDistinct || ae.filter.nonEmpty)
+          bad(s"'${al.sql}': DISTINCT/FILTER aggregates are not self-maintainable")
+        ae.aggregateFunction match {
+          case s: Sum => s.child match {
+            case m: AttributeReference => sums :+= ((m.name, al.name))
+            case e => bad(s"sum over '${e.sql}' — sum a bare base column")
+          }
+          case c: Count => c.children match {
+            case Seq(Literal(_, _)) =>
+              if (countName.nonEmpty) bad("more than one count(*)")
+              countName = Some(al.name)
+            case _ => bad("count(col) counts non-nulls and is not " +
+              "maintainable — use count(*)")
+          }
+          case f => bad(s"aggregate '${f.prettyName}' is not self-" +
+            "maintainable under deletes (avg rewrites automatically from " +
+            "sum + count at query time — store those instead)")
+        }
+      case a: AttributeReference =>
+        bad(s"output column '${a.name}' is not in GROUP BY")
+      case e => bad(s"output '${e.sql}' — the MV stores bare group " +
+        "columns and aliased sum/count(*) only")
+    }
+    val cn = countName.getOrElse(bad("the MV needs a `count(*) AS <name>` " +
+      "column — it is the group-liveness ledger deletion maintenance uses"))
+    val spec = AggSpec(groupNames, sums, cn)
+    IncrementalAgg.bootstrapFrom(spark, path, basePath, spec, numBuckets)
+    MvDef.write(path, MvDef.Def(basePath, baseKeys, spec))
+    graft.plans.GraftMvRewrite.register(basePath, path, spec)
+    Nil
+  }
+}
+
+/** `REFRESH [GRAFT] MATERIALIZED VIEW <mv>` — fold every base commit
+  * the MV has not seen (the stamp names the last one) through the
+  * change feed, O(delta) per commit window, and (re-)register the
+  * query rewrite — the statement a NEW session runs once to make the
+  * MV current AND trusted. Returns (base_commit, commits_applied).
+  * A base vacuumed past the MV's stamp fails loudly (readChanges'
+  * retention error): recreate the MV, the feed is gone. */
+case class GraftRefreshMvCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("base_commit", LongType, nullable = false)(),
+    AttributeReference("commits_applied", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.pipeline.{IncrementalAgg, MvDef}
+    val d = MvDef.read(path).getOrElse(throw new IllegalStateException(
+      s"REFRESH MATERIALIZED VIEW: $path has no _graft_mv definition " +
+      "(not created via CREATE GRAFT MATERIALIZED VIEW)"))
+    val live = Scd1Merge.tableCommit(d.basePath).getOrElse(
+      throw new IllegalStateException(
+        s"REFRESH MATERIALIZED VIEW: base ${d.basePath} has no manifest"))
+    val seen = Scd1Merge.tableBatchId(path).collect {
+      case s if s.startsWith("base-commit-") =>
+        s.stripPrefix("base-commit-").toInt
+    }.getOrElse(throw new IllegalStateException(
+      s"REFRESH MATERIALIZED VIEW: $path carries no base-commit stamp"))
+    if (live > seen)
+      IncrementalAgg.applyChanges(spark, path, d.basePath, d.baseKeys,
+        d.spec, fromBack = live - seen, toBack = 0)
+    graft.plans.GraftMvRewrite.register(d.basePath, path, d.spec)
+    Seq(Row(live.toLong, math.max(0, live - seen).toLong))
+  }
+}
+
 /** `SHOW PARTITIONS <graft table>` — the partition inventory (value,
   * pinned child commit, live child commit). */
 case class GraftShowPartitionsCommand(path: String)
@@ -754,8 +886,12 @@ case class GraftRestoreCommand(path: String, version: Option[Long],
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    val live = Scd1Merge.tableCommit(path).getOrElse(
-      throw new IllegalStateException(s"RESTORE: $path has no manifest")).toLong
+    import graft.merge.PartitionedTable
+    val partitioned = PartitionedTable.tableExists(path)
+    val live: Long =
+      (if (partitioned) PartitionedTable.tableCommit(path)
+       else Scd1Merge.tableCommit(path)).getOrElse(
+        throw new IllegalStateException(s"RESTORE: $path has no manifest")).toLong
     val target: Long = version.getOrElse {
       val t = ts.get.trim.replace(' ', 'T')
       val millis =
@@ -763,16 +899,21 @@ case class GraftRestoreCommand(path: String, version: Option[Long],
         else (if (t.contains("T")) java.time.LocalDateTime.parse(t)
               else java.time.LocalDate.parse(t).atStartOfDay())
           .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      val cands = Scd1Merge.history(spark, path)
-        .select(col("commit"), col("commit_ts")).collect()
-        .filter(_.getLong(1) <= millis)
+      val cands =
+        (if (partitioned) PartitionedTable.history(spark, path)
+         else Scd1Merge.history(spark, path))
+          .select(col("commit"), col("commit_ts")).collect()
+          .filter(_.getLong(1) <= millis)
       if (cands.isEmpty) throw new IllegalStateException(
         s"RESTORE: no retained snapshot of $path at or before $t")
       cands.map(_.getInt(0)).max.toLong
     }
     if (target > live || target < 1) throw new IllegalStateException(
       s"RESTORE: version $target out of range (live commit $live)")
-    if (target < live) Scd1Merge.restore(path, (live - target).toInt)
+    if (target < live) {
+      if (partitioned) PartitionedTable.restore(path, (live - target).toInt)
+      else Scd1Merge.restore(path, (live - target).toInt)
+    }
     Nil
   }
 }

@@ -611,6 +611,70 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(e.getMessage.contains("up-cast"), e.getMessage)
   }
 
+  test("MATERIALIZED VIEW lifecycle: CREATE bootstraps+rewrites, REFRESH folds missed commits, loud rejections") {
+    import graft.plans.GraftMvRewrite
+    val root = graft.Tmp.dir("sql_mv")
+    val base = root + "/base"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, base,
+      (1L to 120L).map(i => (i, s"g${i % 4}", i * 10)).toDF("k", "g", "cents"),
+      Seq("k"), numBuckets = 2)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS " +
+        s"SELECT g, sum(cents) AS sum_cents, count(*) AS n " +
+        s"FROM graft.`$base` GROUP BY g").collect()
+      assert(graft.pipeline.MvDef.read(mv).exists(_.basePath == base))
+      def q = graft.sql.GraftSql.sql(spark,
+        s"SELECT g, sum(cents) AS sum_cents FROM graft.`$base` GROUP BY g")
+      def scans(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      assert(scans(q).forall(_.contains(mv + "/")), "fresh MV must answer")
+      // two base commits the MV has not seen — retention must cover
+      // the refresh lag (the change feed is subject to the same
+      // retention contract as any CDC consumer; a default-retention
+      // base folds at most 1 commit per refresh)
+      Scd1Merge.upsert(spark, base,
+        Seq((200L, "g1", 5L)).toDF("k", "g", "cents"), Seq("k"),
+        retainVersions = 8)
+      Scd1Merge.delete(spark, base, Seq("k"), $"g" === "g2",
+        retainVersions = 8)
+      assert(scans(q).forall(_.contains(base + "/")), "stale MV must not")
+      val r = graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").as[(Long, Long)].head()
+      assert(r == ((3L, 2L)), s"refresh accounting: $r")
+      assert(scans(q).forall(_.contains(mv + "/")), "refreshed MV must answer")
+      assertSameRows(q.orderBy("g"), graft.sql.GraftSql.sql(spark,
+        s"SELECT g, sum_cents FROM graft.`$mv` ORDER BY g"))
+      // idempotent refresh applies nothing
+      assert(graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+        .as[(Long, Long)].head() == ((3L, 0L)))
+      // loud rejections: avg, count(col), missing count(*), joins
+      def rejects(sql: String, why: String): Unit = {
+        val e = intercept[IllegalArgumentException] {
+          graft.sql.GraftSql.sql(spark, sql).collect()
+        }
+        assert(e.getMessage.contains(why), s"$sql → ${e.getMessage}")
+      }
+      rejects(s"CREATE GRAFT MATERIALIZED VIEW graft.`$root/m2` AS " +
+        s"SELECT g, avg(cents) AS a, count(*) AS n FROM graft.`$base` GROUP BY g",
+        "avg rewrites automatically")
+      rejects(s"CREATE GRAFT MATERIALIZED VIEW graft.`$root/m3` AS " +
+        s"SELECT g, count(cents) AS n FROM graft.`$base` GROUP BY g",
+        "count(col)")
+      rejects(s"CREATE GRAFT MATERIALIZED VIEW graft.`$root/m4` AS " +
+        s"SELECT g, sum(cents) AS s FROM graft.`$base` GROUP BY g",
+        "count(*)")
+    } finally GraftMvRewrite.unregister(base)
+  }
+
   test("DESCRIBE DETAIL: manifest-only metadata row for flat and partitioned tables") {
     val flat = graft.Tmp.dir("sql_detail") + "/flat"
     Scd1Merge.upsert(spark,
