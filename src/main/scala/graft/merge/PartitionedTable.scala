@@ -367,9 +367,10 @@ object PartitionedTable {
              keys: Seq[String], partCol: String,
              numBuckets: Int = 0,
              statsColumns: Seq[String] = Nil,
-             batchId: String = ""): Unit =
+             batchId: String = "",
+             retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit =
     upsertMulti(spark, tablePath, source, keys, splitCols(partCol),
-      numBuckets, statsColumns, batchId)
+      numBuckets, statsColumns, batchId, retainVersions)
 
   /** `"a,b"` — the writer-option / SQL `PARTITIONED BY (a, b)`
     * spelling — into column specs. Paren-aware: `bucket(4,c)` is one
@@ -398,7 +399,11 @@ object PartitionedTable {
                   keys: Seq[String], partCols: Seq[String],
                   numBuckets: Int = 0,
                   statsColumns: Seq[String] = Nil,
-                  batchId: String = ""): Unit = {
+                  batchId: String = "",
+                  // per-child history depth: a CDC/MV consumer that
+                  // may LAG k commits on a partition needs k retained
+                  // child versions (the flat-table feed contract)
+                  retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit = {
     require(partCols.nonEmpty, "PARTITIONED BY needs at least one column")
     val specs = partCols.map(parseSpec)
     specs.foreach { sp =>
@@ -458,7 +463,8 @@ object PartitionedTable {
         val childPath = Paths.get(tablePath, rel).toString
         val sub = source.filter(partEq(base, vals))
         Scd1Merge.upsert(spark, childPath, sub, keys, nb,
-          statsColumns = statsColumns, batchId = batchId)
+          statsColumns = statsColumns, batchId = batchId,
+          retainVersions = retainVersions)
         key -> (rel, Scd1Merge.tableCommit(childPath).get)
       }.toMap
       commitPManifest(tablePath, base.copy(parts = base.parts ++ newPins))

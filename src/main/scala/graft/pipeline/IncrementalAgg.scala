@@ -65,12 +65,29 @@ object IncrementalAgg {
   def bootstrapFrom(spark: SparkSession, aggPath: String, basePath: String,
                     spec: AggSpec, numBuckets: Int = 0,
                     retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit = {
-    val commit = Scd1Merge.tableCommit(basePath).getOrElse(
-      throw new IllegalStateException(s"bootstrapFrom: $basePath has no manifest"))
-    bootstrap(spark, aggPath, Scd1Merge.readTable(spark, basePath), spec,
+    val commit = baseCommitOf(basePath)
+    bootstrap(spark, aggPath, baseReadOf(spark, basePath), spec,
       numBuckets, batchId = f"base-commit-$commit%09d",
       retainVersions = retainVersions)
   }
+
+  // ---- the base may be FLAT or PARTITIONED: same stamp, same feed
+  // contract — the partitioned forms resolve through the parent pin
+  // set (commit = parent commit, feed = per-partition child diffs)
+
+  private def partitioned(basePath: String): Boolean =
+    graft.merge.PartitionedTable.tableExists(basePath)
+
+  private def baseCommitOf(basePath: String): Int =
+    (if (partitioned(basePath))
+       graft.merge.PartitionedTable.tableCommit(basePath)
+     else Scd1Merge.tableCommit(basePath)).getOrElse(
+      throw new IllegalStateException(s"$basePath has no manifest"))
+
+  private def baseReadOf(spark: SparkSession, basePath: String): DataFrame =
+    if (partitioned(basePath))
+      graft.merge.PartitionedTable.readTable(spark, basePath)
+    else Scd1Merge.readTable(spark, basePath)
 
   /** Apply one commit range of the base table's change feed to the
     * aggregate table. `fromBack`/`toBack` follow
@@ -109,15 +126,16 @@ object IncrementalAgg {
                    numBuckets: Int = 0, batchId: String = "",
                    retainVersions: Int = Scd1Merge.DefaultRetainVersions,
                    rowFilter: org.apache.spark.sql.Column = lit(true)): Unit = {
-    val baseCommit = Scd1Merge.tableCommit(basePath).getOrElse(
-      throw new IllegalStateException(s"applyChanges: $basePath has no manifest")) - toBack
+    val baseCommit = baseCommitOf(basePath) - toBack
     val stamp = if (batchId.nonEmpty) batchId else f"base-commit-$baseCommit%09d"
     if (Scd1Merge.tableBatchId(aggPath).contains(stamp)) {
       // already applied — finish a possibly-interrupted tombstone sweep
       sweepTombstones(spark, aggPath, spec, retainVersions)
       return
     }
-    val changes = Scd1Merge.readChanges(spark, basePath, baseKeys, fromBack, toBack)
+    val changes = (if (partitioned(basePath))
+        graft.merge.PartitionedTable.readChanges(spark, basePath, fromBack, toBack)
+      else Scd1Merge.readChanges(spark, basePath, baseKeys, fromBack, toBack))
       .filter(rowFilter)
     applyChangesFrame(spark, aggPath, changes, spec, numBuckets, stamp,
       retainVersions)

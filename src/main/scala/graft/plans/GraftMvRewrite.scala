@@ -92,20 +92,24 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    // ---- SHAPE: unwrap attribute-only Projects down to a single scan
-    var core: LogicalPlan = agg.child
-    while (core match {
-        case Project(items, _) => items.forall(_.isInstanceOf[AttributeReference])
-        case _ => false
-      }) core = core.asInstanceOf[Project].child
-    val files: Seq[String] = core match {
+    // ---- SHAPE: attribute-only Projects over one parquet scan — or a
+    // UNION of such scans, which is exactly what a PARTITIONED base
+    // read is (one child scan per partition, unioned by name)
+    def scanFiles(p: LogicalPlan): Option[Seq[String]] = p match {
+      case Project(items, child)
+          if items.forall(_.isInstanceOf[AttributeReference]) =>
+        scanFiles(child)
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        val kids = u.children.map(scanFiles)
+        if (kids.exists(_.isEmpty)) None else Some(kids.flatten.flatten)
       case lr: LogicalRelation => lr.relation match {
         case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-          fs.location.inputFiles.toSeq
-        case _ => return None
+          Some(fs.location.inputFiles.toSeq)
+        case _ => None
       }
-      case _ => return None
+      case _ => None
     }
+    val files: Seq[String] = scanFiles(agg.child).getOrElse(return None)
     if (files.isEmpty) return None
     // ---- OWNERSHIP: which registered base owns these files?
     val reg = {
@@ -124,10 +128,15 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // read and a file listing, and only for plans that already passed
     // the ownership gate, i.e. genuinely scan a registered base)
     val spark = SparkSession.active
-    val commit = Scd1Merge.tableCommit(reg.basePath).getOrElse(return None)
+    val partitioned = graft.merge.PartitionedTable.tableExists(reg.basePath)
+    val commit =
+      (if (partitioned) graft.merge.PartitionedTable.tableCommit(reg.basePath)
+       else Scd1Merge.tableCommit(reg.basePath)).getOrElse(return None)
     if (!Scd1Merge.tableBatchId(reg.mvPath).contains(f"base-commit-$commit%09d"))
       return None
-    val current = Scd1Merge.readTable(spark, reg.basePath).inputFiles.toSet
+    val current =
+      (if (partitioned) graft.merge.PartitionedTable.readTable(spark, reg.basePath)
+       else Scd1Merge.readTable(spark, reg.basePath)).inputFiles.toSet
     if (files.toSet != current) return None
     // ---- the supported algebra, substituted IN PLACE: each output
     // expression may wrap the aggregates arbitrarily (round(avg(x)),

@@ -888,6 +888,74 @@ object QueriesPipeline {
       out
     }),
 
+    "pipe20_partitioned_mv" -> ((s, dir) => {
+      // MV OVER A PARTITIONED BASE — the production composition: the
+      // 100 TB fact is month-partitioned (path-pruned reads, routed
+      // merges), its dashboard aggregate is an incrementally-
+      // maintained MV, and the transparent rewrite answers the
+      // user's plain GROUP BY from the MV — through the UNION-of-
+      // child-scans plan a partitioned read produces. Maintenance
+      // rides the PARTITIONED change feed (per-partition child
+      // diffs): one batch = one parent commit folded O(delta); a
+      // metadata-only PARTITION DROP still feeds its rows as deletes,
+      // so the refreshed MV loses exactly that month's contribution.
+      // In-row requires pin the routing (fresh→MV, stale→base,
+      // refreshed→MV) and the refresh accounting.
+      import graft.merge.PartitionedTable
+      val o = table(s, dir, "orders")
+      val fact = o.select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+        col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("o_month").between("1995-01", "1995-07"))
+      val root = tmpDir("graft_pmv")
+      val base = root + "/fact"; val mv = root + "/mv"
+      val keys = Seq("o_month", "o_orderkey")
+      PartitionedTable.upsert(s, base,
+        fact.filter(col("o_month") <= "1995-06"), keys, "o_month",
+        numBuckets = 2, retainVersions = 4)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS
+           |SELECT o_orderpriority, sum(cents) AS sum_cents,
+           |  count(*) AS n_orders
+           |FROM graft.`$base` GROUP BY o_orderpriority""".stripMargin)
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def q(): DataFrame =
+        PartitionedTable.readTable(s, base).groupBy(col("o_orderpriority"))
+          .agg(sum(col("cents")).as("sum_cents"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      require(scansOf(q()).forall(_.contains(mv + "/")),
+        "fresh partitioned MV must answer through the union-of-scans plan")
+      // one batch: a NEW month + a bump into an existing one
+      PartitionedTable.upsert(s, base,
+        fact.filter(col("o_month") === "1995-07")
+          .unionByName(fact.filter(col("o_month") === "1995-02")
+            .withColumn("cents", col("cents") + 3)), keys, "o_month",
+        retainVersions = 4)
+      require(scansOf(q()).forall(_.contains(base + "/")),
+        "stale MV must route to the base")
+      val r = graft.sql.GraftSql.sql(s,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").collect().head
+      require(r.getLong(1) == 1L, s"refresh must fold exactly 1 parent commit: $r")
+      // metadata-only partition drop → its rows feed as deletes
+      PartitionedTable.dropPartitionsWhere(s, base, col("o_month") === "1995-01")
+      graft.sql.GraftSql.sql(s, s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+        .collect()
+      val out = q()
+      require(scansOf(out).forall(_.contains(mv + "/")),
+        "refreshed MV must answer again")
+      out
+    }),
+
     "pipe8_incremental_dedup" -> ((s, dir) => {
       // INCREMENTAL EXACT DEDUP AS A MAINTAINED TABLE: the seen-hash
       // set every continuously-ingesting corpus keeps — batches arrive
@@ -1213,6 +1281,17 @@ object QueriesPipeline {
          |  count(*) AS n_orders,
          |  round(sum(cents)::DOUBLE / count(*), 4) AS avg_cents
          |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "pipe20_partitioned_mv" ->
+      """WITH f AS (
+         |  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS m,
+         |    CAST(round(o_totalprice * 100) AS BIGINT)
+         |      + CASE WHEN strftime(o_orderdate, '%Y-%m') = '1995-02'
+         |             THEN 3 ELSE 0 END AS cents
+         |  FROM orders
+         |  WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-02' AND '1995-07')
+         |SELECT o_orderpriority, sum(cents)::BIGINT AS sum_cents,
+         |  count(*) AS n_orders
+         |FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "pipe8_incremental_dedup" ->
       """WITH r AS (SELECT sha256(text) AS content_hash, doc_id,
          |    row_number() OVER (PARTITION BY sha256(text)

@@ -691,9 +691,12 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
     if (baseRefs.size != 1) bad("the AS query must read exactly one graft " +
       "table (FROM graft.`<path>`); found " + baseRefs.size)
     val basePath = baseRefs.head
-    if (!Scd1Merge.tableExists(basePath)) bad(s"base $basePath is not a " +
-      "graft table (partitioned bases are not maintainable yet)")
-    val baseKeys = Scd1Merge.tableKeys(basePath).getOrElse(Nil)
+    val partitionedBase = graft.merge.PartitionedTable.tableExists(basePath)
+    if (!partitionedBase && !Scd1Merge.tableExists(basePath))
+      bad(s"base $basePath is not a graft table")
+    val baseKeys =
+      (if (partitionedBase) graft.merge.PartitionedTable.tableKeys(basePath)
+       else Scd1Merge.tableKeys(basePath)).getOrElse(Nil)
     if (baseKeys.isEmpty) bad(s"base $basePath records no merge keys")
     val agg = GraftSql.sql(spark, selectSql).queryExecution.analyzed match {
       case a: Aggregate => a
@@ -760,9 +763,12 @@ case class GraftRefreshMvCommand(path: String)
     val d = MvDef.read(path).getOrElse(throw new IllegalStateException(
       s"REFRESH MATERIALIZED VIEW: $path has no _graft_mv definition " +
       "(not created via CREATE GRAFT MATERIALIZED VIEW)"))
-    val live = Scd1Merge.tableCommit(d.basePath).getOrElse(
-      throw new IllegalStateException(
-        s"REFRESH MATERIALIZED VIEW: base ${d.basePath} has no manifest"))
+    val live =
+      (if (graft.merge.PartitionedTable.tableExists(d.basePath))
+         graft.merge.PartitionedTable.tableCommit(d.basePath)
+       else Scd1Merge.tableCommit(d.basePath)).getOrElse(
+        throw new IllegalStateException(
+          s"REFRESH MATERIALIZED VIEW: base ${d.basePath} has no manifest"))
     val seen = Scd1Merge.tableBatchId(path).collect {
       case s if s.startsWith("base-commit-") =>
         s.stripPrefix("base-commit-").toInt

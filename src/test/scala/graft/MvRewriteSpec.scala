@@ -141,6 +141,50 @@ class MvRewriteSpec extends SparkSpecBase {
     } finally GraftMvRewrite.unregister(base)
   }
 
+  test("PARTITIONED base: union-of-scans rewrites, SQL REFRESH folds, a partition drop feeds deletes") {
+    import graft.merge.PartitionedTable
+    val root = Tmp.dir("mv_part")
+    val base = root + "/base"; val mv = root + "/mv"
+    def fact(months: Seq[String], bump: Long = 0): org.apache.spark.sql.DataFrame =
+      months.flatMap(m => (0 until 6).map(i =>
+        (m, s"$m#$i".hashCode.toLong & 0xffffff, (i + 1) * 100L + bump)))
+        .toDF("month", "id", "cents").dropDuplicates("month", "id")
+    PartitionedTable.upsert(spark, base, fact(Seq("2024-01", "2024-02")),
+      Seq("month", "id"), "month", numBuckets = 2, retainVersions = 4)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS " +
+        s"SELECT month, sum(cents) AS sc, count(*) AS n " +
+        s"FROM graft.`$base` GROUP BY month").collect()
+      def q = PartitionedTable.readTable(spark, base).groupBy($"month")
+        .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+      assert(readsOnly(q, mv), s"union-of-scans must rewrite: ${scanPaths(q)}")
+      // touch one partition + add one → stale → base answers
+      PartitionedTable.upsert(spark, base,
+        fact(Seq("2024-02"), bump = 7).unionByName(fact(Seq("2024-03"))),
+        Seq("month", "id"), "month", retainVersions = 4)
+      assert(readsOnly(q, base))
+      val r1 = graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").as[(Long, Long)].head()
+      assert(r1 == ((2L, 1L)), r1.toString)
+      assert(readsOnly(q, mv))
+      // a metadata-only partition DROP must still feed deletes: the
+      // group disappears from the refreshed MV
+      PartitionedTable.dropPartitionsWhere(spark, base, $"month" === "2024-01")
+      assert(readsOnly(q, base))
+      graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").collect()
+      assert(readsOnly(q, mv))
+      GraftMvRewrite.unregister(base)
+      assertSameRows(q.orderBy("month"),
+        PartitionedTable.readTable(spark, base).groupBy($"month")
+          .agg(sum($"cents").as("sc"), count(lit(1)).as("n")).orderBy("month"))
+      assert(canon(Scd1Merge.readTable(spark, mv)
+        .filter($"month" === "2024-01")).isEmpty,
+        "dropped partition's group must leave the MV")
+    } finally GraftMvRewrite.unregister(base)
+  }
+
   test("rewrite survives parent operators: sort and HAVING keep the MV plan and the answer") {
     val (base, mv, _) = fixture()
     try {
