@@ -1301,6 +1301,45 @@ object PartitionedTable {
     }
   }
 
+  /** Z-ORDER / sort-cluster the whole partitioned table: every child
+    * reclustered through the flat engine ([[Scd1Merge.recluster]] —
+    * per-bucket sorted rewrites, content identical, clustering state
+    * recorded), then ONE parent swap pins the new child commits, so
+    * readers cross the re-layout atomically. Partition path-pruning
+    * composes with the children's tightened min/max stats — the
+    * two-level skipping a 100 TB fact wants (`month=X AND
+    * clustered_col BETWEEN a,b` prunes partitions by path, then
+    * buckets by stats). `dirtyOnly` re-clusters only children whose
+    * data moved since their last clustering (the cheap scheduled
+    * maintenance face). Returns buckets rewritten across all
+    * partitions. A child whose pin LAGS its live commit (crash
+    * residue from an interrupted batch) fails loudly — pinning its
+    * post-recluster commit would surface the residue without the
+    * interrupted batch's other partitions. */
+  def recluster(spark: SparkSession, tablePath: String,
+                sortCols: Seq[String], zOrderBits: Int = 0,
+                dirtyOnly: Boolean = false,
+                retainVersions: Int = Scd1Merge.DefaultRetainVersions): Int =
+    withPLock(tablePath) {
+      val live = requireTable(tablePath)
+      var total = 0
+      val newPins = live.parts.toSeq.sortBy(_._1).map { case (k, (rel, pin)) =>
+        val childPath = Paths.get(tablePath, rel).toString
+        val liveC = Scd1Merge.tableCommit(childPath).getOrElse(
+          throw new IllegalStateException(
+            s"recluster: partition ${valsOf(k).mkString("/")} has no child manifest"))
+        if (liveC != pin) throw new IllegalStateException(
+          s"recluster: partition ${valsOf(k).mkString("/")} pin $pin lags its " +
+          s"live child commit $liveC (interrupted batch residue) — re-run " +
+          "the interrupted batch first")
+        total += Scd1Merge.recluster(spark, childPath, sortCols, zOrderBits,
+          dirtyOnly, retainVersions)
+        k -> (rel, Scd1Merge.tableCommit(childPath).get)
+      }.toMap
+      commitPManifest(tablePath, live.copy(parts = newPins))
+      total
+    }
+
   /** Parent commit log: commit, ts, partition count — the partitioned
     * twin of [[Scd1Merge.history]]. */
   def history(spark: SparkSession, tablePath: String): DataFrame = {

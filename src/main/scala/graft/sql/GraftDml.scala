@@ -831,10 +831,11 @@ case class GraftOptimizeCommand(path: String, zorderCols: Seq[String])
     Seq(AttributeReference("num_buckets_rewritten", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     if (graft.merge.PartitionedTable.tableExists(path)) {
-      if (zorderCols.nonEmpty) throw new UnsupportedOperationException(
-        "graft OPTIMIZE ZORDER on a partitioned table: recluster the " +
-        "children via the Scala API (per-partition clustering specs)")
-      return Seq(Row(graft.merge.PartitionedTable.compact(spark, path).toLong))
+      val n =
+        if (zorderCols.isEmpty) graft.merge.PartitionedTable.compact(spark, path)
+        else graft.merge.PartitionedTable.recluster(spark, path, zorderCols,
+          zOrderBits = if (zorderCols.length > 1) 8 else 0)
+      return Seq(Row(n.toLong))
     }
     val n =
       if (zorderCols.isEmpty) Scd1Merge.compact(spark, path)

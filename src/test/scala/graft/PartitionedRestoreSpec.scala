@@ -87,6 +87,26 @@ class PartitionedRestoreSpec extends SparkSpecBase {
     assert(e.getMessage.contains("out of range"), e.getMessage)
   }
 
+  test("recluster: per-child Z-order behind ONE parent swap, content identical, SQL OPTIMIZE ZORDER routes") {
+    val path = Tmp.dir("precluster") + "/t"
+    PartitionedTable.upsert(spark, path,
+      fact(Seq("2024-01", "2024-02", "2024-03"), perMonth = 40), keys,
+      "month", numBuckets = 2)
+    val before = canon(PartitionedTable.readTable(spark, path))
+    val pc0 = PartitionedTable.tableCommit(path).get
+    val n = graft.sql.GraftSql.sql(spark,
+      s"OPTIMIZE graft.`$path` ZORDER BY (cents)")
+      .collect().head.getLong(0)
+    assert(n > 0, "recluster must rewrite buckets")
+    assert(PartitionedTable.tableCommit(path).contains(pc0 + 1),
+      "the re-layout must be ONE atomic parent swap")
+    assert(canon(PartitionedTable.readTable(spark, path)) == before,
+      "clustering is content-identical")
+    // maintenance is idempotent: nothing dirty → nothing rewritten
+    assert(PartitionedTable.recluster(spark, path, Seq("cents"),
+      dirtyOnly = true) == 0)
+  }
+
   test("shallow clone forks at the PIN, diverges copy-on-write both ways; deep clone survives source vacuum") {
     val root = Tmp.dir("pclone")
     val src = root + "/src"
