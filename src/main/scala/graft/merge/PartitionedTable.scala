@@ -319,6 +319,17 @@ object PartitionedTable {
     * legacy `p=<enc(v)>` name (existing tables read on); multi-column
     * is the flat Hive-ish `<enc(c1)>=<enc(v1)>,<enc(c2)>=<enc(v2)>`
     * (enc escapes "," and "=", so the separators are unambiguous). */
+  /** The CURRENT GENERATION prefix ("genNNNN/" after a partition
+    * evolution, "" before any): NEW partitions must land inside the
+    * live generation — a top-level dir could collide with a stale
+    * same-named child from a previous layout and silently merge into
+    * it. Zero-padded, so lexicographic max = numeric max. */
+  private def genPrefix(m: PManifest): String =
+    m.parts.values.map(_._1)
+      .collect { case r if r.contains("/") && r.split("/")(0).matches("gen\\d+") =>
+        r.split("/")(0) }
+      .maxOption.map(_ + "/").getOrElse("")
+
   private def partitionDirName(m: PManifest, vals: Seq[String]): String =
     if (m.partCols.size == 1) "p=" + enc(vals.head)
     else m.partCols.zip(vals)
@@ -375,7 +386,7 @@ object PartitionedTable {
   /** `"a,b"` — the writer-option / SQL `PARTITIONED BY (a, b)`
     * spelling — into column specs. Paren-aware: `bucket(4,c)` is one
     * spec, not two. */
-  private def splitCols(s: String): Seq[String] = {
+  private[graft] def splitCols(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
@@ -391,29 +402,13 @@ object PartitionedTable {
       .filter(_.nonEmpty).toSeq
   }
 
-  /** Multi-column partition-routed upsert — one child per DISTINCT
-    * (c1, …, cn) tuple. EVERY partition column must be a merge key
-    * (same argument as single-column: a key's partition is part of
-    * its identity). */
-  def upsertMulti(spark: SparkSession, tablePath: String, source: DataFrame,
-                  keys: Seq[String], partCols: Seq[String],
-                  numBuckets: Int = 0,
-                  statsColumns: Seq[String] = Nil,
-                  batchId: String = "",
-                  // per-child history depth: a CDC/MV consumer that
-                  // may LAG k commits on a partition needs k retained
-                  // child versions (the flat-table feed contract)
-                  retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit = {
-    require(partCols.nonEmpty, "PARTITIONED BY needs at least one column")
-    val specs = partCols.map(parseSpec)
-    specs.foreach { sp =>
-      require(keys.exists(_.equalsIgnoreCase(sp.srcCol)),
-        s"partition column '${sp.spelled}': source '${sp.srcCol}' must be one " +
-        s"of the merge keys (${keys.mkString(",")}): partition routing is " +
-        "only a correct merge when a key cannot move between partitions")
-    }
-    val dts = specs.map { sp =>
-      val dt = source.schema.fields.find(_.name.equalsIgnoreCase(sp.srcCol))
+  /** Validated PARTITION-VALUE types for a spec list over a source
+    * schema (identity = the column's own round-trippable type, trunc
+    * = the rendered period string, bucket = the int bucket id). */
+  private def specTypes(specs: Seq[PartSpec],
+                        schema: StructType): Seq[DataType] =
+    specs.map { sp =>
+      val dt = schema.fields.find(_.name.equalsIgnoreCase(sp.srcCol))
         .map(_.dataType)
         .getOrElse(throw new IllegalArgumentException(
           s"partition column '${sp.spelled}': source '${sp.srcCol}' not in " +
@@ -437,6 +432,29 @@ object PartitionedTable {
           org.apache.spark.sql.types.IntegerType
       }
     }
+
+  /** Multi-column partition-routed upsert — one child per DISTINCT
+    * (c1, …, cn) tuple. EVERY partition column must be a merge key
+    * (same argument as single-column: a key's partition is part of
+    * its identity). */
+  def upsertMulti(spark: SparkSession, tablePath: String, source: DataFrame,
+                  keys: Seq[String], partCols: Seq[String],
+                  numBuckets: Int = 0,
+                  statsColumns: Seq[String] = Nil,
+                  batchId: String = "",
+                  // per-child history depth: a CDC/MV consumer that
+                  // may LAG k commits on a partition needs k retained
+                  // child versions (the flat-table feed contract)
+                  retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit = {
+    require(partCols.nonEmpty, "PARTITIONED BY needs at least one column")
+    val specs = partCols.map(parseSpec)
+    specs.foreach { sp =>
+      require(keys.exists(_.equalsIgnoreCase(sp.srcCol)),
+        s"partition column '${sp.spelled}': source '${sp.srcCol}' must be one " +
+        s"of the merge keys (${keys.mkString(",")}): partition routing is " +
+        "only a correct merge when a key cannot move between partitions")
+    }
+    val dts = specTypes(specs, source.schema)
     withPLock(tablePath) {
       val existing = readPManifest(tablePath)
       existing.foreach { m =>
@@ -459,7 +477,7 @@ object PartitionedTable {
       val newPins = touchedKeys(source, base).map { vals =>
         val key = keyOf(vals)
         val rel = base.parts.get(key).map(_._1)
-          .getOrElse(partitionDirName(base, vals))
+          .getOrElse(genPrefix(base) + partitionDirName(base, vals))
         val childPath = Paths.get(tablePath, rel).toString
         val sub = source.filter(partEq(base, vals))
         Scd1Merge.upsert(spark, childPath, sub, keys, nb,
@@ -498,7 +516,7 @@ object PartitionedTable {
     touchedKeys(source, m).map { vals =>
       val key = keyOf(vals)
       val rel = m.parts.get(key).map(_._1)
-        .getOrElse(partitionDirName(m, vals))
+        .getOrElse(genPrefix(m) + partitionDirName(m, vals))
       val childPath = Paths.get(tablePath, rel).toString
       val sub = source.filter(partEq(m, vals))
       if (Scd1Merge.tableExists(childPath)) {
@@ -651,6 +669,13 @@ object PartitionedTable {
     val live = requireTable(tablePath)
     val mFrom = parentAt(tablePath, live, fromCommitsBack)
     val mTo = parentAt(tablePath, live, toCommitsBack)
+    if (mFrom.partCols.map(c => parseSpec(c).spelled.toLowerCase) !=
+        mTo.partCols.map(c => parseSpec(c).spelled.toLowerCase))
+      throw new IllegalStateException(
+        s"change feed across a PARTITION EVOLUTION of $tablePath " +
+        s"(${mFrom.partCols.mkString(",")} → ${mTo.partCols.mkString(",")}): " +
+        "the evolution itself changes no rows — read windows on either " +
+        "side of it, or re-bootstrap the consumer")
     val keysAll = (mFrom.parts.keySet ++ mTo.parts.keySet).toSeq.sorted
     val legs: Seq[DataFrame] = keysAll.flatMap { k =>
       (mFrom.parts.get(k), mTo.parts.get(k)) match {
@@ -1051,23 +1076,39 @@ object PartitionedTable {
         Scd1Merge.vacuum(Paths.get(tablePath, rel).toString, retain)
       }
       val hist = Paths.get(tablePath, PHistoryDir)
+      // age PARENT history to the same retain window (flat-table
+      // parity: vacuum(0) leaves only the live manifest) — what lets
+      // a post-evolution vacuum actually release the old generation
+      if (Files.exists(hist))
+        Files.list(hist).iterator().asScala.toSeq.foreach { h =>
+          h.getFileName.toString.toIntOption.foreach { n =>
+            if (n > m.commit || n < m.commit - retain) Files.deleteIfExists(h)
+          }
+        }
       val referenced: Set[String] =
         m.parts.values.map(_._1).toSet ++ (
           if (!Files.exists(hist)) Set.empty[String]
           else Files.list(hist).iterator().asScala.toSeq
             .filter(_.getFileName.toString.toIntOption.isDefined)
             .flatMap(p => parse(p).parts.values.map(_._1)).toSet)
+      def rm(x: Path): Unit = {
+        if (Files.isDirectory(x))
+          Files.list(x).iterator().asScala.toSeq.foreach(rm)
+        Files.deleteIfExists(x)
+      }
       Files.list(Paths.get(tablePath)).iterator().asScala.toSeq.foreach { p =>
         val n = p.getFileName.toString
         // partition dirs: legacy "p=<v>" or multi-col "<c>=<v>,..." —
         // anything with "=" that is not an internal "_graft_*" file
-        if (n.contains("=") && !n.startsWith("_") && !referenced.contains(n)) {
-          def rm(x: Path): Unit = {
-            if (Files.isDirectory(x))
-              Files.list(x).iterator().asScala.toSeq.foreach(rm)
-            Files.deleteIfExists(x)
-          }
+        if (n.contains("=") && !n.startsWith("_") && !referenced.contains(n))
           rm(p)
+        // generation dirs (partition evolution): sweep unreferenced
+        // children inside, then the dir itself once empty
+        else if (n.matches("gen\\d+") && Files.isDirectory(p)) {
+          Files.list(p).iterator().asScala.toSeq.foreach { c =>
+            if (!referenced.contains(s"$n/${c.getFileName}")) rm(c)
+          }
+          if (!Files.list(p).iterator().hasNext) Files.deleteIfExists(p)
         }
       }
     }
@@ -1300,6 +1341,49 @@ object PartitionedTable {
       commitPManifest(dstPath, src.copy(parts = parts)).commit
     }
   }
+
+  /** PARTITION EVOLUTION — re-lay the table out under a NEW partition
+    * spec in ONE atomic parent swap (Iceberg's flagship; Delta makes
+    * you rebuild the table by hand). The layout is physical, so this
+    * is a FULL REWRITE — O(live table bytes), the same price every
+    * engine pays; schedule it like the rare deliberate migration it
+    * is. What the parent-manifest design buys: the rewrite lands into
+    * a fresh GENERATION directory (`gen<N>/p=<val>/…` — never
+    * colliding with the old children even when rendered values
+    * overlap), readers keep serving the OLD layout until the single
+    * parent swap, retained parent history still resolves the old pin
+    * set (time travel ACROSS the evolution works), and the old
+    * children become unreferenced garbage swept by [[vacuum]]. New
+    * spec columns must be merge keys, the identity-spec argument
+    * verbatim. Returns the number of partitions in the new layout. */
+  def repartition(spark: SparkSession, tablePath: String,
+                  newPartCols: Seq[String]): Int =
+    withPLock(tablePath) {
+      val live = requireTable(tablePath)
+      val specs = newPartCols.map(parseSpec)
+      require(specs.nonEmpty, "repartition needs at least one partition column")
+      specs.foreach { sp =>
+        require(live.keys.exists(_.equalsIgnoreCase(sp.srcCol)),
+          s"partition column '${sp.spelled}': source '${sp.srcCol}' must be " +
+          s"one of the merge keys (${live.keys.mkString(",")})")
+      }
+      require(specs.map(_.spelled.toLowerCase) !=
+          live.partCols.map(c => parseSpec(c).spelled.toLowerCase),
+        s"table is already partitioned by (${live.partCols.mkString(",")})")
+      val source = readAt(spark, tablePath, live)
+      val target = live.copy(partCols = specs.map(_.spelled),
+        partTypes = specTypes(specs, source.schema), parts = Map.empty)
+      val gen = f"gen${live.commit + 1}%04d"
+      val newPins = touchedKeys(source, target).map { vals =>
+        val rel = gen + "/" + partitionDirName(target, vals)
+        val childPath = Paths.get(tablePath, rel).toString
+        Scd1Merge.upsert(spark, childPath, source.filter(partEq(target, vals)),
+          live.keys, live.numBuckets)
+        keyOf(vals) -> (rel, Scd1Merge.tableCommit(childPath).get)
+      }.toMap
+      commitPManifest(tablePath, target.copy(parts = newPins))
+      newPins.size
+    }
 
   /** Z-ORDER / sort-cluster the whole partitioned table: every child
     * reclustered through the flat engine ([[Scd1Merge.recluster]] —

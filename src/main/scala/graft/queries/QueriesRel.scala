@@ -1535,6 +1535,53 @@ object QueriesRel {
         s"hidden partition pruning must confine the scan: $kept/$total")
       pruned.orderBy(col("o_orderkey"))
     }),
+    "s52_partition_evolution" -> ((s, dir) => {
+      // PARTITION EVOLUTION (Iceberg's flagship, via SQL): the fact
+      // starts month-partitioned (ingest-friendly: each batch touches
+      // its month), then the access pattern shifts to key lookups and
+      // the layout evolves to bucket(8, o_orderkey) — a FULL REWRITE
+      // (the price every engine pays; Delta cannot do it in place at
+      // all) landed in a fresh generation dir behind ONE atomic
+      // parent swap. In-row requires pin the mechanism: the new
+      // layout prunes a key-equality probe to ONE partition by PATH,
+      // time travel ACROSS the evolution still serves the old pin
+      // set, and ingest continues through the new spec. The oracle
+      // recomputes the final content — a row lost or duplicated in
+      // the rewrite breaks the hash.
+      import graft.merge.PartitionedTable
+      val o = table(s, dir, "orders")
+      val fact = o.select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("o_month").between("1995-01", "1995-05"))
+      val path = graft.Tmp.dir("graft_part52") + "/fact"
+      val keys = Seq("o_month", "o_orderkey")
+      PartitionedTable.upsert(s, path,
+        fact.filter(col("o_month") <= "1995-04"), keys, "o_month",
+        numBuckets = 2)
+      val before = PartitionedTable.readTable(s, path).count()
+      val nParts = graft.sql.GraftSql.sql(s,
+        s"ALTER TABLE graft.`$path` SET PARTITIONED BY (bucket(8, o_orderkey))")
+        .collect().head.getLong(0)
+      require(nParts >= 4, s"expected several bucket partitions, got $nParts")
+      // the evolved layout serves the shifted access pattern: a key
+      // probe prunes to ONE partition by path
+      val probeKey = fact.select(col("o_orderkey")).head().getLong(0)
+      PartitionedTable.readTableWhere(s, path,
+        col("o_orderkey") === probeKey).collect()
+      require(PartitionedTable.lastPartitionPrune._1 == 1,
+        s"key probe must prune to 1 partition: ${PartitionedTable.lastPartitionPrune}")
+      // time travel ACROSS the evolution: the old pin set still reads
+      require(PartitionedTable.readTableAt(s, path, 1).count() == before,
+        "time travel across the evolution must serve the old layout")
+      // ingest continues through the new spec
+      PartitionedTable.upsertMulti(s, path,
+        fact.filter(col("o_month") === "1995-05"), keys,
+        Seq("bucket(8, o_orderkey)"))
+      PartitionedTable.readTable(s, path)
+        .orderBy(col("o_orderkey"), col("o_month"))
+    }),
     "s51_partitioned_restore" -> ((s, dir) => {
       // RESTORE + reverse change feed on the PARTITIONED layout: a
       // bad batch (corrupted cents into 1995-02 + a whole new
@@ -2259,6 +2306,12 @@ object QueriesRel {
          |WHERE o_orderdate >= DATE '1995-05-01'
          |  AND o_orderdate < DATE '1995-08-01'
          |ORDER BY o_orderkey""".stripMargin,
+    "s52_partition_evolution" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |FROM orders
+         |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-05'
+         |ORDER BY o_orderkey, o_month""".stripMargin,
     "s51_partitioned_restore" ->
       """WITH fact AS (
          |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,

@@ -237,6 +237,9 @@ object GraftDml {
   private val DropConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(\S+|graft\s*\.\s*`[^`]*`)\s+DROP\s+""" +
      """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+  private val RepartitionRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\S+|graft\s*\.\s*`[^`]*`)\s+SET\s+""" +
+     """PARTITIONED\s+BY\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*\)\s*;?\s*$""").r
   private val CreateMvRe =
     ("""(?is)^\s*CREATE\s+GRAFT\s+MATERIALIZED\s+VIEW\s+""" +
      """(\S+|graft\s*\.\s*`[^`]*`)(?:\s+BUCKETS\s+(\d+))?\s+AS\s+(.+)$""").r
@@ -302,6 +305,8 @@ object GraftDml {
       case DropConstraintRe(tok, name) =>
         parseTableToken(tok).map(p =>
           GraftConstraintCommand(p, name.trim, None))
+      case RepartitionRe(tok, cols) =>
+        parseTableToken(tok).map(p => GraftRepartitionCommand(p, cols.trim))
       case CreateMvRe(tok, buckets, select) =>
         parseTableToken(tok).map(p => GraftCreateMvCommand(p,
           Option(buckets).map(_.toInt).getOrElse(0), select.trim))
@@ -779,6 +784,25 @@ case class GraftRefreshMvCommand(path: String)
         d.spec, fromBack = live - seen, toBack = 0)
     graft.plans.GraftMvRewrite.register(d.basePath, path, d.spec)
     Seq(Row(live.toLong, math.max(0, live - seen).toLong))
+  }
+}
+
+/** `ALTER TABLE <partitioned graft table> SET PARTITIONED BY (specs)`
+  * — PARTITION EVOLUTION ([[graft.merge.PartitionedTable.repartition]]):
+  * a full rewrite into the new layout behind one atomic parent swap;
+  * returns the new partition count. */
+case class GraftRepartitionCommand(path: String, colsText: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_partitions", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.merge.PartitionedTable
+    if (!PartitionedTable.tableExists(path)) throw new IllegalStateException(
+      s"ALTER TABLE SET PARTITIONED BY: $path is not a partitioned graft " +
+      "table (flat tables re-layout via CREATE ... PARTITIONED BY ... AS SELECT)")
+    val n = PartitionedTable.repartition(spark, path,
+      PartitionedTable.splitCols(colsText))
+    Seq(Row(n.toLong))
   }
 }
 

@@ -87,6 +87,48 @@ class PartitionedRestoreSpec extends SparkSpecBase {
     assert(e.getMessage.contains("out of range"), e.getMessage)
   }
 
+  test("partition evolution: new layout in one swap, time travel across it, feed guarded, vacuum sweeps old gens") {
+    import java.nio.file.{Files, Paths}
+    val path = Tmp.dir("pevolve") + "/t"
+    // keyed (month, id) with id ALSO usable as a bucket spec source
+    PartitionedTable.upsert(spark, path,
+      fact(Seq("2024-01", "2024-02", "2024-03")), keys, "month",
+      numBuckets = 2)
+    val before = canon(PartitionedTable.readTable(spark, path))
+    val n = graft.sql.GraftSql.sql(spark,
+      s"ALTER TABLE graft.`$path` SET PARTITIONED BY (bucket(4, id))")
+      .as[Long].head()
+    assert(n >= 2, s"expected multiple bucket partitions, got $n")
+    // content identical through the evolution; new layout answers
+    assert(canon(PartitionedTable.readTable(spark, path)) == before)
+    assert(PartitionedTable.partitionColumn(path).contains("bucket(4,id)"))
+    // pruned read through the NEW spec: an id-equality predicate
+    // touches one bucket partition
+    val someId = PartitionedTable.readTable(spark, path)
+      .select($"id").head().getLong(0)
+    PartitionedTable.readTableWhere(spark, path, $"id" === someId).collect()
+    assert(PartitionedTable.lastPartitionPrune._1 == 1,
+      s"prune: ${PartitionedTable.lastPartitionPrune}")
+    // time travel ACROSS the evolution serves the old layout's content
+    assert(canon(PartitionedTable.readTableAt(spark, path, 1)) == before)
+    // the feed across the evolution is guarded loudly
+    val e = intercept[IllegalStateException] {
+      PartitionedTable.readChanges(spark, path, 1, 0)
+    }
+    assert(e.getMessage.contains("PARTITION EVOLUTION"), e.getMessage)
+    // ingest continues through the new layout
+    PartitionedTable.upsertMulti(spark, path,
+      fact(Seq("2024-04")), keys, Seq("bucket(4, id)"))
+    assert(canon(PartitionedTable.readTable(spark, path)).size ==
+      before.size + 8)
+    // vacuum(0): old-generation children unreferenced → swept
+    PartitionedTable.vacuum(path, retain = 0)
+    assert(!Files.exists(Paths.get(path, "p=2024-01")),
+      "old layout children must be swept by vacuum")
+    assert(canon(PartitionedTable.readTable(spark, path)).size ==
+      before.size + 8, "live table must survive its vacuum")
+  }
+
   test("recluster: per-child Z-order behind ONE parent swap, content identical, SQL OPTIMIZE ZORDER routes") {
     val path = Tmp.dir("precluster") + "/t"
     PartitionedTable.upsert(spark, path,
