@@ -55,6 +55,69 @@ object IncrementalJoinAgg {
       fact.as("f").join(dim.as("d"), col(s"f.$fk") === col(s"d.$dk")),
       spec, numBuckets, batchId)
 
+  /** [[bootstrap]] from the committed fact/dim TABLES, stamped with
+    * the `fact@F,dim@D` commit pair — the form a registered join MV
+    * needs ([[graft.plans.GraftMvRewrite]] trusts exactly this stamp)
+    * and the anchor [[refresh]] resumes from. */
+  def bootstrapFrom(spark: SparkSession, aggPath: String,
+                    factPath: String, dimPath: String,
+                    fk: String, dk: String, spec: AggSpec,
+                    numBuckets: Int = 0): Unit = {
+    val cf = commitOf(factPath, "bootstrapFrom")
+    val cd = commitOf(dimPath, "bootstrapFrom")
+    bootstrap(spark, aggPath, Scd1Merge.readTable(spark, factPath),
+      Scd1Merge.readTable(spark, dimPath), fk, dk, spec, numBuckets,
+      batchId = f"fact@$cf%09d,dim@$cd%09d")
+  }
+
+  /** The full registered-MV creation: [[bootstrapFrom]] + persisted
+    * definition ([[MvDef]] — so `REFRESH MATERIALIZED VIEW` in a NEW
+    * session knows both sides) + the transparent query rewrite armed
+    * ([[graft.plans.GraftMvRewrite.registerJoin]]). */
+  def createMv(spark: SparkSession, mvPath: String,
+               factPath: String, factKeys: Seq[String],
+               dimPath: String, dimKeys: Seq[String],
+               fk: String, dk: String, spec: AggSpec,
+               numBuckets: Int = 0): Unit = {
+    bootstrapFrom(spark, mvPath, factPath, dimPath, fk, dk, spec, numBuckets)
+    MvDef.write(mvPath, MvDef.Def(factPath, factKeys, spec,
+      Some(MvDef.JoinSrc(dimPath, dimKeys, fk, dk))))
+    graft.plans.GraftMvRewrite.registerJoin(
+      graft.plans.GraftMvRewrite.JoinMvReg(factPath, dimPath, fk, dk,
+        mvPath, spec))
+  }
+
+  /** Fold every commit EITHER side has made since the MV's stamp —
+    * one exact bilinear batch (`ΔF ⋈ D_new ∪ F_old ⋈ ΔD` over the
+    * whole lag window), exactly-once by the stamp protocol. Returns
+    * (fact commits applied, dim commits applied); (0,0) = current.
+    * Lagging past either side's retention fails loudly (the feed is
+    * gone — the CDC contract). */
+  def refresh(spark: SparkSession, aggPath: String,
+              factPath: String, factKeys: Seq[String],
+              dimPath: String, dimKeys: Seq[String],
+              fk: String, dk: String, spec: AggSpec): (Int, Int) = {
+    val StampRe = """fact@(\d+),dim@(\d+)""".r
+    val (sf, sd) = Scd1Merge.tableBatchId(aggPath) match {
+      case Some(StampRe(a, b)) => (a.toInt, b.toInt)
+      case other => throw new IllegalStateException(
+        s"refresh: $aggPath carries no fact@F,dim@D stamp (got $other) — " +
+        "bootstrap it with bootstrapFrom")
+    }
+    val cf = commitOf(factPath, "refresh")
+    val cd = commitOf(dimPath, "refresh")
+    val fb = if (cf > sf) Some((cf - sf, 0)) else None
+    val db = if (cd > sd) Some((cd - sd, 0)) else None
+    if (fb.isEmpty && db.isEmpty) return (0, 0)
+    applyChanges(spark, aggPath, factPath, factKeys, dimPath, dimKeys,
+      fk, dk, spec, fb, db)
+    (cf - sf, cd - sd)
+  }
+
+  private def commitOf(p: String, op: String): Int =
+    Scd1Merge.tableCommit(p).getOrElse(
+      throw new IllegalStateException(s"$op: $p has no manifest"))
+
   /** One signed join term: every (delta row ⋈ other side) pair,
     * projected to (group cols, measures, _change_type). The delta side
     * is broadcast — delta-sized by contract. */

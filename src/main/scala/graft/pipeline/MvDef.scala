@@ -15,7 +15,13 @@ import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
   * metadata file. */
 object MvDef {
 
-  final case class Def(basePath: String, baseKeys: Seq[String], spec: AggSpec)
+  /** A JOIN MV's second input: the dim side + the equi-join keys
+    * (the fact side rides `basePath`/`baseKeys`). */
+  final case class JoinSrc(dimPath: String, dimKeys: Seq[String],
+                           fk: String, dk: String)
+
+  final case class Def(basePath: String, baseKeys: Seq[String], spec: AggSpec,
+                       join: Option[JoinSrc] = None)
 
   private val FileName = "_graft_mv"
 
@@ -25,12 +31,16 @@ object MvDef {
     java.net.URLDecoder.decode(s, "UTF-8")
 
   def write(mvPath: String, d: Def): Unit = {
-    val body = Seq(
+    val body = (Seq(
       s"base=${enc(d.basePath)}",
       s"keys=${d.baseKeys.map(enc).mkString(",")}",
       s"groups=${d.spec.groupCols.map(enc).mkString(",")}",
       s"sums=${d.spec.sums.map { case (m, o) => s"${enc(m)}:${enc(o)}" }.mkString(",")}",
-      s"count=${enc(d.spec.countName)}").mkString("\n")
+      s"count=${enc(d.spec.countName)}") ++
+      d.join.toSeq.flatMap(j => Seq(
+        s"dim=${enc(j.dimPath)}",
+        s"dimkeys=${j.dimKeys.map(enc).mkString(",")}",
+        s"fk=${enc(j.fk)}", s"dk=${enc(j.dk)}"))).mkString("\n")
     val tmp = Paths.get(mvPath, FileName + ".tmp")
     Files.createDirectories(tmp.getParent)
     Files.write(tmp, body.getBytes(UTF_8),
@@ -51,7 +61,9 @@ object MvDef {
       .filter(_.nonEmpty).map { s =>
         val Array(m, o) = s.split(":", 2); (dec(m), dec(o))
       }.toSeq
+    val join = kv.get("dim").map(d =>
+      JoinSrc(dec(d), list("dimkeys"), dec(kv("fk")), dec(kv("dk"))))
     Some(Def(dec(kv("base")), list("keys"),
-      AggSpec(list("groups"), sums, dec(kv("count")))))
+      AggSpec(list("groups"), sums, dec(kv("count"))), join))
   }
 }

@@ -83,11 +83,25 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * observability (proving a plan DID rewrite, like lastPrune). */
   @volatile var rewriteCount: Long = 0L
 
+  /** A registered JOIN MV ([[graft.pipeline.IncrementalJoinAgg]]):
+    * `mvPath` maintains `spec` over `fact ⋈_{fk=dk} dim` — measures
+    * on the fact side, group columns on the dim side (the module's
+    * contract). */
+  final case class JoinMvReg(factPath: String, dimPath: String,
+                             fk: String, dk: String,
+                             mvPath: String, spec: AggSpec)
+
+  private val joinRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, JoinMvReg]()
+
+  def registerJoin(reg: JoinMvReg): Unit = joinRegistry.put(reg.mvPath, reg)
+  def unregisterJoin(mvPath: String): Unit = { joinRegistry.remove(mvPath); () }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (registry.isEmpty) return plan
+    if (registry.isEmpty && joinRegistry.isEmpty) return plan
     plan.transform {
       case agg: Aggregate =>
-        tryRewrite(agg).getOrElse(agg)
+        tryRewrite(agg).orElse(tryRewriteJoin(agg)).getOrElse(agg)
     }
   }
 
@@ -138,22 +152,156 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       (if (partitioned) graft.merge.PartitionedTable.readTable(spark, reg.basePath)
        else Scd1Merge.readTable(spark, reg.basePath)).inputFiles.toSet
     if (files.toSet != current) return None
-    // ---- the supported algebra, substituted IN PLACE: each output
-    // expression may wrap the aggregates arbitrarily (round(avg(x)),
-    // sum(a)+count(*), … — CollapseProject folds post-agg projections
-    // into the Aggregate), so we rewrite every supported
-    // AggregateExpression subtree and every group attribute, and give
-    // up on anything else (unsupported aggregate, non-group column).
-    val mvPlan = Scd1Merge.readTable(spark, reg.mvPath)
-      .queryExecution.analyzed
+    lowerOnto(agg, groupAttrs, reg.spec,
+      Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed,
+      measureSide = _ => true).map { rewritten =>
+      rewriteCount += 1
+      logInfo(s"graft MV rewrite: aggregate over ${reg.basePath} answered " +
+        s"from ${reg.mvPath} (commit $commit)")
+      rewritten
+    }
+  }
+
+  /** JOIN-MV rewrite: `Aggregate(groups, aggs, fact ⋈_{fk=dk} dim)`
+    * answered from a registered [[graft.pipeline.IncrementalJoinAgg]]
+    * table — the star-schema dashboard shape. Same posture as the
+    * single-table path plus the join-specific gates:
+    *
+    *  - INNER equi-join on exactly the registered (fk, dk) pair (in
+    *    either order), no other condition;
+    *  - each side a Project/IsNotNull(join-key)-only chain to one
+    *    scan (the optimizer INFERS `isnotnull` on inner-join keys —
+    *    those filters are semantics-preserving w.r.t. the join, so
+    *    they are the ONE filter shape admitted; anything else falls
+    *    through);
+    *  - group attributes resolve on the DIM side, summed measures on
+    *    the FACT side (the maintenance contract — checked by exprId
+    *    membership, not just name);
+    *  - BOTH sides pass the snapshot gate and the MV carries the
+    *    `fact@F,dim@D` stamp for both sides' CURRENT commits. */
+  private def tryRewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
+    if (joinRegistry.isEmpty) return None
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, IsNotNull}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    // strip attr-only Projects above the join
+    var core: LogicalPlan = agg.child
+    while (core match {
+        case Project(items, _) => items.forall(_.isInstanceOf[AttributeReference])
+        case _ => false
+      }) core = core.asInstanceOf[Project].child
+    val j = core match {
+      case jn: Join if jn.joinType == Inner => jn
+      case _ => return None
+    }
+    // one side: Project(attrs)/Filter(IsNotNull(key) [AND …]) chain
+    // down to a single parquet scan
+    def side(p: LogicalPlan): Option[(Seq[String], Seq[AttributeReference])] = {
+      var cur = p
+      var notNull = Seq.empty[AttributeReference]
+      def conjuncts(e: Expression): Option[Seq[AttributeReference]] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          for (a <- conjuncts(l); b <- conjuncts(r)) yield a ++ b
+        case IsNotNull(a: AttributeReference) => Some(Seq(a))
+        case _ => None
+      }
+      var done = false
+      while (!done) cur match {
+        case Project(items, child)
+            if items.forall(_.isInstanceOf[AttributeReference]) => cur = child
+        case Filter(cond, child) => conjuncts(cond) match {
+          case Some(as) => notNull ++= as; cur = child
+          case None => return None
+        }
+        case _ => done = true
+      }
+      cur match {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            Some((fs.location.inputFiles.toSeq, notNull))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    val (lFiles, lNotNull) = side(j.left).getOrElse(return None)
+    val (rFiles, rNotNull) = side(j.right).getOrElse(return None)
+    if (lFiles.isEmpty || rFiles.isEmpty) return None
+    // which registered join MV owns (fact, dim) — either orientation
+    val reg = {
+      import scala.jdk.CollectionConverters._
+      joinRegistry.values.asScala.find { r =>
+        (lFiles.forall(_.contains(r.factPath + "/")) &&
+          rFiles.forall(_.contains(r.dimPath + "/"))) ||
+        (rFiles.forall(_.contains(r.factPath + "/")) &&
+          lFiles.forall(_.contains(r.dimPath + "/")))
+      }.getOrElse(return None)
+    }
+    val factLeft = lFiles.forall(_.contains(reg.factPath + "/"))
+    val (factSide, dimSide) = if (factLeft) (j.left, j.right) else (j.right, j.left)
+    val (factFiles, dimFiles) = if (factLeft) (lFiles, rFiles) else (rFiles, lFiles)
+    // join condition: exactly fk = dk with each attr on its side
+    def keyPair(a: AttributeReference, b: AttributeReference): Boolean =
+      a.name.equalsIgnoreCase(reg.fk) && factSide.outputSet.contains(a) &&
+      b.name.equalsIgnoreCase(reg.dk) && dimSide.outputSet.contains(b)
+    val condOk = j.condition match {
+      case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+        keyPair(a, b) || keyPair(b, a)
+      case _ => false
+    }
+    if (!condOk) return None
+    // inferred not-null filters may only name the join keys
+    if (!(lNotNull ++ rNotNull).forall(a =>
+        a.name.equalsIgnoreCase(reg.fk) || a.name.equalsIgnoreCase(reg.dk)))
+      return None
+    // groups: bare DIM-side attrs among the MV's group columns
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference if dimSide.outputSet.contains(a) => a
+      case _ => return None
+    }
+    if (!groupAttrs.forall(g =>
+        reg.spec.groupCols.exists(_.equalsIgnoreCase(g.name)))) return None
+    // SNAPSHOT both sides + the two-sided FRESHNESS stamp
+    val spark = SparkSession.active
+    val cf = Scd1Merge.tableCommit(reg.factPath).getOrElse(return None)
+    val cd = Scd1Merge.tableCommit(reg.dimPath).getOrElse(return None)
+    if (!Scd1Merge.tableBatchId(reg.mvPath)
+        .contains(f"fact@$cf%09d,dim@$cd%09d")) return None
+    if (factFiles.toSet !=
+        Scd1Merge.readTable(spark, reg.factPath).inputFiles.toSet) return None
+    if (dimFiles.toSet !=
+        Scd1Merge.readTable(spark, reg.dimPath).inputFiles.toSet) return None
+    val factOut = factSide.outputSet
+    lowerOnto(agg, groupAttrs, reg.spec,
+      Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed,
+      measureSide = a => factOut.contains(a)).map { rewritten =>
+      rewriteCount += 1
+      logInfo(s"graft MV rewrite: join aggregate over ${reg.factPath} ⋈ " +
+        s"${reg.dimPath} answered from ${reg.mvPath} (fact@$cf, dim@$cd)")
+      rewritten
+    }
+  }
+
+  /** The shared substitution core: rewrite every supported
+    * AggregateExpression subtree (sum / count(*) / avg — each output
+    * expression may wrap them arbitrarily: CollapseProject folds
+    * post-agg projections into the Aggregate) and every group
+    * attribute onto the MV's columns, preserving the original output
+    * names and exprIds; None on ANY unsupported piece. `measureSide`
+    * additionally gates WHICH attributes may serve as summed measures
+    * (the join path restricts them to the fact side). */
+  private def lowerOnto(agg: Aggregate, groupAttrs: Seq[AttributeReference],
+                        spec: AggSpec, mvPlan: LogicalPlan,
+                        measureSide: AttributeReference => Boolean): Option[LogicalPlan] = {
     val mvByName: Map[String, AttributeReference] =
       mvPlan.output.collect {
         case a: AttributeReference => a.name.toLowerCase -> a
       }.toMap
-    val sumsByMeasure = reg.spec.sums.map { case (m, out) => m.toLowerCase -> out }.toMap
+    val sumsByMeasure = spec.sums.map { case (m, out) => m.toLowerCase -> out }.toMap
     def measureOf(e: Expression): Option[String] = e match {
-      case a: AttributeReference => sumsByMeasure.get(a.name.toLowerCase)
-      case Cast(a: AttributeReference, LongType, _, _) =>
+      case a: AttributeReference if measureSide(a) =>
+        sumsByMeasure.get(a.name.toLowerCase)
+      case Cast(a: AttributeReference, LongType, _, _) if measureSide(a) =>
         sumsByMeasure.get(a.name.toLowerCase)
       case _ => None
     }
@@ -166,13 +314,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         ae.aggregateFunction match {
           case s: Sum => measureOf(s.child).flatMap(sumAgg)
           case c: Count => c.children match {
-            case Seq(Literal(_, _)) => sumAgg(reg.spec.countName)
+            case Seq(Literal(_, _)) => sumAgg(spec.countName)
               .map(s => Coalesce(Seq(s, Literal(0L))))
             case _ => None
           }
           case a: Average if a.child.dataType == LongType =>
             measureOf(a.child).flatMap { m =>
-              for (s <- sumAgg(m); n <- sumAgg(reg.spec.countName))
+              for (s <- sumAgg(m); n <- sumAgg(spec.countName))
                 yield Divide(Cast(s, DoubleType), Cast(n, DoubleType))
             }
           case _ => None
@@ -196,9 +344,6 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     }
     val newGroups = groupAttrs.map(g =>
       mvByName.getOrElse(g.name.toLowerCase, return None))
-    rewriteCount += 1
-    logInfo(s"graft MV rewrite: aggregate over ${reg.basePath} answered " +
-      s"from ${reg.mvPath} (commit $commit)")
     Some(Aggregate(newGroups, newAggs, mvPlan))
   }
 }

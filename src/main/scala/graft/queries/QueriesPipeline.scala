@@ -956,6 +956,83 @@ object QueriesPipeline {
       out
     }),
 
+    "pipe21_join_mv_rewrite" -> ((s, dir) => {
+      // JOIN-MV REWRITE — the star-schema dashboard closed end to
+      // end: the gold aggregate over fact ⋈ dim is maintained
+      // incrementally (IncrementalJoinAgg's exact bilinear delta
+      // rule: ΔF⋈D_new ∪ F_old⋈ΔD) AND the user's plain join-
+      // aggregate query is transparently answered from it. The gates
+      // are two-sided: BOTH scans must equal their tables' current
+      // snapshots and the MV must carry the fact@F,dim@D stamp for
+      // both current commits — a commit on EITHER side (here: a fact
+      // correction wave, then a dim segment move that shifts fact
+      // mass between groups) routes the query back to the real join
+      // until refresh() folds the lag. In-row requires pin the
+      // routing and the two-sided refresh accounting; the oracle
+      // recomputes the final answer from both tables' final content.
+      import graft.pipeline.IncrementalJoinAgg
+      import graft.pipeline.IncrementalAgg.AggSpec
+      val root = tmpDir("graft_jmv")
+      val factT = root + "/fact"; val dimT = root + "/dim"
+      val mvT = root + "/mv"
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val c = table(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment").as("seg"))
+      Scd1Merge.upsert(s, factT, o, Seq("o_orderkey"), numBuckets = 8,
+        retainVersions = 4)
+      Scd1Merge.upsert(s, dimT, c, Seq("c_custkey"), numBuckets = 4,
+        retainVersions = 4)
+      val spec = AggSpec(Seq("seg"), Seq("cents" -> "sum_cents"), "n_orders")
+      // createMv = stamped bootstrap + PERSISTED definition (_graft_mv,
+      // so SQL REFRESH works from any session) + the rewrite armed
+      IncrementalJoinAgg.createMv(s, mvT, factT, Seq("o_orderkey"),
+        dimT, Seq("c_custkey"), "o_custkey", "c_custkey", spec,
+        numBuckets = 2)
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def q(): DataFrame =
+        Scd1Merge.readTable(s, factT).as("f")
+          .join(Scd1Merge.readTable(s, dimT).as("d"),
+            col("f.o_custkey") === col("d.c_custkey"))
+          .groupBy(col("d.seg"))
+          .agg(sum(col("f.cents")).as("sum_cents"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("seg"))
+      require(scansOf(q()).forall(_.contains(mvT + "/")),
+        "fresh join MV must answer the star aggregate")
+      // fact correction wave → stale on the fact side
+      Scd1Merge.upsert(s, factT,
+        o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("cents", col("cents") + 50L),
+        Seq("o_orderkey"), retainVersions = 4)
+      require(scansOf(q()).exists(_.contains(factT + "/")),
+        "a stale join MV must route to the real join")
+      val r1 = IncrementalJoinAgg.refresh(s, mvT, factT, Seq("o_orderkey"),
+        dimT, Seq("c_custkey"), "o_custkey", "c_custkey", spec)
+      require(r1 == ((1, 0)), s"fact-side refresh accounting: $r1")
+      // dim segment move → fact mass shifts between groups
+      Scd1Merge.upsert(s, dimT,
+        c.filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .withColumn("seg", lit("MOVED")),
+        Seq("c_custkey"), retainVersions = 4)
+      val r2 = IncrementalJoinAgg.refresh(s, mvT, factT, Seq("o_orderkey"),
+        dimT, Seq("c_custkey"), "o_custkey", "c_custkey", spec)
+      require(r2 == ((0, 1)), s"dim-side refresh accounting: $r2")
+      val out = q()
+      require(scansOf(out).forall(_.contains(mvT + "/")),
+        "the refreshed join MV must answer again")
+      out
+    }),
+
     "pipe8_incremental_dedup" -> ((s, dir) => {
       // INCREMENTAL EXACT DEDUP AS A MAINTAINED TABLE: the seen-hash
       // set every continuously-ingesting corpus keeps — batches arrive
@@ -1292,6 +1369,19 @@ object QueriesPipeline {
          |SELECT o_orderpriority, sum(cents)::BIGINT AS sum_cents,
          |  count(*) AS n_orders
          |FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "pipe21_join_mv_rewrite" ->
+      """WITH f AS (
+         |  SELECT o_custkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT)
+         |      + CASE WHEN o_orderkey % 7 = 0 THEN 50 ELSE 0 END AS cents
+         |  FROM orders),
+         |d AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+         |  FROM customer)
+         |SELECT seg, sum(cents)::BIGINT AS sum_cents, count(*) AS n_orders
+         |FROM f JOIN d ON o_custkey = c_custkey
+         |GROUP BY seg ORDER BY seg""".stripMargin,
     "pipe8_incremental_dedup" ->
       """WITH r AS (SELECT sha256(text) AS content_hash, doc_id,
          |    row_number() OVER (PARTITION BY sha256(text)

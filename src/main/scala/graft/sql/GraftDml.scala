@@ -764,10 +764,21 @@ case class GraftRefreshMvCommand(path: String)
     AttributeReference("base_commit", LongType, nullable = false)(),
     AttributeReference("commits_applied", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    import graft.pipeline.{IncrementalAgg, MvDef}
+    import graft.pipeline.{IncrementalAgg, IncrementalJoinAgg, MvDef}
     val d = MvDef.read(path).getOrElse(throw new IllegalStateException(
       s"REFRESH MATERIALIZED VIEW: $path has no _graft_mv definition " +
       "(not created via CREATE GRAFT MATERIALIZED VIEW)"))
+    d.join.foreach { j =>
+      // JOIN MV: fold both sides' lag, re-arm the rewrite
+      val (af, ad) = IncrementalJoinAgg.refresh(spark, path,
+        d.basePath, d.baseKeys, j.dimPath, j.dimKeys, j.fk, j.dk, d.spec)
+      graft.plans.GraftMvRewrite.registerJoin(
+        graft.plans.GraftMvRewrite.JoinMvReg(d.basePath, j.dimPath,
+          j.fk, j.dk, path, d.spec))
+      return Seq(Row(
+        Scd1Merge.tableCommit(d.basePath).getOrElse(-1).toLong,
+        (af + ad).toLong))
+    }
     val live =
       (if (graft.merge.PartitionedTable.tableExists(d.basePath))
          graft.merge.PartitionedTable.tableCommit(d.basePath)

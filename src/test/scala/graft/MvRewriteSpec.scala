@@ -185,6 +185,64 @@ class MvRewriteSpec extends SparkSpecBase {
     } finally GraftMvRewrite.unregister(base)
   }
 
+  test("JOIN MV: the star aggregate rewrites; either side's new commit disables until refresh; soundness") {
+    import graft.pipeline.IncrementalJoinAgg
+    import graft.plans.GraftMvRewrite.JoinMvReg
+    val root = Tmp.dir("mv_join")
+    val factT = root + "/fact"; val dimT = root + "/dim"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, factT,
+      (1L to 300L).map(i => (i, i % 40 + 1, i * 10)).toDF("id", "ck", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 4)
+    Scd1Merge.upsert(spark, dimT,
+      (1L to 40L).map(c => (c, s"seg${c % 5}")).toDF("ck", "seg"),
+      Seq("ck"), numBuckets = 2, retainVersions = 4)
+    val spec = AggSpec(Seq("seg"), Seq("cents" -> "sc"), "n")
+    IncrementalJoinAgg.createMv(spark, mv, factT, Seq("id"),
+      dimT, Seq("ck"), "ck", "ck", spec, numBuckets = 2)
+    assert(graft.pipeline.MvDef.read(mv).exists(_.join.isDefined))
+    try {
+      def q = Scd1Merge.readTable(spark, factT)
+        .join(Scd1Merge.readTable(spark, dimT), "ck")
+        .groupBy($"seg").agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+      assert(readsOnly(q, mv), s"join MV must answer: ${scanPaths(q)}")
+      // fact-side commit → stale → the real join answers
+      Scd1Merge.upsert(spark, factT,
+        Seq((301L, 7L, 999L)).toDF("id", "ck", "cents"), Seq("id"),
+        retainVersions = 4)
+      assert(!readsOnly(q, mv) && scanPaths(q).exists(_.contains(factT + "/")))
+      assert(IncrementalJoinAgg.refresh(spark, mv, factT, Seq("id"),
+        dimT, Seq("ck"), "ck", "ck", spec) == ((1, 0)))
+      assert(readsOnly(q, mv))
+      // dim-side group move → stale → SQL REFRESH (routed through the
+      // persisted join definition) folds the mass between groups
+      Scd1Merge.upsert(spark, dimT,
+        Seq((7L, "segX")).toDF("ck", "seg"), Seq("ck"), retainVersions = 4)
+      assert(!readsOnly(q, mv))
+      val rr = graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").as[(Long, Long)].head()
+      assert(rr == ((2L, 1L)), rr.toString)
+      val fresh = q
+      assert(readsOnly(fresh, mv))
+      GraftMvRewrite.unregisterJoin(mv)
+      assertSameRows(fresh.orderBy("seg"),
+        Scd1Merge.readTable(spark, factT)
+          .join(Scd1Merge.readTable(spark, dimT), "ck")
+          .groupBy($"seg").agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+          .orderBy("seg"))
+      // soundness: outer join, extra condition, measure from the dim
+      // side, filtered sides — none rewrite
+      GraftMvRewrite.registerJoin(JoinMvReg(factT, dimT, "ck", "ck", mv, spec))
+      val f = Scd1Merge.readTable(spark, factT)
+      val d = Scd1Merge.readTable(spark, dimT)
+      assert(!readsOnly(f.join(d, Seq("ck"), "left")
+        .groupBy($"seg").agg(sum($"cents").as("sc")), mv))
+      assert(!readsOnly(f.join(d, f("ck") === d("ck") && f("cents") > 10)
+        .groupBy(d("seg")).agg(sum(f("cents")).as("sc")), mv))
+      assert(!readsOnly(f.filter($"cents" > 100).join(d, "ck")
+        .groupBy($"seg").agg(sum($"cents").as("sc")), mv))
+    } finally GraftMvRewrite.unregisterJoin(mv)
+  }
+
   test("rewrite survives parent operators: sort and HAVING keep the MV plan and the answer") {
     val (base, mv, _) = fixture()
     try {
