@@ -69,13 +69,17 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, MvReg]()
 
-  /** Declare `mvPath` as the maintained aggregate of `basePath`.
-    * Registration is session-global (the rule object is shared);
-    * unregister when the MV is dropped or handed off. */
+  /** Declare `mvPath` as a maintained aggregate of `basePath`.
+    * Registration is session-global (the rule object is shared) and
+    * keyed by the MV — a base may carry SEVERAL MVs with different
+    * group sets; the rewrite tries each candidate and takes the first
+    * that lowers. Unregister (by base) when MVs are dropped. */
   def register(basePath: String, mvPath: String, spec: AggSpec): Unit =
-    registry.put(basePath, MvReg(basePath, mvPath, spec))
+    registry.put(mvPath, MvReg(basePath, mvPath, spec))
 
-  def unregister(basePath: String): Unit = { registry.remove(basePath); () }
+  def unregister(basePath: String): Unit = {
+    registry.entrySet().removeIf(e => e.getValue.basePath == basePath); ()
+  }
 
   def clear(): Unit = registry.clear()
 
@@ -125,41 +129,50 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     }
     val files: Seq[String] = scanFiles(agg.child).getOrElse(return None)
     if (files.isEmpty) return None
-    // ---- OWNERSHIP: which registered base owns these files?
-    val reg = {
+    // ---- OWNERSHIP: registered MVs whose base owns these files — a
+    // base may carry several MVs (different group sets); try each
+    val cands = {
       import scala.jdk.CollectionConverters._
-      registry.values.asScala.find(r =>
-        files.forall(_.contains(r.basePath + "/"))).getOrElse(return None)
+      registry.values.asScala.filter(r =>
+        files.forall(_.contains(r.basePath + "/"))).toSeq.sortBy(_.mvPath)
     }
-    // ---- group expressions: bare attrs, all MV group columns
+    if (cands.isEmpty) return None
+    // ---- group expressions: bare attrs (spec-independent shape)
     val groupAttrs = agg.groupingExpressions.map {
       case a: AttributeReference => a
       case _ => return None
     }
-    if (!groupAttrs.forall(g =>
-        reg.spec.groupCols.exists(_.equalsIgnoreCase(g.name)))) return None
-    // ---- SNAPSHOT + FRESHNESS (driver metadata — cheap: a manifest
-    // read and a file listing, and only for plans that already passed
-    // the ownership gate, i.e. genuinely scan a registered base)
     val spark = SparkSession.active
-    val partitioned = graft.merge.PartitionedTable.tableExists(reg.basePath)
-    val commit =
-      (if (partitioned) graft.merge.PartitionedTable.tableCommit(reg.basePath)
-       else Scd1Merge.tableCommit(reg.basePath)).getOrElse(return None)
-    if (!Scd1Merge.tableBatchId(reg.mvPath).contains(f"base-commit-$commit%09d"))
-      return None
-    val current =
-      (if (partitioned) graft.merge.PartitionedTable.readTable(spark, reg.basePath)
-       else Scd1Merge.readTable(spark, reg.basePath)).inputFiles.toSet
-    if (files.toSet != current) return None
-    lowerOnto(agg, groupAttrs, reg.spec,
-      Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed,
-      measureSide = _ => true).map { rewritten =>
-      rewriteCount += 1
-      logInfo(s"graft MV rewrite: aggregate over ${reg.basePath} answered " +
-        s"from ${reg.mvPath} (commit $commit)")
-      rewritten
-    }
+    // SNAPSHOT resolved once per distinct base (driver metadata —
+    // cheap, and only for plans that genuinely scan a registered base)
+    val snapshotOk = scala.collection.mutable.Map.empty[String, Boolean]
+    def baseCurrent(basePath: String): Boolean =
+      snapshotOk.getOrElseUpdate(basePath, {
+        val partitioned = graft.merge.PartitionedTable.tableExists(basePath)
+        val current =
+          (if (partitioned) graft.merge.PartitionedTable.readTable(spark, basePath)
+           else Scd1Merge.readTable(spark, basePath)).inputFiles.toSet
+        files.toSet == current
+      })
+    cands.view.flatMap { reg =>
+      val groupsOk = groupAttrs.forall(g =>
+        reg.spec.groupCols.exists(_.equalsIgnoreCase(g.name)))
+      val commit =
+        (if (graft.merge.PartitionedTable.tableExists(reg.basePath))
+           graft.merge.PartitionedTable.tableCommit(reg.basePath)
+         else Scd1Merge.tableCommit(reg.basePath)).getOrElse(-1)
+      val fresh = commit >= 0 && Scd1Merge.tableBatchId(reg.mvPath)
+        .contains(f"base-commit-$commit%09d")
+      if (!groupsOk || !fresh || !baseCurrent(reg.basePath)) None
+      else lowerOnto(agg, groupAttrs, reg.spec,
+        Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed,
+        measureSide = _ => true).map { rewritten =>
+        rewriteCount += 1
+        logInfo(s"graft MV rewrite: aggregate over ${reg.basePath} " +
+          s"answered from ${reg.mvPath} (commit $commit)")
+        rewritten
+      }
+    }.headOption
   }
 
   /** JOIN-MV rewrite: `Aggregate(groups, aggs, fact ⋈_{fk=dk} dim)`

@@ -690,7 +690,9 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
     def bad(why: String): Nothing =
       throw new IllegalArgumentException(s"CREATE GRAFT MATERIALIZED VIEW: $why")
-    if (Scd1Merge.tableExists(path)) bad(s"$path already exists")
+    if (Scd1Merge.tableExists(path) ||
+        graft.merge.PartitionedTable.tableExists(path))
+      bad(s"$path already exists")
     val baseRefs = "(?is)FROM\\s+graft\\s*\\.\\s*`([^`]+)`".r
       .findAllMatchIn(selectSql).map(_.group(1)).toSeq
     if (baseRefs.size != 1) bad("the AS query must read exactly one graft " +

@@ -185,6 +185,27 @@ class MvRewriteSpec extends SparkSpecBase {
     } finally GraftMvRewrite.unregister(base)
   }
 
+  test("several MVs per base: each query lowers onto an MV whose groups cover it") {
+    val (base, mv, _) = fixture()
+    val mv2 = base.stripSuffix("/base") + "/mv_by_p"
+    val spec2 = AggSpec(Seq("p"), Seq("cents" -> "sum_cents"), "n")
+    IncrementalAgg.bootstrapFrom(spark, mv2, base, spec2, numBuckets = 2)
+    GraftMvRewrite.register(base, mv2, spec2)
+    try {
+      val b = Scd1Merge.readTable(spark, base)
+      // group by g: only the (g,p) MV covers it
+      assert(readsOnly(b.groupBy($"g").agg(sum($"cents").as("s")), mv))
+      // group by p: both cover; the rewrite picks one MV, values exact
+      val byP = b.groupBy($"p").agg(sum($"cents").as("s"), count(lit(1)).as("n"))
+      val ps = scanPaths(byP)
+      assert(ps.nonEmpty && (ps.forall(_.contains(mv + "/")) ||
+        ps.forall(_.contains(mv2 + "/"))), ps.toString)
+      GraftMvRewrite.unregister(base)
+      assertSameRows(byP.orderBy("p"), b.groupBy($"p")
+        .agg(sum($"cents").as("s"), count(lit(1)).as("n")).orderBy("p"))
+    } finally GraftMvRewrite.unregister(base)
+  }
+
   test("JOIN MV: the star aggregate rewrites; either side's new commit disables until refresh; soundness") {
     import graft.pipeline.IncrementalJoinAgg
     import graft.plans.GraftMvRewrite.JoinMvReg
