@@ -1267,6 +1267,51 @@ object PartitionedTable {
   def lastCommitTs(tablePath: String): Option[Long] =
     readPManifest(tablePath).map(_.ts).filter(_ > 0)
 
+  /** CDC batch over the partitioned layout ([[Scd1Merge.applyCdc]]
+    * semantics: `opCol` = upsert/delete, one crash-safe commit): ops
+    * ROUTE to their partitions — every CDC row, deletes included,
+    * carries its partition identity because the partition source
+    * columns are merge keys — so each touched partition applies its
+    * slice through the child's own applyCdc and ONE atomic parent
+    * swap makes the whole batch visible. All-delete slices aimed at a
+    * partition that does not exist are dropped (nothing to delete —
+    * the flat engine's no-target MERGE posture), never creating an
+    * empty partition. The SQL MERGE surface (all clause forms) lowers
+    * onto this for partitioned targets. */
+  def applyCdc(spark: SparkSession, tablePath: String, source: DataFrame,
+               keys: Seq[String], opCol: String = "_op",
+               retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit = {
+    require(source.columns.contains(opCol),
+      s"applyCdc: source must carry the operation column '$opCol'")
+    withPLock(tablePath) {
+      val live = requireTable(tablePath)
+      require(live.keys.map(_.toLowerCase).toSet == keys.map(_.toLowerCase).toSet,
+        s"table keys are ${live.keys.mkString(",")}, got ${keys.mkString(",")}")
+      Scd1Merge.enforceCheck(spark, tablePath, live.constraints,
+        source.filter(col(opCol) =!= "delete").drop(opCol),
+        "applyCdc(partitioned)")
+      val newPins = touchedKeys(source, live).flatMap { vals =>
+        val key = keyOf(vals)
+        val sub = source.filter(partEq(live, vals))
+        val existing = live.parts.contains(key)
+        if (!existing &&
+            sub.filter(col(opCol) =!= "delete").limit(1).isEmpty)
+          None // deletes into a partition that never existed: no-op
+        else {
+          val rel = live.parts.get(key).map(_._1)
+            .getOrElse(genPrefix(live) + partitionDirName(live, vals))
+          val childPath = Paths.get(tablePath, rel).toString
+          Scd1Merge.applyCdc(spark, childPath, sub, keys, opCol,
+            live.numBuckets, retainVersions)
+          Some(key -> (rel, Scd1Merge.tableCommit(childPath).get))
+        }
+      }.toMap
+      if (newPins.nonEmpty)
+        commitPManifest(tablePath, live.copy(parts = live.parts ++ newPins))
+      ()
+    }
+  }
+
   /** RESTORE — roll the live table back to the parent snapshot
     * `commitsBack` parent commits ago AS A NEW PARENT COMMIT (the
     * flat-table [[Scd1Merge.restore]] contract: the table stays

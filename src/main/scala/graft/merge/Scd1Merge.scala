@@ -2444,10 +2444,18 @@ object Scd1Merge {
         // loses its tombstone — hard-deleted rows are gone physically
         val dvRel = pruneDv(spark, tablePath, manifest, pkeys,
           bucketed.select(pkeys.map(col): _*))
+        // a CDC batch whose deletes empty EVERY live bucket must leave
+        // a schema-bearing table, same as the rewriteWhere engines —
+        // an empty-dirs manifest has no schema to read
+        val dirs1 = manifest.dirs -- emptied ++ newVersions
+        val finalDirs =
+          if (dirs1.nonEmpty) dirs1
+          else Map(stageEmptyBucket(tablePath, merged, touched.head,
+            nextVersion(tablePath, manifest, touched.head)))
         failpoint("before-manifest")
         refreshLease(tablePath, leaseId)
         val committed = commitManifest(tablePath, manifest.copy(numBuckets = nb,
-          dirs = manifest.dirs -- emptied ++ newVersions,
+          dirs = finalDirs,
           stats = manifest.stats -- touched ++ newStats, keys = pkeys,
           dv = dvRel,
           widened = manifest.widened ++ widenedNew,
@@ -3390,10 +3398,17 @@ object Scd1Merge {
             b => nextVersion(tablePath, base, b))
           val dvRel = pruneDv(spark, tablePath, base, pkeys,
             bucketed.select(pkeys.map(col): _*))
+          // all-buckets-emptied CDC: keep the table schema-readable
+          // (same posture as the locked applyCdc / rewrite engines)
+          val dirs1 = base.dirs -- emptied ++ newVersions
+          val finalDirs =
+            if (dirs1.nonEmpty) dirs1
+            else Map(stageEmptyBucket(tablePath, merged, touched.head,
+              nextVersion(tablePath, base, touched.head)))
           failpoint("before-manifest")
           refreshLease(tablePath, leaseId)
           val committed = commitManifest(tablePath, base.copy(
-            dirs = base.dirs -- emptied ++ newVersions,
+            dirs = finalDirs,
             stats = base.stats -- touched ++ newStats, keys = pkeys,
             dv = dvRel,
             widened = base.widened ++ widenedNew,

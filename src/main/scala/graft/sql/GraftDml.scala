@@ -1142,16 +1142,19 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
   override val output: Seq[Attribute] = Nil
 
   override def run(spark: SparkSession): Seq[Row] = {
-    if (graft.merge.PartitionedTable.tableExists(path))
-      throw new UnsupportedOperationException(
-        "graft MERGE with conditional/per-column/BY SOURCE clauses is not " +
-        "offered on partitioned tables yet — use the pure UPDATE SET * / " +
-        "INSERT * form, or the UPDATE/DELETE statements (partition-pruned)")
-    val keys = GraftTables.keysOf(path)
+    // partitioned targets take the SAME general lowering: the batch
+    // lands through PartitionedTable.applyCdc (partition-routed child
+    // commits behind one parent swap)
+    val partitioned = graft.merge.PartitionedTable.tableExists(path)
+    val keys =
+      if (partitioned) graft.merge.PartitionedTable.tableKeys(path).get
+      else GraftTables.keysOf(path)
     require(onKeys.map(_.toLowerCase).toSet == keys.map(_.toLowerCase).toSet,
       s"graft MERGE: ON clause keys (${onKeys.mkString(",")}) must be exactly " +
       s"the table's merge keys (${keys.mkString(",")})")
-    val target = Scd1Merge.readTable(spark, path)
+    val target =
+      if (partitioned) graft.merge.PartitionedTable.readTable(spark, path)
+      else Scd1Merge.readTable(spark, path)
     // fresh exprIds per side so a source that reads the SAME graft
     // table (self-merge) still disambiguates
     val tgtDf = target.alias("__graft_merge_t")
@@ -1244,7 +1247,10 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
     val batch = joined.withColumn(tagCol, tag)
       .filter(col(tagCol) =!= "keep")
       .select(valueCols :+ opVal.as(opCol): _*)
-    Scd1Merge.applyCdc(spark, path, batch, keys, opCol = opCol)
+    if (partitioned)
+      graft.merge.PartitionedTable.applyCdc(spark, path, batch, keys,
+        opCol = opCol)
+    else Scd1Merge.applyCdc(spark, path, batch, keys, opCol = opCol)
     Nil
   }
 }

@@ -465,13 +465,15 @@ class GraftSqlSpec extends SparkSpecBase {
     val after = PartitionedTable.readTable(spark, t)
     assert(after.filter($"part" === "p1").count() == 1)
     assert(after.filter($"part" === "p0").count() == 5) // untouched
-    // the general MERGE form is declined loudly on partitioned targets
-    val e = intercept[UnsupportedOperationException] {
-      GraftSql.sql(spark,
-        s"""MERGE INTO graft.`$t` t USING pmerge s ON t.part = s.part AND t.k = s.k
-           |WHEN MATCHED THEN UPDATE SET cents = s.cents""".stripMargin)
-    }
-    assert(e.getMessage.contains("partitioned"))
+    // the general MERGE form (per-column SET) lowers onto the
+    // partition-routed applyCdc — the dedicated test covers the full
+    // clause surface; here: one conditional per-column update lands
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$t` t USING pmerge s ON t.part = s.part AND t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET cents = s.cents + 1""".stripMargin)
+    assert(GraftSql.sql(spark,
+      s"SELECT cents FROM graft.`$t` WHERE part = 'p2' AND k = 2")
+      .as[Long].head() == 1000L)
     // the partition column cannot be SET (it is a merge key)
     intercept[Exception] {
       GraftSql.sql(spark, s"UPDATE graft.`$t` SET part = 'x' WHERE k = 1")
@@ -609,6 +611,49 @@ class GraftSqlSpec extends SparkSpecBase {
     Files.writeString(in.resolve("d.csv"), "k,v\nnot_a_number,x\n")
     val e = intercept[IllegalArgumentException] { copy() }
     assert(e.getMessage.contains("up-cast"), e.getMessage)
+  }
+
+  test("general MERGE on a PARTITIONED target: conditional clauses, deletes, BY SOURCE, one parent swap") {
+    import graft.merge.PartitionedTable
+    val path = graft.Tmp.dir("sql_pmerge") + "/t"
+    PartitionedTable.upsert(spark,
+      path,
+      Seq(("2024-01", 1L, 100L), ("2024-01", 2L, 200L),
+        ("2024-02", 3L, 300L), ("2024-02", 4L, 400L))
+        .toDF("month", "id", "cents"),
+      Seq("month", "id"), "month", numBuckets = 2)
+    Seq(("2024-01", 1L, 5L), ("2024-02", 3L, -1L), ("2024-03", 9L, 900L))
+      .toDF("month", "id", "delta").createOrReplaceTempView("pmerge_src")
+    val pc0 = PartitionedTable.tableCommit(path).get
+    graft.sql.GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$path` t USING pmerge_src s
+         |ON t.month = s.month AND t.id = s.id
+         |WHEN MATCHED AND s.delta < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET cents = t.cents + s.delta
+         |WHEN NOT MATCHED THEN INSERT (month, id, cents)
+         |  VALUES (s.month, s.id, s.delta)
+         |WHEN NOT MATCHED BY SOURCE AND t.id = 4 THEN DELETE
+         |""".stripMargin).collect()
+    assert(PartitionedTable.tableCommit(path).contains(pc0 + 1),
+      "the whole MERGE must be ONE parent swap")
+    val got = graft.sql.GraftSql.sql(spark,
+      s"SELECT month, id, cents FROM graft.`$path` ORDER BY month, id")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("2024-01", 1L, 105L), ("2024-01", 2L, 200L),
+      ("2024-03", 9L, 900L)), got.toString)
+    // deletes aimed at a partition that never existed: clean no-op
+    Seq(("2099-01", 77L, -1L)).toDF("month", "id", "delta")
+      .createOrReplaceTempView("pmerge_src2")
+    graft.sql.GraftSql.sql(spark,
+      s"""MERGE INTO graft.`$path` t USING pmerge_src2 s
+         |ON t.month = s.month AND t.id = s.id
+         |WHEN MATCHED AND s.delta < 0 THEN DELETE
+         |""".stripMargin).collect()
+    assert(graft.sql.GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM graft.`$path`").as[Long].head() == 3L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "p=2099-01")),
+      "an all-delete slice must not create a phantom partition")
   }
 
   test("MATERIALIZED VIEW lifecycle: CREATE bootstraps+rewrites, REFRESH folds missed commits, loud rejections") {

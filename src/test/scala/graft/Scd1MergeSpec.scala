@@ -420,6 +420,19 @@ class Scd1MergeSpec extends SparkSpecBase {
     assert(Scd1Merge.readTable(spark, path).count() == 2)
   }
 
+  test("a CDC batch whose deletes empty EVERY bucket keeps a readable table") {
+    val path = Tmp.dir("scd1_cdcempty") + "/t"
+    Scd1Merge.upsert(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    Scd1Merge.applyCdc(spark, path,
+      Seq((1L, "a", "delete"), (2L, "b", "delete")).toDF("k", "v", "_op"),
+      Seq("k"))
+    val t = Scd1Merge.readTable(spark, path)
+    assert(t.columns.toSeq == Seq("k", "v") && t.count() == 0)
+    Scd1Merge.upsert(spark, path, Seq((3L, "c")).toDF("k", "v"), Seq("k"))
+    assert(canon(Scd1Merge.readTable(spark, path)) == Seq(Seq("3", "c")))
+  }
+
   test("CREATE from an empty source: schema-bearing table, readable and upsertable") {
     val path = Tmp.dir("scd1_emptycreate") + "/t"
     Scd1Merge.upsert(spark, path,
