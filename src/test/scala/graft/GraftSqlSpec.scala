@@ -720,6 +720,33 @@ class GraftSqlSpec extends SparkSpecBase {
     } finally GraftMvRewrite.unregister(base)
   }
 
+  test("COPY INTO a PARTITIONED table: files route per partition, idempotence holds") {
+    import graft.merge.PartitionedTable
+    import java.nio.file.{Files, Paths}
+    val root = graft.Tmp.dir("sql_copy_part")
+    val in = Paths.get(root, "in")
+    Files.createDirectories(in)
+    val t = root + "/t"
+    PartitionedTable.upsert(spark, t,
+      Seq(("2024-01", 1L, 10L)).toDF("month", "id", "cents"),
+      Seq("month", "id"), "month", numBuckets = 2)
+    Seq(("2024-01", 2L, 20L), ("2024-02", 3L, 30L))
+      .toDF("month", "id", "cents").coalesce(1)
+      .write.parquet(root + "/stage")
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(Paths.get(root, "stage")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, in.resolve("f1.parquet"))
+    def copy() = graft.sql.GraftSql.sql(spark,
+      s"COPY INTO graft.`$t` FROM '$in' FILEFORMAT = PARQUET")
+      .as[(Long, Long)].head()
+    assert(copy() == ((1L, 2L)))
+    assert(copy() == ((0L, 0L)), "re-run must load nothing")
+    assert(PartitionedTable.partitions(spark, t).count() == 2,
+      "the new month must have routed to its own partition")
+    assert(canon(PartitionedTable.readTable(spark, t)).size == 3)
+  }
+
   test("DESCRIBE DETAIL: manifest-only metadata row for flat and partitioned tables") {
     val flat = graft.Tmp.dir("sql_detail") + "/flat"
     Scd1Merge.upsert(spark,
