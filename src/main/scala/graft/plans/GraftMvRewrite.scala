@@ -81,6 +81,19 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     registry.entrySet().removeIf(e => e.getValue.basePath == basePath); ()
   }
 
+  /** Remove ONE MV by its own path (DROP MATERIALIZED VIEW — other
+    * MVs over the same base stay armed). */
+  def unregisterMv(mvPath: String): Unit = { registry.remove(mvPath); () }
+
+  /** Disarm every registration that READS `path` (a dropped base —
+    * single-table MVs over it and join MVs on either side). */
+  def unregisterReaders(path: String): Unit = {
+    unregister(path)
+    joinRegistry.entrySet().removeIf(e =>
+      e.getValue.factPath == path || e.getValue.dimPath == path)
+    ()
+  }
+
   def clear(): Unit = registry.clear()
 
   /** Rewrites applied since session start — spec/judged-entry

@@ -237,6 +237,9 @@ object GraftDml {
   private val DropConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(\S+|graft\s*\.\s*`[^`]*`)\s+DROP\s+""" +
      """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+  private val DropTableRe =
+    ("""(?is)^\s*DROP\s+(TABLE|MATERIALIZED\s+VIEW)\s+(?:(IF\s+EXISTS)\s+)?""" +
+     """(graft\s*\.\s*`[^`]*`)\s*;?\s*$""").r
   private val RepartitionRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(\S+|graft\s*\.\s*`[^`]*`)\s+SET\s+""" +
      """PARTITIONED\s+BY\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*\)\s*;?\s*$""").r
@@ -305,6 +308,10 @@ object GraftDml {
       case DropConstraintRe(tok, name) =>
         parseTableToken(tok).map(p =>
           GraftConstraintCommand(p, name.trim, None))
+      case DropTableRe(kind, ifExists, tok) =>
+        parseTableToken(tok).map(p => GraftDropCommand(p,
+          mv = kind.toUpperCase.startsWith("MATERIALIZED"),
+          ifExists = ifExists != null))
       case RepartitionRe(tok, cols) =>
         parseTableToken(tok).map(p => GraftRepartitionCommand(p, cols.trim))
       case CreateMvRe(tok, buckets, select) =>
@@ -797,6 +804,47 @@ case class GraftRefreshMvCommand(path: String)
         d.spec, fromBack = live - seen, toBack = 0)
     graft.plans.GraftMvRewrite.register(d.basePath, path, d.spec)
     Seq(Row(live.toLong, math.max(0, live - seen).toLong))
+  }
+}
+
+/** `DROP TABLE [IF EXISTS] graft.\`<path>\`` / `DROP MATERIALIZED
+  * VIEW [IF EXISTS] graft.\`<path>\`` — remove the table's directory
+  * (symlink-safe: a shallow clone's links are removed, never their
+  * targets) and disarm any MV registrations it participated in. ONLY
+  * the explicit `graft.` path spelling is claimed — a bare name
+  * falls through to Spark's own DROP TABLE, so catalog tables are
+  * never hijacked (the pathOf-namespace lesson). DROP MATERIALIZED
+  * VIEW requires a persisted `_graft_mv` definition; DROP TABLE
+  * refuses an MV (use the MV statement — the distinction is the same
+  * guard rails Postgres draws). */
+case class GraftDropCommand(path: String, mv: Boolean, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.merge.PartitionedTable
+    import graft.pipeline.MvDef
+    val exists = Scd1Merge.tableExists(path) ||
+      PartitionedTable.tableExists(path)
+    if (!exists) {
+      if (ifExists) return Nil
+      throw new IllegalStateException(
+        s"DROP: $path is not a graft table")
+    }
+    val mvDef = MvDef.read(path)
+    if (mv && mvDef.isEmpty) throw new IllegalStateException(
+      s"DROP MATERIALIZED VIEW: $path has no _graft_mv definition — " +
+      "it is a plain table (DROP TABLE)")
+    if (!mv && mvDef.nonEmpty) throw new IllegalStateException(
+      s"DROP TABLE: $path is a materialized view — DROP MATERIALIZED VIEW")
+    mvDef.foreach { d =>
+      if (d.join.isDefined) graft.plans.GraftMvRewrite.unregisterJoin(path)
+      else graft.plans.GraftMvRewrite.unregisterMv(path)
+    }
+    // a dropped BASE also disarms MVs registered over it (their
+    // aggregate tables stay on disk — the user drops them separately)
+    graft.plans.GraftMvRewrite.unregisterReaders(path)
+    Scd1Merge.deleteRecursively(java.nio.file.Paths.get(path))
+    Nil
   }
 }
 

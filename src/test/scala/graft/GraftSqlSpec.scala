@@ -747,6 +747,49 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(canon(PartitionedTable.readTable(spark, t)).size == 3)
   }
 
+  test("DROP TABLE / DROP MATERIALIZED VIEW: symlink-safe removal, MV disarm, loud guards") {
+    import java.nio.file.{Files, Paths}
+    val root = graft.Tmp.dir("sql_drop")
+    val base = root + "/base"; val mv = root + "/mv"; val cl = root + "/clone"
+    Scd1Merge.upsert(spark, base,
+      (1L to 60L).map(i => (i, s"g${i % 3}", i)).toDF("k", "g", "cents"),
+      Seq("k"), numBuckets = 2)
+    graft.sql.GraftSql.sql(spark,
+      s"CREATE GRAFT MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT g, sum(cents) AS sc, count(*) AS n FROM graft.`$base` GROUP BY g")
+      .collect()
+    // guards: wrong statement for the object kind
+    assert(intercept[IllegalStateException] {
+      graft.sql.GraftSql.sql(spark, s"DROP TABLE graft.`$mv`").collect()
+    }.getMessage.contains("MATERIALIZED"))
+    assert(intercept[IllegalStateException] {
+      graft.sql.GraftSql.sql(spark,
+        s"DROP MATERIALIZED VIEW graft.`$base`").collect()
+    }.getMessage.contains("plain table"))
+    // dropping a shallow clone removes LINKS, never the source's files
+    Scd1Merge.cloneShallow(base, cl)
+    graft.sql.GraftSql.sql(spark, s"DROP TABLE graft.`$cl`").collect()
+    assert(!Files.exists(Paths.get(cl)))
+    assert(Scd1Merge.readTable(spark, base).count() == 60L,
+      "dropping a clone must not touch the source")
+    // dropping the MV disarms the rewrite; the base keeps answering
+    graft.sql.GraftSql.sql(spark, s"DROP MATERIALIZED VIEW graft.`$mv`")
+      .collect()
+    assert(!Files.exists(Paths.get(mv)))
+    val q = Scd1Merge.readTable(spark, base).groupBy($"g")
+      .agg(sum($"cents").as("sc"))
+    assert(q.inputFiles.forall(_.contains(base + "/")))
+    assert(q.count() == 3)
+    // dropping the base; IF EXISTS is quiet, bare is loud
+    graft.sql.GraftSql.sql(spark, s"DROP TABLE graft.`$base`").collect()
+    assert(!Files.exists(Paths.get(base)))
+    graft.sql.GraftSql.sql(spark,
+      s"DROP TABLE IF EXISTS graft.`$base`").collect()
+    assert(intercept[IllegalStateException] {
+      graft.sql.GraftSql.sql(spark, s"DROP TABLE graft.`$base`").collect()
+    }.getMessage.contains("not a graft table"))
+  }
+
   test("DESCRIBE DETAIL: manifest-only metadata row for flat and partitioned tables") {
     val flat = graft.Tmp.dir("sql_detail") + "/flat"
     Scd1Merge.upsert(spark,
