@@ -1155,8 +1155,12 @@ object Scd1Merge {
         (if (mf.dv.nonEmpty) Seq(mf.dv) else Nil)).toSet
     Files.list(Paths.get(tablePath)).iterator().asScala.toSeq.foreach { p =>
       val name = p.getFileName.toString
+      // durable SIDECARS survive GC: the MV definition (_graft_mv —
+      // REFRESH in a later session depends on it) and the COPY INTO
+      // loaded-files log (file-level idempotence depends on it)
       if (name != ManifestName && name != LockName && name != "data" &&
-          name != HistoryDir && !referenced.contains(name))
+          name != HistoryDir && name != "_graft_mv" &&
+          name != "_graft_copy_log" && !referenced.contains(name))
         deleteRecursively(p)
     }
   }

@@ -790,6 +790,35 @@ class GraftSqlSpec extends SparkSpecBase {
     }.getMessage.contains("not a graft table"))
   }
 
+  test("vacuum keeps the durable sidecars: MV definition and COPY INTO log survive GC") {
+    import java.nio.file.{Files, Paths}
+    val root = graft.Tmp.dir("sql_sidecars")
+    val base = root + "/base"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, base,
+      Seq((1L, "g1", 10L), (2L, "g2", 20L)).toDF("k", "g", "cents"),
+      Seq("k"), numBuckets = 2)
+    graft.sql.GraftSql.sql(spark,
+      s"CREATE GRAFT MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT g, sum(cents) AS sc, count(*) AS n FROM graft.`$base` GROUP BY g")
+      .collect()
+    Scd1Merge.vacuum(mv, retain = 0)
+    assert(graft.pipeline.MvDef.read(mv).isDefined,
+      "vacuum must not reclaim the MV definition")
+    // COPY INTO's loaded-files log must survive a vacuum too — the
+    // file-level idempotence contract depends on it
+    val in = Paths.get(root, "in")
+    Files.createDirectories(in)
+    Files.writeString(in.resolve("a.csv"), "k,g,cents\n3,g3,30\n")
+    def copy() = graft.sql.GraftSql.sql(spark,
+      s"COPY INTO graft.`$base` FROM '$in' FILEFORMAT = CSV " +
+      "FORMAT_OPTIONS ('header' = 'true', 'inferSchema' = 'true')")
+      .as[(Long, Long)].head()
+    assert(copy() == ((1L, 1L)))
+    Scd1Merge.vacuum(base, retain = 0)
+    assert(copy() == ((0L, 0L)),
+      "vacuum must not reclaim the COPY INTO log (files would reload)")
+  }
+
   test("DESCRIBE DETAIL: manifest-only metadata row for flat and partitioned tables") {
     val flat = graft.Tmp.dir("sql_detail") + "/flat"
     Scd1Merge.upsert(spark,
