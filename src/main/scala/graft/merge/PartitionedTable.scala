@@ -489,6 +489,224 @@ object PartitionedTable {
     }
   }
 
+  // ---------------- optimistic concurrency (parent level) ----------
+
+  /** Parent lock with WAIT semantics — the optimistic writers' adopt
+    * phase queues behind a holder (bounded by `timeoutMillis`)
+    * instead of failing, mirroring [[Scd1Merge]]'s `withLockWait`. */
+  private def withPLockWait[T](tablePath: String,
+                               timeoutMillis: Long)(body: => T): T = {
+    val deadline = System.currentTimeMillis() + timeoutMillis
+    var last: Throwable = null
+    while (true) {
+      try return withPLock(tablePath)(body)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("locked by another writer") =>
+          last = e
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"timed out after ${timeoutMillis}ms waiting for the parent " +
+              s"lock on $tablePath", last)
+          Thread.sleep(50L + scala.util.Random.nextInt(100))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The parent-level REBASE DECISION ([[Scd1Merge]]'s
+    * `checkFootprints` posture lifted to partitions): an intervening
+    * parent commit is safe exactly when table-wide layout/metadata
+    * are unchanged AND every partition this writer touched still
+    * carries the (rel, pin) it staged from — partition-disjoint
+    * writers rebase; overlap, evolution, recluster, drop, or
+    * constraint changes conflict LOUDLY. Never a silent lost
+    * update. */
+  private def checkPFootprints(tablePath: String, m0: PManifest,
+                               m1: PManifest, touched: Set[String],
+                               op: String): Unit = {
+    if (m1.commit == m0.commit) return
+    def cme(why: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"$op on $tablePath: $why (staged from parent commit " +
+        s"${m0.commit}, live is ${m1.commit}) — re-run the batch")
+    if (m1.partCols.map(c => parseSpec(c).spelled.toLowerCase) !=
+        m0.partCols.map(c => parseSpec(c).spelled.toLowerCase))
+      cme(s"partition layout changed (${m0.partCols.mkString(",")} -> " +
+        s"${m1.partCols.mkString(",")})")
+    if (m1.keys.map(_.toLowerCase) != m0.keys.map(_.toLowerCase))
+      cme("merge keys changed")
+    if (m1.numBuckets != m0.numBuckets) cme("bucket count changed")
+    if (m1.constraints != m0.constraints) cme("CHECK constraints changed")
+    touched.foreach { k =>
+      if (m0.parts.get(k) != m1.parts.get(k))
+        cme(s"partition ${valsOf(k).mkString("/")} was committed by a " +
+          "concurrent writer")
+    }
+  }
+
+  /** OPTIMISTIC partition-routed upsert — [[Scd1Merge.upsertConcurrent]]
+    * lifted to the partitioned layout. The child merges (the expensive
+    * work) run entirely OUTSIDE the parent lock, each serialized only
+    * by its own child's lock; the parent lock is taken just for the
+    * conflict check + pin adopt + swap, WAITING on a holder instead of
+    * failing. An intervening parent commit REBASES when it is
+    * PARTITION-DISJOINT from this writer's touched set and table-wide
+    * layout/metadata are unchanged — the staged child commits are then
+    * still exactly right. A moved pin on a touched partition (another
+    * writer or compactor got there first), a layout change, or a
+    * dropped touched partition throws
+    * `ConcurrentModificationException`, after rolling each staged
+    * child back where nothing stacked on it — never a silent lost
+    * update; the loser re-runs (upsert is content-idempotent).
+    *
+    * This is the 100 TB scheduling unlock the pessimistic
+    * [[upsertMulti]] cannot give: a month-A backfill no longer blocks
+    * a month-B ingest or cold-partition compaction — writers to
+    * disjoint partitions serialize only at the sub-second pin swap.
+    *
+    * Scope: ESTABLISHED tables (the initial commit defines the layout
+    * — table-wide by nature, pessimistic). A touched partition whose
+    * pin lags its child's live commit (another writer mid-adopt, or
+    * crash residue) fails loudly at staging: merging on top would
+    * adopt foreign unpinned rows as a side effect. */
+  def upsertMultiConcurrent(spark: SparkSession, tablePath: String,
+                            source: DataFrame, keys: Seq[String],
+                            partCols: Seq[String],
+                            statsColumns: Seq[String] = Nil,
+                            batchId: String = "",
+                            retainVersions: Int = Scd1Merge.DefaultRetainVersions,
+                            lockWaitMillis: Long = 60000L): Unit = {
+    require(partCols.nonEmpty, "PARTITIONED BY needs at least one column")
+    val specs = partCols.map(parseSpec)
+    val m0 = readPManifest(tablePath).getOrElse(throw new IllegalStateException(
+      s"upsertMultiConcurrent: $tablePath is not a partitioned graft table — " +
+      "create it with upsert first (the initial commit is table-wide by nature)"))
+    require(m0.partCols.map(c => parseSpec(c).spelled.toLowerCase) ==
+        specs.map(_.spelled.toLowerCase),
+      s"table is partitioned by (${m0.partCols.mkString(",")}), " +
+      s"got (${partCols.mkString(",")})")
+    require(m0.keys.map(_.toLowerCase).toSet == keys.map(_.toLowerCase).toSet,
+      s"table keys are ${m0.keys.mkString(",")}, got ${keys.mkString(",")}")
+    Scd1Merge.enforceCheck(spark, tablePath, m0.constraints, source,
+      "upsertConcurrent(partitioned)")
+    // ---- UNLOCKED staging: one child commit per touched partition
+    val newPins = touchedKeys(source, m0).map { vals =>
+      val key = keyOf(vals)
+      val rel = m0.parts.get(key).map(_._1)
+        .getOrElse(genPrefix(m0) + partitionDirName(m0, vals))
+      val childPath = Paths.get(tablePath, rel).toString
+      m0.parts.get(key).foreach { case (_, pin) =>
+        val liveC = Scd1Merge.tableCommit(childPath).getOrElse(pin)
+        if (liveC != pin) throw new IllegalStateException(
+          s"upsertMultiConcurrent: partition ${vals.mkString("/")} pin $pin " +
+          s"lags its live child commit $liveC — another writer is mid-commit " +
+          "on this partition, or a conflicted/crashed batch left residue; " +
+          "retry, or compact() to re-pin")
+      }
+      Scd1Merge.upsert(spark, childPath, source.filter(partEq(m0, vals)),
+        keys, m0.numBuckets, statsColumns = statsColumns, batchId = batchId,
+        retainVersions = retainVersions)
+      key -> (rel, Scd1Merge.tableCommit(childPath).get)
+    }.toMap
+    if (newPins.isEmpty) return
+    Scd1Merge.failpoint("p-optimistic-staged")
+    // ---- LOCKED adopt: conflict check + rebase + swap
+    try {
+      withPLockWait(tablePath, lockWaitMillis) {
+        val m1 = readPManifest(tablePath).get
+        checkPFootprints(tablePath, m0, m1, newPins.keySet,
+          "upsertMultiConcurrent")
+        commitPManifest(tablePath, m1.copy(parts = m1.parts ++ newPins))
+      }
+      ()
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // discard the staging (the flat-OCC posture): roll each child
+        // back where nothing stacked on our commit; a stacked child
+        // keeps the residue (the staging guard above makes the next
+        // writer loud about it, and a retry or compact() repairs it).
+        // A brand-new child we created stays unreferenced — vacuum
+        // reclaims parentless child trees wholesale.
+        newPins.foreach { case (k, (rel, c)) =>
+          if (m0.parts.contains(k)) {
+            val childPath = Paths.get(tablePath, rel).toString
+            if (Scd1Merge.tableCommit(childPath).contains(c))
+              try { Scd1Merge.restore(childPath, 1,
+                batchId = s"occ-rollback-$c"); () }
+              catch { case _: Exception => () }
+          }
+        }
+        throw e
+    }
+  }
+
+  /** Single-spec convenience — [[upsert]]'s signature on the
+    * optimistic path. */
+  def upsertConcurrent(spark: SparkSession, tablePath: String,
+                       source: DataFrame, keys: Seq[String], partCol: String,
+                       statsColumns: Seq[String] = Nil, batchId: String = "",
+                       retainVersions: Int = Scd1Merge.DefaultRetainVersions,
+                       lockWaitMillis: Long = 60000L): Unit =
+    upsertMultiConcurrent(spark, tablePath, source, keys, splitCols(partCol),
+      statsColumns, batchId, retainVersions, lockWaitMillis)
+
+  /** OPTIMISTIC compaction: child compacts run OUTSIDE the parent
+    * lock, then one short locked adopt re-pins only partitions whose
+    * child commit actually advanced — so compacting cold months runs
+    * BESIDE a hot-partition ingest instead of blocking it (the
+    * pessimistic [[compact]] holds the parent lock for the whole
+    * rewrite). `predicate` narrows the sweep to matching partitions
+    * (partition-column conjuncts, the [[deleteWhere]] pruning).
+    * Conflict posture: [[checkPFootprints]] — a concurrently
+    * committed touched partition aborts loudly with the compacted
+    * child rolled back where possible. Returns buckets rewritten. */
+  def compactConcurrent(spark: SparkSession, tablePath: String,
+                        predicate: Column = lit(true),
+                        lockWaitMillis: Long = 60000L): Int = {
+    val m0 = requireTable(tablePath)
+    val chosen = matchingPartitions(spark, tablePath, m0, predicate).toSet
+    var total = 0
+    val staged = m0.parts.toSeq.sortBy(_._1)
+      .filter { case (v, _) => chosen(v) }
+      .flatMap { case (v, (rel, pin)) =>
+        val childPath = Paths.get(tablePath, rel).toString
+        val liveC = Scd1Merge.tableCommit(childPath).getOrElse(pin)
+        if (liveC != pin) throw new IllegalStateException(
+          s"compactConcurrent: partition ${valsOf(v).mkString("/")} pin " +
+          s"$pin lags its live child commit $liveC — another writer is " +
+          "mid-commit; retry once it adopts")
+        total += Scd1Merge.compact(spark, childPath)
+        val after = Scd1Merge.tableCommit(childPath).get
+        if (after == pin) None // nothing rewritten: pin already right
+        else Some(v -> (rel, after))
+      }.toMap
+    Scd1Merge.failpoint("p-compact-staged")
+    if (staged.nonEmpty) {
+      try {
+        withPLockWait(tablePath, lockWaitMillis) {
+          val m1 = readPManifest(tablePath).get
+          checkPFootprints(tablePath, m0, m1, staged.keySet,
+            "compactConcurrent")
+          commitPManifest(tablePath, m1.copy(parts = m1.parts ++ staged))
+        }
+        ()
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          staged.foreach { case (_, (rel, c)) =>
+            val childPath = Paths.get(tablePath, rel).toString
+            if (Scd1Merge.tableCommit(childPath).contains(c))
+              try { Scd1Merge.restore(childPath, 1,
+                batchId = s"occ-rollback-$c"); () }
+              catch { case _: Exception => () }
+          }
+          throw e
+      }
+    }
+    total
+  }
+
   /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=
     * dynamic` / Delta `replaceWhere` on partition values): every
     * partition PRESENT in the batch is replaced wholesale — its
@@ -496,10 +714,12 @@ object PartitionedTable {
     * child commit — and untouched partitions keep their pins. */
   def overwritePartitions(spark: SparkSession, tablePath: String,
                           source: DataFrame): Unit = {
-    val m = requireTable(tablePath)
+    requireTable(tablePath)
     withPLock(tablePath) {
-      val newPins = replaceTouched(spark, tablePath, m, source)
+      // in-lock manifest (deleteWhere posture): stale routing under a
+      // concurrent evolution, or stale pins, must never commit
       val live = readPManifest(tablePath).get
+      val newPins = replaceTouched(spark, tablePath, live, source)
       commitPManifest(tablePath, live.copy(parts = live.parts ++ newPins))
     }
   }
@@ -541,10 +761,12 @@ object PartitionedTable {
     * table or the new one, never a mixture. */
   def overwriteTable(spark: SparkSession, tablePath: String,
                      source: DataFrame): Unit = {
-    val m = requireTable(tablePath)
+    requireTable(tablePath)
     withPLock(tablePath) {
-      val newPins = replaceTouched(spark, tablePath, m, source)
+      // route against the IN-LOCK layout — a concurrent evolution
+      // between pre-check and lock must not misdirect child writes
       val live = readPManifest(tablePath).get
+      val newPins = replaceTouched(spark, tablePath, live, source)
       commitPManifest(tablePath, live.copy(parts = newPins))
     }
   }
@@ -580,9 +802,10 @@ object PartitionedTable {
   private def childRead(spark: SparkSession, tablePath: String,
                         rel: String, pinned: Int): DataFrame = {
     val childPath = Paths.get(tablePath, rel).toString
-    val liveCommit = Scd1Merge.tableCommit(childPath).getOrElse(pinned)
-    if (liveCommit == pinned) Scd1Merge.readTable(spark, childPath)
-    else Scd1Merge.readTableAt(spark, childPath, liveCommit - pinned)
+    // ABSOLUTE commit resolution: distance-from-live would shift if a
+    // concurrent child commit lands between the distance computation
+    // and the history read — the pin number cannot
+    Scd1Merge.readTableAtCommit(spark, childPath, pinned)
   }
 
   /** Snapshot read: parent manifest resolved once, every child read AT
@@ -667,8 +890,48 @@ object PartitionedTable {
     require(fromCommitsBack > toCommitsBack,
       s"from ($fromCommitsBack commits back) must be older than to ($toCommitsBack)")
     val live = requireTable(tablePath)
-    val mFrom = parentAt(tablePath, live, fromCommitsBack)
-    val mTo = parentAt(tablePath, live, toCommitsBack)
+    changesBetween(spark, tablePath,
+      parentAt(tablePath, live, fromCommitsBack),
+      parentAt(tablePath, live, toCommitsBack))
+  }
+
+  /** Parent manifest at an ABSOLUTE commit number — live or retained
+    * history ([[Scd1Merge.manifestAtCommit]]'s resolution order:
+    * history file N is written before the live swap to N+1, so a
+    * history miss means live IS N or N is gone). */
+  private def parentAtCommit(tablePath: String, commit: Int): PManifest = {
+    val p = Paths.get(tablePath, PHistoryDir, commit.toString)
+    if (Files.exists(p)) parse(p)
+    else {
+      val live = requireTable(tablePath)
+      if (live.commit == commit) live
+      else if (Files.exists(p)) parse(p)
+      else throw new IllegalStateException(
+        s"parent commit $commit of $tablePath is not retained (live " +
+        s"${live.commit}) — it was vacuumed or never existed")
+    }
+  }
+
+  /** The table AT absolute parent commit `commit` — the streaming
+    * source's TOCTOU-free snapshot coordinate. */
+  def readTableAtCommit(spark: SparkSession, tablePath: String,
+                        commit: Int): DataFrame =
+    readAt(spark, tablePath, parentAtCommit(tablePath, commit))
+
+  /** [[readChanges]] in the ABSOLUTE parent-commit coordinate —
+    * immune to parent commits landing mid-call; what checkpointed
+    * streaming offsets must resolve through. */
+  def readChangesAtCommits(spark: SparkSession, tablePath: String,
+                           fromCommit: Int, toCommit: Int): DataFrame = {
+    require(fromCommit < toCommit,
+      s"from (commit $fromCommit) must be older than to (commit $toCommit)")
+    changesBetween(spark, tablePath, parentAtCommit(tablePath, fromCommit),
+      parentAtCommit(tablePath, toCommit))
+  }
+
+  private def changesBetween(spark: SparkSession, tablePath: String,
+                             mFrom: PManifest, mTo: PManifest): DataFrame = {
+    val keysOfFeed = mTo.keys
     if (mFrom.partCols.map(c => parseSpec(c).spelled.toLowerCase) !=
         mTo.partCols.map(c => parseSpec(c).spelled.toLowerCase))
       throw new IllegalStateException(
@@ -682,18 +945,20 @@ object PartitionedTable {
         case (Some(f), Some(t)) if f == t => None // untouched partition
         case (Some((_, pinF)), Some((relT, pinT))) =>
           val childPath = Paths.get(tablePath, relT).toString
-          val liveC = Scd1Merge.tableCommit(childPath).getOrElse(pinT)
+          // pins are ABSOLUTE child commits — resolve them directly
+          // (a distance-from-live window shifts under a concurrent
+          // child commit landing mid-call)
           if (pinF < pinT)
-            Some(Scd1Merge.readChanges(spark, childPath, live.keys,
-              fromCommitsBack = liveC - pinF, toCommitsBack = liveC - pinT))
+            Some(Scd1Merge.readChangesAtCommits(spark, childPath,
+              keysOfFeed, pinF, pinT))
           else {
             // REVERSE window — a parent RESTORE moved the pin
             // backward: the forward child diff pinT→pinF, inverted
             // (inserts⇄deletes, updates swap with their preimages) —
             // same O(changed buckets) cost, and exactly the feed a
             // downstream consumer must apply to follow the restore
-            val fwd = Scd1Merge.readChanges(spark, childPath, live.keys,
-              fromCommitsBack = liveC - pinT, toCommitsBack = liveC - pinF)
+            val fwd = Scd1Merge.readChangesAtCommits(spark, childPath,
+              keysOfFeed, pinT, pinF)
             Some(fwd.withColumn("_change_type",
               when(col("_change_type") === "insert", lit("delete"))
                 .when(col("_change_type") === "delete", lit("insert"))
@@ -1051,16 +1316,18 @@ object PartitionedTable {
     * advanced child commits in ONE parent swap. Returns buckets
     * rewritten across all partitions. */
   def compact(spark: SparkSession, tablePath: String): Int = {
-    val m = requireTable(tablePath)
+    requireTable(tablePath)
     withPLock(tablePath) {
+      // live manifest inside the lock — a partition committed between
+      // our pre-check and lock acquisition must be compacted, not lost
+      val m = readPManifest(tablePath).get
       var total = 0
       val newPins = m.parts.map { case (v, (rel, _)) =>
         val childPath = Paths.get(tablePath, rel).toString
         total += Scd1Merge.compact(spark, childPath)
         v -> (rel, Scd1Merge.tableCommit(childPath).get)
       }
-      val live = readPManifest(tablePath).get
-      commitPManifest(tablePath, live.copy(parts = newPins))
+      commitPManifest(tablePath, m.copy(parts = newPins))
       total
     }
   }
@@ -1070,8 +1337,12 @@ object PartitionedTable {
     * of every retained parent manifest) are deleted wholesale. */
   def vacuum(tablePath: String,
              retain: Int = Scd1Merge.DefaultRetainVersions): Unit = {
-    val m = requireTable(tablePath)
+    requireTable(tablePath)
     withPLock(tablePath) {
+      // `referenced` MUST be computed from the in-lock manifest: a
+      // stale pre-lock snapshot would treat a concurrently added
+      // partition's child tree as unreferenced and delete its data
+      val m = readPManifest(tablePath).get
       m.parts.values.foreach { case (rel, _) =>
         Scd1Merge.vacuum(Paths.get(tablePath, rel).toString, retain)
       }
@@ -1172,8 +1443,11 @@ object PartitionedTable {
     * Returns rows deleted. */
   def deleteWhere(spark: SparkSession, tablePath: String,
                   predicate: Column): Long = {
-    val m = requireTable(tablePath)
+    requireTable(tablePath)
     withPLock(tablePath) {
+      // manifest read INSIDE the lock: a partition committed by a
+      // concurrent writer before we acquired it must survive the swap
+      val m = readPManifest(tablePath).get
       val keep = matchingPartitions(spark, tablePath, m, predicate).toSet
       lastPartitionPrune = (keep.size, m.parts.size)
       var n = 0L
@@ -1185,8 +1459,7 @@ object PartitionedTable {
           v -> (rel, Scd1Merge.tableCommit(childPath).get)
         }
       }
-      val live = readPManifest(tablePath).get
-      commitPManifest(tablePath, live.copy(parts = newPins))
+      commitPManifest(tablePath, m.copy(parts = newPins))
       n
     }
   }
@@ -1209,19 +1482,21 @@ object PartitionedTable {
         "updateWhere(partitioned)")
     }
     withPLock(tablePath) {
-      val keep = matchingPartitions(spark, tablePath, m, predicate).toSet
-      lastPartitionPrune = (keep.size, m.parts.size)
+      // re-read inside the lock (deleteWhere posture): stale pins must
+      // never replace a concurrently committed partition
+      val lm = readPManifest(tablePath).get
+      val keep = matchingPartitions(spark, tablePath, lm, predicate).toSet
+      lastPartitionPrune = (keep.size, lm.parts.size)
       var n = 0L
-      val newPins = m.parts.map { case (v, (rel, pin)) =>
+      val newPins = lm.parts.map { case (v, (rel, pin)) =>
         if (!keep(v)) v -> (rel, pin)
         else {
           val childPath = Paths.get(tablePath, rel).toString
-          n += Scd1Merge.update(spark, childPath, m.keys, predicate, set)
+          n += Scd1Merge.update(spark, childPath, lm.keys, predicate, set)
           v -> (rel, Scd1Merge.tableCommit(childPath).get)
         }
       }
-      val live = readPManifest(tablePath).get
-      commitPManifest(tablePath, live.copy(parts = newPins))
+      commitPManifest(tablePath, lm.copy(parts = newPins))
       n
     }
   }

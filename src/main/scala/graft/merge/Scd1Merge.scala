@@ -246,7 +246,7 @@ object Scd1Merge {
     * lose the lock race). Production: empty. */
   private[graft] var testHooks: Map[String, () => Unit] = Map.empty
 
-  private def failpoint(name: String): Unit = {
+  private[graft] def failpoint(name: String): Unit = {
     testHooks.get(name).foreach(_.apply())
     if (testFailpoint == name) {
       testFailpoint = ""
@@ -1897,8 +1897,41 @@ object Scd1Merge {
             s"${live.commit}); it predates the table or was vacuumed")
         parseManifest(p)
       }
-    val from = manifestAt(fromCommitsBack)
-    val to = manifestAt(toCommitsBack)
+    windowOf(spark, tablePath, manifestAt(fromCommitsBack),
+      manifestAt(toCommitsBack))
+  }
+
+  /** Resolve an ABSOLUTE commit number to its manifest — live or
+    * retained history — the TOCTOU-free coordinate a checkpointed
+    * streaming offset needs: the `commitsBack` forms re-resolve
+    * distance against live AT CALL TIME, so a commit landing between
+    * offset computation and batch read shifts the window. History
+    * file N is durably written BEFORE the live swap to N+1
+    * ([[commitManifest]]), so: history hit → done; miss → live IS N,
+    * or N was superseded in between (re-check), or N is gone. */
+  private def manifestAtCommit(tablePath: String, commit: Int): Manifest = {
+    val p = Paths.get(tablePath, HistoryDir, commit.toString)
+    if (Files.exists(p)) parseManifest(p)
+    else {
+      val live = readManifest(tablePath).getOrElse(
+        throw new IllegalStateException(s"table $tablePath has no manifest"))
+      if (live.commit == commit) live
+      else if (Files.exists(p)) parseManifest(p)
+      else throw new IllegalStateException(
+        s"commit $commit of $tablePath is not retained (live " +
+        s"${live.commit}) — it was vacuumed or never existed; raise " +
+        "retainVersions to keep deeper history")
+    }
+  }
+
+  /** The table AT absolute commit `commit` — [[readTableAt]] in the
+    * commit-number coordinate (see [[manifestAtCommit]]). */
+  def readTableAtCommit(spark: SparkSession, tablePath: String,
+                        commit: Int): DataFrame =
+    readSnapshot(spark, tablePath, manifestAtCommit(tablePath, commit))
+
+  private def windowOf(spark: SparkSession, tablePath: String,
+                       from: Manifest, to: Manifest): (Manifest, Manifest, Seq[Int]) = {
     // bucket pruning: a bucket whose live dir is identical in both
     // manifests holds identical bytes — skip it entirely. A DELETION
     // VECTOR change moves rows without moving any dir, so when the dv
@@ -1937,9 +1970,31 @@ object Scd1Merge {
 
   def readChanges(spark: SparkSession, tablePath: String, keys: Seq[String],
                   fromCommitsBack: Int, toCommitsBack: Int = 0,
-                  bucketFilter: Option[Set[Int]] = None): DataFrame = {
-    val (from, to, changed0) =
-      changeWindow(spark, tablePath, fromCommitsBack, toCommitsBack)
+                  bucketFilter: Option[Set[Int]] = None): DataFrame =
+    readChangesWindow(spark, tablePath, keys,
+      changeWindow(spark, tablePath, fromCommitsBack, toCommitsBack),
+      bucketFilter)
+
+  /** [[readChanges]] in the ABSOLUTE commit coordinate: the feed of
+    * `(fromCommit, toCommit]` resolved by commit NUMBER, immune to
+    * concurrent commits landing mid-call (see [[manifestAtCommit]]) —
+    * what a streaming source replaying checkpointed offsets must use
+    * for its exactly-once contract. */
+  def readChangesAtCommits(spark: SparkSession, tablePath: String,
+                           keys: Seq[String], fromCommit: Int,
+                           toCommit: Int): DataFrame = {
+    require(fromCommit < toCommit,
+      s"from (commit $fromCommit) must be older than to (commit $toCommit)")
+    readChangesWindow(spark, tablePath, keys,
+      windowOf(spark, tablePath, manifestAtCommit(tablePath, fromCommit),
+        manifestAtCommit(tablePath, toCommit)), None)
+  }
+
+  private def readChangesWindow(spark: SparkSession, tablePath: String,
+                                keys: Seq[String],
+                                window: (Manifest, Manifest, Seq[Int]),
+                                bucketFilter: Option[Set[Int]]): DataFrame = {
+    val (from, to, changed0) = window
     // an explicit filter (ChangeStream's maxBucketsPerTrigger paging)
     // narrows the feed to a subset of the changed buckets — keys hash
     // to exactly one bucket, so paging by bucket partitions the

@@ -85,6 +85,9 @@ object IncrementalJoinAgg {
     graft.plans.GraftMvRewrite.registerJoin(
       graft.plans.GraftMvRewrite.JoinMvReg(factPath, dimPath, fk, dk,
         mvPath, spec))
+    // durable arming: catalogued under the FACT side (the arming
+    // probe keys on the scanned fact's files)
+    graft.sql.GraftCatalog.putMv(mvPath, factPath)
   }
 
   /** Fold every commit EITHER side has made since the MV's stamp —

@@ -78,12 +78,15 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     registry.put(mvPath, MvReg(basePath, mvPath, spec))
 
   def unregister(basePath: String): Unit = {
-    registry.entrySet().removeIf(e => e.getValue.basePath == basePath); ()
+    registry.entrySet().removeIf(e => e.getValue.basePath == basePath)
+    forgetArmed(basePath)
   }
 
   /** Remove ONE MV by its own path (DROP MATERIALIZED VIEW — other
     * MVs over the same base stay armed). */
-  def unregisterMv(mvPath: String): Unit = { registry.remove(mvPath); () }
+  def unregisterMv(mvPath: String): Unit = {
+    Option(registry.remove(mvPath)).foreach(r => forgetArmed(r.basePath))
+  }
 
   /** Disarm every registration that READS `path` (a dropped base —
     * single-table MVs over it and join MVs on either side). */
@@ -91,10 +94,10 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     unregister(path)
     joinRegistry.entrySet().removeIf(e =>
       e.getValue.factPath == path || e.getValue.dimPath == path)
-    ()
+    forgetArmed(path)
   }
 
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); armedBases.clear() }
 
   /** Rewrites applied since session start — spec/judged-entry
     * observability (proving a plan DID rewrite, like lastPrune). */
@@ -114,8 +117,76 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
   def registerJoin(reg: JoinMvReg): Unit = joinRegistry.put(reg.mvPath, reg)
   def unregisterJoin(mvPath: String): Unit = { joinRegistry.remove(mvPath); () }
 
+  /** Scheme-tolerant "file lives under dir" — a real PREFIX match
+    * (`/a/b-extra/f` is NOT under `/a/b`), unlike a substring
+    * `contains` which a suffix-named sibling table could satisfy.
+    * Scan file paths may carry a `file:`/`file://` scheme. */
+  private def underDir(file: String, dir: String): Boolean = {
+    def norm(p: String): String =
+      "/" + p.stripPrefix("file:").dropWhile(_ == '/')
+    val d = norm(dir)
+    norm(file).startsWith(if (d.endsWith("/")) d else d + "/")
+  }
+
+  /** Is `colName` PROVEN non-null on the base table by an enforced
+    * CHECK constraint `<col> IS NOT NULL`? Constraints run on every
+    * write path, so the proof holds for future rows too — the
+    * soundness condition the AVG lowering needs when the scan
+    * attribute itself is nullable (parquet scans always are).
+    * Canonical-text match only: anything fancier falls through. */
+  private def notNullByConstraint(basePath: String, colName: String): Boolean = {
+    val cs: Map[String, String] =
+      if (graft.merge.PartitionedTable.tableExists(basePath))
+        graft.merge.PartitionedTable.tableConstraints(basePath)
+      else if (Scd1Merge.tableExists(basePath))
+        Scd1Merge.tableConstraints(basePath)
+      else Map.empty
+    def canon(s: String): String = {
+      val t = s.replace("`", "").trim.replaceAll("\\s+", " ").toLowerCase
+      if (t.startsWith("(") && t.endsWith(")")) t.drop(1).dropRight(1).trim
+      else t
+    }
+    val want = canon(colName) + " is not null"
+    cs.values.exists(canon(_) == want)
+  }
+
+  /** Bases already auto-armed from the disk catalog this session —
+    * each base's `_graft_mv` sidecars are read at most once. */
+  private val armedBases =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Reset the arming memo (a DROP/unregister must let a later
+    * CREATE re-arm from disk). */
+  private def forgetArmed(path: String): Unit = { armedBases.remove(path); () }
+
+  /** AUTO-ARM from the persisted catalog: MVs created by an EARLIER
+    * session rewrite here with no REFRESH ritual. For each cataloged
+    * base that owns the plan's scan files, read its MVs' `_graft_mv`
+    * definitions once and register them — arming is NOT trusting: the
+    * per-query freshness/snapshot gates still decide whether the
+    * rewrite actually fires. No catalog root → no-op. */
+  private def armFromCatalog(files: Seq[String]): Unit = {
+    val bases = graft.sql.GraftCatalog.basesWithMvs
+    if (bases.isEmpty) return
+    bases.filter(b => files.forall(underDir(_, b))).foreach { base =>
+      if (armedBases.add(base))
+        graft.sql.GraftCatalog.mvsOver(base).foreach { mvPath =>
+          if (!registry.containsKey(mvPath) &&
+              !joinRegistry.containsKey(mvPath))
+            graft.pipeline.MvDef.read(mvPath).foreach { d =>
+              d.join match {
+                case None => register(d.basePath, mvPath, d.spec)
+                case Some(j) => registerJoin(JoinMvReg(d.basePath,
+                  j.dimPath, j.fk, j.dk, mvPath, d.spec))
+              }
+            }
+        }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (registry.isEmpty && joinRegistry.isEmpty) return plan
+    if (registry.isEmpty && joinRegistry.isEmpty &&
+        graft.sql.GraftCatalog.basesWithMvs.isEmpty) return plan
     plan.transform {
       case agg: Aggregate =>
         tryRewrite(agg).orElse(tryRewriteJoin(agg)).getOrElse(agg)
@@ -142,12 +213,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     }
     val files: Seq[String] = scanFiles(agg.child).getOrElse(return None)
     if (files.isEmpty) return None
+    armFromCatalog(files)
     // ---- OWNERSHIP: registered MVs whose base owns these files — a
     // base may carry several MVs (different group sets); try each
     val cands = {
       import scala.jdk.CollectionConverters._
       registry.values.asScala.filter(r =>
-        files.forall(_.contains(r.basePath + "/"))).toSeq.sortBy(_.mvPath)
+        files.forall(underDir(_, r.basePath))).toSeq.sortBy(_.mvPath)
     }
     if (cands.isEmpty) return None
     // ---- group expressions: bare attrs (spec-independent shape)
@@ -179,7 +251,9 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       if (!groupsOk || !fresh || !baseCurrent(reg.basePath)) None
       else lowerOnto(agg, groupAttrs, reg.spec,
         Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed,
-        measureSide = _ => true).map { rewritten =>
+        measureSide = _ => true,
+        nonNullOk = a => !a.nullable ||
+          notNullByConstraint(reg.basePath, a.name)).map { rewritten =>
         rewriteCount += 1
         logInfo(s"graft MV rewrite: aggregate over ${reg.basePath} " +
           s"answered from ${reg.mvPath} (commit $commit)")
@@ -253,17 +327,19 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     val (lFiles, lNotNull) = side(j.left).getOrElse(return None)
     val (rFiles, rNotNull) = side(j.right).getOrElse(return None)
     if (lFiles.isEmpty || rFiles.isEmpty) return None
+    // the FACT side indexes the catalog row — probe both orientations
+    armFromCatalog(lFiles); armFromCatalog(rFiles)
     // which registered join MV owns (fact, dim) — either orientation
     val reg = {
       import scala.jdk.CollectionConverters._
       joinRegistry.values.asScala.find { r =>
-        (lFiles.forall(_.contains(r.factPath + "/")) &&
-          rFiles.forall(_.contains(r.dimPath + "/"))) ||
-        (rFiles.forall(_.contains(r.factPath + "/")) &&
-          lFiles.forall(_.contains(r.dimPath + "/")))
+        (lFiles.forall(underDir(_, r.factPath)) &&
+          rFiles.forall(underDir(_, r.dimPath))) ||
+        (rFiles.forall(underDir(_, r.factPath)) &&
+          lFiles.forall(underDir(_, r.dimPath)))
       }.getOrElse(return None)
     }
-    val factLeft = lFiles.forall(_.contains(reg.factPath + "/"))
+    val factLeft = lFiles.forall(underDir(_, reg.factPath))
     val (factSide, dimSide) = if (factLeft) (j.left, j.right) else (j.right, j.left)
     val (factFiles, dimFiles) = if (factLeft) (lFiles, rFiles) else (rFiles, lFiles)
     // join condition: exactly fk = dk with each attr on its side
@@ -300,7 +376,9 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     val factOut = factSide.outputSet
     lowerOnto(agg, groupAttrs, reg.spec,
       Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed,
-      measureSide = a => factOut.contains(a)).map { rewritten =>
+      measureSide = a => factOut.contains(a),
+      nonNullOk = a => !a.nullable ||
+        notNullByConstraint(reg.factPath, a.name)).map { rewritten =>
       rewriteCount += 1
       logInfo(s"graft MV rewrite: join aggregate over ${reg.factPath} ⋈ " +
         s"${reg.dimPath} answered from ${reg.mvPath} (fact@$cf, dim@$cd)")
@@ -318,7 +396,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * (the join path restricts them to the fact side). */
   private def lowerOnto(agg: Aggregate, groupAttrs: Seq[AttributeReference],
                         spec: AggSpec, mvPlan: LogicalPlan,
-                        measureSide: AttributeReference => Boolean): Option[LogicalPlan] = {
+                        measureSide: AttributeReference => Boolean,
+                        nonNullOk: AttributeReference => Boolean): Option[LogicalPlan] = {
     val mvByName: Map[String, AttributeReference] =
       mvPlan.output.collect {
         case a: AttributeReference => a.name.toLowerCase -> a
@@ -344,10 +423,25 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
               .map(s => Coalesce(Seq(s, Literal(0L))))
             case _ => None
           }
+          // avg lowers to sum(sum_x)/sum(count) where count = count(*)
+          // per group — sound ONLY when the measure cannot be null
+          // (SQL Average divides by the NON-NULL count). The proof is
+          // either scan-level nullability or an enforced `IS NOT
+          // NULL` CHECK constraint on the base; a merely-nullable
+          // measure falls through to the base plan rather than
+          // silently under-averaging
           case a: Average if a.child.dataType == LongType =>
-            measureOf(a.child).flatMap { m =>
-              for (s <- sumAgg(m); n <- sumAgg(spec.countName))
-                yield Divide(Cast(s, DoubleType), Cast(n, DoubleType))
+            val attr = a.child match {
+              case ar: AttributeReference => Some(ar)
+              case Cast(ar: AttributeReference, LongType, _, _) => Some(ar)
+              case _ => None
+            }
+            attr.filter(ar => measureSide(ar) && nonNullOk(ar)).flatMap {
+              ar =>
+                sumsByMeasure.get(ar.name.toLowerCase).flatMap { m =>
+                  for (s <- sumAgg(m); n <- sumAgg(spec.countName))
+                    yield Divide(Cast(s, DoubleType), Cast(n, DoubleType))
+                }
             }
           case _ => None
         }

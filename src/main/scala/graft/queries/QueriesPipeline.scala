@@ -864,6 +864,10 @@ object QueriesPipeline {
           .orderBy(col("o_orderpriority"))
       val b1 = o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
       Scd1Merge.upsert(s, ordT, b1, Seq("o_orderkey"), numBuckets = 8)
+      // the avg lowering divides by the MV's count(*) — sound only
+      // for a PROVEN non-null measure; the enforced CHECK is that
+      // proof (parquet scan attributes are always nullable)
+      Scd1Merge.addConstraint(s, ordT, "cents_nn", "cents IS NOT NULL")
       IncrementalAgg.bootstrapFrom(s, mvT, ordT, spec, numBuckets = 4)
       GraftMvRewrite.register(ordT, mvT, spec)
       val b2 = b1.filter(pmod(col("o_orderkey"), lit(7)) === 0)

@@ -47,13 +47,21 @@ class GraftSource(spark: SparkSession, path: String,
   private def live: Long =
     (if (partitioned) graft.merge.PartitionedTable.tableCommit(path)
      else Scd1Merge.tableCommit(path)).getOrElse(0).toLong
-  private def snapshotAt(back: Int): DataFrame =
-    if (partitioned) graft.merge.PartitionedTable.readTableAt(spark, path, back)
-    else Scd1Merge.readTableAt(spark, path, back)
-  private def changes(fromBack: Int, toBack: Int): DataFrame =
+  // ABSOLUTE commit coordinates end to end: the checkpointed offsets
+  // ARE commit numbers, and resolving them by distance-from-live
+  // would shift the window when a commit lands between the `live`
+  // read and the manifest read — duplicates or skipped changes under
+  // a concurrent writer. The *AtCommit forms resolve history
+  // manifests by number, so a replayed batch is bit-identical.
+  private def snapshotAtCommit(commit: Int): DataFrame =
     if (partitioned)
-      graft.merge.PartitionedTable.readChanges(spark, path, fromBack, toBack)
-    else Scd1Merge.readChanges(spark, path, keys, fromBack, toBack)
+      graft.merge.PartitionedTable.readTableAtCommit(spark, path, commit)
+    else Scd1Merge.readTableAtCommit(spark, path, commit)
+  private def changesAt(fromCommit: Int, toCommit: Int): DataFrame =
+    if (partitioned)
+      graft.merge.PartitionedTable.readChangesAtCommits(spark, path,
+        fromCommit, toCommit)
+    else Scd1Merge.readChangesAtCommits(spark, path, keys, fromCommit, toCommit)
   private val keys: Seq[String] =
     (if (partitioned) graft.merge.PartitionedTable.tableKeys(path)
      else Scd1Merge.tableKeys(path))
@@ -103,16 +111,15 @@ class GraftSource(spark: SparkSession, path: String,
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val endC = parse(end)
-    val startC = start.map(parse).getOrElse(0L)
-    val cur = live
+    val endC = parse(end).toInt
+    val startC = start.map(parse).getOrElse(0L).toInt
     val out =
       if (startC <= 0)
         // initial snapshot AT the offered commit (commits may have
         // landed since getOffset — the retained manifest pins it)
-        snapshotAt((cur - endC).toInt)
+        snapshotAtCommit(endC)
           .withColumn("_change_type", lit("insert"))
-      else changes((cur - startC).toInt, (cur - endC).toInt)
+      else changesAt(startC, endC)
     GraftExpressionBridge.streamingBatch(
       out.select(schema.fieldNames.toIndexedSeq.map(col): _*))
   }

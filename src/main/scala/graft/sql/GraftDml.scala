@@ -609,14 +609,20 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
     import graft.merge.PartitionedTable
     if (PartitionedTable.tableExists(path)) {
       // partitioned target: BY NAME insert = partition-routed upsert;
-      // OVERWRITE = dynamic partition overwrite (partitions present in
-      // the batch replaced wholesale, others untouched — Spark's
-      // partitionOverwriteMode=dynamic convention)
+      // OVERWRITE honors spark.sql.sources.partitionOverwriteMode,
+      // the same dial as the DataFrame-writer path: static (Spark's
+      // default) = FULL atomic replacement — partitions absent from
+      // the batch drop; dynamic = only partitions present in the
+      // batch are replaced, others untouched
       val pkeys = PartitionedTable.tableKeys(path).get
       val pcol = PartitionedTable.partitionColumn(path).get
       val src0 = GraftExpressionBridge.ofRows(spark, query)
+      val dynamic = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static")
+        .equalsIgnoreCase("dynamic")
       if (!overwrite) PartitionedTable.upsert(spark, path, src0, pkeys, pcol)
-      else PartitionedTable.overwritePartitions(spark, path, src0)
+      else if (dynamic) PartitionedTable.overwritePartitions(spark, path, src0)
+      else PartitionedTable.overwriteTable(spark, path, src0)
       return Nil
     }
     val keys = GraftTables.keysOf(path)
@@ -756,6 +762,7 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
     IncrementalAgg.bootstrapFrom(spark, path, basePath, spec, numBuckets)
     MvDef.write(path, MvDef.Def(basePath, baseKeys, spec))
     graft.plans.GraftMvRewrite.register(basePath, path, spec)
+    GraftCatalog.putMv(path, basePath) // durable: a NEW session auto-arms
     Nil
   }
 }
@@ -843,6 +850,7 @@ case class GraftDropCommand(path: String, mv: Boolean, ifExists: Boolean)
     // a dropped BASE also disarms MVs registered over it (their
     // aggregate tables stay on disk — the user drops them separately)
     graft.plans.GraftMvRewrite.unregisterReaders(path)
+    GraftCatalog.removeMvsTouching(path)
     Scd1Merge.deleteRecursively(java.nio.file.Paths.get(path))
     Nil
   }
@@ -1278,6 +1286,32 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
         case ("update", None) | ("insert", None) => srcDf(c) // SET * / INSERT *
         case ("update", Some(_)) => assigned.getOrElse(tgtDf(c))
         case ("insert", Some(_)) => assigned.getOrElse(lit(null)) // SQL: unassigned → NULL
+      }
+    }
+    // store-assignment validation (the UPDATE-statement posture):
+    // every non-delete clause value must resolve to the target
+    // column's type or up-cast LOSSLESSLY to it — `SET int_col =
+    // <long expr>` fails loudly here instead of silently truncating
+    // through the final cast. One driver-side analysis pass, no jobs.
+    {
+      import org.apache.spark.sql.catalyst.expressions.{Cast => CatCast}
+      import org.apache.spark.sql.types.NullType
+      val probeCols = for ((cl, i) <- clauses.zipWithIndex
+                             if cl.kind != "delete";
+                           f <- target.schema.fields.toIndexedSeq)
+        yield clauseValue(cl, f.name).as(s"__m_${i}_${f.name}")
+      if (probeCols.nonEmpty) {
+        val probed = joined.limit(0).select(probeCols: _*).schema
+        for ((cl, i) <- clauses.zipWithIndex if cl.kind != "delete";
+             f <- target.schema.fields) {
+          val vt = probed(s"__m_${i}_${f.name}").dataType
+          require(vt == f.dataType || vt == NullType ||
+              CatCast.canUpCast(vt, f.dataType),
+            s"MERGE: ${cl.kind.toUpperCase} clause assigns column " +
+            s"'${f.name}' a ${vt.sql} value but the column is " +
+            s"${f.dataType.sql} — cast the expression to ${f.dataType.sql} " +
+            "explicitly, or widen the column via an upsert")
+        }
       }
     }
     val valueCols = target.schema.fields.toIndexedSeq.map { f =>

@@ -18,15 +18,28 @@ import graft.merge.Scd1Merge
 object GraftTables {
   private val reg = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def register(name: String, path: String): Unit =
+  /** Registers in session memory AND (when a [[GraftCatalog]] root is
+    * configured) writes through to the disk catalog — the name then
+    * survives a JVM restart with no re-registration ritual. */
+  def register(name: String, path: String): Unit = {
     reg.put(name.toLowerCase, path)
+    GraftCatalog.putName(name, path)
+  }
 
-  def unregister(name: String): Unit = reg.remove(name.toLowerCase)
+  def unregister(name: String): Unit = {
+    reg.remove(name.toLowerCase)
+    GraftCatalog.removeName(name)
+  }
 
-  /** Registered short names (the catalog listing surface). */
+  /** Test seam: wipe the SESSION-memory registry only (the disk
+    * catalog keeps its entries) — simulates a JVM restart. */
+  private[graft] def clearMemory(): Unit = reg.clear()
+
+  /** Registered short names (the catalog listing surface) — the
+    * session's own plus every disk-cataloged name. */
   def registered: Seq[String] = {
     import scala.jdk.CollectionConverters._
-    reg.keySet().asScala.toSeq
+    (reg.keySet().asScala.toSeq ++ GraftCatalog.allNames).distinct
   }
 
   /** Resolve a (possibly multipart) SQL identifier to a graft table
@@ -43,7 +56,11 @@ object GraftTables {
     case Seq(ns, p) if ns.equalsIgnoreCase("graft") &&
         (p.contains("/") || Scd1Merge.tableExists(p) ||
          graft.merge.PartitionedTable.tableExists(p)) => Some(p)
-    case Seq(one) => Option(reg.get(one.toLowerCase))
+    case Seq(one) =>
+      // read-through: session memory first, then the disk catalog (a
+      // name registered by an earlier session resolves here directly)
+      Option(reg.get(one.toLowerCase))
+        .orElse(GraftCatalog.nameToPath(one))
     case _ => None
   }
 

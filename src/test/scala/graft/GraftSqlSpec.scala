@@ -460,8 +460,14 @@ class GraftSqlSpec extends SparkSpecBase {
       s"SELECT cents FROM graft.`$t` WHERE part = 'p2' AND k = 2")
       .as[Long].head() == 999L)
     // dynamic INSERT OVERWRITE replaces only the partitions present
-    GraftSql.sql(spark,
-      s"INSERT OVERWRITE graft.`$t` SELECT 'p1' AS part, 7::LONG AS k, 0::LONG AS cents")
+    // (partitionOverwriteMode is consulted exactly like the
+    // DataFrame-writer path; Spark's session default is static)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      GraftSql.sql(spark,
+        s"INSERT OVERWRITE graft.`$t` SELECT 'p1' AS part, 7::LONG AS k, 0::LONG AS cents")
+    } finally
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     val after = PartitionedTable.readTable(spark, t)
     assert(after.filter($"part" === "p1").count() == 1)
     assert(after.filter($"part" === "p0").count() == 5) // untouched
@@ -478,6 +484,15 @@ class GraftSqlSpec extends SparkSpecBase {
     intercept[Exception] {
       GraftSql.sql(spark, s"UPDATE graft.`$t` SET part = 'x' WHERE k = 1")
     }
+    // STATIC (the session default) INSERT OVERWRITE = full atomic
+    // replacement — Spark's default posture: partitions absent from
+    // the batch drop, matching the DataFrame-writer Truncate path
+    GraftSql.sql(spark,
+      s"INSERT OVERWRITE graft.`$t` SELECT 'p1' AS part, 8::LONG AS k, 3::LONG AS cents")
+    val whole = PartitionedTable.readTable(spark, t)
+    assert(whole.count() == 1)
+    assert(whole.select($"part", $"k", $"cents").as[(String, Long, Long)]
+      .head() == (("p1", 8L, 3L)))
   }
 
   test("extension-built session: spark.sql() runs graft DML via injectParser") {
@@ -654,6 +669,66 @@ class GraftSqlSpec extends SparkSpecBase {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(path, "p=2099-01")),
       "an all-delete slice must not create a phantom partition")
+  }
+
+  test("PERSISTENT CATALOG: names and MV arming survive a session restart") {
+    import graft.sql.{GraftCatalog, GraftTables}
+    import graft.plans.GraftMvRewrite
+    val root = graft.Tmp.dir("sql_catalog")
+    GraftCatalog.setRoot(root + "/cat")
+    val base = root + "/base"; val mv = root + "/mv"
+    try {
+      Scd1Merge.upsert(spark, base,
+        (1L to 80L).map(i => (i, s"g${i % 4}", i * 10))
+          .toDF("k", "g", "cents"), Seq("k"), numBuckets = 2)
+      GraftTables.register("cat_base", base)
+      graft.sql.GraftSql.sql(spark,
+        s"CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS " +
+        s"SELECT g, sum(cents) AS sc, count(*) AS n " +
+        s"FROM graft.`$base` GROUP BY g").collect()
+      // ---- "restart": wipe EVERY in-memory registry
+      GraftTables.clearMemory()
+      GraftMvRewrite.clear()
+      // the short name resolves through the disk catalog
+      assert(graft.sql.GraftSql.sql(spark,
+        "SELECT count(*) AS n FROM cat_base").as[Long].head() == 80L)
+      assert(GraftTables.registered.contains("cat_base"))
+      // a PLAIN aggregate over the base AUTO-ARMS the rewrite from
+      // the catalog — no REFRESH ritual — and answers from the MV
+      val before = GraftMvRewrite.rewriteCount
+      val q = graft.sql.GraftSql.sql(spark,
+        s"SELECT g, sum(cents) AS sc FROM graft.`$base` GROUP BY g")
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.toSeq
+            case _ => Nil
+          }
+      }.flatten
+      assert(scans.nonEmpty && scans.forall(_.contains(mv + "/")),
+        s"auto-armed MV must answer the fresh query: $scans")
+      assert(GraftMvRewrite.rewriteCount > before)
+      // values match a from-base recompute (rule disarmed)
+      GraftMvRewrite.clear()
+      GraftCatalog.clearRoot() // also disables arming for the recompute
+      assertSameRows(q.orderBy("g"),
+        Scd1Merge.readTable(spark, base).groupBy($"g")
+          .agg(sum($"cents").as("sc")).orderBy("g"))
+      // DROP MATERIALIZED VIEW scrubs the catalog row
+      GraftCatalog.setRoot(root + "/cat")
+      assert(GraftCatalog.mvsOver(base) == Seq(mv))
+      graft.sql.GraftSql.sql(spark,
+        s"DROP MATERIALIZED VIEW graft.`$mv`").collect()
+      assert(GraftCatalog.mvsOver(base).isEmpty)
+      // unregister scrubs the name
+      GraftTables.unregister("cat_base")
+      assert(!GraftTables.registered.contains("cat_base"))
+    } finally {
+      GraftCatalog.clearRoot()
+      GraftMvRewrite.clear()
+      GraftTables.unregister("cat_base")
+    }
   }
 
   test("MATERIALIZED VIEW lifecycle: CREATE bootstraps+rewrites, REFRESH folds missed commits, loud rejections") {

@@ -39,6 +39,8 @@ class MvRewriteSpec extends SparkSpecBase {
       (i, s"g${i % 7}", s"p${i % 3}", i * 10 + i % 5))
       .toDF("id", "g", "p", "cents")
     Scd1Merge.upsert(spark, base, rows, Seq("id"), numBuckets = 4)
+    // proves the avg measure non-null for the AVG lowering gate
+    Scd1Merge.addConstraint(spark, base, "cents_nn", "cents IS NOT NULL")
     val spec = AggSpec(Seq("g", "p"), Seq("cents" -> "sum_cents"), "n")
     IncrementalAgg.bootstrapFrom(spark, mv, base, spec, numBuckets = 2)
     GraftMvRewrite.register(base, mv, spec)
@@ -138,6 +140,39 @@ class MvRewriteSpec extends SparkSpecBase {
         .groupBy($"g").agg(sum($"cents").as("sc"), count(lit(1)).as("n"),
           avg($"cents").as("a"))
         .select($"g", $"sc", $"n", round($"a", 4).as("ar")).orderBy("g"))
+    } finally GraftMvRewrite.unregister(base)
+  }
+
+  test("nullable measure without a NOT NULL constraint: avg falls through to the base, sum/count still rewrite") {
+    // parquet measures are nullable; avg(x) -> sum(sum_x)/sum(count)
+    // divides by count(*), which under-averages when x has nulls —
+    // so without the constraint proof the avg query must read the
+    // BASE (and return the right answer), while sum/count-only
+    // queries keep rewriting
+    val root = Tmp.dir("mv_nullable")
+    val base = root + "/base"; val mv = root + "/mv"
+    val rows = (1L to 60L).map(i => (i, s"g${i % 3}",
+      if (i % 5 == 0) None else Some(i * 7)))
+      .toDF("id", "g", "cents")
+    Scd1Merge.upsert(spark, base, rows, Seq("id"), numBuckets = 2)
+    val spec = AggSpec(Seq("g"), Seq("cents" -> "sum_cents"), "n")
+    IncrementalAgg.bootstrapFrom(spark, mv, base, spec, numBuckets = 2)
+    GraftMvRewrite.register(base, mv, spec)
+    try {
+      val b = Scd1Merge.readTable(spark, base)
+      val sums = b.groupBy($"g").agg(sum($"cents").as("s"),
+        count(lit(1)).as("n"))
+      assert(readsOnly(sums, mv), s"sum/count should rewrite: ${scanPaths(sums)}")
+      val avgs = b.groupBy($"g").agg(avg($"cents").as("a"))
+      assert(readsOnly(avgs, base),
+        s"nullable-measure avg must NOT rewrite: ${scanPaths(avgs)}")
+      // and the un-rewritten answer is the true non-null-count average
+      val got = avgs.orderBy("g").collect().map(r => (r.getString(0),
+        math.rint(r.getDouble(1) * 1e6) / 1e6))
+      val want = rows.groupBy($"g").agg(avg($"cents").as("a"))
+        .orderBy("g").collect().map(r => (r.getString(0),
+          math.rint(r.getDouble(1) * 1e6) / 1e6))
+      assert(got.sameElements(want))
     } finally GraftMvRewrite.unregister(base)
   }
 

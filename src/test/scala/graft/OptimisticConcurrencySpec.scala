@@ -300,4 +300,159 @@ class OptimisticConcurrencySpec extends SparkSpecBase {
     // snapshot still readable (retention honored on the optimistic path)
     assert(Scd1Merge.readTableAt(spark, pathO, 1).count() == 40)
   }
+
+  // ---------------- PARTITIONED tables (parent-level OCC) ----------
+
+  import graft.merge.PartitionedTable
+
+  private def buildPart(tag: String): String = {
+    val path = Tmp.dir(s"graft_pocc_$tag") + "/t"
+    val rows = (0 until 4).flatMap(p => (0L until 10L).map(i =>
+      (s"p$p", p * 10L + i, s"init_${p * 10 + i}")))
+      .toDF("part", "k", "v")
+    PartitionedTable.upsert(spark, path, rows, Seq("part", "k"), "part",
+      numBuckets = 2, retainVersions = 3)
+    path
+  }
+
+  private def pbatch(p: String, ks: Seq[Long], suffix: String) =
+    ks.map(k => (p, k, s"${suffix}_$k")).toDF("part", "k", "v")
+
+  test("PARTITIONED: real parallel writers to disjoint partitions both land; state == serial") {
+    val path = buildPart("disjoint")
+    // both writers stage their child commits BEFORE either adopts —
+    // the barrier guarantees true overlap of the unlocked phases
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    Scd1Merge.testHooks = Map("p-optimistic-staged" -> { () =>
+      barrier.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+    })
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(p: String, ks: Seq[Long], tag: String) = new Thread(() => {
+      try PartitionedTable.upsertConcurrent(spark, path,
+        pbatch(p, ks, tag), Seq("part", "k"), "part")
+      catch { case t: Throwable => errs.add(t) }
+    })
+    val ta = writer("p0", Seq(0L, 1L, 100L), "A") // updates + a new key
+    val tb = writer("p1", Seq(10L, 11L, 200L), "B")
+    try { ta.start(); tb.start(); ta.join(180000); tb.join(180000) }
+    finally Scd1Merge.testHooks = Map.empty
+    assert(errs.isEmpty,
+      s"parallel partitioned writers failed: ${errs.asScala.map(_.getMessage)}")
+    val t = PartitionedTable.readTable(spark, path)
+    assert(t.filter($"k" === 0L).select("v").as[String].head() == "A_0")
+    assert(t.filter($"k" === 100L).select("v").as[String].head() == "A_100")
+    assert(t.filter($"k" === 10L).select("v").as[String].head() == "B_10")
+    assert(t.filter($"k" === 200L).select("v").as[String].head() == "B_200")
+    assert(t.count() == 42)
+    // two parent commits on top of create — the serial outcome
+    assert(PartitionedTable.tableCommit(path).contains(3))
+    // every pin equals its child's live commit (no residue anywhere)
+    PartitionedTable.partitions(spark, path).collect().foreach { r =>
+      assert(r.getAs[Int]("pinned_commit") == r.getAs[Int]("live_commit"))
+    }
+  }
+
+  test("PARTITIONED: same-partition OCC overlap fails the second stager loudly; first lands") {
+    val path = buildPart("overlap")
+    // B stages p2, then — inside its unlocked window — A attempts an
+    // OCC upsert to the SAME partition: A must fail LOUDLY at the
+    // staging guard (p2's pin lags B's staged child commit), leaving
+    // no trace; B then adopts cleanly
+    val aErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    Scd1Merge.testHooks = Map("p-optimistic-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      try PartitionedTable.upsertConcurrent(spark, path,
+        pbatch("p2", Seq(20L), "A"), Seq("part", "k"), "part")
+      catch { case t: Throwable => aErr.set(t) }
+    })
+    try PartitionedTable.upsertConcurrent(spark, path,
+      pbatch("p2", Seq(21L), "B"), Seq("part", "k"), "part")
+    finally Scd1Merge.testHooks = Map.empty
+    assert(aErr.get() != null, "overlapping stager must fail")
+    assert(aErr.get().getMessage.contains("lags its live child commit"))
+    val t = PartitionedTable.readTable(spark, path)
+    assert(t.filter($"k" === 21L).select("v").as[String].head() == "B_21")
+    assert(t.filter($"k" === 20L).select("v").as[String].head() == "init_20")
+    // A's prescribed retry (no more contention) lands
+    PartitionedTable.upsertConcurrent(spark, path,
+      pbatch("p2", Seq(20L), "A2"), Seq("part", "k"), "part")
+    assert(PartitionedTable.readTable(spark, path)
+      .filter($"k" === 20L).select("v").as[String].head() == "A2_20")
+    PartitionedTable.partitions(spark, path).collect().foreach { r =>
+      assert(r.getAs[Int]("pinned_commit") == r.getAs[Int]("live_commit"))
+    }
+  }
+
+  test("PARTITIONED: adopt-time conflict (touched partition dropped mid-window) rolls the child back") {
+    val path = buildPart("dropconflict")
+    // B stages p2; a concurrent metadata commit DROPS p2 before B's
+    // adopt — the footprint check must CME, and the rollback must
+    // restore the child so no unpinned residue survives
+    Scd1Merge.testHooks = Map("p-optimistic-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      PartitionedTable.dropPartitionsWhere(spark, path, $"part" === "p2"); ()
+    })
+    val e = try intercept[java.util.ConcurrentModificationException] {
+      PartitionedTable.upsertConcurrent(spark, path,
+        pbatch("p2", Seq(21L), "B"), Seq("part", "k"), "part")
+    } finally Scd1Merge.testHooks = Map.empty
+    assert(e.getMessage.contains("p2"))
+    // the drop won: p2 is gone entirely
+    assert(PartitionedTable.readTable(spark, path)
+      .filter($"part" === "p2").count() == 0)
+    assert(PartitionedTable.readTable(spark, path).count() == 30)
+  }
+
+  test("PARTITIONED: cold-partition compaction runs beside a hot-partition ingest") {
+    val path = buildPart("compact")
+    // fragment p0's buckets legitimately (bounded file sizes), so the
+    // child compact has real work
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 2)
+    try (1 to 3).foreach { i =>
+      PartitionedTable.upsert(spark, path,
+        pbatch("p0", (0L until 8L), s"c$i"), Seq("part", "k"), "part")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    // compaction of p0 stages, then — inside its unlocked window — an
+    // OCC ingest into p3 fully commits; compaction must REBASE
+    Scd1Merge.testHooks = Map("p-compact-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      PartitionedTable.upsertConcurrent(spark, path,
+        pbatch("p3", Seq(30L, 300L), "I"), Seq("part", "k"), "part")
+    })
+    val rewrote = try PartitionedTable.compactConcurrent(spark, path,
+      predicate = $"part" === "p0")
+    finally Scd1Merge.testHooks = Map.empty
+    assert(rewrote > 0, "p0 had churn to compact")
+    val t = PartitionedTable.readTable(spark, path)
+    // both effects visible: the ingest AND the compacted content
+    assert(t.filter($"k" === 30L).select("v").as[String].head() == "I_30")
+    assert(t.filter($"k" === 300L).select("v").as[String].head() == "I_300")
+    assert(t.filter($"k" === 0L).select("v").as[String].head() == "c3_0")
+    assert(t.count() == 41)
+    PartitionedTable.partitions(spark, path).collect().foreach { r =>
+      assert(r.getAs[Int]("pinned_commit") == r.getAs[Int]("live_commit"))
+    }
+  }
+
+  test("PARTITIONED: compaction overlapping a same-partition commit conflicts loudly") {
+    val path = buildPart("compact_overlap")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", 2)
+    try (1 to 2).foreach { i =>
+      PartitionedTable.upsert(spark, path,
+        pbatch("p1", (10L until 18L), s"c$i"), Seq("part", "k"), "part")
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    Scd1Merge.testHooks = Map("p-compact-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      PartitionedTable.upsert(spark, path,
+        pbatch("p1", Seq(11L), "W"), Seq("part", "k"), "part")
+    })
+    val e = try intercept[java.util.ConcurrentModificationException] {
+      PartitionedTable.compactConcurrent(spark, path,
+        predicate = $"part" === "p1")
+    } finally Scd1Merge.testHooks = Map.empty
+    assert(e.getMessage.contains("p1"))
+    // the intervening writer's row is intact
+    assert(PartitionedTable.readTable(spark, path)
+      .filter($"k" === 11L).select("v").as[String].head() == "W_11")
+  }
 }
