@@ -37,9 +37,37 @@ object IncrementalAgg {
   /** Aggregate spec: `sums` maps each base measure column to its
     * output name; `countName` is the row-count column. The count
     * doubles as the group liveness ledger — a group whose count
-    * reaches 0 is REMOVED from the aggregate table. */
+    * reaches 0 is REMOVED from the aggregate table.
+    *
+    * `filterSql` makes this a FILTERED aggregate (`WHERE` baked into
+    * the MV): only rows satisfying the predicate contribute — under
+    * maintenance each change row is evaluated independently, so a
+    * filtered update nets exactly the visible transition (old row
+    * passed + new fails = −old; old failed + new passes = +new; the
+    * [[applyChanges]] rowFilter algebra).
+    *
+    * `groupExprs` maps a group column name to the SQL EXPRESSION that
+    * derives it from base columns (`m -> "date_format(ts,'yyyy-MM')"`)
+    * — the MV materializes the computed value as a real group column
+    * (Iceberg-transform-style roll-ups: `GROUP BY month(ts)` answered
+    * O(months)); names absent from the map are plain base columns. */
   final case class AggSpec(groupCols: Seq[String], sums: Seq[(String, String)],
-                           countName: String)
+                           countName: String,
+                           filterSql: Option[String] = None,
+                           groupExprs: Map[String, String] = Map.empty)
+
+  /** Derive expression-group columns, then apply the MV filter — the
+    * shared pre-aggregation step of bootstrap and maintenance (each
+    * row independently: exactly what makes the signed-delta algebra
+    * correct for filtered MVs). */
+  private def prepared(df: DataFrame, spec: AggSpec): DataFrame = {
+    val derived = spec.groupExprs.toSeq.sortBy(_._1).foldLeft(df) {
+      case (d, (out, sql)) => d.withColumn(out, expr(sql))
+    }
+    spec.filterSql.map(f =>
+      derived.filter(coalesce(expr(f).cast("boolean"), lit(false))))
+      .getOrElse(derived)
+  }
 
   /** Initial build: one full aggregation of the base's CURRENT content,
     * committed as the aggregate table (keyed on the group columns).
@@ -50,7 +78,8 @@ object IncrementalAgg {
                 retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit = {
     val exprs = spec.sums.map(p => sum(col(p._1)).as(p._2)) :+
       count(lit(1)).as(spec.countName)
-    val aggd = base.groupBy(spec.groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+    val aggd = prepared(base, spec)
+      .groupBy(spec.groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
     Scd1Merge.upsert(spark, aggPath, aggd, spec.groupCols, numBuckets,
       retainVersions = retainVersions,
       statsColumns = Seq(spec.countName), batchId = batchId)
@@ -164,7 +193,7 @@ object IncrementalAgg {
     val deltaExprs = spec.sums.map(p =>
       sum(col("__sign") * col(p._1)).as(p._2)) :+
       sum(col("__sign")).as(spec.countName)
-    val delta = changes
+    val delta = prepared(changes, spec)
       .withColumn("__sign", sign)
       .groupBy(spec.groupCols.map(col): _*)
       .agg(deltaExprs.head, deltaExprs.tail: _*)

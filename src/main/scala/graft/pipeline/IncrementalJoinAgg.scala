@@ -78,16 +78,164 @@ object IncrementalJoinAgg {
                factPath: String, factKeys: Seq[String],
                dimPath: String, dimKeys: Seq[String],
                fk: String, dk: String, spec: AggSpec,
-               numBuckets: Int = 0): Unit = {
-    bootstrapFrom(spark, mvPath, factPath, dimPath, fk, dk, spec, numBuckets)
-    MvDef.write(mvPath, MvDef.Def(factPath, factKeys, spec,
-      Some(MvDef.JoinSrc(dimPath, dimKeys, fk, dk))))
+               numBuckets: Int = 0): Unit =
+    createMvStar(spark, mvPath, factPath, factKeys,
+      Seq(MvDef.JoinSrc(dimPath, dimKeys, fk, dk)), spec, numBuckets)
+
+  // ======================= STAR (N-dim) forms =======================
+  // The bilinear delta rule extends to N dims by TELESCOPING — each
+  // term swaps exactly one side for its delta, sides BEFORE it in the
+  // order at their OLD version, sides AFTER at NEW:
+  //
+  //   Δ(F ⋈ D1 ⋈ … ⋈ Dn) =  ΔF    ⋈ D1_new ⋈ … ⋈ Dn_new
+  //                        ∪ F_old ⋈ ΔD1    ⋈ D2_new ⋈ … ⋈ Dn_new
+  //                        ∪ F_old ⋈ D1_old ⋈ ΔD2 ⋈ D3_new ⋈ …
+  //                        ∪ …
+  //                        ∪ F_old ⋈ D1_old ⋈ … ⋈ ΔDn
+  //
+  // (exact in signed-multiset semantics: summing the terms telescopes
+  // to F_new⋈D1_new⋈…⋈Dn_new − F_old⋈D1_old⋈…⋈Dn_old, regardless of
+  // how the physical commits interleaved — the identity is over table
+  // STATES). Group columns may live on ANY side (resolved per term by
+  // schema membership); measures stay on the fact. 100 TB cost: every
+  // delta side is BROADCAST (batch-sized by contract) and every dim
+  // is broadcast (dimension-sized), so the only big input ever
+  // scanned is F_old — once per changed-dim term, shuffle-free.
+
+  /** The exactly-once stamp for a star MV: the consumed commit of the
+    * fact then each dim in registered order. One dim = the legacy
+    * `fact@F,dim@D` format, unchanged. */
+  private def starStamp(cf: Int, cds: Seq[Int]): String =
+    f"fact@$cf%09d" + cds.map(c => f",dim@$c%09d").mkString
+
+  /** Initial build over the CURRENT star join, stamped with every
+    * side's commit. Dims join in order on `fk = dk`; group columns
+    * resolve on whichever side carries them. */
+  def bootstrapStar(spark: SparkSession, aggPath: String,
+                    factPath: String, dims: Seq[MvDef.JoinSrc],
+                    spec: AggSpec, numBuckets: Int = 0): Unit = {
+    require(dims.nonEmpty, "bootstrapStar: at least one dim")
+    val cf = commitOf(factPath, "bootstrapStar")
+    val cds = dims.map(d => commitOf(d.dimPath, "bootstrapStar"))
+    val joined = dims.zipWithIndex.foldLeft(
+      Scd1Merge.readTable(spark, factPath).as("f"): DataFrame) {
+      case (acc, (d, i)) =>
+        acc.join(broadcast(Scd1Merge.readTable(spark, d.dimPath).as(s"d$i")),
+          col(s"f.${d.fk}") === col(s"d$i.${d.dk}"))
+    }
+    IncrementalAgg.bootstrap(spark, aggPath, joined, spec, numBuckets,
+      batchId = starStamp(cf, cds))
+  }
+
+  /** Registered star-MV creation: [[bootstrapStar]] + persisted
+    * definition + the transparent rewrite armed + durable catalog
+    * entry (so a NEW session auto-arms from disk). */
+  def createMvStar(spark: SparkSession, mvPath: String,
+                   factPath: String, factKeys: Seq[String],
+                   dims: Seq[MvDef.JoinSrc], spec: AggSpec,
+                   numBuckets: Int = 0): Unit = {
+    require(spec.filterSql.isEmpty && spec.groupExprs.isEmpty,
+      "join MVs do not support filtered/expression-group specs")
+    bootstrapStar(spark, mvPath, factPath, dims, spec, numBuckets)
+    MvDef.write(mvPath, MvDef.Def(factPath, factKeys, spec, dims))
     graft.plans.GraftMvRewrite.registerJoin(
-      graft.plans.GraftMvRewrite.JoinMvReg(factPath, dimPath, fk, dk,
+      graft.plans.GraftMvRewrite.JoinMvReg(factPath,
+        dims.map(d => graft.plans.GraftMvRewrite.DimJoin(d.dimPath, d.fk, d.dk)),
         mvPath, spec))
     // durable arming: catalogued under the FACT side (the arming
     // probe keys on the scanned fact's files)
     graft.sql.GraftCatalog.putMv(mvPath, factPath)
+  }
+
+  /** Fold every commit ANY side has made since the MV's stamp — one
+    * exact telescoped batch over the whole lag window, exactly-once
+    * by the stamp protocol. Returns commits applied per side
+    * (fact +: dims, registered order); all-zero = current. Lagging
+    * past any side's retention fails loudly (the CDC contract). */
+  def refreshStar(spark: SparkSession, aggPath: String,
+                  factPath: String, factKeys: Seq[String],
+                  dims: Seq[MvDef.JoinSrc], spec: AggSpec): Seq[Int] = {
+    val stamp = Scd1Merge.tableBatchId(aggPath).getOrElse(
+      throw new IllegalStateException(
+        s"refreshStar: $aggPath carries no stamp — bootstrap it first"))
+    val SideRe = """(fact|dim)@(\d+)""".r
+    val seen = stamp.split(",").toSeq.map {
+      case SideRe(_, n) => n.toInt
+      case other => throw new IllegalStateException(
+        s"refreshStar: $aggPath stamp piece '$other' is not fact@F/dim@D")
+    }
+    require(seen.size == dims.size + 1,
+      s"refreshStar: stamp '$stamp' has ${seen.size} sides, " +
+      s"expected ${dims.size + 1} (fact + ${dims.size} dims)")
+    val cur = commitOf(factPath, "refreshStar") +:
+      dims.map(d => commitOf(d.dimPath, "refreshStar"))
+    val lags = cur.zip(seen).map { case (c, s) => math.max(0, c - s) }
+    if (lags.forall(_ == 0)) return lags
+    applyStarChanges(spark, aggPath, factPath, factKeys, dims, spec,
+      factLag = lags.head, dimLags = lags.tail)
+    lags
+  }
+
+  /** Apply one telescoped batch covering `factLag` fact commits and
+    * `dimLags(i)` commits of each dim. Stamped with the target
+    * (fact, dims…) commit vector, so a replay is a no-op. */
+  def applyStarChanges(spark: SparkSession, aggPath: String,
+                       factPath: String, factKeys: Seq[String],
+                       dims: Seq[MvDef.JoinSrc], spec: AggSpec,
+                       factLag: Int, dimLags: Seq[Int],
+                       numBuckets: Int = 0): Unit = {
+    require(dims.size == dimLags.size, "one lag per dim")
+    require(factLag > 0 || dimLags.exists(_ > 0),
+      "applyStarChanges: no delta on any side")
+    val cf = commitOf(factPath, "applyStarChanges")
+    val cds = dims.map(d => commitOf(d.dimPath, "applyStarChanges"))
+    val factOld = Scd1Merge.readTableAt(spark, factPath, factLag)
+    val factDelta = if (factLag > 0)
+      Some(Scd1Merge.readChanges(spark, factPath, factKeys, factLag, 0))
+    else None
+    val dimOld = dims.zip(dimLags).map { case (d, l) =>
+      Scd1Merge.readTableAt(spark, d.dimPath, l) }
+    val dimNew = dims.map(d => Scd1Merge.readTable(spark, d.dimPath))
+    val dimDelta = dims.zip(dimLags).map { case (d, l) =>
+      if (l > 0) Some(Scd1Merge.readChanges(spark, d.dimPath, d.dimKeys, l, 0))
+      else None }
+    // which alias carries each group column (schemas are stable
+    // across the lag window — evolution mid-window is out of scope)
+    val factCols = factOld.columns.map(_.toLowerCase).toSet
+    val dimCols = dimOld.map(_.columns.map(_.toLowerCase).toSet)
+    def sideOf(c: String): String =
+      if (factCols(c.toLowerCase)) "f"
+      else dimCols.indexWhere(_(c.toLowerCase)) match {
+        case -1 => throw new IllegalArgumentException(
+          s"applyStarChanges: group column '$c' is on no side")
+        case i => s"d$i"
+      }
+    // one signed term: the delta side (alias `ct`) broadcast, every
+    // dim broadcast, projected to (groups, fact measures, sign)
+    def term(fact: DataFrame, factIsDelta: Boolean,
+             dimFs: Seq[DataFrame], ct: String): DataFrame = {
+      val seed: DataFrame =
+        if (factIsDelta) broadcast(fact.as("f")) else fact.as("f")
+      val joined = dims.indices.foldLeft(seed) { (acc, i) =>
+        acc.join(broadcast(dimFs(i).as(s"d$i")),
+          col(s"f.${dims(i).fk}") === col(s"d$i.${dims(i).dk}"))
+      }
+      joined.select(spec.groupCols.map(c => col(s"${sideOf(c)}.$c")) ++
+        spec.sums.map(p => col(s"f.${p._1}")) :+
+        col(s"$ct._change_type").as("_change_type"): _*)
+    }
+    val factTerm = factDelta.map(fd =>
+      term(fd, factIsDelta = true, dimNew, ct = "f")).toSeq
+    val dimTerms = dims.indices.flatMap { i =>
+      dimDelta(i).map { dd =>
+        val sides = dims.indices.map(j =>
+          if (j < i) dimOld(j) else if (j == i) dd else dimNew(j))
+        term(factOld, factIsDelta = false, sides, ct = s"d$i")
+      }
+    }
+    IncrementalAgg.applyChangesFrame(spark, aggPath,
+      (factTerm ++ dimTerms).reduce(_ unionByName _), spec, numBuckets,
+      starStamp(cf, cds))
   }
 
   /** Fold every commit EITHER side has made since the MV's stamp —

@@ -15,13 +15,14 @@ import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
   * metadata file. */
 object MvDef {
 
-  /** A JOIN MV's second input: the dim side + the equi-join keys
-    * (the fact side rides `basePath`/`baseKeys`). */
+  /** One of a JOIN MV's dim inputs: the dim side + its equi-join key
+    * pair (the fact side rides `basePath`/`baseKeys`). A STAR MV
+    * carries several. */
   final case class JoinSrc(dimPath: String, dimKeys: Seq[String],
                            fk: String, dk: String)
 
   final case class Def(basePath: String, baseKeys: Seq[String], spec: AggSpec,
-                       join: Option[JoinSrc] = None)
+                       joins: Seq[JoinSrc] = Nil)
 
   private val FileName = "_graft_mv"
 
@@ -37,10 +38,23 @@ object MvDef {
       s"groups=${d.spec.groupCols.map(enc).mkString(",")}",
       s"sums=${d.spec.sums.map { case (m, o) => s"${enc(m)}:${enc(o)}" }.mkString(",")}",
       s"count=${enc(d.spec.countName)}") ++
-      d.join.toSeq.flatMap(j => Seq(
-        s"dim=${enc(j.dimPath)}",
-        s"dimkeys=${j.dimKeys.map(enc).mkString(",")}",
-        s"fk=${enc(j.fk)}", s"dk=${enc(j.dk)}"))).mkString("\n")
+      d.spec.filterSql.toSeq.map(f => s"filter=${enc(f)}") ++
+      (if (d.spec.groupExprs.nonEmpty)
+        Seq(s"groupexprs=${d.spec.groupExprs.toSeq.sortBy(_._1)
+          .map { case (o, e) => s"${enc(o)}:${enc(e)}" }.mkString(",")}")
+       else Nil) ++
+      (d.joins match {
+        // single dim: the legacy (pre-star) key names, so older
+        // sessions' readers keep parsing these files
+        case Seq(j) => Seq(
+          s"dim=${enc(j.dimPath)}",
+          s"dimkeys=${j.dimKeys.map(enc).mkString(",")}",
+          s"fk=${enc(j.fk)}", s"dk=${enc(j.dk)}")
+        case js => js.zipWithIndex.flatMap { case (j, i) => Seq(
+          s"dim.$i=${enc(j.dimPath)}",
+          s"dimkeys.$i=${j.dimKeys.map(enc).mkString(",")}",
+          s"fk.$i=${enc(j.fk)}", s"dk.$i=${enc(j.dk)}") }
+      })).mkString("\n")
     val tmp = Paths.get(mvPath, FileName + ".tmp")
     Files.createDirectories(tmp.getParent)
     Files.write(tmp, body.getBytes(UTF_8),
@@ -61,9 +75,21 @@ object MvDef {
       .filter(_.nonEmpty).map { s =>
         val Array(m, o) = s.split(":", 2); (dec(m), dec(o))
       }.toSeq
-    val join = kv.get("dim").map(d =>
-      JoinSrc(dec(d), list("dimkeys"), dec(kv("fk")), dec(kv("dk"))))
+    val joins: Seq[JoinSrc] =
+      if (kv.contains("dim"))
+        Seq(JoinSrc(dec(kv("dim")), list("dimkeys"),
+          dec(kv("fk")), dec(kv("dk"))))
+      else Iterator.from(0)
+        .map(i => kv.get(s"dim.$i").map(d =>
+          JoinSrc(dec(d), list(s"dimkeys.$i"),
+            dec(kv(s"fk.$i")), dec(kv(s"dk.$i")))))
+        .takeWhile(_.isDefined).flatten.toSeq
+    val groupExprs = kv.getOrElse("groupexprs", "").split(",").iterator
+      .filter(_.nonEmpty).map { s =>
+        val Array(o, e) = s.split(":", 2); (dec(o), dec(e))
+      }.toMap
     Some(Def(dec(kv("base")), list("keys"),
-      AggSpec(list("groups"), sums, dec(kv("count"))), join))
+      AggSpec(list("groups"), sums, dec(kv("count")),
+        kv.get("filter").map(dec), groupExprs), joins))
   }
 }

@@ -93,7 +93,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
   def unregisterReaders(path: String): Unit = {
     unregister(path)
     joinRegistry.entrySet().removeIf(e =>
-      e.getValue.factPath == path || e.getValue.dimPath == path)
+      e.getValue.factPath == path ||
+      e.getValue.dims.exists(_.dimPath == path))
     forgetArmed(path)
   }
 
@@ -103,13 +104,23 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * observability (proving a plan DID rewrite, like lastPrune). */
   @volatile var rewriteCount: Long = 0L
 
+  /** One dim side of a registered join MV: its table path and the
+    * equi-join key pair (`fk` on the fact, `dk` on this dim). */
+  final case class DimJoin(dimPath: String, fk: String, dk: String)
+
   /** A registered JOIN MV ([[graft.pipeline.IncrementalJoinAgg]]):
-    * `mvPath` maintains `spec` over `fact ⋈_{fk=dk} dim` — measures
-    * on the fact side, group columns on the dim side (the module's
-    * contract). */
-  final case class JoinMvReg(factPath: String, dimPath: String,
-                             fk: String, dk: String,
+    * `mvPath` maintains `spec` over `fact ⋈ dim1 ⋈ … ⋈ dimN` (each
+    * dim on its own fk=dk pair) — measures on the fact side, group
+    * columns on any side. */
+  final case class JoinMvReg(factPath: String, dims: Seq[DimJoin],
                              mvPath: String, spec: AggSpec)
+
+  object JoinMvReg {
+    /** Single-dim convenience form (the pre-star call shape). */
+    def apply(factPath: String, dimPath: String, fk: String, dk: String,
+              mvPath: String, spec: AggSpec): JoinMvReg =
+      JoinMvReg(factPath, Seq(DimJoin(dimPath, fk, dk)), mvPath, spec)
+  }
 
   private val joinRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, JoinMvReg]()
@@ -174,11 +185,10 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           if (!registry.containsKey(mvPath) &&
               !joinRegistry.containsKey(mvPath))
             graft.pipeline.MvDef.read(mvPath).foreach { d =>
-              d.join match {
-                case None => register(d.basePath, mvPath, d.spec)
-                case Some(j) => registerJoin(JoinMvReg(d.basePath,
-                  j.dimPath, j.fk, j.dk, mvPath, d.spec))
-              }
+              if (d.joins.isEmpty) register(d.basePath, mvPath, d.spec)
+              else registerJoin(JoinMvReg(d.basePath,
+                d.joins.map(j => DimJoin(j.dimPath, j.fk, j.dk)),
+                mvPath, d.spec))
             }
         }
     }
@@ -193,25 +203,123 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  // ---- predicate / expression canonicalization (filtered and
+  // expression-group MVs match the QUERY's optimized trees against
+  // the DEFINITION's, both rendered through the same pipeline) ----
+
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  /** Case-normalized SQL rendering — attribute exprIds never print,
+    * so two resolutions of the same text compare equal. */
+  private def canonExprStr(e: Expression): String = e.sql.toLowerCase
+
+  /** A filter condition as a canonical conjunct SET, with
+    * `IsNotNull(a)` conjuncts dropped when `a` is already constrained
+    * by a null-intolerant comparison — the optimizer infers those
+    * asymmetrically between the query plan and the definition's
+    * resolution, and they are semantically redundant there. */
+  private def canonFilterSet(cond: Expression): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, In, InSet, IsNotNull, StringPredicate}
+    val cs = conjunctsOf(cond)
+    val compared: Set[String] = cs.flatMap {
+      case b: BinaryComparison => b.references.toSeq.map(_.name.toLowerCase)
+      case i: In => i.value.references.toSeq.map(_.name.toLowerCase)
+      case i: InSet => i.child.references.toSeq.map(_.name.toLowerCase)
+      case s: StringPredicate => s.references.toSeq.map(_.name.toLowerCase)
+      case _ => Nil
+    }.toSet
+    cs.filter {
+      case IsNotNull(a: Attribute) => !compared(a.name.toLowerCase)
+      case _ => true
+    }.map(canonExprStr).toSet
+  }
+
+  /** The DEFINITION side of both canonical forms, resolved against
+    * the base table and run through the SAME optimizer the query
+    * went through. Cached — predicates/expressions are pure text. */
+  private val defCanonCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[AnyRef]]()
+
+  private def defFilterCanon(spark: SparkSession, basePath: String,
+                             filterSql: String): Option[Set[String]] =
+    defCanonCache.computeIfAbsent(s"f $basePath $filterSql", { _ =>
+      try {
+        import org.apache.spark.sql.catalyst.plans.logical.Filter
+        val base =
+          if (graft.merge.PartitionedTable.tableExists(basePath))
+            graft.merge.PartitionedTable.readTable(spark, basePath)
+          else Scd1Merge.readTable(spark, basePath)
+        base.filter(filterSql).queryExecution.optimizedPlan.collectFirst {
+          case f: Filter => canonFilterSet(f.condition)
+        }.map(_.asInstanceOf[AnyRef])
+      } catch { case _: Exception => None }
+    }).map(_.asInstanceOf[Set[String]])
+
+  private def defGroupExprCanon(spark: SparkSession, basePath: String,
+                                exprSql: String): Option[String] =
+    defCanonCache.computeIfAbsent(s"g $basePath $exprSql", { _ =>
+      try {
+        val base =
+          if (graft.merge.PartitionedTable.tableExists(basePath))
+            graft.merge.PartitionedTable.readTable(spark, basePath)
+          else Scd1Merge.readTable(spark, basePath)
+        base.select(org.apache.spark.sql.functions.expr(exprSql).as("__g"))
+          .queryExecution.optimizedPlan.collectFirst {
+            case Project(Seq(Alias(child, _)), _) => canonExprStr(child)
+          }
+      } catch { case _: Exception => None }
+    }).map(_.asInstanceOf[String])
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    // ---- SHAPE: attribute-only Projects over one parquet scan — or a
-    // UNION of such scans, which is exactly what a PARTITIONED base
-    // read is (one child scan per partition, unioned by name)
-    def scanFiles(p: LogicalPlan): Option[Seq[String]] = p match {
-      case Project(items, child)
-          if items.forall(_.isInstanceOf[AttributeReference]) =>
-        scanFiles(child)
-      case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
-        val kids = u.children.map(scanFiles)
-        if (kids.exists(_.isEmpty)) None else Some(kids.flatten.flatten)
-      case lr: LogicalRelation => lr.relation match {
-        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-          Some(fs.location.inputFiles.toSeq)
+    // ---- SHAPE: Projects of bare attrs and ALIASED expressions
+    // (PullOutGroupingExpressions rewrites `GROUP BY month(ts)` into
+    // `_groupingexpression` aliases below the Aggregate — we carry
+    // the alias map so the group gate can match the PULLED expression
+    // canonically), AT MOST ONE Filter per branch, over one parquet
+    // scan — or a UNION of such chains (a PARTITIONED base read; a
+    // pushed-down MV filter appears once per branch and every branch
+    // must carry the SAME condition). An alias that does NOT match a
+    // registered group expression simply fails the lowering — a safe
+    // fall-through, never a wrong rewrite.
+    type Chain = (Seq[String], Option[Set[String]],
+      Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])
+    def scanChain(p: LogicalPlan): Option[Chain] =
+      p match {
+        case Project(items, child)
+            if items.forall(i => i.isInstanceOf[AttributeReference] ||
+              i.isInstanceOf[Alias]) =>
+          scanChain(child).map { case (fs, f, pulled) =>
+            (fs, f, pulled ++ items.collect {
+              case al @ Alias(e, _) => al.exprId -> e })
+          }
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+          scanChain(child).flatMap {
+            case (fs, None, pulled) =>
+              Some((fs, Some(canonFilterSet(cond)), pulled))
+            case _ => None // two stacked filters: not a shape we admit
+          }
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+          val kids = u.children.map(scanChain)
+          if (kids.exists(_.isEmpty)) None
+          else {
+            val conds = kids.flatten.map(_._2).distinct
+            if (conds.size != 1) None // branches disagree on the filter
+            else Some((kids.flatten.flatMap(_._1), conds.head,
+              kids.flatten.flatMap(_._3).toMap))
+          }
+        case lr: LogicalRelation => lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            Some((fs.location.inputFiles.toSeq, None, Map.empty))
+          case _ => None
+        }
         case _ => None
       }
-      case _ => None
-    }
-    val files: Seq[String] = scanFiles(agg.child).getOrElse(return None)
+    val (files, planFilter, pulled) =
+      scanChain(agg.child).getOrElse(return None)
     if (files.isEmpty) return None
     armFromCatalog(files)
     // ---- OWNERSHIP: registered MVs whose base owns these files — a
@@ -222,11 +330,6 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         files.forall(underDir(_, r.basePath))).toSeq.sortBy(_.mvPath)
     }
     if (cands.isEmpty) return None
-    // ---- group expressions: bare attrs (spec-independent shape)
-    val groupAttrs = agg.groupingExpressions.map {
-      case a: AttributeReference => a
-      case _ => return None
-    }
     val spark = SparkSession.active
     // SNAPSHOT resolved once per distinct base (driver metadata —
     // cheap, and only for plans that genuinely scan a registered base)
@@ -240,8 +343,31 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         files.toSet == current
       })
     cands.view.flatMap { reg =>
-      val groupsOk = groupAttrs.forall(g =>
-        reg.spec.groupCols.exists(_.equalsIgnoreCase(g.name)))
+      // ---- FILTER gate: the query's filter and the MV's must agree
+      // canonically — unfiltered query over unfiltered MV, or SAME
+      // predicate on both sides; anything else falls through
+      val filterOk = (planFilter, reg.spec.filterSql) match {
+        case (None, None) => true
+        case (Some(pf), Some(rf)) =>
+          defFilterCanon(spark, reg.basePath, rf).contains(pf)
+        case _ => false
+      }
+      // ---- GROUP gate: bare attrs among the MV's PLAIN group
+      // columns, or expressions canonically equal to a registered
+      // group expression (matched to its materialized MV column)
+      lazy val exprGroups: Map[String, String] =
+        reg.spec.groupExprs.flatMap { case (out, sql) =>
+          defGroupExprCanon(spark, reg.basePath, sql).map(_ -> out)
+        }
+      val plainGroupCols = reg.spec.groupCols
+        .filterNot(reg.spec.groupExprs.contains)
+      val groupsOk = filterOk && agg.groupingExpressions.forall {
+        case a: AttributeReference if pulled.contains(a.exprId) =>
+          exprGroups.contains(canonExprStr(pulled(a.exprId)))
+        case a: AttributeReference =>
+          plainGroupCols.exists(_.equalsIgnoreCase(a.name))
+        case e => exprGroups.contains(canonExprStr(e))
+      }
       val commit =
         (if (graft.merge.PartitionedTable.tableExists(reg.basePath))
            graft.merge.PartitionedTable.tableCommit(reg.basePath)
@@ -249,11 +375,12 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       val fresh = commit >= 0 && Scd1Merge.tableBatchId(reg.mvPath)
         .contains(f"base-commit-$commit%09d")
       if (!groupsOk || !fresh || !baseCurrent(reg.basePath)) None
-      else lowerOnto(agg, groupAttrs, reg.spec,
+      else lowerOnto(agg, reg.spec,
         Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed,
         measureSide = _ => true,
         nonNullOk = a => !a.nullable ||
-          notNullByConstraint(reg.basePath, a.name)).map { rewritten =>
+          notNullByConstraint(reg.basePath, a.name),
+        exprGroups = exprGroups, pulled = pulled).map { rewritten =>
         rewriteCount += 1
         logInfo(s"graft MV rewrite: aggregate over ${reg.basePath} " +
           s"answered from ${reg.mvPath} (commit $commit)")
@@ -262,41 +389,39 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     }.headOption
   }
 
-  /** JOIN-MV rewrite: `Aggregate(groups, aggs, fact ⋈_{fk=dk} dim)`
-    * answered from a registered [[graft.pipeline.IncrementalJoinAgg]]
-    * table — the star-schema dashboard shape. Same posture as the
-    * single-table path plus the join-specific gates:
+  /** JOIN-MV rewrite: `Aggregate(groups, aggs, fact ⋈ dim1 ⋈ … ⋈
+    * dimN)` answered from a registered
+    * [[graft.pipeline.IncrementalJoinAgg]] star table — the dashboard
+    * shape over a star schema, any number of dims. Same posture as
+    * the single-table path plus the join-specific gates:
     *
-    *  - INNER equi-join on exactly the registered (fk, dk) pair (in
-    *    either order), no other condition;
-    *  - each side a Project/IsNotNull(join-key)-only chain to one
+    *  - a tree of INNER equi-joins whose leaves biject onto the
+    *    registered (fact, dims): the fact leaf owns exactly one
+    *    registered MV's factPath, each remaining leaf exactly one of
+    *    its dims, and each join condition is exactly one dim's
+    *    (fk, dk) pair — attrs checked by LEAF MEMBERSHIP, either
+    *    orientation, one condition per dim, none left over;
+    *  - each leaf a Project/IsNotNull(join-key)-only chain to one
     *    scan (the optimizer INFERS `isnotnull` on inner-join keys —
     *    those filters are semantics-preserving w.r.t. the join, so
     *    they are the ONE filter shape admitted; anything else falls
     *    through);
-    *  - group attributes resolve on the DIM side, summed measures on
-    *    the FACT side (the maintenance contract — checked by exprId
+    *  - group attributes are bare MV group columns (any side),
+    *    summed measures resolve on the FACT leaf (checked by exprId
     *    membership, not just name);
-    *  - BOTH sides pass the snapshot gate and the MV carries the
-    *    `fact@F,dim@D` stamp for both sides' CURRENT commits. */
+    *  - EVERY side passes the snapshot gate and the MV carries the
+    *    `fact@F,dim@D1[,dim@D2…]` stamp for all sides' CURRENT
+    *    commits. */
   private def tryRewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
     if (joinRegistry.isEmpty) return None
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, IsNotNull}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     import org.apache.spark.sql.catalyst.plans.Inner
-    // strip attr-only Projects above the join
-    var core: LogicalPlan = agg.child
-    while (core match {
-        case Project(items, _) => items.forall(_.isInstanceOf[AttributeReference])
-        case _ => false
-      }) core = core.asInstanceOf[Project].child
-    val j = core match {
-      case jn: Join if jn.joinType == Inner => jn
-      case _ => return None
-    }
-    // one side: Project(attrs)/Filter(IsNotNull(key) [AND …]) chain
-    // down to a single parquet scan
-    def side(p: LogicalPlan): Option[(Seq[String], Seq[AttributeReference])] = {
+    // one leaf: Project(attrs)/Filter(IsNotNull(key) [AND …]) chain
+    // down to a single parquet scan; keeps the side ROOT for
+    // outputSet membership checks
+    final case class Leaf(root: LogicalPlan, files: Seq[String])
+    def leaf(p: LogicalPlan): Option[(Leaf, Seq[AttributeReference])] = {
       var cur = p
       var notNull = Seq.empty[AttributeReference]
       def conjuncts(e: Expression): Option[Seq[AttributeReference]] = e match {
@@ -318,70 +443,112 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       cur match {
         case lr: LogicalRelation => lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            Some((fs.location.inputFiles.toSeq, notNull))
+            Some((Leaf(p, fs.location.inputFiles.toSeq), notNull))
           case _ => None
         }
         case _ => None
       }
     }
-    val (lFiles, lNotNull) = side(j.left).getOrElse(return None)
-    val (rFiles, rNotNull) = side(j.right).getOrElse(return None)
-    if (lFiles.isEmpty || rFiles.isEmpty) return None
-    // the FACT side indexes the catalog row — probe both orientations
-    armFromCatalog(lFiles); armFromCatalog(rFiles)
-    // which registered join MV owns (fact, dim) — either orientation
-    val reg = {
-      import scala.jdk.CollectionConverters._
-      joinRegistry.values.asScala.find { r =>
-        (lFiles.forall(underDir(_, r.factPath)) &&
-          rFiles.forall(underDir(_, r.dimPath))) ||
-        (rFiles.forall(underDir(_, r.factPath)) &&
-          lFiles.forall(underDir(_, r.dimPath)))
-      }.getOrElse(return None)
+    // flatten the inner-join tree: leaves + attr=attr conjuncts
+    def eqConjuncts(e: Expression): Option[Seq[EqualTo]] = {
+      val cs = conjunctsOf(e).map {
+        case eq @ EqualTo(_: AttributeReference, _: AttributeReference) =>
+          Some(eq)
+        case _ => None
+      }
+      if (cs.exists(_.isEmpty)) None else Some(cs.flatten)
     }
-    val factLeft = lFiles.forall(underDir(_, reg.factPath))
-    val (factSide, dimSide) = if (factLeft) (j.left, j.right) else (j.right, j.left)
-    val (factFiles, dimFiles) = if (factLeft) (lFiles, rFiles) else (rFiles, lFiles)
-    // join condition: exactly fk = dk with each attr on its side
-    def keyPair(a: AttributeReference, b: AttributeReference): Boolean =
-      a.name.equalsIgnoreCase(reg.fk) && factSide.outputSet.contains(a) &&
-      b.name.equalsIgnoreCase(reg.dk) && dimSide.outputSet.contains(b)
-    val condOk = j.condition match {
-      case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
-        keyPair(a, b) || keyPair(b, a)
+    def flatten(p: LogicalPlan)
+        : Option[(Seq[Leaf], Seq[EqualTo], Seq[AttributeReference])] =
+      p match {
+        case Project(items, child)
+            if items.forall(_.isInstanceOf[AttributeReference]) &&
+              child.isInstanceOf[Join] =>
+          flatten(child)
+        case jn: Join if jn.joinType == Inner && jn.condition.isDefined =>
+          for { (ll, lc, ln) <- flatten(jn.left)
+                (rl, rc, rn) <- flatten(jn.right)
+                cs <- eqConjuncts(jn.condition.get) }
+          yield (ll ++ rl, lc ++ rc ++ cs, ln ++ rn)
+        case other => leaf(other).map { case (lf, nn) => (Seq(lf), Nil, nn) }
+      }
+    val (leaves, conds, notNulls) = flatten(agg.child).getOrElse(return None)
+    if (leaves.size < 2 || leaves.exists(_.files.isEmpty)) return None
+    leaves.foreach(l => armFromCatalog(l.files))
+    // which registered star MV do these leaves biject onto?
+    def assign(r: JoinMvReg): Option[(Leaf, Seq[Leaf])] = {
+      if (leaves.size != r.dims.size + 1) return None
+      val facts = leaves.filter(_.files.forall(underDir(_, r.factPath)))
+      if (facts.size != 1) return None
+      val factLeaf = facts.head
+      val rest = leaves.filterNot(_ eq factLeaf)
+      val picked = r.dims.map { d =>
+        rest.filter(_.files.forall(underDir(_, d.dimPath))) match {
+          case Seq(one) => one
+          case _ => return None
+        }
+      }
+      if (picked.distinct.size != rest.size) return None
+      Some((factLeaf, picked))
+    }
+    val (reg, factLeaf, dimLeaves) = {
+      import scala.jdk.CollectionConverters._
+      joinRegistry.values.asScala.toSeq.sortBy(_.mvPath).view
+        .flatMap(r => assign(r).map { case (f, ds) => (r, f, ds) })
+        .headOption.getOrElse(return None)
+    }
+    if (reg.spec.filterSql.nonEmpty || reg.spec.groupExprs.nonEmpty)
+      return None
+    // each condition is exactly one dim's (fk, dk) pair — one per
+    // dim, none left over, attrs on their registered leaves
+    def pairOf(eq: EqualTo): Seq[Int] = {
+      val (a, b) = (eq.left.asInstanceOf[AttributeReference],
+        eq.right.asInstanceOf[AttributeReference])
+      reg.dims.indices.filter { i =>
+        val d = reg.dims(i); val dl = dimLeaves(i)
+        def m(x: AttributeReference, y: AttributeReference) =
+          x.name.equalsIgnoreCase(d.fk) && factLeaf.root.outputSet.contains(x) &&
+          y.name.equalsIgnoreCase(d.dk) && dl.root.outputSet.contains(y)
+        m(a, b) || m(b, a)
+      }
+    }
+    val condDims = conds.map(pairOf)
+    if (conds.size != reg.dims.size || condDims.exists(_.size != 1) ||
+        condDims.flatten.distinct.size != reg.dims.size) return None
+    // inferred not-null filters may only name the join keys
+    val keyNames = (reg.dims.map(_.fk) ++ reg.dims.map(_.dk))
+      .map(_.toLowerCase).toSet
+    if (!notNulls.forall(a => keyNames(a.name.toLowerCase))) return None
+    // groups: bare attrs among the MV's group columns (any side)
+    val groupsOk = agg.groupingExpressions.forall {
+      case a: AttributeReference =>
+        reg.spec.groupCols.exists(_.equalsIgnoreCase(a.name))
       case _ => false
     }
-    if (!condOk) return None
-    // inferred not-null filters may only name the join keys
-    if (!(lNotNull ++ rNotNull).forall(a =>
-        a.name.equalsIgnoreCase(reg.fk) || a.name.equalsIgnoreCase(reg.dk)))
-      return None
-    // groups: bare DIM-side attrs among the MV's group columns
-    val groupAttrs = agg.groupingExpressions.map {
-      case a: AttributeReference if dimSide.outputSet.contains(a) => a
-      case _ => return None
-    }
-    if (!groupAttrs.forall(g =>
-        reg.spec.groupCols.exists(_.equalsIgnoreCase(g.name)))) return None
-    // SNAPSHOT both sides + the two-sided FRESHNESS stamp
+    if (!groupsOk) return None
+    // SNAPSHOT every side + the all-sides FRESHNESS stamp
     val spark = SparkSession.active
     val cf = Scd1Merge.tableCommit(reg.factPath).getOrElse(return None)
-    val cd = Scd1Merge.tableCommit(reg.dimPath).getOrElse(return None)
-    if (!Scd1Merge.tableBatchId(reg.mvPath)
-        .contains(f"fact@$cf%09d,dim@$cd%09d")) return None
-    if (factFiles.toSet !=
+    val cds = reg.dims.map(d =>
+      Scd1Merge.tableCommit(d.dimPath).getOrElse(return None))
+    val wantStamp = f"fact@$cf%09d" +
+      cds.map(c => f",dim@$c%09d").mkString
+    if (!Scd1Merge.tableBatchId(reg.mvPath).contains(wantStamp)) return None
+    if (factLeaf.files.toSet !=
         Scd1Merge.readTable(spark, reg.factPath).inputFiles.toSet) return None
-    if (dimFiles.toSet !=
-        Scd1Merge.readTable(spark, reg.dimPath).inputFiles.toSet) return None
-    val factOut = factSide.outputSet
-    lowerOnto(agg, groupAttrs, reg.spec,
+    if (reg.dims.indices.exists(i => dimLeaves(i).files.toSet !=
+        Scd1Merge.readTable(spark, reg.dims(i).dimPath).inputFiles.toSet))
+      return None
+    val factOut = factLeaf.root.outputSet
+    lowerOnto(agg, reg.spec,
       Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed,
       measureSide = a => factOut.contains(a),
       nonNullOk = a => !a.nullable ||
         notNullByConstraint(reg.factPath, a.name)).map { rewritten =>
       rewriteCount += 1
-      logInfo(s"graft MV rewrite: join aggregate over ${reg.factPath} ⋈ " +
-        s"${reg.dimPath} answered from ${reg.mvPath} (fact@$cf, dim@$cd)")
+      logInfo(s"graft MV rewrite: star aggregate over ${reg.factPath} ⋈ " +
+        s"${reg.dims.map(_.dimPath).mkString(" ⋈ ")} answered from " +
+        s"${reg.mvPath} ($wantStamp)")
       rewritten
     }
   }
@@ -394,14 +561,35 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * names and exprIds; None on ANY unsupported piece. `measureSide`
     * additionally gates WHICH attributes may serve as summed measures
     * (the join path restricts them to the fact side). */
-  private def lowerOnto(agg: Aggregate, groupAttrs: Seq[AttributeReference],
+  private def lowerOnto(agg: Aggregate,
                         spec: AggSpec, mvPlan: LogicalPlan,
                         measureSide: AttributeReference => Boolean,
-                        nonNullOk: AttributeReference => Boolean): Option[LogicalPlan] = {
+                        nonNullOk: AttributeReference => Boolean,
+                        exprGroups: Map[String, String] = Map.empty,
+                        pulled: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression] = Map.empty): Option[LogicalPlan] = {
     val mvByName: Map[String, AttributeReference] =
       mvPlan.output.collect {
         case a: AttributeReference => a.name.toLowerCase -> a
       }.toMap
+    // grouping targets: a PULLED `_groupingexpression` attr resolves
+    // ONLY through its pulled expression's canonical form (its name is
+    // synthetic); plain attrs map by name; raw expressions map by
+    // canonical form to their materialized MV column
+    val plainGroups = spec.groupCols.filterNot(spec.groupExprs.contains)
+    def groupTarget(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference if pulled.contains(a.exprId) =>
+        exprGroups.get(canonExprStr(pulled(a.exprId)))
+          .flatMap(n => mvByName.get(n.toLowerCase))
+      case a: AttributeReference
+          if plainGroups.exists(_.equalsIgnoreCase(a.name)) =>
+        mvByName.get(a.name.toLowerCase)
+      case a: AttributeReference => None
+      case other => exprGroups.get(canonExprStr(other))
+        .flatMap(n => mvByName.get(n.toLowerCase))
+    }
+    val groupAttrs = agg.groupingExpressions.collect {
+      case a: AttributeReference => a
+    }
     val sumsByMeasure = spec.sums.map { case (m, out) => m.toLowerCase -> out }.toMap
     def measureOf(e: Expression): Option[String] = e match {
       case a: AttributeReference if measureSide(a) =>
@@ -447,8 +635,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         }
       case _: AggregateExpression => None
       case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
-        mvByName.get(a.name.toLowerCase)
+        groupTarget(a)
       case _: AttributeReference => None
+      // an EXPRESSION GROUP's output re-states the grouping expression
+      // (`SELECT month(ts) AS m ... GROUP BY month(ts)`) — map the
+      // whole subtree to its materialized MV column
+      case other if exprGroups.nonEmpty &&
+          groupTarget(other).isDefined => groupTarget(other)
       case leaf if leaf.children.isEmpty => Some(leaf)
       case other =>
         val kids = other.children.map(rewriteExpr)
@@ -462,8 +655,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         Alias(rewriteExpr(child).getOrElse(return None), al.name)(exprId = al.exprId)
       case _ => return None
     }
-    val newGroups = groupAttrs.map(g =>
-      mvByName.getOrElse(g.name.toLowerCase, return None))
+    val newGroups = agg.groupingExpressions.map(g =>
+      groupTarget(g).getOrElse(return None))
     Some(Aggregate(newGroups, newAggs, mvPlan))
   }
 }

@@ -1037,6 +1037,185 @@ object QueriesPipeline {
       out
     }),
 
+    "pipe23_star_mv" -> ((s, dir) => {
+      // MULTI-DIM STAR MV — the 2-dim dashboard shape pipe21's
+      // single-dim rewrite could not answer: the gold aggregate over
+      // fact ⋈ dim1 ⋈ dim2 is maintained by the TELESCOPED bilinear
+      // delta (IncrementalJoinAgg.applyStarChanges: ΔF⋈P_new⋈S_new ∪
+      // F_old⋈ΔP⋈S_new ∪ F_old⋈P_old⋈ΔS — exact over table states,
+      // however the commits interleaved) and the user's plain 3-table
+      // star query is transparently answered from it. The wave
+      // commits on ALL THREE sides — a fact correction, a brand move
+      // on dim1, a nation move on dim2 (fact mass shifts between
+      // groups on BOTH axes) — then ONE refresh folds the three lags
+      // in a single stamped batch. In-row requires pin the routing
+      // (fresh→MV, any-side lag→real join, refreshed→MV) and the
+      // 3-commit refresh accounting; the oracle recomputes the final
+      // answer from all three tables' final content.
+      import graft.pipeline.{IncrementalJoinAgg, MvDef}
+      import graft.pipeline.IncrementalAgg.AggSpec
+      val root = tmpDir("graft_smv")
+      val factT = root + "/fact"; val d1T = root + "/part"
+      val d2T = root + "/supp"; val mvT = root + "/mv"
+      // line-grain rollup first: the synthetic lineitem is NOT unique
+      // on (orderkey, linenumber) — the fact's SCD1 key must be
+      // (min-FK rollup keeps the grain deterministic; the oracle
+      // mirrors it exactly)
+      val li = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_partkey")).as("l_partkey"),
+          min(col("l_suppkey")).as("l_suppkey"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val pt = table(s, dir, "part").select(col("p_partkey"),
+        col("p_brand").as("brand"))
+      val sp = table(s, dir, "supplier").select(col("s_suppkey"),
+        col("s_nationkey").as("nation"))
+      Scd1Merge.upsert(s, factT, li, Seq("l_orderkey", "l_linenumber"),
+        numBuckets = 8, retainVersions = 4)
+      Scd1Merge.upsert(s, d1T, pt, Seq("p_partkey"), numBuckets = 4,
+        retainVersions = 4)
+      Scd1Merge.upsert(s, d2T, sp, Seq("s_suppkey"), numBuckets = 4,
+        retainVersions = 4)
+      val spec = AggSpec(Seq("brand", "nation"),
+        Seq("cents" -> "sum_cents"), "n_items")
+      IncrementalJoinAgg.createMvStar(s, mvT, factT,
+        Seq("l_orderkey", "l_linenumber"),
+        Seq(MvDef.JoinSrc(d1T, Seq("p_partkey"), "l_partkey", "p_partkey"),
+          MvDef.JoinSrc(d2T, Seq("s_suppkey"), "l_suppkey", "s_suppkey")),
+        spec, numBuckets = 4)
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def q(): DataFrame =
+        Scd1Merge.readTable(s, factT).as("f")
+          .join(Scd1Merge.readTable(s, d1T).as("p"),
+            col("f.l_partkey") === col("p.p_partkey"))
+          .join(Scd1Merge.readTable(s, d2T).as("sup"),
+            col("f.l_suppkey") === col("sup.s_suppkey"))
+          .groupBy(col("brand"), col("nation"))
+          .agg(sum(col("cents")).as("sum_cents"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("brand"), col("nation"))
+      require(scansOf(q()).forall(_.contains(mvT + "/")),
+        "fresh star MV must answer the 2-dim dashboard query")
+      // the wave: one commit on EVERY side
+      Scd1Merge.upsert(s, factT,
+        li.filter(pmod(col("l_orderkey"), lit(7)) === 0)
+          .withColumn("cents", col("cents") + 25L),
+        Seq("l_orderkey", "l_linenumber"), retainVersions = 4)
+      Scd1Merge.upsert(s, d1T,
+        pt.filter(pmod(col("p_partkey"), lit(10)) === 0)
+          .withColumn("brand", lit("BrandX")),
+        Seq("p_partkey"), retainVersions = 4)
+      Scd1Merge.upsert(s, d2T,
+        sp.filter(pmod(col("s_suppkey"), lit(5)) === 0)
+          .withColumn("nation", lit(99)),
+        Seq("s_suppkey"), retainVersions = 4)
+      require(scansOf(q()).exists(_.contains(factT + "/")),
+        "a 3-sided lag must route to the real star join")
+      // ONE refresh telescopes all three lags
+      val r = graft.sql.GraftSql.sql(s,
+        s"REFRESH MATERIALIZED VIEW graft.`$mvT`").collect().head
+      require(r.getLong(1) == 3L, s"refresh must fold 1 commit per side: $r")
+      val out = q()
+      require(scansOf(out).forall(_.contains(mvT + "/")),
+        "the refreshed star MV must answer again")
+      out
+    }),
+
+    "pipe22_filtered_mv" -> ((s, dir) => {
+      // FILTERED + EXPRESSION-GROUP MV — the two most common
+      // production MV shapes, created through SQL in one definition:
+      // a WHERE predicate baked into the MV (only urgent orders
+      // contribute; maintenance evaluates the predicate per change
+      // row, so an update CROSSING the boundary nets exactly the
+      // visible transition: pass→fail = −old, fail→pass = +new) and
+      // a `date_format(date,'yyyy-MM')` grouping EXPRESSION
+      // materialized as a real MV column (the Iceberg-transform-style
+      // roll-up: `GROUP BY month(d)` answered O(months)). The
+      // transparent rewrite admits exactly a query carrying the SAME
+      // canonical predicate and group expression — matched through
+      // the optimizer's PullOutGroupingExpressions aliasing — and
+      // falls through for any other predicate. In-row requires pin
+      // the routing (fresh→MV, boundary-crossing wave→base,
+      // REFRESH→MV again, wrong-predicate query→base always); the
+      // oracle recomputes the answer from the final base content, so
+      // a maintenance step that mis-netted a boundary crossing would
+      // break the hash.
+      val root = tmpDir("graft_fmv")
+      val base = root + "/orders"; val mv = root + "/mv"
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Scd1Merge.upsert(s, base, o, Seq("o_orderkey"), numBuckets = 8,
+        retainVersions = 4)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 4 AS
+           |SELECT date_format(o_orderdate, 'yyyy-MM') AS o_month,
+           |  sum(cents) AS sum_cents, count(*) AS n_orders
+           |FROM graft.`$base`
+           |WHERE o_orderpriority = '1-URGENT'
+           |GROUP BY date_format(o_orderdate, 'yyyy-MM')""".stripMargin)
+      // the definition persisted BOTH shapes
+      val d = graft.pipeline.MvDef.read(mv).get
+      require(d.spec.filterSql.nonEmpty && d.spec.groupExprs.keySet == Set("o_month"),
+        s"MV definition must carry filter + group expression: ${d.spec}")
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def q(): DataFrame = graft.sql.GraftSql.sql(s,
+        s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS o_month,
+           |  sum(cents) AS sum_cents, count(*) AS n_orders
+           |FROM graft.`$base`
+           |WHERE o_orderpriority = '1-URGENT'
+           |GROUP BY date_format(o_orderdate, 'yyyy-MM')
+           |ORDER BY o_month""".stripMargin)
+      require(scansOf(q()).forall(_.contains(mv + "/")),
+        "fresh filtered MV must answer the same-shape query")
+      // a DIFFERENT predicate must fall through to the base, always
+      def qOther(): DataFrame = graft.sql.GraftSql.sql(s,
+        s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS o_month,
+           |  sum(cents) AS sum_cents
+           |FROM graft.`$base` WHERE o_orderpriority = '5-LOW'
+           |GROUP BY date_format(o_orderdate, 'yyyy-MM')""".stripMargin)
+      require(scansOf(qOther()).forall(_.contains(base + "/")),
+        "a different predicate must never be answered by the filtered MV")
+      // boundary-crossing wave: keys %7==0 FLIP across the predicate
+      // (urgent→low = pass→fail nets −old; other→urgent = fail→pass
+      // nets +new) and bump cents; then delete keys %13==0
+      Scd1Merge.upsert(s, base,
+        o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("o_orderpriority",
+            when(col("o_orderpriority") === "1-URGENT", "5-LOW")
+              .otherwise("1-URGENT"))
+          .withColumn("cents", col("cents") + 10L),
+        Seq("o_orderkey"), retainVersions = 4)
+      require(scansOf(q()).forall(_.contains(base + "/")),
+        "the stale filtered MV must route to the base")
+      Scd1Merge.delete(s, base, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(13)) === 0, retainVersions = 4)
+      // one REFRESH folds BOTH lagging commits O(delta)
+      val r = graft.sql.GraftSql.sql(s,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").collect().head
+      require(r.getLong(1) == 2L, s"refresh must fold exactly 2 commits: $r")
+      val out = q()
+      require(scansOf(out).forall(_.contains(mv + "/")),
+        "the refreshed filtered MV must answer again")
+      out
+    }),
+
     "pipe8_incremental_dedup" -> ((s, dir) => {
       // INCREMENTAL EXACT DEDUP AS A MAINTAINED TABLE: the seen-hash
       // set every continuously-ingesting corpus keeps — batches arrive
@@ -1386,6 +1565,43 @@ object QueriesPipeline {
          |SELECT seg, sum(cents)::BIGINT AS sum_cents, count(*) AS n_orders
          |FROM f JOIN d ON o_custkey = c_custkey
          |GROUP BY seg ORDER BY seg""".stripMargin,
+    "pipe23_star_mv" ->
+      """WITH f0 AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    min(l_partkey) AS l_partkey, min(l_suppkey) AS l_suppkey,
+         |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents0
+         |  FROM lineitem GROUP BY 1, 2),
+         |f AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    cents0 + CASE WHEN l_orderkey % 7 = 0 THEN 25 ELSE 0 END AS cents
+         |  FROM f0),
+         |p AS (
+         |  SELECT p_partkey,
+         |    CASE WHEN p_partkey % 10 = 0 THEN 'BrandX' ELSE p_brand END AS brand
+         |  FROM part),
+         |s AS (
+         |  SELECT s_suppkey,
+         |    CASE WHEN s_suppkey % 5 = 0 THEN 99 ELSE s_nationkey END AS nation
+         |  FROM supplier)
+         |SELECT brand, nation, sum(cents)::BIGINT AS sum_cents,
+         |  count(*) AS n_items
+         |FROM f JOIN p ON l_partkey = p_partkey
+         |       JOIN s ON l_suppkey = s_suppkey
+         |GROUP BY brand, nation ORDER BY brand, nation""".stripMargin,
+    "pipe22_filtered_mv" ->
+      """WITH o AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN
+         |      (CASE WHEN o_orderpriority = '1-URGENT'
+         |            THEN '5-LOW' ELSE '1-URGENT' END)
+         |    ELSE o_orderpriority END AS pri,
+         |    CAST(round(o_totalprice * 100) AS BIGINT)
+         |      + CASE WHEN o_orderkey % 7 = 0 THEN 10 ELSE 0 END AS cents
+         |  FROM orders WHERE o_orderkey % 13 <> 0)
+         |SELECT o_month, sum(cents)::BIGINT AS sum_cents,
+         |  count(*) AS n_orders
+         |FROM o WHERE pri = '1-URGENT'
+         |GROUP BY o_month ORDER BY o_month""".stripMargin,
     "pipe8_incremental_dedup" ->
       """WITH r AS (SELECT sha256(text) AS content_hash, doc_id,
          |    row_number() OVER (PARTITION BY sha256(text)

@@ -721,17 +721,40 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
     val agg = GraftSql.sql(spark, selectSql).queryExecution.analyzed match {
       case a: Aggregate => a
       case _ => bad("the AS query must be a plain GROUP BY aggregate " +
-        "over the base (no joins, filters, or post-aggregate projections)")
+        "over the base (no joins or post-aggregate projections)")
     }
+    // an optional WHERE bakes into the MV as a FILTERED aggregate:
+    // the definition stores the resolved predicate's SQL, maintenance
+    // evaluates it per change row (the signed-delta algebra), and the
+    // rewrite admits exactly a query carrying the SAME predicate
+    val filterSql = agg.child match {
+      case org.apache.spark.sql.catalyst.plans.logical
+          .Filter(cond, _) =>
+        if (cond.exists(_.isInstanceOf[AggregateExpression]))
+          bad("the WHERE predicate cannot contain aggregates")
+        Some(cond.sql)
+      case _ => None
+    }
+    // expression groups (`GROUP BY date_format(ts, 'yyyy-MM')`)
+    // materialize as MV columns named by their mandatory SELECT alias
+    var groupExprs = Map.empty[String, String]
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference => a.name
-      case e => bad(s"group expression '${e.sql}' is not a bare column — " +
-        "group by the base columns directly (the rewrite matches them by name)")
+      case e =>
+        val al = agg.aggregateExpressions.collectFirst {
+          case al @ Alias(c, _) if c.semanticEquals(e) => al
+        }.getOrElse(bad(s"group expression '${e.sql}' must appear in " +
+          "the SELECT list with an alias — the MV materializes it as " +
+          "that column"))
+        groupExprs += (al.name -> e.sql)
+        al.name
     }
     var sums = Seq.empty[(String, String)]
     var countName: Option[String] = None
     agg.aggregateExpressions.foreach {
       case a: AttributeReference if groupNames.contains(a.name) => ()
+      case al @ Alias(c, _) if groupExprs.contains(al.name) &&
+          agg.groupingExpressions.exists(_.semanticEquals(c)) => ()
       case al @ Alias(ae: AggregateExpression, _) =>
         if (ae.isDistinct || ae.filter.nonEmpty)
           bad(s"'${al.sql}': DISTINCT/FILTER aggregates are not self-maintainable")
@@ -758,7 +781,7 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
     }
     val cn = countName.getOrElse(bad("the MV needs a `count(*) AS <name>` " +
       "column — it is the group-liveness ledger deletion maintenance uses"))
-    val spec = AggSpec(groupNames, sums, cn)
+    val spec = AggSpec(groupNames, sums, cn, filterSql, groupExprs)
     IncrementalAgg.bootstrapFrom(spark, path, basePath, spec, numBuckets)
     MvDef.write(path, MvDef.Def(basePath, baseKeys, spec))
     graft.plans.GraftMvRewrite.register(basePath, path, spec)
@@ -784,16 +807,18 @@ case class GraftRefreshMvCommand(path: String)
     val d = MvDef.read(path).getOrElse(throw new IllegalStateException(
       s"REFRESH MATERIALIZED VIEW: $path has no _graft_mv definition " +
       "(not created via CREATE GRAFT MATERIALIZED VIEW)"))
-    d.join.foreach { j =>
-      // JOIN MV: fold both sides' lag, re-arm the rewrite
-      val (af, ad) = IncrementalJoinAgg.refresh(spark, path,
-        d.basePath, d.baseKeys, j.dimPath, j.dimKeys, j.fk, j.dk, d.spec)
+    if (d.joins.nonEmpty) {
+      // JOIN/STAR MV: fold every side's lag, re-arm the rewrite
+      val applied = IncrementalJoinAgg.refreshStar(spark, path,
+        d.basePath, d.baseKeys, d.joins, d.spec)
       graft.plans.GraftMvRewrite.registerJoin(
-        graft.plans.GraftMvRewrite.JoinMvReg(d.basePath, j.dimPath,
-          j.fk, j.dk, path, d.spec))
+        graft.plans.GraftMvRewrite.JoinMvReg(d.basePath,
+          d.joins.map(j =>
+            graft.plans.GraftMvRewrite.DimJoin(j.dimPath, j.fk, j.dk)),
+          path, d.spec))
       return Seq(Row(
         Scd1Merge.tableCommit(d.basePath).getOrElse(-1).toLong,
-        (af + ad).toLong))
+        applied.sum.toLong))
     }
     val live =
       (if (graft.merge.PartitionedTable.tableExists(d.basePath))
@@ -844,7 +869,7 @@ case class GraftDropCommand(path: String, mv: Boolean, ifExists: Boolean)
     if (!mv && mvDef.nonEmpty) throw new IllegalStateException(
       s"DROP TABLE: $path is a materialized view — DROP MATERIALIZED VIEW")
     mvDef.foreach { d =>
-      if (d.join.isDefined) graft.plans.GraftMvRewrite.unregisterJoin(path)
+      if (d.joins.nonEmpty) graft.plans.GraftMvRewrite.unregisterJoin(path)
       else graft.plans.GraftMvRewrite.unregisterMv(path)
     }
     // a dropped BASE also disarms MVs registered over it (their

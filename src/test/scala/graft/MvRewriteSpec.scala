@@ -176,6 +176,104 @@ class MvRewriteSpec extends SparkSpecBase {
     } finally GraftMvRewrite.unregister(base)
   }
 
+  test("FILTERED MV: same-predicate query rewrites; different/missing predicate falls through; maintenance nets boundary crossings") {
+    val root = Tmp.dir("mv_filtered")
+    val base = root + "/base"; val mv = root + "/mv"
+    val rows = (1L to 300L).map(i => (i, s"g${i % 5}", i * 3))
+      .toDF("id", "g", "cents")
+    Scd1Merge.upsert(spark, base, rows, Seq("id"), numBuckets = 2,
+      retainVersions = 4)
+    val spec = AggSpec(Seq("g"), Seq("cents" -> "sum_cents"), "n",
+      filterSql = Some("cents > 450"))
+    IncrementalAgg.bootstrapFrom(spark, mv, base, spec, numBuckets = 2)
+    GraftMvRewrite.register(base, mv, spec)
+    try {
+      def b = Scd1Merge.readTable(spark, base)
+      def q = b.filter("cents > 450").groupBy($"g")
+        .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+      assert(readsOnly(q, mv), s"same-predicate query: ${scanPaths(q)}")
+      // unfiltered query must NOT be answered by the filtered MV
+      assert(readsOnly(b.groupBy($"g").agg(sum($"cents").as("sc")), base))
+      // different predicate falls through
+      assert(readsOnly(b.filter("cents > 100").groupBy($"g")
+        .agg(sum($"cents").as("sc")), base))
+      // values match a from-base recompute
+      def recompute = Scd1Merge.readTable(spark, base)
+        .filter("cents > 450").groupBy($"g")
+        .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+      assertSameRows(q.orderBy("g"), recompute.orderBy("g"))
+      // maintenance across the predicate boundary: an update that
+      // DROPS a row below the threshold (pass -> fail = -old), one
+      // that RAISES a row over it (fail -> pass = +new), an insert
+      // on each side, and a delete of a passing row
+      Scd1Merge.upsert(spark, base, Seq(
+        (200L, "g0", 100L),  // was 600 (pass) -> now fails
+        (100L, "g0", 9000L), // was 300 (fail) -> now passes
+        (901L, "g1", 8000L), // new, passes
+        (902L, "g1", 10L)    // new, fails
+      ).toDF("id", "g", "cents"), Seq("id"), retainVersions = 4)
+      Scd1Merge.delete(spark, base, Seq("id"), $"id" === 250L,
+        retainVersions = 4) // was 750: passing row deleted
+      IncrementalAgg.applyChanges(spark, mv, base, Seq("id"), spec,
+        fromBack = 2)
+      assert(readsOnly(q, mv), "refreshed filtered MV must answer again")
+      assertSameRows(q.orderBy("g"), recompute.orderBy("g"))
+    } finally GraftMvRewrite.unregister(base)
+  }
+
+  test("EXPRESSION-GROUP MV via SQL: WHERE + month() group materialize; same-shape query rewrites; refresh folds") {
+    val root = Tmp.dir("mv_exprgroup")
+    val base = root + "/base"; val mv = root + "/mv"
+    val rows = (1L to 400L).map { i =>
+      (i, java.sql.Date.valueOf(f"1995-${i % 6 + 1}%02d-${i % 27 + 1}%02d"),
+        i * 7)
+    }.toDF("id", "d", "cents")
+    Scd1Merge.upsert(spark, base, rows, Seq("id"), numBuckets = 2,
+      retainVersions = 4)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS " +
+        s"SELECT date_format(d, 'yyyy-MM') AS m, sum(cents) AS sc, " +
+        s"count(*) AS n FROM graft.`$base` " +
+        "WHERE cents > 70 GROUP BY date_format(d, 'yyyy-MM')").collect()
+      // the definition persisted BOTH the filter and the group expr
+      val d = graft.pipeline.MvDef.read(mv).get
+      assert(d.spec.filterSql.nonEmpty)
+      assert(d.spec.groupExprs.keySet == Set("m"))
+      // the MV materialized the month as a real column
+      assert(Scd1Merge.readTable(spark, mv).columns.toSet ==
+        Set("m", "sc", "n"))
+      def q = graft.sql.GraftSql.sql(spark,
+        s"SELECT date_format(d, 'yyyy-MM') AS m, sum(cents) AS sc " +
+        s"FROM graft.`$base` WHERE cents > 70 " +
+        "GROUP BY date_format(d, 'yyyy-MM')")
+      assert(readsOnly(q, mv), s"expression-group query: ${scanPaths(q)}")
+      // values match a recompute; global roll-up over the expr works too
+      GraftMvRewrite.unregisterMv(mv)
+      assertSameRows(q.orderBy("m"),
+        Scd1Merge.readTable(spark, base).filter("cents > 70")
+          .groupBy(date_format($"d", "yyyy-MM").as("m"))
+          .agg(sum($"cents").as("sc")).orderBy("m"))
+      graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").collect()
+      assert(readsOnly(q, mv))
+      // a month-moving update + inserts fold O(delta) through REFRESH
+      Scd1Merge.upsert(spark, base, Seq(
+        (10L, java.sql.Date.valueOf("1995-06-15"), 7000L),
+        (991L, java.sql.Date.valueOf("1995-01-02"), 900L))
+        .toDF("id", "d", "cents"), Seq("id"), retainVersions = 4)
+      assert(readsOnly(q, base), "stale filtered MV must route to base")
+      graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").collect()
+      assert(readsOnly(q, mv))
+      GraftMvRewrite.unregisterMv(mv)
+      assertSameRows(q.orderBy("m"),
+        Scd1Merge.readTable(spark, base).filter("cents > 70")
+          .groupBy(date_format($"d", "yyyy-MM").as("m"))
+          .agg(sum($"cents").as("sc")).orderBy("m"))
+    } finally GraftMvRewrite.unregister(base)
+  }
+
   test("PARTITIONED base: union-of-scans rewrites, SQL REFRESH folds, a partition drop feeds deletes") {
     import graft.merge.PartitionedTable
     val root = Tmp.dir("mv_part")
@@ -255,7 +353,7 @@ class MvRewriteSpec extends SparkSpecBase {
     val spec = AggSpec(Seq("seg"), Seq("cents" -> "sc"), "n")
     IncrementalJoinAgg.createMv(spark, mv, factT, Seq("id"),
       dimT, Seq("ck"), "ck", "ck", spec, numBuckets = 2)
-    assert(graft.pipeline.MvDef.read(mv).exists(_.join.isDefined))
+    assert(graft.pipeline.MvDef.read(mv).exists(_.joins.nonEmpty))
     try {
       def q = Scd1Merge.readTable(spark, factT)
         .join(Scd1Merge.readTable(spark, dimT), "ck")
@@ -296,6 +394,74 @@ class MvRewriteSpec extends SparkSpecBase {
         .groupBy(d("seg")).agg(sum(f("cents")).as("sc")), mv))
       assert(!readsOnly(f.filter($"cents" > 100).join(d, "ck")
         .groupBy($"seg").agg(sum($"cents").as("sc")), mv))
+    } finally GraftMvRewrite.unregisterJoin(mv)
+  }
+
+  test("STAR MV (2 dims): dashboard aggregate + roll-up rewrite; commits on all three sides fold in ONE refresh; soundness") {
+    import graft.pipeline.{IncrementalJoinAgg, MvDef}
+    val root = Tmp.dir("mv_star")
+    val factT = root + "/fact"; val d1T = root + "/cust"
+    val d2T = root + "/prod"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, factT,
+      (1L to 400L).map(i => (i, i % 40 + 1, i % 11 + 1, i * 10))
+        .toDF("id", "ck", "pk", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 4)
+    Scd1Merge.upsert(spark, d1T,
+      (1L to 40L).map(c => (c, s"seg${c % 5}")).toDF("ck", "seg"),
+      Seq("ck"), numBuckets = 2, retainVersions = 4)
+    Scd1Merge.upsert(spark, d2T,
+      (1L to 11L).map(p => (p, s"cat${p % 3}")).toDF("pk", "cat"),
+      Seq("pk"), numBuckets = 2, retainVersions = 4)
+    val spec = AggSpec(Seq("seg", "cat"), Seq("cents" -> "sc"), "n")
+    IncrementalJoinAgg.createMvStar(spark, mv, factT, Seq("id"),
+      Seq(MvDef.JoinSrc(d1T, Seq("ck"), "ck", "ck"),
+        MvDef.JoinSrc(d2T, Seq("pk"), "pk", "pk")), spec, numBuckets = 2)
+    // the persisted definition round-trips BOTH dims
+    assert(MvDef.read(mv).exists(_.joins.size == 2))
+    try {
+      def f = Scd1Merge.readTable(spark, factT)
+      def d1 = Scd1Merge.readTable(spark, d1T)
+      def d2 = Scd1Merge.readTable(spark, d2T)
+      def q = f.join(d1, "ck").join(d2, "pk")
+        .groupBy($"seg", $"cat")
+        .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+      assert(readsOnly(q, mv), s"star MV must answer: ${scanPaths(q)}")
+      // roll-up to one dim's group rewrites too
+      val roll = f.join(d1, "ck").join(d2, "pk")
+        .groupBy($"cat").agg(sum($"cents").as("sc"))
+      assert(readsOnly(roll, mv))
+      // commits on ALL THREE sides: a fact insert + correction, a
+      // group move on each dim (mass shifts between groups on both
+      // axes) — stale until ONE refresh telescopes all three lags
+      Scd1Merge.upsert(spark, factT,
+        Seq((401L, 7L, 3L, 999L), (14L, 14L % 40 + 1, 14L % 11 + 1, 5L))
+          .toDF("id", "ck", "pk", "cents"), Seq("id"), retainVersions = 4)
+      Scd1Merge.upsert(spark, d1T,
+        Seq((7L, "segX")).toDF("ck", "seg"), Seq("ck"), retainVersions = 4)
+      Scd1Merge.upsert(spark, d2T,
+        Seq((3L, "catY")).toDF("pk", "cat"), Seq("pk"), retainVersions = 4)
+      assert(!readsOnly(q, mv), "a 3-sided lag must route to the real join")
+      val rr = graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").as[(Long, Long)].head()
+      assert(rr._2 == 3L, s"one commit per side must fold: $rr")
+      val fresh = q
+      assert(readsOnly(fresh, mv))
+      GraftMvRewrite.unregisterJoin(mv)
+      assertSameRows(fresh.orderBy("seg", "cat"),
+        f.join(d1, "ck").join(d2, "pk").groupBy($"seg", $"cat")
+          .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+          .orderBy("seg", "cat"))
+      assert(IncrementalJoinAgg.refreshStar(spark, mv, factT, Seq("id"),
+        MvDef.read(mv).get.joins, spec) == Seq(0, 0, 0), "replay is a no-op")
+      // soundness: a query joining only ONE of the two dims, or
+      // grouping by a non-MV column, must fall through
+      GraftMvRewrite.registerJoin(GraftMvRewrite.JoinMvReg(factT,
+        Seq(GraftMvRewrite.DimJoin(d1T, "ck", "ck"),
+          GraftMvRewrite.DimJoin(d2T, "pk", "pk")), mv, spec))
+      assert(!readsOnly(f.join(d1, "ck").groupBy($"seg")
+        .agg(sum($"cents").as("sc")), mv))
+      assert(!readsOnly(f.join(d1, "ck").join(d2, "pk").groupBy($"ck")
+        .agg(sum($"cents").as("sc")), mv))
     } finally GraftMvRewrite.unregisterJoin(mv)
   }
 
