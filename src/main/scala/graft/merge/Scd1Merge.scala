@@ -1158,9 +1158,13 @@ object Scd1Merge {
       // durable SIDECARS survive GC: the MV definition (_graft_mv —
       // REFRESH in a later session depends on it) and the COPY INTO
       // loaded-files log (file-level idempotence depends on it)
+      // (_graft_staging is an IN-FLIGHT DSv2 write's transient dir —
+      // the write itself age-sweeps orphans; vacuuming it here could
+      // kill a live concurrent batch write)
       if (name != ManifestName && name != LockName && name != "data" &&
           name != HistoryDir && name != "_graft_mv" &&
-          name != "_graft_copy_log" && !referenced.contains(name))
+          name != "_graft_copy_log" && name != "_graft_staging" &&
+          !referenced.contains(name))
         deleteRecursively(p)
     }
   }
@@ -1446,7 +1450,7 @@ object Scd1Merge {
     Files.list(Paths.get(tablePath)).iterator().asScala.toSeq.filter { p =>
       val n = p.getFileName.toString
       n != "data" && n != ManifestName && n != LockName && n != LegacyMetaName &&
-      n != HistoryDir &&
+      n != HistoryDir && n != "_graft_staging" &&
       n != "_SUCCESS" && !n.startsWith(".") && !n.endsWith(".tmp") && !n.endsWith(".crc")
     }
 

@@ -1504,6 +1504,22 @@ object QueriesRel {
           lit("SEG_NEW").as("seg"), (col("k") + 100000).as("k"),
           lit(4242L).as("cents")))
       b2.write.format("graft").mode("append").save(path)
+      // round 11: the write path is a NATIVE BatchWrite (staged
+      // UnsafeRow files → one engine commit — no V1 fallback), which
+      // is what makes `writeTo(...).overwritePartitions()` plannable:
+      // replace the SEG_NEW partition wholesale, others untouched
+      graft.sql.GraftTables.register("s44_dsv2w", path)
+      s.conf.set("spark.sql.catalog.gds44",
+        classOf[graft.sources.GraftCatalog].getName)
+      try {
+        b1.filter(col("k") % 13 === 0).select(
+          lit("SEG_NEW").as("seg"), (col("k") + 200000).as("k"),
+          lit(777L).as("cents"))
+          .writeTo("gds44.default.s44_dsv2w").overwritePartitions()
+      } finally {
+        graft.sql.GraftTables.unregister("s44_dsv2w")
+        s.conf.unset("spark.sql.catalog.gds44")
+      }
       s.read.format("graft").load(path)
         .select(col("seg"), col("k"), col("cents"))
         .orderBy(col("seg"), col("k"))
@@ -2384,12 +2400,18 @@ object QueriesRel {
          |  UNION ALL
          |  SELECT 'SEG_NEW' AS seg, k + 100000 AS k,
          |         CAST(4242 AS BIGINT) AS cents
-         |  FROM b1 WHERE k % 13 = 0)
-         |SELECT seg, k, cents FROM b2
+         |  FROM b1 WHERE k % 13 = 0),
+         |merged AS (
+         |  SELECT seg, k, cents FROM b2
+         |  UNION ALL
+         |  SELECT seg, k, cents FROM b1
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM b2 WHERE b2.seg = b1.seg AND b2.k = b1.k))
+         |SELECT seg, k, cents FROM merged WHERE seg <> 'SEG_NEW'
          |UNION ALL
-         |SELECT seg, k, cents FROM b1
-         |WHERE NOT EXISTS (
-         |  SELECT 1 FROM b2 WHERE b2.seg = b1.seg AND b2.k = b1.k)
+         |SELECT 'SEG_NEW' AS seg, k + 200000 AS k,
+         |       CAST(777 AS BIGINT) AS cents
+         |FROM b1 WHERE k % 13 = 0
          |ORDER BY seg, k""".stripMargin,
     "s43_dsv2_read" ->
       """SELECT n_nationkey AS k, n_name AS name

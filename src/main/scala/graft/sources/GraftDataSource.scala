@@ -200,13 +200,13 @@ class GraftDsv2Table(path: String, tableSchema: StructType,
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] = {
-    // no OVERWRITE_DYNAMIC: Spark ships no V1 fallback exec for
-    // dynamic overwrite, so advertising it would fail at runtime
-    // instead of a loud analysis error; the path writer honors
-    // partitionOverwriteMode=dynamic instead
+    // NATIVE BATCH_WRITE (GraftBatchWrite) — OVERWRITE_DYNAMIC is
+    // only plannable against a real BatchWrite, which is exactly why
+    // the V1_BATCH_WRITE era declined writeTo().overwritePartitions()
     val caps = java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
     if (tableSchema.isEmpty)
       // create-pending: schema comes from the first written batch
       caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
@@ -259,24 +259,233 @@ class GraftSink(path: String, parameters: Map[String, String],
   }
 }
 
-/** Write-mode capture: Spark signals truncate-overwrite /
-  * dynamic-partition-overwrite through builder mixins; the build
-  * result is a `V1Write` whose `InsertableRelation` routes to the
-  * engine (see [[GraftDsv2.write]]). */
+/** NATIVE DSv2 write (r10 verdict #5 — the write path no longer rides
+  * the `V1Write` fallback): Spark signals the write shape through the
+  * builder mixins — `truncate()` / `overwrite(AlwaysTrue)` for
+  * INSERT OVERWRITE and `mode("overwrite")`, and
+  * `overwriteDynamicPartitions()` for `writeTo(...)
+  * .overwritePartitions()`, which Spark only plans against a real
+  * `BatchWrite` (there is no V1 fallback exec for dynamic overwrite —
+  * the capability this class exists to unlock). The build result is
+  * [[GraftBatchWrite]].
+  *
+  * Creation validation happens HERE (planning time): a write to a
+  * manifest-less path without `option("keys", ...)` fails before any
+  * job runs, not after the batch staged. */
 class GraftWriteBuilder(path: String, options: CaseInsensitiveStringMap,
                         info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var mode: GraftDsv2.WriteMode = GraftDsv2.Append
-  override def truncate(): WriteBuilder = { mode = GraftDsv2.Truncate; this }
+
+  /** The path-writer convention (`mode("overwrite")` +
+    * `partitionOverwriteMode=dynamic` option/conf) still selects
+    * dynamic overwrite — `writeTo(...).overwritePartitions()` is the
+    * first-class spelling. */
+  private def dynamicRequested: Boolean =
+    Option(options.get("partitionOverwriteMode"))
+      .orElse(SparkSession.active.conf
+        .getOption("spark.sql.sources.partitionOverwriteMode"))
+      .exists(_.equalsIgnoreCase("dynamic"))
+
+  override def truncate(): WriteBuilder = {
+    mode = if (dynamicRequested) GraftDsv2.DynamicOverwrite
+           else GraftDsv2.Truncate
+    this
+  }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    // only the full-table predicate is a truncate; graft has no
+    // partial filtered overwrite (use DELETE + append, or dynamic)
+    val full = filters.isEmpty ||
+      filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)
+    if (!full) throw new UnsupportedOperationException(
+      s"graft write: only full-table overwrite is supported " +
+      s"(got ${filters.mkString(", ")}) — use DELETE + append, or " +
+      "writeTo(...).overwritePartitions() on a partitioned table")
+    truncate()
+  }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    if (GraftDsv2.exists(path) && !PartitionedTable.tableExists(path))
+      throw new UnsupportedOperationException(
+        s"graft write: $path is not partitioned — overwritePartitions " +
+        "needs a PARTITIONED BY table; use truncate-overwrite")
+    mode = GraftDsv2.DynamicOverwrite
+    this
+  }
+
   override def build(): Write = {
-    val m = mode
-    new V1Write {
-      override def toInsertableRelation: InsertableRelation =
-        new InsertableRelation {
-          override def insert(data: DataFrame, overwrite: Boolean): Unit =
-            GraftDsv2.write(data.sparkSession, path, data, options, m)
+    if (!GraftDsv2.exists(path) && !options.containsKey("keys"))
+      throw new IllegalArgumentException(
+        s"graft write: $path has no graft table — creating one needs " +
+        "explicit merge keys: .option(\"keys\", \"k1,k2\") " +
+        "(+ optional .option(\"buckets\", n) / .option(\"partitionBy\", col))")
+    new GraftBatchWrite(path, options, mode, info.schema())
+  }
+}
+
+/** The staged distributed write: executors stream their partitions'
+  * rows to per-task staging files under the table's transient
+  * `_graft_staging/<write-uuid>/` dir (UnsafeRow frames — exact for
+  * every Spark type, zero re-encode), and the DRIVER commit re-reads
+  * the staged rows as a distributed frame and routes it through the
+  * ENGINE's committed write path ([[GraftDsv2.write]] — keyed upsert /
+  * one-commit truncate / partition-routed dynamic overwrite). The
+  * engine's manifest swap stays the single atomicity point: a crash
+  * before `commit()` leaves only staging garbage (age-swept by the
+  * next write; vacuum never touches in-flight staging), a crash
+  * inside the engine write is the engine's own crash-safety story.
+  * Task retries/speculation are safe for free — only files named in
+  * COMMITTED task messages are read.
+  *
+  * At 100 TB: staging doubles the write's I/O (the price every
+  * staging connector pays) but keeps the upsert's bucket routing,
+  * stats, bloom, and constraint enforcement on the one audited path —
+  * and the staged read back is distributed (one task per staged
+  * file), never a driver materialization. */
+class GraftBatchWrite(path: String, options: CaseInsensitiveStringMap,
+                      mode: GraftDsv2.WriteMode, writeSchema: StructType)
+    extends Write with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+  override def toBatch: BatchWrite = this
+  private val stagingRoot =
+    java.nio.file.Paths.get(path, "_graft_staging")
+  private val stagingDir =
+    stagingRoot.resolve(java.util.UUID.randomUUID().toString)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    sweepStaleStaging()
+    new GraftStagingWriterFactory(stagingDir.toString, writeSchema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    try {
+      val files = messages.toSeq.collect {
+        case m: GraftCommitMessage => m.files
+      }.flatten
+      val df =
+        if (files.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[Row](), writeSchema)
+        else {
+          val nFields = writeSchema.length
+          val rdd = spark.sparkContext
+            .parallelize(files, files.size)
+            .flatMap(f => GraftStaging.readRows(f, nFields))
+          org.apache.spark.sql.GraftExpressionBridge
+            .dataFrameFromInternalRows(spark, rdd, writeSchema)
         }
+      GraftDsv2.write(spark, path, df, options, mode)
+    } finally cleanup()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit = GraftStaging.deleteTree(stagingDir)
+
+  /** Opportunistic orphan sweep: staging dirs a crashed writer left
+    * behind, strictly older than a day — far beyond any live write's
+    * lifetime, so an in-flight concurrent writer is never touched. */
+  private def sweepStaleStaging(): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(stagingRoot)) return
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    java.nio.file.Files.list(stagingRoot).iterator().asScala.toSeq.foreach { p =>
+      try {
+        if (java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+          GraftStaging.deleteTree(p)
+      } catch { case _: java.io.IOException => () }
     }
+  }
+}
+
+/** Per-task commit message: the staged file(s) this task's COMMITTED
+  * attempt produced. */
+case class GraftCommitMessage(files: Seq[String], rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class GraftStagingWriterFactory(stagingDir: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new GraftStagingWriter(stagingDir, schema, partitionId, taskId)
+}
+
+/** Streams one task's rows as length-prefixed UnsafeRow frames. An
+  * empty task stages nothing (no file, empty message). */
+class GraftStagingWriter(stagingDir: String, schema: StructType,
+                         partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[
+      org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+  private val file = java.nio.file.Paths.get(stagingDir,
+    f"part-$partitionId%05d-$taskId.bin")
+  private var out: java.io.DataOutputStream = null
+  private lazy val toUnsafe = UnsafeProjection.create(schema)
+  private val writeBuffer = new Array[Byte](4096)
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    if (out == null) {
+      java.nio.file.Files.createDirectories(file.getParent)
+      out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(file)))
+    }
+    val u = record match {
+      case u: UnsafeRow => u
+      case other => toUnsafe(other)
+    }
+    out.writeInt(u.getSizeInBytes)
+    u.writeToStream(out, writeBuffer)
+    rows += 1
+  }
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (out != null) out.close()
+    GraftCommitMessage(if (rows > 0) Seq(file.toString) else Nil, rows)
+  }
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    java.nio.file.Files.deleteIfExists(file)
+  }
+  override def close(): Unit = if (out != null) out.close()
+}
+
+private[sources] object GraftStaging {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+
+  /** Iterate a staged file's length-prefixed UnsafeRow frames. */
+  def readRows(file: String, numFields: Int): Iterator[InternalRow] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file))))
+    new Iterator[InternalRow] {
+      private var nextSize = readSize()
+      private def readSize(): Int =
+        try in.readInt()
+        catch { case _: java.io.EOFException => in.close(); -1 }
+      override def hasNext: Boolean = nextSize >= 0
+      override def next(): InternalRow = {
+        val bytes = new Array[Byte](nextSize)
+        in.readFully(bytes)
+        val row = new UnsafeRow(numFields)
+        row.pointTo(bytes, nextSize)
+        nextSize = readSize()
+        row
+      }
+    }
+  }
+
+  def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(p)) return
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+        catch { case _: java.io.IOException => () })
   }
 }
 

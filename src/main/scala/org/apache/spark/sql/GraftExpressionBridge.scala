@@ -57,6 +57,16 @@ object GraftExpressionBridge {
       df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd, df.schema)
   }
 
+  /** A batch DataFrame over an RDD of InternalRows
+    * (`internalCreateDataFrame` is private[sql]) — how the native
+    * DSv2 BatchWrite's driver commit re-reads its staged UnsafeRows
+    * as a distributed frame. */
+  def dataFrameFromInternalRows(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+      schema: types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Wrap a batch frame as a STREAMING one — the V1 `Source.getBatch`
     * contract (the returned frame must report `isStreaming = true` or
     * MicroBatchExecution rejects it). The RDD is lazy: rows compute

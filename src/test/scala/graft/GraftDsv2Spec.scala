@@ -173,18 +173,19 @@ class GraftDsv2Spec extends SparkSpecBase {
     val fin = PartitionedTable.readTable(spark, path)
     assert(fin.count() == 2)
     assert(fin.select("part").distinct().as[String].collect().toSet == Set("p0", "pX"))
-    // catalog writeTo().overwritePartitions(): declined at ANALYSIS
-    // (no V1 fallback exec exists in Spark for dynamic overwrite —
-    // a runtime failure or silent truncate would be worse)
+    // catalog writeTo().overwritePartitions(): the NATIVE BatchWrite
+    // path (no V1 fallback exec exists in Spark for dynamic
+    // overwrite) — only the touched partition replaced
     spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sources.GraftCatalog].getName)
     GraftTables.register("dsv2_wpart", path)
     try {
-      val e = intercept[Exception] {
-        Seq(("p1", 501L, 9L)).toDF("part", "k", "cents")
-          .writeTo("gcat.default.dsv2_wpart").overwritePartitions()
-      }
-      assert(e.getMessage.toLowerCase.contains("dynamic overwrite"),
-        s"expected a loud dynamic-overwrite decline, got: ${e.getMessage}")
+      Seq(("p0", 501L, 9L)).toDF("part", "k", "cents")
+        .writeTo("gcat.default.dsv2_wpart").overwritePartitions()
+      val dyn = PartitionedTable.readTable(spark, path)
+      assert(dyn.filter($"part" === "p0").count() == 1,
+        "overwritePartitions must replace the touched partition wholesale")
+      assert(dyn.filter($"part" === "pX").count() == 1,
+        "overwritePartitions must leave untouched partitions intact")
     } finally {
       GraftTables.unregister("dsv2_wpart")
       spark.conf.unset("spark.sql.catalog.gcat")
@@ -197,6 +198,41 @@ class GraftDsv2Spec extends SparkSpecBase {
         .option("partitionOverwriteMode", "dynamic").save(flat)
     }
     assert(e2.getMessage.toLowerCase.contains("partition"))
+  }
+
+  test("DSv2 write is NATIVE: BATCH_WRITE capability, empty batch commits clean, flat overwritePartitions declines at planning") {
+    import org.apache.spark.sql.connector.catalog.TableCapability
+    val path = mkTable("nativew", 10)
+    val caps = new graft.sources.GraftDsv2Table(path,
+      Scd1Merge.readTable(spark, path).schema).capabilities()
+    assert(caps.contains(TableCapability.BATCH_WRITE),
+      "the write path must be a real BatchWrite, not the V1 fallback")
+    assert(!caps.contains(TableCapability.V1_BATCH_WRITE))
+    assert(caps.contains(TableCapability.OVERWRITE_DYNAMIC),
+      "dynamic overwrite is only plannable against a native BatchWrite")
+    // an EMPTY batch stages nothing and commits a clean no-op upsert
+    val before = Scd1Merge.readTable(spark, path).count()
+    Scd1Merge.readTable(spark, path).filter(lit(false))
+      .write.format("graft").mode("append").save(path)
+    assert(Scd1Merge.readTable(spark, path).count() == before)
+    // no staging residue after the writes
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(path, "_graft_staging")) ||
+      java.nio.file.Files.list(
+        java.nio.file.Paths.get(path, "_graft_staging")).count() == 0)
+    // overwritePartitions on a FLAT table: loud at the write builder
+    spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sources.GraftCatalog].getName)
+    GraftTables.register("dsv2_flatdynw", path)
+    try {
+      val e = intercept[Exception] {
+        Seq((1L, "x", 0L)).toDF("k", "name", "region")
+          .writeTo("gcat.default.dsv2_flatdynw").overwritePartitions()
+      }
+      assert(e.getMessage.toLowerCase.contains("partition"))
+    } finally {
+      GraftTables.unregister("dsv2_flatdynw")
+      spark.conf.unset("spark.sql.catalog.gcat")
+    }
   }
 
   test("DSv2 write: catalog INSERT INTO and writeTo().append() route to the upsert") {
