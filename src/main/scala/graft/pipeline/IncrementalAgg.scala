@@ -50,11 +50,25 @@ object IncrementalAgg {
     * derives it from base columns (`m -> "date_format(ts,'yyyy-MM')"`)
     * — the MV materializes the computed value as a real group column
     * (Iceberg-transform-style roll-ups: `GROUP BY month(ts)` answered
-    * O(months)); names absent from the map are plain base columns. */
+    * O(months)); names absent from the map are plain base columns.
+    *
+    * `mins`/`maxs` maintain per-group extremes. MIN/MAX are not
+    * abelian — a retraction CAN require rescanning its group — so
+    * maintenance is two-speed: inserts FOLD (`least`/`greatest`, pure
+    * O(delta), the append hot path), and only groups where a
+    * retraction touches the stored extreme (deleted value ≤ stored
+    * min / ≥ stored max — the conservative flag) RECOMPUTE their
+    * extremes from the base, a group-semi-joined scan. That per-group
+    * rescan is the honest price every IVM system pays for non-abelian
+    * aggregates; the flag keeps it off the append path entirely. */
   final case class AggSpec(groupCols: Seq[String], sums: Seq[(String, String)],
                            countName: String,
                            filterSql: Option[String] = None,
-                           groupExprs: Map[String, String] = Map.empty)
+                           groupExprs: Map[String, String] = Map.empty,
+                           mins: Seq[(String, String)] = Nil,
+                           maxs: Seq[(String, String)] = Nil) {
+    def extremeCols: Seq[String] = mins.map(_._2) ++ maxs.map(_._2)
+  }
 
   /** Derive expression-group columns, then apply the MV filter — the
     * shared pre-aggregation step of bootstrap and maintenance (each
@@ -76,7 +90,9 @@ object IncrementalAgg {
   def bootstrap(spark: SparkSession, aggPath: String, base: DataFrame,
                 spec: AggSpec, numBuckets: Int = 0, batchId: String = "",
                 retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit = {
-    val exprs = spec.sums.map(p => sum(col(p._1)).as(p._2)) :+
+    val exprs = spec.sums.map(p => sum(col(p._1)).as(p._2)) ++
+      spec.mins.map(p => min(col(p._1)).as(p._2)) ++
+      spec.maxs.map(p => max(col(p._1)).as(p._2)) :+
       count(lit(1)).as(spec.countName)
     val aggd = prepared(base, spec)
       .groupBy(spec.groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
@@ -166,8 +182,14 @@ object IncrementalAgg {
         graft.merge.PartitionedTable.readChanges(spark, basePath, fromBack, toBack)
       else Scd1Merge.readChanges(spark, basePath, baseKeys, fromBack, toBack))
       .filter(rowFilter)
+    // min/max: the recompute leg reads the base AT the consumed commit
+    val extBase =
+      if (spec.extremeCols.isEmpty) None
+      else Some(if (partitioned(basePath))
+        graft.merge.PartitionedTable.readTableAt(spark, basePath, toBack)
+      else Scd1Merge.readTableAt(spark, basePath, toBack))
     applyChangesFrame(spark, aggPath, changes, spec, numBuckets, stamp,
-      retainVersions)
+      retainVersions, extremesBase = extBase)
   }
 
   /** The feed-application core over an ALREADY-READ change frame —
@@ -180,36 +202,94 @@ object IncrementalAgg {
   def applyChangesFrame(spark: SparkSession, aggPath: String,
                         changes: DataFrame, spec: AggSpec,
                         numBuckets: Int = 0, stamp: String = "",
-                        retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit = {
+                        retainVersions: Int = Scd1Merge.DefaultRetainVersions,
+                        extremesBase: Option[DataFrame] = None): Unit = {
     require(stamp.nonEmpty, "applyChangesFrame needs a batch stamp")
+    require(spec.extremeCols.isEmpty || extremesBase.isDefined,
+      "min/max maintenance needs the base frame (extremesBase) — a " +
+      "retraction touching a stored extreme rescans its group")
     if (Scd1Merge.tableBatchId(aggPath).contains(stamp)) {
       sweepTombstones(spark, aggPath, spec, retainVersions)
       return
     }
     val sign = when(col("_change_type").isin("insert", "update"), lit(1L))
       .otherwise(lit(-1L))
+    // (measure, out, isMin) for both extreme families
+    val exts: Seq[(String, String, Boolean)] =
+      spec.mins.map(p => (p._1, p._2, true)) ++
+      spec.maxs.map(p => (p._1, p._2, false))
     // `sums` may be empty (pure maintained COUNT — the multiplicity
-    // layer of IncrementalDistinct); the count expr is always present
+    // layer of IncrementalDistinct); the count expr is always present.
+    // Extremes fold TWO per-group helpers: the inserted-side extreme
+    // (the pure-fold leg) and the retracted-side extreme (the
+    // recompute flag's evidence).
     val deltaExprs = spec.sums.map(p =>
-      sum(col("__sign") * col(p._1)).as(p._2)) :+
-      sum(col("__sign")).as(spec.countName)
+      sum(col("__sign") * col(p._1)).as(p._2)) ++
+      exts.flatMap { case (m, out, isMin) => Seq(
+        (if (isMin) min(when(col("__sign") === 1L, col(m)))
+         else max(when(col("__sign") === 1L, col(m)))).as(s"__ins_$out"),
+        (if (isMin) min(when(col("__sign") === -1L, col(m)))
+         else max(when(col("__sign") === -1L, col(m)))).as(s"__del_$out"))
+      } :+ sum(col("__sign")).as(spec.countName)
     val delta = prepared(changes, spec)
       .withColumn("__sign", sign)
       .groupBy(spec.groupCols.map(col): _*)
       .agg(deltaExprs.head, deltaExprs.tail: _*)
     val valueCols = spec.sums.map(_._2) :+ spec.countName
-    val merged =
-      if (!Scd1Merge.tableExists(aggPath)) delta
+    val exists = Scd1Merge.tableExists(aggPath)
+    // left join keeps the scan on the (small) aggregate side keyed
+    // by the delta's groups; untouched groups never enter the plan
+    // output and their buckets are never rewritten by the upsert
+    val joined =
+      if (!exists) delta.as("d")
+      else delta.as("d")
+        .join(Scd1Merge.readTable(spark, aggPath).as("c"),
+          spec.groupCols, "left")
+    def stored(out: String) =
+      if (exists) col(s"c.$out") else lit(null)
+    // per-extreme: the insert-side fold, and the conservative
+    // recompute flag (a retraction AT or PAST the stored extreme —
+    // or into an unknown group — may have removed the extreme row)
+    val extSelect = exts.flatMap { case (_, out, isMin) => Seq(
+      (if (isMin) least(stored(out), col(s"d.__ins_$out"))
+       else greatest(stored(out), col(s"d.__ins_$out"))).as(out),
+      (col(s"d.__del_$out").isNotNull && (stored(out).isNull ||
+        (if (isMin) col(s"d.__del_$out") <= stored(out)
+         else col(s"d.__del_$out") >= stored(out)))).as(s"__flag_$out"))
+    }
+    val merged = joined.select(spec.groupCols.map(col) ++
+      valueCols.map(v =>
+        (coalesce(stored(v), lit(0L)) + col(s"d.$v")).as(v)) ++
+      extSelect: _*)
+    val outCols = spec.groupCols ++ spec.sums.map(_._2) ++
+      spec.mins.map(_._2) ++ spec.maxs.map(_._2) :+ spec.countName
+    val fin =
+      if (exts.isEmpty) merged.select(outCols.map(col): _*)
       else {
-        // left join keeps the scan on the (small) aggregate side keyed
-        // by the delta's groups; untouched groups never enter the plan
-        // output and their buckets are never rewritten by the upsert
-        val cur = Scd1Merge.readTable(spark, aggPath)
-        delta.as("d").join(cur.as("c"), spec.groupCols, "left")
-          .select(spec.groupCols.map(col) ++ valueCols.map(v =>
-            (coalesce(col(s"c.$v"), lit(0L)) + col(s"d.$v")).as(v)): _*)
+        // RECOMPUTE leg: only flagged groups rescan — a semi-joined
+        // group-pruned base aggregation (the non-abelian price, kept
+        // entirely off the append path: insert-only batches flag
+        // nothing and never touch the base)
+        val flagged = merged
+          .filter(exts.map(e => col(s"__flag_${e._2}")).reduce(_ || _))
+          .select(spec.groupCols.map(col): _*)
+        val recExprs = exts.map { case (m, out, isMin) =>
+          (if (isMin) min(col(m)) else max(col(m))).as(s"__rec_$out") }
+        val rec = prepared(extremesBase.get, spec)
+          .join(flagged, spec.groupCols, "left_semi")
+          .groupBy(spec.groupCols.map(col): _*)
+          .agg(recExprs.head, recExprs.tail: _*)
+        merged.join(rec, spec.groupCols, "left")
+          .select(outCols.map { v =>
+            exts.find(_._2 == v) match {
+              case Some((_, out, _)) =>
+                when(col(s"__flag_$out"), col(s"__rec_$out"))
+                  .otherwise(col(out)).as(out)
+              case None => col(v)
+            }
+          }: _*)
       }
-    Scd1Merge.upsert(spark, aggPath, merged, spec.groupCols, numBuckets,
+    Scd1Merge.upsert(spark, aggPath, fin, spec.groupCols, numBuckets,
       retainVersions = retainVersions,
       statsColumns = Seq(spec.countName), batchId = stamp)
     sweepTombstones(spark, aggPath, spec, retainVersions)

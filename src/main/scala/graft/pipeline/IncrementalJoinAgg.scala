@@ -134,8 +134,10 @@ object IncrementalJoinAgg {
                    factPath: String, factKeys: Seq[String],
                    dims: Seq[MvDef.JoinSrc], spec: AggSpec,
                    numBuckets: Int = 0): Unit = {
-    require(spec.filterSql.isEmpty && spec.groupExprs.isEmpty,
-      "join MVs do not support filtered/expression-group specs")
+    require(spec.filterSql.isEmpty && spec.groupExprs.isEmpty &&
+      spec.extremeCols.isEmpty,
+      "join MVs support plain sum/count specs only (no filter, group " +
+      "expressions, or min/max)")
     bootstrapStar(spark, mvPath, factPath, dims, spec, numBuckets)
     MvDef.write(mvPath, MvDef.Def(factPath, factKeys, spec, dims))
     graft.plans.GraftMvRewrite.registerJoin(

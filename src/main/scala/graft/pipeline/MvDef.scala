@@ -38,6 +38,12 @@ object MvDef {
       s"groups=${d.spec.groupCols.map(enc).mkString(",")}",
       s"sums=${d.spec.sums.map { case (m, o) => s"${enc(m)}:${enc(o)}" }.mkString(",")}",
       s"count=${enc(d.spec.countName)}") ++
+      (if (d.spec.mins.nonEmpty)
+        Seq(s"mins=${d.spec.mins.map { case (m, o) => s"${enc(m)}:${enc(o)}" }.mkString(",")}")
+       else Nil) ++
+      (if (d.spec.maxs.nonEmpty)
+        Seq(s"maxs=${d.spec.maxs.map { case (m, o) => s"${enc(m)}:${enc(o)}" }.mkString(",")}")
+       else Nil) ++
       d.spec.filterSql.toSeq.map(f => s"filter=${enc(f)}") ++
       (if (d.spec.groupExprs.nonEmpty)
         Seq(s"groupexprs=${d.spec.groupExprs.toSeq.sortBy(_._1)
@@ -71,10 +77,11 @@ object MvDef {
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     def list(k: String): Seq[String] =
       kv.getOrElse(k, "").split(",").iterator.filter(_.nonEmpty).map(dec).toSeq
-    val sums = kv.getOrElse("sums", "").split(",").iterator
-      .filter(_.nonEmpty).map { s =>
+    def pairs(k: String): Seq[(String, String)] =
+      kv.getOrElse(k, "").split(",").iterator.filter(_.nonEmpty).map { s =>
         val Array(m, o) = s.split(":", 2); (dec(m), dec(o))
       }.toSeq
+    val sums = pairs("sums")
     val joins: Seq[JoinSrc] =
       if (kv.contains("dim"))
         Seq(JoinSrc(dec(kv("dim")), list("dimkeys"),
@@ -90,6 +97,7 @@ object MvDef {
       }.toMap
     Some(Def(dec(kv("base")), list("keys"),
       AggSpec(list("groups"), sums, dec(kv("count")),
-        kv.get("filter").map(dec), groupExprs), joins))
+        kv.get("filter").map(dec), groupExprs,
+        pairs("mins"), pairs("maxs")), joins))
   }
 }

@@ -591,6 +591,16 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference => a
     }
     val sumsByMeasure = spec.sums.map { case (m, out) => m.toLowerCase -> out }.toMap
+    val minsByMeasure = spec.mins.map { case (m, out) => m.toLowerCase -> out }.toMap
+    val maxsByMeasure = spec.maxs.map { case (m, out) => m.toLowerCase -> out }.toMap
+    // min/max re-aggregate exactly on roll-up (idempotent semilattice
+    // aggregates) — maintenance is where they are hard, not rewrite
+    def extremeOf(e: Expression, byMeasure: Map[String, String]): Option[String] =
+      e match {
+        case a: AttributeReference if measureSide(a) =>
+          byMeasure.get(a.name.toLowerCase)
+        case _ => None
+      }
     def measureOf(e: Expression): Option[String] = e match {
       case a: AttributeReference if measureSide(a) =>
         sumsByMeasure.get(a.name.toLowerCase)
@@ -618,6 +628,18 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           // NULL` CHECK constraint on the base; a merely-nullable
           // measure falls through to the base plan rather than
           // silently under-averaging
+          case mn: org.apache.spark.sql.catalyst.expressions.aggregate.Min =>
+            extremeOf(mn.child, minsByMeasure).flatMap(out =>
+              mvByName.get(out.toLowerCase).map(c => AggregateExpression(
+                org.apache.spark.sql.catalyst.expressions.aggregate.Min(c),
+                org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+                isDistinct = false)))
+          case mx: org.apache.spark.sql.catalyst.expressions.aggregate.Max =>
+            extremeOf(mx.child, maxsByMeasure).flatMap(out =>
+              mvByName.get(out.toLowerCase).map(c => AggregateExpression(
+                org.apache.spark.sql.catalyst.expressions.aggregate.Max(c),
+                org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+                isDistinct = false)))
           case a: Average if a.child.dataType == LongType =>
             val attr = a.child match {
               case ar: AttributeReference => Some(ar)

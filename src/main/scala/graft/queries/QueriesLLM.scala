@@ -773,6 +773,70 @@ object QueriesLLM {
           (col("n_hits").cast("double") / col("n_exact")).as("recall"))
     }),
 
+    "sim_index_drift" -> ((s, dir) => {
+      // ANN INDEX DRIFT — the operability loop a train-once persisted
+      // index needs (r10 verdict #6): a distribution-SHIFTED ingest
+      // (compress + offset: every shifted vector lands far outside
+      // the trained cells' geometry — measured 7× the baseline mean
+      // residual at sf0.01) is encoded against the frozen model, and
+      // recall@k for shifted queries DECAYS — the shared PQ codebook
+      // quantizes residuals it was never trained on, so ADC ranking
+      // degenerates (0.64 vs 0.884 recovered at sf0.01). The
+      // monitor (ivfPqIndexMaintain) reads the PERSISTED trained-time
+      // baseline, measures cell imbalance + mean residual norm (one
+      // aggregation over the committed assignment ints), trips, and
+      // RETRAINS — recall recovers, and a second maintain() against
+      // the fresh baseline is a no-op. In-row requires pin the trip,
+      // the no-op, and the recovery direction; the oracle pins the
+      // measured before/after recalls as literals (deterministic:
+      // seeded quantized training, fixed data); ApproxSpec floors the
+      // recovery.
+      val emb = table(s, dir, "embeddings")
+      val idx = graft.Tmp.dir("graft_ivfdrift") + "/ivfpq"
+      val corpus0 = emb.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+      Similarity.ivfPqIndexBuild(s, idx, corpus0, "vec_id", "embedding",
+        nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64,
+        batchId = "build@1")
+      val shifted = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * lit(0.1f) + lit(3.0f))
+            .cast("array<float>"))
+      Similarity.ivfPqIndexUpdate(s, idx, shifted, "vec_id", "embedding",
+        dim = 64, batchId = "ingest@2")
+      val full = corpus0.unionByName(shifted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = shifted.filter(col("vec_id") < 200)
+      val exact = Similarity.topK(full, q, "vec_id", "embedding", K)
+        .select(col("query_id"), col("vec_id"))
+      def hitsOf(approx: DataFrame): Long =
+        approx.select(col("query_id"), col("vec_id"))
+          .intersect(exact).count()
+      val nExact = exact.count()
+      val hitsBefore = hitsOf(Similarity.ivfPqTopKIndexed(s, idx, full, q,
+        "vec_id", "embedding", K, nprobe = 4, dim = 64, candFactor = 16))
+      val retrained = Similarity.ivfPqIndexMaintain(s, idx, full,
+        "vec_id", "embedding", nlist = 16, m = 16, ksub = 16,
+        iters = 2, dim = 64, batchId = "retrain@3")
+      require(retrained, "the shifted ingest must trip the drift monitor")
+      val hitsAfter = hitsOf(Similarity.ivfPqTopKIndexed(s, idx, full, q,
+        "vec_id", "embedding", K, nprobe = 4, dim = 64, candFactor = 16))
+      val noop = Similarity.ivfPqIndexMaintain(s, idx, full,
+        "vec_id", "embedding", nlist = 16, m = 16, ksub = 16,
+        iters = 2, dim = 64, batchId = "noop@4")
+      require(!noop, "a freshly retrained index must not re-trip")
+      require(hitsAfter > hitsBefore,
+        s"retrain must recover recall: $hitsBefore -> $hitsAfter / $nExact")
+      full.unpersist(blocking = false)
+      s.range(1).select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
+        lit(16L).as("m"), lit(16L).as("ksub"),
+        lit(nExact).as("n_exact"),
+        lit(hitsBefore).as("hits_before"),
+        (lit(hitsBefore).cast("double") / lit(nExact)).as("recall_before"),
+        lit(hitsAfter).as("hits_after"),
+        (lit(hitsAfter).cast("double") / lit(nExact)).as("recall_after"),
+        lit(true).as("drift_detected"), lit(true).as("retrain_noop"))
+    }),
+
     "a6_count_distinct" -> ((s, dir) =>
       // exact distinct-aggregate (Expand-based two-phase plan)
       table(s, dir, "orders")
@@ -1626,6 +1690,13 @@ object QueriesLLM {
     // n_reranked are the accounting columns (deterministic: quantized
     // Lloyd + quantized ADC); ApproxSpec floors the recall and pins
     // reranked < scanned.
+    "sim_index_drift" ->
+      """SELECT 16::BIGINT AS nlist, 4::BIGINT AS nprobe,
+         |  16::BIGINT AS m, 16::BIGINT AS ksub,
+         |  250::BIGINT AS n_exact,
+         |  160::BIGINT AS hits_before, 160 / 250.0 AS recall_before,
+         |  221::BIGINT AS hits_after, 221 / 250.0 AS recall_after,
+         |  TRUE AS drift_detected, TRUE AS retrain_noop""".stripMargin,
     "sim_ivfpq_recall" ->
       """SELECT 16::BIGINT AS nlist, 4::BIGINT AS nprobe,
          |  16::BIGINT AS m, 16::BIGINT AS ksub,

@@ -1076,13 +1076,20 @@ object QueriesPipeline {
         retainVersions = 4)
       Scd1Merge.upsert(s, d2T, sp, Seq("s_suppkey"), numBuckets = 4,
         retainVersions = 4)
-      val spec = AggSpec(Seq("brand", "nation"),
-        Seq("cents" -> "sum_cents"), "n_items")
-      IncrementalJoinAgg.createMvStar(s, mvT, factT,
-        Seq("l_orderkey", "l_linenumber"),
-        Seq(MvDef.JoinSrc(d1T, Seq("p_partkey"), "l_partkey", "p_partkey"),
-          MvDef.JoinSrc(d2T, Seq("s_suppkey"), "l_suppkey", "s_suppkey")),
-        spec, numBuckets = 4)
+      // created through the SQL surface (runStar lowers onto
+      // createMvStar: fact = the measure-bearing side, dims + (fk,dk)
+      // read from the analyzed equi-join conditions)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvT` BUCKETS 4 AS
+           |SELECT brand, nation, sum(cents) AS sum_cents,
+           |  count(*) AS n_items
+           |FROM graft.`$factT` f
+           |JOIN graft.`$d1T` p ON f.l_partkey = p.p_partkey
+           |JOIN graft.`$d2T` sp ON f.l_suppkey = sp.s_suppkey
+           |GROUP BY brand, nation""".stripMargin)
+      val d = MvDef.read(mvT).get
+      require(d.basePath == factT && d.joins.size == 2,
+        s"SQL star CREATE must persist fact + 2 dims: $d")
       def scansOf(df: DataFrame): Seq[String] =
         df.queryExecution.optimizedPlan.collect {
           case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -1126,6 +1133,70 @@ object QueriesPipeline {
       val out = q()
       require(scansOf(out).forall(_.contains(mvT + "/")),
         "the refreshed star MV must answer again")
+      out
+    }),
+
+    "pipe24_minmax_mv" -> ((s, dir) => {
+      // MIN/MAX MV — the non-abelian aggregates every dashboard wants
+      // next to its sums: maintenance is TWO-SPEED (IncrementalAgg):
+      // inserts FOLD via least/greatest (pure O(delta) — the append
+      // hot path never touches the base), and only groups where a
+      // retraction lands AT or PAST the stored extreme RESCAN, via a
+      // group-semi-joined base aggregation — the honest price every
+      // IVM system pays for min/max under deletes, confined to the
+      // flagged groups. The wave forces both legs: a big downward
+      // correction (new minima = retractions at stored maxima for the
+      // touched groups) plus deletes (some removing group extremes).
+      // The rewrite answers sum/min/max/count from the MV (min/max
+      // re-aggregate exactly on roll-up — idempotent semilattice);
+      // in-row requires pin the routing, the oracle recomputes all
+      // four aggregates from the final base content.
+      val root = tmpDir("graft_mmx")
+      val base = root + "/orders"; val mv = root + "/mv"
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Scd1Merge.upsert(s, base, o, Seq("o_orderkey"), numBuckets = 8,
+        retainVersions = 4)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 4 AS
+           |SELECT pri, sum(cents) AS sum_cents, min(cents) AS min_cents,
+           |  max(cents) AS max_cents, count(*) AS n_orders
+           |FROM graft.`$base` GROUP BY pri""".stripMargin)
+      val d = graft.pipeline.MvDef.read(mv).get
+      require(d.spec.mins == Seq("cents" -> "min_cents") &&
+        d.spec.maxs == Seq("cents" -> "max_cents"),
+        s"SQL CREATE must persist the extreme specs: ${d.spec}")
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def q(): DataFrame = graft.sql.GraftSql.sql(s,
+        s"""SELECT pri, sum(cents) AS sum_cents, min(cents) AS min_cents,
+           |  max(cents) AS max_cents, count(*) AS n_orders
+           |FROM graft.`$base` GROUP BY pri ORDER BY pri""".stripMargin)
+      require(scansOf(q()).forall(_.contains(mv + "/")),
+        "fresh min/max MV must answer the query")
+      // the wave: big downward corrections + deletes, then one REFRESH
+      Scd1Merge.upsert(s, base,
+        o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("cents", col("cents") - 100000L),
+        Seq("o_orderkey"), retainVersions = 4)
+      Scd1Merge.delete(s, base, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(13)) === 0, retainVersions = 4)
+      require(scansOf(q()).forall(_.contains(base + "/")),
+        "the stale MV must route to the base")
+      val r = graft.sql.GraftSql.sql(s,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").collect().head
+      require(r.getLong(1) == 2L, s"refresh must fold 2 commits: $r")
+      val out = q()
+      require(scansOf(out).forall(_.contains(mv + "/")),
+        "the refreshed min/max MV must answer again")
       out
     }),
 
@@ -1588,6 +1659,16 @@ object QueriesPipeline {
          |FROM f JOIN p ON l_partkey = p_partkey
          |       JOIN s ON l_suppkey = s_suppkey
          |GROUP BY brand, nation ORDER BY brand, nation""".stripMargin,
+    "pipe24_minmax_mv" ->
+      """WITH o AS (
+         |  SELECT o_orderpriority AS pri,
+         |    CAST(round(o_totalprice * 100) AS BIGINT)
+         |      - CASE WHEN o_orderkey % 7 = 0 THEN 100000 ELSE 0 END AS cents
+         |  FROM orders WHERE o_orderkey % 13 <> 0)
+         |SELECT pri, sum(cents)::BIGINT AS sum_cents,
+         |  min(cents)::BIGINT AS min_cents, max(cents)::BIGINT AS max_cents,
+         |  count(*) AS n_orders
+         |FROM o GROUP BY pri ORDER BY pri""".stripMargin,
     "pipe22_filtered_mv" ->
       """WITH o AS (
          |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month,

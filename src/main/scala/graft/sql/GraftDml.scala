@@ -706,10 +706,14 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
     if (Scd1Merge.tableExists(path) ||
         graft.merge.PartitionedTable.tableExists(path))
       bad(s"$path already exists")
-    val baseRefs = "(?is)FROM\\s+graft\\s*\\.\\s*`([^`]+)`".r
+    val baseRefs = "(?is)(?:FROM|JOIN)\\s+graft\\s*\\.\\s*`([^`]+)`".r
       .findAllMatchIn(selectSql).map(_.group(1)).toSeq
-    if (baseRefs.size != 1) bad("the AS query must read exactly one graft " +
-      "table (FROM graft.`<path>`); found " + baseRefs.size)
+    if (baseRefs.isEmpty) bad("the AS query must read graft tables " +
+      "(FROM graft.`<path>` [JOIN graft.`<dim>` ON ...])")
+    if (baseRefs.distinct.size != baseRefs.size)
+      bad("a join MV cannot read the same table twice (self-joins are " +
+        "not maintainable as a star)")
+    if (baseRefs.size > 1) return runStar(spark, baseRefs)
     val basePath = baseRefs.head
     val partitionedBase = graft.merge.PartitionedTable.tableExists(basePath)
     if (!partitionedBase && !Scd1Merge.tableExists(basePath))
@@ -750,6 +754,8 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
         al.name
     }
     var sums = Seq.empty[(String, String)]
+    var mins = Seq.empty[(String, String)]
+    var maxs = Seq.empty[(String, String)]
     var countName: Option[String] = None
     agg.aggregateExpressions.foreach {
       case a: AttributeReference if groupNames.contains(a.name) => ()
@@ -758,11 +764,17 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       case al @ Alias(ae: AggregateExpression, _) =>
         if (ae.isDistinct || ae.filter.nonEmpty)
           bad(s"'${al.sql}': DISTINCT/FILTER aggregates are not self-maintainable")
+        def bareCol(e: Expression, what: String): String = e match {
+          case m: AttributeReference => m.name
+          case other => bad(s"$what over '${other.sql}' — aggregate a " +
+            "bare base column")
+        }
         ae.aggregateFunction match {
-          case s: Sum => s.child match {
-            case m: AttributeReference => sums :+= ((m.name, al.name))
-            case e => bad(s"sum over '${e.sql}' — sum a bare base column")
-          }
+          case s: Sum => sums :+= ((bareCol(s.child, "sum"), al.name))
+          case mn: org.apache.spark.sql.catalyst.expressions.aggregate.Min =>
+            mins :+= ((bareCol(mn.child, "min"), al.name))
+          case mx: org.apache.spark.sql.catalyst.expressions.aggregate.Max =>
+            maxs :+= ((bareCol(mx.child, "max"), al.name))
           case c: Count => c.children match {
             case Seq(Literal(_, _)) =>
               if (countName.nonEmpty) bad("more than one count(*)")
@@ -777,15 +789,155 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       case a: AttributeReference =>
         bad(s"output column '${a.name}' is not in GROUP BY")
       case e => bad(s"output '${e.sql}' — the MV stores bare group " +
-        "columns and aliased sum/count(*) only")
+        "columns and aliased sum/min/max/count(*) only")
     }
     val cn = countName.getOrElse(bad("the MV needs a `count(*) AS <name>` " +
       "column — it is the group-liveness ledger deletion maintenance uses"))
-    val spec = AggSpec(groupNames, sums, cn, filterSql, groupExprs)
+    val spec = AggSpec(groupNames, sums, cn, filterSql, groupExprs, mins, maxs)
     IncrementalAgg.bootstrapFrom(spark, path, basePath, spec, numBuckets)
     MvDef.write(path, MvDef.Def(basePath, baseKeys, spec))
     graft.plans.GraftMvRewrite.register(basePath, path, spec)
     GraftCatalog.putMv(path, basePath) // durable: a NEW session auto-arms
+    Nil
+  }
+
+  /** The STAR form: `AS SELECT groups..., sum(m) AS s..., count(*) AS
+    * n FROM graft.`<fact>` [f] JOIN graft.`<dim>` [d] ON f.fk = d.dk
+    * ... GROUP BY groups` — lowered onto
+    * [[graft.pipeline.IncrementalJoinAgg.createMvStar]]. The FACT is
+    * the side carrying every summed measure; each JOIN contributes
+    * one dim with its (fk, dk) pair read from the analyzed equi-join
+    * condition; each dim must be SCD1-keyed on exactly its join key
+    * (the uniqueness the bilinear delta contract needs). Filters and
+    * group expressions are rejected loudly — a star MV stores bare
+    * group columns and sum/count(*) only. */
+  private def runStar(spark: SparkSession, refs: Seq[String]): Seq[Row] = {
+    import graft.pipeline.{IncrementalJoinAgg, MvDef}
+    import graft.pipeline.IncrementalAgg.AggSpec
+    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Project, SubqueryAlias}
+    def bad(why: String): Nothing =
+      throw new IllegalArgumentException(s"CREATE GRAFT MATERIALIZED VIEW: $why")
+    refs.foreach { p =>
+      if (!Scd1Merge.tableExists(p)) bad(
+        s"join-MV input $p is not a flat graft table (partitioned star " +
+        "facts are not yet maintainable — flatten or use the API)")
+    }
+    val agg = GraftSql.sql(spark, selectSql).queryExecution.analyzed match {
+      case a: Aggregate => a
+      case _ => bad("the AS query must be a plain GROUP BY aggregate")
+    }
+    // flatten the analyzed join tree: leaves + one EqualTo per join
+    var leaves = Vector.empty[LogicalPlan]
+    var conds = Vector.empty[(AttributeReference, AttributeReference)]
+    def flat(p: LogicalPlan): Unit = p match {
+      case SubqueryAlias(_, child) => flat(child)
+      case Project(items, child)
+          if items.forall(_.isInstanceOf[AttributeReference]) => flat(child)
+      case j: Join =>
+        if (j.joinType != Inner)
+          bad("join MVs support INNER equi-joins only")
+        j.condition match {
+          case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+            conds :+= ((a, b))
+          case other => bad("each JOIN needs exactly one " +
+            s"<fact-fk> = <dim-key> condition, got ${other.map(_.sql)}")
+        }
+        flat(j.left); flat(j.right)
+      case other => leaves :+= other
+    }
+    flat(agg.child)
+    if (leaves.size != refs.size || conds.size != refs.size - 1)
+      bad(s"the AS query must be a star: one fact JOINed to " +
+        s"${refs.size - 1} dim(s), one equi-condition each")
+    // leaf → table path, by scan-file ownership (the rewrite's trick)
+    def norm(p: String): String =
+      "/" + p.stripPrefix("file:").dropWhile(_ == '/')
+    def pathOf(leaf: LogicalPlan): String = {
+      val files = leaf.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.toSeq
+            case _ => Nil
+          }
+      }.flatten
+      refs.find(p => files.nonEmpty &&
+        files.forall(f => norm(f).startsWith(norm(p) + "/")))
+        .getOrElse(bad("could not attribute a joined table's scan to a " +
+          "graft table path"))
+    }
+    val leafPath = leaves.map(l => l -> pathOf(l)).toMap
+    // the FACT carries every summed measure
+    var sums = Seq.empty[(String, String)]
+    var countName: Option[String] = None
+    var measureAttrs = Seq.empty[AttributeReference]
+    val groupNames = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case e => bad(s"group expression '${e.sql}' — a star MV groups by " +
+        "bare columns only")
+    }
+    agg.aggregateExpressions.foreach {
+      case a: AttributeReference if groupNames.contains(a.name) => ()
+      case al @ Alias(ae: AggregateExpression, _) =>
+        if (ae.isDistinct || ae.filter.nonEmpty)
+          bad(s"'${al.sql}': DISTINCT/FILTER aggregates are not self-maintainable")
+        ae.aggregateFunction match {
+          case sm: Sum => sm.child match {
+            case m: AttributeReference =>
+              sums :+= ((m.name, al.name)); measureAttrs :+= m
+            case e => bad(s"sum over '${e.sql}' — sum a bare fact column")
+          }
+          case c: Count => c.children match {
+            case Seq(Literal(_, _)) =>
+              if (countName.nonEmpty) bad("more than one count(*)")
+              countName = Some(al.name)
+            case _ => bad("count(col) is not maintainable — use count(*)")
+          }
+          case f => bad(s"aggregate '${f.prettyName}' is not " +
+            "self-maintainable under deletes")
+        }
+      case a: AttributeReference =>
+        bad(s"output column '${a.name}' is not in GROUP BY")
+      case e => bad(s"output '${e.sql}' — a star MV stores bare group " +
+        "columns and aliased sum/count(*) only")
+    }
+    if (sums.isEmpty) bad("a star MV needs at least one sum(measure) — " +
+      "the measures identify the fact side")
+    val cn = countName.getOrElse(bad("the MV needs a `count(*) AS <name>` " +
+      "column — it is the group-liveness ledger deletion maintenance uses"))
+    val factLeaf = leaves.find(l =>
+      measureAttrs.forall(l.outputSet.contains)).getOrElse(
+      bad("every summed measure must come from ONE table (the fact)"))
+    val factPath = leafPath(factLeaf)
+    val factKeys = Scd1Merge.tableKeys(factPath).filter(_.nonEmpty)
+      .getOrElse(bad(s"fact $factPath records no merge keys"))
+    // each condition pairs the fact with one dim
+    val dims = conds.map { case (a, b) =>
+      val (fkAttr, dkAttr) =
+        if (factLeaf.outputSet.contains(a)) (a, b)
+        else if (factLeaf.outputSet.contains(b)) (b, a)
+        else bad(s"join condition ${a.name} = ${b.name} does not touch " +
+          s"the fact ($factPath — the side carrying the measures)")
+      val dimLeaf = leaves.find(l => l.ne(factLeaf) &&
+        l.outputSet.contains(dkAttr)).getOrElse(
+        bad(s"join key ${dkAttr.name} resolves on no dim table"))
+      val dimPath = leafPath(dimLeaf)
+      val dimKeys = Scd1Merge.tableKeys(dimPath).filter(_.nonEmpty)
+        .getOrElse(bad(s"dim $dimPath records no merge keys"))
+      if (dimKeys.map(_.toLowerCase) != Seq(dkAttr.name.toLowerCase))
+        bad(s"dim $dimPath must be keyed on exactly its join key " +
+          s"${dkAttr.name} (it is keyed on ${dimKeys.mkString(", ")}) — " +
+          "the delta rule needs the dim UNIQUE on the join key")
+      MvDef.JoinSrc(dimPath, dimKeys, fkAttr.name, dkAttr.name)
+    }
+    if (dims.map(_.dimPath).toSet != (refs.toSet - factPath))
+      bad("every joined table must be a dim of the fact (one join " +
+        "condition per dim)")
+    IncrementalJoinAgg.createMvStar(spark, path, factPath, factKeys,
+      dims, AggSpec(groupNames, sums, cn), numBuckets)
     Nil
   }
 }

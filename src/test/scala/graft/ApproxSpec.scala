@@ -160,6 +160,50 @@ class ApproxSpec extends SparkSpecBase {
       s"rerank fetches ($reranked) must stay below the scanned code pairs ($scanned)")
   }
 
+  test("index drift: shifted ingest decays recall and trips the monitor; retrain recovers the floor; fresh baseline no-ops") {
+    import graft.similarity.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val idx = Tmp.dir("drift_spec") + "/ivfpq"
+    val corpus0 = emb.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+    Similarity.ivfPqIndexBuild(spark, idx, corpus0, "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64, batchId = "b1")
+    val (bi, br) = Similarity.ivfPqIndexBaseline(spark, idx)
+    val shifted = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(0.1f) + lit(3.0f))
+          .cast("array<float>"))
+    Similarity.ivfPqIndexUpdate(spark, idx, shifted, "vec_id", "embedding",
+      dim = 64, batchId = "i2")
+    val full = corpus0.unionByName(shifted)
+    val (ci, cr) = Similarity.ivfPqIndexDriftStats(spark, idx, full,
+      "vec_id", "embedding")
+    info(f"imbalance $bi%.3f -> $ci%.3f, residual $br%.4f -> $cr%.4f")
+    assert(ci >= 2 * bi && cr >= 2 * br,
+      "the shifted ingest must move BOTH drift signals far past baseline")
+    val q = shifted.filter(col("vec_id") < 200)
+    val exact = Similarity.topK(full, q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("vec_id"))
+    val nExact = exact.count()
+    def recall(): Double = Similarity.ivfPqTopKIndexed(spark, idx, full, q,
+        "vec_id", "embedding", 5, nprobe = 4, dim = 64, candFactor = 16)
+      .select(col("query_id"), col("vec_id"))
+      .intersect(exact).count().toDouble / nExact
+    val before = recall()
+    assert(Similarity.ivfPqIndexMaintain(spark, idx, full,
+      "vec_id", "embedding", nlist = 16, m = 16, ksub = 16,
+      iters = 2, dim = 64, batchId = "r3"), "monitor must trip")
+    val after = recall()
+    info(f"recall before=$before%.4f after=$after%.4f (measured 0.64 -> 0.884)")
+    assert(after >= 0.85, f"post-retrain recall $after%.4f < 0.85 floor")
+    assert(after >= before + 0.1,
+      f"retrain must recover materially: $before%.4f -> $after%.4f")
+    // the fresh baseline reflects the full corpus: no re-trip
+    assert(!Similarity.ivfPqIndexMaintain(spark, idx, full,
+      "vec_id", "embedding", nlist = 16, m = 16, ksub = 16,
+      iters = 2, dim = 64, batchId = "n4"),
+      "a freshly retrained index must not re-trip the monitor")
+  }
+
   test("PCA-reduced recall@5 floor holds; more components monotonically help") {
     import graft.similarity.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")

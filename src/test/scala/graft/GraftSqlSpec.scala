@@ -731,6 +731,95 @@ class GraftSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("STAR MV via SQL: CREATE over fact JOIN dim JOIN dim, rewrite + REFRESH + DROP; loud star rejections") {
+    import graft.plans.GraftMvRewrite
+    val root = graft.Tmp.dir("sql_star_mv")
+    val fact = root + "/fact"; val d1 = root + "/cust"
+    val d2 = root + "/prod"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, fact,
+      (1L to 200L).map(i => (i, i % 20 + 1, i % 7 + 1, i * 10))
+        .toDF("k", "ck", "pk", "cents"),
+      Seq("k"), numBuckets = 2, retainVersions = 4)
+    Scd1Merge.upsert(spark, d1,
+      (1L to 20L).map(c => (c, s"seg${c % 4}")).toDF("ck", "seg"),
+      Seq("ck"), numBuckets = 1, retainVersions = 4)
+    Scd1Merge.upsert(spark, d2,
+      (1L to 7L).map(p => (p, s"cat${p % 3}")).toDF("pk", "cat"),
+      Seq("pk"), numBuckets = 1, retainVersions = 4)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS
+           |SELECT seg, cat, sum(cents) AS sc, count(*) AS n
+           |FROM graft.`$fact` f
+           |JOIN graft.`$d1` c ON f.ck = c.ck
+           |JOIN graft.`$d2` p ON f.pk = p.pk
+           |GROUP BY seg, cat""".stripMargin).collect()
+      val d = graft.pipeline.MvDef.read(mv).get
+      assert(d.basePath == fact && d.joins.map(_.dimPath).toSet == Set(d1, d2))
+      def q = graft.sql.GraftSql.sql(spark,
+        s"""SELECT seg, cat, sum(cents) AS sc FROM graft.`$fact` f
+           |JOIN graft.`$d1` c ON f.ck = c.ck
+           |JOIN graft.`$d2` p ON f.pk = p.pk
+           |GROUP BY seg, cat""".stripMargin)
+      def scans(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      assert(scans(q).nonEmpty && scans(q).forall(_.contains(mv + "/")),
+        s"SQL-created star MV must answer the SQL star query: ${scans(q)}")
+      // a wave on every side, ONE SQL REFRESH folds all three
+      Scd1Merge.upsert(spark, fact,
+        Seq((201L, 3L, 2L, 99L)).toDF("k", "ck", "pk", "cents"),
+        Seq("k"), retainVersions = 4)
+      Scd1Merge.upsert(spark, d1, Seq((3L, "segX")).toDF("ck", "seg"),
+        Seq("ck"), retainVersions = 4)
+      Scd1Merge.upsert(spark, d2, Seq((2L, "catY")).toDF("pk", "cat"),
+        Seq("pk"), retainVersions = 4)
+      assert(scans(q).exists(_.contains(fact + "/")), "stale → real join")
+      val rr = graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").as[(Long, Long)].head()
+      assert(rr._2 == 3L, rr.toString)
+      val fresh = q
+      assert(scans(fresh).forall(_.contains(mv + "/")))
+      GraftMvRewrite.unregisterJoin(mv)
+      assertSameRows(fresh.orderBy("seg", "cat"),
+        Scd1Merge.readTable(spark, fact).as("f")
+          .join(Scd1Merge.readTable(spark, d1), "ck")
+          .join(Scd1Merge.readTable(spark, d2), "pk")
+          .groupBy($"seg", $"cat").agg(sum($"cents").as("sc"))
+          .orderBy("seg", "cat"))
+      // DROP disarms and removes
+      graft.sql.GraftSql.sql(spark,
+        s"DROP MATERIALIZED VIEW graft.`$mv`").collect()
+      assert(!Scd1Merge.tableExists(mv))
+      // loud rejections: dim keyed on the wrong column; measures
+      // split across tables; outer join
+      val badDim = root + "/baddim"
+      Scd1Merge.upsert(spark, badDim,
+        (1L to 20L).map(c => (c, c, s"x$c")).toDF("id", "ck", "v"),
+        Seq("id"), numBuckets = 1)
+      val e1 = intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.sql(spark,
+          s"CREATE GRAFT MATERIALIZED VIEW graft.`$root/m2` AS " +
+          s"SELECT v, sum(cents) AS sc, count(*) AS n FROM graft.`$fact` f " +
+          s"JOIN graft.`$badDim` b ON f.ck = b.ck GROUP BY v").collect()
+      }
+      assert(e1.getMessage.contains("keyed on exactly its join key"))
+      val e2 = intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.sql(spark,
+          s"CREATE GRAFT MATERIALIZED VIEW graft.`$root/m3` AS " +
+          s"SELECT seg, sum(cents) AS sc, sum(c.ck) AS s2, count(*) AS n " +
+          s"FROM graft.`$d1` c JOIN graft.`$fact` f ON f.ck = c.ck GROUP BY seg").collect()
+      }
+      assert(e2.getMessage.toLowerCase.contains("measure"))
+    } finally GraftMvRewrite.unregisterJoin(mv)
+  }
+
   test("MATERIALIZED VIEW lifecycle: CREATE bootstraps+rewrites, REFRESH folds missed commits, loud rejections") {
     import graft.plans.GraftMvRewrite
     val root = graft.Tmp.dir("sql_mv")

@@ -318,6 +318,49 @@ class MvRewriteSpec extends SparkSpecBase {
     } finally GraftMvRewrite.unregister(base)
   }
 
+  test("FILTERED MV over a PARTITIONED base: per-branch pushed filters match canonically; maintenance rides the partitioned feed") {
+    import graft.merge.PartitionedTable
+    val root = Tmp.dir("mv_part_filt")
+    val base = root + "/base"; val mv = root + "/mv"
+    def fact(months: Seq[String], bump: Long = 0): org.apache.spark.sql.DataFrame =
+      months.flatMap(m => (0 until 8).map(i =>
+        (m, s"$m#$i".hashCode.toLong & 0xffffff, (i + 1) * 100L + bump)))
+        .toDF("month", "id", "cents").dropDuplicates("month", "id")
+    PartitionedTable.upsert(spark, base, fact(Seq("2024-01", "2024-02")),
+      Seq("month", "id"), "month", numBuckets = 2, retainVersions = 4)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS " +
+        s"SELECT month, sum(cents) AS sc, count(*) AS n " +
+        s"FROM graft.`$base` WHERE cents > 300 GROUP BY month").collect()
+      // the filter pushes into EVERY union branch of the partitioned
+      // read; the canonical per-branch condition matches the MV's
+      def q = PartitionedTable.readTable(spark, base)
+        .filter($"cents" > 300).groupBy($"month")
+        .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+      assert(readsOnly(q, mv),
+        s"filtered union-of-scans must rewrite: ${scanPaths(q)}")
+      // the unfiltered query must NOT use the filtered MV
+      assert(readsOnly(PartitionedTable.readTable(spark, base)
+        .groupBy($"month").agg(sum($"cents").as("sc")), base))
+      // boundary-crossing wave through the PARTITIONED feed: bump
+      // crosses rows over 300 in one month, a new month arrives
+      PartitionedTable.upsert(spark, base,
+        fact(Seq("2024-02"), bump = 250).unionByName(fact(Seq("2024-03"))),
+        Seq("month", "id"), "month", retainVersions = 4)
+      assert(readsOnly(q, base))
+      graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").collect()
+      assert(readsOnly(q, mv))
+      GraftMvRewrite.unregister(base)
+      assertSameRows(q.orderBy("month"),
+        PartitionedTable.readTable(spark, base).filter($"cents" > 300)
+          .groupBy($"month")
+          .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+          .orderBy("month"))
+    } finally GraftMvRewrite.unregister(base)
+  }
+
   test("several MVs per base: each query lowers onto an MV whose groups cover it") {
     val (base, mv, _) = fixture()
     val mv2 = base.stripSuffix("/base") + "/mv_by_p"
@@ -395,6 +438,59 @@ class MvRewriteSpec extends SparkSpecBase {
       assert(!readsOnly(f.filter($"cents" > 100).join(d, "ck")
         .groupBy($"seg").agg(sum($"cents").as("sc")), mv))
     } finally GraftMvRewrite.unregisterJoin(mv)
+  }
+
+  test("MIN/MAX MV: inserts fold O(delta); deleting the stored extreme recomputes only that group; rewrite + roll-up answer from the MV") {
+    val root = Tmp.dir("mv_minmax")
+    val base = root + "/base"; val mv = root + "/mv"
+    val rows = (1L to 300L).map(i => (i, s"g${i % 5}", i * 10))
+      .toDF("id", "g", "cents")
+    Scd1Merge.upsert(spark, base, rows, Seq("id"), numBuckets = 2,
+      retainVersions = 6)
+    val spec = AggSpec(Seq("g"), Seq("cents" -> "sum_cents"), "n",
+      mins = Seq("cents" -> "min_cents"), maxs = Seq("cents" -> "max_cents"))
+    IncrementalAgg.bootstrapFrom(spark, mv, base, spec, numBuckets = 2)
+    GraftMvRewrite.register(base, mv, spec)
+    def recompute = Scd1Merge.readTable(spark, base).groupBy($"g")
+      .agg(sum($"cents").as("sc"), min($"cents").as("mn"),
+        max($"cents").as("mx"), count(lit(1)).as("n"))
+    def q = Scd1Merge.readTable(spark, base).groupBy($"g")
+      .agg(sum($"cents").as("sc"), min($"cents").as("mn"),
+        max($"cents").as("mx"), count(lit(1)).as("n"))
+    try {
+      assert(readsOnly(q, mv), s"min/max MV must answer: ${scanPaths(q)}")
+      assertSameRows(q.orderBy("g"), recompute.orderBy("g"))
+      // lifecycle hitting every extreme leg: delete g0's MAXIMUM (id
+      // 300, cents 3000 — forces a recompute), insert a new global
+      // MINIMUM into g1 (pure fold), update g2's max row DOWNWARD
+      // (retraction at the stored max — recompute), plain mid-range
+      // inserts (no flags)
+      Scd1Merge.delete(spark, base, Seq("id"), $"id" === 300L,
+        retainVersions = 6)
+      Scd1Merge.upsert(spark, base, Seq(
+        (901L, "g1", 1L),       // new global min: fold leg
+        (902L, "g3", 1500L),    // mid-range: no flag
+        (299L, "g4", 100L)      // was 2990 = g4 max: downward update
+      ).toDF("id", "g", "cents"), Seq("id"), retainVersions = 6)
+      IncrementalAgg.applyChanges(spark, mv, base, Seq("id"), spec,
+        fromBack = 2)
+      assert(readsOnly(q, mv), "refreshed min/max MV must answer again")
+      assertSameRows(q.orderBy("g"), recompute.orderBy("g"))
+      // roll-up: global min/max re-aggregate from the MV (idempotent)
+      val roll = Scd1Merge.readTable(spark, base)
+        .agg(min($"cents").as("mn"), max($"cents").as("mx"))
+      assert(readsOnly(roll, mv))
+      GraftMvRewrite.unregister(base)
+      assertSameRows(roll, Scd1Merge.readTable(spark, base)
+        .agg(min($"cents").as("mn"), max($"cents").as("mx")))
+      GraftMvRewrite.register(base, mv, spec)
+      // a group emptied entirely tombstones away
+      Scd1Merge.delete(spark, base, Seq("id"), $"g" === "g0",
+        retainVersions = 6)
+      IncrementalAgg.applyChanges(spark, mv, base, Seq("id"), spec)
+      assert(Scd1Merge.readTable(spark, mv).filter($"g" === "g0").isEmpty)
+      assertSameRows(q.orderBy("g"), recompute.orderBy("g"))
+    } finally GraftMvRewrite.unregister(base)
   }
 
   test("STAR MV (2 dims): dashboard aggregate + roll-up rewrite; commits on all three sides fold in ONE refresh; soundness") {
