@@ -108,6 +108,32 @@ object IncrementalJoinAgg {
   private def starStamp(cf: Int, cds: Seq[Int]): String =
     f"fact@$cf%09d" + cds.map(c => f",dim@$c%09d").mkString
 
+  // ---- the star FACT may be FLAT or PARTITIONED (the 100 TB fact's
+  // actual layout): commit = parent commit, feed = per-partition
+  // child diffs, snapshot reads resolve through the parent pin set.
+  // Dims stay flat — they are dimension-sized SCD1 tables by contract.
+
+  private def factPartitioned(path: String): Boolean =
+    graft.merge.PartitionedTable.tableExists(path)
+
+  private def factCommitOf(path: String, op: String): Int =
+    (if (factPartitioned(path))
+       graft.merge.PartitionedTable.tableCommit(path)
+     else Scd1Merge.tableCommit(path)).getOrElse(
+      throw new IllegalStateException(s"$op: $path has no manifest"))
+
+  private def factReadAt(spark: SparkSession, path: String,
+                         back: Int): DataFrame =
+    if (factPartitioned(path))
+      graft.merge.PartitionedTable.readTableAt(spark, path, back)
+    else Scd1Merge.readTableAt(spark, path, back)
+
+  private def factChanges(spark: SparkSession, path: String,
+                          keys: Seq[String], from: Int, to: Int): DataFrame =
+    if (factPartitioned(path))
+      graft.merge.PartitionedTable.readChanges(spark, path, from, to)
+    else Scd1Merge.readChanges(spark, path, keys, from, to)
+
   /** Initial build over the CURRENT star join, stamped with every
     * side's commit. Dims join in order on `fk = dk`; group columns
     * resolve on whichever side carries them. */
@@ -115,10 +141,10 @@ object IncrementalJoinAgg {
                     factPath: String, dims: Seq[MvDef.JoinSrc],
                     spec: AggSpec, numBuckets: Int = 0): Unit = {
     require(dims.nonEmpty, "bootstrapStar: at least one dim")
-    val cf = commitOf(factPath, "bootstrapStar")
+    val cf = factCommitOf(factPath, "bootstrapStar")
     val cds = dims.map(d => commitOf(d.dimPath, "bootstrapStar"))
     val joined = dims.zipWithIndex.foldLeft(
-      Scd1Merge.readTable(spark, factPath).as("f"): DataFrame) {
+      factReadAt(spark, factPath, 0).as("f"): DataFrame) {
       case (acc, (d, i)) =>
         acc.join(broadcast(Scd1Merge.readTable(spark, d.dimPath).as(s"d$i")),
           col(s"f.${d.fk}") === col(s"d$i.${d.dk}"))
@@ -169,7 +195,7 @@ object IncrementalJoinAgg {
     require(seen.size == dims.size + 1,
       s"refreshStar: stamp '$stamp' has ${seen.size} sides, " +
       s"expected ${dims.size + 1} (fact + ${dims.size} dims)")
-    val cur = commitOf(factPath, "refreshStar") +:
+    val cur = factCommitOf(factPath, "refreshStar") +:
       dims.map(d => commitOf(d.dimPath, "refreshStar"))
     val lags = cur.zip(seen).map { case (c, s) => math.max(0, c - s) }
     if (lags.forall(_ == 0)) return lags
@@ -189,11 +215,11 @@ object IncrementalJoinAgg {
     require(dims.size == dimLags.size, "one lag per dim")
     require(factLag > 0 || dimLags.exists(_ > 0),
       "applyStarChanges: no delta on any side")
-    val cf = commitOf(factPath, "applyStarChanges")
+    val cf = factCommitOf(factPath, "applyStarChanges")
     val cds = dims.map(d => commitOf(d.dimPath, "applyStarChanges"))
-    val factOld = Scd1Merge.readTableAt(spark, factPath, factLag)
+    val factOld = factReadAt(spark, factPath, factLag)
     val factDelta = if (factLag > 0)
-      Some(Scd1Merge.readChanges(spark, factPath, factKeys, factLag, 0))
+      Some(factChanges(spark, factPath, factKeys, factLag, 0))
     else None
     val dimOld = dims.zip(dimLags).map { case (d, l) =>
       Scd1Merge.readTableAt(spark, d.dimPath, l) }

@@ -128,6 +128,14 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
   def registerJoin(reg: JoinMvReg): Unit = joinRegistry.put(reg.mvPath, reg)
   def unregisterJoin(mvPath: String): Unit = { joinRegistry.remove(mvPath); () }
 
+  /** Every MV path armed in THIS session (both kinds) — `SHOW
+    * MATERIALIZED VIEWS` unions this with the persisted catalog. */
+  def registeredMvPaths: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    (registry.values.asScala.map(_.mvPath) ++
+      joinRegistry.values.asScala.map(_.mvPath)).toSeq.distinct
+  }
+
   /** Scheme-tolerant "file lives under dir" — a real PREFIX match
     * (`/a/b-extra/f` is NOT under `/a/b`), unlike a substring
     * `contains` which a suffix-named sibling table could satisfy.
@@ -417,12 +425,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, IsNotNull}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     import org.apache.spark.sql.catalyst.plans.Inner
-    // one leaf: Project(attrs)/Filter(IsNotNull(key) [AND …]) chain
-    // down to a single parquet scan; keeps the side ROOT for
-    // outputSet membership checks
+    // one leaf: Project(attrs)/Filter(IsNotNull(key) [AND …]) chains
+    // down to a single parquet scan — or a UNION of such chains,
+    // which is exactly a PARTITIONED fact read (one child scan per
+    // partition, unioned by name). Keeps the side ROOT for outputSet
+    // membership checks.
     final case class Leaf(root: LogicalPlan, files: Seq[String])
     def leaf(p: LogicalPlan): Option[(Leaf, Seq[AttributeReference])] = {
-      var cur = p
       var notNull = Seq.empty[AttributeReference]
       def conjuncts(e: Expression): Option[Seq[AttributeReference]] = e match {
         case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
@@ -430,24 +439,25 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         case IsNotNull(a: AttributeReference) => Some(Seq(a))
         case _ => None
       }
-      var done = false
-      while (!done) cur match {
+      def filesOf(q: LogicalPlan): Option[Seq[String]] = q match {
         case Project(items, child)
-            if items.forall(_.isInstanceOf[AttributeReference]) => cur = child
+            if items.forall(_.isInstanceOf[AttributeReference]) =>
+          filesOf(child)
         case Filter(cond, child) => conjuncts(cond) match {
-          case Some(as) => notNull ++= as; cur = child
-          case None => return None
+          case Some(as) => notNull ++= as; filesOf(child)
+          case None => None
         }
-        case _ => done = true
-      }
-      cur match {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+          val kids = u.children.map(filesOf)
+          if (kids.exists(_.isEmpty)) None else Some(kids.flatten.flatten)
         case lr: LogicalRelation => lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            Some((Leaf(p, fs.location.inputFiles.toSeq), notNull))
+            Some(fs.location.inputFiles.toSeq)
           case _ => None
         }
         case _ => None
       }
+      filesOf(p).map(fs => (Leaf(p, fs), notNull))
     }
     // flatten the inner-join tree: leaves + attr=attr conjuncts
     def eqConjuncts(e: Expression): Option[Seq[EqualTo]] = {
@@ -526,16 +536,23 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
     if (!groupsOk) return None
-    // SNAPSHOT every side + the all-sides FRESHNESS stamp
+    // SNAPSHOT every side + the all-sides FRESHNESS stamp (the fact
+    // may be PARTITIONED: parent commit, pin-set-resolved snapshot)
     val spark = SparkSession.active
-    val cf = Scd1Merge.tableCommit(reg.factPath).getOrElse(return None)
+    val factPart = graft.merge.PartitionedTable.tableExists(reg.factPath)
+    val cf = (if (factPart)
+        graft.merge.PartitionedTable.tableCommit(reg.factPath)
+      else Scd1Merge.tableCommit(reg.factPath)).getOrElse(return None)
     val cds = reg.dims.map(d =>
       Scd1Merge.tableCommit(d.dimPath).getOrElse(return None))
     val wantStamp = f"fact@$cf%09d" +
       cds.map(c => f",dim@$c%09d").mkString
     if (!Scd1Merge.tableBatchId(reg.mvPath).contains(wantStamp)) return None
     if (factLeaf.files.toSet !=
-        Scd1Merge.readTable(spark, reg.factPath).inputFiles.toSet) return None
+        (if (factPart)
+           graft.merge.PartitionedTable.readTable(spark, reg.factPath)
+         else Scd1Merge.readTable(spark, reg.factPath))
+          .inputFiles.toSet) return None
     if (reg.dims.indices.exists(i => dimLeaves(i).files.toSet !=
         Scd1Merge.readTable(spark, reg.dims(i).dimPath).inputFiles.toSet))
       return None

@@ -1136,6 +1136,97 @@ object QueriesPipeline {
       out
     }),
 
+    "pipe25_partitioned_star_mv" -> ((s, dir) => {
+      // STAR MV OVER A PARTITIONED FACT — the actual 100 TB
+      // composition: the fact is month-partitioned (routed merges,
+      // path-pruned reads), the dashboard star aggregate over
+      // fact ⋈ customer ⋈ priority is maintained by the telescoped
+      // delta riding the PARTITIONED change feed (per-partition child
+      // diffs — a month-B ingest + month-A correction is ONE parent
+      // commit whose feed reads only those two months), and the
+      // transparent rewrite matches the UNION-of-child-scans fact
+      // leaf inside the join tree. Dims stay flat (dimension-sized
+      // SCD1 — enforced loudly). In-row requires pin the routing
+      // (fresh→MV through the union leaf, any-side lag→real join,
+      // refreshed→MV) and the refresh accounting; the oracle
+      // recomputes from all three tables' final content.
+      import graft.merge.PartitionedTable
+      import graft.pipeline.MvDef
+      val root = tmpDir("graft_psmv")
+      val factT = root + "/fact"; val d1T = root + "/cust"
+      val d2T = root + "/pri"; val mvT = root + "/mv"
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+        col("o_custkey"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("o_month").between("1995-01", "1995-06"))
+      val keys = Seq("o_month", "o_orderkey")
+      PartitionedTable.upsert(s, factT,
+        o.filter(col("o_month") <= "1995-05"), keys, "o_month",
+        numBuckets = 2, retainVersions = 4)
+      Scd1Merge.upsert(s, d1T, table(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment").as("seg")),
+        Seq("c_custkey"), numBuckets = 4, retainVersions = 4)
+      Scd1Merge.upsert(s, d2T, table(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri")).distinct()
+        .withColumn("band", substring(col("pri"), 1, 1)),
+        Seq("pri"), numBuckets = 1, retainVersions = 4)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvT` BUCKETS 4 AS
+           |SELECT seg, band, sum(cents) AS sum_cents,
+           |  count(*) AS n_orders
+           |FROM graft.`$factT` f
+           |JOIN graft.`$d1T` c ON f.o_custkey = c.c_custkey
+           |JOIN graft.`$d2T` p ON f.pri = p.pri
+           |GROUP BY seg, band""".stripMargin)
+      require(MvDef.read(mvT).exists(d =>
+        d.basePath == factT && d.joins.size == 2),
+        "SQL star CREATE must persist the partitioned fact + 2 dims")
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def q(): DataFrame =
+        PartitionedTable.readTable(s, factT).as("f")
+          .join(Scd1Merge.readTable(s, d1T).as("c"),
+            col("f.o_custkey") === col("c.c_custkey"))
+          .join(Scd1Merge.readTable(s, d2T).as("p"),
+            col("f.pri") === col("p.pri"))
+          .groupBy(col("seg"), col("band"))
+          .agg(sum(col("cents")).as("sum_cents"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("seg"), col("band"))
+      require(scansOf(q()).forall(_.contains(mvT + "/")),
+        "fresh star MV must answer through the union-of-scans fact leaf")
+      // the wave: ONE parent commit carrying a month-B ingest + a
+      // correction into loaded months, plus a dim-1 segment move
+      PartitionedTable.upsert(s, factT,
+        o.filter(col("o_month") === "1995-06").unionByName(
+          o.filter(col("o_month") <= "1995-05" &&
+            pmod(col("o_orderkey"), lit(11)) === 0)
+            .withColumn("cents", col("cents") + 7L)),
+        keys, "o_month", retainVersions = 4)
+      Scd1Merge.upsert(s, d1T,
+        table(s, dir, "customer")
+          .filter(pmod(col("c_custkey"), lit(6)) === 0)
+          .select(col("c_custkey"), lit("MOVED").as("seg")),
+        Seq("c_custkey"), retainVersions = 4)
+      require(scansOf(q()).exists(_.contains(factT + "/")),
+        "a lagging star MV must route to the real join")
+      val r = graft.sql.GraftSql.sql(s,
+        s"REFRESH MATERIALIZED VIEW graft.`$mvT`").collect().head
+      require(r.getLong(1) == 2L, s"refresh must fold fact+dim lags: $r")
+      val out = q()
+      require(scansOf(out).forall(_.contains(mvT + "/")),
+        "the refreshed star MV must answer again")
+      out
+    }),
+
     "pipe24_minmax_mv" -> ((s, dir) => {
       // MIN/MAX MV — the non-abelian aggregates every dashboard wants
       // next to its sums: maintenance is TWO-SPEED (IncrementalAgg):
@@ -1659,6 +1750,28 @@ object QueriesPipeline {
          |FROM f JOIN p ON l_partkey = p_partkey
          |       JOIN s ON l_suppkey = s_suppkey
          |GROUP BY brand, nation ORDER BY brand, nation""".stripMargin,
+    "pipe25_partitioned_star_mv" ->
+      """WITH f AS (
+         |  SELECT o_custkey, o_orderpriority AS pri,
+         |    CAST(round(o_totalprice * 100) AS BIGINT)
+         |      + CASE WHEN o_orderkey % 11 = 0
+         |             AND strftime(o_orderdate, '%Y-%m') <= '1995-05'
+         |             THEN 7 ELSE 0 END AS cents
+         |  FROM orders
+         |  WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-06'),
+         |c AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN c_custkey % 6 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+         |  FROM customer),
+         |p AS (
+         |  SELECT DISTINCT o_orderpriority AS pri,
+         |    substr(o_orderpriority, 1, 1) AS band
+         |  FROM orders)
+         |SELECT seg, band, sum(cents)::BIGINT AS sum_cents,
+         |  count(*) AS n_orders
+         |FROM f JOIN c ON o_custkey = c_custkey
+         |       JOIN p ON f.pri = p.pri
+         |GROUP BY seg, band ORDER BY seg, band""".stripMargin,
     "pipe24_minmax_mv" ->
       """WITH o AS (
          |  SELECT o_orderpriority AS pri,

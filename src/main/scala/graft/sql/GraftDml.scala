@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeRefer
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, TimestampType}
 
 /** SQL DML surface for graft tables — `MERGE INTO` / `UPDATE` /
   * `DELETE` statements routed onto the [[Scd1Merge]] engine, closing
@@ -249,6 +249,8 @@ object GraftDml {
   private val RefreshMvRe =
     ("""(?is)^\s*REFRESH\s+(?:GRAFT\s+)?MATERIALIZED\s+VIEW\s+""" +
      """(\S+|graft\s*\.\s*`[^`]*`)\s*;?\s*$""").r
+  private val ShowMvsRe =
+    """(?is)^\s*SHOW\s+(?:GRAFT\s+)?MATERIALIZED\s+VIEWS\s*;?\s*$""".r
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+(\S+|graft\s*\.\s*`[^`]*`)\s+FROM\s+'([^']+)'""" +
      """\s+FILEFORMAT\s*=\s*([A-Za-z]+)""" +
@@ -319,6 +321,7 @@ object GraftDml {
           Option(buckets).map(_.toInt).getOrElse(0), select.trim))
       case RefreshMvRe(tok) =>
         parseTableToken(tok).map(GraftRefreshMvCommand)
+      case ShowMvsRe() => Some(GraftShowMvsCommand())
       case CopyIntoRe(tok, src, fmt, pattern, fopts) =>
         parseTableToken(tok).map { p =>
           val opts = Option(fopts).toSeq.flatMap(
@@ -821,9 +824,9 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
     def bad(why: String): Nothing =
       throw new IllegalArgumentException(s"CREATE GRAFT MATERIALIZED VIEW: $why")
     refs.foreach { p =>
-      if (!Scd1Merge.tableExists(p)) bad(
-        s"join-MV input $p is not a flat graft table (partitioned star " +
-        "facts are not yet maintainable — flatten or use the API)")
+      if (!Scd1Merge.tableExists(p) &&
+          !graft.merge.PartitionedTable.tableExists(p))
+        bad(s"join-MV input $p is not a graft table")
     }
     val agg = GraftSql.sql(spark, selectSql).queryExecution.analyzed match {
       case a: Aggregate => a
@@ -912,8 +915,11 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       measureAttrs.forall(l.outputSet.contains)).getOrElse(
       bad("every summed measure must come from ONE table (the fact)"))
     val factPath = leafPath(factLeaf)
-    val factKeys = Scd1Merge.tableKeys(factPath).filter(_.nonEmpty)
-      .getOrElse(bad(s"fact $factPath records no merge keys"))
+    val factKeys =
+      (if (graft.merge.PartitionedTable.tableExists(factPath))
+         graft.merge.PartitionedTable.tableKeys(factPath)
+       else Scd1Merge.tableKeys(factPath)).filter(_.nonEmpty)
+        .getOrElse(bad(s"fact $factPath records no merge keys"))
     // each condition pairs the fact with one dim
     val dims = conds.map { case (a, b) =>
       val (fkAttr, dkAttr) =
@@ -925,6 +931,9 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
         l.outputSet.contains(dkAttr)).getOrElse(
         bad(s"join key ${dkAttr.name} resolves on no dim table"))
       val dimPath = leafPath(dimLeaf)
+      if (graft.merge.PartitionedTable.tableExists(dimPath))
+        bad(s"dim $dimPath is partitioned — dims are dimension-sized " +
+          "flat SCD1 tables (the fact may be partitioned)")
       val dimKeys = Scd1Merge.tableKeys(dimPath).filter(_.nonEmpty)
         .getOrElse(bad(s"dim $dimPath records no merge keys"))
       if (dimKeys.map(_.toLowerCase) != Seq(dkAttr.name.toLowerCase))
@@ -949,6 +958,52 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
   * MV current AND trusted. Returns (base_commit, commits_applied).
   * A base vacuumed past the MV's stamp fails loudly (readChanges'
   * retention error): recreate the MV, the feed is gone. */
+/** `SHOW MATERIALIZED VIEWS` — the persisted catalog's MV inventory
+  * with LIVE freshness: one row per cataloged MV (mv path, base,
+  * kind, group columns, current stamp, every input's current commit,
+  * and whether the stamp matches — i.e. whether a matching query
+  * would rewrite RIGHT NOW). Driver-metadata only: definitions and
+  * stamps are sidecar files, commits are manifest headers. */
+case class GraftShowMvsCommand()
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mv", StringType, nullable = false)(),
+    AttributeReference("base", StringType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("group_cols", StringType, nullable = false)(),
+    AttributeReference("stamp", StringType, nullable = true)(),
+    AttributeReference("inputs_at", StringType, nullable = false)(),
+    AttributeReference("fresh", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.pipeline.MvDef
+    def commitOf(p: String): Option[Int] =
+      if (graft.merge.PartitionedTable.tableExists(p))
+        graft.merge.PartitionedTable.tableCommit(p)
+      else Scd1Merge.tableCommit(p)
+    (GraftCatalog.basesWithMvs.toSeq.flatMap(GraftCatalog.mvsOver) ++
+      graft.plans.GraftMvRewrite.registeredMvPaths)
+      .distinct.sorted.flatMap { mvPath =>
+        MvDef.read(mvPath).map { d =>
+          val stamp = Scd1Merge.tableBatchId(mvPath)
+          val want =
+            if (d.joins.isEmpty)
+              commitOf(d.basePath).map(c => f"base-commit-$c%09d")
+            else for {
+              cf <- commitOf(d.basePath)
+              cds <- Some(d.joins.map(j => commitOf(j.dimPath)))
+              if cds.forall(_.isDefined)
+            } yield f"fact@$cf%09d" +
+              cds.flatten.map(c => f",dim@$c%09d").mkString
+          Row(mvPath, d.basePath,
+            if (d.joins.isEmpty) "aggregate" else s"star(${d.joins.size})",
+            d.spec.groupCols.mkString(","),
+            stamp.orNull, want.getOrElse("?"),
+            stamp.isDefined && stamp == want)
+        }
+      }
+  }
+}
+
 case class GraftRefreshMvCommand(path: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

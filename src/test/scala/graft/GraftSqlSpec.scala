@@ -731,6 +731,32 @@ class GraftSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("SHOW MATERIALIZED VIEWS: catalog inventory with live freshness") {
+    val root = graft.Tmp.dir("sql_show_mv")
+    val base = root + "/base"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, base,
+      (1L to 60L).map(i => (i, s"g${i % 3}", i)).toDF("k", "g", "cents"),
+      Seq("k"), numBuckets = 1, retainVersions = 4)
+    graft.sql.GraftSql.sql(spark,
+      s"CREATE GRAFT MATERIALIZED VIEW graft.`$mv` AS " +
+      s"SELECT g, sum(cents) AS sc, count(*) AS n " +
+      s"FROM graft.`$base` GROUP BY g").collect()
+    try {
+      def rowOf() = graft.sql.GraftSql.sql(spark, "SHOW MATERIALIZED VIEWS")
+        .filter($"mv" === mv).collect()
+      val r1 = rowOf()
+      assert(r1.length == 1 && r1.head.getString(1) == base &&
+        r1.head.getString(2) == "aggregate" && r1.head.getBoolean(6),
+        s"fresh MV must list fresh: ${r1.mkString}")
+      Scd1Merge.upsert(spark, base, Seq((1L, "g0", 5L)).toDF("k", "g", "cents"),
+        Seq("k"), retainVersions = 4)
+      assert(!rowOf().head.getBoolean(6), "a lagging MV must list stale")
+      graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").collect()
+      assert(rowOf().head.getBoolean(6), "REFRESH must restore freshness")
+    } finally graft.plans.GraftMvRewrite.unregister(base)
+  }
+
   test("STAR MV via SQL: CREATE over fact JOIN dim JOIN dim, rewrite + REFRESH + DROP; loud star rejections") {
     import graft.plans.GraftMvRewrite
     val root = graft.Tmp.dir("sql_star_mv")

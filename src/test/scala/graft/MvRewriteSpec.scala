@@ -561,6 +561,68 @@ class MvRewriteSpec extends SparkSpecBase {
     } finally GraftMvRewrite.unregisterJoin(mv)
   }
 
+  test("PARTITIONED star fact: union-of-scans fact leaf matches; feed-riding refresh folds a month ingest beside a dim move") {
+    import graft.merge.PartitionedTable
+    import graft.pipeline.{IncrementalJoinAgg, MvDef}
+    val root = Tmp.dir("mv_pstar")
+    val factT = root + "/fact"; val dimT = root + "/dim"; val mv = root + "/mv"
+    def fact(months: Seq[String], bump: Long = 0) =
+      months.flatMap(m => (0 until 10).map(i =>
+        (m, (s"$m#$i".hashCode.toLong & 0xffffff), i.toLong % 6 + 1,
+          (i + 1) * 100L + bump)))
+        .toDF("month", "id", "ck", "cents").dropDuplicates("month", "id")
+    PartitionedTable.upsert(spark, factT, fact(Seq("2024-01", "2024-02")),
+      Seq("month", "id"), "month", numBuckets = 2, retainVersions = 4)
+    Scd1Merge.upsert(spark, dimT,
+      (1L to 6L).map(c => (c, s"seg${c % 3}")).toDF("ck", "seg"),
+      Seq("ck"), numBuckets = 1, retainVersions = 4)
+    IncrementalJoinAgg.createMvStar(spark, mv, factT, Seq("month", "id"),
+      Seq(MvDef.JoinSrc(dimT, Seq("ck"), "ck", "ck")),
+      AggSpec(Seq("seg"), Seq("cents" -> "sc"), "n"), numBuckets = 2)
+    try {
+      def q = PartitionedTable.readTable(spark, factT)
+        .join(Scd1Merge.readTable(spark, dimT), "ck")
+        .groupBy($"seg").agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+      assert(readsOnly(q, mv),
+        s"partitioned fact leaf must match: ${scanPaths(q)}")
+      // ONE parent commit: new month + corrections into an old one;
+      // plus a dim segment move — one refresh folds both sides
+      PartitionedTable.upsert(spark, factT,
+        fact(Seq("2024-03")).unionByName(fact(Seq("2024-01"), bump = 3)),
+        Seq("month", "id"), "month", retainVersions = 4)
+      Scd1Merge.upsert(spark, dimT, Seq((2L, "segX")).toDF("ck", "seg"),
+        Seq("ck"), retainVersions = 4)
+      assert(!readsOnly(q, mv))
+      assert(IncrementalJoinAgg.refreshStar(spark, mv, factT,
+        Seq("month", "id"), MvDef.read(mv).get.joins,
+        MvDef.read(mv).get.spec) == Seq(1, 1))
+      val fresh = q
+      assert(readsOnly(fresh, mv))
+      GraftMvRewrite.unregisterJoin(mv)
+      assertSameRows(fresh.orderBy("seg"),
+        PartitionedTable.readTable(spark, factT)
+          .join(Scd1Merge.readTable(spark, dimT), "ck")
+          .groupBy($"seg").agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+          .orderBy("seg"))
+      // a partition DROP is a fact commit too: stale until refreshed
+      GraftMvRewrite.registerJoin(GraftMvRewrite.JoinMvReg(factT,
+        Seq(GraftMvRewrite.DimJoin(dimT, "ck", "ck")), mv,
+        MvDef.read(mv).get.spec))
+      PartitionedTable.dropPartitionsWhere(spark, factT, $"month" === "2024-01")
+      assert(!readsOnly(q, mv))
+      graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").collect()
+      val afterDrop = q
+      assert(readsOnly(afterDrop, mv))
+      GraftMvRewrite.unregisterJoin(mv)
+      assertSameRows(afterDrop.orderBy("seg"),
+        PartitionedTable.readTable(spark, factT)
+          .join(Scd1Merge.readTable(spark, dimT), "ck")
+          .groupBy($"seg").agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+          .orderBy("seg"))
+    } finally GraftMvRewrite.unregisterJoin(mv)
+  }
+
   test("rewrite survives parent operators: sort and HAVING keep the MV plan and the answer") {
     val (base, mv, _) = fixture()
     try {
