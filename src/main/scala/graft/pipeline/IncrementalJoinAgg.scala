@@ -134,6 +134,17 @@ object IncrementalJoinAgg {
       graft.merge.PartitionedTable.readChanges(spark, path, from, to)
     else Scd1Merge.readChanges(spark, path, keys, from, to)
 
+  /** A star spec's optional `filterSql` must reference FACT columns
+    * only: the predicate then commutes with every telescoped term
+    * (each signed row evaluates it independently — exactly the
+    * single-table filtered-MV algebra) AND can be applied to the fact
+    * side BEFORE the joins, so filtered-out mass never joins at all.
+    * A dim-column predicate would change which fact rows pass when
+    * the DIM row changes — rejected loudly at create. */
+  private def factFiltered(fact: DataFrame, spec: AggSpec): DataFrame =
+    spec.filterSql.map(f => fact.filter(
+      coalesce(expr(f).cast("boolean"), lit(false)))).getOrElse(fact)
+
   /** Initial build over the CURRENT star join, stamped with every
     * side's commit. Dims join in order on `fk = dk`; group columns
     * resolve on whichever side carries them. */
@@ -144,12 +155,15 @@ object IncrementalJoinAgg {
     val cf = factCommitOf(factPath, "bootstrapStar")
     val cds = dims.map(d => commitOf(d.dimPath, "bootstrapStar"))
     val joined = dims.zipWithIndex.foldLeft(
-      factReadAt(spark, factPath, 0).as("f"): DataFrame) {
+      factFiltered(factReadAt(spark, factPath, 0), spec).as("f"): DataFrame) {
       case (acc, (d, i)) =>
         acc.join(broadcast(Scd1Merge.readTable(spark, d.dimPath).as(s"d$i")),
           col(s"f.${d.fk}") === col(s"d$i.${d.dk}"))
     }
-    IncrementalAgg.bootstrap(spark, aggPath, joined, spec, numBuckets,
+    // the spec's filter already applied to the fact — bootstrap must
+    // not re-apply it against the joined frame's ambiguous columns
+    IncrementalAgg.bootstrap(spark, aggPath, joined,
+      spec.copy(filterSql = None), numBuckets,
       batchId = starStamp(cf, cds))
   }
 
@@ -160,10 +174,17 @@ object IncrementalJoinAgg {
                    factPath: String, factKeys: Seq[String],
                    dims: Seq[MvDef.JoinSrc], spec: AggSpec,
                    numBuckets: Int = 0): Unit = {
-    require(spec.filterSql.isEmpty && spec.groupExprs.isEmpty &&
-      spec.extremeCols.isEmpty,
-      "join MVs support plain sum/count specs only (no filter, group " +
-      "expressions, or min/max)")
+    require(spec.groupExprs.isEmpty && spec.extremeCols.isEmpty,
+      "join MVs support sum/count specs (an optional fact-column " +
+      "filter) — no group expressions or min/max")
+    // a filtered star's predicate must resolve on the FACT ALONE —
+    // the guarantee that it commutes with every telescoped term
+    spec.filterSql.foreach { f =>
+      try factReadAt(spark, factPath, 0).filter(f).queryExecution.analyzed
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"star MV filter '$f' must reference fact columns only: " +
+        e.getMessage) }
+    }
     bootstrapStar(spark, mvPath, factPath, dims, spec, numBuckets)
     MvDef.write(mvPath, MvDef.Def(factPath, factKeys, spec, dims))
     graft.plans.GraftMvRewrite.registerJoin(
@@ -217,9 +238,15 @@ object IncrementalJoinAgg {
       "applyStarChanges: no delta on any side")
     val cf = factCommitOf(factPath, "applyStarChanges")
     val cds = dims.map(d => commitOf(d.dimPath, "applyStarChanges"))
-    val factOld = factReadAt(spark, factPath, factLag)
+    // the star filter applies to BOTH fact legs row-by-row: a change
+    // row failing it contributes nothing (preimage and postimage drop
+    // together), a boundary-crossing update nets exactly the visible
+    // transition — the single-table filtered-MV algebra, commuting
+    // with the join because the predicate reads fact columns only
+    val factOld = factFiltered(factReadAt(spark, factPath, factLag), spec)
     val factDelta = if (factLag > 0)
-      Some(factChanges(spark, factPath, factKeys, factLag, 0))
+      Some(factFiltered(factChanges(spark, factPath, factKeys, factLag, 0),
+        spec))
     else None
     val dimOld = dims.zip(dimLags).map { case (d, l) =>
       Scd1Merge.readTableAt(spark, d.dimPath, l) }
@@ -261,9 +288,11 @@ object IncrementalJoinAgg {
         term(factOld, factIsDelta = false, sides, ct = s"d$i")
       }
     }
+    // the filter was applied to the fact legs above; the folded terms
+    // carry only (groups, measures, sign) — spec goes filterless
     IncrementalAgg.applyChangesFrame(spark, aggPath,
-      (factTerm ++ dimTerms).reduce(_ unionByName _), spec, numBuckets,
-      starStamp(cf, cds))
+      (factTerm ++ dimTerms).reduce(_ unionByName _),
+      spec.copy(filterSql = None), numBuckets, starStamp(cf, cds))
   }
 
   /** Fold every commit EITHER side has made since the MV's stamp —

@@ -425,39 +425,58 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, IsNotNull}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     import org.apache.spark.sql.catalyst.plans.Inner
-    // one leaf: Project(attrs)/Filter(IsNotNull(key) [AND …]) chains
-    // down to a single parquet scan — or a UNION of such chains,
-    // which is exactly a PARTITIONED fact read (one child scan per
-    // partition, unioned by name). Keeps the side ROOT for outputSet
-    // membership checks.
-    final case class Leaf(root: LogicalPlan, files: Seq[String])
+    // one leaf: Project(attrs)/Filter chains down to a single parquet
+    // scan — or a UNION of such chains, which is exactly a
+    // PARTITIONED fact read (one child scan per partition, unioned by
+    // name). Filter conjuncts split three ways, mirroring
+    // [[canonFilterSet]]: IsNotNull subsumed by a same-leaf
+    // comparison drops (the optimizer infers it), other IsNotNull
+    // attrs go to `notNull` (join-key inference — validated against
+    // the registered keys), and everything else becomes the leaf's
+    // canonical EXTRA set — which must match a registered filtered
+    // star's definition predicate, on the FACT leaf only. Keeps the
+    // side ROOT for outputSet membership checks. A UNION's branches
+    // must agree on the extra set (a pushed MV filter appears once
+    // per partition branch).
+    final case class Leaf(root: LogicalPlan, files: Seq[String],
+                          extra: Set[String])
     def leaf(p: LogicalPlan): Option[(Leaf, Seq[AttributeReference])] = {
       var notNull = Seq.empty[AttributeReference]
-      def conjuncts(e: Expression): Option[Seq[AttributeReference]] = e match {
-        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-          for (a <- conjuncts(l); b <- conjuncts(r)) yield a ++ b
-        case IsNotNull(a: AttributeReference) => Some(Seq(a))
-        case _ => None
+      def classify(cond: Expression): Set[String] = {
+        val cs = conjunctsOf(cond)
+        val compared: Set[String] = cs.flatMap {
+          case IsNotNull(_) => Nil
+          case other => other.references.toSeq.map(_.name.toLowerCase)
+        }.toSet
+        cs.flatMap {
+          case IsNotNull(a: AttributeReference) =>
+            if (compared(a.name.toLowerCase)) Nil
+            else { notNull :+= a; Nil }
+          case other => Seq(canonExprStr(other))
+        }.toSet
       }
-      def filesOf(q: LogicalPlan): Option[Seq[String]] = q match {
+      def walk(q: LogicalPlan): Option[(Seq[String], Set[String])] = q match {
         case Project(items, child)
             if items.forall(_.isInstanceOf[AttributeReference]) =>
-          filesOf(child)
-        case Filter(cond, child) => conjuncts(cond) match {
-          case Some(as) => notNull ++= as; filesOf(child)
-          case None => None
-        }
+          walk(child)
+        case Filter(cond, child) =>
+          walk(child).map { case (fs, ex) => (fs, ex ++ classify(cond)) }
         case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
-          val kids = u.children.map(filesOf)
-          if (kids.exists(_.isEmpty)) None else Some(kids.flatten.flatten)
+          val kids = u.children.map(walk)
+          if (kids.exists(_.isEmpty)) None
+          else {
+            val extras = kids.flatten.map(_._2).distinct
+            if (extras.size != 1) None // branches disagree on the filter
+            else Some((kids.flatten.flatMap(_._1), extras.head))
+          }
         case lr: LogicalRelation => lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            Some(fs.location.inputFiles.toSeq)
+            Some((fs.location.inputFiles.toSeq, Set.empty[String]))
           case _ => None
         }
         case _ => None
       }
-      filesOf(p).map(fs => (Leaf(p, fs), notNull))
+      walk(p).map { case (fs, ex) => (Leaf(p, fs, ex), notNull) }
     }
     // flatten the inner-join tree: leaves + attr=attr conjuncts
     def eqConjuncts(e: Expression): Option[Seq[EqualTo]] = {
@@ -507,8 +526,21 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         .flatMap(r => assign(r).map { case (f, ds) => (r, f, ds) })
         .headOption.getOrElse(return None)
     }
-    if (reg.spec.filterSql.nonEmpty || reg.spec.groupExprs.nonEmpty)
-      return None
+    if (reg.spec.groupExprs.nonEmpty) return None
+    // ---- FILTER gate: dim leaves carry NO predicate beyond the
+    // inferred join-key IsNotNulls; the FACT leaf's extra conjuncts
+    // must canonically equal the registered star's definition filter
+    // (resolved against the fact table through the SAME optimizer) —
+    // unfiltered query over unfiltered MV otherwise
+    if (dimLeaves.exists(_.extra.nonEmpty)) return None
+    val factFilterOk = (factLeaf.extra.isEmpty, reg.spec.filterSql) match {
+      case (true, None) => true
+      case (false, Some(rf)) =>
+        defFilterCanon(SparkSession.active, reg.factPath, rf)
+          .contains(factLeaf.extra)
+      case _ => false
+    }
+    if (!factFilterOk) return None
     // each condition is exactly one dim's (fk, dk) pair — one per
     // dim, none left over, attrs on their registered leaves
     def pairOf(eq: EqualTo): Seq[Int] = {

@@ -1136,6 +1136,91 @@ object QueriesPipeline {
       out
     }),
 
+    "pipe26_filtered_star_mv" -> ((s, dir) => {
+      // FILTERED STAR MV — the dashboard-filter shape over a join:
+      // `WHERE` on FACT columns bakes into the star MV (the predicate
+      // commutes with every telescoped delta term because it reads
+      // fact columns only — enforced loudly at CREATE; a dim-column
+      // predicate would change which fact rows pass when the DIM row
+      // changes). Maintenance evaluates it per signed change row
+      // (boundary crossings net exactly the visible transition) and
+      // applies it to the fact legs BEFORE the joins — filtered-out
+      // mass never joins. The rewrite matches the predicate ON THE
+      // FACT LEAF (where the optimizer pushes it), canonically
+      // against the definition; a different or missing predicate
+      // falls through. In-row requires pin routing; the oracle
+      // recomputes from the final content of both tables.
+      import graft.pipeline.MvDef
+      val root = tmpDir("graft_fsmv")
+      val factT = root + "/fact"; val dimT = root + "/part"
+      val mvT = root + "/mv"
+      val li = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_partkey")).as("l_partkey"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      Scd1Merge.upsert(s, factT, li, Seq("l_orderkey", "l_linenumber"),
+        numBuckets = 8, retainVersions = 4)
+      Scd1Merge.upsert(s, dimT, table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand").as("brand")),
+        Seq("p_partkey"), numBuckets = 4, retainVersions = 4)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvT` BUCKETS 4 AS
+           |SELECT brand, sum(cents) AS sum_cents, count(*) AS n_items
+           |FROM graft.`$factT` f
+           |JOIN graft.`$dimT` p ON f.l_partkey = p.p_partkey
+           |WHERE cents > 2000000 GROUP BY brand""".stripMargin)
+      require(MvDef.read(mvT).exists(_.spec.filterSql.nonEmpty),
+        "the star definition must persist the fact filter")
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def q(): DataFrame =
+        Scd1Merge.readTable(s, factT).filter(col("cents") > 2000000L).as("f")
+          .join(Scd1Merge.readTable(s, dimT).as("p"),
+            col("f.l_partkey") === col("p.p_partkey"))
+          .groupBy(col("brand"))
+          .agg(sum(col("cents")).as("sum_cents"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("brand"))
+      require(scansOf(q()).forall(_.contains(mvT + "/")),
+        "same-predicate star query must answer from the filtered MV")
+      // a DIFFERENT-predicate star query must fall through, always
+      val other = Scd1Merge.readTable(s, factT)
+        .filter(col("cents") > 10L).as("f")
+        .join(Scd1Merge.readTable(s, dimT).as("p"),
+          col("f.l_partkey") === col("p.p_partkey"))
+        .groupBy(col("brand")).agg(sum(col("cents")).as("sum_cents"))
+      require(!scansOf(other).forall(_.contains(mvT + "/")),
+        "a different predicate must never use the filtered star MV")
+      // boundary-crossing fact wave (corrections push rows across the
+      // threshold both ways) + a brand move, ONE refresh folds both
+      Scd1Merge.upsert(s, factT,
+        li.filter(pmod(col("l_orderkey"), lit(9)) === 0)
+          .withColumn("cents",
+            when(col("cents") > 2000000L, col("cents") - 1500000L)
+              .otherwise(col("cents") + 1500000L)),
+        Seq("l_orderkey", "l_linenumber"), retainVersions = 4)
+      Scd1Merge.upsert(s, dimT, table(s, dir, "part")
+        .filter(pmod(col("p_partkey"), lit(10)) === 0)
+        .select(col("p_partkey"), lit("BrandX").as("brand")),
+        Seq("p_partkey"), retainVersions = 4)
+      require(scansOf(q()).exists(_.contains(factT + "/")),
+        "a lagging filtered star MV must route to the real join")
+      val r = graft.sql.GraftSql.sql(s,
+        s"REFRESH MATERIALIZED VIEW graft.`$mvT`").collect().head
+      require(r.getLong(1) == 2L, s"refresh must fold fact+dim lags: $r")
+      val out = q()
+      require(scansOf(out).forall(_.contains(mvT + "/")),
+        "the refreshed filtered star MV must answer again")
+      out
+    }),
+
     "pipe25_partitioned_star_mv" -> ((s, dir) => {
       // STAR MV OVER A PARTITIONED FACT — the actual 100 TB
       // composition: the fact is month-partitioned (routed merges,
@@ -1750,6 +1835,27 @@ object QueriesPipeline {
          |FROM f JOIN p ON l_partkey = p_partkey
          |       JOIN s ON l_suppkey = s_suppkey
          |GROUP BY brand, nation ORDER BY brand, nation""".stripMargin,
+    "pipe26_filtered_star_mv" ->
+      """WITH f0 AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    min(l_partkey) AS l_partkey,
+         |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents0
+         |  FROM lineitem GROUP BY 1, 2),
+         |f AS (
+         |  SELECT l_partkey,
+         |    CASE WHEN l_orderkey % 9 = 0 THEN
+         |      (CASE WHEN cents0 > 2000000 THEN cents0 - 1500000
+         |            ELSE cents0 + 1500000 END)
+         |    ELSE cents0 END AS cents
+         |  FROM f0),
+         |p AS (
+         |  SELECT p_partkey,
+         |    CASE WHEN p_partkey % 10 = 0 THEN 'BrandX' ELSE p_brand END AS brand
+         |  FROM part)
+         |SELECT brand, sum(cents)::BIGINT AS sum_cents, count(*) AS n_items
+         |FROM f JOIN p ON l_partkey = p_partkey
+         |WHERE cents > 2000000
+         |GROUP BY brand ORDER BY brand""".stripMargin,
     "pipe25_partitioned_star_mv" ->
       """WITH f AS (
          |  SELECT o_custkey, o_orderpriority AS pri,

@@ -739,7 +739,9 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
           .Filter(cond, _) =>
         if (cond.exists(_.isInstanceOf[AggregateExpression]))
           bad("the WHERE predicate cannot contain aggregates")
-        Some(cond.sql)
+        Some(cond.transform {
+          case a: AttributeReference => a.withQualifier(Nil)
+        }.sql)
       case _ => None
     }
     // expression groups (`GROUP BY date_format(ts, 'yyyy-MM')`)
@@ -832,6 +834,22 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       case a: Aggregate => a
       case _ => bad("the AS query must be a plain GROUP BY aggregate")
     }
+    // an optional WHERE bakes in as a FACT-COLUMN filter (createMvStar
+    // validates it resolves on the fact alone — the condition that
+    // makes the predicate commute with every telescoped term)
+    var filterSql: Option[String] = None
+    val joinRoot = agg.child match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+        if (cond.exists(_.isInstanceOf[AggregateExpression]))
+          bad("the WHERE predicate cannot contain aggregates")
+        // drop table-alias qualifiers: the stored text re-resolves
+        // against the FACT TABLE alone (createMvStar's validation)
+        filterSql = Some(cond.transform {
+          case a: AttributeReference => a.withQualifier(Nil)
+        }.sql)
+        child
+      case other => other
+    }
     // flatten the analyzed join tree: leaves + one EqualTo per join
     var leaves = Vector.empty[LogicalPlan]
     var conds = Vector.empty[(AttributeReference, AttributeReference)]
@@ -851,7 +869,7 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
         flat(j.left); flat(j.right)
       case other => leaves :+= other
     }
-    flat(agg.child)
+    flat(joinRoot)
     if (leaves.size != refs.size || conds.size != refs.size - 1)
       bad(s"the AS query must be a star: one fact JOINed to " +
         s"${refs.size - 1} dim(s), one equi-condition each")
@@ -867,7 +885,9 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
             case _ => Nil
           }
       }.flatten
-      refs.find(p => files.nonEmpty &&
+      // longest match wins: a table nested under another ref's dir
+      // must attribute to the DEEPER path, never the umbrella
+      refs.sortBy(-_.length).find(p => files.nonEmpty &&
         files.forall(f => norm(f).startsWith(norm(p) + "/")))
         .getOrElse(bad("could not attribute a joined table's scan to a " +
           "graft table path"))
@@ -946,7 +966,7 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       bad("every joined table must be a dim of the fact (one join " +
         "condition per dim)")
     IncrementalJoinAgg.createMvStar(spark, path, factPath, factKeys,
-      dims, AggSpec(groupNames, sums, cn), numBuckets)
+      dims, AggSpec(groupNames, sums, cn, filterSql), numBuckets)
     Nil
   }
 }

@@ -561,6 +561,65 @@ class MvRewriteSpec extends SparkSpecBase {
     } finally GraftMvRewrite.unregisterJoin(mv)
   }
 
+  test("FILTERED STAR MV: fact-column WHERE bakes in via SQL; same-predicate star query rewrites; boundary crossings + dim move fold; dim-column filters reject") {
+    import graft.pipeline.MvDef
+    val root = Tmp.dir("mv_star_filt")
+    val factT = root + "/fact"; val dimT = root + "/dim"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, factT,
+      (1L to 300L).map(i => (i, i % 20 + 1, i * 10)).toDF("id", "ck", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 4)
+    Scd1Merge.upsert(spark, dimT,
+      (1L to 20L).map(c => (c, s"seg${c % 4}")).toDF("ck", "seg"),
+      Seq("ck"), numBuckets = 1, retainVersions = 4)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS
+           |SELECT seg, sum(cents) AS sc, count(*) AS n
+           |FROM graft.`$factT` f JOIN graft.`$dimT` d ON f.ck = d.ck
+           |WHERE cents > 1500 GROUP BY seg""".stripMargin).collect()
+      assert(MvDef.read(mv).exists(_.spec.filterSql.nonEmpty))
+      def f = Scd1Merge.readTable(spark, factT)
+      def d = Scd1Merge.readTable(spark, dimT)
+      def q = f.filter($"cents" > 1500).join(d, "ck").groupBy($"seg")
+        .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+      assert(readsOnly(q, mv),
+        s"same-predicate star query must rewrite: ${scanPaths(q)}")
+      // unfiltered and different-predicate star queries fall through
+      assert(!readsOnly(f.join(d, "ck").groupBy($"seg")
+        .agg(sum($"cents").as("sc")), mv))
+      assert(!readsOnly(f.filter($"cents" > 10).join(d, "ck")
+        .groupBy($"seg").agg(sum($"cents").as("sc")), mv))
+      // boundary-crossing fact wave + a dim segment move, ONE refresh
+      Scd1Merge.upsert(spark, factT, Seq(
+        (200L, 200L % 20 + 1, 100L),   // was 2000 (pass) -> fails
+        (100L, 100L % 20 + 1, 9000L),  // was 1000 (fail) -> passes
+        (901L, 3L, 8000L)              // new, passes
+      ).toDF("id", "ck", "cents"), Seq("id"), retainVersions = 4)
+      Scd1Merge.upsert(spark, dimT, Seq((3L, "segX")).toDF("ck", "seg"),
+        Seq("ck"), retainVersions = 4)
+      assert(!readsOnly(q, mv))
+      val rr = graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").as[(Long, Long)].head()
+      assert(rr._2 == 2L, rr.toString)
+      val fresh = q
+      assert(readsOnly(fresh, mv))
+      GraftMvRewrite.unregisterJoin(mv)
+      assertSameRows(fresh.orderBy("seg"),
+        f.filter($"cents" > 1500).join(d, "ck").groupBy($"seg")
+          .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+          .orderBy("seg"))
+      // a DIM-column predicate cannot bake into a star MV
+      val e = intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.sql(spark,
+          s"CREATE GRAFT MATERIALIZED VIEW graft.`$root/m2` AS " +
+          s"SELECT seg, sum(cents) AS sc, count(*) AS n " +
+          s"FROM graft.`$factT` f JOIN graft.`$dimT` d ON f.ck = d.ck " +
+          s"WHERE seg <> 'seg0' GROUP BY seg").collect()
+      }
+      assert(e.getMessage.contains("fact columns only"))
+    } finally GraftMvRewrite.unregisterJoin(mv)
+  }
+
   test("PARTITIONED star fact: union-of-scans fact leaf matches; feed-riding refresh folds a month ingest beside a dim move") {
     import graft.merge.PartitionedTable
     import graft.pipeline.{IncrementalJoinAgg, MvDef}
