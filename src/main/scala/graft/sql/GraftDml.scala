@@ -867,6 +867,14 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
             s"<fact-fk> = <dim-key> condition, got ${other.map(_.sql)}")
         }
         flat(j.left); flat(j.right)
+      // a filter INSIDE a joined subquery would be silently absent
+      // from the persisted definition (the MV would maintain the
+      // UNFILTERED join) — reject, the top-level WHERE is the one
+      // supported spelling
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        bad("filters inside joined subqueries are not supported — " +
+          "write the predicate as the statement's top-level WHERE " +
+          "(fact columns only)")
       case other => leaves :+= other
     }
     flat(joinRoot)

@@ -843,6 +843,16 @@ class GraftSqlSpec extends SparkSpecBase {
           s"FROM graft.`$d1` c JOIN graft.`$fact` f ON f.ck = c.ck GROUP BY seg").collect()
       }
       assert(e2.getMessage.toLowerCase.contains("measure"))
+      // a filter hidden inside a joined subquery would be absent from
+      // the persisted definition — rejected, never silently dropped
+      val e3 = intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.sql(spark,
+          s"CREATE GRAFT MATERIALIZED VIEW graft.`$root/m4` AS " +
+          s"SELECT seg, sum(cents) AS sc, count(*) AS n " +
+          s"FROM (SELECT * FROM graft.`$fact` WHERE cents > 10) f " +
+          s"JOIN graft.`$d1` c ON f.ck = c.ck GROUP BY seg").collect()
+      }
+      assert(e3.getMessage.contains("top-level WHERE"))
     } finally GraftMvRewrite.unregisterJoin(mv)
   }
 
