@@ -171,7 +171,13 @@ object IncrementalAgg {
                    numBuckets: Int = 0, batchId: String = "",
                    retainVersions: Int = Scd1Merge.DefaultRetainVersions,
                    rowFilter: org.apache.spark.sql.Column = lit(true)): Unit = {
-    val baseCommit = baseCommitOf(basePath) - toBack
+    // sample the live commit ONCE and resolve the window + recompute
+    // snapshot ABSOLUTELY against it — a base commit landing mid-call
+    // can never shift what the stamp claims was applied (the
+    // GraftSource offset-race posture)
+    val live = baseCommitOf(basePath)
+    val baseCommit = live - toBack
+    val fromCommit = live - fromBack
     val stamp = if (batchId.nonEmpty) batchId else f"base-commit-$baseCommit%09d"
     if (Scd1Merge.tableBatchId(aggPath).contains(stamp)) {
       // already applied — finish a possibly-interrupted tombstone sweep
@@ -179,15 +185,17 @@ object IncrementalAgg {
       return
     }
     val changes = (if (partitioned(basePath))
-        graft.merge.PartitionedTable.readChanges(spark, basePath, fromBack, toBack)
-      else Scd1Merge.readChanges(spark, basePath, baseKeys, fromBack, toBack))
+        graft.merge.PartitionedTable.readChangesAtCommits(spark, basePath,
+          fromCommit, baseCommit)
+      else Scd1Merge.readChangesAtCommits(spark, basePath, baseKeys,
+        fromCommit, baseCommit))
       .filter(rowFilter)
     // min/max: the recompute leg reads the base AT the consumed commit
     val extBase =
       if (spec.extremeCols.isEmpty) None
       else Some(if (partitioned(basePath))
-        graft.merge.PartitionedTable.readTableAt(spark, basePath, toBack)
-      else Scd1Merge.readTableAt(spark, basePath, toBack))
+        graft.merge.PartitionedTable.readTableAtCommit(spark, basePath, baseCommit)
+      else Scd1Merge.readTableAtCommit(spark, basePath, baseCommit))
     applyChangesFrame(spark, aggPath, changes, spec, numBuckets, stamp,
       retainVersions, extremesBase = extBase)
   }

@@ -128,11 +128,23 @@ object IncrementalJoinAgg {
       graft.merge.PartitionedTable.readTableAt(spark, path, back)
     else Scd1Merge.readTableAt(spark, path, back)
 
-  private def factChanges(spark: SparkSession, path: String,
-                          keys: Seq[String], from: Int, to: Int): DataFrame =
+  // ABSOLUTE-commit forms — maintenance resolves every snapshot and
+  // window against the commit NUMBERS captured once (the stamp's
+  // coordinates), so a commit landing mid-refresh can never shift
+  // what a stamp claims was applied (the GraftSource offset-race
+  // posture, applied to MV maintenance)
+
+  private def factAtCommit(spark: SparkSession, path: String,
+                           commit: Int): DataFrame =
     if (factPartitioned(path))
-      graft.merge.PartitionedTable.readChanges(spark, path, from, to)
-    else Scd1Merge.readChanges(spark, path, keys, from, to)
+      graft.merge.PartitionedTable.readTableAtCommit(spark, path, commit)
+    else Scd1Merge.readTableAtCommit(spark, path, commit)
+
+  private def factChangesAt(spark: SparkSession, path: String,
+                            keys: Seq[String], from: Int, to: Int): DataFrame =
+    if (factPartitioned(path))
+      graft.merge.PartitionedTable.readChangesAtCommits(spark, path, from, to)
+    else Scd1Merge.readChangesAtCommits(spark, path, keys, from, to)
 
   /** A star spec's optional `filterSql` must reference FACT columns
     * only: the predicate then commutes with every telescoped term
@@ -154,10 +166,15 @@ object IncrementalJoinAgg {
     require(dims.nonEmpty, "bootstrapStar: at least one dim")
     val cf = factCommitOf(factPath, "bootstrapStar")
     val cds = dims.map(d => commitOf(d.dimPath, "bootstrapStar"))
+    // every side read AT its captured commit — the stamp names
+    // exactly the snapshot the bootstrap aggregated, even under
+    // concurrent writers
     val joined = dims.zipWithIndex.foldLeft(
-      factFiltered(factReadAt(spark, factPath, 0), spec).as("f"): DataFrame) {
+      factFiltered(factAtCommit(spark, factPath, cf), spec)
+        .as("f"): DataFrame) {
       case (acc, (d, i)) =>
-        acc.join(broadcast(Scd1Merge.readTable(spark, d.dimPath).as(s"d$i")),
+        acc.join(broadcast(
+          Scd1Merge.readTableAtCommit(spark, d.dimPath, cds(i)).as(s"d$i")),
           col(s"f.${d.fk}") === col(s"d$i.${d.dk}"))
     }
     // the spec's filter already applied to the fact — bootstrap must
@@ -220,39 +237,52 @@ object IncrementalJoinAgg {
       dims.map(d => commitOf(d.dimPath, "refreshStar"))
     val lags = cur.zip(seen).map { case (c, s) => math.max(0, c - s) }
     if (lags.forall(_ == 0)) return lags
+    // ABSOLUTE windows from the commits captured above — commits
+    // landing from here on belong to the NEXT refresh, and the stamp
+    // names exactly what was applied
     applyStarChanges(spark, aggPath, factPath, factKeys, dims, spec,
-      factLag = lags.head, dimLags = lags.tail)
+      factWindow = (seen.head, math.max(seen.head, cur.head)),
+      dimWindows = seen.tail.zip(cur.tail).map { case (s, c) =>
+        (s, math.max(s, c)) })
     lags
   }
 
-  /** Apply one telescoped batch covering `factLag` fact commits and
-    * `dimLags(i)` commits of each dim. Stamped with the target
-    * (fact, dims…) commit vector, so a replay is a no-op. */
+  /** Apply one telescoped batch over ABSOLUTE commit windows — each
+    * side's `(seen, target)` pair; seen == target = that side did not
+    * change. Every snapshot and change window resolves against these
+    * pinned commit numbers (never "live"), and the batch stamps the
+    * target vector — so a replay is a no-op and a commit landing
+    * mid-call can never shift what the stamp claims. */
   def applyStarChanges(spark: SparkSession, aggPath: String,
                        factPath: String, factKeys: Seq[String],
                        dims: Seq[MvDef.JoinSrc], spec: AggSpec,
-                       factLag: Int, dimLags: Seq[Int],
+                       factWindow: (Int, Int),
+                       dimWindows: Seq[(Int, Int)],
                        numBuckets: Int = 0): Unit = {
-    require(dims.size == dimLags.size, "one lag per dim")
-    require(factLag > 0 || dimLags.exists(_ > 0),
+    require(dims.size == dimWindows.size, "one window per dim")
+    val (sf, cf) = factWindow
+    require(cf >= sf && dimWindows.forall(w => w._2 >= w._1),
+      "applyStarChanges: windows must not run backwards")
+    require(cf > sf || dimWindows.exists(w => w._2 > w._1),
       "applyStarChanges: no delta on any side")
-    val cf = factCommitOf(factPath, "applyStarChanges")
-    val cds = dims.map(d => commitOf(d.dimPath, "applyStarChanges"))
+    val cds = dimWindows.map(_._2)
     // the star filter applies to BOTH fact legs row-by-row: a change
     // row failing it contributes nothing (preimage and postimage drop
     // together), a boundary-crossing update nets exactly the visible
     // transition — the single-table filtered-MV algebra, commuting
     // with the join because the predicate reads fact columns only
-    val factOld = factFiltered(factReadAt(spark, factPath, factLag), spec)
-    val factDelta = if (factLag > 0)
-      Some(factFiltered(factChanges(spark, factPath, factKeys, factLag, 0),
-        spec))
+    val factOld = factFiltered(factAtCommit(spark, factPath, sf), spec)
+    val factDelta = if (cf > sf)
+      Some(factFiltered(
+        factChangesAt(spark, factPath, factKeys, sf, cf), spec))
     else None
-    val dimOld = dims.zip(dimLags).map { case (d, l) =>
-      Scd1Merge.readTableAt(spark, d.dimPath, l) }
-    val dimNew = dims.map(d => Scd1Merge.readTable(spark, d.dimPath))
-    val dimDelta = dims.zip(dimLags).map { case (d, l) =>
-      if (l > 0) Some(Scd1Merge.readChanges(spark, d.dimPath, d.dimKeys, l, 0))
+    val dimOld = dims.zip(dimWindows).map { case (d, (s, _)) =>
+      Scd1Merge.readTableAtCommit(spark, d.dimPath, s) }
+    val dimNew = dims.zip(dimWindows).map { case (d, (_, c)) =>
+      Scd1Merge.readTableAtCommit(spark, d.dimPath, c) }
+    val dimDelta = dims.zip(dimWindows).map { case (d, (s, c)) =>
+      if (c > s)
+        Some(Scd1Merge.readChangesAtCommits(spark, d.dimPath, d.dimKeys, s, c))
       else None }
     // which alias carries each group column (schemas are stable
     // across the lag window — evolution mid-window is out of scope)
@@ -305,21 +335,11 @@ object IncrementalJoinAgg {
               factPath: String, factKeys: Seq[String],
               dimPath: String, dimKeys: Seq[String],
               fk: String, dk: String, spec: AggSpec): (Int, Int) = {
-    val StampRe = """fact@(\d+),dim@(\d+)""".r
-    val (sf, sd) = Scd1Merge.tableBatchId(aggPath) match {
-      case Some(StampRe(a, b)) => (a.toInt, b.toInt)
-      case other => throw new IllegalStateException(
-        s"refresh: $aggPath carries no fact@F,dim@D stamp (got $other) — " +
-        "bootstrap it with bootstrapFrom")
-    }
-    val cf = commitOf(factPath, "refresh")
-    val cd = commitOf(dimPath, "refresh")
-    val fb = if (cf > sf) Some((cf - sf, 0)) else None
-    val db = if (cd > sd) Some((cd - sd, 0)) else None
-    if (fb.isEmpty && db.isEmpty) return (0, 0)
-    applyChanges(spark, aggPath, factPath, factKeys, dimPath, dimKeys,
-      fk, dk, spec, fb, db)
-    (cf - sf, cd - sd)
+    // delegate to the star form: same stamp format at one dim, and
+    // the absolute-commit windows close the mid-refresh commit race
+    val r = refreshStar(spark, aggPath, factPath, factKeys,
+      Seq(MvDef.JoinSrc(dimPath, dimKeys, fk, dk)), spec)
+    (r(0), r(1))
   }
 
   private def commitOf(p: String, op: String): Int =
