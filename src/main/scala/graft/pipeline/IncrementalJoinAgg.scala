@@ -152,10 +152,51 @@ object IncrementalJoinAgg {
     * single-table filtered-MV algebra) AND can be applied to the fact
     * side BEFORE the joins, so filtered-out mass never joins at all.
     * A dim-column predicate would change which fact rows pass when
-    * the DIM row changes — rejected loudly at create. */
-  private def factFiltered(fact: DataFrame, spec: AggSpec): DataFrame =
-    spec.filterSql.map(f => fact.filter(
-      coalesce(expr(f).cast("boolean"), lit(false)))).getOrElse(fact)
+    * the DIM row changes — rejected loudly at create (the SQL layer
+    * lowers a dim-attribute WHERE to "keep that dim's fk in the
+    * groups", so the predicate applies at REWRITE time instead).
+    *
+    * `groupExprs` likewise must be FACT-column expressions: derived
+    * here on the fact side BEFORE the joins, they ride every
+    * telescoped term like any other fact column (a dim-column
+    * expression would need deriving on each dim version — out of
+    * scope; group by the bare dim column instead). */
+  private def factPrepared(fact: DataFrame, spec: AggSpec): DataFrame = {
+    val derived = spec.groupExprs.toSeq.sortBy(_._1).foldLeft(fact) {
+      case (d, (out, sql)) => d.withColumn(out, expr(sql))
+    }
+    spec.filterSql.map(f => derived.filter(
+      coalesce(expr(f).cast("boolean"), lit(false)))).getOrElse(derived)
+  }
+
+  /** The spec the POST-JOIN layers see: the fact filter and the group
+    * expressions were already applied/derived on the fact side, so
+    * the downstream aggregation treats every group column as a plain
+    * column and never re-evaluates the predicate (the joined frame's
+    * columns would be ambiguous across sides). */
+  private def postJoinSpec(spec: AggSpec): AggSpec =
+    spec.copy(filterSql = None, groupExprs = Map.empty)
+
+  /** Every measure column the downstream fold needs, once each (a
+    * column may be both summed and min/maxed). */
+  private def starMeasureCols(spec: AggSpec): Seq[String] =
+    (spec.sums.map(_._1) ++ spec.mins.map(_._1) ++ spec.maxs.map(_._1))
+      .foldLeft(Vector.empty[String])((acc, m) =>
+        if (acc.exists(_.equalsIgnoreCase(m))) acc else acc :+ m)
+
+  /** Which join alias carries group column `c` — the fact wins a
+    * shared name (a dim-filtered MV keeps the fact-side JOIN KEY in
+    * its groups, which may share the dim key's name). The projection
+    * built from this is what keeps the joined frame unambiguous: the
+    * post-join aggregation only ever sees side-resolved columns. */
+  private def starSideOf(factCols: Set[String], dimCols: Seq[Set[String]],
+                         c: String): String =
+    if (factCols(c.toLowerCase)) "f"
+    else dimCols.indexWhere(_(c.toLowerCase)) match {
+      case -1 => throw new IllegalArgumentException(
+        s"star MV: group column '$c' is on no side")
+      case i => s"d$i"
+    }
 
   /** Initial build over the CURRENT star join, stamped with every
     * side's commit. Dims join in order on `fk = dk`; group columns
@@ -169,18 +210,26 @@ object IncrementalJoinAgg {
     // every side read AT its captured commit — the stamp names
     // exactly the snapshot the bootstrap aggregated, even under
     // concurrent writers
-    val joined = dims.zipWithIndex.foldLeft(
-      factFiltered(factAtCommit(spark, factPath, cf), spec)
-        .as("f"): DataFrame) {
+    val factF = factPrepared(factAtCommit(spark, factPath, cf), spec)
+    val dimFrames = dims.zipWithIndex.map { case (d, i) =>
+      Scd1Merge.readTableAtCommit(spark, d.dimPath, cds(i)) }
+    val joined = dims.zipWithIndex.foldLeft(factF.as("f"): DataFrame) {
       case (acc, (d, i)) =>
-        acc.join(broadcast(
-          Scd1Merge.readTableAtCommit(spark, d.dimPath, cds(i)).as(s"d$i")),
+        acc.join(broadcast(dimFrames(i).as(s"d$i")),
           col(s"f.${d.fk}") === col(s"d$i.${d.dk}"))
     }
-    // the spec's filter already applied to the fact — bootstrap must
-    // not re-apply it against the joined frame's ambiguous columns
-    IncrementalAgg.bootstrap(spark, aggPath, joined,
-      spec.copy(filterSql = None), numBuckets,
+    // filter + group expressions already applied on the fact side;
+    // the SIDE-RESOLVED projection keeps the aggregation unambiguous
+    // (a group column's name may exist on several sides — e.g. the
+    // fact join key a dim-filtered MV keeps in its groups) and prunes
+    // the join output to exactly (groups, measures)
+    val factCols = factF.columns.map(_.toLowerCase).toSet
+    val dimCols = dimFrames.map(_.columns.map(_.toLowerCase).toSet)
+    val projected = joined.select(
+      spec.groupCols.map(c => col(s"${starSideOf(factCols, dimCols, c)}.$c")) ++
+      starMeasureCols(spec).map(m => col(s"f.$m")): _*)
+    IncrementalAgg.bootstrap(spark, aggPath, projected,
+      postJoinSpec(spec), numBuckets,
       batchId = starStamp(cf, cds))
   }
 
@@ -191,16 +240,37 @@ object IncrementalJoinAgg {
                    factPath: String, factKeys: Seq[String],
                    dims: Seq[MvDef.JoinSrc], spec: AggSpec,
                    numBuckets: Int = 0): Unit = {
-    require(spec.groupExprs.isEmpty && spec.extremeCols.isEmpty,
-      "join MVs support sum/count specs (an optional fact-column " +
-      "filter) — no group expressions or min/max")
-    // a filtered star's predicate must resolve on the FACT ALONE —
-    // the guarantee that it commutes with every telescoped term
+    // the filter, every group EXPRESSION, and every min/max measure
+    // must resolve on the FACT ALONE — filters and expressions then
+    // commute with every telescoped term (both are evaluated on the
+    // fact side BEFORE the joins), and the extremes' flagged-group
+    // rescan reads fact measures off the re-joined view
+    val factFrame = factReadAt(spark, factPath, 0)
+    val factCols = factFrame.columns.map(_.toLowerCase).toSet
     spec.filterSql.foreach { f =>
-      try factReadAt(spark, factPath, 0).filter(f).queryExecution.analyzed
+      try factFrame.filter(f).queryExecution.analyzed
       catch { case e: Exception => throw new IllegalArgumentException(
         s"star MV filter '$f' must reference fact columns only: " +
         e.getMessage) }
+    }
+    spec.groupExprs.foreach { case (out, sql) =>
+      try factFrame.select(expr(sql).as(out)).queryExecution.analyzed
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"star MV group expression '$sql' must reference fact columns " +
+        s"only: ${e.getMessage}") }
+    }
+    (spec.mins ++ spec.maxs).foreach { case (m, out) =>
+      require(factCols(m.toLowerCase),
+        s"star MV extreme '$out' aggregates '$m', which is not a fact " +
+        "column — min/max measures live on the fact (the flagged-group " +
+        "rescan reads them off the re-joined view)")
+    }
+    // a measure sharing a group column's NAME would collide in the
+    // per-term projection (groups project from their side, measures
+    // from the fact) — reject the pathological shape loudly
+    (spec.sums ++ spec.mins ++ spec.maxs).map(_._1).foreach { m =>
+      require(!spec.groupCols.exists(_.equalsIgnoreCase(m)),
+        s"star MV measure '$m' collides with a group column name")
     }
     bootstrapStar(spark, mvPath, factPath, dims, spec, numBuckets)
     MvDef.write(mvPath, MvDef.Def(factPath, factKeys, spec, dims))
@@ -270,10 +340,12 @@ object IncrementalJoinAgg {
     // row failing it contributes nothing (preimage and postimage drop
     // together), a boundary-crossing update nets exactly the visible
     // transition — the single-table filtered-MV algebra, commuting
-    // with the join because the predicate reads fact columns only
-    val factOld = factFiltered(factAtCommit(spark, factPath, sf), spec)
+    // with the join because the predicate reads fact columns only.
+    // Group EXPRESSIONS derive on the same fact legs (fact-column
+    // expressions by contract — they ride every term like a column).
+    val factOld = factPrepared(factAtCommit(spark, factPath, sf), spec)
     val factDelta = if (cf > sf)
-      Some(factFiltered(
+      Some(factPrepared(
         factChangesAt(spark, factPath, factKeys, sf, cf), spec))
     else None
     val dimOld = dims.zip(dimWindows).map { case (d, (s, _)) =>
@@ -288,13 +360,10 @@ object IncrementalJoinAgg {
     // across the lag window — evolution mid-window is out of scope)
     val factCols = factOld.columns.map(_.toLowerCase).toSet
     val dimCols = dimOld.map(_.columns.map(_.toLowerCase).toSet)
-    def sideOf(c: String): String =
-      if (factCols(c.toLowerCase)) "f"
-      else dimCols.indexWhere(_(c.toLowerCase)) match {
-        case -1 => throw new IllegalArgumentException(
-          s"applyStarChanges: group column '$c' is on no side")
-        case i => s"d$i"
-      }
+    def sideOf(c: String): String = starSideOf(factCols, dimCols, c)
+    // every measure the fold needs, once each (a column may be both
+    // summed and min/maxed) — create rejects group-name collisions
+    val measureCols = starMeasureCols(spec)
     // one signed term: the delta side (alias `ct`) broadcast, every
     // dim broadcast, projected to (groups, fact measures, sign)
     def term(fact: DataFrame, factIsDelta: Boolean,
@@ -306,7 +375,7 @@ object IncrementalJoinAgg {
           col(s"f.${dims(i).fk}") === col(s"d$i.${dims(i).dk}"))
       }
       joined.select(spec.groupCols.map(c => col(s"${sideOf(c)}.$c")) ++
-        spec.sums.map(p => col(s"f.${p._1}")) :+
+        measureCols.map(m => col(s"f.$m")) :+
         col(s"$ct._change_type").as("_change_type"): _*)
     }
     val factTerm = factDelta.map(fd =>
@@ -318,11 +387,34 @@ object IncrementalJoinAgg {
         term(factOld, factIsDelta = false, sides, ct = s"d$i")
       }
     }
-    // the filter was applied to the fact legs above; the folded terms
-    // carry only (groups, measures, sign) — spec goes filterless
+    // min/max: the flagged-group rescan reads the NEW joined state
+    // (fact@target ⋈ dims@target — exactly what the stamp claims the
+    // MV now reflects), projected to (groups, extreme measures); the
+    // fact leg was prepared above, so filter and expressions hold
+    val extBase =
+      if (spec.extremeCols.isEmpty) None
+      else {
+        val factNew =
+          if (cf > sf) factPrepared(factAtCommit(spark, factPath, cf), spec)
+          else factOld
+        val joined = dims.indices.foldLeft(factNew.as("f"): DataFrame) {
+          (acc, i) =>
+            acc.join(broadcast(dimNew(i).as(s"d$i")),
+              col(s"f.${dims(i).fk}") === col(s"d$i.${dims(i).dk}"))
+        }
+        val extMeasures = (spec.mins.map(_._1) ++ spec.maxs.map(_._1))
+          .foldLeft(Vector.empty[String])((acc, m) =>
+            if (acc.exists(_.equalsIgnoreCase(m))) acc else acc :+ m)
+        Some(joined.select(spec.groupCols.map(c =>
+          col(s"${sideOf(c)}.$c")) ++
+          extMeasures.map(m => col(s"f.$m")): _*))
+      }
+    // the filter and group expressions were applied to the fact legs
+    // above; the folded terms carry only (groups, measures, sign)
     IncrementalAgg.applyChangesFrame(spark, aggPath,
       (factTerm ++ dimTerms).reduce(_ unionByName _),
-      spec.copy(filterSql = None), numBuckets, starStamp(cf, cds))
+      postJoinSpec(spec), numBuckets, starStamp(cf, cds),
+      extremesBase = extBase)
   }
 
   /** Fold every commit EITHER side has made since the MV's stamp —

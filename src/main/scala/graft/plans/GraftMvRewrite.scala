@@ -98,7 +98,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     forgetArmed(path)
   }
 
-  def clear(): Unit = { registry.clear(); armedBases.clear() }
+  def clear(): Unit =
+    { registry.clear(); joinRegistry.clear(); armedBases.clear() }
 
   /** Rewrites applied since session start — spec/judged-entry
     * observability (proving a plan DID rewrite, like lastPrune). */
@@ -126,7 +127,12 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     new java.util.concurrent.ConcurrentHashMap[String, JoinMvReg]()
 
   def registerJoin(reg: JoinMvReg): Unit = joinRegistry.put(reg.mvPath, reg)
-  def unregisterJoin(mvPath: String): Unit = { joinRegistry.remove(mvPath); () }
+
+  /** Remove ONE join MV by its own path — and forget the fact's
+    * arming memo, so a later CREATE over the same fact re-arms from
+    * the catalog (the single-table [[unregisterMv]] posture). */
+  def unregisterJoin(mvPath: String): Unit =
+    Option(joinRegistry.remove(mvPath)).foreach(r => forgetArmed(r.factPath))
 
   /** Every MV path armed in THIS session (both kinds) — `SHOW
     * MATERIALIZED VIEWS` unions this with the persisted catalog. */
@@ -221,16 +227,31 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     case x => Seq(x)
   }
 
-  /** Case-normalized SQL rendering — attribute exprIds never print,
-    * so two resolutions of the same text compare equal. */
-  private def canonExprStr(e: Expression): String = e.sql.toLowerCase
+  /** Canonical SQL rendering: IDENTIFIERS are normalized (attribute
+    * names lowercased, table-alias qualifiers stripped — exprIds
+    * never print, so two resolutions of the same text compare
+    * equal) while LITERALS keep their case: `'EU'` and `'eu'` are
+    * DIFFERENT values under Spark's case-sensitive string comparison,
+    * and `'yyyy-MM'` vs `'yyyy-mm'` are different date-format
+    * patterns — a whole-string lowercase would canonicalize them
+    * together and rewrite a query onto an MV holding different data.
+    * Function names need no handling: both sides render through the
+    * same resolved-node `prettyName`s. */
+  private def canonExprStr(e: Expression): String =
+    e.transform {
+      case a: AttributeReference =>
+        a.withQualifier(Nil).withName(a.name.toLowerCase)
+    }.sql
 
-  /** A filter condition as a canonical conjunct SET, with
-    * `IsNotNull(a)` conjuncts dropped when `a` is already constrained
-    * by a null-intolerant comparison — the optimizer infers those
-    * asymmetrically between the query plan and the definition's
-    * resolution, and they are semantically redundant there. */
-  private def canonFilterSet(cond: Expression): Set[String] = {
+  /** A filter condition as a canonical-conjunct MAP (canonical text →
+    * a representative Expression — the subsumption rewrite re-applies
+    * residual conjuncts over the MV, so it needs the trees, not just
+    * the strings), with `IsNotNull(a)` conjuncts dropped when `a` is
+    * already constrained by a null-intolerant comparison — the
+    * optimizer infers those asymmetrically between the query plan and
+    * the definition's resolution, and they are semantically redundant
+    * there. */
+  private def canonFilterMap(cond: Expression): Map[String, Expression] = {
     import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, In, InSet, IsNotNull, StringPredicate}
     val cs = conjunctsOf(cond)
     val compared: Set[String] = cs.flatMap {
@@ -243,8 +264,11 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     cs.filter {
       case IsNotNull(a: Attribute) => !compared(a.name.toLowerCase)
       case _ => true
-    }.map(canonExprStr).toSet
+    }.map(e => canonExprStr(e) -> e).toMap
   }
+
+  private def canonFilterSet(cond: Expression): Set[String] =
+    canonFilterMap(cond).keySet
 
   /** The DEFINITION side of both canonical forms, resolved against
     * the base table and run through the SAME optimizer the query
@@ -293,7 +317,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // must carry the SAME condition). An alias that does NOT match a
     // registered group expression simply fails the lowering — a safe
     // fall-through, never a wrong rewrite.
-    type Chain = (Seq[String], Option[Set[String]],
+    type Chain = (Seq[String], Option[Map[String, Expression]],
       Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])
     def scanChain(p: LogicalPlan): Option[Chain] =
       p match {
@@ -307,16 +331,17 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
           scanChain(child).flatMap {
             case (fs, None, pulled) =>
-              Some((fs, Some(canonFilterSet(cond)), pulled))
+              Some((fs, Some(canonFilterMap(cond)), pulled))
             case _ => None // two stacked filters: not a shape we admit
           }
         case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
           val kids = u.children.map(scanChain)
           if (kids.exists(_.isEmpty)) None
           else {
-            val conds = kids.flatten.map(_._2).distinct
+            val conds = kids.flatten.map(_._2.map(_.keySet)).distinct
             if (conds.size != 1) None // branches disagree on the filter
-            else Some((kids.flatten.flatMap(_._1), conds.head,
+            else Some((kids.flatten.flatMap(_._1),
+              kids.flatten.head._2,
               kids.flatten.flatMap(_._3).toMap))
           }
         case lr: LogicalRelation => lr.relation match {
@@ -351,25 +376,36 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         files.toSet == current
       })
     cands.view.flatMap { reg =>
-      // ---- FILTER gate: the query's filter and the MV's must agree
-      // canonically — unfiltered query over unfiltered MV, or SAME
-      // predicate on both sides; anything else falls through
-      val filterOk = (planFilter, reg.spec.filterSql) match {
-        case (None, None) => true
-        case (Some(pf), Some(rf)) =>
-          defFilterCanon(spark, reg.basePath, rf).contains(pf)
-        case _ => false
-      }
-      // ---- GROUP gate: bare attrs among the MV's PLAIN group
-      // columns, or expressions canonically equal to a registered
-      // group expression (matched to its materialized MV column)
+      // ---- FILTER gate, with SUBSUMPTION: the query's conjunct set
+      // must CONTAIN the definition's (equal when the MV is
+      // unfiltered and the query carries no filter), and every
+      // RESIDUAL conjunct must re-express over the MV's group
+      // columns — group-measurable predicates commute with the
+      // aggregation (σ_p ∘ γ_G = γ_G ∘ σ_p when p reads only G), so
+      // the residual applies over the MV-sized table instead of the
+      // base. A residual touching a measure or any non-group column
+      // falls through; a top-level disjunction with the definition's
+      // predicate is ONE unmatched conjunct and falls through too.
       lazy val exprGroups: Map[String, String] =
         reg.spec.groupExprs.flatMap { case (out, sql) =>
           defGroupExprCanon(spark, reg.basePath, sql).map(_ -> out)
         }
       val plainGroupCols = reg.spec.groupCols
         .filterNot(reg.spec.groupExprs.contains)
-      val groupsOk = filterOk && agg.groupingExpressions.forall {
+      val queryMap = planFilter.getOrElse(Map.empty[String, Expression])
+      val residual: Option[Seq[Expression]] =
+        (reg.spec.filterSql match {
+          case None => Some(Set.empty[String])
+          case Some(rf) => defFilterCanon(spark, reg.basePath, rf)
+        }) match {
+          case Some(ds) if ds.subsetOf(queryMap.keySet) =>
+            Some((queryMap -- ds).values.toSeq)
+          case _ => None
+        }
+      // ---- GROUP gate: bare attrs among the MV's PLAIN group
+      // columns, or expressions canonically equal to a registered
+      // group expression (matched to its materialized MV column)
+      val groupsOk = residual.isDefined && agg.groupingExpressions.forall {
         case a: AttributeReference if pulled.contains(a.exprId) =>
           exprGroups.contains(canonExprStr(pulled(a.exprId)))
         case a: AttributeReference =>
@@ -383,16 +419,56 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       val fresh = commit >= 0 && Scd1Merge.tableBatchId(reg.mvPath)
         .contains(f"base-commit-$commit%09d")
       if (!groupsOk || !fresh || !baseCurrent(reg.basePath)) None
-      else lowerOnto(agg, reg.spec,
-        Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed,
-        measureSide = _ => true,
-        nonNullOk = a => !a.nullable ||
-          notNullByConstraint(reg.basePath, a.name),
-        exprGroups = exprGroups, pulled = pulled).map { rewritten =>
-        rewriteCount += 1
-        logInfo(s"graft MV rewrite: aggregate over ${reg.basePath} " +
-          s"answered from ${reg.mvPath} (commit $commit)")
-        rewritten
+      else {
+        val mvRead =
+          Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed
+        val mvByName: Map[String, AttributeReference] =
+          mvRead.output.collect {
+            case a: AttributeReference => a.name.toLowerCase -> a
+          }.toMap
+        // a residual conjunct re-expressed over the MV: plain group
+        // attrs map by name, subtrees canonically equal to a
+        // registered group expression map to their materialized
+        // column, anything touching another attribute kills it
+        def overMv(e: Expression): Option[Expression] = {
+          val whole = e match {
+            case a: AttributeReference =>
+              if (plainGroupCols.exists(_.equalsIgnoreCase(a.name)))
+                mvByName.get(a.name.toLowerCase)
+              else None
+            case other => exprGroups.get(canonExprStr(other))
+              .flatMap(n => mvByName.get(n.toLowerCase))
+          }
+          whole.orElse(e match {
+            case _: AttributeReference => None
+            case leaf if leaf.children.isEmpty => Some(leaf)
+            case other =>
+              val kids = other.children.map(overMv)
+              if (kids.exists(_.isEmpty)) None
+              else Some(other.withNewChildren(kids.map(_.get)))
+          })
+        }
+        val residualMv: Option[Seq[Expression]] = {
+          val mapped = residual.get.map(overMv)
+          if (mapped.exists(_.isEmpty)) None else Some(mapped.map(_.get))
+        }
+        residualMv.flatMap { res =>
+          val mvPlan =
+            if (res.isEmpty) mvRead
+            else org.apache.spark.sql.catalyst.plans.logical.Filter(
+              res.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _)),
+              mvRead)
+          lowerOnto(agg, reg.spec, mvPlan,
+            measureSide = _ => true,
+            nonNullOk = a => !a.nullable ||
+              notNullByConstraint(reg.basePath, a.name),
+            exprGroups = exprGroups, pulled = pulled)
+        }.map { rewritten =>
+          rewriteCount += 1
+          logInfo(s"graft MV rewrite: aggregate over ${reg.basePath} " +
+            s"answered from ${reg.mvPath} (commit $commit)")
+          rewritten
+        }
       }
     }.headOption
   }
@@ -421,28 +497,39 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     *    `fact@F,dim@D1[,dim@D2…]` stamp for all sides' CURRENT
     *    commits. */
   private def tryRewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
-    if (joinRegistry.isEmpty) return None
-    import org.apache.spark.sql.catalyst.expressions.{EqualTo, IsNotNull}
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    if (joinRegistry.isEmpty &&
+        graft.sql.GraftCatalog.basesWithMvs.isEmpty) return None
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, IsNotNull}
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint}
     import org.apache.spark.sql.catalyst.plans.Inner
-    // one leaf: Project(attrs)/Filter chains down to a single parquet
-    // scan — or a UNION of such chains, which is exactly a
-    // PARTITIONED fact read (one child scan per partition, unioned by
-    // name). Filter conjuncts split three ways, mirroring
-    // [[canonFilterSet]]: IsNotNull subsumed by a same-leaf
-    // comparison drops (the optimizer infers it), other IsNotNull
-    // attrs go to `notNull` (join-key inference — validated against
-    // the registered keys), and everything else becomes the leaf's
-    // canonical EXTRA set — which must match a registered filtered
-    // star's definition predicate, on the FACT leaf only. Keeps the
-    // side ROOT for outputSet membership checks. A UNION's branches
-    // must agree on the extra set (a pushed MV filter appears once
-    // per partition branch).
+    // `GROUP BY expr` plans carry `_groupingexpression` aliases in a
+    // Project between the Aggregate and the join — collected by the
+    // flatten step (above-join Projects ONLY: a renaming alias inside
+    // a leaf could smuggle a renamed column past the name-keyed
+    // measure gate, so leaf walks stay attribute-only) so the group
+    // gate can match the PULLED expression canonically
+    var pulled =
+      Map.empty[org.apache.spark.sql.catalyst.expressions.ExprId, Expression]
+    // one leaf: Project/Filter chains down to a single parquet scan —
+    // or a UNION of such chains, which is exactly a PARTITIONED fact
+    // read (one child scan per partition, unioned by name). Filter
+    // conjuncts split three ways, mirroring [[canonFilterMap]]:
+    // IsNotNull subsumed by a same-leaf comparison drops (the
+    // optimizer infers it), other IsNotNull attrs go to `notNull`
+    // (join-key inference — validated against the registered keys),
+    // and everything else becomes the leaf's canonical EXTRA map —
+    // admitted on the FACT leaf when it matches a registered filtered
+    // star's definition predicate, and on a DIM leaf when that dim's
+    // fact-side key is one of the MV's group columns (the predicate
+    // then applies at rewrite time through a re-join). Keeps the side
+    // ROOT for outputSet membership checks. A UNION's branches must
+    // agree on the extra set (a pushed MV filter appears once per
+    // partition branch).
     final case class Leaf(root: LogicalPlan, files: Seq[String],
-                          extra: Set[String])
+                          extra: Map[String, Expression])
     def leaf(p: LogicalPlan): Option[(Leaf, Seq[AttributeReference])] = {
       var notNull = Seq.empty[AttributeReference]
-      def classify(cond: Expression): Set[String] = {
+      def classify(cond: Expression): Map[String, Expression] = {
         val cs = conjunctsOf(cond)
         val compared: Set[String] = cs.flatMap {
           case IsNotNull(_) => Nil
@@ -452,10 +539,11 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           case IsNotNull(a: AttributeReference) =>
             if (compared(a.name.toLowerCase)) Nil
             else { notNull :+= a; Nil }
-          case other => Seq(canonExprStr(other))
-        }.toSet
+          case other => Seq(canonExprStr(other) -> other)
+        }.toMap
       }
-      def walk(q: LogicalPlan): Option[(Seq[String], Set[String])] = q match {
+      def walk(q: LogicalPlan)
+          : Option[(Seq[String], Map[String, Expression])] = q match {
         case Project(items, child)
             if items.forall(_.isInstanceOf[AttributeReference]) =>
           walk(child)
@@ -465,13 +553,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           val kids = u.children.map(walk)
           if (kids.exists(_.isEmpty)) None
           else {
-            val extras = kids.flatten.map(_._2).distinct
+            val extras = kids.flatten.map(_._2.keySet).distinct
             if (extras.size != 1) None // branches disagree on the filter
-            else Some((kids.flatten.flatMap(_._1), extras.head))
+            else Some((kids.flatten.flatMap(_._1), kids.flatten.head._2))
           }
         case lr: LogicalRelation => lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            Some((fs.location.inputFiles.toSeq, Set.empty[String]))
+            Some((fs.location.inputFiles.toSeq, Map.empty[String, Expression]))
           case _ => None
         }
         case _ => None
@@ -491,8 +579,10 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         : Option[(Seq[Leaf], Seq[EqualTo], Seq[AttributeReference])] =
       p match {
         case Project(items, child)
-            if items.forall(_.isInstanceOf[AttributeReference]) &&
+            if items.forall(i => i.isInstanceOf[AttributeReference] ||
+              i.isInstanceOf[Alias]) &&
               child.isInstanceOf[Join] =>
+          pulled ++= items.collect { case al @ Alias(e, _) => al.exprId -> e }
           flatten(child)
         case jn: Join if jn.joinType == Inner && jn.condition.isDefined =>
           for { (ll, lc, ln) <- flatten(jn.left)
@@ -526,21 +616,28 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         .flatMap(r => assign(r).map { case (f, ds) => (r, f, ds) })
         .headOption.getOrElse(return None)
     }
-    if (reg.spec.groupExprs.nonEmpty) return None
-    // ---- FILTER gate: dim leaves carry NO predicate beyond the
-    // inferred join-key IsNotNulls; the FACT leaf's extra conjuncts
-    // must canonically equal the registered star's definition filter
+    val spark = SparkSession.active
+    // ---- FILTER gates. FACT leaf: its extra conjuncts must
+    // canonically equal the registered star's definition filter
     // (resolved against the fact table through the SAME optimizer) —
-    // unfiltered query over unfiltered MV otherwise
-    if (dimLeaves.exists(_.extra.nonEmpty)) return None
+    // unfiltered query over unfiltered MV otherwise. DIM leaves: a
+    // predicate is admissible ONLY when that dim's fact-side join key
+    // is one of the MV's group columns — the MV then holds per-key
+    // rows, and the predicate applies at rewrite time through a
+    // broadcast re-join against the (snapshot-checked,
+    // freshness-stamped) dim; any other dim predicate falls through.
     val factFilterOk = (factLeaf.extra.isEmpty, reg.spec.filterSql) match {
       case (true, None) => true
       case (false, Some(rf)) =>
-        defFilterCanon(SparkSession.active, reg.factPath, rf)
-          .contains(factLeaf.extra)
+        defFilterCanon(spark, reg.factPath, rf)
+          .contains(factLeaf.extra.keySet)
       case _ => false
     }
     if (!factFilterOk) return None
+    val filteredDims: Seq[Int] =
+      reg.dims.indices.filter(i => dimLeaves(i).extra.nonEmpty)
+    if (filteredDims.exists(i => !reg.spec.groupCols.exists(
+        _.equalsIgnoreCase(reg.dims(i).fk)))) return None
     // each condition is exactly one dim's (fk, dk) pair — one per
     // dim, none left over, attrs on their registered leaves
     def pairOf(eq: EqualTo): Seq[Int] = {
@@ -561,16 +658,40 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     val keyNames = (reg.dims.map(_.fk) ++ reg.dims.map(_.dk))
       .map(_.toLowerCase).toSet
     if (!notNulls.forall(a => keyNames(a.name.toLowerCase))) return None
-    // groups: bare attrs among the MV's group columns (any side)
+    // groups. A BARE attr must be one of the MV's PLAIN group columns
+    // and owned by exactly ONE leaf — maintenance sourced a shared
+    // name from ONE side (sideOf prefers the fact), so a name that
+    // schema evolution has since made ambiguous across the joined
+    // leaves could be answered with the OTHER side's values;
+    // ambiguity rejects, and the attr's exprId must belong to the
+    // single owning leaf. A grouping EXPRESSION (raw, or a PULLED
+    // `_groupingexpression` attr) must reference the FACT leaf alone
+    // (maintenance derives it on the fact side) and canonically equal
+    // a registered group expression resolved against the same fact.
+    val exprGroups: Map[String, String] =
+      reg.spec.groupExprs.flatMap { case (out, sql) =>
+        defGroupExprCanon(spark, reg.factPath, sql).map(_ -> out)
+      }
+    val plainGroupCols = reg.spec.groupCols
+      .filterNot(reg.spec.groupExprs.contains)
+    def exprGroupOk(e: Expression): Boolean =
+      e.references.forall(factLeaf.root.outputSet.contains) &&
+      exprGroups.contains(canonExprStr(e))
+    val allLeaves = factLeaf +: dimLeaves
     val groupsOk = agg.groupingExpressions.forall {
+      case a: AttributeReference if pulled.contains(a.exprId) =>
+        exprGroupOk(pulled(a.exprId))
       case a: AttributeReference =>
-        reg.spec.groupCols.exists(_.equalsIgnoreCase(a.name))
-      case _ => false
+        plainGroupCols.exists(_.equalsIgnoreCase(a.name)) && {
+          val owners = allLeaves.filter(
+            _.root.output.exists(_.name.equalsIgnoreCase(a.name)))
+          owners.size == 1 && owners.head.root.outputSet.contains(a)
+        }
+      case e => exprGroupOk(e)
     }
     if (!groupsOk) return None
     // SNAPSHOT every side + the all-sides FRESHNESS stamp (the fact
     // may be PARTITIONED: parent commit, pin-set-resolved snapshot)
-    val spark = SparkSession.active
     val factPart = graft.merge.PartitionedTable.tableExists(reg.factPath)
     val cf = (if (factPart)
         graft.merge.PartitionedTable.tableCommit(reg.factPath)
@@ -589,11 +710,45 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         Scd1Merge.readTable(spark, reg.dims(i).dimPath).inputFiles.toSet))
       return None
     val factOut = factLeaf.root.outputSet
-    lowerOnto(agg, reg.spec,
-      Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed,
+    // the MV read — re-joined to each PREDICATE-carrying dim on
+    // `mv.<fk> = dim.<dk>` (BROADCAST: dims are dimension-sized by
+    // contract) with the query's own conjuncts rebound onto the fresh
+    // dim read by name (one table, names unique), then projected back
+    // to the MV's columns so the shared lowering sees exactly the MV.
+    // The re-join is group-sized work: the predicate dim's key is one
+    // of the MV's group columns (gated above), so each MV row joins
+    // at most one dim row, the filter drops whole groups, and the
+    // re-aggregation below rolls the survivors up to the query's
+    // groups — never touching the base join.
+    val mvRead =
+      Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed
+    val mvPlan: LogicalPlan =
+      if (filteredDims.isEmpty) mvRead
+      else {
+        val joined = filteredDims.foldLeft(mvRead: LogicalPlan) { (acc, i) =>
+          val d = reg.dims(i)
+          val dimPlan = Scd1Merge.readTable(spark, d.dimPath)
+            .queryExecution.analyzed
+          val mvFk = mvRead.output.find(_.name.equalsIgnoreCase(d.fk))
+            .getOrElse(return None)
+          val dimDk = dimPlan.output.find(_.name.equalsIgnoreCase(d.dk))
+            .getOrElse(return None)
+          val preds = dimLeaves(i).extra.values.toSeq.map(_.transform {
+            case a: AttributeReference =>
+              dimPlan.output.find(_.name.equalsIgnoreCase(a.name))
+                .getOrElse(return None)
+          })
+          Filter(preds.reduce(And(_, _)),
+            Join(acc, dimPlan, Inner, Some(EqualTo(mvFk, dimDk)),
+              JoinHint(None, Some(HintInfo(Some(BROADCAST))))))
+        }
+        Project(mvRead.output, joined)
+      }
+    lowerOnto(agg, reg.spec, mvPlan,
       measureSide = a => factOut.contains(a),
       nonNullOk = a => !a.nullable ||
-        notNullByConstraint(reg.factPath, a.name)).map { rewritten =>
+        notNullByConstraint(reg.factPath, a.name),
+      exprGroups = exprGroups, pulled = pulled).map { rewritten =>
       rewriteCount += 1
       logInfo(s"graft MV rewrite: star aggregate over ${reg.factPath} ⋈ " +
         s"${reg.dims.map(_.dimPath).mkString(" ⋈ ")} answered from " +

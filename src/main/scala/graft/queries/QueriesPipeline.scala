@@ -1136,6 +1136,185 @@ object QueriesPipeline {
       out
     }),
 
+    "pipe27_dim_filtered_star_mv" -> ((s, dir) => {
+      // DIM-ATTRIBUTE-FILTERED STAR MV — the universal dashboard
+      // filter (`WHERE d.seg = 'BUILDING'`: measures by dim
+      // attribute, the exact shape the reference's gold star serves,
+      // README.md:36-43, gold_fact.py:34-38). A dim predicate cannot
+      // bake into the maintained content (a dim-row attribute flip
+      // would move fact rows across the filter without any fact
+      // change), so CREATE lowers it: the filter dim's FACT-SIDE KEY
+      // joins the MV's group columns, the MV maintains the UNFILTERED
+      // per-key star (dimension-bounded rows, plain telescoped
+      // maintenance), and the transparent rewrite applies the
+      // attribute predicate through a BROADCAST re-join against the
+      // snapshot-checked, freshness-stamped dim — group-sized work,
+      // and ANY predicate on that dim is admissible, not just the
+      // created one. A dim attribute flip therefore costs the MV
+      // NOTHING: one stamp-advancing refresh and the re-join sees the
+      // new attributes. In-row requires pin the routing (fresh →
+      // MV+dim never fact; other-predicate query → same; lag → base;
+      // refreshed → MV again); the oracle recomputes from both
+      // tables' final content, so a mis-lowered filter breaks the hash.
+      import graft.pipeline.MvDef
+      val root = tmpDir("graft_dfsmv")
+      val factT = root + "/fact"; val dimT = root + "/cust"
+      val mvT = root + "/mv"
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Scd1Merge.upsert(s, factT, o, Seq("o_orderkey"), numBuckets = 8,
+        retainVersions = 4)
+      Scd1Merge.upsert(s, dimT, table(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment").as("seg")),
+        Seq("c_custkey"), numBuckets = 4, retainVersions = 4)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvT` BUCKETS 4 AS
+           |SELECT pri, sum(cents) AS sum_cents, count(*) AS n_orders
+           |FROM graft.`$factT` f
+           |JOIN graft.`$dimT` c ON f.o_custkey = c.c_custkey
+           |WHERE c.seg = 'BUILDING' GROUP BY pri""".stripMargin)
+      require(MvDef.read(mvT).exists(d =>
+        d.spec.groupCols.map(_.toLowerCase) == Seq("pri", "o_custkey") &&
+        d.spec.filterSql.isEmpty),
+        "the dim filter must lower to fk-in-groups, never baked content")
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      // the rewritten plan reads the MV + the broadcast dim — never
+      // the fact (the 100 TB side of the join)
+      def fromMv(df: DataFrame): Boolean = {
+        val ps = scansOf(df)
+        ps.nonEmpty && ps.exists(_.contains(mvT + "/")) &&
+          !ps.exists(_.contains(factT + "/"))
+      }
+      def q(seg: String): DataFrame =
+        Scd1Merge.readTable(s, factT).as("f")
+          .join(Scd1Merge.readTable(s, dimT).as("c"),
+            col("f.o_custkey") === col("c.c_custkey"))
+          .filter(col("seg") === seg)
+          .groupBy(col("pri"))
+          .agg(sum(col("cents")).as("sum_cents"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("pri"))
+      require(fromMv(q("BUILDING")),
+        "the created dim-attribute filter must answer from the MV")
+      require(fromMv(q("MACHINERY")),
+        "ANY predicate on the keyed dim must answer from the MV")
+      // the wave: a fact correction + a dim attribute FLIP that moves
+      // customers across the filter boundary BOTH ways
+      Scd1Merge.upsert(s, factT,
+        o.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+          .withColumn("cents", col("cents") + 7L),
+        Seq("o_orderkey"), retainVersions = 4)
+      Scd1Merge.upsert(s, dimT, table(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(6)) === 0)
+        .select(col("c_custkey"),
+          when(col("c_mktsegment") === "BUILDING", "MOVED")
+            .otherwise("BUILDING").as("seg")),
+        Seq("c_custkey"), retainVersions = 4)
+      require(!fromMv(q("BUILDING")),
+        "a lagging MV must route to the real join")
+      val r = graft.sql.GraftSql.sql(s,
+        s"REFRESH MATERIALIZED VIEW graft.`$mvT`").collect().head
+      require(r.getLong(1) == 2L, s"refresh must fold fact+dim lags: $r")
+      val out = q("BUILDING")
+      require(fromMv(out),
+        "the refreshed MV must answer with the flipped dim attributes")
+      out
+    }),
+
+    "pipe28_star_rollup_mv" -> ((s, dir) => {
+      // STAR ROLLUP MV — expression groups + min/max OVER A JOIN (the
+      // time-rolled dashboard: `GROUP BY month(date), seg` with a
+      // max() beside the sums). The group expression is a FACT-column
+      // expression, derived on the fact side BEFORE the joins, so it
+      // commutes with every telescoped delta term exactly like a
+      // column; max() maintenance is the two-speed flat algebra lifted
+      // through the star — inserts fold via greatest(), and only
+      // groups where a retraction lands AT/PAST the stored extreme
+      // rescan, against the RE-JOINED new state (fact@target ⋈
+      // dims@target), group-semi-joined. The rewrite matches the
+      // pulled `_groupingexpression` tree canonically against the
+      // definition resolved on the same fact. The wave forces all
+      // legs: the global-max row is DELETED (retraction at the
+      // extreme → rescan), a dim seg moves (group mass migrates), and
+      // a new month arrives (pure fold) — ONE refresh folds all
+      // three commits. Oracle recomputes all aggregates from final
+      // content.
+      import graft.pipeline.MvDef
+      val root = tmpDir("graft_srmv")
+      val factT = root + "/fact"; val dimT = root + "/cust"
+      val mvT = root + "/mv"
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Scd1Merge.upsert(s, factT, o, Seq("o_orderkey"), numBuckets = 8,
+        retainVersions = 4)
+      Scd1Merge.upsert(s, dimT, table(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment").as("seg")),
+        Seq("c_custkey"), numBuckets = 4, retainVersions = 4)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvT` BUCKETS 4 AS
+           |SELECT date_format(o_orderdate, 'yyyy-MM') AS o_month, seg,
+           |  sum(cents) AS sum_cents, max(cents) AS max_cents,
+           |  count(*) AS n_orders
+           |FROM graft.`$factT` f
+           |JOIN graft.`$dimT` c ON f.o_custkey = c.c_custkey
+           |GROUP BY date_format(o_orderdate, 'yyyy-MM'), seg""".stripMargin)
+      require(MvDef.read(mvT).exists(d =>
+        d.spec.groupExprs.keySet == Set("o_month") &&
+        d.spec.maxs == Seq("cents" -> "max_cents")),
+        "the star definition must persist the group expression + max")
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def q(): DataFrame = graft.sql.GraftSql.sql(s,
+        s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS o_month, seg,
+           |  sum(cents) AS sum_cents, max(cents) AS max_cents,
+           |  count(*) AS n_orders
+           |FROM graft.`$factT` f
+           |JOIN graft.`$dimT` c ON f.o_custkey = c.c_custkey
+           |GROUP BY date_format(o_orderdate, 'yyyy-MM'), seg
+           |ORDER BY o_month, seg""".stripMargin)
+      require(scansOf(q()).forall(_.contains(mvT + "/")),
+        "the fresh star rollup MV must answer the month/seg dashboard")
+      // the wave: downward corrections (retractions at stored maxima
+      // for the touched groups), deletes (some removing extremes),
+      // and a dim segment move — ONE refresh folds all three
+      Scd1Merge.upsert(s, factT,
+        o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("cents", col("cents") - 100000L),
+        Seq("o_orderkey"), retainVersions = 4)
+      Scd1Merge.delete(s, factT, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(13)) === 0, retainVersions = 4)
+      Scd1Merge.upsert(s, dimT, table(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(6)) === 0)
+        .select(col("c_custkey"), lit("MOVED").as("seg")),
+        Seq("c_custkey"), retainVersions = 4)
+      require(scansOf(q()).exists(_.contains(factT + "/")),
+        "a lagging star rollup MV must route to the real join")
+      val r = graft.sql.GraftSql.sql(s,
+        s"REFRESH MATERIALIZED VIEW graft.`$mvT`").collect().head
+      require(r.getLong(1) == 3L, s"refresh must fold 3 commits: $r")
+      val out = q()
+      require(scansOf(out).forall(_.contains(mvT + "/")),
+        "the refreshed star rollup MV must answer again")
+      out
+    }),
+
     "pipe26_filtered_star_mv" -> ((s, dir) => {
       // FILTERED STAR MV — the dashboard-filter shape over a join:
       // `WHERE` on FACT columns bakes into the star MV (the predicate
@@ -1460,6 +1639,22 @@ object QueriesPipeline {
       val out = q()
       require(scansOf(out).forall(_.contains(mv + "/")),
         "the refreshed filtered MV must answer again")
+      // PREDICATE SUBSUMPTION: the definition's predicate AND a
+      // residual on the materialized group EXPRESSION — the residual
+      // re-expresses over the MV's month column and applies over the
+      // MV-sized table (conjuncts ⊇ definition, residual
+      // group-measurable); a residual on a non-MV column or a
+      // disjunction still falls through (MvRewriteSpec pins those)
+      val resid = graft.sql.GraftSql.sql(s,
+        s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS o_month,
+           |  sum(cents) AS sum_cents
+           |FROM graft.`$base`
+           |WHERE o_orderpriority = '1-URGENT'
+           |  AND date_format(o_orderdate, 'yyyy-MM') >= '1996-01'
+           |GROUP BY date_format(o_orderdate, 'yyyy-MM')""".stripMargin)
+      require(scansOf(resid).forall(_.contains(mv + "/")),
+        "a subsuming predicate with a group-expression residual must " +
+        "answer from the MV")
       out
     }),
 
@@ -1835,6 +2030,37 @@ object QueriesPipeline {
          |FROM f JOIN p ON l_partkey = p_partkey
          |       JOIN s ON l_suppkey = s_suppkey
          |GROUP BY brand, nation ORDER BY brand, nation""".stripMargin,
+    "pipe27_dim_filtered_star_mv" ->
+      """WITH f AS (
+         |  SELECT o_orderkey, o_custkey, o_orderpriority AS pri,
+         |    CAST(round(o_totalprice * 100) AS BIGINT)
+         |      + CASE WHEN o_orderkey % 11 = 0 THEN 7 ELSE 0 END AS cents
+         |  FROM orders),
+         |c AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN c_custkey % 6 = 0 THEN
+         |      (CASE WHEN c_mktsegment = 'BUILDING'
+         |            THEN 'MOVED' ELSE 'BUILDING' END)
+         |    ELSE c_mktsegment END AS seg
+         |  FROM customer)
+         |SELECT pri, sum(cents)::BIGINT AS sum_cents, count(*) AS n_orders
+         |FROM f JOIN c ON o_custkey = c_custkey
+         |WHERE seg = 'BUILDING'
+         |GROUP BY pri ORDER BY pri""".stripMargin,
+    "pipe28_star_rollup_mv" ->
+      """WITH f AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_custkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT)
+         |      - CASE WHEN o_orderkey % 7 = 0 THEN 100000 ELSE 0 END AS cents
+         |  FROM orders WHERE o_orderkey % 13 <> 0),
+         |c AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN c_custkey % 6 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+         |  FROM customer)
+         |SELECT o_month, seg, sum(cents)::BIGINT AS sum_cents,
+         |  max(cents)::BIGINT AS max_cents, count(*) AS n_orders
+         |FROM f JOIN c ON o_custkey = c_custkey
+         |GROUP BY o_month, seg ORDER BY o_month, seg""".stripMargin,
     "pipe26_filtered_star_mv" ->
       """WITH f0 AS (
          |  SELECT l_orderkey, l_linenumber,

@@ -813,9 +813,12 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
     * the side carrying every summed measure; each JOIN contributes
     * one dim with its (fk, dk) pair read from the analyzed equi-join
     * condition; each dim must be SCD1-keyed on exactly its join key
-    * (the uniqueness the bilinear delta contract needs). Filters and
-    * group expressions are rejected loudly — a star MV stores bare
-    * group columns and sum/count(*) only. */
+    * (the uniqueness the bilinear delta contract needs). Group
+    * expressions (aliased, fact columns only), min/max (fact
+    * measures), a fact-column WHERE (baked in), and single-dim WHERE
+    * conjuncts (lowered to "keep that dim's key in the groups" +
+    * rewrite-time re-join) are all supported; anything else is
+    * rejected loudly. */
   private def runStar(spark: SparkSession, refs: Seq[String]): Seq[Row] = {
     import graft.pipeline.{IncrementalJoinAgg, MvDef}
     import graft.pipeline.IncrementalAgg.AggSpec
@@ -834,19 +837,19 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       case a: Aggregate => a
       case _ => bad("the AS query must be a plain GROUP BY aggregate")
     }
-    // an optional WHERE bakes in as a FACT-COLUMN filter (createMvStar
-    // validates it resolves on the fact alone — the condition that
-    // makes the predicate commute with every telescoped term)
-    var filterSql: Option[String] = None
+    // an optional WHERE bakes in as a FACT-COLUMN filter. The raw
+    // ANALYZED condition is kept here and attributed AFTER the leaves
+    // are known: each referenced attribute must belong to the FACT
+    // leaf's output BY EXPRID — a name re-resolution check would let
+    // a dim-qualified predicate (`WHERE d.status = 'x'`) silently
+    // REBIND to a same-named fact column and maintain a different
+    // predicate than the CREATE query asked for
+    var whereCond: Option[Expression] = None
     val joinRoot = agg.child match {
       case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
         if (cond.exists(_.isInstanceOf[AggregateExpression]))
           bad("the WHERE predicate cannot contain aggregates")
-        // drop table-alias qualifiers: the stored text re-resolves
-        // against the FACT TABLE alone (createMvStar's validation)
-        filterSql = Some(cond.transform {
-          case a: AttributeReference => a.withQualifier(Nil)
-        }.sql)
+        whereCond = Some(cond)
         child
       case other => other
     }
@@ -901,26 +904,55 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
           "graft table path"))
     }
     val leafPath = leaves.map(l => l -> pathOf(l)).toMap
-    // the FACT carries every summed measure
-    var sums = Seq.empty[(String, String)]
-    var countName: Option[String] = None
-    var measureAttrs = Seq.empty[AttributeReference]
+    // group columns: bare attrs keep their name; EXPRESSIONS must
+    // appear aliased in the SELECT (the MV materializes them as that
+    // column) and — validated once the fact is known — reference the
+    // FACT alone by exprId (they derive on the fact side, commuting
+    // with every telescoped term; a name-only re-resolution could
+    // silently rebind a dim expression onto a same-named fact column)
+    var groupExprs = Map.empty[String, String]
+    var groupExprRefs = Map.empty[String, Seq[AttributeReference]]
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference => a.name
-      case e => bad(s"group expression '${e.sql}' — a star MV groups by " +
-        "bare columns only")
+      case e =>
+        val al = agg.aggregateExpressions.collectFirst {
+          case al @ Alias(c, _) if c.semanticEquals(e) => al
+        }.getOrElse(bad(s"group expression '${e.sql}' must appear in " +
+          "the SELECT list with an alias — the MV materializes it as " +
+          "that column"))
+        groupExprs += (al.name -> e.transform {
+          case a: AttributeReference => a.withQualifier(Nil)
+        }.sql)
+        groupExprRefs += (al.name -> e.references.toSeq.collect {
+          case a: AttributeReference => a })
+        al.name
     }
+    // the FACT carries every summed/min'd/max'd measure
+    var sums = Seq.empty[(String, String)]
+    var mins = Seq.empty[(String, String)]
+    var maxs = Seq.empty[(String, String)]
+    var countName: Option[String] = None
+    var measureAttrs = Seq.empty[AttributeReference]
     agg.aggregateExpressions.foreach {
       case a: AttributeReference if groupNames.contains(a.name) => ()
+      case al @ Alias(c, _) if groupExprs.contains(al.name) &&
+          agg.groupingExpressions.exists(_.semanticEquals(c)) => ()
       case al @ Alias(ae: AggregateExpression, _) =>
         if (ae.isDistinct || ae.filter.nonEmpty)
           bad(s"'${al.sql}': DISTINCT/FILTER aggregates are not self-maintainable")
-        ae.aggregateFunction match {
-          case sm: Sum => sm.child match {
-            case m: AttributeReference =>
-              sums :+= ((m.name, al.name)); measureAttrs :+= m
-            case e => bad(s"sum over '${e.sql}' — sum a bare fact column")
+        def bareMeasure(e: Expression, what: String): AttributeReference =
+          e match {
+            case m: AttributeReference => measureAttrs :+= m; m
+            case other => bad(s"$what over '${other.sql}' — aggregate a " +
+              "bare fact column")
           }
+        ae.aggregateFunction match {
+          case sm: Sum =>
+            sums :+= ((bareMeasure(sm.child, "sum").name, al.name))
+          case mn: org.apache.spark.sql.catalyst.expressions.aggregate.Min =>
+            mins :+= ((bareMeasure(mn.child, "min").name, al.name))
+          case mx: org.apache.spark.sql.catalyst.expressions.aggregate.Max =>
+            maxs :+= ((bareMeasure(mx.child, "max").name, al.name))
           case c: Count => c.children match {
             case Seq(Literal(_, _)) =>
               if (countName.nonEmpty) bad("more than one count(*)")
@@ -932,8 +964,9 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
         }
       case a: AttributeReference =>
         bad(s"output column '${a.name}' is not in GROUP BY")
-      case e => bad(s"output '${e.sql}' — a star MV stores bare group " +
-        "columns and aliased sum/count(*) only")
+      case e => bad(s"output '${e.sql}' — a star MV stores group " +
+        "columns (bare or aliased expressions) and aliased " +
+        "sum/min/max/count(*) only")
     }
     if (sums.isEmpty) bad("a star MV needs at least one sum(measure) — " +
       "the measures identify the fact side")
@@ -949,7 +982,7 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
        else Scd1Merge.tableKeys(factPath)).filter(_.nonEmpty)
         .getOrElse(bad(s"fact $factPath records no merge keys"))
     // each condition pairs the fact with one dim
-    val dims = conds.map { case (a, b) =>
+    val dimsWithLeaves = conds.map { case (a, b) =>
       val (fkAttr, dkAttr) =
         if (factLeaf.outputSet.contains(a)) (a, b)
         else if (factLeaf.outputSet.contains(b)) (b, a)
@@ -968,13 +1001,60 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
         bad(s"dim $dimPath must be keyed on exactly its join key " +
           s"${dkAttr.name} (it is keyed on ${dimKeys.mkString(", ")}) — " +
           "the delta rule needs the dim UNIQUE on the join key")
-      MvDef.JoinSrc(dimPath, dimKeys, fkAttr.name, dkAttr.name)
+      (MvDef.JoinSrc(dimPath, dimKeys, fkAttr.name, dkAttr.name), dimLeaf)
     }
+    val dims = dimsWithLeaves.map(_._1)
     if (dims.map(_.dimPath).toSet != (refs.toSet - factPath))
       bad("every joined table must be a dim of the fact (one join " +
         "condition per dim)")
+    // group EXPRESSIONS must read the fact alone, checked by EXPRID
+    // (a name-only re-resolution would let `month(d.ts)` silently
+    // rebind to a same-named fact column)
+    groupExprRefs.foreach { case (out, refs) =>
+      if (!refs.forall(factLeaf.outputSet.contains))
+        bad(s"star MV group expression for '$out' references non-fact " +
+          "columns — expressions derive on the fact side and must read " +
+          "it alone (group by the bare dim column instead)")
+    }
+    // WHERE attribution, conjunct by conjunct, by EXPRID against the
+    // leaves' outputs (never by name re-resolution — a dim-qualified
+    // predicate must not silently rebind to a same-named fact column):
+    //  - a FACT conjunct bakes into the MV (it commutes with every
+    //    telescoped term);
+    //  - a conjunct reading ONE DIM's columns lowers to "keep that
+    //    dim's fact-side key in the MV groups": the MV maintains
+    //    per-key rows (unfiltered — dimension-bounded), and the
+    //    transparent rewrite applies the attribute predicate through
+    //    a broadcast re-join against the dim at QUERY time, so a dim
+    //    attribute flip that moves rows across the filter boundary
+    //    costs the MV nothing;
+    //  - a conjunct mixing sides is rejected loudly.
+    def conjunctsOf(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+      case x => Seq(x)
+    }
+    var dimFilteredFks = Vector.empty[String]
+    val factConjuncts = whereCond.toSeq.flatMap(conjunctsOf).flatMap { c =>
+      val refs = c.references.toSeq
+      if (refs.nonEmpty && refs.forall(factLeaf.outputSet.contains))
+        Some(c)
+      else dimsWithLeaves.find { case (_, lf) =>
+        refs.nonEmpty && refs.forall(lf.outputSet.contains) } match {
+        case Some((src, _)) => dimFilteredFks :+= src.fk; None
+        case None => bad(s"star MV WHERE conjunct '${c.sql}' mixes " +
+          "sides (or references no column) — each conjunct must read " +
+          "the fact alone (baked into the MV) or one dim alone " +
+          "(lowered to a rewrite-time predicate through that dim's key)")
+      }
+    }
+    val filterSql = factConjuncts.reduceOption(And(_, _)).map(_.transform {
+      case a: AttributeReference => a.withQualifier(Nil)
+    }.sql)
+    val allGroupNames = groupNames ++ dimFilteredFks.distinct.filterNot(
+      fk => groupNames.exists(_.equalsIgnoreCase(fk)))
     IncrementalJoinAgg.createMvStar(spark, path, factPath, factKeys,
-      dims, AggSpec(groupNames, sums, cn, filterSql), numBuckets)
+      dims, AggSpec(allGroupNames, sums, cn, filterSql, groupExprs,
+        mins, maxs), numBuckets)
     Nil
   }
 }

@@ -608,15 +608,29 @@ class MvRewriteSpec extends SparkSpecBase {
         f.filter($"cents" > 1500).join(d, "ck").groupBy($"seg")
           .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
           .orderBy("seg"))
-      // a DIM-column predicate cannot bake into a star MV
+      // a DIM-column predicate LOWERS: the dim's fact-side key joins
+      // the MV groups (the predicate applies at rewrite time through
+      // a re-join — never baked into the maintained content)
+      graft.sql.GraftSql.sql(spark,
+        s"CREATE GRAFT MATERIALIZED VIEW graft.`$root/m2` AS " +
+        s"SELECT seg, sum(cents) AS sc, count(*) AS n " +
+        s"FROM graft.`$factT` f JOIN graft.`$dimT` d ON f.ck = d.ck " +
+        s"WHERE seg <> 'seg0' GROUP BY seg").collect()
+      val m2 = MvDef.read(root + "/m2").get
+      assert(m2.spec.groupCols.map(_.toLowerCase) == Seq("seg", "ck") &&
+        m2.spec.filterSql.isEmpty,
+        s"dim filter must lower to fk-in-groups, got ${m2.spec}")
+      GraftMvRewrite.unregisterJoin(root + "/m2")
+      // a conjunct MIXING sides is rejected loudly — by exprId, so a
+      // dim-qualified column never silently rebinds to the fact
       val e = intercept[IllegalArgumentException] {
         graft.sql.GraftSql.sql(spark,
-          s"CREATE GRAFT MATERIALIZED VIEW graft.`$root/m2` AS " +
+          s"CREATE GRAFT MATERIALIZED VIEW graft.`$root/m3` AS " +
           s"SELECT seg, sum(cents) AS sc, count(*) AS n " +
           s"FROM graft.`$factT` f JOIN graft.`$dimT` d ON f.ck = d.ck " +
-          s"WHERE seg <> 'seg0' GROUP BY seg").collect()
+          s"WHERE cents > d.ck + 1 GROUP BY seg").collect()
       }
-      assert(e.getMessage.contains("fact columns only"))
+      assert(e.getMessage.contains("mixes"))
     } finally GraftMvRewrite.unregisterJoin(mv)
   }
 
@@ -694,5 +708,206 @@ class MvRewriteSpec extends SparkSpecBase {
         .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
         .filter($"n" > 10).orderBy($"sc".desc))
     } finally GraftMvRewrite.unregister(base)
+  }
+
+  test("PREDICATE SUBSUMPTION: query conjuncts ⊇ definition rewrite with the residual over the MV; measures/disjunctions/literal-case fall through") {
+    val root = Tmp.dir("mv_subsume")
+    val base = root + "/orders"; val mv = root + "/mv"
+    val rows = (1L to 400L).map(i =>
+      (i, s"P${i % 3}", f"1997-${i % 12 + 1}%02d", i * 10))
+      .toDF("id", "pri", "mth", "cents")
+    Scd1Merge.upsert(spark, base, rows, Seq("id"), numBuckets = 2,
+      retainVersions = 4)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS
+           |SELECT pri, mth, sum(cents) AS sc, count(*) AS n
+           |FROM graft.`$base` WHERE pri = 'P1'
+           |GROUP BY pri, mth""".stripMargin).collect()
+      def b = Scd1Merge.readTable(spark, base)
+      // definition predicate + a residual on a GROUP column: the
+      // residual applies over the MV (roll-up to mth)
+      def q = b.filter($"pri" === "P1" && $"mth" >= "1997-07")
+        .groupBy($"mth").agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+      assert(readsOnly(q, mv), s"residual query must rewrite: ${scanPaths(q)}")
+      // residual on a MEASURE cannot commute with the aggregation
+      assert(readsOnly(b.filter($"pri" === "P1" && $"cents" > 50)
+        .groupBy($"mth").agg(sum($"cents").as("sc")), base))
+      // a top-level disjunction is ONE unmatched conjunct
+      assert(readsOnly(b.filter($"pri" === "P1" || $"mth" === "1997-01")
+        .groupBy($"mth").agg(sum($"cents").as("sc")), base))
+      // literal case matters: 'p1' is a DIFFERENT value than 'P1'
+      assert(readsOnly(b.filter($"pri" === "p1")
+        .groupBy($"mth").agg(sum($"cents").as("sc")), base))
+      // values: residual rewrite equals the from-base recompute
+      val got = q
+      GraftMvRewrite.unregisterMv(mv)
+      assertSameRows(got.orderBy("mth"),
+        b.filter($"pri" === "P1" && $"mth" >= "1997-07").groupBy($"mth")
+          .agg(sum($"cents").as("sc"), count(lit(1)).as("n")).orderBy("mth"))
+    } finally { GraftMvRewrite.unregisterMv(mv); GraftMvRewrite.clear() }
+  }
+
+  test("SUBSUMPTION over an UNFILTERED MV: a group-column filter alone becomes the residual") {
+    val (base, mv, _) = fixture()
+    try {
+      val b = Scd1Merge.readTable(spark, base)
+      val q = b.filter($"g" === "g1").groupBy($"p")
+        .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+      assert(readsOnly(q, mv), s"group-col filter must rewrite: ${scanPaths(q)}")
+      GraftMvRewrite.unregister(base)
+      assertSameRows(q.orderBy("p"),
+        b.filter($"g" === "g1").groupBy($"p")
+          .agg(sum($"cents").as("sc"), count(lit(1)).as("n")).orderBy("p"))
+    } finally GraftMvRewrite.unregister(base)
+  }
+
+  test("DIM-ATTRIBUTE-FILTERED STAR MV: WHERE on a dim column lowers to fk-in-groups; the rewrite re-joins the dim; attribute flips need no MV wave") {
+    import graft.pipeline.MvDef
+    val root = Tmp.dir("mv_dimfilt")
+    val factT = root + "/fact"; val dimT = root + "/dim"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, factT,
+      (1L to 300L).map(i => (i, i % 20 + 1, s"b${i % 5}", i * 10))
+        .toDF("id", "ck", "bucket", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 4)
+    Scd1Merge.upsert(spark, dimT,
+      (1L to 20L).map(c => (c, s"seg${c % 4}")).toDF("ck", "seg"),
+      Seq("ck"), numBuckets = 1, retainVersions = 4)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS
+           |SELECT bucket, sum(cents) AS sc, count(*) AS n
+           |FROM graft.`$factT` f JOIN graft.`$dimT` d ON f.ck = d.ck
+           |WHERE d.seg = 'seg1' GROUP BY bucket""".stripMargin).collect()
+      assert(MvDef.read(mv).exists(d =>
+        d.spec.groupCols.map(_.toLowerCase) == Seq("bucket", "ck")))
+      def f = Scd1Merge.readTable(spark, factT)
+      def d = Scd1Merge.readTable(spark, dimT)
+      def q = f.as("f").join(d.as("d"), col("f.ck") === col("d.ck"))
+        .filter($"seg" === "seg1").groupBy($"bucket")
+        .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+      // the rewritten plan reads the MV + the dim, never the fact
+      def answersFromMv(df: DataFrame): Boolean = {
+        val ps = scanPaths(df)
+        ps.nonEmpty && ps.exists(_.contains(mv + "/")) &&
+          !ps.exists(_.contains(factT + "/"))
+      }
+      assert(answersFromMv(q), s"dim-filtered query must rewrite: ${scanPaths(q)}")
+      // ANY predicate on the keyed dim applies — not just the created one
+      assert(answersFromMv(f.as("f").join(d.as("d"), col("f.ck") === col("d.ck"))
+        .filter($"seg" =!= "seg0").groupBy($"bucket")
+        .agg(sum($"cents").as("sc"))))
+      // a dim attribute FLIP: no MV content change, but the stamp
+      // gates until refresh; after refresh the re-join sees new segs
+      Scd1Merge.upsert(spark, dimT,
+        Seq((5L, "seg1"), (9L, "seg0")).toDF("ck", "seg"),
+        Seq("ck"), retainVersions = 4)
+      assert(!answersFromMv(q), "a lagging dim must route to the base")
+      graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").collect()
+      val fresh = q
+      assert(answersFromMv(fresh))
+      GraftMvRewrite.unregisterJoin(mv)
+      assertSameRows(fresh.orderBy("bucket"),
+        f.as("f").join(d.as("d"), col("f.ck") === col("d.ck"))
+          .filter($"seg" === "seg1").groupBy($"bucket")
+          .agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+          .orderBy("bucket"))
+    } finally { GraftMvRewrite.unregisterJoin(mv); GraftMvRewrite.clear() }
+  }
+
+  test("STAR ROLLUP MV: expression group + max over the join maintain through the telescoped delta and rewrite") {
+    import graft.pipeline.MvDef
+    val root = Tmp.dir("mv_starroll")
+    val factT = root + "/fact"; val dimT = root + "/dim"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, factT,
+      (1L to 300L).map(i =>
+        (i, i % 10 + 1, f"1997-${i % 6 + 1}%02d-15", i * 10))
+        .toDF("id", "ck", "d", "cents")
+        .withColumn("d", to_date($"d")),
+      Seq("id"), numBuckets = 2, retainVersions = 4)
+    Scd1Merge.upsert(spark, dimT,
+      (1L to 11L).map(c => (c, s"seg${c % 3}")).toDF("ck", "seg"),
+      Seq("ck"), numBuckets = 1, retainVersions = 4)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS
+           |SELECT date_format(d, 'yyyy-MM') AS mth, seg,
+           |  sum(cents) AS sc, max(cents) AS mx, count(*) AS n
+           |FROM graft.`$factT` f JOIN graft.`$dimT` dm ON f.ck = dm.ck
+           |GROUP BY date_format(d, 'yyyy-MM'), seg""".stripMargin).collect()
+      val def0 = MvDef.read(mv).get
+      assert(def0.spec.groupExprs.keySet == Set("mth") &&
+        def0.spec.maxs == Seq("cents" -> "mx"), s"${def0.spec}")
+      def f = Scd1Merge.readTable(spark, factT)
+      def dm = Scd1Merge.readTable(spark, dimT)
+      def q = f.join(dm, "ck")
+        .groupBy(date_format($"d", "yyyy-MM").as("mth"), $"seg")
+        .agg(sum($"cents").as("sc"), max($"cents").as("mx"),
+          count(lit(1)).as("n"))
+      assert(readsOnly(q, mv), s"star rollup must rewrite: ${scanPaths(q)}")
+      // wave: delete the global max row (retraction AT the extreme →
+      // flagged-group rescan over the re-joined view), move a dim seg,
+      // and insert a new month — ONE refresh folds all three
+      Scd1Merge.delete(spark, factT, Seq("id"), $"id" === 300L,
+        retainVersions = 4)
+      Scd1Merge.upsert(spark, dimT, Seq((3L, "segX")).toDF("ck", "seg"),
+        Seq("ck"), retainVersions = 4)
+      Scd1Merge.upsert(spark, factT,
+        Seq((901L, 4L, java.sql.Date.valueOf("1997-09-15"), 70L))
+          .toDF("id", "ck", "d", "cents"),
+        Seq("id"), retainVersions = 4)
+      assert(!readsOnly(q, mv))
+      val rr = graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").as[(Long, Long)].head()
+      assert(rr._2 == 3L, rr.toString)
+      val fresh = q
+      assert(readsOnly(fresh, mv))
+      GraftMvRewrite.unregisterJoin(mv)
+      assertSameRows(fresh.orderBy("mth", "seg"),
+        f.join(dm, "ck")
+          .groupBy(date_format($"d", "yyyy-MM").as("mth"), $"seg")
+          .agg(sum($"cents").as("sc"), max($"cents").as("mx"),
+            count(lit(1)).as("n"))
+          .orderBy("mth", "seg"))
+    } finally { GraftMvRewrite.unregisterJoin(mv); GraftMvRewrite.clear() }
+  }
+
+  test("registry hygiene: clear() wipes join MVs; unregisterJoin lets a catalog re-arm over the same fact") {
+    import graft.pipeline.MvDef
+    val root = Tmp.dir("mv_hygiene")
+    val factT = root + "/fact"; val dimT = root + "/dim"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, factT,
+      (1L to 50L).map(i => (i, i % 5 + 1, i * 10)).toDF("id", "ck", "cents"),
+      Seq("id"), numBuckets = 1, retainVersions = 4)
+    Scd1Merge.upsert(spark, dimT,
+      (1L to 6L).map(c => (c, s"s$c")).toDF("ck", "seg"),
+      Seq("ck"), numBuckets = 1, retainVersions = 4)
+    graft.sql.GraftCatalog.setRoot(root)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` AS
+           |SELECT seg, sum(cents) AS sc, count(*) AS n
+           |FROM graft.`$factT` f JOIN graft.`$dimT` d ON f.ck = d.ck
+           |GROUP BY seg""".stripMargin).collect()
+      assert(GraftMvRewrite.registeredMvPaths.contains(mv))
+      GraftMvRewrite.clear()
+      assert(!GraftMvRewrite.registeredMvPaths.contains(mv),
+        "clear() must wipe the join registry too")
+      // the catalog still knows the MV: the next matching query
+      // re-arms (clear() also reset the armed-bases memo)
+      def q = Scd1Merge.readTable(spark, factT)
+        .join(Scd1Merge.readTable(spark, dimT), "ck")
+        .groupBy($"seg").agg(sum($"cents").as("sc"))
+      assert(readsOnly(q, mv), "catalog re-arm after clear() must fire")
+      // unregisterJoin (the DROP path) must also forget the memo so a
+      // later CREATE over the same fact can re-arm from the catalog
+      GraftMvRewrite.unregisterJoin(mv)
+      assert(readsOnly(q, mv), "re-arm after unregisterJoin must fire")
+    } finally {
+      GraftMvRewrite.unregisterJoin(mv)
+      GraftMvRewrite.clear()
+      graft.sql.GraftCatalog.clearRoot()
+    }
   }
 }
