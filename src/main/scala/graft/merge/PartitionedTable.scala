@@ -479,6 +479,8 @@ object PartitionedTable {
         val rel = base.parts.get(key).map(_._1)
           .getOrElse(genPrefix(base) + partitionDirName(base, vals))
         val childPath = Paths.get(tablePath, rel).toString
+        base.parts.get(key).foreach { case (_, pin) =>
+          reconcileResidue(childPath, pin, "upsert(partitioned)") }
         val sub = source.filter(partEq(base, vals))
         Scd1Merge.upsert(spark, childPath, sub, keys, nb,
           statsColumns = statsColumns, batchId = batchId,
@@ -707,6 +709,170 @@ object PartitionedTable {
     total
   }
 
+  /** The shared OPTIMISTIC adopt: take the parent lock (waiting),
+    * verify the staged partitions' footprints did not move since
+    * `m0`, merge the staged pins over the LIVE manifest (rebase over
+    * disjoint intervening commits), and on conflict roll each staged
+    * child back where nothing stacked on it — the
+    * [[upsertMultiConcurrent]] posture, factored so every predicate
+    * DML path shares one adopt/rollback discipline. */
+  private def adoptStaged(tablePath: String, m0: PManifest,
+                          staged: Map[String, (String, Int)],
+                          op: String, lockWaitMillis: Long): Unit = {
+    if (staged.isEmpty) return
+    try {
+      withPLockWait(tablePath, lockWaitMillis) {
+        val m1 = readPManifest(tablePath).get
+        checkPFootprints(tablePath, m0, m1, staged.keySet, op)
+        commitPManifest(tablePath, m1.copy(parts = m1.parts ++ staged))
+      }
+      ()
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        staged.foreach { case (k, (rel, c)) =>
+          if (m0.parts.contains(k)) {
+            val childPath = Paths.get(tablePath, rel).toString
+            if (Scd1Merge.tableCommit(childPath).contains(c))
+              try { Scd1Merge.restore(childPath, 1,
+                batchId = s"occ-rollback-$c"); () }
+              catch { case _: Exception => () }
+          }
+        }
+        throw e
+    }
+  }
+
+  /** The staging guard every optimistic path runs per touched
+    * partition BEFORE doing child work: a pin lagging its child's
+    * live commit means another writer is mid-adopt (or crash residue
+    * sits on the child) — merging on top would adopt foreign unpinned
+    * rows as a side effect, so fail loudly and let the caller retry. */
+  private def stagingGuard(tablePath: String, m: PManifest,
+                           key: String, op: String): Unit =
+    m.parts.get(key).foreach { case (rel, pin) =>
+      val childPath = Paths.get(tablePath, rel).toString
+      val liveC = Scd1Merge.tableCommit(childPath).getOrElse(pin)
+      if (liveC != pin) throw new IllegalStateException(
+        s"$op: partition ${valsOf(key).mkString("/")} pin $pin " +
+        s"lags its live child commit $liveC — another writer is " +
+        "mid-commit on this partition, or a conflicted/crashed batch " +
+        "left residue; retry, or compact() to re-pin")
+    }
+
+  /** LOCKED-writer residue reconciliation: a live child commit AHEAD
+    * of its parent pin is never table-visible — it is either a
+    * mid-flight optimistic staging (whose adopt will CME once this
+    * locked commit moves the pin) or residue of a conflicted/crashed
+    * batch. A locked writer must NOT merge on top of it: that would
+    * silently adopt the loser's rows into its own pin (the lost
+    * update this layer exists to prevent). Instead, restore the child
+    * to the pinned state first; the restore is itself a child commit,
+    * so the optimistic loser's rollback probe (`tableCommit ==
+    * stagedCommit`) correctly sees the stack and stands down. Only
+    * callable while HOLDING the parent lock — an unlocked writer
+    * restoring a staging it cannot defeat would race the stager's
+    * adopt. */
+  private def reconcileResidue(childPath: String, pin: Int,
+                               op: String): Unit = {
+    val live = Scd1Merge.tableCommit(childPath).getOrElse(pin)
+    if (live > pin) {
+      try { Scd1Merge.restore(childPath, live - pin,
+        batchId = s"$op-residue-$live"); () }
+      catch { case e: Exception => throw new IllegalStateException(
+        s"$op: child $childPath carries unpinned residue (live commit " +
+        s"$live, pin $pin) beyond restorable history — compact() to " +
+        "re-pin", e) }
+    }
+  }
+
+  /** OPTIMISTIC predicate DELETE — [[deleteWhere]] with the child
+    * rewrites staged OUTSIDE the parent lock ([[upsertMultiConcurrent]]
+    * posture): partition-column conjuncts prune to the touched
+    * children first, each child's stats-pruned delete runs under only
+    * its own lock, and one short locked adopt re-pins the changed
+    * children — REBASING over intervening commits to disjoint
+    * partitions. The 100 TB unlock this closes: a long month-A GDPR
+    * delete no longer blocks a month-B ingest; they serialize only at
+    * the sub-second pin swap. A touched-partition conflict aborts
+    * loudly with the staged children rolled back. Returns rows
+    * deleted. */
+  def deleteWhereConcurrent(spark: SparkSession, tablePath: String,
+                            predicate: Column,
+                            lockWaitMillis: Long = 60000L): Long = {
+    val m0 = requireTable(tablePath)
+    val chosen = matchingPartitions(spark, tablePath, m0, predicate).toSet
+    lastPartitionPrune = (chosen.size, m0.parts.size)
+    var n = 0L
+    val staged = m0.parts.toSeq.sortBy(_._1)
+      .filter { case (v, _) => chosen(v) }
+      .flatMap { case (v, (rel, pin)) =>
+        stagingGuard(tablePath, m0, v, "deleteWhereConcurrent")
+        val childPath = Paths.get(tablePath, rel).toString
+        n += Scd1Merge.delete(spark, childPath, m0.keys, predicate)
+        val after = Scd1Merge.tableCommit(childPath).get
+        if (after == pin) None else Some(v -> (rel, after))
+      }.toMap
+    Scd1Merge.failpoint("p-predicate-staged")
+    adoptStaged(tablePath, m0, staged, "deleteWhereConcurrent",
+      lockWaitMillis)
+    n
+  }
+
+  /** OPTIMISTIC predicate UPDATE — [[updateWhere]] on the
+    * stage-outside-lock posture of [[deleteWhereConcurrent]]. The
+    * constraint pre-check runs unlocked on the pruned matched rows:
+    * sound because the adopt-time footprint check aborts if ANY
+    * touched partition moved since the pre-check read it. Returns
+    * rows updated. */
+  def updateWhereConcurrent(spark: SparkSession, tablePath: String,
+                            predicate: Column, set: Map[String, Column],
+                            lockWaitMillis: Long = 60000L): Long = {
+    val m0 = requireTable(tablePath)
+    if (m0.constraints.nonEmpty) {
+      val matched = readTableWhere(spark, tablePath, predicate)
+        .filter(coalesce(predicate, lit(false)))
+      val post = set.foldLeft(matched) { case (df, (c, v)) =>
+        df.withColumn(c, v) }
+      Scd1Merge.enforceCheck(spark, tablePath, m0.constraints, post,
+        "updateWhereConcurrent(partitioned)")
+    }
+    val chosen = matchingPartitions(spark, tablePath, m0, predicate).toSet
+    lastPartitionPrune = (chosen.size, m0.parts.size)
+    var n = 0L
+    val staged = m0.parts.toSeq.sortBy(_._1)
+      .filter { case (v, _) => chosen(v) }
+      .flatMap { case (v, (rel, pin)) =>
+        stagingGuard(tablePath, m0, v, "updateWhereConcurrent")
+        val childPath = Paths.get(tablePath, rel).toString
+        n += Scd1Merge.update(spark, childPath, m0.keys, predicate, set)
+        val after = Scd1Merge.tableCommit(childPath).get
+        if (after == pin) None else Some(v -> (rel, after))
+      }.toMap
+    Scd1Merge.failpoint("p-predicate-staged")
+    adoptStaged(tablePath, m0, staged, "updateWhereConcurrent",
+      lockWaitMillis)
+    n
+  }
+
+  /** OPTIMISTIC dynamic partition overwrite — [[overwritePartitions]]
+    * with the wholesale child replacements staged OUTSIDE the parent
+    * lock: a month-repartition rewrite runs beside a disjoint ingest;
+    * a touched-partition conflict aborts loudly with the staged
+    * children rolled back. */
+  def overwritePartitionsConcurrent(spark: SparkSession, tablePath: String,
+                                    source: DataFrame,
+                                    lockWaitMillis: Long = 60000L): Unit = {
+    val m0 = requireTable(tablePath)
+    touchedKeys(source, m0).foreach(vals =>
+      stagingGuard(tablePath, m0, keyOf(vals),
+        "overwritePartitionsConcurrent"))
+    val staged = replaceTouched(spark, tablePath, m0, source,
+      locked = false)
+    Scd1Merge.failpoint("p-predicate-staged")
+    adoptStaged(tablePath, m0, staged, "overwritePartitionsConcurrent",
+      lockWaitMillis)
+  }
+
   /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=
     * dynamic` / Delta `replaceWhere` on partition values): every
     * partition PRESENT in the batch is replaced wholesale — its
@@ -729,7 +895,12 @@ object PartitionedTable {
     * commit) and return the new pins — the shared core of dynamic
     * and full overwrite. */
   private def replaceTouched(spark: SparkSession, tablePath: String,
-      m: PManifest, source: DataFrame): Map[String, (String, Int)] = {
+      m: PManifest, source: DataFrame,
+      // true only when the caller HOLDS the parent lock: locked
+      // overwrites restore unpinned residue before replacing
+      // ([[reconcileResidue]]); the optimistic path instead guards
+      // loudly at staging and must never restore unlocked
+      locked: Boolean = true): Map[String, (String, Int)] = {
     Scd1Merge.enforceCheck(spark, tablePath, m.constraints,
       source, "overwrite(partitioned)")
     val opCol = "__graft_part_op"
@@ -738,6 +909,8 @@ object PartitionedTable {
       val rel = m.parts.get(key).map(_._1)
         .getOrElse(genPrefix(m) + partitionDirName(m, vals))
       val childPath = Paths.get(tablePath, rel).toString
+      if (locked) m.parts.get(key).foreach { case (_, pin) =>
+        reconcileResidue(childPath, pin, "overwrite(partitioned)") }
       val sub = source.filter(partEq(m, vals))
       if (Scd1Merge.tableExists(childPath)) {
         val target = Scd1Merge.readTable(spark, childPath)
@@ -1322,8 +1495,9 @@ object PartitionedTable {
       // our pre-check and lock acquisition must be compacted, not lost
       val m = readPManifest(tablePath).get
       var total = 0
-      val newPins = m.parts.map { case (v, (rel, _)) =>
+      val newPins = m.parts.map { case (v, (rel, pin)) =>
         val childPath = Paths.get(tablePath, rel).toString
+        reconcileResidue(childPath, pin, "compact(partitioned)")
         total += Scd1Merge.compact(spark, childPath)
         v -> (rel, Scd1Merge.tableCommit(childPath).get)
       }
@@ -1455,6 +1629,7 @@ object PartitionedTable {
         if (!keep(v)) v -> (rel, pin)
         else {
           val childPath = Paths.get(tablePath, rel).toString
+          reconcileResidue(childPath, pin, "deleteWhere(partitioned)")
           n += Scd1Merge.delete(spark, childPath, m.keys, predicate)
           v -> (rel, Scd1Merge.tableCommit(childPath).get)
         }
@@ -1492,6 +1667,7 @@ object PartitionedTable {
         if (!keep(v)) v -> (rel, pin)
         else {
           val childPath = Paths.get(tablePath, rel).toString
+          reconcileResidue(childPath, pin, "updateWhere(partitioned)")
           n += Scd1Merge.update(spark, childPath, lm.keys, predicate, set)
           v -> (rel, Scd1Merge.tableCommit(childPath).get)
         }
@@ -1576,6 +1752,8 @@ object PartitionedTable {
           val rel = live.parts.get(key).map(_._1)
             .getOrElse(genPrefix(live) + partitionDirName(live, vals))
           val childPath = Paths.get(tablePath, rel).toString
+          live.parts.get(key).foreach { case (_, pin) =>
+            reconcileResidue(childPath, pin, "applyCdc(partitioned)") }
           Scd1Merge.applyCdc(spark, childPath, sub, keys, opCol,
             live.numBuckets, retainVersions)
           Some(key -> (rel, Scd1Merge.tableCommit(childPath).get))

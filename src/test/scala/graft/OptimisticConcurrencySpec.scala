@@ -455,4 +455,88 @@ class OptimisticConcurrencySpec extends SparkSpecBase {
     assert(PartitionedTable.readTable(spark, path)
       .filter($"k" === 11L).select("v").as[String].head() == "W_11")
   }
+
+  test("PARTITIONED: month-scoped OCC delete lands beside a disjoint ingest; final state == serial") {
+    val path = buildPart("del_beside")
+    // the delete stages p0's child rewrite, then — inside its
+    // unlocked window — an OCC ingest into p2 fully commits; the
+    // delete's adopt must REBASE over it, and both effects survive
+    Scd1Merge.testHooks = Map("p-predicate-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      PartitionedTable.upsertConcurrent(spark, path,
+        pbatch("p2", Seq(20L, 220L), "I"), Seq("part", "k"), "part")
+    })
+    val n = try PartitionedTable.deleteWhereConcurrent(spark, path,
+      $"part" === "p0" && $"k" < 5L)
+    finally Scd1Merge.testHooks = Map.empty
+    assert(n == 5L, s"deleted $n")
+    // only p0 was visited at all (partition pruning held)
+    assert(PartitionedTable.lastPartitionPrune == (1, 4))
+    val t = PartitionedTable.readTable(spark, path)
+    assert(t.filter($"part" === "p0").count() == 5)
+    assert(t.filter($"k" === 20L).select("v").as[String].head() == "I_20")
+    assert(t.filter($"k" === 220L).select("v").as[String].head() == "I_220")
+    assert(t.count() == 36)
+    PartitionedTable.partitions(spark, path).collect().foreach { r =>
+      assert(r.getAs[Int]("pinned_commit") == r.getAs[Int]("live_commit"))
+    }
+  }
+
+  test("PARTITIONED: OCC update rebases over a disjoint ingest; same-partition overlap conflicts with rollback") {
+    val path = buildPart("upd_beside")
+    Scd1Merge.testHooks = Map("p-predicate-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      PartitionedTable.upsertConcurrent(spark, path,
+        pbatch("p3", Seq(30L), "I"), Seq("part", "k"), "part")
+    })
+    val n = try PartitionedTable.updateWhereConcurrent(spark, path,
+      $"part" === "p1" && $"k" % 2L === 0L,
+      Map("v" -> lit("UPD")))
+    finally Scd1Merge.testHooks = Map.empty
+    assert(n == 5L, s"updated $n")
+    val t = PartitionedTable.readTable(spark, path)
+    assert(t.filter($"v" === "UPD").count() == 5)
+    assert(t.filter($"k" === 30L).select("v").as[String].head() == "I_30")
+    // OVERLAP: an intervening commit to the SAME partition the update
+    // touches must CME at adopt, and the staged child must roll back
+    Scd1Merge.testHooks = Map("p-predicate-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      PartitionedTable.upsert(spark, path,
+        pbatch("p1", Seq(12L), "W"), Seq("part", "k"), "part")
+    })
+    val e = try intercept[java.util.ConcurrentModificationException] {
+      PartitionedTable.updateWhereConcurrent(spark, path,
+        $"part" === "p1", Map("v" -> lit("LOST")))
+    } finally Scd1Merge.testHooks = Map.empty
+    assert(e.getMessage.contains("p1"))
+    val t2 = PartitionedTable.readTable(spark, path)
+    assert(t2.filter($"v" === "LOST").count() == 0,
+      "the conflicted update must leave no trace")
+    assert(t2.filter($"k" === 12L).select("v").as[String].head() == "W_12")
+    PartitionedTable.partitions(spark, path).collect().foreach { r =>
+      assert(r.getAs[Int]("pinned_commit") == r.getAs[Int]("live_commit"))
+    }
+  }
+
+  test("PARTITIONED: OCC dynamic overwrite replaces its month beside a disjoint ingest") {
+    val path = buildPart("ovr_beside")
+    Scd1Merge.testHooks = Map("p-predicate-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      PartitionedTable.upsertConcurrent(spark, path,
+        pbatch("p0", Seq(0L, 100L), "I"), Seq("part", "k"), "part")
+    })
+    try PartitionedTable.overwritePartitionsConcurrent(spark, path,
+      pbatch("p2", Seq(21L, 23L), "O"))
+    finally Scd1Merge.testHooks = Map.empty
+    val t = PartitionedTable.readTable(spark, path)
+    // p2 replaced wholesale (10 -> 2 rows), the p0 ingest intact
+    assert(t.filter($"part" === "p2").count() == 2)
+    assert(t.filter($"k" === 21L).select("v").as[String].head() == "O_21")
+    assert(t.filter($"k" === 0L).select("v").as[String].head() == "I_0")
+    assert(t.filter($"k" === 100L).select("v").as[String].head() == "I_100")
+    assert(t.count() == 33)
+    PartitionedTable.partitions(spark, path).collect().foreach { r =>
+      assert(r.getAs[Int]("pinned_commit") == r.getAs[Int]("live_commit"))
+    }
+  }
 }
