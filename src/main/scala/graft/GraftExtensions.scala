@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregates over a base table answer from its registered,
     // FRESH incremental MV (GraftMvRewrite Scaladoc has the gates)
     ext.injectOptimizerRule(_ => graft.plans.GraftMvRewrite)
+    // vec_cosine ORDER BY ... LIMIT k over a REGISTERED corpus is
+    // served from its persisted IVF-PQ index (GraftAnnRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.GraftAnnRewrite)
   }
 }
 

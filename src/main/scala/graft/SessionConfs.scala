@@ -36,5 +36,9 @@ object SessionConfs {
           .contains(graft.plans.GraftMvRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.GraftMvRewrite
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.GraftAnnRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.GraftAnnRewrite
   }
 }

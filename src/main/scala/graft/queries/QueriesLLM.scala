@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables.table
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
+import graft.merge.Scd1Merge
 import graft.similarity.Similarity
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -814,15 +815,42 @@ object QueriesLLM {
       val nExact = exact.count()
       val hitsBefore = hitsOf(Similarity.ivfPqTopKIndexed(s, idx, full, q,
         "vec_id", "embedding", K, nprobe = 4, dim = 64, candFactor = 16))
-      val retrained = Similarity.ivfPqIndexMaintain(s, idx, full,
+      // SCOPED repair answers the trip FIRST (the 100 TB path, r11
+      // verdict #5): the global monitor trips, the persisted PER-CELL
+      // profile localizes the drift to the few cells the shifted
+      // batch piled into, and ONLY their vectors re-learn sub-
+      // geometry + re-encode (PQ codebooks frozen — residuals
+      // re-center into the regime they quantize well). The in-row
+      // counters prove the repair stayed cell-scoped: re-encoded <
+      // corpus. A second scoped maintain against the refreshed
+      // baselines is a no-op.
+      val action = Similarity.ivfPqIndexMaintainScoped(s, idx, full,
         "vec_id", "embedding", nlist = 16, m = 16, ksub = 16,
-        iters = 2, dim = 64, batchId = "retrain@3")
-      require(retrained, "the shifted ingest must trip the drift monitor")
+        iters = 2, dim = 64, batchId = "scoped@3")
+      require(action == "scoped", s"expected a cell-scoped repair: $action")
+      val (_, scopedCells, scopedReenc, nTotal) = Similarity.lastScopedStats
+      require(scopedReenc < nTotal,
+        s"scoped repair touched the whole corpus: $scopedReenc / $nTotal")
+      val hitsScoped = hitsOf(Similarity.ivfPqTopKIndexed(s, idx, full, q,
+        "vec_id", "embedding", K, nprobe = 4, dim = 64, candFactor = 16))
+      require(hitsScoped > hitsBefore,
+        s"scoped repair must recover recall: $hitsBefore -> $hitsScoped")
+      val scopedNoop = Similarity.ivfPqIndexMaintainScoped(s, idx, full,
+        "vec_id", "embedding", nlist = 16, m = 16, ksub = 16,
+        iters = 2, dim = 64, batchId = "snoop@4")
+      require(scopedNoop == "none",
+        s"a freshly repaired index must not re-trip: $scopedNoop")
+      // FULL rebuild pinned ALONGSIDE (the past-threshold fallback;
+      // deterministic on the corpus alone, so the r11 recall_after
+      // pin is unchanged) + the original full-path no-op pin
+      Similarity.ivfPqIndexBuild(s, idx, full, "vec_id", "embedding",
+        nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64,
+        batchId = "rebuild@5")
       val hitsAfter = hitsOf(Similarity.ivfPqTopKIndexed(s, idx, full, q,
         "vec_id", "embedding", K, nprobe = 4, dim = 64, candFactor = 16))
       val noop = Similarity.ivfPqIndexMaintain(s, idx, full,
         "vec_id", "embedding", nlist = 16, m = 16, ksub = 16,
-        iters = 2, dim = 64, batchId = "noop@4")
+        iters = 2, dim = 64, batchId = "noop@6")
       require(!noop, "a freshly retrained index must not re-trip")
       require(hitsAfter > hitsBefore,
         s"retrain must recover recall: $hitsBefore -> $hitsAfter / $nExact")
@@ -832,9 +860,89 @@ object QueriesLLM {
         lit(nExact).as("n_exact"),
         lit(hitsBefore).as("hits_before"),
         (lit(hitsBefore).cast("double") / lit(nExact)).as("recall_before"),
+        lit(scopedCells.toLong).as("scoped_cells"),
+        lit(scopedReenc).as("scoped_reencoded"),
+        lit(nTotal).as("n_corpus"),
+        lit(hitsScoped).as("hits_scoped"),
+        (lit(hitsScoped).cast("double") / lit(nExact)).as("recall_scoped"),
+        lit(true).as("scoped_noop"),
         lit(hitsAfter).as("hits_after"),
         (lit(hitsAfter).cast("double") / lit(nExact)).as("recall_after"),
         lit(true).as("drift_detected"), lit(true).as("retrain_noop"))
+    }),
+
+    "sim_ann_rewrite" -> ((s, dir) => {
+      // TRANSPARENT ANN TOP-K REWRITE (r11 verdict #6): `ORDER BY
+      // vec_cosine(embedding, <literal>) DESC LIMIT k` over a
+      // REGISTERED corpus table is answered by probing its persisted
+      // IVF-PQ index — an optimizer Rule in the GraftMvRewrite mold
+      // (registration opt-in + file-snapshot + commit-freshness
+      // gates), so the query text never changes. The rewritten plan
+      // semi-joins the scan against the ADC candidate set (driver-
+      // side KB distance table broadcast onto the committed code
+      // rows) and keeps the query's own Sort/Limit — final order is
+      // EXACT cosine over candidates. In-row requires pin the
+      // routing: fresh registration → codes table scanned, base scan
+      // candidate-narrowed; a base WRITE → falls back to the exact
+      // full scan (the index no longer covers the corpus); index
+      // update + re-stamp → serves again. Recall vs the exact plan is
+      // the judged metric (deterministic: quantized ADC, fixed data).
+      val emb = table(s, dir, "embeddings")
+      val root = graft.Tmp.dir("graft_annrw")
+      val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+      Scd1Merge.upsert(s, corpusT, emb.filter(col("vec_id") >= 20),
+        Seq("vec_id"), numBuckets = 4, retainVersions = 4, batchId = "c1")
+      val corpus = () => Scd1Merge.readTable(s, corpusT)
+      Similarity.ivfPqIndexBuild(s, idx, corpus(), "vec_id", "embedding",
+        nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64,
+        batchId = "b1")
+      val qv = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val KK = 10
+      def topk(): DataFrame = corpus()
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            typedLit(qv)).as("cos_sim"))
+        .orderBy(col("cos_sim").desc).limit(KK)
+      def scansCodes(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten.exists(_.contains(idx + "/codes/"))
+      // ground truth BEFORE registration: the exact full-scan plan
+      val exactIds = topk().select(col("vec_id")).collect()
+        .map(_.getLong(0)).toSet
+      require(!scansCodes(topk()),
+        "an unregistered corpus must plan the exact scan")
+      graft.plans.GraftAnnRewrite.register(s, corpusT, idx,
+        "vec_id", "embedding", dim = 64, nprobe = 4, candFactor = 16)
+      val served = topk()
+      require(scansCodes(served),
+        "a registered fresh corpus must serve top-k from the index")
+      val hits = served.select(col("vec_id")).collect()
+        .map(_.getLong(0)).toSet.intersect(exactIds).size
+      // a base WRITE makes the registration stale: exact plan again
+      Scd1Merge.upsert(s, corpusT, emb.filter(col("vec_id") < 20),
+        Seq("vec_id"), retainVersions = 4, batchId = "c2")
+      require(!scansCodes(topk()),
+        "a written-to corpus must fall back to the exact scan")
+      // fold the new batch into the index, re-stamp → serves again
+      Similarity.ivfPqIndexUpdate(s, idx, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", dim = 64, batchId = "u3")
+      graft.plans.GraftAnnRewrite.refresh(s, corpusT)
+      require(scansCodes(topk()),
+        "an updated+re-stamped index must serve again")
+      graft.plans.GraftAnnRewrite.unregister(corpusT)
+      s.range(1).select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
+        lit(16L).as("cand_factor"), lit(KK.toLong).as("k"),
+        lit(hits.toLong).as("n_hits"),
+        (lit(hits).cast("double") / lit(KK)).as("recall"),
+        lit(true).as("fresh_served"), lit(true).as("stale_fell_back"),
+        lit(true).as("refresh_served"))
     }),
 
     "a6_count_distinct" -> ((s, dir) =>
@@ -1695,8 +1803,23 @@ object QueriesLLM {
          |  16::BIGINT AS m, 16::BIGINT AS ksub,
          |  250::BIGINT AS n_exact,
          |  160::BIGINT AS hits_before, 160 / 250.0 AS recall_before,
+         |  1::BIGINT AS scoped_cells, 145::BIGINT AS scoped_reencoded,
+         |  500::BIGINT AS n_corpus,
+         |  201::BIGINT AS hits_scoped, 201 / 250.0 AS recall_scoped,
+         |  TRUE AS scoped_noop,
          |  221::BIGINT AS hits_after, 221 / 250.0 AS recall_after,
          |  TRUE AS drift_detected, TRUE AS retrain_noop""".stripMargin,
+    // PINNED literal: transparent ANN rewrite — index-served top-10
+    // for one literal query vs the exact full-scan plan, with the
+    // three routing pins (fresh serves / stale falls back / updated +
+    // re-stamped serves) asserted in-row. Deterministic: quantized
+    // ADC sums, fixed corpus, single query.
+    "sim_ann_rewrite" ->
+      """SELECT 16::BIGINT AS nlist, 4::BIGINT AS nprobe,
+         |  16::BIGINT AS cand_factor, 10::BIGINT AS k,
+         |  10::BIGINT AS n_hits, 10 / 10.0 AS recall,
+         |  TRUE AS fresh_served, TRUE AS stale_fell_back,
+         |  TRUE AS refresh_served""".stripMargin,
     "sim_ivfpq_recall" ->
       """SELECT 16::BIGINT AS nlist, 4::BIGINT AS nprobe,
          |  16::BIGINT AS m, 16::BIGINT AS ksub,
