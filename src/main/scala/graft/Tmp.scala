@@ -21,6 +21,6 @@ object Tmp {
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      graft.merge.FsList.walk(p).reverse.foreach(Files.delete)
     }
 }

@@ -194,7 +194,7 @@ object PartitionedTable {
     Files.move(tmp, manifestPath(tablePath),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // age parent history to the retention window
-    Files.list(hist).iterator().asScala.toSeq.foreach { h =>
+    graft.merge.FsList.list(hist).foreach { h =>
       h.getFileName.toString.toIntOption.foreach { n =>
         if (n > next || n < next - DefaultRetainParents) Files.deleteIfExists(h)
       }
@@ -1020,7 +1020,7 @@ object PartitionedTable {
     val hist = Paths.get(tablePath, PHistoryDir)
     val retained =
       if (!Files.exists(hist)) Nil
-      else Files.list(hist).iterator().asScala.toSeq
+      else graft.merge.FsList.list(hist)
         .flatMap(p => p.getFileName.toString.toIntOption
           .filter(_ < live.commit).map(_ => parse(p)))
     retained.filter(_.ts <= tsMillis).sortBy(m => (m.ts, m.commit))
@@ -1525,7 +1525,7 @@ object PartitionedTable {
       // parity: vacuum(0) leaves only the live manifest) — what lets
       // a post-evolution vacuum actually release the old generation
       if (Files.exists(hist))
-        Files.list(hist).iterator().asScala.toSeq.foreach { h =>
+        graft.merge.FsList.list(hist).foreach { h =>
           h.getFileName.toString.toIntOption.foreach { n =>
             if (n > m.commit || n < m.commit - retain) Files.deleteIfExists(h)
           }
@@ -1533,15 +1533,15 @@ object PartitionedTable {
       val referenced: Set[String] =
         m.parts.values.map(_._1).toSet ++ (
           if (!Files.exists(hist)) Set.empty[String]
-          else Files.list(hist).iterator().asScala.toSeq
+          else graft.merge.FsList.list(hist)
             .filter(_.getFileName.toString.toIntOption.isDefined)
             .flatMap(p => parse(p).parts.values.map(_._1)).toSet)
       def rm(x: Path): Unit = {
         if (Files.isDirectory(x))
-          Files.list(x).iterator().asScala.toSeq.foreach(rm)
+          graft.merge.FsList.list(x).foreach(rm)
         Files.deleteIfExists(x)
       }
-      Files.list(Paths.get(tablePath)).iterator().asScala.toSeq.foreach { p =>
+      graft.merge.FsList.list(Paths.get(tablePath)).foreach { p =>
         val n = p.getFileName.toString
         // partition dirs: legacy "p=<v>" or multi-col "<c>=<v>,..." —
         // anything with "=" that is not an internal "_graft_*" file
@@ -1550,10 +1550,10 @@ object PartitionedTable {
         // generation dirs (partition evolution): sweep unreferenced
         // children inside, then the dir itself once empty
         else if (n.matches("gen\\d+") && Files.isDirectory(p)) {
-          Files.list(p).iterator().asScala.toSeq.foreach { c =>
+          graft.merge.FsList.list(p).foreach { c =>
             if (!referenced.contains(s"$n/${c.getFileName}")) rm(c)
           }
-          if (!Files.list(p).iterator().hasNext) Files.deleteIfExists(p)
+          if (graft.merge.FsList.list(p).isEmpty) Files.deleteIfExists(p)
         }
       }
     }
@@ -1930,7 +1930,7 @@ object PartitionedTable {
     val hist = Paths.get(tablePath, PHistoryDir)
     val rows =
       if (!Files.exists(hist)) Nil
-      else Files.list(hist).iterator().asScala.toSeq
+      else graft.merge.FsList.list(hist)
         .flatMap(p => p.getFileName.toString.toIntOption.map(_ => parse(p)))
         .map(m => (m.commit, m.ts, m.parts.size))
         .sortBy(_._1)

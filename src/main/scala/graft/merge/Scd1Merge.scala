@@ -599,7 +599,7 @@ object Scd1Merge {
       val hconf = spark.sessionState.newHadoopConf()
       val prefix = BucketCol + "="
       val poisoned = scala.collection.mutable.Set.empty[String]
-      val footer = Files.list(root).iterator().asScala.toSeq
+      val footer = graft.merge.FsList.list(root)
         .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
         .flatMap { bdir =>
           val b = bdir.getFileName.toString.substring(prefix.length).toInt
@@ -607,7 +607,7 @@ object Scd1Merge {
           // Some((typ, mn, mx)) = bounded so far; None = poisoned
           val acc = scala.collection.mutable.Map.empty[String, Option[(Char, String, String)]]
           var bucketRows = 0L
-          Files.list(bdir).iterator().asScala.toSeq
+          graft.merge.FsList.list(bdir)
             .filter(_.getFileName.toString.endsWith(".parquet"))
             .foreach { f =>
               val rdr = ParquetFileReader.open(
@@ -1090,7 +1090,7 @@ object Scd1Merge {
     val data = Paths.get(tablePath, "data")
     val onDisk =
       if (!Files.exists(data)) Nil
-      else Files.list(data).iterator().asScala.toSeq
+      else graft.merge.FsList.list(data)
         .flatMap(p => parseVersionDir(p.getFileName.toString))
         .filter(_._1 == b).map(_._2)
     val floor = m.dirs.get(b).map(versionOf).toSeq ++ onDisk
@@ -1104,7 +1104,7 @@ object Scd1Merge {
     val hist = Paths.get(tablePath, HistoryDir)
     val hs =
       if (!Files.exists(hist)) Nil
-      else Files.list(hist).iterator().asScala.toSeq.flatMap { p =>
+      else graft.merge.FsList.list(hist).flatMap { p =>
         p.getFileName.toString.toIntOption
           .filter(n => n <= live.commit && n >= live.commit - retain && n != live.commit)
           .map(_ => parseManifest(p))
@@ -1125,7 +1125,7 @@ object Scd1Merge {
   private def sweepVersions(tablePath: String, m: Manifest, retain: Int): Unit = {
     val hist = Paths.get(tablePath, HistoryDir)
     if (Files.exists(hist))
-      Files.list(hist).iterator().asScala.toSeq.foreach { p =>
+      graft.merge.FsList.list(hist).foreach { p =>
         p.getFileName.toString.toIntOption match {
           case Some(n) if n <= m.commit && n >= m.commit - retain => ()
           case _ => deleteRecursively(p)
@@ -1136,7 +1136,7 @@ object Scd1Merge {
         (if (mf.dv.nonEmpty) Seq(mf.dv) else Nil)).toSet
     val data = Paths.get(tablePath, "data")
     if (Files.exists(data))
-      Files.list(data).iterator().asScala.toSeq.foreach { p =>
+      graft.merge.FsList.list(data).foreach { p =>
         if (!referenced.contains(s"data/${p.getFileName}"))
           deleteRecursively(p)
       }
@@ -1153,7 +1153,7 @@ object Scd1Merge {
     val referenced = retainedManifests(tablePath, m, retain)
       .flatMap(mf => mf.dirs.values ++
         (if (mf.dv.nonEmpty) Seq(mf.dv) else Nil)).toSet
-    Files.list(Paths.get(tablePath)).iterator().asScala.toSeq.foreach { p =>
+    graft.merge.FsList.list(Paths.get(tablePath)).foreach { p =>
       val name = p.getFileName.toString
       // durable SIDECARS survive GC: the MV definition (_graft_mv —
       // REFRESH in a later session depends on it) and the COPY INTO
@@ -1204,7 +1204,7 @@ object Scd1Merge {
     if (parent == null || !Files.exists(parent)) return
     val prefix = dir.getFileName.toString + ".tmp"
     val cutoff = clockMillis() - math.max(lockLeaseMillis * 4, 3600L * 1000)
-    Files.list(parent).iterator().asScala.toSeq.foreach { p =>
+    graft.merge.FsList.list(parent).foreach { p =>
       val n = p.getFileName.toString
       if (n.startsWith(prefix) &&
           (try Files.getLastModifiedTime(p).toMillis < cutoff
@@ -1233,7 +1233,7 @@ object Scd1Merge {
           val hist = Paths.get(tablePath, HistoryDir)
           val keptCommits =
             if (!Files.exists(hist)) Nil
-            else Files.list(hist).iterator().asScala.toSeq
+            else graft.merge.FsList.list(hist)
               .flatMap(p => p.getFileName.toString.toIntOption
                 .filter(_ <= live.commit)
                 .map { n =>
@@ -1447,7 +1447,7 @@ object Scd1Merge {
     * the engine's own files, the versioned `data/` area, write residue,
     * and writer junk Spark itself ignores. */
   private def listNonInternal(tablePath: String): Seq[Path] =
-    Files.list(Paths.get(tablePath)).iterator().asScala.toSeq.filter { p =>
+    graft.merge.FsList.list(Paths.get(tablePath)).filter { p =>
       val n = p.getFileName.toString
       n != "data" && n != ManifestName && n != LockName && n != LegacyMetaName &&
       n != HistoryDir && n != "_graft_staging" &&
@@ -1774,7 +1774,7 @@ object Scd1Merge {
       m.dirs.values.map { d =>
         val p = Paths.get(tablePath, d)
         if (!Files.exists(p)) 0L
-        else Files.list(p).iterator().asScala
+        else graft.merge.FsList.list(p).iterator
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(Files.size(_)).sum
       }.sum
@@ -1831,7 +1831,7 @@ object Scd1Merge {
       val hist = Paths.get(tablePath, HistoryDir)
       val retained =
         if (!Files.exists(hist)) Nil
-        else Files.list(hist).iterator().asScala.toSeq
+        else graft.merge.FsList.list(hist)
           .flatMap(p => p.getFileName.toString.toIntOption
             .filter(_ < live.commit).map(_ => parseManifest(p)))
       val candidate = retained.filter(_.ts <= tsMillis)
@@ -2069,7 +2069,7 @@ object Scd1Merge {
   private def adoptBucketDirs(tablePath: String, writtenTo: String,
                               versions: Int => Int): Map[Int, String] = {
     Files.createDirectories(Paths.get(tablePath, "data"))
-    Files.list(Paths.get(writtenTo)).iterator().asScala.toSeq
+    graft.merge.FsList.list(Paths.get(writtenTo))
       .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
       .map { d =>
         val b = d.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
@@ -2548,7 +2548,7 @@ object Scd1Merge {
     val data = Paths.get(tablePath, "data")
     val onDisk =
       if (!Files.exists(data)) Nil
-      else Files.list(data).iterator().asScala.toSeq.flatMap(p =>
+      else graft.merge.FsList.list(data).flatMap(p =>
         "^dv_v(\\d+)$".r.findFirstMatchIn(p.getFileName.toString)
           .map(_.group(1).toInt))
     val rel = s"data/dv_v${(m.commit +: onDisk).max + 1}"
@@ -3696,7 +3696,7 @@ object Scd1Merge {
     val manifest = readManifest(tablePath).get
     sweepVersions(tablePath, manifest, retainVersions)
     val frag = manifest.dirs.toSeq.sortBy(_._1).filter { case (_, d) =>
-      Files.list(Paths.get(tablePath, d)).iterator().asScala
+      graft.merge.FsList.list(Paths.get(tablePath, d)).iterator
         .count(_.getFileName.toString.endsWith(".parquet")) > 1
     }
     if (frag.isEmpty) 0
@@ -3922,7 +3922,7 @@ object Scd1Merge {
         // copy resolves through them (the clone must be independent)
         Files.isDirectory(from)) {
       Files.createDirectories(to)
-      Files.list(from).iterator().asScala.toSeq.foreach { p =>
+      graft.merge.FsList.list(from).foreach { p =>
         copyRecursively(p, to.resolve(p.getFileName.toString))
       }
     } else
@@ -3943,7 +3943,7 @@ object Scd1Merge {
     val hist = Paths.get(tablePath, HistoryDir)
     val rows =
       (if (!Files.exists(hist)) Seq(live)
-       else Files.list(hist).iterator().asScala.toSeq
+       else graft.merge.FsList.list(hist)
          .flatMap(p => p.getFileName.toString.toIntOption
            .filter(_ <= live.commit).map(_ => parseManifest(p))))
         .sortBy(_.commit)
@@ -3989,6 +3989,6 @@ object Scd1Merge {
     // `data/` forever. Files.walk does not follow links, so a live
     // symlink is removed as a link — never descended into.
     if (Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      graft.merge.FsList.walk(p).reverse.foreach(Files.delete)
     }
 }

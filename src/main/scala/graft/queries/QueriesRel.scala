@@ -30,7 +30,7 @@ object QueriesRel {
     val loc = java.nio.file.Paths.get(wh, s"$db.db", tbl)
     if (Files.exists(loc)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(loc).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      graft.merge.FsList.walk(loc).reverse.foreach(Files.delete)
     }
   }
 
@@ -1084,7 +1084,7 @@ object QueriesRel {
         import scala.jdk.CollectionConverters._
         val t = java.nio.file.Paths.get(root, "stage_" + name)
         df.coalesce(1).write.parquet(t.toString)
-        val part = java.nio.file.Files.list(t).iterator().asScala
+        val part = graft.merge.FsList.list(t).iterator
           .find(_.getFileName.toString.endsWith(".parquet")).get
         java.nio.file.Files.move(part, in.resolve(name + ".parquet"))
       }

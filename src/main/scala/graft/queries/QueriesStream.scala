@@ -612,7 +612,7 @@ object QueriesStream {
                          name: String): Unit = {
     val tmp = graft.Tmp.dir(s"graft_chunk_$name")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val f = Files.list(Paths.get(tmp)).iterator().asScala
+    val f = graft.merge.FsList.list(Paths.get(tmp)).iterator
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
     Files.move(f, Paths.get(srcDir, s"$name.parquet"),

@@ -392,7 +392,7 @@ class GraftBatchWrite(path: String, options: CaseInsensitiveStringMap,
     import scala.jdk.CollectionConverters._
     if (!java.nio.file.Files.isDirectory(stagingRoot)) return
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-    java.nio.file.Files.list(stagingRoot).iterator().asScala.toSeq.foreach { p =>
+    graft.merge.FsList.list(stagingRoot).foreach { p =>
       try {
         if (java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
           GraftStaging.deleteTree(p)
@@ -483,7 +483,7 @@ private[sources] object GraftStaging {
   def deleteTree(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (!java.nio.file.Files.exists(p)) return
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+    graft.merge.FsList.walk(p).reverse
       .foreach(f => try java.nio.file.Files.deleteIfExists(f)
         catch { case _: java.io.IOException => () })
   }

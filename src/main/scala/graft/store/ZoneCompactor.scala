@@ -39,7 +39,7 @@ object ZoneCompactor {
   }
 
   private def parquetFiles(p: Path): Long =
-    Files.walk(p).iterator().asScala
+    graft.merge.FsList.walk(p).iterator
       .count(_.getFileName.toString.endsWith(".parquet"))
 
   /** Compact `dir` in place; returns (filesBefore, filesAfter).

@@ -27,7 +27,7 @@ class CloneSpec extends SparkSpecBase {
     val (src, dst) = freshPair()
     load(src)
     Scd1Merge.cloneShallow(src, dst)
-    val dataDirs = Files.list(Paths.get(dst, "data")).iterator().asScala.toSeq
+    val dataDirs = graft.merge.FsList.list(Paths.get(dst, "data"))
     assert(dataDirs.nonEmpty, "clone must reference the source buckets")
     assert(dataDirs.forall(Files.isSymbolicLink),
       s"expected only symlinks under clone/data, got ${dataDirs.map(_.getFileName)}")
@@ -67,7 +67,7 @@ class CloneSpec extends SparkSpecBase {
     Scd1Merge.upsert(spark, dst, all, Seq("k"))
     Scd1Merge.vacuum(dst, retain = 0)
     // clone is now standalone: no symlinks left, reads its own versions
-    val left = Files.list(Paths.get(dst, "data")).iterator().asScala.toSeq
+    val left = graft.merge.FsList.list(Paths.get(dst, "data"))
     assert(left.nonEmpty && left.forall(p => !Files.isSymbolicLink(p)),
       s"vacuum(0) after a full rewrite must drop every symlink: ${left.map(_.getFileName)}")
     // and the SOURCE lost nothing

@@ -178,7 +178,7 @@ class DedupSpec extends SparkSpecBase {
         Seq("1", "1"), Seq("2", "1"), Seq("3", "1"),
         Seq("7", "7"), Seq("8", "7")).sortBy(_.mkString("")))
       // the reliable path actually wrote DFS-backed checkpoint data
-      val wrote = java.nio.file.Files.walk(dir).anyMatch(p =>
+      val wrote = graft.merge.FsList.walk(dir).exists(p =>
         java.nio.file.Files.isRegularFile(p))
       assert(wrote, "checkpoint dir should contain materialized round state")
     } finally {

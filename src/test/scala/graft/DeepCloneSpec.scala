@@ -28,7 +28,7 @@ class DeepCloneSpec extends SparkSpecBase {
     val (src, dst) = freshPair()
     load(src)
     Scd1Merge.cloneDeep(src, dst)
-    val dataDirs = Files.list(Paths.get(dst, "data")).iterator().asScala.toSeq
+    val dataDirs = graft.merge.FsList.list(Paths.get(dst, "data"))
     assert(dataDirs.nonEmpty && dataDirs.forall(p => !Files.isSymbolicLink(p)),
       s"deep clone must copy, not link: ${dataDirs.map(_.getFileName)}")
     val srcFiles = Scd1Merge.readTable(spark, src).inputFiles
@@ -65,7 +65,7 @@ class DeepCloneSpec extends SparkSpecBase {
     load(src)
     Scd1Merge.cloneShallow(src, shallow)
     Scd1Merge.cloneDeep(shallow, deep)
-    val dataDirs = Files.list(Paths.get(deep, "data")).iterator().asScala.toSeq
+    val dataDirs = graft.merge.FsList.list(Paths.get(deep, "data"))
     assert(dataDirs.forall(p => !Files.isSymbolicLink(p)),
       "deep-of-shallow must materialize the linked dirs")
     // the deep copy outlives BOTH ancestors' data

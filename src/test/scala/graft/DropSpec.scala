@@ -22,7 +22,7 @@ class DropSpec extends SparkSpecBase {
   }
 
   private def bucketDirs(path: String): Set[String] =
-    Files.list(Paths.get(path, "data")).iterator().asScala
+    graft.merge.FsList.list(Paths.get(path, "data")).iterator
       .map(_.getFileName.toString).toSet
 
   test("drop is metadata-only: zero dir churn, bytes stay, view narrows") {
@@ -33,7 +33,7 @@ class DropSpec extends SparkSpecBase {
     val got = Scd1Merge.readTable(spark, path)
     assert(got.columns.toSeq == Seq("k", "name", "region"))
     // the bytes are still physically in the files (no rewrite happened)
-    val anyBucket = Files.list(Paths.get(path, "data")).iterator().asScala
+    val anyBucket = graft.merge.FsList.list(Paths.get(path, "data")).iterator
       .filter(_.getFileName.toString.startsWith("b")).toSeq.head
     assert(spark.read.parquet(anyBucket.toString).columns.contains("score"))
   }
@@ -76,7 +76,7 @@ class DropSpec extends SparkSpecBase {
     }
     // rebucket materializes the narrow schema and FREES the name
     Scd1Merge.rebucket(spark, path, Seq("k"), 8)
-    val anyBucket = Files.list(Paths.get(path, "data")).iterator().asScala
+    val anyBucket = graft.merge.FsList.list(Paths.get(path, "data")).iterator
       .filter(_.getFileName.toString.startsWith("b")).toSeq
       .maxBy(_.getFileName.toString)
     assert(!spark.read.parquet(anyBucket.toString).columns.contains("score"),

@@ -22,7 +22,7 @@ class DvSpec extends SparkSpecBase {
   }
 
   private def bucketDirs(path: String): Set[String] =
-    Files.list(Paths.get(path, "data")).iterator().asScala
+    graft.merge.FsList.list(Paths.get(path, "data")).iterator
       .map(_.getFileName.toString).filter(_.startsWith("b")).toSet
 
   test("soft delete rewrites NO bucket dir and hides the rows everywhere") {
@@ -87,7 +87,7 @@ class DvSpec extends SparkSpecBase {
     assert(Scd1Merge.materializeDeletes(spark, path) == 0)
     // deep-clean: after vacuum(0) no dv dir remains on disk
     Scd1Merge.vacuum(path, retain = 0)
-    assert(!Files.list(Paths.get(path, "data")).iterator().asScala
+    assert(!graft.merge.FsList.list(Paths.get(path, "data")).iterator
       .exists(_.getFileName.toString.startsWith("dv_")),
       "materialized dv dirs must be reclaimable")
   }

@@ -218,8 +218,8 @@ class GraftDsv2Spec extends SparkSpecBase {
     // no staging residue after the writes
     assert(!java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(path, "_graft_staging")) ||
-      java.nio.file.Files.list(
-        java.nio.file.Paths.get(path, "_graft_staging")).count() == 0)
+      graft.merge.FsList.list(
+        java.nio.file.Paths.get(path, "_graft_staging")).size.toLong == 0)
     // overwritePartitions on a FLAT table: loud at the write builder
     spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sources.GraftCatalog].getName)
     GraftTables.register("dsv2_flatdynw", path)

@@ -934,7 +934,7 @@ class GraftSqlSpec extends SparkSpecBase {
       .toDF("month", "id", "cents").coalesce(1)
       .write.parquet(root + "/stage")
     import scala.jdk.CollectionConverters._
-    val part = Files.list(Paths.get(root, "stage")).iterator().asScala
+    val part = graft.merge.FsList.list(Paths.get(root, "stage")).iterator
       .find(_.getFileName.toString.endsWith(".parquet")).get
     Files.move(part, in.resolve("f1.parquet"))
     def copy() = graft.sql.GraftSql.sql(spark,

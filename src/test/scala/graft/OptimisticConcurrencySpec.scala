@@ -77,7 +77,7 @@ class OptimisticConcurrencySpec extends SparkSpecBase {
       assert(t.filter($"k" === k).select("v").as[String].head() == s"name_$k") }
     // no staging sibling left behind
     val parent = Paths.get(path).getParent
-    val leftovers = Files.list(parent).iterator().asScala
+    val leftovers = graft.merge.FsList.list(parent).iterator
       .map(_.getFileName.toString).filter(_.contains(".tmp-")).toSeq
     assert(leftovers.isEmpty, s"staging residue: $leftovers")
   }
@@ -220,7 +220,7 @@ class OptimisticConcurrencySpec extends SparkSpecBase {
     assert(t.count() == 40) // nothing deleted
     assert(t.filter($"k" === b0.head).select("v").as[String].head() == s"A_${b0.head}")
     // no staging residue
-    val leftovers = Files.list(Paths.get(path).getParent).iterator().asScala
+    val leftovers = graft.merge.FsList.list(Paths.get(path).getParent).iterator
       .map(_.getFileName.toString).filter(_.contains(".tmp-")).toSeq
     assert(leftovers.isEmpty, s"staging residue: $leftovers")
   }

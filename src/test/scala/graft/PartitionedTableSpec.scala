@@ -144,7 +144,7 @@ class PartitionedTableSpec extends SparkSpecBase {
       java.nio.file.Paths.get(s"$path/p=2024-01")))
     // age the parent history out, then vacuum removes the tree
     val hist = java.nio.file.Paths.get(path, "_graft_phistory")
-    java.nio.file.Files.list(hist).iterator().asScala.toSeq
+    graft.merge.FsList.list(hist)
       .filter(_.getFileName.toString.toIntOption.exists(_ < 2))
       .foreach(java.nio.file.Files.delete)
     PartitionedTable.vacuum(path)

@@ -95,7 +95,7 @@ class PipelineSpec extends SparkSpecBase {
     DimBuilder.buildAndCommit(spark, silver, spec(distinct = true), path, "0")
     def snapshot(): Map[String, Long] = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+      graft.merge.FsList.walk(java.nio.file.Paths.get(path)).iterator
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
         .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
         .toMap

@@ -25,7 +25,7 @@ class ReclusterSpec extends SparkSpecBase {
   /** Per-row-group (min, max) of int64 column `c` across every parquet
     * file under the table's live bucket dirs. */
   private def rowGroupRanges(tablePath: String, c: String): Seq[(Long, Long)] = {
-    val files = Files.walk(Paths.get(tablePath, "data")).iterator().asScala
+    val files = graft.merge.FsList.walk(Paths.get(tablePath, "data")).iterator
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
     files.flatMap { f =>
       val rd = ParquetFileReader.open(HadoopInputFile.fromPath(

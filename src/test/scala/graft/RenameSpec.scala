@@ -22,7 +22,7 @@ class RenameSpec extends SparkSpecBase {
   }
 
   private def bucketDirs(path: String): Set[String] =
-    Files.list(Paths.get(path, "data")).iterator().asScala
+    graft.merge.FsList.list(Paths.get(path, "data")).iterator
       .map(_.getFileName.toString).toSet
 
   test("rename is metadata-only and renames the read view") {
@@ -47,7 +47,7 @@ class RenameSpec extends SparkSpecBase {
     assert(got.filter(col("k") === 3L).select("label").first().getString(0)
       == "RELABELED")
     // physical files still carry the OLD name (no rewrite happened)
-    val anyBucket = Files.list(Paths.get(path, "data")).iterator().asScala
+    val anyBucket = graft.merge.FsList.list(Paths.get(path, "data")).iterator
       .filter(p => p.getFileName.toString.startsWith("b")).toSeq.head
     val phys = spark.read.parquet(anyBucket.toString).columns.toSeq
     assert(phys.contains("name") && !phys.contains("label"),
@@ -98,7 +98,7 @@ class RenameSpec extends SparkSpecBase {
     Scd1Merge.rebucket(spark, path, Seq("k"), 8)
     val got = Scd1Merge.readTable(spark, path)
     assert(got.columns.toSeq == Seq("k", "label", "region"))
-    val anyBucket = Files.list(Paths.get(path, "data")).iterator().asScala
+    val anyBucket = graft.merge.FsList.list(Paths.get(path, "data")).iterator
       .filter(p => p.getFileName.toString.startsWith("b")).toSeq
       .maxBy(_.getFileName.toString) // a new-layout dir
     val phys = spark.read.parquet(anyBucket.toString).columns.toSeq

@@ -115,7 +115,7 @@ class Scd1MergeSpec extends SparkSpecBase {
     assert(Scd1Merge.readTable(spark, path).count() == 101)
     Scd1Merge.vacuum(path, retain = 0)
     val referenced = manifestEntries(path).values.toSet
-    val onDisk = Files.list(Paths.get(path, "data")).iterator().asScala
+    val onDisk = graft.merge.FsList.list(Paths.get(path, "data")).iterator
       .map(d => s"data/${d.getFileName}").toSet
     assert(onDisk == referenced, "after vacuum(0) every on-disk version dir is referenced")
   }
@@ -223,7 +223,7 @@ class Scd1MergeSpec extends SparkSpecBase {
   test("retention keeps exactly the last retainVersions; vacuum ages the rest out") {
     val path = Tmp.dir("scd1_retain") + "/t"
     def bucketDirs: Set[String] =
-      Files.list(Paths.get(path, "data")).iterator().asScala
+      graft.merge.FsList.list(Paths.get(path, "data")).iterator
         .map(_.getFileName.toString).toSet
     // 3 commits all touching the same single bucket
     Scd1Merge.upsert(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 1)
@@ -493,7 +493,7 @@ class Scd1MergeSpec extends SparkSpecBase {
       (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), numBuckets = 2)
     finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
     val before = canon(Scd1Merge.readTable(spark, path))
-    def files(): Long = Files.walk(Paths.get(path, "data")).iterator().asScala
+    def files(): Long = graft.merge.FsList.walk(Paths.get(path, "data")).iterator
       .count(_.getFileName.toString.endsWith(".parquet"))
     val fragmented = files()
     assert(fragmented > 2, s"setup must fragment (got $fragmented files)")

@@ -30,7 +30,7 @@ class VacuumSpec extends SparkSpecBase {
   }
 
   private def dataDirs(path: String): Set[String] =
-    Files.list(Paths.get(path, "data")).iterator().asScala
+    graft.merge.FsList.list(Paths.get(path, "data")).iterator
       .map(_.getFileName.toString).toSet
 
   test("vacuum deletes aged-out version dirs and the deep snapshot fails loudly") {

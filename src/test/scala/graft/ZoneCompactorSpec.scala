@@ -12,7 +12,7 @@ class ZoneCompactorSpec extends SparkSpecBase {
   import spark.implicits._
 
   private def files(dir: String): Long =
-    Files.walk(Paths.get(dir)).iterator().asScala
+    graft.merge.FsList.walk(Paths.get(dir)).iterator
       .count(_.getFileName.toString.endsWith(".parquet"))
 
   test("flat zone: 3 appended batches collapse to one file, content identical") {
