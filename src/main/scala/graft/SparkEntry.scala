@@ -41,5 +41,6 @@ object SparkEntry {
         "sim_ivf_recall", "sim_ivf_indexed_recall", "sim_pq_recall",
         "sim_pca_recall", "sim_ivfpq_recall", "dedup_embedding_recall",
         "a20_approx_quantile", "sim_knn_graph_ann_recall",
-        "a24_sketch_rollup", "sim_index_drift", "sim_ann_rewrite")
+        "a24_sketch_rollup", "sim_index_drift", "sim_ann_rewrite",
+        "pipe29_sketch_mv")
 }

@@ -60,14 +60,30 @@ object IncrementalAgg {
     * min / ≥ stored max — the conservative flag) RECOMPUTE their
     * extremes from the base, a group-semi-joined scan. That per-group
     * rescan is the honest price every IVM system pays for non-abelian
-    * aggregates; the flag keeps it off the append path entirely. */
+    * aggregates; the flag keeps it off the append path entirely.
+    *
+    * `sketches` maintain per-group HLL DISTINCT-COUNT sketches
+    * (Datasketches `hll_sketch_agg` binaries — the APPROXIMATE MV:
+    * `hll_sketch_estimate` over the stored sketch answers
+    * distinct-count dashboards O(groups), and sketches UNION exactly
+    * on roll-up where exact COUNT(DISTINCT) cannot re-aggregate at
+    * all without the full IncrementalDistinct multiplicity table).
+    * Sketch maintenance is the min/max two-speed shape with a blunter
+    * flag: inserts UNION into the stored sketch (pure O(delta) — HLL
+    * registers fold commutatively), but a sketch has NO inverse and
+    * no "not at the extreme" shortcut, so ANY non-null retraction
+    * flags its group for a semi-joined base rescan. Append-heavy
+    * corpora — the shape sketches exist for — never touch the base. */
   final case class AggSpec(groupCols: Seq[String], sums: Seq[(String, String)],
                            countName: String,
                            filterSql: Option[String] = None,
                            groupExprs: Map[String, String] = Map.empty,
                            mins: Seq[(String, String)] = Nil,
-                           maxs: Seq[(String, String)] = Nil) {
+                           maxs: Seq[(String, String)] = Nil,
+                           sketches: Seq[(String, String)] = Nil) {
     def extremeCols: Seq[String] = mins.map(_._2) ++ maxs.map(_._2)
+    /** Columns whose retraction path needs the base frame. */
+    def rescanCols: Seq[String] = extremeCols ++ sketches.map(_._2)
   }
 
   /** Derive expression-group columns, then apply the MV filter — the
@@ -92,7 +108,8 @@ object IncrementalAgg {
                 retainVersions: Int = Scd1Merge.DefaultRetainVersions): Unit = {
     val exprs = spec.sums.map(p => sum(col(p._1)).as(p._2)) ++
       spec.mins.map(p => min(col(p._1)).as(p._2)) ++
-      spec.maxs.map(p => max(col(p._1)).as(p._2)) :+
+      spec.maxs.map(p => max(col(p._1)).as(p._2)) ++
+      spec.sketches.map(p => hll_sketch_agg(col(p._1)).as(p._2)) :+
       count(lit(1)).as(spec.countName)
     val aggd = prepared(base, spec)
       .groupBy(spec.groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
@@ -190,9 +207,10 @@ object IncrementalAgg {
       else Scd1Merge.readChangesAtCommits(spark, basePath, baseKeys,
         fromCommit, baseCommit))
       .filter(rowFilter)
-    // min/max: the recompute leg reads the base AT the consumed commit
+    // min/max + sketches: the recompute leg reads the base AT the
+    // consumed commit
     val extBase =
-      if (spec.extremeCols.isEmpty) None
+      if (spec.rescanCols.isEmpty) None
       else Some(if (partitioned(basePath))
         graft.merge.PartitionedTable.readTableAtCommit(spark, basePath, baseCommit)
       else Scd1Merge.readTableAtCommit(spark, basePath, baseCommit))
@@ -213,9 +231,9 @@ object IncrementalAgg {
                         retainVersions: Int = Scd1Merge.DefaultRetainVersions,
                         extremesBase: Option[DataFrame] = None): Unit = {
     require(stamp.nonEmpty, "applyChangesFrame needs a batch stamp")
-    require(spec.extremeCols.isEmpty || extremesBase.isDefined,
-      "min/max maintenance needs the base frame (extremesBase) — a " +
-      "retraction touching a stored extreme rescans its group")
+    require(spec.rescanCols.isEmpty || extremesBase.isDefined,
+      "min/max and sketch maintenance need the base frame " +
+      "(extremesBase) — a retraction rescans its group")
     if (Scd1Merge.tableBatchId(aggPath).contains(stamp)) {
       sweepTombstones(spark, aggPath, spec, retainVersions)
       return
@@ -238,6 +256,15 @@ object IncrementalAgg {
          else max(when(col("__sign") === 1L, col(m)))).as(s"__ins_$out"),
         (if (isMin) min(when(col("__sign") === -1L, col(m)))
          else max(when(col("__sign") === -1L, col(m)))).as(s"__del_$out"))
+      } ++
+      // sketches: the insert-side union leg, and the blunt retraction
+      // flag (no inverse, no extreme shortcut — any non-null delete
+      // MAY have removed a distinct value's last copy)
+      spec.sketches.flatMap { case (m, out) => Seq(
+        hll_sketch_agg(when(col("__sign") === 1L, col(m)))
+          .as(s"__ins_$out"),
+        max(when(col("__sign") === -1L && col(m).isNotNull, lit(true)))
+          .as(s"__del_$out"))
       } :+ sum(col("__sign")).as(spec.countName)
     val delta = prepared(changes, spec)
       .withColumn("__sign", sign)
@@ -265,36 +292,46 @@ object IncrementalAgg {
         (if (isMin) col(s"d.__del_$out") <= stored(out)
          else col(s"d.__del_$out") >= stored(out)))).as(s"__flag_$out"))
     }
+    // sketches: insert-side UNION into the stored sketch (an empty
+    // insert leg unions as identity); the retraction flag is blunt
+    val skSelect = spec.sketches.flatMap { case (_, out) => Seq(
+      when(col(s"d.__ins_$out").isNull, stored(out))
+        .when(stored(out).isNull, col(s"d.__ins_$out"))
+        .otherwise(hll_union(stored(out), col(s"d.__ins_$out"))).as(out),
+      coalesce(col(s"d.__del_$out"), lit(false)).as(s"__flag_$out"))
+    }
     val merged = joined.select(spec.groupCols.map(col) ++
       valueCols.map(v =>
         (coalesce(stored(v), lit(0L)) + col(s"d.$v")).as(v)) ++
-      extSelect: _*)
+      extSelect ++ skSelect: _*)
     val outCols = spec.groupCols ++ spec.sums.map(_._2) ++
-      spec.mins.map(_._2) ++ spec.maxs.map(_._2) :+ spec.countName
+      spec.mins.map(_._2) ++ spec.maxs.map(_._2) ++
+      spec.sketches.map(_._2) :+ spec.countName
+    val flagOuts = exts.map(_._2) ++ spec.sketches.map(_._2)
     val fin =
-      if (exts.isEmpty) merged.select(outCols.map(col): _*)
+      if (flagOuts.isEmpty) merged.select(outCols.map(col): _*)
       else {
         // RECOMPUTE leg: only flagged groups rescan — a semi-joined
         // group-pruned base aggregation (the non-abelian price, kept
         // entirely off the append path: insert-only batches flag
         // nothing and never touch the base)
         val flagged = merged
-          .filter(exts.map(e => col(s"__flag_${e._2}")).reduce(_ || _))
+          .filter(flagOuts.map(o => col(s"__flag_$o")).reduce(_ || _))
           .select(spec.groupCols.map(col): _*)
         val recExprs = exts.map { case (m, out, isMin) =>
-          (if (isMin) min(col(m)) else max(col(m))).as(s"__rec_$out") }
+          (if (isMin) min(col(m)) else max(col(m))).as(s"__rec_$out") } ++
+          spec.sketches.map { case (m, out) =>
+            hll_sketch_agg(col(m)).as(s"__rec_$out") }
         val rec = prepared(extremesBase.get, spec)
           .join(flagged, spec.groupCols, "left_semi")
           .groupBy(spec.groupCols.map(col): _*)
           .agg(recExprs.head, recExprs.tail: _*)
         merged.join(rec, spec.groupCols, "left")
           .select(outCols.map { v =>
-            exts.find(_._2 == v) match {
-              case Some((_, out, _)) =>
-                when(col(s"__flag_$out"), col(s"__rec_$out"))
-                  .otherwise(col(out)).as(out)
-              case None => col(v)
-            }
+            if (flagOuts.contains(v))
+              when(col(s"__flag_$v"), col(s"__rec_$v"))
+                .otherwise(col(v)).as(v)
+            else col(v)
           }: _*)
       }
     Scd1Merge.upsert(spark, aggPath, fin, spec.groupCols, numBuckets,

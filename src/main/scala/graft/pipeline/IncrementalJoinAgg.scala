@@ -178,9 +178,10 @@ object IncrementalJoinAgg {
     spec.copy(filterSql = None, groupExprs = Map.empty)
 
   /** Every measure column the downstream fold needs, once each (a
-    * column may be both summed and min/maxed). */
+    * column may be summed, min/maxed, AND sketched). */
   private def starMeasureCols(spec: AggSpec): Seq[String] =
-    (spec.sums.map(_._1) ++ spec.mins.map(_._1) ++ spec.maxs.map(_._1))
+    (spec.sums.map(_._1) ++ spec.mins.map(_._1) ++ spec.maxs.map(_._1) ++
+      spec.sketches.map(_._1))
       .foldLeft(Vector.empty[String])((acc, m) =>
         if (acc.exists(_.equalsIgnoreCase(m))) acc else acc :+ m)
 
@@ -265,13 +266,20 @@ object IncrementalJoinAgg {
         "column — min/max measures live on the fact (the flagged-group " +
         "rescan reads them off the re-joined view)")
     }
+    spec.sketches.foreach { case (m, out) =>
+      require(factCols(m.toLowerCase),
+        s"star MV sketch '$out' aggregates '$m', which is not a fact " +
+        "column — sketch measures live on the fact (the flagged-group " +
+        "rescan reads them off the re-joined view)")
+    }
     // a measure sharing a group column's NAME would collide in the
     // per-term projection (groups project from their side, measures
     // from the fact) — reject the pathological shape loudly
-    (spec.sums ++ spec.mins ++ spec.maxs).map(_._1).foreach { m =>
-      require(!spec.groupCols.exists(_.equalsIgnoreCase(m)),
-        s"star MV measure '$m' collides with a group column name")
-    }
+    (spec.sums ++ spec.mins ++ spec.maxs ++ spec.sketches).map(_._1)
+      .foreach { m =>
+        require(!spec.groupCols.exists(_.equalsIgnoreCase(m)),
+          s"star MV measure '$m' collides with a group column name")
+      }
     bootstrapStar(spark, mvPath, factPath, dims, spec, numBuckets)
     MvDef.write(mvPath, MvDef.Def(factPath, factKeys, spec, dims))
     graft.plans.GraftMvRewrite.registerJoin(
@@ -387,12 +395,13 @@ object IncrementalJoinAgg {
         term(factOld, factIsDelta = false, sides, ct = s"d$i")
       }
     }
-    // min/max: the flagged-group rescan reads the NEW joined state
-    // (fact@target ⋈ dims@target — exactly what the stamp claims the
-    // MV now reflects), projected to (groups, extreme measures); the
-    // fact leg was prepared above, so filter and expressions hold
+    // min/max + sketches: the flagged-group rescan reads the NEW
+    // joined state (fact@target ⋈ dims@target — exactly what the
+    // stamp claims the MV now reflects), projected to (groups, rescan
+    // measures); the fact leg was prepared above, so filter and
+    // expressions hold
     val extBase =
-      if (spec.extremeCols.isEmpty) None
+      if (spec.rescanCols.isEmpty) None
       else {
         val factNew =
           if (cf > sf) factPrepared(factAtCommit(spark, factPath, cf), spec)
@@ -402,7 +411,8 @@ object IncrementalJoinAgg {
             acc.join(broadcast(dimNew(i).as(s"d$i")),
               col(s"f.${dims(i).fk}") === col(s"d$i.${dims(i).dk}"))
         }
-        val extMeasures = (spec.mins.map(_._1) ++ spec.maxs.map(_._1))
+        val extMeasures = (spec.mins.map(_._1) ++ spec.maxs.map(_._1) ++
+          spec.sketches.map(_._1))
           .foldLeft(Vector.empty[String])((acc, m) =>
             if (acc.exists(_.equalsIgnoreCase(m))) acc else acc :+ m)
         Some(joined.select(spec.groupCols.map(c =>

@@ -44,6 +44,9 @@ object MvDef {
       (if (d.spec.maxs.nonEmpty)
         Seq(s"maxs=${d.spec.maxs.map { case (m, o) => s"${enc(m)}:${enc(o)}" }.mkString(",")}")
        else Nil) ++
+      (if (d.spec.sketches.nonEmpty)
+        Seq(s"sketches=${d.spec.sketches.map { case (m, o) => s"${enc(m)}:${enc(o)}" }.mkString(",")}")
+       else Nil) ++
       d.spec.filterSql.toSeq.map(f => s"filter=${enc(f)}") ++
       (if (d.spec.groupExprs.nonEmpty)
         Seq(s"groupexprs=${d.spec.groupExprs.toSeq.sortBy(_._1)
@@ -98,6 +101,6 @@ object MvDef {
     Some(Def(dec(kv("base")), list("keys"),
       AggSpec(list("groups"), sums, dec(kv("count")),
         kv.get("filter").map(dec), groupExprs,
-        pairs("mins"), pairs("maxs")), joins))
+        pairs("mins"), pairs("maxs"), pairs("sketches")), joins))
   }
 }

@@ -270,6 +270,35 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
   private def canonFilterSet(cond: Expression): Set[String] =
     canonFilterMap(cond).keySet
 
+  /** A SUBSUMPTION residual conjunct re-expressed over the MV's
+    * output: plain group attrs map by name, subtrees canonically
+    * equal to a registered group expression map to their materialized
+    * column, anything touching another attribute kills it (a residual
+    * on a measure or a non-MV column cannot apply over the
+    * pre-aggregated table). */
+  private def residualOverMv(e: Expression, plainGroupCols: Seq[String],
+                             exprGroups: Map[String, String],
+                             mvByName: Map[String, AttributeReference])
+      : Option[Expression] = {
+    val whole = e match {
+      case a: AttributeReference =>
+        if (plainGroupCols.exists(_.equalsIgnoreCase(a.name)))
+          mvByName.get(a.name.toLowerCase)
+        else None
+      case other => exprGroups.get(canonExprStr(other))
+        .flatMap(n => mvByName.get(n.toLowerCase))
+    }
+    whole.orElse(e match {
+      case _: AttributeReference => None
+      case leaf if leaf.children.isEmpty => Some(leaf)
+      case other =>
+        val kids = other.children.map(
+          residualOverMv(_, plainGroupCols, exprGroups, mvByName))
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    })
+  }
+
   /** The DEFINITION side of both canonical forms, resolved against
     * the base table and run through the SAME optimizer the query
     * went through. Cached — predicates/expressions are pure text. */
@@ -426,30 +455,9 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           mvRead.output.collect {
             case a: AttributeReference => a.name.toLowerCase -> a
           }.toMap
-        // a residual conjunct re-expressed over the MV: plain group
-        // attrs map by name, subtrees canonically equal to a
-        // registered group expression map to their materialized
-        // column, anything touching another attribute kills it
-        def overMv(e: Expression): Option[Expression] = {
-          val whole = e match {
-            case a: AttributeReference =>
-              if (plainGroupCols.exists(_.equalsIgnoreCase(a.name)))
-                mvByName.get(a.name.toLowerCase)
-              else None
-            case other => exprGroups.get(canonExprStr(other))
-              .flatMap(n => mvByName.get(n.toLowerCase))
-          }
-          whole.orElse(e match {
-            case _: AttributeReference => None
-            case leaf if leaf.children.isEmpty => Some(leaf)
-            case other =>
-              val kids = other.children.map(overMv)
-              if (kids.exists(_.isEmpty)) None
-              else Some(other.withNewChildren(kids.map(_.get)))
-          })
-        }
         val residualMv: Option[Seq[Expression]] = {
-          val mapped = residual.get.map(overMv)
+          val mapped = residual.get.map(
+            residualOverMv(_, plainGroupCols, exprGroups, mvByName))
           if (mapped.exists(_.isEmpty)) None else Some(mapped.map(_.get))
         }
         residualMv.flatMap { res =>
@@ -617,23 +625,27 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         .headOption.getOrElse(return None)
     }
     val spark = SparkSession.active
-    // ---- FILTER gates. FACT leaf: its extra conjuncts must
-    // canonically equal the registered star's definition filter
-    // (resolved against the fact table through the SAME optimizer) —
-    // unfiltered query over unfiltered MV otherwise. DIM leaves: a
-    // predicate is admissible ONLY when that dim's fact-side join key
-    // is one of the MV's group columns — the MV then holds per-key
-    // rows, and the predicate applies at rewrite time through a
-    // broadcast re-join against the (snapshot-checked,
-    // freshness-stamped) dim; any other dim predicate falls through.
-    val factFilterOk = (factLeaf.extra.isEmpty, reg.spec.filterSql) match {
-      case (true, None) => true
-      case (false, Some(rf)) =>
-        defFilterCanon(spark, reg.factPath, rf)
-          .contains(factLeaf.extra.keySet)
-      case _ => false
+    // ---- FILTER gates. FACT leaf, with SUBSUMPTION (the
+    // single-table posture): its conjunct set must CONTAIN the
+    // registered star's definition filter (resolved against the fact
+    // through the SAME optimizer; both empty when unfiltered), and
+    // every RESIDUAL conjunct must later re-express over the MV's
+    // group columns — group-measurable fact predicates commute with
+    // the aggregation, so the residual applies over the MV-sized
+    // table. DIM leaves: a predicate is admissible ONLY when that
+    // dim's fact-side join key is one of the MV's group columns — the
+    // MV then holds per-key rows, and the predicate applies at
+    // rewrite time through a broadcast re-join against the
+    // (snapshot-checked, freshness-stamped) dim; any other dim
+    // predicate falls through.
+    val defSet: Set[String] = reg.spec.filterSql match {
+      case None => Set.empty
+      case Some(rf) =>
+        defFilterCanon(spark, reg.factPath, rf).getOrElse(return None)
     }
-    if (!factFilterOk) return None
+    if (!defSet.subsetOf(factLeaf.extra.keySet)) return None
+    val factResiduals: Seq[Expression] =
+      (factLeaf.extra -- defSet).values.toSeq
     val filteredDims: Seq[Int] =
       reg.dims.indices.filter(i => dimLeaves(i).extra.nonEmpty)
     if (filteredDims.exists(i => !reg.spec.groupCols.exists(
@@ -722,10 +734,22 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // groups — never touching the base join.
     val mvRead =
       Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed
+    // fact-leaf RESIDUALS (subsumption) re-express over the MV and
+    // apply innermost — before any predicate-dim re-join
+    val mvBase: LogicalPlan = if (factResiduals.isEmpty) mvRead else {
+      val mvByName: Map[String, AttributeReference] =
+        mvRead.output.collect {
+          case a: AttributeReference => a.name.toLowerCase -> a
+        }.toMap
+      val mapped = factResiduals.map(
+        residualOverMv(_, plainGroupCols, exprGroups, mvByName))
+      if (mapped.exists(_.isEmpty)) return None
+      Filter(mapped.map(_.get).reduce(And(_, _)), mvRead)
+    }
     val mvPlan: LogicalPlan =
-      if (filteredDims.isEmpty) mvRead
+      if (filteredDims.isEmpty) mvBase
       else {
-        val joined = filteredDims.foldLeft(mvRead: LogicalPlan) { (acc, i) =>
+        val joined = filteredDims.foldLeft(mvBase: LogicalPlan) { (acc, i) =>
           val d = reg.dims(i)
           val dimPlan = Scd1Merge.readTable(spark, d.dimPath)
             .queryExecution.analyzed
@@ -797,6 +821,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     val sumsByMeasure = spec.sums.map { case (m, out) => m.toLowerCase -> out }.toMap
     val minsByMeasure = spec.mins.map { case (m, out) => m.toLowerCase -> out }.toMap
     val maxsByMeasure = spec.maxs.map { case (m, out) => m.toLowerCase -> out }.toMap
+    val sketchesByMeasure =
+      spec.sketches.map { case (m, out) => m.toLowerCase -> out }.toMap
     // min/max re-aggregate exactly on roll-up (idempotent semilattice
     // aggregates) — maintenance is where they are hard, not rewrite
     def extremeOf(e: Expression, byMeasure: Map[String, String]): Option[String] =
@@ -842,6 +868,32 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             extremeOf(mx.child, maxsByMeasure).flatMap(out =>
               mvByName.get(out.toLowerCase).map(c => AggregateExpression(
                 org.apache.spark.sql.catalyst.expressions.aggregate.Max(c),
+                org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+                isDistinct = false)))
+          // hll_sketch_agg(x) over the base answers as the exact
+          // UNION of the stored per-group sketches (register maxima
+          // merge losslessly, so the roll-up estimate is the same
+          // sketch a base scan would build) — default lgK only, the
+          // precision the maintenance stored. The usual wrapper
+          // `hll_sketch_estimate(...)` rides along like any other
+          // output expression around a rewritten aggregate.
+          case sk: org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg =>
+            val lgkDefault = sk.right match {
+              case l: Literal if l.foldable =>
+                Option(l.eval()).map(_.asInstanceOf[Number].intValue)
+                  .contains(12)
+              case _ => false
+            }
+            val m = sk.left match {
+              case a: AttributeReference
+                  if lgkDefault && measureSide(a) =>
+                sketchesByMeasure.get(a.name.toLowerCase)
+              case _ => None
+            }
+            m.flatMap(out => mvByName.get(out.toLowerCase).map(c =>
+              AggregateExpression(
+                new org.apache.spark.sql.catalyst.expressions.aggregate
+                  .HllUnionAgg(c),
                 org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
                 isDistinct = false)))
           case a: Average if a.child.dataType == LongType =>

@@ -1315,6 +1315,78 @@ object QueriesPipeline {
       out
     }),
 
+    "pipe29_sketch_mv" -> ((s, dir) => {
+      // APPROXIMATE (HLL-SKETCH) MV — the distinct-count dashboard
+      // (`unique customers per status`) at 100 TB: exact
+      // COUNT(DISTINCT) cannot re-aggregate from any per-group
+      // scalar, and the exact IncrementalDistinct multiplicity table
+      // is value-cardinality-sized; the sketch MV stores ONE KB-scale
+      // Datasketches HLL binary per group instead. Register maxima
+      // merge losslessly, so maintenance is the min/max two-speed
+      // shape with a blunter flag: inserts UNION into the stored
+      // sketch (pure O(delta) — the append hot path sketches exist
+      // for), and ANY non-null retraction flags its group for a
+      // semi-joined base rescan (a sketch has no inverse). The
+      // transparent rewrite answers `hll_sketch_agg(x)` with the
+      // EXACT union of stored sketches — same estimate a base scan
+      // would build — and `hll_sketch_estimate` rides along as an
+      // output wrapper. In-row requires pin routing (fresh MV / lag
+      // to base / refreshed MV); the oracle computes the final
+      // n_orders exactly and pins the (deterministic: register-max
+      // merges commute) estimates as literals.
+      val root = tmpDir("graft_skmv")
+      val base = root + "/orders"; val mvT = root + "/mv"
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus").as("status"), col("o_custkey"))
+      Scd1Merge.upsert(s, base, o, Seq("o_orderkey"), numBuckets = 4,
+        retainVersions = 4)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvT` BUCKETS 2 AS
+           |SELECT status, hll_sketch_agg(o_custkey) AS sk_cust,
+           |  count(*) AS n_orders
+           |FROM graft.`$base` GROUP BY status""".stripMargin)
+      import graft.pipeline.MvDef
+      require(MvDef.read(mvT).exists(
+        _.spec.sketches == Seq("o_custkey" -> "sk_cust")),
+        "the definition must persist the sketch spec")
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def q(): DataFrame = graft.sql.GraftSql.sql(s,
+        s"""SELECT status,
+           |  hll_sketch_estimate(hll_sketch_agg(o_custkey)) AS est_cust,
+           |  count(*) AS n_orders
+           |FROM graft.`$base` GROUP BY status ORDER BY status""".stripMargin)
+      require(scansOf(q()).forall(_.contains(mvT + "/")),
+        "the fresh sketch MV must answer the distinct-count dashboard")
+      // the wave: an INSERT-ONLY commit (new orders, new customers —
+      // the pure union-fold leg) then a retraction commit (deletes,
+      // some removing a customer's last order in its status — the
+      // blunt flag's rescan leg); ONE refresh folds both
+      Scd1Merge.upsert(s, base,
+        o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("status"), (col("o_custkey") + 1000000L).as("o_custkey")),
+        Seq("o_orderkey"), retainVersions = 4)
+      Scd1Merge.delete(s, base, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(17)) === 0, retainVersions = 4)
+      require(scansOf(q()).exists(_.contains(base + "/")),
+        "a lagging sketch MV must route to the base")
+      val r = graft.sql.GraftSql.sql(s,
+        s"REFRESH MATERIALIZED VIEW graft.`$mvT`").collect().head
+      require(r.getLong(1) == 2L, s"refresh must fold both commits: $r")
+      val out = q()
+      require(scansOf(out).forall(_.contains(mvT + "/")),
+        "the refreshed sketch MV must answer again")
+      out
+    }),
+
     "pipe26_filtered_star_mv" -> ((s, dir) => {
       // FILTERED STAR MV — the dashboard-filter shape over a join:
       // `WHERE` on FACT columns bakes into the star MV (the predicate
@@ -2061,6 +2133,22 @@ object QueriesPipeline {
          |  max(cents)::BIGINT AS max_cents, count(*) AS n_orders
          |FROM f JOIN c ON o_custkey = c_custkey
          |GROUP BY o_month, seg ORDER BY o_month, seg""".stripMargin,
+    // PINNED estimates: Datasketches HLL register-max merges commute,
+    // so the per-status estimate is deterministic for fixed final
+    // content regardless of partitioning (the a7 argument); n_orders
+    // recomputes exactly
+    "pipe29_sketch_mv" ->
+      """WITH f AS (
+         |  SELECT o_orderkey, o_orderstatus AS status, o_custkey FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_orderstatus, o_custkey + 1000000
+         |  FROM orders WHERE o_orderkey % 5 = 0),
+         |g AS (SELECT * FROM f WHERE o_orderkey % 17 <> 0)
+         |SELECT status,
+         |  CASE status WHEN 'F' THEN 2109 WHEN 'O' THEN 2137
+         |    ELSE 2160 END::BIGINT AS est_cust,
+         |  count(*) AS n_orders
+         |FROM g GROUP BY status ORDER BY status""".stripMargin,
     "pipe26_filtered_star_mv" ->
       """WITH f0 AS (
          |  SELECT l_orderkey, l_linenumber,

@@ -532,7 +532,7 @@ case class GraftCopyIntoCommand(path: String, srcDir: String,
     require(Files.isDirectory(dir),
       s"COPY INTO: source '$srcDir' is not a directory")
     val matcher = pattern.map(g => dir.getFileSystem.getPathMatcher("glob:" + g))
-    val listed = Files.walk(dir).iterator().asScala
+    val listed = graft.merge.FsList.walk(dir).iterator
       .filter(Files.isRegularFile(_))
       .filter { p =>
         val n = p.getFileName.toString
@@ -761,6 +761,7 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
     var sums = Seq.empty[(String, String)]
     var mins = Seq.empty[(String, String)]
     var maxs = Seq.empty[(String, String)]
+    var sketches = Seq.empty[(String, String)]
     var countName: Option[String] = None
     agg.aggregateExpressions.foreach {
       case a: AttributeReference if groupNames.contains(a.name) => ()
@@ -780,6 +781,22 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
             mins :+= ((bareCol(mn.child, "min"), al.name))
           case mx: org.apache.spark.sql.catalyst.expressions.aggregate.Max =>
             maxs :+= ((bareCol(mx.child, "max"), al.name))
+          // the APPROXIMATE distinct-count column: the MV stores the
+          // mergeable Datasketches HLL binary; queries estimate over
+          // it (or union it exactly on roll-up). Default precision
+          // (lgK 12) only — sketches at different precisions cannot
+          // union, so a custom lgK would need persisting to gate the
+          // rewrite; reject loudly instead of storing a mismatch.
+          case sk: org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg =>
+            val lgk = sk.right match {
+              case l: Literal if l.foldable =>
+                Option(l.eval()).map(_.asInstanceOf[Number].intValue)
+              case _ => None
+            }
+            if (!lgk.contains(12))
+              bad(s"'${al.sql}': hll_sketch_agg is maintainable at the " +
+                "default precision (lgK 12) only")
+            sketches :+= ((bareCol(sk.left, "hll_sketch_agg"), al.name))
           case c: Count => c.children match {
             case Seq(Literal(_, _)) =>
               if (countName.nonEmpty) bad("more than one count(*)")
@@ -794,11 +811,12 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       case a: AttributeReference =>
         bad(s"output column '${a.name}' is not in GROUP BY")
       case e => bad(s"output '${e.sql}' — the MV stores bare group " +
-        "columns and aliased sum/min/max/count(*) only")
+        "columns and aliased sum/min/max/hll_sketch_agg/count(*) only")
     }
     val cn = countName.getOrElse(bad("the MV needs a `count(*) AS <name>` " +
       "column — it is the group-liveness ledger deletion maintenance uses"))
-    val spec = AggSpec(groupNames, sums, cn, filterSql, groupExprs, mins, maxs)
+    val spec = AggSpec(groupNames, sums, cn, filterSql, groupExprs,
+      mins, maxs, sketches)
     IncrementalAgg.bootstrapFrom(spark, path, basePath, spec, numBuckets)
     MvDef.write(path, MvDef.Def(basePath, baseKeys, spec))
     graft.plans.GraftMvRewrite.register(basePath, path, spec)
@@ -927,10 +945,11 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
           case a: AttributeReference => a })
         al.name
     }
-    // the FACT carries every summed/min'd/max'd measure
+    // the FACT carries every summed/min'd/max'd/sketched measure
     var sums = Seq.empty[(String, String)]
     var mins = Seq.empty[(String, String)]
     var maxs = Seq.empty[(String, String)]
+    var sketches = Seq.empty[(String, String)]
     var countName: Option[String] = None
     var measureAttrs = Seq.empty[AttributeReference]
     agg.aggregateExpressions.foreach {
@@ -953,6 +972,20 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
             mins :+= ((bareMeasure(mn.child, "min").name, al.name))
           case mx: org.apache.spark.sql.catalyst.expressions.aggregate.Max =>
             maxs :+= ((bareMeasure(mx.child, "max").name, al.name))
+          // HLL sketches over fact measures ride the same two-speed
+          // rescan machinery as min/max (default lgK only — the
+          // single-table gate's argument)
+          case sk: org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg =>
+            val lgk = sk.right match {
+              case l: Literal if l.foldable =>
+                Option(l.eval()).map(_.asInstanceOf[Number].intValue)
+              case _ => None
+            }
+            if (!lgk.contains(12))
+              bad(s"'${al.sql}': hll_sketch_agg is maintainable at the " +
+                "default precision (lgK 12) only")
+            sketches :+=
+              ((bareMeasure(sk.left, "hll_sketch_agg").name, al.name))
           case c: Count => c.children match {
             case Seq(Literal(_, _)) =>
               if (countName.nonEmpty) bad("more than one count(*)")
@@ -966,7 +999,7 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
         bad(s"output column '${a.name}' is not in GROUP BY")
       case e => bad(s"output '${e.sql}' — a star MV stores group " +
         "columns (bare or aliased expressions) and aliased " +
-        "sum/min/max/count(*) only")
+        "sum/min/max/hll_sketch_agg/count(*) only")
     }
     if (sums.isEmpty) bad("a star MV needs at least one sum(measure) — " +
       "the measures identify the fact side")
@@ -1054,7 +1087,7 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       fk => groupNames.exists(_.equalsIgnoreCase(fk)))
     IncrementalJoinAgg.createMvStar(spark, path, factPath, factKeys,
       dims, AggSpec(allGroupNames, sums, cn, filterSql, groupExprs,
-        mins, maxs), numBuckets)
+        mins, maxs, sketches), numBuckets)
     Nil
   }
 }

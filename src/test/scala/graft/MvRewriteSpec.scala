@@ -493,6 +493,82 @@ class MvRewriteSpec extends SparkSpecBase {
     } finally GraftMvRewrite.unregister(base)
   }
 
+  test("SKETCH MV: HLL distinct-count sketches fold on insert, rescan on retraction; rewrite + roll-up estimates equal a from-base sketch exactly") {
+    val root = Tmp.dir("mv_sketch")
+    val base = root + "/base"; val mv = root + "/mv"
+    // values deliberately repeat ACROSS groups and WITHIN groups so
+    // retractions hit both last-copy and still-present distinct values
+    val rows = (1L to 400L).map(i => (i, s"g${i % 4}", i % 37))
+      .toDF("id", "g", "u")
+    Scd1Merge.upsert(spark, base, rows, Seq("id"), numBuckets = 2,
+      retainVersions = 6)
+    graft.sql.GraftSql.sql(spark,
+      s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS
+         |SELECT g, hll_sketch_agg(u) AS sk, count(*) AS n
+         |FROM graft.`$base` GROUP BY g""".stripMargin).collect()
+    assert(graft.pipeline.MvDef.read(mv).exists(
+      _.spec.sketches == Seq("u" -> "sk")))
+    val spec = graft.pipeline.MvDef.read(mv).get.spec
+    def q = Scd1Merge.readTable(spark, base).groupBy($"g")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"u")).as("d"),
+        count(lit(1)).as("n"))
+    def recompute = Scd1Merge.readTable(spark, base).groupBy($"g")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"u")).as("d"),
+        count(lit(1)).as("n"))
+    try {
+      assert(readsOnly(q, mv), s"sketch MV must answer: ${scanPaths(q)}")
+      assertSameRows(q.orderBy("g"), recompute.orderBy("g"))
+      // estimates track EXACT distinct counts at this cardinality
+      // (hll_sketch_estimate returns BIGINT)
+      val exact = Scd1Merge.readTable(spark, base).groupBy($"g")
+        .agg(countDistinct($"u").as("d"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      GraftMvRewrite.unregister(base)
+      val est0 = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      GraftMvRewrite.register(base, mv, spec)
+      exact.foreach { case (g, e) =>
+        assert(math.abs(est0(g) - e) <= e * 0.05 + 1,
+          s"$g: estimate ${est0(g)} vs exact $e") }
+      // INSERT-ONLY wave: new distincts union in (pure fold)
+      Scd1Merge.upsert(spark, base,
+        (401L to 480L).map(i => (i, s"g${i % 4}", i % 61 + 100))
+          .toDF("id", "g", "u"), Seq("id"), retainVersions = 6)
+      IncrementalAgg.applyChanges(spark, mv, base, Seq("id"), spec)
+      assert(readsOnly(q, mv))
+      assertSameRows(q.orderBy("g"), recompute.orderBy("g"))
+      // RETRACTION wave: delete every copy of u=5 in g1 (a distinct
+      // value dies — the blunt flag rescans), plus a copy-remains
+      // delete in g2 — estimates must equal a from-scratch sketch
+      Scd1Merge.delete(spark, base, Seq("id"),
+        ($"g" === "g1" && $"u" === 5) || $"id" === 2L,
+        retainVersions = 6)
+      IncrementalAgg.applyChanges(spark, mv, base, Seq("id"), spec)
+      assert(readsOnly(q, mv))
+      assertSameRows(q.orderBy("g"), recompute.orderBy("g"))
+      // ROLL-UP: the global sketch is the exact union of group
+      // sketches — same estimate as a direct base-wide sketch
+      val roll = Scd1Merge.readTable(spark, base)
+        .agg(hll_sketch_estimate(hll_sketch_agg($"u")).as("d"))
+      assert(readsOnly(roll, mv), s"roll-up must answer: ${scanPaths(roll)}")
+      GraftMvRewrite.unregister(base)
+      assertSameRows(roll, Scd1Merge.readTable(spark, base)
+        .agg(hll_sketch_estimate(hll_sketch_agg($"u")).as("d")))
+      GraftMvRewrite.register(base, mv, spec)
+      // non-default precision falls through (different-lgK sketches
+      // cannot union with the stored ones)
+      assert(readsOnly(Scd1Merge.readTable(spark, base).groupBy($"g")
+        .agg(hll_sketch_estimate(hll_sketch_agg($"u", 14)).as("d")), base))
+      // CREATE rejects a non-default precision loudly
+      val e = intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.sql(spark,
+          s"""CREATE GRAFT MATERIALIZED VIEW graft.`$root/mv14` AS
+             |SELECT g, hll_sketch_agg(u, 14) AS sk, count(*) AS n
+             |FROM graft.`$base` GROUP BY g""".stripMargin).collect()
+      }
+      assert(e.getMessage.contains("lgK"))
+    } finally { GraftMvRewrite.unregister(base); GraftMvRewrite.clear() }
+  }
+
   test("STAR MV (2 dims): dashboard aggregate + roll-up rewrite; commits on all three sides fold in ONE refresh; soundness") {
     import graft.pipeline.{IncrementalJoinAgg, MvDef}
     val root = Tmp.dir("mv_star")
@@ -833,17 +909,20 @@ class MvRewriteSpec extends SparkSpecBase {
       graft.sql.GraftSql.sql(spark,
         s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS
            |SELECT date_format(d, 'yyyy-MM') AS mth, seg,
-           |  sum(cents) AS sc, max(cents) AS mx, count(*) AS n
+           |  sum(cents) AS sc, max(cents) AS mx,
+           |  hll_sketch_agg(f.ck) AS cust_sk, count(*) AS n
            |FROM graft.`$factT` f JOIN graft.`$dimT` dm ON f.ck = dm.ck
            |GROUP BY date_format(d, 'yyyy-MM'), seg""".stripMargin).collect()
       val def0 = MvDef.read(mv).get
       assert(def0.spec.groupExprs.keySet == Set("mth") &&
-        def0.spec.maxs == Seq("cents" -> "mx"), s"${def0.spec}")
+        def0.spec.maxs == Seq("cents" -> "mx") &&
+        def0.spec.sketches == Seq("ck" -> "cust_sk"), s"${def0.spec}")
       def f = Scd1Merge.readTable(spark, factT)
       def dm = Scd1Merge.readTable(spark, dimT)
       def q = f.join(dm, "ck")
         .groupBy(date_format($"d", "yyyy-MM").as("mth"), $"seg")
         .agg(sum($"cents").as("sc"), max($"cents").as("mx"),
+          hll_sketch_estimate(hll_sketch_agg($"ck")).as("uc"),
           count(lit(1)).as("n"))
       assert(readsOnly(q, mv), s"star rollup must rewrite: ${scanPaths(q)}")
       // wave: delete the global max row (retraction AT the extreme →
@@ -868,8 +947,53 @@ class MvRewriteSpec extends SparkSpecBase {
         f.join(dm, "ck")
           .groupBy(date_format($"d", "yyyy-MM").as("mth"), $"seg")
           .agg(sum($"cents").as("sc"), max($"cents").as("mx"),
+            hll_sketch_estimate(hll_sketch_agg($"ck")).as("uc"),
             count(lit(1)).as("n"))
           .orderBy("mth", "seg"))
+    } finally { GraftMvRewrite.unregisterJoin(mv); GraftMvRewrite.clear() }
+  }
+
+  test("STAR SUBSUMPTION: fact conjuncts ⊇ definition rewrite with residuals over the MV; measures/missing-definition-predicate fall through") {
+    val root = Tmp.dir("mv_star_subsume")
+    val factT = root + "/fact"; val dimT = root + "/dim"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, factT,
+      (1L to 300L).map(i => (i, i % 10 + 1, s"b${i % 5}",
+        if (i % 2 == 0) "A" else "B", i * 10))
+        .toDF("id", "ck", "bucket", "flag", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 4)
+    Scd1Merge.upsert(spark, dimT,
+      (1L to 11L).map(c => (c, s"seg${c % 3}")).toDF("ck", "seg"),
+      Seq("ck"), numBuckets = 1, retainVersions = 4)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 2 AS
+           |SELECT bucket, seg, sum(cents) AS sc, count(*) AS n
+           |FROM graft.`$factT` f JOIN graft.`$dimT` d ON f.ck = d.ck
+           |WHERE f.flag = 'A' GROUP BY bucket, seg""".stripMargin).collect()
+      def f = Scd1Merge.readTable(spark, factT)
+      def d = Scd1Merge.readTable(spark, dimT)
+      // definition predicate + a residual on a GROUP column: the
+      // residual applies over the MV (and the groups roll up)
+      def q = f.join(d, "ck")
+        .filter($"flag" === "A" && $"bucket" >= "b2")
+        .groupBy($"seg").agg(sum($"cents").as("sc"), count(lit(1)).as("n"))
+      assert(readsOnly(q, mv), s"star residual must rewrite: ${scanPaths(q)}")
+      // residual on a MEASURE cannot commute with the aggregation
+      assert(!scanPaths(f.join(d, "ck")
+        .filter($"flag" === "A" && $"cents" > 50)
+        .groupBy($"seg").agg(sum($"cents").as("sc")))
+        .exists(_.contains(mv + "/")))
+      // the definition predicate MISSING is not subsumption
+      assert(!scanPaths(f.join(d, "ck").filter($"bucket" >= "b2")
+        .groupBy($"seg").agg(sum($"cents").as("sc")))
+        .exists(_.contains(mv + "/")))
+      // values: the residual rewrite equals the from-base recompute
+      val got = q
+      GraftMvRewrite.unregisterJoin(mv)
+      assertSameRows(got.orderBy("seg"),
+        f.join(d, "ck").filter($"flag" === "A" && $"bucket" >= "b2")
+          .groupBy($"seg").agg(sum($"cents").as("sc"),
+            count(lit(1)).as("n")).orderBy("seg"))
     } finally { GraftMvRewrite.unregisterJoin(mv); GraftMvRewrite.clear() }
   }
 
