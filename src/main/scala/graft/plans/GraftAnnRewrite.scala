@@ -69,9 +69,82 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, AnnReg]()
 
+  // ---- persistence: a `_graft_ann` marker INSIDE the corpus table
+  // directory (the MvDef posture) makes the registration survive a
+  // JVM restart — a later session's first matching query lazily arms
+  // from disk ([[armFromDisk]]), with the per-query snapshot/
+  // freshness gates still deciding whether the rewrite fires.
+  private val ArmFileName = "_graft_ann"
+  private val armedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def persist(basePath: String, indexPath: String, idCol: String,
+                      vecCol: String, dim: Int, nprobe: Int,
+                      candFactor: Int, commit: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+    val body = Seq(
+      s"index=${enc(indexPath)}", s"id=${enc(idCol)}",
+      s"vec=${enc(vecCol)}", s"dim=$dim", s"nprobe=$nprobe",
+      s"candfactor=$candFactor", s"commit=$commit").mkString("\n")
+    val tmp = Paths.get(basePath, ArmFileName + ".tmp")
+    Files.createDirectories(tmp.getParent)
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, Paths.get(basePath, ArmFileName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** AUTO-ARM from disk: walk a scan file's ancestor directories for
+    * the `_graft_ann` marker; on first touch, register with the
+    * PERSISTED covered-commit stamp (and the base's current files —
+    * when the live commit differs from the stamp, the freshness gate
+    * falls back until an index update re-stamps). Memoized per dir. */
+  // negative memo: parquet dirs already probed without a marker — a
+  // miss never re-probes this session (clear() resets; a marker
+  // persisted by ANOTHER session mid-flight arms after a clear() or
+  // restart, which is the restart-recovery contract anyway)
+  private val probedMisses =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def armFromDisk(spark: SparkSession, files: Set[String]): Unit = {
+    if (files.isEmpty) return
+    val f0 = files.head.stripPrefix("file:")
+    if (!probedMisses.add(java.nio.file.Paths.get(f0).getParent.toString))
+      return
+    var dir = java.nio.file.Paths.get(f0).getParent
+    var depth = 0
+    while (dir != null && depth < 5) {
+      val marker = dir.resolve(ArmFileName)
+      if (java.nio.file.Files.exists(marker)) {
+        val base = dir.toString
+        if (armedDirs.add(base) && !registry.containsKey(base)) {
+          val kv = java.nio.file.Files.readString(marker).split("\n")
+            .iterator.map(_.split("=", 2)).collect {
+              case Array(k, v) => k -> v }.toMap
+          try registry.put(base, AnnReg(base, dec(kv("index")),
+            dec(kv("id")), dec(kv("vec")), kv("dim").toInt,
+            kv("nprobe").toInt, kv("candfactor").toInt,
+            kv("commit").toInt,
+            Scd1Merge.readTable(spark, base).inputFiles.toSet))
+          catch { case _: Exception => () } // malformed marker: skip
+        }
+        return
+      }
+      dir = dir.getParent; depth += 1
+    }
+  }
+
   /** Opt `basePath` into index-served top-k from `indexPath`. Stamps
-    * the base's CURRENT commit + file snapshot: call (or [[refresh]])
-    * only when the index covers exactly that state. */
+    * the base's CURRENT commit + file snapshot (and persists the
+    * registration inside the table directory, so it survives a
+    * restart): call (or [[refresh]]) only when the index covers
+    * exactly that state. */
   def register(spark: SparkSession, basePath: String, indexPath: String,
                idCol: String, vecCol: String, dim: Int,
                nprobe: Int = 4, candFactor: Int = 16): Unit = {
@@ -81,6 +154,8 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     val files = Scd1Merge.readTable(spark, basePath).inputFiles.toSet
     registry.put(basePath, AnnReg(basePath, indexPath, idCol, vecCol,
       dim, nprobe, candFactor, commit, files))
+    persist(basePath, indexPath, idCol, vecCol, dim, nprobe,
+      candFactor, commit)
   }
 
   /** Re-stamp after an index update/rebuild has folded the base's
@@ -93,14 +168,24 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       reg.dim, reg.nprobe, reg.candFactor)
   }
 
-  def unregister(basePath: String): Unit = { registry.remove(basePath); () }
-  def clear(): Unit = registry.clear()
+  /** Remove the registration AND its persisted marker. */
+  def unregister(basePath: String): Unit = {
+    registry.remove(basePath); armedDirs.remove(basePath)
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(basePath, ArmFileName))
+    catch { case _: Exception => () }
+    ()
+  }
+
+  /** Session-state reset (registrations persisted on disk re-arm on
+    * first touch — the restart simulation specs use exactly this). */
+  def clear(): Unit =
+    { registry.clear(); armedDirs.clear(); probedMisses.clear() }
 
   /** Rewrites applied since session start — plan-pin observability. */
   @volatile var rewriteCount: Long = 0L
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (registry.isEmpty) return plan
     plan transformUp {
       case gl @ GlobalLimit(Literal(k: Int, _),
           LocalLimit(_, srt @ Sort(
@@ -128,9 +213,15 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         fs.location.inputFiles.toSet
       case _ => return None
     }
-    val reg = registry.values().stream().filter(r => r.baseFiles == files)
+    var reg = registry.values().stream().filter(r => r.baseFiles == files)
       .findFirst().orElse(null)
-    if (reg == null) return None
+    if (reg == null) {
+      // a registration persisted by an earlier session arms lazily
+      armFromDisk(SparkSession.active, files)
+      reg = registry.values().stream().filter(r => r.baseFiles == files)
+        .findFirst().orElse(null)
+      if (reg == null) return None
+    }
     // FRESHNESS: the stamp must name the base's live commit
     if (!Scd1Merge.tableCommit(reg.basePath).contains(reg.baseCommit))
       return None

@@ -936,13 +936,20 @@ object QueriesLLM {
       graft.plans.GraftAnnRewrite.refresh(s, corpusT)
       require(scansCodes(topk()),
         "an updated+re-stamped index must serve again")
+      // RESTART simulation: the registration persists as a
+      // `_graft_ann` marker inside the corpus table dir — a wiped
+      // session registry re-arms on first touch (the sql_catalog_
+      // persist posture), with the freshness gates still deciding
+      graft.plans.GraftAnnRewrite.clear()
+      require(scansCodes(topk()),
+        "a restarted session must re-arm from the persisted marker")
       graft.plans.GraftAnnRewrite.unregister(corpusT)
       s.range(1).select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
         lit(16L).as("cand_factor"), lit(KK.toLong).as("k"),
         lit(hits.toLong).as("n_hits"),
         (lit(hits).cast("double") / lit(KK)).as("recall"),
         lit(true).as("fresh_served"), lit(true).as("stale_fell_back"),
-        lit(true).as("refresh_served"))
+        lit(true).as("refresh_served"), lit(true).as("rearm_served"))
     }),
 
     "a6_count_distinct" -> ((s, dir) =>
@@ -1819,7 +1826,7 @@ object QueriesLLM {
          |  16::BIGINT AS cand_factor, 10::BIGINT AS k,
          |  10::BIGINT AS n_hits, 10 / 10.0 AS recall,
          |  TRUE AS fresh_served, TRUE AS stale_fell_back,
-         |  TRUE AS refresh_served""".stripMargin,
+         |  TRUE AS refresh_served, TRUE AS rearm_served""".stripMargin,
     "sim_ivfpq_recall" ->
       """SELECT 16::BIGINT AS nlist, 4::BIGINT AS nprobe,
          |  16::BIGINT AS m, 16::BIGINT AS ksub,

@@ -109,6 +109,22 @@ class AnnRewriteSpec extends SparkSpecBase {
     } finally GraftAnnRewrite.unregister(corpusT)
   }
 
+  test("persisted registration survives a session-registry wipe; unregister removes the marker") {
+    val (corpusT, idx) = freshCorpus("annrw_persist")
+    try {
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 4, candFactor = 16)
+      assert(servedBy(topk(corpusT), idx))
+      GraftAnnRewrite.clear() // simulated restart: session state gone
+      assert(servedBy(topk(corpusT), idx),
+        "first touch must re-arm from the persisted _graft_ann marker")
+      GraftAnnRewrite.unregister(corpusT) // removes the marker too
+      GraftAnnRewrite.clear()
+      assert(!servedBy(topk(corpusT), idx),
+        "no marker on disk → no arm → exact plan")
+    } finally GraftAnnRewrite.unregister(corpusT)
+  }
+
   test("staleness: a base write falls back; index update + refresh serves again; time-travel never serves") {
     val (corpusT, idx) = freshCorpus("annrw_stale")
     try {
