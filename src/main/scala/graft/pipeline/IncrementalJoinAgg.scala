@@ -204,7 +204,8 @@ object IncrementalJoinAgg {
     * resolve on whichever side carries them. */
   def bootstrapStar(spark: SparkSession, aggPath: String,
                     factPath: String, dims: Seq[MvDef.JoinSrc],
-                    spec: AggSpec, numBuckets: Int = 0): Unit = {
+                    spec: AggSpec, numBuckets: Int = 0,
+                    retain: Int = Scd1Merge.DefaultRetainVersions): Unit = {
     require(dims.nonEmpty, "bootstrapStar: at least one dim")
     val cf = factCommitOf(factPath, "bootstrapStar")
     val cds = dims.map(d => commitOf(d.dimPath, "bootstrapStar"))
@@ -231,7 +232,7 @@ object IncrementalJoinAgg {
       starMeasureCols(spec).map(m => col(s"f.$m")): _*)
     IncrementalAgg.bootstrap(spark, aggPath, projected,
       postJoinSpec(spec), numBuckets,
-      batchId = starStamp(cf, cds))
+      batchId = starStamp(cf, cds), retainVersions = retain)
   }
 
   /** Registered star-MV creation: [[bootstrapStar]] + persisted
@@ -240,7 +241,8 @@ object IncrementalJoinAgg {
   def createMvStar(spark: SparkSession, mvPath: String,
                    factPath: String, factKeys: Seq[String],
                    dims: Seq[MvDef.JoinSrc], spec: AggSpec,
-                   numBuckets: Int = 0): Unit = {
+                   numBuckets: Int = 0,
+                   retain: Int = Scd1Merge.DefaultRetainVersions): Unit = {
     // the filter, every group EXPRESSION, and every min/max measure
     // must resolve on the FACT ALONE — filters and expressions then
     // commute with every telescoped term (both are evaluated on the
@@ -280,8 +282,9 @@ object IncrementalJoinAgg {
         require(!spec.groupCols.exists(_.equalsIgnoreCase(m)),
           s"star MV measure '$m' collides with a group column name")
       }
-    bootstrapStar(spark, mvPath, factPath, dims, spec, numBuckets)
-    MvDef.write(mvPath, MvDef.Def(factPath, factKeys, spec, dims))
+    bootstrapStar(spark, mvPath, factPath, dims, spec, numBuckets, retain)
+    MvDef.write(mvPath,
+      MvDef.Def(factPath, factKeys, spec, dims, retain = retain))
     graft.plans.GraftMvRewrite.registerJoin(
       graft.plans.GraftMvRewrite.JoinMvReg(factPath,
         dims.map(d => graft.plans.GraftMvRewrite.DimJoin(d.dimPath, d.fk, d.dk)),
@@ -298,7 +301,8 @@ object IncrementalJoinAgg {
     * past any side's retention fails loudly (the CDC contract). */
   def refreshStar(spark: SparkSession, aggPath: String,
                   factPath: String, factKeys: Seq[String],
-                  dims: Seq[MvDef.JoinSrc], spec: AggSpec): Seq[Int] = {
+                  dims: Seq[MvDef.JoinSrc], spec: AggSpec,
+                  retain: Int = Scd1Merge.DefaultRetainVersions): Seq[Int] = {
     val stamp = Scd1Merge.tableBatchId(aggPath).getOrElse(
       throw new IllegalStateException(
         s"refreshStar: $aggPath carries no stamp — bootstrap it first"))
@@ -321,7 +325,8 @@ object IncrementalJoinAgg {
     applyStarChanges(spark, aggPath, factPath, factKeys, dims, spec,
       factWindow = (seen.head, math.max(seen.head, cur.head)),
       dimWindows = seen.tail.zip(cur.tail).map { case (s, c) =>
-        (s, math.max(s, c)) })
+        (s, math.max(s, c)) },
+      retain = retain)
     lags
   }
 
@@ -336,7 +341,8 @@ object IncrementalJoinAgg {
                        dims: Seq[MvDef.JoinSrc], spec: AggSpec,
                        factWindow: (Int, Int),
                        dimWindows: Seq[(Int, Int)],
-                       numBuckets: Int = 0): Unit = {
+                       numBuckets: Int = 0,
+                       retain: Int = Scd1Merge.DefaultRetainVersions): Unit = {
     require(dims.size == dimWindows.size, "one window per dim")
     val (sf, cf) = factWindow
     require(cf >= sf && dimWindows.forall(w => w._2 >= w._1),
@@ -424,7 +430,7 @@ object IncrementalJoinAgg {
     IncrementalAgg.applyChangesFrame(spark, aggPath,
       (factTerm ++ dimTerms).reduce(_ unionByName _),
       postJoinSpec(spec), numBuckets, starStamp(cf, cds),
-      extremesBase = extBase)
+      retainVersions = retain, extremesBase = extBase)
   }
 
   /** Fold every commit EITHER side has made since the MV's stamp —

@@ -21,8 +21,14 @@ object MvDef {
   final case class JoinSrc(dimPath: String, dimKeys: Seq[String],
                            fk: String, dk: String)
 
+  /** `retain`: child-version history depth every MV write keeps —
+    * the CDC contract a DOWNSTREAM consumer (an MV over this MV, a
+    * feed reader) needs to lag without losing its window. Plumbed
+    * from `CREATE ... RETAIN n` into bootstrap, every refresh, and
+    * the tombstone sweep. */
   final case class Def(basePath: String, baseKeys: Seq[String], spec: AggSpec,
-                       joins: Seq[JoinSrc] = Nil)
+                       joins: Seq[JoinSrc] = Nil,
+                       retain: Int = graft.merge.Scd1Merge.DefaultRetainVersions)
 
   private val FileName = "_graft_mv"
 
@@ -38,6 +44,8 @@ object MvDef {
       s"groups=${d.spec.groupCols.map(enc).mkString(",")}",
       s"sums=${d.spec.sums.map { case (m, o) => s"${enc(m)}:${enc(o)}" }.mkString(",")}",
       s"count=${enc(d.spec.countName)}") ++
+      (if (d.retain != graft.merge.Scd1Merge.DefaultRetainVersions)
+        Seq(s"retain=${d.retain}") else Nil) ++
       (if (d.spec.mins.nonEmpty)
         Seq(s"mins=${d.spec.mins.map { case (m, o) => s"${enc(m)}:${enc(o)}" }.mkString(",")}")
        else Nil) ++
@@ -101,6 +109,8 @@ object MvDef {
     Some(Def(dec(kv("base")), list("keys"),
       AggSpec(list("groups"), sums, dec(kv("count")),
         kv.get("filter").map(dec), groupExprs,
-        pairs("mins"), pairs("maxs"), pairs("sketches")), joins))
+        pairs("mins"), pairs("maxs"), pairs("sketches")), joins,
+      retain = kv.get("retain").map(_.toInt)
+        .getOrElse(graft.merge.Scd1Merge.DefaultRetainVersions)))
   }
 }

@@ -1315,6 +1315,92 @@ object QueriesPipeline {
       out
     }),
 
+    "pipe30_mv_chain" -> ((s, dir) => {
+      // MV-OVER-MV CHAIN — the rollup cascade every warehouse runs
+      // (base → daily MV → monthly MV): an MV table IS a graft table
+      // with a change feed and commit stamps, so the SECOND layer
+      // needs no new machinery — mv_month registers mv_day as its
+      // base, maintenance consumes mv_day's feed (a daily row's
+      // update nets -old +new through the signed algebra), and
+      // freshness gates PER LINK: a base wave stales mv_day's rewrite
+      // while mv_month stays fresh w.r.t. its OWN base (mv_day's
+      // unchanged content) — pinned in-row; each REFRESH re-arms its
+      // link. The 100 TB shape: the monthly dashboard reads O(months)
+      // rows maintained from O(days) rows maintained from O(delta)
+      // base changes — no layer ever re-reads the one below in full.
+      val root = tmpDir("graft_mvchain")
+      val base = root + "/orders"
+      val mvD = root + "/mv_day"; val mvM = root + "/mv_month"
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Scd1Merge.upsert(s, base, o, Seq("o_orderkey"), numBuckets = 4,
+        retainVersions = 4)
+      // RETAIN 4: the chain's CDC contract — mv_day's history must
+      // cover mv_month's lag window (a refresh can land a maintenance
+      // commit AND a tombstone-sweep commit; the default retain of 1
+      // would loudly expire the feed before mv_month consumes it)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvD` BUCKETS 2
+           |RETAIN 4 AS
+           |SELECT d, sum(cents) AS sc, count(*) AS n
+           |FROM graft.`$base` GROUP BY d""".stripMargin)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvM` BUCKETS 1 AS
+           |SELECT substring(d, 1, 7) AS m, sum(sc) AS sc,
+           |  sum(n) AS n_orders, count(*) AS nd
+           |FROM graft.`$mvD` GROUP BY substring(d, 1, 7)""".stripMargin)
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def qMonth(): DataFrame = graft.sql.GraftSql.sql(s,
+        s"""SELECT substring(d, 1, 7) AS m, sum(sc) AS sc,
+           |  sum(n) AS n_orders
+           |FROM graft.`$mvD` GROUP BY substring(d, 1, 7)
+           |ORDER BY m""".stripMargin)
+      def qDay(): DataFrame = graft.sql.GraftSql.sql(s,
+        s"""SELECT d, sum(cents) AS sc FROM graft.`$base`
+           |GROUP BY d ORDER BY d""".stripMargin)
+      require(scansOf(qMonth()).forall(_.contains(mvM + "/")),
+        "the monthly dashboard must answer from the second-layer MV")
+      require(scansOf(qDay()).forall(_.contains(mvD + "/")),
+        "the daily query must answer from the first-layer MV")
+      // the wave: a correction + a delete on the BASE
+      Scd1Merge.upsert(s, base,
+        o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("cents", col("cents") + 5L),
+        Seq("o_orderkey"), retainVersions = 4)
+      Scd1Merge.delete(s, base, Seq("o_orderkey"),
+        pmod(col("o_orderkey"), lit(13)) === 0, retainVersions = 4)
+      // link-local freshness: mv_day is stale (its base moved), but
+      // mv_month is still fresh w.r.t. ITS base — mv_day's content
+      // has not changed yet
+      require(scansOf(qDay()).exists(_.contains(base + "/")),
+        "a lagging first layer must route to the base")
+      require(scansOf(qMonth()).forall(_.contains(mvM + "/")),
+        "the second layer stays fresh until its OWN base moves")
+      val r1 = graft.sql.GraftSql.sql(s,
+        s"REFRESH MATERIALIZED VIEW graft.`$mvD`").collect().head
+      require(r1.getLong(1) == 2L, s"mv_day must fold 2 commits: $r1")
+      // now the SECOND link is stale: mv_day's content moved
+      require(scansOf(qMonth()).exists(_.contains(mvD + "/")) &&
+        !scansOf(qMonth()).exists(_.contains(mvM + "/")),
+        "a refreshed first layer stales the second")
+      val r2 = graft.sql.GraftSql.sql(s,
+        s"REFRESH MATERIALIZED VIEW graft.`$mvM`").collect().head
+      require(r2.getLong(1) >= 1L, s"mv_month must fold mv_day's commit: $r2")
+      val out = qMonth()
+      require(scansOf(out).forall(_.contains(mvM + "/")),
+        "the refreshed chain must answer from the top again")
+      out
+    }),
+
     "pipe29_sketch_mv" -> ((s, dir) => {
       // APPROXIMATE (HLL-SKETCH) MV — the distinct-count dashboard
       // (`unique customers per status`) at 100 TB: exact
@@ -2133,6 +2219,14 @@ object QueriesPipeline {
          |  max(cents)::BIGINT AS max_cents, count(*) AS n_orders
          |FROM f JOIN c ON o_custkey = c_custkey
          |GROUP BY o_month, seg ORDER BY o_month, seg""".stripMargin,
+    "pipe30_mv_chain" ->
+      """WITH f AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS m,
+         |    CAST(round(o_totalprice * 100) AS BIGINT)
+         |      + CASE WHEN o_orderkey % 7 = 0 THEN 5 ELSE 0 END AS cents
+         |  FROM orders WHERE o_orderkey % 13 <> 0)
+         |SELECT m, sum(cents)::BIGINT AS sc, count(*) AS n_orders
+         |FROM f GROUP BY m ORDER BY m""".stripMargin,
     // PINNED estimates: Datasketches HLL register-max merges commute,
     // so the per-status estimate is deterministic for fixed final
     // content regardless of partitioning (the a7 argument); n_orders

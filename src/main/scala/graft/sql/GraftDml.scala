@@ -245,7 +245,8 @@ object GraftDml {
      """PARTITIONED\s+BY\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*\)\s*;?\s*$""").r
   private val CreateMvRe =
     ("""(?is)^\s*CREATE\s+GRAFT\s+MATERIALIZED\s+VIEW\s+""" +
-     """(\S+|graft\s*\.\s*`[^`]*`)(?:\s+BUCKETS\s+(\d+))?\s+AS\s+(.+)$""").r
+     """(\S+|graft\s*\.\s*`[^`]*`)(?:\s+BUCKETS\s+(\d+))?""" +
+     """(?:\s+RETAIN\s+(\d+))?\s+AS\s+(.+)$""").r
   private val RefreshMvRe =
     ("""(?is)^\s*REFRESH\s+(?:GRAFT\s+)?MATERIALIZED\s+VIEW\s+""" +
      """(\S+|graft\s*\.\s*`[^`]*`)\s*;?\s*$""").r
@@ -316,9 +317,11 @@ object GraftDml {
           ifExists = ifExists != null))
       case RepartitionRe(tok, cols) =>
         parseTableToken(tok).map(p => GraftRepartitionCommand(p, cols.trim))
-      case CreateMvRe(tok, buckets, select) =>
+      case CreateMvRe(tok, buckets, retain, select) =>
         parseTableToken(tok).map(p => GraftCreateMvCommand(p,
-          Option(buckets).map(_.toInt).getOrElse(0), select.trim))
+          Option(buckets).map(_.toInt).getOrElse(0),
+          Option(retain).map(_.toInt)
+            .getOrElse(Scd1Merge.DefaultRetainVersions), select.trim))
       case RefreshMvRe(tok) =>
         parseTableToken(tok).map(GraftRefreshMvCommand)
       case ShowMvsRe() => Some(GraftShowMvsCommand())
@@ -696,7 +699,7 @@ case class GraftCreateTableCommand(path: String, keys: Seq[String],
   * deletes; a filtered MV would silently disagree with the unfiltered
   * base queries the rewrite matches. */
 case class GraftCreateMvCommand(path: String, numBuckets: Int,
-                                selectSql: String)
+                                retain: Int, selectSql: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
@@ -817,8 +820,9 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       "column — it is the group-liveness ledger deletion maintenance uses"))
     val spec = AggSpec(groupNames, sums, cn, filterSql, groupExprs,
       mins, maxs, sketches)
-    IncrementalAgg.bootstrapFrom(spark, path, basePath, spec, numBuckets)
-    MvDef.write(path, MvDef.Def(basePath, baseKeys, spec))
+    IncrementalAgg.bootstrapFrom(spark, path, basePath, spec, numBuckets,
+      retainVersions = retain)
+    MvDef.write(path, MvDef.Def(basePath, baseKeys, spec, retain = retain))
     graft.plans.GraftMvRewrite.register(basePath, path, spec)
     GraftCatalog.putMv(path, basePath) // durable: a NEW session auto-arms
     Nil
@@ -1087,7 +1091,7 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       fk => groupNames.exists(_.equalsIgnoreCase(fk)))
     IncrementalJoinAgg.createMvStar(spark, path, factPath, factKeys,
       dims, AggSpec(allGroupNames, sums, cn, filterSql, groupExprs,
-        mins, maxs, sketches), numBuckets)
+        mins, maxs, sketches), numBuckets, retain = retain)
     Nil
   }
 }
@@ -1158,7 +1162,7 @@ case class GraftRefreshMvCommand(path: String)
     if (d.joins.nonEmpty) {
       // JOIN/STAR MV: fold every side's lag, re-arm the rewrite
       val applied = IncrementalJoinAgg.refreshStar(spark, path,
-        d.basePath, d.baseKeys, d.joins, d.spec)
+        d.basePath, d.baseKeys, d.joins, d.spec, retain = d.retain)
       graft.plans.GraftMvRewrite.registerJoin(
         graft.plans.GraftMvRewrite.JoinMvReg(d.basePath,
           d.joins.map(j =>
@@ -1181,7 +1185,8 @@ case class GraftRefreshMvCommand(path: String)
       s"REFRESH MATERIALIZED VIEW: $path carries no base-commit stamp"))
     if (live > seen)
       IncrementalAgg.applyChanges(spark, path, d.basePath, d.baseKeys,
-        d.spec, fromBack = live - seen, toBack = 0)
+        d.spec, fromBack = live - seen, toBack = 0,
+        retainVersions = d.retain)
     graft.plans.GraftMvRewrite.register(d.basePath, path, d.spec)
     Seq(Row(live.toLong, math.max(0, live - seen).toLong))
   }

@@ -997,6 +997,80 @@ class MvRewriteSpec extends SparkSpecBase {
     } finally { GraftMvRewrite.unregisterJoin(mv); GraftMvRewrite.clear() }
   }
 
+  test("MV CHAIN: an MV over an MV maintains from the first layer's feed; RETAIN covers the lag; default retention fails loudly") {
+    import graft.pipeline.MvDef
+    val root = Tmp.dir("mv_chain")
+    val base = root + "/base"
+    val mvD = root + "/mv_day"; val mvM = root + "/mv_month"
+    Scd1Merge.upsert(spark, base,
+      (1L to 300L).map(i => (i, f"1997-${i % 6 + 1}%02d-${i % 3 + 1}%02d", i * 10))
+        .toDF("id", "d", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 4)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvD` BUCKETS 2
+           |RETAIN 4 AS
+           |SELECT d, sum(cents) AS sc, count(*) AS n
+           |FROM graft.`$base` GROUP BY d""".stripMargin).collect()
+      assert(MvDef.read(mvD).exists(_.retain == 4),
+        "RETAIN must persist in the definition")
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvM` BUCKETS 1 AS
+           |SELECT substring(d, 1, 7) AS m, sum(sc) AS sc,
+           |  sum(n) AS n_rows, count(*) AS nd
+           |FROM graft.`$mvD` GROUP BY substring(d, 1, 7)""".stripMargin)
+        .collect()
+      def qM = Scd1Merge.readTable(spark, mvD)
+        .groupBy(substring($"d", 1, 7).as("m"))
+        .agg(sum($"sc").as("sc"), sum($"n").as("n_rows"))
+      assert(readsOnly(qM, mvM), s"second layer must answer: ${scanPaths(qM)}")
+      // a base wave: correction + group-killing delete (forces the
+      // tombstone sweep — mv_day advances by 2 commits per refresh)
+      Scd1Merge.upsert(spark, base,
+        Seq((7L, "1997-02-01", 999L)).toDF("id", "d", "cents"),
+        Seq("id"), retainVersions = 4)
+      Scd1Merge.delete(spark, base, Seq("id"), $"d" === "1997-01-01",
+        retainVersions = 4)
+      graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mvD`").collect()
+      graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mvM`").collect()
+      assert(readsOnly(qM, mvM))
+      // values track a full recompute from the base
+      GraftMvRewrite.clear()
+      assertSameRows(qM.orderBy("m"),
+        Scd1Merge.readTable(spark, base)
+          .groupBy(substring($"d", 1, 7).as("m"))
+          .agg(sum($"cents").as("sc"), count(lit(1)).as("n_rows"))
+          .orderBy("m"))
+      // the NEGATIVE: a first layer at DEFAULT retention (1) cannot
+      // feed a lagging consumer across a sweep-bearing refresh
+      val mvD1 = root + "/mv_day1"; val mvM1 = root + "/mv_month1"
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvD1` BUCKETS 2 AS
+           |SELECT d, sum(cents) AS sc, count(*) AS n
+           |FROM graft.`$base` GROUP BY d""".stripMargin).collect()
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvM1` BUCKETS 1 AS
+           |SELECT substring(d, 1, 7) AS m, sum(sc) AS sc, count(*) AS nd
+           |FROM graft.`$mvD1` GROUP BY substring(d, 1, 7)""".stripMargin)
+        .collect()
+      Scd1Merge.delete(spark, base, Seq("id"), $"d" === "1997-02-01",
+        retainVersions = 4)
+      graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mvD1`").collect()
+      val e = intercept[Exception] {
+        graft.sql.GraftSql.sql(spark,
+          s"REFRESH MATERIALIZED VIEW graft.`$mvM1`").collect()
+      }
+      assert(e.getMessage.contains("not retained") ||
+        e.getMessage.contains("retain"),
+        s"default-retention chain must fail loudly: ${e.getMessage}")
+    } finally {
+      GraftMvRewrite.clear()
+    }
+  }
+
   test("registry hygiene: clear() wipes join MVs; unregisterJoin lets a catalog re-arm over the same fact") {
     import graft.pipeline.MvDef
     val root = Tmp.dir("mv_hygiene")
