@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // vec_cosine ORDER BY ... LIMIT k over a REGISTERED corpus is
     // served from its persisted IVF-PQ index (GraftAnnRewrite)
     ext.injectOptimizerRule(_ => graft.plans.GraftAnnRewrite)
+    // row_number()-top-k leaderboards over a registered base answer
+    // from its maintained top-N MV (GraftTopNRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.GraftTopNRewrite)
   }
 }
 

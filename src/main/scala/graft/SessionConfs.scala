@@ -40,5 +40,9 @@ object SessionConfs {
           .contains(graft.plans.GraftAnnRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.GraftAnnRewrite
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.GraftTopNRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.GraftTopNRewrite
   }
 }

@@ -1,0 +1,152 @@
+package graft.plans
+
+import graft.merge.Scd1Merge
+import graft.pipeline.TopNMv.TopNSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Descending, LessThan, LessThanOrEqual, Literal, NullsFirst, NullsLast, SortOrder, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Transparent TOP-N-PER-GROUP rewrite: the leaderboard query shape
+  *
+  *   `... row_number() OVER (PARTITION BY g ORDER BY m DESC, keys)
+  *    AS rn ... WHERE rn <= k`
+  *
+  * over a base with a registered, FRESH [[graft.pipeline.TopNMv]] is
+  * answered from the MV's N-per-group rows instead of a full window
+  * sort over the base — the [[GraftMvRewrite]] posture for a query
+  * no aggregate MV can serve (the answer is N whole ROWS per group).
+  * The splice replaces only the window's CHILD: the query's own
+  * Window + Filter recompute `row_number` over the MV's ≤N rows per
+  * group (trivial work), so every output exprId survives and the
+  * answer is exactly the base plan's — the MV stores the top-N by the
+  * SAME deterministic ordering the gate requires of the query.
+  *
+  * Gates (every failure a silent fall-through):
+  *  - SHAPE: one window expression, `row_number()`; the filter is a
+  *    single `rn <= k` / `rn < k+1` conjunct on it with k ≤ N;
+  *    partition columns are bare attrs equal (as a set) to the MV's
+  *    group columns; the ORDER is exactly the registered
+  *    deterministic ordering — order column in the registered
+  *    direction with its default null ordering, then the base keys
+  *    ascending (a different tie-break could legally select different
+  *    tied rows than maintenance stored);
+  *  - the window's child projects bare attributes of the registered
+  *    base's scan, all of them stored in the MV;
+  *  - SNAPSHOT: the scan's files equal the base's current live set;
+  *  - FRESHNESS: the MV's `base-commit-N` stamp names the base's
+  *    current commit. */
+object GraftTopNRewrite extends Rule[LogicalPlan] {
+
+  final case class TopNReg(mvPath: String, basePath: String,
+                           baseKeys: Seq[String], spec: TopNSpec)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, TopNReg]()
+
+  def register(spark: SparkSession, mvPath: String, basePath: String,
+               baseKeys: Seq[String], spec: TopNSpec): Unit =
+    registry.put(mvPath, TopNReg(mvPath, basePath, baseKeys, spec))
+  def unregister(mvPath: String): Unit = { registry.remove(mvPath); () }
+  def clear(): Unit = registry.clear()
+
+  @volatile var rewriteCount: Long = 0L
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (registry.isEmpty) return plan
+    plan transformUp {
+      case f @ Filter(_, w: Window) =>
+        tryRewrite(f, w).getOrElse(f)
+    }
+  }
+
+  private def tryRewrite(f: Filter, w: Window): Option[LogicalPlan] = {
+    // ---- one row_number window expression
+    val rnAlias = w.windowExpressions match {
+      case Seq(al @ Alias(we: WindowExpression, _))
+          if we.windowFunction.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.RowNumber] => al
+      case _ => return None
+    }
+    // ---- the filter is exactly `rn <= k` (or `rn < k+1`)
+    val k: Int = f.condition match {
+      case LessThanOrEqual(a: AttributeReference, Literal(v: Int, _))
+          if a.exprId == rnAlias.exprId => v
+      case LessThan(a: AttributeReference, Literal(v: Int, _))
+          if a.exprId == rnAlias.exprId => v - 1
+      case _ => return None
+    }
+    if (k < 1) return None
+    // ---- the child: bare attribute Projects over a single scan.
+    // Spark's InferWindowGroupLimit inserts a WindowGroupLimit node
+    // (its own partial top-k pushdown) — traverse it; the splice
+    // drops it, which is sound: the MV already holds ≤N rows/group.
+    def walk(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case Project(items, child)
+          if items.forall(_.isInstanceOf[AttributeReference]) => walk(child)
+      case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+        walk(wgl.child)
+      case lr: LogicalRelation => Some(lr)
+      case _ => None
+    }
+    val scan = walk(w.child).getOrElse(return None)
+    val files = scan.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fs.location.inputFiles.toSet
+      case _ => return None
+    }
+    val spark = SparkSession.active
+    val reg = registry.values().stream().filter { r =>
+      k <= r.spec.n &&
+      Scd1Merge.tableExists(r.basePath) &&
+      Scd1Merge.readTable(spark, r.basePath).inputFiles.toSet == files
+    }.findFirst().orElse(null)
+    if (reg == null) return None
+    // ---- FRESHNESS: the stamp names the base's live commit
+    val live = Scd1Merge.tableCommit(reg.basePath).getOrElse(return None)
+    if (!Scd1Merge.tableBatchId(reg.mvPath)
+        .contains(f"base-commit-$live%09d")) return None
+    // ---- partition = the MV's group columns (bare attrs, as a set)
+    val partNames = w.partitionSpec.map {
+      case a: AttributeReference if scan.outputSet.contains(a) =>
+        a.name.toLowerCase
+      case _ => return None
+    }.toSet
+    if (partNames != reg.spec.groupCols.map(_.toLowerCase).toSet)
+      return None
+    // ---- order = EXACTLY the registered deterministic ordering
+    val want: Seq[(String, Boolean)] = // (colName, descending)
+      (reg.spec.orderCol, reg.spec.desc) +:
+        reg.baseKeys.map(_ -> false)
+    if (w.orderSpec.size != want.size) return None
+    w.orderSpec.zip(want).foreach {
+      case (SortOrder(a: AttributeReference, dir, nulls, _), (name, desc))
+          if a.name.equalsIgnoreCase(name) &&
+            scan.outputSet.contains(a) &&
+            dir == (if (desc) Descending else Ascending) &&
+            nulls == (if (desc) NullsLast else NullsFirst) => ()
+      case _ => return None
+    }
+    // ---- every child output column must be stored in the MV
+    if (!w.child.output.forall(a =>
+        reg.spec.cols.exists(_.equalsIgnoreCase(a.name)))) return None
+    // ---- splice: the window's child becomes the MV read, projected
+    // back to the ORIGINAL attributes (names + exprIds preserved)
+    val mvRead =
+      Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed
+    val mvByName = mvRead.output.collect {
+      case a: AttributeReference => a.name.toLowerCase -> a
+    }.toMap
+    val items = w.child.output.map { a =>
+      val src = mvByName.getOrElse(a.name.toLowerCase, return None)
+      Alias(src, a.name)(exprId = a.exprId)
+    }
+    rewriteCount += 1
+    logInfo(s"graft TOP-N rewrite: row_number top-$k over " +
+      s"${reg.basePath} answered from ${reg.mvPath} " +
+      s"(n=${reg.spec.n}, commit $live)")
+    Some(f.withNewChildren(Seq(
+      w.withNewChildren(Seq(Project(items, mvRead))))))
+  }
+}

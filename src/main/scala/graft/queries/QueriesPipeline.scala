@@ -1315,6 +1315,80 @@ object QueriesPipeline {
       out
     }),
 
+    "pipe31_topn_mv" -> ((s, dir) => {
+      // TOP-N-PER-GROUP MV — the leaderboard dashboard ("top 3
+      // orders by value per priority") no aggregate MV can serve: the
+      // answer is N whole ROWS per group. The MV stores exactly the
+      // top-N rows keyed by the BASE KEY, and maintenance is the
+      // min/max two-speed shape lifted to row sets: inserts compete
+      // only against the stored N (O(delta·N), never the base — an
+      // evicted row is not lost, the base keeps it); a retraction of
+      // a STORED row flags its group for a semi-joined base rescan
+      // (the replacement is exactly what the MV evicted earlier),
+      // while a never-stored retraction folds to nothing. The
+      // deterministic ordering ALWAYS tie-breaks by the base key, so
+      // stored content is a pure function of base state. The
+      // transparent rewrite answers the row_number()-top-k shape
+      // (k ≤ N, same partition, EXACTLY the registered ordering) by
+      // replacing only the window's child — the query's own
+      // Window/Filter recompute ranks over ≤N rows per group. In-row
+      // requires pin routing (fresh MV / lag to base / refreshed MV)
+      // and the rescan resurrection; the oracle recomputes the
+      // leaderboard from final base content.
+      import graft.pipeline.TopNMv
+      import graft.pipeline.TopNMv.TopNSpec
+      val root = tmpDir("graft_topnmv")
+      val base = root + "/orders"; val mvT = root + "/mv"
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Scd1Merge.upsert(s, base, o, Seq("o_orderkey"), numBuckets = 4,
+        retainVersions = 4)
+      TopNMv.createMv(s, mvT, base,
+        TopNSpec(Seq("pri"), "cents", desc = true, n = 3,
+          cols = Seq("o_orderkey", "pri", "cents")),
+        numBuckets = 1, retain = 4)
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pri"))
+        .orderBy(col("cents").desc, col("o_orderkey").asc)
+      def q(): DataFrame = Scd1Merge.readTable(s, base)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy(col("pri"), col("rn"))
+      require(scansOf(q()).forall(_.contains(mvT + "/")),
+        "the fresh top-N MV must answer the leaderboard")
+      // the wave: new leaders into two groups (fold leg), then DELETE
+      // the current top row of '1-URGENT' (stored retraction → that
+      // group rescans and resurrects its previously-evicted 4th row)
+      Scd1Merge.upsert(s, base,
+        s.range(2).select((col("id") + 90000000L).as("o_orderkey"),
+          when(col("id") === 0, "1-URGENT").otherwise("5-LOW").as("pri"),
+          (col("id") * 1000L + 77777777L).as("cents")),
+        Seq("o_orderkey"), retainVersions = 4)
+      val topUrgent = Scd1Merge.readTable(s, base)
+        .filter(col("pri") === "1-URGENT")
+        .orderBy(col("cents").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey")).head().getLong(0)
+      Scd1Merge.delete(s, base, Seq("o_orderkey"),
+        col("o_orderkey") === topUrgent, retainVersions = 4)
+      require(scansOf(q()).exists(_.contains(base + "/")),
+        "a lagging top-N MV must route to the base")
+      require(TopNMv.refresh(s, mvT) == 2L, "refresh must fold 2 commits")
+      val out = q()
+      require(scansOf(out).forall(_.contains(mvT + "/")),
+        "the refreshed top-N MV must answer again")
+      out
+    }),
+
     "pipe30_mv_chain" -> ((s, dir) => {
       // MV-OVER-MV CHAIN — the rollup cascade every warehouse runs
       // (base → daily MV → monthly MV): an MV table IS a graft table
@@ -2219,6 +2293,17 @@ object QueriesPipeline {
          |  max(cents)::BIGINT AS max_cents, count(*) AS n_orders
          |FROM f JOIN c ON o_custkey = c_custkey
          |GROUP BY o_month, seg ORDER BY o_month, seg""".stripMargin,
+    "pipe31_topn_mv" ->
+      """WITH f AS (
+         |  SELECT o_orderkey, o_orderpriority AS pri,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders
+         |  UNION ALL SELECT 90000001, '5-LOW', 77778777),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY pri ORDER BY cents DESC, o_orderkey) AS rn
+         |  FROM f)
+         |SELECT o_orderkey, pri, cents, rn::INT AS rn
+         |FROM r WHERE rn <= 3 ORDER BY pri, rn""".stripMargin,
     "pipe30_mv_chain" ->
       """WITH f AS (
          |  SELECT strftime(o_orderdate, '%Y-%m') AS m,

@@ -1,0 +1,184 @@
+package graft
+
+import graft.merge.Scd1Merge
+import graft.pipeline.TopNMv
+import graft.pipeline.TopNMv.TopNSpec
+import graft.plans.GraftTopNRewrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Top-N-per-group MVs: the two-speed row-set maintenance (inserts
+  * fold against the stored N; a stored row's retraction rescans its
+  * group), the transparent row_number rewrite, and its conservative
+  * gates. Every positive case asserts BOTH values-equal-recompute AND
+  * that the plan actually reads the MV. */
+class TopNMvSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten
+
+  private def readsOnly(df: DataFrame, dir: String): Boolean = {
+    val ps = scanPaths(df)
+    ps.nonEmpty && ps.forall(_.contains(dir + "/"))
+  }
+
+  private def fixture(name: String): (String, String) = {
+    val root = Tmp.dir(name)
+    val base = root + "/base"; val mv = root + "/mv"
+    // 5 groups × 40 rows; cents strictly increasing with id so the
+    // expected top rows are unambiguous
+    Scd1Merge.upsert(spark, base,
+      (1L to 200L).map(i => (i, s"g${i % 5}", i * 10)).toDF("id", "g", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 6)
+    TopNMv.createMv(spark, mv, base,
+      TopNSpec(Seq("g"), "cents", desc = true, n = 3,
+        cols = Seq("id", "g", "cents")), numBuckets = 1, retain = 6)
+    (base, mv)
+  }
+
+  private def q(base: String, k: Int): DataFrame = {
+    val w = Window.partitionBy($"g").orderBy($"cents".desc, $"id".asc)
+    Scd1Merge.readTable(spark, base)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+  }
+
+  private def recompute(base: String, k: Int): DataFrame = {
+    val w = Window.partitionBy($"g").orderBy($"cents".desc, $"id".asc)
+    Scd1Merge.readTable(spark, base)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    val l = a.orderBy("g", "rn").collect().map(_.toSeq)
+    val r = b.orderBy("g", "rn").collect().map(_.toSeq)
+    assert(l.toSeq == r.toSeq, s"\n${l.toSeq}\nvs\n${r.toSeq}")
+  }
+
+  test("fresh top-N MV answers row_number top-k; k <= N rolls down; values equal recompute") {
+    val (base, mv) = fixture("topn_pos")
+    try {
+      assert(readsOnly(q(base, 3), mv), s"${scanPaths(q(base, 3))}")
+      assert(readsOnly(q(base, 2), mv), "k=2 <= N=3 must serve")
+      GraftTopNRewrite.clear()
+      val expect3 = recompute(base, 3); val expect2 = recompute(base, 2)
+      TopNMv.refresh(spark, mv) // re-register
+      assertSame(q(base, 3), expect3)
+      assertSame(q(base, 2), expect2)
+      // k > N cannot be served
+      assert(readsOnly(q(base, 4), base), "k=4 > N=3 must fall through")
+    } finally GraftTopNRewrite.clear()
+  }
+
+  test("inserts fold: new leaders enter, evictions happen, a stale MV routes to the base until refresh") {
+    val (base, mv) = fixture("topn_fold")
+    try {
+      // new global leaders into g1, mid-pack into g2 (no entry)
+      Scd1Merge.upsert(spark, base, Seq(
+        (901L, "g1", 99999L), (902L, "g2", 5L)).toDF("id", "g", "cents"),
+        Seq("id"), retainVersions = 6)
+      assert(readsOnly(q(base, 3), base), "a lagging MV must fall back")
+      assert(TopNMv.refresh(spark, mv) == 1L)
+      assert(readsOnly(q(base, 3), mv), "refreshed MV must serve again")
+      GraftTopNRewrite.clear()
+      val expect = recompute(base, 3)
+      TopNMv.refresh(spark, mv)
+      assertSame(q(base, 3), expect)
+      // the new leader is stored; its group's old 3rd was evicted
+      val stored = Scd1Merge.readTable(spark, mv)
+      assert(stored.filter($"id" === 901L).count() == 1)
+      assert(stored.filter($"g" === "g1").count() == 3)
+    } finally GraftTopNRewrite.clear()
+  }
+
+  test("retractions: deleting a stored top row rescans ONLY its group (the evicted row returns); non-stored deletes fold to nothing") {
+    val (base, mv) = fixture("topn_retract")
+    try {
+      // g0's top row is id=200 (cents 2000); delete it AND a deep
+      // non-stored row of g2 (id=2, cents 20)
+      Scd1Merge.delete(spark, base, Seq("id"),
+        $"id" === 200L || $"id" === 2L, retainVersions = 6)
+      assert(TopNMv.refresh(spark, mv) == 1L)
+      GraftTopNRewrite.clear()
+      val expect = recompute(base, 3)
+      TopNMv.refresh(spark, mv)
+      assertSame(q(base, 3), expect)
+      // the previously-evicted 4th row of g0 (id 185, cents 1850)
+      // is back in the stored set
+      val stored = Scd1Merge.readTable(spark, mv)
+      assert(stored.filter($"g" === "g0").count() == 3)
+      assert(stored.filter($"id" === 185L).count() == 1,
+        "the rescan must resurrect the previously-evicted row")
+      // UPDATE a stored row downward: its preimage is stored → rescan
+      Scd1Merge.upsert(spark, base, Seq((199L, "g4", 1L)).toDF("id", "g", "cents"),
+        Seq("id"), retainVersions = 6)
+      TopNMv.refresh(spark, mv)
+      GraftTopNRewrite.clear()
+      val expect2 = recompute(base, 3)
+      TopNMv.refresh(spark, mv)
+      assertSame(q(base, 3), expect2)
+      assert(Scd1Merge.readTable(spark, mv).filter($"id" === 199L).isEmpty)
+    } finally GraftTopNRewrite.clear()
+  }
+
+  test("a whole group dying removes its rows; a group shrinking below N keeps what remains") {
+    val (base, mv) = fixture("topn_shrink")
+    try {
+      Scd1Merge.delete(spark, base, Seq("id"), $"g" === "g3",
+        retainVersions = 6)
+      Scd1Merge.delete(spark, base, Seq("id"),
+        $"g" === "g4" && $"id" > 10L, retainVersions = 6)
+      assert(TopNMv.refresh(spark, mv) == 2L)
+      val stored = Scd1Merge.readTable(spark, mv)
+      assert(stored.filter($"g" === "g3").isEmpty, "dead group gone")
+      // g4 keeps ids {4, 9} only (≤ 10): fewer than N survive
+      assert(stored.filter($"g" === "g4").count() == 2)
+      GraftTopNRewrite.clear()
+      val expect = recompute(base, 3)
+      TopNMv.refresh(spark, mv)
+      assertSame(q(base, 3), expect)
+    } finally GraftTopNRewrite.clear()
+  }
+
+  test("conservative gates: wrong direction, missing tie-break, wrong partition, extra filter conjunct all fall through") {
+    val (base, mv) = fixture("topn_gates")
+    try {
+      def b = Scd1Merge.readTable(spark, base)
+      val asc = Window.partitionBy($"g").orderBy($"cents".asc, $"id".asc)
+      assert(readsOnly(b.withColumn("rn", row_number().over(asc))
+        .filter($"rn" <= 3), base), "ascending (bottom-k) must not serve")
+      val noTie = Window.partitionBy($"g").orderBy($"cents".desc)
+      assert(readsOnly(b.withColumn("rn", row_number().over(noTie))
+        .filter($"rn" <= 3), base),
+        "a tie-ambiguous ordering must not serve")
+      val wrongPart = Window.partitionBy($"cents").orderBy($"cents".desc, $"id".asc)
+      assert(readsOnly(b.withColumn("rn", row_number().over(wrongPart))
+        .filter($"rn" <= 3), base), "a different partition must not serve")
+      val w = Window.partitionBy($"g").orderBy($"cents".desc, $"id".asc)
+      assert(readsOnly(b.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3 && $"cents" > 100), base),
+        "an extra filter conjunct must not serve")
+      // rank() is not row_number()
+      assert(readsOnly(b.withColumn("rn", rank().over(w))
+        .filter($"rn" <= 3), base), "rank() must not serve")
+    } finally GraftTopNRewrite.clear()
+  }
+
+  test("definition persists: a new session's refresh re-arms from _graft_topn") {
+    val (base, mv) = fixture("topn_persist")
+    try {
+      GraftTopNRewrite.clear() // simulated restart
+      assert(readsOnly(q(base, 3), base), "unarmed session reads the base")
+      assert(TopNMv.refresh(spark, mv) == 0L) // nothing to fold; re-arms
+      assert(readsOnly(q(base, 3), mv), "refresh must re-arm the rewrite")
+    } finally GraftTopNRewrite.clear()
+  }
+}
