@@ -85,7 +85,8 @@ object GraftTopNRewrite extends Rule[LogicalPlan] {
     def walk(p: LogicalPlan): Option[LogicalRelation] = p match {
       case Project(items, child)
           if items.forall(_.isInstanceOf[AttributeReference]) => walk(child)
-      case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+      case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+          if wgl.limit >= k => // never admit a tighter cap than the query's
         walk(wgl.child)
       case lr: LogicalRelation => Some(lr)
       case _ => None
