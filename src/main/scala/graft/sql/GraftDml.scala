@@ -1228,6 +1228,12 @@ case class GraftDropCommand(path: String, mv: Boolean, ifExists: Boolean)
     // a dropped BASE also disarms MVs registered over it (their
     // aggregate tables stay on disk — the user drops them separately)
     graft.plans.GraftMvRewrite.unregisterReaders(path)
+    // disarm the non-aggregate rewrite families too: a dropped table
+    // may be a top-N MV, an ANN-served corpus, or either's base (each
+    // rule's own gates already fall back conservatively on missing
+    // tables — this keeps the registries from accumulating ghosts)
+    graft.plans.GraftTopNRewrite.unregister(path)
+    graft.plans.GraftAnnRewrite.unregister(path)
     GraftCatalog.removeMvsTouching(path)
     Scd1Merge.deleteRecursively(java.nio.file.Paths.get(path))
     Nil
