@@ -193,6 +193,7 @@ object PartitionedTable {
     finally ch.close()
     Files.move(tmp, manifestPath(tablePath),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Scd1Merge.recordCommitExternal(tablePath) // post-commit hook
     // age parent history to the retention window
     graft.merge.FsList.list(hist).foreach { h =>
       h.getFileName.toString.toIntOption.foreach { n =>
@@ -234,7 +235,11 @@ object PartitionedTable {
           Files.deleteIfExists(p)
       }
     }
-    try body finally Files.deleteIfExists(p)
+    Scd1Merge.pushLockScope()
+    try body finally {
+      Files.deleteIfExists(p) // release BEFORE the post-commit drain
+      Scd1Merge.popLockScopeAndDrain()
+    }
   }
 
   // ---------------- partition specs (identity + derived) ----------
@@ -477,14 +482,22 @@ object PartitionedTable {
       val newPins = touchedKeys(source, base).map { vals =>
         val key = keyOf(vals)
         val rel = base.parts.get(key).map(_._1)
-          .getOrElse(genPrefix(base) + partitionDirName(base, vals))
+          .getOrElse(freshChildRel(tablePath, base, vals))
         val childPath = Paths.get(tablePath, rel).toString
-        base.parts.get(key).foreach { case (_, pin) =>
-          reconcileResidue(childPath, pin, "upsert(partitioned)") }
+        val expect = base.parts.get(key) match {
+          case Some((_, pin)) =>
+            reconcileResidue(childPath, pin, "upsert(partitioned)")
+          case None => 0 // freshChildRel: the dir is unoccupied
+        }
+        // spec hook: the residue-check → child-write window the
+        // commit fence exists to close
+        Scd1Merge.failpoint("p-locked-fence-window")
         val sub = source.filter(partEq(base, vals))
-        Scd1Merge.upsert(spark, childPath, sub, keys, nb,
-          statsColumns = statsColumns, batchId = batchId,
-          retainVersions = retainVersions)
+        Scd1Merge.withCommitFence(childPath, expect) {
+          Scd1Merge.upsert(spark, childPath, sub, keys, nb,
+            statsColumns = statsColumns, batchId = batchId,
+            retainVersions = retainVersions)
+        }
         key -> (rel, Scd1Merge.tableCommit(childPath).get)
       }.toMap
       commitPManifest(tablePath, base.copy(parts = base.parts ++ newPins))
@@ -597,7 +610,7 @@ object PartitionedTable {
     val newPins = touchedKeys(source, m0).map { vals =>
       val key = keyOf(vals)
       val rel = m0.parts.get(key).map(_._1)
-        .getOrElse(genPrefix(m0) + partitionDirName(m0, vals))
+        .getOrElse(freshChildRel(tablePath, m0, vals))
       val childPath = Paths.get(tablePath, rel).toString
       m0.parts.get(key).foreach { case (_, pin) =>
         val liveC = Scd1Merge.tableCommit(childPath).getOrElse(pin)
@@ -625,21 +638,14 @@ object PartitionedTable {
       ()
     } catch {
       case e: java.util.ConcurrentModificationException =>
-        // discard the staging (the flat-OCC posture): roll each child
-        // back where nothing stacked on our commit; a stacked child
-        // keeps the residue (the staging guard above makes the next
-        // writer loud about it, and a retry or compact() repairs it).
-        // A brand-new child we created stays unreferenced — vacuum
-        // reclaims parentless child trees wholesale.
-        newPins.foreach { case (k, (rel, c)) =>
-          if (m0.parts.contains(k)) {
-            val childPath = Paths.get(tablePath, rel).toString
-            if (Scd1Merge.tableCommit(childPath).contains(c))
-              try { Scd1Merge.restore(childPath, 1,
-                batchId = s"occ-rollback-$c"); () }
-              catch { case _: Exception => () }
-          }
-        }
+        // discard the staging (the flat-OCC posture) — see
+        // [[rollbackStaged]]: pinned children roll back where nothing
+        // stacked on our commit (a stacked child keeps the residue;
+        // the staging guard above makes the next writer loud about
+        // it), and a brand-new child we created that nobody adopted is
+        // DELETED — its deterministic dir name would otherwise be
+        // regenerated by a later writer, silently adopting our rows.
+        rollbackStaged(tablePath, m0, newPins, lockWaitMillis)
         throw e
     }
   }
@@ -696,13 +702,7 @@ object PartitionedTable {
         ()
       } catch {
         case e: java.util.ConcurrentModificationException =>
-          staged.foreach { case (_, (rel, c)) =>
-            val childPath = Paths.get(tablePath, rel).toString
-            if (Scd1Merge.tableCommit(childPath).contains(c))
-              try { Scd1Merge.restore(childPath, 1,
-                batchId = s"occ-rollback-$c"); () }
-              catch { case _: Exception => () }
-          }
+          rollbackStaged(tablePath, m0, staged, lockWaitMillis)
           throw e
       }
     }
@@ -729,18 +729,55 @@ object PartitionedTable {
       ()
     } catch {
       case e: java.util.ConcurrentModificationException =>
-        staged.foreach { case (k, (rel, c)) =>
-          if (m0.parts.contains(k)) {
-            val childPath = Paths.get(tablePath, rel).toString
-            if (Scd1Merge.tableCommit(childPath).contains(c))
-              try { Scd1Merge.restore(childPath, 1,
-                batchId = s"occ-rollback-$c"); () }
-              catch { case _: Exception => () }
-          }
-        }
+        rollbackStaged(tablePath, m0, staged, lockWaitMillis)
         throw e
     }
   }
+
+  /** Best-effort rollback of a conflicted optimistic stage, under a
+    * BRIEF parent lock (we re-read the live manifest to decide each
+    * child's fate; deciding from a stale snapshot could delete a
+    * winner's committed data — partition dir names are deterministic,
+    * so the child dir may since have been adopted by the very writer
+    * that defeated us). Per staged child, only when NOTHING stacked
+    * on our commit (`tableCommit == c` — otherwise stand down, the
+    * stack owns the state):
+    *  - pinned below our commit → restore the child to its pin;
+    *  - absent from the live manifest AND absent from `m0` → WE
+    *    created it and nobody adopted it: a fully committed orphan
+    *    whose deterministic name a later writer would regenerate and
+    *    merge on top of, silently adopting our aborted rows — delete
+    *    the directory;
+    *  - anything else (pin at/above `c`, or a concurrently dropped
+    *    partition) → leave it; the locked writers' residue fences
+    *    guard reuse.
+    * Lock failure degrades to standing down entirely — residue is
+    * loud at reuse ([[stagingGuard]]/[[reconcileResidue]]), never
+    * silent. */
+  private def rollbackStaged(tablePath: String, m0: PManifest,
+                             staged: Map[String, (String, Int)],
+                             lockWaitMillis: Long): Unit =
+    try {
+      withPLockWait(tablePath, lockWaitMillis) {
+        val live = readPManifest(tablePath).get
+        staged.foreach { case (k, (rel, c)) =>
+          val childPath = Paths.get(tablePath, rel).toString
+          if (Scd1Merge.tableCommit(childPath).contains(c)) {
+            live.parts.get(k) match {
+              case Some((_, p)) if c > p =>
+                try { Scd1Merge.restore(childPath, c - p,
+                  batchId = s"occ-rollback-$c"); () }
+                catch { case _: Exception => () }
+              case None if !m0.parts.contains(k) =>
+                try Scd1Merge.deleteRecursively(Paths.get(childPath))
+                catch { case _: Exception => () }
+              case _ => ()
+            }
+          }
+        }
+      }
+      ()
+    } catch { case _: Exception => () }
 
   /** The staging guard every optimistic path runs per touched
     * partition BEFORE doing child work: a pin lagging its child's
@@ -773,15 +810,48 @@ object PartitionedTable {
     * restoring a staging it cannot defeat would race the stager's
     * adopt. */
   private def reconcileResidue(childPath: String, pin: Int,
-                               op: String): Unit = {
+                               op: String): Int = {
     val live = Scd1Merge.tableCommit(childPath).getOrElse(pin)
     if (live > pin) {
-      try { Scd1Merge.restore(childPath, live - pin,
-        batchId = s"$op-residue-$live"); () }
-      catch { case e: Exception => throw new IllegalStateException(
-        s"$op: child $childPath carries unpinned residue (live commit " +
-        s"$live, pin $pin) beyond restorable history — compact() to " +
-        "re-pin", e) }
+      // the restore is itself fenced at `live`: a stage landing
+      // between our read of `live` and the restore's lock would make
+      // `live - pin` the wrong depth (the restore would pin the
+      // stager's content as our base) — fenced, it aborts loudly
+      try Scd1Merge.withCommitFence(childPath, live) {
+        Scd1Merge.restore(childPath, live - pin,
+          batchId = s"$op-residue-$live")
+      }
+      catch {
+        case e: java.util.ConcurrentModificationException => throw e
+        case e: Exception => throw new IllegalStateException(
+          s"$op: child $childPath carries unpinned residue (live commit " +
+          s"$live, pin $pin) beyond restorable history — compact() to " +
+          "re-pin", e)
+      }
+    } else live
+  }
+
+  /** The child dir name for a partition the manifest does NOT
+    * contain: the deterministic name — or, when a directory already
+    * OCCUPIES it, a commit-suffixed FRESH name. An occupied
+    * unreferenced name is residue: an aborted optimistic creator's
+    * fully committed orphan (dir names are deterministic), or a
+    * DROPPED partition's tree retained for lagging readers. Writing
+    * into it would merge the new batch ON TOP — silently adopting the
+    * aborted writer's rows, or resurrecting every dropped row.
+    * Deleting it instead would tear a live stager's in-flight write
+    * and break retained time travel over the dropped pin set. A fresh
+    * name does neither: the residue stays unreferenced until
+    * [[vacuum]] reclaims it, and the new child starts empty. */
+  private def freshChildRel(tablePath: String, m: PManifest,
+                            vals: Seq[String]): String = {
+    val base = genPrefix(m) + partitionDirName(m, vals)
+    if (!Files.exists(Paths.get(tablePath, base))) base
+    else {
+      var i = m.commit
+      var rel = s"$base@r$i"
+      while (Files.exists(Paths.get(tablePath, rel))) { i += 1; rel = s"$base@r$i" }
+      rel
     }
   }
 
@@ -907,20 +977,30 @@ object PartitionedTable {
     touchedKeys(source, m).map { vals =>
       val key = keyOf(vals)
       val rel = m.parts.get(key).map(_._1)
-        .getOrElse(genPrefix(m) + partitionDirName(m, vals))
+        .getOrElse(freshChildRel(tablePath, m, vals))
       val childPath = Paths.get(tablePath, rel).toString
-      if (locked) m.parts.get(key).foreach { case (_, pin) =>
-        reconcileResidue(childPath, pin, "overwrite(partitioned)") }
-      val sub = source.filter(partEq(m, vals))
-      if (Scd1Merge.tableExists(childPath)) {
-        val target = Scd1Merge.readTable(spark, childPath)
-        val vanished = target
-          .join(sub.select(m.keys.map(col): _*), m.keys, "left_anti")
-          .withColumn(opCol, lit("delete"))
-        Scd1Merge.applyCdc(spark, childPath,
-          sub.withColumn(opCol, lit("upsert")).unionByName(vanished),
-          m.keys, opCol = opCol)
-      } else Scd1Merge.upsert(spark, childPath, sub, m.keys, m.numBuckets)
+      val expect: Option[Int] = if (!locked) None else Some(
+        m.parts.get(key) match {
+          case Some((_, pin)) =>
+            reconcileResidue(childPath, pin, "overwrite(partitioned)")
+          case None => 0 // freshChildRel: the dir is unoccupied
+        })
+      def write(): Unit = {
+        val sub = source.filter(partEq(m, vals))
+        if (Scd1Merge.tableExists(childPath)) {
+          val target = Scd1Merge.readTable(spark, childPath)
+          val vanished = target
+            .join(sub.select(m.keys.map(col): _*), m.keys, "left_anti")
+            .withColumn(opCol, lit("delete"))
+          Scd1Merge.applyCdc(spark, childPath,
+            sub.withColumn(opCol, lit("upsert")).unionByName(vanished),
+            m.keys, opCol = opCol)
+        } else Scd1Merge.upsert(spark, childPath, sub, m.keys, m.numBuckets)
+      }
+      expect match {
+        case Some(e) => Scd1Merge.withCommitFence(childPath, e) { write() }
+        case None => write()
+      }
       key -> (rel, Scd1Merge.tableCommit(childPath).get)
     }.toMap
   }
@@ -1497,8 +1577,10 @@ object PartitionedTable {
       var total = 0
       val newPins = m.parts.map { case (v, (rel, pin)) =>
         val childPath = Paths.get(tablePath, rel).toString
-        reconcileResidue(childPath, pin, "compact(partitioned)")
-        total += Scd1Merge.compact(spark, childPath)
+        val expect = reconcileResidue(childPath, pin, "compact(partitioned)")
+        Scd1Merge.withCommitFence(childPath, expect) {
+          total += Scd1Merge.compact(spark, childPath)
+        }
         v -> (rel, Scd1Merge.tableCommit(childPath).get)
       }
       commitPManifest(tablePath, m.copy(parts = newPins))
@@ -1568,6 +1650,17 @@ object PartitionedTable {
     readPManifest(tablePath).map(_.partCols)
   def tableCommit(tablePath: String): Option[Int] =
     readPManifest(tablePath).map(_.commit)
+  /** Approximate live row count — the partitioned twin of
+    * [[Scd1Merge.tableRowsEstimate]]: per-child manifest footer
+    * counts, summed. None when any child predates the footer stats. */
+  private[graft] def tableRowsEstimate(tablePath: String): Option[Long] =
+    readPManifest(tablePath).flatMap { m =>
+      val per = m.parts.values.toSeq.map { case (rel, _) =>
+        Scd1Merge.tableRowsEstimate(Paths.get(tablePath, rel).toString)
+      }
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    }
+
   /** Live data bytes across pinned children — the partitioned twin of
     * [[Scd1Merge.tableDataBytes]] (CBO size estimate fuel). */
   private[graft] def tableDataBytes(tablePath: String): Option[Long] =
@@ -1629,8 +1722,11 @@ object PartitionedTable {
         if (!keep(v)) v -> (rel, pin)
         else {
           val childPath = Paths.get(tablePath, rel).toString
-          reconcileResidue(childPath, pin, "deleteWhere(partitioned)")
-          n += Scd1Merge.delete(spark, childPath, m.keys, predicate)
+          val expect =
+            reconcileResidue(childPath, pin, "deleteWhere(partitioned)")
+          Scd1Merge.withCommitFence(childPath, expect) {
+            n += Scd1Merge.delete(spark, childPath, m.keys, predicate)
+          }
           v -> (rel, Scd1Merge.tableCommit(childPath).get)
         }
       }
@@ -1667,8 +1763,11 @@ object PartitionedTable {
         if (!keep(v)) v -> (rel, pin)
         else {
           val childPath = Paths.get(tablePath, rel).toString
-          reconcileResidue(childPath, pin, "updateWhere(partitioned)")
-          n += Scd1Merge.update(spark, childPath, lm.keys, predicate, set)
+          val expect =
+            reconcileResidue(childPath, pin, "updateWhere(partitioned)")
+          Scd1Merge.withCommitFence(childPath, expect) {
+            n += Scd1Merge.update(spark, childPath, lm.keys, predicate, set)
+          }
           v -> (rel, Scd1Merge.tableCommit(childPath).get)
         }
       }
@@ -1750,12 +1849,17 @@ object PartitionedTable {
           None // deletes into a partition that never existed: no-op
         else {
           val rel = live.parts.get(key).map(_._1)
-            .getOrElse(genPrefix(live) + partitionDirName(live, vals))
+            .getOrElse(freshChildRel(tablePath, live, vals))
           val childPath = Paths.get(tablePath, rel).toString
-          live.parts.get(key).foreach { case (_, pin) =>
-            reconcileResidue(childPath, pin, "applyCdc(partitioned)") }
-          Scd1Merge.applyCdc(spark, childPath, sub, keys, opCol,
-            live.numBuckets, retainVersions)
+          val expect = live.parts.get(key) match {
+            case Some((_, pin)) =>
+              reconcileResidue(childPath, pin, "applyCdc(partitioned)")
+            case None => 0 // freshChildRel: the dir is unoccupied
+          }
+          Scd1Merge.withCommitFence(childPath, expect) {
+            Scd1Merge.applyCdc(spark, childPath, sub, keys, opCol,
+              live.numBuckets, retainVersions)
+          }
           Some(key -> (rel, Scd1Merge.tableCommit(childPath).get))
         }
       }.toMap

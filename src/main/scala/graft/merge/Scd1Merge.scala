@@ -441,6 +441,7 @@ object Scd1Merge {
     Files.move(tmp, manifestPath(tablePath),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     timed("m-fsync-dir") { fsyncDir(Paths.get(tablePath)) }
+    recordCommit(tablePath) // post-commit hook, drained at lock exit
     m.copy(commit = next, ts = now,
       touched = touched, touchedKnown = true, metaChange = metaChange)
   }
@@ -1156,14 +1157,18 @@ object Scd1Merge {
     graft.merge.FsList.list(Paths.get(tablePath)).foreach { p =>
       val name = p.getFileName.toString
       // durable SIDECARS survive GC: the MV definition (_graft_mv —
-      // REFRESH in a later session depends on it) and the COPY INTO
-      // loaded-files log (file-level idempotence depends on it)
-      // (_graft_staging is an IN-FLIGHT DSv2 write's transient dir —
-      // the write itself age-sweeps orphans; vacuuming it here could
-      // kill a live concurrent batch write)
+      // REFRESH in a later session depends on it), the COPY INTO
+      // loaded-files log (file-level idempotence depends on it), the
+      // top-N MV spec (_graft_topn — TopNMv.refresh from a new
+      // session depends on it) and the ANN index registration
+      // (_graft_ann — restart auto-arm of the ANN rewrite depends on
+      // it). (_graft_staging is an IN-FLIGHT DSv2 write's transient
+      // dir — the write itself age-sweeps orphans; vacuuming it here
+      // could kill a live concurrent batch write)
       if (name != ManifestName && name != LockName && name != "data" &&
           name != HistoryDir && name != "_graft_mv" &&
           name != "_graft_copy_log" && name != "_graft_staging" &&
+          name != "_graft_topn" && name != "_graft_ann" &&
           !referenced.contains(name))
         deleteRecursively(p)
     }
@@ -1401,10 +1406,114 @@ object Scd1Merge {
     }
   }
 
+  // ---------------- post-commit hook ----------------
+
+  /** Fired once per committed table path AFTER the writer's lock is
+    * released (never inside the critical section — maintenance work
+    * must not stretch it). Installed by
+    * [[graft.pipeline.MvMaintenance.armHooks]] for AUTO REFRESH MVs;
+    * identity otherwise. Commits are RECORDED at [[commitManifest]]
+    * (the single choke point every write path funnels through) into a
+    * thread-local pending list and DRAINED by the outermost lock
+    * scope on this thread — so a multi-commit op fires once per
+    * distinct path, after its own lock dropped, and a hook-triggered
+    * write (an MV refresh) drains its own commits recursively. */
+  @volatile private[graft] var onCommitHook: String => Unit = _ => ()
+
+  private val pendingCommits = new ThreadLocal[List[String]] {
+    override def initialValue: List[String] = Nil
+  }
+  private val lockDepth = new ThreadLocal[Int] {
+    override def initialValue: Int = 0
+  }
+
+  private def recordCommit(tablePath: String): Unit =
+    pendingCommits.set(tablePath :: pendingCommits.get)
+
+  private def drainCommits(): Unit = {
+    if (lockDepth.get != 0) return // an outer scope drains
+    var pending = pendingCommits.get
+    while (pending.nonEmpty) {
+      pendingCommits.set(Nil)
+      pending.reverse.distinct.foreach { p =>
+        try onCommitHook(p) catch { case _: Exception => () }
+      }
+      // a hook that committed WITHOUT taking a lock on this thread
+      // (not a thing today, but cheap to be complete about)
+      pending = pendingCommits.get
+    }
+  }
+
+  // the partitioned layer shares this machinery: its parent lock
+  // scopes nest into the same depth counter (so child commits during
+  // a partitioned op fire only after the PARENT lock released) and
+  // its parent-manifest swaps record into the same pending list
+  private[graft] def recordCommitExternal(tablePath: String): Unit =
+    recordCommit(tablePath)
+  private[graft] def pushLockScope(): Unit =
+    lockDepth.set(lockDepth.get + 1)
+  private[graft] def popLockScopeAndDrain(): Unit = {
+    lockDepth.set(lockDepth.get - 1)
+    drainCommits()
+  }
+
+  // ---------------- expected-commit fence ----------------
+
+  /** Thread-local expected-commit fences, keyed by table path. See
+    * [[withCommitFence]]. */
+  private val commitFenceTL = new ThreadLocal[Map[String, Int]] {
+    override def initialValue: Map[String, Int] = Map.empty
+  }
+
+  /** Run `body` with an EXPECTED-COMMIT fence on `tablePath`: the
+    * FIRST Scd1Merge write acquiring this table's lock on this thread
+    * during `body` verifies — while HOLDING the lock, before touching
+    * anything — that the live manifest commit still equals `expected`
+    * (0 = the table must not exist yet), and aborts with
+    * `ConcurrentModificationException` otherwise. Closes the
+    * parent-locked partitioned writer's TOCTOU: between its
+    * residue-reconcile check and its child write, only child locks
+    * serialize, so an optimistic stage can land a child commit in
+    * that window — an unfenced locked write would then merge ON TOP
+    * of the staged rows and pin them, silently adopting a batch whose
+    * owner is told (via its adopt-phase CME) that it aborted. With
+    * the fence the LOCKED writer is the one that aborts loudly; the
+    * stager's adopt owns the partition. Consumed on first check so a
+    * multi-commit op (the fenced write itself moves the commit) never
+    * trips over its own progress. */
+  private[graft] def withCommitFence[T](tablePath: String, expected: Int)
+                                       (body: => T): T = {
+    val prev = commitFenceTL.get
+    commitFenceTL.set(prev + (tablePath -> expected))
+    try body finally commitFenceTL.set(prev)
+  }
+
+  private def checkCommitFence(tablePath: String): Unit = {
+    val fences = commitFenceTL.get
+    fences.get(tablePath).foreach { expected =>
+      commitFenceTL.set(fences - tablePath) // consume: check-once
+      val live = readManifest(tablePath).map(_.commit).getOrElse(0)
+      if (live != expected) throw new java.util.ConcurrentModificationException(
+        s"expected-commit fence: $tablePath is at commit $live, expected " +
+        s"$expected — a concurrent writer committed between the " +
+        "parent-locked writer's residue check and its child write; " +
+        "aborting rather than adopting the foreign rows (retry the " +
+        "parent operation)")
+    }
+  }
+
   private def withLock[T](tablePath: String)(body: String => T): T = {
     val id = timed("lock") { acquireLock(tablePath) }
-    try withHeartbeat(tablePath, id) { body(id) }
-    finally timed("lock") { releaseLock(tablePath, id) }
+    lockDepth.set(lockDepth.get + 1)
+    try withHeartbeat(tablePath, id) {
+      checkCommitFence(tablePath)
+      body(id)
+    }
+    finally {
+      lockDepth.set(lockDepth.get - 1)
+      timed("lock") { releaseLock(tablePath, id) }
+      drainCommits()
+    }
   }
 
   /** Lock acquisition that WAITS (bounded, exponential backoff) on a
@@ -1434,8 +1543,16 @@ object Scd1Merge {
   private def withLockWait[T](tablePath: String, timeoutMillis: Long)
                              (body: String => T): T = {
     val id = timed("lock") { acquireLockWait(tablePath, timeoutMillis) }
-    try withHeartbeat(tablePath, id) { body(id) }
-    finally timed("lock") { releaseLock(tablePath, id) }
+    lockDepth.set(lockDepth.get + 1)
+    try withHeartbeat(tablePath, id) {
+      checkCommitFence(tablePath)
+      body(id)
+    }
+    finally {
+      lockDepth.set(lockDepth.get - 1)
+      timed("lock") { releaseLock(tablePath, id) }
+      drainCommits()
+    }
   }
 
   // ---------------- read path ----------------
@@ -1629,6 +1746,19 @@ object Scd1Merge {
   /** Observability: Some(values) when the last [[statsAggregate]] call
     * answered from the manifest alone (spec-facing, like [[lastPrune]]). */
   @volatile private[graft] var lastStatsAgg: Option[Seq[Any]] = None
+
+  /** Approximate LIVE row count from the manifest's per-bucket footer
+    * counts ([[RowsKey]]) — driver-side COST-ESTIMATION fuel (MV
+    * candidate ranking), zero data files touched. Unlike
+    * [[statsAggregate]]'s exact-count contract this tolerates a
+    * deletion vector (the estimate is an upper bound then — fine for
+    * ranking); None only when some bucket predates the footer counts. */
+  private[graft] def tableRowsEstimate(tablePath: String): Option[Long] =
+    readManifest(tablePath).flatMap { m =>
+      val per = m.dirs.keys.toSeq
+        .map(b => m.stats.getOrElse(b, Map.empty).get(RowsKey).map(_.min.toLong))
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    }
 
   /** METADATA-ONLY aggregates: answer `COUNT(*)` / `MIN(col)` /
     * `MAX(col)` from the manifest's per-bucket stats without touching

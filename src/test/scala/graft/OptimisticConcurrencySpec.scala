@@ -539,4 +539,93 @@ class OptimisticConcurrencySpec extends SparkSpecBase {
       assert(r.getAs[Int]("pinned_commit") == r.getAs[Int]("live_commit"))
     }
   }
+
+  test("PARTITIONED: locked writer's commit fence aborts when a stage lands in the residue-check window") {
+    val path = buildPart("fence")
+    // the locked writer verifies p0 carries no residue and computes
+    // its expected child commit; INSIDE the check→write window a
+    // foreign child commit lands (an optimistic stager's unlocked
+    // phase). The fenced child write must abort loudly instead of
+    // merging on top — the unfenced behavior silently adopted the
+    // stager's rows into the locked pin while the stager was told
+    // (via its adopt CME) that it aborted.
+    val childPath = path + "/p=p0"
+    Scd1Merge.testHooks = Map("p-locked-fence-window" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      Scd1Merge.upsert(spark, childPath,
+        Seq(("p0", 900L, "S_900")).toDF("part", "k", "v"), Seq("part", "k"))
+    })
+    val e = try intercept[java.util.ConcurrentModificationException] {
+      PartitionedTable.upsert(spark, path, pbatch("p0", Seq(0L), "L"),
+        Seq("part", "k"), "part")
+    } finally Scd1Merge.testHooks = Map.empty
+    assert(e.getMessage.contains("expected-commit fence"))
+    // nothing adopted: pins unchanged, the foreign stage is invisible
+    // unpinned residue, the locked writer's own row absent
+    val t = PartitionedTable.readTable(spark, path)
+    assert(t.filter($"k" === 0L).select("v").as[String].head() == "init_0")
+    assert(t.filter($"k" === 900L).count() == 0)
+    // the prescribed retry reconciles the residue away and lands
+    PartitionedTable.upsert(spark, path, pbatch("p0", Seq(0L), "L2"),
+      Seq("part", "k"), "part")
+    val t2 = PartitionedTable.readTable(spark, path)
+    assert(t2.filter($"k" === 0L).select("v").as[String].head() == "L2_0")
+    assert(t2.filter($"k" === 900L).count() == 0,
+      "the foreign stage was residue — restored away, never adopted")
+    PartitionedTable.partitions(spark, path).collect().foreach { r =>
+      assert(r.getAs[Int]("pinned_commit") == r.getAs[Int]("live_commit"))
+    }
+  }
+
+  test("PARTITIONED: conflicted stager's NEW partition rolls back to nothing (no orphan dir to adopt)") {
+    val path = buildPart("orphan")
+    // B stages p1 (existing) + p9 (new); inside its unlocked window a
+    // locked writer commits to p1 → B's adopt CMEs on the p1
+    // footprint. The rollback must remove the p9 child B created: a
+    // later p9 writer would otherwise regenerate the same
+    // deterministic dir name and silently adopt B's aborted rows.
+    Scd1Merge.testHooks = Map("p-optimistic-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      PartitionedTable.upsert(spark, path, pbatch("p1", Seq(10L), "W"),
+        Seq("part", "k"), "part")
+    })
+    val src = Seq(("p1", 11L, "B_11"), ("p9", 900L, "B_900"))
+      .toDF("part", "k", "v")
+    try intercept[java.util.ConcurrentModificationException] {
+      PartitionedTable.upsertMultiConcurrent(spark, path, src,
+        Seq("part", "k"), Seq("part"))
+    } finally Scd1Merge.testHooks = Map.empty
+    assert(!Files.exists(Paths.get(path, "p=p9")),
+      "aborted creator's orphan child dir must be deleted by the rollback")
+    // a later ingest into p9 contains ONLY its own rows
+    PartitionedTable.upsert(spark, path, pbatch("p9", Seq(901L), "C"),
+      Seq("part", "k"), "part")
+    val t = PartitionedTable.readTable(spark, path)
+    assert(t.filter($"k" === 900L).count() == 0,
+      "aborted batch's rows must not resurrect into the recreated partition")
+    assert(t.filter($"k" === 901L).select("v").as[String].head() == "C_901")
+    // B's p1 leg was restored under the locked writer's reconcile
+    assert(t.filter($"k" === 11L).select("v").as[String].head() == "init_11")
+    assert(t.filter($"k" === 10L).select("v").as[String].head() == "W_10")
+  }
+
+  test("PARTITIONED: re-ingest after a partition DROP starts empty (fresh child dir; no resurrection)") {
+    val path = buildPart("dropreuse")
+    assert(PartitionedTable.dropPartitionsWhere(spark, path,
+      $"part" === "p2") == 1)
+    assert(PartitionedTable.readTable(spark, path)
+      .filter($"part" === "p2").count() == 0)
+    // the dropped child's tree stays on disk for lagging readers and
+    // time travel — re-ingesting p2 must not merge into it
+    PartitionedTable.upsert(spark, path, pbatch("p2", Seq(20L), "N"),
+      Seq("part", "k"), "part")
+    val p2 = PartitionedTable.readTable(spark, path).filter($"part" === "p2")
+    assert(p2.count() == 1,
+      s"dropped rows resurrected: ${p2.collect().toSeq}")
+    assert(p2.select("v").as[String].head() == "N_20")
+    // time travel across the drop still reads the OLD tree (2 parent
+    // commits back = before the drop)
+    assert(PartitionedTable.readTableAt(spark, path, 2)
+      .filter($"part" === "p2").count() == 10)
+  }
 }
