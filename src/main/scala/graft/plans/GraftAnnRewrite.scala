@@ -131,7 +131,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
             dec(kv("id")), dec(kv("vec")), kv("dim").toInt,
             kv("nprobe").toInt, kv("candfactor").toInt,
             kv("commit").toInt,
-            Scd1Merge.readTable(spark, base).inputFiles.toSet))
+            corpusRead(spark, base).inputFiles.toSet))
           catch { case _: Exception => () } // malformed marker: skip
         }
         return
@@ -139,6 +139,29 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       dir = dir.getParent; depth += 1
     }
   }
+
+  // ---- the corpus may be FLAT or PARTITIONED (the month-partitioned
+  // 100 TB corpus shape): commit = parent commit, snapshot = the
+  // pin-set-resolved file union — same stamp contract either way
+  private def corpusPartitioned(basePath: String): Boolean =
+    graft.merge.PartitionedTable.tableExists(basePath)
+
+  private def corpusCommit(basePath: String): Option[Int] =
+    if (corpusPartitioned(basePath))
+      graft.merge.PartitionedTable.tableCommit(basePath)
+    else Scd1Merge.tableCommit(basePath)
+
+  private def corpusRead(spark: SparkSession,
+                         basePath: String): org.apache.spark.sql.DataFrame =
+    if (corpusPartitioned(basePath))
+      graft.merge.PartitionedTable.readTable(spark, basePath)
+    else Scd1Merge.readTable(spark, basePath)
+
+  /** The registration's covered base commit (None when unregistered) —
+    * what an index-maintenance job diffs against the live commit to
+    * pick its change-feed window. */
+  def coveredCommit(basePath: String): Option[Int] =
+    Option(registry.get(basePath)).map(_.baseCommit)
 
   /** Opt `basePath` into index-served top-k from `indexPath`. Stamps
     * the base's CURRENT commit + file snapshot (and persists the
@@ -148,10 +171,10 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   def register(spark: SparkSession, basePath: String, indexPath: String,
                idCol: String, vecCol: String, dim: Int,
                nprobe: Int = 4, candFactor: Int = 16): Unit = {
-    val commit = Scd1Merge.tableCommit(basePath).getOrElse(
+    val commit = corpusCommit(basePath).getOrElse(
       throw new IllegalArgumentException(
         s"GraftAnnRewrite.register: $basePath is not a graft table"))
-    val files = Scd1Merge.readTable(spark, basePath).inputFiles.toSet
+    val files = corpusRead(spark, basePath).inputFiles.toSet
     registry.put(basePath, AnnReg(basePath, indexPath, idCol, vecCol,
       dim, nprobe, candFactor, commit, files))
     persist(basePath, indexPath, idCol, vecCol, dim, nprobe,
@@ -166,6 +189,31 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         s"GraftAnnRewrite.refresh: $basePath is not registered"))
     register(spark, basePath, reg.indexPath, reg.idCol, reg.vecCol,
       reg.dim, reg.nprobe, reg.candFactor)
+  }
+
+  /** ONE-CALL index maintenance: diff the registration's covered
+    * commit against the base's live commit, fold exactly that
+    * change-feed window into the persisted codes
+    * ([[graft.similarity.Similarity.ivfPqIndexUpdateFromTable]] —
+    * O(changed rows), per-child diffs on a partitioned corpus), and
+    * re-stamp the registration so the rewrite serves again. Returns
+    * change rows folded (0 = already current, a no-op). */
+  def maintain(spark: SparkSession, basePath: String): Long = {
+    val reg = Option(registry.get(basePath)).getOrElse(
+      throw new IllegalArgumentException(
+        s"GraftAnnRewrite.maintain: $basePath is not registered"))
+    val live = corpusCommit(basePath).getOrElse(
+      throw new IllegalStateException(s"$basePath has no manifest"))
+    if (live == reg.baseCommit) return 0L
+    require(live > reg.baseCommit,
+      s"GraftAnnRewrite.maintain: covered commit ${reg.baseCommit} is " +
+      s"AHEAD of live $live — the base was restored past the index; rebuild")
+    val n = graft.similarity.Similarity.ivfPqIndexUpdateFromTable(spark,
+      reg.indexPath, basePath, reg.idCol, reg.vecCol,
+      fromCommit = reg.baseCommit, toCommit = live,
+      dim = reg.dim, batchId = f"base-commit-$live%09d")
+    refresh(spark, basePath)
+    n
   }
 
   /** Remove the registration AND its persisted marker. */
@@ -190,22 +238,186 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       case gl @ GlobalLimit(Literal(k: Int, _),
           LocalLimit(_, srt @ Sort(
             Seq(SortOrder(sref: AttributeReference, Descending, _, _)),
-            true, proj: Project, _))) if k > 0 =>
-        tryRewrite(k, sref, proj).map { newProj =>
+            true, child, _))) if k > 0 =>
+        (child match {
+          case proj: Project => tryRewrite(k, sref, proj)
+          case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+            tryRewriteUnion(k, sref, u)
+          case _ => None
+        }).map { newChild =>
           gl.withNewChildren(Seq(gl.child.withNewChildren(
-            Seq(srt.withNewChildren(Seq(newProj))))))
+            Seq(srt.withNewChildren(Seq(newChild))))))
         }.getOrElse(gl)
     }
   }
 
+  private def cosine(a: Array[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The per-query ADC distance table rows for `nprobe` cells —
+    * driver-side KBs, computed ONCE per rewrite attempt. */
+  private def distanceRows(qv: Array[Float], cents: Array[Seq[Float]],
+                           books: Array[Array[Seq[Float]]],
+                           nprobe: Int): Seq[(Int, Int, Int, Double)] = {
+    val probed = cents.zipWithIndex
+      .map { case (c, i) => (cosine(qv, c), i) }
+      .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+    val mSub = books.length
+    val dsub = qv.length / mSub
+    for {
+      cell <- probed.toSeq
+      rq = qv.indices.map(i => qv(i) - cents(cell)(i))
+      sub <- 0 until mSub
+      sv = rq.slice(sub * dsub, (sub + 1) * dsub)
+      (cw, code) <- books(sub).zipWithIndex
+    } yield {
+      var d2 = 0.0; var i = 0
+      while (i < dsub) {
+        val d = sv(i) - cw(i).toDouble; d2 += d * d; i += 1
+      }
+      (cell, sub, code, d2)
+    }
+  }
+
+  /** Candidate-id plan: broadcast the distance table onto the
+    * persisted code rows, top candFactor·k by quantized ADC. Built
+    * FRESH per call site — every splice needs its own exprIds (a
+    * reused subtree in two union branches would self-conflict). The
+    * OPTIMIZED subtree (not analyzed): the outer optimizer has
+    * already run EliminateResolvedHint, so a spliced analyzed tree
+    * would reach the planner with a raw ResolvedHint — internal
+    * error. */
+  private def candsPlanFromRows(spark: SparkSession, indexPath: String,
+                                dtRows: Seq[(Int, Int, Int, Double)],
+                                k: Int, candFactor: Int): LogicalPlan = {
+    import spark.implicits._
+    val dt = dtRows.toDF("__cluster", "sub", "code", "__d2")
+    Scd1Merge.readTable(spark, s"$indexPath/codes")
+      .join(broadcast(dt), Seq("__cluster", "sub", "code"))
+      .groupBy(col("vec_id"))
+      // 1e-9-quantized ADC sums: partial-agg-order independence (the
+      // ivfPqTopKFromCodes argument)
+      .agg(round(sum(col("__d2")) * 1e9).cast("long").as("__adq"))
+      .orderBy(col("__adq").asc, col("vec_id").asc)
+      .limit(k * candFactor)
+      .select(col("vec_id"))
+      .queryExecution.optimizedPlan
+  }
+
+  /** The UNION shape — a PARTITIONED corpus read (one Project +
+    * child scan per partition, unioned): every branch must compute
+    * the SAME `vec_cosine(vecCol, literal)` at the sort column's
+    * POSITION (union output is positional), the union's file set must
+    * be the registered base's pin-resolved snapshot, and the splice
+    * narrows EACH branch with its own candidate semi-join (fresh
+    * exprIds per branch). Cost at 100 TB: the per-month scans each
+    * shrink to their candidates' rows; the index is one corpus-wide
+    * code table, maintained through the partitioned change feed. */
+  private def tryRewriteUnion(k: Int, sref: AttributeReference,
+      u: org.apache.spark.sql.catalyst.plans.logical.Union)
+      : Option[LogicalPlan] = {
+    val branches: Seq[(Project, LogicalRelation)] = u.children.map {
+      case p @ Project(_, lr: LogicalRelation) => (p, lr)
+      case _ => return None
+    }
+    def filesOf(lr: LogicalRelation): Option[Seq[String]] = lr.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        Some(fs.location.inputFiles.toSeq)
+      case _ => None
+    }
+    val perBranch = branches.map(b => filesOf(b._2))
+    if (perBranch.exists(_.isEmpty)) return None
+    val files = perBranch.flatMap(_.get).toSet
+    val spark = SparkSession.active
+    var reg = registry.values().stream().filter(r => r.baseFiles == files)
+      .findFirst().orElse(null)
+    if (reg == null) {
+      armFromDisk(spark, files)
+      reg = registry.values().stream().filter(r => r.baseFiles == files)
+        .findFirst().orElse(null)
+      if (reg == null) return None
+    }
+    if (!corpusCommit(reg.basePath).contains(reg.baseCommit))
+      return None
+    val p = u.output.indexWhere(_.exprId == sref.exprId)
+    if (p < 0) return None
+    // every branch's p-th item: vec_cosine(its scan's vecCol, literal)
+    val qvs: Seq[Array[Float]] = branches.map { case (proj, scan) =>
+      proj.projectList(p) match {
+        case Alias(graft.functions.CosineSimilarity(
+            v: AttributeReference, q), _)
+            if v.name.equalsIgnoreCase(reg.vecCol) &&
+              scan.outputSet.contains(v) && q.foldable =>
+          q.dataType match {
+            case ArrayType(FloatType, _) =>
+              val arr = q.eval().asInstanceOf[ArrayData]
+              if (arr == null) return None
+              arr.toFloatArray()
+            case _ => return None
+          }
+        case _ => return None
+      }
+    }
+    if (qvs.exists(_.length != reg.dim)) return None
+    if (qvs.exists(a => !java.util.Arrays.equals(a, qvs.head))) return None
+    val qv = qvs.head
+    val (cents, books) = graft.similarity.Similarity
+      .ivfPqIndexModel(spark, reg.indexPath)
+    val dtRows = distanceRows(qv, cents, books, reg.nprobe)
+    val newChildren: Seq[LogicalPlan] = branches.map { case (proj, scan) =>
+      val idAttr = scan.output.find(_.name.equalsIgnoreCase(reg.idCol))
+        .getOrElse(return None)
+      val cp = candsPlanFromRows(spark, reg.indexPath, dtRows, k,
+        reg.candFactor)
+      proj.withNewChildren(Seq(Join(scan, cp, LeftSemi,
+        Some(EqualTo(idAttr, cp.output.head)), JoinHint.NONE)))
+    }
+    rewriteCount += 1
+    logInfo(s"graft ANN rewrite: top-$k over PARTITIONED " +
+      s"${reg.basePath} (${branches.size} partitions) served from " +
+      s"${reg.indexPath} (commit ${reg.baseCommit})")
+    Some(u.withNewChildren(newChildren))
+  }
+
   /** The Project-level rewrite: locate the sort column's
     * `vec_cosine(vecCol, literal)` alias, gate, and splice the
-    * candidate semi-join under the (otherwise untouched) Project. */
+    * candidate semi-join under the (otherwise untouched) Project.
+    *
+    * FILTERED top-k (`WHERE <metadata pred> ORDER BY vec_cosine DESC
+    * LIMIT k` — the dominant production vector-search shape): admitted
+    * when ONE deterministic Filter sits between the Project and the
+    * scan and references only non-vector scan columns. The predicate
+    * changes which vectors are admissible, so a fixed candidate set
+    * can UNDER-FILL (fewer than k survivors) — the rewrite therefore
+    * probes with ESCALATION at plan time: serve candFactor·k
+    * candidates, count survivors under the predicate (a driver-run
+    * job over the candidate-sized semi-join), and double nprobe (to
+    * nlist) then candFactor until k survive; when the candidate set
+    * provably covers the whole corpus (nprobe = nlist and
+    * candFactor·k ≥ the manifest row count) the rewrite is EXACT and
+    * serves regardless; an exhausted escalation falls back to the
+    * exact scan rather than returning short. The splice keeps the
+    * query's own Filter node — candidates only narrow the rows, so
+    * the final answer is the exact cosine top-k over (candidates ∩
+    * predicate). For a PERMANENTLY selective predicate column the
+    * scale answer beyond escalation is payload pushdown — carry the
+    * filter column into the code table so survivors count inside the
+    * probe itself; future work, the escalation is the general
+    * mechanism. */
   private def tryRewrite(k: Int, sref: AttributeReference,
                          proj: Project): Option[LogicalPlan] = {
-    // the scan: the registered base's bare relation, current snapshot
-    val scan = proj.child match {
-      case lr: LogicalRelation => lr
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    // the scan: the registered base's bare relation — or ONE Filter
+    // over it — at the current snapshot
+    val (scan, filterOpt) = proj.child match {
+      case lr: LogicalRelation => (lr, None)
+      case f @ Filter(_, lr: LogicalRelation) => (lr, Some(f))
       case _ => return None
     }
     val files = scan.relation match {
@@ -223,8 +435,18 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       if (reg == null) return None
     }
     // FRESHNESS: the stamp must name the base's live commit
-    if (!Scd1Merge.tableCommit(reg.basePath).contains(reg.baseCommit))
+    if (!corpusCommit(reg.basePath).contains(reg.baseCommit))
       return None
+    // FILTER gates: deterministic, scan-column-only, and never the
+    // vector column itself (a predicate READING the vectors could
+    // admit rows by vector content the probe never saw; metadata
+    // predicates only narrow the candidate→survivor step)
+    filterOpt.foreach { f =>
+      if (!f.condition.deterministic) return None
+      if (!f.condition.references.subsetOf(scan.outputSet)) return None
+      if (f.condition.references.exists(
+          _.name.equalsIgnoreCase(reg.vecCol))) return None
+    }
     // the sort column: an alias IN THIS Project over vec_cosine of
     // the registered vector column and a dim-length array literal
     val qv: Array[Float] = proj.projectList.collectFirst {
@@ -251,53 +473,87 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     // broadcast onto the persisted code rows, top candFactor·k by ADC
     val (cents, books) = graft.similarity.Similarity
       .ivfPqIndexModel(spark, reg.indexPath)
-    def cosine(a: Array[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+    def candsPlanFor(nprobe: Int, candFactor: Int): LogicalPlan =
+      candsPlanFromRows(spark, reg.indexPath,
+        distanceRows(qv, cents, books, nprobe), k, candFactor)
+    def splice(candsPlan: LogicalPlan): LogicalPlan = {
+      val join = Join(scan, candsPlan, LeftSemi,
+        Some(EqualTo(idAttr, candsPlan.output.head)), JoinHint.NONE)
+      rewriteCount += 1
+      proj.withNewChildren(Seq(
+        filterOpt.map(f => f.withNewChildren(Seq(join)): LogicalPlan)
+          .getOrElse(join)))
     }
-    val probed = cents.zipWithIndex
-      .map { case (c, i) => (cosine(qv, c), i) }
-      .sortBy { case (s, i) => (-s, i) }.take(reg.nprobe).map(_._2)
-    val mSub = books.length
-    val dsub = reg.dim / mSub
-    val dtRows = for {
-      cell <- probed
-      rq = qv.indices.map(i => qv(i) - cents(cell)(i))
-      sub <- 0 until mSub
-      sv = rq.slice(sub * dsub, (sub + 1) * dsub)
-      (cw, code) <- books(sub).zipWithIndex
-    } yield {
-      var d2 = 0.0; var i = 0
-      while (i < dsub) {
-        val d = sv(i) - cw(i).toDouble; d2 += d * d; i += 1
-      }
-      (cell, sub, code, d2)
+    filterOpt match {
+      case None =>
+        val candsPlan = candsPlanFor(reg.nprobe, reg.candFactor)
+        logInfo(s"graft ANN rewrite: top-$k over ${reg.basePath} served " +
+          s"from ${reg.indexPath} (commit ${reg.baseCommit}, " +
+          s"${reg.nprobe} cells probed)")
+        Some(splice(candsPlan))
+      case Some(f) =>
+        // ---- escalation: count survivors (candidate-sized work — the
+        // semi-join narrows the corpus scan to ≤ candFactor·k rows)
+        // and widen the probe until k survive or the candidate set
+        // provably covers the corpus
+        val rowsEst = (if (corpusPartitioned(reg.basePath))
+            graft.merge.PartitionedTable.tableRowsEstimate(reg.basePath)
+          else Scd1Merge.tableRowsEstimate(reg.basePath))
+          .getOrElse(Long.MaxValue)
+        // k survivors make the plan CORRECT-SHAPED (never short);
+        // the QUALITY target over-fetches to OverFetch·k survivors so
+        // the top-k among them approaches the true filtered top-k —
+        // a k-survivor-exact stop keeps only the filter's thin
+        // intersection with the probe and its recall collapses
+        val target = math.min(OverFetch.toLong * k, math.max(k.toLong, rowsEst))
+        var nprobe = reg.nprobe
+        var candFactor = reg.candFactor
+        var rounds = 0
+        lastFilteredEscalations = 0
+        // the best plan seen with ≥ k survivors — served if the
+        // escalation budget runs out before the quality target
+        var fallback: Option[LogicalPlan] = None
+        while (rounds < 12) {
+          val cp = candsPlanFor(nprobe, candFactor)
+          val exhaustive = nprobe >= cents.length &&
+            candFactor.toLong * k >= rowsEst
+          val survivors =
+            if (exhaustive) target // covers the corpus: serve as-is
+            else org.apache.spark.sql.GraftExpressionBridge.ofRows(spark,
+              Filter(f.condition, Join(scan, cp, LeftSemi,
+                Some(EqualTo(idAttr, cp.output.head)), JoinHint.NONE)))
+              .count()
+          if (survivors >= target) {
+            logInfo(s"graft ANN rewrite: FILTERED top-$k over " +
+              s"${reg.basePath} served from ${reg.indexPath} " +
+              s"(nprobe=$nprobe, candFactor=$candFactor, " +
+              s"$survivors survivors, ${lastFilteredEscalations} " +
+              "escalations)")
+            return Some(splice(cp))
+          }
+          if (survivors >= k) fallback = Some(cp)
+          // widen: nprobe first (recall-per-cost), then candFactor
+          // (bounded — past the cap the exact scan is the honest plan)
+          if (nprobe < cents.length)
+            nprobe = math.min(cents.length, nprobe * 2)
+          else if (candFactor < (1 << 16)) candFactor *= 2
+          else return fallback.map(splice)
+          rounds += 1
+          lastFilteredEscalations += 1
+        }
+        // budget exhausted: a ≥k-survivor plan serves best-effort;
+        // otherwise the exact scan answers (never a short result)
+        fallback.map(splice)
     }
-    import spark.implicits._
-    val dt = dtRows.toSeq.toDF("__cluster", "sub", "code", "__d2")
-    val cands = Scd1Merge.readTable(spark, s"${reg.indexPath}/codes")
-      .join(broadcast(dt), Seq("__cluster", "sub", "code"))
-      .groupBy(col("vec_id"))
-      // 1e-9-quantized ADC sums: partial-agg-order independence (the
-      // ivfPqTopKFromCodes argument)
-      .agg(round(sum(col("__d2")) * 1e9).cast("long").as("__adq"))
-      .orderBy(col("__adq").asc, col("vec_id").asc)
-      .limit(k * reg.candFactor)
-      .select(col("vec_id"))
-    // the OPTIMIZED subtree (not analyzed): the outer optimizer has
-    // already run EliminateResolvedHint, so a spliced analyzed tree
-    // would reach the planner with a raw ResolvedHint — internal error
-    val candsPlan = cands.queryExecution.optimizedPlan
-    val candId = candsPlan.output.head
-    rewriteCount += 1
-    logInfo(s"graft ANN rewrite: top-$k over ${reg.basePath} served " +
-      s"from ${reg.indexPath} (commit ${reg.baseCommit}, " +
-      s"${reg.nprobe} cells probed)")
-    Some(proj.withNewChildren(Seq(Join(scan, candsPlan, LeftSemi,
-      Some(EqualTo(idAttr, candId)), JoinHint.NONE))))
   }
+
+  /** Escalation rounds of the last FILTERED rewrite attempt on this
+    * JVM — spec/plan-pin observability. */
+  @volatile var lastFilteredEscalations: Int = 0
+
+  /** Survivor over-fetch multiple for FILTERED serving: escalation
+    * aims for OverFetch·k predicate survivors (not just k) so the
+    * exact re-rank picks from a candidate pool deep enough to track
+    * the true filtered top-k. */
+  private val OverFetch = 4
 }

@@ -952,6 +952,176 @@ object QueriesLLM {
         lit(true).as("refresh_served"), lit(true).as("rearm_served"))
     }),
 
+    "sim_ann_filtered" -> ((s, dir) => {
+      // FILTERED ANN TOP-K (r12 verdict #1) — the dominant production
+      // vector-search shape: `WHERE <metadata pred> ORDER BY
+      // vec_cosine(...) DESC LIMIT k`. The rewrite admits ONE
+      // deterministic non-vector-column Filter under the sort and
+      // probes with ESCALATION: serve candFactor·k candidates, count
+      // predicate survivors (candidate-sized work), and double nprobe
+      // then candFactor until OverFetch·k survive — or, when the
+      // candidate set provably covers the corpus (nprobe = nlist and
+      // candFactor·k ≥ the manifest row count), serve EXACTLY. An
+      // exhausted escalation falls back to the exact scan rather than
+      // returning short. In-row requires pin: the filtered query
+      // serves from the index with k full rows; an under-selective
+      // first probe escalates (candFactor = 1 start) and still fills
+      // k; a vector-column predicate and a nondeterministic predicate
+      // both fall through. At this SF the quality target drives the
+      // probe to provable coverage, so recall is exactly 1 — at
+      // production scale the same loop stops at OverFetch·k
+      // survivors, reading candidate-sized data.
+      val emb = table(s, dir, "embeddings")
+      val root = graft.Tmp.dir("graft_annfilt")
+      val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+      Scd1Merge.upsert(s, corpusT, emb, Seq("vec_id"), numBuckets = 4,
+        retainVersions = 4, batchId = "c1")
+      Similarity.ivfPqIndexBuild(s, idx, Scd1Merge.readTable(s, corpusT),
+        "vec_id", "embedding", nlist = 16, m = 16, ksub = 16, iters = 2,
+        dim = 64, batchId = "b1")
+      val qv = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val KK = 10
+      def topk(pred: org.apache.spark.sql.Column): DataFrame =
+        Scd1Merge.readTable(s, corpusT).filter(pred)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.vecCosine(col("embedding"),
+              typedLit(qv)).as("cos_sim"))
+          .orderBy(col("cos_sim").desc).limit(KK)
+      def scansCodes(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten.exists(_.contains(idx + "/codes/"))
+      val pred = col("label") === 3
+      val exactIds = topk(pred).collect().map(_.getLong(0)).toSet
+      require(exactIds.size == KK)
+      require(!scansCodes(topk(pred)),
+        "an unregistered corpus must plan the exact filtered scan")
+      graft.plans.GraftAnnRewrite.register(s, corpusT, idx,
+        "vec_id", "embedding", dim = 64, nprobe = 4, candFactor = 16)
+      val served = topk(pred)
+      require(scansCodes(served),
+        "a registered fresh corpus must serve FILTERED top-k")
+      val servedIds = served.collect().map(_.getLong(0))
+      require(servedIds.length == KK,
+        "escalation must guarantee k survivors — never a short result")
+      val hits = servedIds.toSet.intersect(exactIds).size
+      // under-selective first probe: candFactor = 1 yields ~1
+      // survivor — the rewrite must escalate, not return short
+      graft.plans.GraftAnnRewrite.register(s, corpusT, idx,
+        "vec_id", "embedding", dim = 64, nprobe = 2, candFactor = 1)
+      val tight = topk(pred)
+      require(scansCodes(tight), "the escalated probe must serve")
+      require(graft.plans.GraftAnnRewrite.lastFilteredEscalations > 0,
+        "the first probe must have under-filled and escalated")
+      require(tight.count() == KK)
+      // conservative negatives
+      require(!scansCodes(topk(element_at(col("embedding"), 1) > -10f)),
+        "a vector-column predicate must fall through")
+      require(!scansCodes(topk(rand(7) < 0.9)),
+        "a nondeterministic predicate must fall through")
+      graft.plans.GraftAnnRewrite.unregister(corpusT)
+      s.range(1).select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
+        lit(16L).as("cand_factor"), lit(KK.toLong).as("k"),
+        lit(hits.toLong).as("n_hits"),
+        (lit(hits).cast("double") / lit(KK)).as("recall"),
+        lit(true).as("filtered_served"), lit(true).as("escalated_filled"),
+        lit(true).as("vec_pred_fell_back"), lit(true).as("rand_fell_back"))
+    }),
+
+    "sim_ann_partitioned" -> ((s, dir) => {
+      // ANN INDEX OVER A PARTITIONED CORPUS (r12 verdict #2): the
+      // repo's 100 TB corpus answer is month-partitioned, and until
+      // now every persisted vector index assumed a FLAT table. The
+      // rewrite now (a) matches the partitioned read's UNION-of-scans
+      // shape — every branch computes the same vec_cosine alias at
+      // the sort column's position; each branch is narrowed by its
+      // own candidate semi-join — and (b) maintains the index through
+      // the PARTITIONED CHANGE FEED: GraftAnnRewrite.maintain() diffs
+      // the registration's covered commit against the live parent
+      // commit and folds exactly that window's per-child diffs into
+      // the code table (ivfPqIndexUpdateFromTable — O(changed rows),
+      // the corpus never re-read; an ingest into ONE month re-encodes
+      // only that month's vectors). In-row requires pin: the fresh
+      // partitioned corpus serves; a one-partition ingest falls back;
+      // maintain() folds EXACTLY the ingested rows (feed accounting
+      // pinned) and serves again, with the new vectors findable.
+      import graft.merge.PartitionedTable
+      val emb = table(s, dir, "embeddings")
+      val root = graft.Tmp.dir("graft_annpart")
+      val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+      PartitionedTable.upsert(s, corpusT, emb, Seq("label", "vec_id"),
+        "label", numBuckets = 2, retainVersions = 6)
+      Similarity.ivfPqIndexBuild(s, idx,
+        PartitionedTable.readTable(s, corpusT), "vec_id", "embedding",
+        nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64, batchId = "b1")
+      val qv = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val KK = 10
+      def topk(q: Seq[Float], k: Int = KK): DataFrame =
+        PartitionedTable.readTable(s, corpusT)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.vecCosine(col("embedding"),
+              typedLit(q)).as("cos_sim"))
+          .orderBy(col("cos_sim").desc).limit(k)
+      def scansCodes(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten.exists(_.contains(idx + "/codes/"))
+      val exactIds = topk(qv).collect().map(_.getLong(0)).toSet
+      require(!scansCodes(topk(qv)),
+        "an unregistered partitioned corpus must plan the exact union scan")
+      graft.plans.GraftAnnRewrite.register(s, corpusT, idx,
+        "vec_id", "embedding", dim = 64, nprobe = 4, candFactor = 16)
+      val served = topk(qv)
+      require(scansCodes(served),
+        "the partitioned union read must serve from the index")
+      val hits = served.collect().map(_.getLong(0)).toSet
+        .intersect(exactIds).size
+      // ONE-PARTITION ingest: twins of vecs 0..7 land in label=3
+      val wave = emb.filter(col("vec_id") < 8)
+        .withColumn("vec_id", col("vec_id") + 1000L)
+        .withColumn("label", lit(3))
+      PartitionedTable.upsert(s, corpusT, wave, Seq("label", "vec_id"),
+        "label", retainVersions = 6)
+      require(!scansCodes(topk(qv)),
+        "a written-to partitioned corpus must fall back to exact")
+      val folded = graft.plans.GraftAnnRewrite.maintain(s, corpusT)
+      require(folded == 8L,
+        s"the change feed must carry ONLY the ingested partition's rows, got $folded")
+      require(scansCodes(topk(qv)),
+        "the feed-maintained index must serve again")
+      // the maintained index covers the new rows: a probe AT vec 3's
+      // embedding surfaces its ingested twin (identical vector)
+      val nq = emb.filter(col("vec_id") === 3)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val self = topk(nq, 2)
+      require(scansCodes(self))
+      val twinFound = self.collect().map(_.getLong(0)).contains(1003L)
+      require(twinFound, "the ingested twin of vec 3 must rank on top")
+      require(graft.plans.GraftAnnRewrite.maintain(s, corpusT) == 0L,
+        "maintain() must no-op when current")
+      graft.plans.GraftAnnRewrite.unregister(corpusT)
+      s.range(1).select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
+        lit(16L).as("cand_factor"), lit(KK.toLong).as("k"),
+        lit(10L).as("n_partitions"),
+        lit(hits.toLong).as("n_hits"),
+        (lit(hits).cast("double") / lit(KK)).as("recall"),
+        lit(folded).as("feed_rows"),
+        lit(true).as("fresh_served"), lit(true).as("stale_fell_back"),
+        lit(true).as("maintain_served"), lit(twinFound).as("twin_found"))
+    }),
+
     "a6_count_distinct" -> ((s, dir) =>
       // exact distinct-aggregate (Expand-based two-phase plan)
       table(s, dir, "orders")
@@ -1827,6 +1997,26 @@ object QueriesLLM {
          |  10::BIGINT AS n_hits, 10 / 10.0 AS recall,
          |  TRUE AS fresh_served, TRUE AS stale_fell_back,
          |  TRUE AS refresh_served, TRUE AS rearm_served""".stripMargin,
+    // PINNED: at sf0.01 the filtered escalation provably reaches
+    // corpus coverage (nprobe = nlist, candFactor·k ≥ rows), so the
+    // served answer IS the exact filtered top-k — recall exactly 1.
+    // The in-row requires pin the routing and escalation legs.
+    "sim_ann_filtered" ->
+      """SELECT 16::BIGINT AS nlist, 4::BIGINT AS nprobe,
+         |  16::BIGINT AS cand_factor, 10::BIGINT AS k,
+         |  10::BIGINT AS n_hits, 10 / 10.0 AS recall,
+         |  TRUE AS filtered_served, TRUE AS escalated_filled,
+         |  TRUE AS vec_pred_fell_back, TRUE AS rand_fell_back""".stripMargin,
+    // PINNED recall (deterministic: quantized ADC, fixed corpus) +
+    // exact feed accounting: the one-partition ingest's change feed
+    // carries exactly the 8 ingested rows.
+    "sim_ann_partitioned" ->
+      """SELECT 16::BIGINT AS nlist, 4::BIGINT AS nprobe,
+         |  16::BIGINT AS cand_factor, 10::BIGINT AS k,
+         |  10::BIGINT AS n_partitions, 9::BIGINT AS n_hits,
+         |  9 / 10.0 AS recall, 8::BIGINT AS feed_rows,
+         |  TRUE AS fresh_served, TRUE AS stale_fell_back,
+         |  TRUE AS maintain_served, TRUE AS twin_found""".stripMargin,
     "sim_ivfpq_recall" ->
       """SELECT 16::BIGINT AS nlist, 4::BIGINT AS nprobe,
          |  16::BIGINT AS m, 16::BIGINT AS ksub,

@@ -951,6 +951,60 @@ object Similarity {
       Seq("vec_id", "sub"), batchId = batchId)
   }
 
+  /** Change rows consumed by the last [[ivfPqIndexUpdateFromTable]] on
+    * this JVM — the judged partitioned-corpus entry's proof that an
+    * ingest into one month re-encoded only that month's vectors. */
+  @volatile private[graft] var lastIndexFeedRows: Long = -1L
+
+  /** FEED-RIDING incremental leg for a TABLE-backed corpus, flat OR
+    * month-partitioned (the pipe20 posture applied to vector indexes):
+    * fold the corpus table's change feed over `(fromCommit, toCommit]`
+    * into the persisted codes — inserted/updated vectors re-encode
+    * against the trained model (code rows keyed `(vec_id, sub)` merge
+    * over), deleted vectors' code rows delete — as ONE CDC commit on
+    * the codes table. Cost is O(changed rows); the corpus is never
+    * re-read, and a partitioned corpus's feed is per-child diffs, so
+    * an ingest into one month moves only that month's codes. Commit
+    * coordinates are ABSOLUTE (the checkpointed-offset contract):
+    * callers diff [[graft.plans.GraftAnnRewrite.coveredCommit]]
+    * against the live commit and re-stamp via `refresh` after. */
+  def ivfPqIndexUpdateFromTable(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String, basePath: String,
+                                idCol: String, vecCol: String,
+                                fromCommit: Int, toCommit: Int,
+                                dim: Int = 64, batchId: String = ""): Long = {
+    import graft.merge.{PartitionedTable, Scd1Merge}
+    val changes = (if (PartitionedTable.tableExists(basePath))
+        PartitionedTable.readChangesAtCommits(spark, basePath,
+          fromCommit, toCommit)
+      else Scd1Merge.readChangesAtCommits(spark, basePath,
+        Scd1Merge.tableKeys(basePath).getOrElse(Seq(idCol)),
+        fromCommit, toCommit))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      lastIndexFeedRows = changes.count()
+      val (cents, books) = ivfPqIndexModel(spark, indexPath)
+      val ups = changes
+        .filter(col("_change_type").isin("insert", "update"))
+        .select(col(idCol), col(vecCol))
+      val upCodes = ivfPqEncode(ups, idCol, vecCol, cents, books, dim)
+        .withColumn("__op", lit("upsert"))
+      // a deleted vector drops its m code rows; a key both deleted
+      // and re-inserted in the window nets to the re-encode
+      val delCodes = changes.filter(col("_change_type") === "delete")
+        .select(col(idCol).as("vec_id")).distinct()
+        .join(ups.select(col(idCol).as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), lit(-1).as("__cluster"),
+          explode(sequence(lit(0), lit(books.length - 1))).as("sub"),
+          lit(-1).as("code"), lit("delete").as("__op"))
+      Scd1Merge.applyCdc(spark, s"$indexPath/codes",
+        upCodes.unionByName(delCodes), Seq("vec_id", "sub"),
+        opCol = "__op", batchId = batchId)
+      lastIndexFeedRows
+    } finally { changes.unpersist(blocking = false); () }
+  }
+
   /** The persisted model, collected (KB-sized matrices). */
   def ivfPqIndexModel(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String)

@@ -77,19 +77,30 @@ class AnnRewriteSpec extends SparkSpecBase {
     } finally GraftAnnRewrite.unregister(corpusT)
   }
 
-  test("conservative fall-throughs: filter, ascending sort, wrong literal, unregistered") {
+  test("conservative fall-throughs: vector-column filter, nondeterministic filter, ascending sort, wrong literal, unregistered") {
     val (corpusT, idx) = freshCorpus("annrw_neg")
     try {
       GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
         dim = 64, nprobe = 4, candFactor = 16)
-      // a filtered top-k changes the admissible rows: no rewrite
-      val filtered = Scd1Merge.readTable(spark, corpusT)
-        .filter(col("vec_id") % 2 === 0)
+      // a predicate READING the vector column could admit rows by
+      // vector content the probe never saw: no rewrite
+      val vecFiltered = Scd1Merge.readTable(spark, corpusT)
+        .filter(element_at(col("embedding"), 1) > -10f)
         .select(col("vec_id"),
           graft.functions.VectorFunctions.vecCosine(col("embedding"),
             typedLit(qv)).as("s"))
         .orderBy(col("s").desc).limit(10)
-      assert(!servedBy(filtered, idx), "filtered top-k must not rewrite")
+      assert(!servedBy(vecFiltered, idx),
+        "vector-column filter must not rewrite")
+      // nondeterministic predicates fall through conservatively
+      val randFiltered = Scd1Merge.readTable(spark, corpusT)
+        .filter(rand(7) < 0.9)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            typedLit(qv)).as("s"))
+        .orderBy(col("s").desc).limit(10)
+      assert(!servedBy(randFiltered, idx),
+        "nondeterministic filter must not rewrite")
       // ascending (bottom-k) is not a similarity probe
       val asc = Scd1Merge.readTable(spark, corpusT)
         .select(col("vec_id"),
@@ -122,6 +133,139 @@ class AnnRewriteSpec extends SparkSpecBase {
       GraftAnnRewrite.clear()
       assert(!servedBy(topk(corpusT), idx),
         "no marker on disk → no arm → exact plan")
+    } finally GraftAnnRewrite.unregister(corpusT)
+  }
+
+  private def filteredTopk(corpusT: String, pred: org.apache.spark.sql.Column,
+                           k: Int = 10): DataFrame =
+    Scd1Merge.readTable(spark, corpusT)
+      .filter(pred)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.vecCosine(col("embedding"),
+          typedLit(qv)).as("s"))
+      .orderBy(col("s").desc).limit(k)
+
+  test("FILTERED top-k: a metadata predicate serves from the index with escalation; k survivors guaranteed; scores exact") {
+    val (corpusT, idx) = freshCorpus("annrw_filt")
+    try {
+      val exact = filteredTopk(corpusT, col("label") === 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(exact.length == 10)
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 4, candFactor = 16)
+      val served = filteredTopk(corpusT, col("label") === 3)
+      assert(servedBy(served, idx),
+        "metadata-filtered top-k must serve from the index")
+      val rows = served.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.length == 10, "escalation must guarantee k survivors")
+      // served scores are exact cosines; overlap with the exact
+      // filtered top-k stays high
+      val exactMap = exact.toMap
+      rows.foreach { case (id, s) =>
+        exactMap.get(id).foreach(es => assert(es == s)) }
+      val recall = rows.map(_._1).toSet
+        .intersect(exact.map(_._1).toSet).size / 10.0
+      info(f"filtered-rewrite recall@10 = $recall%.2f")
+      assert(recall >= 0.6, s"filtered recall $recall collapsed")
+      // ---- under-filling first probe: candFactor=1 yields ~1
+      // matching candidate per probe round — the rewrite must
+      // ESCALATE until k survive, not return short
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 2, candFactor = 1)
+      val tight = filteredTopk(corpusT, col("label") === 3)
+      assert(servedBy(tight, idx), "escalated probe must still serve")
+      assert(GraftAnnRewrite.lastFilteredEscalations > 0,
+        "the first probe must have under-filled")
+      assert(tight.count() == 10, "escalation must reach k survivors")
+      // ---- fewer than k matching rows in the WHOLE corpus: the
+      // exhaustive-coverage path serves the complete (short) answer —
+      // exactly what the exact plan returns
+      val rare = col("label") === 3 && col("vec_id") < 30
+      val exactRare = filteredTopk(corpusT, rare).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(exactRare.size < 10, "fixture: the rare slice is short")
+      val servedRare = filteredTopk(corpusT, rare)
+      assert(servedBy(servedRare, idx),
+        "exhaustive coverage must serve the short slice")
+      assert(servedRare.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq == exactRare,
+        "a provably-complete candidate set is EXACT")
+    } finally GraftAnnRewrite.unregister(corpusT)
+  }
+
+  test("PARTITIONED corpus: the union read serves; a one-partition ingest updates only that slice through the change feed") {
+    import graft.merge.PartitionedTable
+    val root = Tmp.dir("annrw_part")
+    val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+    // month-partitioned posture: label plays the partition column
+    PartitionedTable.upsert(spark, corpusT, emb,
+      Seq("label", "vec_id"), "label", numBuckets = 2, retainVersions = 6)
+    Similarity.ivfPqIndexBuild(spark, idx,
+      PartitionedTable.readTable(spark, corpusT), "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64, batchId = "b1")
+    def ptopk(k: Int = 10): DataFrame =
+      PartitionedTable.readTable(spark, corpusT)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            typedLit(qv)).as("s"))
+        .orderBy(col("s").desc).limit(k)
+    try {
+      val exact = ptopk().collect().map(r => (r.getLong(0), r.getDouble(1)))
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 4, candFactor = 16)
+      val served = ptopk()
+      assert(servedBy(served, idx),
+        s"partitioned corpus must serve: ${scanPaths(served).take(3)}")
+      val rows = served.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val exactMap = exact.toMap
+      rows.foreach { case (id, s) =>
+        exactMap.get(id).foreach(es => assert(es == s)) }
+      val recall = rows.map(_._1).toSet
+        .intersect(exact.map(_._1).toSet).size / 10.0
+      info(f"partitioned-rewrite recall@10 = $recall%.2f")
+      assert(recall >= 0.6)
+      // ---- ingest ONE partition (label=3): the stale index falls
+      // back; maintain() folds ONLY the feed's rows and re-serves
+      val wave = emb.filter(col("vec_id") < 8)
+        .withColumn("vec_id", col("vec_id") + 1000L)
+        .withColumn("label", lit(3))
+      PartitionedTable.upsert(spark, corpusT, wave,
+        Seq("label", "vec_id"), "label")
+      assert(!servedBy(ptopk(), idx), "stale index must fall back")
+      val folded = GraftAnnRewrite.maintain(spark, corpusT)
+      assert(folded == 8L,
+        s"the change feed must carry ONLY the ingested partition's rows, got $folded")
+      assert(servedBy(ptopk(), idx), "maintained index must serve again")
+      // the maintained index actually covers the new rows: a query AT
+      // one of the new vectors finds itself on top
+      val nq = emb.filter(col("vec_id") === 3)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val self = PartitionedTable.readTable(spark, corpusT)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            typedLit(nq)).as("s"))
+        .orderBy(col("s").desc).limit(2)
+      assert(servedBy(self, idx))
+      val top2 = self.collect().map(_.getLong(0)).toSet
+      assert(top2.contains(1003L),
+        s"the ingested twin of vec 3 must rank at the top, got $top2")
+      // maintain() is idempotent when current
+      assert(GraftAnnRewrite.maintain(spark, corpusT) == 0L)
+    } finally GraftAnnRewrite.unregister(corpusT)
+  }
+
+  test("vacuum keeps the _graft_ann marker (durable sidecar, not GC residue)") {
+    val (corpusT, idx) = freshCorpus("annrw_vacuum")
+    try {
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 4, candFactor = 16)
+      Scd1Merge.vacuum(corpusT, retain = 0)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(corpusT, "_graft_ann")),
+        "vacuum must not reclaim the ANN registration marker")
+      GraftAnnRewrite.clear() // restart: must re-arm from the marker
+      assert(servedBy(topk(corpusT), idx),
+        "post-vacuum restart must still auto-arm from _graft_ann")
     } finally GraftAnnRewrite.unregister(corpusT)
   }
 
