@@ -242,7 +242,8 @@ object IncrementalJoinAgg {
                    factPath: String, factKeys: Seq[String],
                    dims: Seq[MvDef.JoinSrc], spec: AggSpec,
                    numBuckets: Int = 0,
-                   retain: Int = Scd1Merge.DefaultRetainVersions): Unit = {
+                   retain: Int = Scd1Merge.DefaultRetainVersions,
+                   auto: Boolean = false): Unit = {
     // the filter, every group EXPRESSION, and every min/max measure
     // must resolve on the FACT ALONE — filters and expressions then
     // commute with every telescoped term (both are evaluated on the
@@ -274,6 +275,9 @@ object IncrementalJoinAgg {
         "column — sketch measures live on the fact (the flagged-group " +
         "rescan reads them off the re-joined view)")
     }
+    require(spec.quantiles.isEmpty,
+      "star MVs do not carry quantile sketches yet — maintain them on " +
+      "a flat (single-table) MV over the fact")
     // a measure sharing a group column's NAME would collide in the
     // per-term projection (groups project from their side, measures
     // from the fact) — reject the pathological shape loudly
@@ -284,7 +288,9 @@ object IncrementalJoinAgg {
       }
     bootstrapStar(spark, mvPath, factPath, dims, spec, numBuckets, retain)
     MvDef.write(mvPath,
-      MvDef.Def(factPath, factKeys, spec, dims, retain = retain))
+      MvDef.Def(factPath, factKeys, spec, dims, retain = retain,
+        auto = auto))
+    if (auto) MvMaintenance.enableAuto(mvPath)
     graft.plans.GraftMvRewrite.registerJoin(
       graft.plans.GraftMvRewrite.JoinMvReg(factPath,
         dims.map(d => graft.plans.GraftMvRewrite.DimJoin(d.dimPath, d.fk, d.dk)),

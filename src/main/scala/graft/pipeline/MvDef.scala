@@ -26,9 +26,14 @@ object MvDef {
     * feed reader) needs to lag without losing its window. Plumbed
     * from `CREATE ... RETAIN n` into bootstrap, every refresh, and
     * the tombstone sweep. */
+  /** `auto`: write-through maintenance opt-in — the post-commit hook
+    * ([[MvMaintenance]]) refreshes this MV immediately after every
+    * commit to its base / dims. Persisted, so any later session's
+    * hook honors it. */
   final case class Def(basePath: String, baseKeys: Seq[String], spec: AggSpec,
                        joins: Seq[JoinSrc] = Nil,
-                       retain: Int = graft.merge.Scd1Merge.DefaultRetainVersions)
+                       retain: Int = graft.merge.Scd1Merge.DefaultRetainVersions,
+                       auto: Boolean = false)
 
   private val FileName = "_graft_mv"
 
@@ -46,6 +51,7 @@ object MvDef {
       s"count=${enc(d.spec.countName)}") ++
       (if (d.retain != graft.merge.Scd1Merge.DefaultRetainVersions)
         Seq(s"retain=${d.retain}") else Nil) ++
+      (if (d.auto) Seq("auto=true") else Nil) ++
       (if (d.spec.mins.nonEmpty)
         Seq(s"mins=${d.spec.mins.map { case (m, o) => s"${enc(m)}:${enc(o)}" }.mkString(",")}")
        else Nil) ++
@@ -54,6 +60,10 @@ object MvDef {
        else Nil) ++
       (if (d.spec.sketches.nonEmpty)
         Seq(s"sketches=${d.spec.sketches.map { case (m, o) => s"${enc(m)}:${enc(o)}" }.mkString(",")}")
+       else Nil) ++
+      (if (d.spec.quantiles.nonEmpty)
+        Seq(s"quantiles=${d.spec.quantiles.map { case (m, o) => s"${enc(m)}:${enc(o)}" }.mkString(",")}",
+          s"samplekeys=${d.spec.sampleKeys.map(enc).mkString(",")}")
        else Nil) ++
       d.spec.filterSql.toSeq.map(f => s"filter=${enc(f)}") ++
       (if (d.spec.groupExprs.nonEmpty)
@@ -109,8 +119,10 @@ object MvDef {
     Some(Def(dec(kv("base")), list("keys"),
       AggSpec(list("groups"), sums, dec(kv("count")),
         kv.get("filter").map(dec), groupExprs,
-        pairs("mins"), pairs("maxs"), pairs("sketches")), joins,
+        pairs("mins"), pairs("maxs"), pairs("sketches"),
+        pairs("quantiles"), list("samplekeys")), joins,
       retain = kv.get("retain").map(_.toInt)
-        .getOrElse(graft.merge.Scd1Merge.DefaultRetainVersions)))
+        .getOrElse(graft.merge.Scd1Merge.DefaultRetainVersions),
+      auto = kv.get("auto").exists(_.toBoolean)))
   }
 }

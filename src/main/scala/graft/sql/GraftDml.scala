@@ -246,10 +246,12 @@ object GraftDml {
   private val CreateMvRe =
     ("""(?is)^\s*CREATE\s+GRAFT\s+MATERIALIZED\s+VIEW\s+""" +
      """(\S+|graft\s*\.\s*`[^`]*`)(?:\s+BUCKETS\s+(\d+))?""" +
-     """(?:\s+RETAIN\s+(\d+))?\s+AS\s+(.+)$""").r
+     """(?:\s+RETAIN\s+(\d+))?(?:\s+(AUTO)\s+REFRESH)?\s+AS\s+(.+)$""").r
   private val RefreshMvRe =
     ("""(?is)^\s*REFRESH\s+(?:GRAFT\s+)?MATERIALIZED\s+VIEW\s+""" +
      """(\S+|graft\s*\.\s*`[^`]*`)\s*;?\s*$""").r
+  private val RefreshAllMvsRe =
+    """(?is)^\s*REFRESH\s+ALL\s+(?:GRAFT\s+)?MATERIALIZED\s+VIEWS\s*;?\s*$""".r
   private val ShowMvsRe =
     """(?is)^\s*SHOW\s+(?:GRAFT\s+)?MATERIALIZED\s+VIEWS\s*;?\s*$""".r
   private val CopyIntoRe =
@@ -317,13 +319,15 @@ object GraftDml {
           ifExists = ifExists != null))
       case RepartitionRe(tok, cols) =>
         parseTableToken(tok).map(p => GraftRepartitionCommand(p, cols.trim))
-      case CreateMvRe(tok, buckets, retain, select) =>
+      case CreateMvRe(tok, buckets, retain, auto, select) =>
         parseTableToken(tok).map(p => GraftCreateMvCommand(p,
           Option(buckets).map(_.toInt).getOrElse(0),
           Option(retain).map(_.toInt)
-            .getOrElse(Scd1Merge.DefaultRetainVersions), select.trim))
+            .getOrElse(Scd1Merge.DefaultRetainVersions), select.trim,
+          auto = auto != null))
       case RefreshMvRe(tok) =>
         parseTableToken(tok).map(GraftRefreshMvCommand)
+      case RefreshAllMvsRe() => Some(GraftRefreshAllMvsCommand())
       case ShowMvsRe() => Some(GraftShowMvsCommand())
       case CopyIntoRe(tok, src, fmt, pattern, fopts) =>
         parseTableToken(tok).map { p =>
@@ -699,7 +703,8 @@ case class GraftCreateTableCommand(path: String, keys: Seq[String],
   * deletes; a filtered MV would silently disagree with the unfiltered
   * base queries the rewrite matches. */
 case class GraftCreateMvCommand(path: String, numBuckets: Int,
-                                retain: Int, selectSql: String)
+                                retain: Int, selectSql: String,
+                                auto: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
@@ -822,9 +827,11 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       mins, maxs, sketches)
     IncrementalAgg.bootstrapFrom(spark, path, basePath, spec, numBuckets,
       retainVersions = retain)
-    MvDef.write(path, MvDef.Def(basePath, baseKeys, spec, retain = retain))
+    MvDef.write(path,
+      MvDef.Def(basePath, baseKeys, spec, retain = retain, auto = auto))
     graft.plans.GraftMvRewrite.register(basePath, path, spec)
     GraftCatalog.putMv(path, basePath) // durable: a NEW session auto-arms
+    if (auto) graft.pipeline.MvMaintenance.enableAuto(path)
     Nil
   }
 
@@ -1091,7 +1098,7 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       fk => groupNames.exists(_.equalsIgnoreCase(fk)))
     IncrementalJoinAgg.createMvStar(spark, path, factPath, factKeys,
       dims, AggSpec(allGroupNames, sums, cn, filterSql, groupExprs,
-        mins, maxs, sketches), numBuckets, retain = retain)
+        mins, maxs, sketches), numBuckets, retain = retain, auto = auto)
     Nil
   }
 }
@@ -1155,41 +1162,36 @@ case class GraftRefreshMvCommand(path: String)
     AttributeReference("base_commit", LongType, nullable = false)(),
     AttributeReference("commits_applied", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    import graft.pipeline.{IncrementalAgg, IncrementalJoinAgg, MvDef}
+    import graft.pipeline.{MvDef, MvMaintenance}
     val d = MvDef.read(path).getOrElse(throw new IllegalStateException(
       s"REFRESH MATERIALIZED VIEW: $path has no _graft_mv definition " +
       "(not created via CREATE GRAFT MATERIALIZED VIEW)"))
-    if (d.joins.nonEmpty) {
-      // JOIN/STAR MV: fold every side's lag, re-arm the rewrite
-      val applied = IncrementalJoinAgg.refreshStar(spark, path,
-        d.basePath, d.baseKeys, d.joins, d.spec, retain = d.retain)
-      graft.plans.GraftMvRewrite.registerJoin(
-        graft.plans.GraftMvRewrite.JoinMvReg(d.basePath,
-          d.joins.map(j =>
-            graft.plans.GraftMvRewrite.DimJoin(j.dimPath, j.fk, j.dk)),
-          path, d.spec))
-      return Seq(Row(
-        Scd1Merge.tableCommit(d.basePath).getOrElse(-1).toLong,
-        applied.sum.toLong))
-    }
+    // one engine-level refresh body ([[MvMaintenance.refreshMv]]) —
+    // the SQL statement, the AUTO REFRESH hook, and refreshAllStale
+    // must never diverge on maintenance semantics
+    val applied = MvMaintenance.refreshMv(spark, path)
     val live =
       (if (graft.merge.PartitionedTable.tableExists(d.basePath))
          graft.merge.PartitionedTable.tableCommit(d.basePath)
-       else Scd1Merge.tableCommit(d.basePath)).getOrElse(
-        throw new IllegalStateException(
-          s"REFRESH MATERIALIZED VIEW: base ${d.basePath} has no manifest"))
-    val seen = Scd1Merge.tableBatchId(path).collect {
-      case s if s.startsWith("base-commit-") =>
-        s.stripPrefix("base-commit-").toInt
-    }.getOrElse(throw new IllegalStateException(
-      s"REFRESH MATERIALIZED VIEW: $path carries no base-commit stamp"))
-    if (live > seen)
-      IncrementalAgg.applyChanges(spark, path, d.basePath, d.baseKeys,
-        d.spec, fromBack = live - seen, toBack = 0,
-        retainVersions = d.retain)
-    graft.plans.GraftMvRewrite.register(d.basePath, path, d.spec)
-    Seq(Row(live.toLong, math.max(0, live - seen).toLong))
+       else Scd1Merge.tableCommit(d.basePath)).getOrElse(-1)
+    Seq(Row(live.toLong, applied))
   }
+}
+
+/** `REFRESH ALL MATERIALIZED VIEWS` — the staleness SWEEP
+  * ([[graft.pipeline.MvMaintenance.refreshAllStale]]): fold every
+  * cataloged MV whose stamp lags its inputs, looping until quiescent
+  * (chains refresh in dependency order). The janitor for crash
+  * windows and for bases written without the AUTO REFRESH hook —
+  * one statement turns a fleet of silently-falling-through
+  * dashboards back into MV reads. */
+case class GraftRefreshAllMvsCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mv", StringType, nullable = false)(),
+    AttributeReference("commits_applied", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.pipeline.MvMaintenance.refreshAllStale(spark)
+      .map { case (mv, n) => Row(mv, n) }
 }
 
 /** `DROP TABLE [IF EXISTS] graft.\`<path>\`` / `DROP MATERIALIZED

@@ -1,0 +1,178 @@
+package graft
+
+import graft.merge.Scd1Merge
+import graft.pipeline.{IncrementalAgg, MvDef, MvMaintenance}
+import graft.pipeline.IncrementalAgg.AggSpec
+import graft.plans.GraftMvRewrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** AUTO-MAINTAINED MVs (MvMaintenance): the write-through hook folds
+  * the delta immediately after a base commit (no manual REFRESH), a
+  * crash between commit and maintenance converges on the next touch,
+  * chains refresh in dependency order, and refreshAllStale sweeps the
+  * whole inventory. Plan-routing pins follow MvRewriteSpec's posture:
+  * positives assert the optimized plan reads the MV's files. */
+class MvMaintenanceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.toSeq
+          case _ => Nil
+        }
+    }.flatten
+
+  private def readsOnly(df: DataFrame, dir: String): Boolean = {
+    val ps = scanPaths(df)
+    ps.nonEmpty && ps.forall(_.contains(dir + "/"))
+  }
+
+  /** base + registered MV with a persisted definition (the
+    * engine-API creation path AUTO REFRESH rides on). */
+  private def fixture(tag: String): (String, String, AggSpec) = {
+    val root = Tmp.dir(s"mv_auto_$tag")
+    val base = root + "/base"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, base,
+      (1L to 100L).map(i => (i, s"g${i % 5}", i * 10)).toDF("id", "g", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 6)
+    val spec = AggSpec(Seq("g"), Seq("cents" -> "sum_cents"), "n")
+    IncrementalAgg.bootstrapFrom(spark, mv, base, spec, numBuckets = 1,
+      retainVersions = 6)
+    MvDef.write(mv, MvDef.Def(base, Seq("id"), spec, retain = 6))
+    GraftMvRewrite.register(base, mv, spec)
+    (base, mv, spec)
+  }
+
+  private def q(base: String): DataFrame =
+    Scd1Merge.readTable(spark, base).groupBy($"g")
+      .agg(sum($"cents").as("sc"))
+
+  test("AUTO REFRESH: a base wave re-arms the rewrite with NO manual refresh") {
+    val (base, mv, _) = fixture("wave")
+    try {
+      MvMaintenance.enableAuto(mv)
+      assert(MvDef.read(mv).exists(_.auto), "auto flag must persist")
+      assert(readsOnly(q(base), mv))
+      // the wave: WITHOUT the hook this would route to the base until
+      // someone ran REFRESH — with it, the commit's own thread folds
+      // the delta right after its lock drops
+      Scd1Merge.upsert(spark, base,
+        Seq((900L, "g1", 7777L)).toDF("id", "g", "cents"), Seq("id"), retainVersions = 6)
+      assert(readsOnly(q(base), mv),
+        s"auto-maintained MV must serve IMMEDIATELY, read ${scanPaths(q(base))}")
+      // and the served values include the new row
+      val sc = q(base).filter($"g" === "g1").select("sc").as[Long].head()
+      GraftMvRewrite.unregister(base)
+      val expect = q(base).filter($"g" === "g1").select("sc").as[Long].head()
+      assert(sc == expect && sc > 7777L)
+    } finally { MvMaintenance.reset(); GraftMvRewrite.unregister(base) }
+  }
+
+  test("crash window: a commit whose maintenance never ran converges on the NEXT touch (and via the sweep)") {
+    val (base, mv, _) = fixture("crash")
+    try {
+      MvMaintenance.enableAuto(mv)
+      // simulate the crash: the base commit lands, the process dies
+      // before the hook runs (here: hook disarmed for one wave)
+      Scd1Merge.onCommitHook = _ => ()
+      Scd1Merge.upsert(spark, base,
+        Seq((901L, "g2", 1000L)).toDF("id", "g", "cents"), Seq("id"), retainVersions = 6)
+      assert(readsOnly(q(base), base),
+        "stale-but-sound: the missed wave must route to the base")
+      // next touch: a later commit's hook folds the ENTIRE lag
+      MvMaintenance.armHooks()
+      Scd1Merge.upsert(spark, base,
+        Seq((902L, "g2", 2000L)).toDF("id", "g", "cents"), Seq("id"), retainVersions = 6)
+      assert(readsOnly(q(base), mv), "the next touch must converge")
+      val sc = q(base).filter($"g" === "g2").select("sc").as[Long].head()
+      GraftMvRewrite.unregister(base)
+      assert(sc == q(base).filter($"g" === "g2").select("sc").as[Long].head())
+      GraftMvRewrite.register(base, mv,
+        MvDef.read(mv).get.spec)
+      // and the SWEEP alone also converges a missed wave
+      Scd1Merge.onCommitHook = _ => ()
+      Scd1Merge.upsert(spark, base,
+        Seq((903L, "g3", 3000L)).toDF("id", "g", "cents"), Seq("id"), retainVersions = 6)
+      assert(readsOnly(q(base), base))
+      val swept = MvMaintenance.refreshAllStale(spark)
+      assert(swept.exists(_._1 == mv), s"sweep must refresh $mv: $swept")
+      assert(readsOnly(q(base), mv))
+    } finally { MvMaintenance.reset(); GraftMvRewrite.unregister(base) }
+  }
+
+  test("CHAIN: one base wave auto-refreshes parent then child, in dependency order") {
+    val root = Tmp.dir("mv_auto_chain")
+    val base = root + "/base"; val mv1 = root + "/mv1"; val mv2 = root + "/mv2"
+    Scd1Merge.upsert(spark, base,
+      (1L to 100L).map(i => (i, s"g${i % 10}", s"r${i % 2}", i * 10))
+        .toDF("id", "g", "region", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 8)
+    // mv1: by (g, region); mv2: by region OVER mv1 (the pipe30 chain
+    // shape — mv1's keys are its group columns)
+    val spec1 = AggSpec(Seq("g", "region"), Seq("cents" -> "sum_cents"), "n1")
+    IncrementalAgg.bootstrapFrom(spark, mv1, base, spec1, numBuckets = 1,
+      retainVersions = 8)
+    MvDef.write(mv1, MvDef.Def(base, Seq("id"), spec1, retain = 8))
+    val spec2 = AggSpec(Seq("region"), Seq("sum_cents" -> "sum_cents2"), "n2")
+    IncrementalAgg.bootstrapFrom(spark, mv2, mv1, spec2, numBuckets = 1,
+      retainVersions = 8)
+    MvDef.write(mv2, MvDef.Def(mv1, Seq("g", "region"), spec2, retain = 8))
+    try {
+      MvMaintenance.enableAuto(mv1)
+      MvMaintenance.enableAuto(mv2)
+      // ONE base wave: the hook refreshes mv1; mv1's own commit fires
+      // the hook again, refreshing mv2 — dependency order for free
+      Scd1Merge.upsert(spark, base,
+        Seq((901L, "g1", "r1", 5000L)).toDF("id", "g", "region", "cents"),
+        Seq("id"), retainVersions = 8)
+      val c1 = Scd1Merge.tableCommit(base).get
+      assert(Scd1Merge.tableBatchId(mv1)
+        .contains(f"base-commit-$c1%09d"), "mv1 must be fresh")
+      val c2 = Scd1Merge.tableCommit(mv1).get
+      assert(Scd1Merge.tableBatchId(mv2)
+        .contains(f"base-commit-$c2%09d"), "mv2 must be fresh w.r.t. mv1")
+      // values converge end to end
+      val got = Scd1Merge.readTable(spark, mv2)
+        .filter($"region" === "r1").select("sum_cents2").as[Long].head()
+      val expect = Scd1Merge.readTable(spark, base)
+        .filter($"region" === "r1").agg(sum($"cents")).as[Long].head()
+      assert(got == expect, s"$got vs $expect")
+    } finally MvMaintenance.reset()
+  }
+
+  test("SQL lifecycle: CREATE ... AUTO REFRESH serves across a wave; REFRESH ALL MATERIALIZED VIEWS sweeps") {
+    val root = Tmp.dir("mv_auto_sql")
+    val base = root + "/base"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, base,
+      (1L to 100L).map(i => (i, s"g${i % 5}", i * 10)).toDF("id", "g", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 6)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 1 AUTO REFRESH " +
+        s"AS SELECT g, sum(cents) AS sum_cents, count(*) AS n " +
+        s"FROM graft.`$base` GROUP BY g")
+      assert(MvDef.read(mv).exists(_.auto), "SQL AUTO REFRESH must persist")
+      Scd1Merge.upsert(spark, base,
+        Seq((900L, "g0", 9999L)).toDF("id", "g", "cents"), Seq("id"), retainVersions = 6)
+      assert(readsOnly(q(base), mv),
+        "SQL-created AUTO MV must serve immediately after the wave")
+      // sweep statement: disarm, miss a wave, REFRESH ALL converges
+      Scd1Merge.onCommitHook = _ => ()
+      Scd1Merge.upsert(spark, base,
+        Seq((901L, "g0", 1L)).toDF("id", "g", "cents"), Seq("id"), retainVersions = 6)
+      assert(readsOnly(q(base), base))
+      val rows = graft.sql.GraftSql.sql(spark,
+        "REFRESH ALL MATERIALIZED VIEWS").collect()
+      assert(rows.exists(_.getString(0) == mv), rows.mkString(","))
+      assert(readsOnly(q(base), mv))
+    } finally {
+      MvMaintenance.reset()
+      GraftMvRewrite.unregister(base)
+      graft.sql.GraftCatalog.removeMv(mv)
+    }
+  }
+}
