@@ -67,6 +67,34 @@ object GraftExtensions {
           "approx_top_k: capacity must be a literal integer")
       }
       graft.functions.ApproxTopK(args(0), cap)
+    },
+    // quantile row-sample sketch family (QuantileSketch Scaladoc)
+    "qsk_agg" -> { args =>
+      require(args.length == 2 || args.length == 3,
+        "qsk_agg takes (hash, value[, k])")
+      if (args.length == 2) graft.functions.QskAgg(args(0), args(1))
+      else {
+        val k = args(2) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue
+          case _ => throw new IllegalArgumentException(
+            "qsk_agg: k must be a literal integer")
+        }
+        graft.functions.QskAgg(args(0), args(1), k)
+      }
+    },
+    "qsk_union_agg" -> { args =>
+      require(args.length == 1, "qsk_union_agg takes exactly 1 argument")
+      graft.functions.QskUnionAgg(args(0))
+    },
+    "qsk_merge" -> { args =>
+      require(args.length == 2, "qsk_merge takes exactly 2 arguments")
+      graft.functions.QskMerge(args(0), args(1))
+    },
+    "qsk_quantile" -> { args =>
+      require(args.length == 2, "qsk_quantile takes exactly 2 arguments")
+      graft.functions.QskQuantile(args(0),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.DoubleType))
     })
 
   /** Inject the same functions into an already-running session (the

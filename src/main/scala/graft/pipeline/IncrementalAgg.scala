@@ -74,16 +74,48 @@ object IncrementalAgg {
     * no "not at the extreme" shortcut, so ANY non-null retraction
     * flags its group for a semi-joined base rescan. Append-heavy
     * corpora — the shape sketches exist for — never touch the base. */
+  /** `quantiles` maintain per-group QUANTILE sketches
+    * ([[graft.functions.QuantileSketch]] — a deterministic bottom-k
+    * row-sample, losslessly mergeable, so the rewrite's roll-up union
+    * is bit-exact; percentile dashboards answer O(groups)). Same
+    * two-speed shape as `sketches`: inserts UNION into the stored
+    * sketch O(delta); any non-null retraction flags its group for a
+    * semi-joined base rescan (a sample has no inverse, and an
+    * UPDATE's re-inserted row hash would shadow its old value).
+    * `sampleKeys` names the row-identity columns hashed for the
+    * sample (the base's merge keys) — REQUIRED with quantiles. */
   final case class AggSpec(groupCols: Seq[String], sums: Seq[(String, String)],
                            countName: String,
                            filterSql: Option[String] = None,
                            groupExprs: Map[String, String] = Map.empty,
                            mins: Seq[(String, String)] = Nil,
                            maxs: Seq[(String, String)] = Nil,
-                           sketches: Seq[(String, String)] = Nil) {
+                           sketches: Seq[(String, String)] = Nil,
+                           quantiles: Seq[(String, String)] = Nil,
+                           sampleKeys: Seq[String] = Nil) {
+    require(quantiles.isEmpty || sampleKeys.nonEmpty,
+      "quantile sketches need sampleKeys (the row-identity columns " +
+      "hashed for the bottom-k sample)")
     def extremeCols: Seq[String] = mins.map(_._2) ++ maxs.map(_._2)
     /** Columns whose retraction path needs the base frame. */
-    def rescanCols: Seq[String] = extremeCols ++ sketches.map(_._2)
+    def rescanCols: Seq[String] =
+      extremeCols ++ sketches.map(_._2) ++ quantiles.map(_._2)
+  }
+
+  /** `qsk_agg(xxhash64(sampleKeys), m)` as a Column. */
+  private def qskAggCol(spec: AggSpec, m: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    column(graft.functions.QskAgg(
+      expression(xxhash64(spec.sampleKeys.map(col): _*)),
+      expression(m)).toAggregateExpression())
+  }
+
+  private def qskMergeCol(a: org.apache.spark.sql.Column,
+                          b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    column(graft.functions.QskMerge(expression(a), expression(b)))
   }
 
   /** Derive expression-group columns, then apply the MV filter — the
@@ -109,7 +141,8 @@ object IncrementalAgg {
     val exprs = spec.sums.map(p => sum(col(p._1)).as(p._2)) ++
       spec.mins.map(p => min(col(p._1)).as(p._2)) ++
       spec.maxs.map(p => max(col(p._1)).as(p._2)) ++
-      spec.sketches.map(p => hll_sketch_agg(col(p._1)).as(p._2)) :+
+      spec.sketches.map(p => hll_sketch_agg(col(p._1)).as(p._2)) ++
+      spec.quantiles.map(p => qskAggCol(spec, col(p._1)).as(p._2)) :+
       count(lit(1)).as(spec.countName)
     val aggd = prepared(base, spec)
       .groupBy(spec.groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
@@ -265,6 +298,15 @@ object IncrementalAgg {
           .as(s"__ins_$out"),
         max(when(col("__sign") === -1L && col(m).isNotNull, lit(true)))
           .as(s"__del_$out"))
+      } ++
+      // quantile samples: identical two-speed shape (a bottom-k
+      // sample has no inverse either; an update's re-inserted hash
+      // would shadow its old value — the preimage flags the group)
+      spec.quantiles.flatMap { case (m, out) => Seq(
+        qskAggCol(spec, when(col("__sign") === 1L, col(m)))
+          .as(s"__ins_$out"),
+        max(when(col("__sign") === -1L && col(m).isNotNull, lit(true)))
+          .as(s"__del_$out"))
       } :+ sum(col("__sign")).as(spec.countName)
     val delta = prepared(changes, spec)
       .withColumn("__sign", sign)
@@ -300,14 +342,23 @@ object IncrementalAgg {
         .otherwise(hll_union(stored(out), col(s"d.__ins_$out"))).as(out),
       coalesce(col(s"d.__del_$out"), lit(false)).as(s"__flag_$out"))
     }
+    // quantile samples: bottom-k unions are lossless and commute, so
+    // the fold is the hll shape verbatim (qsk_merge is the union)
+    val qsSelect = spec.quantiles.flatMap { case (_, out) => Seq(
+      when(col(s"d.__ins_$out").isNull, stored(out))
+        .when(stored(out).isNull, col(s"d.__ins_$out"))
+        .otherwise(qskMergeCol(stored(out), col(s"d.__ins_$out"))).as(out),
+      coalesce(col(s"d.__del_$out"), lit(false)).as(s"__flag_$out"))
+    }
     val merged = joined.select(spec.groupCols.map(col) ++
       valueCols.map(v =>
         (coalesce(stored(v), lit(0L)) + col(s"d.$v")).as(v)) ++
-      extSelect ++ skSelect: _*)
+      extSelect ++ skSelect ++ qsSelect: _*)
     val outCols = spec.groupCols ++ spec.sums.map(_._2) ++
       spec.mins.map(_._2) ++ spec.maxs.map(_._2) ++
-      spec.sketches.map(_._2) :+ spec.countName
-    val flagOuts = exts.map(_._2) ++ spec.sketches.map(_._2)
+      spec.sketches.map(_._2) ++ spec.quantiles.map(_._2) :+ spec.countName
+    val flagOuts = exts.map(_._2) ++ spec.sketches.map(_._2) ++
+      spec.quantiles.map(_._2)
     val fin =
       if (flagOuts.isEmpty) merged.select(outCols.map(col): _*)
       else {
@@ -321,7 +372,9 @@ object IncrementalAgg {
         val recExprs = exts.map { case (m, out, isMin) =>
           (if (isMin) min(col(m)) else max(col(m))).as(s"__rec_$out") } ++
           spec.sketches.map { case (m, out) =>
-            hll_sketch_agg(col(m)).as(s"__rec_$out") }
+            hll_sketch_agg(col(m)).as(s"__rec_$out") } ++
+          spec.quantiles.map { case (m, out) =>
+            qskAggCol(spec, col(m)).as(s"__rec_$out") }
         val rec = prepared(extremesBase.get, spec)
           .join(flagged, spec.groupCols, "left_semi")
           .groupBy(spec.groupCols.map(col): _*)

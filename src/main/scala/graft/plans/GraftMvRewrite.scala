@@ -275,11 +275,17 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     * equal to a registered group expression map to their materialized
     * column, anything touching another attribute kills it (a residual
     * on a measure or a non-MV column cannot apply over the
-    * pre-aggregated table). */
+    * pre-aggregated table). NONDETERMINISTIC conjuncts are rejected
+    * outright: σ_p ∘ γ_G = γ_G ∘ σ_p needs p to be a FUNCTION of the
+    * group columns, and `rand() < 0.5` is not — over the base it
+    * samples ROWS, over the MV it would sample whole GROUPS
+    * (`deterministic` is false whenever any descendant is, so one
+    * top-level check covers Rand however deeply it is nested). */
   private def residualOverMv(e: Expression, plainGroupCols: Seq[String],
                              exprGroups: Map[String, String],
                              mvByName: Map[String, AttributeReference])
       : Option[Expression] = {
+    if (!e.deterministic) return None
     val whole = e match {
       case a: AttributeReference =>
         if (plainGroupCols.exists(_.equalsIgnoreCase(a.name)))
@@ -385,11 +391,19 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     if (files.isEmpty) return None
     armFromCatalog(files)
     // ---- OWNERSHIP: registered MVs whose base owns these files — a
-    // base may carry several MVs (different group sets); try each
+    // base may carry several MVs (different group sets); try each,
+    // SMALLEST first (manifest row counts, a driver metadata read):
+    // with rollup chains a base can carry several ADMISSIBLE MVs for
+    // the same query (daily and monthly both admit a monthly ask) and
+    // path order could pick one orders of magnitude bigger than the
+    // best. Missing stats rank last; mvPath tie-breaks for
+    // determinism.
     val cands = {
       import scala.jdk.CollectionConverters._
       registry.values.asScala.filter(r =>
-        files.forall(underDir(_, r.basePath))).toSeq.sortBy(_.mvPath)
+        files.forall(underDir(_, r.basePath))).toSeq
+        .sortBy(r => (Scd1Merge.tableRowsEstimate(r.mvPath)
+          .getOrElse(Long.MaxValue), r.mvPath))
     }
     if (cands.isEmpty) return None
     val spark = SparkSession.active
@@ -470,7 +484,11 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             measureSide = _ => true,
             nonNullOk = a => !a.nullable ||
               notNullByConstraint(reg.basePath, a.name),
-            exprGroups = exprGroups, pulled = pulled)
+            exprGroups = exprGroups, pulled = pulled,
+            qskHashCanon =
+              if (reg.spec.quantiles.isEmpty) None
+              else defGroupExprCanon(spark, reg.basePath,
+                s"xxhash64(${reg.spec.sampleKeys.mkString(", ")})"))
         }.map { rewritten =>
           rewriteCount += 1
           logInfo(s"graft MV rewrite: aggregate over ${reg.basePath} " +
@@ -618,13 +636,16 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
       if (picked.distinct.size != rest.size) return None
       Some((factLeaf, picked))
     }
-    val (reg, factLeaf, dimLeaves) = {
-      import scala.jdk.CollectionConverters._
-      joinRegistry.values.asScala.toSeq.sortBy(_.mvPath).view
-        .flatMap(r => assign(r).map { case (f, ds) => (r, f, ds) })
-        .headOption.getOrElse(return None)
-    }
     val spark = SparkSession.active
+    // Every bijecting registration runs the FULL gate (filters,
+    // groups, snapshot, freshness) — a base may carry several star
+    // MVs and only one admits this query; stopping at the first
+    // bijection would miss the serving MV. Candidates are ordered
+    // smallest-first by manifest row count (driver metadata) so when
+    // SEVERAL admit — a daily and a monthly rollup both admitting a
+    // monthly ask — the cheapest answers; mvPath tie-breaks.
+    def tryWithReg(reg: JoinMvReg, factLeaf: Leaf,
+                   dimLeaves: Seq[Leaf]): Option[LogicalPlan] = {
     // ---- FILTER gates. FACT leaf, with SUBSUMPTION (the
     // single-table posture): its conjunct set must CONTAIN the
     // registered star's definition filter (resolved against the fact
@@ -779,6 +800,17 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
         s"${reg.mvPath} ($wantStamp)")
       rewritten
     }
+    } // tryWithReg
+    {
+      import scala.jdk.CollectionConverters._
+      joinRegistry.values.asScala.toSeq
+        .sortBy(r => (Scd1Merge.tableRowsEstimate(r.mvPath)
+          .getOrElse(Long.MaxValue), r.mvPath))
+        .view
+        .flatMap(r => assign(r).flatMap { case (f, ds) =>
+          tryWithReg(r, f, ds) })
+        .headOption
+    }
   }
 
   /** The shared substitution core: rewrite every supported
@@ -794,7 +826,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
                         measureSide: AttributeReference => Boolean,
                         nonNullOk: AttributeReference => Boolean,
                         exprGroups: Map[String, String] = Map.empty,
-                        pulled: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression] = Map.empty): Option[LogicalPlan] = {
+                        pulled: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression] = Map.empty,
+                        // canonical form of `xxhash64(sampleKeys)`
+                        // resolved against the base — the quantile
+                        // aggregate's hash child must match it, or the
+                        // query samples DIFFERENT row identities than
+                        // maintenance stored
+                        qskHashCanon: Option[String] = None): Option[LogicalPlan] = {
     val mvByName: Map[String, AttributeReference] =
       mvPlan.output.collect {
         case a: AttributeReference => a.name.toLowerCase -> a
@@ -823,6 +861,8 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     val maxsByMeasure = spec.maxs.map { case (m, out) => m.toLowerCase -> out }.toMap
     val sketchesByMeasure =
       spec.sketches.map { case (m, out) => m.toLowerCase -> out }.toMap
+    val quantilesByMeasure =
+      spec.quantiles.map { case (m, out) => m.toLowerCase -> out }.toMap
     // min/max re-aggregate exactly on roll-up (idempotent semilattice
     // aggregates) — maintenance is where they are hard, not rewrite
     def extremeOf(e: Expression, byMeasure: Map[String, String]): Option[String] =
@@ -894,6 +934,24 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
               AggregateExpression(
                 new org.apache.spark.sql.catalyst.expressions.aggregate
                   .HllUnionAgg(c),
+                org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+                isDistinct = false)))
+          // qsk_agg(xxhash64(keys), m) over the base answers as the
+          // exact UNION of the stored per-group samples (bottom-k
+          // unions are lossless — QuantileSketch Scaladoc); the hash
+          // child must canonically match the registered sampleKeys
+          // hash, default k only (the precision maintenance stored).
+          // `qsk_quantile(...)` rides along like any output wrapper.
+          case qa: graft.functions.QskAgg
+              if qa.k == graft.functions.QuantileSketch.DefaultK &&
+                qskHashCanon.contains(canonExprStr(qa.hash)) =>
+            val m = qa.value match {
+              case a: AttributeReference if measureSide(a) =>
+                quantilesByMeasure.get(a.name.toLowerCase)
+              case _ => None
+            }
+            m.flatMap(out => mvByName.get(out.toLowerCase).map(c =>
+              AggregateExpression(graft.functions.QskUnionAgg(c),
                 org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
                 isDistinct = false)))
           case a: Average if a.child.dataType == LongType =>

@@ -1108,4 +1108,54 @@ class MvRewriteSpec extends SparkSpecBase {
       graft.sql.GraftCatalog.clearRoot()
     }
   }
+
+  test("NONDETERMINISTIC residual never re-expresses over the MV: rand() samples ROWS on the base, not groups") {
+    val (base, mv, _) = fixture()
+    try {
+      val b = Scd1Merge.readTable(spark, base)
+      // σ_p ∘ γ_G = γ_G ∘ σ_p needs p to be a function of the group
+      // columns; `rand() < x` is not — over the MV it would sample
+      // whole GROUPS. Must fall through to the base however the
+      // nondeterminism is nested.
+      val q = b.filter(rand(7) < 0.5).groupBy($"g")
+        .agg(sum($"cents").as("sc"))
+      assert(readsOnly(q, base),
+        s"rand() residual must fall through, read ${scanPaths(q)}")
+      val nested = b.filter((length($"g") + rand(7)) > -1.0).groupBy($"g")
+        .agg(sum($"cents").as("sc"))
+      assert(readsOnly(nested, base), "nested rand() must fall through")
+      // the deterministic twin (a group-column residual) still serves
+      val det = b.filter($"g" =!= "nope").groupBy($"g")
+        .agg(sum($"cents").as("sc"))
+      assert(readsOnly(det, mv), s"${scanPaths(det)}")
+    } finally GraftMvRewrite.unregister(base)
+  }
+
+  test("COST-AWARE selection: when two MVs both admit a query the SMALLER answers, not the path-first") {
+    val root = Tmp.dir("mv_cost")
+    val base = root + "/base"
+    // path order would pick a_big; row counts must pick z_small
+    val mvBig = root + "/a_big"; val mvSmall = root + "/z_small"
+    val rows = (1L to 400L).map(i =>
+      (i, s"g${i % 7}", s"p${i % 3}", i * 10)).toDF("id", "g", "p", "cents")
+    Scd1Merge.upsert(spark, base, rows, Seq("id"), numBuckets = 4)
+    val specBig = AggSpec(Seq("g", "p"), Seq("cents" -> "sum_cents"), "n")
+    val specSmall = AggSpec(Seq("g"), Seq("cents" -> "sum_cents"), "n")
+    IncrementalAgg.bootstrapFrom(spark, mvBig, base, specBig, numBuckets = 2)
+    IncrementalAgg.bootstrapFrom(spark, mvSmall, base, specSmall, numBuckets = 2)
+    GraftMvRewrite.register(base, mvBig, specBig)
+    GraftMvRewrite.register(base, mvSmall, specSmall)
+    try {
+      val b = Scd1Merge.readTable(spark, base)
+      val q = b.groupBy($"g").agg(sum($"cents").as("sc"))
+      assert(readsOnly(q, mvSmall),
+        s"smallest admissible MV must serve, read ${scanPaths(q)}")
+      // a (g,p) ask only the big one admits — still serves
+      val q2 = b.groupBy($"g", $"p").agg(sum($"cents").as("sc"))
+      assert(readsOnly(q2, mvBig), s"${scanPaths(q2)}")
+      GraftMvRewrite.unregister(base)
+      assertSameRows(q.orderBy("g"),
+        b.groupBy($"g").agg(sum($"cents").as("sc")).orderBy("g"))
+    } finally GraftMvRewrite.unregister(base)
+  }
 }
