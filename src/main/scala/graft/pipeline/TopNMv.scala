@@ -43,9 +43,23 @@ object TopNMv {
   /** `cols`: every column the MV stores (must contain the group
     * columns, the order column, and the base keys). `desc`: ordering
     * direction on `orderCol`; ties always break by the base keys
-    * ascending. */
+    * ascending.
+    *
+    * `ties = true` stores the `rank() <= n` row set (ORDER BY the
+    * order column alone — every row tied into the top n positions,
+    * possibly MORE than n rows per group) instead of the row_number
+    * top-n. That is what lets the rewrite serve `rank() <= k`
+    * leaderboards soundly: a row_number-maintained MV may have cut
+    * tied rows at the storage boundary, so a rank query against it
+    * could return short. A ties MV still serves row_number queries
+    * (its stored set is a superset of the row_number top-n, and the
+    * spliced window recomputes the exact ordering). The trade: the
+    * per-group storage bound is n + ties rather than exactly n —
+    * adversarially all-equal data degrades to the group size, real
+    * leaderboards carry a handful. */
   final case class TopNSpec(groupCols: Seq[String], orderCol: String,
-                            desc: Boolean, n: Int, cols: Seq[String])
+                            desc: Boolean, n: Int, cols: Seq[String],
+                            ties: Boolean = false)
 
   private val FileName = "_graft_topn"
 
@@ -64,6 +78,7 @@ object TopNMv {
       s"order=${enc(spec.orderCol)}",
       s"desc=${spec.desc}", s"n=${spec.n}",
       s"cols=${spec.cols.map(enc).mkString(",")}",
+      s"ties=${spec.ties}",
       s"retain=$retain").mkString("\n")
     val tmp = Paths.get(mvPath, FileName + ".tmp")
     Files.createDirectories(tmp.getParent)
@@ -84,7 +99,8 @@ object TopNMv {
       kv.getOrElse(k, "").split(",").iterator.filter(_.nonEmpty).map(dec).toSeq
     Some((dec(kv("base")), list("keys"),
       TopNSpec(list("groups"), dec(kv("order")), kv("desc").toBoolean,
-        kv("n").toInt, list("cols")),
+        kv("n").toInt, list("cols"),
+        ties = kv.get("ties").exists(_.toBoolean)),
       kv.get("retain").map(_.toInt)
         .getOrElse(Scd1Merge.DefaultRetainVersions)))
   }
@@ -99,10 +115,20 @@ object TopNMv {
     * top-k shape over multi-column groups): a hot group never funnels
     * through one task before the N-cap — the pre-stage caps each
     * (group, salt) slice at N, so the final per-group sort sees at
-    * most N × salts rows. */
+    * most N × salts rows.
+    *
+    * `ties` MVs rank by the order column ALONE in both stages: a row
+    * with final rank ≤ n has < n strictly-better rows in the whole
+    * group, hence < n strictly-better rows in its salt slice, so the
+    * pre-stage keeps a superset — the same containment argument as
+    * row_number, with the per-slice cap now n + that slice's ties. */
   def topN(df: DataFrame, spec: TopNSpec, baseKeys: Seq[String],
            salts: Int = 32): DataFrame = {
-    val ord = ordering(spec, baseKeys)
+    val ord =
+      if (spec.ties)
+        Seq(if (spec.desc) col(spec.orderCol).desc else col(spec.orderCol).asc)
+      else ordering(spec, baseKeys)
+    def rk = if (spec.ties) rank() else row_number()
     val pre = Window
       .partitionBy(spec.groupCols.map(col) :+
         pmod(hash(baseKeys.map(col): _*), lit(salts)): _*)
@@ -110,9 +136,9 @@ object TopNMv {
     val fin = Window.partitionBy(spec.groupCols.map(col): _*)
       .orderBy(ord: _*)
     df.select(spec.cols.map(col): _*)
-      .withColumn("__r1", row_number().over(pre))
+      .withColumn("__r1", rk.over(pre))
       .filter(col("__r1") <= spec.n)
-      .withColumn("__rn", row_number().over(fin))
+      .withColumn("__rn", rk.over(fin))
       .filter(col("__rn") <= spec.n)
       .drop("__r1", "__rn")
   }

@@ -61,33 +61,69 @@ object GraftTopNRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  private def conjunctsOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
+
   private def tryRewrite(f: Filter, w: Window): Option[LogicalPlan] = {
-    // ---- one row_number window expression
-    val rnAlias = w.windowExpressions match {
-      case Seq(al @ Alias(we: WindowExpression, _))
-          if we.windowFunction.isInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.RowNumber] => al
+    // ---- one window expression: row_number, or rank (the
+    // ties-included leaderboard — serviceable only from a ties MV)
+    val (rnAlias, isRank) = w.windowExpressions match {
+      case Seq(al @ Alias(we: WindowExpression, _)) =>
+        we.windowFunction match {
+          case _: org.apache.spark.sql.catalyst.expressions.RowNumber =>
+            (al, false)
+          case _: org.apache.spark.sql.catalyst.expressions.Rank =>
+            (al, true)
+          case _ => return None // dense_rank: its <=k set is NOT
+          // contained in rank<=n storage (k distinct values can carry
+          // unboundedly many rows) — falls through by design
+        }
       case _ => return None
     }
-    // ---- the filter is exactly `rn <= k` (or `rn < k+1`)
-    val k: Int = f.condition match {
+    // ---- the filter carries exactly ONE `rn <= k` (or `rn < k+1`)
+    // conjunct on the window output; every OTHER conjunct is a
+    // RESIDUAL that survives the splice untouched (it filters the
+    // recomputed rows, which are identical to the base plan's — any
+    // deterministic residual is sound here; nondeterministic falls
+    // through conservatively)
+    val cs = conjunctsOf(f.condition)
+    val ks = cs.collect {
       case LessThanOrEqual(a: AttributeReference, Literal(v: Int, _))
           if a.exprId == rnAlias.exprId => v
       case LessThan(a: AttributeReference, Literal(v: Int, _))
           if a.exprId == rnAlias.exprId => v - 1
-      case _ => return None
     }
+    if (ks.size != 1) return None
+    val k = ks.head
     if (k < 1) return None
-    // ---- the child: bare attribute Projects over a single scan.
-    // Spark's InferWindowGroupLimit inserts a WindowGroupLimit node
-    // (its own partial top-k pushdown) — traverse it; the splice
-    // drops it, which is sound: the MV already holds ≤N rows/group.
+    val residuals = cs.filterNot {
+      case LessThanOrEqual(a: AttributeReference, _) =>
+        a.exprId == rnAlias.exprId
+      case LessThan(a: AttributeReference, _) => a.exprId == rnAlias.exprId
+      case _ => false
+    }
+    if (residuals.exists(r => !r.deterministic ||
+        r.references.exists(_.exprId == rnAlias.exprId))) return None
+    // ---- the child: bare attribute Projects over a single scan —
+    // optionally through ONE Filter directly over it (the optimizer
+    // pushes group-column predicates below the Window; gated below to
+    // partition columns only, where σ_g commutes with per-group
+    // top-N). Spark's InferWindowGroupLimit inserts a WindowGroupLimit
+    // node (its own partial top-k pushdown) — traverse it; the splice
+    // drops it, which is sound: the MV already holds the ≤N rows/group.
+    var belowFilter: Option[Filter] = None
     def walk(p: LogicalPlan): Option[LogicalRelation] = p match {
       case Project(items, child)
           if items.forall(_.isInstanceOf[AttributeReference]) => walk(child)
       case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
           if wgl.limit >= k => // never admit a tighter cap than the query's
         walk(wgl.child)
+      case fl @ Filter(_, lr: LogicalRelation) if belowFilter.isEmpty =>
+        belowFilter = Some(fl); Some(lr)
       case lr: LogicalRelation => Some(lr)
       case _ => None
     }
@@ -98,56 +134,92 @@ object GraftTopNRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
     val spark = SparkSession.active
-    val reg = registry.values().stream().filter { r =>
-      k <= r.spec.n &&
-      Scd1Merge.tableExists(r.basePath) &&
-      Scd1Merge.readTable(spark, r.basePath).inputFiles.toSet == files
-    }.findFirst().orElse(null)
-    if (reg == null) return None
-    // ---- FRESHNESS: the stamp names the base's live commit
-    val live = Scd1Merge.tableCommit(reg.basePath).getOrElse(return None)
-    if (!Scd1Merge.tableBatchId(reg.mvPath)
-        .contains(f"base-commit-$live%09d")) return None
-    // ---- partition = the MV's group columns (bare attrs, as a set)
-    val partNames = w.partitionSpec.map {
-      case a: AttributeReference if scan.outputSet.contains(a) =>
-        a.name.toLowerCase
-      case _ => return None
-    }.toSet
-    if (partNames != reg.spec.groupCols.map(_.toLowerCase).toSet)
-      return None
-    // ---- order = EXACTLY the registered deterministic ordering
-    val want: Seq[(String, Boolean)] = // (colName, descending)
-      (reg.spec.orderCol, reg.spec.desc) +:
-        reg.baseKeys.map(_ -> false)
-    if (w.orderSpec.size != want.size) return None
-    w.orderSpec.zip(want).foreach {
-      case (SortOrder(a: AttributeReference, dir, nulls, _), (name, desc))
-          if a.name.equalsIgnoreCase(name) &&
-            scan.outputSet.contains(a) &&
-            dir == (if (desc) Descending else Ascending) &&
-            nulls == (if (desc) NullsLast else NullsFirst) => ()
-      case _ => return None
+    // ---- candidates: every registration over this exact file set
+    // with k <= N, each tried against the FULL gate (a base may carry
+    // several top-N MVs — different groups or ordering — and only one
+    // of them matches this query's window spec; stopping at the first
+    // file-set match would silently miss the serving MV)
+    def tryWithReg(reg: TopNReg): Option[LogicalPlan] = {
+      // ---- rank() needs TIES storage: a row_number-maintained MV may
+      // have cut tied rows at the storage boundary, so a rank query
+      // against it could return short
+      if (isRank && !reg.spec.ties) return None
+      // ---- FRESHNESS: the stamp names the base's live commit
+      val live = Scd1Merge.tableCommit(reg.basePath).getOrElse(return None)
+      if (!Scd1Merge.tableBatchId(reg.mvPath)
+          .contains(f"base-commit-$live%09d")) return None
+      // ---- partition = the MV's group columns (bare attrs, as a set)
+      val partNames = w.partitionSpec.map {
+        case a: AttributeReference if scan.outputSet.contains(a) =>
+          a.name.toLowerCase
+        case _ => return None
+      }.toSet
+      if (partNames != reg.spec.groupCols.map(_.toLowerCase).toSet)
+        return None
+      // ---- order: row_number needs EXACTLY the registered
+      // deterministic ordering (order column, then the base keys —
+      // a different tie-break could legally select different tied
+      // rows than maintenance stored); rank needs the order column
+      // ALONE (rank is tie-stable: a tie-break would change nothing
+      // it computes, and the stored ties set covers every tied row)
+      val want: Seq[(String, Boolean)] = // (colName, descending)
+        if (isRank) Seq((reg.spec.orderCol, reg.spec.desc))
+        else (reg.spec.orderCol, reg.spec.desc) +:
+          reg.baseKeys.map(_ -> false)
+      if (w.orderSpec.size != want.size) return None
+      w.orderSpec.zip(want).foreach {
+        case (SortOrder(a: AttributeReference, dir, nulls, _), (name, desc))
+            if a.name.equalsIgnoreCase(name) &&
+              scan.outputSet.contains(a) &&
+              dir == (if (desc) Descending else Ascending) &&
+              nulls == (if (desc) NullsLast else NullsFirst) => ()
+        case _ => return None
+      }
+      // ---- a below-window filter must read ONLY partition columns
+      // (it then keeps or drops whole GROUPS, commuting with the
+      // per-group top-N — the MV's stored rows for surviving groups
+      // are exactly the base's)
+      belowFilter.foreach { bf =>
+        if (!bf.condition.deterministic) return None
+        if (!bf.condition.references.subsetOf(scan.outputSet)) return None
+        if (!bf.condition.references.forall(a =>
+            reg.spec.groupCols.exists(_.equalsIgnoreCase(a.name))))
+          return None
+      }
+      // ---- every child output column must be stored in the MV
+      if (!w.child.output.forall(a =>
+          reg.spec.cols.exists(_.equalsIgnoreCase(a.name)))) return None
+      // ---- splice: the window's child becomes the MV read, projected
+      // back to the ORIGINAL attributes (names + exprIds preserved),
+      // with the below-window group filter re-applied above the
+      // Project (its attrs ARE the original exprIds)
+      val mvRead =
+        Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed
+      val mvByName = mvRead.output.collect {
+        case a: AttributeReference => a.name.toLowerCase -> a
+      }.toMap
+      val items = w.child.output.map { a =>
+        val src = mvByName.getOrElse(a.name.toLowerCase, return None)
+        Alias(src, a.name)(exprId = a.exprId)
+      }
+      val mvChild: LogicalPlan = Project(items, mvRead)
+      val newChild = belowFilter
+        .map(bf => bf.withNewChildren(Seq(mvChild)): LogicalPlan)
+        .getOrElse(mvChild)
+      rewriteCount += 1
+      logInfo(s"graft TOP-N rewrite: ${if (isRank) "rank" else "row_number"} " +
+        s"top-$k over ${reg.basePath} answered from ${reg.mvPath} " +
+        s"(n=${reg.spec.n}, ties=${reg.spec.ties}, commit $live)")
+      Some(f.withNewChildren(Seq(w.withNewChildren(Seq(newChild)))))
     }
-    // ---- every child output column must be stored in the MV
-    if (!w.child.output.forall(a =>
-        reg.spec.cols.exists(_.equalsIgnoreCase(a.name)))) return None
-    // ---- splice: the window's child becomes the MV read, projected
-    // back to the ORIGINAL attributes (names + exprIds preserved)
-    val mvRead =
-      Scd1Merge.readTable(spark, reg.mvPath).queryExecution.analyzed
-    val mvByName = mvRead.output.collect {
-      case a: AttributeReference => a.name.toLowerCase -> a
-    }.toMap
-    val items = w.child.output.map { a =>
-      val src = mvByName.getOrElse(a.name.toLowerCase, return None)
-      Alias(src, a.name)(exprId = a.exprId)
-    }
-    rewriteCount += 1
-    logInfo(s"graft TOP-N rewrite: row_number top-$k over " +
-      s"${reg.basePath} answered from ${reg.mvPath} " +
-      s"(n=${reg.spec.n}, commit $live)")
-    Some(f.withNewChildren(Seq(
-      w.withNewChildren(Seq(Project(items, mvRead))))))
+    import scala.jdk.CollectionConverters._
+    registry.values.asScala.toSeq.sortBy(_.mvPath).view
+      .filter { r =>
+        k <= r.spec.n &&
+        Scd1Merge.tableExists(r.basePath) &&
+        Scd1Merge.readTable(spark, r.basePath).inputFiles.toSet == files
+      }
+      .flatMap(tryWithReg)
+      .headOption
   }
 }

@@ -1389,6 +1389,296 @@ object QueriesPipeline {
       out
     }),
 
+    "pipe32_topn_rank_mv" -> ((s, dir) => {
+      // RANK() TIES LEADERBOARD MV (r12 verdict #6) — `rank() <= k`
+      // includes every row TIED into the top k positions, so a
+      // row_number-maintained MV (which CUTS ties at the storage
+      // boundary) can never serve it. A `ties = true` TopNMv stores
+      // the `rank() <= n` row SET (n + ties rows per group) and the
+      // rewrite now admits: rank() ordered by the order column alone
+      // (tie-stable, no tie-break needed), row_number with the full
+      // deterministic ordering (the ties set is a superset of the
+      // row_number top-n), and a BELOW-window filter on GROUP columns
+      // (Catalyst pushes partition-column predicates below the
+      // Window; σ_g keeps/drops whole groups, commuting with the
+      // per-group top-N). dense_rank still falls through by design —
+      // its ≤k set is not contained in rank ≤ n storage. In-row
+      // requires pin all four routings plus maintenance: tied
+      // leaders fold in on insert, a retracted leader rescans its
+      // group. Oracle recomputes the ties leaderboard from final
+      // base content — cents is BUCKETIZED so real ties exist.
+      import graft.pipeline.TopNMv
+      import graft.pipeline.TopNMv.TopNSpec
+      val root = tmpDir("graft_topnrank")
+      val base = root + "/orders"; val mvT = root + "/mv"
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("pri"),
+        (round(col("o_totalprice")).cast("long") % 97L * 100L).as("cents"))
+      Scd1Merge.upsert(s, base, o, Seq("o_orderkey"), numBuckets = 4,
+        retainVersions = 4)
+      TopNMv.createMv(s, mvT, base,
+        TopNSpec(Seq("pri"), "cents", desc = true, n = 3,
+          cols = Seq("o_orderkey", "pri", "cents"), ties = true),
+        numBuckets = 1, retain = 4)
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pri")).orderBy(col("cents").desc)
+      def q(): DataFrame = Scd1Merge.readTable(s, base)
+        .withColumn("rn", rank().over(wRank))
+        .filter(col("rn") <= 2)
+        .orderBy(col("pri"), col("rn"), col("o_orderkey"))
+      require(scansOf(q()).forall(_.contains(mvT + "/")),
+        "the fresh ties MV must answer the rank leaderboard")
+      // a GROUP-column filter pushes below the Window and still serves
+      val filtered = Scd1Merge.readTable(s, base)
+        .filter(col("pri") === "1-URGENT")
+        .withColumn("rn", rank().over(wRank)).filter(col("rn") <= 2)
+      require(scansOf(filtered).forall(_.contains(mvT + "/")),
+        "a below-window group filter must serve")
+      // row_number (full deterministic ordering) serves from the
+      // ties superset too
+      val wRn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pri"))
+        .orderBy(col("cents").desc, col("o_orderkey").asc)
+      require(scansOf(Scd1Merge.readTable(s, base)
+        .withColumn("rn", row_number().over(wRn)).filter(col("rn") <= 3))
+        .forall(_.contains(mvT + "/")),
+        "row_number must serve from the ties MV")
+      // dense_rank falls through by design
+      require(scansOf(Scd1Merge.readTable(s, base)
+        .withColumn("rn", dense_rank().over(wRank)).filter(col("rn") <= 2))
+        .exists(_.contains(base + "/")),
+        "dense_rank must fall through to the base")
+      // maintenance wave: a tied pair of new leaders into 1-URGENT
+      // (fold), then DELETE every current top-value row of 5-LOW
+      // (stored retraction → rescan surfaces the next value's ties)
+      Scd1Merge.upsert(s, base,
+        s.range(2).select((col("id") + 90000000L).as("o_orderkey"),
+          lit("1-URGENT").as("pri"), lit(99999900L).as("cents")),
+        Seq("o_orderkey"), retainVersions = 4)
+      val topLow = Scd1Merge.readTable(s, base)
+        .filter(col("pri") === "5-LOW").agg(max(col("cents"))).head().getLong(0)
+      Scd1Merge.delete(s, base, Seq("o_orderkey"),
+        col("pri") === "5-LOW" && col("cents") === topLow,
+        retainVersions = 4)
+      require(scansOf(q()).exists(_.contains(base + "/")),
+        "a lagging ties MV must route to the base")
+      require(TopNMv.refresh(s, mvT) == 2L, "refresh must fold 2 commits")
+      val out = q()
+      require(scansOf(out).forall(_.contains(mvT + "/")),
+        "the refreshed ties MV must answer again")
+      out
+    }),
+
+    "pipe33_auto_mv" -> ((s, dir) => {
+      // AUTO-MAINTAINED MVs (r12 verdict #3) — closing the pull-only
+      // gap: a stale MV silently falls through to the full base scan
+      // until someone remembers REFRESH; at 100 TB that fall-through
+      // IS the outage. `CREATE ... AUTO REFRESH` persists an `auto`
+      // flag in the MV definition and arms a POST-COMMIT hook (fired
+      // from the table layer's single commit choke point, AFTER the
+      // writer's lock drops, so the base's critical section never
+      // grows): every base commit folds its own delta into the MV on
+      // the writer's thread — O(delta), the standard refresh path —
+      // and a CHAIN cascades for free (mv_day's refresh commit fires
+      // the hook that refreshes mv_month). A crash between base
+      // commit and maintenance leaves a stale-but-sound MV (freshness
+      // gates keep answers right); the next touch — any later commit,
+      // or the `REFRESH ALL MATERIALIZED VIEWS` sweep — folds the
+      // whole lag. In-row requires pin: immediate serving after a
+      // wave with NO manual refresh, chain freshness in dependency
+      // order, crash-window fallback, and sweep convergence. Oracle
+      // recomputes the monthly rollup from final base content.
+      import graft.pipeline.MvMaintenance
+      MvMaintenance.reset() // hermetic: no hook leaks between entries
+      val root = tmpDir("graft_automv")
+      val base = root + "/orders"
+      val mvD = root + "/mv_day"; val mvM = root + "/mv_month"
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Scd1Merge.upsert(s, base, o, Seq("o_orderkey"), numBuckets = 4,
+        retainVersions = 6)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvD` BUCKETS 2
+           |RETAIN 6 AUTO REFRESH AS
+           |SELECT d, sum(cents) AS sc, count(*) AS n
+           |FROM graft.`$base` GROUP BY d""".stripMargin)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvM` BUCKETS 1
+           |RETAIN 6 AUTO REFRESH AS
+           |SELECT substring(d, 1, 7) AS m, sum(sc) AS sc, count(*) AS n_days
+           |FROM graft.`$mvD` GROUP BY substring(d, 1, 7)""".stripMargin)
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def qDay(): DataFrame = Scd1Merge.readTable(s, base)
+        .groupBy(col("d")).agg(sum(col("cents")).as("sc"))
+      try {
+        // ---- wave 1: IMMEDIATE serving, chain fresh in order
+        Scd1Merge.upsert(s, base,
+          s.range(1).select(lit(90000001L).as("o_orderkey"),
+            lit("1997-03-15").as("d"), lit(123456L).as("cents")),
+          Seq("o_orderkey"), retainVersions = 6)
+        require(scansOf(qDay()).forall(_.contains(mvD + "/")),
+          "an AUTO MV must serve IMMEDIATELY after a base wave — " +
+          "no manual REFRESH")
+        val cBase = Scd1Merge.tableCommit(base).get
+        require(Scd1Merge.tableBatchId(mvD)
+          .contains(f"base-commit-$cBase%09d"), "mv_day fresh")
+        val cDay = Scd1Merge.tableCommit(mvD).get
+        require(Scd1Merge.tableBatchId(mvM)
+          .contains(f"base-commit-$cDay%09d"),
+          "the CHAIN must cascade: mv_month fresh w.r.t. mv_day")
+        // ---- crash window: hook disarmed for one wave (the process
+        // died between the base commit and its maintenance rider)
+        Scd1Merge.onCommitHook = _ => ()
+        Scd1Merge.upsert(s, base,
+          s.range(1).select(lit(90000002L).as("o_orderkey"),
+            lit("1997-03-16").as("d"), lit(654321L).as("cents")),
+          Seq("o_orderkey"), retainVersions = 6)
+        require(scansOf(qDay()).exists(_.contains(base + "/")),
+          "the missed wave must route to the base (stale-but-sound)")
+        // ---- the SWEEP converges the crash window (chains too)
+        val swept = graft.sql.GraftSql.sql(s,
+          "REFRESH ALL MATERIALIZED VIEWS").collect()
+        require(swept.exists(_.getString(0) == mvD) &&
+          swept.exists(_.getString(0) == mvM),
+          s"the sweep must refresh both layers, got ${swept.mkString(",")}")
+        require(scansOf(qDay()).forall(_.contains(mvD + "/")),
+          "the swept MV must serve again")
+        // ---- hook re-armed by the sweep? No — re-arm is explicit;
+        // a THIRD wave through the armed hook serves immediately again
+        MvMaintenance.armHooks()
+        Scd1Merge.upsert(s, base,
+          s.range(1).select(lit(90000003L).as("o_orderkey"),
+            lit("1997-03-17").as("d"), lit(111111L).as("cents")),
+          Seq("o_orderkey"), retainVersions = 6)
+        require(scansOf(qDay()).forall(_.contains(mvD + "/")),
+          "the re-armed hook must maintain through the next wave")
+        // the judged output: the monthly rollup OVER THE CHAIN —
+        // reading mv_month's content directly (its rows are the
+        // maintained state the oracle recomputes from final base)
+        Scd1Merge.readTable(s, mvM)
+          .select(col("m"), col("sc"), col("n_days"))
+          .orderBy(col("m"))
+      } finally MvMaintenance.reset()
+    }),
+
+    "pipe34_quantile_mv" -> ((s, dir) => {
+      // QUANTILE-SKETCH MV (r12 verdict #5) — percentile dashboards
+      // (p50/p95 latency, price distributions) need mergeable
+      // quantile state; exact per-group percentiles cannot
+      // re-aggregate on roll-up at all. The MV stores ONE
+      // graft.functions.QuantileSketch binary per group: a
+      // DETERMINISTIC bottom-k-by-row-hash sample (KMV over rows) —
+      // chosen over Datasketches KLL because bottom-k unions are
+      // LOSSLESS and build-path-independent (KLL's randomized
+      // compaction makes merged sketches differ from one-pass builds,
+      // which would break the transparent rewrite's exact-answer
+      // contract; the trade is O(k) entries vs KLL's tighter curve).
+      // Maintenance is the pipe29 two-speed shape verbatim: inserts
+      // UNION O(delta); any non-null retraction flags its group for a
+      // semi-joined rescan. The rewrite answers
+      // `qsk_agg(xxhash64(key), m)` from unioned stored sketches —
+      // BIT-EXACTLY the one-pass result — with `qsk_quantile` riding
+      // as an output wrapper. At this SF k (1024) exceeds every group,
+      // so the sample is complete and the estimates are EXACT —
+      // letting the oracle cross-derive them in DuckDB (stronger than
+      // a pin); QuantileMvSpec separately floors the sampled-mode
+      // rank error. In-row requires pin routing and that the
+      // maintained sketch equals a from-base rebuild byte-for-byte.
+      import graft.pipeline.IncrementalAgg
+      import graft.pipeline.IncrementalAgg.AggSpec
+      import graft.functions.{QskAgg, QskQuantile}
+      import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+      val root = tmpDir("graft_qskmv")
+      val base = root + "/orders"; val mvT = root + "/mv"
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Scd1Merge.upsert(s, base, o, Seq("o_orderkey"), numBuckets = 4,
+        retainVersions = 4)
+      val spec = AggSpec(Seq("status"), Seq("cents" -> "sum_cents"), "n",
+        quantiles = Seq("cents" -> "qsk_cents"),
+        sampleKeys = Seq("o_orderkey"))
+      IncrementalAgg.bootstrapFrom(s, mvT, base, spec, numBuckets = 1,
+        retainVersions = 4)
+      graft.plans.GraftMvRewrite.register(base, mvT, spec)
+      def qskAggC(h: org.apache.spark.sql.Column,
+                  v: org.apache.spark.sql.Column) =
+        column(QskAgg(expression(h), expression(v)).toAggregateExpression())
+      def qskQ(sk: org.apache.spark.sql.Column, p: Double) =
+        column(QskQuantile(expression(sk), expression(lit(p))))
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def q(): DataFrame = Scd1Merge.readTable(s, base)
+        .groupBy(col("status"))
+        .agg(
+          qskQ(qskAggC(xxhash64(col("o_orderkey")), col("cents")), 0.5)
+            .as("p50"),
+          qskQ(qskAggC(xxhash64(col("o_orderkey")), col("cents")), 0.95)
+            .as("p95"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("status"))
+      require(scansOf(q()).forall(_.contains(mvT + "/")),
+        "the fresh quantile MV must answer the percentile dashboard")
+      // the wave: two inserts into 'F' (fold leg) and the deletion of
+      // a deterministic 'O' row (retraction → that group rescans)
+      Scd1Merge.upsert(s, base,
+        s.range(2).select((col("id") + 90000001L).as("o_orderkey"),
+          lit("F").as("status"), (col("id") * 100L + 123456L).as("cents")),
+        Seq("o_orderkey"), retainVersions = 4)
+      val delKey = Scd1Merge.readTable(s, base).filter(col("status") === "O")
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      Scd1Merge.delete(s, base, Seq("o_orderkey"),
+        col("o_orderkey") === delKey, retainVersions = 4)
+      require(scansOf(q()).exists(_.contains(base + "/")),
+        "a lagging quantile MV must route to the base")
+      IncrementalAgg.applyChanges(s, mvT, base, Seq("o_orderkey"), spec,
+        fromBack = 2)
+      val out = q()
+      require(scansOf(out).forall(_.contains(mvT + "/")),
+        "the refreshed quantile MV must answer again")
+      // the maintained sketches equal a from-base rebuild BYTE-FOR-
+      // BYTE (lossless unions + deterministic sampling — the property
+      // that makes the transparent rewrite exact)
+      val stored = Scd1Merge.readTable(s, mvT)
+        .select(col("status"), col("qsk_cents")).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      val rebuilt = Scd1Merge.readTable(s, base).groupBy(col("status"))
+        .agg(qskAggC(xxhash64(col("o_orderkey")), col("cents")).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      require(stored.keySet == rebuilt.keySet &&
+        stored.forall { case (g, b) =>
+          java.util.Arrays.equals(b, rebuilt(g)) },
+        "maintained sketches must equal a from-base rebuild exactly")
+      graft.plans.GraftMvRewrite.unregister(base)
+      out
+    }),
+
     "pipe30_mv_chain" -> ((s, dir) => {
       // MV-OVER-MV CHAIN — the rollup cascade every warehouse runs
       // (base → daily MV → monthly MV): an MV table IS a graft table
@@ -2304,6 +2594,54 @@ object QueriesPipeline {
          |  FROM f)
          |SELECT o_orderkey, pri, cents, rn::INT AS rn
          |FROM r WHERE rn <= 3 ORDER BY pri, rn""".stripMargin,
+    // CROSS-ENGINE oracle (no pin): at sf0.01 the sample (k=1024)
+    // covers every group, so the sketch estimate IS the empirical
+    // quantile at index ⌊p·(n−1)⌋ of the sorted group values —
+    // DuckDB re-derives it from final content with the same formula.
+    "pipe34_quantile_mv" ->
+      """WITH f0 AS (
+         |  SELECT o_orderkey, o_orderstatus AS status,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderkey % 11 = 0),
+         |f AS (
+         |  SELECT * FROM f0
+         |  WHERE o_orderkey <>
+         |    (SELECT min(o_orderkey) FROM f0 WHERE status = 'O')
+         |  UNION ALL SELECT 90000001::BIGINT, 'F', 123456::BIGINT
+         |  UNION ALL SELECT 90000002::BIGINT, 'F', 123556::BIGINT)
+         |SELECT status,
+         |  (list_sort(list(cents)))[1 + CAST(floor(0.5 * (count(*) - 1)) AS INT)]::DOUBLE AS p50,
+         |  (list_sort(list(cents)))[1 + CAST(floor(0.95 * (count(*) - 1)) AS INT)]::DOUBLE AS p95,
+         |  count(*) AS n_orders
+         |FROM f GROUP BY status ORDER BY status""".stripMargin,
+    "pipe32_topn_rank_mv" ->
+      """WITH f0 AS (
+         |  SELECT o_orderkey, o_orderpriority AS pri,
+         |    (CAST(round(o_totalprice) AS BIGINT) % 97) * 100 AS cents
+         |  FROM orders),
+         |top_low AS (SELECT max(cents) AS mx FROM f0 WHERE pri = '5-LOW'),
+         |f AS (
+         |  SELECT * FROM f0
+         |  WHERE NOT (pri = '5-LOW' AND cents = (SELECT mx FROM top_low))
+         |  UNION ALL SELECT 90000000::BIGINT, '1-URGENT', 99999900::BIGINT
+         |  UNION ALL SELECT 90000001::BIGINT, '1-URGENT', 99999900::BIGINT),
+         |r AS (SELECT *, rank() OVER (
+         |    PARTITION BY pri ORDER BY cents DESC) AS rn
+         |  FROM f)
+         |SELECT o_orderkey, pri, cents, rn::INT AS rn
+         |FROM r WHERE rn <= 2 ORDER BY pri, rn, o_orderkey""".stripMargin,
+    "pipe33_auto_mv" ->
+      """WITH f AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders
+         |  UNION ALL SELECT '1997-03-15', 123456
+         |  UNION ALL SELECT '1997-03-16', 654321
+         |  UNION ALL SELECT '1997-03-17', 111111),
+         |g AS (SELECT d, sum(cents)::BIGINT AS sc FROM f GROUP BY d)
+         |SELECT substring(d, 1, 7) AS m, sum(sc)::BIGINT AS sc,
+         |  count(*) AS n_days
+         |FROM g GROUP BY 1 ORDER BY m""".stripMargin,
     "pipe30_mv_chain" ->
       """WITH f AS (
          |  SELECT strftime(o_orderdate, '%Y-%m') AS m,
