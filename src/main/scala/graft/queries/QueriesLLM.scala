@@ -1056,10 +1056,17 @@ object QueriesLLM {
       val root = graft.Tmp.dir("graft_annpart")
       val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
       PartitionedTable.upsert(s, corpusT, emb, Seq("label", "vec_id"),
-        "label", numBuckets = 2, retainVersions = 6)
-      Similarity.ivfPqIndexBuild(s, idx,
-        PartitionedTable.readTable(s, corpusT), "vec_id", "embedding",
-        nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64, batchId = "b1")
+        "label", numBuckets = 1, retainVersions = 6)
+      // the build runs several jobs over the corpus (train iters,
+      // encode, drift + cell stats) — cache the union read ONCE for
+      // the build phase (the move a real partitioned-corpus build
+      // makes: pay the N-child scan once, not per job)
+      val corpusDf = PartitionedTable.readTable(s, corpusT)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try
+        Similarity.ivfPqIndexBuild(s, idx, corpusDf, "vec_id", "embedding",
+          nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64, batchId = "b1")
+      finally { corpusDf.unpersist(blocking = false); () }
       val qv = emb.filter(col("vec_id") === 7)
         .select(col("embedding")).head().getSeq[Float](0)
       val KK = 10
@@ -1090,7 +1097,7 @@ object QueriesLLM {
         .intersect(exactIds).size
       // ONE-PARTITION ingest: twins of vecs 0..7 land in label=3
       val wave = emb.filter(col("vec_id") < 8)
-        .withColumn("vec_id", col("vec_id") + 1000L)
+        .withColumn("vec_id", col("vec_id") + 10000000L) // beyond any SF's id range: twins must INSERT, never collide-update
         .withColumn("label", lit(3))
       PartitionedTable.upsert(s, corpusT, wave, Seq("label", "vec_id"),
         "label", retainVersions = 6)
@@ -1107,7 +1114,7 @@ object QueriesLLM {
         .select(col("embedding")).head().getSeq[Float](0)
       val self = topk(nq, 2)
       require(scansCodes(self))
-      val twinFound = self.collect().map(_.getLong(0)).contains(1003L)
+      val twinFound = self.collect().map(_.getLong(0)).contains(10000003L)
       require(twinFound, "the ingested twin of vec 3 must rank on top")
       require(graft.plans.GraftAnnRewrite.maintain(s, corpusT) == 0L,
         "maintain() must no-op when current")

@@ -770,6 +770,7 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
     var mins = Seq.empty[(String, String)]
     var maxs = Seq.empty[(String, String)]
     var sketches = Seq.empty[(String, String)]
+    var quantiles = Seq.empty[(String, String)]
     var countName: Option[String] = None
     agg.aggregateExpressions.foreach {
       case a: AttributeReference if groupNames.contains(a.name) => ()
@@ -812,6 +813,30 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
             case _ => bad("count(col) counts non-nulls and is not " +
               "maintainable — use count(*)")
           }
+          // the QUANTILE column: the MV stores the deterministic
+          // bottom-k row-sample sketch; queries estimate percentiles
+          // over it (or union it exactly on roll-up). The hash child
+          // must be xxhash64 over exactly the base merge keys IN KEY
+          // ORDER — that is the row identity maintenance samples by,
+          // and a different spelling would sample different rows than
+          // the stored sketches. Default k only (the rewrite gates on
+          // the stored precision).
+          case qa: graft.functions.QskAgg =>
+            if (qa.k != graft.functions.QuantileSketch.DefaultK)
+              bad(s"'${al.sql}': qsk_agg is maintainable at the " +
+                s"default k (${graft.functions.QuantileSketch.DefaultK}) only")
+            val hashKeys = qa.hash match {
+              case x: org.apache.spark.sql.catalyst.expressions.XxHash64
+                  if x.children.forall(_.isInstanceOf[AttributeReference]) =>
+                x.children.map(_.asInstanceOf[AttributeReference].name)
+              case _ => bad(s"'${al.sql}': qsk_agg's first argument " +
+                "must be xxhash64(<base merge keys>) — the sample's " +
+                "row identity")
+            }
+            if (hashKeys.map(_.toLowerCase) != baseKeys.map(_.toLowerCase))
+              bad(s"'${al.sql}': qsk_agg must hash exactly the base " +
+                s"merge keys in key order (${baseKeys.mkString(", ")})")
+            quantiles :+= ((bareCol(qa.value, "qsk_agg"), al.name))
           case f => bad(s"aggregate '${f.prettyName}' is not self-" +
             "maintainable under deletes (avg rewrites automatically from " +
             "sum + count at query time — store those instead)")
@@ -819,12 +844,14 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       case a: AttributeReference =>
         bad(s"output column '${a.name}' is not in GROUP BY")
       case e => bad(s"output '${e.sql}' — the MV stores bare group " +
-        "columns and aliased sum/min/max/hll_sketch_agg/count(*) only")
+        "columns and aliased sum/min/max/hll_sketch_agg/qsk_agg/" +
+        "count(*) only")
     }
     val cn = countName.getOrElse(bad("the MV needs a `count(*) AS <name>` " +
       "column — it is the group-liveness ledger deletion maintenance uses"))
     val spec = AggSpec(groupNames, sums, cn, filterSql, groupExprs,
-      mins, maxs, sketches)
+      mins, maxs, sketches, quantiles,
+      sampleKeys = if (quantiles.isEmpty) Nil else baseKeys)
     IncrementalAgg.bootstrapFrom(spark, path, basePath, spec, numBuckets,
       retainVersions = retain)
     MvDef.write(path,
@@ -961,6 +988,7 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
     var mins = Seq.empty[(String, String)]
     var maxs = Seq.empty[(String, String)]
     var sketches = Seq.empty[(String, String)]
+    var quantiles = Seq.empty[(String, String)]
     var countName: Option[String] = None
     var measureAttrs = Seq.empty[AttributeReference]
     agg.aggregateExpressions.foreach {

@@ -227,7 +227,7 @@ class AnnRewriteSpec extends SparkSpecBase {
       // ---- ingest ONE partition (label=3): the stale index falls
       // back; maintain() folds ONLY the feed's rows and re-serves
       val wave = emb.filter(col("vec_id") < 8)
-        .withColumn("vec_id", col("vec_id") + 1000L)
+        .withColumn("vec_id", col("vec_id") + 10000000L) // beyond any SF's id range: twins must INSERT, never collide-update
         .withColumn("label", lit(3))
       PartitionedTable.upsert(spark, corpusT, wave,
         Seq("label", "vec_id"), "label")
@@ -247,7 +247,7 @@ class AnnRewriteSpec extends SparkSpecBase {
         .orderBy(col("s").desc).limit(2)
       assert(servedBy(self, idx))
       val top2 = self.collect().map(_.getLong(0)).toSet
-      assert(top2.contains(1003L),
+      assert(top2.contains(10000003L),
         s"the ingested twin of vec 3 must rank at the top, got $top2")
       // maintain() is idempotent when current
       assert(GraftAnnRewrite.maintain(spark, corpusT) == 0L)

@@ -127,6 +127,58 @@ class QuantileMvSpec extends SparkSpecBase {
     } finally GraftMvRewrite.unregister(base)
   }
 
+  test("SQL lifecycle: CREATE GRAFT MV with qsk_agg; SQL percentile query serves; REFRESH folds; wrong hash spellings reject loudly") {
+    graft.GraftExtensions.register(spark)
+    val root = Tmp.dir("qsk_sql")
+    val base = root + "/base"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, base,
+      (1L to 600L).map(i => (i, s"g${i % 3}", i * 10)).toDF("id", "g", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 6)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 1 RETAIN 6 AS
+           |SELECT g, qsk_agg(xxhash64(id), cents) AS qsk_cents,
+           |  sum(cents) AS sum_cents, count(*) AS n
+           |FROM graft.`$base` GROUP BY g""".stripMargin)
+      assert(graft.pipeline.MvDef.read(mv).exists(d =>
+        d.spec.quantiles == Seq("cents" -> "qsk_cents") &&
+        d.spec.sampleKeys == Seq("id")),
+        "the definition must persist the quantile spec + sample keys")
+      Scd1Merge.readTable(spark, base).createOrReplaceTempView("qsk_sql_base")
+      def sqlQ(): DataFrame = graft.sql.GraftSql.sql(spark,
+        """SELECT g,
+          |  qsk_quantile(qsk_agg(xxhash64(id), cents), 0.5D) AS p50,
+          |  count(*) AS n
+          |FROM qsk_sql_base GROUP BY g ORDER BY g""".stripMargin)
+      assert(readsOnly(sqlQ(), mv),
+        s"the SQL percentile query must serve from the MV: ${scanPaths(sqlQ())}")
+      // wave → stale → SQL REFRESH folds → serves again
+      Scd1Merge.upsert(spark, base,
+        Seq((900L, "g0", 7L)).toDF("id", "g", "cents"), Seq("id"),
+        retainVersions = 6)
+      assert(readsOnly(sqlQ(), base))
+      graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`")
+      // the temp view pinned the PRE-wave file snapshot (correct
+      // reader isolation — the snapshot gate refuses it); re-resolve
+      Scd1Merge.readTable(spark, base).createOrReplaceTempView("qsk_sql_base")
+      assert(readsOnly(sqlQ(), mv))
+      // loud rejections: a non-key hash, wrong key order is covered
+      // by the single-key mismatch here
+      val e = intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.sql(spark,
+          s"""CREATE GRAFT MATERIALIZED VIEW graft.`${mv}2` AS
+             |SELECT g, qsk_agg(xxhash64(cents), cents) AS q,
+             |  count(*) AS n
+             |FROM graft.`$base` GROUP BY g""".stripMargin)
+      }
+      assert(e.getMessage.contains("merge keys"), e.getMessage)
+    } finally {
+      GraftMvRewrite.unregister(base)
+      spark.catalog.dropTempView("qsk_sql_base")
+    }
+  }
+
   test("REWRITE: qsk_agg(xxhash64(keys), m) over the base answers from the MV exactly — full group, roll-up, staleness, wrong-hash fall-through") {
     val root = Tmp.dir("qsk_rw")
     val base = root + "/base"; val mv = root + "/mv"
