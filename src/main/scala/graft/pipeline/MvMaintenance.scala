@@ -190,8 +190,14 @@ object MvMaintenance {
     * until the inventory is quiescent — a parent MV's refresh commits
     * it, which makes its CHILD MVs stale, which the next pass folds
     * (dependency order without computing the graph; bounded by the
-    * chain depth). Returns (mvPath, commits applied) for every MV
-    * actually refreshed. */
+    * chain depth). Then sweep the OTHER maintained artifact families:
+    * registered top-N MVs fold their lag ([[TopNMv.refresh]] no-ops
+    * when current) and registered ANN indexes fold their corpus
+    * change-feed window
+    * ([[graft.plans.GraftAnnRewrite.maintain]] — O(changed rows),
+    * re-stamping the rewrite). One statement turns EVERY maintained
+    * artifact fresh. Returns (path, commits-or-rows applied) for
+    * every artifact actually refreshed. */
   def refreshAllStale(spark: SparkSession): Seq[(String, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var pass = 0
@@ -204,6 +210,14 @@ object MvMaintenance {
         progressed = true
       }
       pass += 1
+    }
+    graft.plans.GraftTopNRewrite.registeredMvPaths.foreach { mv =>
+      val n = TopNMv.refresh(spark, mv)
+      if (n > 0) out += mv -> n
+    }
+    graft.plans.GraftAnnRewrite.registeredBases.foreach { b =>
+      val n = graft.plans.GraftAnnRewrite.maintain(spark, b)
+      if (n > 0) out += b -> n
     }
     out.toSeq
   }

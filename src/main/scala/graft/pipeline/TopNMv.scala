@@ -145,11 +145,30 @@ object TopNMv {
 
   private def stampOf(c: Int): String = f"base-commit-$c%09d"
 
+  // ---- the base may be FLAT or PARTITIONED (the IncrementalAgg
+  // posture): commit = parent commit, feed = per-child diffs, keys
+  // and snapshots resolve through the parent pin set
+  private def partitioned(basePath: String): Boolean =
+    graft.merge.PartitionedTable.tableExists(basePath)
+  private def baseKeysOf(basePath: String): Option[Seq[String]] =
+    (if (partitioned(basePath))
+       graft.merge.PartitionedTable.tableKeys(basePath)
+     else Scd1Merge.tableKeys(basePath)).filter(_.nonEmpty)
+  private def baseCommitOf(basePath: String): Option[Int] =
+    if (partitioned(basePath))
+      graft.merge.PartitionedTable.tableCommit(basePath)
+    else Scd1Merge.tableCommit(basePath)
+  private def baseAtCommit(spark: SparkSession, basePath: String,
+                           commit: Int): DataFrame =
+    if (partitioned(basePath))
+      graft.merge.PartitionedTable.readTableAtCommit(spark, basePath, commit)
+    else Scd1Merge.readTableAtCommit(spark, basePath, commit)
+
   /** Initial build + persisted definition + rewrite registration. */
   def createMv(spark: SparkSession, mvPath: String, basePath: String,
                spec: TopNSpec, numBuckets: Int = 0,
                retain: Int = Scd1Merge.DefaultRetainVersions): Unit = {
-    val baseKeys = Scd1Merge.tableKeys(basePath).filter(_.nonEmpty)
+    val baseKeys = baseKeysOf(basePath)
       .getOrElse(throw new IllegalArgumentException(
         s"TopNMv: base $basePath records no merge keys"))
     require(spec.n > 0, s"TopNMv: n must be positive, got ${spec.n}")
@@ -157,12 +176,11 @@ object TopNMv {
     need.foreach(c => require(spec.cols.exists(_.equalsIgnoreCase(c)),
       s"TopNMv: stored columns must include '$c' (groups, order " +
       "column, and base keys)"))
-    val commit = Scd1Merge.tableCommit(basePath).getOrElse(
+    val commit = baseCommitOf(basePath).getOrElse(
       throw new IllegalArgumentException(
         s"TopNMv: $basePath is not a graft table"))
     Scd1Merge.upsert(spark, mvPath,
-      topN(Scd1Merge.readTableAtCommit(spark, basePath, commit), spec,
-        baseKeys),
+      topN(baseAtCommit(spark, basePath, commit), spec, baseKeys),
       baseKeys, numBuckets, batchId = stampOf(commit),
       retainVersions = retain)
     writeDef(mvPath, basePath, baseKeys, spec, retain)
@@ -176,7 +194,7 @@ object TopNMv {
     val (basePath, baseKeys, spec, retain) = readDef(mvPath).getOrElse(
       throw new IllegalStateException(
         s"TopNMv.refresh: $mvPath has no $FileName definition"))
-    val live = Scd1Merge.tableCommit(basePath).getOrElse(
+    val live = baseCommitOf(basePath).getOrElse(
       throw new IllegalStateException(
         s"TopNMv.refresh: base $basePath has no manifest"))
     val seen = Scd1Merge.tableBatchId(mvPath).collect {
@@ -199,8 +217,11 @@ object TopNMv {
                    retain: Int = Scd1Merge.DefaultRetainVersions): Unit = {
     val stamp = stampOf(toCommit)
     if (Scd1Merge.tableBatchId(mvPath).contains(stamp)) return // replayed
-    val changes = Scd1Merge.readChangesAtCommits(spark, basePath,
-      baseKeys, fromCommit, toCommit)
+    val changes = (if (partitioned(basePath))
+        graft.merge.PartitionedTable.readChangesAtCommits(spark, basePath,
+          fromCommit, toCommit)
+      else Scd1Merge.readChangesAtCommits(spark, basePath,
+        baseKeys, fromCommit, toCommit))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val inserts = changes
@@ -235,8 +256,7 @@ object TopNMv {
           .withColumn("__pick", row_number().over(wKey))
           .filter(col("__pick") === 1).drop("__ins", "__pick")
         // RESCAN groups: re-derive from the base AT the target commit
-        val rescanCands = Scd1Merge
-          .readTableAtCommit(spark, basePath, toCommit)
+        val rescanCands = baseAtCommit(spark, basePath, toCommit)
           .join(flagged, spec.groupCols, "left_semi")
           .select(spec.cols.map(col): _*)
         val newTop = topN(foldCands.unionByName(rescanCands), spec, baseKeys)

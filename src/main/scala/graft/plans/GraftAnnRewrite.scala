@@ -163,6 +163,12 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   def coveredCommit(basePath: String): Option[Int] =
     Option(registry.get(basePath)).map(_.baseCommit)
 
+  /** Registered corpus base paths — the maintenance sweep's inventory. */
+  def registeredBases: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    registry.keySet.asScala.toSeq.sorted
+  }
+
   /** Opt `basePath` into index-served top-k from `indexPath`. Stamps
     * the base's CURRENT commit + file snapshot (and persists the
     * registration inside the table directory, so it survives a
@@ -322,16 +328,24 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   private def tryRewriteUnion(k: Int, sref: AttributeReference,
       u: org.apache.spark.sql.catalyst.plans.logical.Union)
       : Option[LogicalPlan] = {
-    val branches: Seq[(Project, LogicalRelation)] = u.children.map {
-      case p @ Project(_, lr: LogicalRelation) => (p, lr)
-      case _ => return None
-    }
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    // branches: Project over a scan, optionally through ONE Filter —
+    // a predicate over a partitioned read pushes down into EVERY
+    // union branch, so the FILTERED partitioned top-k appears as the
+    // same (canonically equal) condition per branch
+    val branches: Seq[(Project, Option[Filter], LogicalRelation)] =
+      u.children.map {
+        case p @ Project(_, lr: LogicalRelation) => (p, None, lr)
+        case p @ Project(_, f @ Filter(_, lr: LogicalRelation)) =>
+          (p, Some(f), lr)
+        case _ => return None
+      }
     def filesOf(lr: LogicalRelation): Option[Seq[String]] = lr.relation match {
       case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
         Some(fs.location.inputFiles.toSeq)
       case _ => None
     }
-    val perBranch = branches.map(b => filesOf(b._2))
+    val perBranch = branches.map(b => filesOf(b._3))
     if (perBranch.exists(_.isEmpty)) return None
     val files = perBranch.flatMap(_.get).toSet
     val spark = SparkSession.active
@@ -345,10 +359,31 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     }
     if (!corpusCommit(reg.basePath).contains(reg.baseCommit))
       return None
+    // FILTER gates: all branches or none; the SAME canonical
+    // condition everywhere (exprIds differ per branch — compare the
+    // qualifier-stripped lowercase rendering); deterministic,
+    // branch-scan columns only, never the vector column
+    val isFiltered = branches.forall(_._2.isDefined)
+    if (!isFiltered && branches.exists(_._2.isDefined)) return None
+    if (isFiltered) {
+      def canon(e: Expression): String = e.transform {
+        case a: AttributeReference =>
+          a.withQualifier(Nil).withName(a.name.toLowerCase)
+      }.sql
+      if (branches.map(b => canon(b._2.get.condition)).distinct.size != 1)
+        return None
+      branches.foreach { case (_, fl, scan) =>
+        val cond = fl.get.condition
+        if (!cond.deterministic) return None
+        if (!cond.references.subsetOf(scan.outputSet)) return None
+        if (cond.references.exists(_.name.equalsIgnoreCase(reg.vecCol)))
+          return None
+      }
+    }
     val p = u.output.indexWhere(_.exprId == sref.exprId)
     if (p < 0) return None
     // every branch's p-th item: vec_cosine(its scan's vecCol, literal)
-    val qvs: Seq[Array[Float]] = branches.map { case (proj, scan) =>
+    val qvs: Seq[Array[Float]] = branches.map { case (proj, _, scan) =>
       proj.projectList(p) match {
         case Alias(graft.functions.CosineSimilarity(
             v: AttributeReference, q), _)
@@ -369,20 +404,68 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     val qv = qvs.head
     val (cents, books) = graft.similarity.Similarity
       .ivfPqIndexModel(spark, reg.indexPath)
-    val dtRows = distanceRows(qv, cents, books, reg.nprobe)
-    val newChildren: Seq[LogicalPlan] = branches.map { case (proj, scan) =>
-      val idAttr = scan.output.find(_.name.equalsIgnoreCase(reg.idCol))
-        .getOrElse(return None)
-      val cp = candsPlanFromRows(spark, reg.indexPath, dtRows, k,
-        reg.candFactor)
-      proj.withNewChildren(Seq(Join(scan, cp, LeftSemi,
-        Some(EqualTo(idAttr, cp.output.head)), JoinHint.NONE)))
+    // per-branch splice at a given probe width: the branch's own
+    // Filter (if any) stays ABOVE its candidate semi-join, so the
+    // final answer is the exact cosine top-k over (cands ∩ predicate)
+    def childrenFor(nprobe: Int, candFactor: Int): Option[Seq[LogicalPlan]] = {
+      val dtRows = distanceRows(qv, cents, books, nprobe)
+      Some(branches.map { case (proj, flOpt, scan) =>
+        val idAttr = scan.output.find(_.name.equalsIgnoreCase(reg.idCol))
+          .getOrElse(return None)
+        val cp = candsPlanFromRows(spark, reg.indexPath, dtRows, k,
+          candFactor)
+        val join = Join(scan, cp, LeftSemi,
+          Some(EqualTo(idAttr, cp.output.head)), JoinHint.NONE)
+        proj.withNewChildren(Seq(
+          flOpt.map(fl => fl.withNewChildren(Seq(join)): LogicalPlan)
+            .getOrElse(join)))
+      })
     }
-    rewriteCount += 1
-    logInfo(s"graft ANN rewrite: top-$k over PARTITIONED " +
-      s"${reg.basePath} (${branches.size} partitions) served from " +
-      s"${reg.indexPath} (commit ${reg.baseCommit})")
-    Some(u.withNewChildren(newChildren))
+    if (!isFiltered) {
+      val newChildren = childrenFor(reg.nprobe, reg.candFactor)
+        .getOrElse(return None)
+      rewriteCount += 1
+      logInfo(s"graft ANN rewrite: top-$k over PARTITIONED " +
+        s"${reg.basePath} (${branches.size} partitions) served from " +
+        s"${reg.indexPath} (commit ${reg.baseCommit})")
+      return Some(u.withNewChildren(newChildren))
+    }
+    // ---- FILTERED partitioned: the flat path's escalation, with the
+    // survivor count over the union of per-branch (filter ∘ semi-join)
+    val rowsEst = graft.merge.PartitionedTable
+      .tableRowsEstimate(reg.basePath).getOrElse(Long.MaxValue)
+    val target = math.min(OverFetch.toLong * k, math.max(k.toLong, rowsEst))
+    var nprobe = reg.nprobe
+    var candFactor = reg.candFactor
+    var rounds = 0
+    lastFilteredEscalations = 0
+    var fallback: Option[Seq[LogicalPlan]] = None
+    while (rounds < 12) {
+      val kids = childrenFor(nprobe, candFactor).getOrElse(return None)
+      val exhaustive = nprobe >= cents.length &&
+        candFactor.toLong * k >= rowsEst
+      val survivors =
+        if (exhaustive) target
+        else org.apache.spark.sql.GraftExpressionBridge
+          .ofRows(spark, u.withNewChildren(kids)).count()
+      if (survivors >= target) {
+        rewriteCount += 1
+        logInfo(s"graft ANN rewrite: FILTERED top-$k over PARTITIONED " +
+          s"${reg.basePath} served from ${reg.indexPath} " +
+          s"(nprobe=$nprobe, candFactor=$candFactor, $survivors " +
+          s"survivors, ${lastFilteredEscalations} escalations)")
+        return Some(u.withNewChildren(kids))
+      }
+      if (survivors >= k) fallback = Some(kids)
+      if (nprobe < cents.length)
+        nprobe = math.min(cents.length, nprobe * 2)
+      else if (candFactor < (1 << 16)) candFactor *= 2
+      else return fallback.map { ks => rewriteCount += 1
+        u.withNewChildren(ks) }
+      rounds += 1
+      lastFilteredEscalations += 1
+    }
+    fallback.map { ks => rewriteCount += 1; u.withNewChildren(ks) }
   }
 
   /** The Project-level rewrite: locate the sort column's

@@ -51,6 +51,12 @@ object GraftTopNRewrite extends Rule[LogicalPlan] {
   def unregister(mvPath: String): Unit = { registry.remove(mvPath); () }
   def clear(): Unit = registry.clear()
 
+  /** Registered top-N MV paths — the maintenance sweep's inventory. */
+  def registeredMvPaths: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    registry.keySet.asScala.toSeq.sorted
+  }
+
   @volatile var rewriteCount: Long = 0L
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -112,27 +118,46 @@ object GraftTopNRewrite extends Rule[LogicalPlan] {
     // optionally through ONE Filter directly over it (the optimizer
     // pushes group-column predicates below the Window; gated below to
     // partition columns only, where σ_g commutes with per-group
-    // top-N). Spark's InferWindowGroupLimit inserts a WindowGroupLimit
-    // node (its own partial top-k pushdown) — traverse it; the splice
+    // top-N) — or over a UNION of Project/scan chains (a PARTITIONED
+    // base read; filters under a union fall through conservatively).
+    // Spark's InferWindowGroupLimit inserts a WindowGroupLimit node
+    // (its own partial top-k pushdown) — traverse it; the splice
     // drops it, which is sound: the MV already holds the ≤N rows/group.
     var belowFilter: Option[Filter] = None
-    def walk(p: LogicalPlan): Option[LogicalRelation] = p match {
+    var scanOut: Option[org.apache.spark.sql.catalyst.expressions.AttributeSet] = None
+    def filesOf(lr: LogicalRelation): Option[Seq[String]] =
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          Some(fs.location.inputFiles.toSeq)
+        case _ => None
+      }
+    def walk(p: LogicalPlan): Option[Seq[String]] = p match {
       case Project(items, child)
           if items.forall(_.isInstanceOf[AttributeReference]) => walk(child)
       case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
           if wgl.limit >= k => // never admit a tighter cap than the query's
         walk(wgl.child)
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union
+          if belowFilter.isEmpty =>
+        // partitioned read: every branch a bare Project/scan chain
+        def branch(b: LogicalPlan): Option[Seq[String]] = b match {
+          case Project(items, child)
+              if items.forall(_.isInstanceOf[AttributeReference]) =>
+            branch(child)
+          case lr: LogicalRelation => filesOf(lr)
+          case _ => None
+        }
+        val per = u.children.map(branch)
+        if (per.exists(_.isEmpty)) None
+        else { scanOut = Some(u.outputSet); Some(per.flatMap(_.get)) }
       case fl @ Filter(_, lr: LogicalRelation) if belowFilter.isEmpty =>
-        belowFilter = Some(fl); Some(lr)
-      case lr: LogicalRelation => Some(lr)
+        belowFilter = Some(fl); scanOut = Some(lr.outputSet); filesOf(lr)
+      case lr: LogicalRelation =>
+        scanOut = Some(lr.outputSet); filesOf(lr)
       case _ => None
     }
-    val scan = walk(w.child).getOrElse(return None)
-    val files = scan.relation match {
-      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-        fs.location.inputFiles.toSet
-      case _ => return None
-    }
+    val files = walk(w.child).getOrElse(return None).toSet
+    val scanOutput = scanOut.getOrElse(return None)
     val spark = SparkSession.active
     // ---- candidates: every registration over this exact file set
     // with k <= N, each tried against the FULL gate (a base may carry
@@ -145,12 +170,15 @@ object GraftTopNRewrite extends Rule[LogicalPlan] {
       // against it could return short
       if (isRank && !reg.spec.ties) return None
       // ---- FRESHNESS: the stamp names the base's live commit
-      val live = Scd1Merge.tableCommit(reg.basePath).getOrElse(return None)
+      // (parent commit for a partitioned base)
+      val live = (if (graft.merge.PartitionedTable.tableExists(reg.basePath))
+          graft.merge.PartitionedTable.tableCommit(reg.basePath)
+        else Scd1Merge.tableCommit(reg.basePath)).getOrElse(return None)
       if (!Scd1Merge.tableBatchId(reg.mvPath)
           .contains(f"base-commit-$live%09d")) return None
       // ---- partition = the MV's group columns (bare attrs, as a set)
       val partNames = w.partitionSpec.map {
-        case a: AttributeReference if scan.outputSet.contains(a) =>
+        case a: AttributeReference if scanOutput.contains(a) =>
           a.name.toLowerCase
         case _ => return None
       }.toSet
@@ -170,7 +198,7 @@ object GraftTopNRewrite extends Rule[LogicalPlan] {
       w.orderSpec.zip(want).foreach {
         case (SortOrder(a: AttributeReference, dir, nulls, _), (name, desc))
             if a.name.equalsIgnoreCase(name) &&
-              scan.outputSet.contains(a) &&
+              scanOutput.contains(a) &&
               dir == (if (desc) Descending else Ascending) &&
               nulls == (if (desc) NullsLast else NullsFirst) => ()
         case _ => return None
@@ -181,7 +209,7 @@ object GraftTopNRewrite extends Rule[LogicalPlan] {
       // are exactly the base's)
       belowFilter.foreach { bf =>
         if (!bf.condition.deterministic) return None
-        if (!bf.condition.references.subsetOf(scan.outputSet)) return None
+        if (!bf.condition.references.subsetOf(scanOutput)) return None
         if (!bf.condition.references.forall(a =>
             reg.spec.groupCols.exists(_.equalsIgnoreCase(a.name))))
           return None
@@ -215,9 +243,13 @@ object GraftTopNRewrite extends Rule[LogicalPlan] {
     import scala.jdk.CollectionConverters._
     registry.values.asScala.toSeq.sortBy(_.mvPath).view
       .filter { r =>
-        k <= r.spec.n &&
-        Scd1Merge.tableExists(r.basePath) &&
-        Scd1Merge.readTable(spark, r.basePath).inputFiles.toSet == files
+        k <= r.spec.n && {
+          if (graft.merge.PartitionedTable.tableExists(r.basePath))
+            graft.merge.PartitionedTable.readTable(spark, r.basePath)
+              .inputFiles.toSet == files
+          else Scd1Merge.tableExists(r.basePath) &&
+            Scd1Merge.readTable(spark, r.basePath).inputFiles.toSet == files
+        }
       }
       .flatMap(tryWithReg)
       .headOption

@@ -224,6 +224,45 @@ class AnnRewriteSpec extends SparkSpecBase {
         .intersect(exact.map(_._1).toSet).size / 10.0
       info(f"partitioned-rewrite recall@10 = $recall%.2f")
       assert(recall >= 0.6)
+      // ---- FILTERED + PARTITIONED: a metadata predicate pushes into
+      // every union branch; escalation fills k survivors
+      def pfiltered(): DataFrame = PartitionedTable
+        .readTable(spark, corpusT)
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            typedLit(qv)).as("s"))
+        .orderBy(col("s").desc).limit(10)
+      // exact twin: unregister (clear() alone would re-arm from the
+      // persisted marker on first touch), then re-register
+      GraftAnnRewrite.unregister(corpusT)
+      val exactF2 = pfiltered().collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 4, candFactor = 16)
+      val servedF = pfiltered()
+      assert(servedBy(servedF, idx),
+        "filtered partitioned top-k must serve from the index")
+      val rowsF = servedF.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rowsF.length == 10, "escalation must fill k survivors")
+      val recallF = rowsF.map(_._1).toSet
+        .intersect(exactF2.map(_._1).toSet).size / 10.0
+      info(f"filtered-partitioned recall@10 = $recallF%.2f")
+      assert(recallF >= 0.6, s"filtered-partitioned recall $recallF")
+      // a predicate on the PARTITION column over the plain union read
+      // pushes into every branch like any metadata predicate (the
+      // plain read does not prune branches) — it serves too, with all
+      // k rows; a genuinely partition-PRUNED read (fewer branches)
+      // would fall through the file-set gate
+      val partPred = PartitionedTable.readTable(spark, corpusT)
+        .filter(col("label") === 3)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            typedLit(qv)).as("s"))
+        .orderBy(col("s").desc).limit(10)
+      assert(servedBy(partPred, idx),
+        "a partition-column predicate over the full union must serve")
+      assert(partPred.count() == 10)
       // ---- ingest ONE partition (label=3): the stale index falls
       // back; maintain() folds ONLY the feed's rows and re-serves
       val wave = emb.filter(col("vec_id") < 8)

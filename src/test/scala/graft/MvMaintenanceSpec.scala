@@ -144,6 +144,66 @@ class MvMaintenanceSpec extends SparkSpecBase {
     } finally MvMaintenance.reset()
   }
 
+  test("the sweep covers every maintained family: a stale top-N MV and a stale ANN index fold their lag too") {
+    import graft.pipeline.TopNMv
+    import graft.pipeline.TopNMv.TopNSpec
+    import graft.plans.{GraftAnnRewrite, GraftTopNRewrite}
+    val root = Tmp.dir("mv_sweep_all")
+    // top-N MV over a flat base
+    val base = root + "/base"; val topMv = root + "/topmv"
+    Scd1Merge.upsert(spark, base,
+      (1L to 100L).map(i => (i, s"g${i % 4}", i * 10)).toDF("id", "g", "cents"),
+      Seq("id"), numBuckets = 1, retainVersions = 6)
+    TopNMv.createMv(spark, topMv, base,
+      TopNSpec(Seq("g"), "cents", desc = true, n = 2,
+        cols = Seq("id", "g", "cents")), numBuckets = 1, retain = 6)
+    // ANN-registered corpus
+    val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    Scd1Merge.upsert(spark, corpusT, emb, Seq("vec_id"), numBuckets = 2,
+      retainVersions = 6)
+    graft.similarity.Similarity.ivfPqIndexBuild(spark, idx,
+      Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 16, iters = 1, dim = 64)
+    GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+      dim = 64)
+    try {
+      // stale BOTH: a base wave behind the top-N MV, a corpus ingest
+      // behind the index
+      Scd1Merge.upsert(spark, base,
+        Seq((900L, "g0", 99999L)).toDF("id", "g", "cents"), Seq("id"),
+        retainVersions = 6)
+      Scd1Merge.upsert(spark, corpusT,
+        emb.filter($"vec_id" < 4).withColumn("vec_id", $"vec_id" + 10000000L),
+        Seq("vec_id"), retainVersions = 6)
+      val swept = MvMaintenance.refreshAllStale(spark)
+      assert(swept.exists(_._1 == topMv),
+        s"the sweep must fold the top-N MV's lag: $swept")
+      assert(swept.exists(e => e._1 == corpusT && e._2 == 4L),
+        s"the sweep must fold the ANN index's 4-row feed: $swept")
+      // both artifacts serve again
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"cents".desc, $"id".asc)
+      val topQ = Scd1Merge.readTable(spark, base)
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      assert(readsOnly(topQ, topMv), "swept top-N MV must serve")
+      val qv = emb.filter($"vec_id" === 3)
+        .select($"embedding").head().getSeq[Float](0)
+      val annQ = Scd1Merge.readTable(spark, corpusT)
+        .select($"vec_id",
+          graft.functions.VectorFunctions.vecCosine($"embedding",
+            typedLit(qv)).as("s"))
+        .orderBy($"s".desc).limit(5)
+      assert(scanPaths(annQ).exists(_.contains(idx + "/codes/")),
+        "swept ANN index must serve")
+      // a second sweep is a no-op
+      assert(MvMaintenance.refreshAllStale(spark).isEmpty)
+    } finally {
+      GraftTopNRewrite.clear(); GraftAnnRewrite.unregister(corpusT)
+      MvMaintenance.reset()
+    }
+  }
+
   test("SQL lifecycle: CREATE ... AUTO REFRESH serves across a wave; REFRESH ALL MATERIALIZED VIEWS sweeps") {
     val root = Tmp.dir("mv_auto_sql")
     val base = root + "/base"; val mv = root + "/mv"

@@ -312,6 +312,48 @@ class TopNMvSpec extends SparkSpecBase {
     } finally GraftTopNRewrite.clear()
   }
 
+  test("PARTITIONED base: the union-read leaderboard serves; maintenance rides the per-child feed") {
+    import graft.merge.PartitionedTable
+    val root = Tmp.dir("topn_part")
+    val base = root + "/base"; val mv = root + "/mv"
+    PartitionedTable.upsert(spark, base,
+      (1L to 200L).map(i => (s"p${i % 4}", i, s"g${i % 5}", i * 10))
+        .toDF("part", "id", "g", "cents"),
+      Seq("part", "id"), "part", numBuckets = 1, retainVersions = 6)
+    TopNMv.createMv(spark, mv, base,
+      TopNSpec(Seq("g"), "cents", desc = true, n = 3,
+        cols = Seq("part", "id", "g", "cents")), numBuckets = 1, retain = 6)
+    // the deterministic ordering tie-breaks by the COMPOSITE base key
+    val w = Window.partitionBy($"g")
+      .orderBy($"cents".desc, $"part".asc, $"id".asc)
+    def q(): DataFrame = PartitionedTable.readTable(spark, base)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+    def check(): Unit = {
+      assert(readsOnly(q(), mv), s"${scanPaths(q()).take(3)}")
+      val got = q().orderBy("g", "rn").collect().map(_.toSeq).toSeq
+      GraftTopNRewrite.clear()
+      val exp = q().orderBy("g", "rn").collect().map(_.toSeq).toSeq
+      assert(got == exp, s"\n$got\nvs\n$exp")
+      TopNMv.refresh(spark, mv)
+      ()
+    }
+    try {
+      check()
+      // ONE-partition wave: a new leader into p1 (fold), then delete
+      // a stored g1 top row (rescan) — the feed is per-child diffs
+      PartitionedTable.upsert(spark, base,
+        Seq(("p1", 901L, "g1", 99999L)).toDF("part", "id", "g", "cents"),
+        Seq("part", "id"), "part", retainVersions = 6)
+      assert(readsOnly(q(), base), "a lagging MV must route to the base")
+      assert(TopNMv.refresh(spark, mv) == 1L)
+      check()
+      PartitionedTable.deleteWhere(spark, base,
+        $"part" === "p1" && $"id" === 901L)
+      TopNMv.refresh(spark, mv)
+      check()
+    } finally GraftTopNRewrite.clear()
+  }
+
   test("two top-N MVs on one base: the matching registration serves regardless of path order") {
     val root = Tmp.dir("topn_two")
     val base = root + "/base"
