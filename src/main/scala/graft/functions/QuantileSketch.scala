@@ -39,7 +39,11 @@ import org.apache.spark.sql.types._
   * Wire format (BinaryType): magic 'G','Q',1 · int k · long n ·
   * int size · size × (long hash, double value), entries sorted by
   * hash ascending — canonical, so equal sketches are byte-equal
-  * (the driver's hash-compare sees deterministic bytes). */
+  * (the driver's hash-compare sees deterministic bytes). k = 0 is
+  * the empty union (zero contributors — constrains nothing when
+  * merged onward). Mismatched-k unions keep bottom-MIN(k): that is
+  * the largest prefix that is a valid uniform sample of the union
+  * (see [[Buffer]]), and min keeps merged bytes build-path-free. */
 object QuantileSketch {
 
   val DefaultK = 1024
@@ -47,29 +51,54 @@ object QuantileSketch {
   /** Decoded sketch: entries sorted by hash ascending. */
   final case class Sk(k: Int, n: Long, entries: Array[(Long, Double)])
 
-  final class Buffer(val k: Int) {
+  /** Aggregation buffer. `k <= 0` is the UNSET sentinel (a union
+    * buffer that has merged nothing yet — it adopts the first
+    * contributor's k). Unions of MISMATCHED k take min(k): only the
+    * bottom-min(k) entries are a valid uniform sample (entries
+    * ranked above a smaller contributor's k were already discarded
+    * by that contributor, so a merged sketch claiming more sample
+    * than min(k) would silently overstate its evidence). min is
+    * commutative/associative and capacity only ever SHRINKS, so
+    * intermediate compactions (always at capacity ≥ the final k)
+    * never drop a final-bottom-k entry — merged bytes stay a pure
+    * function of the contributor set, independent of merge order. */
+  final class Buffer(initK: Int) {
+    var k: Int = initK
     var n: Long = 0L
     val acc = mutable.ArrayBuffer.empty[(Long, Double)]
+    /** Effective compaction/claim capacity (DefaultK while unset —
+      * unreachable for entry-bearing buffers: mergeIn/add set k
+      * before entries land). */
+    def capacity: Int = if (k <= 0) DefaultK else k
+    private def shrinkK(otherK: Int): Unit =
+      if (otherK > 0) k = if (k <= 0) otherK else math.min(k, otherK)
     def add(h: Long, v: Double): Unit = {
       n += 1L; acc += ((h, v))
-      if (acc.length > 4 * k) compact()
+      if (acc.length > 4 * capacity) compact()
     }
     /** Sort by hash, dedup (defensive — row hashes are unique by
-      * construction), keep the bottom k. */
+      * construction), keep the bottom `capacity`. */
     def compact(): Unit = {
       val sorted = acc.sortBy(_._1)
       acc.clear()
       var last = Long.MinValue; var first = true
       val it = sorted.iterator
-      while (it.hasNext && acc.length < k) {
+      while (it.hasNext && acc.length < capacity) {
         val e = it.next()
         if (first || e._1 != last) { acc += e; last = e._1; first = false }
       }
     }
     def mergeIn(other: Sk): Unit = {
+      shrinkK(other.k)
       n += other.n
       acc ++= other.entries
-      if (acc.length > 4 * k) compact()
+      if (acc.length > 4 * capacity) compact()
+    }
+    def mergeBuf(other: Buffer): Unit = {
+      shrinkK(other.k)
+      n += other.n
+      acc ++= other.acc
+      if (acc.length > 4 * capacity) compact()
     }
   }
 
@@ -93,9 +122,11 @@ object QuantileSketch {
     Sk(k, n, es)
   }
 
+  /** Two-sketch union at min(valid k) — see [[Buffer]]. A wire k of
+    * 0 (union of zero sketches) constrains nothing. */
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val sa = decode(a); val sb = decode(b)
-    val buf = new Buffer(math.max(sa.k, sb.k))
+    val buf = new Buffer(0)
     buf.mergeIn(sa); buf.mergeIn(sb)
     encode(buf)
   }
@@ -161,9 +192,7 @@ case class QskAgg(hash: Expression, value: Expression,
 
   override def merge(buffer: QuantileSketch.Buffer,
                      other: QuantileSketch.Buffer): QuantileSketch.Buffer = {
-    buffer.n += other.n
-    buffer.acc ++= other.acc
-    if (buffer.acc.length > 4 * buffer.k) buffer.compact()
+    buffer.mergeBuf(other)
     buffer
   }
 
@@ -214,8 +243,13 @@ case class QskUnionAgg(child: Expression,
     extends TypedImperativeAggregate[QuantileSketch.Buffer]
     with UnaryLike[Expression] {
 
+  // UNSET buffer: the union's k is min over the CONTRIBUTING
+  // sketches' ks (adopted at first merge), never a hardcoded
+  // DefaultK — a k=2048 MV's sketches union at 2048, and a stray
+  // smaller-k contributor shrinks the claim to what is provably a
+  // valid uniform sample (see [[QuantileSketch.Buffer]]).
   override def createAggregationBuffer(): QuantileSketch.Buffer =
-    new QuantileSketch.Buffer(QuantileSketch.DefaultK)
+    new QuantileSketch.Buffer(0)
 
   override def update(buffer: QuantileSketch.Buffer,
                       input: InternalRow): QuantileSketch.Buffer = {
@@ -226,9 +260,7 @@ case class QskUnionAgg(child: Expression,
 
   override def merge(buffer: QuantileSketch.Buffer,
                      other: QuantileSketch.Buffer): QuantileSketch.Buffer = {
-    buffer.n += other.n
-    buffer.acc ++= other.acc
-    if (buffer.acc.length > 4 * buffer.k) buffer.compact()
+    buffer.mergeBuf(other)
     buffer
   }
 

@@ -83,7 +83,13 @@ object IncrementalAgg {
     * semi-joined base rescan (a sample has no inverse, and an
     * UPDATE's re-inserted row hash would shadow its old value).
     * `sampleKeys` names the row-identity columns hashed for the
-    * sample (the base's merge keys) — REQUIRED with quantiles. */
+    * sample (the base's merge keys) — REQUIRED with quantiles.
+    * `qskK` is the stored sketches' sample size (the p99.9 dial: a
+    * bigger k tightens the ~1.65/√k rank error at O(k) state per
+    * group) — every quantile column of one MV shares it, and the
+    * rewrite serves only a query asking for exactly this precision
+    * (sketches at different k would union down to min(k), changing
+    * the answer the query asked for). */
   final case class AggSpec(groupCols: Seq[String], sums: Seq[(String, String)],
                            countName: String,
                            filterSql: Option[String] = None,
@@ -92,10 +98,12 @@ object IncrementalAgg {
                            maxs: Seq[(String, String)] = Nil,
                            sketches: Seq[(String, String)] = Nil,
                            quantiles: Seq[(String, String)] = Nil,
-                           sampleKeys: Seq[String] = Nil) {
+                           sampleKeys: Seq[String] = Nil,
+                           qskK: Int = graft.functions.QuantileSketch.DefaultK) {
     require(quantiles.isEmpty || sampleKeys.nonEmpty,
       "quantile sketches need sampleKeys (the row-identity columns " +
       "hashed for the bottom-k sample)")
+    require(qskK > 0, s"qskK must be positive, got $qskK")
     def extremeCols: Seq[String] = mins.map(_._2) ++ maxs.map(_._2)
     /** Columns whose retraction path needs the base frame. */
     def rescanCols: Seq[String] =
@@ -108,7 +116,7 @@ object IncrementalAgg {
     import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
     column(graft.functions.QskAgg(
       expression(xxhash64(spec.sampleKeys.map(col): _*)),
-      expression(m)).toAggregateExpression())
+      expression(m), spec.qskK).toAggregateExpression())
   }
 
   private def qskMergeCol(a: org.apache.spark.sql.Column,

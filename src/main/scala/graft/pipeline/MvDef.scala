@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.pipeline.IncrementalAgg.AggSpec
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 /** PERSISTED materialized-view definition — the `_graft_mv` file next
   * to the MV table's manifests, recording WHAT the MV maintains
@@ -42,6 +42,19 @@ object MvDef {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  // Read-through cache keyed by (mtime, size) of the definition file:
+  // the post-commit maintenance hook reads EVERY known MV's definition
+  // on EVERY base commit (O(#MVs) metadata reads per commit without
+  // it). Validated by a stat per read — correct under cross-process
+  // writers (any writer's ATOMIC_MOVE changes the mtime) — and
+  // updated eagerly by this JVM's own write().
+  private val readCache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Long, Long), Option[Def])]()
+
+  private def statKey(p: Path): Option[(Long, Long)] =
+    if (!Files.exists(p)) None
+    else Some((Files.getLastModifiedTime(p).toMillis, Files.size(p)))
+
   def write(mvPath: String, d: Def): Unit = {
     val body = (Seq(
       s"base=${enc(d.basePath)}",
@@ -63,7 +76,9 @@ object MvDef {
        else Nil) ++
       (if (d.spec.quantiles.nonEmpty)
         Seq(s"quantiles=${d.spec.quantiles.map { case (m, o) => s"${enc(m)}:${enc(o)}" }.mkString(",")}",
-          s"samplekeys=${d.spec.sampleKeys.map(enc).mkString(",")}")
+          s"samplekeys=${d.spec.sampleKeys.map(enc).mkString(",")}") ++
+        (if (d.spec.qskK != graft.functions.QuantileSketch.DefaultK)
+          Seq(s"qskk=${d.spec.qskK}") else Nil)
        else Nil) ++
       d.spec.filterSql.toSeq.map(f => s"filter=${enc(f)}") ++
       (if (d.spec.groupExprs.nonEmpty)
@@ -89,10 +104,22 @@ object MvDef {
       StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, Paths.get(mvPath, FileName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    statKey(Paths.get(mvPath, FileName))
+      .foreach(k => readCache.put(mvPath, (k, Some(d))))
   }
 
   def read(mvPath: String): Option[Def] = {
     val p = Paths.get(mvPath, FileName)
+    val key = statKey(p)
+    if (key.isEmpty) { readCache.remove(mvPath); return None }
+    val hit = readCache.get(mvPath)
+    if (hit != null && hit._1 == key.get) return hit._2
+    val parsed = parse(p)
+    readCache.put(mvPath, (key.get, parsed))
+    parsed
+  }
+
+  private def parse(p: Path): Option[Def] = {
     if (!Files.exists(p)) return None
     val kv = Files.readString(p).split("\n").iterator
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
@@ -120,7 +147,9 @@ object MvDef {
       AggSpec(list("groups"), sums, dec(kv("count")),
         kv.get("filter").map(dec), groupExprs,
         pairs("mins"), pairs("maxs"), pairs("sketches"),
-        pairs("quantiles"), list("samplekeys")), joins,
+        pairs("quantiles"), list("samplekeys"),
+        qskK = kv.get("qskk").map(_.toInt)
+          .getOrElse(graft.functions.QuantileSketch.DefaultK)), joins,
       retain = kv.get("retain").map(_.toInt)
         .getOrElse(graft.merge.Scd1Merge.DefaultRetainVersions),
       auto = kv.get("auto").exists(_.toBoolean)))

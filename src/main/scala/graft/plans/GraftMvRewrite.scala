@@ -98,8 +98,10 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     forgetArmed(path)
   }
 
-  def clear(): Unit =
-    { registry.clear(); joinRegistry.clear(); armedBases.clear() }
+  def clear(): Unit = {
+    registry.clear(); joinRegistry.clear(); armedBases.clear()
+    PlanCaches.clear()
+  }
 
   /** Rewrites applied since session start — spec/judged-entry
     * observability (proving a plan DID rewrite, like lastPrune). */
@@ -411,13 +413,9 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     // cheap, and only for plans that genuinely scan a registered base)
     val snapshotOk = scala.collection.mutable.Map.empty[String, Boolean]
     def baseCurrent(basePath: String): Boolean =
-      snapshotOk.getOrElseUpdate(basePath, {
-        val partitioned = graft.merge.PartitionedTable.tableExists(basePath)
-        val current =
-          (if (partitioned) graft.merge.PartitionedTable.readTable(spark, basePath)
-           else Scd1Merge.readTable(spark, basePath)).inputFiles.toSet
-        files.toSet == current
-      })
+      snapshotOk.getOrElseUpdate(basePath,
+        // commit-keyed cache: re-lists only when the commit moved
+        PlanCaches.liveFiles(spark, basePath).exists(_._2 == files.toSet))
     cands.view.flatMap { reg =>
       // ---- FILTER gate, with SUBSUMPTION: the query's conjunct set
       // must CONTAIN the definition's (equal when the MV is
@@ -734,13 +732,11 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
     val wantStamp = f"fact@$cf%09d" +
       cds.map(c => f",dim@$c%09d").mkString
     if (!Scd1Merge.tableBatchId(reg.mvPath).contains(wantStamp)) return None
-    if (factLeaf.files.toSet !=
-        (if (factPart)
-           graft.merge.PartitionedTable.readTable(spark, reg.factPath)
-         else Scd1Merge.readTable(spark, reg.factPath))
-          .inputFiles.toSet) return None
-    if (reg.dims.indices.exists(i => dimLeaves(i).files.toSet !=
-        Scd1Merge.readTable(spark, reg.dims(i).dimPath).inputFiles.toSet))
+    if (!PlanCaches.liveFiles(spark, reg.factPath)
+        .exists(_._2 == factLeaf.files.toSet)) return None
+    if (reg.dims.indices.exists(i =>
+        !PlanCaches.liveFiles(spark, reg.dims(i).dimPath)
+          .exists(_._2 == dimLeaves(i).files.toSet)))
       return None
     val factOut = factLeaf.root.outputSet
     // the MV read — re-joined to each PREDICATE-carrying dim on
@@ -940,10 +936,13 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           // exact UNION of the stored per-group samples (bottom-k
           // unions are lossless — QuantileSketch Scaladoc); the hash
           // child must canonically match the registered sampleKeys
-          // hash, default k only (the precision maintenance stored).
+          // hash, and k must equal the STORED precision (a k=256 MV
+          // serves a k=256 query and falls through any other — the
+          // stored sketches simply are not the sketch the query
+          // names).
           // `qsk_quantile(...)` rides along like any output wrapper.
           case qa: graft.functions.QskAgg
-              if qa.k == graft.functions.QuantileSketch.DefaultK &&
+              if qa.k == spec.qskK &&
                 qskHashCanon.contains(canonExprStr(qa.hash)) =>
             val m = qa.value match {
               case a: AttributeReference if measureSide(a) =>
@@ -954,6 +953,54 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
               AggregateExpression(graft.functions.QskUnionAgg(c),
                 org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
                 isDistinct = false)))
+          // OPT-IN (spark.graft.mv.serveApproxPercentile):
+          // `approx_percentile(m, p, accuracy)` — the shape native
+          // dashboards emit — served from the stored qsk sample as
+          // `qsk_quantile(qsk_union_agg(sketch), p)`. This is an
+          // approximate-for-approximate SWAP, not an exact rewrite:
+          // approx_percentile(acc) bounds rank error by 1/acc
+          // deterministically; the qsk sample bounds it by ~1.65/√k
+          // at 95% confidence. The gate therefore requires the MV's
+          // bound to be at least as tight: 1.65/√k ≤ 1/acc, i.e.
+          // acc ≤ √k/1.65 — a tighter-accuracy query falls through
+          // to the base scan. Scalar percentile literals only (the
+          // array form would need a CreateArray of estimates; out of
+          // scope until asked for).
+          case ap: org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile
+              if org.apache.spark.sql.internal.SQLConf.get.getConfString(
+                   "spark.graft.mv.serveApproxPercentile", "false").toBoolean =>
+            val pLit = ap.percentageExpression match {
+              case l: Literal if l.foldable && l.dataType == DoubleType =>
+                Option(l.eval()).map(_.asInstanceOf[Double])
+              case _ => None
+            }
+            val accOk = ap.accuracyExpression match {
+              case l: Literal if l.foldable =>
+                Option(l.eval()).map(_.asInstanceOf[Number].doubleValue)
+                  .exists(acc => acc > 0 &&
+                    acc <= math.sqrt(spec.qskK.toDouble) / 1.65)
+              case _ => false
+            }
+            val m = ap.child match {
+              case a: AttributeReference
+                  if pLit.nonEmpty && accOk && measureSide(a) =>
+                quantilesByMeasure.get(a.name.toLowerCase)
+              case _ => None
+            }
+            m.flatMap(out => mvByName.get(out.toLowerCase).map { c =>
+              val union = AggregateExpression(
+                graft.functions.QskUnionAgg(c),
+                org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+                isDistinct = false)
+              val est = graft.functions.QskQuantile(union,
+                Literal(pLit.get, DoubleType))
+              // approx_percentile returns the CHILD's type (it picks
+              // an element); the sample estimate is also an element,
+              // carried as double — cast back so the served schema
+              // matches the query's
+              if (ap.dataType == DoubleType) est
+              else Cast(est, ap.dataType)
+            })
           case a: Average if a.child.dataType == LongType =>
             val attr = a.child match {
               case ar: AttributeReference => Some(ar)

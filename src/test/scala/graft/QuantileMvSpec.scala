@@ -83,6 +83,45 @@ class QuantileMvSpec extends SparkSpecBase {
     }
   }
 
+  test("mismatched-k unions keep exactly the provably-valid bottom-min(k) sample; same-k unions adopt that k (never a hardcoded default)") {
+    val rows = (1L to 4000L).map(i => (i, (i * 37) % 1000)).toDF("id", "v")
+    def sk(df: DataFrame, k: Int): Array[Byte] =
+      df.agg(qskAgg(xxhash64($"id"), $"v", k).as("sk"))
+        .head().getAs[Array[Byte]](0)
+    val a = sk(rows.filter($"id" <= 2000L), 64)   // truncated at 64
+    val b = sk(rows.filter($"id" > 2000L), 256)   // truncated at 256
+    val merged = QuantileSketch.merge(a, b)
+    val dec = QuantileSketch.decode(merged)
+    assert(dec.k == 64 && dec.entries.length == 64 && dec.n == 4000L,
+      s"mixed-k union must claim min(k): got k=${dec.k} size=${dec.entries.length}")
+    // bottom-64(bottom64(A) ∪ bottom256(B)) == bottom-64(A ∪ B): the
+    // merged bytes equal a one-pass k=64 build over the whole set
+    assert(java.util.Arrays.equals(merged, sk(rows, 64)),
+      "min-k union must be byte-equal to the one-pass min-k build")
+    // and merge is commutative (build-path-free bytes)
+    assert(java.util.Arrays.equals(QuantileSketch.merge(b, a), merged))
+    // qsk_union_agg adopts the CONTRIBUTORS' k — a non-default-k MV's
+    // serving union must stamp that k, not DefaultK
+    val viaUnion = rows.withColumn("half", $"id" <= 2000L)
+      .groupBy($"half")
+      .agg(qskAgg(xxhash64($"id"), $"v", 256).as("sk"))
+      .agg(column(graft.functions.QskUnionAgg(
+        expression($"sk")).toAggregateExpression()).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(QuantileSketch.decode(viaUnion).k == 256)
+    assert(java.util.Arrays.equals(viaUnion, sk(rows, 256)),
+      "same-k union-agg must be byte-equal to the one-pass build at that k")
+    // the union of ZERO sketches stamps k=0 on the wire and
+    // constrains nothing when merged onward
+    val unset = Seq.empty[Array[Byte]].toDF("sk")
+      .agg(column(graft.functions.QskUnionAgg(
+        expression($"sk")).toAggregateExpression()).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(QuantileSketch.decode(unset).k == 0)
+    assert(java.util.Arrays.equals(QuantileSketch.merge(unset, a), a),
+      "the empty union sketch must be the merge identity")
+  }
+
   test("QUANTILE MV: inserts fold, a retraction rescans its group, and the maintained sketch equals a from-base rebuild byte-for-byte") {
     val root = Tmp.dir("qsk_mv")
     val base = root + "/base"; val mv = root + "/mv"
@@ -176,6 +215,100 @@ class QuantileMvSpec extends SparkSpecBase {
     } finally {
       GraftMvRewrite.unregister(base)
       spark.catalog.dropTempView("qsk_sql_base")
+    }
+  }
+
+  test("non-default k: SQL CREATE with qsk_agg(..., 256) persists the precision; a k=256 query serves from the MV, a k=1024 one falls through; mixed-k CREATE rejects") {
+    graft.GraftExtensions.register(spark)
+    val root = Tmp.dir("qsk_k")
+    val base = root + "/base"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, base,
+      (1L to 3000L).map(i => (i, s"g${i % 3}", i * 10)).toDF("id", "g", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 6)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 1 RETAIN 6 AS
+           |SELECT g, qsk_agg(xxhash64(id), cents, 256) AS qsk_cents,
+           |  count(*) AS n
+           |FROM graft.`$base` GROUP BY g""".stripMargin)
+      assert(graft.pipeline.MvDef.read(mv).exists(_.spec.qskK == 256),
+        "the definition must persist the stored precision")
+      // the stored sketches really are k=256 (truncated: groups of 1000)
+      val stored = Scd1Merge.readTable(spark, mv)
+        .select($"qsk_cents").head().getAs[Array[Byte]](0)
+      assert(QuantileSketch.decode(stored).k == 256)
+      def q(k: Int): DataFrame =
+        Scd1Merge.readTable(spark, base).groupBy($"g")
+          .agg(qskQuantile(qskAgg(xxhash64($"id"), $"cents", k), 0.5)
+            .as("p50"), count(lit(1)).as("n"))
+      assert(readsOnly(q(256), mv),
+        s"a k=256 query must serve from the k=256 MV: ${scanPaths(q(256))}")
+      assert(readsOnly(q(QuantileSketch.DefaultK), base),
+        "a default-k query must fall through a k=256 MV")
+      // served answer == base recompute exactly (same k, lossless)
+      val served = q(256).orderBy("g").collect().map(_.toSeq).toSeq
+      GraftMvRewrite.unregister(base)
+      assert(served == q(256).orderBy("g").collect().map(_.toSeq).toSeq)
+      GraftMvRewrite.register(base, mv,
+        graft.pipeline.MvDef.read(mv).get.spec)
+      // mixed-k in one CREATE rejects loudly
+      val e = intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.sql(spark,
+          s"""CREATE GRAFT MATERIALIZED VIEW graft.`${mv}2` AS
+             |SELECT g, qsk_agg(xxhash64(id), cents, 256) AS q1,
+             |  qsk_agg(xxhash64(id), cents, 512) AS q2, count(*) AS n
+             |FROM graft.`$base` GROUP BY g""".stripMargin)
+      }
+      assert(e.getMessage.contains("same k"), e.getMessage)
+    } finally GraftMvRewrite.unregister(base)
+  }
+
+  test("approx_percentile serving is OPT-IN: a coarser-or-equal accuracy serves from the sketch MV, a tighter one (or the default conf) falls through") {
+    val root = Tmp.dir("qsk_ap")
+    val base = root + "/base"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, base,
+      (1L to 3000L).map(i => (i, s"g${i % 3}", i * 10)).toDF("id", "g", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 6)
+    val spec = AggSpec(Seq("g"), Nil, "n",
+      quantiles = Seq("cents" -> "qsk_cents"), sampleKeys = Seq("id"))
+    IncrementalAgg.bootstrapFrom(spark, mv, base, spec, numBuckets = 1,
+      retainVersions = 6)
+    GraftMvRewrite.register(base, mv, spec)
+    // k=1024 ⇒ the MV's rank-error bound is ~1.65/√1024 ≈ 0.0516,
+    // i.e. it can stand in for approx_percentile accuracies ≤ √k/1.65
+    // ≈ 19.4 (rank error 1/acc ≥ 0.0516) — acc=10 serves, acc=100
+    // (and the 10000 default) are TIGHTER claims the sample can't
+    // honor and must fall through
+    def q(acc: Int): DataFrame =
+      Scd1Merge.readTable(spark, base).groupBy($"g")
+        .agg(expr(s"approx_percentile(cents, 0.5D, $acc)").as("p50"),
+          count(lit(1)).as("n"))
+    try {
+      // conf off (default): never serves
+      assert(readsOnly(q(10), base),
+        "approx_percentile must not serve without the opt-in conf")
+      spark.conf.set("spark.graft.mv.serveApproxPercentile", "true")
+      assert(readsOnly(q(10), mv),
+        s"acc=10 must serve from the MV: ${scanPaths(q(10))}")
+      assert(readsOnly(q(100), base),
+        "a tighter-accuracy query must fall through")
+      // the served estimate is the sample's empirical quantile in the
+      // child's type — here k ≥ every group, so it is EXACT
+      val served = q(10).orderBy("g").collect().map(_.toSeq).toSeq
+      val exact = Scd1Merge.readTable(spark, base).groupBy($"g")
+        .agg(expr("percentile(cents, 0.5D)").as("p50"),
+          count(lit(1)).as("n"))
+        .orderBy("g").collect().map(_.toSeq).toSeq
+      served.zip(exact).foreach { case (s, e) =>
+        assert(s.head == e.head && s(2) == e(2), s"$s vs $e")
+        // percentile() interpolates between adjacent elements; the
+        // sample estimate picks an element — allow one value step
+        assert(math.abs(s(1).toString.toDouble - e(1).toString.toDouble)
+          <= 30.0, s"served p50 ${s(1)} too far from exact ${e(1)}")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.mv.serveApproxPercentile")
+      GraftMvRewrite.unregister(base)
     }
   }
 
