@@ -29,10 +29,16 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   *
   *  - SHAPE: `Limit(k, Sort([s DESC], Project(items, scan)))` where
   *    `s` is an output of the Project aliasing
-  *    `vec_cosine(<vecCol attr>, <foldable array literal>)`, the scan
-  *    is the registered base's BARE parquet relation (no Filter — a
-  *    filtered top-k changes which vectors are admissible, out of
-  *    scope), and the literal's length equals the registered `dim`.
+  *    `vec_cosine(<vecCol attr>, <foldable array literal>)`, the
+  *    literal's length equals the registered `dim`, and the child is
+  *    one of the serving matrix's four shapes: the registered base's
+  *    BARE parquet relation; a deterministic `Filter` directly over
+  *    it (served by the FILTERED path below — candidates join
+  *    against survivor counts with escalation, never a silent
+  *    recall cliff); a `Union` of a partitioned corpus's child
+  *    relations ([[tryRewriteUnion]] — per-branch candidate
+  *    semi-joins preserve partition pruning); or a filtered such
+  *    Union. Any other child falls through to the exact scan.
   *  - SNAPSHOT: the scan's file set equals the base's CURRENT live
   *    set — a time-travel read never rewrites.
   *  - FRESHNESS: the registration's commit stamp equals the base's
@@ -120,24 +126,34 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     var dir = java.nio.file.Paths.get(f0).getParent
     var depth = 0
     while (dir != null && depth < 5) {
-      val marker = dir.resolve(ArmFileName)
-      if (java.nio.file.Files.exists(marker)) {
-        val base = dir.toString
-        if (armedDirs.add(base) && !registry.containsKey(base)) {
-          val kv = java.nio.file.Files.readString(marker).split("\n")
-            .iterator.map(_.split("=", 2)).collect {
-              case Array(k, v) => k -> v }.toMap
-          try registry.put(base, AnnReg(base, dec(kv("index")),
-            dec(kv("id")), dec(kv("vec")), kv("dim").toInt,
-            kv("nprobe").toInt, kv("candfactor").toInt,
-            kv("commit").toInt,
-            corpusRead(spark, base).inputFiles.toSet))
-          catch { case _: Exception => () } // malformed marker: skip
-        }
+      if (java.nio.file.Files.exists(dir.resolve(ArmFileName))) {
+        armPath(spark, dir.toString)
         return
       }
       dir = dir.getParent; depth += 1
     }
+  }
+
+  /** Arm `basePath` directly from its persisted `_graft_ann` marker
+    * (no scan-file walk) — the maintenance sweep's entry point for a
+    * cataloged base no query has touched yet this session. Returns
+    * whether the base is registered afterwards. */
+  def armPath(spark: SparkSession, basePath: String): Boolean = {
+    if (registry.containsKey(basePath)) return true
+    val marker = java.nio.file.Paths.get(basePath, ArmFileName)
+    if (!java.nio.file.Files.exists(marker)) return false
+    if (armedDirs.add(basePath)) {
+      val kv = java.nio.file.Files.readString(marker).split("\n")
+        .iterator.map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> v }.toMap
+      try registry.put(basePath, AnnReg(basePath, dec(kv("index")),
+        dec(kv("id")), dec(kv("vec")), kv("dim").toInt,
+        kv("nprobe").toInt, kv("candfactor").toInt,
+        kv("commit").toInt,
+        corpusRead(spark, basePath).inputFiles.toSet))
+      catch { case _: Exception => () } // malformed marker: skip
+    }
+    registry.containsKey(basePath)
   }
 
   // ---- the corpus may be FLAT or PARTITIONED (the month-partitioned
@@ -185,6 +201,10 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       dim, nprobe, candFactor, commit, files))
     persist(basePath, indexPath, idCol, vecCol, dim, nprobe,
       candFactor, commit)
+    // durable inventory row (no-op without a catalog root): a FRESH
+    // session's maintenance sweep finds this base without waiting for
+    // a query to lazily arm it
+    graft.sql.GraftCatalog.putAnnBase(basePath, indexPath)
   }
 
   /** Re-stamp after an index update/rebuild has folded the base's
@@ -208,8 +228,28 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     val reg = Option(registry.get(basePath)).getOrElse(
       throw new IllegalArgumentException(
         s"GraftAnnRewrite.maintain: $basePath is not registered"))
-    val live = corpusCommit(basePath).getOrElse(
-      throw new IllegalStateException(s"$basePath has no manifest"))
+    // Snapshot (commit, files) CONSISTENTLY: list files, then verify
+    // the commit did not move while listing (bounded retry). The
+    // stamp below must be exactly what the fold covered — re-reading
+    // the commit AFTER the fold would let a racing base commit be
+    // stamped as covered when the codes do not contain it (the gate
+    // would then serve an index missing the newest vectors: fail-
+    // UNSAFE, where stamping the folded commit merely makes the
+    // racing commit fall back to the exact scan until the next
+    // maintain()).
+    var live = -1; var files = Set.empty[String]; var tries = 0
+    var consistent = false
+    while (!consistent && tries < 5) {
+      tries += 1
+      val c1 = corpusCommit(basePath).getOrElse(
+        throw new IllegalStateException(s"$basePath has no manifest"))
+      files = corpusRead(spark, basePath).inputFiles.toSet
+      val c2 = corpusCommit(basePath).getOrElse(-1)
+      if (c1 == c2) { live = c1; consistent = true }
+    }
+    if (!consistent) throw new IllegalStateException(
+      s"GraftAnnRewrite.maintain: $basePath is being committed to " +
+      "faster than its state can be snapshotted; retry when quiescent")
     if (live == reg.baseCommit) return 0L
     require(live > reg.baseCommit,
       s"GraftAnnRewrite.maintain: covered commit ${reg.baseCommit} is " +
@@ -218,23 +258,32 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       reg.indexPath, basePath, reg.idCol, reg.vecCol,
       fromCommit = reg.baseCommit, toCommit = live,
       dim = reg.dim, batchId = f"base-commit-$live%09d")
-    refresh(spark, basePath)
+    // stamp EXACTLY the folded commit + its snapshot — never the
+    // current commit, which may already be past what was folded
+    registry.put(basePath, reg.copy(baseCommit = live, baseFiles = files))
+    persist(basePath, reg.indexPath, reg.idCol, reg.vecCol, reg.dim,
+      reg.nprobe, reg.candFactor, live)
     n
   }
 
-  /** Remove the registration AND its persisted marker. */
+  /** Remove the registration, its persisted marker, and its catalog
+    * inventory row. */
   def unregister(basePath: String): Unit = {
     registry.remove(basePath); armedDirs.remove(basePath)
     try java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(basePath, ArmFileName))
     catch { case _: Exception => () }
-    ()
+    graft.sql.GraftCatalog.removeAnnBase(basePath)
   }
 
   /** Session-state reset (registrations persisted on disk re-arm on
-    * first touch — the restart simulation specs use exactly this). */
-  def clear(): Unit =
-    { registry.clear(); armedDirs.clear(); probedMisses.clear() }
+    * first touch — the restart simulation specs use exactly this).
+    * Also drops the plan-time caches: a spec recreating a table at
+    * the SAME path could otherwise collide on commit numbers. */
+  def clear(): Unit = {
+    registry.clear(); armedDirs.clear(); probedMisses.clear()
+    PlanCaches.clear()
+  }
 
   /** Rewrites applied since session start — plan-pin observability. */
   @volatile var rewriteCount: Long = 0L
@@ -366,11 +415,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     val isFiltered = branches.forall(_._2.isDefined)
     if (!isFiltered && branches.exists(_._2.isDefined)) return None
     if (isFiltered) {
-      def canon(e: Expression): String = e.transform {
-        case a: AttributeReference =>
-          a.withQualifier(Nil).withName(a.name.toLowerCase)
-      }.sql
-      if (branches.map(b => canon(b._2.get.condition)).distinct.size != 1)
+      if (branches.map(b => canonPred(b._2.get.condition)).distinct.size != 1)
         return None
       branches.foreach { case (_, fl, scan) =>
         val cond = fl.get.condition
@@ -402,8 +447,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     if (qvs.exists(_.length != reg.dim)) return None
     if (qvs.exists(a => !java.util.Arrays.equals(a, qvs.head))) return None
     val qv = qvs.head
-    val (cents, books) = graft.similarity.Similarity
-      .ivfPqIndexModel(spark, reg.indexPath)
+    val (cents, books) = PlanCaches.annModel(spark, reg.indexPath)
     // per-branch splice at a given probe width: the branch's own
     // Filter (if any) stays ABOVE its candidate semi-join, so the
     // final answer is the exact cosine top-k over (cands ∩ predicate)
@@ -432,6 +476,23 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     }
     // ---- FILTERED partitioned: the flat path's escalation, with the
     // survivor count over the union of per-branch (filter ∘ semi-join)
+    // — converged widths cached and wall-clock-bounded exactly like
+    // the flat path (see tryRewrite)
+    val escKey = PlanCaches.EscKey(reg.indexPath, reg.baseCommit,
+      canonPred(branches.head._2.get.condition) +
+        s"|np0=${reg.nprobe},cf0=${reg.candFactor}",
+      k, PlanCaches.qvHash(qv))
+    PlanCaches.escalationHit(escKey).foreach { case (np, cf) =>
+      lastFilteredEscalations = 0
+      escalationCacheHits += 1
+      val kids = childrenFor(np, cf).getOrElse(return None)
+      rewriteCount += 1
+      logInfo(s"graft ANN rewrite: FILTERED top-$k over PARTITIONED " +
+        s"${reg.basePath} served from ${reg.indexPath} at CACHED " +
+        s"escalation widths (nprobe=$np, candFactor=$cf)")
+      return Some(u.withNewChildren(kids))
+    }
+    val deadline = System.nanoTime() + escalationBudgetNanos
     val rowsEst = graft.merge.PartitionedTable
       .tableRowsEstimate(reg.basePath).getOrElse(Long.MaxValue)
     val target = math.min(OverFetch.toLong * k, math.max(k.toLong, rowsEst))
@@ -440,6 +501,12 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     var rounds = 0
     lastFilteredEscalations = 0
     var fallback: Option[Seq[LogicalPlan]] = None
+    var fallbackWidths: Option[(Int, Int)] = None
+    def serveFallback(): Option[LogicalPlan] = {
+      fallbackWidths.foreach(w =>
+        PlanCaches.escalationPut(escKey, w._1, w._2))
+      fallback.map { ks => rewriteCount += 1; u.withNewChildren(ks) }
+    }
     while (rounds < 12) {
       val kids = childrenFor(nprobe, candFactor).getOrElse(return None)
       val exhaustive = nprobe >= cents.length &&
@@ -454,18 +521,22 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
           s"${reg.basePath} served from ${reg.indexPath} " +
           s"(nprobe=$nprobe, candFactor=$candFactor, $survivors " +
           s"survivors, ${lastFilteredEscalations} escalations)")
+        PlanCaches.escalationPut(escKey, nprobe, candFactor)
         return Some(u.withNewChildren(kids))
       }
-      if (survivors >= k) fallback = Some(kids)
+      if (survivors >= k) {
+        fallback = Some(kids)
+        fallbackWidths = Some((nprobe, candFactor))
+      }
+      if (System.nanoTime() > deadline) return serveFallback()
       if (nprobe < cents.length)
         nprobe = math.min(cents.length, nprobe * 2)
       else if (candFactor < (1 << 16)) candFactor *= 2
-      else return fallback.map { ks => rewriteCount += 1
-        u.withNewChildren(ks) }
+      else return serveFallback()
       rounds += 1
       lastFilteredEscalations += 1
     }
-    fallback.map { ks => rewriteCount += 1; u.withNewChildren(ks) }
+    serveFallback()
   }
 
   /** The Project-level rewrite: locate the sort column's
@@ -553,9 +624,10 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       .getOrElse(return None)
     val spark = SparkSession.active
     // ---- the candidate plan: driver-side distance table (KBs),
-    // broadcast onto the persisted code rows, top candFactor·k by ADC
-    val (cents, books) = graft.similarity.Similarity
-      .ivfPqIndexModel(spark, reg.indexPath)
+    // broadcast onto the persisted code rows, top candFactor·k by ADC.
+    // Model via the commit-keyed cache — collect jobs only when a
+    // retrain/rebuild actually moved the model tables
+    val (cents, books) = PlanCaches.annModel(spark, reg.indexPath)
     def candsPlanFor(nprobe: Int, candFactor: Int): LogicalPlan =
       candsPlanFromRows(spark, reg.indexPath,
         distanceRows(qv, cents, books, nprobe), k, candFactor)
@@ -578,7 +650,25 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         // ---- escalation: count survivors (candidate-sized work — the
         // semi-join narrows the corpus scan to ≤ candFactor·k rows)
         // and widen the probe until k survive or the candidate set
-        // provably covers the corpus
+        // provably covers the corpus. The CONVERGED widths are cached
+        // by (index, covered commit, canonical predicate + starting
+        // widths, k, query vector) — a RE-planning of the same query
+        // (every .count()/.collect() on a fresh DataFrame replans)
+        // skips the probe jobs entirely and serves at the cached
+        // widths; any base commit, registration change, or new
+        // predicate/vector misses and probes fresh.
+        val escKey = PlanCaches.EscKey(reg.indexPath, reg.baseCommit,
+          canonPred(f.condition) + s"|np0=${reg.nprobe},cf0=${reg.candFactor}",
+          k, PlanCaches.qvHash(qv))
+        PlanCaches.escalationHit(escKey).foreach { case (np, cf) =>
+          lastFilteredEscalations = 0
+          escalationCacheHits += 1
+          logInfo(s"graft ANN rewrite: FILTERED top-$k over " +
+            s"${reg.basePath} served from ${reg.indexPath} at CACHED " +
+            s"escalation widths (nprobe=$np, candFactor=$cf)")
+          return Some(splice(candsPlanFor(np, cf)))
+        }
+        val deadline = System.nanoTime() + escalationBudgetNanos
         val rowsEst = (if (corpusPartitioned(reg.basePath))
             graft.merge.PartitionedTable.tableRowsEstimate(reg.basePath)
           else Scd1Merge.tableRowsEstimate(reg.basePath))
@@ -596,6 +686,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         // the best plan seen with ≥ k survivors — served if the
         // escalation budget runs out before the quality target
         var fallback: Option[LogicalPlan] = None
+        var fallbackWidths: Option[(Int, Int)] = None
         while (rounds < 12) {
           val cp = candsPlanFor(nprobe, candFactor)
           val exhaustive = nprobe >= cents.length &&
@@ -612,20 +703,38 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
               s"(nprobe=$nprobe, candFactor=$candFactor, " +
               s"$survivors survivors, ${lastFilteredEscalations} " +
               "escalations)")
+            PlanCaches.escalationPut(escKey, nprobe, candFactor)
             return Some(splice(cp))
           }
-          if (survivors >= k) fallback = Some(cp)
+          if (survivors >= k) {
+            fallback = Some(cp)
+            fallbackWidths = Some((nprobe, candFactor))
+          }
+          // wall-clock bound: planning latency must never dwarf the
+          // query — past the budget, serve the best ≥k plan seen or
+          // fall through to the exact scan
+          if (System.nanoTime() > deadline) {
+            fallbackWidths.foreach(w =>
+              PlanCaches.escalationPut(escKey, w._1, w._2))
+            return fallback.map(splice)
+          }
           // widen: nprobe first (recall-per-cost), then candFactor
           // (bounded — past the cap the exact scan is the honest plan)
           if (nprobe < cents.length)
             nprobe = math.min(cents.length, nprobe * 2)
           else if (candFactor < (1 << 16)) candFactor *= 2
-          else return fallback.map(splice)
+          else {
+            fallbackWidths.foreach(w =>
+              PlanCaches.escalationPut(escKey, w._1, w._2))
+            return fallback.map(splice)
+          }
           rounds += 1
           lastFilteredEscalations += 1
         }
         // budget exhausted: a ≥k-survivor plan serves best-effort;
         // otherwise the exact scan answers (never a short result)
+        fallbackWidths.foreach(w =>
+          PlanCaches.escalationPut(escKey, w._1, w._2))
         fallback.map(splice)
     }
   }
@@ -633,6 +742,28 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   /** Escalation rounds of the last FILTERED rewrite attempt on this
     * JVM — spec/plan-pin observability. */
   @volatile var lastFilteredEscalations: Int = 0
+
+  /** Escalation-cache hits since session start (a hit serves a
+    * previously-converged probe width with ZERO survivor-count jobs)
+    * — spec/plan-pin observability. */
+  @volatile var escalationCacheHits: Long = 0L
+
+  /** Wall-clock budget for one filtered escalation (ms, conf
+    * `spark.graft.ann.escalationBudgetMs`): planning latency must
+    * never dwarf the query it plans — past the budget the best
+    * ≥k-survivor plan serves, else the exact scan answers. */
+  private def escalationBudgetNanos: Long =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.ann.escalationBudgetMs", "30000")
+      .toLong * 1000000L
+
+  /** Qualifier-stripped lowercase rendering — the cross-branch /
+    * cache-key canonical form of a filter predicate (exprIds differ
+    * per plan; names do not). */
+  private def canonPred(e: Expression): String = e.transform {
+    case a: AttributeReference =>
+      a.withQualifier(Nil).withName(a.name.toLowerCase)
+  }.sql
 
   /** Survivor over-fetch multiple for FILTERED serving: escalation
     * aims for OverFetch·k predicate survivors (not just k) so the

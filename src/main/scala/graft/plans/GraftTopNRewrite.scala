@@ -49,7 +49,7 @@ object GraftTopNRewrite extends Rule[LogicalPlan] {
                baseKeys: Seq[String], spec: TopNSpec): Unit =
     registry.put(mvPath, TopNReg(mvPath, basePath, baseKeys, spec))
   def unregister(mvPath: String): Unit = { registry.remove(mvPath); () }
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); PlanCaches.clear() }
 
   /** Registered top-N MV paths — the maintenance sweep's inventory. */
   def registeredMvPaths: Seq[String] = {
@@ -241,15 +241,13 @@ object GraftTopNRewrite extends Rule[LogicalPlan] {
       Some(f.withNewChildren(Seq(w.withNewChildren(Seq(newChild)))))
     }
     import scala.jdk.CollectionConverters._
+    // snapshot gate via the commit-keyed cache: ONE manifest-header
+    // read per (registration, planning) — a re-listing only when that
+    // base's commit actually moved (PlanCaches Scaladoc)
     registry.values.asScala.toSeq.sortBy(_.mvPath).view
       .filter { r =>
-        k <= r.spec.n && {
-          if (graft.merge.PartitionedTable.tableExists(r.basePath))
-            graft.merge.PartitionedTable.readTable(spark, r.basePath)
-              .inputFiles.toSet == files
-          else Scd1Merge.tableExists(r.basePath) &&
-            Scd1Merge.readTable(spark, r.basePath).inputFiles.toSet == files
-        }
+        k <= r.spec.n &&
+          PlanCaches.liveFiles(spark, r.basePath).exists(_._2 == files)
       }
       .flatMap(tryWithReg)
       .headOption

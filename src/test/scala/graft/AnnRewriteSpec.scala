@@ -120,6 +120,49 @@ class AnnRewriteSpec extends SparkSpecBase {
     } finally GraftAnnRewrite.unregister(corpusT)
   }
 
+  test("PLAN-TIME CACHES: re-planning an unchanged commit re-lists nothing and replays no escalation jobs; a base commit invalidates both") {
+    val (corpusT, idx) = freshCorpus("annrw_cache")
+    try {
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 2, candFactor = 2)
+      // first FILTERED planning: escalation probes run and the
+      // converged widths land in the cache
+      val first = filteredTopk(corpusT, col("label") === 3)
+      assert(servedBy(first, idx))
+      val rows1 = first.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val hits0 = GraftAnnRewrite.escalationCacheHits
+      // second planning (fresh DataFrame = fresh optimization): the
+      // cache serves the SAME widths with zero survivor-count jobs
+      val second = filteredTopk(corpusT, col("label") === 3)
+      assert(servedBy(second, idx))
+      assert(GraftAnnRewrite.escalationCacheHits == hits0 + 1,
+        "a re-planned identical filtered query must hit the escalation cache")
+      assert(GraftAnnRewrite.lastFilteredEscalations == 0,
+        "a cache hit replays no probe rounds")
+      assert(second.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        == rows1, "cached widths must serve the identical answer")
+      // a DIFFERENT predicate / k misses (sound: new survivor math)
+      val before = GraftAnnRewrite.escalationCacheHits
+      assert(servedBy(filteredTopk(corpusT, col("label") === 2), idx))
+      assert(GraftAnnRewrite.escalationCacheHits == before,
+        "a different predicate must not reuse another's widths")
+      // a base commit invalidates: the index is stale (falls back),
+      // and after maintain() the NEW commit's first planning probes
+      // fresh rather than serving pre-commit widths
+      Scd1Merge.upsert(spark, corpusT,
+        emb.filter(col("vec_id") < 5)
+          .withColumn("vec_id", col("vec_id") + 100000L),
+        Seq("vec_id"), retainVersions = 4, batchId = "c2")
+      assert(!servedBy(filteredTopk(corpusT, col("label") === 3), idx),
+        "a stale index must fall back regardless of cached widths")
+      GraftAnnRewrite.maintain(spark, corpusT)
+      val hitsAfter = GraftAnnRewrite.escalationCacheHits
+      assert(servedBy(filteredTopk(corpusT, col("label") === 3), idx))
+      assert(GraftAnnRewrite.escalationCacheHits == hitsAfter,
+        "a new covered commit must probe fresh, not reuse stale widths")
+    } finally GraftAnnRewrite.unregister(corpusT)
+  }
+
   test("persisted registration survives a session-registry wipe; unregister removes the marker") {
     val (corpusT, idx) = freshCorpus("annrw_persist")
     try {
