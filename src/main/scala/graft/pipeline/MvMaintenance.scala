@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.merge.Scd1Merge
 import graft.sql.GraftCatalog
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSession
 
 /** AUTO-MAINTAINED materialized views — closing the pull-only gap:
@@ -39,7 +40,7 @@ import org.apache.spark.sql.SparkSession
   * entire seen→live lag, and so does a sweep. Exactly-once holds
   * throughout — refresh is the stamped, replay-safe
   * [[IncrementalAgg.applyChanges]] path. */
-object MvMaintenance {
+object MvMaintenance extends Logging {
 
   /** MV paths auto-refreshed by THIS thread's in-flight hook cascade —
     * the cycle guard (an MV-over-MV loop would otherwise recurse). */
@@ -118,8 +119,8 @@ object MvMaintenance {
             // stand down loudly-in-logs: the base write SUCCEEDED and
             // must not be failed by its maintenance rider; the MV is
             // stale-but-sound (freshness gate) until the next touch
-            System.err.println(s"[graft] auto-refresh of $mv after " +
-              s"commit to $path failed (MV stays stale-but-sound): $e")
+            logError(s"graft auto-refresh of $mv after commit to " +
+              s"$path failed (MV stays stale-but-sound)", e)
           }
           finally inFlight.set(prev)
         }
@@ -190,9 +191,11 @@ object MvMaintenance {
     * until the inventory is quiescent — a parent MV's refresh commits
     * it, which makes its CHILD MVs stale, which the next pass folds
     * (dependency order without computing the graph; bounded by the
-    * chain depth). Then sweep the OTHER maintained artifact families:
-    * registered top-N MVs fold their lag ([[TopNMv.refresh]] no-ops
-    * when current) and registered ANN indexes fold their corpus
+    * chain depth). Then sweep the OTHER maintained artifact families
+    * from DURABLE state (session registries ∪ the persisted catalog —
+    * a fresh session sweeps definitions no query has touched yet):
+    * top-N MVs fold their lag ([[TopNMv.refresh]] no-ops
+    * when current) and ANN indexes fold their corpus
     * change-feed window
     * ([[graft.plans.GraftAnnRewrite.maintain]] — O(changed rows),
     * re-stamping the rewrite). One statement turns EVERY maintained
@@ -200,24 +203,54 @@ object MvMaintenance {
     * every artifact actually refreshed. */
   def refreshAllStale(spark: SparkSession): Seq[(String, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // PER-ARTIFACT failure isolation: one dangling MV (base dropped
+    // but still cataloged, a corrupt sidecar) must never abort the
+    // sweep — the healthy inventory still converges, the failure is
+    // logged, and the broken MV is skipped THIS sweep (it stays
+    // stale-but-sound; fixing or dropping it is an operator act).
+    val failed = scala.collection.mutable.Set.empty[String]
+    def attempt(path: String, what: String)(body: => Long): Unit =
+      if (!failed.contains(path)) {
+        try {
+          val n = body
+          if (n != 0L) out += path -> n
+        } catch { case e: Exception =>
+          failed += path
+          logError(s"graft REFRESH ALL: $what $path failed — " +
+            "skipped for this sweep (stays stale-but-sound)", e)
+        }
+      }
     var pass = 0
     var progressed = true
     while (progressed && pass < 16) {
       progressed = false
-      knownMvs.filter(isStale).foreach { mv =>
-        val n = refreshMv(spark, mv)
-        out += mv -> n
-        progressed = true
-      }
+      knownMvs.filter(mv => !failed.contains(mv) && isStale(mv))
+        .foreach { mv =>
+          attempt(mv, "aggregate MV") {
+            val n = refreshMv(spark, mv)
+            // report even a 0-commit re-arm pass like the old sweep
+            out += mv -> n
+            progressed = true
+            0L
+          }
+        }
       pass += 1
     }
-    graft.plans.GraftTopNRewrite.registeredMvPaths.foreach { mv =>
-      val n = TopNMv.refresh(spark, mv)
-      if (n > 0) out += mv -> n
+    // top-N MVs: the session registry UNION the durable catalog —
+    // a fresh session sweeps `_graft_topn` definitions no query has
+    // touched yet (the cross-session REFRESH ALL contract)
+    (graft.plans.GraftTopNRewrite.registeredMvPaths ++
+      GraftCatalog.allTopNMvs).distinct.sorted.foreach { mv =>
+      attempt(mv, "top-N MV")(TopNMv.refresh(spark, mv))
     }
-    graft.plans.GraftAnnRewrite.registeredBases.foreach { b =>
-      val n = graft.plans.GraftAnnRewrite.maintain(spark, b)
-      if (n > 0) out += b -> n
+    // ANN corpora: session registrations plus cataloged bases armed
+    // directly from their persisted `_graft_ann` markers
+    val annBases = (graft.plans.GraftAnnRewrite.registeredBases ++
+      GraftCatalog.allAnnBases.filter(
+        graft.plans.GraftAnnRewrite.armPath(spark, _))).distinct.sorted
+    annBases.foreach { b =>
+      attempt(b, "ANN index over")(
+        graft.plans.GraftAnnRewrite.maintain(spark, b))
     }
     out.toSeq
   }

@@ -186,6 +186,10 @@ object TopNMv {
     writeDef(mvPath, basePath, baseKeys, spec, retain)
     graft.plans.GraftTopNRewrite.register(spark, mvPath, basePath,
       baseKeys, spec)
+    // durable inventory row (no-op without a catalog root): REFRESH
+    // ALL in a FRESH session sweeps this MV without it ever having
+    // been queried or refreshed by path
+    graft.sql.GraftCatalog.putTopNMv(mvPath, basePath)
   }
 
   /** Fold every base commit the MV has not seen; returns commits

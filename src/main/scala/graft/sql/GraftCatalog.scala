@@ -100,9 +100,12 @@ object GraftCatalog {
 
   private val names = new Cached("_graft_catalog")
   private val mvs = new Cached("_graft_catalog_mv")
+  private val topns = new Cached("_graft_catalog_topn")
+  private val anns = new Cached("_graft_catalog_ann")
 
   private def invalidate(): Unit = {
     names.invalidateThis(); mvs.invalidateThis()
+    topns.invalidateThis(); anns.invalidateThis()
   }
 
   // ---- name registry (GraftTables' durable layer) ----
@@ -125,4 +128,27 @@ object GraftCatalog {
   /** Distinct base paths with at least one cataloged MV — the arming
     * probe's candidate set (empty when no root / no MVs). */
   def basesWithMvs: Seq[String] = mvs.get().values.toSeq.distinct.sorted
+
+  // ---- top-N MV inventory (`_graft_catalog_topn`, mv → base) ----
+  // What closes REFRESH ALL's cross-session hole: the sweep used to
+  // enumerate top-N MVs from the SESSION registry only, so a fresh
+  // session never saw a `_graft_topn` definition nobody had queried
+  // or refreshed by path yet. The catalog row makes the inventory
+  // durable; the authoritative definition stays the MV's own sidecar.
+  def putTopNMv(mvPath: String, basePath: String): Unit =
+    topns.put(mvPath, basePath)
+  def removeTopNMv(mvPath: String): Unit = topns.remove(mvPath)
+  def removeTopNMvsTouching(path: String): Unit = {
+    topns.remove(path); topns.removeValue(path)
+  }
+  def allTopNMvs: Seq[String] = topns.get().keys.toSeq.sorted
+
+  // ---- ANN index inventory (`_graft_catalog_ann`, base → index) ----
+  // Same durability posture for vector indexes: the `_graft_ann`
+  // marker arms lazily on first QUERY, but a maintenance sweep in a
+  // fresh session needs the inventory without waiting for a query.
+  def putAnnBase(basePath: String, indexPath: String): Unit =
+    anns.put(basePath, indexPath)
+  def removeAnnBase(basePath: String): Unit = anns.remove(basePath)
+  def allAnnBases: Seq[String] = anns.get().keys.toSeq.sorted
 }

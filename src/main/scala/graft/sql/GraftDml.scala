@@ -735,8 +735,17 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
     if (baseKeys.isEmpty) bad(s"base $basePath records no merge keys")
     val agg = GraftSql.sql(spark, selectSql).queryExecution.analyzed match {
       case a: Aggregate => a
-      case _ => bad("the AS query must be a plain GROUP BY aggregate " +
-        "over the base (no joins or post-aggregate projections)")
+      case other =>
+        // not an aggregate: the TOP-N WINDOW shape (a leaderboard MV
+        // — [[graft.pipeline.TopNMv]]) is the other creatable form
+        runTopN(spark, other, basePath, baseKeys) match {
+          case Some(rows) => return rows
+          case None => bad("the AS query must be a plain GROUP BY " +
+            "aggregate over the base, a star join aggregate, or a " +
+            "top-N window: SELECT <base cols> FROM (SELECT *, " +
+            "row_number()/rank() OVER (PARTITION BY g ORDER BY m " +
+            "[DESC][, keys]) AS rn FROM graft.`<base>`) WHERE rn <= n")
+        }
     }
     // an optional WHERE bakes into the MV as a FILTERED aggregate:
     // the definition stores the resolved predicate's SQL, maintenance
@@ -771,6 +780,7 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
     var maxs = Seq.empty[(String, String)]
     var sketches = Seq.empty[(String, String)]
     var quantiles = Seq.empty[(String, String)]
+    var qskK: Option[Int] = None
     var countName: Option[String] = None
     agg.aggregateExpressions.foreach {
       case a: AttributeReference if groupNames.contains(a.name) => ()
@@ -819,12 +829,17 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
           // must be xxhash64 over exactly the base merge keys IN KEY
           // ORDER — that is the row identity maintenance samples by,
           // and a different spelling would sample different rows than
-          // the stored sketches. Default k only (the rewrite gates on
-          // the stored precision).
+          // the stored sketches. Any positive k is admitted (the
+          // p99.9-at-scale dial: rank error ~1.65/√k for O(k) state
+          // per group), but every qsk_agg of ONE MV must share it —
+          // the spec persists a single stored precision and the
+          // rewrite gates on it; mixed-k sketches would union down
+          // to min(k) and answer at a precision nobody asked for.
           case qa: graft.functions.QskAgg =>
-            if (qa.k != graft.functions.QuantileSketch.DefaultK)
-              bad(s"'${al.sql}': qsk_agg is maintainable at the " +
-                s"default k (${graft.functions.QuantileSketch.DefaultK}) only")
+            if (qskK.exists(_ != qa.k))
+              bad(s"'${al.sql}': every qsk_agg in one MV must use the " +
+                s"same k (first saw ${qskK.get}, then ${qa.k})")
+            qskK = Some(qa.k)
             val hashKeys = qa.hash match {
               case x: org.apache.spark.sql.catalyst.expressions.XxHash64
                   if x.children.forall(_.isInstanceOf[AttributeReference]) =>
@@ -851,7 +866,8 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       "column — it is the group-liveness ledger deletion maintenance uses"))
     val spec = AggSpec(groupNames, sums, cn, filterSql, groupExprs,
       mins, maxs, sketches, quantiles,
-      sampleKeys = if (quantiles.isEmpty) Nil else baseKeys)
+      sampleKeys = if (quantiles.isEmpty) Nil else baseKeys,
+      qskK = qskK.getOrElse(graft.functions.QuantileSketch.DefaultK))
     IncrementalAgg.bootstrapFrom(spark, path, basePath, spec, numBuckets,
       retainVersions = retain)
     MvDef.write(path,
@@ -860,6 +876,159 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
     GraftCatalog.putMv(path, basePath) // durable: a NEW session auto-arms
     if (auto) graft.pipeline.MvMaintenance.enableAuto(path)
     Nil
+  }
+
+  /** The TOP-N WINDOW form: `AS SELECT <base cols> FROM (SELECT *,
+    * row_number()/rank() OVER (PARTITION BY groups ORDER BY m
+    * [DESC][, base keys ASC]) AS rn FROM graft.`<base>`) WHERE
+    * rn <= n` — lowered onto [[graft.pipeline.TopNMv.createMv]] (the
+    * leaderboard MV [[graft.plans.GraftTopNRewrite]] serves). The
+    * gates mirror the rewrite's own, so what CREATE admits is exactly
+    * what will later serve:
+    *  - `row_number()` requires the REGISTERED deterministic ordering
+    *    — the order column in its direction (default null ordering),
+    *    then EVERY base merge key ascending. An ordering that drops
+    *    the base-key tie-break is rejected loudly: tied rows at the
+    *    storage boundary would make the stored set
+    *    partitioning-dependent, and a query with a different
+    *    tie-break could legally pick different rows than maintenance
+    *    stored.
+    *  - `rank()` orders by the measure ALONE and creates a TIES MV
+    *    (`ties = true` — every row tied into the top n positions is
+    *    stored, so rank queries never return short).
+    *  - the outer SELECT lists the stored columns — bare base
+    *    columns only, never the row number (recomputed at query
+    *    time over the MV's ≤n rows per group).
+    * None = not this shape (the caller reports the combined CREATE
+    * grammar); a recognized-but-ill-formed top-N rejects loudly. */
+  private def runTopN(spark: SparkSession, analyzed: LogicalPlan,
+                      basePath: String, baseKeys: Seq[String])
+      : Option[Seq[Row]] = {
+    import graft.pipeline.TopNMv
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Descending, LessThan, LessThanOrEqual, Literal, NullsFirst, NullsLast, SortOrder, WindowExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias, Union, Window}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def bad(why: String): Nothing =
+      throw new IllegalArgumentException(
+        s"CREATE GRAFT MATERIALIZED VIEW (top-N): $why")
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => strip(c)
+      case Project(items, c)
+          if items.forall(_.isInstanceOf[AttributeReference]) &&
+            items.map(_.exprId).toSet == c.output.map(_.exprId).toSet =>
+        strip(c) // a pass-through re-order/re-list of the child
+      case other => other
+    }
+    // outer SELECT: the stored column list
+    val (outerItems, afterSelect) = analyzed match {
+      case Project(items, c) => (items, strip(c))
+      case other => (Nil, strip(other))
+    }
+    // the qualifying filter
+    val (cond, belowFilterChild) = afterSelect match {
+      case Filter(c, ch) => (c, strip(ch))
+      case _ => return None
+    }
+    // the window node (its Project wrapper is pass-through: the
+    // subquery's SELECT *, rn)
+    val w = belowFilterChild match {
+      case ww: Window => ww
+      case _ => return None
+    }
+    val (rnAlias, isRank) = w.windowExpressions match {
+      case Seq(al @ Alias(we: WindowExpression, _)) =>
+        we.windowFunction match {
+          case _: org.apache.spark.sql.catalyst.expressions.RowNumber =>
+            (al, false)
+          case _: org.apache.spark.sql.catalyst.expressions.Rank =>
+            (al, true)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    // from here the SHAPE is recognized — ill-formed details reject
+    // loudly instead of falling through to the aggregate error
+    val n = cond match {
+      case LessThanOrEqual(a: AttributeReference, Literal(v: Int, _))
+          if a.exprId == rnAlias.exprId => v
+      case LessThan(a: AttributeReference, Literal(v: Int, _))
+          if a.exprId == rnAlias.exprId => v - 1
+      case _ => bad("the WHERE must be a single `rn <= n` (or `rn < " +
+        "n+1`) on the window column — no other conjuncts (filtered " +
+        "leaderboards are served query-side, not stored)")
+    }
+    if (n < 1) bad(s"n must be positive, got $n")
+    // window child: bare columns read DIRECTLY off the base scan (a
+    // flat relation or a partitioned read's union) — no filter below
+    // the window (a filtered leaderboard is a query shape the rewrite
+    // serves via group-filter pushdown, not a storable definition)
+    def scanOnly(p: LogicalPlan): Boolean = p match {
+      case SubqueryAlias(_, c) => scanOnly(c)
+      case Project(items, c)
+          if items.forall(_.isInstanceOf[AttributeReference]) => scanOnly(c)
+      case _: LogicalRelation => true
+      case u: Union => u.children.forall(scanOnly)
+      case _ => false
+    }
+    if (!scanOnly(w.child))
+      bad("the window must read the base table directly — bare " +
+        "columns, no WHERE below the window")
+    val scanOutput = w.child.outputSet
+    val groupCols = w.partitionSpec.map {
+      case a: AttributeReference if scanOutput.contains(a) => a.name
+      case e => bad(s"PARTITION BY must list bare base columns, got " +
+        s"'${e.sql}'")
+    }
+    if (groupCols.isEmpty) bad("PARTITION BY must name at least one " +
+      "group column (a global top-N is a plain ORDER BY ... LIMIT)")
+    // ordering: mirrors GraftTopNRewrite's gate exactly
+    val (orderCol, desc) = w.orderSpec.headOption match {
+      case Some(SortOrder(a: AttributeReference, dir, nulls, _))
+          if scanOutput.contains(a) &&
+            nulls == (if (dir == Descending) NullsLast else NullsFirst) =>
+        (a.name, dir == Descending)
+      case _ => bad("ORDER BY must lead with a bare base measure " +
+        "column (default null ordering)")
+    }
+    if (isRank) {
+      if (w.orderSpec.size != 1)
+        bad("rank() orders by the measure alone (rank is tie-stable; " +
+          "the ties MV stores every tied row)")
+    } else {
+      val tail = w.orderSpec.drop(1)
+      val want = baseKeys
+      if (tail.size != want.size || tail.zip(want).exists {
+          case (SortOrder(a: AttributeReference, Ascending, NullsFirst, _),
+                k) => !a.name.equalsIgnoreCase(k)
+          case _ => true
+        })
+        bad("row_number() needs the deterministic tie-break: ORDER BY " +
+          s"<measure> [DESC], then the base merge keys ascending " +
+          s"(${baseKeys.mkString(", ")}) — without it the stored rows " +
+          "would be partitioning-dependent and the rewrite could " +
+          "never serve")
+    }
+    // stored columns: the outer SELECT's bare base columns
+    if (outerItems.isEmpty)
+      bad("list the stored columns explicitly in the outer SELECT " +
+        "(bare base columns; the row number is recomputed at query " +
+        "time, so leave it out)")
+    val cols = outerItems.map {
+      case a: AttributeReference if a.exprId == rnAlias.exprId =>
+        bad("the outer SELECT must not store the row number — it is " +
+          "recomputed over the MV's rows at query time")
+      case a: AttributeReference if scanOutput.exists(_.exprId == a.exprId) =>
+        a.name
+      case e => bad(s"the outer SELECT must list bare base columns, " +
+        s"got '${e.sql}'")
+    }
+    if (auto) bad("AUTO REFRESH is not supported for top-N MVs yet — " +
+      "REFRESH ALL MATERIALIZED VIEWS sweeps them (durable catalog " +
+      "inventory)")
+    TopNMv.createMv(spark, path, basePath,
+      TopNMv.TopNSpec(groupCols, orderCol, desc, n, cols, ties = isRank),
+      numBuckets, retain)
+    Some(Nil)
   }
 
   /** The STAR form: `AS SELECT groups..., sum(m) AS s..., count(*) AS
@@ -1160,7 +1329,8 @@ case class GraftShowMvsCommand()
       if (graft.merge.PartitionedTable.tableExists(p))
         graft.merge.PartitionedTable.tableCommit(p)
       else Scd1Merge.tableCommit(p)
-    (GraftCatalog.basesWithMvs.toSeq.flatMap(GraftCatalog.mvsOver) ++
+    val aggRows = (GraftCatalog.basesWithMvs.toSeq
+        .flatMap(GraftCatalog.mvsOver) ++
       graft.plans.GraftMvRewrite.registeredMvPaths)
       .distinct.sorted.flatMap { mvPath =>
         MvDef.read(mvPath).map { d =>
@@ -1181,6 +1351,21 @@ case class GraftShowMvsCommand()
             stamp.isDefined && stamp == want)
         }
       }
+    // top-N MVs: session registrations ∪ the durable catalog
+    val topnRows = (graft.plans.GraftTopNRewrite.registeredMvPaths ++
+      GraftCatalog.allTopNMvs).distinct.sorted.flatMap { mvPath =>
+        graft.pipeline.TopNMv.readDef(mvPath).map {
+          case (basePath, _, spec, _) =>
+            val stamp = Scd1Merge.tableBatchId(mvPath)
+            val want = commitOf(basePath).map(c => f"base-commit-$c%09d")
+            Row(mvPath, basePath,
+              if (spec.ties) s"top-${spec.n}(ties)" else s"top-${spec.n}",
+              spec.groupCols.mkString(","),
+              stamp.orNull, want.getOrElse("?"),
+              stamp.isDefined && stamp == want)
+        }
+      }
+    aggRows ++ topnRows
   }
 }
 
@@ -1191,18 +1376,30 @@ case class GraftRefreshMvCommand(path: String)
     AttributeReference("commits_applied", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.pipeline.{MvDef, MvMaintenance}
-    val d = MvDef.read(path).getOrElse(throw new IllegalStateException(
-      s"REFRESH MATERIALIZED VIEW: $path has no _graft_mv definition " +
-      "(not created via CREATE GRAFT MATERIALIZED VIEW)"))
-    // one engine-level refresh body ([[MvMaintenance.refreshMv]]) —
-    // the SQL statement, the AUTO REFRESH hook, and refreshAllStale
-    // must never diverge on maintenance semantics
-    val applied = MvMaintenance.refreshMv(spark, path)
-    val live =
-      (if (graft.merge.PartitionedTable.tableExists(d.basePath))
-         graft.merge.PartitionedTable.tableCommit(d.basePath)
-       else Scd1Merge.tableCommit(d.basePath)).getOrElse(-1)
-    Seq(Row(live.toLong, applied))
+    def liveOf(basePath: String): Long =
+      (if (graft.merge.PartitionedTable.tableExists(basePath))
+         graft.merge.PartitionedTable.tableCommit(basePath)
+       else Scd1Merge.tableCommit(basePath)).getOrElse(-1).toLong
+    MvDef.read(path) match {
+      case Some(d) =>
+        // one engine-level refresh body ([[MvMaintenance.refreshMv]])
+        // — the SQL statement, the AUTO REFRESH hook, and
+        // refreshAllStale must never diverge on maintenance semantics
+        val applied = MvMaintenance.refreshMv(spark, path)
+        Seq(Row(liveOf(d.basePath), applied))
+      case None =>
+        // a TOP-N MV refreshes through its own `_graft_topn`
+        // definition ([[graft.pipeline.TopNMv.refresh]])
+        graft.pipeline.TopNMv.readDef(path) match {
+          case Some((basePath, _, _, _)) =>
+            val applied = graft.pipeline.TopNMv.refresh(spark, path)
+            Seq(Row(liveOf(basePath), applied))
+          case None => throw new IllegalStateException(
+            s"REFRESH MATERIALIZED VIEW: $path has no _graft_mv or " +
+            "_graft_topn definition (not created via CREATE GRAFT " +
+            "MATERIALIZED VIEW)")
+        }
+    }
   }
 }
 
@@ -1246,10 +1443,11 @@ case class GraftDropCommand(path: String, mv: Boolean, ifExists: Boolean)
         s"DROP: $path is not a graft table")
     }
     val mvDef = MvDef.read(path)
-    if (mv && mvDef.isEmpty) throw new IllegalStateException(
-      s"DROP MATERIALIZED VIEW: $path has no _graft_mv definition — " +
-      "it is a plain table (DROP TABLE)")
-    if (!mv && mvDef.nonEmpty) throw new IllegalStateException(
+    val isTopN = graft.pipeline.TopNMv.readDef(path).nonEmpty
+    if (mv && mvDef.isEmpty && !isTopN) throw new IllegalStateException(
+      s"DROP MATERIALIZED VIEW: $path has no _graft_mv or _graft_topn " +
+      "definition — it is a plain table (DROP TABLE)")
+    if (!mv && (mvDef.nonEmpty || isTopN)) throw new IllegalStateException(
       s"DROP TABLE: $path is a materialized view — DROP MATERIALIZED VIEW")
     mvDef.foreach { d =>
       if (d.joins.nonEmpty) graft.plans.GraftMvRewrite.unregisterJoin(path)
@@ -1265,6 +1463,8 @@ case class GraftDropCommand(path: String, mv: Boolean, ifExists: Boolean)
     graft.plans.GraftTopNRewrite.unregister(path)
     graft.plans.GraftAnnRewrite.unregister(path)
     GraftCatalog.removeMvsTouching(path)
+    GraftCatalog.removeTopNMvsTouching(path)
+    GraftCatalog.removeAnnBase(path)
     Scd1Merge.deleteRecursively(java.nio.file.Paths.get(path))
     Nil
   }

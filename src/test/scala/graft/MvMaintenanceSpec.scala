@@ -204,6 +204,99 @@ class MvMaintenanceSpec extends SparkSpecBase {
     }
   }
 
+  test("CROSS-SESSION sweep: a FRESH session's refreshAllStale folds a stale top-N MV and ANN index it never queried (durable catalog inventory)") {
+    import graft.pipeline.TopNMv
+    import graft.pipeline.TopNMv.TopNSpec
+    import graft.plans.{GraftAnnRewrite, GraftTopNRewrite}
+    val root = Tmp.dir("mv_sweep_xsession")
+    graft.sql.GraftCatalog.setRoot(root + "/cat")
+    val base = root + "/base"; val topMv = root + "/topmv"
+    val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+    try {
+      Scd1Merge.upsert(spark, base,
+        (1L to 100L).map(i => (i, s"g${i % 4}", i * 10)).toDF("id", "g", "cents"),
+        Seq("id"), numBuckets = 1, retainVersions = 6)
+      TopNMv.createMv(spark, topMv, base,
+        TopNSpec(Seq("g"), "cents", desc = true, n = 2,
+          cols = Seq("id", "g", "cents")), numBuckets = 1, retain = 6)
+      val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .limit(400)
+      Scd1Merge.upsert(spark, corpusT, emb, Seq("vec_id"), numBuckets = 2,
+        retainVersions = 6)
+      graft.similarity.Similarity.ivfPqIndexBuild(spark, idx,
+        Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16, iters = 1, dim = 64)
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64)
+      // both go stale, then the "session" restarts: registries wiped,
+      // only the persisted catalog + sidecar definitions remain
+      Scd1Merge.upsert(spark, base,
+        Seq((900L, "g0", 99999L)).toDF("id", "g", "cents"), Seq("id"),
+        retainVersions = 6)
+      Scd1Merge.upsert(spark, corpusT,
+        emb.filter($"vec_id" < 4).withColumn("vec_id", $"vec_id" + 10000000L),
+        Seq("vec_id"), retainVersions = 6)
+      GraftTopNRewrite.clear(); GraftAnnRewrite.clear()
+      assert(GraftTopNRewrite.registeredMvPaths.isEmpty)
+      // ONE statement turns the whole inventory fresh — no prior
+      // query, no by-path refresh
+      val swept = MvMaintenance.refreshAllStale(spark)
+      assert(swept.exists(_._1 == topMv),
+        s"the fresh session's sweep must find the cataloged top-N MV: $swept")
+      assert(swept.exists(e => e._1 == corpusT && e._2 == 4L),
+        s"the fresh session's sweep must arm + fold the cataloged ANN base: $swept")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"cents".desc, $"id".asc)
+      val topQ = Scd1Merge.readTable(spark, base)
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      assert(readsOnly(topQ, topMv), "swept top-N MV must serve")
+      assert(MvMaintenance.refreshAllStale(spark).isEmpty, "quiescent")
+    } finally {
+      GraftTopNRewrite.clear(); GraftAnnRewrite.unregister(corpusT)
+      graft.sql.GraftCatalog.removeTopNMvsTouching(topMv)
+      graft.sql.GraftCatalog.clearRoot()
+      MvMaintenance.reset()
+    }
+  }
+
+  test("sweep resilience: a dangling cataloged MV (base dropped) is skipped and logged — the healthy inventory still converges") {
+    val root = Tmp.dir("mv_sweep_dangling")
+    graft.sql.GraftCatalog.setRoot(root + "/cat")
+    try {
+      val (base, mv, _) = fixture("resilient")
+      graft.sql.GraftCatalog.putMv(mv, base)
+      // the dangling entry: an MV whose definition exists but whose
+      // base is GONE (isStale marks want.isEmpty as stale; refreshMv
+      // would throw 'has no manifest')
+      val deadBase = root + "/deadbase"; val deadMv = root + "/deadmv"
+      Scd1Merge.upsert(spark, deadBase,
+        Seq((1L, "g0", 5L)).toDF("id", "g", "cents"), Seq("id"),
+        retainVersions = 6)
+      val spec = IncrementalAgg.AggSpec(Seq("g"),
+        Seq("cents" -> "sum_cents"), "n")
+      IncrementalAgg.bootstrapFrom(spark, deadMv, deadBase, spec,
+        numBuckets = 1, retainVersions = 6)
+      MvDef.write(deadMv, MvDef.Def(deadBase, Seq("id"), spec, retain = 6))
+      graft.sql.GraftCatalog.putMv(deadMv, deadBase)
+      Scd1Merge.deleteRecursively(java.nio.file.Paths.get(deadBase))
+      // a healthy MV goes stale behind the dangler (alphabetical
+      // order puts deadmv before mv only sometimes — either way the
+      // sweep must reach the healthy one)
+      Scd1Merge.upsert(spark, base,
+        Seq((900L, "g0", 7L)).toDF("id", "g", "cents"), Seq("id"),
+        retainVersions = 6)
+      val swept = MvMaintenance.refreshAllStale(spark)
+      assert(swept.exists(_._1 == mv),
+        s"the healthy MV must refresh despite the dangling one: $swept")
+      assert(!swept.exists(_._1 == deadMv), "the dangler is skipped")
+      assert(readsOnly(q(base), mv), "healthy MV serves after the sweep")
+    } finally {
+      graft.sql.GraftCatalog.clearRoot()
+      GraftMvRewrite.clear()
+      MvMaintenance.reset()
+    }
+  }
+
   test("SQL lifecycle: CREATE ... AUTO REFRESH serves across a wave; REFRESH ALL MATERIALIZED VIEWS sweeps") {
     val root = Tmp.dir("mv_auto_sql")
     val base = root + "/base"; val mv = root + "/mv"

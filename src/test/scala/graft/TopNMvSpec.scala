@@ -78,6 +78,28 @@ class TopNMvSpec extends SparkSpecBase {
     } finally GraftTopNRewrite.clear()
   }
 
+  test("SNAPSHOT-GATE CACHE: one listing per (registration, commit) — re-planning re-lists nothing; a base commit re-lists once") {
+    val (base, mv) = fixture("topn_cache")
+    try {
+      assert(readsOnly(q(base, 3), mv)) // populate
+      val n0 = graft.plans.PlanCaches.listingCount
+      assert(readsOnly(q(base, 3), mv))
+      assert(readsOnly(q(base, 2), mv))
+      assert(graft.plans.PlanCaches.listingCount == n0,
+        "re-planning against an unchanged commit must not re-list files")
+      // a base commit moves the manifest: exactly one fresh listing
+      Scd1Merge.upsert(spark, base,
+        Seq((900L, "g0", 9999L)).toDF("id", "g", "cents"), Seq("id"),
+        retainVersions = 6)
+      assert(readsOnly(q(base, 3), base), "stale MV routes to the base")
+      val n1 = graft.plans.PlanCaches.listingCount
+      assert(n1 > n0, "the moved commit must have re-listed")
+      assert(readsOnly(q(base, 3), base))
+      assert(graft.plans.PlanCaches.listingCount == n1,
+        "the new commit's listing is cached too")
+    } finally GraftTopNRewrite.clear()
+  }
+
   test("inserts fold: new leaders enter, evictions happen, a stale MV routes to the base until refresh") {
     val (base, mv) = fixture("topn_fold")
     try {
@@ -189,6 +211,92 @@ class TopNMvSpec extends SparkSpecBase {
         .orderBy("g", "rn").collect().map(_.toSeq).toSeq
       assert(served == expect, s"\n$served\nvs\n$expect")
       TopNMv.refresh(spark, mv) // re-register for the finally path
+    } finally GraftTopNRewrite.clear()
+  }
+
+  test("SQL lifecycle: CREATE GRAFT MV with a top-N window; serve → wave → REFRESH → serve; rank() makes a ties MV; bad orderings reject; DROP removes it") {
+    val root = Tmp.dir("topn_sql")
+    val base = root + "/base"; val mv = root + "/mv"; val mvR = root + "/mvr"
+    Scd1Merge.upsert(spark, base,
+      (1L to 200L).map(i => (i, s"g${i % 5}", i * 10)).toDF("id", "g", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 6)
+    try {
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mv` BUCKETS 1 RETAIN 6 AS
+           |SELECT id, g, cents FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY g ORDER BY cents DESC, id ASC) AS rn
+           |  FROM graft.`$base`) WHERE rn <= 3""".stripMargin)
+      assert(TopNMv.readDef(mv).exists { case (b, keys, spec, _) =>
+        b == base && keys == Seq("id") && spec.n == 3 && !spec.ties &&
+          spec.orderCol == "cents" && spec.desc },
+        s"the _graft_topn definition must persist: ${TopNMv.readDef(mv)}")
+      assert(readsOnly(q(base, 3), mv), s"${scanPaths(q(base, 3))}")
+      assertSame(q(base, 3), recompute(base, 3))
+      // wave → stale → SQL REFRESH (routes through _graft_topn) → serve
+      Scd1Merge.upsert(spark, base,
+        Seq((900L, "g0", 99999L)).toDF("id", "g", "cents"), Seq("id"),
+        retainVersions = 6)
+      assert(readsOnly(q(base, 3), base))
+      val r = graft.sql.GraftSql.sql(spark,
+        s"REFRESH MATERIALIZED VIEW graft.`$mv`").collect()
+      assert(r.head.getLong(1) == 1L, s"one commit folded: ${r.toSeq}")
+      assert(readsOnly(q(base, 3), mv))
+      assertSame(q(base, 3), recompute(base, 3))
+      // rank() form → ties MV
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$mvR` BUCKETS 1 RETAIN 6 AS
+           |SELECT id, g, cents FROM (
+           |  SELECT *, rank() OVER (
+           |    PARTITION BY g ORDER BY cents DESC) AS rk
+           |  FROM graft.`$base`) WHERE rk <= 2""".stripMargin)
+      assert(TopNMv.readDef(mvR).exists(d => d._3.ties && d._3.n == 2),
+        "rank() must create a TIES definition")
+      val rkw = Window.partitionBy($"g").orderBy($"cents".desc)
+      val rkq = Scd1Merge.readTable(spark, base)
+        .withColumn("rk", rank().over(rkw)).filter($"rk" <= 2)
+      assert(readsOnly(rkq, mvR), "the rank leaderboard must serve")
+      // SHOW lists both with freshness
+      val shown = graft.sql.GraftSql.sql(spark,
+        "SHOW MATERIALIZED VIEWS").collect()
+      assert(shown.exists(row => row.getString(0) == mv &&
+        row.getString(2) == "top-3" && row.getBoolean(6)), shown.mkString(";"))
+      assert(shown.exists(row => row.getString(0) == mvR &&
+        row.getString(2) == "top-2(ties)"), shown.mkString(";"))
+      // REJECTIONS: a row_number ordering that drops the base-key
+      // tie-break; storing the row number; a filter below the window
+      val e1 = intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.sql(spark,
+          s"""CREATE GRAFT MATERIALIZED VIEW graft.`${mv}2` AS
+             |SELECT id, g, cents FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY g ORDER BY cents DESC) AS rn
+             |  FROM graft.`$base`) WHERE rn <= 3""".stripMargin)
+      }
+      assert(e1.getMessage.contains("tie-break"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.sql(spark,
+          s"""CREATE GRAFT MATERIALIZED VIEW graft.`${mv}2` AS
+             |SELECT id, g, cents, rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY g ORDER BY cents DESC, id ASC) AS rn
+             |  FROM graft.`$base`) WHERE rn <= 3""".stripMargin)
+      }
+      assert(e2.getMessage.contains("row number"), e2.getMessage)
+      val e3 = intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.sql(spark,
+          s"""CREATE GRAFT MATERIALIZED VIEW graft.`${mv}2` AS
+             |SELECT id, g, cents FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY g ORDER BY cents DESC, id ASC) AS rn
+             |  FROM graft.`$base` WHERE cents > 100) WHERE rn <= 3""".stripMargin)
+      }
+      assert(e3.getMessage.contains("directly"), e3.getMessage)
+      // DROP: the MV statement removes it and disarms the rewrite
+      graft.sql.GraftSql.sql(spark,
+        s"DROP MATERIALIZED VIEW graft.`$mv`")
+      assert(TopNMv.readDef(mv).isEmpty, "dropped definition gone")
+      assert(readsOnly(q(base, 3), base), "dropped MV never serves")
     } finally GraftTopNRewrite.clear()
   }
 
