@@ -42,5 +42,6 @@ object SparkEntry {
         "sim_pca_recall", "sim_ivfpq_recall", "dedup_embedding_recall",
         "a20_approx_quantile", "sim_knn_graph_ann_recall",
         "a24_sketch_rollup", "sim_index_drift", "sim_ann_rewrite",
-        "pipe29_sketch_mv", "sim_ann_filtered", "sim_ann_partitioned")
+        "pipe29_sketch_mv", "sim_ann_filtered", "sim_ann_partitioned",
+        "sim_ann_payload")
 }

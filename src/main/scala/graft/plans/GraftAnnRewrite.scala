@@ -70,7 +70,8 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   final case class AnnReg(basePath: String, indexPath: String,
                           idCol: String, vecCol: String, dim: Int,
                           nprobe: Int, candFactor: Int,
-                          baseCommit: Int, baseFiles: Set[String])
+                          baseCommit: Int, baseFiles: Set[String],
+                          payloadCols: Seq[String] = Nil)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, AnnReg]()
@@ -91,12 +92,16 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
 
   private def persist(basePath: String, indexPath: String, idCol: String,
                       vecCol: String, dim: Int, nprobe: Int,
-                      candFactor: Int, commit: Int): Unit = {
+                      candFactor: Int, commit: Int,
+                      payloadCols: Seq[String]): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
-    val body = Seq(
+    val body = (Seq(
       s"index=${enc(indexPath)}", s"id=${enc(idCol)}",
       s"vec=${enc(vecCol)}", s"dim=$dim", s"nprobe=$nprobe",
-      s"candfactor=$candFactor", s"commit=$commit").mkString("\n")
+      s"candfactor=$candFactor", s"commit=$commit") ++
+      (if (payloadCols.nonEmpty)
+        Seq(s"payload=${payloadCols.map(enc).mkString(",")}") else Nil))
+      .mkString("\n")
     val tmp = Paths.get(basePath, ArmFileName + ".tmp")
     Files.createDirectories(tmp.getParent)
     Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -150,7 +155,9 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         dec(kv("id")), dec(kv("vec")), kv("dim").toInt,
         kv("nprobe").toInt, kv("candfactor").toInt,
         kv("commit").toInt,
-        corpusRead(spark, basePath).inputFiles.toSet))
+        corpusRead(spark, basePath).inputFiles.toSet,
+        kv.get("payload").map(_.split(",").iterator.filter(_.nonEmpty)
+          .map(dec).toSeq).getOrElse(Nil)))
       catch { case _: Exception => () } // malformed marker: skip
     }
     registry.containsKey(basePath)
@@ -192,15 +199,16 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     * exactly that state. */
   def register(spark: SparkSession, basePath: String, indexPath: String,
                idCol: String, vecCol: String, dim: Int,
-               nprobe: Int = 4, candFactor: Int = 16): Unit = {
+               nprobe: Int = 4, candFactor: Int = 16,
+               payloadCols: Seq[String] = Nil): Unit = {
     val commit = corpusCommit(basePath).getOrElse(
       throw new IllegalArgumentException(
         s"GraftAnnRewrite.register: $basePath is not a graft table"))
     val files = corpusRead(spark, basePath).inputFiles.toSet
     registry.put(basePath, AnnReg(basePath, indexPath, idCol, vecCol,
-      dim, nprobe, candFactor, commit, files))
+      dim, nprobe, candFactor, commit, files, payloadCols))
     persist(basePath, indexPath, idCol, vecCol, dim, nprobe,
-      candFactor, commit)
+      candFactor, commit, payloadCols)
     // durable inventory row (no-op without a catalog root): a FRESH
     // session's maintenance sweep finds this base without waiting for
     // a query to lazily arm it
@@ -214,7 +222,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       throw new IllegalArgumentException(
         s"GraftAnnRewrite.refresh: $basePath is not registered"))
     register(spark, basePath, reg.indexPath, reg.idCol, reg.vecCol,
-      reg.dim, reg.nprobe, reg.candFactor)
+      reg.dim, reg.nprobe, reg.candFactor, reg.payloadCols)
   }
 
   /** ONE-CALL index maintenance: diff the registration's covered
@@ -257,12 +265,13 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     val n = graft.similarity.Similarity.ivfPqIndexUpdateFromTable(spark,
       reg.indexPath, basePath, reg.idCol, reg.vecCol,
       fromCommit = reg.baseCommit, toCommit = live,
-      dim = reg.dim, batchId = f"base-commit-$live%09d")
+      dim = reg.dim, batchId = f"base-commit-$live%09d",
+      payloadCols = reg.payloadCols)
     // stamp EXACTLY the folded commit + its snapshot — never the
     // current commit, which may already be past what was folded
     registry.put(basePath, reg.copy(baseCommit = live, baseFiles = files))
     persist(basePath, reg.indexPath, reg.idCol, reg.vecCol, reg.dim,
-      reg.nprobe, reg.candFactor, live)
+      reg.nprobe, reg.candFactor, live, reg.payloadCols)
     n
   }
 
@@ -350,10 +359,18 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     * error. */
   private def candsPlanFromRows(spark: SparkSession, indexPath: String,
                                 dtRows: Seq[(Int, Int, Int, Double)],
-                                k: Int, candFactor: Int): LogicalPlan = {
+                                k: Int, candFactor: Int,
+                                payloadPredSql: Option[String] = None)
+      : LogicalPlan = {
     import spark.implicits._
     val dt = dtRows.toDF("__cluster", "sub", "code", "__d2")
-    Scd1Merge.readTable(spark, s"$indexPath/codes")
+    val codes0 = graft.similarity.Similarity.readCodes(spark, indexPath)
+    // payload pushdown: the predicate prunes code rows BEFORE the
+    // ADC join — a vector's m rows carry identical payload values,
+    // so vectors are kept or dropped whole and the sum stays total.
+    // Catalyst pushes the filter into the parquet scan.
+    val codes = payloadPredSql.map(codes0.filter).getOrElse(codes0)
+    codes
       .join(broadcast(dt), Seq("__cluster", "sub", "code"))
       .groupBy(col("vec_id"))
       // 1e-9-quantized ADC sums: partial-agg-order independence (the
@@ -628,9 +645,10 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     // Model via the commit-keyed cache — collect jobs only when a
     // retrain/rebuild actually moved the model tables
     val (cents, books) = PlanCaches.annModel(spark, reg.indexPath)
-    def candsPlanFor(nprobe: Int, candFactor: Int): LogicalPlan =
+    def candsPlanFor(nprobe: Int, candFactor: Int,
+                     predSql: Option[String] = None): LogicalPlan =
       candsPlanFromRows(spark, reg.indexPath,
-        distanceRows(qv, cents, books, nprobe), k, candFactor)
+        distanceRows(qv, cents, books, nprobe), k, candFactor, predSql)
     def splice(candsPlan: LogicalPlan): LogicalPlan = {
       val join = Join(scan, candsPlan, LeftSemi,
         Some(EqualTo(idAttr, candsPlan.output.head)), JoinHint.NONE)
@@ -639,14 +657,48 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         filterOpt.map(f => f.withNewChildren(Seq(join)): LogicalPlan)
           .getOrElse(join)))
     }
-    filterOpt match {
-      case None =>
-        val candsPlan = candsPlanFor(reg.nprobe, reg.candFactor)
-        logInfo(s"graft ANN rewrite: top-$k over ${reg.basePath} served " +
-          s"from ${reg.indexPath} (commit ${reg.baseCommit}, " +
-          s"${reg.nprobe} cells probed)")
-        Some(splice(candsPlan))
-      case Some(f) =>
+    // ---- PAYLOAD PUSHDOWN (the filtered-search scale answer): when
+    // every filter column was DECLARED at registration and carried
+    // into the code table, the predicate prunes code rows INSIDE the
+    // probe — candidates are then all admissible, so the filtered
+    // query is exactly as index-quality-bound as an unfiltered one
+    // (candFactor·k ADC-best MATCHING candidates from nprobe cells)
+    // and typically serves with ZERO escalations. Escalation remains
+    // only for probed cells holding fewer than k matches; at
+    // nprobe = nlist the candidate set contains EVERY matching
+    // vector, so a short answer is exact. Any pushdown failure
+    // (schema drift, unresolvable predicate) falls back to the
+    // generic survivor-count path below — never an error.
+    def payloadServe(f: org.apache.spark.sql.catalyst.plans.logical.Filter)
+        : Option[LogicalPlan] = {
+      // FULL-WIDTH probe: with the predicate pruning code rows INSIDE
+      // the scan, cost is bounded by the predicate's selectivity, not
+      // by cells probed — probing every cell reads exactly the
+      // matching code rows (a 1% predicate reads ~1% of the code
+      // table, strictly less than the generic escalation's terminal
+      // widths read), candidates are the ADC-best candFactor·k among
+      // ALL matching vectors (recall is the index's own ADC quality,
+      // not a cell-coverage lottery), a short answer is EXACT (every
+      // matching vector is a candidate), and planning runs ZERO Spark
+      // jobs — no survivor counts, no escalation rounds. The one
+      // bound: the per-query distance table is nlist·m·ksub doubles,
+      // driver-computed and broadcast, so very large models fall back
+      // to the generic survivor-count path instead of a huge
+      // broadcast.
+      if (cents.length > FullProbeMaxCells) return None
+      lastFilteredEscalations = 0
+      lastPayloadPushdowns += 1
+      logInfo(s"graft ANN rewrite: PAYLOAD-filtered top-$k over " +
+        s"${reg.basePath} served from ${reg.indexPath} " +
+        s"(full-width probe over ${cents.length} cells, predicate " +
+        "pruned inside the scan, 0 escalations)")
+      Some(splice(candsPlanFor(cents.length, reg.candFactor,
+        Some(canonPred(f.condition)))))
+    }
+    // the generic FILTERED serving path: survivor-count escalation
+    // over (candidates ∩ predicate) — see the tryRewrite Scaladoc
+    def genericFiltered(f: org.apache.spark.sql.catalyst.plans.logical.Filter)
+        : Option[LogicalPlan] = {
         // ---- escalation: count survivors (candidate-sized work — the
         // semi-join narrows the corpus scan to ≤ candFactor·k rows)
         // and widen the probe until k survive or the candidate set
@@ -737,7 +789,27 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
           PlanCaches.escalationPut(escKey, w._1, w._2))
         fallback.map(splice)
     }
+    filterOpt match {
+      case None =>
+        val candsPlan = candsPlanFor(reg.nprobe, reg.candFactor)
+        logInfo(s"graft ANN rewrite: top-$k over ${reg.basePath} served " +
+          s"from ${reg.indexPath} (commit ${reg.baseCommit}, " +
+          s"${reg.nprobe} cells probed)")
+        Some(splice(candsPlan))
+      case Some(f) =>
+        // payload-covered predicates try the PUSHDOWN first; the
+        // generic survivor-count escalation is the safety net for
+        // undeclared columns, unfillable probes, or pushdown errors
+        val viaPayload =
+          if (reg.payloadCols.nonEmpty &&
+              f.condition.references.forall(a =>
+                reg.payloadCols.exists(_.equalsIgnoreCase(a.name))))
+            (try payloadServe(f) catch { case _: Exception => None })
+          else None
+        viaPayload.orElse(genericFiltered(f))
+    }
   }
+
 
   /** Escalation rounds of the last FILTERED rewrite attempt on this
     * JVM — spec/plan-pin observability. */
@@ -747,6 +819,11 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     * previously-converged probe width with ZERO survivor-count jobs)
     * — spec/plan-pin observability. */
   @volatile var escalationCacheHits: Long = 0L
+
+  /** Payload-pushdown servings since session start (filtered queries
+    * whose predicate pruned candidates INSIDE the probe) —
+    * spec/plan-pin observability. */
+  @volatile var lastPayloadPushdowns: Long = 0L
 
   /** Wall-clock budget for one filtered escalation (ms, conf
     * `spark.graft.ann.escalationBudgetMs`): planning latency must
@@ -770,4 +847,10 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     * exact re-rank picks from a candidate pool deep enough to track
     * the true filtered top-k. */
   private val OverFetch = 4
+
+  /** Payload pushdown's full-width probe cap: the per-query distance
+    * table is nlist·m·ksub doubles (driver-computed, broadcast) — at
+    * 1024 cells × 16 subs × 256 codes it is ~32 MB, the sane ceiling;
+    * a bigger model falls back to the generic escalation path. */
+  private val FullProbeMaxCells = 1024
 }

@@ -952,6 +952,86 @@ object QueriesLLM {
         lit(true).as("refresh_served"), lit(true).as("rearm_served"))
     }),
 
+    "sim_ann_payload" -> ((s, dir) => {
+      // FILTERED-ANN PAYLOAD PUSHDOWN (r13 verdict #5) — the scale
+      // answer for a PERMANENTLY selective predicate: columns
+      // DECLARED at index build are carried into every code row
+      // (identical across a vector's m rows, so vectors keep or drop
+      // whole), and a registered filter over only those columns
+      // prunes candidates INSIDE the probe. The serving plan probes
+      // ALL cells (cost is bounded by the predicate's selectivity ×
+      // code table, not by cells probed — a 1% predicate reads ~1%
+      // of the code rows, pushed into the parquet scan), candidates
+      // are the ADC-best candFactor·k among ALL matching vectors,
+      // and planning runs ZERO Spark jobs — no survivor counts, no
+      // escalations (r13's loop degraded toward corpus-coverage
+      // probes for exactly this shape). At this SF every matching
+      // vector (a 10% slice of the 500-vector corpus) fits the
+      // candidate budget, so the served answer is provably the EXACT
+      // filtered top-k (recall pinned 1.0).
+      // In-row requires pin: zero escalations, the pushdown counter,
+      // the predicate pushed into the codes scan, and a zero-match
+      // predicate serving the exact EMPTY answer.
+      val emb = table(s, dir, "embeddings")
+        .withColumn("pct", (col("vec_id") % 10).cast("int"))
+      val root = graft.Tmp.dir("graft_annpay")
+      val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+      Scd1Merge.upsert(s, corpusT, emb, Seq("vec_id"), numBuckets = 4,
+        retainVersions = 4, batchId = "c1")
+      Similarity.ivfPqIndexBuild(s, idx, Scd1Merge.readTable(s, corpusT),
+        "vec_id", "embedding", nlist = 16, m = 16, ksub = 16, iters = 2,
+        dim = 64, batchId = "b1", payloadCols = Seq("pct"))
+      val qv = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val KK = 10
+      def topk(pred: org.apache.spark.sql.Column): DataFrame =
+        Scd1Merge.readTable(s, corpusT).filter(pred)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.vecCosine(col("embedding"),
+              typedLit(qv)).as("cos_sim"))
+          .orderBy(col("cos_sim").desc).limit(KK)
+      def scansCodes(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten.exists(_.contains(idx + "/codes/"))
+      // the exact answer, before anything is armed (1% selectivity)
+      val pred = col("pct") === 7
+      val exactIds = topk(pred).collect().map(_.getLong(0)).toSet
+      require(exactIds.size == KK, s"exact ids: ${exactIds.size}")
+      graft.plans.GraftAnnRewrite.register(s, corpusT, idx,
+        "vec_id", "embedding", dim = 64, nprobe = 4, candFactor = 16,
+        payloadCols = Seq("pct"))
+      val pd0 = graft.plans.GraftAnnRewrite.lastPayloadPushdowns
+      val served = topk(pred)
+      require(scansCodes(served), "the declared predicate must serve")
+      require(graft.plans.GraftAnnRewrite.lastPayloadPushdowns == pd0 + 1,
+        "the pushdown path must have served it")
+      require(graft.plans.GraftAnnRewrite.lastFilteredEscalations == 0,
+        "a declared selective predicate must serve with ZERO escalations")
+      // the predicate is pushed INTO the codes parquet scan
+      require(served.queryExecution.executedPlan.toString.contains("pct"),
+        "the payload predicate must reach the codes scan")
+      val servedIds = served.collect().map(_.getLong(0))
+      require(servedIds.length == KK, s"served ids: ${servedIds.length}")
+      val hits = servedIds.toSet.intersect(exactIds).size
+      // a zero-match declared predicate serves the exact EMPTY answer
+      val none = topk(col("pct") === 999)
+      require(scansCodes(none), "zero-match pushdown still serves")
+      require(none.count() == 0, "short answers are exact, never padded")
+      graft.plans.GraftAnnRewrite.unregister(corpusT)
+      s.range(1).select(lit(16L).as("nlist"), lit(16L).as("cand_factor"),
+        lit(KK.toLong).as("k"), lit(hits.toLong).as("n_hits"),
+        (lit(hits).cast("double") / lit(KK)).as("recall"),
+        lit(true).as("payload_served"), lit(true).as("zero_escalations"),
+        lit(true).as("pred_pushed_to_codes"),
+        lit(true).as("short_exact_ok"))
+    }),
+
     "sim_ann_filtered" -> ((s, dir) => {
       // FILTERED ANN TOP-K (r12 verdict #1) — the dominant production
       // vector-search shape: `WHERE <metadata pred> ORDER BY
@@ -2008,6 +2088,14 @@ object QueriesLLM {
     // corpus coverage (nprobe = nlist, candFactor·k ≥ rows), so the
     // served answer IS the exact filtered top-k — recall exactly 1.
     // The in-row requires pin the routing and escalation legs.
+    // PROVABLY exact at this SF: the 1% predicate's matching vectors
+    // all fit the candidate budget, so the re-rank sees every one.
+    "sim_ann_payload" ->
+      """SELECT 16::BIGINT AS nlist, 16::BIGINT AS cand_factor,
+         |  10::BIGINT AS k, 10::BIGINT AS n_hits, 1.0 AS recall,
+         |  TRUE AS payload_served, TRUE AS zero_escalations,
+         |  TRUE AS pred_pushed_to_codes,
+         |  TRUE AS short_exact_ok""".stripMargin,
     "sim_ann_filtered" ->
       """SELECT 16::BIGINT AS nlist, 4::BIGINT AS nprobe,
          |  16::BIGINT AS cand_factor, 10::BIGINT AS k,

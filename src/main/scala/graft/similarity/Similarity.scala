@@ -793,13 +793,26 @@ object Similarity {
   /** Encode the corpus against the fused model: (vec_id, cell, sub,
     * code) int rows — the persisted index layout ([[ivfPqIndexBuild]]).
     * m+1 ints per vector replace dim floats in every scan. */
+  /** `payloadCols`: metadata columns carried INTO each code row (the
+    * filtered-search scale answer — a registered selective predicate
+    * then prunes candidates inside the probe itself instead of
+    * escalating toward corpus coverage). A vector's m code rows all
+    * carry identical payload values, so a payload filter keeps or
+    * drops whole vectors and the ADC sum is never partial. Cost: a
+    * few repeated metadata bytes per code row, RLE-compressed in
+    * parquet; updates re-encode the vector, refreshing the payload. */
   def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                   cents: Array[Seq[Float]],
-                  books: Array[Array[Seq[Float]]], dim: Int): DataFrame = {
+                  books: Array[Array[Seq[Float]]], dim: Int,
+                  payloadCols: Seq[String] = Nil): DataFrame = {
     val res = ivfResiduals(corpus, idCol, vecCol, cents)
-    pqEncode(res, idCol, "__res", books, dim)
+    val base = pqEncode(res, idCol, "__res", books, dim)
       .join(res.select(col(idCol).as("vec_id"), col("__cluster")), "vec_id")
       .select(col("vec_id"), col("__cluster"), col("sub"), col("code"))
+    if (payloadCols.isEmpty) base
+    else base.join(
+      corpus.select((col(idCol).as("vec_id") +: payloadCols.map(col)): _*),
+      "vec_id")
   }
 
   /** (approx candidate pairs scanned, exact-reranked candidates) of
@@ -884,17 +897,36 @@ object Similarity {
     } finally approx.unpersist(blocking = false)
   }
 
+  /** The codes table may be FLAT (one Scd1 table) or PARTITIONED by
+    * a corpus partition column ([[ivfPqIndexBuild]]'s
+    * `codesPartitionBy` — the 100 TB posture: one month's re-encode
+    * then commits to ONE child instead of rewriting buckets of a
+    * corpus-wide table). Readers switch transparently. */
+  private[graft] def codesPartitioned(indexPath: String): Boolean =
+    graft.merge.PartitionedTable.tableExists(s"$indexPath/codes")
+
+  private[graft] def readCodes(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String): DataFrame =
+    if (codesPartitioned(indexPath))
+      graft.merge.PartitionedTable.readTable(spark, s"$indexPath/codes")
+    else graft.merge.Scd1Merge.readTable(spark, s"$indexPath/codes")
+
   /** Persist the fused index through the commit protocol (the pipe17
     * posture): centroids, flattened codebooks, and the per-vector
     * code rows each land as batch-stamped graft tables — later
     * ingests encode ONLY the new batch against the trained model
-    * ([[ivfPqIndexUpdate]]); probes read the persisted codes. */
+    * ([[ivfPqIndexUpdate]]); probes read the persisted codes.
+    * `codesPartitionBy`: partition the code table by this corpus
+    * column (auto-included in the payload so every code row carries
+    * it); maintenance commits then touch only changed children. */
   def ivfPqIndexBuild(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String, corpus: DataFrame,
                       idCol: String, vecCol: String,
                       nlist: Int = 16, m: Int = 8, ksub: Int = 16,
                       iters: Int = 2, dim: Int = 64,
-                      batchId: String = ""): Unit = {
+                      batchId: String = "",
+                      payloadCols: Seq[String] = Nil,
+                      codesPartitionBy: Option[String] = None): Unit = {
     import spark.implicits._
     val (cents, books) = ivfPqTrain(corpus, idCol, vecCol, nlist, m, ksub, iters, dim)
     // a prior SCOPED repair may have grown the centroid list past
@@ -917,9 +949,20 @@ object Similarity {
         book.toSeq.zipWithIndex.map { case (v, code) => (sub, code, v) }
       }.toDF("sub", "code", "centroid"),
       Seq("sub", "code"), numBuckets = 1, batchId = batchId)
-    graft.merge.Scd1Merge.upsert(spark, s"$indexPath/codes",
-      ivfPqEncode(corpus, idCol, vecCol, cents, books, dim),
-      Seq("vec_id", "sub"), batchId = batchId)
+    val pay = (payloadCols ++ codesPartitionBy.toSeq).distinct
+    val encoded = ivfPqEncode(corpus, idCol, vecCol, cents, books, dim, pay)
+    codesPartitionBy match {
+      case Some(pcol) =>
+        // the partition column joins the merge keys (the partitioned
+        // layer's routing invariant); a vector MOVING partitions
+        // arrives through the change feed as delete(old child) +
+        // insert(new child), both payload-routed
+        graft.merge.PartitionedTable.upsert(spark, s"$indexPath/codes",
+          encoded, Seq(pcol, "vec_id", "sub"), pcol, batchId = batchId)
+      case None =>
+        graft.merge.Scd1Merge.upsert(spark, s"$indexPath/codes",
+          encoded, Seq("vec_id", "sub"), batchId = batchId)
+    }
     // trained-time drift BASELINE (the monitor's reference point —
     // persisted so a later session's ivfPqIndexMaintain needs no
     // re-derivation); written last, so a crash mid-build leaves a
@@ -944,11 +987,19 @@ object Similarity {
   def ivfPqIndexUpdate(spark: org.apache.spark.sql.SparkSession,
                        indexPath: String, newVecs: DataFrame,
                        idCol: String, vecCol: String, dim: Int = 64,
-                       batchId: String = ""): Unit = {
+                       batchId: String = "",
+                       payloadCols: Seq[String] = Nil): Unit = {
     val (cents, books) = ivfPqIndexModel(spark, indexPath)
-    graft.merge.Scd1Merge.upsert(spark, s"$indexPath/codes",
-      ivfPqEncode(newVecs, idCol, vecCol, cents, books, dim),
-      Seq("vec_id", "sub"), batchId = batchId)
+    val encoded = ivfPqEncode(newVecs, idCol, vecCol, cents, books, dim,
+      payloadCols)
+    if (codesPartitioned(indexPath))
+      graft.merge.PartitionedTable.applyCdc(spark, s"$indexPath/codes",
+        encoded.withColumn("__op", lit("upsert")),
+        graft.merge.PartitionedTable.tableKeys(s"$indexPath/codes")
+          .getOrElse(Seq("vec_id", "sub")),
+        opCol = "__op")
+    else graft.merge.Scd1Merge.upsert(spark, s"$indexPath/codes",
+      encoded, Seq("vec_id", "sub"), batchId = batchId)
   }
 
   /** Change rows consumed by the last [[ivfPqIndexUpdateFromTable]] on
@@ -972,7 +1023,8 @@ object Similarity {
                                 indexPath: String, basePath: String,
                                 idCol: String, vecCol: String,
                                 fromCommit: Int, toCommit: Int,
-                                dim: Int = 64, batchId: String = ""): Long = {
+                                dim: Int = 64, batchId: String = "",
+                                payloadCols: Seq[String] = Nil): Long = {
     import graft.merge.{PartitionedTable, Scd1Merge}
     val changes = (if (PartitionedTable.tableExists(basePath))
         PartitionedTable.readChangesAtCommits(spark, basePath,
@@ -986,20 +1038,33 @@ object Similarity {
       val (cents, books) = ivfPqIndexModel(spark, indexPath)
       val ups = changes
         .filter(col("_change_type").isin("insert", "update"))
-        .select(col(idCol), col(vecCol))
-      val upCodes = ivfPqEncode(ups, idCol, vecCol, cents, books, dim)
+        .select((col(idCol) +: col(vecCol) +: payloadCols.map(col)): _*)
+      val upCodes = ivfPqEncode(ups, idCol, vecCol, cents, books, dim,
+          payloadCols)
         .withColumn("__op", lit("upsert"))
       // a deleted vector drops its m code rows; a key both deleted
       // and re-inserted in the window nets to the re-encode
       val delCodes = changes.filter(col("_change_type") === "delete")
-        .select(col(idCol).as("vec_id")).distinct()
+        .select((col(idCol).as("vec_id") +: payloadCols.map(col)): _*)
+        .distinct()
         .join(ups.select(col(idCol).as("vec_id")).distinct(),
           Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), lit(-1).as("__cluster"),
+        .select((Seq(col("vec_id"), lit(-1).as("__cluster"),
           explode(sequence(lit(0), lit(books.length - 1))).as("sub"),
-          lit(-1).as("code"), lit("delete").as("__op"))
-      Scd1Merge.applyCdc(spark, s"$indexPath/codes",
-        upCodes.unionByName(delCodes), Seq("vec_id", "sub"),
+          lit(-1).as("code"), lit("delete").as("__op")) ++
+          payloadCols.map(col)): _*)
+      val cdc = upCodes.unionByName(delCodes, allowMissingColumns = true)
+      if (codesPartitioned(indexPath))
+        // delete rows carry the payload partition column from the
+        // change feed, so each routes to its own child — an ingest
+        // into one month commits ONE child of the code table
+        graft.merge.PartitionedTable.applyCdc(spark, s"$indexPath/codes",
+          cdc,
+          graft.merge.PartitionedTable.tableKeys(s"$indexPath/codes")
+            .getOrElse(Seq("vec_id", "sub")),
+          opCol = "__op")
+      else Scd1Merge.applyCdc(spark, s"$indexPath/codes",
+        cdc, Seq("vec_id", "sub"),
         opCol = "__op", batchId = batchId)
       lastIndexFeedRows
     } finally { changes.unpersist(blocking = false); () }
@@ -1026,7 +1091,7 @@ object Similarity {
                        k: Int, nprobe: Int = 4, dim: Int = 64,
                        candFactor: Int = 8): DataFrame = {
     val (cents, books) = ivfPqIndexModel(spark, indexPath)
-    val codes = graft.merge.Scd1Merge.readTable(spark, s"$indexPath/codes")
+    val codes = readCodes(spark, indexPath)
     ivfPqTopKFromCodes(corpus, queries, idCol, vecCol, k, cents, books,
       codes, nprobe, dim, candFactor)
   }
@@ -1072,7 +1137,7 @@ object Similarity {
                            indexPath: String, corpus: DataFrame,
                            idCol: String, vecCol: String): (Double, Double) = {
     val cents = ivfIndexCentroids(spark, indexPath)
-    val assign = graft.merge.Scd1Merge.readTable(spark, s"$indexPath/codes")
+    val assign = readCodes(spark, indexPath)
       .select(col("vec_id"), col("__cluster")).distinct()
     driftOf(assign, corpus.select(col(idCol).as("vec_id"), col(vecCol)),
       vecCol, cents)
@@ -1095,7 +1160,7 @@ object Similarity {
                           indexPath: String, corpus: DataFrame,
                           idCol: String, vecCol: String): DataFrame = {
     val cents = ivfIndexCentroids(spark, indexPath)
-    graft.merge.Scd1Merge.readTable(spark, s"$indexPath/codes")
+    readCodes(spark, indexPath)
       .select(col("vec_id"), col("__cluster")).distinct()
       .join(corpus.select(col(idCol).as("vec_id"), col(vecCol)), "vec_id")
       .select(col("__cluster"),
@@ -1221,7 +1286,7 @@ object Similarity {
         } => c }.sorted.toArray
     if (dCells.isEmpty) return full() // global trip, no cell stands out
     // ---- the drifted cells' vectors (assignment-int equi-join) -----
-    val affected = graft.merge.Scd1Merge.readTable(spark, s"$indexPath/codes")
+    val affected = readCodes(spark, indexPath)
       .select(col("vec_id"), col("__cluster")).distinct()
       .filter(col("__cluster").isin(dCells.map(Integer.valueOf).toSeq: _*))
       .join(corpus.select(col(idCol).as("vec_id"), col(vecCol)), "vec_id")
@@ -1262,6 +1327,9 @@ object Similarity {
           zip_with(col(vecCol),
             element_at(centroidCol(newCents), col("__cluster") + 1),
             (a, b) => a - b).as("__res"))
+      if (codesPartitioned(indexPath)) throw new IllegalStateException(
+        "scoped drift repair over a PARTITIONED codes table is not " +
+        "supported yet — rebuild the index (ivfPqIndexBuild) instead")
       val codes = pqEncode(res, idCol, "__res", books, dim)
         .join(res.select(col(idCol).as("vec_id"),
           col("__gcluster").as("__cluster")), "vec_id")

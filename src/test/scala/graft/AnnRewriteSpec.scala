@@ -120,6 +120,70 @@ class AnnRewriteSpec extends SparkSpecBase {
     } finally GraftAnnRewrite.unregister(corpusT)
   }
 
+  test("PAYLOAD PUSHDOWN: a declared filter column prunes candidates inside the probe — zero escalations, exact scores; undeclared columns use the generic path; maintenance carries payloads") {
+    val root = Tmp.dir("annrw_payload")
+    val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+    Scd1Merge.upsert(spark, corpusT, emb, Seq("vec_id"), numBuckets = 4,
+      retainVersions = 4, batchId = "c1")
+    Similarity.ivfPqIndexBuild(spark, idx,
+      Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64, batchId = "b1",
+      payloadCols = Seq("label"))
+    try {
+      // the EXACT baseline, computed before registration arms anything
+      val exact = filteredTopk(corpusT, col("label") === 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 4, candFactor = 16,
+        payloadCols = Seq("label"))
+      val pd0 = GraftAnnRewrite.lastPayloadPushdowns
+      val served = filteredTopk(corpusT, col("label") === 3)
+      assert(servedBy(served, idx), "payload-covered filter must serve")
+      assert(GraftAnnRewrite.lastPayloadPushdowns == pd0 + 1,
+        "the pushdown path must have served it")
+      assert(GraftAnnRewrite.lastFilteredEscalations == 0,
+        "a selective declared predicate must serve with ZERO escalations")
+      val rows = served.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.length == 10, "pushdown must still fill k")
+      val exactMap = exact.toMap
+      rows.foreach { case (id, sc) =>
+        exactMap.get(id).foreach(es => assert(es == sc, "scores exact")) }
+      val recall = rows.map(_._1).toSet
+        .intersect(exact.map(_._1).toSet).size / 10.0
+      info(f"payload-pushdown recall@10 = $recall%.2f")
+      assert(recall >= 0.6, s"pushdown recall $recall collapsed")
+      // an UNDECLARED column's predicate still serves via the generic
+      // survivor-count path (no pushdown counted)
+      val pd1 = GraftAnnRewrite.lastPayloadPushdowns
+      assert(servedBy(filteredTopk(corpusT, col("vec_id") % 7 === 0), idx))
+      assert(GraftAnnRewrite.lastPayloadPushdowns == pd1,
+        "undeclared columns must not claim the pushdown path")
+      // fewer than k matches in the whole corpus: exhaustive probing
+      // serves the complete SHORT answer — exactly the exact plan's
+      val rare = col("label") === 3 && col("vec_id") < 30
+      // rare is label-and-vec_id: vec_id undeclared → generic path;
+      // an all-declared rare predicate goes through pushdown:
+      val rareLabel = col("label") === 99999
+      val servedRare = filteredTopk(corpusT, rareLabel)
+      assert(servedBy(servedRare, idx))
+      assert(servedRare.count() == 0,
+        "a zero-match pushdown serves the exact (empty) answer")
+      assert(servedBy(filteredTopk(corpusT, rare), idx))
+      // maintenance: an ingest re-encodes WITH payloads; the new
+      // vectors are findable through the declared filter
+      Scd1Merge.upsert(spark, corpusT,
+        emb.filter(col("vec_id") === 3).withColumn("vec_id", lit(7777777L))
+          .withColumn("label", lit(424242)),
+        Seq("vec_id"), retainVersions = 4, batchId = "c2")
+      assert(GraftAnnRewrite.maintain(spark, corpusT) == 1L)
+      val found = filteredTopk(corpusT, col("label") === 424242, k = 3)
+      assert(servedBy(found, idx), "post-maintain payload filter serves")
+      val ids = found.collect().map(_.getLong(0))
+      assert(ids.contains(7777777L),
+        s"the ingested vector must be findable by its payload: ${ids.toSeq}")
+    } finally GraftAnnRewrite.unregister(corpusT)
+  }
+
   test("PLAN-TIME CACHES: re-planning an unchanged commit re-lists nothing and replays no escalation jobs; a base commit invalidates both") {
     val (corpusT, idx) = freshCorpus("annrw_cache")
     try {
@@ -160,6 +224,55 @@ class AnnRewriteSpec extends SparkSpecBase {
       assert(servedBy(filteredTopk(corpusT, col("label") === 3), idx))
       assert(GraftAnnRewrite.escalationCacheHits == hitsAfter,
         "a new covered commit must probe fresh, not reuse stale widths")
+    } finally GraftAnnRewrite.unregister(corpusT)
+  }
+
+  test("PARTITIONED CODES TABLE: a one-month ingest's code commit writes only that month's child; serving reads the union transparently") {
+    import graft.merge.PartitionedTable
+    val root = Tmp.dir("annrw_pcodes")
+    val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+    PartitionedTable.upsert(spark, corpusT, emb, Seq("label", "vec_id"),
+      "label", numBuckets = 1, retainVersions = 6)
+    Similarity.ivfPqIndexBuild(spark, idx,
+      PartitionedTable.readTable(spark, corpusT), "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, iters = 1, dim = 64, batchId = "b1",
+      payloadCols = Seq("label"), codesPartitionBy = Some("label"))
+    try {
+      assert(PartitionedTable.tableExists(idx + "/codes"),
+        "the codes table must be a partitioned graft table")
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 4, candFactor = 16, payloadCols = Seq("label"))
+      // the bare partitioned top-k serves from the partitioned codes
+      val q = PartitionedTable.readTable(spark, corpusT)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            typedLit(qv)).as("s"))
+        .orderBy(col("s").desc).limit(10)
+      assert(servedBy(q, idx), s"partitioned-codes serving: ${scanPaths(q)}")
+      assert(q.count() == 10)
+      // pins BEFORE the one-month ingest
+      def pins(): Map[String, Int] =
+        PartitionedTable.partitions(spark, idx + "/codes").collect()
+          .map(r => r.get(0).toString -> r.getInt(2)).toMap
+      val before = pins()
+      // ingest into ONE label (month) only
+      val oneMonth = emb.filter(col("label") === 3).limit(4)
+        .withColumn("vec_id", col("vec_id") + 5000000L)
+      PartitionedTable.upsert(spark, corpusT, oneMonth,
+        Seq("label", "vec_id"), "label", retainVersions = 6)
+      assert(GraftAnnRewrite.maintain(spark, corpusT) == 4L)
+      val after = pins()
+      assert(after("3") > before("3"),
+        "the ingested month's codes child must have advanced")
+      assert(before.removed("3") == after.removed("3"),
+        s"ONLY the ingested month's child may move: $before vs $after")
+      // and the maintained index serves again (stamp re-armed)
+      val q2 = PartitionedTable.readTable(spark, corpusT)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            typedLit(qv)).as("s"))
+        .orderBy(col("s").desc).limit(10)
+      assert(servedBy(q2, idx), "post-maintain partitioned codes serve")
     } finally GraftAnnRewrite.unregister(corpusT)
   }
 
