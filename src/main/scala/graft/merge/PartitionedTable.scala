@@ -769,8 +769,22 @@ object PartitionedTable {
                   batchId = s"occ-rollback-$c"); () }
                 catch { case _: Exception => () }
               case None if !m0.parts.contains(k) =>
-                try Scd1Merge.deleteRecursively(Paths.get(childPath))
-                catch { case _: Exception => () }
+                // take the CHILD lock before deleting: a SECOND
+                // optimistic stager that picked the same deterministic
+                // child name (both ran freshChildRel before either
+                // created the dir) may be MID-WRITE holding only the
+                // child lock — invisible to the commit probe above —
+                // and an unlocked delete would remove its in-flight
+                // data files and lock, letting its later commit pin a
+                // child referencing deleted files. Under the lock,
+                // re-verify the commit is still OURS (a racer that
+                // committed meanwhile moved it → stand down; the
+                // residue fences guard reuse). A held/heartbeating
+                // lock times out the wait → stand down too.
+                try Scd1Merge.withTableLockWait(childPath, lockWaitMillis) {
+                  if (Scd1Merge.tableCommit(childPath).contains(c))
+                    Scd1Merge.deleteRecursively(Paths.get(childPath))
+                } catch { case _: Exception => () }
               case _ => ()
             }
           }

@@ -1540,6 +1540,18 @@ object Scd1Merge {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Bounded CHILD-lock acquisition for the partitioned layer's
+    * orphan reclamation ([[PartitionedTable]] rollback): deleting a
+    * conflicted stager's child dir must hold the child's writer lock
+    * first — a SECOND optimistic stager that picked the same
+    * deterministic child name may be mid-write holding only that
+    * lock (invisible to a commit probe), and an unlocked delete
+    * would remove its in-flight data files. */
+  private[merge] def withTableLockWait[T](tablePath: String,
+                                          timeoutMillis: Long)
+                                         (body: => T): T =
+    withLockWait(tablePath, timeoutMillis)(_ => body)
+
   private def withLockWait[T](tablePath: String, timeoutMillis: Long)
                              (body: String => T): T = {
     val id = timed("lock") { acquireLockWait(tablePath, timeoutMillis) }

@@ -609,6 +609,47 @@ class OptimisticConcurrencySpec extends SparkSpecBase {
     assert(t.filter($"k" === 10L).select("v").as[String].head() == "W_10")
   }
 
+  test("PARTITIONED: orphan rollback stands down when the child lock is HELD (a same-named second stager mid-write keeps its files)") {
+    val path = buildPart("orphanlock")
+    // B stages p1 + NEW p9; the hook makes a locked writer defeat B
+    // on p1 AND plants a LIVE foreign lease on the p9 child —
+    // simulating a second optimistic stager that picked the same
+    // deterministic child name and is mid-write holding only the
+    // CHILD lock. The rollback's delete must probe that lock and
+    // stand down: an unlocked delete would remove the in-flight
+    // writer's data files.
+    val p9Lock = Paths.get(path, "p=p9", "_graft_lock")
+    Scd1Merge.testHooks = Map("p-optimistic-staged" -> { () =>
+      Scd1Merge.testHooks = Map.empty
+      PartitionedTable.upsert(spark, path, pbatch("p1", Seq(10L), "W"),
+        Seq("part", "k"), "part")
+      Files.write(p9Lock,
+        s"mid-write-stager\t${System.currentTimeMillis() + 120000L}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    })
+    val src = Seq(("p1", 11L, "B_11"), ("p9", 900L, "B_900"))
+      .toDF("part", "k", "v")
+    try intercept[java.util.ConcurrentModificationException] {
+      PartitionedTable.upsertMultiConcurrent(spark, path, src,
+        Seq("part", "k"), Seq("part"), lockWaitMillis = 1500L)
+    } finally Scd1Merge.testHooks = Map.empty
+    assert(Files.exists(Paths.get(path, "p=p9")),
+      "a lock-held child must NOT be deleted — the holder's in-flight " +
+      "files would go with it")
+    assert(Files.exists(p9Lock), "the holder's lease must survive")
+    // the holder "finishes" (releases); the orphan residue is then
+    // inert: p9 is unpinned, and a later ingest picks a FRESH child
+    // name (freshChildRel sees the dir), never adopting B's rows
+    Files.deleteIfExists(p9Lock)
+    PartitionedTable.upsert(spark, path, pbatch("p9", Seq(901L), "C"),
+      Seq("part", "k"), "part")
+    val t = PartitionedTable.readTable(spark, path)
+    assert(t.filter($"k" === 900L).count() == 0,
+      "aborted rows must not surface through the preserved orphan dir")
+    assert(t.filter($"k" === 901L).select("v").as[String].head() == "C_901")
+  }
+
   test("PARTITIONED: re-ingest after a partition DROP starts empty (fresh child dir; no resurrection)") {
     val path = buildPart("dropreuse")
     assert(PartitionedTable.dropPartitionsWhere(spark, path,
