@@ -468,13 +468,15 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     // per-branch splice at a given probe width: the branch's own
     // Filter (if any) stays ABOVE its candidate semi-join, so the
     // final answer is the exact cosine top-k over (cands ∩ predicate)
-    def childrenFor(nprobe: Int, candFactor: Int): Option[Seq[LogicalPlan]] = {
+    def childrenFor(nprobe: Int, candFactor: Int,
+                    predSql: Option[String] = None)
+        : Option[Seq[LogicalPlan]] = {
       val dtRows = distanceRows(qv, cents, books, nprobe)
       Some(branches.map { case (proj, flOpt, scan) =>
         val idAttr = scan.output.find(_.name.equalsIgnoreCase(reg.idCol))
           .getOrElse(return None)
         val cp = candsPlanFromRows(spark, reg.indexPath, dtRows, k,
-          candFactor)
+          candFactor, predSql)
         val join = Join(scan, cp, LeftSemi,
           Some(EqualTo(idAttr, cp.output.head)), JoinHint.NONE)
         proj.withNewChildren(Seq(
@@ -490,6 +492,28 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         s"${reg.basePath} (${branches.size} partitions) served from " +
         s"${reg.indexPath} (commit ${reg.baseCommit})")
       return Some(u.withNewChildren(newChildren))
+    }
+    // ---- FILTERED partitioned, PAYLOAD-covered: same pushdown as
+    // the flat path — the predicate prunes code rows inside the
+    // probe, so serve full-width with zero plan-time jobs; each
+    // branch's own Filter stays above its semi-join (exactness)
+    val fCond = branches.head._2.get.condition
+    if (reg.payloadCols.nonEmpty &&
+        fCond.references.forall(a =>
+          reg.payloadCols.exists(_.equalsIgnoreCase(a.name))) &&
+        cents.length <= FullProbeMaxCells) {
+      try childrenFor(cents.length, reg.candFactor,
+          Some(canonPred(fCond))) match {
+        case Some(kids) =>
+          lastFilteredEscalations = 0
+          lastPayloadPushdowns += 1
+          rewriteCount += 1
+          logInfo(s"graft ANN rewrite: PAYLOAD-filtered top-$k over " +
+            s"PARTITIONED ${reg.basePath} served from ${reg.indexPath} " +
+            s"(full-width probe over ${cents.length} cells, 0 escalations)")
+          return Some(u.withNewChildren(kids))
+        case None => () // malformed branch: generic path decides
+      } catch { case _: Exception => () } // pushdown error: fall back
     }
     // ---- FILTERED partitioned: the flat path's escalation, with the
     // survivor count over the union of per-branch (filter ∘ semi-join)

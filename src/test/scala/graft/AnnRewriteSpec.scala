@@ -273,6 +273,20 @@ class AnnRewriteSpec extends SparkSpecBase {
             typedLit(qv)).as("s"))
         .orderBy(col("s").desc).limit(10)
       assert(servedBy(q2, idx), "post-maintain partitioned codes serve")
+      // the UNION path's payload pushdown: a declared-column filter
+      // over the partitioned corpus serves with zero escalations
+      val pd0 = GraftAnnRewrite.lastPayloadPushdowns
+      val fq = PartitionedTable.readTable(spark, corpusT)
+        .filter(col("label") === 3)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            typedLit(qv)).as("s"))
+        .orderBy(col("s").desc).limit(10)
+      assert(servedBy(fq, idx), "partitioned payload filter must serve")
+      assert(GraftAnnRewrite.lastPayloadPushdowns == pd0 + 1 &&
+        GraftAnnRewrite.lastFilteredEscalations == 0,
+        "the union path must use the pushdown, zero escalations")
+      assert(fq.count() == 10)
     } finally GraftAnnRewrite.unregister(corpusT)
   }
 
