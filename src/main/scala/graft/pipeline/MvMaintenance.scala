@@ -126,6 +126,36 @@ object MvMaintenance extends Logging {
         }
       }
     }
+    // TOP-N MVs flagged auto (the `_graft_topn` auto line): fold the
+    // new delta immediately — same stand-down contract
+    (graft.plans.GraftTopNRewrite.registeredMvPaths ++
+      GraftCatalog.allTopNMvs).distinct.foreach { mv =>
+      if (!inFlight.get.contains(mv) && TopNMv.readAuto(mv) &&
+          TopNMv.readDef(mv).exists(_._1 == path)) {
+        val prev = inFlight.get
+        inFlight.set(prev + mv)
+        try { TopNMv.refresh(spark, mv); () }
+        catch { case e: Exception =>
+          logError(s"graft auto-refresh of top-N MV $mv after commit " +
+            s"to $path failed (stays stale-but-sound)", e)
+        }
+        finally inFlight.set(prev)
+      }
+    }
+    // ANN indexes registered with autoMaintain: fold the corpus
+    // change-feed window and re-stamp (the codes-table commits this
+    // makes re-enter the hook but match no registration — no cycle)
+    if (graft.plans.GraftAnnRewrite.isAuto(path) &&
+        !inFlight.get.contains(path)) {
+      val prev = inFlight.get
+      inFlight.set(prev + path)
+      try { graft.plans.GraftAnnRewrite.maintain(spark, path); () }
+      catch { case e: Exception =>
+        logError(s"graft auto-maintain of the ANN index over $path " +
+          "failed (falls back to the exact scan until maintained)", e)
+      }
+      finally inFlight.set(prev)
+    }
   }
 
   /** Refresh ONE MV from its persisted definition — the engine-level

@@ -69,9 +69,10 @@ object TopNMv {
     java.net.URLDecoder.decode(s, "UTF-8")
 
   def writeDef(mvPath: String, basePath: String, baseKeys: Seq[String],
-               spec: TopNSpec, retain: Int): Unit = {
+               spec: TopNSpec, retain: Int,
+               auto: Boolean = false): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
-    val body = Seq(
+    val body = (Seq(
       s"base=${enc(basePath)}",
       s"keys=${baseKeys.map(enc).mkString(",")}",
       s"groups=${spec.groupCols.map(enc).mkString(",")}",
@@ -79,7 +80,8 @@ object TopNMv {
       s"desc=${spec.desc}", s"n=${spec.n}",
       s"cols=${spec.cols.map(enc).mkString(",")}",
       s"ties=${spec.ties}",
-      s"retain=$retain").mkString("\n")
+      s"retain=$retain") ++
+      (if (auto) Seq("auto=true") else Nil)).mkString("\n")
     val tmp = Paths.get(mvPath, FileName + ".tmp")
     Files.createDirectories(tmp.getParent)
     Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -103,6 +105,16 @@ object TopNMv {
         ties = kv.get("ties").exists(_.toBoolean)),
       kv.get("retain").map(_.toInt)
         .getOrElse(Scd1Merge.DefaultRetainVersions)))
+  }
+
+  /** Is `mvPath` flagged for WRITE-THROUGH maintenance (the
+    * `_graft_topn` `auto=true` line — [[MvMaintenance]]'s post-commit
+    * hook consults this). */
+  def readAuto(mvPath: String): Boolean = {
+    val p = java.nio.file.Paths.get(mvPath, FileName)
+    java.nio.file.Files.exists(p) &&
+      java.nio.file.Files.readString(p).split("\n")
+        .contains("auto=true")
   }
 
   /** The registered DETERMINISTIC ordering: order column in the
@@ -167,7 +179,8 @@ object TopNMv {
   /** Initial build + persisted definition + rewrite registration. */
   def createMv(spark: SparkSession, mvPath: String, basePath: String,
                spec: TopNSpec, numBuckets: Int = 0,
-               retain: Int = Scd1Merge.DefaultRetainVersions): Unit = {
+               retain: Int = Scd1Merge.DefaultRetainVersions,
+               auto: Boolean = false): Unit = {
     val baseKeys = baseKeysOf(basePath)
       .getOrElse(throw new IllegalArgumentException(
         s"TopNMv: base $basePath records no merge keys"))
@@ -183,13 +196,14 @@ object TopNMv {
       topN(baseAtCommit(spark, basePath, commit), spec, baseKeys),
       baseKeys, numBuckets, batchId = stampOf(commit),
       retainVersions = retain)
-    writeDef(mvPath, basePath, baseKeys, spec, retain)
+    writeDef(mvPath, basePath, baseKeys, spec, retain, auto)
     graft.plans.GraftTopNRewrite.register(spark, mvPath, basePath,
       baseKeys, spec)
     // durable inventory row (no-op without a catalog root): REFRESH
     // ALL in a FRESH session sweeps this MV without it ever having
     // been queried or refreshed by path
     graft.sql.GraftCatalog.putTopNMv(mvPath, basePath)
+    if (auto) MvMaintenance.armHooks()
   }
 
   /** Fold every base commit the MV has not seen; returns commits

@@ -71,7 +71,8 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
                           idCol: String, vecCol: String, dim: Int,
                           nprobe: Int, candFactor: Int,
                           baseCommit: Int, baseFiles: Set[String],
-                          payloadCols: Seq[String] = Nil)
+                          payloadCols: Seq[String] = Nil,
+                          auto: Boolean = false)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, AnnReg]()
@@ -93,14 +94,16 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   private def persist(basePath: String, indexPath: String, idCol: String,
                       vecCol: String, dim: Int, nprobe: Int,
                       candFactor: Int, commit: Int,
-                      payloadCols: Seq[String]): Unit = {
+                      payloadCols: Seq[String],
+                      auto: Boolean): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
     val body = (Seq(
       s"index=${enc(indexPath)}", s"id=${enc(idCol)}",
       s"vec=${enc(vecCol)}", s"dim=$dim", s"nprobe=$nprobe",
       s"candfactor=$candFactor", s"commit=$commit") ++
       (if (payloadCols.nonEmpty)
-        Seq(s"payload=${payloadCols.map(enc).mkString(",")}") else Nil))
+        Seq(s"payload=${payloadCols.map(enc).mkString(",")}") else Nil) ++
+      (if (auto) Seq("auto=true") else Nil))
       .mkString("\n")
     val tmp = Paths.get(basePath, ArmFileName + ".tmp")
     Files.createDirectories(tmp.getParent)
@@ -157,7 +160,8 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         kv("commit").toInt,
         corpusRead(spark, basePath).inputFiles.toSet,
         kv.get("payload").map(_.split(",").iterator.filter(_.nonEmpty)
-          .map(dec).toSeq).getOrElse(Nil)))
+          .map(dec).toSeq).getOrElse(Nil),
+        kv.get("auto").exists(_.toBoolean)))
       catch { case _: Exception => () } // malformed marker: skip
     }
     registry.containsKey(basePath)
@@ -186,6 +190,11 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   def coveredCommit(basePath: String): Option[Int] =
     Option(registry.get(basePath)).map(_.baseCommit)
 
+  /** Is `basePath` registered with WRITE-THROUGH maintenance
+    * ([[register]]'s `autoMaintain`) — the post-commit hook's probe. */
+  def isAuto(basePath: String): Boolean =
+    Option(registry.get(basePath)).exists(_.auto)
+
   /** Registered corpus base paths — the maintenance sweep's inventory. */
   def registeredBases: Seq[String] = {
     import scala.jdk.CollectionConverters._
@@ -200,15 +209,17 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   def register(spark: SparkSession, basePath: String, indexPath: String,
                idCol: String, vecCol: String, dim: Int,
                nprobe: Int = 4, candFactor: Int = 16,
-               payloadCols: Seq[String] = Nil): Unit = {
+               payloadCols: Seq[String] = Nil,
+               autoMaintain: Boolean = false): Unit = {
     val commit = corpusCommit(basePath).getOrElse(
       throw new IllegalArgumentException(
         s"GraftAnnRewrite.register: $basePath is not a graft table"))
     val files = corpusRead(spark, basePath).inputFiles.toSet
     registry.put(basePath, AnnReg(basePath, indexPath, idCol, vecCol,
-      dim, nprobe, candFactor, commit, files, payloadCols))
+      dim, nprobe, candFactor, commit, files, payloadCols, autoMaintain))
     persist(basePath, indexPath, idCol, vecCol, dim, nprobe,
-      candFactor, commit, payloadCols)
+      candFactor, commit, payloadCols, autoMaintain)
+    if (autoMaintain) graft.pipeline.MvMaintenance.armHooks()
     // durable inventory row (no-op without a catalog root): a FRESH
     // session's maintenance sweep finds this base without waiting for
     // a query to lazily arm it
@@ -222,7 +233,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       throw new IllegalArgumentException(
         s"GraftAnnRewrite.refresh: $basePath is not registered"))
     register(spark, basePath, reg.indexPath, reg.idCol, reg.vecCol,
-      reg.dim, reg.nprobe, reg.candFactor, reg.payloadCols)
+      reg.dim, reg.nprobe, reg.candFactor, reg.payloadCols, reg.auto)
   }
 
   /** ONE-CALL index maintenance: diff the registration's covered
@@ -271,7 +282,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     // current commit, which may already be past what was folded
     registry.put(basePath, reg.copy(baseCommit = live, baseFiles = files))
     persist(basePath, reg.indexPath, reg.idCol, reg.vecCol, reg.dim,
-      reg.nprobe, reg.candFactor, live, reg.payloadCols)
+      reg.nprobe, reg.candFactor, live, reg.payloadCols, reg.auto)
     n
   }
 

@@ -1022,12 +1022,9 @@ case class GraftCreateMvCommand(path: String, numBuckets: Int,
       case e => bad(s"the outer SELECT must list bare base columns, " +
         s"got '${e.sql}'")
     }
-    if (auto) bad("AUTO REFRESH is not supported for top-N MVs yet — " +
-      "REFRESH ALL MATERIALIZED VIEWS sweeps them (durable catalog " +
-      "inventory)")
     TopNMv.createMv(spark, path, basePath,
       TopNMv.TopNSpec(groupCols, orderCol, desc, n, cols, ties = isRank),
-      numBuckets, retain)
+      numBuckets, retain, auto = auto)
     Some(Nil)
   }
 

@@ -259,6 +259,67 @@ class MvMaintenanceSpec extends SparkSpecBase {
     }
   }
 
+  test("WRITE-THROUGH top-N and ANN: an AUTO top-N MV serves immediately after a wave; an autoMaintain ANN index folds on corpus commit") {
+    import graft.pipeline.TopNMv
+    import graft.pipeline.TopNMv.TopNSpec
+    import graft.plans.{GraftAnnRewrite, GraftTopNRewrite}
+    val root = Tmp.dir("mv_auto_topn_ann")
+    val base = root + "/base"; val topMv = root + "/topmv"
+    val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+    try {
+      // SQL AUTO REFRESH on a top-N MV
+      Scd1Merge.upsert(spark, base,
+        (1L to 100L).map(i => (i, s"g${i % 4}", i * 10)).toDF("id", "g", "cents"),
+        Seq("id"), numBuckets = 1, retainVersions = 6)
+      graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT MATERIALIZED VIEW graft.`$topMv` BUCKETS 1 RETAIN 6
+           |AUTO REFRESH AS
+           |SELECT id, g, cents FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY g ORDER BY cents DESC, id ASC) AS rn
+           |  FROM graft.`$base`) WHERE rn <= 2""".stripMargin)
+      assert(TopNMv.readAuto(topMv), "the auto flag must persist")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"cents".desc, $"id".asc)
+      def topQ = Scd1Merge.readTable(spark, base)
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      assert(readsOnly(topQ, topMv))
+      // the wave: WITHOUT the hook this would route to the base
+      Scd1Merge.upsert(spark, base,
+        Seq((900L, "g0", 99999L)).toDF("id", "g", "cents"), Seq("id"),
+        retainVersions = 6)
+      assert(readsOnly(topQ, topMv),
+        "an AUTO top-N MV must serve immediately after the wave")
+      // autoMaintain ANN: a corpus commit folds the feed in-line
+      val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .limit(300)
+      Scd1Merge.upsert(spark, corpusT, emb, Seq("vec_id"), numBuckets = 1,
+        retainVersions = 6)
+      graft.similarity.Similarity.ivfPqIndexBuild(spark, idx,
+        Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16, iters = 1, dim = 64)
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, autoMaintain = true)
+      val qv = emb.filter($"vec_id" === 3)
+        .select($"embedding").head().getSeq[Float](0)
+      def annQ = Scd1Merge.readTable(spark, corpusT)
+        .select($"vec_id",
+          graft.functions.VectorFunctions.vecCosine($"embedding",
+            typedLit(qv)).as("s"))
+        .orderBy($"s".desc).limit(5)
+      assert(scanPaths(annQ).exists(_.contains(idx + "/codes/")))
+      Scd1Merge.upsert(spark, corpusT,
+        emb.filter($"vec_id" < 3).withColumn("vec_id", $"vec_id" + 777777L),
+        Seq("vec_id"), retainVersions = 6)
+      assert(scanPaths(annQ).exists(_.contains(idx + "/codes/")),
+        "an autoMaintain ANN index must serve immediately after the " +
+        "corpus commit (the hook folded the feed in-line)")
+    } finally {
+      GraftTopNRewrite.clear(); GraftAnnRewrite.unregister(corpusT)
+      MvMaintenance.reset()
+    }
+  }
+
   test("sweep resilience: a dangling cataloged MV (base dropped) is skipped and logged — the healthy inventory still converges") {
     val root = Tmp.dir("mv_sweep_dangling")
     graft.sql.GraftCatalog.setRoot(root + "/cat")
