@@ -42,18 +42,28 @@ object MvDef {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  // Read-through cache keyed by (mtime, size) of the definition file:
-  // the post-commit maintenance hook reads EVERY known MV's definition
-  // on EVERY base commit (O(#MVs) metadata reads per commit without
-  // it). Validated by a stat per read — correct under cross-process
-  // writers (any writer's ATOMIC_MOVE changes the mtime) — and
-  // updated eagerly by this JVM's own write().
+  // Read-through cache keyed by (fileKey, mtime, size) of the
+  // definition file: the post-commit maintenance hook reads EVERY
+  // known MV's definition on EVERY base commit (O(#MVs) metadata
+  // reads per commit without it). Validated by a stat per read —
+  // correct under cross-process writers because every writer lands
+  // via tmp + ATOMIC_MOVE, which replaces the file's fileKey (inode)
+  // even when the rewrite fits the same millisecond tick and byte
+  // length — and updated eagerly by this JVM's own write().
   private val readCache = new java.util.concurrent.ConcurrentHashMap[
-    String, ((Long, Long), Option[Def])]()
+    String, ((String, Long, Long), Option[Def])]()
 
-  private def statKey(p: Path): Option[(Long, Long)] =
-    if (!Files.exists(p)) None
-    else Some((Files.getLastModifiedTime(p).toMillis, Files.size(p)))
+  /** Definition-file PARSES (cache misses) since JVM start — the
+    * maintenance specs' pin that N commits to a base re-read zero
+    * definitions (the `listingCount` pattern). */
+  @volatile var parseCount: Long = 0L
+
+  private def statKey(p: Path): Option[(String, Long, Long)] =
+    try {
+      val a = Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      Some((String.valueOf(a.fileKey), a.lastModifiedTime.toMillis, a.size))
+    } catch { case _: java.io.IOException => None }
 
   def write(mvPath: String, d: Def): Unit = {
     val body = (Seq(
@@ -121,6 +131,7 @@ object MvDef {
 
   private def parse(p: Path): Option[Def] = {
     if (!Files.exists(p)) return None
+    parseCount += 1
     val kv = Files.readString(p).split("\n").iterator
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     def list(k: String): Seq[String] =

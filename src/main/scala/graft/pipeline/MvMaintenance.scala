@@ -127,11 +127,20 @@ object MvMaintenance extends Logging {
       }
     }
     // TOP-N MVs flagged auto (the `_graft_topn` auto line): fold the
-    // new delta immediately — same stand-down contract
+    // new delta immediately — same stand-down contract. The sidecar
+    // PROBE is itself isolated: one corrupt `_graft_topn` must not
+    // throw out of the hook and silently skip the remaining top-N MVs
+    // and the ANN maintenance for this commit.
     (graft.plans.GraftTopNRewrite.registeredMvPaths ++
       GraftCatalog.allTopNMvs).distinct.foreach { mv =>
-      if (!inFlight.get.contains(mv) && TopNMv.readAuto(mv) &&
-          TopNMv.readDef(mv).exists(_._1 == path)) {
+      val wants = !inFlight.get.contains(mv) &&
+        (try TopNMv.readDefFull(mv).exists(d => d._5 && d._1 == path)
+         catch { case e: Exception =>
+           logError(s"graft auto-refresh probe of top-N MV $mv failed " +
+             "(corrupt definition? — skipped this commit)", e)
+           false
+         })
+      if (wants) {
         val prev = inFlight.get
         inFlight.set(prev + mv)
         try { TopNMv.refresh(spark, mv); () }
@@ -144,8 +153,18 @@ object MvMaintenance extends Logging {
     }
     // ANN indexes registered with autoMaintain: fold the corpus
     // change-feed window and re-stamp (the codes-table commits this
-    // makes re-enter the hook but match no registration — no cycle)
-    if (graft.plans.GraftAnnRewrite.isAuto(path) &&
+    // makes re-enter the hook but match no registration — no cycle).
+    // armPath first (cheap containsKey fast-path): a FRESH session's
+    // first commit to a base whose persisted marker says auto=true
+    // must maintain write-through without waiting for a query or a
+    // sweep to arm the session registry.
+    val annArmed = try graft.plans.GraftAnnRewrite.armPath(spark, path)
+      catch { case e: Exception =>
+        logError(s"graft ANN marker probe of $path failed " +
+          "(corrupt marker? — skipped this commit)", e)
+        false
+      }
+    if (annArmed && graft.plans.GraftAnnRewrite.isAuto(path) &&
         !inFlight.get.contains(path)) {
       val prev = inFlight.get
       inFlight.set(prev + path)
@@ -274,10 +293,18 @@ object MvMaintenance extends Logging {
       attempt(mv, "top-N MV")(TopNMv.refresh(spark, mv))
     }
     // ANN corpora: session registrations plus cataloged bases armed
-    // directly from their persisted `_graft_ann` markers
+    // directly from their persisted `_graft_ann` markers — the arming
+    // PROBE isolated like the refresh bodies (one unreadable marker
+    // must not fail the whole REFRESH ALL statement)
     val annBases = (graft.plans.GraftAnnRewrite.registeredBases ++
-      GraftCatalog.allAnnBases.filter(
-        graft.plans.GraftAnnRewrite.armPath(spark, _))).distinct.sorted
+      GraftCatalog.allAnnBases.filter { b =>
+        try graft.plans.GraftAnnRewrite.armPath(spark, b)
+        catch { case e: Exception =>
+          logError(s"graft REFRESH ALL: arming ANN base $b from its " +
+            "marker failed — skipped for this sweep", e)
+          false
+        }
+      }).distinct.sorted
     annBases.foreach { b =>
       attempt(b, "ANN index over")(
         graft.plans.GraftAnnRewrite.maintain(spark, b))

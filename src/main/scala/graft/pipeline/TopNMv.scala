@@ -89,12 +89,53 @@ object TopNMv {
       StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, Paths.get(mvPath, FileName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    statKey(Paths.get(mvPath, FileName)).foreach(k => readCache.put(mvPath,
+      (k, Some((basePath, baseKeys, spec, retain, auto)))))
+  }
+
+  // Stat-validated read-through cache — the MvDef posture applied to
+  // `_graft_topn`: the post-commit hook consults every top-N MV's
+  // definition on every commit, so a cold read per (MV, commit) is
+  // O(inventory) disk reads on the writer's thread. Keyed by
+  // (fileKey, mtime, size); ATOMIC_MOVE replaces the fileKey, so
+  // cross-process rewrites invalidate even within one mtime tick.
+  private val readCache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((String, Long, Long),
+             Option[(String, Seq[String], TopNSpec, Int, Boolean)])]()
+
+  /** Definition-file PARSES (cache misses) since JVM start — the
+    * maintenance specs' zero-reads-per-commit pin. */
+  @volatile var parseCount: Long = 0L
+
+  private def statKey(p: java.nio.file.Path): Option[(String, Long, Long)] =
+    try {
+      val a = java.nio.file.Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      Some((String.valueOf(a.fileKey), a.lastModifiedTime.toMillis, a.size))
+    } catch { case _: java.io.IOException => None }
+
+  /** The full persisted definition including the `auto` flag, served
+    * through the stat-validated cache. */
+  def readDefFull(mvPath: String)
+      : Option[(String, Seq[String], TopNSpec, Int, Boolean)] = {
+    val p = java.nio.file.Paths.get(mvPath, FileName)
+    val key = statKey(p)
+    if (key.isEmpty) { readCache.remove(mvPath); return None }
+    val hit = readCache.get(mvPath)
+    if (hit != null && hit._1 == key.get) return hit._2
+    val parsed = parse(p)
+    readCache.put(mvPath, (key.get, parsed))
+    parsed
   }
 
   def readDef(mvPath: String)
-      : Option[(String, Seq[String], TopNSpec, Int)] = {
-    val p = java.nio.file.Paths.get(mvPath, FileName)
+      : Option[(String, Seq[String], TopNSpec, Int)] =
+    readDefFull(mvPath).map(d => (d._1, d._2, d._3, d._4))
+
+  private def parse(p: java.nio.file.Path)
+      : Option[(String, Seq[String], TopNSpec, Int, Boolean)] = {
     if (!java.nio.file.Files.exists(p)) return None
+    parseCount += 1
     val kv = java.nio.file.Files.readString(p).split("\n").iterator
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     def list(k: String): Seq[String] =
@@ -104,18 +145,15 @@ object TopNMv {
         kv("n").toInt, list("cols"),
         ties = kv.get("ties").exists(_.toBoolean)),
       kv.get("retain").map(_.toInt)
-        .getOrElse(Scd1Merge.DefaultRetainVersions)))
+        .getOrElse(Scd1Merge.DefaultRetainVersions),
+      kv.get("auto").exists(_.toBoolean)))
   }
 
   /** Is `mvPath` flagged for WRITE-THROUGH maintenance (the
     * `_graft_topn` `auto=true` line — [[MvMaintenance]]'s post-commit
     * hook consults this). */
-  def readAuto(mvPath: String): Boolean = {
-    val p = java.nio.file.Paths.get(mvPath, FileName)
-    java.nio.file.Files.exists(p) &&
-      java.nio.file.Files.readString(p).split("\n")
-        .contains("auto=true")
-  }
+  def readAuto(mvPath: String): Boolean =
+    readDefFull(mvPath).exists(_._5)
 
   /** The registered DETERMINISTIC ordering: order column in the
     * spec'd direction, base keys ascending as the tie-break. */

@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.merge.Scd1Merge
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, EqualTo, Expression, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Descending, EqualTo, Expression, Literal, SortOrder}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, JoinHint, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -151,18 +151,22 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     val marker = java.nio.file.Paths.get(basePath, ArmFileName)
     if (!java.nio.file.Files.exists(marker)) return false
     if (armedDirs.add(basePath)) {
-      val kv = java.nio.file.Files.readString(marker).split("\n")
-        .iterator.map(_.split("=", 2)).collect {
-          case Array(k, v) => k -> v }.toMap
-      try registry.put(basePath, AnnReg(basePath, dec(kv("index")),
-        dec(kv("id")), dec(kv("vec")), kv("dim").toInt,
-        kv("nprobe").toInt, kv("candfactor").toInt,
-        kv("commit").toInt,
-        corpusRead(spark, basePath).inputFiles.toSet,
-        kv.get("payload").map(_.split(",").iterator.filter(_.nonEmpty)
-          .map(dec).toSeq).getOrElse(Nil),
-        kv.get("auto").exists(_.toBoolean)))
-      catch { case _: Exception => () } // malformed marker: skip
+      // the READ sits inside the try too: an unreadable (not just
+      // malformed) marker must degrade to "unarmed", never throw out
+      // of a maintenance hook or sweep
+      try {
+        val kv = java.nio.file.Files.readString(marker).split("\n")
+          .iterator.map(_.split("=", 2)).collect {
+            case Array(k, v) => k -> v }.toMap
+        registry.put(basePath, AnnReg(basePath, dec(kv("index")),
+          dec(kv("id")), dec(kv("vec")), kv("dim").toInt,
+          kv("nprobe").toInt, kv("candfactor").toInt,
+          kv("commit").toInt,
+          corpusRead(spark, basePath).inputFiles.toSet,
+          kv.get("payload").map(_.split(",").iterator.filter(_.nonEmpty)
+            .map(dec).toSeq).getOrElse(Nil),
+          kv.get("auto").exists(_.toBoolean)))
+      } catch { case _: Exception => () } // malformed marker: skip
     }
     registry.containsKey(basePath)
   }
@@ -194,6 +198,11 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     * ([[register]]'s `autoMaintain`) — the post-commit hook's probe. */
   def isAuto(basePath: String): Boolean =
     Option(registry.get(basePath)).exists(_.auto)
+
+  /** The registered index location serving `basePath` (None when
+    * unregistered) — the SQL DROP/SHOW commands' resolver. */
+  def indexPathOf(basePath: String): Option[String] =
+    Option(registry.get(basePath)).map(_.indexPath)
 
   /** Registered corpus base paths — the maintenance sweep's inventory. */
   def registeredBases: Seq[String] = {
@@ -286,6 +295,53 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     n
   }
 
+  /** QUERY-SET serving — batch k-NN from the registered index: the
+    * single-vector rewrite admits one foldable literal, but offline
+    * jobs (recommendation backfills, eval sweeps, dedup passes) carry
+    * HUNDREDS of query vectors, and planning them one-by-one would
+    * pay per-query planning and per-query probes. This entry point
+    * gates exactly like the rewrite (registration + freshness) and
+    * lowers onto
+    * [[graft.similarity.Similarity.ivfPqTopKFromCodes]]'s DISTRIBUTED
+    * distance-table shape: ONE broadcast of all queries' per-cell
+    * tables, ONE equi-join over the persisted codes, one exact
+    * re-rank — cost amortizes across the whole set, zero per-query
+    * planning. A stale or unregistered base answers with the exact
+    * top-k instead (never wrong, the [[apply]] fallback contract);
+    * [[lastBatchServedFromIndex]] records which path ran.
+    *
+    * `queries`: a DataFrame carrying the registered id and vector
+    * columns (broadcast — keep it query-set-sized). Output:
+    * (query_id, rank, vec_id, cos_sim). An UNREGISTERED base is a
+    * loud error (there is no index to serve from — exact batch top-k
+    * is [[graft.similarity.Similarity.topK]]). */
+  def topKBatch(spark: SparkSession, basePath: String,
+                queries: org.apache.spark.sql.DataFrame,
+                k: Int): org.apache.spark.sql.DataFrame = {
+    armPath(spark, basePath)
+    val reg = Option(registry.get(basePath)).getOrElse(
+      throw new IllegalArgumentException(
+        s"GraftAnnRewrite.topKBatch: $basePath is not registered"))
+    val corpus = corpusRead(spark, basePath)
+    if (corpusCommit(basePath).contains(reg.baseCommit)) {
+      lastBatchServedFromIndex = true
+      val (cents, books) = PlanCaches.annModel(spark, reg.indexPath)
+      graft.similarity.Similarity.ivfPqTopKFromCodes(corpus, queries,
+        reg.idCol, reg.vecCol, k, cents, books,
+        graft.similarity.Similarity.readCodes(spark, reg.indexPath),
+        reg.nprobe, reg.dim, reg.candFactor)
+    } else {
+      // stale index: the exact batch answer, never a wrong one
+      lastBatchServedFromIndex = false
+      graft.similarity.Similarity.topK(corpus, queries,
+        reg.idCol, reg.vecCol, k)
+    }
+  }
+
+  /** Did the last [[topKBatch]] serve from the index (vs the exact
+    * fallback) — spec/judged-entry observability. */
+  @volatile var lastBatchServedFromIndex: Boolean = false
+
   /** Remove the registration, its persisted marker, and its catalog
     * inventory row. */
   def unregister(basePath: String): Unit = {
@@ -335,19 +391,15 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** The per-query ADC distance table rows for `nprobe` cells —
-    * driver-side KBs, computed ONCE per rewrite attempt. */
-  private def distanceRows(qv: Array[Float], cents: Array[Seq[Float]],
-                           books: Array[Array[Seq[Float]]],
-                           nprobe: Int): Seq[(Int, Int, Int, Double)] = {
-    val probed = cents.zipWithIndex
-      .map { case (c, i) => (cosine(qv, c), i) }
-      .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+  /** One cell's ADC distance-table rows: d²(query residual sub,
+    * codeword) for every (sub, code). */
+  private def cellDtRows(qv: Array[Float], cents: Array[Seq[Float]],
+                         books: Array[Array[Seq[Float]]],
+                         cell: Int): Seq[(Int, Int, Int, Double)] = {
     val mSub = books.length
     val dsub = qv.length / mSub
+    val rq = qv.indices.map(i => qv(i) - cents(cell)(i))
     for {
-      cell <- probed.toSeq
-      rq = qv.indices.map(i => qv(i) - cents(cell)(i))
       sub <- 0 until mSub
       sv = rq.slice(sub * dsub, (sub + 1) * dsub)
       (cw, code) <- books(sub).zipWithIndex
@@ -358,6 +410,48 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       }
       (cell, sub, code, d2)
     }
+  }
+
+  /** The per-query ADC distance table rows for `nprobe` cells —
+    * driver-side KBs, computed ONCE per rewrite attempt. */
+  private def distanceRows(qv: Array[Float], cents: Array[Seq[Float]],
+                           books: Array[Array[Seq[Float]]],
+                           nprobe: Int): Seq[(Int, Int, Int, Double)] = {
+    val probed = cents.zipWithIndex
+      .map { case (c, i) => (cosine(qv, c), i) }
+      .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+    probed.toSeq.flatMap(cellDtRows(qv, cents, books, _))
+  }
+
+  /** PER-CELL DISTANCE-TABLE PRUNING — what lets payload-pushdown
+    * probes survive nlist ≫ [[FullProbeMaxCells]] with a BOUNDED
+    * broadcast (SCALE.md's named lift for the full-width cap):
+    * preselect 4·width cells by query-centroid cosine (O(nlist·dim),
+    * the standard coarse ranking), compute THEIR distance tables,
+    * then keep only the `width` cells whose best-case ADC bound
+    * L(cell) = Σ_sub min_code d²(residual_sub, codeword) is smallest
+    * — a vector in a pruned cell has quantized distance ≥ L(cell) ≥
+    * every kept cell's bound, so the cells least able to place a
+    * candidate in the top-k are dropped BEFORE the broadcast is
+    * built. The table stays ≤ width·m·ksub rows regardless of nlist;
+    * fill-k stays guaranteed because the pushdown paths that use this
+    * run under survivor-count escalation (width doubles toward nlist
+    * if the kept cells under-fill). */
+  private def distanceRowsPruned(qv: Array[Float], cents: Array[Seq[Float]],
+                                 books: Array[Array[Seq[Float]]],
+                                 width: Int): Seq[(Int, Int, Int, Double)] = {
+    val pre = cents.zipWithIndex
+      .map { case (c, i) => (cosine(qv, c), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(math.min(cents.length, 4 * width)).map(_._2)
+    val withBounds = pre.map { cell =>
+      val rows = cellDtRows(qv, cents, books, cell)
+      val lower = rows.groupBy(_._2).valuesIterator
+        .map(_.iterator.map(_._4).min).sum
+      (lower, cell, rows)
+    }
+    withBounds.sortBy { case (l, cell, _) => (l, cell) }
+      .take(width).flatMap(_._3).toSeq
   }
 
   /** Candidate-id plan: broadcast the distance table onto the
@@ -374,6 +468,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
                                 payloadPredSql: Option[String] = None)
       : LogicalPlan = {
     import spark.implicits._
+    lastDistanceTableCells = dtRows.iterator.map(_._1).toSet.size
     val dt = dtRows.toDF("__cluster", "sub", "code", "__d2")
     val codes0 = graft.similarity.Similarity.readCodes(spark, indexPath)
     // payload pushdown: the predicate prunes code rows BEFORE the
@@ -482,7 +577,11 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     def childrenFor(nprobe: Int, candFactor: Int,
                     predSql: Option[String] = None)
         : Option[Seq[LogicalPlan]] = {
-      val dtRows = distanceRows(qv, cents, books, nprobe)
+      val dtRows =
+        if (predSql.nonEmpty && nprobe < cents.length &&
+            cents.length > FullProbeMaxCells)
+          distanceRowsPruned(qv, cents, books, nprobe)
+        else distanceRows(qv, cents, books, nprobe)
       Some(branches.map { case (proj, flOpt, scan) =>
         val idAttr = scan.output.find(_.name.equalsIgnoreCase(reg.idCol))
           .getOrElse(return None)
@@ -504,15 +603,20 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         s"${reg.indexPath} (commit ${reg.baseCommit})")
       return Some(u.withNewChildren(newChildren))
     }
-    // ---- FILTERED partitioned, PAYLOAD-covered: same pushdown as
-    // the flat path — the predicate prunes code rows inside the
-    // probe, so serve full-width with zero plan-time jobs; each
-    // branch's own Filter stays above its semi-join (exactness)
+    // ---- FILTERED partitioned: split into payload-COVERED conjuncts
+    // and the RESIDUAL, exactly like the flat path. Fully covered →
+    // full-width pushdown with zero plan-time jobs; partially covered
+    // → push the covered part and escalate only the residual
+    // (candFactor-only widening, candidate-sized counts); nothing
+    // covered → generic escalation. Each branch's own Filter stays
+    // above its semi-join (exactness) in every mode.
     val fCond = branches.head._2.get.condition
-    if (reg.payloadCols.nonEmpty &&
-        fCond.references.forall(a =>
-          reg.payloadCols.exists(_.equalsIgnoreCase(a.name))) &&
-        cents.length <= FullProbeMaxCells) {
+    val (covered, residual) = conjunctsOf(fCond).partition(c =>
+      reg.payloadCols.nonEmpty && c.references.forall(a =>
+        reg.payloadCols.exists(_.equalsIgnoreCase(a.name))))
+    val fullyCovered = covered.nonEmpty && residual.isEmpty
+    val partialCovered = covered.nonEmpty && residual.nonEmpty
+    if (fullyCovered && cents.length <= FullProbeMaxCells) {
       try childrenFor(cents.length, reg.candFactor,
           Some(canonPred(fCond))) match {
         case Some(kids) =>
@@ -526,19 +630,38 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         case None => () // malformed branch: generic path decides
       } catch { case _: Exception => () } // pushdown error: fall back
     }
-    // ---- FILTERED partitioned: the flat path's escalation, with the
-    // survivor count over the union of per-branch (filter ∘ semi-join)
-    // — converged widths cached and wall-clock-bounded exactly like
-    // the flat path (see tryRewrite)
+    // pushdown-with-escalation modes: PARTIAL (covered conjuncts ride
+    // into every branch's candidate plan, residual escalates) and
+    // PRUNED-FULL (fully covered but the model exceeds the broadcast
+    // cap — pruned per-cell tables, survivor-counted). The loop below
+    // starts at the widest bounded probe and widens candFactor after
+    // nprobe tops out.
+    val pushMode = partialCovered ||
+      (fullyCovered && cents.length > FullProbeMaxCells)
+    val partial = partialCovered
+    val pushSql =
+      if (!pushMode) None
+      else Some(canonPred(
+        if (partial) covered.reduce(And) else fCond))
+    val nprobe0 =
+      if (pushMode) math.min(cents.length, FullProbeMaxCells)
+      else reg.nprobe
     val escKey = PlanCaches.EscKey(reg.indexPath, reg.baseCommit,
       canonPred(branches.head._2.get.condition) +
-        s"|np0=${reg.nprobe},cf0=${reg.candFactor}",
+        s"|np0=$nprobe0,cf0=${reg.candFactor}" +
+        (if (partial) "|partial"
+         else if (pushMode) "|prunedfull" else ""),
       k, PlanCaches.qvHash(qv))
+    def countPartial(): Unit = if (pushMode) {
+      lastPayloadPushdowns += 1
+      if (partial) lastPartialPushdowns += 1
+    }
     PlanCaches.escalationHit(escKey).foreach { case (np, cf) =>
       lastFilteredEscalations = 0
       escalationCacheHits += 1
-      val kids = childrenFor(np, cf).getOrElse(return None)
+      val kids = childrenFor(np, cf, pushSql).getOrElse(return None)
       rewriteCount += 1
+      countPartial()
       logInfo(s"graft ANN rewrite: FILTERED top-$k over PARTITIONED " +
         s"${reg.basePath} served from ${reg.indexPath} at CACHED " +
         s"escalation widths (nprobe=$np, candFactor=$cf)")
@@ -548,7 +671,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     val rowsEst = graft.merge.PartitionedTable
       .tableRowsEstimate(reg.basePath).getOrElse(Long.MaxValue)
     val target = math.min(OverFetch.toLong * k, math.max(k.toLong, rowsEst))
-    var nprobe = reg.nprobe
+    var nprobe = nprobe0
     var candFactor = reg.candFactor
     var rounds = 0
     lastFilteredEscalations = 0
@@ -557,10 +680,13 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     def serveFallback(): Option[LogicalPlan] = {
       fallbackWidths.foreach(w =>
         PlanCaches.escalationPut(escKey, w._1, w._2))
-      fallback.map { ks => rewriteCount += 1; u.withNewChildren(ks) }
+      fallback.map { ks =>
+        rewriteCount += 1; countPartial(); u.withNewChildren(ks)
+      }
     }
     while (rounds < 12) {
-      val kids = childrenFor(nprobe, candFactor).getOrElse(return None)
+      val kids = childrenFor(nprobe, candFactor, pushSql)
+        .getOrElse(return None)
       val exhaustive = nprobe >= cents.length &&
         candFactor.toLong * k >= rowsEst
       val survivors =
@@ -569,10 +695,12 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
           .ofRows(spark, u.withNewChildren(kids)).count()
       if (survivors >= target) {
         rewriteCount += 1
+        countPartial()
         logInfo(s"graft ANN rewrite: FILTERED top-$k over PARTITIONED " +
           s"${reg.basePath} served from ${reg.indexPath} " +
           s"(nprobe=$nprobe, candFactor=$candFactor, $survivors " +
-          s"survivors, ${lastFilteredEscalations} escalations)")
+          s"survivors, ${lastFilteredEscalations} escalations" +
+          s"${if (partial) ", covered conjuncts pushed" else ""})")
         PlanCaches.escalationPut(escKey, nprobe, candFactor)
         return Some(u.withNewChildren(kids))
       }
@@ -681,9 +809,17 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     // retrain/rebuild actually moved the model tables
     val (cents, books) = PlanCaches.annModel(spark, reg.indexPath)
     def candsPlanFor(nprobe: Int, candFactor: Int,
-                     predSql: Option[String] = None): LogicalPlan =
-      candsPlanFromRows(spark, reg.indexPath,
-        distanceRows(qv, cents, books, nprobe), k, candFactor, predSql)
+                     predSql: Option[String] = None): LogicalPlan = {
+      // pushdown probes over LARGE models use the PRUNED table: the
+      // broadcast stays ≤ nprobe·m·ksub rows no matter the nlist,
+      // with the kept cells chosen by best-case ADC bound
+      val rows =
+        if (predSql.nonEmpty && nprobe < cents.length &&
+            cents.length > FullProbeMaxCells)
+          distanceRowsPruned(qv, cents, books, nprobe)
+        else distanceRows(qv, cents, books, nprobe)
+      candsPlanFromRows(spark, reg.indexPath, rows, k, candFactor, predSql)
+    }
     def splice(candsPlan: LogicalPlan): LogicalPlan = {
       val join = Join(scan, candsPlan, LeftSemi,
         Some(EqualTo(idAttr, candsPlan.output.head)), JoinHint.NONE)
@@ -730,22 +866,33 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       Some(splice(candsPlanFor(cents.length, reg.candFactor,
         Some(canonPred(f.condition)))))
     }
-    // the generic FILTERED serving path: survivor-count escalation
-    // over (candidates ∩ predicate) — see the tryRewrite Scaladoc
-    def genericFiltered(f: org.apache.spark.sql.catalyst.plans.logical.Filter)
+    // the FILTERED serving escalation, shared by two modes:
+    //  - GENERIC (predSql = None, nprobe starts at the registration):
+    //    survivor-count escalation over (candidates ∩ predicate),
+    //    widening nprobe then candFactor — see the tryRewrite Scaladoc.
+    //  - PARTIAL PUSHDOWN (predSql = the payload-covered conjuncts,
+    //    nprobe starts FULL-WIDTH): the covered conjuncts prune code
+    //    rows inside the probe (selectivity-priced, all cells), so
+    //    candidates are all covered-admissible and only the RESIDUAL
+    //    conjuncts can under-fill — escalation widens candFactor
+    //    alone, and every survivor count stays CANDIDATE-sized (the
+    //    semi-join narrows the corpus scan to ≤ candFactor·k rows).
+    def escalatedFiltered(f: org.apache.spark.sql.catalyst.plans.logical.Filter,
+                          predSql: Option[String],
+                          nprobe0: Int, escTag: String)
         : Option[LogicalPlan] = {
-        // ---- escalation: count survivors (candidate-sized work — the
-        // semi-join narrows the corpus scan to ≤ candFactor·k rows)
-        // and widen the probe until k survive or the candidate set
-        // provably covers the corpus. The CONVERGED widths are cached
-        // by (index, covered commit, canonical predicate + starting
-        // widths, k, query vector) — a RE-planning of the same query
-        // (every .count()/.collect() on a fresh DataFrame replans)
-        // skips the probe jobs entirely and serves at the cached
-        // widths; any base commit, registration change, or new
-        // predicate/vector misses and probes fresh.
+        // ---- escalation: count survivors (candidate-sized work) and
+        // widen the probe until OverFetch·k survive or the candidate
+        // set provably covers the corpus. The CONVERGED widths are
+        // cached by (index, covered commit, canonical predicate +
+        // starting widths + mode, k, query vector) — a RE-planning of
+        // the same query (every .count()/.collect() on a fresh
+        // DataFrame replans) skips the probe jobs entirely and serves
+        // at the cached widths; any base commit, registration change,
+        // or new predicate/vector misses and probes fresh.
         val escKey = PlanCaches.EscKey(reg.indexPath, reg.baseCommit,
-          canonPred(f.condition) + s"|np0=${reg.nprobe},cf0=${reg.candFactor}",
+          canonPred(f.condition) +
+            s"|np0=$nprobe0,cf0=${reg.candFactor}$escTag",
           k, PlanCaches.qvHash(qv))
         PlanCaches.escalationHit(escKey).foreach { case (np, cf) =>
           lastFilteredEscalations = 0
@@ -753,7 +900,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
           logInfo(s"graft ANN rewrite: FILTERED top-$k over " +
             s"${reg.basePath} served from ${reg.indexPath} at CACHED " +
             s"escalation widths (nprobe=$np, candFactor=$cf)")
-          return Some(splice(candsPlanFor(np, cf)))
+          return Some(splice(candsPlanFor(np, cf, predSql)))
         }
         val deadline = System.nanoTime() + escalationBudgetNanos
         val rowsEst = (if (corpusPartitioned(reg.basePath))
@@ -766,7 +913,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         // a k-survivor-exact stop keeps only the filter's thin
         // intersection with the probe and its recall collapses
         val target = math.min(OverFetch.toLong * k, math.max(k.toLong, rowsEst))
-        var nprobe = reg.nprobe
+        var nprobe = nprobe0
         var candFactor = reg.candFactor
         var rounds = 0
         lastFilteredEscalations = 0
@@ -775,7 +922,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         var fallback: Option[LogicalPlan] = None
         var fallbackWidths: Option[(Int, Int)] = None
         while (rounds < 12) {
-          val cp = candsPlanFor(nprobe, candFactor)
+          val cp = candsPlanFor(nprobe, candFactor, predSql)
           val exhaustive = nprobe >= cents.length &&
             candFactor.toLong * k >= rowsEst
           val survivors =
@@ -789,7 +936,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
               s"${reg.basePath} served from ${reg.indexPath} " +
               s"(nprobe=$nprobe, candFactor=$candFactor, " +
               s"$survivors survivors, ${lastFilteredEscalations} " +
-              "escalations)")
+              s"escalations${if (predSql.nonEmpty) ", covered conjuncts pushed" else ""})")
             PlanCaches.escalationPut(escKey, nprobe, candFactor)
             return Some(splice(cp))
           }
@@ -832,17 +979,50 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
           s"${reg.nprobe} cells probed)")
         Some(splice(candsPlan))
       case Some(f) =>
-        // payload-covered predicates try the PUSHDOWN first; the
-        // generic survivor-count escalation is the safety net for
-        // undeclared columns, unfillable probes, or pushdown errors
+        // split the predicate into payload-COVERED conjuncts (pushed
+        // into the codes scan) and the RESIDUAL. Fully covered → the
+        // zero-jobs full-width pushdown; PARTIALLY covered → push the
+        // covered part and escalate only the residual (candidate-
+        // sized counts, candFactor-only widening — the common
+        // composite shape `tenant = X AND quality > t` with only
+        // `tenant` declared no longer falls all the way back to
+        // corpus-coverage probes); nothing covered → the generic
+        // escalation. Any pushdown failure degrades to generic.
+        val (covered, residual) = conjunctsOf(f.condition).partition(c =>
+          reg.payloadCols.nonEmpty && c.references.forall(a =>
+            reg.payloadCols.exists(_.equalsIgnoreCase(a.name))))
         val viaPayload =
-          if (reg.payloadCols.nonEmpty &&
-              f.condition.references.forall(a =>
-                reg.payloadCols.exists(_.equalsIgnoreCase(a.name))))
+          if (covered.isEmpty) None
+          else if (residual.isEmpty && cents.length <= FullProbeMaxCells)
+            // small model, fully covered: the zero-jobs full-width
+            // pushdown (short answers provably exact)
             (try payloadServe(f) catch { case _: Exception => None })
-          else None
-        viaPayload.orElse(genericFiltered(f))
+          else (try {
+            // mixed predicate, AND/OR a model past the broadcast cap:
+            // push the covered conjuncts, start at the widest BOUNDED
+            // probe (pruned per-cell tables when nlist exceeds the
+            // cap), and escalate under survivor counts
+            val covSql = canonPred(
+              if (residual.isEmpty) f.condition else covered.reduce(And))
+            val tag = if (residual.isEmpty) "|prunedfull" else "|partial"
+            val out = escalatedFiltered(f, Some(covSql),
+              nprobe0 = math.min(cents.length, FullProbeMaxCells),
+              escTag = tag)
+            if (out.nonEmpty) {
+              lastPayloadPushdowns += 1
+              if (residual.nonEmpty) lastPartialPushdowns += 1
+            }
+            out
+          } catch { case _: Exception => None })
+        viaPayload.orElse(escalatedFiltered(f, None,
+          nprobe0 = reg.nprobe, escTag = ""))
     }
+  }
+
+  /** Conjunct split of a filter predicate. */
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
   }
 
 
@@ -859,6 +1039,11 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     * whose predicate pruned candidates INSIDE the probe) —
     * spec/plan-pin observability. */
   @volatile var lastPayloadPushdowns: Long = 0L
+
+  /** PARTIAL pushdown servings (mixed predicates: covered conjuncts
+    * pushed into the codes scan, residual conjuncts escalated over
+    * candidate-sized survivor counts) — spec/plan-pin observability. */
+  @volatile var lastPartialPushdowns: Long = 0L
 
   /** Wall-clock budget for one filtered escalation (ms, conf
     * `spark.graft.ann.escalationBudgetMs`): planning latency must
@@ -883,9 +1068,21 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     * the true filtered top-k. */
   private val OverFetch = 4
 
-  /** Payload pushdown's full-width probe cap: the per-query distance
-    * table is nlist·m·ksub doubles (driver-computed, broadcast) — at
-    * 1024 cells × 16 subs × 256 codes it is ~32 MB, the sane ceiling;
-    * a bigger model falls back to the generic escalation path. */
-  private val FullProbeMaxCells = 1024
+  /** Payload pushdown's full-width probe cap (conf
+    * `spark.graft.ann.fullProbeMaxCells`): the per-query distance
+    * table is cells·m·ksub doubles (driver-computed, broadcast) — at
+    * 1024 cells × 16 subs × 256 codes it is ~32 MB, the sane ceiling.
+    * A model with MORE cells no longer falls back: pushdown probes go
+    * through [[distanceRowsPruned]] — best-case-ADC cell pruning keeps
+    * the broadcast ≤ this many cells, under survivor-count escalation
+    * so fill-k still holds (the one behavior change vs the zero-jobs
+    * small-model path: the first planning of a pruned probe pays
+    * candidate-sized count jobs, amortized by the escalation cache). */
+  private def FullProbeMaxCells: Int =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.ann.fullProbeMaxCells", "1024").toInt
+
+  /** Distinct cells in the last candidate plan's broadcast distance
+    * table — the bounded-broadcast spec pin. */
+  @volatile var lastDistanceTableCells: Int = 0
 }

@@ -969,9 +969,25 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
           case ap: org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile
               if org.apache.spark.sql.internal.SQLConf.get.getConfString(
                    "spark.graft.mv.serveApproxPercentile", "false").toBoolean =>
-            val pLit = ap.percentageExpression match {
+            // scalar OR array percentile literals — dashboards emit
+            // `approx_percentile(m, array(0.5, 0.95, 0.99), acc)`;
+            // the array form serves as a CreateArray of per-percentile
+            // estimates over ONE stored-sketch union (physical
+            // planning dedups the repeated aggregate)
+            import org.apache.spark.sql.types.ArrayType
+            val isArray = ap.percentageExpression.dataType match {
+              case ArrayType(DoubleType, _) => true
+              case _ => false
+            }
+            val pLits: Option[Seq[Double]] = ap.percentageExpression match {
               case l: Literal if l.foldable && l.dataType == DoubleType =>
-                Option(l.eval()).map(_.asInstanceOf[Double])
+                Option(l.eval()).map(d => Seq(d.asInstanceOf[Double]))
+              case e if e.foldable && isArray =>
+                Option(e.eval())
+                  .map(_.asInstanceOf[
+                    org.apache.spark.sql.catalyst.util.ArrayData]
+                    .toDoubleArray().toSeq)
+                  .filter(_.nonEmpty)
               case _ => None
             }
             val accOk = ap.accuracyExpression match {
@@ -983,7 +999,7 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
             }
             val m = ap.child match {
               case a: AttributeReference
-                  if pLit.nonEmpty && accOk && measureSide(a) =>
+                  if pLits.nonEmpty && accOk && measureSide(a) =>
                 quantilesByMeasure.get(a.name.toLowerCase)
               case _ => None
             }
@@ -992,14 +1008,24 @@ object GraftMvRewrite extends Rule[LogicalPlan] {
                 graft.functions.QskUnionAgg(c),
                 org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
                 isDistinct = false)
-              val est = graft.functions.QskQuantile(union,
-                Literal(pLit.get, DoubleType))
               // approx_percentile returns the CHILD's type (it picks
               // an element); the sample estimate is also an element,
               // carried as double — cast back so the served schema
               // matches the query's
-              if (ap.dataType == DoubleType) est
-              else Cast(est, ap.dataType)
+              def estFor(p: Double, elemType: org.apache.spark.sql.types.DataType)
+                  : Expression = {
+                val est = graft.functions.QskQuantile(union,
+                  Literal(p, DoubleType))
+                if (elemType == DoubleType) est else Cast(est, elemType)
+              }
+              if (isArray) {
+                val elemType = ap.dataType match {
+                  case ArrayType(et, _) => et
+                  case other => other
+                }
+                org.apache.spark.sql.catalyst.expressions.CreateArray(
+                  pLits.get.map(estFor(_, elemType)))
+              } else estFor(pLits.get.head, ap.dataType)
             })
           case a: Average if a.child.dataType == LongType =>
             val attr = a.child match {

@@ -17,8 +17,11 @@ import org.apache.spark.sql.SparkSession
   * (one manifest-header read to validate) and is correct under
   * concurrent writers from ANY process, not just this session.
   *
-  * Three caches, all bounded by the registration inventory (entries
-  * are per-table / per-index / per-(query shape), never per-row):
+  * Three caches — [[liveFiles]] and [[annModel]] bounded by the
+  * registration inventory (entries are per-table / per-index, never
+  * per-row), [[escalation]] bounded by a size-capped LRU (its key
+  * carries the query VECTOR, so production serving would otherwise
+  * grow it one entry per distinct query forever):
   *
   *  - [[liveFiles]]: table → (commit, live file set). Replaces a
   *    DataFrame construction + FileIndex listing per (registration,
@@ -41,23 +44,47 @@ object PlanCaches {
   private val files =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Set[String])]()
 
+  /** Test seam: invoked between the commit read and the listing —
+    * lets a spec interleave a concurrent commit mid-listing and pin
+    * that the cached (commit, files) pair stays CONSISTENT. */
+  @volatile private[graft] var onListForTest: () => Unit = () => ()
+
   /** The table's (commit, live file set), re-listed only when the
-    * commit has moved since last asked; None for a non-table path. */
+    * commit has moved since last asked; None for a non-table path.
+    *
+    * The (commit, files) pair is snapshotted CONSISTENTLY — list,
+    * then verify the commit did not move mid-listing, bounded retry
+    * (the maintain() recipe). Without the verify, a manifest swap
+    * landing between the commit read and the listing would cache a
+    * mislabeled (old commit, new files) entry: fail-safe for today's
+    * consumers (they compare only the file set and re-derive
+    * freshness from live commits) but a fail-UNSAFE trap for any
+    * future consumer reading the cached commit as a freshness gate. */
   def liveFiles(spark: SparkSession, basePath: String)
       : Option[(Int, Set[String])] = {
     val partitioned = PartitionedTable.tableExists(basePath)
-    val commit =
-      (if (partitioned) PartitionedTable.tableCommit(basePath)
-       else Scd1Merge.tableCommit(basePath)).getOrElse(return None)
-    val hit = files.get(basePath)
-    if (hit != null && hit._1 == commit) return Some(hit)
-    listingCount += 1
-    val listed =
-      (if (partitioned) PartitionedTable.readTable(spark, basePath)
-       else Scd1Merge.readTable(spark, basePath)).inputFiles.toSet
-    val entry = (commit, listed)
-    files.put(basePath, entry)
-    Some(entry)
+    def commitNow: Option[Int] =
+      if (partitioned) PartitionedTable.tableCommit(basePath)
+      else Scd1Merge.tableCommit(basePath)
+    var tries = 0
+    while (tries < 5) {
+      tries += 1
+      val c1 = commitNow.getOrElse(return None)
+      val hit = files.get(basePath)
+      if (hit != null && hit._1 == c1) return Some(hit)
+      onListForTest()
+      listingCount += 1
+      val listed =
+        (if (partitioned) PartitionedTable.readTable(spark, basePath)
+         else Scd1Merge.readTable(spark, basePath)).inputFiles.toSet
+      if (commitNow.contains(c1)) {
+        val entry = (c1, listed)
+        files.put(basePath, entry)
+        return Some(entry)
+      }
+      // a writer landed mid-listing: the pair is torn — retry
+    }
+    None // commit-storm: callers treat as "no snapshot" and fall back
   }
 
   /** Actual re-listings performed (cache misses) — the spec pin that
@@ -89,13 +116,28 @@ object PlanCaches {
   // ---- filtered-ANN escalation outcomes ----
   final case class EscKey(indexPath: String, baseCommit: Int,
                           predCanon: String, k: Int, qvHash: Long)
+
+  /** Escalation-cache entry cap: unlike the other two caches, this
+    * key carries the QUERY VECTOR (and the covered commit), so a
+    * long-lived serving session sees one entry per distinct query —
+    * unbounded without an eviction policy. Access-ordered LRU: a hot
+    * dashboard's repeated replannings stay resident; one-off queries
+    * and superseded commits age out. ~100 B/entry → low MBs at cap. */
+  private[graft] val EscalationMaxEntries = 4096
+
   private val escalations =
-    new java.util.concurrent.ConcurrentHashMap[EscKey, (Int, Int)]()
+    new java.util.LinkedHashMap[EscKey, (Int, Int)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[EscKey, (Int, Int)]): Boolean =
+        size() > EscalationMaxEntries
+    }
 
   def escalationHit(key: EscKey): Option[(Int, Int)] =
-    Option(escalations.get(key))
+    escalations.synchronized { Option(escalations.get(key)) }
   def escalationPut(key: EscKey, nprobe: Int, candFactor: Int): Unit =
-    escalations.put(key, (nprobe, candFactor))
+    escalations.synchronized { escalations.put(key, (nprobe, candFactor)); () }
+  private[graft] def escalationSize: Int =
+    escalations.synchronized(escalations.size)
 
   /** xxhash-free stable hash of a query vector for the escalation
     * key (exact bit equality via the full array would also work; a
@@ -114,6 +156,7 @@ object PlanCaches {
 
   /** Session-state reset (specs simulating restarts). */
   def clear(): Unit = {
-    files.clear(); models.clear(); escalations.clear()
+    files.clear(); models.clear()
+    escalations.synchronized(escalations.clear())
   }
 }

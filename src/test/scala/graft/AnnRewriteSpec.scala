@@ -184,6 +184,171 @@ class AnnRewriteSpec extends SparkSpecBase {
     } finally GraftAnnRewrite.unregister(corpusT)
   }
 
+  test("PARTIAL PAYLOAD PUSHDOWN: a mixed predicate pushes its covered conjuncts into the codes scan and escalates only the residual, candidate-sized") {
+    val root = Tmp.dir("annrw_partial")
+    val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+    Scd1Merge.upsert(spark, corpusT, emb, Seq("vec_id"), numBuckets = 4,
+      retainVersions = 4, batchId = "c1")
+    Similarity.ivfPqIndexBuild(spark, idx,
+      Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64, batchId = "b1",
+      payloadCols = Seq("label"))
+    try {
+      // `label = 3 AND vec_id % 2 = 0` — label declared, vec_id not:
+      // before the split this shape fell ALL the way back to the
+      // generic corpus-coverage escalation; now the covered conjunct
+      // prunes code rows inside the probe and only the residual
+      // escalates, starting from already-matching candidates
+      val mixed = col("label") === 3 && col("vec_id") % 2 === 0
+      val exact = filteredTopk(corpusT, mixed)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 4, candFactor = 16,
+        payloadCols = Seq("label"))
+      val pp0 = GraftAnnRewrite.lastPartialPushdowns
+      val served = filteredTopk(corpusT, mixed)
+      assert(servedBy(served, idx), "the mixed predicate must serve")
+      assert(GraftAnnRewrite.lastPartialPushdowns == pp0 + 1,
+        "the PARTIAL pushdown path must have served it")
+      // the COVERED conjunct reached the codes side: the optimized
+      // plan filters `label` directly over the codes relation (from
+      // there Catalyst pushes it into the parquet scan — the
+      // executed-plan string carries it as a pushed data filter)
+      val codesFilters = served.queryExecution.optimizedPlan.collect {
+        case fl @ org.apache.spark.sql.catalyst.plans.logical.Filter(_,
+            lr: org.apache.spark.sql.execution.datasources.LogicalRelation)
+            if lr.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+              lr.relation.asInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location.inputFiles.exists(_.contains(idx + "/codes/")) => fl
+      }
+      assert(codesFilters.nonEmpty && codesFilters.forall(
+          _.condition.references.exists(_.name.equalsIgnoreCase("label"))),
+        "the covered conjunct must be pushed into the codes scan: " +
+        served.queryExecution.optimizedPlan.toString.take(2000))
+      // CANDIDATE-sized escalation: the candidate subtree is bounded
+      // by a Limit (candFactor·k), so every survivor-count job and
+      // the served plan read candidate-sized data, never the corpus
+      assert(served.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+      }.nonEmpty, "the candidate subtree must stay Limit-bounded")
+      // exactness of what is served: scores are the true cosines, and
+      // the answer fills k (escalation guarantees it at this SF)
+      val rows = served.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.length == 10, s"must fill k: ${rows.length}")
+      val exactMap = exact.toMap
+      rows.foreach { case (id, sc) =>
+        exactMap.get(id).foreach(es => assert(es == sc, "scores exact")) }
+      val recall = rows.map(_._1).toSet
+        .intersect(exact.take(10).map(_._1).toSet).size / 10.0
+      info(f"partial-pushdown recall@10 = $recall%.2f")
+      assert(recall >= 0.6, s"partial pushdown recall $recall collapsed")
+      // replanning the same query hits the escalation cache — the
+      // partial mode keys separately from generic
+      val hits0 = GraftAnnRewrite.escalationCacheHits
+      val pp1 = GraftAnnRewrite.lastPartialPushdowns
+      assert(servedBy(filteredTopk(corpusT, mixed), idx))
+      assert(GraftAnnRewrite.escalationCacheHits == hits0 + 1,
+        "re-planning must replay the converged partial widths")
+      assert(GraftAnnRewrite.lastPartialPushdowns == pp1 + 1)
+    } finally GraftAnnRewrite.unregister(corpusT)
+  }
+
+  test("BATCH serving: topKBatch answers a query SET from the index in one distributed probe; stale answers exact; maintain restores; unregistered is loud") {
+    val (corpusT, idx) = freshCorpus("annrw_batch")
+    try {
+      val queries = emb.filter(col("vec_id") < 100)
+      val exact = Similarity.topK(Scd1Merge.readTable(spark, corpusT),
+          queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 8, candFactor = 16)
+      val served = GraftAnnRewrite.topKBatch(spark, corpusT, queries, 5)
+      assert(GraftAnnRewrite.lastBatchServedFromIndex,
+        "fresh registration must serve the batch from the index")
+      val pairs = served.select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.size == 500, s"every query fills k: ${pairs.size}")
+      val recall = pairs.intersect(exact).size / 500.0
+      info(f"batch recall@5 over 100 queries = $recall%.2f")
+      assert(recall >= 0.7, s"batch recall $recall collapsed")
+      // stale corpus: the EXACT batch answer, flagged
+      Scd1Merge.upsert(spark, corpusT,
+        emb.filter(col("vec_id") === 7).withColumn("vec_id", lit(987654L)),
+        Seq("vec_id"), retainVersions = 4, batchId = "c2")
+      val fb = GraftAnnRewrite.topKBatch(spark, corpusT, queries.limit(2), 5)
+      assert(!GraftAnnRewrite.lastBatchServedFromIndex)
+      assert(fb.count() == 10, "the exact fallback still fills k")
+      // maintain folds the feed; the index serves again
+      assert(GraftAnnRewrite.maintain(spark, corpusT) == 1L)
+      GraftAnnRewrite.topKBatch(spark, corpusT, queries.limit(2), 5).count()
+      assert(GraftAnnRewrite.lastBatchServedFromIndex)
+      // unregistered: loud, not silently exact
+      GraftAnnRewrite.unregister(corpusT)
+      intercept[IllegalArgumentException] {
+        GraftAnnRewrite.topKBatch(spark, corpusT, queries.limit(1), 5)
+      }
+    } finally GraftAnnRewrite.unregister(corpusT)
+  }
+
+  test("PER-CELL PRUNING: payload pushdown survives nlist past the broadcast cap with a BOUNDED distance table; selective predicates still escalate to fill k") {
+    val root = Tmp.dir("annrw_prune")
+    val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+    Scd1Merge.upsert(spark, corpusT, emb, Seq("vec_id"), numBuckets = 4,
+      retainVersions = 4, batchId = "c1")
+    Similarity.ivfPqIndexBuild(spark, idx,
+      Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding",
+      nlist = 32, m = 8, ksub = 16, iters = 2, dim = 64, batchId = "b1",
+      payloadCols = Seq("label"))
+    // the cap is 8 cells — the 32-cell model is "too big to broadcast
+    // full-width", the 100 TB nlist ≈ 10⁵ shape scaled to the fixture
+    spark.conf.set("spark.graft.ann.fullProbeMaxCells", "8")
+    try {
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 4, candFactor = 16, payloadCols = Seq("label"))
+      // BROAD covered predicate: serves at the bounded pruned width —
+      // before this round the >cap model fell back to the generic
+      // corpus-coverage escalation for every payload query
+      val broad = col("label") >= 0
+      val exact = filteredTopk(corpusT, broad)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val pd0 = GraftAnnRewrite.lastPayloadPushdowns
+      val served = filteredTopk(corpusT, broad)
+      assert(servedBy(served, idx), "the pruned pushdown must serve")
+      assert(GraftAnnRewrite.lastPayloadPushdowns == pd0 + 1)
+      assert(GraftAnnRewrite.lastDistanceTableCells <= 8,
+        s"the broadcast must stay bounded by the cap: " +
+        s"${GraftAnnRewrite.lastDistanceTableCells} cells")
+      val rows = served.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.length == 10, s"must fill k: ${rows.length}")
+      val exactMap = exact.toMap
+      rows.foreach { case (id, sc) =>
+        exactMap.get(id).foreach(es => assert(es == sc, "scores exact")) }
+      val recall = rows.map(_._1).toSet
+        .intersect(exact.take(10).map(_._1).toSet).size / 10.0
+      info(f"pruned-pushdown recall@10 (8/32 cells) = $recall%.2f")
+      assert(recall >= 0.6, s"pruned recall $recall collapsed")
+      // SELECTIVE covered predicate: the kept cells may under-fill —
+      // escalation widens toward the full model and still fills k
+      val sel = col("label") === 3
+      val exactSel = filteredTopk(corpusT, sel)
+        .collect().map(_.getLong(0)).toSet
+      val servedSel = filteredTopk(corpusT, sel)
+      assert(servedBy(servedSel, idx))
+      val selIds = servedSel.collect().map(_.getLong(0))
+      assert(selIds.length == 10,
+        s"escalation must fill k under pruning: ${selIds.length}")
+      val selRecall = selIds.toSet.intersect(exactSel).size / 10.0
+      info(f"pruned selective recall@10 = $selRecall%.2f")
+      assert(selRecall >= 0.6, s"selective recall $selRecall collapsed")
+    } finally {
+      spark.conf.unset("spark.graft.ann.fullProbeMaxCells")
+      GraftAnnRewrite.unregister(corpusT)
+    }
+  }
+
   test("PLAN-TIME CACHES: re-planning an unchanged commit re-lists nothing and replays no escalation jobs; a base commit invalidates both") {
     val (corpusT, idx) = freshCorpus("annrw_cache")
     try {
@@ -225,6 +390,120 @@ class AnnRewriteSpec extends SparkSpecBase {
       assert(GraftAnnRewrite.escalationCacheHits == hitsAfter,
         "a new covered commit must probe fresh, not reuse stale widths")
     } finally GraftAnnRewrite.unregister(corpusT)
+  }
+
+  test("SQL SURFACE: CREATE GRAFT VECTOR INDEX builds + serves (PAYLOAD pushdown included); SHOW reports; DROP removes marker, catalog row, and index tables") {
+    val root = Tmp.dir("annrw_sql")
+    val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+    graft.sql.GraftCatalog.setRoot(root + "/cat")
+    try {
+      Scd1Merge.upsert(spark, corpusT, emb, Seq("vec_id"), numBuckets = 4,
+        retainVersions = 4, batchId = "c1")
+      val exact = topk(corpusT).collect().map(_.getLong(0)).toSet
+      val row = graft.sql.GraftSql.sql(spark,
+        s"""CREATE GRAFT VECTOR INDEX graft.`$idx` ON graft.`$corpusT`
+           |(embedding) OPTIONS (nlist=16, m=16, ksub=16, iters=2)
+           |PAYLOAD (label)""".stripMargin).collect().head
+      assert(row.getString(2) == "vec_id" && row.getLong(3) == 64L &&
+        row.getLong(4) == 16L, s"CREATE output: $row")
+      val served = topk(corpusT)
+      assert(servedBy(served, idx), "the SQL-created index must serve")
+      // recall floor (the judged entry pins the exact value)
+      val hits = served.collect().map(_.getLong(0)).toSet.intersect(exact)
+      assert(hits.size >= 8, s"recall floor: ${hits.size}/10")
+      // the declared PAYLOAD column serves filtered queries through
+      // the pushdown path — the SQL surface plumbs payloadCols intact
+      val pd0 = GraftAnnRewrite.lastPayloadPushdowns
+      val filtered = Scd1Merge.readTable(spark, corpusT)
+        .filter(col("label") === 3)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            typedLit(qv)).as("s"))
+        .orderBy(col("s").desc).limit(5)
+      assert(servedBy(filtered, idx))
+      assert(GraftAnnRewrite.lastPayloadPushdowns == pd0 + 1,
+        "PAYLOAD (label) must enable the pushdown path")
+      // duplicate CREATE is refused loudly
+      intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.sql(spark,
+          s"CREATE GRAFT VECTOR INDEX graft.`${root}/idx2` ON " +
+          s"graft.`$corpusT` (embedding)").collect()
+      }
+      // SHOW: one fresh row
+      val shown = graft.sql.GraftSql.sql(spark, "SHOW VECTOR INDEXES")
+        .collect().filter(_.getString(0) == corpusT)
+      assert(shown.length == 1 && shown.head.getString(1) == idx &&
+        shown.head.getBoolean(4) && !shown.head.getBoolean(5),
+        shown.mkString(","))
+      // DROP: rewrite disarmed, marker + catalog row gone, index
+      // tables deleted (derived data)
+      graft.sql.GraftSql.sql(spark,
+        s"DROP GRAFT VECTOR INDEX ON graft.`$corpusT`")
+      assert(!servedBy(topk(corpusT), idx))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(corpusT, "_graft_ann")))
+      assert(!graft.sql.GraftCatalog.allAnnBases.contains(corpusT))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx)),
+        "DROP must delete the derived index tables")
+      assert(Scd1Merge.tableExists(corpusT), "the corpus is untouched")
+    } finally {
+      GraftAnnRewrite.unregister(corpusT)
+      graft.sql.GraftCatalog.clearRoot()
+    }
+  }
+
+  test("PLAN-CACHE BOUNDS: the escalation cache is a size-capped LRU; liveFiles snapshots (commit, files) consistently under a mid-listing commit") {
+    import graft.plans.PlanCaches
+    // ---- LRU bound: EscKey carries the query vector, so production
+    // serving adds one entry per distinct query — the cap is what
+    // keeps a long-lived driver from leaking. Oldest-out, hot-stays.
+    PlanCaches.clear()
+    val n = PlanCaches.EscalationMaxEntries
+    (0 until n + 10).foreach { i =>
+      PlanCaches.escalationPut(
+        PlanCaches.EscKey("idx", 1, "p", 10, i.toLong), 4, 16)
+    }
+    assert(PlanCaches.escalationSize == n,
+      s"cap must hold: ${PlanCaches.escalationSize} entries")
+    assert(PlanCaches.escalationHit(
+      PlanCaches.EscKey("idx", 1, "p", 10, 0L)).isEmpty,
+      "the eldest entry must have been evicted")
+    assert(PlanCaches.escalationHit(
+      PlanCaches.EscKey("idx", 1, "p", 10, (n + 9).toLong)).nonEmpty,
+      "the newest entry must survive")
+    PlanCaches.clear()
+    // ---- liveFiles torn-snapshot: a manifest swap landing between
+    // the commit read and the listing must never cache a mislabeled
+    // (old commit, new files) pair — the entry a future freshness
+    // consumer would trust. The test seam injects the racing commit.
+    val root = Tmp.dir("plancache_race")
+    val t = root + "/t"
+    import spark.implicits._
+    Scd1Merge.upsert(spark, t, Seq((1L, 10L)).toDF("id", "v"), Seq("id"),
+      retainVersions = 4)
+    assert(PlanCaches.liveFiles(spark, t).map(_._1)
+      == Scd1Merge.tableCommit(t), "prime")
+    Scd1Merge.upsert(spark, t, Seq((2L, 20L)).toDF("id", "v"), Seq("id"),
+      retainVersions = 4)
+    var raced = false
+    PlanCaches.onListForTest = () => if (!raced) {
+      raced = true
+      Scd1Merge.upsert(spark, t, Seq((3L, 30L)).toDF("id", "v"), Seq("id"),
+        retainVersions = 4)
+    }
+    try {
+      val got = PlanCaches.liveFiles(spark, t)
+      assert(raced, "the interleaved commit must have fired")
+      val live = Scd1Merge.tableCommit(t).get
+      assert(got.map(_._1).contains(live),
+        s"the cached commit must label the state actually listed: $got vs $live")
+      assert(got.map(_._2) ==
+        Some(Scd1Merge.readTable(spark, t).inputFiles.toSet),
+        "the cached file set must be the live set")
+    } finally {
+      PlanCaches.onListForTest = () => ()
+      PlanCaches.clear()
+    }
   }
 
   test("PARTITIONED CODES TABLE: a one-month ingest's code commit writes only that month's child; serving reads the union transparently") {

@@ -358,6 +358,144 @@ class MvMaintenanceSpec extends SparkSpecBase {
     }
   }
 
+  test("hook cost: N commits to a base with NO dependent MVs parse zero definition sidecars (stat-validated caches)") {
+    import graft.pipeline.TopNMv
+    import graft.pipeline.TopNMv.TopNSpec
+    val root = Tmp.dir("mv_hook_cost")
+    try {
+      // the inventory the hook walks: one auto agg MV + one auto
+      // top-N MV over baseA — and an UNRELATED baseB the commits hit
+      val (baseA, mv, _) = fixture("hookcost")
+      MvMaintenance.enableAuto(mv)
+      val topMv = root + "/topmv"
+      Scd1Merge.upsert(spark, baseA + "2",
+        (1L to 50L).map(i => (i, s"g${i % 4}", i * 10)).toDF("id", "g", "cents"),
+        Seq("id"), numBuckets = 1, retainVersions = 6)
+      TopNMv.createMv(spark, topMv, baseA + "2",
+        TopNSpec(Seq("g"), "cents", desc = true, n = 2,
+          cols = Seq("id", "g", "cents")), numBuckets = 1, retain = 6,
+        auto = true)
+      val baseB = root + "/plain"
+      Scd1Merge.upsert(spark, baseB,
+        Seq((1L, 10L)).toDF("id", "v"), Seq("id"), retainVersions = 6)
+      // prime: the first hooked commit may parse each definition once
+      Scd1Merge.upsert(spark, baseB,
+        Seq((2L, 20L)).toDF("id", "v"), Seq("id"), retainVersions = 6)
+      val p0 = MvDef.parseCount; val t0 = TopNMv.parseCount
+      (3L to 7L).foreach { i =>
+        Scd1Merge.upsert(spark, baseB,
+          Seq((i, i * 10)).toDF("id", "v"), Seq("id"), retainVersions = 6)
+      }
+      assert(MvDef.parseCount == p0,
+        s"agg-MV sidecars must not re-parse per commit (${MvDef.parseCount - p0} parses)")
+      assert(TopNMv.parseCount == t0,
+        s"top-N sidecars must not re-parse per commit (${TopNMv.parseCount - t0} parses)")
+    } finally {
+      graft.plans.GraftTopNRewrite.clear()
+      GraftMvRewrite.clear()
+      MvMaintenance.reset()
+    }
+  }
+
+  test("hook + sweep isolation: a CORRUPT _graft_topn sidecar is skipped loudly — the healthy MVs and the ANN leg still maintain") {
+    import graft.pipeline.TopNMv
+    val root = Tmp.dir("mv_corrupt_topn")
+    graft.sql.GraftCatalog.setRoot(root + "/cat")
+    try {
+      val (base, mv, _) = fixture("corrupt")
+      MvMaintenance.enableAuto(mv)
+      // the corrupt artifact: a cataloged top-N MV whose sidecar is
+      // garbage — before isolation, its probe threw OUT of the hook
+      // (silently skipping the remaining families for that commit)
+      // and failed the whole REFRESH ALL statement
+      val badMv = root + "/badtopn"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(badMv))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(badMv, "_graft_topn"), "not-a-definition")
+      graft.sql.GraftCatalog.putTopNMv(badMv, base)
+      // a HEALTHY auto top-N MV that walks AFTER the corrupt one
+      // ("badtopn" < "ztopn" in the catalog's sorted inventory, and
+      // the session registry is wiped below so the catalog order is
+      // the walk order) — the victim the pre-fix skip silently starved
+      val goodTop = root + "/ztopn"
+      TopNMv.createMv(spark, goodTop, base,
+        TopNMv.TopNSpec(Seq("g"), "cents", desc = true, n = 2,
+          cols = Seq("id", "g", "cents")), numBuckets = 1, retain = 6,
+        auto = true)
+      graft.plans.GraftTopNRewrite.clear() // catalog-only inventory
+      // the hook: commit to the base — both the agg MV and the
+      // healthy top-N MV must refresh despite the corrupt sidecar
+      // earlier in the walk
+      Scd1Merge.upsert(spark, base,
+        Seq((900L, "g1", 4242L)).toDF("id", "g", "cents"), Seq("id"),
+        retainVersions = 6)
+      assert(readsOnly(q(base), mv),
+        "the healthy auto MV must refresh despite the corrupt top-N sidecar")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"cents".desc, $"id".asc)
+      def topQ = Scd1Merge.readTable(spark, base)
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      assert(readsOnly(topQ, goodTop),
+        "the healthy auto top-N MV AFTER the corrupt one must refresh too")
+      // the sweep: stale healthy MVs + corrupt sidecar → converges
+      Scd1Merge.onCommitHook = _ => ()
+      Scd1Merge.upsert(spark, base,
+        Seq((901L, "g1", 1L)).toDF("id", "g", "cents"), Seq("id"),
+        retainVersions = 6)
+      val swept = MvMaintenance.refreshAllStale(spark)
+      assert(swept.exists(_._1 == mv),
+        s"REFRESH ALL must survive the corrupt sidecar and fold the healthy MV: $swept")
+      assert(swept.exists(_._1 == goodTop),
+        s"REFRESH ALL must reach the healthy top-N MV after the corrupt one: $swept")
+      // and a corrupt _graft_ann marker neither throws nor arms
+      val badBase = root + "/badann"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(badBase))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(badBase, "_graft_ann"), "garbage")
+      assert(!graft.plans.GraftAnnRewrite.armPath(spark, badBase))
+    } finally {
+      graft.sql.GraftCatalog.clearRoot()
+      graft.plans.GraftTopNRewrite.clear()
+      GraftMvRewrite.clear()
+      MvMaintenance.reset()
+    }
+  }
+
+  test("FRESH-SESSION write-through ANN: a persisted auto=true marker maintains on the first corpus commit — no query, no sweep") {
+    import graft.plans.GraftAnnRewrite
+    val root = Tmp.dir("mv_ann_fresh_auto")
+    val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .limit(300)
+      Scd1Merge.upsert(spark, corpusT, emb, Seq("vec_id"), numBuckets = 1,
+        retainVersions = 6)
+      graft.similarity.Similarity.ivfPqIndexBuild(spark, idx,
+        Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16, iters = 1, dim = 64)
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, autoMaintain = true)
+      // the "restart": session ANN registry wiped; only the marker
+      // (auto=true) persists. Hooks re-arm (any session using
+      // maintenance does), but the ANN registry is EMPTY — before the
+      // fix, the hook's isAuto probe saw nothing and silently skipped
+      // the write-through until a query happened to arm it.
+      GraftAnnRewrite.clear()
+      MvMaintenance.armHooks()
+      assert(GraftAnnRewrite.coveredCommit(corpusT).isEmpty, "unarmed")
+      Scd1Merge.upsert(spark, corpusT,
+        emb.filter($"vec_id" < 3).withColumn("vec_id", $"vec_id" + 555555L),
+        Seq("vec_id"), retainVersions = 6)
+      val live = Scd1Merge.tableCommit(corpusT).get
+      assert(GraftAnnRewrite.coveredCommit(corpusT).contains(live),
+        "the persisted auto marker must take effect in a fresh session: " +
+        s"covered ${GraftAnnRewrite.coveredCommit(corpusT)} vs live $live")
+    } finally {
+      graft.plans.GraftAnnRewrite.unregister(corpusT)
+      MvMaintenance.reset()
+    }
+  }
+
   test("SQL lifecycle: CREATE ... AUTO REFRESH serves across a wave; REFRESH ALL MATERIALIZED VIEWS sweeps") {
     val root = Tmp.dir("mv_auto_sql")
     val base = root + "/base"; val mv = root + "/mv"

@@ -312,6 +312,51 @@ class QuantileMvSpec extends SparkSpecBase {
     }
   }
 
+  test("ARRAY-form approx_percentile serves from the sketch MV: one union, per-percentile estimates; tighter accuracy still falls through") {
+    val root = Tmp.dir("qsk_ap_arr")
+    val base = root + "/base"; val mv = root + "/mv"
+    Scd1Merge.upsert(spark, base,
+      (1L to 3000L).map(i => (i, s"g${i % 3}", i * 10)).toDF("id", "g", "cents"),
+      Seq("id"), numBuckets = 2, retainVersions = 6)
+    val spec = AggSpec(Seq("g"), Nil, "n",
+      quantiles = Seq("cents" -> "qsk_cents"), sampleKeys = Seq("id"))
+    IncrementalAgg.bootstrapFrom(spark, mv, base, spec, numBuckets = 1,
+      retainVersions = 6)
+    GraftMvRewrite.register(base, mv, spec)
+    // the shape dashboards emit: one call, several percentiles
+    def q(acc: Int): DataFrame =
+      Scd1Merge.readTable(spark, base).groupBy($"g")
+        .agg(expr(s"approx_percentile(cents, array(0.25D, 0.5D, 0.95D), $acc)")
+          .as("ps"), count(lit(1)).as("n"))
+    try {
+      spark.conf.set("spark.graft.mv.serveApproxPercentile", "true")
+      assert(readsOnly(q(10), mv),
+        s"the array form must serve from the MV: ${scanPaths(q(10))}")
+      assert(readsOnly(q(100), base),
+        "a tighter-accuracy array query must fall through")
+      // served estimates track the exact per-percentile values (the
+      // sample holds every row at this size, so element-exactness up
+      // to percentile() interpolation)
+      val served = q(10).orderBy("g").collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2)))
+      val exact = Scd1Merge.readTable(spark, base).groupBy($"g")
+        .agg(expr("percentile(cents, array(0.25D, 0.5D, 0.95D))").as("ps"),
+          count(lit(1)).as("n"))
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getSeq[Double](1), r.getLong(2)))
+      served.zip(exact).foreach { case ((g1, ps, n1), (g2, es, n2)) =>
+        assert(g1 == g2 && n1 == n2)
+        assert(ps.length == 3, s"three estimates, got $ps")
+        ps.zip(es).foreach { case (p, e) =>
+          assert(math.abs(p.toDouble - e) <= 30.0,
+            s"group $g1: served $p too far from exact $e") }
+      }
+    } finally {
+      spark.conf.unset("spark.graft.mv.serveApproxPercentile")
+      GraftMvRewrite.unregister(base)
+    }
+  }
+
   test("REWRITE: qsk_agg(xxhash64(keys), m) over the base answers from the MV exactly — full group, roll-up, staleness, wrong-hash fall-through") {
     val root = Tmp.dir("qsk_rw")
     val base = root + "/base"; val mv = root + "/mv"
