@@ -228,6 +228,9 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       dim, nprobe, candFactor, commit, files, payloadCols, autoMaintain))
     persist(basePath, indexPath, idCol, vecCol, dim, nprobe,
       candFactor, commit, payloadCols, autoMaintain)
+    // superseded-commit escalation outcomes can never hit again —
+    // free their LRU slots now
+    PlanCaches.escalationEvictStale(indexPath, commit)
     if (autoMaintain) graft.pipeline.MvMaintenance.armHooks()
     // durable inventory row (no-op without a catalog root): a FRESH
     // session's maintenance sweep finds this base without waiting for
@@ -292,6 +295,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     registry.put(basePath, reg.copy(baseCommit = live, baseFiles = files))
     persist(basePath, reg.indexPath, reg.idCol, reg.vecCol, reg.dim,
       reg.nprobe, reg.candFactor, live, reg.payloadCols, reg.auto)
+    PlanCaches.escalationEvictStale(reg.indexPath, live)
     n
   }
 

@@ -139,6 +139,18 @@ object PlanCaches {
   private[graft] def escalationSize: Int =
     escalations.synchronized(escalations.size)
 
+  /** Drop cached escalation outcomes for `indexPath` at commits other
+    * than `keepCommit` — called when maintain()/register re-stamps an
+    * index, so superseded-commit entries free their slots immediately
+    * instead of waiting to age out of the LRU (they can never hit:
+    * the key carries the covered commit). */
+  def escalationEvictStale(indexPath: String, keepCommit: Int): Unit =
+    escalations.synchronized {
+      escalations.keySet.removeIf(k =>
+        k.indexPath == indexPath && k.baseCommit != keepCommit)
+      ()
+    }
+
   /** xxhash-free stable hash of a query vector for the escalation
     * key (exact bit equality via the full array would also work; a
     * 64-bit fold of the raw bits keeps the key small and collisions

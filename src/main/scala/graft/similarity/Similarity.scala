@@ -928,6 +928,22 @@ object Similarity {
                       payloadCols: Seq[String] = Nil,
                       codesPartitionBy: Option[String] = None): Unit = {
     import spark.implicits._
+    // REBUILD defaults (drift maintenance calls this with the bare
+    // signature): an existing codes table's layout and payload
+    // columns are PRESERVED — a full repair must never silently
+    // flatten a partitioned codes table or strip the payload columns
+    // the pushdown gate serves from. Explicit arguments still win.
+    val codesExist = codesPartitioned(indexPath) ||
+      graft.merge.Scd1Merge.tableExists(s"$indexPath/codes")
+    val priorPay: Seq[String] =
+      if (!codesExist) Nil
+      else readCodes(spark, indexPath).columns.toSeq
+        .filterNot(Set("vec_id", "__cluster", "sub", "code").contains)
+    val effPartBy = codesPartitionBy.orElse(
+      if (codesPartitioned(indexPath))
+        graft.merge.PartitionedTable.partitionColumns(s"$indexPath/codes")
+          .flatMap(_.headOption)
+      else None)
     val (cents, books) = ivfPqTrain(corpus, idCol, vecCol, nlist, m, ksub, iters, dim)
     // a prior SCOPED repair may have grown the centroid list past
     // nlist (drifted-cell splits) — a rebuild re-trains exactly nlist
@@ -949,9 +965,10 @@ object Similarity {
         book.toSeq.zipWithIndex.map { case (v, code) => (sub, code, v) }
       }.toDF("sub", "code", "centroid"),
       Seq("sub", "code"), numBuckets = 1, batchId = batchId)
-    val pay = (payloadCols ++ codesPartitionBy.toSeq).distinct
+    val pay = (payloadCols ++ effPartBy.toSeq ++
+      (if (payloadCols.isEmpty) priorPay else Nil)).distinct
     val encoded = ivfPqEncode(corpus, idCol, vecCol, cents, books, dim, pay)
-    codesPartitionBy match {
+    effPartBy match {
       case Some(pcol) =>
         // the partition column joins the merge keys (the partitioned
         // layer's routing invariant); a vector MOVING partitions
@@ -1327,14 +1344,35 @@ object Similarity {
           zip_with(col(vecCol),
             element_at(centroidCol(newCents), col("__cluster") + 1),
             (a, b) => a - b).as("__res"))
-      if (codesPartitioned(indexPath)) throw new IllegalStateException(
-        "scoped drift repair over a PARTITIONED codes table is not " +
-        "supported yet — rebuild the index (ivfPqIndexBuild) instead")
-      val codes = pqEncode(res, idCol, "__res", books, dim)
+      // ---- the re-encode commit PRESERVES the code rows' payload
+      // columns (the pushdown gate serves from them — dropping them
+      // here would silently break payload serving after any repair):
+      // affected vectors' current payload values come from their
+      // EXISTING code rows (identical across a vector's m rows, so
+      // one distinct row per vector), joined back on. A PARTITIONED
+      // codes table commits through its own CDC path — rows route to
+      // their children by the payload partition value, so the repair
+      // touches only children holding affected vectors (un-drifted
+      // months keep their commits).
+      val codesTbl = readCodes(spark, indexPath)
+      val payCols = codesTbl.columns.toSeq
+        .filterNot(Set("vec_id", "__cluster", "sub", "code").contains)
+      val codes0 = pqEncode(res, idCol, "__res", books, dim)
         .join(res.select(col(idCol).as("vec_id"),
           col("__gcluster").as("__cluster")), "vec_id")
         .select(col("vec_id"), col("__cluster"), col("sub"), col("code"))
-      graft.merge.Scd1Merge.upsert(spark, s"$indexPath/codes", codes,
+      val codes =
+        if (payCols.isEmpty) codes0
+        else codes0.join(
+          codesTbl.select((col("vec_id") +: payCols.map(col)): _*)
+            .distinct(), "vec_id")
+      if (codesPartitioned(indexPath))
+        graft.merge.PartitionedTable.applyCdc(spark, s"$indexPath/codes",
+          codes.withColumn("__op", lit("upsert")),
+          graft.merge.PartitionedTable.tableKeys(s"$indexPath/codes")
+            .getOrElse(Seq("vec_id", "sub")),
+          opCol = "__op")
+      else graft.merge.Scd1Merge.upsert(spark, s"$indexPath/codes", codes,
         Seq("vec_id", "sub"), batchId = batchId)
       // ---- swap the refreshed centroids in place (k tiny rows) -----
       import spark.implicits._

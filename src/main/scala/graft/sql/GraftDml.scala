@@ -269,6 +269,9 @@ object GraftDml {
   private val DropVecIdxRe =
     ("""(?is)^\s*DROP\s+GRAFT\s+VECTOR\s+INDEX\s+ON\s+""" +
      """(\S+|graft\s*\.\s*`[^`]*`)\s*;?\s*$""").r
+  private val RefreshVecIdxRe =
+    ("""(?is)^\s*REFRESH\s+GRAFT\s+VECTOR\s+INDEX\s+ON\s+""" +
+     """(\S+|graft\s*\.\s*`[^`]*`)\s*;?\s*$""").r
   private val ShowVecIdxRe =
     """(?is)^\s*SHOW\s+(?:GRAFT\s+)?VECTOR\s+INDEXES\s*;?\s*$""".r
 
@@ -360,6 +363,8 @@ object GraftDml {
           }
       case DropVecIdxRe(tok) =>
         parseTableToken(tok).map(GraftDropVectorIndexCommand)
+      case RefreshVecIdxRe(tok) =>
+        parseTableToken(tok).map(GraftRefreshVectorIndexCommand)
       case ShowVecIdxRe() => Some(GraftShowVectorIndexesCommand())
       case CopyIntoRe(tok, src, fmt, pattern, fopts) =>
         parseTableToken(tok).map { p =>
@@ -2090,6 +2095,25 @@ case class GraftDropVectorIndexCommand(basePath: String)
     idx.foreach(p =>
       Scd1Merge.deleteRecursively(java.nio.file.Paths.get(p)))
     Nil
+  }
+}
+
+/** `REFRESH GRAFT VECTOR INDEX ON graft.\`<corpus>\`` — by-name index
+  * maintenance for SQL users (the REFRESH MATERIALIZED VIEW of the
+  * vector family): fold the corpus change feed since the covered
+  * commit into the persisted codes and re-stamp
+  * ([[graft.plans.GraftAnnRewrite.maintain]] — O(changed rows));
+  * returns rows folded (0 = already fresh). */
+case class GraftRefreshVectorIndexCommand(basePath: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("base_path", StringType, nullable = false)(),
+    AttributeReference("rows_folded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (!graft.plans.GraftAnnRewrite.armPath(spark, basePath))
+      throw new IllegalStateException(
+        s"REFRESH GRAFT VECTOR INDEX: $basePath has no _graft_ann marker")
+    Seq(Row(basePath, graft.plans.GraftAnnRewrite.maintain(spark, basePath)))
   }
 }
 

@@ -429,6 +429,18 @@ class AnnRewriteSpec extends SparkSpecBase {
           s"CREATE GRAFT VECTOR INDEX graft.`${root}/idx2` ON " +
           s"graft.`$corpusT` (embedding)").collect()
       }
+      // a wave stales the index; REFRESH GRAFT VECTOR INDEX folds the
+      // feed by statement and serving resumes — and the re-stamp
+      // evicts the superseded commit's cached escalation outcomes
+      Scd1Merge.upsert(spark, corpusT,
+        emb.filter(col("vec_id") === 5).withColumn("vec_id", lit(777001L)),
+        Seq("vec_id"), retainVersions = 4, batchId = "c2")
+      assert(!servedBy(topk(corpusT), idx), "stale falls back")
+      val refreshed = graft.sql.GraftSql.sql(spark,
+        s"REFRESH GRAFT VECTOR INDEX ON graft.`$corpusT`").collect().head
+      assert(refreshed.getLong(1) == 1L,
+        s"REFRESH must fold exactly the 1-row feed: $refreshed")
+      assert(servedBy(topk(corpusT), idx), "refreshed index serves again")
       // SHOW: one fresh row
       val shown = graft.sql.GraftSql.sql(spark, "SHOW VECTOR INDEXES")
         .collect().filter(_.getString(0) == corpusT)
@@ -471,6 +483,16 @@ class AnnRewriteSpec extends SparkSpecBase {
     assert(PlanCaches.escalationHit(
       PlanCaches.EscKey("idx", 1, "p", 10, (n + 9).toLong)).nonEmpty,
       "the newest entry must survive")
+    // re-stamp eviction: superseded-commit entries free their slots
+    // immediately (they can never hit — the key carries the commit)
+    PlanCaches.escalationPut(PlanCaches.EscKey("idx", 2, "p", 10, 1L), 8, 32)
+    PlanCaches.escalationEvictStale("idx", 2)
+    assert(PlanCaches.escalationHit(
+      PlanCaches.EscKey("idx", 2, "p", 10, 1L)).nonEmpty,
+      "the covered commit's entries survive the eviction")
+    assert(PlanCaches.escalationHit(
+      PlanCaches.EscKey("idx", 1, "p", 10, (n + 9).toLong)).isEmpty,
+      "superseded-commit entries are evicted on re-stamp")
     PlanCaches.clear()
     // ---- liveFiles torn-snapshot: a manifest swap landing between
     // the commit read and the listing must never cache a mislabeled

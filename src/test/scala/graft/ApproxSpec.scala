@@ -268,6 +268,65 @@ class ApproxSpec extends SparkSpecBase {
     assert(a2 == "full", s"past-threshold drift must full-rebuild: $a2")
   }
 
+  test("SCOPED + FULL drift repair over a PARTITIONED payload codes table: layout survives, payloads stay correct, nothing drops") {
+    import graft.merge.PartitionedTable
+    import graft.similarity.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val idx = Tmp.dir("drift_scoped_part") + "/ivfpq"
+    val corpus0 = emb.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+    Similarity.ivfPqIndexBuild(spark, idx, corpus0, "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64, batchId = "b1",
+      payloadCols = Seq("label"), codesPartitionBy = Some("label"))
+    assert(PartitionedTable.tableExists(idx + "/codes"), "partitioned build")
+    val shifted = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(0.1f) + lit(3.0f))
+          .cast("array<float>"))
+    Similarity.ivfPqIndexUpdate(spark, idx, shifted, "vec_id", "embedding",
+      dim = 64, batchId = "i2", payloadCols = Seq("label"))
+    val full = corpus0.unionByName(shifted)
+    // SCOPED repair: used to throw on a partitioned codes table; now
+    // commits through the partitioned CDC path
+    val action = Similarity.ivfPqIndexMaintainScoped(spark, idx, full,
+      "vec_id", "embedding", nlist = 16, m = 16, ksub = 16,
+      iters = 2, dim = 64, batchId = "s3")
+    assert(action == "scoped", s"expected a cell-scoped repair, got $action")
+    assert(PartitionedTable.tableExists(idx + "/codes"),
+      "the repair must not flatten the partitioned codes table")
+    def codes() = Similarity.readCodes(spark, idx)
+    // payloads SURVIVE the re-encode and stay CORRECT (the pushdown
+    // gate serves from them — the pre-fix scoped path dropped them)
+    assert(codes().columns.contains("label"))
+    val mism = codes().select(col("vec_id"), col("label")).distinct()
+      .join(full.select(col("vec_id"), col("label").as("l2")), "vec_id")
+      .filter(col("label") =!= col("l2")).count()
+    assert(mism == 0, s"$mism re-encoded rows carry a wrong payload")
+    assert(codes().select(col("vec_id")).distinct().count() == full.count(),
+      "every corpus vector keeps its code rows")
+    // FULL fallback over the same table: layout + payloads preserved
+    // (the bare-signature rebuild used to write a FLAT payload-less
+    // codes table over the partitioned one)
+    val shifted2 = shifted
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(0.1f) - lit(4.0f))
+          .cast("array<float>"))
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    Similarity.ivfPqIndexUpdate(spark, idx, shifted2, "vec_id", "embedding",
+      dim = 64, batchId = "i4", payloadCols = Seq("label"))
+    val full2 = full.unionByName(shifted2)
+    val a2 = Similarity.ivfPqIndexMaintainScoped(spark, idx, full2,
+      "vec_id", "embedding", nlist = 16, m = 16, ksub = 16,
+      iters = 2, dim = 64,
+      fullImbalanceFactor = 2.0, fullResidualFactor = 1.25,
+      batchId = "f5")
+    assert(a2 == "full", s"past-threshold drift must full-rebuild: $a2")
+    assert(PartitionedTable.tableExists(idx + "/codes"),
+      "the full rebuild must keep the partitioned layout")
+    assert(codes().columns.contains("label"),
+      "the full rebuild must keep the payload columns")
+    assert(codes().select(col("vec_id")).distinct().count() == full2.count())
+  }
+
   test("PCA-reduced recall@5 floor holds; more components monotonically help") {
     import graft.similarity.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
