@@ -318,24 +318,49 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     * columns (broadcast — keep it query-set-sized). Output:
     * (query_id, rank, vec_id, cos_sim). An UNREGISTERED base is a
     * loud error (there is no index to serve from — exact batch top-k
-    * is [[graft.similarity.Similarity.topK]]). */
+    * is [[graft.similarity.Similarity.topK]]).
+    *
+    * `filterSql`: an optional metadata predicate (SQL text over
+    * corpus columns). When every referenced column is
+    * payload-DECLARED, the predicate pushes into the codes scan —
+    * every query's candidates are then drawn from MATCHING vectors
+    * only (the single-query payload-pushdown story, amortized across
+    * the set). A predicate over undeclared columns filters the EXACT
+    * batch answer instead (index candidates filtered post-hoc could
+    * return short without escalation — the batch path refuses to
+    * guess and serves exactly; at 100 TB, declare the column). */
   def topKBatch(spark: SparkSession, basePath: String,
                 queries: org.apache.spark.sql.DataFrame,
-                k: Int): org.apache.spark.sql.DataFrame = {
+                k: Int,
+                filterSql: Option[String] = None)
+      : org.apache.spark.sql.DataFrame = {
     armPath(spark, basePath)
     val reg = Option(registry.get(basePath)).getOrElse(
       throw new IllegalArgumentException(
         s"GraftAnnRewrite.topKBatch: $basePath is not registered"))
-    val corpus = corpusRead(spark, basePath)
-    if (corpusCommit(basePath).contains(reg.baseCommit)) {
+    val corpus0 = corpusRead(spark, basePath)
+    val corpus = filterSql.map(corpus0.filter).getOrElse(corpus0)
+    // a filter is payload-covered when every column it references
+    // was declared at registration (resolved against the corpus)
+    val covered = filterSql.forall { f =>
+      reg.payloadCols.nonEmpty &&
+        corpus0.filter(f).queryExecution.analyzed.collectFirst {
+          case flt: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            flt.condition.references.forall(a =>
+              reg.payloadCols.exists(_.equalsIgnoreCase(a.name)))
+        }.getOrElse(false)
+    }
+    if (covered && corpusCommit(basePath).contains(reg.baseCommit)) {
       lastBatchServedFromIndex = true
       val (cents, books) = PlanCaches.annModel(spark, reg.indexPath)
+      val codes0 = graft.similarity.Similarity.readCodes(spark, reg.indexPath)
+      val codes = filterSql.map(codes0.filter).getOrElse(codes0)
       graft.similarity.Similarity.ivfPqTopKFromCodes(corpus, queries,
-        reg.idCol, reg.vecCol, k, cents, books,
-        graft.similarity.Similarity.readCodes(spark, reg.indexPath),
+        reg.idCol, reg.vecCol, k, cents, books, codes,
         reg.nprobe, reg.dim, reg.candFactor)
     } else {
-      // stale index: the exact batch answer, never a wrong one
+      // stale index or an uncovered predicate: the exact batch
+      // answer, never a wrong or short one
       lastBatchServedFromIndex = false
       graft.similarity.Similarity.topK(corpus, queries,
         reg.idCol, reg.vecCol, k)

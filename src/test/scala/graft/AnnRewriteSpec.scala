@@ -181,6 +181,24 @@ class AnnRewriteSpec extends SparkSpecBase {
       val ids = found.collect().map(_.getLong(0))
       assert(ids.contains(7777777L),
         s"the ingested vector must be findable by its payload: ${ids.toSeq}")
+      // FILTERED BATCH serving: a covered predicate prunes the codes
+      // for the whole query SET in one probe; an uncovered one serves
+      // the exact filtered batch answer (never short)
+      val q2 = emb.filter(col("vec_id") < 20)
+      val batch = GraftAnnRewrite.topKBatch(spark, corpusT, q2, 3,
+        Some("label = 3"))
+      assert(GraftAnnRewrite.lastBatchServedFromIndex,
+        "a covered batch filter must serve from the index")
+      val l3 = emb.filter(col("label") === 3)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val bRows = batch.select(col("query_id"), col("vec_id")).collect()
+      assert(bRows.nonEmpty && bRows.forall(r => l3.contains(r.getLong(1))),
+        "every served candidate must match the pushed predicate")
+      val exB = GraftAnnRewrite.topKBatch(spark, corpusT, q2.limit(2), 3,
+        Some("vec_id % 2 = 0"))
+      assert(!GraftAnnRewrite.lastBatchServedFromIndex,
+        "an uncovered batch filter must serve the exact answer")
+      assert(exB.collect().forall(_.getLong(2) % 2 == 0))
     } finally GraftAnnRewrite.unregister(corpusT)
   }
 
