@@ -43,5 +43,6 @@ object SparkEntry {
         "a20_approx_quantile", "sim_knn_graph_ann_recall",
         "a24_sketch_rollup", "sim_index_drift", "sim_ann_rewrite",
         "pipe29_sketch_mv", "sim_ann_filtered", "sim_ann_partitioned",
-        "sim_ann_payload", "sim_ann_sql_index", "sim_ann_batch")
+        "sim_ann_payload", "sim_ann_sql_index", "sim_ann_batch",
+        "sim_ann_partial")
 }

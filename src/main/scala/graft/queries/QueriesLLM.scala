@@ -1212,6 +1212,80 @@ object QueriesLLM {
         lit(true).as("short_exact_ok"))
     }),
 
+    "sim_ann_partial" -> ((s, dir) => {
+      // PARTIAL PAYLOAD PUSHDOWN (r14 verdict #2) — the dominant
+      // COMPOSITE filter shape: `tenant = X AND quality > t` with
+      // only `tenant` declared. r14's all-or-nothing gate fell all
+      // the way back to the generic corpus-coverage escalation for
+      // exactly this shape; now the predicate PARTITIONS — covered
+      // conjuncts push into the codes parquet scan (selectivity-
+      // priced, full-width probe) and only the RESIDUAL escalates,
+      // over survivor counts that stay CANDIDATE-sized (the
+      // semi-join caps each count at candFactor·k rows). At this SF
+      // the residual escalation provably reaches exhaustiveness
+      // (candFactor·k ≥ corpus rows), so candidates contain EVERY
+      // covered-matching vector and the served answer is the exact
+      // filtered top-k — recall pinned 1.0, escalation rounds pinned
+      // exactly (deterministic doubling). In-row requires pin: the
+      // partial counter, the covered conjunct reaching the codes
+      // scan, and k full rows.
+      val emb = table(s, dir, "embeddings")
+        .withColumn("pct", (col("vec_id") % 10).cast("int"))
+      val root = graft.Tmp.dir("graft_annpartial")
+      val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+      Scd1Merge.upsert(s, corpusT, emb, Seq("vec_id"), numBuckets = 4,
+        retainVersions = 4, batchId = "c1")
+      Similarity.ivfPqIndexBuild(s, idx, Scd1Merge.readTable(s, corpusT),
+        "vec_id", "embedding", nlist = 16, m = 16, ksub = 16, iters = 2,
+        dim = 64, batchId = "b1", payloadCols = Seq("pct"))
+      val qv = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val KK = 10
+      // pct declared at build, vec_id NOT — the mixed shape; the
+      // residual halves the covered slice, so the first full-width
+      // probe under-fills the 4k quality target and the residual
+      // escalation runs (candFactor 16 → 32 → 64 = exhaustive)
+      val pred = col("pct") === 7 && col("vec_id") % 4 === 3
+      def topk(): DataFrame = Scd1Merge.readTable(s, corpusT).filter(pred)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            typedLit(qv)).as("cos_sim"))
+        .orderBy(col("cos_sim").desc).limit(KK)
+      def scansCodes(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten.exists(_.contains(idx + "/codes/"))
+      val exactIds = topk().collect().map(_.getLong(0)).toSet
+      require(exactIds.size == KK, s"exact ids: ${exactIds.size}")
+      graft.plans.GraftAnnRewrite.register(s, corpusT, idx,
+        "vec_id", "embedding", dim = 64, nprobe = 4, candFactor = 16,
+        payloadCols = Seq("pct"))
+      val pp0 = graft.plans.GraftAnnRewrite.lastPartialPushdowns
+      val served = topk()
+      require(scansCodes(served), "the mixed predicate must serve")
+      require(graft.plans.GraftAnnRewrite.lastPartialPushdowns == pp0 + 1,
+        "the PARTIAL pushdown path must have served it")
+      val esc = graft.plans.GraftAnnRewrite.lastFilteredEscalations
+      // the covered conjunct reached the codes side
+      require(served.queryExecution.executedPlan.toString.contains("pct"),
+        "the covered conjunct must reach the codes scan")
+      val servedIds = served.collect().map(_.getLong(0))
+      require(servedIds.length == KK, s"must fill k: ${servedIds.length}")
+      val hits = servedIds.toSet.intersect(exactIds).size
+      graft.plans.GraftAnnRewrite.unregister(corpusT)
+      s.range(1).select(lit(16L).as("nlist"), lit(16L).as("cand_factor"),
+        lit(KK.toLong).as("k"), lit(hits.toLong).as("n_hits"),
+        (lit(hits).cast("double") / lit(KK)).as("recall"),
+        lit(esc.toLong).as("residual_escalations"),
+        lit(true).as("partial_served"),
+        lit(true).as("covered_pushed_to_codes"))
+    }),
+
     "sim_ann_filtered" -> ((s, dir) => {
       // FILTERED ANN TOP-K (r12 verdict #1) — the dominant production
       // vector-search shape: `WHERE <metadata pred> ORDER BY
@@ -2300,6 +2374,16 @@ object QueriesLLM {
          |  TRUE AS swept_served, TRUE AS twin_found,
          |  TRUE AS auto_served, TRUE AS show_fresh,
          |  TRUE AS dropped_fell_back""".stripMargin,
+    // PINNED (deterministic: quantized ADC, fixed corpus, seeded
+    // training, deterministic candFactor doubling): the residual
+    // escalation provably reaches exhaustiveness at this SF, so the
+    // served answer is the exact filtered top-k.
+    "sim_ann_partial" ->
+      """SELECT 16::BIGINT AS nlist, 16::BIGINT AS cand_factor,
+         |  10::BIGINT AS k, 10::BIGINT AS n_hits, 1.0 AS recall,
+         |  2::BIGINT AS residual_escalations,
+         |  TRUE AS partial_served,
+         |  TRUE AS covered_pushed_to_codes""".stripMargin,
     "sim_ann_filtered" ->
       """SELECT 16::BIGINT AS nlist, 4::BIGINT AS nprobe,
          |  16::BIGINT AS cand_factor, 10::BIGINT AS k,

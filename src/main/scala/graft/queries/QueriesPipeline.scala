@@ -1901,6 +1901,76 @@ object QueriesPipeline {
         java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    "pipe38_approx_pctile_array_mv" -> ((s, dir) => {
+      // ARRAY-form approx_percentile SERVING (r14 verdict #8) —
+      // dashboards emit `approx_percentile(m, array(0.25, 0.5, 0.95),
+      // acc)`, one call for the whole percentile band; r14 served the
+      // scalar form only (its own comment: "out of scope until asked
+      // for"). The rewrite now lowers the array form to a CreateArray
+      // of per-percentile estimates over ONE stored-sketch union
+      // (physical planning dedups the repeated aggregate), same
+      // accuracy gate (acc ≤ √k/1.65). At this SF the sample is
+      // complete, so each element is the EXACT floor-indexed value —
+      // cross-derived in DuckDB. The result explodes to (status,
+      // pidx, pval) rows so the compare stays scalar. In-row requires
+      // pin: conf-off falls through, acc=10 serves, acc=100 and the
+      // default fall through.
+      import graft.pipeline.IncrementalAgg
+      import graft.pipeline.IncrementalAgg.AggSpec
+      val root = tmpDir("graft_appctarr")
+      val base = root + "/orders"; val mvT = root + "/mv"
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Scd1Merge.upsert(s, base, o, Seq("o_orderkey"), numBuckets = 4,
+        retainVersions = 4)
+      val spec = AggSpec(Seq("status"), Nil, "n",
+        quantiles = Seq("cents" -> "qsk_cents"),
+        sampleKeys = Seq("o_orderkey"))
+      IncrementalAgg.bootstrapFrom(s, mvT, base, spec, numBuckets = 1,
+        retainVersions = 4)
+      graft.plans.GraftMvRewrite.register(base, mvT, spec)
+      def scansOf(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten
+      def q(acc: Int): DataFrame = Scd1Merge.readTable(s, base)
+        .groupBy(col("status"))
+        .agg(expr(
+          s"approx_percentile(cents, array(0.25D, 0.5D, 0.95D), $acc)")
+          .as("ps"), count(lit(1)).as("n_orders"))
+      require(scansOf(q(10)).forall(_.contains(base + "/")),
+        "the array form must never serve without the opt-in conf")
+      s.conf.set("spark.graft.mv.serveApproxPercentile", "true")
+      require(scansOf(q(10)).forall(_.contains(mvT + "/")),
+        "acc=10 array form must serve from the sketch MV")
+      require(scansOf(q(100)).forall(_.contains(base + "/")),
+        "a tighter-accuracy array query must fall through")
+      require(scansOf(q(10000)).forall(_.contains(base + "/")),
+        "the default accuracy must fall through")
+      val out = q(10)
+        .select(col("status"), col("n_orders"),
+          posexplode(col("ps")).as(Seq("pidx", "pval")))
+        .select(col("status"), col("pidx"), col("pval"), col("n_orders"))
+        .orderBy(col("status"), col("pidx"))
+      require(scansOf(out).forall(_.contains(mvT + "/")))
+      // materialize WHILE served (the pipe37 argument: a re-plan
+      // after opt-out computes a legitimately different native
+      // estimate — the judged rows are the served ones)
+      val rows = out.collect()
+      s.conf.unset("spark.graft.mv.serveApproxPercentile")
+      graft.plans.GraftMvRewrite.unregister(base)
+      require(rows.nonEmpty)
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
     "pipe30_mv_chain" -> ((s, dir) => {
       // MV-OVER-MV CHAIN — the rollup cascade every warehouse runs
       // (base → daily MV → monthly MV): an MV table IS a graft table
@@ -2870,6 +2940,20 @@ object QueriesPipeline {
          |  (list_sort(list(cents)))[1 + CAST(floor(0.5 * (count(*) - 1)) AS INT)]::BIGINT AS p50,
          |  count(*) AS n_orders
          |FROM f GROUP BY status ORDER BY status""".stripMargin,
+    "pipe38_approx_pctile_array_mv" ->
+      """WITH f AS (
+         |  SELECT o_orderkey, o_orderstatus AS status,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderkey % 13 = 0),
+         |g AS (
+         |  SELECT status, list_sort(list(cents)) AS xs, count(*) AS n
+         |  FROM f GROUP BY status)
+         |SELECT g.status, p.pidx,
+         |  (g.xs)[1 + CAST(floor(p.pq * (g.n - 1)) AS INT)]::BIGINT AS pval,
+         |  g.n AS n_orders
+         |FROM g CROSS JOIN (VALUES (0, 0.25), (1, 0.5), (2, 0.95))
+         |  AS p(pidx, pq)
+         |ORDER BY g.status, p.pidx""".stripMargin,
     "pipe32_topn_rank_mv" ->
       """WITH f0 AS (
          |  SELECT o_orderkey, o_orderpriority AS pri,
