@@ -496,6 +496,65 @@ class MvMaintenanceSpec extends SparkSpecBase {
     }
   }
 
+  test("STREAMING ingest keeps an autoMaintain vector index fresh: each micro-batch's post-commit hook folds the feed in-line") {
+    import graft.plans.GraftAnnRewrite
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Tmp.dir("mv_ann_stream")
+    val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .limit(300)
+      Scd1Merge.upsert(spark, corpusT, emb, Seq("vec_id"), numBuckets = 1,
+        retainVersions = 8)
+      graft.similarity.Similarity.ivfPqIndexBuild(spark, idx,
+        Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16, iters = 1, dim = 64)
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, autoMaintain = true)
+      // the stream: two micro-batches of new vectors land through
+      // writeStream.format("graft") — each addBatch commit fires the
+      // post-commit drain on the STREAMING thread, which folds the
+      // change feed into the codes and re-stamps the registration
+      val srcDir = Tmp.dir("mv_ann_stream_src")
+      val b1 = emb.filter($"vec_id" < 3)
+        .withColumn("vec_id", $"vec_id" + 800000L)
+      val b2 = emb.filter($"vec_id" >= 3 && $"vec_id" < 6)
+        .withColumn("vec_id", $"vec_id" + 900000L)
+      b1.coalesce(1).write.mode("append").parquet(srcDir)
+      Thread.sleep(1100) // deterministic file (and so trigger) order
+      b2.coalesce(1).write.mode("append").parquet(srcDir)
+      val q = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream.format("graft")
+        .option("keys", "vec_id")
+        .option("checkpointLocation", Tmp.dir("mv_ann_stream_ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start(corpusT)
+      q.awaitTermination()
+      assert(Scd1Merge.readTable(spark, corpusT).count() == 306)
+      // NO manual refresh anywhere: the index covers the live commit
+      // and the rewrite serves, with a streamed-in vector findable
+      val live = Scd1Merge.tableCommit(corpusT).get
+      assert(GraftAnnRewrite.coveredCommit(corpusT).contains(live),
+        s"the hook must have folded every micro-batch: " +
+        s"covered ${GraftAnnRewrite.coveredCommit(corpusT)} vs live $live")
+      val qv = emb.filter($"vec_id" === 4)
+        .select($"embedding").head().getSeq[Float](0)
+      val annQ = Scd1Merge.readTable(spark, corpusT)
+        .select($"vec_id",
+          graft.functions.VectorFunctions.vecCosine($"embedding",
+            typedLit(qv)).as("s"))
+        .orderBy($"s".desc).limit(3)
+      assert(scanPaths(annQ).exists(_.contains(idx + "/codes/")),
+        "the streamed-into corpus must serve from the index")
+      assert(annQ.collect().map(_.getLong(0)).contains(900004L),
+        "the streamed twin must be findable through the index")
+    } finally {
+      graft.plans.GraftAnnRewrite.unregister(corpusT)
+      MvMaintenance.reset()
+    }
+  }
+
   test("SQL lifecycle: CREATE ... AUTO REFRESH serves across a wave; REFRESH ALL MATERIALIZED VIEWS sweeps") {
     val root = Tmp.dir("mv_auto_sql")
     val base = root + "/base"; val mv = root + "/mv"
