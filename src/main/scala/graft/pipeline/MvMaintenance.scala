@@ -168,7 +168,10 @@ object MvMaintenance extends Logging {
         !inFlight.get.contains(path)) {
       val prev = inFlight.get
       inFlight.set(prev + path)
-      try { graft.plans.GraftAnnRewrite.maintain(spark, path); () }
+      // maintainAuto: only the write-through registrations fold — a
+      // non-auto index on the same (multimodal) base opted out of
+      // the write path and stays pull-maintained
+      try { graft.plans.GraftAnnRewrite.maintainAuto(spark, path); () }
       catch { case e: Exception =>
         logError(s"graft auto-maintain of the ANN index over $path " +
           "failed (falls back to the exact scan until maintained)", e)

@@ -74,8 +74,21 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
                           payloadCols: Seq[String] = Nil,
                           auto: Boolean = false)
 
+  // keyed by (basePath, lowercase vector column) — a MULTIMODAL
+  // corpus carries several embedding columns (text + image), each
+  // with its own index; every base-level operation (maintain, sweep,
+  // DROP TABLE) walks regsOf(basePath)
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, AnnReg]()
+
+  private def regKey(basePath: String, vecCol: String): String =
+    basePath + "\u0000" + vecCol.toLowerCase
+
+  private def regsOf(basePath: String): Seq[AnnReg] = {
+    import scala.jdk.CollectionConverters._
+    registry.values.asScala.filter(_.basePath == basePath).toSeq
+      .sortBy(_.vecCol.toLowerCase)
+  }
 
   // ---- persistence: a `_graft_ann` marker INSIDE the corpus table
   // directory (the MvDef posture) makes the registration survive a
@@ -91,20 +104,26 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def persist(basePath: String, indexPath: String, idCol: String,
-                      vecCol: String, dim: Int, nprobe: Int,
-                      candFactor: Int, commit: Int,
-                      payloadCols: Seq[String],
-                      auto: Boolean): Unit = {
+  /** Serialize EVERY registration of `basePath` into its marker — a
+    * MULTIMODAL corpus writes one block per indexed vector column,
+    * separated by a bare `--` line (a single-block file is exactly
+    * the legacy format, so pre-multi markers parse unchanged). */
+  private def persistAll(basePath: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
-    val body = (Seq(
-      s"index=${enc(indexPath)}", s"id=${enc(idCol)}",
-      s"vec=${enc(vecCol)}", s"dim=$dim", s"nprobe=$nprobe",
-      s"candfactor=$candFactor", s"commit=$commit") ++
-      (if (payloadCols.nonEmpty)
-        Seq(s"payload=${payloadCols.map(enc).mkString(",")}") else Nil) ++
-      (if (auto) Seq("auto=true") else Nil))
-      .mkString("\n")
+    val blocks = regsOf(basePath).map { r =>
+      (Seq(
+        s"index=${enc(r.indexPath)}", s"id=${enc(r.idCol)}",
+        s"vec=${enc(r.vecCol)}", s"dim=${r.dim}", s"nprobe=${r.nprobe}",
+        s"candfactor=${r.candFactor}", s"commit=${r.baseCommit}") ++
+        (if (r.payloadCols.nonEmpty)
+          Seq(s"payload=${r.payloadCols.map(enc).mkString(",")}") else Nil) ++
+        (if (r.auto) Seq("auto=true") else Nil))
+        .mkString("\n")
+    }
+    if (blocks.isEmpty) {
+      Files.deleteIfExists(Paths.get(basePath, ArmFileName)); return
+    }
+    val body = blocks.mkString("\n--\n")
     val tmp = Paths.get(basePath, ArmFileName + ".tmp")
     Files.createDirectories(tmp.getParent)
     Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -147,7 +166,7 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     * cataloged base no query has touched yet this session. Returns
     * whether the base is registered afterwards. */
   def armPath(spark: SparkSession, basePath: String): Boolean = {
-    if (registry.containsKey(basePath)) return true
+    if (regsOf(basePath).nonEmpty) return true
     val marker = java.nio.file.Paths.get(basePath, ArmFileName)
     if (!java.nio.file.Files.exists(marker)) return false
     if (armedDirs.add(basePath)) {
@@ -155,20 +174,28 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       // malformed) marker must degrade to "unarmed", never throw out
       // of a maintenance hook or sweep
       try {
-        val kv = java.nio.file.Files.readString(marker).split("\n")
-          .iterator.map(_.split("=", 2)).collect {
-            case Array(k, v) => k -> v }.toMap
-        registry.put(basePath, AnnReg(basePath, dec(kv("index")),
-          dec(kv("id")), dec(kv("vec")), kv("dim").toInt,
-          kv("nprobe").toInt, kv("candfactor").toInt,
-          kv("commit").toInt,
-          corpusRead(spark, basePath).inputFiles.toSet,
-          kv.get("payload").map(_.split(",").iterator.filter(_.nonEmpty)
-            .map(dec).toSeq).getOrElse(Nil),
-          kv.get("auto").exists(_.toBoolean)))
-      } catch { case _: Exception => () } // malformed marker: skip
+        val files = corpusRead(spark, basePath).inputFiles.toSet
+        // one block per indexed vector column ("--"-separated; a
+        // legacy single-block file is one block)
+        java.nio.file.Files.readString(marker).split("\n--\n")
+          .iterator.filter(_.trim.nonEmpty).foreach { block =>
+            try {
+              val kv = block.split("\n").iterator.map(_.split("=", 2))
+                .collect { case Array(k, v) => k -> v }.toMap
+              val vec = dec(kv("vec"))
+              registry.put(regKey(basePath, vec),
+                AnnReg(basePath, dec(kv("index")),
+                  dec(kv("id")), vec, kv("dim").toInt,
+                  kv("nprobe").toInt, kv("candfactor").toInt,
+                  kv("commit").toInt, files,
+                  kv.get("payload").map(_.split(",").iterator
+                    .filter(_.nonEmpty).map(dec).toSeq).getOrElse(Nil),
+                  kv.get("auto").exists(_.toBoolean)))
+            } catch { case _: Exception => () } // malformed block: skip
+          }
+      } catch { case _: Exception => () } // unreadable marker: skip
     }
-    registry.containsKey(basePath)
+    regsOf(basePath).nonEmpty
   }
 
   // ---- the corpus may be FLAT or PARTITIONED (the month-partitioned
@@ -188,26 +215,36 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       graft.merge.PartitionedTable.readTable(spark, basePath)
     else Scd1Merge.readTable(spark, basePath)
 
-  /** The registration's covered base commit (None when unregistered) —
-    * what an index-maintenance job diffs against the live commit to
-    * pick its change-feed window. */
+  /** The registration's covered base commit (None when unregistered;
+    * the MINIMUM across a multimodal base's registrations — the most
+    * conservative freshness answer) — what an index-maintenance job
+    * diffs against the live commit to pick its change-feed window. */
   def coveredCommit(basePath: String): Option[Int] =
-    Option(registry.get(basePath)).map(_.baseCommit)
+    regsOf(basePath).map(_.baseCommit).minOption
 
-  /** Is `basePath` registered with WRITE-THROUGH maintenance
+  /** Is any of `basePath`'s registrations WRITE-THROUGH maintained
     * ([[register]]'s `autoMaintain`) — the post-commit hook's probe. */
   def isAuto(basePath: String): Boolean =
-    Option(registry.get(basePath)).exists(_.auto)
+    regsOf(basePath).exists(_.auto)
 
-  /** The registered index location serving `basePath` (None when
-    * unregistered) — the SQL DROP/SHOW commands' resolver. */
+  /** The registered index location(s) serving `basePath` — the SQL
+    * DROP/SHOW commands' resolver. */
   def indexPathOf(basePath: String): Option[String] =
-    Option(registry.get(basePath)).map(_.indexPath)
+    regsOf(basePath).headOption.map(_.indexPath)
+
+  /** Every (vecCol, indexPath) registered over `basePath`. */
+  def indexesOf(basePath: String): Seq[(String, String)] =
+    regsOf(basePath).map(r => (r.vecCol, r.indexPath))
+
+  /** Every registration of `basePath` as (vecCol, indexPath,
+    * coveredCommit, auto) — the SQL SHOW command's row source. */
+  def registrationsOf(basePath: String): Seq[(String, String, Int, Boolean)] =
+    regsOf(basePath).map(r => (r.vecCol, r.indexPath, r.baseCommit, r.auto))
 
   /** Registered corpus base paths — the maintenance sweep's inventory. */
   def registeredBases: Seq[String] = {
     import scala.jdk.CollectionConverters._
-    registry.keySet.asScala.toSeq.sorted
+    registry.values.asScala.map(_.basePath).toSeq.distinct.sorted
   }
 
   /** Opt `basePath` into index-served top-k from `indexPath`. Stamps
@@ -224,10 +261,10 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       throw new IllegalArgumentException(
         s"GraftAnnRewrite.register: $basePath is not a graft table"))
     val files = corpusRead(spark, basePath).inputFiles.toSet
-    registry.put(basePath, AnnReg(basePath, indexPath, idCol, vecCol,
-      dim, nprobe, candFactor, commit, files, payloadCols, autoMaintain))
-    persist(basePath, indexPath, idCol, vecCol, dim, nprobe,
-      candFactor, commit, payloadCols, autoMaintain)
+    registry.put(regKey(basePath, vecCol),
+      AnnReg(basePath, indexPath, idCol, vecCol,
+        dim, nprobe, candFactor, commit, files, payloadCols, autoMaintain))
+    persistAll(basePath)
     // superseded-commit escalation outcomes can never hit again —
     // free their LRU slots now
     PlanCaches.escalationEvictStale(indexPath, commit)
@@ -239,13 +276,15 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   }
 
   /** Re-stamp after an index update/rebuild has folded the base's
-    * new commits — until then a written-to base falls back to exact. */
+    * new commits — until then a written-to base falls back to exact.
+    * A multimodal base re-stamps EVERY registration (the caller's
+    * contract is that each index now covers the live state). */
   def refresh(spark: SparkSession, basePath: String): Unit = {
-    val reg = Option(registry.get(basePath)).getOrElse(
-      throw new IllegalArgumentException(
-        s"GraftAnnRewrite.refresh: $basePath is not registered"))
-    register(spark, basePath, reg.indexPath, reg.idCol, reg.vecCol,
-      reg.dim, reg.nprobe, reg.candFactor, reg.payloadCols, reg.auto)
+    val regs = regsOf(basePath)
+    if (regs.isEmpty) throw new IllegalArgumentException(
+      s"GraftAnnRewrite.refresh: $basePath is not registered")
+    regs.foreach(r => register(spark, basePath, r.indexPath, r.idCol,
+      r.vecCol, r.dim, r.nprobe, r.candFactor, r.payloadCols, r.auto))
   }
 
   /** ONE-CALL index maintenance: diff the registration's covered
@@ -255,10 +294,21 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     * O(changed rows), per-child diffs on a partitioned corpus), and
     * re-stamp the registration so the rewrite serves again. Returns
     * change rows folded (0 = already current, a no-op). */
-  def maintain(spark: SparkSession, basePath: String): Long = {
-    val reg = Option(registry.get(basePath)).getOrElse(
-      throw new IllegalArgumentException(
-        s"GraftAnnRewrite.maintain: $basePath is not registered"))
+  def maintain(spark: SparkSession, basePath: String): Long =
+    maintainWhere(spark, basePath, _ => true)
+
+  /** The hook's variant: fold only WRITE-THROUGH (auto) registrations
+    * — a non-auto index on the same multimodal base opted out of the
+    * write path and stays pull-maintained. */
+  private[graft] def maintainAuto(spark: SparkSession,
+                                  basePath: String): Long =
+    maintainWhere(spark, basePath, _.auto)
+
+  private def maintainWhere(spark: SparkSession, basePath: String,
+                            pick: AnnReg => Boolean): Long = {
+    val regs = regsOf(basePath).filter(pick)
+    if (regs.isEmpty) throw new IllegalArgumentException(
+      s"GraftAnnRewrite.maintain: $basePath is not registered")
     // Snapshot (commit, files) CONSISTENTLY: list files, then verify
     // the commit did not move while listing (bounded retry). The
     // stamp below must be exactly what the fold covered — re-reading
@@ -281,22 +331,31 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     if (!consistent) throw new IllegalStateException(
       s"GraftAnnRewrite.maintain: $basePath is being committed to " +
       "faster than its state can be snapshotted; retry when quiescent")
-    if (live == reg.baseCommit) return 0L
-    require(live > reg.baseCommit,
-      s"GraftAnnRewrite.maintain: covered commit ${reg.baseCommit} is " +
-      s"AHEAD of live $live — the base was restored past the index; rebuild")
-    val n = graft.similarity.Similarity.ivfPqIndexUpdateFromTable(spark,
-      reg.indexPath, basePath, reg.idCol, reg.vecCol,
-      fromCommit = reg.baseCommit, toCommit = live,
-      dim = reg.dim, batchId = f"base-commit-$live%09d",
-      payloadCols = reg.payloadCols)
-    // stamp EXACTLY the folded commit + its snapshot — never the
-    // current commit, which may already be past what was folded
-    registry.put(basePath, reg.copy(baseCommit = live, baseFiles = files))
-    persist(basePath, reg.indexPath, reg.idCol, reg.vecCol, reg.dim,
-      reg.nprobe, reg.candFactor, live, reg.payloadCols, reg.auto)
-    PlanCaches.escalationEvictStale(reg.indexPath, live)
-    n
+    // each registration folds ITS OWN window (covered commits can
+    // differ after a partial failure) and re-stamps independently
+    var total = 0L
+    var restamped = false
+    regs.foreach { reg =>
+      if (live != reg.baseCommit) {
+        restamped = true
+        require(live > reg.baseCommit,
+          s"GraftAnnRewrite.maintain: covered commit ${reg.baseCommit} " +
+          s"of ${reg.indexPath} is AHEAD of live $live — the base was " +
+          "restored past the index; rebuild")
+        total += graft.similarity.Similarity.ivfPqIndexUpdateFromTable(
+          spark, reg.indexPath, basePath, reg.idCol, reg.vecCol,
+          fromCommit = reg.baseCommit, toCommit = live,
+          dim = reg.dim, batchId = f"base-commit-$live%09d",
+          payloadCols = reg.payloadCols)
+        // stamp EXACTLY the folded commit + its snapshot — never the
+        // current commit, which may already be past what was folded
+        registry.put(regKey(basePath, reg.vecCol),
+          reg.copy(baseCommit = live, baseFiles = files))
+        PlanCaches.escalationEvictStale(reg.indexPath, live)
+      }
+    }
+    if (restamped) persistAll(basePath)
+    total
   }
 
   /** QUERY-SET serving — batch k-NN from the registered index: the
@@ -332,12 +391,26 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   def topKBatch(spark: SparkSession, basePath: String,
                 queries: org.apache.spark.sql.DataFrame,
                 k: Int,
-                filterSql: Option[String] = None)
+                filterSql: Option[String] = None,
+                vecCol: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     armPath(spark, basePath)
-    val reg = Option(registry.get(basePath)).getOrElse(
-      throw new IllegalArgumentException(
-        s"GraftAnnRewrite.topKBatch: $basePath is not registered"))
+    val regs = regsOf(basePath)
+    val reg = vecCol match {
+      case Some(v) => regs.find(_.vecCol.equalsIgnoreCase(v)).getOrElse(
+        throw new IllegalArgumentException(
+          s"GraftAnnRewrite.topKBatch: $basePath has no index on '$v' " +
+          s"(indexed: ${regs.map(_.vecCol).mkString(", ")})"))
+      case None => regs match {
+        case Seq(one) => one
+        case Nil => throw new IllegalArgumentException(
+          s"GraftAnnRewrite.topKBatch: $basePath is not registered")
+        case many => throw new IllegalArgumentException(
+          s"GraftAnnRewrite.topKBatch: $basePath has " +
+          s"${many.size} indexed vector columns " +
+          s"(${many.map(_.vecCol).mkString(", ")}) — name one")
+      }
+    }
     val corpus0 = corpusRead(spark, basePath)
     val corpus = filterSql.map(corpus0.filter).getOrElse(corpus0)
     // a filter is payload-covered when every column it references
@@ -371,14 +444,34 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     * fallback) — spec/judged-entry observability. */
   @volatile var lastBatchServedFromIndex: Boolean = false
 
-  /** Remove the registration, its persisted marker, and its catalog
-    * inventory row. */
+  /** Remove EVERY registration of `basePath`, its persisted marker,
+    * and its catalog inventory row. */
   def unregister(basePath: String): Unit = {
-    registry.remove(basePath); armedDirs.remove(basePath)
+    regsOf(basePath).foreach(r =>
+      registry.remove(regKey(basePath, r.vecCol)))
+    armedDirs.remove(basePath)
     try java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(basePath, ArmFileName))
     catch { case _: Exception => () }
     graft.sql.GraftCatalog.removeAnnBase(basePath)
+  }
+
+  /** Remove ONE vector column's registration; the marker re-persists
+    * with the remaining blocks (deleted when none remain). Returns
+    * whether anything was removed. */
+  def unregisterCol(basePath: String, vecCol: String): Boolean = {
+    val removed =
+      registry.remove(regKey(basePath, vecCol)) != null
+    if (removed) {
+      if (regsOf(basePath).isEmpty) {
+        armedDirs.remove(basePath)
+        try java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(basePath, ArmFileName))
+        catch { case _: Exception => () }
+        graft.sql.GraftCatalog.removeAnnBase(basePath)
+      } else persistAll(basePath)
+    }
+    removed
   }
 
   /** Session-state reset (registrations persisted on disk re-arm on
@@ -550,14 +643,42 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     if (perBranch.exists(_.isEmpty)) return None
     val files = perBranch.flatMap(_.get).toSet
     val spark = SparkSession.active
-    var reg = registry.values().stream().filter(r => r.baseFiles == files)
-      .findFirst().orElse(null)
-    if (reg == null) {
+    var cands = candidateRegs(files)
+    if (cands.isEmpty) {
       armFromDisk(spark, files)
-      reg = registry.values().stream().filter(r => r.baseFiles == files)
-        .findFirst().orElse(null)
-      if (reg == null) return None
+      cands = candidateRegs(files)
+      if (cands.isEmpty) return None
     }
+    val p = u.output.indexWhere(_.exprId == sref.exprId)
+    if (p < 0) return None
+    // the sorted union column picks WHICH index serves (one
+    // registration per vector column on a multimodal base): every
+    // branch's p-th item must be vec_cosine(that reg's vecCol, the
+    // SAME dim-length literal)
+    def branchQv(proj: Project, scan: LogicalRelation,
+                 r: AnnReg): Option[Array[Float]] =
+      proj.projectList(p) match {
+        case Alias(graft.functions.CosineSimilarity(
+            v: AttributeReference, q), _)
+            if v.name.equalsIgnoreCase(r.vecCol) &&
+              scan.outputSet.contains(v) && q.foldable =>
+          q.dataType match {
+            case ArrayType(FloatType, _) =>
+              Option(q.eval().asInstanceOf[ArrayData]).map(_.toFloatArray())
+            case _ => None
+          }
+        case _ => None
+      }
+    val (reg, qv) = cands.iterator.flatMap { r =>
+      val qvs = branches.map { case (proj, _, scan) => branchQv(proj, scan, r) }
+      if (qvs.exists(_.isEmpty)) None
+      else {
+        val arrs = qvs.map(_.get)
+        if (arrs.exists(_.length != r.dim) ||
+            arrs.exists(a => !java.util.Arrays.equals(a, arrs.head))) None
+        else Some(r -> arrs.head)
+      }
+    }.nextOption().getOrElse(return None)
     if (!corpusCommit(reg.basePath).contains(reg.baseCommit))
       return None
     // FILTER gates: all branches or none; the SAME canonical
@@ -577,28 +698,6 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
           return None
       }
     }
-    val p = u.output.indexWhere(_.exprId == sref.exprId)
-    if (p < 0) return None
-    // every branch's p-th item: vec_cosine(its scan's vecCol, literal)
-    val qvs: Seq[Array[Float]] = branches.map { case (proj, _, scan) =>
-      proj.projectList(p) match {
-        case Alias(graft.functions.CosineSimilarity(
-            v: AttributeReference, q), _)
-            if v.name.equalsIgnoreCase(reg.vecCol) &&
-              scan.outputSet.contains(v) && q.foldable =>
-          q.dataType match {
-            case ArrayType(FloatType, _) =>
-              val arr = q.eval().asInstanceOf[ArrayData]
-              if (arr == null) return None
-              arr.toFloatArray()
-            case _ => return None
-          }
-        case _ => return None
-      }
-    }
-    if (qvs.exists(_.length != reg.dim)) return None
-    if (qvs.exists(a => !java.util.Arrays.equals(a, qvs.head))) return None
-    val qv = qvs.head
     val (cents, books) = PlanCaches.annModel(spark, reg.indexPath)
     // per-branch splice at a given probe width: the branch's own
     // Filter (if any) stays ABOVE its candidate semi-join, so the
@@ -788,15 +887,19 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         fs.location.inputFiles.toSet
       case _ => return None
     }
-    var reg = registry.values().stream().filter(r => r.baseFiles == files)
-      .findFirst().orElse(null)
-    if (reg == null) {
+    var cands = candidateRegs(files)
+    if (cands.isEmpty) {
       // a registration persisted by an earlier session arms lazily
       armFromDisk(SparkSession.active, files)
-      reg = registry.values().stream().filter(r => r.baseFiles == files)
-        .findFirst().orElse(null)
-      if (reg == null) return None
+      cands = candidateRegs(files)
+      if (cands.isEmpty) return None
     }
+    // the sort column picks WHICH index serves: a MULTIMODAL base has
+    // one registration per vector column, and the query's
+    // vec_cosine(<col>, literal) names exactly one of them
+    val (reg, qv) = cands.iterator
+      .flatMap(r => extractQv(proj, sref, scan, r).map(r -> _))
+      .nextOption().getOrElse(return None)
     // FRESHNESS: the stamp must name the base's live commit
     if (!corpusCommit(reg.basePath).contains(reg.baseCommit))
       return None
@@ -809,25 +912,6 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       if (!f.condition.references.subsetOf(scan.outputSet)) return None
       if (f.condition.references.exists(
           _.name.equalsIgnoreCase(reg.vecCol))) return None
-    }
-    // the sort column: an alias IN THIS Project over vec_cosine of
-    // the registered vector column and a dim-length array literal
-    val qv: Array[Float] = proj.projectList.collectFirst {
-      case al @ Alias(graft.functions.CosineSimilarity(
-          v: AttributeReference, q), _)
-          if al.exprId == sref.exprId &&
-            v.name.equalsIgnoreCase(reg.vecCol) &&
-            scan.outputSet.contains(v) && q.foldable =>
-        q.dataType match {
-          case ArrayType(FloatType, _) =>
-            val arr = q.eval().asInstanceOf[ArrayData]
-            if (arr == null) return None
-            arr.toFloatArray()
-          case _ => return None
-        }
-    } match {
-      case Some(a) if a.length == reg.dim => a
-      case _ => return None
     }
     val idAttr = scan.output.find(_.name.equalsIgnoreCase(reg.idCol))
       .getOrElse(return None)
@@ -1053,6 +1137,34 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
     case other => Seq(other)
   }
+
+  /** Registrations whose snapshot matches the scan's file set — a
+    * MULTIMODAL base yields several; the caller picks the one whose
+    * vector column the query actually scores. */
+  private def candidateRegs(files: Set[String]): Seq[AnnReg] = {
+    import scala.jdk.CollectionConverters._
+    registry.values.asScala.filter(_.baseFiles == files).toSeq
+      .sortBy(_.vecCol.toLowerCase)
+  }
+
+  /** The sort column's query vector — when the Project aliases
+    * `vec_cosine(<reg.vecCol attr>, <dim-length foldable literal>)`
+    * at the sorted exprId. */
+  private def extractQv(proj: Project, sref: AttributeReference,
+                        scan: LogicalRelation,
+                        reg: AnnReg): Option[Array[Float]] =
+    proj.projectList.collectFirst {
+      case al @ Alias(graft.functions.CosineSimilarity(
+          v: AttributeReference, q), _)
+          if al.exprId == sref.exprId &&
+            v.name.equalsIgnoreCase(reg.vecCol) &&
+            scan.outputSet.contains(v) && q.foldable =>
+        q.dataType match {
+          case ArrayType(FloatType, _) =>
+            Option(q.eval().asInstanceOf[ArrayData]).map(_.toFloatArray())
+          case _ => None
+        }
+    }.flatten.filter(_.length == reg.dim)
 
 
   /** Escalation rounds of the last FILTERED rewrite attempt on this

@@ -1212,6 +1212,99 @@ object QueriesLLM {
         lit(true).as("short_exact_ok"))
     }),
 
+    "sim_ann_multicol" -> ((s, dir) => {
+      // MULTIMODAL VECTOR INDEXES — one corpus carrying SEVERAL
+      // embedding columns (the production text+image shape: a
+      // document row holds a text embedding and an image embedding,
+      // each searched independently). The registry, the persisted
+      // `_graft_ann` marker (now multi-block), maintenance, and the
+      // SQL DDL are all per-(base, vector column): the rewrite picks
+      // the registration whose column the query's vec_cosine actually
+      // scores, so each modality serves from ITS index and never the
+      // sibling's. The second column here is the reversal of the
+      // first — a cosine ISOMETRY, so both modalities share one exact
+      // answer set and the entry can pin both recalls against it.
+      // In-row requires pin: per-column routing (A's query reads
+      // idxA's codes and NOT idxB's, and vice versa), the wiped
+      // session registry re-arming BOTH blocks from one marker, and
+      // DROP of one column leaving the sibling serving.
+      val emb = table(s, dir, "embeddings")
+      val two = emb.withColumn("embedding2",
+        reverse(col("embedding")).cast("array<float>"))
+      val root = graft.Tmp.dir("graft_annmulti")
+      val corpusT = root + "/corpus"
+      val idxA = root + "/idx_text"; val idxB = root + "/idx_image"
+      graft.sql.GraftCatalog.setRoot(root + "/cat")
+      Scd1Merge.upsert(s, corpusT, two, Seq("vec_id"), numBuckets = 4,
+        retainVersions = 4, batchId = "c1")
+      val qv = emb.filter(col("vec_id") === 7)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val qv2 = qv.reverse
+      val KK = 10
+      def topkOn(vecC: String, q: Seq[Float]): DataFrame =
+        Scd1Merge.readTable(s, corpusT)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.vecCosine(col(vecC),
+              typedLit(q)).as("cos_sim"))
+          .orderBy(col("cos_sim").desc).limit(KK)
+      def scansCodes(df: DataFrame, idx: String): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.toSeq
+              case _ => Nil
+            }
+        }.flatten.exists(_.contains(idx + "/codes/"))
+      // ONE exact answer set (the isometry argument), pre-arming
+      val exactIds = topkOn("embedding", qv).collect()
+        .map(_.getLong(0)).toSet
+      require(exactIds.size == KK)
+      require(topkOn("embedding2", qv2).collect().map(_.getLong(0)).toSet
+        == exactIds, "reversal must be cosine-isometric")
+      // both indexes via SQL DDL — the multimodal lifecycle is
+      // SQL-first like everything else
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT VECTOR INDEX graft.`$idxA` ON graft.`$corpusT`
+           |(embedding) OPTIONS (nlist=16, m=16, ksub=16, iters=2)""".stripMargin)
+      graft.sql.GraftSql.sql(s,
+        s"""CREATE GRAFT VECTOR INDEX graft.`$idxB` ON graft.`$corpusT`
+           |(embedding2) OPTIONS (nlist=16, m=16, ksub=16, iters=2)""".stripMargin)
+      val sA = topkOn("embedding", qv)
+      require(scansCodes(sA, idxA) && !scansCodes(sA, idxB),
+        "modality A must serve from ITS index, never the sibling's")
+      val sB = topkOn("embedding2", qv2)
+      require(scansCodes(sB, idxB) && !scansCodes(sB, idxA),
+        "modality B must serve from ITS index, never the sibling's")
+      // RESTART: one multi-block marker re-arms BOTH registrations
+      graft.plans.GraftAnnRewrite.clear()
+      val rA = topkOn("embedding", qv)
+      require(scansCodes(rA, idxA), "block A must re-arm from the marker")
+      val rB = topkOn("embedding2", qv2)
+      require(scansCodes(rB, idxB), "block B must re-arm from the marker")
+      val hitsA = rA.collect().map(_.getLong(0)).toSet
+        .intersect(exactIds).size
+      val hitsB = rB.collect().map(_.getLong(0)).toSet
+        .intersect(exactIds).size
+      // DROP one modality: the sibling keeps serving
+      graft.sql.GraftSql.sql(s,
+        s"DROP GRAFT VECTOR INDEX ON graft.`$corpusT` (embedding2)")
+      require(!scansCodes(topkOn("embedding2", qv2), idxB),
+        "the dropped modality must fall back to the exact scan")
+      require(scansCodes(topkOn("embedding", qv), idxA),
+        "the sibling modality must keep serving")
+      graft.plans.GraftAnnRewrite.unregister(corpusT)
+      graft.sql.GraftCatalog.clearRoot()
+      s.range(1).select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
+        lit(16L).as("cand_factor"), lit(KK.toLong).as("k"),
+        lit(hitsA.toLong).as("n_hits_a"),
+        (lit(hitsA).cast("double") / lit(KK)).as("recall_a"),
+        lit(hitsB.toLong).as("n_hits_b"),
+        (lit(hitsB).cast("double") / lit(KK)).as("recall_b"),
+        lit(true).as("routed_per_column"), lit(true).as("rearmed_both"),
+        lit(true).as("drop_one_kept_sibling"))
+    }),
+
     "sim_ann_partial" -> ((s, dir) => {
       // PARTIAL PAYLOAD PUSHDOWN (r14 verdict #2) — the dominant
       // COMPOSITE filter shape: `tenant = X AND quality > t` with
@@ -2374,6 +2467,17 @@ object QueriesLLM {
          |  TRUE AS swept_served, TRUE AS twin_found,
          |  TRUE AS auto_served, TRUE AS show_fresh,
          |  TRUE AS dropped_fell_back""".stripMargin,
+    // PINNED (deterministic: quantized ADC, fixed corpus, seeded
+    // training; the reversal isometry gives both modalities ONE exact
+    // answer set): per-column routing and recalls for the multimodal
+    // two-index corpus.
+    "sim_ann_multicol" ->
+      """SELECT 16::BIGINT AS nlist, 4::BIGINT AS nprobe,
+         |  16::BIGINT AS cand_factor, 10::BIGINT AS k,
+         |  9::BIGINT AS n_hits_a, 9 / 10.0 AS recall_a,
+         |  9::BIGINT AS n_hits_b, 9 / 10.0 AS recall_b,
+         |  TRUE AS routed_per_column, TRUE AS rearmed_both,
+         |  TRUE AS drop_one_kept_sibling""".stripMargin,
     // PINNED (deterministic: quantized ADC, fixed corpus, seeded
     // training, deterministic candFactor doubling): the residual
     // escalation provably reaches exhaustiveness at this SF, so the

@@ -268,7 +268,8 @@ object GraftDml {
      """(?:\s+(AUTO)\s+MAINTAIN)?\s*;?\s*$""").r
   private val DropVecIdxRe =
     ("""(?is)^\s*DROP\s+GRAFT\s+VECTOR\s+INDEX\s+ON\s+""" +
-     """(\S+|graft\s*\.\s*`[^`]*`)\s*;?\s*$""").r
+     """(\S+|graft\s*\.\s*`[^`]*`)""" +
+     """(?:\s*\(\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s*\))?\s*;?\s*$""").r
   private val RefreshVecIdxRe =
     ("""(?is)^\s*REFRESH\s+GRAFT\s+VECTOR\s+INDEX\s+ON\s+""" +
      """(\S+|graft\s*\.\s*`[^`]*`)\s*;?\s*$""").r
@@ -361,8 +362,9 @@ object GraftDml {
               Option(partBy).map(_.trim),
               auto = auto != null)
           }
-      case DropVecIdxRe(tok) =>
-        parseTableToken(tok).map(GraftDropVectorIndexCommand)
+      case DropVecIdxRe(tok, vcol) =>
+        parseTableToken(tok).map(p =>
+          GraftDropVectorIndexCommand(p, Option(vcol).map(_.trim)))
       case RefreshVecIdxRe(tok) =>
         parseTableToken(tok).map(GraftRefreshVectorIndexCommand)
       case ShowVecIdxRe() => Some(GraftShowVectorIndexesCommand())
@@ -2025,10 +2027,14 @@ case class GraftCreateVectorIndexCommand(indexPath: String,
     val partitioned = PartitionedTable.tableExists(basePath)
     if (!partitioned && !Scd1Merge.tableExists(basePath))
       bad(s"$basePath is not a graft table")
-    if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(basePath, "_graft_ann")))
-      bad(s"$basePath already has a vector index — DROP GRAFT VECTOR " +
-        "INDEX ON it first")
+    // per-COLUMN duplicate gate (a multimodal base may carry one
+    // index per vector column; a second index on the SAME column is
+    // the operator error)
+    graft.plans.GraftAnnRewrite.armPath(spark, basePath)
+    if (graft.plans.GraftAnnRewrite.indexesOf(basePath)
+        .exists(_._1.equalsIgnoreCase(vecCol)))
+      bad(s"$basePath already has a vector index on '$vecCol' — DROP " +
+        s"GRAFT VECTOR INDEX ON graft.`$basePath` ($vecCol) first")
     val corpus =
       if (partitioned) PartitionedTable.readTable(spark, basePath)
       else Scd1Merge.readTable(spark, basePath)
@@ -2076,24 +2082,42 @@ case class GraftCreateVectorIndexCommand(indexPath: String,
   }
 }
 
-/** `DROP GRAFT VECTOR INDEX ON graft.\`<corpus>\`` — unregister the
-  * rewrite, remove the `_graft_ann` marker + catalog row, and delete
-  * the index tables (derived data — a CREATE rebuilds them; the
-  * corpus itself is untouched). */
-case class GraftDropVectorIndexCommand(basePath: String)
+/** `DROP GRAFT VECTOR INDEX ON graft.\`<corpus>\` [(vecCol)]` —
+  * unregister the rewrite, remove (or re-persist) the `_graft_ann`
+  * marker + catalog row, and delete the index tables (derived data —
+  * a CREATE rebuilds them; the corpus itself is untouched). On a
+  * MULTIMODAL base the column form drops ONE index; the bare form is
+  * only legal with a single registration (ambiguity errs loudly). */
+case class GraftDropVectorIndexCommand(basePath: String,
+                                       vecCol: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     val marker = java.nio.file.Paths.get(basePath, "_graft_ann")
     if (!java.nio.file.Files.exists(marker)) throw new IllegalStateException(
       s"DROP GRAFT VECTOR INDEX: $basePath has no _graft_ann marker")
-    // resolve the index location before the marker goes away: from
-    // the session registration if armed, else from the marker itself
+    // resolve index locations before the marker goes away: from the
+    // session registrations if armed, else from the marker itself
     graft.plans.GraftAnnRewrite.armPath(spark, basePath)
-    val idx = graft.plans.GraftAnnRewrite.indexPathOf(basePath)
-    graft.plans.GraftAnnRewrite.unregister(basePath)
-    idx.foreach(p =>
-      Scd1Merge.deleteRecursively(java.nio.file.Paths.get(p)))
+    val all = graft.plans.GraftAnnRewrite.indexesOf(basePath)
+    vecCol match {
+      case Some(v) =>
+        val idx = all.collectFirst {
+          case (c, i) if c.equalsIgnoreCase(v) => i
+        }.getOrElse(throw new IllegalStateException(
+          s"DROP GRAFT VECTOR INDEX: $basePath has no index on '$v' " +
+          s"(indexed: ${all.map(_._1).mkString(", ")})"))
+        graft.plans.GraftAnnRewrite.unregisterCol(basePath, v)
+        Scd1Merge.deleteRecursively(java.nio.file.Paths.get(idx))
+      case None =>
+        if (all.size > 1) throw new IllegalStateException(
+          s"DROP GRAFT VECTOR INDEX: $basePath has ${all.size} indexed " +
+          s"vector columns (${all.map(_._1).mkString(", ")}) — name one: " +
+          s"DROP GRAFT VECTOR INDEX ON graft.`$basePath` (<col>)")
+        graft.plans.GraftAnnRewrite.unregister(basePath)
+        all.foreach { case (_, p) =>
+          Scd1Merge.deleteRecursively(java.nio.file.Paths.get(p)) }
+    }
     Nil
   }
 }
@@ -2127,22 +2151,23 @@ case class GraftShowVectorIndexesCommand() extends LeafRunnableCommand {
     AttributeReference("covered_commit", LongType, nullable = false)(),
     AttributeReference("live_commit", LongType, nullable = false)(),
     AttributeReference("fresh", BooleanType, nullable = false)(),
-    AttributeReference("auto_maintain", BooleanType, nullable = false)())
+    AttributeReference("auto_maintain", BooleanType, nullable = false)(),
+    AttributeReference("vec_col", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.merge.PartitionedTable
     val bases = (graft.plans.GraftAnnRewrite.registeredBases ++
       GraftCatalog.allAnnBases.filter(
         graft.plans.GraftAnnRewrite.armPath(spark, _))).distinct.sorted
     bases.flatMap { b =>
-      for {
-        idx <- graft.plans.GraftAnnRewrite.indexPathOf(b)
-        covered <- graft.plans.GraftAnnRewrite.coveredCommit(b)
-      } yield {
-        val live = (if (PartitionedTable.tableExists(b))
-            PartitionedTable.tableCommit(b)
-          else Scd1Merge.tableCommit(b)).getOrElse(-1)
-        Row(b, idx, covered.toLong, live.toLong, covered == live,
-          graft.plans.GraftAnnRewrite.isAuto(b))
+      val live = (if (PartitionedTable.tableExists(b))
+          PartitionedTable.tableCommit(b)
+        else Scd1Merge.tableCommit(b)).getOrElse(-1)
+      // one row per registration — a multimodal base lists each of
+      // its indexed vector columns with its own freshness
+      graft.plans.GraftAnnRewrite.registrationsOf(b).map {
+        case (vec, idx, covered, auto) =>
+          Row(b, idx, covered.toLong, live.toLong, covered == live,
+            auto, vec)
       }
     }
   }

@@ -273,6 +273,112 @@ class AnnRewriteSpec extends SparkSpecBase {
     } finally GraftAnnRewrite.unregister(corpusT)
   }
 
+  test("MULTIMODAL: two vector columns on one corpus each serve from THEIR index; multi-block marker re-arms; maintain folds both; DROP by column") {
+    val root = Tmp.dir("annrw_multicol")
+    val corpusT = root + "/corpus"
+    val idxA = root + "/idx_a"; val idxB = root + "/idx_b"
+    graft.sql.GraftCatalog.setRoot(root + "/cat")
+    try {
+      // the multimodal shape: text + image embeddings on one corpus
+      // (here: the embedding and its reversal — cosine-isometric, so
+      // exact answers agree and recall floors hold for both)
+      val two = emb.withColumn("embedding2",
+        reverse(col("embedding")).cast("array<float>"))
+      Scd1Merge.upsert(spark, corpusT, two, Seq("vec_id"), numBuckets = 2,
+        retainVersions = 6, batchId = "c1")
+      Similarity.ivfPqIndexBuild(spark, idxA,
+        Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16, iters = 1, dim = 64, batchId = "a1")
+      Similarity.ivfPqIndexBuild(spark, idxB,
+        Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding2",
+        nlist = 8, m = 8, ksub = 16, iters = 1, dim = 64, batchId = "b1")
+      GraftAnnRewrite.register(spark, corpusT, idxA, "vec_id", "embedding",
+        dim = 64, nprobe = 4, candFactor = 16)
+      GraftAnnRewrite.register(spark, corpusT, idxB, "vec_id", "embedding2",
+        dim = 64, nprobe = 4, candFactor = 16)
+      val qv2 = qv.reverse
+      def topkOn(vecC: String, q: Seq[Float]): DataFrame =
+        Scd1Merge.readTable(spark, corpusT)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.vecCosine(col(vecC),
+              typedLit(q)).as("s"))
+          .orderBy(col("s").desc).limit(10)
+      // each column routes to ITS index — never the sibling's
+      val sA = topkOn("embedding", qv)
+      assert(servedBy(sA, idxA) && !servedBy(sA, idxB))
+      val sB = topkOn("embedding2", qv2)
+      assert(servedBy(sB, idxB) && !servedBy(sB, idxA))
+      // the reversal is a cosine isometry: both served answers track
+      // the same exact id set
+      val exactIds = {
+        GraftAnnRewrite.unregister(corpusT) // exact plans
+        val ids = topkOn("embedding", qv).collect().map(_.getLong(0)).toSet
+        assert(topkOn("embedding2", qv2).collect().map(_.getLong(0)).toSet
+          == ids, "reversal must be cosine-isometric")
+        ids
+      }
+      // SESSION WIPE: the multi-block marker is gone with unregister —
+      // re-register, then wipe ONLY the session registry; both blocks
+      // re-arm from the persisted marker
+      GraftAnnRewrite.register(spark, corpusT, idxA, "vec_id", "embedding",
+        dim = 64, nprobe = 4, candFactor = 16)
+      GraftAnnRewrite.register(spark, corpusT, idxB, "vec_id", "embedding2",
+        dim = 64, nprobe = 4, candFactor = 16)
+      GraftAnnRewrite.clear()
+      assert(servedBy(topkOn("embedding", qv), idxA),
+        "block A must re-arm from the multi-block marker")
+      assert(servedBy(topkOn("embedding2", qv2), idxB),
+        "block B must re-arm from the multi-block marker")
+      val rA = topkOn("embedding", qv).collect().map(_.getLong(0)).toSet
+      val rB = topkOn("embedding2", qv2).collect().map(_.getLong(0)).toSet
+      assert(rA.intersect(exactIds).size >= 7, s"recall A: ${rA.intersect(exactIds).size}")
+      assert(rB.intersect(exactIds).size >= 7, s"recall B: ${rB.intersect(exactIds).size}")
+      // a wave stales BOTH; one maintain() folds both feeds
+      Scd1Merge.upsert(spark, corpusT,
+        two.filter(col("vec_id") < 2).withColumn("vec_id",
+          col("vec_id") + 440000L),
+        Seq("vec_id"), retainVersions = 6, batchId = "c2")
+      assert(!servedBy(topkOn("embedding", qv), idxA))
+      assert(GraftAnnRewrite.maintain(spark, corpusT) == 4L,
+        "maintain must fold the 2-row feed into BOTH indexes (2+2)")
+      assert(servedBy(topkOn("embedding", qv), idxA))
+      assert(servedBy(topkOn("embedding2", qv2), idxB))
+      // SHOW: one row per registration, vec_col discriminating
+      val shown = graft.sql.GraftSql.sql(spark, "SHOW VECTOR INDEXES")
+        .collect().filter(_.getString(0) == corpusT)
+      assert(shown.length == 2 &&
+        shown.map(_.getString(6)).sorted.toSeq == Seq("embedding", "embedding2") &&
+        shown.forall(_.getBoolean(4)), shown.mkString(","))
+      // batch: ambiguous without a column, served with one
+      intercept[IllegalArgumentException] {
+        GraftAnnRewrite.topKBatch(spark, corpusT, emb.limit(2), 3)
+      }
+      GraftAnnRewrite.topKBatch(spark, corpusT, emb.limit(2), 3,
+        vecCol = Some("embedding")).count()
+      assert(GraftAnnRewrite.lastBatchServedFromIndex)
+      // DROP: bare form is ambiguous; the column form drops ONE —
+      // the sibling keeps serving
+      intercept[IllegalStateException] {
+        graft.sql.GraftSql.sql(spark,
+          s"DROP GRAFT VECTOR INDEX ON graft.`$corpusT`").collect()
+      }
+      graft.sql.GraftSql.sql(spark,
+        s"DROP GRAFT VECTOR INDEX ON graft.`$corpusT` (embedding2)")
+      assert(!servedBy(topkOn("embedding2", qv2), idxB),
+        "the dropped column must fall back")
+      assert(servedBy(topkOn("embedding", qv), idxA),
+        "the sibling index must keep serving")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idxB)))
+      // and now the bare DROP is unambiguous
+      graft.sql.GraftSql.sql(spark,
+        s"DROP GRAFT VECTOR INDEX ON graft.`$corpusT`")
+      assert(!servedBy(topkOn("embedding", qv), idxA))
+    } finally {
+      GraftAnnRewrite.unregister(corpusT)
+      graft.sql.GraftCatalog.clearRoot()
+    }
+  }
+
   test("BATCH serving: topKBatch answers a query SET from the index in one distributed probe; stale answers exact; maintain restores; unregistered is loud") {
     val (corpusT, idx) = freshCorpus("annrw_batch")
     try {
