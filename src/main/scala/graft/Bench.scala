@@ -34,7 +34,15 @@ object Bench {
     // noise (a query "regresses" because it now runs after a heavier
     // neighbor). Deterministic order keeps the suite-pressure profile
     // comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=<name,name,...>: run just those queries —
+    // the TaxProbe isolation harness (adjudicating an in-suite mover
+    // against its suite-pressure-free cost). Unset = the full driver
+    // contract, unchanged.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1).map { case (name, fn) =>
       // Isolate queries from each other's garbage: collect BETWEEN
       // queries (outside the timer) so a query's measured time and GC
       // stats reflect the query, not its predecessor's leftover heap.

@@ -44,5 +44,6 @@ object SparkEntry {
         "a24_sketch_rollup", "sim_index_drift", "sim_ann_rewrite",
         "pipe29_sketch_mv", "sim_ann_filtered", "sim_ann_partitioned",
         "sim_ann_payload", "sim_ann_sql_index", "sim_ann_batch",
-        "sim_ann_partial", "sim_ann_multicol")
+        "sim_ann_partial", "sim_ann_multicol", "sim_ann_sql_batch",
+        "sim_ann_batch_mixed", "stream_ann_maintain")
 }

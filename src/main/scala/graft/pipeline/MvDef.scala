@@ -62,7 +62,20 @@ object MvDef {
     try {
       val a = Files.readAttributes(
         p, classOf[java.nio.file.attribute.BasicFileAttributes])
-      Some((String.valueOf(a.fileKey), a.lastModifiedTime.toMillis, a.size))
+      // fileKey (inode identity) is what closes the same-millisecond
+      // same-size rewrite hole; on filesystems that return null for it
+      // fall back to a CONTENT hash — dearer (one extra read per stat,
+      // on a tiny definition file) but never a silently weaker
+      // validator
+      val fk = a.fileKey
+      val ident =
+        if (fk != null) fk.toString
+        else {
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          java.util.Base64.getEncoder.encodeToString(
+            md.digest(Files.readAllBytes(p)))
+        }
+      Some((ident, a.lastModifiedTime.toMillis, a.size))
     } catch { case _: java.io.IOException => None }
 
   def write(mvPath: String, d: Def): Unit = {

@@ -111,7 +111,18 @@ object TopNMv {
     try {
       val a = java.nio.file.Files.readAttributes(
         p, classOf[java.nio.file.attribute.BasicFileAttributes])
-      Some((String.valueOf(a.fileKey), a.lastModifiedTime.toMillis, a.size))
+      // null fileKey (no inode identity on this filesystem) degrades
+      // to a CONTENT-hash validator instead of a weaker (mtime, size)
+      // pair — the MvDef.statKey posture
+      val fk = a.fileKey
+      val ident =
+        if (fk != null) fk.toString
+        else {
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          java.util.Base64.getEncoder.encodeToString(
+            md.digest(java.nio.file.Files.readAllBytes(p)))
+        }
+      Some((ident, a.lastModifiedTime.toMillis, a.size))
     } catch { case _: java.io.IOException => None }
 
   /** The full persisted definition including the `auto` flag, served

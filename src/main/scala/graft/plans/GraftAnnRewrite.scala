@@ -257,6 +257,13 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
                nprobe: Int = 4, candFactor: Int = 16,
                payloadCols: Seq[String] = Nil,
                autoMaintain: Boolean = false): Unit = {
+    // arm persisted SIBLING registrations first: persistAll below
+    // rewrites the whole marker from the in-memory registry, so a
+    // fresh session (empty registry) registering ONE column of a
+    // multimodal base would otherwise drop the other column's
+    // persisted block (the SQL CREATE path was safe only because its
+    // duplicate check happened to call armPath)
+    armPath(spark, basePath)
     val commit = corpusCommit(basePath).getOrElse(
       throw new IllegalArgumentException(
         s"GraftAnnRewrite.register: $basePath is not a graft table"))
@@ -352,11 +359,78 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         registry.put(regKey(basePath, reg.vecCol),
           reg.copy(baseCommit = live, baseFiles = files))
         PlanCaches.escalationEvictStale(reg.indexPath, live)
+        autoDriftProbe(spark, basePath, reg, reg.baseCommit, live)
       }
     }
     if (restamped) persistAll(basePath)
     total
   }
+
+  /** AUTO DRIFT-TRIGGERED RETRAIN (conf
+    * `spark.graft.ann.autoDriftResidualFactor`, unset = off): until
+    * now drift repair was PULL-only — a continuously-ingesting corpus
+    * served from a drifting model until someone issued REFRESH (the
+    * judged drift fixture reads recall 0.64 before repair). With the
+    * conf set, every FOLDED maintenance window also answers "did this
+    * batch land far from the trained centroids?" at O(folded rows)
+    * cost ([[graft.similarity.Similarity.ivfPqBatchMeanResidual]] —
+    * never the corpus-wide stats job): when the window's mean
+    * residual reaches `factor ×` the trained-time baseline, the
+    * SCOPED repair ([[graft.similarity.Similarity.ivfPqIndexMaintainScoped]])
+    * runs — its own global monitor + per-cell localization decide
+    * none/scoped/full, and both baselines refresh so the next window
+    * compares against the repaired state. Non-drifted commits pay the
+    * batch-sized probe plus one stats read; a probe failure degrades
+    * to "no repair", never fails the maintain. Model geometry
+    * (nlist/m/ksub) is derived from the cached model — no extra
+    * registration state. */
+  private def autoDriftProbe(spark: SparkSession, basePath: String,
+                             reg: AnnReg, fromCommit: Int,
+                             toCommit: Int): Unit = {
+    val factorStr = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.ann.autoDriftResidualFactor", "")
+    if (factorStr.trim.isEmpty) return
+    try {
+      val factor = factorStr.trim.toDouble
+      val sim = graft.similarity.Similarity
+      val changes = (if (corpusPartitioned(basePath))
+          graft.merge.PartitionedTable.readChangesAtCommits(spark, basePath,
+            fromCommit, toCommit)
+        else Scd1Merge.readChangesAtCommits(spark, basePath,
+          Scd1Merge.tableKeys(basePath).getOrElse(Seq(reg.idCol)),
+          fromCommit, toCommit))
+        .filter(org.apache.spark.sql.functions.col("_change_type")
+          .isin("insert", "update"))
+      val windowMean = sim.ivfPqBatchMeanResidual(spark, reg.indexPath,
+        changes, reg.idCol, reg.vecCol)
+      val (_, baseResidual) = sim.ivfPqIndexBaseline(spark, reg.indexPath)
+      lastAutoDriftProbe = windowMean.map((_, baseResidual))
+      if (windowMean.exists(_ >= baseResidual * factor)) {
+        val (cents, books) = PlanCaches.annModel(spark, reg.indexPath)
+        val action = sim.ivfPqIndexMaintainScoped(spark, reg.indexPath,
+          corpusRead(spark, basePath), reg.idCol, reg.vecCol,
+          nlist = cents.length, m = books.length, ksub = books.head.length,
+          iters = 2, dim = reg.dim, batchId = f"drift-$toCommit%09d")
+        if (action != "none") {
+          autoDriftRepairs += 1
+          logInfo(s"graft ANN auto drift repair: window residual " +
+            s"${windowMean.get} ≥ $factor × baseline $baseResidual on " +
+            s"${reg.indexPath} — $action repair ran")
+        }
+      }
+    } catch { case e: Exception =>
+      logWarning(s"graft ANN auto drift probe failed on " +
+        s"${reg.indexPath} (serving unaffected): ${e.getMessage}")
+    }
+  }
+
+  /** Scoped/full repairs the auto drift probe has triggered this
+    * session — spec observability. */
+  @volatile var autoDriftRepairs: Long = 0L
+
+  /** The last probe's (window mean residual, trained-time baseline)
+    * — spec observability. */
+  @volatile var lastAutoDriftProbe: Option[(Double, Double)] = None
 
   /** QUERY-SET serving — batch k-NN from the registered index: the
     * single-vector rewrite admits one foldable literal, but offline
@@ -375,19 +449,34 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     *
     * `queries`: a DataFrame carrying the registered id and vector
     * columns (broadcast — keep it query-set-sized). Output:
-    * (query_id, rank, vec_id, cos_sim). An UNREGISTERED base is a
+    * (query_id, rank, vec_id, cos_sim). A STALE base answers with the
+    * exact top-k instead (never wrong); an UNREGISTERED base is a
     * loud error (there is no index to serve from — exact batch top-k
     * is [[graft.similarity.Similarity.topK]]).
     *
     * `filterSql`: an optional metadata predicate (SQL text over
-    * corpus columns). When every referenced column is
-    * payload-DECLARED, the predicate pushes into the codes scan —
-    * every query's candidates are then drawn from MATCHING vectors
-    * only (the single-query payload-pushdown story, amortized across
-    * the set). A predicate over undeclared columns filters the EXACT
-    * batch answer instead (index candidates filtered post-hoc could
-    * return short without escalation — the batch path refuses to
-    * guess and serves exactly; at 100 TB, declare the column). */
+    * corpus columns). Conjuncts over payload-DECLARED columns push
+    * into the codes scan — every query's candidates are then drawn
+    * from covered-admissible vectors only (the single-query
+    * payload-pushdown story, amortized across the set); RESIDUAL
+    * conjuncts (undeclared columns) are enforced by the exact re-rank
+    * and can under-fill, which the fill-k repair below absorbs. A
+    * predicate with NO covered conjunct filters the EXACT batch
+    * answer instead (unconstrained candidates under a selective
+    * undeclared predicate would under-fill most of the set — the
+    * repair would degenerate to the exact scan anyway; at 100 TB,
+    * declare at least one selective column).
+    *
+    * FILL-K REPAIR (the batch analogue of the single-query
+    * escalation): after each distributed serve, per-query result
+    * counts (result-sized work) name the under-filled queries; ONLY
+    * those re-serve at doubled widths (nprobe toward nlist, then
+    * candFactor), and an irreducible remainder — probed cells or the
+    * covered candidate pool genuinely holding fewer than k
+    * admissible matches — answers EXACTLY over the filtered corpus,
+    * restricted to just those queries. The batch is therefore never
+    * short while [[lastBatchServedFromIndex]] reads true, and repair
+    * work is (under-filled subset)-sized, never set-sized. */
   def topKBatch(spark: SparkSession, basePath: String,
                 queries: org.apache.spark.sql.DataFrame,
                 k: Int,
@@ -413,27 +502,84 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     }
     val corpus0 = corpusRead(spark, basePath)
     val corpus = filterSql.map(corpus0.filter).getOrElse(corpus0)
-    // a filter is payload-covered when every column it references
-    // was declared at registration (resolved against the corpus)
-    val covered = filterSql.forall { f =>
-      reg.payloadCols.nonEmpty &&
-        corpus0.filter(f).queryExecution.analyzed.collectFirst {
-          case flt: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            flt.condition.references.forall(a =>
-              reg.payloadCols.exists(_.equalsIgnoreCase(a.name)))
-        }.getOrElse(false)
+    // split the (resolved) predicate into payload-covered conjuncts
+    // and the residual — exactly the single-query partial-pushdown
+    // partition
+    val conjuncts: Seq[Expression] = filterSql.toSeq.flatMap { f =>
+      corpus0.filter(f).queryExecution.analyzed.collectFirst {
+        case flt: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          conjunctsOf(flt.condition)
+      }.getOrElse(Nil)
     }
-    if (covered && corpusCommit(basePath).contains(reg.baseCommit)) {
+    val (covered, residual) = conjuncts.partition(c =>
+      reg.payloadCols.nonEmpty && c.references.nonEmpty &&
+        c.references.forall(a =>
+          reg.payloadCols.exists(_.equalsIgnoreCase(a.name))))
+    val servable = filterSql.isEmpty ||
+      (conjuncts.nonEmpty && covered.nonEmpty)
+    lastBatchEscalations = 0
+    lastBatchUnderfilled = 0
+    lastBatchPartial = false
+    if (servable && corpusCommit(basePath).contains(reg.baseCommit)) {
       lastBatchServedFromIndex = true
+      lastBatchPartial = covered.nonEmpty && residual.nonEmpty
       val (cents, books) = PlanCaches.annModel(spark, reg.indexPath)
       val codes0 = graft.similarity.Similarity.readCodes(spark, reg.indexPath)
-      val codes = filterSql.map(codes0.filter).getOrElse(codes0)
-      graft.similarity.Similarity.ivfPqTopKFromCodes(corpus, queries,
-        reg.idCol, reg.vecCol, k, cents, books, codes,
-        reg.nprobe, reg.dim, reg.candFactor)
+      val codes =
+        if (covered.isEmpty) codes0
+        else codes0.filter(canonPred(covered.reduce(And)))
+      val rowsEst = (if (corpusPartitioned(basePath))
+          graft.merge.PartitionedTable.tableRowsEstimate(basePath)
+        else Scd1Merge.tableRowsEstimate(basePath))
+        .getOrElse(Long.MaxValue)
+      var np = reg.nprobe
+      var cf = reg.candFactor
+      // the still-under-filled query subset (ids collected: the
+      // queries DataFrame is query-set-sized by contract)
+      var pending = queries
+      var pendingIds: Seq[Any] =
+        queries.select(col(reg.idCol)).collect().map(_.get(0)).toSeq
+      var acc: Option[org.apache.spark.sql.DataFrame] = None
+      var rounds = 0
+      var out: org.apache.spark.sql.DataFrame = null
+      while (out == null) {
+        val served = graft.similarity.Similarity.ivfPqTopKFromCodes(
+          corpus, pending, reg.idCol, reg.vecCol, k, cents, books, codes,
+          np, reg.dim, cf)
+        val cnts = served.groupBy(col("query_id"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("__n"))
+          .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+        val under = pendingIds.filterNot(id => cnts.getOrElse(id, 0L) >= k)
+        val keep =
+          if (under.isEmpty) served
+          else served.filter(!col("query_id").isin(under: _*))
+        acc = Some(acc.map(_.unionByName(keep)).getOrElse(keep))
+        if (under.isEmpty) out = acc.get
+        else {
+          val exhaustive = np >= cents.length && cf.toLong * k >= rowsEst
+          if (exhaustive || rounds >= 6) {
+            // irreducible remainder (or widening budget spent): the
+            // EXACT answer over the filtered corpus for JUST these
+            // queries — never a short batch
+            lastBatchUnderfilled = under.size
+            out = acc.get.unionByName(graft.similarity.Similarity.topK(
+              corpus, pending.filter(col(reg.idCol).isin(under: _*)),
+              reg.idCol, reg.vecCol, k))
+          } else {
+            pending = pending.filter(col(reg.idCol).isin(under: _*))
+            pendingIds = under
+            if (np < cents.length) np = math.min(cents.length, np * 2)
+            else cf *= 2
+            rounds += 1
+            lastBatchEscalations += 1
+          }
+        }
+      }
+      out
     } else {
-      // stale index or an uncovered predicate: the exact batch
-      // answer, never a wrong or short one
+      // stale index, or a predicate with no pushable conjunct: the
+      // exact batch answer, never a wrong or short one
       lastBatchServedFromIndex = false
       graft.similarity.Similarity.topK(corpus, queries,
         reg.idCol, reg.vecCol, k)
@@ -443,6 +589,19 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   /** Did the last [[topKBatch]] serve from the index (vs the exact
     * fallback) — spec/judged-entry observability. */
   @volatile var lastBatchServedFromIndex: Boolean = false
+
+  /** Widening rounds the last [[topKBatch]] ran for under-filled
+    * queries — spec/judged-entry observability. */
+  @volatile var lastBatchEscalations: Int = 0
+
+  /** Queries the last [[topKBatch]] repaired with exact answers after
+    * widening was exhausted — spec/judged-entry observability. */
+  @volatile var lastBatchUnderfilled: Int = 0
+
+  /** Did the last [[topKBatch]] push covered conjuncts while
+    * escalating a residual (the mixed-predicate mode) —
+    * spec/judged-entry observability. */
+  @volatile var lastBatchPartial: Boolean = false
 
   /** Remove EVERY registration of `basePath`, its persisted marker,
     * and its catalog inventory row. */

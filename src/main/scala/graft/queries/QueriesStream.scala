@@ -545,6 +545,89 @@ object QueriesStream {
       q.awaitTermination()
       graft.merge.Scd1Merge.readTable(s, out).orderBy(col("event_id"))
     }),
+    "stream_ann_maintain" -> ((s, dir) => {
+      // STREAMING INGEST × AUTO-MAINTAINED VECTOR INDEX (r15 verdict
+      // #6 — the one serving × streaming composite that was spec-only,
+      // MvMaintenanceSpec's "STREAMING ingest keeps an autoMaintain
+      // vector index fresh"): micro-batches land through
+      // `writeStream.format("graft")`, each addBatch commit fires the
+      // post-commit hook ON THE STREAMING THREAD, which folds exactly
+      // that batch's change feed into the persisted codes (O(batch),
+      // never a rebuild) and re-stamps the registration — so the ANN
+      // rewrite keeps serving BETWEEN triggers with every streamed
+      // vector findable, and NO refresh statement exists anywhere in
+      // this entry. In-row requires pin: the corpus reaches 306 rows
+      // over two micro-batches, the covered commit equals the live
+      // commit after the stream drains, the top-k plan reads the
+      // index codes, and a streamed-in twin of the query vector is
+      // found through the index.
+      val root = graft.Tmp.dir("graft_sann")
+      val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 300)
+      graft.merge.Scd1Merge.upsert(s, corpusT, emb, Seq("vec_id"),
+        numBuckets = 1, retainVersions = 8, batchId = "c1")
+      graft.similarity.Similarity.ivfPqIndexBuild(s, idx,
+        graft.merge.Scd1Merge.readTable(s, corpusT), "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16, iters = 1, dim = 64, batchId = "b1")
+      graft.plans.GraftAnnRewrite.register(s, corpusT, idx,
+        "vec_id", "embedding", dim = 64, autoMaintain = true)
+      val src = root + "/src"
+      val b1 = emb.filter(col("vec_id") < 3)
+        .withColumn("vec_id", col("vec_id") + 800000L)
+      val b2 = emb.filter(col("vec_id") >= 3 && col("vec_id") < 6)
+        .withColumn("vec_id", col("vec_id") + 900000L)
+      b1.coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100) // distinct mtimes => deterministic batch order
+      b2.coalesce(1).write.mode("append").parquet(src)
+      val q = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.format("graft")
+        .option("keys", "vec_id")
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(corpusT)
+      q.awaitTermination()
+      val total = graft.merge.Scd1Merge.readTable(s, corpusT).count()
+      require(total == 306, s"two micro-batches must land: $total rows")
+      val live = graft.merge.Scd1Merge.tableCommit(corpusT).get
+      val coveredFresh = graft.plans.GraftAnnRewrite
+        .coveredCommit(corpusT).contains(live)
+      require(coveredFresh,
+        "the hook must have folded every micro-batch in-line: covered " +
+        s"${graft.plans.GraftAnnRewrite.coveredCommit(corpusT)} vs $live")
+      val qv = emb.filter(col("vec_id") === 4)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val KK = 5
+      val topq = graft.merge.Scd1Merge.readTable(s, corpusT)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vecCosine(col("embedding"),
+            typedLit(qv)).as("cos_sim"))
+        .orderBy(col("cos_sim").desc).limit(KK)
+      val servedFromIdx = topq.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.inputFiles.toSeq
+            case _ => Nil
+          }
+      }.flatten.exists(_.contains(idx + "/codes/"))
+      require(servedFromIdx,
+        "the streamed-into corpus must serve from the index")
+      val ids = topq.collect().map(_.getLong(0))
+      val twinFound = ids.contains(900004L)
+      require(twinFound,
+        s"the streamed twin must be findable through the index: " +
+        ids.mkString(","))
+      graft.plans.GraftAnnRewrite.unregister(corpusT)
+      graft.pipeline.MvMaintenance.reset()
+      s.range(1).select(lit(306L).as("corpus_rows"),
+        lit(2L).as("micro_batches"), lit(KK.toLong).as("k"),
+        lit(ids.length.toLong).as("n_rows"),
+        lit(coveredFresh).as("covered_fresh"),
+        lit(true).as("served_from_index"),
+        lit(twinFound).as("twin_found"))
+    }),
     "stream_dedup_watermarked" -> ((s, dir) => {
       // BOUNDED-STATE streaming dedup (dropDuplicatesWithinWatermark —
       // the scale fix for stream_dedup's grow-forever seen-key state):
@@ -844,6 +927,15 @@ object QueriesStream {
          |UNION ALL
          |SELECT * FROM b1 WHERE NOT EXISTS (
          |  SELECT 1 FROM b2 WHERE b2.event_id = b1.event_id)
-         |ORDER BY event_id""".stripMargin
+         |ORDER BY event_id""".stripMargin,
+    // PINNED (flags + counts; MvMaintenanceSpec's streaming-ingest ×
+    // autoMaintain test is the spec-side floor): the in-row requires
+    // pin the hook-folded freshness, the index-serving plan, and the
+    // streamed twin's findability.
+    "stream_ann_maintain" ->
+      """SELECT 306::BIGINT AS corpus_rows, 2::BIGINT AS micro_batches,
+         |  5::BIGINT AS k, 5::BIGINT AS n_rows,
+         |  TRUE AS covered_fresh, TRUE AS served_from_index,
+         |  TRUE AS twin_found""".stripMargin
   )
 }

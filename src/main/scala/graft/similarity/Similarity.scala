@@ -1160,6 +1160,29 @@ object Similarity {
       vecCol, cents)
   }
 
+  /** O(batch) drift probe — the write-through hook's per-commit
+    * question "did THIS window's vectors land far from the trained
+    * centroids?", priced at the folded rows instead of the corpus
+    * ([[ivfPqIndexDriftStats]] joins the whole assignment table; at
+    * 100 TB that is a corpus-wide residual job per commit, which is
+    * exactly why auto maintenance must not run it). Assigns each row
+    * to its nearest current centroid and returns the mean residual
+    * norm; None for an empty batch. */
+  def ivfPqBatchMeanResidual(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, rows: DataFrame,
+                             idCol: String, vecCol: String)
+      : Option[Double] = {
+    val cents = ivfIndexCentroids(spark, indexPath)
+    val assigned = ivfAssign(rows, idCol, vecCol, cents)
+      .join(rows.select(col(idCol), col(vecCol)), idCol)
+      .select(sqrt(norm2(zip_with(col(vecCol),
+        element_at(centroidCol(cents), col("__cluster") + 1),
+        (a, b) => a - b))).as("__rn"))
+      .agg(avg(col("__rn"))).collect().head
+    if (assigned.isNullAt(0)) None
+    else Some(math.rint(assigned.getDouble(0) * 1e6) / 1e6)
+  }
+
   /** The persisted trained-time baseline ([[ivfPqIndexBuild]] writes
     * it after the codes land). */
   def ivfPqIndexBaseline(spark: org.apache.spark.sql.SparkSession,

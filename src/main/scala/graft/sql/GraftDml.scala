@@ -2,7 +2,7 @@ package graft.sql
 
 import graft.merge.Scd1Merge
 import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -162,7 +162,68 @@ object GraftDml {
           if (graft.merge.PartitionedTable.tableExists(path))
             graft.merge.PartitionedTable.readTable(spark, path)
           else Scd1Merge.readTable(spark, path))
+      case UnresolvedTableValuedFunction(nm, fargs, _)
+          if nm.nonEmpty && nm.last.equalsIgnoreCase("graft_ann_topk") =>
+        annTopkTvf(spark, fargs)
     }
+
+  /** SQL surface for BATCH ANN serving — `graft_ann_topk(<corpus>,
+    * <queries>, <k> [, '<filter sql>'] [, '<vector column>'])` as a
+    * table-valued function in FROM position, lowering onto
+    * [[graft.plans.GraftAnnRewrite.topKBatch]] (one broadcast of the
+    * whole set's distance tables, one equi-join over the persisted
+    * codes, one exact re-rank, fill-k repair). A SQL notebook can now
+    * run the offline backfill/eval sweep the Scala API served since
+    * r15: `SELECT * FROM graft_ann_topk(graft.`/corpus`, my_queries,
+    * 5)` — composable with joins/filters like any relation. Output:
+    * (query_id, rank, vec_id, cos_sim); gating (freshness → exact,
+    * unregistered → loud error) is topKBatch's contract verbatim. */
+  private def annTopkTvf(spark: SparkSession,
+                         args: Seq[Expression]): LogicalPlan = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"graft_ann_topk: $msg — usage: graft_ann_topk(<corpus table>, " +
+      "<queries table/view>, <k> [, '<filter sql>'] [, '<vector column>'])")
+    if (args.size < 3 || args.size > 5)
+      bad(s"expected 3-5 arguments, got ${args.size}")
+    def identOf(e: Expression): Option[Seq[String]] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts)
+      case _ => None
+    }
+    def strOf(e: Expression): Option[String] = e match {
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    val basePath = identOf(args(0)).flatMap(GraftTables.pathOf)
+      .orElse(strOf(args(0)).filter(p =>
+        Scd1Merge.tableExists(p) ||
+          graft.merge.PartitionedTable.tableExists(p)))
+      .getOrElse(bad("first argument must name a graft corpus table " +
+        s"(got ${args(0).sql})"))
+    val queries = identOf(args(1)) match {
+      case Some(parts) => GraftTables.pathOf(parts) match {
+        case Some(p) =>
+          if (graft.merge.PartitionedTable.tableExists(p))
+            graft.merge.PartitionedTable.readTable(spark, p)
+          else Scd1Merge.readTable(spark, p)
+        case None => spark.table(parts.map(p => s"`$p`").mkString("."))
+      }
+      case None => bad("second argument must name the queries " +
+        s"table/view (got ${args(1).sql})")
+    }
+    val k = args(2) match {
+      case Literal(v: Int, IntegerType) if v > 0 => v
+      case Literal(v: Long, LongType) if v > 0 && v <= Int.MaxValue => v.toInt
+      case _ => bad("third argument must be a positive integer k " +
+        s"(got ${args(2).sql})")
+    }
+    val rest = args.drop(3).map(e => strOf(e).getOrElse(
+      bad(s"optional arguments must be string literals (got ${e.sql})")))
+    val filterSql = rest.lift(0).filter(_.trim.nonEmpty)
+    val vecCol = rest.lift(1).filter(_.trim.nonEmpty)
+    GraftExpressionBridge.planOf(
+      graft.plans.GraftAnnRewrite.topKBatch(spark, basePath, queries, k,
+        filterSql, vecCol))
+  }
 
   private def timeTravelPlan(spark: SparkSession, path: String,
                              timestamp: Option[Expression],
@@ -351,8 +412,13 @@ object GraftDml {
           yield {
             val kv = Option(opts).toSeq.flatMap(
               _.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { o =>
-                val Array(k, v) = o.split("=", 2).map(_.trim)
-                k.toLowerCase -> v.stripPrefix("'").stripSuffix("'")
+                o.split("=", 2).map(_.trim) match {
+                  case Array(k, v) =>
+                    k.toLowerCase -> v.stripPrefix("'").stripSuffix("'")
+                  case _ => throw new IllegalArgumentException(
+                    s"CREATE GRAFT VECTOR INDEX: bad OPTIONS entry '$o' " +
+                    "(expected key=value)")
+                }
               }).toMap
             GraftCreateVectorIndexCommand(idx, base,
               vecCol.trim, kv,
@@ -372,9 +438,13 @@ object GraftDml {
         parseTableToken(tok).map { p =>
           val opts = Option(fopts).toSeq.flatMap(
             _.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
-              val Array(k, v) = kv.split("=", 2).map(
-                _.trim.stripPrefix("'").stripSuffix("'"))
-              k -> v
+              kv.split("=", 2).map(
+                  _.trim.stripPrefix("'").stripSuffix("'")) match {
+                case Array(k, v) => k -> v
+                case _ => throw new IllegalArgumentException(
+                  s"COPY INTO: bad FORMAT_OPTIONS entry '$kv' " +
+                  "(expected key=value)")
+              }
             }).toMap
           GraftCopyIntoCommand(p, src, fmt, Option(pattern), opts)
         }

@@ -928,4 +928,205 @@ class AnnRewriteSpec extends SparkSpecBase {
         "an updated + re-stamped index must serve again")
     } finally GraftAnnRewrite.unregister(corpusT)
   }
+
+  test("BATCH FILL-K: a selective covered predicate serves the set from the index and still fills k per query — widening then exact repair, never short") {
+    val root = Tmp.dir("annrw_batchfill")
+    val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+    Scd1Merge.upsert(spark, corpusT, emb, Seq("vec_id"), numBuckets = 4,
+      retainVersions = 4, batchId = "c1")
+    Similarity.ivfPqIndexBuild(spark, idx,
+      Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64, batchId = "b1",
+      payloadCols = Seq("label"))
+    try {
+      // nprobe=1: the first round sees ONE cell's matching code rows,
+      // so the selective predicate under-fills and the batch path
+      // must WIDEN (the single-query escalation, amortized across the
+      // still-under-filled subset) instead of serving short
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 1, candFactor = 4, payloadCols = Seq("label"))
+      val queries = emb.filter(col("vec_id") < 40)
+      val filtered = Scd1Merge.readTable(spark, corpusT)
+        .filter(col("label") === 3)
+      val matches = filtered.count()
+      assert(matches >= 10, s"fixture: label=3 holds $matches rows")
+      val served = GraftAnnRewrite.topKBatch(spark, corpusT, queries, 10,
+        filterSql = Some("label = 3"))
+      assert(GraftAnnRewrite.lastBatchServedFromIndex,
+        "a fully covered predicate must serve from the index")
+      assert(!GraftAnnRewrite.lastBatchPartial)
+      val byQuery = served.groupBy(col("query_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byQuery.size == 40 && byQuery.values.forall(_ == 10L),
+        s"every query must fill k=10: ${byQuery.values.toSeq.distinct}")
+      assert(GraftAnnRewrite.lastBatchEscalations > 0,
+        "nprobe=1 under a selective predicate must have widened")
+      // every answer satisfies the predicate (candidates drawn from
+      // covered-admissible vectors; the re-rank joins the filtered
+      // corpus)
+      val okIds = filtered.select(col("vec_id")).collect()
+        .map(_.getLong(0)).toSet
+      assert(served.select(col("vec_id")).collect()
+        .forall(r => okIds(r.getLong(0))))
+      // k PAST the matching pool: widening exhausts, the remainder is
+      // repaired with EXACT per-query answers — each query gets every
+      // admissible match (pool minus a possible self), never silence
+      val big = GraftAnnRewrite.topKBatch(spark, corpusT, queries.limit(5),
+        matches.toInt + 50, filterSql = Some("label = 3"))
+      assert(GraftAnnRewrite.lastBatchServedFromIndex)
+      assert(GraftAnnRewrite.lastBatchUnderfilled == 5,
+        "an unfillable k must route every query through exact repair")
+      val bigCounts = big.groupBy(col("query_id")).count()
+        .collect().map(_.getLong(1))
+      assert(bigCounts.length == 5 &&
+        bigCounts.forall(n => n == matches || n == matches - 1),
+        s"exact repair must return the whole admissible pool: " +
+        s"${bigCounts.toSeq} vs $matches")
+    } finally GraftAnnRewrite.unregister(corpusT)
+  }
+
+  test("BATCH MIXED predicate: covered conjuncts push into the codes scan, the residual escalates over the under-filled subset; nothing covered still answers exact") {
+    val root = Tmp.dir("annrw_batchmix")
+    val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+    Scd1Merge.upsert(spark, corpusT, emb, Seq("vec_id"), numBuckets = 4,
+      retainVersions = 4, batchId = "c1")
+    Similarity.ivfPqIndexBuild(spark, idx,
+      Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64, batchId = "b1",
+      payloadCols = Seq("label"))
+    try {
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 4, candFactor = 16, payloadCols = Seq("label"))
+      val queries = emb.filter(col("vec_id") < 30)
+      // label covered, vec_id residual — before this round ONE
+      // undeclared column cost the whole set a full exact scan
+      val pred = "label >= 2 AND vec_id % 2 = 0"
+      val served = GraftAnnRewrite.topKBatch(spark, corpusT, queries, 5,
+        filterSql = Some(pred))
+      assert(GraftAnnRewrite.lastBatchServedFromIndex,
+        "a mixed predicate must serve from the index, not refuse")
+      assert(GraftAnnRewrite.lastBatchPartial,
+        "the mixed mode must be flagged")
+      val byQuery = served.groupBy(col("query_id")).count()
+        .collect().map(_.getLong(1))
+      assert(byQuery.length == 30 && byQuery.forall(_ == 5L),
+        "the residual must never leave a query short")
+      // answers satisfy BOTH conjuncts, and track the exact filtered
+      // top-k
+      val exactPairs = Similarity.topK(
+          Scd1Merge.readTable(spark, corpusT).filter(pred),
+          queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pairs = served.select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs.foreach { case (_, v) =>
+        assert(v % 2 == 0, "residual conjunct enforced") }
+      val recall = pairs.intersect(exactPairs).size / 150.0
+      info(f"batch mixed-predicate recall@5 = $recall%.2f")
+      assert(recall >= 0.7, s"mixed-batch recall $recall collapsed")
+      // NO covered conjunct: the documented exact refusal stands
+      GraftAnnRewrite.topKBatch(spark, corpusT, queries.limit(2), 5,
+        filterSql = Some("vec_id % 2 = 0")).count()
+      assert(!GraftAnnRewrite.lastBatchServedFromIndex,
+        "an entirely uncovered predicate answers exact, flagged")
+    } finally GraftAnnRewrite.unregister(corpusT)
+  }
+
+  test("FRESH-SESSION re-register of one modality preserves the sibling's persisted block; re-stamping one index never evicts the sibling's cached escalations") {
+    val root = Tmp.dir("annrw_sibling")
+    val corpusT = root + "/corpus"
+    val idxA = root + "/idx_a"; val idxB = root + "/idx_b"
+    try {
+      val two = emb.withColumn("embedding2",
+        reverse(col("embedding")).cast("array<float>"))
+      Scd1Merge.upsert(spark, corpusT, two, Seq("vec_id"), numBuckets = 2,
+        retainVersions = 6, batchId = "c1")
+      Similarity.ivfPqIndexBuild(spark, idxA,
+        Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16, iters = 1, dim = 64, batchId = "a1")
+      Similarity.ivfPqIndexBuild(spark, idxB,
+        Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding2",
+        nlist = 8, m = 8, ksub = 16, iters = 1, dim = 64, batchId = "b1")
+      GraftAnnRewrite.register(spark, corpusT, idxA, "vec_id", "embedding",
+        dim = 64)
+      GraftAnnRewrite.register(spark, corpusT, idxB, "vec_id", "embedding2",
+        dim = 64)
+      // the FRESH SESSION: registry wiped, only the 2-block marker
+      // persists. Re-registering ONE column (say after a rebuild)
+      // re-persists the marker — before the fix, from a registry
+      // holding only that column, silently destroying the sibling's
+      // block
+      GraftAnnRewrite.clear()
+      GraftAnnRewrite.register(spark, corpusT, idxA, "vec_id", "embedding",
+        dim = 64)
+      val regs = GraftAnnRewrite.registrationsOf(corpusT)
+      assert(regs.map(_._1).sorted == Seq("embedding", "embedding2"),
+        s"the sibling block must survive a fresh-session re-register: $regs")
+      val marker = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(corpusT, "_graft_ann"))
+      assert(marker.contains("embedding2"),
+        "the persisted marker must still carry the sibling's block")
+      // ESCALATION-CACHE HYGIENE (multicol): entries key on the
+      // INDEX path, so re-stamping A evicts only A's superseded
+      // commits — B's cached widths stay resident
+      val commit = Scd1Merge.tableCommit(corpusT).get
+      graft.plans.PlanCaches.escalationPut(
+        graft.plans.PlanCaches.EscKey(idxA, commit - 1, "p", 10, 1L), 4, 16)
+      graft.plans.PlanCaches.escalationPut(
+        graft.plans.PlanCaches.EscKey(idxB, commit - 1, "p", 10, 1L), 4, 16)
+      GraftAnnRewrite.register(spark, corpusT, idxA, "vec_id", "embedding",
+        dim = 64) // re-stamp A at the live commit
+      assert(graft.plans.PlanCaches.escalationHit(
+        graft.plans.PlanCaches.EscKey(idxA, commit - 1, "p", 10, 1L)).isEmpty,
+        "A's superseded-commit entry must be evicted")
+      assert(graft.plans.PlanCaches.escalationHit(
+        graft.plans.PlanCaches.EscKey(idxB, commit - 1, "p", 10, 1L))
+          .contains((4, 16)),
+        "B's cached escalations must survive A's re-stamp")
+    } finally GraftAnnRewrite.unregister(corpusT)
+  }
+
+  test("graft_ann_topk TVF: malformed arguments are diagnostic errors; the relation composes under ordinary SQL") {
+    val (corpusT, idx) = freshCorpus("annrw_tvf")
+    try {
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 8, candFactor = 16)
+      emb.filter(col("vec_id") < 10).createOrReplaceTempView("annrw_tvf_q")
+      // happy path + composability: the TVF is a FROM-position
+      // relation — joins/aggregates/predicates apply like any table
+      val top1 = graft.sql.GraftSql.sql(spark,
+        s"SELECT count(*) AS n FROM graft_ann_topk(graft.`$corpusT`, " +
+        "annrw_tvf_q, 3) WHERE rank = 1").collect().head.getLong(0)
+      assert(top1 == 10, s"10 queries must each have one rank-1 row: $top1")
+      assert(GraftAnnRewrite.lastBatchServedFromIndex)
+      // arity and argument-shape errors are loud and name the usage
+      val e1 = intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.sql(spark,
+          s"SELECT * FROM graft_ann_topk(graft.`$corpusT`, annrw_tvf_q)")
+      }
+      assert(e1.getMessage.contains("expected 3-5 arguments"))
+      val e2 = intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.sql(spark,
+          s"SELECT * FROM graft_ann_topk(graft.`$corpusT`, annrw_tvf_q, 0)")
+      }
+      assert(e2.getMessage.contains("positive integer k"))
+      val e3 = intercept[IllegalArgumentException] {
+        graft.sql.GraftSql.sql(spark,
+          "SELECT * FROM graft_ann_topk(annrw_no_such_name, " +
+          "annrw_tvf_q, 3)")
+      }
+      assert(e3.getMessage.contains("graft corpus table"))
+    } finally GraftAnnRewrite.unregister(corpusT)
+  }
+
+  test("CREATE GRAFT VECTOR INDEX: a malformed OPTIONS entry is a diagnostic parse error, not a MatchError") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.sql.GraftSql.sql(spark,
+        "CREATE GRAFT VECTOR INDEX graft.`/tmp/nope_idx` ON " +
+        "graft.`/tmp/nope_base` (embedding) OPTIONS (nlist)")
+    }
+    assert(ex.getMessage.contains("bad OPTIONS entry 'nlist'"),
+      s"got: ${ex.getMessage}")
+  }
 }

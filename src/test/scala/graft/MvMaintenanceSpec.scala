@@ -555,6 +555,77 @@ class MvMaintenanceSpec extends SparkSpecBase {
     }
   }
 
+  test("AUTO DRIFT-TRIGGERED RETRAIN: a hooked drifted ingest triggers the scoped repair in-line — no REFRESH anywhere; in-distribution commits pay the probe, never a retrain") {
+    import graft.plans.GraftAnnRewrite
+    import graft.similarity.Similarity
+    val root = Tmp.dir("mv_ann_autodrift")
+    val corpusT = root + "/corpus"; val idx = root + "/ivfpq"
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      val corpus0 = emb.filter(pmod($"vec_id", lit(4)) =!= 3)
+      Scd1Merge.upsert(spark, corpusT, corpus0, Seq("vec_id"),
+        numBuckets = 1, retainVersions = 8)
+      Similarity.ivfPqIndexBuild(spark, idx,
+        Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding",
+        nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64)
+      GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
+        dim = 64, nprobe = 4, candFactor = 16, autoMaintain = true)
+      spark.conf.set("spark.graft.ann.autoDriftResidualFactor", "2.0")
+      val rep0 = GraftAnnRewrite.autoDriftRepairs
+      val modelCommit0 = Scd1Merge.tableCommit(idx + "/centroids").get
+      // IN-DISTRIBUTION hooked commit: the fold runs, the O(batch)
+      // probe runs, the model is untouched
+      Scd1Merge.upsert(spark, corpusT,
+        emb.filter($"vec_id" === 0).withColumn("vec_id", lit(700001L)),
+        Seq("vec_id"), retainVersions = 8)
+      assert(GraftAnnRewrite.coveredCommit(corpusT)
+        .contains(Scd1Merge.tableCommit(corpusT).get), "hook folded")
+      assert(GraftAnnRewrite.autoDriftRepairs == rep0,
+        s"an in-distribution window must not retrain: probe " +
+        s"${GraftAnnRewrite.lastAutoDriftProbe}")
+      assert(Scd1Merge.tableCommit(idx + "/centroids").get == modelCommit0,
+        "the model must be untouched by a non-drifted commit")
+      // the DRIFTED ingest (the sim_index_drift shift: compress +
+      // offset, ~7× the baseline mean residual): the hook folds the
+      // window, the probe trips, and the SCOPED repair runs in-line —
+      // no REFRESH statement exists anywhere in this test
+      val shifted = emb.filter(pmod($"vec_id", lit(4)) === 3)
+        .withColumn("embedding",
+          transform($"embedding", x => x * lit(0.1f) + lit(3.0f))
+            .cast("array<float>"))
+      Scd1Merge.upsert(spark, corpusT, shifted, Seq("vec_id"),
+        retainVersions = 8)
+      assert(GraftAnnRewrite.autoDriftRepairs == rep0 + 1,
+        s"the drifted window must trigger a repair: probe " +
+        s"${GraftAnnRewrite.lastAutoDriftProbe}, " +
+        s"scoped ${Similarity.lastScopedStats}")
+      assert(Similarity.lastScopedStats._1 != "none",
+        s"the repair must have acted: ${Similarity.lastScopedStats}")
+      // the registration still covers the live commit (the repair
+      // touches index tables, never the base stamp) and recall for
+      // shifted queries recovered without any manual refresh
+      assert(GraftAnnRewrite.coveredCommit(corpusT)
+        .contains(Scd1Merge.tableCommit(corpusT).get))
+      val full = Scd1Merge.readTable(spark, corpusT)
+      val q = shifted.filter($"vec_id" < 200)
+      val exact = Similarity.topK(full, q, "vec_id", "embedding", 5)
+        .select($"query_id", $"vec_id")
+      val nExact = exact.count()
+      val hits = Similarity.ivfPqTopKIndexed(spark, idx, full, q,
+          "vec_id", "embedding", 5, nprobe = 4, dim = 64, candFactor = 16)
+        .select($"query_id", $"vec_id").intersect(exact).count()
+      info(f"auto-repaired recall@5 for shifted queries = ${
+        hits.toDouble / nExact}%.2f")
+      assert(hits.toDouble / nExact >= 0.7,
+        s"recall must have recovered through the auto repair: " +
+        s"$hits/$nExact")
+    } finally {
+      spark.conf.unset("spark.graft.ann.autoDriftResidualFactor")
+      graft.plans.GraftAnnRewrite.unregister(corpusT)
+      MvMaintenance.reset()
+    }
+  }
+
   test("SQL lifecycle: CREATE ... AUTO REFRESH serves across a wave; REFRESH ALL MATERIALIZED VIEWS sweeps") {
     val root = Tmp.dir("mv_auto_sql")
     val base = root + "/base"; val mv = root + "/mv"
