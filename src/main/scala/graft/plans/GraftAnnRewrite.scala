@@ -72,7 +72,8 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
                           nprobe: Int, candFactor: Int,
                           baseCommit: Int, baseFiles: Set[String],
                           payloadCols: Seq[String] = Nil,
-                          auto: Boolean = false)
+                          auto: Boolean = false,
+                          driftFactor: Option[Double] = None)
 
   // keyed by (basePath, lowercase vector column) — a MULTIMODAL
   // corpus carries several embedding columns (text + image), each
@@ -117,7 +118,8 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
         s"candfactor=${r.candFactor}", s"commit=${r.baseCommit}") ++
         (if (r.payloadCols.nonEmpty)
           Seq(s"payload=${r.payloadCols.map(enc).mkString(",")}") else Nil) ++
-        (if (r.auto) Seq("auto=true") else Nil))
+        (if (r.auto) Seq("auto=true") else Nil) ++
+        r.driftFactor.toSeq.map(f => s"driftfactor=$f"))
         .mkString("\n")
     }
     if (blocks.isEmpty) {
@@ -190,7 +192,8 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
                   kv("commit").toInt, files,
                   kv.get("payload").map(_.split(",").iterator
                     .filter(_.nonEmpty).map(dec).toSeq).getOrElse(Nil),
-                  kv.get("auto").exists(_.toBoolean)))
+                  kv.get("auto").exists(_.toBoolean),
+                  kv.get("driftfactor").map(_.toDouble)))
             } catch { case _: Exception => () } // malformed block: skip
           }
       } catch { case _: Exception => () } // unreadable marker: skip
@@ -236,6 +239,11 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   def indexesOf(basePath: String): Seq[(String, String)] =
     regsOf(basePath).map(r => (r.vecCol, r.indexPath))
 
+  /** The per-index auto-drift factor of one registration (None =
+    * session-conf fallback governs) — spec/SHOW observability. */
+  def driftFactorOf(basePath: String, vecCol: String): Option[Double] =
+    Option(registry.get(regKey(basePath, vecCol))).flatMap(_.driftFactor)
+
   /** Every registration of `basePath` as (vecCol, indexPath,
     * coveredCommit, auto) — the SQL SHOW command's row source. */
   def registrationsOf(basePath: String): Seq[(String, String, Int, Boolean)] =
@@ -256,7 +264,8 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
                idCol: String, vecCol: String, dim: Int,
                nprobe: Int = 4, candFactor: Int = 16,
                payloadCols: Seq[String] = Nil,
-               autoMaintain: Boolean = false): Unit = {
+               autoMaintain: Boolean = false,
+               driftFactor: Option[Double] = None): Unit = {
     // arm persisted SIBLING registrations first: persistAll below
     // rewrites the whole marker from the in-memory registry, so a
     // fresh session (empty registry) registering ONE column of a
@@ -270,7 +279,8 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     val files = corpusRead(spark, basePath).inputFiles.toSet
     registry.put(regKey(basePath, vecCol),
       AnnReg(basePath, indexPath, idCol, vecCol,
-        dim, nprobe, candFactor, commit, files, payloadCols, autoMaintain))
+        dim, nprobe, candFactor, commit, files, payloadCols, autoMaintain,
+        driftFactor))
     persistAll(basePath)
     // superseded-commit escalation outcomes can never hit again —
     // free their LRU slots now
@@ -291,7 +301,8 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     if (regs.isEmpty) throw new IllegalArgumentException(
       s"GraftAnnRewrite.refresh: $basePath is not registered")
     regs.foreach(r => register(spark, basePath, r.indexPath, r.idCol,
-      r.vecCol, r.dim, r.nprobe, r.candFactor, r.payloadCols, r.auto))
+      r.vecCol, r.dim, r.nprobe, r.candFactor, r.payloadCols, r.auto,
+      r.driftFactor))
   }
 
   /** ONE-CALL index maintenance: diff the registration's covered
@@ -366,18 +377,21 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
     total
   }
 
-  /** AUTO DRIFT-TRIGGERED RETRAIN (conf
-    * `spark.graft.ann.autoDriftResidualFactor`, unset = off): until
-    * now drift repair was PULL-only — a continuously-ingesting corpus
-    * served from a drifting model until someone issued REFRESH (the
-    * judged drift fixture reads recall 0.64 before repair). With the
-    * conf set, every FOLDED maintenance window also answers "did this
-    * batch land far from the trained centroids?" at O(folded rows)
-    * cost ([[graft.similarity.Similarity.ivfPqBatchMeanResidual]] —
-    * never the corpus-wide stats job): when the window's mean
-    * residual reaches `factor ×` the trained-time baseline, the
-    * SCOPED repair ([[graft.similarity.Similarity.ivfPqIndexMaintainScoped]])
-    * runs — its own global monitor + per-cell localization decide
+  /** AUTO DRIFT-TRIGGERED RETRAIN (per-index `driftFactor` — the
+    * CREATE statement's `OPTIONS (driftfactor=…)`, persisted in the
+    * marker block — with conf
+    * `spark.graft.ann.autoDriftResidualFactor` as the session-wide
+    * fallback; neither set = off): until now drift repair was
+    * PULL-only — a continuously-ingesting corpus served from a
+    * drifting model until someone issued REFRESH (the judged drift
+    * fixture reads recall 0.64 before repair). With a factor set,
+    * every FOLDED maintenance window also answers "did this batch
+    * land far from the trained centroids?" at O(folded rows) cost
+    * ([[graft.similarity.Similarity.ivfPqBatchMeanResidual]] — never
+    * the corpus-wide stats job): when the window's mean residual
+    * reaches `factor ×` the trained-time baseline, the SCOPED repair
+    * ([[graft.similarity.Similarity.ivfPqIndexMaintainScoped]]) runs
+    * — its own global monitor + per-cell localization decide
     * none/scoped/full, and both baselines refresh so the next window
     * compares against the repaired state. Non-drifted commits pay the
     * batch-sized probe plus one stats read; a probe failure degrades
@@ -387,11 +401,14 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
   private def autoDriftProbe(spark: SparkSession, basePath: String,
                              reg: AnnReg, fromCommit: Int,
                              toCommit: Int): Unit = {
-    val factorStr = org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.ann.autoDriftResidualFactor", "")
-    if (factorStr.trim.isEmpty) return
+    val factorOpt = reg.driftFactor.orElse {
+      val s = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.ann.autoDriftResidualFactor", "").trim
+      if (s.isEmpty) None else s.toDoubleOption
+    }
+    if (factorOpt.isEmpty) return
     try {
-      val factor = factorStr.trim.toDouble
+      val factor = factorOpt.get
       val sim = graft.similarity.Similarity
       val changes = (if (corpusPartitioned(basePath))
           graft.merge.PartitionedTable.readChangesAtCommits(spark, basePath,
@@ -543,9 +560,15 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
       var rounds = 0
       var out: org.apache.spark.sql.DataFrame = null
       while (out == null) {
+        // persist the round's answer (RESULT-sized: ≤ pending×k rows
+        // — bounded, unlike the probe intermediates): the fill-count
+        // job below and every caller action then read the cached rows
+        // instead of re-running the ADC join + re-rank; unreferenced
+        // frames are reclaimed by Spark's ContextCleaner
         val served = graft.similarity.Similarity.ivfPqTopKFromCodes(
           corpus, pending, reg.idCol, reg.vecCol, k, cents, books, codes,
           np, reg.dim, cf)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cnts = served.groupBy(col("query_id"))
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("__n"))
@@ -561,11 +584,13 @@ object GraftAnnRewrite extends Rule[LogicalPlan] {
           if (exhaustive || rounds >= 6) {
             // irreducible remainder (or widening budget spent): the
             // EXACT answer over the filtered corpus for JUST these
-            // queries — never a short batch
+            // queries — never a short batch (persisted: the exact
+            // scan must not replay on every caller action either)
             lastBatchUnderfilled = under.size
             out = acc.get.unionByName(graft.similarity.Similarity.topK(
-              corpus, pending.filter(col(reg.idCol).isin(under: _*)),
-              reg.idCol, reg.vecCol, k))
+                corpus, pending.filter(col(reg.idCol).isin(under: _*)),
+                reg.idCol, reg.vecCol, k)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           } else {
             pending = pending.filter(col(reg.idCol).isin(under: _*))
             pendingIds = under

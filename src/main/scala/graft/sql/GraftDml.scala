@@ -2147,7 +2147,11 @@ case class GraftCreateVectorIndexCommand(indexPath: String,
       idCol, vecCol, dim, nprobe = intOpt("nprobe", 4),
       candFactor = intOpt("candfactor", 16),
       payloadCols = (payload ++ partitionBy.toSeq).distinct,
-      autoMaintain = auto)
+      autoMaintain = auto,
+      // OPTIONS (driftfactor=2.0): per-index auto drift-repair
+      // threshold, persisted in the marker — the durable form of the
+      // session conf (see GraftAnnRewrite.autoDriftProbe)
+      driftFactor = opts.get("driftfactor").map(_.toDouble))
     Seq(Row(indexPath, basePath, idCol, dim.toLong, nlist.toLong))
   }
 }

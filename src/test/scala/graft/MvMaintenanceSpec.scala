@@ -568,9 +568,14 @@ class MvMaintenanceSpec extends SparkSpecBase {
       Similarity.ivfPqIndexBuild(spark, idx,
         Scd1Merge.readTable(spark, corpusT), "vec_id", "embedding",
         nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64)
+      // PER-INDEX factor (the CREATE statement's OPTIONS
+      // (driftfactor=…) shape) — no session conf anywhere in this
+      // test; the factor persists in the marker block
       GraftAnnRewrite.register(spark, corpusT, idx, "vec_id", "embedding",
-        dim = 64, nprobe = 4, candFactor = 16, autoMaintain = true)
-      spark.conf.set("spark.graft.ann.autoDriftResidualFactor", "2.0")
+        dim = 64, nprobe = 4, candFactor = 16, autoMaintain = true,
+        driftFactor = Some(2.0))
+      assert(GraftAnnRewrite.driftFactorOf(corpusT, "embedding")
+        .contains(2.0))
       val rep0 = GraftAnnRewrite.autoDriftRepairs
       val modelCommit0 = Scd1Merge.tableCommit(idx + "/centroids").get
       // IN-DISTRIBUTION hooked commit: the fold runs, the O(batch)
@@ -586,9 +591,14 @@ class MvMaintenanceSpec extends SparkSpecBase {
       assert(Scd1Merge.tableCommit(idx + "/centroids").get == modelCommit0,
         "the model must be untouched by a non-drifted commit")
       // the DRIFTED ingest (the sim_index_drift shift: compress +
-      // offset, ~7× the baseline mean residual): the hook folds the
-      // window, the probe trips, and the SCOPED repair runs in-line —
-      // no REFRESH statement exists anywhere in this test
+      // offset, ~7× the baseline mean residual) lands in a "FRESH
+      // SESSION" — registry wiped, only the marker (auto=true +
+      // driftfactor=2.0) persists, so the hook must re-arm the
+      // factor from disk; it folds the window, the probe trips, and
+      // the SCOPED repair runs in-line — no REFRESH statement exists
+      // anywhere in this test
+      GraftAnnRewrite.clear()
+      MvMaintenance.armHooks()
       val shifted = emb.filter(pmod($"vec_id", lit(4)) === 3)
         .withColumn("embedding",
           transform($"embedding", x => x * lit(0.1f) + lit(3.0f))
@@ -620,7 +630,6 @@ class MvMaintenanceSpec extends SparkSpecBase {
         s"recall must have recovered through the auto repair: " +
         s"$hits/$nExact")
     } finally {
-      spark.conf.unset("spark.graft.ann.autoDriftResidualFactor")
       graft.plans.GraftAnnRewrite.unregister(corpusT)
       MvMaintenance.reset()
     }
