@@ -559,8 +559,12 @@ object QueriesLLM {
       val idxPath = graft.Tmp.dir("graft_ivfidx") + "/ivf"
       Similarity.ivfIndexBuild(s, idxPath, emb, "vec_id", "embedding",
         nlist = 16, iters = 2, batchId = "build@1")
+      // `exact` feeds BOTH the n_exact agg and the intersect — persist
+      // so the one bench/verify action computes the brute-force pass
+      // once, not twice (result-sized: n_queries × k id pairs)
       val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ivf = Similarity.ivfTopKIndexed(s, idxPath, emb, q,
           "vec_id", "embedding", K, nprobe = 4)
         .select(col("query_id"), col("vec_id"))
@@ -598,8 +602,11 @@ object QueriesLLM {
       // (seeded hyperplanes, fixed data), measured at sf0.01 and
       // pinned in the oracle; ApproxSpec holds the floor.
       val emb = table(s, dir, "embeddings")
+      // the exact graph (an O(n²) directed pass) feeds both the agg
+      // and the intersect — persist so it is built once per action
       val exact = Similarity.knnGraph(emb, "vec_id", "embedding", K)
         .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ann = Similarity.knnGraphAnn(emb, "vec_id", "embedding", K,
           tables = 16, bits = 4, dim = 64)
         .select(col("id_a"), col("id_b"))
@@ -634,8 +641,12 @@ object QueriesLLM {
       // hash-fails this row.
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 50)
+      // `exact` feeds BOTH the n_exact agg and the intersect — persist
+      // so the one bench/verify action computes the brute-force pass
+      // once, not twice (result-sized: n_queries × k id pairs)
       val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ann = Similarity.annTopK(emb, q, "vec_id", "embedding", K,
           tables = 16, bits = 4, dim = 64)
         .select(col("query_id"), col("vec_id"))
@@ -656,8 +667,12 @@ object QueriesLLM {
       // multiprobe(8×4) > single-probe(8×4) and the floor.
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 50)
+      // `exact` feeds BOTH the n_exact agg and the intersect — persist
+      // so the one bench/verify action computes the brute-force pass
+      // once, not twice (result-sized: n_queries × k id pairs)
       val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ann = Similarity.annTopKMultiprobe(emb, q, "vec_id", "embedding", K,
           tables = 8, bits = 4, dim = 64)
         .select(col("query_id"), col("vec_id"))
@@ -676,8 +691,12 @@ object QueriesLLM {
       // the oracle like sim_ann_recall — deterministic seeding + Lloyd.
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 50)
+      // `exact` feeds BOTH the n_exact agg and the intersect — persist
+      // so the one bench/verify action computes the brute-force pass
+      // once, not twice (result-sized: n_queries × k id pairs)
       val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", K,
           nlist = 16, nprobe = 4, iters = 2)
         .select(col("query_id"), col("vec_id"))
@@ -704,8 +723,12 @@ object QueriesLLM {
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 50)
       val model = Similarity.pcaTrain(emb, "vec_id", "embedding", d = 16)
+      // `exact` feeds BOTH the n_exact agg and the intersect — persist
+      // so the one bench/verify action computes the brute-force pass
+      // once, not twice (result-sized: n_queries × k id pairs)
       val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pca = Similarity.pcaTopK(emb, q, "vec_id", "embedding", K, model,
           candFactor = 8)
         .select(col("query_id"), col("vec_id"))
@@ -724,8 +747,12 @@ object QueriesLLM {
       // + quantized approx distances.
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 50)
+      // `exact` feeds BOTH the n_exact agg and the intersect — persist
+      // so the one bench/verify action computes the brute-force pass
+      // once, not twice (result-sized: n_queries × k id pairs)
       val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding", K,
           m = 8, ksub = 16, iters = 2, dim = 64, candFactor = 8)
         .select(col("query_id"), col("vec_id"))
@@ -759,8 +786,12 @@ object QueriesLLM {
       val idx = graft.Tmp.dir("graft_ivfpq") + "/index"
       Similarity.ivfPqIndexBuild(s, idx, emb, "vec_id", "embedding",
         nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64, batchId = "B1")
+      // `exact` feeds BOTH the n_exact agg and the intersect — persist
+      // so the one bench/verify action computes the brute-force pass
+      // once, not twice (result-sized: n_queries × k id pairs)
       val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val fused = Similarity.ivfPqTopKIndexed(s, idx, emb, q,
           "vec_id", "embedding", K, nprobe = 4, dim = 64, candFactor = 16)
         .select(col("query_id"), col("vec_id"))
@@ -807,8 +838,11 @@ object QueriesLLM {
       val full = corpus0.unionByName(shifted)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = shifted.filter(col("vec_id") < 200)
+      // the ground truth feeds FOUR actions (count + three recall
+      // intersects) — persist it so the brute-force pass runs once
       val exact = Similarity.topK(full, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def hitsOf(approx: DataFrame): Long =
         approx.select(col("query_id"), col("vec_id"))
           .intersect(exact).count()
@@ -855,6 +889,7 @@ object QueriesLLM {
       require(hitsAfter > hitsBefore,
         s"retrain must recover recall: $hitsBefore -> $hitsAfter / $nExact")
       full.unpersist(blocking = false)
+      exact.unpersist(blocking = false)
       s.range(1).select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
         lit(16L).as("m"), lit(16L).as("ksub"),
         lit(nExact).as("n_exact"),

