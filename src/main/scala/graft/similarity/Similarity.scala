@@ -217,6 +217,30 @@ object Similarity {
       .agg(max(struct(col("__score"), col("pos"))).as("__best"))
       .select(col(idCol), col("__best.pos").as("__cluster"))
 
+  /** [[ivfAssign]] with passthrough columns (the vector itself plus
+    * `extra`) riding the argmax aggregation via first() — group-
+    * constant, so values are identical to the assign→corpus JOIN this
+    * replaces. Map-side partial aggregation collapses the nlist
+    * exploded copies back to one row per vector BEFORE the exchange,
+    * so the carried vector crosses the shuffle once — strictly less
+    * data movement than the join (which shuffled the assignment AND
+    * the corpus). */
+  private def ivfAssignWith(corpus: DataFrame, idCol: String, vecCol: String,
+                            cents: Array[Seq[Float]],
+                            extra: Seq[String] = Nil): DataFrame = {
+    val carry = (vecCol +: extra).distinct
+    corpus.select((col(idCol) +: carry.map(col)): _*)
+      .select((col(idCol) +: carry.map(col)) :+
+        posexplode(centroidCol(cents)): _*)
+      .select((col(idCol) +: carry.map(col)) :+ col("pos") :+
+        cosine(col(vecCol), col("col")).as("__score"): _*)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__score"), col("pos"))).as("__best"),
+        carry.map(c => first(col(c)).as(c)): _*)
+      .select((col(idCol) +: col("__best.pos").as("__cluster") +:
+        carry.map(col)): _*)
+  }
+
   /** Deterministic IVF coarse quantizer: seed centroids from the nlist
     * lowest-id vectors (TakeOrdered — cheap, deterministic; Lloyd
     * iterations wash out the seeding bias), then `iters` rounds of
@@ -233,8 +257,10 @@ object Similarity {
       .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nlist)
       .collect().map(_.getSeq[Float](1))
     for (_ <- 0 until iters) {
-      val sums = ivfAssign(corpus, idCol, vecCol, cents)
-        .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      // fused assign-with-vector: one pass, no assign→corpus join
+      // (identical per-cluster memberships; sums order-immune via the
+      // 1e-6 quantization below)
+      val sums = ivfAssignWith(corpus, idCol, vecCol, cents)
         .groupBy(col("__cluster"))
         .agg(graft.functions.VectorAggregates.vecSum(col(vecCol)).as("__s"),
           count(lit(1)).as("__n"))
@@ -814,9 +840,7 @@ object Similarity {
   private def ivfResiduals(corpus: DataFrame, idCol: String, vecCol: String,
                            cents: Array[Seq[Float]],
                            extraCols: Seq[String] = Nil): DataFrame =
-    ivfAssign(corpus, idCol, vecCol, cents)
-      .join(corpus.select((col(idCol) +: col(vecCol) +:
-        extraCols.map(col)): _*), idCol)
+    ivfAssignWith(corpus, idCol, vecCol, cents, extraCols)
       .select((col(idCol) +: col("__cluster") +:
         zip_with(col(vecCol),
           element_at(centroidCol(cents), col("__cluster") + 1),
@@ -1045,9 +1069,12 @@ object Similarity {
     // trained-time drift BASELINE (the monitor's reference point —
     // persisted so a later session's ivfPqIndexMaintain needs no
     // re-derivation); written last, so a crash mid-build leaves a
-    // baseline-less index that maintain() fails loudly on
-    val (imb0, res0) = ivfPqIndexDriftStats(spark, indexPath, corpus,
-      idCol, vecCol)
+    // baseline-less index that maintain() fails loudly on. Global
+    // stats AND the per-cell profile derive from ONE residual scan
+    // (cents is exactly what the centroids table now holds).
+    val cellSums = cellResidualSums(assignOf(spark, indexPath),
+      corpus.select(col(idCol).as("vec_id"), col(vecCol)), vecCol, cents)
+    val (imb0, res0) = driftFromCells(cellSums, cents.length)
     graft.merge.Scd1Merge.upsert(spark, s"$indexPath/stats",
       Seq(("imbalance", imb0), ("mean_residual", res0))
         .toDF("metric", "value"),
@@ -1057,7 +1084,7 @@ object Similarity {
     // to the few cells that actually moved instead of rebuilding the
     // whole index ([[ivfPqIndexMaintainScoped]])
     graft.merge.Scd1Merge.upsert(spark, s"$indexPath/cell_stats",
-      cellStatsOf(spark, indexPath, corpus, idCol, vecCol),
+      cellStatsDf(spark, cellSums),
       Seq("__cluster"), numBuckets = 1, batchId = batchId)
   }
 
@@ -1068,7 +1095,7 @@ object Similarity {
                        idCol: String, vecCol: String, dim: Int = 64,
                        batchId: String = "",
                        payloadCols: Seq[String] = Nil): Unit = {
-    val (cents, books) = ivfPqIndexModel(spark, indexPath)
+    val (cents, books) = graft.plans.PlanCaches.annModel(spark, indexPath)
     val encoded = ivfPqEncode(newVecs, idCol, vecCol, cents, books, dim,
       payloadCols)
     if (codesPartitioned(indexPath))
@@ -1114,7 +1141,7 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       lastIndexFeedRows = changes.count()
-      val (cents, books) = ivfPqIndexModel(spark, indexPath)
+      val (cents, books) = graft.plans.PlanCaches.annModel(spark, indexPath)
       val ups = changes
         .filter(col("_change_type").isin("insert", "update"))
         .select((col(idCol) +: col(vecCol) +: payloadCols.map(col)): _*)
@@ -1169,7 +1196,11 @@ object Similarity {
                        queries: DataFrame, idCol: String, vecCol: String,
                        k: Int, nprobe: Int = 4, dim: Int = 64,
                        candFactor: Int = 8): DataFrame = {
-    val (cents, books) = ivfPqIndexModel(spark, indexPath)
+    // commit-keyed model cache (PlanCaches.annModel): two manifest-
+    // header reads instead of two collect() jobs per probe; a
+    // retrain/rebuild moves the centroids/codebooks commits and
+    // re-collects
+    val (cents, books) = graft.plans.PlanCaches.annModel(spark, indexPath)
     val codes = readCodes(spark, indexPath)
     ivfPqTopKFromCodes(corpus, queries, idCol, vecCol, k, cents, books,
       codes, nprobe, dim, candFactor)
@@ -1186,28 +1217,52 @@ object Similarity {
   // next to the model, so the monitor works in any later session
   // with no re-derivation.
 
-  /** (cell imbalance, mean residual norm) of `assign`ed vectors:
-    * imbalance = max cell population / uniform expectation (n/nlist),
-    * residual = mean ‖v − centroid(cell)‖. Doubles 1e-6-quantized
-    * (partition-order independence — the ivfTrain argument). */
-  private def driftOf(assign: DataFrame, vecs: DataFrame, vecCol: String,
-                      cents: Array[Seq[Float]]): (Double, Double) = {
-    val res = assign.join(vecs, "vec_id")
+  /** Per-cell (cluster, population, Σ residual norm) from ONE
+    * aggregation over the assignment ints joined to the vectors — the
+    * single scan BOTH the global drift monitor (imbalance + mean
+    * residual) and the per-cell profile derive from. The former shape
+    * ran two scans (a global agg and a per-cell agg) behind a persist;
+    * at 100 TB that is one corpus-wide residual pass instead of two,
+    * per monitor call. nlist tiny rows collected. */
+  private def cellResidualSums(assign: DataFrame, vecs: DataFrame,
+                               vecCol: String, cents: Array[Seq[Float]])
+      : Array[(Int, Long, Double)] =
+    assign.join(vecs, "vec_id")
       .select(col("__cluster"),
         sqrt(norm2(zip_with(col(vecCol),
           element_at(centroidCol(cents), col("__cluster") + 1),
           (a, b) => a - b))).as("__rn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val global = res.agg(count(lit(1)).as("n"), avg(col("__rn")).as("r"))
-        .collect().head
-      val (n, meanRes) = (global.getLong(0), global.getDouble(1))
-      val maxCell = res.groupBy(col("__cluster"))
-        .agg(count(lit(1)).as("c")).agg(max(col("c"))).collect().head.getLong(0)
-      def q6(x: Double) = math.rint(x * 1e6) / 1e6
-      (q6(maxCell.toDouble / (n.toDouble / cents.length)), q6(meanRes))
-    } finally res.unpersist(blocking = false)
+      .groupBy(col("__cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("__rn")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+
+  private def q6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  /** Spark `round(x*1e6)/1e6` twin (HALF_UP at scale 0 over the
+    * double, exactly Round's DoubleType path) — keeps driver-derived
+    * per-cell means bit-identical to the former cellStatsOf agg. */
+  private def meanQ6HalfUp(s: Double, n: Long): Double =
+    java.math.BigDecimal.valueOf(s / n * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 1e6
+
+  /** (imbalance, mean residual) from collected per-cell sums — same
+    * quantized values as the former two-scan global aggregation (the
+    * 1e-6 rint absorbs the driver-side vs partial-agg add order, the
+    * documented ivfTrain argument). */
+  private def driftFromCells(cells: Array[(Int, Long, Double)],
+                             nlist: Int): (Double, Double) = {
+    val n = cells.map(_._2).sum
+    val meanRes = cells.map(_._3).sum / n
+    val maxCell = cells.map(_._2).max
+    (q6(maxCell.toDouble / (n.toDouble / nlist)), q6(meanRes))
   }
+
+  /** The codes table's distinct (vec_id, cell) assignment pairs joined
+    * to the corpus vectors — the monitor's input frame. */
+  private def assignOf(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): DataFrame =
+    readCodes(spark, indexPath)
+      .select(col("vec_id"), col("__cluster")).distinct()
 
   /** Current drift of a persisted IVF-PQ index: assignments from the
     * codes table (distinct (vec_id, cell) int pairs), vectors fetched
@@ -1216,10 +1271,9 @@ object Similarity {
                            indexPath: String, corpus: DataFrame,
                            idCol: String, vecCol: String): (Double, Double) = {
     val cents = ivfIndexCentroids(spark, indexPath)
-    val assign = readCodes(spark, indexPath)
-      .select(col("vec_id"), col("__cluster")).distinct()
-    driftOf(assign, corpus.select(col(idCol).as("vec_id"), col(vecCol)),
-      vecCol, cents)
+    driftFromCells(cellResidualSums(assignOf(spark, indexPath),
+      corpus.select(col(idCol).as("vec_id"), col(vecCol)), vecCol, cents),
+      cents.length)
   }
 
   /** O(batch) drift probe — the write-through hook's per-commit
@@ -1235,8 +1289,7 @@ object Similarity {
                              idCol: String, vecCol: String)
       : Option[Double] = {
     val cents = ivfIndexCentroids(spark, indexPath)
-    val assigned = ivfAssign(rows, idCol, vecCol, cents)
-      .join(rows.select(col(idCol), col(vecCol)), idCol)
+    val assigned = ivfAssignWith(rows, idCol, vecCol, cents)
       .select(sqrt(norm2(zip_with(col(vecCol),
         element_at(centroidCol(cents), col("__cluster") + 1),
         (a, b) => a - b))).as("__rn"))
@@ -1254,24 +1307,17 @@ object Similarity {
     (m("imbalance"), m("mean_residual"))
   }
 
-  /** Per-cell profile of the CURRENT index state: (cell, population,
-    * mean residual norm) — nlist tiny rows from ONE aggregation over
-    * the persisted assignment ints joined to the corpus vectors.
-    * Doubles 1e-6-quantized (partition-order independence). */
-  private def cellStatsOf(spark: org.apache.spark.sql.SparkSession,
-                          indexPath: String, corpus: DataFrame,
-                          idCol: String, vecCol: String): DataFrame = {
-    val cents = ivfIndexCentroids(spark, indexPath)
-    readCodes(spark, indexPath)
-      .select(col("vec_id"), col("__cluster")).distinct()
-      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol)), "vec_id")
-      .select(col("__cluster"),
-        sqrt(norm2(zip_with(col(vecCol),
-          element_at(centroidCol(cents), col("__cluster") + 1),
-          (a, b) => a - b))).as("__rn"))
-      .groupBy(col("__cluster"))
-      .agg(count(lit(1)).as("n"),
-        (round(avg(col("__rn")) * lit(1e6)) / lit(1e6)).as("mean_residual"))
+  /** Per-cell profile rows (cell, population, mean residual norm)
+    * from collected cell sums — same values as the former dedicated
+    * aggregation ([[meanQ6HalfUp]] mirrors Spark's round()), derived
+    * from the SAME single scan the global monitor uses instead of a
+    * second corpus pass. */
+  private def cellStatsDf(spark: org.apache.spark.sql.SparkSession,
+                          cells: Array[(Int, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    cells.toSeq.sortBy(_._1)
+      .map { case (c, n, s) => (c, n, meanQ6HalfUp(s, n)) }
+      .toDF("__cluster", "n", "mean_residual")
   }
 
   /** Drift decision + recovery of the most recent
@@ -1360,7 +1406,13 @@ object Similarity {
                                splitFactor: Int = 4,
                                batchId: String = ""): String = {
     val (bi, br) = ivfPqIndexBaseline(spark, indexPath)
-    val (ci, cr) = ivfPqIndexDriftStats(spark, indexPath, corpus, idCol, vecCol)
+    val cents = ivfIndexCentroids(spark, indexPath)
+    // ONE residual scan feeds the GLOBAL monitor and — if it trips —
+    // the per-cell localization below (formerly three scans: global
+    // pair, then a dedicated per-cell aggregation)
+    val cellSums = cellResidualSums(assignOf(spark, indexPath),
+      corpus.select(col(idCol).as("vec_id"), col(vecCol)), vecCol, cents)
+    val (ci, cr) = driftFromCells(cellSums, cents.length)
     val drifted = ci >= bi * imbalanceFactor || cr >= br * residualFactor
     lastDriftStats = (ci, bi, cr, br, drifted)
     val total = corpus.count()
@@ -1374,12 +1426,11 @@ object Similarity {
     if (ci >= bi * fullImbalanceFactor || cr >= br * fullResidualFactor)
       return full()
     // ---- localize: per-cell current vs trained-time profile --------
-    val cents = ivfIndexCentroids(spark, indexPath)
     val base = graft.merge.Scd1Merge
       .readTable(spark, s"$indexPath/cell_stats").collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val cur = cellStatsOf(spark, indexPath, corpus, idCol, vecCol).collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val cur = cellSums
+      .map { case (c, n, s) => c -> (n, meanQ6HalfUp(s, n)) }.toMap
     val baseTotal = base.values.map(_._1).sum.toDouble
     val dCells = cur.toSeq.collect { case (c, (n, rn))
         if base.get(c).exists { case (bn, brn) =>
@@ -1419,10 +1470,9 @@ object Similarity {
         (0 until (newCents.length - dCells.length))
           .map(i => (cents.length + i).toLong)).take(newCents.length).toSeq
       // ---- re-encode ONLY the affected vectors (frozen codebooks) --
-      val (_, books) = ivfPqIndexModel(spark, indexPath)
+      val (_, books) = graft.plans.PlanCaches.annModel(spark, indexPath)
       val globalOf = typedLit(ids)
-      val res = ivfAssign(affected, idCol, vecCol, newCents)
-        .join(affected.select(col(idCol), col(vecCol)), idCol)
+      val res = ivfAssignWith(affected, idCol, vecCol, newCents)
         .select(col(idCol),
           element_at(globalOf, col("__cluster") + 1).cast("int")
             .as("__gcluster"),
@@ -1466,14 +1516,18 @@ object Similarity {
           .toDF("__cluster", "centroid"),
         Seq("__cluster"), numBuckets = 1, batchId = batchId)
       // ---- refresh BOTH baselines: repaired state is the new normal
-      val (imb1, res1) = ivfPqIndexDriftStats(spark, indexPath, corpus,
-        idCol, vecCol)
+      // (one residual scan over the repaired assignment for global +
+      // per-cell, same fusion as the entry monitor)
+      val cents1 = ivfIndexCentroids(spark, indexPath)
+      val cellSums1 = cellResidualSums(assignOf(spark, indexPath),
+        corpus.select(col(idCol).as("vec_id"), col(vecCol)), vecCol, cents1)
+      val (imb1, res1) = driftFromCells(cellSums1, cents1.length)
       graft.merge.Scd1Merge.upsert(spark, s"$indexPath/stats",
         Seq(("imbalance", imb1), ("mean_residual", res1))
           .toDF("metric", "value"),
         Seq("metric"), numBuckets = 1, batchId = batchId)
       graft.merge.Scd1Merge.upsert(spark, s"$indexPath/cell_stats",
-        cellStatsOf(spark, indexPath, corpus, idCol, vecCol),
+        cellStatsDf(spark, cellSums1),
         Seq("__cluster"), numBuckets = 1, batchId = batchId)
       lastScopedStats = ("scoped", dCells.length, nAff, total)
       "scoped"
