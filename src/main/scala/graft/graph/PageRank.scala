@@ -57,15 +57,30 @@ object PageRank {
     require(n > 0, "pageRank: empty graph")
     val unit = scale / n
     val base = (15L * unit) / 100L
+    // Join-strategy dial (guide §3.1): ranks and inflow are NODE-sized
+    // (two longs per node) while edgesDeg is EDGE-sized. The
+    // checkpointed rank frame carries no size statistics, so the
+    // planner would sort-merge-join it against the edges EVERY round —
+    // shuffling the edge relation `iterations` times. Below this node
+    // count (≈100 MB built: well inside the guide's broadcast comfort
+    // zone, far under the 8 GB/512M-row hard cap) the node-sized side
+    // broadcasts instead, so a round's only exchange is the
+    // partial-aggregated inflow (node-sized). Past it, the joins fall
+    // back to the planner's shuffled strategy — same exact integers
+    // either way. n is already on the driver (the count above): the
+    // dial costs no extra job.
+    val bcastNodes = n <= 4000000L
+    def nodeSized(df: DataFrame): DataFrame =
+      if (bcastNodes) broadcast(df) else df
     var ranks = nodes.select(col("__node"), lit(unit).as("__r"))
     var i = 0
     while (i < iterations) {
       val inflow = edgesDeg
-        .join(ranks, col("__src") === col("__node"))
+        .join(nodeSized(ranks), col("__src") === col("__node"))
         .select(col("__dst"), expr("__r DIV __deg").as("__c"))
         .groupBy(col("__dst")).agg(sum(col("__c")).as("__in"))
       ranks = pin(nodes
-        .join(inflow, col("__node") === col("__dst"), "left")
+        .join(nodeSized(inflow), col("__node") === col("__dst"), "left")
         .select(col("__node"),
           (lit(base) + expr(s"85 * coalesce(__in, 0L) DIV 100")).as("__r")))
       i += 1

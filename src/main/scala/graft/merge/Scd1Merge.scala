@@ -127,9 +127,19 @@ object Scd1Merge {
   private[graft] def resetPhases(): Unit = phaseNanos.clear()
   private def timed[T](name: String)(body: => T): T = {
     val t0 = System.nanoTime()
+    // label the phase's Spark jobs (guide §1.5) — thread-local, and
+    // AQE's withThreadLocalCaptured propagates it to its stage jobs,
+    // so UI/JobTrace attribution survives adaptive execution
+    val sc = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext)
+    val prev = sc.flatMap(c => Option(c.getLocalProperty("spark.job.description")))
+    sc.foreach(_.setJobDescription(s"scd1:$name"))
     try body
-    finally phaseNanos.merge(name, (System.nanoTime() - t0): java.lang.Long,
-      (a: java.lang.Long, b: java.lang.Long) => a + b)
+    finally {
+      sc.foreach(_.setJobDescription(prev.orNull))
+      phaseNanos.merge(name, (System.nanoTime() - t0): java.lang.Long,
+        (a: java.lang.Long, b: java.lang.Long) => a + b)
+    }
   }
 
   private val BucketCol = "__bucket"
@@ -544,7 +554,9 @@ object Scd1Merge {
   private def bloomBucketStats(spark: SparkSession, stagingDir: String,
                                inner: Seq[String]): Map[Int, Map[String, ColStats]] = try {
     import org.apache.spark.sql.GraftExpressionBridge
-    val df = spark.read.option("mergeSchema", "true").parquet(stagingDir)
+    // the staging dir is the output of ONE stageWrite job — uniform
+    // schema by construction, so the mergeSchema footer job is waste
+    val df = spark.read.parquet(stagingDir)
     val fields = df.schema.fields.toSeq
       .filter(f => f.name != BucketCol && inner.exists(_.equalsIgnoreCase(f.name)))
     if (fields.isEmpty || !df.columns.contains(BucketCol)) Map.empty
@@ -671,7 +683,8 @@ object Scd1Merge {
     * now only the fallback for footer-unboundable columns. */
   private def aggBucketStats(spark: SparkSession, stagingDir: String,
                              cols: Seq[String]): Map[Int, Map[String, ColStats]] = {
-    val df = spark.read.option("mergeSchema", "true").parquet(stagingDir)
+    // one stageWrite job wrote the staging dir: uniform schema
+    val df = spark.read.parquet(stagingDir)
     val fields = df.schema.fields.toSeq
       .filter(f => f.name != BucketCol && cols.exists(_.equalsIgnoreCase(f.name)))
       .flatMap(f => statsTyp(f.dataType).map(t => (f.name, f.dataType, t)))
@@ -1045,7 +1058,7 @@ object Scd1Merge {
         // matches, and pruning degrades conservatively to all
         // buckets.)
         val anyDir = Paths.get(tablePath, m.dirs.toSeq.minBy(_._1)._2).toString
-        val raw = spark.read.parquet(anyDir)
+        val raw = readDir(spark, anyDir)
         val probeDf = logicalize(raw, m)
         val cands = resolvedPredicate(probeDf, predicate) match {
           case None => m.dirs.keys.toSeq.sorted // unextractable: no pruning
@@ -1057,7 +1070,7 @@ object Scd1Merge {
         }
         lastPrune = (cands.size, m.dirs.size)
         val df =
-          if (cands.isEmpty) logicalize(spark.read.parquet(anyDir), m).limit(0)
+          if (cands.isEmpty) logicalize(readDir(spark, anyDir), m).limit(0)
           else logicalize(applyDv(spark, tablePath, m,
             mergedRead(spark, m,
               cands.map(b => Paths.get(tablePath, m.dirs(b)).toString))), m)
@@ -1606,7 +1619,7 @@ object Scd1Merge {
   private def dvFrame(spark: SparkSession, tablePath: String,
                       m: Manifest): Option[DataFrame] =
     if (m.dv.isEmpty) None
-    else Some(spark.read.parquet(Paths.get(tablePath, m.dv).toString))
+    else Some(readDir(spark, Paths.get(tablePath, m.dv).toString))
 
   /** Apply a manifest's deletion vector to a frame of its table rows:
     * tombstoned merge keys disappear. The dv is small by design (point
@@ -1694,18 +1707,80 @@ object Scd1Merge {
     StructType(fields.values.toSeq)
   }
 
-  /** The standard multi-dir table read: plain parquet mergeSchema
-    * until the table has widened columns, then an EXPLICIT widened
-    * schema (driver-side footer merge + the manifest's recorded wide
-    * types — recorded, so a pruned read of all-narrow buckets still
-    * presents the wide type). */
+  /** Per-version-dir schema cache. A committed version directory is
+    * immutable — the protocol stages into `.tmp`, ATOMIC_MOVEs whole
+    * dirs into place under fresh `b<b>_v<v>` / `dv_v<v>` names, and
+    * only ever deletes dirs on sweep, never rewrites in place — so a
+    * dir's file schema can be inferred once per JVM and reused by
+    * every later read. This removes the footer-inference job that
+    * every `mergeSchema` read launched: commit-heavy paths paid it on
+    * EVERY readTable/readChanges (measured 37 of pipe16's 181 jobs,
+    * 14 of stream_table_source's 103 — guide §6 metadata overhead; at
+    * 100 TB a mergeSchema read re-reads every footer of every bucket).
+    * The cache key carries the lexicographically-greatest part-file
+    * name (task-UUID-unique per write), so a restore/sweep sequence
+    * that ever re-minted the same dir name cannot serve a stale
+    * schema. Values are KB-sized StructTypes.
+    */
+  private val dirSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  /** One file's Spark schema read DRIVER-SIDE from its parquet footer
+    * — every engine-written file carries the exact Spark schema in the
+    * footer's key-value metadata, the same source `spark.read`'s
+    * inference deserializes; reading it here skips the distributed
+    * footer-inference job that `.parquet(dir).schema` launches per
+    * call. Returns None for non-Spark files (then the caller pays the
+    * one inference read). */
+  private def footerSparkSchema(spark: SparkSession,
+                                file: java.nio.file.Path): Option[StructType] = try {
+    val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new HadoopPath(file.toUri), spark.sessionState.newHadoopConf()))
+    try Option(rdr.getFooter.getFileMetaData.getKeyValueMetaData
+        .get("org.apache.spark.sql.parquet.row.metadata"))
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+    finally rdr.close()
+  } catch { case _: Exception => None }
+
+  private def dirSchema(spark: SparkSession, dir: String): StructType = {
+    val marker =
+      try graft.merge.FsList.list(Paths.get(dir)).iterator
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+        .foldLeft("")((a, b) => if (a >= b) a else b)
+      catch { case _: Exception => "" }
+    if (marker.isEmpty) spark.read.parquet(dir).schema
+    else dirSchemaCache.computeIfAbsent(s"$dir#$marker",
+      _ => footerSparkSchema(spark, Paths.get(dir, marker))
+        .getOrElse(spark.read.parquet(dir).schema))
+  }
+
+  /** Single-version-dir read with the cached schema — no inference
+    * job, no footer re-read. Files within one version dir share a
+    * schema by construction (each dir is the output of one staged
+    * write). */
+  private def readDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(dirSchema(spark, dir)).parquet(dir)
+
+  /** The standard multi-dir table read. All version dirs carrying the
+    * SAME schema (the overwhelmingly common case) read under that
+    * explicit schema — zero inference work. Widened tables merge the
+    * cached per-dir schemas driver-side and overlay the manifest's
+    * recorded wide types (recorded, so a pruned read of all-narrow
+    * buckets still presents the wide type). Only genuinely
+    * heterogeneous un-widened dirs (schema evolution) still pay the
+    * parquet mergeSchema read, preserving its exact column-order
+    * semantics. */
   private def mergedRead(spark: SparkSession, m: Manifest,
-                         dirs: Seq[String]): DataFrame =
-    if (m.widened.isEmpty)
-      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-    else {
-      val fileSchema = dirs.map(d => spark.read.parquet(d).schema)
-        .reduce(mergeWiden)
+                         dirs: Seq[String]): DataFrame = {
+    val schemas = dirs.map(d => dirSchema(spark, d))
+    if (m.widened.isEmpty) {
+      if (schemas.nonEmpty && schemas.forall(_ == schemas.head))
+        spark.read.schema(schemas.head).parquet(dirs: _*)
+      else
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    } else {
+      val fileSchema = schemas.reduce(mergeWiden)
       val schema = StructType(fileSchema.fields.map { f =>
         m.widened.collectFirst { case (c, t) if c.equalsIgnoreCase(f.name) =>
           f.copy(dataType = org.apache.spark.sql.types.DataType.fromDDL(t))
@@ -1713,6 +1788,7 @@ object Scd1Merge {
       })
       spark.read.schema(schema).parquet(dirs: _*)
     }
+  }
 
   /** New widened-type entries a source batch introduces against the
     * touched file schema. MERGE KEYS CANNOT WIDEN: the bucket hash is
@@ -2157,7 +2233,7 @@ object Scd1Merge {
           val any = m.dirs.values.headOption.getOrElse(
             throw new IllegalStateException(s"empty manifest for $tablePath"))
           // no changed buckets: empty frame with the table schema
-          spark.read.parquet(Paths.get(tablePath, any).toString).limit(0)
+          readDir(spark, Paths.get(tablePath, any).toString).limit(0)
         } else applyDv(spark, tablePath, m,
           mergedRead(spark, m, dirs))
       if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
@@ -2983,7 +3059,7 @@ object Scd1Merge {
         // bucket ids re-attached as literals (the compact read shape) —
         // only dirty buckets are read, sorted, and rewritten
         val src = dirty.map { case (b, d) =>
-            spark.read.parquet(Paths.get(tablePath, d).toString)
+            readDir(spark, Paths.get(tablePath, d).toString)
               .withColumn(BucketCol, lit(b)) }
           .reduce(_.unionByName(_, allowMissingColumns = true))
         val sortExprs =
@@ -3182,7 +3258,7 @@ object Scd1Merge {
         .getOrElse(throw new IllegalStateException(
           s"renameColumn: $tablePath has no live buckets"))
       val logicalCols = logicalize(
-        spark.read.parquet(Paths.get(tablePath, anyDir).toString), manifest)
+        readDir(spark, Paths.get(tablePath, anyDir).toString), manifest)
         .columns.filterNot(_ == BucketCol).toSeq
       require(logicalCols.exists(_.equalsIgnoreCase(oldName)),
         s"renameColumn: no column '$oldName' (have: ${logicalCols.mkString(",")})")
@@ -3195,8 +3271,8 @@ object Scd1Merge {
       // ambiguous — old physical data would silently surface under the
       // new logical name. Renaming a column back to its OWN physical
       // name is the one allowed case (the map entry just clears).
-      val physicalCols = spark.read
-        .parquet(Paths.get(tablePath, anyDir).toString)
+      val physicalCols = readDir(spark,
+          Paths.get(tablePath, anyDir).toString)
         .columns.filterNot(_ == BucketCol)
       val clash = (physicalCols ++ manifest.colmap.keys ++ manifest.dropped)
         .exists(c => c.equalsIgnoreCase(newName) && !c.equalsIgnoreCase(physical))
@@ -3237,7 +3313,7 @@ object Scd1Merge {
         .getOrElse(throw new IllegalStateException(
           s"dropColumn: $tablePath has no live buckets"))
       val logicalCols = logicalize(
-        spark.read.parquet(Paths.get(tablePath, anyDir).toString), manifest)
+        readDir(spark, Paths.get(tablePath, anyDir).toString), manifest)
         .columns.filterNot(_ == BucketCol).toSeq
       require(logicalCols.exists(_.equalsIgnoreCase(name)),
         s"dropColumn: no column '$name' (have: ${logicalCols.mkString(",")})")
@@ -3646,7 +3722,7 @@ object Scd1Merge {
     // ---- UNLOCKED: prune, probe, rewrite, stage (snapshot m0) ----
     val candB = if (m0.dirs.isEmpty) Nil else {
       val anyDir = Paths.get(tablePath, m0.dirs.toSeq.minBy(_._1)._2).toString
-      val raw = spark.read.parquet(anyDir)
+      val raw = readDir(spark, anyDir)
       val probeDf = logicalize(raw, m0)
       resolvedPredicate(probeDf, predicate) match {
         case None => m0.dirs.keys.toSeq.sorted
@@ -3741,7 +3817,7 @@ object Scd1Merge {
       val pm = manifest.copy(keys = pkeys)
       val candB = if (manifest.dirs.isEmpty) Nil else {
         val anyDir = Paths.get(tablePath, manifest.dirs.toSeq.minBy(_._1)._2).toString
-        val raw = spark.read.parquet(anyDir)
+        val raw = readDir(spark, anyDir)
         val probeDf = logicalize(raw, manifest)
         resolvedPredicate(probeDf, predicate) match {
           case None => manifest.dirs.keys.toSeq.sorted // unextractable: no pruning
@@ -3844,7 +3920,7 @@ object Scd1Merge {
     if (frag.isEmpty) 0
     else {
       val union = frag.map { case (b, d) =>
-          spark.read.parquet(Paths.get(tablePath, d).toString)
+          readDir(spark, Paths.get(tablePath, d).toString)
             .withColumn(BucketCol, lit(b)) }
         .reduce(_.unionByName(_, allowMissingColumns = true))
       val tmp = tablePath + ".tmp"

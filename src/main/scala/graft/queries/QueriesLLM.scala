@@ -559,21 +559,26 @@ object QueriesLLM {
       val idxPath = graft.Tmp.dir("graft_ivfidx") + "/ivf"
       Similarity.ivfIndexBuild(s, idxPath, emb, "vec_id", "embedding",
         nlist = 16, iters = 2, batchId = "build@1")
-      // `exact` feeds BOTH the n_exact agg and the intersect — persist
-      // so the one bench/verify action computes the brute-force pass
-      // once, not twice (result-sized: n_queries × k id pairs)
+      // `exact` feeds BOTH the n_exact count and the intersect —
+      // persist, compute both counts EAGERLY (still inside the timed
+      // region), unpersist, and return literal rows: the former
+      // returned-plan reference kept the cached ground truth pinned
+      // across the whole shared-session run (r16 VERDICT #3's heap
+      // ratchet). Same values, same schema — the sim_index_drift
+      // pattern.
       val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ivf = Similarity.ivfTopKIndexed(s, idxPath, emb, q,
           "vec_id", "embedding", K, nprobe = 4)
         .select(col("query_id"), col("vec_id"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(ivf.intersect(exact).agg(count(lit(1)).as("n_hits")))
-        .select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
-          lit(50L).as("n_queries"), lit(K.toLong).as("k"),
-          col("n_exact"), col("n_hits"),
-          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+      val (nExact, nHits) =
+        try (exact.count(), ivf.intersect(exact).count())
+        finally exact.unpersist(blocking = false)
+      s.range(1).select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
+        lit(50L).as("n_queries"), lit(K.toLong).as("k"),
+        lit(nExact).as("n_exact"), lit(nHits).as("n_hits"),
+        (lit(nHits).cast("double") / lit(nExact)).as("recall"))
     }),
     "text_simhash" -> ((s, dir) =>
       TextOps.simhash(table(s, dir, "documents"), "doc_id", "text")
@@ -602,19 +607,23 @@ object QueriesLLM {
       // (seeded hyperplanes, fixed data), measured at sf0.01 and
       // pinned in the oracle; ApproxSpec holds the floor.
       val emb = table(s, dir, "embeddings")
-      // the exact graph (an O(n²) directed pass) feeds both the agg
-      // and the intersect — persist so it is built once per action
+      // the exact graph (an O(n²) directed pass) feeds both the count
+      // and the intersect — persist, count EAGERLY, unpersist, return
+      // literal rows (r16 VERDICT #3: a returned-plan reference kept
+      // the cache pinned for the rest of the shared session)
       val exact = Similarity.knnGraph(emb, "vec_id", "embedding", K)
         .select(col("id_a"), col("id_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ann = Similarity.knnGraphAnn(emb, "vec_id", "embedding", K,
           tables = 16, bits = 4, dim = 64)
         .select(col("id_a"), col("id_b"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(ann.intersect(exact).agg(count(lit(1)).as("n_hits")))
-        .select(lit(16L).as("tables"), lit(4L).as("bits"),
-          lit(K.toLong).as("k"), col("n_exact"), col("n_hits"),
-          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+      val (nExact, nHits) =
+        try (exact.count(), ann.intersect(exact).count())
+        finally exact.unpersist(blocking = false)
+      s.range(1).select(lit(16L).as("tables"), lit(4L).as("bits"),
+        lit(K.toLong).as("k"), lit(nExact).as("n_exact"),
+        lit(nHits).as("n_hits"),
+        (lit(nHits).cast("double") / lit(nExact)).as("recall"))
     }),
     "sim_ann_topk" -> ((s, dir) => {
       // LSH-bucketed ANN. Deterministic (hash-derived hyperplanes);
@@ -641,21 +650,21 @@ object QueriesLLM {
       // hash-fails this row.
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 50)
-      // `exact` feeds BOTH the n_exact agg and the intersect — persist
-      // so the one bench/verify action computes the brute-force pass
-      // once, not twice (result-sized: n_queries × k id pairs)
+      // `exact` persists for the two eager counts, then unpersists;
+      // literal rows returned (r16 VERDICT #3 heap-ratchet fix)
       val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ann = Similarity.annTopK(emb, q, "vec_id", "embedding", K,
           tables = 16, bits = 4, dim = 64)
         .select(col("query_id"), col("vec_id"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(ann.intersect(exact).agg(count(lit(1)).as("n_hits")))
-        .select(lit(16L).as("tables"), lit(4L).as("bits"),
-          lit(50L).as("n_queries"), lit(K.toLong).as("k"),
-          col("n_exact"), col("n_hits"),
-          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+      val (nExact, nHits) =
+        try (exact.count(), ann.intersect(exact).count())
+        finally exact.unpersist(blocking = false)
+      s.range(1).select(lit(16L).as("tables"), lit(4L).as("bits"),
+        lit(50L).as("n_queries"), lit(K.toLong).as("k"),
+        lit(nExact).as("n_exact"), lit(nHits).as("n_hits"),
+        (lit(nHits).cast("double") / lit(nExact)).as("recall"))
     }),
 
     "sim_ann_multiprobe_recall" -> ((s, dir) => {
@@ -667,21 +676,22 @@ object QueriesLLM {
       // multiprobe(8×4) > single-probe(8×4) and the floor.
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 50)
-      // `exact` feeds BOTH the n_exact agg and the intersect — persist
-      // so the one bench/verify action computes the brute-force pass
-      // once, not twice (result-sized: n_queries × k id pairs)
+      // `exact` persists for the two eager counts, then unpersists;
+      // literal rows returned (r16 VERDICT #3 heap-ratchet fix)
       val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ann = Similarity.annTopKMultiprobe(emb, q, "vec_id", "embedding", K,
           tables = 8, bits = 4, dim = 64)
         .select(col("query_id"), col("vec_id"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(ann.intersect(exact).agg(count(lit(1)).as("n_hits")))
-        .select(lit(8L).as("tables"), lit(4L).as("bits"), lit(1L).as("probe_hamming"),
-          lit(50L).as("n_queries"), lit(K.toLong).as("k"),
-          col("n_exact"), col("n_hits"),
-          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+      val (nExact, nHits) =
+        try (exact.count(), ann.intersect(exact).count())
+        finally exact.unpersist(blocking = false)
+      s.range(1).select(lit(8L).as("tables"), lit(4L).as("bits"),
+        lit(1L).as("probe_hamming"),
+        lit(50L).as("n_queries"), lit(K.toLong).as("k"),
+        lit(nExact).as("n_exact"), lit(nHits).as("n_hits"),
+        (lit(nHits).cast("double") / lit(nExact)).as("recall"))
     }),
 
     "sim_ivf_recall" -> ((s, dir) => {
@@ -691,21 +701,21 @@ object QueriesLLM {
       // the oracle like sim_ann_recall — deterministic seeding + Lloyd.
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 50)
-      // `exact` feeds BOTH the n_exact agg and the intersect — persist
-      // so the one bench/verify action computes the brute-force pass
-      // once, not twice (result-sized: n_queries × k id pairs)
+      // `exact` persists for the two eager counts, then unpersists;
+      // literal rows returned (r16 VERDICT #3 heap-ratchet fix)
       val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", K,
           nlist = 16, nprobe = 4, iters = 2)
         .select(col("query_id"), col("vec_id"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(ivf.intersect(exact).agg(count(lit(1)).as("n_hits")))
-        .select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
-          lit(50L).as("n_queries"), lit(K.toLong).as("k"),
-          col("n_exact"), col("n_hits"),
-          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+      val (nExact, nHits) =
+        try (exact.count(), ivf.intersect(exact).count())
+        finally exact.unpersist(blocking = false)
+      s.range(1).select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
+        lit(50L).as("n_queries"), lit(K.toLong).as("k"),
+        lit(nExact).as("n_exact"), lit(nHits).as("n_hits"),
+        (lit(nHits).cast("double") / lit(nExact)).as("recall"))
     }),
 
     "sim_pca_recall" -> ((s, dir) => {
@@ -723,21 +733,21 @@ object QueriesLLM {
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 50)
       val model = Similarity.pcaTrain(emb, "vec_id", "embedding", d = 16)
-      // `exact` feeds BOTH the n_exact agg and the intersect — persist
-      // so the one bench/verify action computes the brute-force pass
-      // once, not twice (result-sized: n_queries × k id pairs)
+      // `exact` persists for the two eager counts, then unpersists;
+      // literal rows returned (r16 VERDICT #3 heap-ratchet fix)
       val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pca = Similarity.pcaTopK(emb, q, "vec_id", "embedding", K, model,
           candFactor = 8)
         .select(col("query_id"), col("vec_id"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(pca.intersect(exact).agg(count(lit(1)).as("n_hits")))
-        .select(lit(16L).as("d"), lit(8L).as("cand_factor"),
-          lit(50L).as("n_queries"), lit(K.toLong).as("k"),
-          col("n_exact"), col("n_hits"),
-          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+      val (nExact, nHits) =
+        try (exact.count(), pca.intersect(exact).count())
+        finally exact.unpersist(blocking = false)
+      s.range(1).select(lit(16L).as("d"), lit(8L).as("cand_factor"),
+        lit(50L).as("n_queries"), lit(K.toLong).as("k"),
+        lit(nExact).as("n_exact"), lit(nHits).as("n_hits"),
+        (lit(nHits).cast("double") / lit(nExact)).as("recall"))
     }),
     "sim_pq_recall" -> ((s, dir) => {
       // Product-quantization ADC (the memory-scale ANN path: 64 floats
@@ -747,21 +757,21 @@ object QueriesLLM {
       // + quantized approx distances.
       val emb = table(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 50)
-      // `exact` feeds BOTH the n_exact agg and the intersect — persist
-      // so the one bench/verify action computes the brute-force pass
-      // once, not twice (result-sized: n_queries × k id pairs)
+      // `exact` persists for the two eager counts, then unpersists;
+      // literal rows returned (r16 VERDICT #3 heap-ratchet fix)
       val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding", K,
           m = 8, ksub = 16, iters = 2, dim = 64, candFactor = 8)
         .select(col("query_id"), col("vec_id"))
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(pq.intersect(exact).agg(count(lit(1)).as("n_hits")))
-        .select(lit(8L).as("m"), lit(16L).as("ksub"),
-          lit(50L).as("n_queries"), lit(K.toLong).as("k"),
-          col("n_exact"), col("n_hits"),
-          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+      val (nExact, nHits) =
+        try (exact.count(), pq.intersect(exact).count())
+        finally exact.unpersist(blocking = false)
+      s.range(1).select(lit(8L).as("m"), lit(16L).as("ksub"),
+        lit(50L).as("n_queries"), lit(K.toLong).as("k"),
+        lit(nExact).as("n_exact"), lit(nHits).as("n_hits"),
+        (lit(nHits).cast("double") / lit(nExact)).as("recall"))
     }),
 
     "sim_ivfpq_recall" -> ((s, dir) => {
@@ -786,9 +796,8 @@ object QueriesLLM {
       val idx = graft.Tmp.dir("graft_ivfpq") + "/index"
       Similarity.ivfPqIndexBuild(s, idx, emb, "vec_id", "embedding",
         nlist = 16, m = 16, ksub = 16, iters = 2, dim = 64, batchId = "B1")
-      // `exact` feeds BOTH the n_exact agg and the intersect — persist
-      // so the one bench/verify action computes the brute-force pass
-      // once, not twice (result-sized: n_queries × k id pairs)
+      // `exact` persists for the two eager counts, then unpersists;
+      // literal rows returned (r16 VERDICT #3 heap-ratchet fix)
       val exact = Similarity.topK(emb, q, "vec_id", "embedding", K)
         .select(col("query_id"), col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -796,13 +805,14 @@ object QueriesLLM {
           "vec_id", "embedding", K, nprobe = 4, dim = 64, candFactor = 16)
         .select(col("query_id"), col("vec_id"))
       val (scanned, reranked) = Similarity.lastIvfPqScanned
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(fused.intersect(exact).agg(count(lit(1)).as("n_hits")))
-        .select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
-          lit(16L).as("m"), lit(16L).as("ksub"),
-          lit(scanned).as("n_scanned"), lit(reranked).as("n_reranked"),
-          col("n_exact"), col("n_hits"),
-          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+      val (nExact, nHits) =
+        try (exact.count(), fused.intersect(exact).count())
+        finally exact.unpersist(blocking = false)
+      s.range(1).select(lit(16L).as("nlist"), lit(4L).as("nprobe"),
+        lit(16L).as("m"), lit(16L).as("ksub"),
+        lit(scanned).as("n_scanned"), lit(reranked).as("n_reranked"),
+        lit(nExact).as("n_exact"), lit(nHits).as("n_hits"),
+        (lit(nHits).cast("double") / lit(nExact)).as("recall"))
     }),
 
     "sim_index_drift" -> ((s, dir) => {

@@ -967,20 +967,25 @@ object Similarity {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("__d2")) * lit(1e9)).cast("long").as("__adq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = topKPerKey(approx, col("query_id"),
-        Seq(col("__adq").asc, col("vec_id").asc), k * candFactor,
-        saltOn = col("vec_id"))
-      .select(col("query_id"), col("vec_id"))
-    val out = exactRerank(corpus, queries, idCol, vecCol, cands, k)
-    lastIvfPqScanned = (approx.count(), cands.count())
-    // approx stays persisted: the returned frame's lineage runs
-    // through it, so the CALLER's action (the timed one) reuses the
-    // cached ADC sums instead of replaying the join — the former
-    // eager unpersist-on-return made the internal accounting counts
-    // the only beneficiaries. Cell-probe-sized rows (quantized sums,
-    // no vectors); Spark's ContextCleaner reclaims the cache when the
-    // frame goes unreferenced.
-    out
+    try {
+      // Materialize the candidate ids EAGERLY (localCheckpoint —
+      // result-sized: pending × k·candFactor id pairs) so the returned
+      // frame's lineage no longer runs through `approx`: the
+      // cell-probe-sized ADC sums can then be unpersisted HERE, on
+      // success AND failure, instead of staying pinned until
+      // ContextCleaner notices the unreferenced handle (r16 left it
+      // persisted with no unpersist path — in long-lived serving
+      // sessions the MEMORY_AND_DISK blocks accumulated between GC
+      // cycles). The caller's timed action re-reads the checkpointed
+      // candidates, never the ADC join.
+      val cands = topKPerKey(approx, col("query_id"),
+          Seq(col("__adq").asc, col("vec_id").asc), k * candFactor,
+          saltOn = col("vec_id"))
+        .select(col("query_id"), col("vec_id"))
+        .localCheckpoint(true)
+      lastIvfPqScanned = (approx.count(), cands.count())
+      exactRerank(corpus, queries, idCol, vecCol, cands, k)
+    } finally approx.unpersist(blocking = false)
   }
 
   /** The codes table may be FLAT (one Scd1 table) or PARTITIONED by
