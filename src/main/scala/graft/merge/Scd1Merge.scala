@@ -705,11 +705,37 @@ object Scd1Merge {
     }
   }
 
+  /** Is `df` a TINY driver-local source (a LocalRelation — rows built
+    * on the driver: control tables like centroids/codebooks, MV
+    * markers, small fixture batches)? Checked on the ANALYZED plan
+    * (already forced by any schema access, so this costs nothing) and
+    * bounded so a large collected frame never rides the compact
+    * path. */
+  private def tinyLocalSource(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    @annotation.tailrec
+    def leaf(p: LogicalPlan): Option[LocalRelation] = p match {
+      case l: LocalRelation => Some(l)
+      // `toDF(names)` / renames / filters stack trivial one-child
+      // nodes over the LocalRelation — the rows are still driver-local
+      case pr: Project => leaf(pr.child)
+      case f: Filter => leaf(f.child)
+      case a: SubqueryAlias => leaf(a.child)
+      case _ => None
+    }
+    leaf(df.queryExecution.analyzed)
+      .exists(_.data.lengthCompare(10000) <= 0)
+  }
+
   /** Stage `df` bucket-partitioned under `tmp`. The repartition
     * co-locates each bucket so it lands as ~one file instead of
-    * partitions × buckets shards. */
-  private def stageWrite(df: DataFrame, tmp: String): Unit =
-    df.repartition(col(BucketCol))
+    * partitions × buckets shards. `compact` (tiny driver-local
+    * sources, guide §2.4): the frame is already a single partition —
+    * one task writes every bucket's (tiny) file, so the keyed
+    * repartition exchange is pure overhead and is skipped. */
+  private def stageWrite(df: DataFrame, tmp: String,
+                         compact: Boolean = false): Unit =
+    (if (compact) df.coalesce(1) else df.repartition(col(BucketCol)))
       .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp)
 
   /** [[stageWrite]] with a within-bucket sort: buckets may share a
@@ -2243,26 +2269,51 @@ object Scd1Merge {
     // OUTPUT logicalizes with the NEWER side's map. A diff spanning a
     // materializing rewrite (rebucket) falls under the same
     // evolve-then-diff caveat as added columns.
+    //
+    // ONE-PASS diff (guide §2.4): a committed table holds exactly one
+    // row per merge key per side, so the change feed is a single
+    // pk-keyed FULL OUTER join —
+    //   key only new            → insert   (new image)
+    //   key only old            → delete   (old image)
+    //   both, images differ     → update   (new image)
+    //                             + update_preimage (old image)
+    //   both, images equal      → no row
+    // This replaces the former except + anti-join + two semi-joins +
+    // tag join (≈10 exchanges, each side scanned 4-5×) with ONE join
+    // (2 exchanges, each side scanned once) — the hot machinery under
+    // EVERY ChangeStream consumer, incremental-MV applyChanges and
+    // CDC read. Image equality is the same null-safe, NaN-equal
+    // comparison except() used; numeric types are aligned by the same
+    // widening coercion except() applied.
     val pk = keys.map(physicalOf(to, _))
-    val older = readSide(from)
-    val newer = readSide(to).select(older.columns.toIndexedSeq.map(col): _*)
-    val changedRows = newer.except(older) // inserted or updated (new image)
-    val deletedRows = older.join(newer, pk, "left_anti") // old image, key gone
-    // updated keys = changed keys that existed before; their OLD image
-    // is the preimage leg — the older side is already in hand, so this
-    // is one more semi-join over the same pruned bucket reads
-    val updatedKeys = changedRows.select(pk.map(col): _*)
-      .join(older.select(pk.map(col): _*), pk, "left_semi").distinct()
-    val preimages = older.join(updatedKeys, pk, "left_semi")
-      .withColumn("_change_type", lit("update_preimage"))
-    logicalize(changedRows
-      .join(older.select(pk.map(col): _*).distinct()
-        .withColumn("__was", lit(1)), pk, "left")
-      .withColumn("_change_type",
-        when(col("__was").isNotNull, lit("update")).otherwise(lit("insert")))
-      .drop("__was")
-      .unionByName(preimages)
-      .unionByName(deletedRows.withColumn("_change_type", lit("delete"))), to)
+    val older0 = readSide(from)
+    val newer0 = readSide(to).select(older0.columns.toIndexedSeq.map(col): _*)
+    val wide = older0.schema.fields.zip(newer0.schema.fields).map {
+      case (o, n) => widerOf(o.dataType, n.dataType).getOrElse(o.dataType) }
+    def aligned(df: DataFrame): DataFrame =
+      df.select(df.columns.zip(wide).map { case (c, t) =>
+        col(c).cast(t).as(c) }.toIndexedSeq: _*)
+    val older = aligned(older0)
+    val newer = aligned(newer0)
+    val cols = older.columns.toIndexedSeq
+    val oldS = older.select(pk.map(col) ++
+      Seq(struct(cols.map(col): _*).as("__old")): _*)
+    val newS = newer.select(pk.map(col) ++
+      Seq(struct(cols.map(col): _*).as("__new")): _*)
+    val legs = when(col("__old").isNull && col("__new").isNotNull,
+        array(struct(col("__new").as("r"), lit("insert").as("t"))))
+      .when(col("__new").isNull && col("__old").isNotNull,
+        array(struct(col("__old").as("r"), lit("delete").as("t"))))
+      .when(col("__old").isNotNull && col("__new").isNotNull &&
+          !(col("__old") <=> col("__new")),
+        array(struct(col("__new").as("r"), lit("update").as("t")),
+          struct(col("__old").as("r"), lit("update_preimage").as("t"))))
+    // unchanged keys fall through to NULL; explode emits nothing
+    val out = oldS.join(newS, pk, "full_outer")
+      .select(explode(legs).as("__c"))
+      .select(cols.map(c => col("__c").getField("r").getField(c).as(c)) :+
+        col("__c").getField("t").as("_change_type"): _*)
+    logicalize(out, to)
   }
 
   /** Move each `__bucket=N` dir under `writtenTo` into the table as
@@ -2398,7 +2449,9 @@ object Scd1Merge {
             // Initial create: empty dir (bar the lock).
             val nb = if (numBuckets > 0) numBuckets else DefaultNumBuckets
             val tmp = tablePath + ".tmp"
-            timed("create-write") { stageWrite(withBucket(source, keys, nb), tmp) }
+            timed("create-write") {
+              stageWrite(withBucket(source, keys, nb), tmp,
+                compact = tinyLocalSource(source)) }
             val stats = timed("stats") { bucketStats(spark, tmp, keys ++ statsColumns) }
             val newEntries = timed("adopt") { adoptBucketDirs(tablePath, tmp, _ => 0) }
             if (newEntries.isEmpty) {
@@ -2492,7 +2545,10 @@ object Scd1Merge {
       else physicalOf(m0, c))
     val nb = m0.numBuckets
     requireSameKeys(tablePath, m0, keys)
-    val bucketed = withBucket(source, keys, nb)
+    // tiny driver-local source: single-partition commit (see upsert)
+    val tiny = tinyLocalSource(source)
+    val bucketed = withBucket(
+        if (tiny) source.coalesce(1) else source, keys, nb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val probe = timed("probe") { bucketed
@@ -2535,7 +2591,8 @@ object Scd1Merge {
       // the pessimistic path's fixed `<table>.tmp`
       val tmp = tablePath + ".tmp-" +
         java.util.UUID.randomUUID().toString.substring(0, 8)
-      timed("merge-write") { stageWrite(merged, tmp) }
+      timed("merge-write") {
+        stageWrite(merged, tmp, compact = tiny && targetOpt.isEmpty) }
       touchedB.foreach { b =>
         if (!Files.exists(Paths.get(tmp, s"$BucketCol=$b")))
           throw new IllegalStateException(
@@ -2857,7 +2914,13 @@ object Scd1Merge {
     // source for the same reason (plus a determinism guarantee we
     // inherit: probe and write see the same rows even if the source
     // lineage is non-deterministic).
-    val bucketed = withBucket(source, keys, nb)
+    // Tiny driver-local sources additionally run the whole commit on
+    // ONE partition: SinglePartition satisfies every distribution the
+    // probe's aggregations require, so the commit's exchanges (and
+    // their per-action AQE stage jobs) vanish (guide §2.4).
+    val tiny = tinyLocalSource(source)
+    val bucketed = withBucket(
+        if (tiny) source.coalesce(1) else source, keys, nb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // ONE probe job covers both pre-checks: per-bucket (touched set
@@ -2912,8 +2975,11 @@ object Scd1Merge {
       // repartition on the bucket column before the partitioned write:
       // without it every shuffle partition spills a sliver into every
       // bucket dir (partitions × buckets small files); with it each
-      // bucket's data is co-located and lands as ~one file.
-      timed("merge-write") { stageWrite(merged, tmp) }
+      // bucket's data is co-located and lands as ~one file. Tiny
+      // all-new local batches (merged eq bucketed, one partition
+      // already) skip the exchange.
+      timed("merge-write") {
+        stageWrite(merged, tmp, compact = tiny && targetOpt.isEmpty) }
       touched.foreach { b =>
         if (!Files.exists(Paths.get(tmp, s"$BucketCol=$b")))
           // every touched bucket holds >=1 source row, so the merged
